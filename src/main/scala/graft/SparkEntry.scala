@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.sink._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.nio.file.Files
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Flagship: dynamic-partitioned write (the reference's core capability,
+    * SURVEY.md §0) — write orders partitioned by o_orderpriority, read the
+    * tree back, count rows per partition. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val out = Files.createTempDirectory("graft_entry").toString
+    val orders = Tables(spark, dir, "orders")
+    PartitionedSink.write(orders, out,
+      SinkConfig(ParquetFormat, Seq("o_orderpriority"), Some("snappy"),
+        runtimeNullCheck = true))
+    PartitionedSink.readBack(spark, out)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extension
+    * surface). Signature: (session, sfDir) => result DataFrame. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.all ++ SinkQueries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracles ++ SinkQueries.oracles
 }

@@ -1,0 +1,150 @@
+package graft.sink
+
+import graft.schema.{GraftSchemaException, Validators}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Output format for the dynamic-partitioned sink (SURVEY.md §2.1 S1–S3).
+  * `name` is the Spark DataSource provider; avro ships inside spark-sql in
+  * this image but is not ServiceLoader-registered under its short name, so
+  * the fully-qualified FileFormat class is used. */
+sealed abstract class SinkFormat(val name: String, val codecs: Map[String, String])
+case object ParquetFormat extends SinkFormat("parquet", Validators.ParquetCodecs)
+case object AvroFormat
+  extends SinkFormat("org.apache.spark.sql.avro.AvroFileFormat", Validators.AvroCodecs)
+case object OrcFormat extends SinkFormat("orc", Validators.OrcCodecs)
+
+/** Write disposition (SURVEY.md §2.7 W1):
+  * [[Create]] fails if any incoming partition already exists at the target;
+  * [[CreateOrAppend]] appends into existing partitions. Reference:
+  * `PartitionedFileSetSinkConfig.java:63-65` (`appendToPartition`, default No).
+  */
+sealed trait WriteDisposition
+case object Create extends WriteDisposition
+case object CreateOrAppend extends WriteDisposition
+
+/**
+ * Configuration for one dynamic-partitioned write.
+ *
+ * @param partitionFields ordered partition columns — order defines directory
+ *   nesting (`PartitionedFileSetSinkConfig.java:126-149`)
+ * @param codec per-format whitelisted compression codec (F4–F6)
+ * @param runtimeNullCheck when true, nullable partition columns in the input
+ *   schema are accepted and nulls are rejected per-row at execution time
+ *   (distributed `raise_error` guard) instead of failing validation — useful
+ *   when reading parquet whose footer marks everything nullable. The
+ *   reference's strict behavior (reject nullable partition fields,
+ *   `PartitionedFileSetSinkConfig.java:140-144`) is the default.
+ */
+final case class SinkConfig(
+    format: SinkFormat,
+    partitionFields: Seq[String],
+    codec: Option[String] = None,
+    disposition: WriteDisposition = CreateOrAppend,
+    orcOptions: Option[Validators.OrcOptions] = None,
+    runtimeNullCheck: Boolean = false)
+
+/**
+ * Dynamic-partitioned dataset sink — the Spark-native re-expression of the
+ * reference's three CDAP batch sinks (SURVEY.md §0, §3.4).
+ *
+ * Semantics preserved from the reference:
+ *  - partition values are stringified and trimmed
+ *    (`AvroDynamicPartitionedDatasetSink.java:119-120`)
+ *  - a partition value containing `/` raises an error (Spark alone would
+ *    silently URL-escape it; `AvroDynamicPartitionedDatasetSink.java:121-126`)
+ *  - partition columns are excluded from the data files (T1 — Spark's
+ *    `partitionBy` does this natively)
+ *  - multi-field keys nest directories in declared field order
+ *  - CREATE vs CREATE_OR_APPEND dispositions (W1)
+ *
+ * Scale posture (100 TB): the write is a single distributed
+ * `InsertIntoHadoopFsRelationCommand` — no driver-side row handling. The only
+ * driver work is the CREATE pre-check, which aggregates DISTINCT partition
+ * tuples (column-pruned scan, partial aggregation) and lists existing
+ * partitions from the file tree (or a catalog at real scale). Skewed
+ * partition values are the known failure mode of dynamic partitioned writes:
+ * writers sort rows by partition expression so each task holds one open file
+ * per partition value at a time; pair with AQE (on by default) and
+ * `spark.sql.maxConcurrentOutputFileWriters` when partition cardinality per
+ * task is high.
+ */
+object PartitionedSink {
+
+  /** Pre-flight validation (V1–V4) against a DataFrame about to be written. */
+  def validate(df: DataFrame, cfg: SinkConfig): Unit = {
+    if (cfg.partitionFields.isEmpty)
+      throw new GraftSchemaException("at least one partition field is required")
+    cfg.partitionFields.foreach { f =>
+      if (!df.schema.fieldNames.contains(f))
+        throw new GraftSchemaException(
+          s"Partition field '$f' does not exist in the input schema " +
+            s"(fields: ${df.schema.fieldNames.mkString(", ")})")
+      if (!cfg.runtimeNullCheck && df.schema(f).nullable)
+        throw new GraftSchemaException(s"Partition field '$f' must not be nullable")
+    }
+    Validators.outputSchema(
+      if (cfg.runtimeNullCheck) forceNonNullable(df, cfg.partitionFields) else df.schema,
+      cfg.partitionFields)
+    cfg.codec.foreach(c => Validators.resolveCodec(cfg.format.codecs, c, cfg.format.name))
+    if (cfg.format == OrcFormat) Validators.validateOrcOptions(cfg.codec, cfg.orcOptions)
+  }
+
+  private def forceNonNullable(df: DataFrame, fields: Seq[String]) =
+    org.apache.spark.sql.types.StructType(df.schema.fields.map(f =>
+      if (fields.contains(f.name)) f.copy(nullable = false) else f))
+
+  /**
+   * Partition-key projection (P2–P4): stringify + trim each partition column
+   * and fail fast — distributed, codegen'd `raise_error`, no UDF — on values
+   * containing the path separator, and (when runtimeNullCheck) on nulls.
+   */
+  def preparePartitionColumns(df: DataFrame, cfg: SinkConfig): DataFrame =
+    cfg.partitionFields.foldLeft(df) { (d, f) =>
+      val v = trim(col(f).cast("string"))
+      val guarded = when(
+        v.contains("/"),
+        raise_error(concat(
+          lit(s"Partition value for field '$f' must not contain '/': "), v)))
+        .when(
+          if (cfg.runtimeNullCheck) v.isNull
+          else lit(false),
+          raise_error(lit(s"Partition field '$f' must not be null")))
+        .otherwise(v)
+      d.withColumn(f, guarded)
+    }
+
+  /** Full write path: validate → prepare → (CREATE pre-check) → partitionBy
+    * write. Returns the ordered partition fields actually used. */
+  def write(df: DataFrame, path: String, cfg: SinkConfig): Seq[String] = {
+    validate(df, cfg)
+    val prepared = preparePartitionColumns(df, cfg)
+    if (cfg.disposition == Create)
+      PartitionCatalog.assertNoneExist(prepared, path, cfg.partitionFields)
+    var writer = prepared.write
+      .format(cfg.format.name)
+      .partitionBy(cfg.partitionFields: _*)
+      .mode(SaveMode.Append)
+    cfg.codec.foreach { c =>
+      writer = writer.option("compression",
+        Validators.resolveCodec(cfg.format.codecs, c, cfg.format.name))
+    }
+    cfg.orcOptions.foreach { o =>
+      writer = writer
+        .option("orc.compress.size", o.compressionChunkSize.toString)
+        .option("orc.stripe.size", o.stripeSize.toString)
+        .option("orc.row.index.stride", o.indexStride.toString)
+        .option("orc.create.index", o.createIndex.toString)
+    }
+    writer.save(path)
+    cfg.partitionFields
+  }
+
+  /** Read a written partitioned tree back. Partition values were stringified
+    * on write; pin type inference off so they come back as strings
+    * (SURVEY.md §7.4 item 3). */
+  def readBack(spark: SparkSession, path: String, format: SinkFormat = ParquetFormat): DataFrame = {
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    spark.read.format(format.name).load(path)
+  }
+}
