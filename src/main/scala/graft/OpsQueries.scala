@@ -1,0 +1,175 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Extension-surface queries (SURVEY.md §7.5 + the training-data-pipeline
+ * operators): dedup, similarity search, text analysis. Oracle SQL is
+ * provided wherever DuckDB can express the exact same computation
+ * (md5/set/jaccard/cosine); hash-based operators (xxhash64 signatures) have
+ * no DuckDB twin and get the driver's rows-only check, with their
+ * correctness asserted structurally in ScalaTest instead.
+ */
+object OpsQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------------------- dedup
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text")),
+
+    // exact variant capped to 1000 docs (covers every row at the sf0.01
+    // oracle scale; bounds the inverted-index fan-out at bench scale —
+    // the tiny synthetic vocabulary makes every 3-gram a stop-gram)
+    "dedup_ngram_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 1000),
+        "doc_id", "text", n = 3, threshold = 0.8)),
+
+    // scale variant: posting lists capped at maxDocFreq (prefix-filtering
+    // analogue) — the 100 TB path, uncapped input
+    "dedup_ngram_pairs_filtered" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8, maxDocFreq = 50)),
+
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(
+        Dedup.minhashSignatures(docs(s, dir), "doc_id", "text"),
+        numHashes = 64, bands = 16, threshold = 0.7)
+        .select(col("a_id"), col("b_id"), col("est_jaccard"))),
+
+    "dedup_minhash_clusters" -> ((s, dir) =>
+      Dedup.minhashDedup(docs(s, dir), "doc_id", "text")
+        .filter(col("doc_id") =!= col("cluster_id"))), // only non-singletons
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Dedup.simhash64(docs(s, dir), "doc_id", "text"),
+        maxHamming = 3)),
+
+    // cap ids so bench scale (sf0.1, 5k vectors) stays quadratic-bounded;
+    // the cap covers every row at the sf0.01 oracle scale.
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      Similarity.nearDupPairsExact(
+        emb(s, dir).filter(col("vec_id") < 1000), threshold = 0.4)),
+
+    "dedup_embedding_pairs_lsh" -> ((s, dir) =>
+      Similarity.nearDupPairs(
+        emb(s, dir).filter(col("vec_id") < 1000), dim = 64, threshold = 0.4)),
+
+    // -------------------------------------------------------- similarity
+    "sim_topk_bruteforce" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
+    }),
+
+    "sim_topk_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e.filter(col("vec_id") < 10), e, k = 5, dim = 64)
+    }),
+
+    // ------------------------------------------------------------- text
+    "text_tokens" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("n_re_tokens"))),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(docs(s, dir), "doc_id", "text")),
+
+    "text_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir), "doc_id", "text")
+        .select("doc_id", "quality_score")),
+
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.contentFingerprint(col("text")).as("fingerprint"))),
+
+    "text_rolling_fingerprint" -> ((s, dir) =>
+      TextAnalysis.rollingFingerprint(docs(s, dir), "doc_id", "text", k = 5)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents WHERE doc_id < 1000
+        |), grams AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM toks WHERE len(w) >= 3
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.g, b.g)) AS common,
+        |  len(a.g) AS la, len(b.g) AS lb,
+        |  cast(len(list_intersect(a.g, b.g)) as double)
+        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jac
+        |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |WHERE cast(len(list_intersect(a.g, b.g)) as double)
+        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8""".stripMargin,
+
+    "dedup_embedding_pairs" ->
+      """WITH v AS (
+        |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 1000)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.e, b.e), 6) AS sim_r
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.4""".stripMargin,
+
+    "sim_topk_bruteforce" ->
+      """WITH v AS (
+        |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings),
+        |sims AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(q.e, c.e) AS sim
+        |  FROM v q JOIN v c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 10),
+        |ranked AS (
+        |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
+        |  FROM sims)
+        |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens
+        |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double)
+        |    / length(text) AS alpha_ratio,
+        |  cast(length(regexp_replace(text, '[^0-9]', '', 'g')) as double)
+        |    / length(text) AS digit_ratio,
+        |  cast(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) as double)
+        |    / length(text) AS punct_ratio,
+        |  cast(length(regexp_replace(text, '[^ \t\n]', '', 'g')) as double)
+        |    / length(text) AS ws_ratio,
+        |  cast(length(text) as double)
+        |    / len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len
+        |FROM documents""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+  )
+}

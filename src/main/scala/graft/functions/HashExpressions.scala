@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native Catalyst expressions for the hash-sketch operators. The
+ * `functions._`-composed formulations (nested `transform`/`aggregate`
+ * lambdas) re-evaluate the normalization and shingle expressions once per
+ * (hash function × shingle) — O(numHashes · shingles) regex/substring work
+ * per row. These expressions do one normalization pass, one xxhash64 per
+ * shingle/token, and derive all `numHashes` min-hash lanes with
+ * Kirsch-Mitzenmacher double hashing (h_j = h1 + j·h2) — ~64× less hashing
+ * and ~20,000× less string work per row. Per-row state is a few small
+ * arrays; rows stream through `eval` with no shared state, so the
+ * expression is embarrassingly parallel across partitions.
+ *
+ * CodegenFallback is deliberate: the per-row work (hundreds of hash mixes)
+ * dwarfs the virtual-call overhead codegen would remove, and keeping
+ * `eval`-only avoids a 64-lane unrolled codegen blob that would blow the
+ * JIT method-size budget.
+ */
+private[graft] object TextNormJvm {
+  /** JVM-side twin of [[graft.ops.Dedup.normalize]] (ASCII-equivalent). */
+  def normalize(s: String): String = {
+    val t = s.trim.toLowerCase
+    // manual single-pass whitespace collapse (regex-free hot path)
+    val sb = new java.lang.StringBuilder(t.length)
+    var prevWs = false
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      val ws = Character.isWhitespace(c)
+      if (!ws) { sb.append(c); prevWs = false }
+      else if (!prevWs) { sb.append(' '); prevWs = true }
+      i += 1
+    }
+    sb.toString
+  }
+
+  def hashString(s: String, seed: Long): Long =
+    XxHash64Function.hash(UTF8String.fromString(s), StringType, seed)
+}
+
+/**
+ * MinHash signature of a text column: `numHashes` min-hash lanes over the
+ * set of character `shingleLen`-grams of the normalized text. Returns
+ * `array<bigint>` of length `numHashes`.
+ */
+case class MinHashSignature(
+    child: Expression, numHashes: Int, shingleLen: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(numHashes > 0 && shingleLen > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = TextNormJvm.normalize(input.toString)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val last = math.max(text.length - shingleLen, 0)
+    var i = 0
+    while (i <= last) {
+      val end = math.min(i + shingleLen, text.length)
+      val h1 = TextNormJvm.hashString(text.substring(i, end), 42L)
+      val h2 = h1 * 0x9E3779B97F4A7C15L + 0x165667B19E3779F9L
+      var j = 0
+      var h = h1
+      while (j < numHashes) {
+        if (h < mins(j)) mins(j) = h
+        h += h2 // lane j+1 = h1 + (j+1)·h2
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * 64-bit SimHash of a text column over its normalized whitespace tokens:
+ * each token's xxhash64 votes ±1 per bit position; the sign of each bit's
+ * vote total sets that output bit.
+ */
+case class SimHash64(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = TextNormJvm.normalize(input.toString)
+    val votes = new Array[Int](64)
+    var start = 0
+    while (start < text.length) {
+      var end = text.indexOf(' ', start)
+      if (end < 0) end = text.length
+      if (end > start) {
+        val h = TextNormJvm.hashString(text.substring(start, end), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      start = end + 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sim)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-API wrappers for the native expressions. */
+object hashes {
+  def minhash_signature(c: Column, numHashes: Int = 64, shingleLen: Int = 5): Column =
+    Bridge.column(
+      MinHashSignature(Bridge.expression(c), numHashes, shingleLen))
+
+  def simhash64(c: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(c)))
+}

@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Deduplication operators for large-scale training-data pipelines: exact,
+ * MinHash+LSH, SimHash, and n-gram Jaccard. All are pure
+ * `DataFrame => DataFrame` transforms built from codegen'd
+ * `org.apache.spark.sql.functions` — no UDFs, no driver-side row handling —
+ * so every stage is a shuffle-bounded distributed job that scales with
+ * partition count.
+ *
+ * Scale notes (100 TB posture):
+ *  - candidate generation is always blocking/banded (LSH bands, shared
+ *    n-grams) — never an all-pairs cross join;
+ *  - inverted-index joins cap posting-list length (`maxDocFreq`) so a stop
+ *    n-gram cannot produce a quadratic pair explosion;
+ *  - clustering is iterative min-label propagation (bounded sweeps of
+ *    hash-partitioned joins), not a driver-side union-find.
+ */
+object Dedup {
+
+  /** Canonical text normalization shared by all text-dedup operators:
+    * lowercase, trim, collapse runs of whitespace to single spaces. */
+  def normalize(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup by content hash: one row per distinct value of `textCol`
+    * with the minimal `idCol` as the surviving representative and the
+    * duplicate count. A single hash-partitioned aggregation. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Surviving rows after exact dedup (keep the min-id row per distinct
+    * text). Equivalent to dropDuplicates with a deterministic winner. */
+  def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(textCol)).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------- n-gram Jaccard
+
+  /** Distinct word n-grams of normalized text, joined by single spaces. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val w = split(normalize(text), " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(w) - n, lit(-1))),
+      i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+  }
+
+  /**
+   * Exact n-gram Jaccard similarity pairs via an inverted-index join:
+   * explode distinct n-grams, join postings on the n-gram (so only pairs
+   * sharing at least one n-gram are ever materialized), count shared grams,
+   * and compute |A∩B| / (|A|+|B|-|A∩B|) >= threshold.
+   *
+   * @param maxDocFreq drop n-grams appearing in more than this many docs
+   *   (posting-list cap — bounds the join fan-out; pairs whose similarity
+   *   rests only on stop-grams are not near-duplicates anyway). Pass
+   *   Int.MaxValue for exact semantics (required for oracle parity).
+   */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"), wordNgrams(col(textCol), n).as("g"))
+      .filter(size(split(normalize(col(textCol)), " ")) >= n)
+      .select(col("doc_id"), col("g"), size(col("g")).as("n_grams"))
+    val postings0 = grams.select(col("doc_id"), col("n_grams"),
+      explode(col("g")).as("gram"))
+    val postings =
+      if (maxDocFreq == Int.MaxValue) postings0
+      else {
+        // doc-frequency cap via a window count over the gram — one shuffle,
+        // single evaluation of the n-gram pipeline (a join against a
+        // gram-frequency aggregate would re-evaluate it and need a second
+        // shuffle; broadcasting either side is wrong at corpus scale)
+        postings0.withColumn("__df",
+          count(lit(1)).over(Window.partitionBy(col("gram"))))
+          .filter(col("__df") <= maxDocFreq).drop("__df")
+      }
+    val a = postings.select(col("gram"), col("doc_id").as("a_id"), col("n_grams").as("la"))
+    val b = postings.select(col("gram"), col("doc_id").as("b_id"), col("n_grams").as("lb"))
+    a.join(b, Seq("gram")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "la", "lb")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jac",
+        col("common").cast("double") / (col("la") + col("lb") - col("common")))
+      .filter(col("jac") >= threshold)
+      .select("a_id", "b_id", "common", "la", "lb", "jac")
+  }
+
+  // ----------------------------------------------------------- MinHash
+
+  /** Distinct character shingles (length `k`) of normalized text. */
+  def charShingles(text: Column, k: Int): Column = {
+    val t = normalize(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(t) - k, lit(0))),
+      i => t.substr(i + 1, lit(k))))
+  }
+
+  /**
+   * MinHash signatures: `numHashes` independent min-hash lanes over the
+   * character-shingle set, computed by the native
+   * [[graft.functions.MinHashSignature]] Catalyst expression (one pass
+   * over the shingles; a `functions._`-composed nested-lambda formulation
+   * re-evaluates normalization per hash lane and is ~100× slower).
+   */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleLen: Int = 5): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      graft.functions.hashes.minhash_signature(col(textCol), numHashes, shingleLen)
+        .as("sig"))
+
+  /**
+   * Banded LSH candidate pairs: split each signature into `bands` bands of
+   * `numHashes/bands` rows, hash each band, and self-join on
+   * (band index, band hash) — two docs collide iff they agree on an entire
+   * band. Estimated Jaccard = fraction of agreeing signature positions.
+   */
+  def minhashCandidatePairs(
+      sigs: DataFrame, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val a = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("band", "band_hash")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+          bit => bit)).cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** End-to-end MinHash dedup: signatures → banded candidates → connected
+    * components (iterative min-label propagation) → (doc_id, cluster_id)
+    * where cluster_id is the smallest doc id in the component. */
+  def minhashDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 64, shingleLen: Int = 5,
+      bands: Int = 16, threshold: Double = 0.7,
+      maxIterations: Int = 10): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
+    // materialize the candidate pairs once — the label-propagation loop
+    // re-reads them every sweep and must not recompute the signatures
+    val pairs = minhashCandidatePairs(sigs, numHashes, bands, threshold)
+      .select("a_id", "b_id").cache()
+    connectedComponents(df.select(col(idCol).as("doc_id")), pairs, maxIterations)
+  }
+
+  /**
+   * Min-label propagation over an undirected edge list. Each sweep joins
+   * every node's current label with its neighbors' and takes the min —
+   * O(diameter) sweeps, each a pair of hash joins; near-dup components are
+   * tiny (pairs/triples), so this converges in 2-3 sweeps in practice.
+   */
+  def connectedComponents(
+      nodes: DataFrame, pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
+        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  // ----------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over the normalized token multiset (native
+    * [[graft.functions.SimHash64]] expression: one hash per token, 64-bit
+    * vote accumulation in a single pass). Near-duplicates land within
+    * small Hamming distance. */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      graft.functions.hashes.simhash64(col(textCol)).as("simhash"))
+
+  /** SimHash near-dup pairs: block on 16-bit quarters (any pair within
+    * Hamming distance 3 of a 64-bit hash must agree on at least one of the
+    * four quarters — pigeonhole), then verify exact Hamming distance with
+    * `bit_count(xor)`. */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val quarterCols = (0 until 4).map(q =>
+      shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL)))
+    val blocked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array(quarterCols: _*)))
+      .withColumnRenamed("pos", "quarter").withColumnRenamed("col", "block")
+    val a = blocked.select(col("quarter"), col("block"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+    val b = blocked.select(col("quarter"), col("block"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+    a.join(b, Seq("quarter", "block")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Similarity search over an embedding column (`Array[Float]`).
+ *
+ * Two paths:
+ *  - [[bruteForceTopK]] — exact cosine top-k via a blocked cross join +
+ *    per-query heap (window rank). O(|Q|·|C|): the correctness baseline,
+ *    and the right choice when |Q| is small (the common "probe a few
+ *    queries" case) because the corpus scan parallelizes perfectly.
+ *  - [[lshTopK]] / [[nearDupPairs]] — random-hyperplane LSH: bucket by
+ *    sign-pattern of `numPlanes` fixed pseudo-random hyperplanes, search
+ *    only within colliding buckets (multi-probe over all 1-bit flips for
+ *    recall). Candidates scale with bucket occupancy, not corpus size —
+ *    the 100 TB path.
+ *
+ * All vector math is `zip_with`/`aggregate` over the array column in
+ * double precision — codegen'd, left-to-right accumulation (deterministic
+ * and bit-identical to DuckDB's `list_cosine_similarity` on DOUBLE[],
+ * which the oracle relies on).
+ */
+object Similarity {
+
+  /** Sequential-fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of a double-array column (sequential fold, then sqrt). */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity between two double-array columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cast a float-array embedding column to double (element-exact). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /**
+   * Exact cosine top-k: for each query vector, the k nearest corpus vectors
+   * (self-match excluded). Norms are precomputed on both sides so the join
+   * does one fused multiply-add pass per pair. Ranking is on the cosine
+   * rounded to 6 decimals with an id tiebreak — deterministic across
+   * engines (near-duplicate vectors produce cosine values equal to ~1e-15;
+   * an unrounded order would be ULP-sensitive).
+   */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"), toDouble(col(vecCol)).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+    val sims = q.crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+          .as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim_r"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane coefficients (seeded
+    * `java.util.Random` Gaussians — the LCG is specified, so coefficients
+    * are reproducible across JVMs with no stored model). */
+  def planeCoefs(dim: Int, numPlanes: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(numPlanes) { p =>
+      val rng = new java.util.Random(seed * 1000003L + p)
+      Array.fill(dim)(rng.nextGaussian())
+    }
+
+  /** Sign-pattern LSH bucket id from `numPlanes` pseudo-random hyperplanes:
+    * bit p of the bucket = sign of the projection onto plane p. Planes are
+    * embedded as literal arrays; each projection is one `zip_with` fold. */
+  def lshBucket(vec: Column, dim: Int, numPlanes: Int, seed: Long = 42L): Column = {
+    val bits = planeCoefs(dim, numPlanes, seed).zipWithIndex.map { case (coefs, p) =>
+      when(dot(vec, typedlit(coefs.toSeq)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Multi-probe bucket list: the exact bucket plus all 1-bit flips
+    * (recall boost — near neighbors differing on one hyperplane side are
+    * still found). */
+  private def probeBuckets(bucket: Column, numPlanes: Int): Column =
+    array((bucket +: (0 until numPlanes).map(p =>
+      bucket.bitwiseXOR(lit(1L << p)))): _*)
+
+  /**
+   * Approximate cosine top-k via hyperplane LSH: assign every vector to a
+   * bucket, probe each query's bucket plus its 1-bit neighbors, score only
+   * colliding candidates, keep top-k. At scale the bucket join replaces the
+   * cross join: cost is Σ bucket sizes along probed buckets.
+   */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      numPlanes: Int = 12, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), toDouble(col(vecCol)).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+      .withColumn("bucket", lshBucket(col("n_vec"), dim, numPlanes, seed))
+    val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .withColumn("bucket",
+        explode(probeBuckets(lshBucket(col("q_vec"), dim, numPlanes, seed), numPlanes)))
+    val sims = q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+          .as("sim"))
+      .groupBy("q_id", "n_id").agg(max(col("sim")).as("sim")) // dedup multi-probe hits
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim_r"), col("rnk"))
+  }
+
+  /** Exact embedding near-duplicate pairs: all pairs with cosine >=
+    * threshold via blocked cross join — the correctness baseline for
+    * [[nearDupPairs]] and the oracle-checked variant. */
+  def nearDupPairsExact(
+      df: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("vec"))
+      .withColumn("vnorm", norm(col("vec")))
+    val a = v.select(col("vid").as("a_id"), col("vec").as("a_vec"), col("vnorm").as("a_norm"))
+    val b = v.select(col("vid").as("b_id"), col("vec").as("b_vec"), col("vnorm").as("b_norm"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm"))).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim_r"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, found via LSH
+    * bucket collisions (exact bucket only — near-identical vectors agree on
+    * every hyperplane with overwhelming probability, plus 1-bit probes). */
+  def nearDupPairs(
+      df: DataFrame, dim: Int, threshold: Double = 0.995,
+      numPlanes: Int = 12, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("vec"))
+      .withColumn("vnorm", norm(col("vec")))
+      .withColumn("bucket0", lshBucket(col("vec"), dim, numPlanes, seed))
+    val probed = v.withColumn("bucket",
+      explode(probeBuckets(col("bucket0"), numPlanes)))
+    val a = probed.select(col("bucket"), col("vid").as("a_id"),
+      col("vec").as("a_vec"), col("vnorm").as("a_norm"))
+    val b = v.select(col("bucket0").as("bucket"), col("vid").as("b_id"),
+      col("vec").as("b_vec"), col("vnorm").as("b_norm"))
+    a.join(b, Seq("bucket")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
+          .as("sim"))
+      .groupBy("a_id", "b_id").agg(max(col("sim")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

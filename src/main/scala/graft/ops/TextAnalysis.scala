@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Text-analysis operators for training-data pipelines: token counting,
+ * quality scoring, language identification, and document fingerprinting.
+ * Everything is built from codegen'd string/array/regex functions — pure
+ * row-local map work, no shuffle, so throughput scales linearly with
+ * executor cores at any data size.
+ */
+object TextAnalysis {
+
+  // --------------------------------------------------------- token counts
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish subword-friendly token count: word pieces, numbers, and each
+    * punctuation/symbol char count as one token (a cheap but stable proxy
+    * for byte-pair tokenizers). */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  // --------------------------------------------------------- quality score
+
+  /** Character-class counts and ratios used by the quality heuristic.
+    * Ratios are single double divisions of exact integer counts —
+    * deterministic across engines. */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", ""))
+    val nDigit = length(regexp_replace(t, "[^0-9]", ""))
+    val nPunct = length(regexp_replace(t, "[^.,;:!?'\"()\\[\\]{}-]", ""))
+    val nWs = length(regexp_replace(t, "[^ \\t\\n]", ""))
+    val toks = split(trim(t), "\\s+")
+    df.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      size(toks).as("n_tokens"),
+      (nAlpha.cast("double") / nChars).as("alpha_ratio"),
+      (nDigit.cast("double") / nChars).as("digit_ratio"),
+      (nPunct.cast("double") / nChars).as("punct_ratio"),
+      (nWs.cast("double") / nChars).as("ws_ratio"),
+      (nChars.cast("double") / size(toks)).as("mean_token_len"))
+  }
+
+  /** Composite quality score in [0,1]: penalizes extreme length, low
+    * alphabetic content, and punctuation/digit noise. Thresholds follow
+    * common web-corpus filtering heuristics (Gopher/C4-style rules). */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val f = qualityFeatures(df, idCol, textCol)
+    val lenOk = when(col("n_tokens").between(10, 100000), 1.0).otherwise(0.0)
+    val alphaOk = when(col("alpha_ratio") >= 0.6, 1.0).otherwise(col("alpha_ratio") / 0.6)
+    val punctOk = when(col("punct_ratio") <= 0.2, 1.0)
+      .otherwise(greatest(lit(0.0), lit(1.0) - (col("punct_ratio") - 0.2) * 5))
+    val tokLenOk = when(col("mean_token_len").between(3.0, 12.0), 1.0).otherwise(0.5)
+    f.withColumn("quality_score",
+      round((lenOk * 2 + alphaOk * 4 + punctOk * 2 + tokLenOk * 2) / 10.0, 4))
+  }
+
+  // ------------------------------------------------------------- lang id
+
+  /** Tiny built-in stopword profiles (top function words per language).
+    * Public knowledge; enough to separate major European languages on
+    * natural text. */
+  val StopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "du", "que"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "es", "un", "una", "por"),
+    "it" -> Seq("il", "la", "di", "che", "e", "un", "una", "per", "non", "sono"),
+  )
+
+  /** N-gram/stopword-heuristic language ID: score = fraction of tokens in
+    * each language's stopword list; argmax with deterministic tiebreak
+    * (language code order), "und" (undetermined) if no stopword hits. */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(Dedup.normalize(col(textCol)), " ")
+    val scored = StopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(toks, t => t.isin(words: _*)))
+      struct((hits.cast("double") / size(toks)).as("score"), lit(lang).as("lang"))
+    }
+    // argmax by (score desc, lang asc): array_max on (score, negated-lang)
+    // isn't expressible, so sort the struct array and take the best element.
+    val best = element_at(
+      array_sort(array(scored: _*), (a, b) =>
+        when(a("score") > b("score"), -1)
+          .when(a("score") < b("score"), 1)
+          .when(a("lang") < b("lang"), -1)
+          .when(a("lang") > b("lang"), 1)
+          .otherwise(0)), 1)
+    df.select(col(idCol),
+      when(best("score") > 0, best("lang")).otherwise(lit("und")).as("lang_pred"),
+      round(best("score"), 4).as("lang_score"))
+  }
+
+  // -------------------------------------------------------- fingerprints
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * stable under formatting noise, portable to any engine. */
+  def contentFingerprint(text: Column): Column =
+    md5(Dedup.normalize(text).cast("binary"))
+
+  /** Winnowing-style rolling fingerprint: hash every k-gram window of
+    * tokens (polynomial rolling hash ≙ xxhash64 of the joined window),
+    * keep the minimum hash per document as its robust fingerprint, plus
+    * the full window-hash set size for containment estimation. */
+  def rollingFingerprint(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val w = split(Dedup.normalize(col(textCol)), " ")
+    val windows = transform(
+      sequence(lit(0), greatest(size(w) - k, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(k)))))
+    df.select(col(idCol),
+      array_min(windows).as("min_hash"),
+      size(array_distinct(windows)).as("n_windows"))
+  }
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Compile-time bridge into `private[sql]` Column↔Expression conversions
+  * (Spark 4 moved them behind the classic ColumnNode API). Lives in an
+  * `org.apache.spark.sql` subpackage solely to satisfy the access
+  * qualifier — the standard pattern for Spark extension libraries. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and AGAIN "), // case/ws variant
+    (4L, "completely different content about spark catalyst optimizer rules"),
+    (5L, "the quick brown fox jumps over the lazy dog again and also more"), // near dup of 1
+    (6L, "another unrelated document mentioning shuffle partitions and skew"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup collapses identical text, keeps min id") {
+    val res = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(res.length == 5) // 1&2 collapse; 3 differs (case/trailing ws)
+    val dup = res.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // keep_id = min
+    assert(Dedup.exactSurvivors(docs, "doc_id", "text").count() == 5)
+  }
+
+  test("minhash signatures: deterministic, fixed length, identical for identical text") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs.values.forall(_.length == 64))
+    assert(sigs(1L) == sigs(2L))
+    // normalization: case/whitespace variant has identical signature too
+    assert(sigs(1L) == sigs(3L))
+    // near dup shares most lanes; unrelated shares almost none
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2)
+    assert(agree(sigs(1L), sigs(5L)) > 32)
+    assert(agree(sigs(1L), sigs(4L)) < 8)
+  }
+
+  test("minhash candidate pairs find planted near-dups, not unrelated docs") {
+    val pairs = Dedup.minhashCandidatePairs(
+      Dedup.minhashSignatures(docs, "doc_id", "text"), 64, 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash dedup clusters transitively") {
+    val clusters = Dedup.minhashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(4L) == 4L && clusters(6L) == 6L)
+  }
+
+  test("connected components: chain merges to min label") {
+    val nodes = Seq(10L, 20L, 30L, 40L, 99L).toDF("doc_id")
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L, 99L -> 99L))
+  }
+
+  test("simhash: identical text -> identical hash; near dup -> small hamming") {
+    val sims = Dedup.simhash64(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L) && sims(1L) == sims(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(5L)) < 16)
+    assert(ham(sims(1L), sims(4L)) > 16)
+    val pairs = Dedup.simhashPairs(Dedup.simhash64(docs, "doc_id", "text"), maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("ngram jaccard: exact value for hand-computed pair") {
+    val two = Seq(
+      (1L, "a b c d e"), // 3-grams: {a b c, b c d, c d e}
+      (2L, "a b c d x"), // 3-grams: {a b c, b c d, c d x} -> common 2, union 4
+    ).toDF("doc_id", "text")
+    val rows = Dedup.ngramJaccardPairs(two, "doc_id", "text", n = 3, threshold = 0.0)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("common") == 2 && r.getAs[Int]("la") == 3
+      && r.getAs[Int]("lb") == 3)
+    assert(math.abs(r.getAs[Double]("jac") - 0.5) < 1e-15)
+  }
+
+  test("ngram jaccard maxDocFreq cap drops stop-gram-only pairs but keeps near-dups") {
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)) && capped.contains((1L, 3L)))
+  }
+}

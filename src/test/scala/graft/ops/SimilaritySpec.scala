@@ -1,0 +1,80 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)), // orthogonal to 0
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)), // close to 0
+    (3L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // identical to 0
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)), // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine algebra: identical=1, orthogonal=0, opposite=-1") {
+    val d = vecs.select(col("vec_id"),
+      Similarity.cosine(
+        Similarity.toDouble(col("embedding")),
+        typedlit(Seq(1.0, 0.0, 0.0, 0.0))).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(d(3L) - 1.0) < 1e-12)
+    assert(math.abs(d(1L)) < 1e-12)
+    assert(math.abs(d(4L) + 1.0) < 1e-12)
+    assert(d(2L) > 0.9 && d(2L) < 1.0)
+  }
+
+  test("brute-force top-k ranks identical vector first") {
+    val res = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0L), vecs, k = 2)
+      .collect().sortBy(_.getAs[Int]("rnk"))
+    assert(res.head.getAs[Long]("n_id") == 3L) // identical vector
+    assert(res(1).getAs[Long]("n_id") == 2L) // then the close one
+  }
+
+  test("exact near-dup pairs finds identical pair and respects threshold") {
+    // cos(0,2)=cos(2,3)=0.9939 — included at 0.99, excluded at 0.999
+    val loose = Similarity.nearDupPairsExact(vecs, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((0L, 2L), (0L, 3L), (2L, 3L)))
+    val tight = Similarity.nearDupPairsExact(vecs, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == Set((0L, 3L)))
+  }
+
+  test("LSH near-dup finds identical vectors (same bucket by construction)") {
+    val pairs = Similarity.nearDupPairs(vecs, dim = 4, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("LSH top-k finds planted high-similarity twins (its contract regime)") {
+    // LSH's guarantee is for HIGH-similarity neighbors (collision prob
+    // (1-θ/π)^planes). Plant an exact twin of each query in the corpus:
+    // the twin must come back as that query's rank-1 neighbor.
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val twins = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = e.unionByName(twins)
+    val q = e.filter(col("vec_id") < 10)
+    val top1 = Similarity.lshTopK(q, corpus, k = 1, dim = 64)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_id")).toMap
+    (0L until 10L).foreach { qid =>
+      assert(top1.get(qid).contains(qid + 10000),
+        s"query $qid: expected twin ${qid + 10000}, got ${top1.get(qid)}")
+    }
+  }
+
+  test("lsh bucket is deterministic across invocations") {
+    val b1 = vecs.select(Similarity.lshBucket(
+      Similarity.toDouble(col("embedding")), 4, 8).as("b")).collect().map(_.getLong(0))
+    val b2 = vecs.select(Similarity.lshBucket(
+      Similarity.toDouble(col("embedding")), 4, 8).as("b")).collect().map(_.getLong(0))
+    assert(b1.sameElements(b2))
+    // identical vectors share a bucket; opposite vectors do not
+    assert(b1(0) == b1(3))
+    assert(b1(0) != b1(4))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace and regex tokenizers") {
+    val df = Seq((1L, "Hello, world! 42 times"), (2L, "one  two   three"))
+      .toDF("doc_id", "text")
+    val res = df.select(col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).as("ws"),
+      TextAnalysis.regexTokenCount(col("text")).as("re"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(res(1L)._1 == 4) // Hello, world! 42 times
+    assert(res(1L)._2 == 6) // Hello , world ! 42 times
+    assert(res(2L)._1 == 3) // runs of spaces collapse
+  }
+
+  test("quality features on crafted text") {
+    val df = Seq((1L, "abcde 12345")).toDF("doc_id", "text") // 11 chars
+    val r = TextAnalysis.qualityFeatures(df, "doc_id", "text").collect().head
+    assert(r.getAs[Int]("n_chars") == 11)
+    assert(r.getAs[Int]("n_tokens") == 2)
+    assert(math.abs(r.getAs[Double]("alpha_ratio") - 5.0 / 11) < 1e-15)
+    assert(math.abs(r.getAs[Double]("digit_ratio") - 5.0 / 11) < 1e-15)
+    assert(math.abs(r.getAs[Double]("ws_ratio") - 1.0 / 11) < 1e-15)
+  }
+
+  test("quality score is in [0,1] and penalizes garbage") {
+    val df = Seq(
+      (1L, "This is a perfectly reasonable English sentence with normal words in it."),
+      (2L, "!!! ??? ;;; ::: ,,, ... ###"),
+    ).toDF("doc_id", "text")
+    val scores = TextAnalysis.qualityScore(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    assert(scores.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(1L) > scores(2L))
+  }
+
+  test("language id recognizes major languages by stopwords") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it was happy for a while"),
+      (2L, "der Hund ist nicht mit der Katze und das ist ein Problem"),
+      (3L, "le chat est sur la table et les enfants sont dans le jardin"),
+      (4L, "el perro es un animal que vive en la casa por los campos"),
+      (5L, "zzz qqq xxx www"),
+    ).toDF("doc_id", "text")
+    val langs = TextAnalysis.languageId(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(langs(1L) == "en")
+    assert(langs(2L) == "de")
+    assert(langs(3L) == "fr")
+    assert(langs(4L) == "es")
+    assert(langs(5L) == "und")
+  }
+
+  test("content fingerprint is whitespace/case insensitive") {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "  hello world "), (3L, "hello worlds"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"),
+      TextAnalysis.contentFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("rolling fingerprint: identical docs share min_hash; window count correct") {
+    val df = Seq(
+      (1L, "a b c d e f g"), // 7 tokens -> 3 windows of 5
+      (2L, "a b c d e f g"),
+      (3L, "x y z w v u t"))
+      .toDF("doc_id", "text")
+    val res = TextAnalysis.rollingFingerprint(df, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(res(1L) == res(2L))
+    assert(res(1L)._2 == 3)
+    assert(res(1L)._1 != res(3L)._1)
+  }
+}
