@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.Multimodal
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Multimodal-column and event-stream queries. The multimodal payloads are
+ * the documents' UTF-8 bytes standing in for encoded media (see
+ * [[graft.ops.Multimodal.MediaCodecStub]]): the decode is a deterministic
+ * stub, which makes its metadata DuckDB-expressible from `length(text)` —
+ * so the mapPartitions plumbing, schema, and batch shape get a real
+ * hash-match oracle even though the codec is fake.
+ */
+object MmStreamQueries {
+
+  private def media(s: SparkSession, dir: String) =
+    Multimodal.fakeMediaFromDocs(Tables(s, dir, "documents"), "doc_id", "text")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_meta" -> ((s, dir) =>
+      Multimodal.decodeMeta(media(s, dir)).toDF()),
+
+    "mm_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(Multimodal.decodeMeta(media(s, dir)).toDF(), 224)
+        .select("media_id", "width", "height", "out_width", "out_height")),
+
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSamplePlan(Multimodal.decodeMeta(media(s, dir)).toDF(), 4)),
+
+    "mm_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(media(s, dir), dim = 16).toDF()),
+
+    "events_sessionize" -> ((s, dir) =>
+      EventStream.sessionizeBatch(Tables.events(s, dir), gapMinutes = 30)),
+  )
+
+  private val metaSql =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |  octet_length(encode(text)) AS byte_len,
+      |  16 + octet_length(encode(text)) % 64 AS width,
+      |  16 + (octet_length(encode(text)) * 7) % 64 AS height,
+      |  3 AS channels,
+      |  CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate,
+      |  CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS n_frames
+      |FROM documents""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "mm_decode_meta" -> metaSql,
+
+    "mm_resize_plan" ->
+      s"""WITH meta AS ($metaSql)
+        |SELECT media_id, width, height,
+        |  cast(round(width * least(224.0 / width, 224.0 / height)) as int) AS out_width,
+        |  cast(round(height * least(224.0 / width, 224.0 / height)) as int) AS out_height
+        |FROM meta""".stripMargin,
+
+    "mm_frame_sample" ->
+      s"""WITH meta AS ($metaSql)
+        |SELECT media_id, n_frames, unnest(range(0, n_frames, 4)) AS frame_idx
+        |FROM meta WHERE kind = 'video'""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR cast(floor(epoch(ts)) as bigint)
+        |         - cast(floor(epoch(lag(ts) OVER w)) as bigint) > 1800
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    cast(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) as bigint) AS session_seq
+        |  FROM b)
+        |SELECT user_id, session_seq,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+  )
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+
+/**
+ * Structured Streaming surface over the `events` table shape
+ * (event_id, ts timestamp, user_id, event_type, value, props).
+ *
+ * Batch/stream parity: [[hourlyCounts]] produces the same result as the
+ * batch `q6_events_window` aggregation when fed the same rows; the
+ * ScalaTest suite drives both from the parquet fixture and compares.
+ * Watermarks bound state: hourly windows close 10 minutes after event
+ * time passes; session state times out per key. At scale, state lives in
+ * the state store partitioned by grouping key — no driver accumulation.
+ */
+object EventStream {
+
+  /** Watermarked tumbling-window counts per event type (streaming twin of
+    * the batch q6_events_window query). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+
+  final case class SessionState(
+      start: Long, last: Long, n: Long)
+
+  /**
+   * Gap-based sessionization with `flatMapGroupsWithState`: a session ends
+   * when no event arrives for `gapMinutes` of processing time. Emits the
+   * closed session when state times out. Keyed state is per user — hash
+   * partitioned, bounded by active-user cardinality.
+   */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    val gapMs = gapMinutes * 60000L
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n))
+          } else {
+            // fold this micro-batch's events into (possibly several) sessions
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(userId,
+                    new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
+          }
+      }(Encoders.product[SessionState], Encoders.product[Session])
+  }
+
+  /**
+   * Batch sessionization (same gap semantics, exact): boundary where the
+   * gap to the previous event exceeds `gapMinutes`; session id = running
+   * boundary count per user. Pure window functions — this is the
+   * oracle-checkable twin of [[sessionize]].
+   */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapSec = gapMinutes * 60L
+    val withBoundary = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withBoundary.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming hourly counts match the batch aggregation (stream/batch parity)") {
+    val batchEvents = Tables.events(spark, sf0001)
+    // write the (nanos-converted) events out so the file streaming source
+    // reads the exact same rows with a stream-compatible schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStream.hourlyCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.table("hourly_out")
+      .select("hour", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val batch = EventStream.hourlyCounts(spark.read.parquet(dir))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("flatMapGroupsWithState sessionize emits gap-separated sessions on timeout") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+    val events = Seq(
+      EventStream.Event(1L, ts(0), 7L, "click", 1.0),
+      EventStream.Event(2L, ts(5), 7L, "click", 1.0),
+      EventStream.Event(3L, ts(90), 7L, "view", 1.0), // > 30 min gap -> new session
+      EventStream.Event(4L, ts(0), 8L, "click", 1.0),
+    ).toDS()
+
+    val sessions = EventStream.sessionize(events, gapMinutes = 30)
+    // batch-style drive: feed all rows in one micro-batch; sessions closed
+    // by gaps WITHIN the batch are emitted immediately (open ones wait for
+    // the processing-time timeout, which a one-shot test doesn't reach)
+    val dirIn = java.nio.file.Files.createTempDirectory("graft_sess_in").toString
+    events.write.mode("overwrite").parquet(dirIn)
+    val stream = spark.readStream.schema(events.schema).parquet(dirIn)
+      .as[EventStream.Event]
+    val q = EventStream.sessionize(stream, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val closed = spark.table("sess_out").as[EventStream.Session].collect()
+    // user 7's first session (2 events, gap-closed inside the batch)
+    assert(closed.exists(s => s.user_id == 7L && s.n_events == 2))
+  }
+
+  test("batch sessionize: exact session boundaries at the 30-min gap") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:29:59"), 7L),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 7L), // 30:01 gap -> new
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 8L),
+    ).toDF("event_id", "ts", "user_id")
+    val sessions = EventStream.sessionizeBatch(df, gapMinutes = 30)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(sessions == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
+  }
+}
