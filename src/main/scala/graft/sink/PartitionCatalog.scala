@@ -42,6 +42,20 @@ object PartitionCatalog {
     frontier.map(_._2)
   }
 
+  /** F7 (Explore/Hive registration,
+    * `common/FileSetUtil.java:75-80,114-121,155-164`): register a written
+    * partitioned tree as an external catalog table and recover its
+    * partitions, making it queryable by name (`SHOW PARTITIONS`, SQL).
+    * At 100 TB this catalog — not a filesystem walk — is what the CREATE
+    * pre-check and partition pruning consult. */
+  def registerExternal(
+      spark: org.apache.spark.sql.SparkSession, tableName: String,
+      path: String, format: String = "parquet"): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    spark.catalog.createTable(tableName, format, Map("path" -> path))
+    spark.catalog.recoverPartitions(tableName)
+  }
+
   /** CREATE-disposition pre-check (W1): fail if any incoming partition tuple
     * already exists at the target. Incoming tuples come from a distinct
     * aggregation over just the partition columns (column-pruned, map-side

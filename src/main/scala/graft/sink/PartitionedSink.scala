@@ -147,4 +147,14 @@ object PartitionedSink {
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     spark.read.format(format.name).load(path)
   }
+
+  /** T2 analogue (`_CDAPStageName` constant injection,
+    * `common/Schemas.java:24-30` + `AvroDynamicPartitionedDatasetSink.java:82-85`):
+    * append a constant stage-name column. In Spark the partition-field list
+    * is driver-side so no per-record stage marker is needed for routing —
+    * this exists for multi-sink fan-out provenance, and the column is NOT
+    * part of the payload written by [[write]] unless explicitly included. */
+  def withStageConstant(df: DataFrame, stageName: String,
+      colName: String = "_stage"): DataFrame =
+    df.withColumn(colName, lit(stageName))
 }

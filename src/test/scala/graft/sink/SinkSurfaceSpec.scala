@@ -1,0 +1,87 @@
+package graft.sink
+
+import graft.schema.GraftSchemaException
+import graft.{SparkSpec, Tables}
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Coverage for the remaining SURVEY §2 rows: T2 constant injection, F7
+  * catalog registration, §2.8 schema-enforced sources, V5 macro-driven
+  * sink properties. */
+class SinkSurfaceSpec extends SparkSpec {
+
+  test("T2: stage-constant injection appends a literal column") {
+    val df = Tables(spark, sf0001, "orders").limit(5)
+    val withStage = PartitionedSink.withStageConstant(df, "orders_sink")
+    assert(withStage.schema.fieldNames.last == "_stage")
+    assert(withStage.select("_stage").distinct().collect().map(_.getString(0)).toSeq
+      == Seq("orders_sink"))
+  }
+
+  test("F7: register written tree as external table, SHOW PARTITIONS works") {
+    val out = Files.createTempDirectory("graft_catalog").toString
+    PartitionedSink.write(Tables(spark, sf0001, "orders"), out,
+      SinkConfig(ParquetFormat, Seq("o_orderpriority"), runtimeNullCheck = true))
+    PartitionCatalog.registerExternal(spark, "orders_part", out)
+    val parts = spark.sql("SHOW PARTITIONS orders_part").collect().map(_.getString(0))
+    assert(parts.length == 5)
+    assert(parts.exists(_.contains("o_orderpriority=1-URGENT")))
+    // queryable by name with partition pruning
+    val n = spark.table("orders_part")
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(n > 0)
+    spark.sql("DROP TABLE orders_part")
+  }
+
+  test("sources: schema-enforced csv/json round-trip") {
+    val dir = Files.createTempDirectory("graft_src").toString
+    val df = Tables(spark, sf0001, "nation")
+    df.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    df.write.mode("overwrite").json(s"$dir/json")
+    val ddl = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    val fromCsv = Sources.readDeclared(spark, "csv", s"$dir/csv", ddl,
+      Map("header" -> "true"))
+    val fromJson = Sources.readDeclared(spark, "json", s"$dir/json", ddl)
+    assert(fromCsv.count() == 25 && fromJson.count() == 25)
+    assert(fromCsv.schema.fieldNames.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    intercept[IllegalArgumentException] {
+      Sources.read(spark, "xml", s"$dir/csv")
+    }
+  }
+
+  test("V5: macro-driven sink properties resolve and validate") {
+    val props = Map(
+      "name" -> "${dataset}",
+      "basePath" -> "/tmp/graft/${env}",
+      "schema" -> """{"type":"record","name":"r","fields":[
+        {"name":"id","type":"long"},{"name":"day","type":"string"}]}""",
+      "fieldNames" -> "day",
+      "format" -> "orc",
+      "compressionCodec" -> "snappy",
+      "appendToPartition" -> "Yes",
+      "compressionChunkSize" -> "262144", "stripeSize" -> "67108864",
+      "indexStride" -> "10000", "createIndex" -> "true")
+    val runtime = Map("dataset" -> "sales", "env" -> "prod")
+    val r = SinkProperties.resolve(props, runtime)
+    assert(r.name == "sales" && r.path == "/tmp/graft/prod/sales")
+    assert(r.config.format == OrcFormat && r.config.disposition == CreateOrAppend)
+    assert(r.config.partitionFields == Seq("day"))
+    assert(r.config.orcOptions.exists(_.indexStride == 10000))
+    // default disposition is CREATE (reference appendToPartition default No)
+    val r2 = SinkProperties.resolve(props - "appendToPartition", runtime)
+    assert(r2.config.disposition == Create)
+    // macro to nowhere fails
+    intercept[Exception] {
+      SinkProperties.resolve(props, runtime - "dataset")
+    }
+    // nullable partition field rejected through the properties surface too
+    intercept[GraftSchemaException] {
+      SinkProperties.resolve(props + ("schema" ->
+        """{"type":"record","name":"r","fields":[
+          {"name":"id","type":"long"},{"name":"day","type":["null","string"]}]}"""),
+        runtime)
+    }
+  }
+}
