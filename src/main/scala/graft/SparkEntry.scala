@@ -26,11 +26,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ extension
     * surface). Signature: (session, sfDir) => result DataFrame. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.all ++ SinkQueries.all ++ OpsQueries.all ++ MmStreamQueries.all
+    CoreQueries.all ++ SinkQueries.all ++ OpsQueries.all ++
+      MmStreamQueries.all ++ RelationalQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ SinkQueries.oracles ++ OpsQueries.oracles ++
-      MmStreamQueries.oracles
+      MmStreamQueries.oracles ++ RelationalQueries.oracles
 }

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/**
+ * Relational operators beyond Spark's built-in set, composed Spark-first
+ * (SURVEY.md §7.3 preference order (a): built-in composition before custom
+ * plans).
+ */
+object Relational {
+
+  /**
+   * As-of join: for each left row, attach the most recent right row with
+   * the same key and `rightTime <= leftTime`.
+   *
+   * Implementation is the union+window formulation — the scalable shape:
+   * tag both inputs, union them, and run `last(_, ignoreNulls)` over a
+   * window partitioned by key and ordered by (time, tag) so each left row
+   * sees exactly the latest right row at-or-before it. One shuffle on the
+   * key (the window), no per-key collects, no row explosion — at 100 TB
+   * this is a single sort-based window over the co-partitioned union,
+   * versus a range-join which Spark would plan as a broadcast-nested-loop.
+   *
+   * The right side must be unique per (key, time) for deterministic
+   * output — pre-aggregate it otherwise.
+   *
+   * @param valueCols right-side columns to carry onto left rows
+   */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__key", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__tag", lit(1))
+    val lPadded = valueCols.foldLeft(l)((d, c) =>
+      d.withColumn(s"__v_$c", lit(null).cast(right.schema(c).dataType)))
+    val r = right
+      .withColumn("__key", col(rightKey))
+      .withColumn("__t", col(rightTime))
+      .withColumn("__tag", lit(0))
+    val rPadded = leftCols.foldLeft(r)((d, c) =>
+      if (d.columns.contains(c)) d else
+        d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+      .withColumnsRenamed(valueCols.map(c => c -> s"__v_$c").toMap)
+    val unioned = lPadded.select(
+      (leftCols.map(col) ++ Seq(col("__key"), col("__t"), col("__tag"))
+        ++ valueCols.map(c => col(s"__v_$c"))): _*)
+      .unionByName(rPadded.select(
+        (leftCols.map(col) ++ Seq(col("__key"), col("__t"), col("__tag"))
+          ++ valueCols.map(c => col(s"__v_$c"))): _*))
+    // right rows (__tag=0) sort before left rows at equal time → inclusive
+    // `rightTime <= leftTime` semantics
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = valueCols.foldLeft(unioned)((d, c) =>
+      d.withColumn(s"__v_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w)))
+    filled.filter(col("__tag") === 1)
+      .select((leftCols.map(col) ++
+        valueCols.map(c => col(s"__v_$c").as(c))): _*)
+  }
+
+  /**
+   * Skew-resistant equi-join: salt the skewed (left) side into
+   * `saltFactor` sub-keys and replicate the right side once per salt.
+   * Use when one join key dominates (AQE's skew handling covers
+   * sort-merge joins; salting is the explicit fallback and works for any
+   * join shape). Right side should be the smaller input — its rows are
+   * duplicated `saltFactor`×.
+   */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      saltFactor: Int = 8): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /**
+   * Deterministic hash sample: keep a row iff the first two hex digits of
+   * `md5(id)` fall below the cutoff — reproducible across engines and
+   * runs, no RNG state, uniform in expectation. `cutoff256` of 13 ≈ 5.1%.
+   * Lexicographic comparison of lowercase hex equals numeric comparison,
+   * so the predicate is portable SQL.
+   */
+  def deterministicSample(df: DataFrame, idCol: String, cutoff256: Int): DataFrame = {
+    val bucket = substring(md5(col(idCol).cast("string").cast("binary")), 1, 2)
+    df.filter(bucket < lit(f"$cutoff256%02x"))
+  }
+
+  /** Top-k most frequent normalized tokens across a text corpus
+    * (vocabulary head) — explode + count + TakeOrdered. */
+  def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(Dedup.normalize(col(textCol)), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join: hand-computed latest-at-or-before semantics") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 12:00:00")),
+      (3L, 7L, ts("2024-01-01 09:00:00")), // before any right row -> null
+      (4L, 8L, ts("2024-01-01 10:00:00")), // key with no right rows
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 09:30:00"), 100L),
+      (7L, ts("2024-01-01 12:00:00"), 200L), // equal time: inclusive
+    ).toDF("k", "rt", "order_id")
+    val res = Relational.asofJoin(left, right,
+      "user_id", "k", "ts", "rt", Seq("order_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(res == Map(1L -> 100L, 2L -> 200L, 3L -> -1L, 4L -> -1L))
+  }
+
+  test("salted join equals plain join") {
+    val l = Seq((1L, "a"), (1L, "b"), (2L, "c"), (2L, "d"), (3L, "e"))
+      .toDF("k", "lv")
+    val r = Seq((1L, "X"), (2L, "Y")).toDF("k", "rv")
+    val plain = l.join(r, "k").select("k", "lv", "rv")
+      .collect().map(_.toSeq).toSet
+    val salted = Relational.saltedJoin(l, r, "k", saltFactor = 4)
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.size == 4)
+  }
+
+  test("deterministic sample: stable across runs, plausible fraction, portable rule") {
+    val df = spark.range(10000).toDF("id")
+    val s1 = Relational.deterministicSample(df, "id", 13).collect().map(_.getLong(0)).toSet
+    val s2 = Relational.deterministicSample(df, "id", 13).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    val frac = s1.size.toDouble / 10000
+    assert(frac > 0.03 && frac < 0.08, s"fraction $frac outside expected band")
+    // spot-check the rule: md5 of the decimal string, first two hex chars
+    val included = s1.head
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(included.toString.getBytes("UTF-8"))
+      .take(1).map("%02x".format(_)).mkString
+    assert(hex < "0d")
+  }
+
+  test("top tokens: counts and deterministic tiebreak") {
+    val df = Seq((1L, "b a a"), (2L, "c b A")).toDF("doc_id", "text")
+    val top = Relational.topTokens(df, "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq == Seq(("a", 3L), ("b", 2L))) // a=3 (case-folded), b=2
+  }
+
+  test("approx cardinality within configured error of exact") {
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val exact = docs.agg(countDistinct(col("text"))).head().getLong(0)
+    val approx = docs.agg(approx_count_distinct(col("text"), 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1)
+  }
+}
