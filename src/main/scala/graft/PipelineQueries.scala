@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.Chunking
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Corpus-preparation queries: chunking, redaction, stratified sampling. */
+object PipelineQueries {
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 64-token chunks with 8-token overlap (training context packing).
+    "q18_chunk" -> ((s, dir) =>
+      Chunking.chunk(Tables(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 64, overlap = 8)),
+
+    // PII redaction (fingerprint of the redacted text keeps rows small).
+    "q19_redact" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(col("doc_id"),
+        md5(Chunking.redact(col("text")).cast("binary")).as("redacted_hash"))),
+
+    // 5 docs per source stratum, md5-ordered (deterministic pseudo-random).
+    "q20_stratified" -> ((s, dir) =>
+      Chunking.stratifiedSample(Tables(s, dir, "documents"),
+        "source", "doc_id", perGroup = 5)
+        .select("doc_id", "source", "lang")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q18_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    cast((i - 1) // 56 as int) AS chunk_idx,
+        |    array_to_string(w[i:i+63], ' ') AS chunk_text
+        |  FROM t, unnest(range(1, greatest(len(w), 1) + 1, 56)) AS u(i))
+        |SELECT doc_id, chunk_idx, chunk_text,
+        |  len(string_split(chunk_text, ' ')) AS n_chunk_tokens
+        |FROM c WHERE chunk_text != ''""".stripMargin,
+
+    "q19_redact" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9][0-9 ()+.-]{6,}[0-9]', '[NUM]', 'g')) AS redacted_hash
+        |FROM documents""".stripMargin,
+
+    "q20_stratified" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(cast(doc_id as varchar)) ASC, doc_id ASC) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin,
+  )
+}

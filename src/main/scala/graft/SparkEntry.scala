@@ -27,11 +27,11 @@ object SparkEntry {
     * surface). Signature: (session, sfDir) => result DataFrame. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.all ++ SinkQueries.all ++ OpsQueries.all ++
-      MmStreamQueries.all ++ RelationalQueries.all
+      MmStreamQueries.all ++ RelationalQueries.all ++ PipelineQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ SinkQueries.oracles ++ OpsQueries.oracles ++
-      MmStreamQueries.oracles ++ RelationalQueries.oracles
+      MmStreamQueries.oracles ++ RelationalQueries.oracles ++ PipelineQueries.oracles
 }

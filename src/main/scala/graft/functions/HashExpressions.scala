@@ -135,4 +135,18 @@ object hashes {
 
   def simhash64(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
+
+  private def intArg(exprs: Seq[Expression], i: Int, default: Int): Int =
+    if (exprs.length > i) exprs(i) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => other.eval(null).asInstanceOf[Int]
+    } else default
+
+  /** Expose the native expressions to SQL on an existing session:
+    * `SELECT minhash_signature(text), simhash64(text) FROM docs`. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Bridge.registerFunction(spark, "minhash_signature",
+      exprs => MinHashSignature(exprs.head, intArg(exprs, 1, 64), intArg(exprs, 2, 5)))
+    Bridge.registerFunction(spark, "simhash64", exprs => SimHash64(exprs.head))
+  }
 }

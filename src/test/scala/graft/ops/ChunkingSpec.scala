@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ChunkingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunking: boundaries, overlap, trailing partial chunk") {
+    // 10 tokens, chunk 4, overlap 1 -> step 3 -> starts 0,3,6,9
+    val df = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val chunks = Chunking.chunk(df, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .collect().sortBy(_.getAs[Int]("chunk_idx"))
+      .map(r => (r.getAs[Int]("chunk_idx"), r.getAs[String]("chunk_text")))
+    assert(chunks.toSeq == Seq(
+      (0, "t0 t1 t2 t3"), (1, "t3 t4 t5 t6"), (2, "t6 t7 t8 t9"), (3, "t9")))
+  }
+
+  test("chunking: short doc is a single chunk; invalid params rejected") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val out = Chunking.chunk(df, "doc_id", "text", 64, 8).collect()
+    assert(out.length == 1 && out.head.getAs[String]("chunk_text") == "a b c")
+    intercept[IllegalArgumentException] {
+      Chunking.chunk(df, "doc_id", "text", 4, 4)
+    }
+  }
+
+  test("redaction replaces emails and phone-like runs") {
+    val df = Seq(
+      (1L, "contact me at john.doe+x@example.com or call +1 (555) 123-4567 now"))
+      .toDF("doc_id", "text")
+    val out = df.select(Chunking.redact(col("text"))).head().getString(0)
+    assert(out == "contact me at [EMAIL] or call +[NUM] now"
+      || out.contains("[EMAIL]") && out.contains("[NUM]")
+        && !out.contains("example.com") && !out.contains("555"))
+  }
+
+  test("stratified sample: per-group cap, deterministic") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val s1 = Chunking.stratifiedSample(df, "grp", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.groupBy(_._2).forall(_._2.length == 5))
+    val s2 = Chunking.stratifiedSample(df, "grp", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.sortBy(_._1).sameElements(s2.sortBy(_._1)))
+  }
+
+  test("SQL registration: minhash_signature/simhash64 callable from SQL") {
+    graft.functions.hashes.registerSql(spark)
+    val df = Seq((1L, "the quick brown fox"), (2L, "the quick brown fox"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("sqldocs")
+    val rows = spark.sql(
+      """SELECT doc_id, minhash_signature(text, 16, 5) AS sig,
+        |  simhash64(text) AS sh FROM sqldocs""".stripMargin).collect()
+    assert(rows(0).getSeq[Long](1).length == 16)
+    assert(rows(0).getSeq[Long](1) == rows(1).getSeq[Long](1))
+    assert(rows(0).getLong(2) == rows(1).getLong(2))
+  }
+}
