@@ -31,11 +31,12 @@ object OpsQueries {
       Dedup.ngramJaccardPairs(docs(s, dir).filter(col("doc_id") < 1000),
         "doc_id", "text", n = 3, threshold = 0.8)),
 
-    // scale variant: posting lists capped at maxDocFreq (prefix-filtering
-    // analogue) — the 100 TB path, uncapped input
+    // scale variant: EXACT prefix-filtered join (PPJoin-style) over the
+    // uncapped corpus — same result as the naive inverted index, candidate
+    // volume shrunk ~(1-t)²; oracle-checked against the full-corpus SQL
     "dedup_ngram_pairs_filtered" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
-        n = 3, threshold = 0.8, maxDocFreq = 50)),
+      Dedup.ngramJaccardPairsPrefix(docs(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8)),
 
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashCandidatePairs(
@@ -107,6 +108,25 @@ object OpsQueries {
         |  SELECT doc_id,
         |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
         |  FROM documents WHERE doc_id < 1000
+        |), grams AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM toks WHERE len(w) >= 3
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.g, b.g)) AS common,
+        |  len(a.g) AS la, len(b.g) AS lb,
+        |  cast(len(list_intersect(a.g, b.g)) as double)
+        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jac
+        |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |WHERE cast(len(list_intersect(a.g, b.g)) as double)
+        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8""".stripMargin,
+
+    "dedup_ngram_pairs_filtered" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
         |), grams AS (
         |  SELECT doc_id,
         |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g

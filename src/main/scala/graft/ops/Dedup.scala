@@ -96,6 +96,59 @@ object Dedup {
       .select("a_id", "b_id", "common", "la", "lb", "jac")
   }
 
+  /**
+   * EXACT n-gram Jaccard pairs via prefix filtering (PPJoin-style) — the
+   * 100 TB path. Theorem: if jaccard(A,B) >= t, then A and B must share at
+   * least one gram within the first ⌊(1-t)·|X|⌋+1 grams of each set under
+   * any consistent global ordering. So: order grams globally by ascending
+   * document frequency (rarest first — smallest posting lists), index ONLY
+   * each document's prefix, generate candidates from the prefix index, and
+   * verify candidates against the full gram sets with `array_intersect`.
+   * Candidate volume shrinks ~((1-t))² versus the full inverted index while
+   * the result stays exactly equal to [[ngramJaccardPairs]].
+   */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // materialized once — the gram arrays feed three plan branches
+    // (posting list, verify-side A, verify-side B); without caching the
+    // tokenize+ngram pipeline would be recomputed per branch (measured 3×
+    // the whole query's cost via tools/NgramProfile)
+    val grams = df
+      .select(col(idCol).as("doc_id"), wordNgrams(col(textCol), n).as("g"))
+      .filter(size(split(normalize(col(textCol)), " ")) >= n)
+      .withColumn("n_grams", size(col("g")))
+      .cache()
+    // global order: (document frequency asc, gram) — computed once
+    val posted = grams.select(col("doc_id"), col("n_grams"),
+      explode(col("g")).as("gram"))
+    val withDf = posted.withColumn("__df",
+      count(lit(1)).over(Window.partitionBy(col("gram"))))
+    // per-doc prefix: sort this doc's grams by the global order, keep
+    // floor((1-t)*|g|)+1 of them
+    val prefixes = withDf
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("__df").asc, col("gram").asc)))
+      .filter(col("__rank") <=
+        floor(lit(1.0 - threshold) * col("n_grams")).cast("int") + 1)
+      .select(col("gram"), col("doc_id"))
+    val cands = prefixes.as("a").join(prefixes.as("b"), Seq("gram"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // verify with the full gram sets
+    val ga = grams.select(col("doc_id").as("a_id"), col("g").as("ga"),
+      col("n_grams").as("la"))
+    val gb = grams.select(col("doc_id").as("b_id"), col("g").as("gb"),
+      col("n_grams").as("lb"))
+    cands.join(ga, Seq("a_id")).join(gb, Seq("b_id"))
+      .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("jac",
+        col("common").cast("double") / (col("la") + col("lb") - col("common")))
+      .filter(col("jac") >= threshold)
+      .select("a_id", "b_id", "common", "la", "lb", "jac")
+  }
+
   // ----------------------------------------------------------- MinHash
 
   /** Distinct character shingles (length `k`) of normalized text. */

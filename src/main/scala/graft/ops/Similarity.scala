@@ -25,9 +25,13 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object Similarity {
 
-  /** Sequential-fold dot product of two double-array columns. */
+  /** Sequential dot product of two double-array columns — native
+    * [[graft.functions.DotProduct]] expression (the `zip_with`+`aggregate`
+    * formulation allocates an intermediate product array per pair, which
+    * dominates similarity-join cost; same left-to-right double
+    * accumulation, bit-identical results). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.vectors.dot_product(a, b)
 
   /** L2 norm of a double-array column (sequential fold, then sqrt). */
   def norm(v: Column): Column = sqrt(dot(v, v))

@@ -86,6 +86,19 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("jac") - 0.5) < 1e-15)
   }
 
+  test("prefix-filtered ngram jaccard is EXACTLY equal to the naive inverted index") {
+    val docs500 = graft.Tables(spark, sf0001, "documents")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Long]("common"),
+        r.getAs[Double]("jac"))
+    val naive = Dedup.ngramJaccardPairs(docs500, "doc_id", "text", 3, 0.5)
+      .collect().map(key).toSet
+    val prefix = Dedup.ngramJaccardPairsPrefix(docs500, "doc_id", "text", 3, 0.5)
+      .collect().map(key).toSet
+    assert(naive == prefix)
+    assert(naive.nonEmpty)
+  }
+
   test("ngram jaccard maxDocFreq cap drops stop-gram-only pairs but keeps near-dups") {
     val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 3, threshold = 0.5, maxDocFreq = 10)
