@@ -113,9 +113,11 @@ object Dedup {
     // materialized once — the gram arrays feed three plan branches
     // (posting list, verify-side A, verify-side B); without caching the
     // tokenize+ngram pipeline would be recomputed per branch (measured 3×
-    // the whole query's cost via tools/NgramProfile)
+    // the whole query's cost via tools/NgramProfile). Arrays kept SORTED so
+    // verification can use the O(n+m) merge-count expression.
     val grams = df
-      .select(col(idCol).as("doc_id"), wordNgrams(col(textCol), n).as("g"))
+      .select(col(idCol).as("doc_id"),
+        sort_array(wordNgrams(col(textCol), n)).as("g"))
       .filter(size(split(normalize(col(textCol)), " ")) >= n)
       .withColumn("n_grams", size(col("g")))
       .cache()
@@ -131,18 +133,26 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("__df").asc, col("gram").asc)))
       .filter(col("__rank") <=
         floor(lit(1.0 - threshold) * col("n_grams")).cast("int") + 1)
-      .select(col("gram"), col("doc_id"))
-    val cands = prefixes.as("a").join(prefixes.as("b"), Seq("gram"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
-    // verify with the full gram sets
+      .select(col("gram"), col("doc_id"), col("n_grams"))
+    // candidates, with the Jaccard length filter applied during the join:
+    // jac >= t requires t·max(|A|,|B|) <= min(|A|,|B|)
+    val a = prefixes.select(col("gram"), col("doc_id").as("a_id"),
+      col("n_grams").as("la"))
+    val b = prefixes.select(col("gram"), col("doc_id").as("b_id"),
+      col("n_grams").as("lb"))
+    val cands = a.join(b, Seq("gram"))
+      .filter(col("a_id") < col("b_id")
+        && col("la") >= lit(threshold) * col("lb")
+        && col("lb") >= lit(threshold) * col("la"))
+      .select(col("a_id"), col("b_id")).distinct()
+    // verify with the full (sorted) gram sets — merge-count, no hash sets
     val ga = grams.select(col("doc_id").as("a_id"), col("g").as("ga"),
       col("n_grams").as("la"))
     val gb = grams.select(col("doc_id").as("b_id"), col("g").as("gb"),
       col("n_grams").as("lb"))
     cands.join(ga, Seq("a_id")).join(gb, Seq("b_id"))
-      .withColumn("common", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("common",
+        graft.functions.vectors.sorted_intersect_count(col("ga"), col("gb")))
       .withColumn("jac",
         col("common").cast("double") / (col("la") + col("lb") - col("common")))
       .filter(col("jac") >= threshold)

@@ -29,6 +29,15 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup by id with bounded state: duplicates arriving
+    * within the watermark horizon are dropped; state for ids older than
+    * the watermark is evicted (the streaming twin of [[Dedup.exact]] —
+    * unbounded-state `dropDuplicates` would OOM on an infinite stream). */
+  def dedupStream(events: DataFrame, idCol: String,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
 

@@ -59,6 +59,22 @@ class EventStreamSpec extends SparkSpec {
     assert(closed.exists(s => s.user_id == 7L && s.n_events == 2))
   }
 
+  test("streaming dedup drops in-watermark duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_in").toString
+    val base = Tables.events(spark, sf0001).limit(100)
+    base.union(base).write.mode("overwrite").parquet(dir) // every row twice
+    val schema = spark.read.parquet(dir).schema
+    val q = EventStream.dedupStream(
+      spark.readStream.schema(schema).parquet(dir), "event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("dedup_out")
+    assert(out.count() == 100)
+    assert(out.select("event_id").distinct().count() == 100)
+  }
+
   test("batch sessionize: exact session boundaries at the 30-min gap") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L),
