@@ -76,6 +76,36 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("text"), 0.02).as("n_unique_approx"),
           count(lit(1)).as("n_rows"))),
 
+    // Pivot (conditional-aggregation oracle keeps it engine-portable;
+    // na.fill(0) aligns Spark's null-for-empty-cell with SQL count()=0).
+    "q21_pivot" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .count().na.fill(0)),
+
+    // Anti join: customers with no orders at all.
+    "q22_antijoin" -> ((s, dir) =>
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // CUBE grouping sets over returnflag × linestatus.
+    "q23_cube" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"))),
+
+    // EXCEPT: customers with an urgent order but no low-priority order.
+    "q24_except" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        .except(o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey"))
+    }),
+
     // Salted join must be result-identical to the plain join (oracle is
     // the plain SQL join) — demonstrates the skew-mitigation path.
     "q17_salted_join" -> ((s, dir) =>
@@ -139,6 +169,30 @@ object RelationalQueries {
     "q15_cardinality" ->
       """SELECT count(DISTINCT text) AS n_unique, count(*) AS n_rows
         |FROM documents""".stripMargin,
+
+    "q21_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+        |  count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+        |  count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+        |  count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+        |  count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q22_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q23_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  cast(sum(cast(round(l_quantity * 100, 0) as bigint)) / 100.0 as double) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q24_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin,
 
     "q17_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,

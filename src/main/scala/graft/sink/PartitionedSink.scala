@@ -22,6 +22,10 @@ case object OrcFormat extends SinkFormat("orc", Validators.OrcCodecs)
 sealed trait WriteDisposition
 case object Create extends WriteDisposition
 case object CreateOrAppend extends WriteDisposition
+/** Replace only the partitions present in the incoming data (Spark dynamic
+  * partition overwrite) — the reference has no overwrite mode; this is the
+  * natural third disposition for reprocessing pipelines. */
+case object OverwritePartitions extends WriteDisposition
 
 /**
  * Configuration for one dynamic-partitioned write.
@@ -121,10 +125,13 @@ object PartitionedSink {
     val prepared = preparePartitionColumns(df, cfg)
     if (cfg.disposition == Create)
       PartitionCatalog.assertNoneExist(prepared, path, cfg.partitionFields)
+    if (cfg.disposition == OverwritePartitions)
+      df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     var writer = prepared.write
       .format(cfg.format.name)
       .partitionBy(cfg.partitionFields: _*)
-      .mode(SaveMode.Append)
+      .mode(if (cfg.disposition == OverwritePartitions) SaveMode.Overwrite
+        else SaveMode.Append)
     cfg.codec.foreach { c =>
       writer = writer.option("compression",
         Validators.resolveCodec(cfg.format.codecs, c, cfg.format.name))
@@ -146,6 +153,24 @@ object PartitionedSink {
   def readBack(spark: SparkSession, path: String, format: SinkFormat = ParquetFormat): DataFrame = {
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     spark.read.format(format.name).load(path)
+  }
+
+  /**
+   * Bucketed managed table write: co-locate future joins/aggregations on
+   * `bucketCols` by pre-hashing rows into `numBuckets` files per partition
+   * — a join between two tables bucketed identically on the join key plans
+   * WITHOUT a shuffle exchange (verified in `SinkSurfaceSpec`). At 100 TB
+   * this converts every recurring fact-to-fact join on the bucket key from
+   * a full shuffle into a local zip of pre-sorted buckets.
+   */
+  def writeBucketed(
+      df: DataFrame, tableName: String, numBuckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil,
+      format: SinkFormat = ParquetFormat): Unit = {
+    var w = df.write.format(format.name)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.mode(SaveMode.Overwrite).saveAsTable(tableName)
   }
 
   /** T2 analogue (`_CDAPStageName` constant injection,

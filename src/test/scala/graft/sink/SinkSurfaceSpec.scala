@@ -51,6 +51,38 @@ class SinkSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("OverwritePartitions replaces only incoming partitions") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_dynover").toString
+    val v1 = Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "v", "part")
+    PartitionedSink.write(v1, out,
+      SinkConfig(ParquetFormat, Seq("part"), runtimeNullCheck = true))
+    // overwrite p2 only; p1 must survive untouched
+    val v2 = Seq((3L, "c", "p2")).toDF("id", "v", "part")
+    PartitionedSink.write(v2, out,
+      SinkConfig(ParquetFormat, Seq("part"),
+        disposition = OverwritePartitions, runtimeNullCheck = true))
+    val back = PartitionedSink.readBack(spark, out)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("part"))).toSet
+    assert(back == Set((1L, "p1"), (3L, "p2")))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables(spark, sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    PartitionedSink.writeBucketed(li, "li_b", 8, Seq("l_orderkey"), Seq("l_orderkey"))
+    PartitionedSink.writeBucketed(o, "o_b", 8, Seq("o_orderkey"), Seq("o_orderkey"))
+    val joined = spark.table("li_b")
+      .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == li.count()) // every lineitem has its order
+    spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE o_b")
+  }
+
   test("V5: macro-driven sink properties resolve and validate") {
     val props = Map(
       "name" -> "${dataset}",
