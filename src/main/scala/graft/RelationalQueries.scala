@@ -76,6 +76,31 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("text"), 0.02).as("n_unique_approx"),
           count(lit(1)).as("n_rows"))),
 
+    // Exact median (interpolating percentile on integer-cents values).
+    "q25_median" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg((expr("percentile(cast(round(o_totalprice * 100) as bigint), 0.5)") / 100.0)
+          .as("median_price"), count(lit(1)).as("n"))),
+
+    // Correlated aggregate: orders above their customer's average price
+    // (window avg over exact integer cents — engine-exact, see scaladoc).
+    "q26_above_avg" -> ((s, dir) => {
+      val c = cents(col("o_totalprice"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+      Tables(s, dir, "orders")
+        .withColumn("__avg", avg(c).over(w))
+        .filter(c > col("__avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // Calendar extraction + grouping.
+    "q27_dates" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"))),
+
     // Pivot (conditional-aggregation oracle keeps it engine-portable;
     // na.fill(0) aligns Spark's null-for-empty-cell with SQL count()=0).
     "q21_pivot" -> ((s, dir) =>
@@ -169,6 +194,24 @@ object RelationalQueries {
     "q15_cardinality" ->
       """SELECT count(DISTINCT text) AS n_unique, count(*) AS n_rows
         |FROM documents""".stripMargin,
+
+    "q25_median" ->
+      """SELECT o_orderpriority,
+        |  cast(quantile_cont(cast(round(o_totalprice * 100, 0) as bigint), 0.5) / 100.0 as double) AS median_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q26_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT *, avg(cast(round(o_totalprice * 100, 0) as bigint))
+        |    OVER (PARTITION BY o_custkey) AS avgc
+        |  FROM orders)
+        |WHERE cast(round(o_totalprice * 100, 0) as bigint) > avgc""".stripMargin,
+
+    "q27_dates" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2""".stripMargin,
 
     "q21_pivot" ->
       """SELECT o_orderstatus,

@@ -29,6 +29,21 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Stream → dynamic-partitioned sink: the reference's core write surface
+    * driven by Structured Streaming via foreachBatch — each micro-batch
+    * goes through the full validated PartitionedSink path (stringify+trim,
+    * guards, codec) with CREATE_OR_APPEND semantics. Returns the started
+    * query; callers own termination. */
+  def writePartitionedStream(
+      events: DataFrame, path: String,
+      cfg: graft.sink.SinkConfig): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sink.PartitionedSink.write(batch.toDF(), path, cfg): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming exact dedup by id with bounded state: duplicates arriving
     * within the watermark horizon are dropped; state for ids older than
     * the watermark is evicted (the streaming twin of [[Dedup.exact]] —

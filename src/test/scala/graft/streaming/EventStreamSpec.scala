@@ -49,12 +49,20 @@ class EventStreamSpec extends SparkSpec {
     events.write.mode("overwrite").parquet(dirIn)
     val stream = spark.readStream.schema(events.schema).parquet(dirIn)
       .as[EventStream.Event]
+    // NOTE: a processing-time-timeout stateful query never self-terminates
+    // (it keeps scheduling batches to evaluate timeouts) — poll the sink
+    // for the expected in-batch-closed session, then stop explicitly.
     val q = EventStream.sessionize(stream, gapMinutes = 30)
       .writeStream.outputMode("append")
       .format("memory").queryName("sess_out")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
-    val closed = spark.table("sess_out").as[EventStream.Session].collect()
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    def sink() = spark.table("sess_out").as[EventStream.Session].collect()
+    var closed = sink()
+    while (closed.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(250); closed = sink()
+    }
+    q.stop()
     // user 7's first session (2 events, gap-closed inside the batch)
     assert(closed.exists(s => s.user_id == 7L && s.n_events == 2))
   }
@@ -73,6 +81,27 @@ class EventStreamSpec extends SparkSpec {
     val out = spark.table("dedup_out")
     assert(out.count() == 100)
     assert(out.select("event_id").distinct().count() == 100)
+  }
+
+  test("stream -> dynamic partitioned sink: full validated write path per micro-batch") {
+    import graft.sink._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_ss_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ss_out").toString
+    val batchEvents = Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    batchEvents.write.mode("overwrite").parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val q = EventStream.writePartitionedStream(
+      spark.readStream.schema(schema).parquet(inDir), outDir,
+      SinkConfig(ParquetFormat, Seq("event_type"), Some("snappy"),
+        runtimeNullCheck = true))
+    q.awaitTermination(60000)
+    val back = PartitionedSink.readBack(spark, outDir)
+    assert(back.count() == batchEvents.count())
+    val parts = PartitionCatalog.list(spark, outDir, 1).map(_("event_type")).toSet
+    val expected = batchEvents.select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(parts == expected)
   }
 
   test("batch sessionize: exact session boundaries at the 30-min gap") {
