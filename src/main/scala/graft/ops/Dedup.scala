@@ -127,23 +127,27 @@ object Dedup {
     val withDf = posted.withColumn("__df",
       count(lit(1)).over(Window.partitionBy(col("gram"))))
     // per-doc prefix: sort this doc's grams by the global order, keep
-    // floor((1-t)*|g|)+1 of them
+    // floor((1-t)*|g|)+1 of them. The +1e-9 guard matters for correctness:
+    // (1-0.8) is 0.19999999999999996 in binary, so floor((1-t)*90) would be
+    // 17 instead of the mathematically-exact 18 — a one-short prefix that
+    // can MISS a qualifying pair (observed: 255 vs 256 pairs at sf0.1).
     val prefixes = withDf
       .withColumn("__rank", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("__df").asc, col("gram").asc)))
       .filter(col("__rank") <=
-        floor(lit(1.0 - threshold) * col("n_grams")).cast("int") + 1)
+        floor(lit(1.0 - threshold) * col("n_grams") + lit(1e-9)).cast("int") + 1)
       .select(col("gram"), col("doc_id"), col("n_grams"))
     // candidates, with the Jaccard length filter applied during the join:
-    // jac >= t requires t·max(|A|,|B|) <= min(|A|,|B|)
+    // jac >= t requires t·max(|A|,|B|) <= min(|A|,|B|) — same epsilon guard
+    // so an exact-ratio pair (lb == t·la) is never dropped by FP error
     val a = prefixes.select(col("gram"), col("doc_id").as("a_id"),
       col("n_grams").as("la"))
     val b = prefixes.select(col("gram"), col("doc_id").as("b_id"),
       col("n_grams").as("lb"))
     val cands = a.join(b, Seq("gram"))
       .filter(col("a_id") < col("b_id")
-        && col("la") >= lit(threshold) * col("lb")
-        && col("lb") >= lit(threshold) * col("la"))
+        && col("la") >= lit(threshold) * col("lb") - lit(1e-9)
+        && col("lb") >= lit(threshold) * col("la") - lit(1e-9))
       .select(col("a_id"), col("b_id")).distinct()
     // verify with the full (sorted) gram sets — merge-count, no hash sets
     val ga = grams.select(col("doc_id").as("a_id"), col("g").as("ga"),

@@ -91,12 +91,16 @@ class DedupSpec extends SparkSpec {
     def key(r: org.apache.spark.sql.Row) =
       (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Long]("common"),
         r.getAs[Double]("jac"))
-    val naive = Dedup.ngramJaccardPairs(docs500, "doc_id", "text", 3, 0.5)
-      .collect().map(key).toSet
-    val prefix = Dedup.ngramJaccardPairsPrefix(docs500, "doc_id", "text", 3, 0.5)
-      .collect().map(key).toSet
-    assert(naive == prefix)
-    assert(naive.nonEmpty)
+    // 0.5 is exactly representable; 0.8 is NOT (1-0.8 = 0.1999...96) — the
+    // second threshold regression-tests the FP-epsilon prefix-length guard
+    for (t <- Seq(0.5, 0.8)) {
+      val naive = Dedup.ngramJaccardPairs(docs500, "doc_id", "text", 3, t)
+        .collect().map(key).toSet
+      val prefix = Dedup.ngramJaccardPairsPrefix(docs500, "doc_id", "text", 3, t)
+        .collect().map(key).toSet
+      assert(naive == prefix, s"threshold $t: ${naive.size} vs ${prefix.size}")
+      assert(naive.nonEmpty)
+    }
   }
 
   test("ngram jaccard maxDocFreq cap drops stop-gram-only pairs but keeps near-dups") {
