@@ -38,6 +38,23 @@ object OpsQueries {
       Dedup.ngramJaccardPairsPrefix(docs(s, dir), "doc_id", "text",
         n = 3, threshold = 0.8)),
 
+    // decontamination: containment-dominant pairs (short-in-long leakage)
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(docs(s, dir).filter(col("doc_id") < 1000),
+        "doc_id", "text", n = 3, threshold = 0.9)),
+
+    // production shape: dedup a "new batch" (last 10% of ids) against the
+    // pre-signed historical corpus (first 90%)
+    "dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val stats = d.agg(max(col("doc_id"))).head().getLong(0)
+      val cut = (stats * 9) / 10
+      val corpusSigs = Dedup.minhashSignatures(
+        d.filter(col("doc_id") <= cut), "doc_id", "text")
+      Dedup.incrementalMinhashMatches(
+        d.filter(col("doc_id") > cut), "doc_id", "text", corpusSigs)
+    }),
+
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashCandidatePairs(
         Dedup.minhashSignatures(docs(s, dir), "doc_id", "text"),
@@ -121,6 +138,26 @@ object OpsQueries {
         |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
         |WHERE cast(len(list_intersect(a.g, b.g)) as double)
         |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8""".stripMargin,
+
+    "dedup_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents WHERE doc_id < 1000
+        |), grams AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM toks WHERE len(w) >= 3
+        |)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  len(list_intersect(a.g, b.g)) AS common,
+        |  len(a.g) AS la, len(b.g) AS lb,
+        |  cast(len(list_intersect(a.g, b.g)) as double) / len(a.g) AS cont_a,
+        |  cast(len(list_intersect(a.g, b.g)) as double) / len(b.g) AS cont_b
+        |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |WHERE greatest(
+        |    cast(len(list_intersect(a.g, b.g)) as double) / len(a.g),
+        |    cast(len(list_intersect(a.g, b.g)) as double) / len(b.g)) >= 0.9""".stripMargin,
 
     "dedup_ngram_pairs_filtered" ->
       """WITH toks AS (

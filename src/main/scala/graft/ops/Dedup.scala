@@ -97,6 +97,64 @@ object Dedup {
   }
 
   /**
+   * N-gram CONTAINMENT pairs — the decontamination primitive: find document
+   * pairs where one side's gram set is mostly inside the other's
+   * (containment(A→B) = |A∩B|/|A|), regardless of relative lengths.
+   * Catches benchmark leakage / quote inclusion that symmetric Jaccard
+   * misses (a short doc embedded in a long one has low Jaccard but high
+   * containment). Same inverted-index join shape as [[ngramJaccardPairs]].
+   */
+  def ngramContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"), wordNgrams(col(textCol), n).as("g"))
+      .filter(size(split(normalize(col(textCol)), " ")) >= n)
+      .select(col("doc_id"), col("g"), size(col("g")).as("n_grams"))
+    val postings = grams.select(col("doc_id"), col("n_grams"),
+      explode(col("g")).as("gram"))
+    val a = postings.select(col("gram"), col("doc_id").as("a_id"), col("n_grams").as("la"))
+    val b = postings.select(col("gram"), col("doc_id").as("b_id"), col("n_grams").as("lb"))
+    a.join(b, Seq("gram")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "la", "lb")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("cont_a", col("common").cast("double") / col("la"))
+      .withColumn("cont_b", col("common").cast("double") / col("lb"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("a_id", "b_id", "common", "la", "lb", "cont_a", "cont_b")
+  }
+
+  /**
+   * Incremental MinHash dedup — the production shape at 100 TB: dedup a NEW
+   * batch against an already-signed historical corpus without re-signing
+   * history. Joins the new batch's LSH bands against the historical band
+   * index; returns (new_id, existing_id, est_jaccard) matches. The
+   * historical side is `minhashSignatures` output persisted from prior
+   * runs (at scale: a bucketed table keyed by band hash).
+   */
+  def incrementalMinhashMatches(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      corpusSigs: DataFrame,
+      numHashes: Int = 64, shingleLen: Int = 5,
+      bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0)
+    val r = numHashes / bands
+    def banded(sigs: DataFrame, side: String) = sigs.select(
+      col("doc_id").as(s"${side}_id"), col("sig").as(s"${side}_sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(slice(col("sig"), bnd * r + 1, lit(r))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, numHashes, shingleLen)
+    banded(newSigs, "new").join(banded(corpusSigs, "old"), Seq("band", "band_hash"))
+      .select(col("new_id"), col("old_id"),
+        (size(filter(zip_with(col("new_sig"), col("old_sig"), (x, y) => x === y),
+          bit => bit)).cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /**
    * EXACT n-gram Jaccard pairs via prefix filtering (PPJoin-style) — the
    * 100 TB path. Theorem: if jaccard(A,B) >= t, then A and B must share at
    * least one gram within the first ⌊(1-t)·|X|⌋+1 grams of each set under

@@ -103,6 +103,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment catches short-doc-embedded-in-long that jaccard misses") {
+    val two = Seq(
+      (1L, "alpha beta gamma delta"), // 2 3-grams, fully inside doc 2
+      (2L, "intro words here alpha beta gamma delta and then a much longer tail " +
+        "with many extra tokens that dilute the jaccard similarity a lot more"),
+    ).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccardPairs(two, "doc_id", "text", 3, 0.5).collect()
+    assert(jac.isEmpty) // symmetric jaccard is tiny
+    val cont = Dedup.ngramContainmentPairs(two, "doc_id", "text", 3, 0.9).collect()
+    assert(cont.length == 1)
+    assert(cont.head.getAs[Double]("cont_a") == 1.0) // doc 1 fully contained
+  }
+
+  test("incremental minhash matches new-batch dups against a pre-signed corpus") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark catalyst optimizer rules"),
+    ).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+      (101L, "entirely novel text that matches nothing in the historical set"),
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    val matches = Dedup.incrementalMinhashMatches(
+      newBatch, "doc_id", "text", sigs, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(matches.toSeq == Seq((100L, 1L)))
+  }
+
   test("ngram jaccard maxDocFreq cap drops stop-gram-only pairs but keeps near-dups") {
     val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 3, threshold = 0.5, maxDocFreq = 10)
