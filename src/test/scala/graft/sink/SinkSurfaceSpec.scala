@@ -4,6 +4,7 @@ import graft.schema.GraftSchemaException
 import graft.{SparkSpec, Tables}
 import graft.sources.Sources
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import java.nio.file.Files
 
@@ -81,6 +82,41 @@ class SinkSurfaceSpec extends SparkSpec {
       s"bucketed join should not shuffle:\n$plan")
     assert(joined.count() == li.count()) // every lineitem has its order
     spark.sql("DROP TABLE li_b"); spark.sql("DROP TABLE o_b")
+  }
+
+  test("avro round-trip: nullable fields with nulls, all primitive types survive") {
+    // SURVEY §7.4 item 6: Avro nullable (union-with-null) and primitive
+    // matrix through the real writer and back
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("b", BooleanType, nullable = true),
+      StructField("i", IntegerType, nullable = true),
+      StructField("f", FloatType, nullable = true),
+      StructField("d", DoubleType, nullable = true),
+      StructField("s", StringType, nullable = true),
+      StructField("by", BinaryType, nullable = true),
+      StructField("part", StringType, nullable = false)))
+    val rows = Seq(
+      Row(1L, true, 42, 1.5f, 2.5, "x", Array[Byte](1, 2), "p1"),
+      Row(2L, null, null, null, null, null, null, "p1"),
+      Row(3L, false, -1, -0.5f, 1e300, "", Array.empty[Byte], "p2"))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val out = Files.createTempDirectory("graft_avro_rt").toString
+    PartitionedSink.write(df, out, SinkConfig(AvroFormat, Seq("part"), Some("deflate")))
+    val back = PartitionedSink.readBack(spark, out, AvroFormat)
+    assert(back.count() == 3)
+    val r2 = back.filter(col("id") === 2L).head()
+    Seq("b", "i", "f", "d", "s", "by").foreach(c => assert(r2.isNullAt(r2.fieldIndex(c))))
+    val r1 = back.filter(col("id") === 1L).head()
+    assert(r1.getAs[Boolean]("b") && r1.getAs[Int]("i") == 42
+      && r1.getAs[Float]("f") == 1.5f && r1.getAs[Double]("d") == 2.5
+      && r1.getAs[String]("s") == "x"
+      && r1.getAs[Array[Byte]]("by").toSeq == Seq[Byte](1, 2))
+    val r3 = back.filter(col("id") === 3L).head()
+    assert(r3.getAs[Double]("d") == 1e300
+      && r3.getAs[Array[Byte]]("by").isEmpty)
   }
 
   test("V5: macro-driven sink properties resolve and validate") {
