@@ -127,6 +127,49 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/**
+ * Distinct, SORTED word n-grams of normalized text — native one-pass
+ * replacement for `array_distinct(transform(sequence(...), slice/concat_ws))`
+ * (measured ~1.1 ms/doc declaratively vs ~30 µs here; the lambda pipeline
+ * re-drives the interpreter per gram). Normalization is the JVM twin of
+ * `Dedup.normalize` (ASCII-equivalent; the synthetic corpus is ASCII).
+ * Returns an empty array when the text has fewer than `n` tokens (callers
+ * filter on token count). Sorted by UTF8String binary order — identical to
+ * `sort_array` on string arrays.
+ */
+case class WordNgrams(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n > 0)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = TextNormJvm.normalize(input.toString)
+    val toks = text.split(' ')
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    val sb = new java.lang.StringBuilder(64)
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray[AnyRef](new Array[AnyRef](seen.size)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers for the native expressions. */
 object hashes {
   def minhash_signature(c: Column, numHashes: Int = 64, shingleLen: Int = 5): Column =
@@ -135,6 +178,9 @@ object hashes {
 
   def simhash64(c: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(c)))
+
+  def word_ngrams(c: Column, n: Int): Column =
+    Bridge.column(WordNgrams(Bridge.expression(c), n))
 
   private def intArg(exprs: Seq[Expression], i: Int, default: Int): Int =
     if (exprs.length > i) exprs(i) match {

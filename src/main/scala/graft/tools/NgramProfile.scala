@@ -18,6 +18,9 @@ object NgramProfile {
       val t0 = System.nanoTime(); val r = f
       println(f"${(System.nanoTime() - t0) / 1e9}%8.2f  $label"); r
     }
+    // warm up the session (parquet listing, codegen, JIT) before timing
+    time("warmup count")(docs.count())
+    time("warmup count 2")(docs.select(col("doc_id")).count())
     val n = 3; val threshold = 0.8
     val grams = docs
       .select(col("doc_id"), Dedup.wordNgrams(col("text"), n).as("g"))
