@@ -90,6 +90,12 @@ object OpsQueries {
       Similarity.lshTopK(e.filter(col("vec_id") < 10), e, k = 5, dim = 64)
     }),
 
+    "sim_topk_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5,
+        nCells = 16, nProbe = 4)
+    }),
+
     // ------------------------------------------------------------- text
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),

@@ -125,6 +125,57 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim_r"), col("rnk"))
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k: partition the corpus into
+   * `nCells` Voronoi cells around deterministic centroids (the md5-order
+   * sample of the corpus — reproducible, no trained model to store),
+   * assign each vector to its nearest centroid, and search only the
+   * `nProbe` cells nearest to each query. The classic ANN trade:
+   * cost ≈ (nProbe/nCells) of the corpus per query. Centroids are tiny
+   * (nCells × dim doubles) and ride along as a broadcast literal; cell
+   * assignment is one native-dot argmin per row.
+   */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // deterministic centroids: first nCells corpus vectors in md5(id) order
+    val centroids: Array[(Int, Array[Double])] = corpus
+      .select(col(idCol).cast("string").as("sid"), toDouble(col(vecCol)).as("v"))
+      .withColumn("__o", md5(col("sid").cast("binary")))
+      .orderBy(col("__o")).limit(nCells)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap)
+
+    // nearest-cell assignment: argmin over squared distance to each
+    // centroid ≡ argmax of (dot - |c|²/2); evaluated as a struct array min
+    def cellRank(vec: Column): Column = {
+      val scored = centroids.map { case (i, c) =>
+        val dist = -(dot(vec, typedlit(c.toSeq)) - lit(c.map(x => x * x).sum / 2))
+        struct(dist.as("d"), lit(i).as("cell"))
+      }
+      array_sort(array(scored: _*))
+    }
+
+    val c = corpus.select(col(idCol).as("n_id"), toDouble(col(vecCol)).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+      .withColumn("cell", element_at(cellRank(col("n_vec")), 1)("cell"))
+    val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .withColumn("cell", explode(transform(
+        slice(cellRank(col("q_vec")), 1, nProbe), s => s("cell"))))
+    val sims = q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("sim"))
+      .groupBy("q_id", "n_id").agg(max(col("sim")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
+    sims.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim_r"), col("rnk"))
+  }
+
   /** Exact embedding near-duplicate pairs: all pairs with cosine >=
     * threshold via blocked cross join — the correctness baseline for
     * [[nearDupPairs]] and the oracle-checked variant. */

@@ -67,6 +67,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k: planted twins found; recall vs brute force is substantial") {
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val twins = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = e.unionByName(twins)
+    val q = e.filter(col("vec_id") < 10)
+    // identical twin lands in the same cell as its query -> always rank 1
+    val top1 = Similarity.ivfTopK(q, corpus, k = 1, nCells = 8, nProbe = 2)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_id")).toMap
+    (0L until 10L).foreach { qid =>
+      assert(top1.get(qid).contains(qid + 10000), s"query $qid got ${top1.get(qid)}")
+    }
+    // probing half the cells recovers a large share of the true top-5
+    val exact = Similarity.bruteForceTopK(q, e, k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val ivf = Similarity.ivfTopK(q, e, k = 5, nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
   test("lsh bucket is deterministic across invocations") {
     val b1 = vecs.select(Similarity.lshBucket(
       Similarity.toDouble(col("embedding")), 4, 8).as("b")).collect().map(_.getLong(0))
