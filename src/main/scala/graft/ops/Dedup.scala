@@ -107,17 +107,40 @@ object Dedup {
   def ngramContainmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    // Asymmetric prefix filter: containment(X→Y) >= t needs overlap
+    // >= t·|X|, so X must share a gram within its own ⌊(1-t)|X|⌋+1 rarest
+    // grams with Y — candidates come from prefix(X) ⋈ full-postings(Y)
+    // (both orientations via the a<b symmetrization below), then exact
+    // verification against the full sorted gram sets. Same +1e-9 FP guard
+    // as the Jaccard prefix join.
     val grams = df
       .select(col(idCol).as("doc_id"), wordNgrams(col(textCol), n).as("g"))
       .filter(size(col("g")) > 0) // native wordNgrams: empty when tokens < n
       .select(col("doc_id"), col("g"), size(col("g")).as("n_grams"))
-    val postings = grams.select(col("doc_id"), col("n_grams"),
+      .cache()
+    val posted = grams.select(col("doc_id"), col("n_grams"),
       explode(col("g")).as("gram"))
-    val a = postings.select(col("gram"), col("doc_id").as("a_id"), col("n_grams").as("la"))
-    val b = postings.select(col("gram"), col("doc_id").as("b_id"), col("n_grams").as("lb"))
-    a.join(b, Seq("gram")).filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id", "la", "lb")
-      .agg(count(lit(1)).as("common"))
+    val withDf = posted.withColumn("__df",
+      count(lit(1)).over(Window.partitionBy(col("gram"))))
+    val prefixes = withDf
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("__df").asc, col("gram").asc)))
+      .filter(col("__rank") <=
+        floor(lit(1.0 - threshold) * col("n_grams") + lit(1e-9)).cast("int") + 1)
+      .select(col("gram"), col("doc_id").as("x_id"))
+    val full = posted.select(col("gram"), col("doc_id").as("y_id"))
+    val cands = prefixes.join(full, Seq("gram"))
+      .filter(col("x_id") =!= col("y_id"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"))
+      .distinct()
+    val ga = grams.select(col("doc_id").as("a_id"), col("g").as("ga"),
+      col("n_grams").as("la"))
+    val gb = grams.select(col("doc_id").as("b_id"), col("g").as("gb"),
+      col("n_grams").as("lb"))
+    cands.join(ga, Seq("a_id")).join(gb, Seq("b_id"))
+      .withColumn("common",
+        graft.functions.vectors.sorted_intersect_count(col("ga"), col("gb")))
       .withColumn("cont_a", col("common").cast("double") / col("la"))
       .withColumn("cont_b", col("common").cast("double") / col("lb"))
       .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
