@@ -62,6 +62,11 @@ class MacroParserSpec extends AnyFunSuite {
     assert(MacroParser.expand("${upper(abc)} ${const()}", props, fns) == "ABC K")
   }
 
+  test("function argument containing a macro expands before the call") {
+    val fns = Map[String, String => String]("upper" -> (_.toUpperCase))
+    assert(MacroParser.expand("${upper(${name})}", props, fns) == "SALES")
+  }
+
   test("undefined function throws") {
     intercept[MacroException] {
       MacroParser.expand("${nofn(x)}", props, Map.empty)

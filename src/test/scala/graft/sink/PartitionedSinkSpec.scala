@@ -160,6 +160,40 @@ class PartitionedSinkSpec extends SparkSpec {
         orcOptions = Some(Validators.OrcOptions(262144, 67108864, 1000, true))))
   }
 
+  test("boolean and integer partition columns stringify to stable directory names") {
+    val out = tmp("typedparts")
+    val df = purchase
+      .withColumn("flag", col("id") % 2 === 0)
+      .withColumn("bucket", (col("id") % 3).cast("int"))
+    PartitionedSink.write(df, out,
+      SinkConfig(ParquetFormat, Seq("flag", "bucket"), runtimeNullCheck = true))
+    val parts = PartitionCatalog.list(spark, out, 2)
+    assert(parts.map(_("flag")).toSet == Set("true", "false"))
+    assert(parts.map(_("bucket")).toSet == Set("0", "1", "2"))
+    val back = PartitionedSink.readBack(spark, out)
+    assert(back.schema("flag").dataType.typeName == "string") // stringified, inference off
+    assert(back.count() == 6)
+  }
+
+  test("url-hostile partition values round-trip through escaping") {
+    // NOTE: non-ASCII partition values are NOT covered here — Spark does
+    // not URL-escape non-reserved unicode in partition dirs, and this
+    // container's JVM filename charset (sun.jnu.encoding=ASCII) rejects
+    // such paths. Deployments with unicode partition values need a UTF-8
+    // filesystem locale; validate-or-escape upstream otherwise.
+    val out = tmp("escapes")
+    val df = purchase.limit(3).withColumn("purchase_date",
+      when(col("id") === 1, lit("a b")) // space
+        .when(col("id") === 2, lit("x=y")) // key-value separator
+        .otherwise(lit("a:b"))) // colon (escaped on write)
+    PartitionedSink.write(df, out,
+      SinkConfig(ParquetFormat, Seq("purchase_date"), runtimeNullCheck = true))
+    val vals = PartitionCatalog.list(spark, out, 1).map(_("purchase_date")).toSet
+    assert(vals == Set("a b", "x=y", "a:b"))
+    assert(PartitionedSink.readBack(spark, out)
+      .select("purchase_date").distinct().count() == 3)
+  }
+
   test("CREATE disposition fails on existing partition; CREATE_OR_APPEND appends") {
     val out = tmp("disposition")
     val cfgCreate = SinkConfig(ParquetFormat, Seq("purchase_date"), disposition = Create)
