@@ -112,6 +112,10 @@ object OpsQueries {
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
 
+    "text_search" -> ((s, dir) =>
+      TextAnalysis.termSearch(docs(s, dir), "doc_id", "text",
+        Seq("spark", "table", "query"), k = 20)),
+
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.contentFingerprint(col("text")).as("fingerprint"))),
@@ -229,6 +233,23 @@ object OpsQueries {
         |  cast(length(text) as double)
         |    / len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len
         |FROM documents""".stripMargin,
+
+    "text_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(w, t -> t = 'spark'))
+        |      + len(list_filter(w, t -> t = 'table'))
+        |      + len(list_filter(w, t -> t = 'query')) AS n_hits,
+        |    len(w) AS n_tokens
+        |  FROM toks)
+        |SELECT doc_id, n_hits, n_tokens,
+        |  cast(n_hits as double) / n_tokens AS score
+        |FROM scored WHERE n_hits > 0
+        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

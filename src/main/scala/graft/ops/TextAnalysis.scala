@@ -98,6 +98,27 @@ object TextAnalysis {
       round(best("score"), 4).as("lang_score"))
   }
 
+  // ------------------------------------------------------------- search
+
+  /** Keyword search with exact term-frequency ranking: score(doc) =
+    * (Σ term occurrences) / |tokens| over the normalized token stream,
+    * top-k with deterministic id tiebreak. Row-local scoring + TakeOrdered
+    * — no inverted index needed for one-shot queries; pair with the
+    * inverted-index machinery in [[Dedup]] for repeated-query serving. */
+  def termSearch(
+      df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty)
+    val toks = split(Dedup.normalize(col(textCol)), " ")
+    val hits = terms.map(t =>
+      size(filter(toks, tok => tok === lit(t.toLowerCase)))).reduce(_ + _)
+    df.select(col(idCol), hits.as("n_hits"), size(toks).as("n_tokens"))
+      .filter(col("n_hits") > 0)
+      .withColumn("score", col("n_hits").cast("double") / col("n_tokens"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // -------------------------------------------------------- fingerprints
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —

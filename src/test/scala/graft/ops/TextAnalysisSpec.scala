@@ -56,6 +56,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(langs(5L) == "und")
   }
 
+  test("term search ranks by exact term frequency with id tiebreak") {
+    val df = Seq(
+      (1L, "spark spark spark runs"), // 3/4
+      (2L, "spark is a query engine for big data work"), // 2/9
+      (3L, "nothing relevant here at all"), // filtered out
+      (4L, "spark spark spark runs")) // tie with 1 -> id order
+      .toDF("doc_id", "text")
+    val res = TextAnalysis.termSearch(df, "doc_id", "text",
+      Seq("spark", "query"), k = 10).collect()
+    assert(res.map(_.getLong(0)).toSeq == Seq(1L, 4L, 2L))
+    assert(res.head.getAs[Int]("n_hits") == 3)
+    assert(math.abs(res.head.getAs[Double]("score") - 0.75) < 1e-15)
+  }
+
   test("content fingerprint is whitespace/case insensitive") {
     val df = Seq(
       (1L, "Hello   World"), (2L, "  hello world "), (3L, "hello worlds"))
