@@ -4,26 +4,51 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional comma-separated subset for focused perf work
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed session warmup: first-query cost in a fresh JVM is ~5-6 s of
+    // one-time work (datasource init, codegen compiler warmup, JIT) that has
+    // nothing to do with any query's plan — without this the alphabetically
+    // first query absorbs it and reads as a 10-20× outlier (round-1
+    // q13_top_tokens/dedup_containment). Reported separately as warmup_sec.
+    val w0 = System.nanoTime()
+    try {
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      r.groupBy("r_name").count().count()
+      spark.range(1000).selectExpr("sum(id)").count()
+    } catch { case _: Throwable => () }
+    val warmup = (System.nanoTime() - w0) / 1e9
     // sorted for stable ordering; clearCache between queries so operators'
     // internal caches (ngram/minhash) don't build cross-query memory
     // pressure and skew later timings
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       name -> dt
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"warmup_sec":$warmup,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

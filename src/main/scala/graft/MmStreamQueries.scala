@@ -29,8 +29,12 @@ object MmStreamQueries {
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSamplePlan(Multimodal.decodeMeta(media(s, dir)).toDF(), 4)),
 
+    // digest projection: the raw array<float> API stays (extractFeatures);
+    // the registered query emits an oracle-checkable md5 of the exact
+    // integer lanes — generic comparators can't sort an array column
     "mm_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(media(s, dir), dim = 16).toDF()),
+      Multimodal.featureDigest(
+        Multimodal.extractFeatures(media(s, dir), dim = 16).toDF())),
 
     "events_sessionize" -> ((s, dir) =>
       EventStream.sessionizeBatch(Tables.events(s, dir), gapMinutes = 30)),
@@ -49,6 +53,17 @@ object MmStreamQueries {
 
   val oracles: Map[String, String] = Map(
     "mm_decode_meta" -> metaSql,
+
+    // feature lanes are exact integer byte-sums (documents are pure ASCII,
+    // verified tri-scale: char position == byte position), so the digest is
+    // reproducible from SQL with no FP hazard
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+        |  md5(array_to_string(
+        |    [coalesce(list_sum(
+        |       [ascii(substr(text, p, 1)) for p in range(1 + j, length(text) + 1, 16)]
+        |     ), 0) for j in range(0, 16)], ',')) AS feature_digest
+        |FROM documents""".stripMargin,
 
     "mm_resize_plan" ->
       s"""WITH meta AS ($metaSql)

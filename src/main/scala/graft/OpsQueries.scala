@@ -234,6 +234,63 @@ object OpsQueries {
         |    / len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len
         |FROM documents""".stripMargin,
 
+    // score components are CASE-gated exact-integer ratios with a fixed op
+    // sequence — bit-identical doubles in any engine (emitted unrounded;
+    // see TextAnalysis.qualityScore)
+    "text_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double)
+        |      / length(text) AS alpha_ratio,
+        |    cast(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) as double)
+        |      / length(text) AS punct_ratio,
+        |    cast(length(text) as double)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END * 2
+        |   + CASE WHEN alpha_ratio >= 0.6 THEN 1.0 ELSE alpha_ratio / 0.6 END * 4
+        |   + CASE WHEN punct_ratio <= 0.2 THEN 1.0
+        |       ELSE greatest(0.0, 1.0 - (punct_ratio - 0.2) * 5) END * 2
+        |   + CASE WHEN mean_token_len BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 2)
+        |  / 10.0 AS quality_score
+        |FROM f""".stripMargin,
+
+    // stopword-profile argmax with (score desc, lang asc) tiebreak; lang
+    // codes checked in alphabetical order so the first equal-to-max wins
+    "text_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, len(w) AS n,
+        |    len(list_filter(w, t -> list_contains(['der','die','und','das','ist','nicht','von','mit','den','ein'], t))) AS h_de,
+        |    len(list_filter(w, t -> list_contains(['the','and','of','to','in','is','that','it','was','for'], t))) AS h_en,
+        |    len(list_filter(w, t -> list_contains(['el','la','de','que','los','las','es','un','una','por'], t))) AS h_es,
+        |    len(list_filter(w, t -> list_contains(['le','la','et','les','des','est','un','une','du','que'], t))) AS h_fr,
+        |    len(list_filter(w, t -> list_contains(['il','la','di','che','e','un','una','per','non','sono'], t))) AS h_it
+        |  FROM toks
+        |), sc AS (
+        |  SELECT doc_id,
+        |    cast(h_de as double) / n AS s_de, cast(h_en as double) / n AS s_en,
+        |    cast(h_es as double) / n AS s_es, cast(h_fr as double) / n AS s_fr,
+        |    cast(h_it as double) / n AS s_it
+        |  FROM s
+        |), m AS (
+        |  SELECT doc_id, s_de, s_en, s_es, s_fr, s_it,
+        |    greatest(s_de, s_en, s_es, s_fr, s_it) AS ms
+        |  FROM sc)
+        |SELECT doc_id,
+        |  CASE WHEN ms > 0 THEN
+        |    CASE WHEN s_de = ms THEN 'de' WHEN s_en = ms THEN 'en'
+        |         WHEN s_es = ms THEN 'es' WHEN s_fr = ms THEN 'fr'
+        |         ELSE 'it' END
+        |  ELSE 'und' END AS lang_pred,
+        |  ms AS lang_score
+        |FROM m""".stripMargin,
+
     "text_search" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -31,6 +31,19 @@ object MacroParser {
       functions: Map[String, String => String] = Map.empty): String =
     expandAt(input, properties, functions, MaxDepth)
 
+  /** True when the string contains at least one unescaped `${` — i.e. it
+    * still requires runtime expansion (property or function macro alike).
+    * The configure-time/run-time validation split keys off this. */
+  def containsMacro(s: String): Boolean = {
+    var i = 0
+    while (i < s.length - 1) {
+      if (s.charAt(i) == '$' && s.charAt(i + 1) == '{' && !isEscaped(s, i))
+        return true
+      i += 1
+    }
+    false
+  }
+
   private def expandAt(
       s: String,
       props: Map[String, String],
@@ -66,23 +79,19 @@ object MacroParser {
   }
 
   /** Locate the rightmost unescaped `${`, return (startIdx, closingBraceIdx,
-    * body between the braces). Nested `${` inside the body belongs to the
-    * body (it will be expanded by the recursive call). */
+    * body between the braces). The body ends at the FIRST unescaped `}` —
+    * matching the reference contract (`MacroParser.java:69-87`): because the
+    * rightmost `${` is taken first, the body can never contain another
+    * macro open, and a bare `{` inside it is literal (`${a{b}` → property
+    * `a{b`), not a nesting level. */
   private def findRightmostMacro(s: String): Option[(Int, Int, String)] = {
     var i = s.length - 2
     while (i >= 0) {
       if (s.charAt(i) == '$' && s.charAt(i + 1) == '{' && !isEscaped(s, i)) {
-        // find the matching close brace, honoring escapes
+        // find the first unescaped close brace
         var j = i + 2
-        var depth = 1
-        while (j < s.length && depth > 0) {
-          val c = s.charAt(j)
-          if (c == '\\') j += 1 // skip escaped char
-          else if (c == '{') depth += 1
-          else if (c == '}') depth -= 1
-          if (depth > 0) j += 1
-        }
-        if (depth != 0)
+        while (j < s.length && (s.charAt(j) != '}' || isEscaped(s, j))) j += 1
+        if (j >= s.length)
           throw new MacroException(s"Unterminated macro in: $s")
         return Some((i, j, s.substring(i + 2, j)))
       }

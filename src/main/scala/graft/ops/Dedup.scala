@@ -26,6 +26,22 @@ object Dedup {
     * lowercase, trim, collapse runs of whitespace to single spaces. */
   def normalize(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  /**
+   * Skew-safe per-posting document frequency: attach `__df` = number of
+   * documents containing each gram. Two-level aggregate + equi-join rather
+   * than `count(1) OVER (PARTITION BY gram)`: the window form lands a
+   * stop-gram's ENTIRE posting list in one window partition (a straggler no
+   * planner can split), while the aggregate does map-side partial counts
+   * (each task emits one row per local gram) and the subsequent join on
+   * gram is an ordinary shuffle join that AQE skew-handling CAN split —
+   * the count row is replicated across the split partitions. `posted`
+   * should be backed by a cache when it feeds other branches.
+   */
+  private def withGramDocFreq(posted: DataFrame): DataFrame = {
+    val gramDf = posted.groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+    posted.join(gramDf, Seq("gram"))
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup by content hash: one row per distinct value of `textCol`
@@ -77,12 +93,12 @@ object Dedup {
     val postings =
       if (maxDocFreq == Int.MaxValue) postings0
       else {
-        // doc-frequency cap via a window count over the gram — one shuffle,
-        // single evaluation of the n-gram pipeline (a join against a
-        // gram-frequency aggregate would re-evaluate it and need a second
-        // shuffle; broadcasting either side is wrong at corpus scale)
-        postings0.withColumn("__df",
-          count(lit(1)).over(Window.partitionBy(col("gram"))))
+        // doc-frequency cap via two-level aggregate + join (skew-safe: a
+        // window count over the gram would serialize a stop-gram's full
+        // posting list into one partition); cache the postings so the
+        // n-gram pipeline is evaluated once across both branches
+        val cached = postings0.cache()
+        withGramDocFreq(cached)
           .filter(col("__df") <= maxDocFreq).drop("__df")
       }
     val a = postings.select(col("gram"), col("doc_id").as("a_id"), col("n_grams").as("la"))
@@ -106,23 +122,56 @@ object Dedup {
    */
   def ngramContainmentPairs(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.9): DataFrame = {
-    // Asymmetric prefix filter: containment(X→Y) >= t needs overlap
-    // >= t·|X|, so X must share a gram within its own ⌊(1-t)|X|⌋+1 rarest
-    // grams with Y — candidates come from prefix(X) ⋈ full-postings(Y)
-    // (both orientations via the a<b symmetrization below), then exact
-    // verification against the full sorted gram sets. Same +1e-9 FP guard
-    // as the Jaccard prefix join.
+      n: Int = 3, threshold: Double = 0.9,
+      prefixFilterMinDocs: Long = 10000L): DataFrame = {
     val grams = df
       .select(col(idCol).as("doc_id"), wordNgrams(col(textCol), n).as("g"))
       .filter(size(col("g")) > 0) // native wordNgrams: empty when tokens < n
       .select(col("doc_id"), col("g"), size(col("g")).as("n_grams"))
       .cache()
+    // Size-based dispatch (measured crossover ~10k docs at bench scale):
+    // the asymmetric prefix filter saves candidate volume asymptotically but
+    // costs two extra shuffles (gram-df join + per-doc rank window) plus the
+    // verify join — below the threshold the single-shuffle naive inverted
+    // index is strictly faster. The count() is an action on the cache we
+    // need anyway, so the dispatch costs one cheap job.
+    val nDocs = grams.count()
+    val result =
+      if (nDocs < prefixFilterMinDocs) containmentNaive(grams, threshold)
+      else containmentPrefix(grams, threshold)
+    // materialize so the grams cache can be released at operator exit —
+    // near-dup pair results are tiny relative to the corpus
+    val out = result.localCheckpoint()
+    grams.unpersist(blocking = true)
+    out
+  }
+
+  /** Naive containment: full inverted-index self-join; common counted
+    * directly from shared-gram postings — one shuffle join + one agg. */
+  private def containmentNaive(grams: DataFrame, threshold: Double): DataFrame = {
     val posted = grams.select(col("doc_id"), col("n_grams"),
       explode(col("g")).as("gram"))
-    val withDf = posted.withColumn("__df",
-      count(lit(1)).over(Window.partitionBy(col("gram"))))
-    val prefixes = withDf
+    val a = posted.select(col("gram"), col("doc_id").as("a_id"), col("n_grams").as("la"))
+    val b = posted.select(col("gram"), col("doc_id").as("b_id"), col("n_grams").as("lb"))
+    a.join(b, Seq("gram")).filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "la", "lb")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("cont_a", col("common").cast("double") / col("la"))
+      .withColumn("cont_b", col("common").cast("double") / col("lb"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .select("a_id", "b_id", "common", "la", "lb", "cont_a", "cont_b")
+  }
+
+  /** Prefix-filtered containment — the corpus-scale path. Asymmetric prefix
+    * filter: containment(X→Y) >= t needs overlap >= t·|X|, so X must share
+    * a gram within its own ⌊(1-t)|X|⌋+1 rarest grams with Y — candidates
+    * come from prefix(X) ⋈ full-postings(Y) (both orientations via the a<b
+    * symmetrization below), then exact verification against the full sorted
+    * gram sets. Same +1e-9 FP guard as the Jaccard prefix join. */
+  private def containmentPrefix(grams: DataFrame, threshold: Double): DataFrame = {
+    val posted = grams.select(col("doc_id"), col("n_grams"),
+      explode(col("g")).as("gram"))
+    val prefixes = withGramDocFreq(posted)
       .withColumn("__rank", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("__df").asc, col("gram").asc)))
       .filter(col("__rank") <=
@@ -201,17 +250,16 @@ object Dedup {
       .filter(size(col("g")) > 0) // native wordNgrams is already sorted
       .withColumn("n_grams", size(col("g")))
       .cache()
-    // global order: (document frequency asc, gram) — computed once
+    // global order: (document frequency asc, gram) — computed once, via the
+    // skew-safe two-level aggregate (see withGramDocFreq)
     val posted = grams.select(col("doc_id"), col("n_grams"),
       explode(col("g")).as("gram"))
-    val withDf = posted.withColumn("__df",
-      count(lit(1)).over(Window.partitionBy(col("gram"))))
     // per-doc prefix: sort this doc's grams by the global order, keep
     // floor((1-t)*|g|)+1 of them. The +1e-9 guard matters for correctness:
     // (1-0.8) is 0.19999999999999996 in binary, so floor((1-t)*90) would be
     // 17 instead of the mathematically-exact 18 — a one-short prefix that
     // can MISS a qualifying pair (observed: 255 vs 256 pairs at sf0.1).
-    val prefixes = withDf
+    val prefixes = withGramDocFreq(posted)
       .withColumn("__rank", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("__df").asc, col("gram").asc)))
       .filter(col("__rank") <=
@@ -234,13 +282,18 @@ object Dedup {
       col("n_grams").as("la"))
     val gb = grams.select(col("doc_id").as("b_id"), col("g").as("gb"),
       col("n_grams").as("lb"))
-    cands.join(ga, Seq("a_id")).join(gb, Seq("b_id"))
+    val result = cands.join(ga, Seq("a_id")).join(gb, Seq("b_id"))
       .withColumn("common",
         graft.functions.vectors.sorted_intersect_count(col("ga"), col("gb")))
       .withColumn("jac",
         col("common").cast("double") / (col("la") + col("lb") - col("common")))
       .filter(col("jac") >= threshold)
       .select("a_id", "b_id", "common", "la", "lb", "jac")
+    // materialize the (tiny) pair result so the grams cache is released at
+    // operator exit instead of living until session cache-clear
+    val out = result.localCheckpoint()
+    grams.unpersist(blocking = true)
+    out
   }
 
   // ----------------------------------------------------------- MinHash
@@ -310,7 +363,10 @@ object Dedup {
     // re-reads them every sweep and must not recompute the signatures
     val pairs = minhashCandidatePairs(sigs, numHashes, bands, threshold)
       .select("a_id", "b_id").cache()
-    connectedComponents(df.select(col(idCol).as("doc_id")), pairs, maxIterations)
+    val labels =
+      connectedComponents(df.select(col(idCol).as("doc_id")), pairs, maxIterations)
+    pairs.unpersist(blocking = true) // labels reads its own persisted RDD
+    labels
   }
 
   /**
@@ -318,30 +374,61 @@ object Dedup {
    * every node's current label with its neighbors' and takes the min —
    * O(diameter) sweeps, each a pair of hash joins; near-dup components are
    * tiny (pairs/triples), so this converges in 2-3 sweeps in practice.
+   *
+   * Cache/lineage hygiene (the 100 TB posture for any iterative Spark
+   * algorithm): each sweep REFERENCES the previous sweep's labels more than
+   * once (neighbor join + convergence diff), so composing sweeps as one
+   * lazy plan grows the logical tree ~3^sweeps — a 9-hop chain OOMs the
+   * driver on plan stringification alone. Each sweep therefore materializes
+   * its labels to an explicitly persisted RDD and restarts the plan from a
+   * scan of it: plan depth is O(1) per sweep, and the superseded sweep's
+   * blocks are unpersisted deterministically (RDD handle in hand — unlike
+   * `localCheckpoint` blocks, which only the GC-driven ContextCleaner can
+   * reclaim). The returned frame scans the final persisted RDD and has no
+   * live lineage through `pairs`/`edges`, so callers can release those
+   * caches immediately.
+   *
+   * @throws IllegalStateException if the propagation has not converged
+   *   after `maxIterations` sweeps — a silently-split cluster is a
+   *   correctness bug, not a degraded answer
    */
   def connectedComponents(
       nodes: DataFrame, pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val spark = nodes.sparkSession
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .cache()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var labelsRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+      val nextRaw = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
+      // materialize this sweep and restart the plan from a scan of it
+      val nextRdd = nextRaw.rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = spark.createDataFrame(nextRdd, nextRaw.schema)
+      // the diff's shuffle scans every partition → nextRdd is fully
+      // materialized before the superseded sweep's blocks are dropped
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
         .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      if (labelsRdd != null) labelsRdd.unpersist(blocking = true)
       labels = next
+      labelsRdd = nextRdd
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIterations sweeps — " +
+          "raise maxIterations (long-chain components present)")
+    edges.unpersist(blocking = true)
     labels
   }
 

@@ -56,15 +56,17 @@ object Multimodal {
         n_frames = if (row.kind == "video") 1 + n % 30 else 1)
     }
 
-    /** Fake feature extraction: `dim` pseudo-features from a rolling byte
-      * accumulator — deterministic, cheap, shaped like a real embedding. */
+    /** Fake feature extraction: `dim` pseudo-features, lane j = sum of the
+      * byte values at payload positions ≡ j (mod dim) — deterministic,
+      * cheap, shaped like a real embedding, and (by design) every lane is
+      * an exact small integer, so the value is bit-identical in float32,
+      * float64, and any SQL engine recomputing it: the whole feature path
+      * gets a hard cross-engine oracle despite being a stub. */
     def features(row: MediaRow, dim: Int): MediaFeature = {
       val out = new Array[Float](dim)
-      var acc = 1125899906842597L
       var i = 0
       while (i < row.content.length) {
-        acc = acc * 31 + (row.content(i) & 0xFF)
-        out(i % dim) += ((acc >>> 16) % 1000).toFloat / 1000f
+        out(i % dim) += (row.content(i) & 0xFF)
         i += 1
       }
       MediaFeature(row.media_id, out)
@@ -91,6 +93,16 @@ object Multimodal {
   /** Feature extraction — mapPartitions, one codec context per partition. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] =
     media.mapPartitions(_.map(MediaCodecStub.features(_, dim)))(Encoders.product[MediaFeature])
+
+  /** Deterministic scalar digest of a feature vector — the oracle-checkable
+    * projection of [[extractFeatures]] output (a raw `array<float>` column
+    * can't be sorted/hashed by generic comparators; this can). Lanes are
+    * exact integers by construction, so the int-cast is lossless. */
+  def featureDigest(features: DataFrame): DataFrame =
+    features.select(col("media_id"),
+      md5(concat_ws(",",
+        transform(col("feature"), f => f.cast("int").cast("string")))
+        .cast("binary")).as("feature_digest"))
 
   /** Resize plan: pure metadata transform (aspect-preserving fit into a
     * `target`×`target` box, round-to-nearest semantics — ceil would

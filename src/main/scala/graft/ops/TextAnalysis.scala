@@ -58,8 +58,13 @@ object TextAnalysis {
     val punctOk = when(col("punct_ratio") <= 0.2, 1.0)
       .otherwise(greatest(lit(0.0), lit(1.0) - (col("punct_ratio") - 0.2) * 5))
     val tokLenOk = when(col("mean_token_len").between(3.0, 12.0), 1.0).otherwise(0.5)
+    // emitted UNROUNDED: every input is an exact-integer ratio and the op
+    // sequence is fixed, so the IEEE double is bit-identical in any engine
+    // computing the same expression — while round(x, 4) is engine-dependent
+    // near .xxxx5 boundaries (Spark rounds the shortest decimal repr,
+    // others round the binary value)
     f.withColumn("quality_score",
-      round((lenOk * 2 + alphaOk * 4 + punctOk * 2 + tokLenOk * 2) / 10.0, 4))
+      (lenOk * 2 + alphaOk * 4 + punctOk * 2 + tokLenOk * 2) / 10.0)
   }
 
   // ------------------------------------------------------------- lang id
@@ -95,7 +100,9 @@ object TextAnalysis {
           .otherwise(0)), 1)
     df.select(col(idCol),
       when(best("score") > 0, best("lang")).otherwise(lit("und")).as("lang_pred"),
-      round(best("score"), 4).as("lang_score"))
+      // unrounded — a single int/int double division is bit-identical
+      // cross-engine; round(x, 4) is not (see qualityScore note)
+      best("score").as("lang_score"))
   }
 
   // ------------------------------------------------------------- search

@@ -2,10 +2,9 @@ package graft.sink
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions.col
-
-import java.net.URLDecoder
-import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.types.StructType
 
 /**
  * Partition catalog over a Hive-style partitioned directory tree — the
@@ -23,7 +22,12 @@ object PartitionCatalog {
 
   /** List partition keys present under `path` as ordered (field -> value)
     * maps, by walking `nFields` directory levels of `field=value` dirs.
-    * Values are URL-decoded (Spark escapes special chars in dir names). */
+    * Values are unescaped with the EXACT inverse of the escaping Spark
+    * applies when writing (`ExternalCatalogUtils.escapePathName`, Hive
+    * `%XX` convention) — `URLDecoder` is NOT that inverse: it turns a
+    * literal '+' (common in stringified timestamps) into a space and
+    * throws on a stray '%' in an externally-created directory, either of
+    * which would make the CREATE pre-check miss existing partitions. */
   def list(spark: org.apache.spark.sql.SparkSession, path: String, nFields: Int): Seq[Map[String, String]] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -35,7 +39,7 @@ object PartitionCatalog {
           .filter(s => s.isDirectory && s.getPath.getName.contains("="))
           .map { s =>
             val Array(f, v) = s.getPath.getName.split("=", 2)
-            s.getPath -> (key + (f -> URLDecoder.decode(v, StandardCharsets.UTF_8)))
+            s.getPath -> (key + (f -> ExternalCatalogUtils.unescapePathName(v)))
           }
       }
     }
@@ -47,12 +51,49 @@ object PartitionCatalog {
     * partitioned tree as an external catalog table and recover its
     * partitions, making it queryable by name (`SHOW PARTITIONS`, SQL).
     * At 100 TB this catalog — not a filesystem walk — is what the CREATE
-    * pre-check and partition pruning consult. */
+    * pre-check and partition pruning consult.
+    *
+    * Table properties mirror the reference's Explore registration: the
+    * Hive SerDe / input-output format classes for the chosen format
+    * (`FileSetUtil.java:75-80,155-164`) and, for Avro, the full
+    * `avro.schema.literal` (`FileSetUtil.java:114-121,128-133`) derived
+    * from the data schema (supplied, or read from the written files'
+    * footers when omitted). */
   def registerExternal(
       spark: org.apache.spark.sql.SparkSession, tableName: String,
-      path: String, format: String = "parquet"): Unit = {
+      path: String, format: String = "parquet",
+      schema: Option[StructType] = None): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $tableName")
-    spark.catalog.createTable(tableName, format, Map("path" -> path))
+    val provider = format.toLowerCase match {
+      case "avro" => AvroFormat.name // FQCN — short name not registered here
+      case other => other
+    }
+    val dataSchema = schema.getOrElse(
+      spark.read.format(provider).load(path).schema)
+    val serdeProps: Map[String, String] = format.toLowerCase match {
+      case "avro" => Map(
+        "serde" -> "org.apache.hadoop.hive.serde2.avro.AvroSerDe",
+        "input.format" -> "org.apache.hadoop.hive.ql.io.avro.AvroContainerInputFormat",
+        "output.format" -> "org.apache.hadoop.hive.ql.io.avro.AvroContainerOutputFormat",
+        "avro.schema.literal" ->
+          org.apache.spark.sql.avro.SchemaConverters
+            .toAvroType(dataSchema, nullable = false, tableName, "graft").toString)
+      case "orc" => Map(
+        "serde" -> "org.apache.hadoop.hive.ql.io.orc.OrcSerde",
+        "input.format" -> "org.apache.hadoop.hive.ql.io.orc.OrcInputFormat",
+        "output.format" -> "org.apache.hadoop.hive.ql.io.orc.OrcOutputFormat")
+      case _ => Map(
+        "serde" -> "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe",
+        "input.format" -> "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+        "output.format" -> "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat")
+    }
+    val tblProps = (serdeProps + ("graft.format" -> format.toLowerCase))
+      .map { case (k, v) => s"'$k'='${v.replace("'", "''")}'" }
+      .mkString(", ")
+    spark.sql(
+      s"""CREATE TABLE $tableName USING `$provider`
+         |OPTIONS (path '$path')
+         |TBLPROPERTIES ($tblProps)""".stripMargin)
     spark.catalog.recoverPartitions(tableName)
   }
 

@@ -125,13 +125,15 @@ object PartitionedSink {
     val prepared = preparePartitionColumns(df, cfg)
     if (cfg.disposition == Create)
       PartitionCatalog.assertNoneExist(prepared, path, cfg.partitionFields)
-    if (cfg.disposition == OverwritePartitions)
-      df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     var writer = prepared.write
       .format(cfg.format.name)
       .partitionBy(cfg.partitionFields: _*)
       .mode(if (cfg.disposition == OverwritePartitions) SaveMode.Overwrite
         else SaveMode.Append)
+    if (cfg.disposition == OverwritePartitions)
+      // per-write option — overrides the session conf for THIS write only,
+      // no behavior leak into unrelated writes on the shared session
+      writer = writer.option("partitionOverwriteMode", "dynamic")
     cfg.codec.foreach { c =>
       writer = writer.option("compression",
         Validators.resolveCodec(cfg.format.codecs, c, cfg.format.name))
@@ -151,8 +153,16 @@ object PartitionedSink {
     * on write; pin type inference off so they come back as strings
     * (SURVEY.md §7.4 item 3). */
   def readBack(spark: SparkSession, path: String, format: SinkFormat = ParquetFormat): DataFrame = {
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    spark.read.format(format.name).load(path)
+    // partition-type inference runs eagerly during load(); restore the
+    // prior session value so the setting doesn't leak into unrelated reads
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try spark.read.format(format.name).load(path)
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /**

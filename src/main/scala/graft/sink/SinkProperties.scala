@@ -18,6 +18,87 @@ object SinkProperties {
   final case class ResolvedSink(
       name: String, path: String, schema: StructType, config: SinkConfig)
 
+  /** Outcome of configure-time validation: which property checks ran and
+    * which were deferred to run time because their backing value still
+    * contains an unexpanded `${...}` macro. */
+  final case class ConfigureReport(validated: Set[String], deferred: Set[String])
+
+  /**
+   * Configure-time validation — reference parity
+   * (`PartitionedFileSetSink.java:56-67`,
+   * `PartitionedFileSetSinkConfig.java:152-162`): each check is SKIPPED when
+   * its backing property still contains an unexpanded macro, because macro
+   * values only exist at run time; dataset creation is likewise deferred (in
+   * this library nothing is created until [[PartitionedSink.write]] runs, so
+   * the deferral is inherent). Full resolution — where every macro must
+   * expand — is [[resolve]], called at run time.
+   *
+   * Required properties must be PRESENT at configure time (a macro can
+   * change a value, not add a key); a present-but-macroed value defers its
+   * checks. Cross-property checks (fieldNames ⊂ schema, codec-vs-format
+   * whitelist, ORC option gating) run only when every involved property is
+   * macro-free.
+   */
+  def validateConfigure(props: Map[String, String]): ConfigureReport = {
+    Seq("name", "basePath", "schema", "fieldNames").foreach(k =>
+      if (!props.contains(k))
+        throw new GraftSchemaException(s"Missing sink property '$k'"))
+    val validated = scala.collection.mutable.LinkedHashSet.empty[String]
+    val deferred = scala.collection.mutable.LinkedHashSet.empty[String]
+    // macro-free value (unescaped), or None with the check recorded deferred
+    def free(key: String): Option[String] = props.get(key).flatMap { v =>
+      if (MacroParser.containsMacro(v)) { deferred += key; None }
+      else Some(MacroParser.expand(v, Map.empty))
+    }
+    if (free("name").isDefined) validated += "name"
+    if (free("basePath").isDefined) validated += "basePath"
+    val schema = free("schema").map { s =>
+      val parsed = SchemaDef.parse(s); validated += "schema"; parsed
+    }
+    (schema, free("fieldNames")) match {
+      case (Some(sch), Some(fn)) =>
+        Validators.partitionFields(sch, fn); validated += "fieldNames"
+      case (None, Some(_)) => deferred += "fieldNames" // needs the schema
+      case _ => ()
+    }
+    val format = free("format") match {
+      case Some(f) =>
+        val fmt = f.toLowerCase match {
+          case "parquet" => ParquetFormat
+          case "avro" => AvroFormat
+          case "orc" => OrcFormat
+          case other => throw new GraftSchemaException(s"Unknown sink format '$other'")
+        }
+        validated += "format"; Some(fmt)
+      case None => if (props.contains("format")) None else Some(ParquetFormat)
+    }
+    (format, free("compressionCodec")) match {
+      case (Some(fmt), Some(c)) if c.toLowerCase != "none" =>
+        Validators.resolveCodec(fmt.codecs, c, fmt.name)
+        validated += "compressionCodec"
+      case (Some(_), Some(_)) => validated += "compressionCodec" // "none"
+      case (None, Some(_)) => deferred += "compressionCodec" // needs format
+      case _ => ()
+    }
+    val orcKeys = Seq("compressionChunkSize", "stripeSize", "indexStride", "createIndex")
+    val orcPresent = orcKeys.filter(props.contains)
+    if (orcPresent.nonEmpty) format match {
+      case None => // format itself is deferred — can't gate the options yet
+        orcPresent.foreach(deferred += _)
+      case Some(OrcFormat) =>
+        val vals = orcKeys.map(free) // macro'd ones self-record as deferred
+        if (vals.forall(_.isDefined)) {
+          val Seq(c, s, i, x) = vals.map(_.get)
+          Validators.validateOrcOptions(
+            props.get("compressionCodec").filterNot(MacroParser.containsMacro),
+            Some(Validators.OrcOptions(c.toLong, s.toLong, i.toInt, x.toBoolean)))
+          validated ++= orcPresent
+        }
+      case Some(_) => () // non-ORC format ignores the options (run-time parity)
+    }
+    ConfigureReport(validated.toSet, deferred.toSet)
+  }
+
   def resolve(
       props: Map[String, String],
       runtime: Map[String, String] = Map.empty,

@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: run one registered query N times in a warm session and print
+  * per-run wall time plus the formatted physical plan. Usage:
+  * {{{ sbt "runMain graft.tools.Probe <queryName> [runs] [sfDir]" }}} */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q1_agg")
+    val runs = args.lift(1).map(_.toInt).getOrElse(3)
+    val sfDir = args.lift(2).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries(name)
+    (1 to runs).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"PROBE $name run$i ${(System.nanoTime() - t0) / 1e9}%.3fs rows=$n")
+      spark.catalog.clearCache()
+    }
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+      fn(spark, sfDir).explain("formatted")
+    spark.stop()
+  }
+}

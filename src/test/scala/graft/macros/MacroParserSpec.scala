@@ -73,6 +73,25 @@ class MacroParserSpec extends AnyFunSuite {
     }
   }
 
+  test("body ends at the FIRST unescaped close brace (reference contract)") {
+    // a bare '{' inside the body is literal, not a nesting level:
+    // "${a{b}" looks up property "a{b" (MacroParser.java:69-87)
+    assert(MacroParser.expand("${a{b}", Map("a{b" -> "V")) == "V")
+    // an escaped close brace belongs to the body
+    assert(MacroParser.expand("${a\\}b}", Map("a}b" -> "W")) == "W")
+    // trailing text after the first close brace is literal
+    assert(MacroParser.expand("${name}}", props) == "sales}")
+  }
+
+  test("containsMacro: unescaped ${ only") {
+    assert(MacroParser.containsMacro("${x}"))
+    assert(MacroParser.containsMacro("a/${x}/b"))
+    assert(!MacroParser.containsMacro("plain"))
+    assert(!MacroParser.containsMacro("\\${x}"))
+    assert(MacroParser.containsMacro("\\\\${x}")) // escaped backslash, live macro
+    assert(!MacroParser.containsMacro("$ {x}"))
+  }
+
   test("property: macro-free strings without escapes are unchanged") {
     val plain = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
     forSamples(plain) { s => assert(MacroParser.expand(s, props) == s) }

@@ -132,6 +132,46 @@ class DedupSpec extends SparkSpec {
     assert(matches.toSeq == Seq((100L, 1L)))
   }
 
+  test("containment: naive and prefix-filtered paths produce identical results") {
+    val docs500 = graft.Tables(spark, sf0001, "documents")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Long]("common"),
+        r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b"))
+    for (t <- Seq(0.5, 0.9)) { // exact and FP-inexact thresholds
+      val naive = Dedup.ngramContainmentPairs(docs500, "doc_id", "text", 3, t,
+        prefixFilterMinDocs = Long.MaxValue).collect().map(key).toSet
+      val prefix = Dedup.ngramContainmentPairs(docs500, "doc_id", "text", 3, t,
+        prefixFilterMinDocs = 1L).collect().map(key).toSet
+      assert(naive == prefix, s"threshold $t: ${naive.size} vs ${prefix.size}")
+      assert(naive.nonEmpty)
+    }
+  }
+
+  test("iterative clustering releases its caches: storage is O(1) in sweeps") {
+    import spark.implicits._
+    val before = spark.sparkContext.getRDDStorageInfo.length
+    // a 9-hop chain forces 9 label-propagation sweeps
+    val ids = (0 to 9).map(i => i * 10L)
+    val nodes = ids.toDF("doc_id")
+    val chain = ids.zip(ids.tail).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(nodes, chain)
+    assert(cc.collect().forall(_.getLong(1) == 0L))
+    val after = spark.sparkContext.getRDDStorageInfo.length
+    // everything except the single result checkpoint is unpersisted —
+    // NOT O(#sweeps) leftover label/edge caches
+    assert(after - before <= 1, s"leaked cached RDDs: before=$before after=$after")
+  }
+
+  test("unconverged propagation throws instead of returning split clusters") {
+    import spark.implicits._
+    val ids = (0 to 9).map(i => i * 10L)
+    val nodes = ids.toDF("doc_id")
+    val chain = ids.zip(ids.tail).toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, chain, maxIterations = 3).collect()
+    }
+  }
+
   test("ngram jaccard maxDocFreq cap drops stop-gram-only pairs but keeps near-dups") {
     val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 3, threshold = 0.5, maxDocFreq = 10)

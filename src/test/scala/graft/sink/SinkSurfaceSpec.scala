@@ -36,6 +36,65 @@ class SinkSurfaceSpec extends SparkSpec {
     spark.sql("DROP TABLE orders_part")
   }
 
+  test("F7: table properties carry SerDe classes and Avro schema literal") {
+    // reference parity: FileSetUtil.java:75-80,114-121,155-164 set the Hive
+    // SerDe/IO-format classes and avro.schema.literal on the Explore table
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_catalog_props").toString
+    val df = Seq((1L, "x", "p1"), (2L, "y", "p2")).toDF("id", "v", "part")
+    PartitionedSink.write(df, out,
+      SinkConfig(AvroFormat, Seq("part"), runtimeNullCheck = true))
+    PartitionCatalog.registerExternal(spark, "avro_props", out, "avro")
+    val show = spark.sql("SHOW CREATE TABLE avro_props").head().getString(0)
+    assert(show.contains("avro.schema.literal"))
+    assert(show.contains("\"type\":\"record\"") || show.contains("'type':'record'")
+      || show.contains("record"))
+    assert(show.contains("org.apache.hadoop.hive.serde2.avro.AvroSerDe"))
+    assert(spark.table("avro_props").count() == 2)
+    spark.sql("DROP TABLE avro_props")
+
+    val outP = Files.createTempDirectory("graft_catalog_props2").toString
+    PartitionedSink.write(df, outP,
+      SinkConfig(ParquetFormat, Seq("part"), runtimeNullCheck = true))
+    PartitionCatalog.registerExternal(spark, "pq_props", outP)
+    val showP = spark.sql("SHOW CREATE TABLE pq_props").head().getString(0)
+    assert(showP.contains("ParquetHiveSerDe"))
+    spark.sql("DROP TABLE pq_props")
+  }
+
+  test("hostile partition values round-trip the catalog listing (incl '+' and '%')") {
+    // '+' is the URLDecoder trap: unescaped on write, a URL-decode turns it
+    // into a space and the CREATE pre-check then misses the partition
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_plus").toString
+    val vals = Seq("2026-01-01T00:00:00+00", "a+b", "50%off", "x y")
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "part")
+    PartitionedSink.write(df, out,
+      SinkConfig(ParquetFormat, Seq("part"), runtimeNullCheck = true))
+    val listed = PartitionCatalog.list(spark, out, 1).map(_("part")).toSet
+    assert(listed == vals.toSet)
+    // and the CREATE pre-check must now detect the collision
+    intercept[IllegalStateException] {
+      PartitionedSink.write(df, out, SinkConfig(ParquetFormat, Seq("part"),
+        disposition = Create, runtimeNullCheck = true))
+    }
+  }
+
+  test("write/readBack do not leak session conf changes") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_confleak").toString
+    val overwriteKey = "spark.sql.sources.partitionOverwriteMode"
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val priorOverwrite = spark.conf.get(overwriteKey)
+    val priorInfer = spark.conf.get(inferKey)
+    val df = Seq((1L, "p1")).toDF("id", "part")
+    PartitionedSink.write(df, out, SinkConfig(ParquetFormat, Seq("part"),
+      disposition = OverwritePartitions, runtimeNullCheck = true))
+    PartitionedSink.readBack(spark, out).count()
+    assert(spark.conf.get(overwriteKey) == priorOverwrite)
+    assert(spark.conf.get(inferKey) == priorInfer)
+  }
+
   test("sources: schema-enforced csv/json round-trip") {
     val dir = Files.createTempDirectory("graft_src").toString
     val df = Tables(spark, sf0001, "nation")
