@@ -197,6 +197,42 @@ object OpsQueries {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.4""".stripMargin,
 
+    // IVF is APPROXIMATE but fully DETERMINISTIC (md5-ordered centroid
+    // sample, argmin cell assignment, fixed probe ranking) — so the oracle
+    // replicates the whole algorithm, not just its contract. Distances and
+    // cosines are sequential double folds, bit-identical to DuckDB's
+    // list_inner_product/list_cosine_similarity on DOUBLE[].
+    "sim_topk_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
+        |), cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) - 1 AS cell, e
+        |  FROM v ORDER BY md5(cast(vec_id as varchar)) LIMIT 16
+        |), cassign AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT n.vec_id, n.e, c.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY -(list_inner_product(n.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+        |                 c.cell ASC) AS r
+        |    FROM v n CROSS JOIN cent c) WHERE r = 1
+        |), qprobe AS (
+        |  SELECT vec_id AS q_id, e AS qe, cell FROM (
+        |    SELECT q.vec_id, q.e, c.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY -(list_inner_product(q.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+        |                 c.cell ASC) AS r
+        |    FROM v q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE r <= 4
+        |), sims AS (
+        |  SELECT p.q_id, a.vec_id AS n_id, list_cosine_similarity(p.qe, a.e) AS sim
+        |  FROM qprobe p JOIN cassign a USING (cell)
+        |  WHERE p.q_id != a.vec_id
+        |), ranked AS (
+        |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
+        |  FROM sims)
+        |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+
     "sim_topk_bruteforce" ->
       """WITH v AS (
         |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings),

@@ -112,6 +112,20 @@ object Dedup {
       .select("a_id", "b_id", "common", "la", "lb", "jac")
   }
 
+  /** Size-dispatched exact n-gram Jaccard pairs: the naive inverted index
+    * below `prefixFilterMinDocs` documents (fewer shuffles — measured
+    * crossover ~10k docs), the PPJoin-style prefix filter
+    * ([[ngramJaccardPairsPrefix]]) above it. Results are identical on
+    * either path (both exact). */
+  def ngramJaccardPairsAuto(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      prefixFilterMinDocs: Long = 10000L): DataFrame =
+    if (df.count() < prefixFilterMinDocs)
+      ngramJaccardPairs(df, idCol, textCol, n, threshold)
+    else
+      ngramJaccardPairsPrefix(df, idCol, textCol, n, threshold)
+
   /**
    * N-gram CONTAINMENT pairs — the decontamination primitive: find document
    * pairs where one side's gram set is mostly inside the other's
@@ -124,26 +138,27 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.9,
       prefixFilterMinDocs: Long = 10000L): DataFrame = {
-    val grams = df
+    def grams = df
       .select(col(idCol).as("doc_id"), wordNgrams(col(textCol), n).as("g"))
       .filter(size(col("g")) > 0) // native wordNgrams: empty when tokens < n
       .select(col("doc_id"), col("g"), size(col("g")).as("n_grams"))
-      .cache()
     // Size-based dispatch (measured crossover ~10k docs at bench scale):
     // the asymmetric prefix filter saves candidate volume asymptotically but
     // costs two extra shuffles (gram-df join + per-doc rank window) plus the
     // verify join — below the threshold the single-shuffle naive inverted
-    // index is strictly faster. The count() is an action on the cache we
-    // need anyway, so the dispatch costs one cheap job.
-    val nDocs = grams.count()
-    val result =
-      if (nDocs < prefixFilterMinDocs) containmentNaive(grams, threshold)
-      else containmentPrefix(grams, threshold)
-    // materialize so the grams cache can be released at operator exit —
-    // near-dup pair results are tiny relative to the corpus
-    val out = result.localCheckpoint()
-    grams.unpersist(blocking = true)
-    out
+    // index is strictly faster. The dispatch count reads only the id column
+    // (no text processing — parquet column-pruned scan).
+    if (df.count() < prefixFilterMinDocs)
+      containmentNaive(grams, threshold) // lazy; gram pipeline is cheap at this n
+    else {
+      // cached: the gram arrays feed three plan branches (postings, verify
+      // side A, verify side B); released once the (tiny) result is
+      // materialized
+      val g = grams.cache()
+      val out = containmentPrefix(g, threshold).localCheckpoint()
+      g.unpersist(blocking = true)
+      out
+    }
   }
 
   /** Naive containment: full inverted-index self-join; common counted
@@ -264,18 +279,25 @@ object Dedup {
         Window.partitionBy(col("doc_id")).orderBy(col("__df").asc, col("gram").asc)))
       .filter(col("__rank") <=
         floor(lit(1.0 - threshold) * col("n_grams") + lit(1e-9)).cast("int") + 1)
-      .select(col("gram"), col("doc_id"), col("n_grams"))
-    // candidates, with the Jaccard length filter applied during the join:
-    // jac >= t requires t·max(|A|,|B|) <= min(|A|,|B|) — same epsilon guard
-    // so an exact-ratio pair (lb == t·la) is never dropped by FP error
+      .select(col("gram"), col("doc_id"), col("n_grams"), col("__rank"))
+    // candidates, with two exact prune rules applied during the join:
+    //  - length filter: jac >= t requires t·max(|A|,|B|) <= min(|A|,|B|)
+    //  - PPJoin positional filter: a gram matched at (1-based) positions
+    //    (pa, pb) of the globally-sorted gram lists bounds the overlap by
+    //    1 + min(la-pa, lb-pb), which must reach the Jaccard-equivalent
+    //    overlap threshold t/(1+t)·(la+lb)
+    // both with the 1e-9 guard so exact-ratio pairs never drop to FP error
     val a = prefixes.select(col("gram"), col("doc_id").as("a_id"),
-      col("n_grams").as("la"))
+      col("n_grams").as("la"), col("__rank").as("pa"))
     val b = prefixes.select(col("gram"), col("doc_id").as("b_id"),
-      col("n_grams").as("lb"))
+      col("n_grams").as("lb"), col("__rank").as("pb"))
     val cands = a.join(b, Seq("gram"))
       .filter(col("a_id") < col("b_id")
         && col("la") >= lit(threshold) * col("lb") - lit(1e-9)
-        && col("lb") >= lit(threshold) * col("la") - lit(1e-9))
+        && col("lb") >= lit(threshold) * col("la") - lit(1e-9)
+        && (lit(1) + least(col("la") - col("pa"), col("lb") - col("pb")))
+          .cast("double") >=
+          lit(threshold / (1.0 + threshold)) * (col("la") + col("lb")) - lit(1e-9))
       .select(col("a_id"), col("b_id")).distinct()
     // verify with the full (sorted) gram sets — merge-count, no hash sets
     val ga = grams.select(col("doc_id").as("a_id"), col("g").as("ga"),
@@ -375,6 +397,13 @@ object Dedup {
    * O(diameter) sweeps, each a pair of hash joins; near-dup components are
    * tiny (pairs/triples), so this converges in 2-3 sweeps in practice.
    *
+   * Scale design: propagation runs ONLY over the edge-induced subgraph —
+   * the nodes that appear in at least one pair. Near-dup components are a
+   * sparse fraction of any real corpus, so the iterative joins touch a
+   * frame bounded by 2·|pairs|, not |corpus|; untouched nodes are appended
+   * as self-labeled singletons with one lazy anti-join at the end (a
+   * filter like `doc_id != cluster_id` prunes that branch entirely).
+   *
    * Cache/lineage hygiene (the 100 TB posture for any iterative Spark
    * algorithm): each sweep REFERENCES the previous sweep's labels more than
    * once (neighbor join + convergence diff), so composing sweeps as one
@@ -384,9 +413,8 @@ object Dedup {
    * scan of it: plan depth is O(1) per sweep, and the superseded sweep's
    * blocks are unpersisted deterministically (RDD handle in hand — unlike
    * `localCheckpoint` blocks, which only the GC-driven ContextCleaner can
-   * reclaim). The returned frame scans the final persisted RDD and has no
-   * live lineage through `pairs`/`edges`, so callers can release those
-   * caches immediately.
+   * reclaim). The member labels and edges detach from `pairs` via one
+   * small checkpoint, so callers can release the pairs cache immediately.
    *
    * @throws IllegalStateException if the propagation has not converged
    *   after `maxIterations` sweeps — a silently-split cluster is a
@@ -395,10 +423,13 @@ object Dedup {
   def connectedComponents(
       nodes: DataFrame, pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
     val spark = nodes.sparkSession
+    // symmetrized edge list, bounded by 2·|pairs| — near-dup pair sets are
+    // a tiny fraction of the corpus
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .cache()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
     var labelsRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     var converged = false
     var iter = 0
@@ -429,7 +460,13 @@ object Dedup {
         s"connectedComponents did not converge after $maxIterations sweeps — " +
           "raise maxIterations (long-chain components present)")
     edges.unpersist(blocking = true)
-    labels
+    // untouched nodes are self-labeled singletons; the anti-join's right
+    // side is the (small, RDD-backed) member label set → broadcast anti-join
+    // at scale, and a `doc_id != cluster_id` filter prunes this branch out
+    val singles = nodes.select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    labels.unionByName(singles)
   }
 
   // ----------------------------------------------------------- SimHash

@@ -132,6 +132,17 @@ class DedupSpec extends SparkSpec {
     assert(matches.toSeq == Seq((100L, 1L)))
   }
 
+  test("auto-dispatched jaccard equals both explicit paths") {
+    val docs500 = graft.Tables(spark, sf0001, "documents")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Long]("common"))
+    val naiveSide = Dedup.ngramJaccardPairsAuto(docs500, "doc_id", "text",
+      3, 0.8, prefixFilterMinDocs = Long.MaxValue).collect().map(key).toSet
+    val prefixSide = Dedup.ngramJaccardPairsAuto(docs500, "doc_id", "text",
+      3, 0.8, prefixFilterMinDocs = 1L).collect().map(key).toSet
+    assert(naiveSide == prefixSide && naiveSide.nonEmpty)
+  }
+
   test("containment: naive and prefix-filtered paths produce identical results") {
     val docs500 = graft.Tables(spark, sf0001, "documents")
     def key(r: org.apache.spark.sql.Row) =
