@@ -437,20 +437,22 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster_id")).as("nbr_min"))
+      // carry the old label through the sweep so convergence is a plain
+      // filter-count over the materialized result — no extra join per sweep
       val nextRaw = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("new_id"),
+          col("cluster_id").as("old_id"))
       // materialize this sweep and restart the plan from a scan of it
       val nextRdd = nextRaw.rdd
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val next = spark.createDataFrame(nextRdd, nextRaw.schema)
-      // the diff's shuffle scans every partition → nextRdd is fully
+      // full (no-limit) count scans every partition → nextRdd is fully
       // materialized before the superseded sweep's blocks are dropped
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "doc_id")
-        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      val changed = next.filter(col("new_id") =!= col("old_id")).count()
       if (labelsRdd != null) labelsRdd.unpersist(blocking = true)
-      labels = next
+      labels = next.select(col("doc_id"), col("new_id").as("cluster_id"))
       labelsRdd = nextRdd
       converged = changed == 0
       iter += 1
