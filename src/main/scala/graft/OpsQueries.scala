@@ -96,6 +96,14 @@ object OpsQueries {
         nCells = 16, nProbe = 4)
     }),
 
+    // one driver-side Lloyd iteration over a 256-vector md5-ordered sample
+    // refines the centroid seed — better-balanced cells, same determinism
+    "sim_topk_ivf_refined" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, k = 5,
+        nCells = 16, nProbe = 4, refineIters = 1, sampleSize = 256)
+    }),
+
     // ------------------------------------------------------------- text
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -208,6 +216,58 @@ object OpsQueries {
         |), cent AS (
         |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) - 1 AS cell, e
         |  FROM v ORDER BY md5(cast(vec_id as varchar)) LIMIT 16
+        |), cassign AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT n.vec_id, n.e, c.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY -(list_inner_product(n.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+        |                 c.cell ASC) AS r
+        |    FROM v n CROSS JOIN cent c) WHERE r = 1
+        |), qprobe AS (
+        |  SELECT vec_id AS q_id, e AS qe, cell FROM (
+        |    SELECT q.vec_id, q.e, c.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY -(list_inner_product(q.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+        |                 c.cell ASC) AS r
+        |    FROM v q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE r <= 4
+        |), sims AS (
+        |  SELECT p.q_id, a.vec_id AS n_id, list_cosine_similarity(p.qe, a.e) AS sim
+        |  FROM qprobe p JOIN cassign a USING (cell)
+        |  WHERE p.q_id != a.vec_id
+        |), ranked AS (
+        |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
+        |  FROM sims)
+        |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    // the refined variant's oracle also replicates the Lloyd step: members
+    // are summed per dimension IN md5 ORDER (list built with ORDER BY h),
+    // matching the driver-side sequential accumulation bit-for-bit
+    "sim_topk_ivf_refined" ->
+      """WITH v AS (
+        |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
+        |), samp AS (
+        |  SELECT md5(cast(vec_id as varchar)) AS h, e
+        |  FROM v ORDER BY h LIMIT 256
+        |), cent0 AS (
+        |  SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e
+        |  FROM samp ORDER BY h LIMIT 16
+        |), sassign AS (
+        |  SELECT h, e, cell FROM (
+        |    SELECT s.h, s.e, c.cell,
+        |      row_number() OVER (PARTITION BY s.h
+        |        ORDER BY -(list_inner_product(s.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+        |                 c.cell ASC) AS r
+        |    FROM samp s CROSS JOIN cent0 c) WHERE r = 1
+        |), cmean AS (
+        |  SELECT cell,
+        |    list_transform(range(1, len(members[1]) + 1),
+        |      i -> list_sum(list_transform(members, m -> m[i])) / len(members)) AS e
+        |  FROM (SELECT cell, list(e ORDER BY h) AS members FROM sassign GROUP BY cell)
+        |), cent AS (
+        |  SELECT c0.cell, coalesce(cm.e, c0.e) AS e
+        |  FROM cent0 c0 LEFT JOIN cmean cm ON c0.cell = cm.cell
         |), cassign AS (
         |  SELECT vec_id, e, cell FROM (
         |    SELECT n.vec_id, n.e, c.cell,

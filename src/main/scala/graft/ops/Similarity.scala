@@ -134,18 +134,72 @@ object Similarity {
    * cost ≈ (nProbe/nCells) of the corpus per query. Centroids are tiny
    * (nCells × dim doubles) and ride along as a broadcast literal; cell
    * assignment is one native-dot argmin per row.
+   *
+   * @param refineIters optional k-means (Lloyd) iterations over the
+   *   md5-ordered `sampleSize`-vector sample to rebalance the centroid
+   *   seed — driver-side, bounded, and order-deterministic, so the refined
+   *   coefficients stay oracle-reproducible (see `sim_topk_ivf_refined`)
    */
+  /** Sequential dot product on driver-side arrays — same left-to-right
+    * accumulation as the native expression (bit-parity matters: refined
+    * centroids must be reproducible by the SQL oracle). */
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Nearest cell by the shared ranking d = -(v·c - |c|²/2), lower cell on
+    * ties — identical to the distributed assignment and the SQL oracle. */
+  private def nearestCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val d = -(dotArr(v, cents(j)) - dotArr(cents(j), cents(j)) / 2)
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
+      refineIters: Int = 0, sampleSize: Int = 1024,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // deterministic centroids: first nCells corpus vectors in md5(id) order
-    val centroids: Array[(Int, Array[Double])] = corpus
+    // deterministic centroid seed: first nCells corpus vectors in md5(id)
+    // order (reproducible, no trained model to store). With refineIters > 0,
+    // Lloyd iterations run DRIVER-SIDE over the first `sampleSize` vectors
+    // in the same md5 order — sample-based k-means is the textbook scale
+    // play (the sample is bounded regardless of corpus size), and the
+    // strictly-ordered sequential accumulation keeps every refined
+    // coefficient bit-reproducible (ordinary distributed avg() is not:
+    // partial-sum order is nondeterministic in IEEE doubles).
+    val nSample = if (refineIters > 0) math.max(nCells, sampleSize) else nCells
+    val sample: Array[Array[Double]] = corpus
       .select(col(idCol).cast("string").as("sid"), toDouble(col(vecCol)).as("v"))
       .withColumn("__o", md5(col("sid").cast("binary")))
-      .orderBy(col("__o")).limit(nCells)
+      .orderBy(col("__o")).limit(nSample)
       .select("v").collect()
-      .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap)
+      .map(_.getSeq[Double](0).toArray)
+    var cents: Array[Array[Double]] = sample.take(nCells)
+    for (_ <- 0 until refineIters) {
+      val dims = cents(0).length
+      val sums = Array.fill(nCells)(new Array[Double](dims))
+      val counts = new Array[Long](nCells)
+      sample.foreach { v =>
+        val cell = nearestCell(v, cents)
+        val s = sums(cell)
+        var i = 0
+        while (i < dims) { s(i) += v(i); i += 1 }
+        counts(cell) += 1
+      }
+      cents = Array.tabulate(nCells)(j =>
+        if (counts(j) == 0) cents(j) // empty cell keeps its seed
+        else sums(j).map(_ / counts(j)))
+    }
+    val centroids: Array[(Int, Array[Double])] = cents.zipWithIndex.map(_.swap)
 
     // nearest-cell assignment: argmin over squared distance to each
     // centroid ≡ argmax of (dot - |c|²/2); evaluated as a struct array min

@@ -88,6 +88,33 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("k-means-refined IVF: twins still found, recall not below the seeded variant") {
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val twins = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = e.unionByName(twins)
+    val q = e.filter(col("vec_id") < 10)
+    val top1 = Similarity.ivfTopK(q, corpus, k = 1, nCells = 8, nProbe = 2,
+      refineIters = 1, sampleSize = 128)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_id")).toMap
+    (0L until 10L).foreach { qid =>
+      assert(top1.get(qid).contains(qid + 10000), s"query $qid got ${top1.get(qid)}")
+    }
+    val exact = Similarity.bruteForceTopK(q, e, k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    def recall(refine: Int) = {
+      val got = Similarity.ivfTopK(q, e, k = 5, nCells = 8, nProbe = 4,
+        refineIters = refine, sampleSize = 128)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val seeded = recall(0)
+    val refined = recall(1)
+    assert(refined >= 0.4, s"refined IVF recall too low: $refined")
+    // Lloyd-balanced cells should not hurt recall on this data
+    assert(refined >= seeded - 0.1, s"refined $refined vs seeded $seeded")
+  }
+
   test("lsh bucket is deterministic across invocations") {
     val b1 = vecs.select(Similarity.lshBucket(
       Similarity.toDouble(col("embedding")), 4, 8).as("b")).collect().map(_.getLong(0))
