@@ -82,16 +82,30 @@ object SinkProperties {
     }
     val orcKeys = Seq("compressionChunkSize", "stripeSize", "indexStride", "createIndex")
     val orcPresent = orcKeys.filter(props.contains)
-    if (orcPresent.nonEmpty) format match {
+    format match {
       case None => // format itself is deferred — can't gate the options yet
         orcPresent.foreach(deferred += _)
       case Some(OrcFormat) =>
-        val vals = orcKeys.map(free) // macro'd ones self-record as deferred
-        if (vals.forall(_.isDefined)) {
-          val Seq(c, s, i, x) = vals.map(_.get)
+        val anyMacroed = orcKeys.exists(k =>
+          props.get(k).exists(MacroParser.containsMacro))
+        val codecMacroed =
+          props.get("compressionCodec").exists(MacroParser.containsMacro)
+        if (anyMacroed || codecMacroed) {
+          // some involved property is unresolved — the completeness check
+          // can't run yet; record the macro'd ones as deferred
+          orcKeys.map(free) // self-records macro'd keys
+        } else {
+          // run-time parity, including "codec set but options incomplete"
+          val vals = orcKeys.map(free)
+          val opts =
+            if (vals.forall(_.isDefined)) {
+              val Seq(c, s, i, x) = vals.map(_.get)
+              Some(Validators.OrcOptions(c.toLong, s.toLong, i.toInt, x.toBoolean))
+            } else None
           Validators.validateOrcOptions(
-            props.get("compressionCodec").filterNot(MacroParser.containsMacro),
-            Some(Validators.OrcOptions(c.toLong, s.toLong, i.toInt, x.toBoolean)))
+            props.get("compressionCodec").map(MacroParser.expand(_, Map.empty))
+              .filter(_.toLowerCase != "none"),
+            opts)
           validated ++= orcPresent
         }
       case Some(_) => () // non-ORC format ignores the options (run-time parity)

@@ -132,6 +132,18 @@ class DedupSpec extends SparkSpec {
     assert(matches.toSeq == Seq((100L, 1L)))
   }
 
+  test("gram doc frequency plans as aggregate+join — no gram-partitioned window") {
+    val docs500 = graft.Tables(spark, sf0001, "documents")
+    // the df-capped path exercises withGramDocFreq in an inspectable plan
+    val plan = Dedup.ngramJaccardPairs(docs500, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDocFreq = 100)
+      .queryExecution.executedPlan.toString
+    // a stop-gram's posting list in one window partition is an
+    // unsplittable straggler; the capped path must contain NO window at all
+    assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
+    assert(plan.contains("HashAggregate"), "expected two-level aggregate")
+  }
+
   test("auto-dispatched jaccard equals both explicit paths") {
     val docs500 = graft.Tables(spark, sf0001, "documents")
     def key(r: org.apache.spark.sql.Row) =

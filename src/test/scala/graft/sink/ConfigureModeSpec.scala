@@ -76,6 +76,14 @@ class ConfigureModeSpec extends AnyFunSuite {
     intercept[GraftSchemaException] { // stride < 1000, macro-free → fails now
       SinkProperties.validateConfigure(orc + ("indexStride" -> "5"))
     }
+
+    // codec set but tuning options entirely absent — run-time parity says
+    // this fails, and all involved properties are macro-free, so it must
+    // fail at configure time too
+    intercept[GraftSchemaException] {
+      SinkProperties.validateConfigure(
+        base + ("format" -> "orc") + ("compressionCodec" -> "zlib"))
+    }
   }
 
   test("run time: an unexpanded macro is an error; supplied macros resolve") {
