@@ -53,6 +53,33 @@ object EventStream {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /**
+   * Streaming incremental NEAR-dup detection — the production ingest shape:
+   * each micro-batch of new documents is MinHash-signed (row-local native
+   * expression) and its LSH bands joined against the STATIC historical band
+   * index via the full batch operator
+   * ([[graft.ops.Dedup.incrementalMinhashMatches]]). Run through
+   * `foreachBatch`, the pipeline is STATELESS across batches: no streaming
+   * state grows with the corpus — the historical signatures are the only
+   * large side and they stay at rest (at scale: a bucketed table keyed by
+   * band hash, refreshed out-of-band as accepted docs are signed).
+   * `onMatches` receives each batch's (new_id, old_id, est_jaccard) result.
+   */
+  def incrementalDedupStream(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      corpusSigs: DataFrame,
+      onMatches: DataFrame => Unit,
+      numHashes: Int = 64, shingleLen: Int = 5,
+      bands: Int = 16, threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onMatches(graft.ops.Dedup.incrementalMinhashMatches(
+          batch.toDF(), idCol, textCol, corpusSigs,
+          numHashes, shingleLen, bands, threshold))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
 

@@ -104,6 +104,34 @@ class EventStreamSpec extends SparkSpec {
     assert(parts == expected)
   }
 
+  test("streaming incremental near-dup matches equal the batch operator's") {
+    import graft.ops.Dedup
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark catalyst optimizer rules"),
+    ).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "entirely novel text that matches nothing in the historical set"),
+    ).toDF("doc_id", "text")
+    val corpusSigs = Dedup.minhashSignatures(corpus, "doc_id", "text")
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft_incdedup_in").toString
+    newBatch.write.mode("overwrite").parquet(inDir)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = EventStream.incrementalDedupStream(
+      spark.readStream.schema(newBatch.schema).parquet(inDir),
+      "doc_id", "text", corpusSigs,
+      m => collected ++= m.collect().map(r => (r.getLong(0), r.getLong(1))))
+    q.awaitTermination(60000)
+
+    val batchResult = Dedup.incrementalMinhashMatches(
+      newBatch, "doc_id", "text", corpusSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(collected.toSeq.sorted == batchResult.sorted)
+    assert(collected.toSeq == Seq((100L, 1L))) // dup found, novel doc clean
+  }
+
   test("batch sessionize: exact session boundaries at the 30-min gap") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L),
