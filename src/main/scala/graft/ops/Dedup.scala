@@ -413,8 +413,8 @@ object Dedup {
    * scan of it: plan depth is O(1) per sweep, and the superseded sweep's
    * blocks are unpersisted deterministically (RDD handle in hand — unlike
    * `localCheckpoint` blocks, which only the GC-driven ContextCleaner can
-   * reclaim). The member labels and edges detach from `pairs` via one
-   * small checkpoint, so callers can release the pairs cache immediately.
+   * reclaim). The returned member labels scan their own persisted RDD, so
+   * callers can release the pairs cache immediately after this returns.
    *
    * @throws IllegalStateException if the propagation has not converged
    *   after `maxIterations` sweeps — a silently-split cluster is a

@@ -92,8 +92,8 @@ object SinkProperties {
           props.get("compressionCodec").exists(MacroParser.containsMacro)
         if (anyMacroed || codecMacroed) {
           // some involved property is unresolved — the completeness check
-          // can't run yet; record the macro'd ones as deferred
-          orcKeys.map(free) // self-records macro'd keys
+          // can't run yet; the whole option group is deferred
+          orcPresent.foreach(deferred += _)
         } else {
           // run-time parity, including "codec set but options incomplete"
           val vals = orcKeys.map(free)
