@@ -52,11 +52,16 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Surviving rows after exact dedup (keep the min-id row per distinct
-    * text). Equivalent to dropDuplicates with a deterministic winner. */
+    * text). Equivalent to dropDuplicates with a deterministic winner.
+    * Two-level aggregate + semi-join rather than
+    * `row_number() OVER (PARTITION BY text)`: a heavily-duplicated document
+    * puts its whole group in one window partition (unsplittable straggler),
+    * while the aggregate partial-combines map-side and the (text, id) join
+    * is AQE-splittable. Assumes `idCol` is unique per row (as an id is). */
   def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(col(textCol)).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val winners = df.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+    df.join(winners, Seq(textCol, idCol), "left_semi")
+      .select(df.columns.map(col): _*)
   }
 
   // ---------------------------------------------------- n-gram Jaccard
