@@ -24,10 +24,14 @@ object Chunking {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       "need 0 <= overlap < chunkTokens")
     val step = chunkTokens - overlap
-    val w = split(Dedup.normalize(col(textCol)), " ")
+    // tokenize in a separate projection so the lambda below references a
+    // BOUND column — an inline subexpression inside transform() is
+    // re-evaluated per chunk (normalize+split × chunk count per doc)
+    val toks = df.select(col(idCol), split(Dedup.normalize(col(textCol)), " ").as("__w"))
+    val w = col("__w")
     val starts = sequence(lit(0), greatest(size(w) - 1, lit(0)), lit(step))
     val chunks = transform(starts, s => concat_ws(" ", slice(w, s + 1, lit(chunkTokens))))
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+    toks.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
       .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")))
       .filter(col("chunk_text") =!= "")
   }

@@ -139,11 +139,15 @@ object TextAnalysis {
     * the full window-hash set size for containment estimation. */
   def rollingFingerprint(
       df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
-    val w = split(Dedup.normalize(col(textCol)), " ")
+    // tokens projected to a bound column: an inline subexpression inside
+    // transform() is re-evaluated per window (normalize+split × windows)
+    val toks = df.select(col(idCol),
+      split(Dedup.normalize(col(textCol)), " ").as("__w"))
+    val w = col("__w")
     val windows = transform(
       sequence(lit(0), greatest(size(w) - k, lit(0))),
       i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(k)))))
-    df.select(col(idCol),
+    toks.select(col(idCol),
       array_min(windows).as("min_hash"),
       size(array_distinct(windows)).as("n_windows"))
   }
