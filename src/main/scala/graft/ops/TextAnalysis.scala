@@ -84,7 +84,10 @@ object TextAnalysis {
     * each language's stopword list; argmax with deterministic tiebreak
     * (language code order), "und" (undetermined) if no stopword hits. */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(Dedup.normalize(col(textCol)), " ")
+    // tokens bound to a column: the inline split would be re-evaluated once
+    // per language profile plus once for the denominator (6× per row)
+    val withToks = df.withColumn("__w", split(Dedup.normalize(col(textCol)), " "))
+    val toks = col("__w")
     val scored = StopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       val hits = size(filter(toks, t => t.isin(words: _*)))
       struct((hits.cast("double") / size(toks)).as("score"), lit(lang).as("lang"))
@@ -98,7 +101,7 @@ object TextAnalysis {
           .when(a("lang") < b("lang"), -1)
           .when(a("lang") > b("lang"), 1)
           .otherwise(0)), 1)
-    df.select(col(idCol),
+    withToks.select(col(idCol),
       when(best("score") > 0, best("lang")).otherwise(lit("und")).as("lang_pred"),
       // unrounded — a single int/int double division is bit-identical
       // cross-engine; round(x, 4) is not (see qualityScore note)
@@ -116,10 +119,12 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty)
-    val toks = split(Dedup.normalize(col(textCol)), " ")
+    // tokens bound to a column (inline split would re-evaluate per term)
+    val withToks = df.withColumn("__w", split(Dedup.normalize(col(textCol)), " "))
+    val toks = col("__w")
     val hits = terms.map(t =>
       size(filter(toks, tok => tok === lit(t.toLowerCase)))).reduce(_ + _)
-    df.select(col(idCol), hits.as("n_hits"), size(toks).as("n_tokens"))
+    withToks.select(col(idCol), hits.as("n_hits"), size(toks).as("n_tokens"))
       .filter(col("n_hits") > 0)
       .withColumn("score", col("n_hits").cast("double") / col("n_tokens"))
       .orderBy(col("score").desc, col(idCol).asc)
