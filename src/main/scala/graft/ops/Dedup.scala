@@ -325,14 +325,6 @@ object Dedup {
 
   // ----------------------------------------------------------- MinHash
 
-  /** Distinct character shingles (length `k`) of normalized text. */
-  def charShingles(text: Column, k: Int): Column = {
-    val t = normalize(text)
-    array_distinct(transform(
-      sequence(lit(0), greatest(length(t) - k, lit(0))),
-      i => t.substr(i + 1, lit(k))))
-  }
-
   /**
    * MinHash signatures: `numHashes` independent min-hash lanes over the
    * character-shingle set, computed by the native
