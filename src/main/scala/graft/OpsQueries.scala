@@ -43,6 +43,16 @@ object OpsQueries {
       Dedup.ngramContainmentPairs(docs(s, dir).filter(col("doc_id") < 1000),
         "doc_id", "text", n = 3, threshold = 0.9)),
 
+    // decontamination report: every 37th doc stands in as the "benchmark
+    // set" (small side, broadcast); exact duplicates of those docs in the
+    // corpus surface as containment-1.0 leaks
+    "dedup_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.decontaminationReport(
+        d, d.filter(col("doc_id") % 37 === 0), "doc_id", "text",
+        n = 3, threshold = 0.8)
+    }),
+
     // production shape: dedup a "new batch" (last 10% of ids) against the
     // pre-signed historical corpus (first 90%)
     "dedup_incremental" -> ((s, dir) => {
@@ -195,6 +205,24 @@ object OpsQueries {
         |FROM grams a JOIN grams b ON a.doc_id < b.doc_id
         |WHERE cast(len(list_intersect(a.g, b.g)) as double)
         |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8""".stripMargin,
+
+    "dedup_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM toks WHERE len(w) >= 3
+        |)
+        |SELECT c.doc_id AS doc_id, r.doc_id AS ref_id,
+        |  len(list_intersect(c.g, r.g)) AS common,
+        |  len(r.g) AS r_grams,
+        |  cast(len(list_intersect(c.g, r.g)) as double) / len(r.g) AS containment
+        |FROM grams c JOIN grams r
+        |  ON r.doc_id % 37 = 0 AND c.doc_id != r.doc_id
+        |WHERE cast(len(list_intersect(c.g, r.g)) as double) / len(r.g) >= 0.8""".stripMargin,
 
     "dedup_embedding_pairs" ->
       """WITH v AS (

@@ -217,6 +217,38 @@ object Dedup {
   }
 
   /**
+   * Cross-corpus decontamination report: for every (corpus doc, benchmark
+   * item) pair sharing n-grams, the containment of the BENCHMARK item in
+   * the corpus document (|ref∩doc| / |ref| — "how much of this eval item
+   * leaked into this training doc"). The benchmark side is small by nature
+   * (eval sets are thousands of items, the corpus is the 100 TB side), so
+   * its exploded gram index is explicitly `broadcast()`: the corpus scan
+   * streams map-side against it — no shuffle of the big side at all.
+   * Self-pairs (same id) are excluded.
+   */
+  def decontaminationReport(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val cposted = corpus
+      .select(col(idCol).as("doc_id"), wordNgrams(col(textCol), n).as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("doc_id"), explode(col("g")).as("gram"))
+    val rposted = benchmark
+      .select(col(idCol).as("ref_id"), wordNgrams(col(textCol), n).as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("ref_id"), size(col("g")).as("r_grams"),
+        explode(col("g")).as("gram"))
+    cposted.join(broadcast(rposted), Seq("gram"))
+      .filter(col("doc_id") =!= col("ref_id"))
+      .groupBy("doc_id", "ref_id", "r_grams")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment", col("common").cast("double") / col("r_grams"))
+      .filter(col("containment") >= threshold)
+      .select("doc_id", "ref_id", "common", "r_grams", "containment")
+  }
+
+  /**
    * Incremental MinHash dedup — the production shape at 100 TB: dedup a NEW
    * batch against an already-signed historical corpus without re-signing
    * history. Joins the new batch's LSH bands against the historical band

@@ -116,6 +116,26 @@ class DedupSpec extends SparkSpec {
     assert(cont.head.getAs[Double]("cont_a") == 1.0) // doc 1 fully contained
   }
 
+  test("decontamination report flags a benchmark item embedded in a corpus doc") {
+    val corpus = Seq(
+      (1L, "intro words here alpha beta gamma delta epsilon and then a long tail"),
+      (2L, "nothing related to the benchmark content at all in this document"),
+    ).toDF("doc_id", "text")
+    val benchmark = Seq(
+      (100L, "alpha beta gamma delta epsilon"), // fully inside doc 1
+    ).toDF("doc_id", "text")
+    val hits = Dedup.decontaminationReport(corpus, benchmark, "doc_id", "text",
+      n = 3, threshold = 0.8).collect()
+    assert(hits.length == 1)
+    val h = hits.head
+    assert(h.getAs[Long]("doc_id") == 1L && h.getAs[Long]("ref_id") == 100L)
+    assert(h.getAs[Double]("containment") == 1.0)
+    // the benchmark side is broadcast — the corpus side must not shuffle
+    val plan = Dedup.decontaminationReport(corpus, benchmark, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   test("incremental minhash matches new-batch dups against a pre-signed corpus") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
