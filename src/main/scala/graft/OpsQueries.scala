@@ -134,6 +134,10 @@ object OpsQueries {
       TextAnalysis.termSearch(docs(s, dir), "doc_id", "text",
         Seq("spark", "table", "query"), k = 20)),
 
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Search(docs(s, dir), "doc_id", "text",
+        Seq("spark", "table", "query"), k = 20)),
+
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.contentFingerprint(col("text")).as("fingerprint"))),
@@ -431,6 +435,44 @@ object OpsQueries {
         |  cast(n_hits as double) / n_tokens AS score
         |FROM scored WHERE n_hits > 0
         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // BM25: corpus stats are exact integers, avgdl/idf mirror the driver's
+    // double op sequence term-for-term ((1.2 + 1), (1 - 0.75) written out,
+    // NOT 2.2/0.25 — the pre-added literals can round differently), and ln
+    // is bit-identical across JVM and DuckDB libm (verified)
+    "text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, len(w) AS dl,
+        |    len(list_filter(w, t -> t = 'spark')) AS tf0,
+        |    len(list_filter(w, t -> t = 'table')) AS tf1,
+        |    len(list_filter(w, t -> t = 'query')) AS tf2
+        |  FROM toks
+        |), stats AS (
+        |  SELECT count(*) AS n, cast(sum(dl) as bigint) AS sum_dl,
+        |    cast(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) as bigint) AS df0,
+        |    cast(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) as bigint) AS df1,
+        |    cast(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) as bigint) AS df2
+        |  FROM base
+        |), scored AS (
+        |  SELECT b.doc_id,
+        |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+        |      * (tf0 * (CAST(1.2 AS DOUBLE) + 1.0))
+        |      / (tf0 + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * (dl / (cast(sum_dl as double) / n))))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+        |      * (tf1 * (CAST(1.2 AS DOUBLE) + 1.0))
+        |      / (tf1 + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * (dl / (cast(sum_dl as double) / n))))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+        |      * (tf2 * (CAST(1.2 AS DOUBLE) + 1.0))
+        |      / (tf2 + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * (dl / (cast(sum_dl as double) / n))))
+        |    AS bm25
+        |  FROM base b CROSS JOIN stats
+        |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0)
+        |SELECT doc_id, bm25 FROM scored
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

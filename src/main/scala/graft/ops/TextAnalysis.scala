@@ -131,6 +131,55 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /**
+   * BM25-ranked keyword search (Robertson/Sparck Jones weighting with the
+   * +1 idf variant, as in Lucene): score(d) = Σ_t idf(t) ·
+   * tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+   * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+   *
+   * Two distributed passes: one aggregate for the corpus statistics (N,
+   * total length, per-term document frequency — all EXACT integers, so the
+   * driver-computed idf literals are engine-reproducible; `ln` itself is
+   * bit-identical across JVM/DuckDB libm on this platform, verified in the
+   * oracle gate) and one row-local scoring scan + TakeOrdered. The corpus
+   * stats row is a single driver row regardless of corpus size.
+   */
+  def bm25Search(
+      df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty)
+    val lower = terms.map(_.toLowerCase)
+    val withToks = df.withColumn("__w", split(Dedup.normalize(col(textCol)), " "))
+    val base = withToks.select(
+      (col(idCol) +: size(col("__w")).as("__dl") +:
+        lower.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__w"), tok => tok === lit(t))).as(s"__tf_$i")
+        }): _*)
+    // one aggregate pass over exact integers: N, Σ|d|, df per term
+    val statsRow = base.agg(
+      count(lit(1)).as("n"),
+      (sum(col("__dl").cast("long")) +:
+        lower.indices.map(i =>
+          sum(when(col(s"__tf_$i") > 0, 1L).otherwise(0L)))): _*).head()
+    val n = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / n
+    val idfs = lower.indices.map { i =>
+      val dft = statsRow.getLong(2 + i)
+      math.log((n - dft + 0.5) / (dft + 0.5) + 1.0)
+    }
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl").cast("double") / lit(avgdl)))
+    val score = lower.indices.map { i =>
+      val tf = col(s"__tf_$i").cast("double")
+      lit(idfs(i)) * (tf * lit(k1 + 1.0)) / (tf + norm)
+    }.reduce(_ + _)
+    val anyHit = lower.indices.map(i => col(s"__tf_$i") > 0).reduce(_ || _)
+    base.filter(anyHit)
+      .select(col(idCol), score.as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // -------------------------------------------------------- fingerprints
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —

@@ -70,6 +70,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(res.head.getAs[Double]("score") - 0.75) < 1e-15)
   }
 
+  test("bm25 ranks rare-term hits above common-term hits, deterministic") {
+    val df = Seq(
+      (1L, "rareword alpha beta gamma delta"),        // 1 hit of the rare term
+      (2L, "common common common alpha beta gamma"),  // 3 hits of the common term
+      (3L, "common alpha beta gamma delta epsilon"),
+      (4L, "common beta gamma delta epsilon zeta"),
+      (5L, "nothing matching at all here now"),
+    ).toDF("doc_id", "text")
+    val ranked = TextAnalysis.bm25Search(df, "doc_id", "text",
+      Seq("rareword", "common"), k = 10).collect()
+    // df(rareword)=1 vs df(common)=3 → the idf gap outranks raw tf
+    assert(ranked.head.getAs[Long]("doc_id") == 1L)
+    assert(!ranked.map(_.getAs[Long]("doc_id")).contains(5L))
+    val again = TextAnalysis.bm25Search(df, "doc_id", "text",
+      Seq("rareword", "common"), k = 10).collect()
+    assert(ranked.map(_.toSeq).sameElements(again.map(_.toSeq)))
+  }
+
   test("content fingerprint is whitespace/case insensitive") {
     val df = Seq(
       (1L, "Hello   World"), (2L, "  hello world "), (3L, "hello worlds"))
