@@ -450,8 +450,17 @@ object Dedup {
    *   correctness bug, not a degraded answer
    */
   def connectedComponents(
-      nodes: DataFrame, pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+      nodes: DataFrame, pairs: DataFrame, maxIterations: Int = 10,
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
     val spark = nodes.sparkSession
+    // Size-based dispatch: a near-dup edge list is tiny even for a huge
+    // corpus (it IS the duplication rate), so below the threshold the
+    // components are solved with a driver-side union-find — zero iterative
+    // Spark jobs, exact, no convergence bound. 1M edges ≈ 32 MB on the
+    // driver. The distributed propagation below remains for adversarial
+    // pair volumes.
+    if (pairs.count() <= localEdgeThreshold)
+      return localComponents(nodes, pairs)
     // symmetrized edge list, bounded by 2·|pairs| — near-dup pair sets are
     // a tiny fraction of the corpus
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -498,6 +507,36 @@ object Dedup {
       .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
     labels.unionByName(singles)
+  }
+
+  /** Driver-side union-find over a bounded edge list (union-by-min-root,
+    * path compression — the component root is the min id by construction).
+    * Non-member nodes are appended as self-labeled singletons with the
+    * same lazy anti-join as the distributed path. */
+  private def localComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+    val memberLabels = parent.keys.toSeq.sorted.map(x => (x, find(x)))
+      .toDF("doc_id", "cluster_id")
+    val singles = nodes.select(col("doc_id"))
+      .join(memberLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    memberLabels.unionByName(singles)
   }
 
   // ----------------------------------------------------------- SimHash

@@ -190,28 +190,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("iterative clustering releases its caches: storage is O(1) in sweeps") {
+  test("distributed clustering releases its caches: storage is O(1) in sweeps") {
     import spark.implicits._
     val before = spark.sparkContext.getRDDStorageInfo.length
-    // a 9-hop chain forces 9 label-propagation sweeps
+    // a 9-hop chain forces 9 label-propagation sweeps; localEdgeThreshold=0
+    // forces the distributed path (the default would solve this locally)
     val ids = (0 to 9).map(i => i * 10L)
     val nodes = ids.toDF("doc_id")
     val chain = ids.zip(ids.tail).toDF("a_id", "b_id")
-    val cc = Dedup.connectedComponents(nodes, chain)
+    val cc = Dedup.connectedComponents(nodes, chain, localEdgeThreshold = 0L)
     assert(cc.collect().forall(_.getLong(1) == 0L))
     val after = spark.sparkContext.getRDDStorageInfo.length
-    // everything except the single result checkpoint is unpersisted —
-    // NOT O(#sweeps) leftover label/edge caches
+    // everything except the final sweep's materialized labels is
+    // unpersisted — NOT O(#sweeps) leftover label/edge caches
     assert(after - before <= 1, s"leaked cached RDDs: before=$before after=$after")
   }
 
-  test("unconverged propagation throws instead of returning split clusters") {
+  test("local union-find path equals the distributed propagation") {
+    import spark.implicits._
+    val ids = (0 to 9).map(i => i * 10L) ++ Seq(777L)
+    val nodes = ids.toDF("doc_id")
+    val chain = (0 to 9).map(i => i * 10L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("a_id", "b_id")
+    def run(threshold: Long) =
+      Dedup.connectedComponents(nodes, chain, localEdgeThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(Long.MaxValue) == run(0L))
+    assert(run(Long.MaxValue)(777L) == 777L) // singleton preserved either way
+  }
+
+  test("unconverged distributed propagation throws instead of splitting clusters") {
     import spark.implicits._
     val ids = (0 to 9).map(i => i * 10L)
     val nodes = ids.toDF("doc_id")
     val chain = ids.zip(ids.tail).toDF("a_id", "b_id")
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(nodes, chain, maxIterations = 3).collect()
+      Dedup.connectedComponents(nodes, chain,
+        maxIterations = 3, localEdgeThreshold = 0L).collect()
     }
   }
 
