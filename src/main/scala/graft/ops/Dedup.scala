@@ -56,11 +56,20 @@ object Dedup {
     * Two-level aggregate + semi-join rather than
     * `row_number() OVER (PARTITION BY text)`: a heavily-duplicated document
     * puts its whole group in one window partition (unsplittable straggler),
-    * while the aggregate partial-combines map-side and the (text, id) join
-    * is AQE-splittable. Assumes `idCol` is unique per row (as an id is). */
+    * while the aggregate partial-combines map-side and the semi-join is
+    * AQE-splittable. Both the aggregate and the join key on a fixed-width
+    * 16-byte `md5(text)` digest, never the raw text — a kilobytes-per-row
+    * text column as a shuffle key would move the full corpus text through
+    * BOTH shuffles (this exact mistake cost a measured 5× at sf0.1; md5
+    * identity is already what [[exact]] trusts). Assumes `idCol` is unique
+    * per row (as an id is). */
   def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val winners = df.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
-    df.join(winners, Seq(textCol, idCol), "left_semi")
+    val digest = md5(col(textCol).cast("binary"))
+    val winners = df.select(digest.as("__win_h"), col(idCol).as("__win_id"))
+      .groupBy(col("__win_h")).agg(min(col("__win_id")).as("__win_id"))
+    df.withColumn("__h", digest)
+      .join(winners, col("__h") === col("__win_h") &&
+        col(idCol) === col("__win_id"), "left_semi")
       .select(df.columns.map(col): _*)
   }
 
