@@ -6,6 +6,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // optional comma-separated subset for focused perf work
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // iterations per query; the reported time is the MEDIAN. n=1 cannot
+    // distinguish a plan regression from disk/page-cache noise on a shared
+    // host (round-2's three sink_* "regressions" were exactly that), and the
+    // median of 3 is robust to one slow outlier.
+    val iters = sys.env.get("SPARK_GRAFT_ITERS").map(_.toInt).getOrElse(3).max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,30 +29,40 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").count()
     } catch { case _: Throwable => () }
     val warmup = (System.nanoTime() - w0) / 1e9
-    // sorted for stable ordering; clearCache between queries so operators'
+    // sorted for stable ordering; clearCache between runs so operators'
     // internal caches (ngram/minhash) don't build cross-query memory
-    // pressure and skew later timings
+    // pressure and skew later timings — every iteration pays its own cache
+    // builds, so iterations are comparable
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+    val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    selected.foreach { case (name, fn) =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var it = 0
+      while (it < iters && !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+        }
+        times += (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        it += 1
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
-      name -> dt
-    }.toMap
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+      val sorted = times.sorted
+      medians(name) = sorted(sorted.size / 2)
+      spreads(name) = sorted.last - sorted.head
+    }
+    def jmap(m: collection.Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${errors.size},"warmup_sec":$warmup,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${medians.size},"n_failed":${errors.size},"iters":$iters,"warmup_sec":$warmup,"errors":$errs,"queries":${jmap(medians)},"spread":${jmap(spreads)},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
