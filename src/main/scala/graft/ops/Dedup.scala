@@ -234,21 +234,34 @@ object Dedup {
    * its exploded gram index is explicitly `broadcast()`: the corpus scan
    * streams map-side against it — no shuffle of the big side at all.
    * Self-pairs (same id) are excluded.
+   *
+   * Size-dispatched: the broadcast only happens when the exploded benchmark
+   * index is small enough (`maxBroadcastGramRows`, counted with one pass
+   * over the benchmark — the cheap side by definition). A large eval-suite
+   * union (100k+ items × dozens of grams each) would exceed the broadcast
+   * ceiling and OOM the driver; above the threshold the join falls back to
+   * an ordinary shuffle hash join on the gram — the corpus side still
+   * shuffles only (doc_id, gram) pairs, never text.
    */
   def decontaminationReport(
       corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8,
+      maxBroadcastGramRows: Long = 2000000L): DataFrame = {
     val cposted = corpus
       .select(col(idCol).as("doc_id"), wordNgrams(col(textCol), n).as("g"))
       .filter(size(col("g")) > 0)
       .select(col("doc_id"), explode(col("g")).as("gram"))
-    val rposted = benchmark
+    val rposted0 = benchmark
       .select(col(idCol).as("ref_id"), wordNgrams(col(textCol), n).as("g"))
       .filter(size(col("g")) > 0)
       .select(col("ref_id"), size(col("g")).as("r_grams"),
         explode(col("g")).as("gram"))
-    cposted.join(broadcast(rposted), Seq("gram"))
+      .cache() // one count pass + the join read; released by caller/clearCache
+    val rposted =
+      if (rposted0.count() <= maxBroadcastGramRows) broadcast(rposted0)
+      else rposted0
+    cposted.join(rposted, Seq("gram"))
       .filter(col("doc_id") =!= col("ref_id"))
       .groupBy("doc_id", "ref_id", "r_grams")
       .agg(count(lit(1)).as("common"))

@@ -136,6 +136,26 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("decontamination size guard: shuffle-join fallback equals the broadcast path") {
+    val corpus = graft.Tables(spark, sf0001, "documents")
+    val benchmark = corpus.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id") + 100000, col("text")).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("ref_id"), r.getAs[Long]("common"),
+        r.getAs[Double]("containment"))
+    val small = Dedup.decontaminationReport(corpus, benchmark, "doc_id", "text")
+    val large = Dedup.decontaminationReport(corpus, benchmark, "doc_id", "text",
+      maxBroadcastGramRows = 0L) // force the over-ceiling fallback
+    // the dispatch decision is ours (the hint); join strategy is the
+    // planner's — below the ceiling we force a broadcast, above it we must
+    // NOT (a forced broadcast of an over-ceiling index OOMs the driver)
+    assert(small.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(!large.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    val a = small.collect().map(key).toSet
+    val b = large.collect().map(key).toSet
+    assert(a == b && a.nonEmpty, s"${a.size} vs ${b.size}")
+  }
+
   test("incremental minhash matches new-batch dups against a pre-signed corpus") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
