@@ -26,16 +26,30 @@ import org.apache.spark.unsafe.types.UTF8String
  * JIT method-size budget.
  */
 private[graft] object TextNormJvm {
-  /** JVM-side twin of [[graft.ops.Dedup.normalize]] (ASCII-equivalent). */
+  /** Java-regex `\s` class — what Spark's `regexp_replace(c, "\\s+", " ")`
+    * collapses. NOT `Character.isWhitespace` (which adds - etc.). */
+  private def isRegexWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** JVM-side EXACT twin of [[graft.ops.Dedup.normalize]] =
+    * `regexp_replace(lower(trim(c)), "\\s+", " ")` (ASCII-equivalent case
+    * fold). Two Spark quirks faithfully reproduced: `trim` strips only
+    * 0x20 SPACE characters (not \t/\n — unlike `String.trim`, which strips
+    * everything ≤ 0x20), and the collapse uses the regex `\s` class. So
+    * `"\t\nx"` normalizes to `" x"` with a LEADING space, not `"x"`. */
   def normalize(s: String): String = {
-    val t = s.trim.toLowerCase
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    val t = s.substring(b, e).toLowerCase(java.util.Locale.ROOT)
     // manual single-pass whitespace collapse (regex-free hot path)
     val sb = new java.lang.StringBuilder(t.length)
     var prevWs = false
     var i = 0
     while (i < t.length) {
       val c = t.charAt(i)
-      val ws = Character.isWhitespace(c)
+      val ws = isRegexWs(c)
       if (!ws) { sb.append(c); prevWs = false }
       else if (!prevWs) { sb.append(' '); prevWs = true }
       i += 1
@@ -170,6 +184,41 @@ case class WordNgrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/**
+ * Normalized whitespace tokens of a text column — native one-pass twin of
+ * `split(Dedup.normalize(c), " ")` (regex lower/trim/collapse + regex split
+ * costs interpreted-regex time on every document; this is a single scan).
+ * Exact value parity with the declarative form, including the edge case:
+ * splitting an empty normalized string yields `[""]` (one empty token), as
+ * Spark's `split` does — callers that count tokens rely on it. Elements are
+ * never null; empty-string elements only for empty/whitespace-only input.
+ */
+case class WordTokens(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_tokens"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = TextNormJvm.normalize(input.toString)
+    // n separators → n+1 fields, exactly like split with limit -1: empty
+    // leading/trailing fields are KEPT ("" → [""], " " → ["", ""])
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](16)
+    var start = 0
+    var idx = text.indexOf(' ')
+    while (idx >= 0) {
+      out += UTF8String.fromString(text.substring(start, idx))
+      start = idx + 1
+      idx = text.indexOf(' ', start)
+    }
+    out += UTF8String.fromString(text.substring(start))
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers for the native expressions. */
 object hashes {
   def minhash_signature(c: Column, numHashes: Int = 64, shingleLen: Int = 5): Column =
@@ -181,6 +230,9 @@ object hashes {
 
   def word_ngrams(c: Column, n: Int): Column =
     Bridge.column(WordNgrams(Bridge.expression(c), n))
+
+  def word_tokens(c: Column): Column =
+    Bridge.column(WordTokens(Bridge.expression(c)))
 
   private def intArg(exprs: Seq[Expression], i: Int, default: Int): Int =
     if (exprs.length > i) exprs(i) match {
@@ -194,5 +246,8 @@ object hashes {
     Bridge.registerFunction(spark, "minhash_signature",
       exprs => MinHashSignature(exprs.head, intArg(exprs, 1, 64), intArg(exprs, 2, 5)))
     Bridge.registerFunction(spark, "simhash64", exprs => SimHash64(exprs.head))
+    Bridge.registerFunction(spark, "word_tokens", exprs => WordTokens(exprs.head))
+    Bridge.registerFunction(spark, "word_ngrams",
+      exprs => WordNgrams(exprs.head, intArg(exprs, 1, 3)))
   }
 }

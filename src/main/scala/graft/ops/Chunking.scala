@@ -27,7 +27,7 @@ object Chunking {
     // tokenize in a separate projection so the lambda below references a
     // BOUND column — an inline subexpression inside transform() is
     // re-evaluated per chunk (normalize+split × chunk count per doc)
-    val toks = df.select(col(idCol), split(Dedup.normalize(col(textCol)), " ").as("__w"))
+    val toks = df.select(col(idCol), graft.functions.hashes.word_tokens(col(textCol)).as("__w"))
     val w = col("__w")
     val starts = sequence(lit(0), greatest(size(w) - 1, lit(0)), lit(step))
     val chunks = transform(starts, s => concat_ws(" ", slice(w, s + 1, lit(chunkTokens))))

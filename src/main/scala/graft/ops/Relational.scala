@@ -99,7 +99,7 @@ object Relational {
   /** Top-k most frequent normalized tokens across a text corpus
     * (vocabulary head) — explode + count + TakeOrdered. */
   def topTokens(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.select(explode(split(Dedup.normalize(col(textCol)), " ")).as("token"))
+    df.select(explode(graft.functions.hashes.word_tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)

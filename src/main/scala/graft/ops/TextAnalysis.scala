@@ -86,7 +86,7 @@ object TextAnalysis {
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // tokens bound to a column: the inline split would be re-evaluated once
     // per language profile plus once for the denominator (6× per row)
-    val withToks = df.withColumn("__w", split(Dedup.normalize(col(textCol)), " "))
+    val withToks = df.withColumn("__w", graft.functions.hashes.word_tokens(col(textCol)))
     val toks = col("__w")
     val scored = StopwordProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       val hits = size(filter(toks, t => t.isin(words: _*)))
@@ -120,7 +120,7 @@ object TextAnalysis {
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty)
     // tokens bound to a column (inline split would re-evaluate per term)
-    val withToks = df.withColumn("__w", split(Dedup.normalize(col(textCol)), " "))
+    val withToks = df.withColumn("__w", graft.functions.hashes.word_tokens(col(textCol)))
     val toks = col("__w")
     val hits = terms.map(t =>
       size(filter(toks, tok => tok === lit(t.toLowerCase)))).reduce(_ + _)
@@ -150,7 +150,7 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty)
     val lower = terms.map(_.toLowerCase)
-    val withToks = df.withColumn("__w", split(Dedup.normalize(col(textCol)), " "))
+    val withToks = df.withColumn("__w", graft.functions.hashes.word_tokens(col(textCol)))
     val base = withToks.select(
       (col(idCol) +: size(col("__w")).as("__dl") +:
         lower.zipWithIndex.map { case (t, i) =>
@@ -196,7 +196,7 @@ object TextAnalysis {
     // tokens projected to a bound column: an inline subexpression inside
     // transform() is re-evaluated per window (normalize+split × windows)
     val toks = df.select(col(idCol),
-      split(Dedup.normalize(col(textCol)), " ").as("__w"))
+      graft.functions.hashes.word_tokens(col(textCol)).as("__w"))
     val w = col("__w")
     val windows = transform(
       sequence(lit(0), greatest(size(w) - k, lit(0))),

@@ -18,6 +18,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res(2L)._1 == 3) // runs of spaces collapse
   }
 
+  test("native word_tokens is value-identical to declarative split(normalize)") {
+    // edge cases: empty, whitespace-only (both yield [""]), case, tabs,
+    // run-of-whitespace collapse, leading/trailing whitespace
+    val crafted = Seq((1L, ""), (2L, "   "), (3L, "\t\n "), (4L, "One"),
+      (5L, "  Mixed   CASE\ttext \n with everything  "), (6L, "a b c"))
+      .toDF("doc_id", "text")
+    val corpus = graft.Tables(spark, sf0001, "documents")
+    for (df <- Seq(crafted, corpus)) {
+      val mismatches = df.select(
+        graft.functions.hashes.word_tokens(col("text")).as("native"),
+        split(Dedup.normalize(col("text")), " ").as("declarative"))
+        .filter(not(col("native") <=> col("declarative")))
+        .count()
+      assert(mismatches == 0)
+    }
+  }
+
   test("quality features on crafted text") {
     val df = Seq((1L, "abcde 12345")).toDF("doc_id", "text") // 11 chars
     val r = TextAnalysis.qualityFeatures(df, "doc_id", "text").collect().head
