@@ -46,6 +46,21 @@ object PartitionCatalog {
     frontier.map(_._2)
   }
 
+  /** Partition tuples of a REGISTERED table from the session catalog
+    * (`SHOW PARTITIONS`) — the 100 TB path: one metastore call instead of a
+    * filesystem walk whose listStatus count grows with partition
+    * cardinality. Values arrive Hive-escaped exactly as directory names do
+    * and are unescaped the same way. */
+  def listFromCatalog(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String): Seq[Map[String, String]] =
+    spark.sql(s"SHOW PARTITIONS $tableName").collect().toSeq.map { r =>
+      r.getString(0).split("/").iterator.map { seg =>
+        val Array(f, v) = seg.split("=", 2)
+        f -> ExternalCatalogUtils.unescapePathName(v)
+      }.toMap
+    }
+
   /** F7 (Explore/Hive registration,
     * `common/FileSetUtil.java:75-80,114-121,155-164`): register a written
     * partitioned tree as an external catalog table and recover its
@@ -58,7 +73,15 @@ object PartitionCatalog {
     * (`FileSetUtil.java:75-80,155-164`) and, for Avro, the full
     * `avro.schema.literal` (`FileSetUtil.java:114-121,128-133`) derived
     * from the data schema (supplied, or read from the written files'
-    * footers when omitted). */
+    * footers when omitted).
+    *
+    * Honesty boundary: this creates a Spark-NATIVE-provider table
+    * (`CREATE TABLE ... USING`), so the SerDe/IO-format classes live in
+    * TBLPROPERTIES as informational metadata — Spark reads the data through
+    * its own datasource, and an external Hive engine would not honor them.
+    * The reference registers a real Hive-format table (`STORED AS`,
+    * `FileSetUtil.java:114-121,155-164`), which requires a Hive metastore;
+    * on such a deployment run [[hiveRegistrationDdl]]'s output instead. */
   def registerExternal(
       spark: org.apache.spark.sql.SparkSession, tableName: String,
       path: String, format: String = "parquet",
@@ -97,13 +120,50 @@ object PartitionCatalog {
     spark.catalog.recoverPartitions(tableName)
   }
 
+  /** Hive-parity registration DDL (`STORED AS` + `LOCATION`) — the exact
+    * table a Hive-metastore deployment should create for reference-parity
+    * Explore registration (real SerDe storage, not informational
+    * properties). Returned as a statement rather than executed because
+    * `STORED AS` needs Hive catalog support, which the in-memory session
+    * catalog this project tests against does not provide; run it followed by
+    * `MSCK REPAIR TABLE` (≙ `recoverPartitions`) on the target metastore.
+    * Column types use Spark's Hive-compatible DDL rendering. */
+  def hiveRegistrationDdl(
+      tableName: String, path: String, dataSchema: StructType,
+      partitionFields: Seq[String], format: String = "parquet"): String = {
+    val storage = format.toLowerCase match {
+      case "avro" => "AVRO"
+      case "orc" => "ORC"
+      case _ => "PARQUET"
+    }
+    def cols(fs: Seq[org.apache.spark.sql.types.StructField]) =
+      fs.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+    val (partCols, dataCols) =
+      dataSchema.fields.toSeq.partition(f => partitionFields.contains(f.name))
+    // preserve declared partition-field order (directory nesting order)
+    val orderedPart = partitionFields.map(n => partCols.find(_.name == n).get)
+    s"""CREATE EXTERNAL TABLE `$tableName` (${cols(dataCols)})
+       |PARTITIONED BY (${cols(orderedPart)})
+       |STORED AS $storage
+       |LOCATION '$path'""".stripMargin
+  }
+
   /** CREATE-disposition pre-check (W1): fail if any incoming partition tuple
     * already exists at the target. Incoming tuples come from a distinct
     * aggregation over just the partition columns (column-pruned, map-side
     * partial agg); only the distinct tuples — bounded by partition
-    * cardinality, not row count — reach the driver. */
-  def assertNoneExist(prepared: DataFrame, path: String, fields: Seq[String]): Unit = {
-    val existing = list(prepared.sparkSession, path, fields.length)
+    * cardinality, not row count — reach the driver. When `catalogTable`
+    * names a registered table, the existing side comes from the catalog
+    * ([[listFromCatalog]]) instead of a filesystem walk — the catalog is the
+    * source of truth a metastore deployment maintains, and the walk's
+    * per-directory listStatus cost disappears. */
+  def assertNoneExist(prepared: DataFrame, path: String, fields: Seq[String],
+      catalogTable: Option[String] = None): Unit = {
+    val spark = prepared.sparkSession
+    val existing = catalogTable match {
+      case Some(t) if spark.catalog.tableExists(t) => listFromCatalog(spark, t)
+      case _ => list(spark, path, fields.length)
+    }
     if (existing.isEmpty) return
     val existingSet = existing.map(m => fields.map(m(_))).toSet
     val incoming = prepared.select(fields.map(col): _*).distinct().collect()

@@ -39,6 +39,11 @@ case object OverwritePartitions extends WriteDisposition
  *   when reading parquet whose footer marks everything nullable. The
  *   reference's strict behavior (reject nullable partition fields,
  *   `PartitionedFileSetSinkConfig.java:140-144`) is the default.
+ * @param catalogTable registered catalog table backing the target path; when
+ *   set, the CREATE pre-check consults the catalog's partition list
+ *   (`SHOW PARTITIONS`) instead of walking the file tree — the right source
+ *   of truth once the dataset is registered, and O(1) metastore calls
+ *   instead of O(partition-dirs) listStatus at 100 TB.
  */
 final case class SinkConfig(
     format: SinkFormat,
@@ -46,7 +51,8 @@ final case class SinkConfig(
     codec: Option[String] = None,
     disposition: WriteDisposition = CreateOrAppend,
     orcOptions: Option[Validators.OrcOptions] = None,
-    runtimeNullCheck: Boolean = false)
+    runtimeNullCheck: Boolean = false,
+    catalogTable: Option[String] = None)
 
 /**
  * Dynamic-partitioned dataset sink — the Spark-native re-expression of the
@@ -124,7 +130,8 @@ object PartitionedSink {
     validate(df, cfg)
     val prepared = preparePartitionColumns(df, cfg)
     if (cfg.disposition == Create)
-      PartitionCatalog.assertNoneExist(prepared, path, cfg.partitionFields)
+      PartitionCatalog.assertNoneExist(prepared, path, cfg.partitionFields,
+        cfg.catalogTable)
     var writer = prepared.write
       .format(cfg.format.name)
       .partitionBy(cfg.partitionFields: _*)

@@ -62,6 +62,52 @@ class SinkSurfaceSpec extends SparkSpec {
     spark.sql("DROP TABLE pq_props")
   }
 
+  test("CREATE pre-check consults the catalog, not the filesystem, when registered") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_cat_precheck").toString
+    val v1 = Seq((1L, "a", "p1")).toDF("id", "v", "part")
+    PartitionedSink.write(v1, out,
+      SinkConfig(ParquetFormat, Seq("part"), runtimeNullCheck = true))
+    PartitionCatalog.registerExternal(spark, "precheck_t", out)
+    // diverge catalog from disk: p2 lands on disk AFTER registration, so the
+    // catalog doesn't know it (no recoverPartitions)
+    Seq((2L, "b", "p2")).toDF("id", "v", "part").write
+      .partitionBy("part").mode("append").parquet(out)
+    val incoming = Seq((3L, "c", "p2")).toDF("id", "v", "part")
+    val cfgFs = SinkConfig(ParquetFormat, Seq("part"),
+      disposition = Create, runtimeNullCheck = true)
+    // filesystem path sees the on-disk p2 -> clash
+    intercept[IllegalStateException] {
+      PartitionedSink.write(incoming, out, cfgFs)
+    }
+    // catalog path trusts the registered partition list -> no clash: proves
+    // SHOW PARTITIONS, not listStatus, is the existing side
+    PartitionedSink.write(incoming, out,
+      cfgFs.copy(catalogTable = Some("precheck_t")))
+    // and a registered clash IS detected through the catalog
+    spark.catalog.recoverPartitions("precheck_t")
+    intercept[IllegalStateException] {
+      PartitionedSink.write(incoming, out,
+        cfgFs.copy(catalogTable = Some("precheck_t")))
+    }
+    spark.sql("DROP TABLE precheck_t")
+  }
+
+  test("hiveRegistrationDdl emits STORED AS storage with partition columns split out") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", StringType, nullable = true),
+      StructField("day", StringType, nullable = false),
+      StructField("region", StringType, nullable = false)))
+    val ddl = PartitionCatalog.hiveRegistrationDdl(
+      "sales", "/data/sales", schema, Seq("region", "day"), "avro")
+    assert(ddl.contains("CREATE EXTERNAL TABLE `sales` (`id` BIGINT, `v` STRING)"))
+    // declared field order defines nesting, not schema order
+    assert(ddl.contains("PARTITIONED BY (`region` STRING, `day` STRING)"))
+    assert(ddl.contains("STORED AS AVRO"))
+    assert(ddl.contains("LOCATION '/data/sales'"))
+  }
+
   test("hostile partition values round-trip the catalog listing (incl '+' and '%')") {
     // '+' is the URLDecoder trap: unescaped on write, a URL-decode turns it
     // into a space and the CREATE pre-check then misses the partition
