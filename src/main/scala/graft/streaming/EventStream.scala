@@ -95,8 +95,28 @@ object EventStream {
    * closed session when state times out. Keyed state is per user — hash
    * partitioned, bounded by active-user cardinality.
    */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
-    val gapMs = gapMinutes * 60000L
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] =
+    sessionizeMs(events, gapMinutes * 60000L)
+
+  /** Millisecond-gap variant of [[sessionize]] (same operator; sub-minute
+    * gaps make multi-micro-batch timeout behavior testable in seconds).
+    *
+    * Cross-batch semantics, pinned by `EventStreamSpec`:
+    *  - state carries the open session across micro-batches; a later batch's
+    *    events continue it when they fall inside the session ENVELOPE
+    *    `[start − gap, last + gap]` — so an out-of-order event that sorts
+    *    BEFORE the open session's last event still joins it (a plain
+    *    `t − last <= gap` check would, worse, move `last` backwards);
+    *  - envelope merges update `start`/`last` with min/max, so session
+    *    bounds are the true event-time extent seen so far;
+    *  - an event outside the envelope closes the open session immediately
+    *    (emitted this batch) and opens a fresh one;
+    *  - a PROCESSING-time timeout of `gap` emits the open session when the
+    *    key goes quiet — event time decides membership, processing time
+    *    decides when to stop waiting (an event-time-timeout variant would
+    *    instead tie eviction to the watermark).
+    */
+  def sessionizeMs(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     events
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, Session](
@@ -115,8 +135,9 @@ object EventStream {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
+                  cur = Some(SessionState(
+                    math.min(s.start, t), math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   closed += Session(userId,
                     new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n)

@@ -67,6 +67,51 @@ class EventStreamSpec extends SparkSpec {
     assert(closed.exists(s => s.user_id == 7L && s.n_events == 2))
   }
 
+  test("sessionize across micro-batches: out-of-order merge, then timeout emission") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(ms: Long) = new Timestamp(1700000000000L + ms)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    // NOTE: no processAllAvailable() anywhere — with ProcessingTimeTimeout
+    // the engine keeps scheduling (empty) batches to evaluate timeouts, so
+    // the no-new-data latch processAllAvailable waits on never settles and
+    // the call hangs. Drive by addData + sleep, observe via the sink, stop
+    // explicitly (same pattern as the single-batch test above).
+    val q = EventStream.sessionizeMs(input.toDS(), gapMs = 5000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_mb").start()
+    def sink() = spark.table("sess_mb").as[EventStream.Session].collect()
+    try {
+      // batch 1: user 7 opens a session [0, 1000]
+      input.addData(
+        EventStream.Event(1L, ts(0), 7L, "c", 1.0),
+        EventStream.Event(2L, ts(1000), 7L, "c", 1.0))
+      Thread.sleep(1500) // trigger-0 batches spin continuously: consumed now
+      assert(sink().isEmpty) // still open — nothing emitted
+      // batch 2: OUT-OF-ORDER event at 500 (inside the open envelope,
+      // earlier than the session's last) must merge, not reset or close;
+      // 2500 extends the session forward
+      input.addData(
+        EventStream.Event(3L, ts(500), 7L, "c", 1.0),
+        EventStream.Event(4L, ts(2500), 7L, "c", 1.0))
+      Thread.sleep(1500)
+      assert(sink().isEmpty)
+      // quiet period past the processing-time timeout, then poll: the
+      // spinning empty batches evaluate the timeout and emit the session
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      var out = sink()
+      while (!out.exists(_.user_id == 7L) && System.nanoTime() < deadline) {
+        Thread.sleep(250); out = sink()
+      }
+      val s7 = out.filter(_.user_id == 7L)
+      assert(s7.length == 1)
+      // all four events in ONE session with true event-time extent
+      assert(s7.head.n_events == 4)
+      assert(s7.head.session_start == ts(0) && s7.head.session_end == ts(2500))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_in").toString
     val base = Tables.events(spark, sf0001).limit(100)
