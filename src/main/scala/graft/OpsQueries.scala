@@ -65,6 +65,18 @@ object OpsQueries {
         d.filter(col("doc_id") > cut), "doc_id", "text", corpusSigs)
     }),
 
+    // bloom-sketch incremental exact dedup: same new-batch/corpus split as
+    // dedup_incremental, but via the compact-sketch path — the corpus is
+    // one BloomFilterAggregate pass, the batch filters map-side, and only
+    // might-contain rows pay the exact verification anti-join. Result is
+    // exact (novel docs), so it gets a full anti-join oracle.
+    "dedup_bloom_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cut = (d.agg(max(col("doc_id"))).head().getLong(0) * 9) / 10
+      Dedup.bloomNovelDocs(d.filter(col("doc_id") > cut), "doc_id", "text",
+        d.filter(col("doc_id") <= cut))
+    }),
+
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashCandidatePairs(
         Dedup.minhashSignatures(docs(s, dir), "doc_id", "text"),
@@ -227,6 +239,14 @@ object OpsQueries {
         |FROM grams c JOIN grams r
         |  ON r.doc_id % 37 = 0 AND c.doc_id != r.doc_id
         |WHERE cast(len(list_intersect(c.g, r.g)) as double) / len(r.g) >= 0.8""".stripMargin,
+
+    "dedup_bloom_incremental" ->
+      """WITH cut AS (SELECT (max(doc_id) * 9) // 10 AS c FROM documents)
+        |SELECT n.doc_id, n.text, n.lang, n.source, n.n_chars
+        |FROM documents n, cut
+        |WHERE n.doc_id > cut.c AND NOT EXISTS (
+        |  SELECT 1 FROM documents h
+        |  WHERE h.doc_id <= cut.c AND h.text = n.text)""".stripMargin,
 
     "dedup_embedding_pairs" ->
       """WITH v AS (

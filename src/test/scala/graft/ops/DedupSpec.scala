@@ -172,6 +172,30 @@ class DedupSpec extends SparkSpec {
     assert(matches.toSeq == Seq((100L, 1L)))
   }
 
+  test("bloom incremental dedup is exact: equals the text anti-join, planted dups dropped") {
+    val all = graft.Tables(spark, sf0001, "documents")
+    val corpus = all.filter(col("doc_id") % 10 =!= 0)
+    val newBatch = all.filter(col("doc_id") % 10 === 0)
+    val novel = Dedup.bloomNovelDocs(newBatch, "doc_id", "text", corpus)
+    val expected = newBatch.join(corpus.select(col("text")),
+      Seq("text"), "left_anti")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact despite the approximate sketch: verify join kills false positives
+    assert(ids(novel) == ids(expected) && ids(novel).nonEmpty)
+    // planted duplicate of a corpus doc is rejected; fresh text is accepted
+    import spark.implicits._
+    val corpusText = corpus.select("text").head().getString(0)
+    val planted = Seq((900001L, corpusText),
+      (900002L, "genuinely novel text never seen in any corpus document"))
+      .toDF("doc_id", "text")
+    assert(ids(Dedup.bloomNovelDocs(planted, "doc_id", "text", corpus)) == Set(900002L))
+    // the sketch is evaluated as a native might_contain filter (map-side
+    // pruning), not a join against the corpus for the definite-miss path
+    val plan = novel.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected bloom filter in plan:\n$plan")
+  }
+
   test("gram doc frequency plans as aggregate+join — no gram-partitioned window") {
     val docs500 = graft.Tables(spark, sf0001, "documents")
     // the df-capped path exercises withGramDocFreq in an inspectable plan
