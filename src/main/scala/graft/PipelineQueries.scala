@@ -18,6 +18,13 @@ object PipelineQueries {
       Tables(s, dir, "documents").select(col("doc_id"),
         md5(Chunking.redact(col("text")).cast("binary")).as("redacted_hash"))),
 
+    // CCNet-style repeated-passage removal: 8-token passages occurring in
+    // more than 2 documents are boilerplate; documents reassemble from the
+    // surviving passages.
+    "dedup_passage_boilerplate" -> ((s, dir) =>
+      Chunking.removeRepeatedPassages(Tables(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 8, maxDocFreq = 2)),
+
     // 5 docs per source stratum, md5-ordered (deterministic pseudo-random).
     "q20_stratified" -> ((s, dir) =>
       Chunking.stratifiedSample(Tables(s, dir, "documents"),
@@ -47,6 +54,30 @@ object PipelineQueries {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |    '[0-9][0-9 ()+.-]{6,}[0-9]', '[NUM]', 'g')) AS redacted_hash
         |FROM documents""".stripMargin,
+
+    "dedup_passage_boilerplate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    cast((i - 1) // 8 as int) AS chunk_idx,
+        |    array_to_string(w[i:i+7], ' ') AS chunk_text
+        |  FROM t, unnest(range(1, greatest(len(w), 1) + 1, 8)) AS u(i)),
+        |cne AS (SELECT * FROM c WHERE chunk_text != ''),
+        |freq AS (
+        |  SELECT chunk_text, count(DISTINCT doc_id) AS df
+        |  FROM cne GROUP BY 1),
+        |kept AS (
+        |  SELECT cne.* FROM cne JOIN freq USING (chunk_text)
+        |  WHERE freq.df <= 2)
+        |SELECT t.doc_id,
+        |  coalesce(string_agg(kept.chunk_text, ' ' ORDER BY kept.chunk_idx), '')
+        |    AS clean_text,
+        |  cast(count(kept.chunk_text) as bigint) AS n_kept
+        |FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+        |GROUP BY t.doc_id""".stripMargin,
 
     "q20_stratified" ->
       """SELECT doc_id, source, lang FROM (

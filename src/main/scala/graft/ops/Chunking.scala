@@ -36,6 +36,43 @@ object Chunking {
       .filter(col("chunk_text") =!= "")
   }
 
+  /**
+   * Repeated-passage (boilerplate) removal — the CCNet/RefinedWeb-style
+   * line-level dedup, expressed over fixed-size token chunks since the
+   * corpus has no line structure: drop every non-overlapping `chunkTokens`
+   * passage that occurs in more than `maxDocFreq` documents (headers,
+   * footers, license blocks, templated spans), then reassemble each
+   * document from its surviving passages in order. Emits
+   * (id, clean_text, n_kept) — `n_kept` = 0 and empty text for a document
+   * that was pure boilerplate.
+   *
+   * Scale shape: passage doc-frequency is a two-level aggregate keyed on
+   * the fixed-width md5 digest of the chunk (distinct (digest, doc) then
+   * count — never a window over the chunk text, and raw passage text is
+   * never a shuffle key); reassembly sorts each document's own surviving
+   * chunks (bounded by document length, not corpus size).
+   */
+  def removeRepeatedPassages(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, maxDocFreq: Long): DataFrame = {
+    // cache: the chunk pipeline feeds both the frequency and the keep branch
+    val digested = chunk(df, idCol, textCol, chunkTokens)
+      .withColumn("__h", md5(col("chunk_text").cast("binary"))).cache()
+    val freq = digested.select(col("__h"), col(idCol)).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__df"))
+    val kept = digested.join(
+      freq.filter(col("__df") <= maxDocFreq).select("__h"), Seq("__h"), "left_semi")
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        s => s.getField("chunk_text"))).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** PII-pattern redaction: emails and long digit runs replaced with
     * placeholder tags. Patterns are RE2/Java-portable (no lookaround). */
   def redact(text: Column): Column = {

@@ -25,6 +25,28 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("repeated-passage removal drops boilerplate chunks, keeps order, empties pure-boilerplate docs") {
+    val boiler = "this site uses cookies please accept terms conditions" // 8 tokens
+    val df = Seq(
+      (1L, s"$boiler unique content one about spark catalyst rules ok"),
+      (2L, s"$boiler unique content two about shuffle partition skew no"),
+      (3L, s"$boiler unique content three about broadcast join hints yes"),
+      (4L, boiler), // pure boilerplate
+      (5L, "fully original document with no shared passages at all here"),
+    ).toDF("doc_id", "text")
+    val out = Chunking.removeRepeatedPassages(df, "doc_id", "text",
+      chunkTokens = 8, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // the shared 8-token chunk (df=4 > 2) is gone; each doc's unique tail
+    // survives in order
+    assert(out(1L) == ("unique content one about spark catalyst rules ok", 1L))
+    assert(out(2L)._1.startsWith("unique content two"))
+    assert(out(4L) == ("", 0L)) // pure boilerplate -> empty, still present
+    assert(out(5L)._1.nonEmpty && out(5L)._2 == 2L) // 10 tokens -> 2 chunks kept
+    // multi-chunk order: both kept chunks of doc 5 in original order
+    assert(out(5L)._1 == "fully original document with no shared passages at all here")
+  }
+
   test("redaction replaces emails and phone-like runs") {
     val df = Seq(
       (1L, "contact me at john.doe+x@example.com or call +1 (555) 123-4567 now"))
