@@ -150,6 +150,14 @@ object OpsQueries {
       TextAnalysis.bm25Search(docs(s, dir), "doc_id", "text",
         Seq("spark", "table", "query"), k = 20)),
 
+    // OOV scoring against the corpus-head vocabulary (top-100 tokens):
+    // one broadcast membership join over the exploded token stream
+    "text_vocab_coverage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.vocabCoverage(d, "doc_id", "text",
+        graft.ops.Relational.topTokens(d, "text", 100).select("token"))
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.contentFingerprint(col("text")).as("fingerprint"))),
@@ -359,6 +367,26 @@ object OpsQueries {
         |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
         |  FROM sims)
         |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    // 1.0 - int/int division: exact-integer operands, one division, one
+    // subtraction — bit-identical cross-engine (DuckDB's 1.0 DECIMAL
+    // literal promotes to the exact double 1.0)
+    "text_vocab_coverage" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |wne AS (SELECT * FROM w WHERE token != ''),
+        |vocab AS (
+        |  SELECT token FROM wne GROUP BY token
+        |  ORDER BY count(*) DESC, token ASC LIMIT 100)
+        |SELECT doc_id,
+        |  cast(count(*) as bigint) AS n_tokens,
+        |  cast(sum(CASE WHEN token IN (SELECT token FROM vocab)
+        |    THEN 1 ELSE 0 END) as bigint) AS n_invocab,
+        |  1.0 - cast(sum(CASE WHEN token IN (SELECT token FROM vocab)
+        |    THEN 1 ELSE 0 END) as double) / count(*) AS oov_ratio
+        |FROM wne GROUP BY doc_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -180,6 +180,37 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /**
+   * Vocabulary coverage / OOV scoring: per document, the fraction of its
+   * token stream outside a reference vocabulary (e.g. a tokenizer's word
+   * list, or the corpus head from [[Relational.topTokens]]). High OOV is a
+   * standard quality/noise signal for training-data filtering.
+   *
+   * Shape: explode tokens once, mark membership with ONE broadcast left
+   * join against the (distinct) vocabulary, and aggregate count+sum per
+   * document — the corpus side shuffles only (id, flag) pairs, and the
+   * vocabulary can be arbitrarily large without turning into a per-row
+   * `isin` literal scan. Documents with no tokens are omitted (no 0/0
+   * ratio row). Ratios are single divisions of exact integer counts —
+   * deterministic cross-engine.
+   */
+  def vocabCoverage(
+      df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, vocabTokenCol: String = "token"): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(graft.functions.hashes.word_tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val marked = toks.join(
+      broadcast(vocab.select(col(vocabTokenCol).as("token")).distinct()
+        .withColumn("__in", lit(1L))),
+      Seq("token"), "left")
+    marked.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(coalesce(col("__in"), lit(0L))).as("n_invocab"))
+      .withColumn("oov_ratio",
+        lit(1.0) - col("n_invocab").cast("double") / col("n_tokens"))
+  }
+
   // -------------------------------------------------------- fingerprints
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —

@@ -105,6 +105,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ranked.map(_.toSeq).sameElements(again.map(_.toSeq)))
   }
 
+  test("vocab coverage: exact OOV counts against an explicit vocabulary") {
+    val df = Seq(
+      (1L, "alpha beta gamma alpha"), // 4 tokens, 3 in vocab (alpha x2, beta)
+      (2L, "delta epsilon zeta"),     // 0 in vocab
+      (3L, "Alpha BETA"),             // normalization: both in vocab
+    ).toDF("doc_id", "text")
+    val vocab = Seq("alpha", "beta").toDF("token")
+    val out = TextAnalysis.vocabCoverage(df, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((4L, 3L, 1.0 - 3.0 / 4)))
+    assert(out(2L) == ((3L, 0L, 1.0)))
+    assert(out(3L) == ((2L, 2L, 0.0)))
+    // the membership join broadcasts the vocabulary — the token stream
+    // must not shuffle for the join itself
+    val plan = TextAnalysis.vocabCoverage(df, "doc_id", "text", vocab)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   test("content fingerprint is whitespace/case insensitive") {
     val df = Seq(
       (1L, "Hello   World"), (2L, "  hello world "), (3L, "hello worlds"))
