@@ -49,6 +49,8 @@ object SinkQueries {
     // Multi-field key: nested directory layers in declared order
     // (`PartitionedFileSetSinkConfig.java:128,133-147`). Verified by grouping
     // the read-back tree by its two partition columns.
+    "sink_range_sharded" -> ((s, dir) => rangeShardRoundTrip(s, dir)),
+
     "sink_multifield_layout" -> ((s, dir) => {
       val out = Files.createTempDirectory("graft_sink_multi").toString
       val li = Tables(s, dir, "lineitem")
@@ -64,12 +66,26 @@ object SinkQueries {
     }),
   )
 
+  /** Range-sharded export round-trip (registered into [[all]] below):
+    * content identity is the oracle; shard-file count and global ordering
+    * are asserted in `SinkSurfaceSpec` (shard boundaries come from a
+    * sampler, so the per-shard split is not oracle-stable — the content
+    * is). */
+  private def rangeShardRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft_sink_range").toString
+    PartitionedSink.writeRangeSharded(
+      Tables(s, dir, "documents"), out, "doc_id", nShards = 8)
+    s.read.parquet(out)
+  }
+
   private def orcAvroOracle = ordersOracle
 
   val oracles: Map[String, String] = Map(
     "sink_parquet_partitioned" -> ordersOracle,
     "sink_orc_partitioned" -> orcAvroOracle,
     "sink_avro_partitioned" -> orcAvroOracle,
+    "sink_range_sharded" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "sink_multifield_layout" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |  cast(sum(cast(round(l_quantity * 100, 0) as bigint)) / 100.0 as double) AS sum_qty

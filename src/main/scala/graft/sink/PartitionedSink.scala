@@ -190,6 +190,23 @@ object PartitionedSink {
     w.mode(SaveMode.Overwrite).saveAsTable(tableName)
   }
 
+  /**
+   * Range-sharded corpus export: `nShards` balanced output files, globally
+   * range-ordered on `sortCol` — every key in shard i sorts before every
+   * key in shard i+1 and rows are sorted within each shard. The standard
+   * layout for sequential training-data consumption (deterministic shard →
+   * worker assignment) and for merge-joinable corpus snapshots. One range
+   * exchange (boundaries from a driver-side reservoir sample — O(sample)
+   * driver memory at any scale) + an in-partition sort; no global
+   * single-partition sort anywhere.
+   */
+  def writeRangeSharded(
+      df: DataFrame, path: String, sortCol: String, nShards: Int,
+      format: SinkFormat = ParquetFormat): Unit =
+    df.repartitionByRange(nShards, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.format(format.name).mode(SaveMode.Overwrite).save(path)
+
   /** T2 analogue (`_CDAPStageName` constant injection,
     * `common/Schemas.java:24-30` + `AvroDynamicPartitionedDatasetSink.java:82-85`):
     * append a constant stage-name column. In Spark the partition-field list

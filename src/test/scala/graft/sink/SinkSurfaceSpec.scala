@@ -173,6 +173,26 @@ class SinkSurfaceSpec extends SparkSpec {
     assert(back == Set((1L, "p1"), (3L, "p2")))
   }
 
+  test("range-sharded write: n files, globally ordered, content-complete") {
+    val out = Files.createTempDirectory("graft_range_shard").toString
+    val docs = Tables(spark, sf0001, "documents")
+    PartitionedSink.writeRangeSharded(docs, out, "doc_id", nShards = 8)
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    val shards = back
+      .groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"), r.getAs[Long]("n")))
+      .sortBy(_._1)
+    assert(shards.length == 8)
+    // global range order: shard i's max key sorts before shard i+1's min
+    shards.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 < b._1, s"overlapping shard ranges: $a vs $b")
+    }
+    // balanced enough to be useful (sampled boundaries, not exact eighths)
+    assert(shards.forall(_._3 > 0))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val li = Tables(spark, sf0001, "lineitem")
       .select("l_orderkey", "l_quantity")
