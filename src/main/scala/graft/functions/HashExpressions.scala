@@ -234,20 +234,13 @@ object hashes {
   def word_tokens(c: Column): Column =
     Bridge.column(WordTokens(Bridge.expression(c)))
 
-  private def intArg(exprs: Seq[Expression], i: Int, default: Int): Int =
-    if (exprs.length > i) exprs(i) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-      case other => other.eval(null).asInstanceOf[Int]
-    } else default
-
-  /** Expose the native expressions to SQL on an existing session:
-    * `SELECT minhash_signature(text), simhash64(text) FROM docs`. */
-  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Bridge.registerFunction(spark, "minhash_signature",
-      exprs => MinHashSignature(exprs.head, intArg(exprs, 1, 64), intArg(exprs, 2, 5)))
-    Bridge.registerFunction(spark, "simhash64", exprs => SimHash64(exprs.head))
-    Bridge.registerFunction(spark, "word_tokens", exprs => WordTokens(exprs.head))
-    Bridge.registerFunction(spark, "word_ngrams",
-      exprs => WordNgrams(exprs.head, intArg(exprs, 1, 3)))
-  }
+  /** Expose the native expressions to SQL on an EXISTING session (temp
+    * functions): `SELECT minhash_signature(text), simhash64(text) ...`.
+    * For cluster-wide installation at session creation, set
+    * `spark.sql.extensions=graft.GraftExtensions` instead — both paths
+    * share [[SqlFunctions.builders]]. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    SqlFunctions.builders.foreach { case (name, builder) =>
+      Bridge.registerFunction(spark, name, builder)
+    }
 }

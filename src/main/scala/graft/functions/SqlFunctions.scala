@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+/**
+ * The library's SQL function surface, shared by the two installation
+ * paths: per-session temp registration ([[hashes.registerSql]]) and
+ * session-creation injection ([[graft.GraftExtensions]]).
+ */
+object SqlFunctions {
+
+  private def intArg(exprs: Seq[Expression], i: Int, default: Int): Int =
+    if (exprs.length > i) exprs(i) match {
+      case Literal(v: Int, _) => v
+      case other => other.eval(null).asInstanceOf[Int]
+    } else default
+
+  /** name → Catalyst expression builder, for every native expression. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "minhash_signature" -> (e =>
+      MinHashSignature(e.head, intArg(e, 1, 64), intArg(e, 2, 5))),
+    "simhash64" -> (e => SimHash64(e.head)),
+    "word_tokens" -> (e => WordTokens(e.head)),
+    "word_ngrams" -> (e => WordNgrams(e.head, intArg(e, 1, 3))),
+    "dot_product" -> (e => DotProduct(e(0), e(1))),
+    "cosine_similarity" -> (e => CosineSimilarity(e(0), e(1))),
+    "sorted_intersect_count" -> (e => SortedIntersectCount(e(0), e(1))),
+  )
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("GraftExtensions injection installs the SQL functions in a fresh session") {
+    val base = spark // materialize the shared context first
+    // spark.sql.extensions is STATIC conf — read from the SparkContext at
+    // first-session creation, so it cannot be exercised on the suite's
+    // shared context. builder.withExtensions drives the exact same
+    // injection (GraftExtensions.apply) through the public API; the conf
+    // route is the documented production deployment. Never stop s2 — that
+    // would kill the shared context.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[8]")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      assert(s2 ne base) // genuinely a fresh session, not the shared one
+      val r = s2.sql(
+        """SELECT word_tokens(' A  B c ') AS toks,
+          |  size(word_ngrams('a b c d', 2)) AS n_grams,
+          |  simhash64('x y') = simhash64('  x   Y ') AS sim_eq,
+          |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+          |  size(minhash_signature('some text', 16, 5)) AS sig_len
+          |""".stripMargin).head()
+      assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+      assert(r.getInt(1) == 3)
+      assert(r.getBoolean(2)) // normalization inside the expression
+      assert(r.getDouble(3) == 11.0)
+      assert(r.getInt(4) == 16)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
