@@ -37,6 +37,34 @@ class RelationalSpec extends SparkSpec {
     assert(plain.size == 4)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (no manual salting)") {
+    // the documented alternative to saltedJoin: one hot key, thresholds
+    // lowered to test-data scale, broadcast disabled so the join is a
+    // skew-splittable sort-merge join
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+      val pad = "x" * 100
+      val facts = ((1 to 20000).map(_ => (1L, pad)) ++
+        (2L to 500L).map(k => (k, pad))).toDF("k", "pad")
+      val dim = (1L to 500L).map(k => (k, s"v$k")).toDF("k", "v")
+      val joined = facts.join(dim, "k")
+      assert(joined.collect().length == 20000 + 499)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skewed"), s"expected AQE skew split in plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("deterministic sample: stable across runs, plausible fraction, portable rule") {
     val df = spark.range(10000).toDF("id")
     val s1 = Relational.deterministicSample(df, "id", 13).collect().map(_.getLong(0)).toSet
