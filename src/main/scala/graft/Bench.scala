@@ -56,13 +56,19 @@ object Bench {
       medians(name) = sorted(sorted.size / 2)
       spreads(name) = sorted.last - sorted.head
     }
+    // ms precision keeps the line compact: the driver captures only the TAIL
+    // of stdout, and round-3's line (full 9-decimal doubles + a second
+    // per-query "spread" map) overflowed that capture — the driver recorded
+    // parsed:null. Spread stays available on stderr for local perf work.
+    def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(m: collection.Map[String, Double]): String =
-      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${medians.size},"n_failed":${errors.size},"iters":$iters,"warmup_sec":$warmup,"errors":$errs,"queries":${jmap(medians)},"spread":${jmap(spreads)},"sf":"$sfDir"}""")
+    System.err.println(s"""bench spread (max-min over $iters iters): ${jmap(spreads)}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${medians.size},"n_failed":${errors.size},"iters":$iters,"warmup_sec":${fmt(warmup)},"errors":$errs,"queries":${jmap(medians)},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
