@@ -101,6 +101,11 @@ object OpsQueries {
       Similarity.nearDupPairs(
         emb(s, dir).filter(col("vec_id") < 1000), dim = 64, threshold = 0.4)),
 
+    // SemDeDup-style semantic dedup: IVF-cell-local greedy eps-dedup over
+    // the embedding space (keep min-id per near-dup group within a cell)
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(emb(s, dir), threshold = 0.4, nCells = 16)),
+
     // -------------------------------------------------------- similarity
     "sim_topk_bruteforce" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -157,6 +162,11 @@ object OpsQueries {
       TextAnalysis.vocabCoverage(d, "doc_id", "text",
         graft.ops.Relational.topTokens(d, "text", 100).select("token"))
     }),
+
+    // Gopher-style repetition signals over word bigrams (dup fraction +
+    // top-gram share — degenerate/templated-document detection)
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text", n = 2)),
 
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -526,5 +536,56 @@ object OpsQueries {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // ratios are single divisions of exact integer counts; top-gram pick is
+    // (count desc, gram asc) row_number — both engine-deterministic
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(
+        |    [array_to_string(w[i:i+1], ' ') for i in range(1, greatest(len(w) - 2, 0) + 2)]) AS gram
+        |  FROM t
+        |), gne AS (SELECT * FROM g WHERE gram != ''),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM gne GROUP BY 1, 2),
+        |r AS (
+        |  SELECT doc_id, gram, cnt,
+        |    cast(sum(cnt) OVER (PARTITION BY doc_id) as bigint) AS n_grams,
+        |    cast(count(*) OVER (PARTITION BY doc_id) as bigint) AS n_distinct,
+        |    cast(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+        |      OVER (PARTITION BY doc_id) as bigint) AS n_dup,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY cnt DESC, gram ASC) AS rn
+        |  FROM c)
+        |SELECT doc_id, n_grams, n_distinct, n_dup,
+        |  cast(n_dup as double) / n_grams AS dup_fraction,
+        |  gram AS top_gram,
+        |  cast(cnt as double) / n_grams AS top_fraction
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // replicates the full algorithm like sim_topk_ivf: md5-ordered centroid
+    // pick, argmin cell assignment (same tiebreak), unrounded cosine
+    // threshold (bit-identical sequential folds), min-id greedy keep
+    "dedup_semantic" ->
+      """WITH v AS (
+        |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
+        |), cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) - 1 AS cell, e
+        |  FROM v ORDER BY md5(cast(vec_id as varchar)) LIMIT 16
+        |), cassign AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT n.vec_id, n.e, c.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY -(list_inner_product(n.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+        |                 c.cell ASC) AS r
+        |    FROM v n CROSS JOIN cent c) WHERE r = 1
+        |), dom AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM cassign a JOIN cassign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.e, b.e) >= 0.4)
+        |SELECT c.vec_id, cast(c.cell as int) AS cell
+        |FROM cassign c WHERE c.vec_id NOT IN (SELECT vec_id FROM dom)""".stripMargin,
   )
 }

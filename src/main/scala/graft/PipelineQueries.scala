@@ -30,6 +30,12 @@ object PipelineQueries {
       Chunking.stratifiedSample(Tables(s, dir, "documents"),
         "source", "doc_id", perGroup = 5)
         .select("doc_id", "source", "lang")),
+
+    // GPT-style concat-and-split training-sequence layout: 512-token
+    // sequences over 8 independent shards (per-shard prefix sum).
+    "pack_sequences" -> ((s, dir) =>
+      Chunking.packSequences(Tables(s, dir, "documents"), "doc_id", "text",
+        seqLen = 512, nShards = 8)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -86,5 +92,25 @@ object PipelineQueries {
         |      ORDER BY md5(cast(doc_id as varchar)) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 5""".stripMargin,
+
+    // pure exact-integer prefix-sum arithmetic — engine-reproducible
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, cast(doc_id % 8 as int) AS shard,
+        |    cast(len(string_split(
+        |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) as bigint)
+        |      AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    cast(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint)
+        |      AS tok_before
+        |  FROM t)
+        |SELECT doc_id, shard, n_tokens,
+        |  tok_before // 512 AS start_seq,
+        |  tok_before % 512 AS start_off,
+        |  (tok_before + n_tokens - 1) // 512 AS end_seq
+        |FROM c""".stripMargin,
   )
 }

@@ -131,6 +131,95 @@ object RelationalQueries {
         .except(o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey"))
     }),
 
+    // Explicit GROUPING SETS (priority-only, status-only, grand total) —
+    // the general form behind rollup/cube (q10/q23).
+    "q28_grouping_sets" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents(col("o_totalprice"))) / 100.0).as("total_price"))),
+
+    // Exact discrete percentiles (p25/p50/p75) per priority, computed by
+    // explicit rank selection over integer cents — rn = ceil(p·n) with
+    // binary-exact p, so the picked rank is engine-reproducible (unlike
+    // interpolating quantiles at p∉{0,.5,1}, where the lerp arithmetic
+    // differs across engines by an ulp). One window shuffle.
+    "q29_percentiles" -> ((s, dir) => {
+      val c = cents(col("o_totalprice"))
+      val byP = Window.partitionBy("o_orderpriority")
+      val ranked = Tables(s, dir, "orders")
+        .withColumn("__c", c)
+        .withColumn("__rn", row_number().over(
+          byP.orderBy(col("__c").asc, col("o_orderkey").asc)))
+        .withColumn("__n", count(lit(1)).over(byP))
+      def pick(p: Double) =
+        max(when(col("__rn") === ceil(col("__n") * p), col("__c"))) / 100.0
+      ranked.groupBy("o_orderpriority")
+        .agg(pick(0.25).as("p25"), pick(0.5).as("p50"), pick(0.75).as("p75"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Funnel analysis on the event stream: per user, the deepest
+    // view→click→purchase stage reached IN ORDER, each step within 2 days
+    // of the previous one (the conversion-window form — unbounded steps
+    // degenerate to "did all three ever happen"). Three unbounded
+    // min-windows over the same user partition — a single shuffle, no sort
+    // (unbounded frames), group size bounded by per-user event count.
+    "q30_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select("user_id", "event_type", "ts")
+      val w = Window.partitionBy("user_id")
+      val step = expr("INTERVAL 2 DAYS")
+      val s1 = e.withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      val s2 = s1.withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1")
+          && col("ts") <= col("t1") + step, col("ts"))).over(w))
+      val s3 = s2.withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2")
+          && col("ts") <= col("t2") + step, col("ts"))).over(w))
+      s3.groupBy("user_id")
+        .agg(max(when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1).otherwise(0)).as("funnel_stage"))
+        .groupBy("funnel_stage").agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Weekly cohort retention: cohort = a user's first active epoch-week;
+    // n_users = distinct users from that cohort active k weeks later.
+    // Integer epoch-week arithmetic end-to-end; two aggregations
+    // co-partitioned on user_id plus the final rollup.
+    "q31_retention" -> ((s, dir) => {
+      val wk = Tables.events(s, dir).select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 604800).cast("long").as("week"))
+      val coh = wk.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      wk.distinct().join(coh, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // Click-to-view attribution: every (click, view) pair by the same user
+    // with the view at most 10 minutes before the click. Equi-join on
+    // user_id (sort-merge/shuffle-hash — the range condition is a post-join
+    // filter, NOT a broadcast-nested-loop) — the batch twin of the
+    // streaming interval join in streaming/EventStream.
+    "q32_attribution" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val k = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      k.join(v, Seq("user_id"))
+        .filter(col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr("INTERVAL 10 MINUTES"))
+        .select(col("user_id"), col("click_id"), col("view_id"),
+          (unix_timestamp(col("click_ts")) - unix_timestamp(col("view_ts")))
+            .as("delta_s"))
+    }),
+
     // Salted join must be result-identical to the plain join (oracle is
     // the plain SQL join) — demonstrates the skew-mitigation path.
     "q17_salted_join" -> ((s, dir) =>
@@ -236,6 +325,75 @@ object RelationalQueries {
       """SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin,
+
+    "q28_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |  cast(sum(cast(round(o_totalprice * 100, 0) as bigint)) / 100.0 as double) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin,
+
+    // ceil(p·n) with binary-exact p (0.25/0.5/0.75) and exact-integer n is
+    // reproducible; DuckDB's n*0.25 is DECIMAL arithmetic (exact), Spark's
+    // is double (exact: n < 2^52) — both ceil to the same integer rank
+    "q29_percentiles" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |    cast(round(o_totalprice * 100, 0) as bigint) AS c,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY cast(round(o_totalprice * 100, 0) as bigint) ASC,
+        |               o_orderkey ASC) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  cast(max(CASE WHEN rn = cast(ceil(n * 0.25) as bigint) THEN c END) / 100.0 as double) AS p25,
+        |  cast(max(CASE WHEN rn = cast(ceil(n * 0.5) as bigint) THEN c END) / 100.0 as double) AS p50,
+        |  cast(max(CASE WHEN rn = cast(ceil(n * 0.75) as bigint) THEN c END) / 100.0 as double) AS p75,
+        |  cast(count(*) as bigint) AS n
+        |FROM r GROUP BY o_orderpriority""".stripMargin,
+
+    "q30_funnel" ->
+      """WITH w1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+        |      AND ts <= t1 + INTERVAL 2 DAY THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t2
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+        |      AND ts <= t2 + INTERVAL 2 DAY THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t3
+        |  FROM w2),
+        |u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |             WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS funnel_stage
+        |  FROM w3 GROUP BY user_id)
+        |SELECT funnel_stage, cast(count(*) as bigint) AS n_users
+        |FROM u GROUP BY funnel_stage""".stripMargin,
+
+    "q31_retention" ->
+      """WITH wk AS (
+        |  SELECT user_id,
+        |    (floor(epoch(ts))::BIGINT) // 604800 AS week
+        |  FROM events),
+        |coh AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, week FROM wk)
+        |SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+        |  cast(count(*) as bigint) AS n_users
+        |FROM act a JOIN coh c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q32_attribution" ->
+      """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        |  floor(epoch(c.ts))::BIGINT - floor(epoch(v.ts))::BIGINT AS delta_s
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE""".stripMargin,
 
     "q17_salted_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,

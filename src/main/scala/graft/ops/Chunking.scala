@@ -73,6 +73,40 @@ object Chunking {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /**
+   * Training-sequence packing (the GPT-style concat-and-split layout):
+   * documents are laid out end-to-end in id order within each of `nShards`
+   * independent shards, and the resulting token stream is cut into
+   * fixed-`seqLen` training sequences. Emits, per document, its span in
+   * the packed layout: (shard, n_tokens, start_seq, start_off, end_seq) —
+   * enough for a writer to materialize sequence files, and for an auditor
+   * to locate any document's tokens.
+   *
+   * Scale shape: the layout is one prefix sum per shard — a window over
+   * the shard key ordered by id. Shards are INDEPENDENT streams (as in
+   * real pretraining data layouts), so parallelism = `nShards`; pick
+   * nShards ≥ cluster cores at scale and no single sort dominates. All
+   * arithmetic is exact integers — engine-reproducible.
+   */
+  def packSequences(
+      df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, nShards: Int): DataFrame = {
+    require(seqLen > 0 && nShards > 0)
+    val t = df.select(col(idCol),
+      pmod(col(idCol), lit(nShards)).cast("int").as("shard"),
+      size(graft.functions.hashes.word_tokens(col(textCol))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // token count before this doc in its shard; values < 2^52 so the
+    // floor(double) divisions below are exact integer arithmetic
+    val before = coalesce(sum(col("n_tokens")).over(w), lit(0L))
+    t.withColumn("__before", before)
+      .select(col(idCol), col("shard"), col("n_tokens"),
+        floor(col("__before") / seqLen).cast("long").as("start_seq"),
+        pmod(col("__before"), lit(seqLen.toLong)).as("start_off"),
+        floor((col("__before") + col("n_tokens") - 1) / seqLen).cast("long").as("end_seq"))
+  }
+
   /** PII-pattern redaction: emails and long digit runs replaced with
     * placeholder tags. Patterns are RE2/Java-portable (no lookaround). */
   def redact(text: Column): Column = {

@@ -230,6 +230,57 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim_r"), col("rnk"))
   }
 
+  /**
+   * SemDeDup-style semantic deduplication: partition the corpus into
+   * `nCells` Voronoi cells around the SAME deterministic md5-order
+   * centroids as [[ivfTopK]], then WITHIN each cell drop every vector that
+   * has a lower-id member at cosine ≥ `threshold` (keep-the-min-id
+   * representative, the standard greedy eps-dedup). Cross-cell near-dups
+   * are intentionally not compared — that locality is exactly what makes
+   * the method linear-ish instead of quadratic (Abbas et al.'s SemDeDup
+   * trades a little recall for cluster-local pair generation).
+   *
+   * Scale shape: pair generation joins on the cell id, so cost is
+   * Σ cell² — pick nCells so cells fit comfortably (at 100 TB: tens of
+   * thousands of cells from a refined sample, same seeding discipline).
+   * Fully deterministic (centroid pick, argmin assignment, id tiebreak),
+   * so the DuckDB oracle replicates the whole algorithm.
+   *
+   * Returns the KEPT rows as (idCol, cell).
+   */
+  def semanticDedup(
+      df: DataFrame, threshold: Double, nCells: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // deterministic centroid seed — identical to ivfTopK's (refineIters=0)
+    val cents: Array[(Int, Array[Double])] = df
+      .select(col(idCol).cast("string").as("sid"), toDouble(col(vecCol)).as("v"))
+      .withColumn("__o", md5(col("sid").cast("binary")))
+      .orderBy(col("__o")).limit(nCells)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap)
+    def cellOf(vec: Column): Column = {
+      val scored = cents.map { case (i, c) =>
+        val dist = -(dot(vec, typedlit(c.toSeq)) - lit(c.map(x => x * x).sum / 2))
+        struct(dist.as("d"), lit(i).as("cell"))
+      }
+      element_at(array_sort(array(scored: _*)), 1)("cell")
+    }
+    val v = df.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("vec"))
+      .withColumn("vnorm", norm(col("vec")))
+      .withColumn("cell", cellOf(col("vec")))
+    val a = v.select(col("cell"), col("vid").as("a_id"),
+      col("vec").as("a_vec"), col("vnorm").as("a_norm"))
+    val b = v.select(col("cell"), col("vid").as("b_id"),
+      col("vec").as("b_vec"), col("vnorm").as("b_norm"))
+    val dominated = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter((dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
+        >= threshold)
+      .select(col("b_id").as("vid")).distinct()
+    v.join(dominated, Seq("vid"), "left_anti")
+      .select(col("vid").as(idCol), col("cell"))
+  }
+
   /** Exact embedding near-duplicate pairs: all pairs with cosine >=
     * threshold via blocked cross join — the correctness baseline for
     * [[nearDupPairs]] and the oracle-checked variant. */

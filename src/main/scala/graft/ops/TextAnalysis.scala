@@ -211,6 +211,55 @@ object TextAnalysis {
         lit(1.0) - col("n_invocab").cast("double") / col("n_tokens"))
   }
 
+  // ------------------------------------------------------- repetition
+
+  /**
+   * Gopher-style within-document repetition signals over word `n`-grams
+   * (the corpus has no line structure, so the line/paragraph variants of
+   * the heuristic are expressed on token n-grams): per document,
+   *  - `n_grams` / `n_distinct` — total and distinct n-gram counts,
+   *  - `dup_fraction` — fraction of n-gram occurrences whose gram occurs
+   *    more than once (the "duplicate n-gram character fraction" proxy),
+   *  - `top_gram` / `top_fraction` — the most frequent n-gram (count desc,
+   *    gram asc tiebreak) and its share of all occurrences.
+   * High values flag boilerplate/templated/degenerate documents.
+   *
+   * Scale shape: per-(doc, gram) counts are a hash aggregate keyed on the
+   * document id + gram; the per-document rollup is a window partitioned by
+   * the document id — group size is bounded by DOCUMENT length, never
+   * corpus size, so there is no skew cliff at 100 TB. Ratios are single
+   * divisions of exact integer counts (engine-exact, see oracle).
+   */
+  def repetitionSignals(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0)
+    // grams WITH multiplicity (WordNgrams dedups, so compose from the bound
+    // token column instead): one slice+join per gram start
+    val toks = df.select(col(idCol),
+      graft.functions.hashes.word_tokens(col(textCol)).as("__w"))
+    val w = col("__w")
+    val grams = transform(
+      sequence(lit(0), greatest(size(w) - n, lit(0))),
+      i => concat_ws(" ", slice(w, i + 1, lit(n))))
+    val cnt = toks.select(col(idCol), explode(grams).as("gram"))
+      .filter(col("gram") =!= "")
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+    val wDoc = Window.partitionBy(col(idCol))
+    val wRank = wDoc.orderBy(col("cnt").desc, col("gram").asc)
+    cnt
+      .withColumn("n_grams", sum(col("cnt")).over(wDoc))
+      .withColumn("n_distinct", count(lit(1)).over(wDoc))
+      .withColumn("n_dup", sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).over(wDoc))
+      .withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") === 1)
+      .select(col(idCol),
+        col("n_grams"), col("n_distinct"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_grams")).as("dup_fraction"),
+        col("gram").as("top_gram"),
+        (col("cnt").cast("double") / col("n_grams")).as("top_fraction"))
+  }
+
   // -------------------------------------------------------- fingerprints
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —

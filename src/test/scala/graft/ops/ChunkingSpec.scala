@@ -79,4 +79,26 @@ class ChunkingSpec extends SparkSpec {
     assert(rows(0).getSeq[Long](1) == rows(1).getSeq[Long](1))
     assert(rows(0).getLong(2) == rows(1).getLong(2))
   }
+
+  test("sequence packing: per-shard prefix sums and span boundaries") {
+    import spark.implicits._
+    def words(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    // shard = id % 2: shard 0 gets ids 0 (6 tok), 2 (8 tok), 4 (3 tok);
+    // shard 1 gets id 1 (12 tok)
+    val df = Seq(0L -> words(6), 1L -> words(12), 2L -> words(8), 4L -> words(3))
+      .toDF("doc_id", "text")
+    val out = Chunking.packSequences(df, "doc_id", "text", seqLen = 10, nShards = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("shard"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("start_seq"), r.getAs[Long]("start_off"),
+          r.getAs[Long]("end_seq"))).toMap
+    assert(out(0L) == (0, 6L, 0L, 0L, 0L))        // tokens [0,6) of shard 0
+    assert(out(2L) == (0, 8L, 0L, 6L, 1L))        // [6,14) crosses seq 0→1
+    assert(out(4L) == (0, 3L, 1L, 4L, 1L))        // [14,17) inside seq 1
+    assert(out(1L) == (1, 12L, 0L, 0L, 1L))       // own shard: [0,12)
+    // spans tile each shard exactly: next start_off = (prev off + n) % 10
+    intercept[IllegalArgumentException] {
+      Chunking.packSequences(df, "doc_id", "text", 0, 2)
+    }
+  }
 }

@@ -125,4 +125,25 @@ class SimilaritySpec extends SparkSpec {
     assert(b1(0) == b1(3))
     assert(b1(0) != b1(4))
   }
+
+  test("semantic dedup: min-id representative survives, near-dups drop, distinct vectors kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.995f, 0.1f, 0f, 0f)),   // near-dup of 1 (cos ≈ 0.995)
+      (3L, Array(0f, 1f, 0f, 0f)),          // orthogonal — must survive
+      (4L, Array(0.99f, 0.12f, 0.01f, 0f)), // near-dup of 1 and 2
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(df, threshold = 0.9, nCells = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L)) // 2 and 4 dominated by min-id 1
+    // high threshold: nothing is similar enough to drop
+    val keptAll = Similarity.semanticDedup(df, threshold = 0.9999, nCells = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptAll == Set(1L, 2L, 3L, 4L))
+    // determinism: same input → same kept set and cells
+    val again = Similarity.semanticDedup(df, threshold = 0.9, nCells = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept)
+  }
 }

@@ -148,4 +148,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res(1L)._2 == 3)
     assert(res(1L)._1 != res(3L)._1)
   }
+
+  test("repetition signals: exact dup fraction, deterministic top-gram tiebreak") {
+    import spark.implicits._
+    // doc 1 bigrams: "a b","b a","a b","b c" → counts {a b:2, b a:1, b c:1}
+    // doc 2 bigrams: all distinct
+    val df = Seq((1L, "a b a b c"), (2L, "x y z w")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_grams") == 4 && r1.getAs[Long]("n_distinct") == 3)
+    assert(r1.getAs[Long]("n_dup") == 2)
+    assert(r1.getAs[Double]("dup_fraction") == 0.5)
+    assert(r1.getAs[String]("top_gram") == "a b")
+    assert(r1.getAs[Double]("top_fraction") == 0.5)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_dup") == 0 && r2.getAs[Long]("n_grams") == 3)
+    // tie on count → lexicographically smallest gram wins
+    assert(r2.getAs[String]("top_gram") == "x y")
+  }
 }
