@@ -80,6 +80,36 @@ object EventStream {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /**
+   * Stream-stream interval join — click-to-view attribution, the streaming
+   * twin of the batch `q32_attribution` query: each click pairs with the
+   * same user's views at most `windowMinutes` before it.
+   *
+   * Both sides carry watermarks, so the state store holds only views whose
+   * join window can still match a future click: once the click-side
+   * watermark passes `view_ts + window`, the buffered view is evicted.
+   * That is the property that makes a stream-stream join runnable forever
+   * — an un-watermarked join would buffer both streams unboundedly. State
+   * is partitioned by `user_id` (the equi-key) across executors.
+   */
+  def attributionJoin(
+      views: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 10, watermarkDelay: String = "30 minutes"): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermarkDelay)
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    c.as("c").join(v.as("v"),
+      expr(s"""c.user_id = v.user_id
+              |AND c.click_ts >= v.view_ts
+              |AND c.click_ts <= v.view_ts + interval $windowMinutes minutes""".stripMargin))
+      .select(col("c.user_id").as("user_id"), col("click_id"), col("view_id"),
+        (unix_timestamp(col("click_ts")) - unix_timestamp(col("view_ts")))
+          .as("delta_s"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
 

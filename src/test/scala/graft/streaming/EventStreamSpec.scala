@@ -177,6 +177,34 @@ class EventStreamSpec extends SparkSpec {
     assert(collected.toSeq == Seq((100L, 1L))) // dup found, novel doc clean
   }
 
+  test("stream-stream interval join matches the batch attribution join") {
+    val events = Tables.events(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj_in").toString
+    events.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    def streamSide(t: String) =
+      spark.readStream.schema(schema).parquet(dir)
+        .filter(col("event_type") === t)
+
+    val q = EventStream.attributionJoin(streamSide("view"), streamSide("click"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("attr_out")
+      .select("user_id", "click_id", "view_id", "delta_s")
+      .collect().map(_.toSeq).toSet
+    val static = events
+    val batch = EventStream.attributionJoin(
+      static.filter(col("event_type") === "view"),
+      static.filter(col("event_type") === "click"))
+      .select("user_id", "click_id", "view_id", "delta_s")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("batch sessionize: exact session boundaries at the 30-min gap") {
     val df = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 7L),
