@@ -220,6 +220,36 @@ object RelationalQueries {
             .as("delta_s"))
     }),
 
+    // Rolling 7-day spend per customer: RANGE-frame window over integer
+    // epoch-days (peers at the same day share the frame in both engines).
+    // One shuffle on the customer key; frame arithmetic is exact cents.
+    "q33_rolling" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("day"),
+        cents(col("o_totalprice")).as("__c"))
+      val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      o.withColumn("__roll", sum(col("__c")).over(w))
+        .select(col("o_orderkey"), col("o_custkey"), col("day"),
+          (col("__roll") / 100.0).as("rolling7"))
+    }),
+
+    // Sketch twin of q29 (t-digest/Greenwald-Khanna style approx
+    // percentiles). No oracle: sketch internals are implementation-defined;
+    // RelationalSpec bounds the rank error against the exact q29 values.
+    "q34_percentiles_approx" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          (element_at(percentile_approx(cents(col("o_totalprice")),
+            typedlit(Seq(0.25, 0.5, 0.75)), lit(10000)), 1) / 100.0).as("p25_approx"),
+          (element_at(percentile_approx(cents(col("o_totalprice")),
+            typedlit(Seq(0.25, 0.5, 0.75)), lit(10000)), 2) / 100.0).as("p50_approx"),
+          (element_at(percentile_approx(cents(col("o_totalprice")),
+            typedlit(Seq(0.25, 0.5, 0.75)), lit(10000)), 3) / 100.0).as("p75_approx"),
+          count(lit(1)).as("n"))),
+
     // Salted join must be result-identical to the plain join (oracle is
     // the plain SQL join) — demonstrates the skew-mitigation path.
     "q17_salted_join" -> ((s, dir) =>
@@ -386,6 +416,18 @@ object RelationalQueries {
         |  cast(count(*) as bigint) AS n_users
         |FROM act a JOIN coh c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // RANGE frame peers-at-same-day semantics are SQL-standard; sum is
+    // exact integer cents divided once at the end
+    "q33_rolling" ->
+      """SELECT o_orderkey, o_custkey,
+        |  cast(datediff('day', DATE '1970-01-01', o_orderdate) as int) AS day,
+        |  cast(sum(cast(round(o_totalprice * 100, 0) as bigint)) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0 as double)
+        |    AS rolling7
+        |FROM orders""".stripMargin,
 
     "q32_attribution" ->
       """SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,

@@ -456,22 +456,42 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val r = numHashes / bands
-    val banded = sigs.select(
-      col("doc_id"), col("sig"),
+    // materialized once: the upstream is typically the native minhash
+    // signature over the full text — without the cache the banded index and
+    // both signature-fetch joins below would each recompute it
+    val sigsC = sigs.cache()
+    // the banded self-join carries ONLY (band, band_hash, id) — 24 bytes a
+    // row. Shuffling the 64-lane signatures through the candidate join
+    // (the old shape) multiplies the big shuffle's width ~20×; instead the
+    // few UNIQUE candidate pairs fetch their two signatures afterwards from
+    // the cached signature table (id-keyed joins whose probe side is the
+    // candidate list, which is tiny relative to the banded index).
+    val banded = sigsC.select(
+      col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val a = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("a_id"), col("sig").as("a_sig"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("b_id"), col("sig").as("b_sig"))
-    a.join(b, Seq("band", "band_hash")).filter(col("a_id") < col("b_id"))
+    val a = banded.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
+    val b = banded.select(col("band"), col("band_hash"), col("doc_id").as("b_id"))
+    // dedup multi-band collisions BEFORE scoring: est_jaccard is a pure
+    // function of the pair, so the 64-lane agreement count runs once per
+    // unique pair instead of once per colliding band
+    val cands = a.join(b, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val result = cands
+      .join(sigsC.select(col("doc_id").as("a_id"), col("sig").as("a_sig")), Seq("a_id"))
+      .join(sigsC.select(col("doc_id").as("b_id"), col("sig").as("b_sig")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         (size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
           bit => bit)).cast("double") / numHashes).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
+    // materialize the (tiny) pair result so the signature cache is released
+    // at operator exit instead of living until session cache-clear
+    val out = result.localCheckpoint()
+    sigsC.unpersist(blocking = true)
+    out
   }
 
   /** End-to-end MinHash dedup: signatures → banded candidates → connected

@@ -93,4 +93,21 @@ class RelationalSpec extends SparkSpec {
     val approx = docs.agg(approx_count_distinct(col("text"), 0.02)).head().getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
+
+  test("approx percentile sketch tracks the exact rank-selected percentiles") {
+    def collect3(name: String) =
+      graft.RelationalQueries.all(name)(spark, sf001)
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = collect3("q29_percentiles")
+    val approx = collect3("q34_percentiles_approx")
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    exact.foreach { case (k, (e25, e50, e75)) =>
+      val (a25, a50, a75) = approx(k)
+      Seq((e25, a25), (e50, a50), (e75, a75)).foreach { case (e, a) =>
+        assert(math.abs(a - e) <= 0.02 * math.abs(e) + 1.0,
+          s"$k: approx $a deviates from exact $e")
+      }
+    }
+  }
 }
