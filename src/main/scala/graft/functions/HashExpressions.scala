@@ -219,6 +219,81 @@ case class WordTokens(child: Expression)
     copy(child = newChild)
 }
 
+/**
+ * Within-document repetition statistics over word n-grams (with
+ * multiplicity) in ONE row-local pass:
+ * struct(n_grams, n_distinct, n_dup, top_gram, top_cnt), where `n_dup`
+ * counts occurrences of grams appearing more than once and `top_gram` is
+ * the most frequent gram with the lexicographically-smallest tiebreak.
+ * Declaratively this takes an explode + per-(doc,gram) aggregate + per-doc
+ * window — two corpus-wide shuffles for what is inherently per-row work;
+ * here it's a HashMap pass per document, zero shuffle at any scale.
+ * Tokenization is the JVM twin of `Dedup.normalize` (same as WordTokens).
+ */
+case class RepetitionStats(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  require(n > 0)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("n_dup", LongType, nullable = false),
+    StructField("top_gram", StringType, nullable = true),
+    StructField("top_cnt", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = TextNormJvm.normalize(input.toString)
+    val toks = text.split(' ')
+    val counts = new java.util.HashMap[String, Long]()
+    val sb = new java.lang.StringBuilder(64)
+    var total = 0L
+    var i = 0
+    val last = toks.length - n
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val g = sb.toString
+      if (g.nonEmpty) { // mirrors the declarative filter(gram != '')
+        counts.merge(g, 1L, java.lang.Long.sum(_, _))
+        total += 1
+      }
+      i += 1
+    }
+    // short text (< n tokens): emit the single truncated gram like the
+    // declarative slice does, handled by the loop above (last < 0 → none)
+    if (last < 0 && text.nonEmpty) {
+      counts.merge(text, 1L, java.lang.Long.sum(_, _))
+      total += 1
+    }
+    var dup = 0L
+    var topCnt = 0L
+    var topGram: String = null
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue
+      if (c > 1) dup += c
+      if (c > topCnt || (c == topCnt && (topGram == null || e.getKey < topGram))) {
+        topCnt = c
+        topGram = e.getKey
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      total, counts.size.toLong, dup,
+      if (topGram == null) null else UTF8String.fromString(topGram), topCnt)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers for the native expressions. */
 object hashes {
   def minhash_signature(c: Column, numHashes: Int = 64, shingleLen: Int = 5): Column =
@@ -233,6 +308,9 @@ object hashes {
 
   def word_tokens(c: Column): Column =
     Bridge.column(WordTokens(Bridge.expression(c)))
+
+  def repetition_stats(c: Column, n: Int): Column =
+    Bridge.column(RepetitionStats(Bridge.expression(c), n))
 
   /** Expose the native expressions to SQL on an EXISTING session (temp
     * functions): `SELECT minhash_signature(text), simhash64(text) ...`.

@@ -265,9 +265,13 @@ object Similarity {
       }
       element_at(array_sort(array(scored: _*)), 1)("cell")
     }
+    // materialized once: the assignment (nCells dots per row over the
+    // parquet scan) feeds three plan branches (both pair sides + the
+    // anti-join base); released at exit via the localCheckpoint pattern
     val v = df.select(col(idCol).as("vid"), toDouble(col(vecCol)).as("vec"))
       .withColumn("vnorm", norm(col("vec")))
       .withColumn("cell", cellOf(col("vec")))
+      .cache()
     val a = v.select(col("cell"), col("vid").as("a_id"),
       col("vec").as("a_vec"), col("vnorm").as("a_norm"))
     val b = v.select(col("cell"), col("vid").as("b_id"),
@@ -277,8 +281,11 @@ object Similarity {
       .filter((dot(col("a_vec"), col("b_vec")) / (col("a_norm") * col("b_norm")))
         >= threshold)
       .select(col("b_id").as("vid")).distinct()
-    v.join(dominated, Seq("vid"), "left_anti")
+    val out = v.join(dominated, Seq("vid"), "left_anti")
       .select(col("vid").as(idCol), col("cell"))
+      .localCheckpoint()
+    v.unpersist(blocking = true)
+    out
   }
 
   /** Exact embedding near-duplicate pairs: all pairs with cosine >=

@@ -224,40 +224,30 @@ object TextAnalysis {
    *    gram asc tiebreak) and its share of all occurrences.
    * High values flag boilerplate/templated/degenerate documents.
    *
-   * Scale shape: per-(doc, gram) counts are a hash aggregate keyed on the
-   * document id + gram; the per-document rollup is a window partitioned by
-   * the document id — group size is bounded by DOCUMENT length, never
-   * corpus size, so there is no skew cliff at 100 TB. Ratios are single
-   * divisions of exact integer counts (engine-exact, see oracle).
+   * Scale shape: the statistics are inherently PER-DOCUMENT, so they are
+   * computed by the native one-pass [[graft.functions.RepetitionStats]]
+   * expression — zero shuffle at any corpus size (the declarative
+   * explode → per-(doc,gram) aggregate → per-doc window formulation pays
+   * two corpus-wide shuffles for row-local work and was measured ~4×
+   * slower at sf0.1). Ratios are single divisions of exact integer counts
+   * (engine-exact, see oracle). Documents whose gram stream is empty
+   * (empty/whitespace-only text) are omitted, matching the aggregate
+   * formulation and the SQL oracle.
    */
   def repetitionSignals(
       df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(n > 0)
-    // grams WITH multiplicity (WordNgrams dedups, so compose from the bound
-    // token column instead): one slice+join per gram start
-    val toks = df.select(col(idCol),
-      graft.functions.hashes.word_tokens(col(textCol)).as("__w"))
-    val w = col("__w")
-    val grams = transform(
-      sequence(lit(0), greatest(size(w) - n, lit(0))),
-      i => concat_ws(" ", slice(w, i + 1, lit(n))))
-    val cnt = toks.select(col(idCol), explode(grams).as("gram"))
-      .filter(col("gram") =!= "")
-      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
-    val wDoc = Window.partitionBy(col(idCol))
-    val wRank = wDoc.orderBy(col("cnt").desc, col("gram").asc)
-    cnt
-      .withColumn("n_grams", sum(col("cnt")).over(wDoc))
-      .withColumn("n_distinct", count(lit(1)).over(wDoc))
-      .withColumn("n_dup", sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).over(wDoc))
-      .withColumn("__rn", row_number().over(wRank))
-      .filter(col("__rn") === 1)
+    val st = col("__st")
+    df.select(col(idCol),
+      graft.functions.hashes.repetition_stats(col(textCol), n).as("__st"))
+      .filter(st("n_grams") > 0)
       .select(col(idCol),
-        col("n_grams"), col("n_distinct"), col("n_dup"),
-        (col("n_dup").cast("double") / col("n_grams")).as("dup_fraction"),
-        col("gram").as("top_gram"),
-        (col("cnt").cast("double") / col("n_grams")).as("top_fraction"))
+        st("n_grams").as("n_grams"),
+        st("n_distinct").as("n_distinct"),
+        st("n_dup").as("n_dup"),
+        (st("n_dup").cast("double") / st("n_grams")).as("dup_fraction"),
+        st("top_gram").as("top_gram"),
+        (st("top_cnt").cast("double") / st("n_grams")).as("top_fraction"))
   }
 
   // -------------------------------------------------------- fingerprints
