@@ -100,5 +100,10 @@ class ChunkingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Chunking.packSequences(df, "doc_id", "text", 0, 2)
     }
+    // one prefix-sum window per shard → exactly one shuffle in the plan
+    val plan = Chunking.packSequences(df, "doc_id", "text", 10, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"packing must be a single per-shard window shuffle:\n$plan")
   }
 }

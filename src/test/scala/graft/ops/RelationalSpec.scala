@@ -94,6 +94,17 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.1)
   }
 
+  test("funnel plans as one user shuffle feeding all three windows plus the stage rollup") {
+    val plan = graft.RelationalQueries.all("q30_funnel")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // exchange 1: hashpartitioning(user_id) shared by the three unbounded
+    // min-windows AND the per-user aggregate; exchange 2: the tiny final
+    // rollup on funnel_stage. Anything more means a window re-shuffled.
+    assert(plan.split("Exchange").length - 1 == 2,
+      s"expected exactly 2 exchanges:\n$plan")
+    assert(plan.split("windowspecdefinition\\(user_id").length - 1 == 3)
+  }
+
   test("approx percentile sketch tracks the exact rank-selected percentiles") {
     def collect3(name: String) =
       graft.RelationalQueries.all(name)(spark, sf001)

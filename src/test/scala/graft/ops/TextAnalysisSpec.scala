@@ -149,6 +149,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res(1L)._1 != res(3L)._1)
   }
 
+  test("repetition signals are zero-shuffle: no Exchange in the plan") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val plan = TextAnalysis.repetitionSignals(df, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition must stay row-local:\n$plan")
+  }
+
   test("repetition signals: exact dup fraction, deterministic top-gram tiebreak") {
     import spark.implicits._
     // doc 1 bigrams: "a b","b a","a b","b c" → counts {a b:2, b a:1, b c:1}
