@@ -285,19 +285,43 @@ object Dedup {
       bands: Int = 16, threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0)
     val r = numHashes / bands
+    // id-only banded sides (the corpus band index would otherwise carry the
+    // 64-lane signature through the big join — see minhashCandidatePairs);
+    // signatures are fetched per UNIQUE candidate pair afterwards. At
+    // production scale corpusSigs is a persisted table, so the two
+    // id-keyed fetch joins read it where it rests.
     def banded(sigs: DataFrame, side: String) = sigs.select(
-      col("doc_id").as(s"${side}_id"), col("sig").as(s"${side}_sig"),
+      col("doc_id").as(s"${side}_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(slice(col("sig"), bnd * r + 1, lit(r))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    // new-batch signatures cached: they feed the band index and the fetch
+    // join (the native signature pass is the expensive part). The corpus
+    // side is ALSO read twice now — materialize it only if the caller
+    // hasn't (a persisted/at-rest signature table, the production shape,
+    // must not be cache-thrashed or unpersisted out from under the caller)
     val newSigs = minhashSignatures(newDocs, idCol, textCol, numHashes, shingleLen)
-    banded(newSigs, "new").join(banded(corpusSigs, "old"), Seq("band", "band_hash"))
+      .cache()
+    val corpusUnpersisted =
+      corpusSigs.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val cs = if (corpusUnpersisted) corpusSigs.cache() else corpusSigs
+    val cands = banded(newSigs, "new")
+      .join(banded(cs, "old"), Seq("band", "band_hash"))
+      .select(col("new_id"), col("old_id")).distinct()
+    val result = cands
+      .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("new_sig")),
+        Seq("new_id"))
+      .join(cs.select(col("doc_id").as("old_id"), col("sig").as("old_sig")),
+        Seq("old_id"))
       .select(col("new_id"), col("old_id"),
         (size(filter(zip_with(col("new_sig"), col("old_sig"), (x, y) => x === y),
           bit => bit)).cast("double") / numHashes).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
+    val out = result.localCheckpoint()
+    newSigs.unpersist(blocking = true)
+    if (corpusUnpersisted) cs.unpersist(blocking = true)
+    out
   }
 
   /**
