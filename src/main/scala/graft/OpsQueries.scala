@@ -163,6 +163,12 @@ object OpsQueries {
         graft.ops.Relational.topTokens(d, "text", 100).select("token"))
     }),
 
+    // Unigram-LM cross-entropy (KenLM-perplexity proxy): corpus unigram
+    // table → bounded top-1000 vocab literal → zero-shuffle scoring pass
+    "text_perplexity" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(docs(s, dir), "doc_id", "text",
+        vocabSize = 1000)),
+
     // Gopher-style repetition signals over word bigrams (dup fraction +
     // top-gram share — degenerate/templated-document detection)
     "text_repetition" -> ((s, dir) =>
@@ -536,6 +542,34 @@ object OpsQueries {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // per-token ln(cnt/total) summed IN TOKEN ORDER on both engines:
+    // Spark folds sequentially inside the native expression; DuckDB folds
+    // list(lp ORDER BY ord) via list_sum (sequential — the ivf_refined
+    // precedent). ln is bit-identical across JVM/DuckDB libm (BM25
+    // precedent). Vocabulary cut (count desc, token asc, limit 1000) is
+    // deterministic at ties.
+    "text_perplexity" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), wne AS (
+        |  SELECT doc_id, i AS ord, toks[i] AS token
+        |  FROM w, unnest(range(1, len(toks) + 1)) AS u(i)
+        |  WHERE toks[i] != ''),
+        |cnts AS (SELECT token, count(*) AS n FROM wne GROUP BY token),
+        |tot AS (SELECT cast(sum(n) as bigint) AS total FROM cnts),
+        |vocab AS (
+        |  SELECT token, n FROM cnts ORDER BY n DESC, token ASC LIMIT 1000),
+        |term AS (
+        |  SELECT wne.doc_id, wne.ord,
+        |    ln(cast(coalesce(v.n, 1) as double) / tot.total) AS lp
+        |  FROM wne LEFT JOIN vocab v USING (token) CROSS JOIN tot)
+        |SELECT doc_id,
+        |  cast(count(*) as bigint) AS n_tokens,
+        |  -(list_sum(list(lp ORDER BY ord)) / count(*)) AS cross_entropy
+        |FROM term GROUP BY doc_id""".stripMargin,
 
     // ratios are single divisions of exact integer counts; top-gram pick is
     // (count desc, gram asc) row_number — both engine-deterministic

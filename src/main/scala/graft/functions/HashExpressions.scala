@@ -294,6 +294,62 @@ case class RepetitionStats(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/**
+ * Unigram language-model surprisal of a text column — the KenLM-style
+ * perplexity PROXY used for corpus quality filtering: per document,
+ * struct(n_tokens, sum_logp) where
+ * `sum_logp = Σ ln(count(token)/total)` over the document's normalized
+ * tokens IN ORDER (sequential left-to-right double fold — deterministic
+ * and reproducible by a SQL engine folding an ord-sorted list). Tokens
+ * outside the (driver-computed, bounded, top-K) vocabulary use the
+ * add-one floor `count = 1`. `ln` is bit-identical across JVM `Math.log`
+ * and DuckDB libm on this platform (verified by the BM25 oracle), so the
+ * whole computation is oracle-checkable.
+ *
+ * The vocabulary rides along as a constructor literal (the BM25
+ * discipline: bounded driver-side stats embedded in the plan) — one
+ * HashMap lookup per token, zero shuffle in the scoring pass.
+ */
+case class UnigramLogProb(
+    child: Expression, vocab: Map[String, Long], total: Long)
+  extends UnaryExpression with CodegenFallback {
+
+  require(total > 0)
+
+  @transient private lazy val lookup = {
+    val m = new java.util.HashMap[String, Long](vocab.size * 2)
+    vocab.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("sum_logp", DoubleType, nullable = false)))
+  override def prettyName: String = "unigram_logprob"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = TextNormJvm.normalize(input.toString)
+    var sum = 0.0
+    var n = 0L
+    var start = 0
+    while (start <= text.length) {
+      var end = text.indexOf(' ', start)
+      if (end < 0) end = text.length
+      if (end > start) {
+        val tok = text.substring(start, end)
+        val cnt = lookup.getOrDefault(tok, 1L)
+        sum += Math.log(cnt.toDouble / total)
+        n += 1
+      }
+      start = end + 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, sum)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers for the native expressions. */
 object hashes {
   def minhash_signature(c: Column, numHashes: Int = 64, shingleLen: Int = 5): Column =
@@ -311,6 +367,9 @@ object hashes {
 
   def repetition_stats(c: Column, n: Int): Column =
     Bridge.column(RepetitionStats(Bridge.expression(c), n))
+
+  def unigram_logprob(c: Column, vocab: Map[String, Long], total: Long): Column =
+    Bridge.column(UnigramLogProb(Bridge.expression(c), vocab, total))
 
   /** Expose the native expressions to SQL on an EXISTING session (temp
     * functions): `SELECT minhash_signature(text), simhash64(text) ...`.

@@ -250,6 +250,48 @@ object TextAnalysis {
         (st("top_cnt").cast("double") / st("n_grams")).as("top_fraction"))
   }
 
+  // -------------------------------------------------------- surprisal
+
+  /**
+   * Unigram-LM cross-entropy (perplexity proxy) per document — the
+   * standard cheap stand-in for KenLM perplexity filtering: score(d) =
+   * −(Σ ln p(tok)) / n over d's normalized tokens, with p(tok) =
+   * corpusCount(tok)/totalTokens and an add-one floor for tokens outside
+   * the top-`vocabSize` vocabulary. High cross-entropy = improbable token
+   * stream = noise/garble candidate; low = likely boilerplate.
+   *
+   * Two passes, both scale-safe: (1) one distributed aggregate builds the
+   * corpus unigram table, of which only the BOUNDED top-`vocabSize` head
+   * (count desc, token asc — deterministic at the cut) is collected and
+   * embedded in the plan as a literal lookup; (2) one row-local native
+   * pass ([[graft.functions.UnigramLogProb]]) scores every document with
+   * zero shuffle. The sequential per-document double fold and
+   * bit-identical `ln` make the whole thing oracle-checkable (list_sum
+   * over an ord-sorted list folds identically — the ivf_refined
+   * precedent).
+   */
+  def unigramSurprisal(
+      df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    val counts = df
+      .select(explode(graft.functions.hashes.word_tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .cache()
+    val total = counts.agg(sum(col("n"))).head().getLong(0)
+    val vocab: Map[String, Long] = counts
+      .orderBy(col("n").desc, col("token").asc).limit(vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.unpersist(blocking = true)
+    val st = col("__st")
+    df.select(col(idCol),
+      graft.functions.hashes.unigram_logprob(col(textCol), vocab, total).as("__st"))
+      .filter(st("n_tokens") > 0)
+      .select(col(idCol),
+        st("n_tokens").as("n_tokens"),
+        (-(st("sum_logp") / st("n_tokens"))).as("cross_entropy"))
+  }
+
   // -------------------------------------------------------- fingerprints
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —

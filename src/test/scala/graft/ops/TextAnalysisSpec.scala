@@ -149,6 +149,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res(1L)._1 != res(3L)._1)
   }
 
+  test("unigram surprisal: exact hand-computed cross-entropy, OOV add-one floor") {
+    import spark.implicits._
+    // corpus counts: a:3, b:1, c:1, total 5; vocabSize=2 keeps {a, b}
+    // (count desc, token asc at the b/c tie) — c scores with the floor 1
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramSurprisal(df, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("cross_entropy"))).toMap
+    val e1 = -((math.log(3.0 / 5) + math.log(3.0 / 5) + math.log(1.0 / 5)) / 3)
+    val e2 = -((math.log(3.0 / 5) + math.log(1.0 / 5)) / 2)
+    assert(out(1L) == ((3L, e1))) // bit-exact: same sequential op order
+    assert(out(2L) == ((2L, e2)))
+    // scoring pass is row-local: garbled docs rank above plain ones
+    assert(out(2L)._2 > out(1L)._2)
+  }
+
   test("repetition signals are zero-shuffle: no Exchange in the plan") {
     import spark.implicits._
     val df = Seq((1L, "a b a b c")).toDF("doc_id", "text")
