@@ -36,6 +36,21 @@ object PipelineQueries {
     "pack_sequences" -> ((s, dir) =>
       Chunking.packSequences(Tables(s, dir, "documents"), "doc_id", "text",
         seqLen = 512, nShards = 8)),
+
+    // Corpus profiling dashboard: per-source composition stats in ONE
+    // partial-aggregated pass (counts, char volume, language spread, mean
+    // length, en share — all exact ints + single final divisions).
+    "corpus_stats" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("__t", graft.ops.TextAnalysis.wsTokenCount(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          (sum(col("__t").cast("long")).cast("double") / count(lit(1)))
+            .as("mean_tokens"),
+          (sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double")
+            / count(lit(1))).as("en_share"))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -112,5 +127,16 @@ object PipelineQueries {
         |  tok_before % 512 AS start_off,
         |  (tok_before + n_tokens - 1) // 512 AS end_seq
         |FROM c""".stripMargin,
+
+    "corpus_stats" ->
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS total_chars,
+        |  cast(count(DISTINCT lang) as bigint) AS n_langs,
+        |  cast(cast(sum(len(regexp_split_to_array(trim(text), '\s+'))) as bigint)
+        |    as double) / count(*) AS mean_tokens,
+        |  cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) as double)
+        |    / count(*) AS en_share
+        |FROM documents GROUP BY source""".stripMargin,
   )
 }
