@@ -149,6 +149,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res(1L)._1 != res(3L)._1)
   }
 
+  test("null and degenerate text rows drop cleanly from repetition and surprisal") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a"), (2L, null.asInstanceOf[String]), (3L, "   "))
+      .toDF("doc_id", "text")
+    val rep = TextAnalysis.repetitionSignals(df, "doc_id", "text", 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rep == Set(1L)) // null and whitespace-only rows excluded, no crash
+    val sup = TextAnalysis.unigramSurprisal(df, "doc_id", "text", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sup == Set(1L))
+  }
+
   test("unigram surprisal: exact hand-computed cross-entropy, OOV add-one floor") {
     import spark.implicits._
     // corpus counts: a:3, b:1, c:1, total 5; vocabSize=2 keeps {a, b}
