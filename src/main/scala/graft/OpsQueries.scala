@@ -163,6 +163,21 @@ object OpsQueries {
         graft.ops.Relational.topTokens(d, "text", 100).select("token"))
     }),
 
+    // BPE merge-pair statistics (the counting step of byte-pair-encoding
+    // tokenizer induction): most frequent adjacent character pairs inside
+    // words, corpus-wide. Explode → partial-agg count → TakeOrdered —
+    // the exact-top-k shape at any scale.
+    "text_bpe_pairs" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(graft.functions.hashes.word_tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20)),
+
     // Unigram-LM cross-entropy (KenLM-perplexity proxy): corpus unigram
     // table → bounded top-1000 vocab literal → zero-shuffle scoring pass
     "text_perplexity" -> ((s, dir) =>
@@ -542,6 +557,18 @@ object OpsQueries {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+
+    "text_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents
+        |), w2 AS (SELECT w FROM w WHERE length(w) >= 2),
+        |p AS (
+        |  SELECT unnest([w[i:i+1] for i in range(1, length(w))]) AS pair
+        |  FROM w2)
+        |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
 
     // per-token ln(cnt/total) summed IN TOKEN ORDER on both engines:
     // Spark folds sequentially inside the native expression; DuckDB folds
