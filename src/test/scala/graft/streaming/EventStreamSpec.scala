@@ -177,6 +177,39 @@ class EventStreamSpec extends SparkSpec {
     assert(collected.toSeq == Seq((100L, 1L))) // dup found, novel doc clean
   }
 
+  test("watermark closes windows in append mode and drops late data") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(id: Long, t: String) = EventStream.Event(
+      id, Timestamp.valueOf(t), 1L, "click", 1.0)
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.hourlyCounts(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      // two events in the 10:00 window; watermark (max ts - 10 min) stays
+      // inside the window, nothing emits in append mode yet
+      input.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      assert(spark.table("wm_out").count() == 0)
+      // an event at 12:00 pushes the watermark past 11:00 → the 10:00
+      // window closes and emits exactly once
+      input.addData(ev(3, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      val closed = spark.table("wm_out")
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      assert(closed == Map("2024-01-01 10:00:00" -> 2L))
+      // a LATE event for the already-closed window (behind the watermark)
+      // must be dropped — no duplicate or updated row for 10:00
+      input.addData(ev(4, "2024-01-01 10:45:00"))
+      q.processAllAvailable()
+      val after = spark.table("wm_out")
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      assert(after == Map("2024-01-01 10:00:00" -> 2L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch attribution join") {
     val events = Tables.events(spark, sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj_in").toString
