@@ -163,6 +163,11 @@ object OpsQueries {
         graft.ops.Relational.topTokens(d, "text", 100).select("token"))
     }),
 
+    // PMI collocations: top bigram phrases by pointwise mutual information
+    // (multi-word-entity discovery), min count 5
+    "text_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(docs(s, dir), "text", minCount = 5, k = 50)),
+
     // BPE merge-pair statistics (the counting step of byte-pair-encoding
     // tokenizer induction): most frequent adjacent character pairs inside
     // words, corpus-wide. Explode → partial-agg count → TakeOrdered —
@@ -557,6 +562,38 @@ object OpsQueries {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // PMI doubles are one FIXED op sequence over exact-int factors (each
+    // cast to double explicitly, left-associated) — bit-identical in both
+    // engines, so ranking and output need no rounding; ln is bit-identical
+    // (BM25 precedent)
+    "text_collocations" ->
+      """WITH t AS (
+        |  SELECT string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), pr AS (
+        |  SELECT w[i] AS a, w[i + 1] AS b
+        |  FROM t, unnest(range(1, greatest(len(w) - 2, 0) + 2)) AS u(i)
+        |  WHERE w[i] != '' AND w[i + 1] != ''
+        |), uni AS (
+        |  SELECT t2.tok, count(*) AS ct FROM (
+        |    SELECT unnest(w) AS tok FROM t) t2
+        |  WHERE t2.tok != '' GROUP BY t2.tok
+        |), biall AS (SELECT a, b, count(*) AS cab FROM pr GROUP BY a, b),
+        |tot AS (
+        |  SELECT (SELECT cast(sum(ct) as bigint) FROM uni) AS nuni,
+        |         (SELECT cast(sum(cab) as bigint) FROM biall) AS nbi
+        |)
+        |SELECT bi.a, bi.b, bi.cab,
+        |  ln((cast(bi.cab as double) * cast(tot.nuni as double) * cast(tot.nuni as double))
+        |     / (cast(tot.nbi as double) * cast(ua.ct as double) * cast(ub.ct as double))) AS pmi
+        |FROM biall bi
+        |JOIN uni ua ON bi.a = ua.tok
+        |JOIN uni ub ON bi.b = ub.tok
+        |CROSS JOIN tot
+        |WHERE bi.cab >= 5
+        |ORDER BY pmi DESC, bi.a ASC, bi.b ASC LIMIT 50""".stripMargin,
 
     "text_bpe_pairs" ->
       """WITH w AS (

@@ -102,9 +102,30 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/**
+ * Natural log via JVM `Math.log` (platform intrinsic). Spark's own `log()`
+ * expression evaluates `StrictMath.log` (fdlibm), which differs from
+ * `Math.log` — and from DuckDB's libm `ln`, which matches `Math.log`
+ * bit-for-bit on this platform (the BM25/surprisal-verified fact) — by
+ * one ulp on some inputs. Oracle-checked PMI/scoring expressions must use
+ * THIS ln, not `functions.log`.
+ */
+case class MathLn(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "math_ln"
+  override def nullSafeEval(input: Any): Any =
+    Math.log(input.asInstanceOf[Double])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object vectors {
   def dot_product(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def math_ln(c: Column): Column =
+    Bridge.column(MathLn(Bridge.expression(c.cast("double"))))
 
   def cosine_similarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))

@@ -292,6 +292,59 @@ object TextAnalysis {
         (-(st("sum_logp") / st("n_tokens"))).as("cross_entropy"))
   }
 
+  /**
+   * Collocation extraction: top token bigrams by pointwise mutual
+   * information, PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ), with a minimum
+   * bigram count to suppress noise. The workhorse for multi-word-entity
+   * and phrase discovery over a corpus.
+   *
+   * Shape: one bigram aggregate + one unigram aggregate, a frequency
+   * prune BEFORE any join (only bigrams with `minCount`+ survive), two
+   * key-joins to attach component counts, and TakeOrdered. Totals ride
+   * along from single-row aggregates. All counts are exact integers; the
+   * PMI double is computed with one FIXED operation sequence (explicit
+   * per-factor double casts, left-associated products) so both engines
+   * produce bit-identical values — ranking needs no rounding.
+   */
+  def collocations(
+      df: DataFrame, textCol: String,
+      minCount: Long = 5, k: Int = 50): DataFrame = {
+    val toks = df.select(graft.functions.hashes.word_tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 2) // element_at stays in bounds (ANSI)
+    val w = col("__w")
+    val pairs = toks.select(explode(transform(
+        sequence(lit(0), size(w) - 2),
+        i => struct(element_at(w, i + 1).as("a"), element_at(w, i + 2).as("b"))))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+    val uni = df.select(explode(graft.functions.hashes.word_tokens(col(textCol))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("ct"))
+      .cache()
+    // aggregate once; the total and the pruned set both derive from the
+    // cached (small) count table, not from a second pass over the corpus
+    val biAll = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab")).cache()
+    val bi = biAll.filter(col("cab") >= minCount)
+    val nUni = uni.agg(sum(col("ct"))).head().getLong(0)
+    val nBi = biAll.agg(sum(col("cab"))).head().getLong(0)
+    // math_ln, NOT functions.log: Spark's log() is StrictMath (fdlibm),
+    // off-by-an-ulp from DuckDB's libm ln, which Math.log matches exactly
+    val pmi = graft.functions.vectors.math_ln(
+      (col("cab").cast("double") * lit(nUni.toDouble) * lit(nUni.toDouble)) /
+        (lit(nBi.toDouble) * col("ca").cast("double") * col("cb").cast("double")))
+    val out = bi
+      .join(uni.select(col("t").as("a"), col("ct").as("ca")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("ct").as("cb")), Seq("b"))
+      .select(col("a"), col("b"), col("cab"), pmi.as("pmi"))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(k)
+      .localCheckpoint()
+    uni.unpersist(blocking = true)
+    biAll.unpersist(blocking = true)
+    out
+  }
+
   // -------------------------------------------------------- fingerprints
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
