@@ -91,6 +91,18 @@ object OpsQueries {
       Dedup.simhashPairs(Dedup.simhash64(docs(s, dir), "doc_id", "text"),
         maxHamming = 3)),
 
+    // quality-weighted survivorship: per minhash cluster keep the
+    // highest-quality member (id-capped like the other quadratic-bounded
+    // exact baselines; the cap covers every row at the sf0.01 oracle scale)
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 1000)
+      Dedup.keepBest(
+        Dedup.minhashDedup(d, "doc_id", "text"),
+        graft.ops.TextAnalysis.qualityScore(d, "doc_id", "text")
+          .select("doc_id", "quality_score"),
+        "doc_id", "cluster_id", "quality_score")
+    }),
+
     // cap ids so bench scale (sf0.1, 5k vectors) stays quadratic-bounded;
     // the cap covers every row at the sf0.01 oracle scale.
     "dedup_embedding_pairs" -> ((s, dir) =>
@@ -563,10 +575,11 @@ object OpsQueries {
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
 
-    // PMI doubles are one FIXED op sequence over exact-int factors (each
-    // cast to double explicitly, left-associated) — bit-identical in both
-    // engines, so ranking and output need no rounding; ln is bit-identical
-    // (BM25 precedent)
+    // lift (ln's argument) is one FIXED op sequence over exact-int factors
+    // (each cast to double explicitly, left-associated) — bit-identical in
+    // both engines; emitting ln itself is ulp-fragile (glibc vs JVM
+    // intrinsic differ on some inputs), and ln is monotone so the ranking
+    // is unchanged
     "text_collocations" ->
       """WITH t AS (
         |  SELECT string_split(
@@ -586,14 +599,14 @@ object OpsQueries {
         |         (SELECT cast(sum(cab) as bigint) FROM biall) AS nbi
         |)
         |SELECT bi.a, bi.b, bi.cab,
-        |  ln((cast(bi.cab as double) * cast(tot.nuni as double) * cast(tot.nuni as double))
-        |     / (cast(tot.nbi as double) * cast(ua.ct as double) * cast(ub.ct as double))) AS pmi
+        |  (cast(bi.cab as double) * cast(tot.nuni as double) * cast(tot.nuni as double))
+        |     / (cast(tot.nbi as double) * cast(ua.ct as double) * cast(ub.ct as double)) AS lift
         |FROM biall bi
         |JOIN uni ua ON bi.a = ua.tok
         |JOIN uni ub ON bi.b = ub.tok
         |CROSS JOIN tot
         |WHERE bi.cab >= 5
-        |ORDER BY pmi DESC, bi.a ASC, bi.b ASC LIMIT 50""".stripMargin,
+        |ORDER BY lift DESC, bi.a ASC, bi.b ASC LIMIT 50""".stripMargin,
 
     "text_bpe_pairs" ->
       """WITH w AS (

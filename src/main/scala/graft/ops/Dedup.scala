@@ -73,6 +73,29 @@ object Dedup {
       .select(df.columns.map(col): _*)
   }
 
+  /**
+   * Representative-selection policy over near-dup clusters: keep, per
+   * cluster, the member with the HIGHEST score (ties → smallest id) — the
+   * quality-weighted alternative to min-id survivorship that production
+   * dedup pipelines prefer (drop the boilerplate copy, keep the clean
+   * one). `clusters` is (idCol, clusterCol) e.g. from [[minhashDedup]];
+   * `scores` is (idCol, scoreCol) e.g. from
+   * [[TextAnalysis.qualityScore]].
+   *
+   * One id-keyed join plus one window partitioned by cluster id — group
+   * size is bounded by cluster size (near-dup clusters are tiny), so no
+   * skew cliff at scale.
+   */
+  def keepBest(
+      clusters: DataFrame, scores: DataFrame,
+      idCol: String, clusterCol: String, scoreCol: String): DataFrame = {
+    val joined = clusters.join(scores, Seq(idCol))
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   // ---------------------------------------------------- n-gram Jaccard
 
   /** Distinct, sorted word n-grams of normalized text, joined by single

@@ -301,10 +301,14 @@ object TextAnalysis {
    * Shape: one bigram aggregate + one unigram aggregate, a frequency
    * prune BEFORE any join (only bigrams with `minCount`+ survive), two
    * key-joins to attach component counts, and TakeOrdered. Totals ride
-   * along from single-row aggregates. All counts are exact integers; the
-   * PMI double is computed with one FIXED operation sequence (explicit
-   * per-factor double casts, left-associated products) so both engines
-   * produce bit-identical values — ranking needs no rounding.
+   * along from single-row aggregates. All counts are exact integers.
+   *
+   * Emits the LIFT ratio p(ab)/(p(a)p(b)) — ln's argument — rather than
+   * PMI itself: ln is strictly monotone, so the ranking is identical, and
+   * the ratio is one FIXED double op sequence over exact-int factors
+   * (bit-identical cross-engine), while ln itself differs by an ulp
+   * between glibc and the JVM intrinsic on some inputs (observed at
+   * sf0.1). PMI = ln(lift) is a presentation transform for callers.
    */
   def collocations(
       df: DataFrame, textCol: String,
@@ -328,16 +332,14 @@ object TextAnalysis {
     val bi = biAll.filter(col("cab") >= minCount)
     val nUni = uni.agg(sum(col("ct"))).head().getLong(0)
     val nBi = biAll.agg(sum(col("cab"))).head().getLong(0)
-    // math_ln, NOT functions.log: Spark's log() is StrictMath (fdlibm),
-    // off-by-an-ulp from DuckDB's libm ln, which Math.log matches exactly
-    val pmi = graft.functions.vectors.math_ln(
+    val lift =
       (col("cab").cast("double") * lit(nUni.toDouble) * lit(nUni.toDouble)) /
-        (lit(nBi.toDouble) * col("ca").cast("double") * col("cb").cast("double")))
+        (lit(nBi.toDouble) * col("ca").cast("double") * col("cb").cast("double"))
     val out = bi
       .join(uni.select(col("t").as("a"), col("ct").as("ca")), Seq("a"))
       .join(uni.select(col("t").as("b"), col("ct").as("cb")), Seq("b"))
-      .select(col("a"), col("b"), col("cab"), pmi.as("pmi"))
-      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .select(col("a"), col("b"), col("cab"), lift.as("lift"))
+      .orderBy(col("lift").desc, col("a").asc, col("b").asc)
       .limit(k)
       .localCheckpoint()
     uni.unpersist(blocking = true)

@@ -280,4 +280,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped.contains((1L, 2L)) && capped.contains((1L, 3L)))
   }
+
+  test("keepBest keeps the highest-quality cluster member, min id on ties") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L))
+      .toDF("doc_id", "cluster_id")
+    def kept(scores: org.apache.spark.sql.DataFrame) =
+      Dedup.keepBest(clusters, scores, "doc_id", "cluster_id", "quality_score")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // quality beats min-id survivorship: 2 outscores 1 in cluster 1
+    assert(kept(Seq((1L, 0.2), (2L, 0.9), (3L, 0.5))
+      .toDF("doc_id", "quality_score")) == Set(2L, 3L))
+    // exact tie falls back to the smallest id
+    assert(kept(Seq((1L, 0.9), (2L, 0.9), (3L, 0.5))
+      .toDF("doc_id", "quality_score")) == Set(1L, 3L))
+  }
 }
