@@ -38,6 +38,16 @@ object MmStreamQueries {
 
     "events_sessionize" -> ((s, dir) =>
       EventStream.sessionizeBatch(Tables.events(s, dir), gapMinutes = 30)),
+
+    // media similarity search: cosine top-k over the extracted feature
+    // vectors (decode → embed → search, the full multimodal retrieval
+    // pipeline; exact-integer stub lanes keep it oracle-checkable)
+    "mm_similar_media" -> ((s, dir) => {
+      val f = Multimodal.extractFeatures(media(s, dir), dim = 16).toDF()
+      graft.ops.Similarity.bruteForceTopK(
+        f.filter(col("media_id") < 10), f, k = 5,
+        idCol = "media_id", vecCol = "feature")
+    }),
   )
 
   private val metaSql =
@@ -64,6 +74,28 @@ object MmStreamQueries {
         |       [ascii(substr(text, p, 1)) for p in range(1 + j, length(text) + 1, 16)]
         |     ), 0) for j in range(0, 16)], ',')) AS feature_digest
         |FROM documents""".stripMargin,
+
+    // same exact-integer lanes as mm_features, cast to DOUBLE[] — cosine
+    // is then the bit-identical sequential fold (dedup_embedding_pairs
+    // precedent); ranking by round(sim,6) + id tiebreak
+    "mm_similar_media" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    [cast(coalesce(list_sum(
+        |       [ascii(substr(text, p, 1)) for p in range(1 + j, length(text) + 1, 16)]
+        |     ), 0) as double) for j in range(0, 16)] AS e
+        |  FROM documents
+        |), sims AS (
+        |  SELECT q.media_id AS q_id, c.media_id AS n_id,
+        |    list_cosine_similarity(q.e, c.e) AS sim
+        |  FROM f q JOIN f c ON q.media_id != c.media_id
+        |  WHERE q.media_id < 10
+        |), ranked AS (
+        |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
+        |  FROM sims)
+        |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
 
     "mm_resize_plan" ->
       s"""WITH meta AS ($metaSql)
