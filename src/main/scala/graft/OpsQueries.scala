@@ -167,6 +167,12 @@ object OpsQueries {
       TextAnalysis.bm25Search(docs(s, dir), "doc_id", "text",
         Seq("spark", "table", "query"), k = 20)),
 
+    // Hybrid retrieval: BM25 ∪ embedding-cosine top lists fused by
+    // Reciprocal Rank Fusion (rank-only arithmetic — engine-exact)
+    "text_hybrid_search" -> ((s, dir) =>
+      TextAnalysis.hybridSearch(docs(s, dir), emb(s, dir), "doc_id", "text",
+        Seq("spark", "table", "query"), queryVecId = 0L, k = 20)),
+
     // OOV scoring against the corpus-head vocabulary (top-100 tokens):
     // one broadcast membership join over the exploded token stream
     "text_vocab_coverage" -> ((s, dir) => {
@@ -574,6 +580,60 @@ object OpsQueries {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // RRF fusion: only integer RANKS enter the score (sum of two exact
+    // reciprocals, fixed order) — the BM25 doubles and cosine rounding
+    // decide order exactly as in their own verified oracles
+    "text_hybrid_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, len(w) AS dl,
+        |    len(list_filter(w, t -> t = 'spark')) AS tf0,
+        |    len(list_filter(w, t -> t = 'table')) AS tf1,
+        |    len(list_filter(w, t -> t = 'query')) AS tf2
+        |  FROM toks
+        |), stats AS (
+        |  SELECT count(*) AS n, cast(sum(dl) as bigint) AS sum_dl,
+        |    cast(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) as bigint) AS df0,
+        |    cast(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) as bigint) AS df1,
+        |    cast(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) as bigint) AS df2
+        |  FROM base
+        |), bmall AS (
+        |  SELECT b.doc_id,
+        |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+        |      * (tf0 * (CAST(1.2 AS DOUBLE) + 1.0))
+        |      / (tf0 + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * (dl / (cast(sum_dl as double) / n))))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+        |      * (tf1 * (CAST(1.2 AS DOUBLE) + 1.0))
+        |      / (tf1 + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * (dl / (cast(sum_dl as double) / n))))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+        |      * (tf2 * (CAST(1.2 AS DOUBLE) + 1.0))
+        |      / (tf2 + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * (dl / (cast(sum_dl as double) / n))))
+        |    AS bm25
+        |  FROM base b CROSS JOIN stats
+        |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+        |), bmtop AS (
+        |  SELECT doc_id, rank_b FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_b
+        |    FROM bmall) WHERE rank_b <= 100
+        |), v AS (SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        |vtop AS (
+        |  SELECT doc_id, rank_v FROM (
+        |    SELECT v.vec_id AS doc_id,
+        |      row_number() OVER (ORDER BY round(list_cosine_similarity(v.e, q.qe), 6) DESC,
+        |                         v.vec_id ASC) AS rank_v
+        |    FROM v CROSS JOIN q) WHERE rank_v <= 100
+        |)
+        |SELECT coalesce(b.doc_id, t.doc_id) AS doc_id,
+        |  coalesce(CAST(1.0 AS DOUBLE) / (60 + b.rank_b), 0.0)
+        |    + coalesce(CAST(1.0 AS DOUBLE) / (60 + t.rank_v), 0.0) AS rrf,
+        |  cast(b.rank_b as int) AS rank_b, cast(t.rank_v as int) AS rank_v
+        |FROM bmtop b FULL OUTER JOIN vtop t ON b.doc_id = t.doc_id
+        |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     // lift (ln's argument) is one FIXED op sequence over exact-int factors
     // (each cast to double explicitly, left-associated) — bit-identical in

@@ -347,6 +347,55 @@ object TextAnalysis {
     out
   }
 
+  /**
+   * Hybrid retrieval: BM25 keyword ranking fused with embedding cosine
+   * ranking via Reciprocal Rank Fusion — score(d) = Σ 1/(rrfK + rank_i(d))
+   * over the two top-`kEach` lists. RRF is the standard fusion for
+   * lexical+vector search, and it is the determinism-friendly one: only
+   * the RANKS enter the score, and both rankings already have total
+   * deterministic orders (bm25 desc + id; round(cos,6) desc + id), so the
+   * fused score is a sum of two exact-integer reciprocals — reproducible
+   * bit-for-bit in any engine.
+   *
+   * Scale: both branch rankings are TakeOrdered top-kEach; the global
+   * row_number windows run over ≤ kEach rows (driver-bounded), and the
+   * fusion join touches ≤ 2·kEach rows. The corpus-wide work is the BM25
+   * scoring scan and one broadcast-query cosine pass.
+   */
+  def hybridSearch(
+      df: DataFrame, embDf: DataFrame,
+      idCol: String, textCol: String,
+      terms: Seq[String], queryVecId: Long, k: Int,
+      kEach: Int = 100, rrfK: Int = 60,
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bmTop = bm25Search(df, idCol, textCol, terms, kEach)
+      .withColumn("rank_b", row_number().over(
+        Window.orderBy(col("bm25").desc, col(idCol).asc)))
+      .select(col(idCol).as("__id"), col("rank_b"))
+    val qv = embDf.filter(col(vecIdCol) === queryVecId)
+      .select(Similarity.toDouble(col(vecCol)).as("qe"))
+    val cos = embDf.select(col(vecIdCol).as("__id"),
+        Similarity.toDouble(col(vecCol)).as("e"))
+      .crossJoin(broadcast(qv))
+      .select(col("__id"),
+        (Similarity.dot(col("e"), col("qe")) /
+          (Similarity.norm(col("e")) * Similarity.norm(col("qe")))).as("sim"))
+    val vTop = cos
+      .orderBy(round(col("sim"), 6).desc, col("__id").asc).limit(kEach)
+      .withColumn("rank_v", row_number().over(
+        Window.orderBy(round(col("sim"), 6).desc, col("__id").asc)))
+      .select(col("__id"), col("rank_v"))
+    val one = lit(1.0)
+    bmTop.join(vTop, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        (coalesce(one / (lit(rrfK) + col("rank_b")), lit(0.0)) +
+          coalesce(one / (lit(rrfK) + col("rank_v")), lit(0.0))).as("rrf"),
+        col("rank_b"), col("rank_v"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   // -------------------------------------------------------- fingerprints
 
   /** Content fingerprint: md5 of whitespace-normalized lowercase text —
