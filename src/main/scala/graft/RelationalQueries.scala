@@ -220,6 +220,27 @@ object RelationalQueries {
             .as("delta_s"))
     }),
 
+    // Per-user 3σ outlier detection over event values: one unbounded
+    // window for the exact-integer-cents moments (n, Σ, Σ²), then the
+    // DIVISION-MINIMAL predicate (x−μ)² > 9·σ² — mean/variance come from
+    // one fixed double op sequence over exact integers, no sqrt, so the
+    // comparison is engine-exact. Users with < 10 events are skipped
+    // (moments too noisy to flag anything).
+    "q35_anomalies" -> ((s, dir) => {
+      val c = round(col("value") * 100).cast("long")
+      val w = Window.partitionBy("user_id")
+      val e = Tables.events(s, dir)
+        .withColumn("__c", c)
+        .withColumn("__n", count(lit(1)).over(w))
+        .withColumn("__s", sum(col("__c")).over(w))
+        .withColumn("__s2", sum(col("__c") * col("__c")).over(w))
+      val mean = col("__s").cast("double") / col("__n")
+      val variance = (col("__s2").cast("double") - col("__s").cast("double") * col("__s") / col("__n")) / col("__n")
+      val dev = col("__c").cast("double") - mean
+      e.filter(col("__n") >= 10 && dev * dev > lit(9.0) * variance)
+        .select(col("event_id"), col("user_id"), col("value"))
+    }),
+
     // Rolling 7-day spend per customer: RANGE-frame window over integer
     // epoch-days (peers at the same day share the frame in both engines).
     // One shuffle on the customer key; frame arithmetic is exact cents.
@@ -419,6 +440,26 @@ object RelationalQueries {
         |  cast(count(*) as bigint) AS n_users
         |FROM act a JOIN coh c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // moments are exact-integer window sums; mean/variance/deviation are
+    // ONE fixed double op sequence — identical in both engines, and the
+    // squared-form predicate avoids sqrt entirely
+    "q35_anomalies" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, value,
+        |    cast(round(value * 100, 0) as bigint) AS c,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    cast(sum(cast(round(value * 100, 0) as bigint))
+        |      OVER (PARTITION BY user_id) as bigint) AS s,
+        |    cast(sum(cast(round(value * 100, 0) as bigint)
+        |             * cast(round(value * 100, 0) as bigint))
+        |      OVER (PARTITION BY user_id) as bigint) AS s2
+        |  FROM events)
+        |SELECT event_id, user_id, value FROM e
+        |WHERE n >= 10
+        |  AND (cast(c as double) - cast(s as double) / n)
+        |      * (cast(c as double) - cast(s as double) / n)
+        |    > 9.0 * ((cast(s2 as double) - cast(s as double) * s / n) / n)""".stripMargin,
 
     // RANGE frame peers-at-same-day semantics are SQL-standard; sum is
     // exact integer cents divided once at the end
