@@ -25,5 +25,7 @@ object SqlFunctions {
     "dot_product" -> (e => DotProduct(e(0), e(1))),
     "cosine_similarity" -> (e => CosineSimilarity(e(0), e(1))),
     "sorted_intersect_count" -> (e => SortedIntersectCount(e(0), e(1))),
+    "repetition_stats" -> (e => RepetitionStats(e.head, intArg(e, 1, 2))),
+    "math_ln" -> (e => MathLn(e.head)),
   )
 }

@@ -26,13 +26,17 @@ class GraftExtensionsSpec extends SparkSpec {
           |  size(word_ngrams('a b c d', 2)) AS n_grams,
           |  simhash64('x y') = simhash64('  x   Y ') AS sim_eq,
           |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
-          |  size(minhash_signature('some text', 16, 5)) AS sig_len
+          |  size(minhash_signature('some text', 16, 5)) AS sig_len,
+          |  repetition_stats('a b a b c', 2).n_dup AS n_dup,
+          |  math_ln(1.0D) AS ln1
           |""".stripMargin).head()
       assert(r.getSeq[String](0) == Seq("a", "b", "c"))
       assert(r.getInt(1) == 3)
       assert(r.getBoolean(2)) // normalization inside the expression
       assert(r.getDouble(3) == 11.0)
       assert(r.getInt(4) == 16)
+      assert(r.getLong(5) == 2L)
+      assert(r.getDouble(6) == 0.0)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
