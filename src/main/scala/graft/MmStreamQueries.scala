@@ -43,7 +43,11 @@ object MmStreamQueries {
     // vectors (decode → embed → search, the full multimodal retrieval
     // pipeline; exact-integer stub lanes keep it oracle-checkable)
     "mm_similar_media" -> ((s, dir) => {
-      val f = Multimodal.extractFeatures(media(s, dir), dim = 16).toDF()
+      // materialize the decode→embed pass once: both searcher sides read
+      // the same features, and localCheckpoint cuts the lineage without a
+      // cache entry to leak (query entries can't unpersist lazily)
+      val f = Multimodal.extractFeatures(media(s, dir), dim = 16)
+        .toDF().localCheckpoint()
       graft.ops.Similarity.bruteForceTopK(
         f.filter(col("media_id") < 10), f, k = 5,
         idCol = "media_id", vecCol = "feature")

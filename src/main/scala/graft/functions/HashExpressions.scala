@@ -245,7 +245,11 @@ case class RepetitionStats(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = TextNormJvm.normalize(input.toString)
-    val toks = text.split(' ')
+    // limit -1 KEEPS trailing empty fields — the WordTokens/string_split
+    // contract. Plain split(' ') drops them, which would lose the final
+    // truncated gram of text normalizing to a trailing space (e.g. "a b\n"
+    // → "a b " → grams {"a b", "b "}, not just {"a b"}).
+    val toks = text.split(" ", -1)
     val counts = new java.util.HashMap[String, Long]()
     val sb = new java.lang.StringBuilder(64)
     var total = 0L

@@ -111,7 +111,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
  * THIS ln, not `functions.log`.
  */
 case class MathLn(child: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
+  with CodegenFallback {
+  // declared input type → the analyzer inserts the cast for SQL callers
+  // (math_ln(2), int/decimal columns); without it nullSafeEval would CCE.
+  // Return type inferred: AbstractDataType is private[sql] in Spark 4.
+  override def inputTypes = Seq(DoubleType)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "math_ln"
   override def nullSafeEval(input: Any): Any =

@@ -505,8 +505,14 @@ object Dedup {
     val r = numHashes / bands
     // materialized once: the upstream is typically the native minhash
     // signature over the full text — without the cache the banded index and
-    // both signature-fetch joins below would each recompute it
-    val sigsC = sigs.cache()
+    // both signature-fetch joins below would each recompute it. Only cache
+    // (and later unpersist) when the CALLER hasn't persisted: unpersisting
+    // a caller-managed signature table out from under them would force
+    // recomputation on their next use (same guard as
+    // incrementalMinhashMatches' corpus side).
+    val callerUnpersisted =
+      sigs.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val sigsC = if (callerUnpersisted) sigs.cache() else sigs
     // the banded self-join carries ONLY (band, band_hash, id) — 24 bytes a
     // row. Shuffling the 64-lane signatures through the candidate join
     // (the old shape) multiplies the big shuffle's width ~20×; instead the
@@ -537,7 +543,7 @@ object Dedup {
     // materialize the (tiny) pair result so the signature cache is released
     // at operator exit instead of living until session cache-clear
     val out = result.localCheckpoint()
-    sigsC.unpersist(blocking = true)
+    if (callerUnpersisted) sigsC.unpersist(blocking = true)
     out
   }
 

@@ -28,7 +28,7 @@ class GraftExtensionsSpec extends SparkSpec {
           |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
           |  size(minhash_signature('some text', 16, 5)) AS sig_len,
           |  repetition_stats('a b a b c', 2).n_dup AS n_dup,
-          |  math_ln(1.0D) AS ln1
+          |  math_ln(1) AS ln1
           |""".stripMargin).head()
       assert(r.getSeq[String](0) == Seq("a", "b", "c"))
       assert(r.getInt(1) == 3)

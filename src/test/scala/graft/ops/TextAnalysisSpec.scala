@@ -203,4 +203,18 @@ class TextAnalysisSpec extends SparkSpec {
     // tie on count → lexicographically smallest gram wins
     assert(r2.getAs[String]("top_gram") == "x y")
   }
+
+  test("repetition signals keep the trailing-empty-token gram (string_split parity)") {
+    import spark.implicits._
+    // "a b\n" normalizes to "a b " (trim strips only 0x20): tokens are
+    // ['a','b',''] — grams {"a b", "b "} — NOT just {"a b"}. A tokenizer
+    // dropping trailing empty fields loses the second gram and diverges
+    // from the DuckDB oracle's string_split semantics.
+    val df = Seq((1L, "a b\n")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "doc_id", "text", 2)
+      .collect().head
+    assert(r.getAs[Long]("n_grams") == 2)
+    assert(r.getAs[Long]("n_distinct") == 2)
+    assert(r.getAs[String]("top_gram") == "a b") // "a b" < "b " on count tie
+  }
 }
