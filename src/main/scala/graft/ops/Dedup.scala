@@ -556,14 +556,12 @@ object Dedup {
       bands: Int = 16, threshold: Double = 0.7,
       maxIterations: Int = 10): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleLen)
-    // materialize the candidate pairs once — the label-propagation loop
-    // re-reads them every sweep and must not recompute the signatures
+    // minhashCandidatePairs already materializes its result (localCheckpoint
+    // cuts the lineage), so the propagation loop's repeated reads can never
+    // recompute the signatures — no second cache needed here
     val pairs = minhashCandidatePairs(sigs, numHashes, bands, threshold)
-      .select("a_id", "b_id").cache()
-    val labels =
-      connectedComponents(df.select(col(idCol).as("doc_id")), pairs, maxIterations)
-    pairs.unpersist(blocking = true) // labels reads its own persisted RDD
-    labels
+      .select("a_id", "b_id")
+    connectedComponents(df.select(col(idCol).as("doc_id")), pairs, maxIterations)
   }
 
   /**
