@@ -220,6 +220,27 @@ object RelationalQueries {
             .as("delta_s"))
     }),
 
+    // TPC-H Q5-shaped 5-table star: revenue by region×nation over a date
+    // window. The fact chain (lineitem⋈orders⋈customer) shuffles on its
+    // keys; the two dimension tables ride along as explicit broadcasts —
+    // the canonical large-join topology Catalyst should (and does) plan
+    // with the fact side streaming.
+    "q36_star5" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate").between("1995-01-01", "1996-12-31"))
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"))
+    }),
+
     // Per-user 3σ outlier detection over event values: one unbounded
     // window for the exact-integer-cents moments (n, Σ, Σ²), then the
     // DIVISION-MINIMAL predicate (x−μ)² > 9·σ² — mean/variance come from
@@ -440,6 +461,17 @@ object RelationalQueries {
         |  cast(count(*) as bigint) AS n_users
         |FROM act a JOIN coh c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q36_star5" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+        |  cast(sum(cast(round(l_extendedprice * 100, 0) as bigint)) / 100.0 as double) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        |GROUP BY r_name, n_name""".stripMargin,
 
     // moments are exact-integer window sums; mean/variance/deviation are
     // ONE fixed double op sequence — identical in both engines, and the
