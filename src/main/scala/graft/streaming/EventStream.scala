@@ -146,11 +146,32 @@ object EventStream {
     *    decides when to stop waiting (an event-time-timeout variant would
     *    instead tie eviction to the watermark).
     */
-  def sessionizeMs(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+  def sessionizeMs(events: Dataset[Event], gapMs: Long): Dataset[Session] =
+    sessionizeWith(events, gapMs,
+      GroupStateTimeout.ProcessingTimeTimeout,
+      (state, _) => state.setTimeoutDuration(gapMs))
+
+  /**
+   * Event-time-timeout variant: the open session is evicted (and emitted)
+   * when the WATERMARK passes `last + gap` — eviction is driven by the
+   * data's own clock, so a replay of the same stream produces the same
+   * sessions regardless of wall-clock pacing (processing-time timeouts do
+   * not have that property; they are for live low-latency emission).
+   * Requires a watermark on `ts` upstream (`withWatermark` before calling).
+   */
+  def sessionizeEventTime(events: Dataset[Event], gapMs: Long): Dataset[Session] =
+    sessionizeWith(events, gapMs,
+      GroupStateTimeout.EventTimeTimeout,
+      (state, s) => state.setTimeoutTimestamp(s.last + gapMs))
+
+  private def sessionizeWith(
+      events: Dataset[Event], gapMs: Long,
+      timeout: GroupStateTimeout,
+      arm: (GroupState[SessionState], SessionState) => Unit): Dataset[Session] = {
     events
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -178,7 +199,7 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutDuration(gapMs)
+              arm(state, s)
             }
             closed.result().iterator
           }

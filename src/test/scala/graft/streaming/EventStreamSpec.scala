@@ -112,6 +112,39 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time-timeout sessionize: watermark-driven eviction, replay-deterministic") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(ms: Long) = new Timestamp(1700000000000L + ms)
+    val input = MemoryStream[EventStream.Event]
+    // watermark delay 0: the watermark is max event time seen; gap 5 s
+    val sessions = EventStream.sessionizeEventTime(
+      input.toDS().withWatermark("ts", "0 seconds"), gapMs = 5000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_et").start()
+    def sink() = spark.table("sess_et").as[EventStream.Session].collect()
+    try {
+      // batch 1: user 7 opens [0, 1000]
+      input.addData(
+        EventStream.Event(1L, ts(0), 7L, "c", 1.0),
+        EventStream.Event(2L, ts(1000), 7L, "c", 1.0))
+      q.processAllAvailable()
+      assert(sink().isEmpty) // watermark at 1000 < last+gap → still open
+      // batch 2: another user's event far in the future advances the
+      // watermark past 7's last+gap → 7's session must evict via the
+      // EVENT clock (no wall-time waiting), emitted on the next trigger
+      input.addData(EventStream.Event(3L, ts(60000), 8L, "c", 1.0))
+      q.processAllAvailable()
+      input.addData(EventStream.Event(4L, ts(61000), 8L, "c", 1.0))
+      q.processAllAvailable()
+      val s7 = sink().filter(_.user_id == 7L)
+      assert(s7.length == 1)
+      assert(s7.head.n_events == 2)
+      assert(s7.head.session_start == ts(0) && s7.head.session_end == ts(1000))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-watermark duplicates") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup_in").toString
     val base = Tables.events(spark, sf0001).limit(100)
