@@ -37,6 +37,12 @@ object PipelineQueries {
       Chunking.packSequences(Tables(s, dir, "documents"), "doc_id", "text",
         seqLen = 512, nShards = 8)),
 
+    // The materialized sequences themselves (the write-side twin of
+    // pack_sequences): one row per 512-token training sequence.
+    "pack_sequence_rows" -> ((s, dir) =>
+      Chunking.packedSequenceRows(Tables(s, dir, "documents"), "doc_id",
+        "text", seqLen = 512, nShards = 8)),
+
     // Corpus profiling dashboard: per-source composition stats in ONE
     // partial-aggregated pass (counts, char volume, language spread, mean
     // length, en share — all exact ints + single final divisions).
@@ -127,6 +133,28 @@ object PipelineQueries {
         |  tok_before % 512 AS start_off,
         |  (tok_before + n_tokens - 1) // 512 AS end_seq
         |FROM c""".stripMargin,
+
+    // same prefix-sum layout; reassembly ordered by the in-sequence offset
+    "pack_sequence_rows" ->
+      """WITH w AS (
+        |  SELECT doc_id, cast(doc_id % 8 as int) AS shard,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, shard, cast(len(toks) as bigint) AS n_tokens, toks FROM w
+        |), c AS (
+        |  SELECT doc_id, shard, toks,
+        |    cast(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) as bigint)
+        |      AS tok_before
+        |  FROM t
+        |), tk AS (
+        |  SELECT shard, tok_before + i - 1 AS gidx, toks[i] AS tok
+        |  FROM c, unnest(range(1, len(toks) + 1)) AS u(i))
+        |SELECT shard, gidx // 512 AS seq_id,
+        |  string_agg(tok, ' ' ORDER BY gidx) AS seq_text,
+        |  cast(count(*) as bigint) AS n_tokens
+        |FROM tk GROUP BY shard, gidx // 512""".stripMargin,
 
     "corpus_stats" ->
       """SELECT source,

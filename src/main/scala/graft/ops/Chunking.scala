@@ -107,6 +107,37 @@ object Chunking {
         floor((col("__before") + col("n_tokens") - 1) / seqLen).cast("long").as("end_seq"))
   }
 
+  /**
+   * Materialize the [[packSequences]] layout: the actual fixed-`seqLen`
+   * training sequences, one row per (shard, seq_id) with the tokens
+   * joined in stream order. The reassembly group is bounded by `seqLen`
+   * tokens — NOT by document or corpus size — so the collect_list per
+   * sequence is constant-memory at any scale; upstream is the same
+   * per-shard prefix sum plus one explode of the token stream.
+   */
+  def packedSequenceRows(
+      df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, nShards: Int): DataFrame = {
+    require(seqLen > 0 && nShards > 0)
+    val spans = packSequences(df, idCol, textCol, seqLen, nShards)
+      .select(col(idCol), col("shard"),
+        (col("start_seq") * seqLen + col("start_off")).as("__before"))
+    val toks = df.select(col(idCol),
+      posexplode(graft.functions.hashes.word_tokens(col(textCol)))
+        .as(Seq("__pos", "tok")))
+    toks.join(spans, Seq(idCol))
+      .select(col("shard"),
+        floor((col("__before") + col("__pos")) / seqLen).cast("long").as("seq_id"),
+        pmod(col("__before") + col("__pos"), lit(seqLen.toLong)).as("__off"),
+        col("tok"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("__off"), col("tok")))),
+          s => s.getField("tok"))).as("seq_text"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** PII-pattern redaction: emails and long digit runs replaced with
     * placeholder tags. Patterns are RE2/Java-portable (no lookaround). */
   def redact(text: Column): Column = {

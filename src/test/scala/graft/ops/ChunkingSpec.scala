@@ -106,4 +106,25 @@ class ChunkingSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 == 1,
       s"packing must be a single per-shard window shuffle:\n$plan")
   }
+
+  test("materialized sequences tile each shard stream exactly") {
+    import spark.implicits._
+    def words(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    // shard 0 stream: doc0 (6) ++ doc2 (8) ++ doc4 (3) = 17 tokens;
+    // shard 1 stream: doc1 (12)
+    val df = Seq(0L -> words(6), 1L -> words(12), 2L -> words(8), 4L -> words(3))
+      .toDF("doc_id", "text")
+    val rows = Chunking.packedSequenceRows(df, "doc_id", "text", 10, 2)
+      .collect().map(r => (r.getAs[Int]("shard"), r.getAs[Long]("seq_id")) ->
+        (r.getAs[String]("seq_text"), r.getAs[Long]("n_tokens"))).toMap
+    assert(rows.keySet == Set((0, 0L), (0, 1L), (1, 0L), (1, 1L)))
+    // every non-final sequence holds exactly seqLen tokens; tails carry the rest
+    assert(rows((0, 0L))._2 == 10L && rows((0, 1L))._2 == 7L)
+    assert(rows((1, 0L))._2 == 10L && rows((1, 1L))._2 == 2L)
+    // order: doc0's 6 tokens then doc2's first 4 fill shard 0 / seq 0
+    assert(rows((0, 0L))._1 ==
+      "w0 w1 w2 w3 w4 w5 w0 w1 w2 w3")
+    // doc boundaries are invisible to the split (concat-and-split layout)
+    assert(rows((0, 1L))._1 == "w4 w5 w6 w7 w0 w1 w2")
+  }
 }
