@@ -18,15 +18,20 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = graft.SparkEntry.queries(name)
-    (1 to runs).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"PROBE $name run$i ${(System.nanoTime() - t0) / 1e9}%.3fs rows=$n")
-      spark.catalog.clearCache()
+    // comma-separated names all probe inside the same warm session, so the
+    // per-JVM codegen/datasource warmup is paid once, not once per query
+    name.split(",").map(_.trim).filter(_.nonEmpty).foreach { q =>
+      val fn = graft.SparkEntry.queries(q)
+      (1 to runs).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"PROBE $q run$i ${(System.nanoTime() - t0) / 1e9}%.3fs rows=$n")
+        spark.catalog.clearCache()
+      }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+        fn(spark, sfDir).explain("formatted")
     }
-    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
-      fn(spark, sfDir).explain("formatted")
     spark.stop()
   }
 }
