@@ -11,6 +11,15 @@ object Bench {
     // host (round-2's three sink_* "regressions" were exactly that), and the
     // median of 3 is robust to one slow outlier.
     val iters = sys.env.get("SPARK_GRAFT_ITERS").map(_.toInt).getOrElse(3).max(1)
+    // Durable full-record path: anchored to SPARK_GRAFT_OUT_DIR when set so a
+    // bench launched from another cwd still lands the record where expected.
+    // Deleted up front so a failed write can never leave a STALE file from a
+    // previous run masquerading as this run's results.
+    val fullPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_OUT_DIR", "."), "bench_full.json")
+    try { java.nio.file.Files.deleteIfExists(fullPath) } catch {
+      case e: Throwable => System.err.println(s"bench: could not delete stale $fullPath: $e")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -91,9 +100,14 @@ object Bench {
     val slowestFirst = medians.toSeq.sortBy(-_._2)
     val included = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 0
+    var full = false
+    // Stop at the FIRST entry that overflows, so the included set is strictly
+    // the slowest prefix (a later short-named faster query can never displace
+    // a slower long-named one).
     slowestFirst.foreach { case (k, v) =>
       val entry = s"\"" + k + "\":" + fmt(v)
-      if (used + entry.length + 1 <= budget) { included += ((k, v)); used += entry.length + 1 }
+      if (!full && used + entry.length + 1 <= budget) { included += ((k, v)); used += entry.length + 1 }
+      else full = true
     }
     val qmap = included.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -104,9 +118,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${medians.size},"n_failed":${errors.size},"iters":$iters,"warmup_sec":${fmt(warmup)},"errors":$fullErrs,"queries":${jmap(medians)},"spread":${jmap(spreads)},"sf":"$sfDir"}"""
     try {
-      val p = java.nio.file.Paths.get("bench_full.json")
-      java.nio.file.Files.write(p, (fullJson + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+      java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Throwable => System.err.println(s"bench: FAILED to write $fullPath: $e")
+    }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${medians.size},"n_failed":${errors.size},"iters":$iters,"warmup_sec":${fmt(warmup)},"errors":$errs,"queries_omitted":$omitted,"queries":$qmap,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

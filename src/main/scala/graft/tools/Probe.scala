@@ -20,18 +20,26 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     // comma-separated names all probe inside the same warm session, so the
     // per-JVM codegen/datasource warmup is paid once, not once per query
-    name.split(",").map(_.trim).filter(_.nonEmpty).foreach { q =>
-      val fn = graft.SparkEntry.queries(q)
-      (1 to runs).foreach { i =>
-        val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
-        println(f"PROBE $q run$i ${(System.nanoTime() - t0) / 1e9}%.3fs rows=$n")
-        spark.catalog.clearCache()
-      }
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
-        fn(spark, sfDir).explain("formatted")
+    val requested = name.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val unknown = requested.filterNot(graft.SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"PROBE unknown queries: ${unknown.mkString(", ")}; " +
+        s"known: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     }
-    spark.stop()
+    try {
+      requested.filter(graft.SparkEntry.queries.contains).foreach { q =>
+        val fn = graft.SparkEntry.queries(q)
+        (1 to runs).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = fn(spark, sfDir).count()
+          println(f"PROBE $q run$i ${(System.nanoTime() - t0) / 1e9}%.3fs rows=$n")
+          spark.catalog.clearCache()
+        }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+          fn(spark, sfDir).explain("formatted")
+      }
+    } finally spark.stop()
+    if (unknown.nonEmpty) sys.exit(1)
   }
 }
