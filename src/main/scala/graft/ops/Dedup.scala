@@ -696,21 +696,78 @@ object Dedup {
   /** SimHash near-dup pairs: block on 16-bit quarters (any pair within
     * Hamming distance 3 of a 64-bit hash must agree on at least one of the
     * four quarters — pigeonhole), then verify exact Hamming distance with
-    * `bit_count(xor)`. */
-  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * `bit_count(xor)`.
+    *
+    * Skew guard: templated/short corpora collapse many documents onto few
+    * simhash values, so one popular (quarter, block) would otherwise turn
+    * the self-join into a single quadratic straggler task that no planner
+    * can split (AQE splits shuffle partitions, not a single join key).
+    * Blocks with more than `blockCap` rows are split into
+    * `ceil(count/blockCap)` sub-buckets by a hash of the doc id, and the
+    * self-join covers the upper triangle of (sub_i ≤ sub_j) bucket pairs —
+    * the exact same candidate set, but each join task now holds ~blockCap
+    * rows a side (cap² candidates) instead of count². Total work over a
+    * clique is still O(count²) — that is the output's own size — but it is
+    * spread over count²/cap² parallel tasks instead of one. Over-cap blocks
+    * number at most 4·N/blockCap and in practice a handful, so the split
+    * table is broadcast (no extra shuffle of the blocked rows). */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int = 3,
+      blockCap: Int = 8192): DataFrame = {
+    // the blocked rows feed three branches (block counts + both join
+    // sides); cache the upstream — typically a native simhash over full
+    // text — unless the caller already persisted it (same guard as
+    // minhashCandidatePairs)
+    val callerUnpersisted =
+      sigs.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val sigsC = if (callerUnpersisted) sigs.cache() else sigs
+    val split = simhashBlockSplits(sigsC, blockCap)
+    val a = split.select(col("quarter"), col("block"), col("sub").as("i"),
+      explode(sequence(col("sub"), col("nsplits") - lit(1))).as("j"),
+      col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+    val b = split.select(col("quarter"), col("block"), col("sub").as("j"),
+      explode(sequence(lit(0), col("sub"))).as("i"),
+      col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+    // Role coverage: a pair with subs (sa, sb) meets as (a, b) only when
+    // sa ≤ sb, so the smaller DOC ID can land on either side. Same-bucket
+    // tasks (i = j, which is every pair of an unsplit block) see both
+    // orientations — keep one by id order, exactly the unguarded shape.
+    // Cross-bucket tasks see exactly one orientation — keep it whatever
+    // the id order, and canonicalize with least/greatest.
+    val result = a.join(b, Seq("quarter", "block", "i", "j"))
+      .filter(col("i") =!= col("j") || col("a_id") < col("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
+      // hamming is a pure function of the pair, so filtering BEFORE the
+      // multi-quarter-collision dedup shrinks the distinct's input from
+      // every block collision to just the near-dup survivors
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val out = result.localCheckpoint()
+    if (callerUnpersisted) sigsC.unpersist(blocking = true)
+    out
+  }
+
+  /** Quarter-blocked simhash rows with skew-split assignment: one row per
+    * (doc, quarter) carrying the block's split count (`nsplits`, 1 for
+    * blocks at or under `blockCap`) and this row's sub-bucket (`sub`,
+    * doc-id-hashed into [0, nsplits)). Exposed for the skew-guard test,
+    * which asserts no sub-bucket exceeds ~blockCap. */
+  private[graft] def simhashBlockSplits(
+      sigs: DataFrame, blockCap: Int): DataFrame = {
     val quarterCols = (0 until 4).map(q =>
       shiftright(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL)))
     val blocked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array(quarterCols: _*)))
       .withColumnRenamed("pos", "quarter").withColumnRenamed("col", "block")
-    val a = blocked.select(col("quarter"), col("block"),
-      col("doc_id").as("a_id"), col("simhash").as("a_sim"))
-    val b = blocked.select(col("quarter"), col("block"),
-      col("doc_id").as("b_id"), col("simhash").as("b_sim"))
-    a.join(b, Seq("quarter", "block")).filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val hot = blocked.groupBy("quarter", "block").count()
+      .filter(col("count") > blockCap)
+      .select(col("quarter"), col("block"),
+        ceil(col("count").cast("double") / blockCap).cast("int").as("nsplits"))
+    blocked.join(broadcast(hot), Seq("quarter", "block"), "left")
+      .withColumn("nsplits", coalesce(col("nsplits"), lit(1)))
+      .withColumn("sub",
+        pmod(xxhash64(col("doc_id")), col("nsplits").cast("long")).cast("int"))
   }
 }

@@ -72,6 +72,40 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("simhash skew guard: hot block is split, results unchanged") {
+    // 2000 docs planted into ONE (quarter 0) block: every simhash shares the
+    // low 16 bits, so the unguarded self-join would put all ~2M candidate
+    // pairs in a single task. High 48 bits come from a deterministic hash so
+    // almost all pairs fail the hamming check; three planted near-dups must
+    // survive: 0≡1 (hamming 0) and 0~2 (hamming 1).
+    val n = 2000
+    val rows = (0 until n).map { i =>
+      val high =
+        if (i <= 1) 0L // docs 0 and 1: identical simhash
+        else if (i == 2) 1L << 20 // doc 2: hamming 1 from doc 0
+        else scala.util.hashing.MurmurHash3.stringHash(s"doc$i").toLong << 16
+      (i.toLong, (high & ~0xFFFFL) | 0x1234L)
+    }
+    val sigs = rows.toDF("doc_id", "simhash")
+    // cardinality: the planted block must be split into ceil(2000/100)=20
+    // sub-buckets and no sub-bucket may go quadratic (≤2× the cap even with
+    // hash-assignment imbalance)
+    val split = Dedup.simhashBlockSplits(sigs, blockCap = 100)
+    val hotSplits = split.filter(col("quarter") === 0 && col("block") === 0x1234L)
+    assert(hotSplits.select(max("nsplits")).head().getInt(0) == 20)
+    val maxBucket = hotSplits.groupBy("sub").count()
+      .select(max("count")).head().getLong(0)
+    assert(maxBucket <= 200, s"sub-bucket of $maxBucket rows exceeds 2x cap")
+    // correctness: guarded result is EXACTLY the unguarded result
+    def pairSet(blockCap: Int) =
+      Dedup.simhashPairs(sigs, maxHamming = 3, blockCap = blockCap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val guarded = pairSet(100)
+    assert(guarded == pairSet(Int.MaxValue))
+    assert(guarded.contains((0L, 1L, 0)) && guarded.contains((0L, 2L, 1))
+      && guarded.contains((1L, 2L, 1)))
+  }
+
   test("ngram jaccard: exact value for hand-computed pair") {
     val two = Seq(
       (1L, "a b c d e"), // 3-grams: {a b c, b c d, c d e}
