@@ -123,11 +123,11 @@ object PartitionCatalog {
   /** Hive-parity registration DDL (`STORED AS` + `LOCATION`) — the exact
     * table a Hive-metastore deployment should create for reference-parity
     * Explore registration (real SerDe storage, not informational
-    * properties). Returned as a statement rather than executed because
-    * `STORED AS` needs Hive catalog support, which the in-memory session
-    * catalog this project tests against does not provide; run it followed by
-    * `MSCK REPAIR TABLE` (≙ `recoverPartitions`) on the target metastore.
-    * Column types use Spark's Hive-compatible DDL rendering. */
+    * properties). Returned as a statement so callers control which catalog
+    * runs it; execute it followed by `MSCK REPAIR TABLE`
+    * (≙ `recoverPartitions`) on the target metastore. Exercised end-to-end
+    * (create → repair → `SHOW PARTITIONS` → read-back, parquet and avro)
+    * against a Derby-backed Hive metastore in `SinkSurfaceSpec`. */
   def hiveRegistrationDdl(
       tableName: String, path: String, dataSchema: StructType,
       partitionFields: Seq[String], format: String = "parquet"): String = {
@@ -136,8 +136,16 @@ object PartitionCatalog {
       case "orc" => "ORC"
       case _ => "PARQUET"
     }
+    // Hive has no TIMESTAMP_NTZ keyword: its TIMESTAMP *is* wall-clock
+    // (NTZ) semantics, so both Spark timestamp flavors render as TIMESTAMP
+    // (`f.dataType.sql` would emit TIMESTAMP_NTZ, which Hive's type parser
+    // rejects at table-creation time)
+    def hiveType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+      case org.apache.spark.sql.types.TimestampNTZType => "TIMESTAMP"
+      case other => other.sql
+    }
     def cols(fs: Seq[org.apache.spark.sql.types.StructField]) =
-      fs.map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      fs.map(f => s"`${f.name}` ${hiveType(f.dataType)}").mkString(", ")
     val (partCols, dataCols) =
       dataSchema.fields.toSeq.partition(f => partitionFields.contains(f.name))
     // preserve declared partition-field order (directory nesting order)

@@ -12,6 +12,13 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // Hive-backed (Derby metastore in a temp dir) so catalog behavior under
+    // test is a REAL metastore: F7 Explore-registration parity
+    // (hiveRegistrationDdl → MSCK REPAIR → SHOW PARTITIONS) executes rather
+    // than being asserted as emitted DDL text. catalogImplementation is a
+    // static conf per JVM, so the whole suite shares the Hive session.
+    val meta = java.nio.file.Files.createTempDirectory("graft-metastore")
+    System.setProperty("derby.stream.error.file", s"$meta/derby.log")
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
@@ -19,6 +26,10 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir", s"$meta/warehouse")
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$meta/metastore_db;create=true")
+      .enableHiveSupport()
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -93,6 +93,55 @@ class SinkSurfaceSpec extends SparkSpec {
     spark.sql("DROP TABLE precheck_t")
   }
 
+  test("F7 executed: hiveRegistrationDdl runs on a real metastore, MSCK recovers, Hive reads back") {
+    // closes the F7 honesty boundary: the parity DDL is EXECUTED against the
+    // suite's Derby-backed Hive metastore (FileSetUtil.java:114-121,155-164
+    // semantics), not just emitted as text
+    val out = Files.createTempDirectory("graft_hive_f7").toString
+    val orders = Tables(spark, sf0001, "orders")
+    PartitionedSink.write(orders, out,
+      SinkConfig(ParquetFormat, Seq("o_orderpriority"), runtimeNullCheck = true))
+    spark.sql("DROP TABLE IF EXISTS orders_hive_f7")
+    spark.sql(PartitionCatalog.hiveRegistrationDdl(
+      "orders_hive_f7", out, orders.schema, Seq("o_orderpriority")))
+    // a real metastore knows the table but NO partitions until repair
+    assert(spark.sql("SHOW PARTITIONS orders_hive_f7").count() == 0)
+    spark.sql("MSCK REPAIR TABLE orders_hive_f7")
+    val parts = spark.sql("SHOW PARTITIONS orders_hive_f7")
+      .collect().map(_.getString(0))
+    assert(parts.length == 5 && parts.exists(_.contains("o_orderpriority=1-URGENT")))
+    // catalog listing equals the filesystem walk on the same tree
+    assert(PartitionCatalog.listFromCatalog(spark, "orders_hive_f7").toSet
+      == PartitionCatalog.list(spark, out, 1).toSet)
+    // read-back through the Hive-format table is the written data, exactly.
+    // Hive renders TIMESTAMP_NTZ columns as TIMESTAMP (its own timestamps
+    // are wall-clock), so cast back to the source schema for the compare —
+    // value-preserving under the suite's UTC session.
+    val back = spark.table("orders_hive_f7")
+      .select(orders.schema.fields.toIndexedSeq
+        .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    assert(back.count() == orders.count())
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+    spark.sql("DROP TABLE orders_hive_f7")
+
+    // avro flavor: STORED AS AVRO over a spark-avro-written tree (the
+    // reference's Explore-registration format, FileSetUtil.java:114-121)
+    import spark.implicits._
+    val outA = Files.createTempDirectory("graft_hive_f7_avro").toString
+    val df = Seq((1L, "x", "p1"), (2L, "y", "p2"), (3L, "z", "p1"))
+      .toDF("id", "v", "part")
+    PartitionedSink.write(df, outA,
+      SinkConfig(AvroFormat, Seq("part"), runtimeNullCheck = true))
+    spark.sql("DROP TABLE IF EXISTS avro_hive_f7")
+    spark.sql(PartitionCatalog.hiveRegistrationDdl(
+      "avro_hive_f7", outA, df.schema, Seq("part"), "avro"))
+    spark.sql("MSCK REPAIR TABLE avro_hive_f7")
+    assert(spark.sql("SHOW PARTITIONS avro_hive_f7").count() == 2)
+    val backA = spark.table("avro_hive_f7").select("id", "v", "part")
+    assert(backA.exceptAll(df).isEmpty && df.exceptAll(backA).isEmpty)
+    spark.sql("DROP TABLE avro_hive_f7")
+  }
+
   test("hiveRegistrationDdl emits STORED AS storage with partition columns split out") {
     val schema = StructType(Seq(
       StructField("id", LongType, nullable = false),
