@@ -201,6 +201,12 @@ object OpsQueries {
         .orderBy(col("n").desc, col("pair").asc)
         .limit(20)),
 
+    // BPE induction, second iteration: apply the corpus-top merge pair and
+    // re-count adjacent symbol pairs — the statistics the NEXT merge
+    // decision would rank (exact integer counting, oracle-matched)
+    "text_bpe_merge" -> ((s, dir) =>
+      graft.ops.TextAnalysis.bpeMergeRound(docs(s, dir), "text", k = 20)),
+
     // Unigram-LM cross-entropy (KenLM-perplexity proxy): corpus unigram
     // table → bounded top-1000 vocab literal → zero-shuffle scoring pass
     "text_perplexity" -> ((s, dir) =>
@@ -678,6 +684,33 @@ object OpsQueries {
         |  SELECT unnest([w[i:i+1] for i in range(1, length(w))]) AS pair
         |  FROM w2)
         |SELECT pair, count(*) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+
+    // round-2 BPE stats: the top distinct-char pair is selected INSIDE the
+    // SQL (count desc, pair asc — deterministic at ties, same tie-break as
+    // the Spark side), merged position-wise, and re-counted. Merged-pair
+    // symbols join with ' ' (cannot appear inside word tokens).
+    "text_bpe_merge" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents
+        |), w2 AS (SELECT w FROM w WHERE length(w) >= 2),
+        |p1 AS (
+        |  SELECT unnest([w[i:i+1] for i in range(1, length(w))]) AS pair
+        |  FROM w2),
+        |top1 AS (
+        |  SELECT pair FROM p1 WHERE pair[1:1] != pair[2:2]
+        |  GROUP BY pair ORDER BY count(*) DESC, pair ASC LIMIT 1),
+        |sym AS (
+        |  SELECT [CASE WHEN w[i:i+1] = t.pair THEN t.pair ELSE w[i:i] END
+        |          for i in range(1, length(w) + 1)
+        |          if i = 1 OR w[i-1:i] != t.pair] AS s
+        |  FROM w2 CROSS JOIN top1 t),
+        |p2 AS (
+        |  SELECT unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS pair
+        |  FROM sym WHERE len(s) >= 2)
+        |SELECT pair, count(*) AS n FROM p2
         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
 
     // per-token ln(cnt/total) summed IN TOKEN ORDER on both engines:

@@ -185,6 +185,55 @@ case class WordNgrams(child: Expression, n: Int)
 }
 
 /**
+ * Round-2 BPE adjacent symbol pairs of ONE WORD after merging `pair` (two
+ * DISTINCT codepoints): single greedy left-to-right scan building the merged
+ * symbol sequence, emitting `"s1 s2"` per adjacent symbol pair. For
+ * distinct-codepoint pairs the greedy scan is exactly the position-wise
+ * merge spec of `TextAnalysis.bpeMergeRound` (occurrences cannot overlap),
+ * and one native pass replaces ~3 interpreted `substr` Column evaluations
+ * per character. Codepoint-indexed, matching SQL `substr`/DuckDB slicing
+ * semantics on astral characters.
+ */
+case class BpeRound2Pairs(child: Expression, pair: String)
+  extends UnaryExpression with CodegenFallback {
+
+  require(pair.codePointCount(0, pair.length) == 2 &&
+    pair.codePointAt(0) != pair.codePointAt(pair.offsetByCodePoints(0, 1)),
+    "merge pair must be two distinct codepoints")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_round2_pairs"
+
+  private val c1 = pair.codePointAt(0)
+  private val c2 = pair.codePointAt(pair.offsetByCodePoints(0, 1))
+
+  override def nullSafeEval(input: Any): Any = {
+    val w = input.toString
+    val cps = w.codePoints.toArray
+    val syms = new scala.collection.mutable.ArrayBuffer[String](cps.length)
+    var i = 0
+    while (i < cps.length) {
+      if (i + 1 < cps.length && cps(i) == c1 && cps(i + 1) == c2) {
+        syms += pair; i += 2
+      } else {
+        syms += new String(Character.toChars(cps(i))); i += 1
+      }
+    }
+    if (syms.length < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](syms.length - 1)
+    var j = 0
+    while (j < syms.length - 1) {
+      out(j) = UTF8String.fromString(syms(j) + " " + syms(j + 1))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Normalized whitespace tokens of a text column — native one-pass twin of
  * `split(Dedup.normalize(c), " ")` (regex lower/trim/collapse + regex split
  * costs interpreted-regex time on every document; this is a single scan).
@@ -374,6 +423,9 @@ object hashes {
 
   def unigram_logprob(c: Column, vocab: Map[String, Long], total: Long): Column =
     Bridge.column(UnigramLogProb(Bridge.expression(c), vocab, total))
+
+  def bpe_round2_pairs(c: Column, pair: String): Column =
+    Bridge.column(BpeRound2Pairs(Bridge.expression(c), pair))
 
   /** Expose the native expressions to SQL on an EXISTING session (temp
     * functions): `SELECT minhash_signature(text), simhash64(text) ...`.

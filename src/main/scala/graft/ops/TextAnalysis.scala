@@ -348,6 +348,53 @@ object TextAnalysis {
   }
 
   /**
+   * One REAL merge iteration of BPE tokenizer induction — beyond the
+   * counting step (`text_bpe_pairs`): find the corpus-wide most frequent
+   * adjacent in-word character pair, apply that merge to every word, and
+   * re-count adjacent SYMBOL pairs over the merged sequences (round-2
+   * statistics, i.e. what the next merge decision would rank).
+   *
+   * The candidate pair is restricted to two DISTINCT characters so merge
+   * occurrences cannot overlap and the merged symbol sequence is a pure
+   * position-wise function of the word: position i starts a symbol unless
+   * the pair begins at i-1, and a symbol is the merged pair when it begins
+   * at i. (A self-overlapping pair like "aa" merges greedily left-to-right,
+   * whose run-parity arithmetic is a sequential fold — not expressible as
+   * portable set-oriented SQL. English-like corpora rank distinct-char
+   * pairs on top anyway.)
+   *
+   * The top pair is ONE row collected to the driver and embedded as a
+   * literal — the bounded-global-context pattern used for top-K vocab and
+   * BM25 stats; everything else is per-word map work + one count
+   * aggregation, fully distributed at any corpus size.
+   */
+  def bpeMergeRound(df: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    // NOT cached: both jobs rebuild words from the (column-pruned) scan +
+    // one native word_tokens pass — cheaper than writing and reading a
+    // many-million-row exploded-string cache between two jobs
+    val words = df
+      .select(explode(graft.functions.hashes.word_tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+    val w = col("w")
+    val top = words
+      .select(explode(transform(sequence(lit(1), length(w) - 1),
+        i => w.substr(i, lit(2)))).as("pair"))
+      .filter(substring(col("pair"), 1, 1) =!= substring(col("pair"), 2, 1))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc).limit(1)
+      .head().getString(0)
+    // round 2 is one native pass per word (merge scan + pair emit); the
+    // declarative form (filter/transform with ~3 interpreted substr
+    // evaluations per character) measured ~4x slower at sf0.1
+    words
+      .select(explode(
+        graft.functions.hashes.bpe_round2_pairs(w, top)).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
+  /**
    * Hybrid retrieval: BM25 keyword ranking fused with embedding cosine
    * ranking via Reciprocal Rank Fusion — score(d) = Σ 1/(rrfK + rank_i(d))
    * over the two top-`kEach` lists. RRF is the standard fusion for

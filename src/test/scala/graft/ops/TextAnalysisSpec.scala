@@ -125,6 +125,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("bpe merge round: top pair applied, round-2 symbol pairs hand-computed") {
+    // corpus: "aba abab ba" ×3 docs. In-word char pairs: ab(×3/doc... )
+    // per doc: "aba"→{ab,ba}, "abab"→{ab,ba,ab}, "ba"→{ba} ⇒ ab:3, ba:3
+    // per doc; tie at 9 corpus-wide → pair ASC picks "ab".
+    // Merge "ab": "aba"→[ab,a], "abab"→[ab,ab], "ba"→[b,a]
+    // round-2 pairs per doc: "ab a", "ab ab", "b a" ⇒ each ×3 corpus-wide
+    val docs = Seq.tabulate(3)(i => (i.toLong, "aba abab ba"))
+      .toDF("doc_id", "text")
+    val res = TextAnalysis.bpeMergeRound(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(res == Map("ab a" -> 3L, "ab ab" -> 3L, "b a" -> 3L))
+  }
+
   test("content fingerprint is whitespace/case insensitive") {
     val df = Seq(
       (1L, "Hello   World"), (2L, "  hello world "), (3L, "hello worlds"))
