@@ -72,6 +72,41 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("minhash est_jaccard within measured bounds of EXACT shingle jaccard at sf0.01") {
+    // converts the xxhash no_oracle family from "plausible" to "measured":
+    // for every banded candidate pair over the real sf0.01 corpus (threshold
+    // 0 — the worst case, low-similarity pairs carry the largest estimator
+    // error), |est_jaccard − exact jaccard over the SAME character-5-gram
+    // shingle sets (HashExpressions.MinHashSignature:78-96 semantics)| is
+    // bounded by 4σ of the 64-lane estimator (σ = √(J(1−J)/64) ≤ 0.0625).
+    val docs = graft.Tables(spark, sf001, "documents")
+    // pre-project normalization to a bound column: an inline HOF lambda
+    // would re-normalize the full text once per shingle
+    val normed = docs.select(col("doc_id"), Dedup.normalize(col("text")).as("t"))
+    val t = col("t")
+    val sh = normed.select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), greatest(length(t) - 5, lit(0))),
+        i => t.substr(i + 1, lit(5))))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val cands = Dedup.minhashCandidatePairs(
+      Dedup.minhashSignatures(docs, "doc_id", "text"), 64, 16, threshold = 0.0)
+    val common = cands
+      .join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+    val errs = cands.join(common, Seq("a_id", "b_id"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("la")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("lb")), Seq("b_id"))
+      .select(abs(col("est_jaccard") - col("common").cast("double") /
+        (col("la") + col("lb") - col("common")).cast("double")).as("err"))
+      .collect().map(_.getDouble(0))
+    assert(errs.length >= 20, s"expected a meaningful candidate sample, got ${errs.length}")
+    assert(errs.max <= 0.25, f"max |est-exact| = ${errs.max}%.3f exceeds 4 sigma")
+    assert(errs.sum / errs.length <= 0.08,
+      f"mean |est-exact| = ${errs.sum / errs.length}%.3f exceeds 0.08")
+  }
+
   test("simhash skew guard: hot block is split, results unchanged") {
     // 2000 docs planted into ONE (quarter 0) block: every simhash shares the
     // low 16 bits, so the unguarded self-join would put all ~2M candidate
