@@ -51,6 +51,24 @@ object SinkQueries {
     // the read-back tree by its two partition columns.
     "sink_range_sharded" -> ((s, dir) => rangeShardRoundTrip(s, dir)),
 
+    // Z-order layout: files cover contiguous Morton-code ranges over
+    // (l_partkey, l_suppkey), so per-bucket min/max is tight on BOTH
+    // columns. The oracle recomputes the identical bit-interleave and
+    // equal-width slab assignment in pure integer SQL — if the layout
+    // routing differed anywhere, the per-bucket stats would not match.
+    "sink_zorder_layout" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_sink_zorder").toString
+      val li = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      PartitionedSink.writeZOrdered(li, out, "l_partkey", "l_suppkey",
+        nBuckets = 16)
+      PartitionedSink.readBack(s, out)
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+          min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+    }),
+
     "sink_multifield_layout" -> ((s, dir) => {
       val out = Files.createTempDirectory("graft_sink_multi").toString
       val li = Tables(s, dir, "lineitem")
@@ -86,6 +104,45 @@ object SinkQueries {
     "sink_avro_partitioned" -> orcAvroOracle,
     "sink_range_sharded" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // Mirrors ZOrder.zorder2 + writeZOrdered exactly: min-max scale each
+    // column to 16 bits, 5 spread steps per column (magic masks in
+    // decimal), OR one bit apart, equal-width slabs from the observed max.
+    // All non-negative integer math — exact in both engines.
+    "sink_zorder_layout" ->
+      """WITH mm AS (
+        |  SELECT min(l_partkey) AS amin,
+        |    greatest(max(l_partkey) - min(l_partkey), 1) AS aspan,
+        |    min(l_suppkey) AS bmin,
+        |    greatest(max(l_suppkey) - min(l_suppkey), 1) AS bspan
+        |  FROM lineitem),
+        |z0 AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    ((CAST(l_partkey AS BIGINT) - amin) * 65535) // aspan AS a0,
+        |    ((CAST(l_suppkey AS BIGINT) - bmin) * 65535) // bspan AS b0
+        |  FROM lineitem, mm),
+        |z1 AS (SELECT l_partkey, l_suppkey,
+        |  (a0 | (a0 << 16)) & 281470681808895 AS a1,
+        |  (b0 | (b0 << 16)) & 281470681808895 AS b1 FROM z0),
+        |z2 AS (SELECT l_partkey, l_suppkey,
+        |  (a1 | (a1 << 8)) & 71777214294589695 AS a2,
+        |  (b1 | (b1 << 8)) & 71777214294589695 AS b2 FROM z1),
+        |z3 AS (SELECT l_partkey, l_suppkey,
+        |  (a2 | (a2 << 4)) & 1085102592571150095 AS a3,
+        |  (b2 | (b2 << 4)) & 1085102592571150095 AS b3 FROM z2),
+        |z4 AS (SELECT l_partkey, l_suppkey,
+        |  (a3 | (a3 << 2)) & 3689348814741910323 AS a4,
+        |  (b3 | (b3 << 2)) & 3689348814741910323 AS b4 FROM z3),
+        |z5 AS (SELECT l_partkey, l_suppkey,
+        |  ((a4 | (a4 << 1)) & 6148914691236517205)
+        |    | (((b4 | (b4 << 1)) & 6148914691236517205) << 1) AS zv FROM z4),
+        |m AS (SELECT max(zv) AS zmax FROM z5),
+        |b AS (SELECT l_partkey, l_suppkey,
+        |  zv // ((zmax // 16) + 1) AS bucket FROM z5, m)
+        |SELECT CAST(bucket AS varchar) AS zbucket, count(*) AS n_rows,
+        |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+        |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+        |FROM b GROUP BY bucket""".stripMargin,
+
     "sink_multifield_layout" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |  cast(sum(cast(round(l_quantity * 100, 0) as bigint)) / 100.0 as double) AS sum_qty

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Z-order (Morton) curve math for multi-column file layout, built entirely
+ * from Spark built-in functions so the whole computation stays inside
+ * whole-stage codegen and is reproducible as plain integer SQL in any
+ * engine (the DuckDB oracle evaluates the identical mask/shift sequence).
+ *
+ * Why: a sink that writes files along a z-curve over two columns gives
+ * BOTH columns tight per-file min/max ranges, so parquet row-group /
+ * file skipping prunes scans filtered on either column — the layout-side
+ * complement of the reference's value-based directory partitioning
+ * (`PartitionedFileSetSinkConfig.java:128,133-147` routes on exact
+ * values; z-order clusters on ranges).
+ *
+ * The interleave uses the classic public-domain "spread bits" magic-mask
+ * sequence: each 31-bit input is spread into even bit positions of a
+ * 62-bit word in 5 mask/shift steps, then the two spread words are OR'd
+ * one bit apart. All arithmetic is on non-negative longs, so the result
+ * never overflows or wraps negative.
+ */
+object ZOrder {
+
+  /** Spread the low 31 bits of a non-negative long so bit i lands at
+    * position 2*i (even positions of a 62-bit word). */
+  private[graft] def spreadBits31(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0x7FFFFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val x4 = x3.bitwiseOR(shiftleft(x3, 2)).bitwiseAND(lit(0x3333333333333333L))
+    x4.bitwiseOR(shiftleft(x4, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** 2-column Morton code: interleaved bits of `a` (even positions) and
+    * `b` (odd positions). Inputs are masked to their low 31 bits, so
+    * callers with wider domains should rank- or scale-normalize first.
+    * For k>2 columns the same construction generalizes with a k-step
+    * round-robin spread; 2 columns covers the dominant two-filter-column
+    * layout case. */
+  def zorder2(a: Column, b: Column): Column =
+    spreadBits31(a.cast("long")).bitwiseOR(shiftleft(spreadBits31(b.cast("long")), 1))
+
+  /** Reference Scala twin of [[zorder2]] for property tests. */
+  private[graft] def zorder2Local(a: Long, b: Long): Long = {
+    def spread(v: Long): Long = {
+      var x = v & 0x7FFFFFFFL
+      x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+      x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x << 2)) & 0x3333333333333333L
+      (x | (x << 1)) & 0x5555555555555555L
+    }
+    spread(a) | (spread(b) << 1)
+  }
+}

@@ -207,6 +207,58 @@ object PartitionedSink {
       .sortWithinPartitions(sortCol)
       .write.format(format.name).mode(SaveMode.Overwrite).save(path)
 
+  /**
+   * Z-order multi-column layout: route rows into `nBuckets` partition
+   * directories by equal-width slabs of the Morton code over two layout
+   * columns ([[graft.functions.ZOrder.zorder2]]), sorted by z within each
+   * bucket. Every bucket then covers a contiguous z-range, which bounds
+   * BOTH columns' per-file min/max — scans filtered on either column skip
+   * most buckets, where a single-column sort only helps its own column.
+   *
+   * Each column is min-max normalized to a common 16-bit domain before
+   * interleaving — without this, mismatched ranges degenerate the curve
+   * (a low-cardinality column's bits sit below the slab width and every
+   * slab spans its whole range). Normalization bounds come from one agg
+   * pass (four scalars to the driver), so the whole layout is
+   * deterministic by construction and the correctness oracle recomputes
+   * it in SQL. The exchange is an ordinary hash repartition on the bucket
+   * id; no global sort anywhere, so the plan is the same shape at 100 TB.
+   * Skew note: equal-width z-slabs can be unbalanced on skewed data; the
+   * production knob is raising `nBuckets` (buckets stay cheap — one dir
+   * each) or AQE coalescing, not a sampled boundary search, because
+   * reproducibility of the layout is the point.
+   */
+  def writeZOrdered(
+      df: DataFrame, path: String, colA: String, colB: String,
+      nBuckets: Int, format: SinkFormat = ParquetFormat,
+      bucketCol: String = "zbucket"): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    if (df.isEmpty) {
+      df.withColumn(bucketCol, lit(0L))
+        .write.format(format.name).partitionBy(bucketCol)
+        .mode(SaveMode.Overwrite).save(path)
+      return
+    }
+    val mm = df.agg(min(colA), max(colA), min(colB), max(colB)).head
+    def lv(i: Int): Long = mm.getAs[Number](i).longValue()
+    val (minA, minB) = (lv(0), lv(2))
+    val spanA = math.max(1L, lv(1) - minA)
+    val spanB = math.max(1L, lv(3) - minB)
+    val withZ = df.withColumn("_z",
+      graft.functions.ZOrder.zorder2(
+        expr(s"((cast($colA as bigint) - $minA) * 65535) div $spanA"),
+        expr(s"((cast($colB as bigint) - $minB) * 65535) div $spanB")))
+    val zmax = withZ.agg(max(col("_z"))).head.getLong(0)
+    val width = zmax / nBuckets + 1
+    withZ
+      .withColumn(bucketCol, expr(s"_z div $width"))
+      .repartition(col(bucketCol))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.format(format.name).partitionBy(bucketCol)
+      .mode(SaveMode.Overwrite).save(path)
+  }
+
   /** T2 analogue (`_CDAPStageName` constant injection,
     * `common/Schemas.java:24-30` + `AvroDynamicPartitionedDatasetSink.java:82-85`):
     * append a constant stage-name column. In Spark the partition-field list
