@@ -106,8 +106,9 @@ object SinkQueries {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     // Mirrors ZOrder.zorder2 + writeZOrdered exactly: min-max scale each
     // column to 16 bits, 5 spread steps per column (magic masks in
-    // decimal), OR one bit apart, equal-width slabs from the observed max.
-    // All non-negative integer math — exact in both engines.
+    // decimal), OR one bit apart, equal-width slabs over the analytic
+    // z domain [0, 2^32). All non-negative integer math — exact in both
+    // engines.
     "sink_zorder_layout" ->
       """WITH mm AS (
         |  SELECT min(l_partkey) AS amin,
@@ -135,9 +136,8 @@ object SinkQueries {
         |z5 AS (SELECT l_partkey, l_suppkey,
         |  ((a4 | (a4 << 1)) & 6148914691236517205)
         |    | (((b4 | (b4 << 1)) & 6148914691236517205) << 1) AS zv FROM z4),
-        |m AS (SELECT max(zv) AS zmax FROM z5),
         |b AS (SELECT l_partkey, l_suppkey,
-        |  zv // ((zmax // 16) + 1) AS bucket FROM z5, m)
+        |  zv // ((4294967295 // 16) + 1) AS bucket FROM z5)
         |SELECT CAST(bucket AS varchar) AS zbucket, count(*) AS n_rows,
         |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
         |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp

@@ -27,5 +27,8 @@ object SqlFunctions {
     "sorted_intersect_count" -> (e => SortedIntersectCount(e(0), e(1))),
     "repetition_stats" -> (e => RepetitionStats(e.head, intArg(e, 1, 2))),
     "math_ln" -> (e => MathLn(e.head)),
+    // composition of built-in bit ops — registered so SQL users can
+    // sort/cluster by the same layout key the sink writes
+    "zorder2" -> (e => ZOrder.zorder2Expr(e(0), e(1))),
   )
 }

@@ -44,6 +44,28 @@ object ZOrder {
   def zorder2(a: Column, b: Column): Column =
     spreadBits31(a.cast("long")).bitwiseOR(shiftleft(spreadBits31(b.cast("long")), 1))
 
+  /** Catalyst-level twin of [[zorder2]] for the SQL function registry —
+    * a registered builder must return a resolvable expression tree, not a
+    * Column wrapper. Same mask/shift sequence; repeated subtrees collapse
+    * in codegen via Spark's common-subexpression elimination. */
+  def zorder2Expr(a: org.apache.spark.sql.catalyst.expressions.Expression,
+      b: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    def step(e: Expression, bits: Int, mask: Long): Expression =
+      BitwiseAnd(BitwiseOr(e, ShiftLeft(e, Literal(bits))), Literal(mask))
+    def spread(e: Expression): Expression = {
+      val x0 = BitwiseAnd(Cast(e, LongType), Literal(0x7FFFFFFFL))
+      val x1 = step(x0, 16, 0x0000FFFF0000FFFFL)
+      val x2 = step(x1, 8, 0x00FF00FF00FF00FFL)
+      val x3 = step(x2, 4, 0x0F0F0F0F0F0F0F0FL)
+      val x4 = step(x3, 2, 0x3333333333333333L)
+      step(x4, 1, 0x5555555555555555L)
+    }
+    BitwiseOr(spread(a), ShiftLeft(spread(b), Literal(1)))
+  }
+
   /** Reference Scala twin of [[zorder2]] for property tests. */
   private[graft] def zorder2Local(a: Long, b: Long): Long = {
     def spread(v: Long): Long = {

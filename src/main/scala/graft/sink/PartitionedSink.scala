@@ -219,7 +219,9 @@ object PartitionedSink {
    * interleaving — without this, mismatched ranges degenerate the curve
    * (a low-cardinality column's bits sit below the slab width and every
    * slab spans its whole range). Normalization bounds come from one agg
-   * pass (four scalars to the driver), so the whole layout is
+   * pass (four scalars to the driver — the only extra pass: the slab
+   * width is the analytic z-domain bound 2^32/nBuckets, not a second
+   * observed-max scan), so the whole layout is
    * deterministic by construction and the correctness oracle recomputes
    * it in SQL. The exchange is an ordinary hash repartition on the bucket
    * id; no global sort anywhere, so the plan is the same shape at 100 TB.
@@ -248,8 +250,10 @@ object PartitionedSink {
       graft.functions.ZOrder.zorder2(
         expr(s"((cast($colA as bigint) - $minA) * 65535) div $spanA"),
         expr(s"((cast($colB as bigint) - $minB) * 65535) div $spanB")))
-    val zmax = withZ.agg(max(col("_z"))).head.getLong(0)
-    val width = zmax / nBuckets + 1
+    // normalization stretches both columns to fill the 16-bit domain, so
+    // the z domain is exactly [0, 2^32) — slab width comes from that bound
+    // analytically, not from a second full-table agg pass
+    val width = 0xFFFFFFFFL / nBuckets + 1
     withZ
       .withColumn(bucketCol, expr(s"_z div $width"))
       .repartition(col(bucketCol))

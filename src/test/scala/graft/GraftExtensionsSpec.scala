@@ -28,7 +28,8 @@ class GraftExtensionsSpec extends SparkSpec {
           |  dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
           |  size(minhash_signature('some text', 16, 5)) AS sig_len,
           |  repetition_stats('a b a b c', 2).n_dup AS n_dup,
-          |  math_ln(1) AS ln1
+          |  math_ln(1) AS ln1,
+          |  zorder2(3, 5) AS z35
           |""".stripMargin).head()
       assert(r.getSeq[String](0) == Seq("a", "b", "c"))
       assert(r.getInt(1) == 3)
@@ -37,6 +38,9 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(r.getInt(4) == 16)
       assert(r.getLong(5) == 2L)
       assert(r.getDouble(6) == 0.0)
+      // 3=0b11 even positions, 5=0b101 odd positions: 100|01|11 = 0x27
+      assert(r.getLong(7) == graft.functions.ZOrder.zorder2Local(3L, 5L))
+      assert(r.getLong(7) == 0x27L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
