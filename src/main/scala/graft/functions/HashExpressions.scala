@@ -20,10 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
  * arrays; rows stream through `eval` with no shared state, so the
  * expression is embarrassingly parallel across partitions.
  *
- * CodegenFallback is deliberate: the per-row work (hundreds of hash mixes)
- * dwarfs the virtual-call overhead codegen would remove, and keeping
+ * CodegenFallback is deliberate HERE: the per-row work (hundreds of hash
+ * mixes) dwarfs the virtual-call overhead codegen would remove, and keeping
  * `eval`-only avoids a 64-lane unrolled codegen blob that would blow the
- * JIT method-size budget.
+ * JIT method-size budget. Contrast [[VectorExpressions]]: those run once
+ * per candidate PAIR inside similarity joins (not once per document), so
+ * they implement real `doGenCode` via static-kernel calls.
  */
 private[graft] object TextNormJvm {
   /** Java-regex `\s` class — what Spark's `regexp_replace(c, "\\s+", " ")`

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -15,25 +15,25 @@ import org.apache.spark.sql.types._
  * Accumulation is sequential left-to-right in double precision — the same
  * order as the declarative form and DuckDB's `list_cosine_similarity`, so
  * results stay bit-identical (the oracle depends on this).
+ *
+ * All four implement `doGenCode` (no `CodegenFallback`): generated code
+ * calls the static kernels in [[VectorKernels]] directly, so child
+ * expressions stay compiled and the per-row path never drops into
+ * interpreted eval — these run once per CANDIDATE PAIR inside similarity
+ * joins, the hottest per-row site in the library.
  */
 case class DotProduct(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += x.getDouble(i) * y.getDouble(i)
-      i += 1
-    }
-    java.lang.Double.valueOf(acc)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(VectorKernels.dot(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dot($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -42,29 +42,17 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Cosine similarity in one pass: dot, |a|², |b|² accumulated together. */
 case class CosineSimilarity(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = x.getDouble(i)
-      val yv = y.getDouble(i)
-      dot += xv * yv
-      na += xv * xv
-      nb += yv * yv
-      i += 1
-    }
-    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Double.valueOf(VectorKernels.cosine(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.cosine($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -76,26 +64,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * Inputs MUST be sorted and distinct (e.g. via `sort_array(array_distinct)`);
   * the count equals `size(array_intersect(a, b))` on such inputs. */
 case class SortedIntersectCount(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val (nx, ny) = (x.numElements(), y.numElements())
-    var i = 0
-    var j = 0
-    var c = 0L
-    while (i < nx && j < ny) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
-    }
-    java.lang.Long.valueOf(c)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(VectorKernels.sortedIntersect(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.sortedIntersect($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -112,8 +92,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
  */
 case class MathLn(child: Expression)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
-  with CodegenFallback {
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
   // declared input type → the analyzer inserts the cast for SQL callers
   // (math_ln(2), int/decimal columns); without it nullSafeEval would CCE.
   // Return type inferred: AbstractDataType is private[sql] in Spark 4.
@@ -122,8 +101,58 @@ case class MathLn(child: Expression)
   override def prettyName: String = "math_ln"
   override def nullSafeEval(input: Any): Any =
     Math.log(input.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"java.lang.Math.log($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Static kernels shared by interpreted eval and generated code (top-level
+  * objects get static forwarders, so codegen reaches them as plain Java
+  * static calls — one source of truth for the loop semantics). */
+object VectorKernels {
+
+  def dot(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  def cosine(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i)
+      val yv = y.getDouble(i)
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def sortedIntersect(x: ArrayData, y: ArrayData): Long = {
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < nx && j < ny) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
 }
 
 object vectors {
