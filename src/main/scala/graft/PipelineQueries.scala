@@ -31,6 +31,14 @@ object PipelineQueries {
         "source", "doc_id", perGroup = 5)
         .select("doc_id", "source", "lang")),
 
+    // Pretraining-mix temperature sampling (alpha=0.5): small sources keep
+    // a larger fraction than big ones; md5-cutoff realization so the kept
+    // set is exactly reproducible cross-engine.
+    "mix_temperature" -> ((s, dir) =>
+      Chunking.temperatureMix(Tables(s, dir, "documents"),
+        "source", "doc_id", keepFraction = 0.3)
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))),
+
     // GPT-style concat-and-split training-sequence layout: 512-token
     // sequences over 8 independent shards (per-shard prefix sum).
     "pack_sequences" -> ((s, dir) =>
@@ -113,6 +121,28 @@ object PipelineQueries {
         |      ORDER BY md5(cast(doc_id as varchar)) ASC, doc_id ASC) AS rn
         |  FROM documents)
         |WHERE rn <= 5""".stripMargin,
+
+    // Mirrors Chunking.temperatureMix exactly: integer-scaled sqrt weights
+    // (FP sums are accumulation-order-dependent; integer sums are not),
+    // one fixed-shape double expression for the cutoff, md5-hex-prefix
+    // keep rule. printf('%04x') == Spark lower(lpad(hex)).
+    "mix_temperature" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1048576.0) AS BIGINT) AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(n) AS ntot, sum(w) AS wtot FROM c),
+        |cut AS (
+        |  SELECT source,
+        |    least(CAST(65536 AS BIGINT),
+        |      CAST(floor((((65536.0 * 0.3) * CAST(ntot AS DOUBLE)) * CAST(w AS DOUBLE))
+        |        / (CAST(wtot AS DOUBLE) * CAST(n AS DOUBLE))) AS BIGINT)) AS cutv
+        |  FROM c, t)
+        |SELECT d.source, count(*) AS n_kept
+        |FROM documents d JOIN cut ON d.source = cut.source
+        |WHERE cutv = 65536
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', cutv)
+        |GROUP BY d.source""".stripMargin,
 
     // pure exact-integer prefix-sum arithmetic — engine-reproducible
     "pack_sequences" ->

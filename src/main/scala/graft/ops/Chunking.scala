@@ -158,4 +158,48 @@ object Chunking {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= perGroup).drop("__rn")
   }
+
+  /**
+   * Temperature-based source mixing — the `n_s^α` reweighting every
+   * pretraining data mix applies (α<1 upweights small sources so the model
+   * sees more than their natural share). Per-source keep probability
+   * `p_s = min(1, keepFraction · N · w_s / (W · n_s))` with `w_s = n_s^α`,
+   * realized deterministically: a row survives iff the first 4 hex chars
+   * of `md5(id)` sort below the source's cutoff `⌊p_s · 65536⌋`.
+   *
+   * Engine-portable by construction (full DuckDB oracle): α is fixed at
+   * 0.5, so weights need only `sqrt` — correctly rounded IEEE, unlike
+   * `pow` — and weights are scaled to INTEGERS (`⌊√n · 2^20⌋`) before
+   * summing, because a floating-point SUM is accumulation-order-dependent
+   * and neither engine guarantees an order. The remaining double math is a
+   * single fixed-shape expression (deterministic rounding in any IEEE
+   * engine); `W · n` is multiplied in doubles because the long product
+   * overflows at corpus scale.
+   *
+   * Plan shape: one count-by-source partial agg (tiny frame → broadcast
+   * back), then one scan with a per-row md5 — no window, no global sort,
+   * no driver collect; the same plan at 100 TB.
+   */
+  def temperatureMix(
+      df: DataFrame, sourceCol: String, idCol: String,
+      keepFraction: Double): DataFrame = {
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w",
+        floor(sqrt(col("__n").cast("double")) * lit(1048576.0)).cast("long"))
+    val totals = counts.agg(sum(col("__n")).as("__N"), sum(col("__w")).as("__W"))
+    // aliases: totals derives from counts, so unqualified refs after the
+    // cross join would be ambiguous (shared lineage)
+    val cuts = counts.alias("c").crossJoin(broadcast(totals.alias("t")))
+      .withColumn("__cut", least(lit(65536L),
+        floor((((lit(65536.0) * lit(keepFraction)) * col("t.__N").cast("double"))
+          * col("c.__w").cast("double"))
+          / (col("t.__W").cast("double") * col("c.__n").cast("double"))).cast("long")))
+      .select(col(sourceCol), col("__cut"))
+    df.join(broadcast(cuts), Seq(sourceCol))
+      .filter(col("__cut") === 65536L
+        || substring(md5(col(idCol).cast("string").cast("binary")), 1, 4)
+          < lower(lpad(hex(col("__cut")), 4, "0")))
+      .drop("__cut")
+  }
 }

@@ -127,4 +127,27 @@ class ChunkingSpec extends SparkSpec {
     // doc boundaries are invisible to the split (concat-and-split layout)
     assert(rows((0, 1L))._1 == "w4 w5 w6 w7 w0 w1 w2")
   }
+
+  test("temperature mix upweights small sources and is deterministic") {
+    // skewed corpus: big 2000 docs, small 40 docs
+    val df = ((1L to 2000L).map(i => (i, "big")) ++
+      (5001L to 5040L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val kept = Chunking.temperatureMix(df, "source", "doc_id", keepFraction = 0.3)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracBig = kept.getOrElse("big", 0L).toDouble / 2000
+    val fracSmall = kept.getOrElse("small", 0L).toDouble / 40
+    // alpha=0.5: expected per-source keep ratio scales with 1/sqrt(n), so
+    // the small source's kept FRACTION must exceed the big one's by ~sqrt(50)
+    assert(fracSmall > fracBig * 3,
+      s"small=$fracSmall big=$fracBig — temperature upweighting missing")
+    // overall volume lands near the requested keepFraction
+    val total = kept.values.sum.toDouble / 2040
+    assert(total > 0.15 && total < 0.45, s"total kept fraction $total")
+    // deterministic: identical result on re-run
+    val again = Chunking.temperatureMix(df, "source", "doc_id", keepFraction = 0.3)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == kept)
+  }
 }
