@@ -159,6 +159,14 @@ object OpsQueries {
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
 
+    // per-language bottom-quartile gate on doc length (exact discrete
+    // quantile, value-threshold semantics — ties survive)
+    "text_quality_gate" -> ((s, dir) =>
+      TextAnalysis.percentileFilter(Tables(s, dir, "documents"),
+        "lang", "n_chars", "doc_id", p = 0.25)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"),
+          min("n_chars").as("min_chars"))),
+
     "text_search" -> ((s, dir) =>
       TextAnalysis.termSearch(docs(s, dir), "doc_id", "text",
         Seq("spark", "table", "query"), k = 20)),
@@ -471,6 +479,22 @@ object OpsQueries {
         |FROM documents""".stripMargin,
 
     // score components are CASE-gated exact-integer ratios with a fixed op
+    // mirrors TextAnalysis.percentileFilter: rank ceil(p*n) ascending by
+    // (score, id), keep score >= that value — integer-exact
+    "text_quality_gate" ->
+      """WITH r AS (
+        |  SELECT lang, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars ASC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |thr AS (SELECT lang, n_chars AS t FROM r
+        |        WHERE rn = cast(ceil(n * 0.25) as bigint))
+        |SELECT d.lang, count(*) AS n_kept, min(d.n_chars) AS min_chars
+        |FROM documents d JOIN thr ON d.lang = thr.lang
+        |WHERE d.n_chars >= thr.t
+        |GROUP BY d.lang""".stripMargin,
+
     // sequence — bit-identical doubles in any engine (emitted unrounded;
     // see TextAnalysis.qualityScore)
     "text_quality_score" ->

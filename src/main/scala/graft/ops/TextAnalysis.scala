@@ -468,4 +468,35 @@ object TextAnalysis {
       array_min(windows).as("min_hash"),
       size(array_distinct(windows)).as("n_windows"))
   }
+
+  /**
+   * Per-group quality gate: keep rows whose INTEGER score reaches the
+   * group's exact discrete p-quantile — the value at rank `⌈p·n⌉` in
+   * ascending (score, id) order ("drop the bottom quartile per language"
+   * at p=0.25). Value-threshold semantics: every row tied with the
+   * threshold survives, so the kept set depends only on the score
+   * function, not on ids. Integer ranks and integer scores throughout —
+   * engine-portable with no interpolation (q25/q29 precedent).
+   *
+   * Plan: one window shuffle partitioned BY GROUP (never a global sort),
+   * a one-row-per-group threshold frame broadcast back onto the ranked
+   * rows — no second scan of the input. Group count bounds the broadcast,
+   * not corpus size, so the shape holds at 100 TB.
+   */
+  def percentileFilter(
+      df: DataFrame, groupCol: String, scoreCol: String, idCol: String,
+      p: Double): DataFrame = {
+    require(p > 0 && p < 1, "p must be in (0, 1)")
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val ranked = df
+      .withColumn("__rn", row_number().over(
+        byG.orderBy(col(scoreCol).asc, col(idCol).asc)))
+      .withColumn("__n", count(lit(1)).over(byG))
+    val thresholds = ranked
+      .filter(col("__rn") === ceil(col("__n") * p).cast("long"))
+      .select(col(groupCol), col(scoreCol).as("__thr"))
+    ranked.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col(scoreCol) >= col("__thr"))
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -230,4 +230,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_distinct") == 2)
     assert(r.getAs[String]("top_gram") == "a b") // "a b" < "b " on count tie
   }
+
+  test("percentileFilter: exact discrete quantile, threshold ties survive") {
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "a", 40L), (6L, "a", 50L), (7L, "a", 60L), (8L, "a", 70L),
+      (9L, "b", 5L)).toDF("doc_id", "g", "score")
+    val kept = TextAnalysis.percentileFilter(df, "g", "score", "doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // group a: n=8, rank ceil(2)=2 of sorted scores (10,20,20,...) -> thr=20;
+    // BOTH rows scoring 20 survive (value semantics), only the 10 drops.
+    // group b: n=1, rank 1 -> its single row is its own threshold and stays.
+    assert(kept == Set(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+  }
 }

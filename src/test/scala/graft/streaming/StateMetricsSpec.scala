@@ -57,4 +57,46 @@ class StateMetricsSpec extends SparkSpec {
       assert(df.columns.contains("num_rows_total"))
     } finally q.stop()
   }
+
+  test("sessionize runs unchanged on the RocksDB state store (production backend)") {
+    // At 100 TB-scale state the default HDFS-backed in-memory store OOMs —
+    // RocksDB spills to local disk and is the production choice. The
+    // operator must not care which backend holds its state, and the
+    // metrics surface must still see it.
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(ms: Long) = new Timestamp(1700000000000L + ms)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStream.Event]
+    val sessions = EventStream.sessionizeEventTime(
+      input.toDS().withWatermark("ts", "0 seconds"), gapMs = 5000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_rocksdb").start()
+    try {
+      input.addData(
+        EventStream.Event(1L, ts(0), 7L, "c", 1.0),
+        EventStream.Event(2L, ts(1000), 7L, "c", 1.0))
+      q.processAllAvailable()
+      input.addData(EventStream.Event(3L, ts(60000), 8L, "c", 1.0))
+      q.processAllAvailable()
+      input.addData(EventStream.Event(4L, ts(61000), 8L, "c", 1.0))
+      q.processAllAvailable()
+      val s7 = spark.table("sess_rocksdb").as[EventStream.Session]
+        .collect().filter(_.user_id == 7L)
+      assert(s7.length == 1 && s7.head.n_events == 2)
+      val last = StateMetrics.latestByOperator(q).head._2
+      assert(last.num_rows_total == 1) // only user 8 still open
+      assert(last.memory_used_bytes > 0)
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
