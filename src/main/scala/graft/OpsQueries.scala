@@ -119,6 +119,15 @@ object OpsQueries {
       Similarity.semanticDedup(emb(s, dir), threshold = 0.4, nCells = 16)),
 
     // -------------------------------------------------------- similarity
+    // int8 max-abs quantization, verified through scalar summaries of the
+    // code arrays (sum/min/max are exact integer math)
+    "sim_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("qvec"), lit(0L), (a, v) => a + v).as("q_sum"),
+          array_min(col("qvec")).as("q_min"),
+          array_max(col("qvec")).as("q_max"))),
+
     "sim_topk_bruteforce" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
@@ -158,6 +167,9 @@ object OpsQueries {
 
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
+
+    "text_sentences" -> ((s, dir) =>
+      TextAnalysis.sentences(docs(s, dir), "doc_id", "text")),
 
     // per-language bottom-quartile gate on doc length (exact discrete
     // quantile, value-threshold semantics — ties survive)
@@ -421,6 +433,28 @@ object OpsQueries {
         |  FROM sims)
         |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
 
+    // mirrors Similarity.quantizeInt8: exact float->double widening, one
+    // fixed-shape double expression, integer code summaries
+    "sim_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale = 0.0
+        |      THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(embedding, x ->
+        |        CAST(floor((CAST(x AS DOUBLE) * 127.0) / scale + 0.5) AS BIGINT))
+        |    END AS qv
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM q""".stripMargin,
+
     "sim_topk_bruteforce" ->
       """WITH v AS (
         |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings),
@@ -479,6 +513,23 @@ object OpsQueries {
         |FROM documents""".stripMargin,
 
     // score components are CASE-gated exact-integer ratios with a fixed op
+    // mirrors TextAnalysis.sentences: same RE2/Java-agreeing pattern,
+    // trim -> drop empties -> positional explode
+    "text_sentences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_split_to_array(text, '[.!?]+\s*'), s -> trim(s)),
+        |      s -> len(s) > 0) AS sents
+        |  FROM documents),
+        |u AS (
+        |  SELECT doc_id,
+        |    CAST(generate_subscripts(sents, 1) - 1 AS INT) AS sent_idx,
+        |    unnest(sents) AS sentence
+        |  FROM t)
+        |SELECT doc_id, sent_idx, sentence, len(sentence) AS n_chars
+        |FROM u""".stripMargin,
+
     // mirrors TextAnalysis.percentileFilter: rank ceil(p*n) ascending by
     // (score, id), keep score >= that value — integer-exact
     "text_quality_gate" ->

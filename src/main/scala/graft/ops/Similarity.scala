@@ -328,4 +328,25 @@ object Similarity {
       .groupBy("a_id", "b_id").agg(max(col("sim")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /**
+   * Symmetric max-abs int8 quantization of an embedding column — the
+   * standard 4× memory/bandwidth cut for ANN indexes at scale (float32
+   * vectors of a 100 TB corpus shrink to a quarter; recall loss at 127
+   * levels is sub-percent for cosine). Per vector: `scale = max|x_i|`,
+   * `q_i = ⌊x_i·127/scale + 0.5⌋` (zero vector → all-zero codes).
+   * Row-local array expressions, zero shuffle; the double math is one
+   * fixed-shape expression over exactly-widened floats, so any IEEE
+   * engine reproduces the identical codes (full DuckDB oracle).
+   */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val x = col(vecCol)
+    val scale = array_max(transform(x, v => abs(v.cast("double"))))
+    df.select(col(idCol),
+      scale.as("scale"),
+      when(scale === lit(0.0), transform(x, _ => lit(0L)))
+        .otherwise(transform(x, v =>
+          floor(v.cast("double") * lit(127.0) / scale + lit(0.5))))
+        .as("qvec"))
+  }
 }

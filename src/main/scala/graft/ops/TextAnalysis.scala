@@ -470,6 +470,23 @@ object TextAnalysis {
   }
 
   /**
+   * Sentence segmentation: split on runs of sentence-final punctuation
+   * plus following whitespace (`[.!?]+\s*` — basic classes only, so the
+   * Java and RE2 regex engines agree), trim, drop empties, emit
+   * (id, sent_idx, sentence, n_chars). Row-local array expressions —
+   * zero shuffle at any scale; the unit every sentence-level filter
+   * (length, dedup, alignment) consumes.
+   */
+  def sentences(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sents = filter(
+      transform(split(col(textCol), "[.!?]+\\s*"), s => trim(s)),
+      s => length(s) > 0)
+    df.select(col(idCol), posexplode(sents).as(Seq("sent_idx", "sentence")))
+      .select(col(idCol), col("sent_idx"), col("sentence"),
+        length(col("sentence")).as("n_chars"))
+  }
+
+  /**
    * Per-group quality gate: keep rows whose INTEGER score reaches the
    * group's exact discrete p-quantile — the value at rank `⌈p·n⌉` in
    * ascending (score, id) order ("drop the bottom quartile per language"

@@ -146,4 +146,24 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(again == kept)
   }
+
+  test("int8 quantization: codes bounded, half-step reconstruction, zero vector") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(1e-8f))).toDF("vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Long](2))).toMap
+    val (s1, q1) = rows(1L)
+    assert(s1 == 1.0 && q1 == Seq(64L, -127L, 32L))
+    // codes clamp-free by construction: |x| <= scale → q in [-127, 127]
+    assert(q1.forall(q => q >= -127 && q <= 127))
+    // reconstruction q*scale/127 is within half a quantization step
+    Seq(0.5, -1.0, 0.25).zip(q1).foreach { case (x, q) =>
+      assert(math.abs(q * s1 / 127.0 - x) <= s1 / 254.0 + 1e-12)
+    }
+    assert(rows(2L) == (0.0, Seq(0L, 0L))) // zero vector: no div-by-zero
+    assert(rows(3L)._2 == Seq(127L)) // tiny scale still spans full range
+  }
 }

@@ -231,6 +231,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[String]("top_gram") == "a b") // "a b" < "b " on count tie
   }
 
+  test("sentence segmentation: punctuation runs, trimming, empties dropped") {
+    val df = Seq(
+      (1L, "One two. Three!  Four? End"),
+      (2L, "..."),
+      (3L, "no punct")).toDF("doc_id", "text")
+    val rows = TextAnalysis.sentences(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(rows.filter(_._1 == 1L).sortBy(_._2).map(t => (t._3, t._4)).toSeq ==
+      Seq(("One two", 7), ("Three", 5), ("Four", 4), ("End", 3)))
+    assert(!rows.exists(_._1 == 2L)) // pure punctuation → no sentences
+    assert(rows.filter(_._1 == 3L).map(_._3).toSeq == Seq("no punct"))
+  }
+
   test("percentileFilter: exact discrete quantile, threshold ties survive") {
     val df = Seq(
       (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 30L),
