@@ -128,6 +128,12 @@ object OpsQueries {
           array_min(col("qvec")).as("q_min"),
           array_max(col("qvec")).as("q_max"))),
 
+    // the int8 codes driving retrieval: integer dots, dequantized scores
+    "sim_topk_int8" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.quantizedTopK(e.filter(col("vec_id") < 10), e, k = 5)
+    }),
+
     "sim_topk_bruteforce" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 5)
@@ -454,6 +460,39 @@ object OpsQueries {
         |  CAST(list_min(qv) AS BIGINT) AS q_min,
         |  CAST(list_max(qv) AS BIGINT) AS q_max
         |FROM q""".stripMargin,
+
+    // integer dot products are exact in both engines, so even the
+    // APPROXIMATE scoring path is hash-verifiable end-to-end
+    "sim_topk_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale = 0.0
+        |      THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+        |      ELSE list_transform(embedding, x ->
+        |        floor((CAST(x AS DOUBLE) * 127.0) / scale + 0.5))
+        |    END AS qv
+        |  FROM s),
+        |sims0 AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    CAST(list_dot_product(q.qv, c.qv) AS BIGINT) AS qdot,
+        |    q.scale AS qs, c.scale AS cs
+        |  FROM qz q JOIN qz c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 10),
+        |sims AS (
+        |  SELECT q_id, n_id, qdot,
+        |    ((CAST(qdot AS DOUBLE) * qs) * cs) / 16129.0 AS score
+        |  FROM sims0),
+        |ranked AS (
+        |  SELECT q_id, n_id, qdot, score,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY score DESC, n_id ASC) AS rnk
+        |  FROM sims)
+        |SELECT q_id, n_id, qdot, score, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
 
     "sim_topk_bruteforce" ->
       """WITH v AS (

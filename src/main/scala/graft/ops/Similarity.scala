@@ -339,6 +339,43 @@ object Similarity {
    * fixed-shape expression over exactly-widened floats, so any IEEE
    * engine reproduces the identical codes (full DuckDB oracle).
    */
+  /**
+   * Retrieval over the int8 codes end-to-end: integer dot products —
+   * exact in ANY engine, so the whole approximate-scoring path is
+   * oracle-checkable, unusual for ANN — dequantized by
+   * `scale_q·scale_c/127²`, top-k per query by (score desc, id asc).
+   * Same plan shape as [[bruteForceTopK]] but the corpus side carries 4×
+   * fewer vector bytes through the join — at 100 TB the scan and shuffle
+   * are memory-bandwidth-bound, which is the whole point of quantizing.
+   * Recall vs the float path is pinned by a contract test in
+   * `SimilaritySpec`.
+   */
+  def quantizedTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // codes held as integer-valued DOUBLE arrays (cast once per row, not
+    // per pair) so the allocation-free DotProduct kernel scores each pair;
+    // integer-valued double sums are exact, so qdot is still an exact long
+    val qq = quantizeInt8(queries, idCol, vecCol).select(
+      col(idCol).as("q_id"), col("scale").as("q_scale"),
+      transform(col("qvec"), _.cast("double")).as("q_q"))
+    val cc = quantizeInt8(corpus, idCol, vecCol).select(
+      col(idCol).as("n_id"), col("scale").as("n_scale"),
+      transform(col("qvec"), _.cast("double")).as("n_q"))
+    val scored = qq.crossJoin(cc)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("qdot",
+        graft.functions.vectors.dot_product(col("q_q"), col("n_q")).cast("long"))
+      .withColumn("score",
+        (col("qdot").cast("double") * col("q_scale") * col("n_scale"))
+          / lit(16129.0))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("n_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("qdot"), col("score"), col("rnk"))
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val x = col(vecCol)
     val scale = array_max(transform(x, v => abs(v.cast("double"))))

@@ -166,4 +166,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(2L) == (0.0, Seq(0L, 0L))) // zero vector: no div-by-zero
     assert(rows(3L)._2 == Seq(127L)) // tiny scale still spans full range
   }
+
+  test("int8 top-k recall contract vs the exact float path") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = sets(Similarity.bruteForceTopK(q, e, k = 5))
+    val quant = sets(Similarity.quantizedTopK(q, e, k = 5))
+    val recalls = exact.map { case (qid, ex) =>
+      quant(qid).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 127-level codes on 64-dim unit-ish vectors: near-lossless ranking
+    assert(mean >= 0.85, s"int8 mean top-5 recall $mean vs exact path")
+  }
 }
