@@ -244,6 +244,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.filter(_._1 == 3L).map(_._3).toSeq == Seq("no punct"))
   }
 
+  test("plan shapes: sentences has no exchange; gate and mix broadcast, never window twice") {
+    val df = Seq((1L, "a. b", "en", 4L), (2L, "c", "en", 1L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    // sentence segmentation is row-local — nothing may shuffle
+    val sentPlan = TextAnalysis.sentences(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!sentPlan.contains("Exchange"), s"sentences must not shuffle:\n$sentPlan")
+    // percentile gate: thresholds come back via a broadcast join (one
+    // group-partitioned window is inherent; the join must not shuffle)
+    val gatePlan = TextAnalysis.percentileFilter(df, "lang", "n_chars", "doc_id", 0.25)
+      .queryExecution.executedPlan.toString
+    assert(gatePlan.contains("BroadcastHashJoin"), s"expected broadcast:\n$gatePlan")
+    // temperature mix: no window anywhere, cutoffs broadcast
+    val mixPlan = graft.ops.Chunking.temperatureMix(df, "lang", "doc_id", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!mixPlan.contains("Window"), s"mix must not window:\n$mixPlan")
+    assert(mixPlan.contains("BroadcastHashJoin") ||
+      mixPlan.contains("BroadcastNestedLoopJoin"), s"expected broadcast:\n$mixPlan")
+  }
+
   test("percentileFilter: exact discrete quantile, threshold ties survive") {
     val df = Seq(
       (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 30L),
