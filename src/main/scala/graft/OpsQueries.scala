@@ -177,6 +177,12 @@ object OpsQueries {
     "text_sentences" -> ((s, dir) =>
       TextAnalysis.sentences(docs(s, dir), "doc_id", "text")),
 
+    // zlib compressibility as a boilerplate signal (no SQL deflate exists
+    // → no_oracle; planted repetitive-vs-prose contract in ScalaTest)
+    "text_compression_ratio" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.hashes.compression_ratio(col("text")).as("comp_ratio"))),
+
     // per-language bottom-quartile gate on doc length (exact discrete
     // quantile, value-threshold semantics — ties survive)
     "text_quality_gate" -> ((s, dir) =>

@@ -271,6 +271,43 @@ case class WordTokens(child: Expression)
 }
 
 /**
+ * zlib compression ratio of the raw UTF-8 text — the
+ * boilerplate/repetition signal production corpus filters pair with
+ * token-level repetition stats (templated and machine-generated text
+ * compresses far below prose). One streaming Deflater pass per row with
+ * a reused counting buffer (no compressed output is materialized);
+ * ratio = deflated_len / raw_len, empty input → 1.0. Deterministic for
+ * a fixed zlib level on a given platform; no DuckDB twin exists (SQL
+ * has no deflate), so the query is documented `no_oracle` and the
+ * contract is pinned in ScalaTest instead.
+ */
+case class CompressionRatio(child: Expression, level: Int = 6)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "compression_ratio"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.isEmpty) java.lang.Double.valueOf(1.0)
+    else {
+      val d = new java.util.zip.Deflater(level, /*nowrap=*/ true)
+      try {
+        d.setInput(bytes)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        java.lang.Double.valueOf(total.toDouble / bytes.length)
+      } finally d.end()
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Within-document repetition statistics over word n-grams (with
  * multiplicity) in ONE row-local pass:
  * struct(n_grams, n_distinct, n_dup, top_gram, top_cnt), where `n_dup`
@@ -422,6 +459,9 @@ object hashes {
 
   def repetition_stats(c: Column, n: Int): Column =
     Bridge.column(RepetitionStats(Bridge.expression(c), n))
+
+  def compression_ratio(c: Column, level: Int = 6): Column =
+    Bridge.column(CompressionRatio(Bridge.expression(c), level))
 
   def unigram_logprob(c: Column, vocab: Map[String, Long], total: Long): Column =
     Bridge.column(UnigramLogProb(Bridge.expression(c), vocab, total))

@@ -244,6 +244,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.filter(_._1 == 3L).map(_._3).toSeq == Seq("no punct"))
   }
 
+  test("compression ratio separates repetitive text from prose; edge cases") {
+    import graft.functions.hashes.compression_ratio
+    val df = Seq(
+      (1L, "ab" * 500),
+      (2L, "The quick brown fox jumps over the lazy dog while seventeen " +
+        "magistrates deliberated obscure fiscal amendments near Lake Bled."),
+      (3L, "")).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"), compression_ratio(col("text")).as("cr"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) < 0.05, s"repetitive text must crush: ${r(1L)}")
+    assert(r(2L) > 0.5, s"varied prose must not: ${r(2L)}")
+    assert(r(3L) == 1.0) // empty input convention
+    // deterministic across evaluations
+    val again = df.select(compression_ratio(col("text")))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(again == Seq(r(1L), r(2L), r(3L)))
+    // SQL surface
+    graft.functions.hashes.registerSql(spark)
+    assert(spark.sql("SELECT compression_ratio('aaaaaaaaaaaaaaaaaaaa') < 0.5")
+      .head().getBoolean(0))
+  }
+
   test("plan shapes: sentences has no exchange; gate and mix broadcast, never window twice") {
     val df = Seq((1L, "a. b", "en", 4L), (2L, "c", "en", 1L))
       .toDF("doc_id", "text", "lang", "n_chars")
