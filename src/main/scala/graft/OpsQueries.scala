@@ -128,6 +128,14 @@ object OpsQueries {
           array_min(col("qvec")).as("q_min"),
           array_max(col("qvec")).as("q_max"))),
 
+    // heap-aggregate twin of sim_topk_bruteforce: identical rows, O(k)
+    // state per key instead of a full per-key sort (shares the window
+    // formulation's oracle — the strongest equivalence check available)
+    "sim_topk_heap" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopKHeap(e.filter(col("vec_id") < 10), e, k = 5)
+    }),
+
     // the int8 codes driving retrieval: integer dots, dequantized scores
     "sim_topk_int8" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -466,6 +474,23 @@ object OpsQueries {
         |  CAST(list_min(qv) AS BIGINT) AS q_min,
         |  CAST(list_max(qv) AS BIGINT) AS q_max
         |FROM q""".stripMargin,
+
+    // the heap aggregate must reproduce the WINDOW formulation exactly —
+    // same oracle as sim_topk_bruteforce
+    "sim_topk_heap" ->
+      """WITH v AS (
+        |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings),
+        |sims AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(q.e, c.e) AS sim
+        |  FROM v q JOIN v c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 10),
+        |ranked AS (
+        |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
+        |  FROM sims)
+        |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
 
     // integer dot products are exact in both engines, so even the
     // APPROXIMATE scoring path is hash-verifiable end-to-end

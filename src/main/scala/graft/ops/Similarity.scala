@@ -69,6 +69,35 @@ object Similarity {
       .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim_r"), col("rnk"))
   }
 
+  /**
+   * [[bruteForceTopK]] with the bounded-heap aggregate instead of a
+   * window: same scores, same (score desc, id asc) order, EXACTLY the
+   * same rows (shared oracle) — but the plan is an ObjectHashAggregate
+   * with O(k) state per query key and map-side partial combine, where
+   * the window formulation shuffles and fully sorts every candidate row
+   * per key. At 10⁹ candidates per query the sort IS the job; the heap
+   * makes it a streaming scan.
+   */
+  def bruteForceTopKHeap(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"), toDouble(col(vecCol)).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+    val sims = q.crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")), 6)
+          .as("sim_r"))
+    sims.groupBy("q_id")
+      .agg(graft.functions.topk.top_k_by_score(col("sim_r"), col("n_id"), k)
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("q_id"), col("entry.id").as("n_id"),
+        col("entry.score").as("sim_r"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Deterministic pseudo-random hyperplane coefficients (seeded
     * `java.util.Random` Gaussians — the LCG is specified, so coefficients
     * are reproducible across JVMs with no stored model). */

@@ -167,6 +167,36 @@ class SimilaritySpec extends SparkSpec {
     assert(rows(3L)._2 == Seq(127L)) // tiny scale still spans full range
   }
 
+  test("heap top-k: buffer equals naive sort under random adds and merges") {
+    val rng = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val n = rng.nextInt(40)
+      val entries = Seq.fill(n)((rng.nextInt(10).toDouble, rng.nextLong().abs % 100))
+      val k = 1 + rng.nextInt(8)
+      // split into partial buffers and merge — the distributed shape
+      val parts = entries.grouped(math.max(1, n / 3)).map { chunk =>
+        val b = new graft.functions.TopKBuffer(k)
+        chunk.foreach { case (s, id) => b.add(s, id) }
+        b
+      }.toSeq
+      val merged = new graft.functions.TopKBuffer(k)
+      parts.foreach(merged.merge)
+      // the heap keeps multiplicity, so compare against the multiset sort
+      val expect = entries
+        .sortWith { case ((sa, ia), (sb, ib)) => sa > sb || (sa == sb && ia < ib) }
+        .take(k)
+      assert(merged.sortedBest.toSeq == expect, s"entries=$entries k=$k")
+    }
+  }
+
+  test("heap top-k plans as an aggregate, not a window sort") {
+    val e = Tables(spark, sf0001, "embeddings")
+    val plan = Similarity.bruteForceTopKHeap(e.filter(col("vec_id") < 3), e, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected heap aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"must not window-sort candidates:\n$plan")
+  }
+
   test("int8 top-k recall contract vs the exact float path") {
     val e = Tables(spark, sf0001, "embeddings")
     val q = e.filter(col("vec_id") < 10)
