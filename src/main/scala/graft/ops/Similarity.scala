@@ -147,12 +147,21 @@ object Similarity {
         (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
           .as("sim"))
       .groupBy("q_id", "n_id").agg(max(col("sim")).as("sim")) // dedup multi-probe hits
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim_r"), col("rnk"))
+    rankTopK(sims, k)
   }
+
+  /** Final ranking stage shared by the ANN variants: bounded-heap top-k
+    * per query key (O(k) state, map-side combine, no per-key sort — see
+    * [[bruteForceTopKHeap]]); row-identical to the window formulation
+    * `row_number over (partition by q_id order by round(sim,6) desc,
+    * n_id asc) <= k` that the oracles express. */
+  private def rankTopK(sims: DataFrame, k: Int): DataFrame =
+    sims.groupBy("q_id")
+      .agg(graft.functions.topk.top_k_by_score(
+        round(col("sim"), 6), col("n_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("q_id"), col("entry.id").as("n_id"),
+        col("entry.score").as("sim_r"), (col("pos") + 1).cast("int").as("rnk"))
 
   /**
    * IVF (inverted-file) approximate top-k: partition the corpus into
@@ -252,11 +261,7 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm"))).as("sim"))
       .groupBy("q_id", "n_id").agg(max(col("sim")).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(round(col("sim"), 6).desc, col("n_id").asc)
-    sims.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), round(col("sim"), 6).as("sim_r"), col("rnk"))
+    rankTopK(sims, k)
   }
 
   /**
