@@ -51,6 +51,22 @@ object SinkQueries {
     // the read-back tree by its two partition columns.
     "sink_range_sharded" -> ((s, dir) => rangeShardRoundTrip(s, dir)),
 
+    // Fragment the write on purpose (8 tasks × partitions), compact to one
+    // file per partition, and hash the read-back against the source: if
+    // compaction dropped, duplicated, or re-routed any row, this fails.
+    "sink_compacted" -> ((s, dir) => {
+      val frag = Files.createTempDirectory("graft_sink_frag").toString
+      val comp = Files.createTempDirectory("graft_sink_comp").toString
+      val orders = Tables(s, dir, "orders")
+      PartitionedSink.write(orders.repartition(8), frag,
+        SinkConfig(ParquetFormat, Seq("o_orderpriority"), Some("snappy"),
+          runtimeNullCheck = true))
+      PartitionedSink.compact(s, frag, comp, Seq("o_orderpriority"))
+      PartitionedSink.readBack(s, comp)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
     // Z-order layout: files cover contiguous Morton-code ranges over
     // (l_partkey, l_suppkey), so per-bucket min/max is tight on BOTH
     // columns. The oracle recomputes the identical bit-interleave and
@@ -100,6 +116,7 @@ object SinkQueries {
 
   val oracles: Map[String, String] = Map(
     "sink_parquet_partitioned" -> ordersOracle,
+    "sink_compacted" -> ordersOracle,
     "sink_orc_partitioned" -> orcAvroOracle,
     "sink_avro_partitioned" -> orcAvroOracle,
     "sink_range_sharded" ->

@@ -263,6 +263,37 @@ object PartitionedSink {
       .mode(SaveMode.Overwrite).save(path)
   }
 
+  /**
+   * Compact a partitioned tree: THE operational failure mode of dynamic
+   * partitioning at scale is small files — every (task × partition-value)
+   * pair emits one, so a 2000-task write into 500 partitions can leave a
+   * million KB-sized files that crush the namenode and every subsequent
+   * scan. Reads the tree, re-clusters rows so each partition value lands
+   * in `filesPerPartition` output files (salted by a deterministic row
+   * hash when >1), and writes to `outPath` — a separate location, because
+   * lazily reading and overwriting the same tree in one job is a
+   * read-under-write hazard; callers swap directories atomically after.
+   * Content is untouched (oracle-verified via `sink_compacted`).
+   */
+  def compact(
+      spark: SparkSession, inPath: String, outPath: String,
+      partitionFields: Seq[String], format: SinkFormat = ParquetFormat,
+      filesPerPartition: Int = 1, codec: Option[String] = None): Unit = {
+    require(filesPerPartition > 0, "filesPerPartition must be positive")
+    val df = readBack(spark, inPath, format)
+    val keyCols = partitionFields.map(col)
+    val clustered =
+      if (filesPerPartition == 1) df.repartition(keyCols: _*)
+      else df.repartition(keyCols :+
+        pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition)): _*)
+    var w = clustered.write.format(format.name)
+      .partitionBy(partitionFields: _*).mode(SaveMode.Overwrite)
+    codec.foreach { c =>
+      w = w.option("compression", Validators.resolveCodec(format.codecs, c, format.name))
+    }
+    w.save(outPath)
+  }
+
   /** T2 analogue (`_CDAPStageName` constant injection,
     * `common/Schemas.java:24-30` + `AvroDynamicPartitionedDatasetSink.java:82-85`):
     * append a constant stage-name column. In Spark the partition-field list

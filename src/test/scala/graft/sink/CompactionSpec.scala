@@ -1,0 +1,61 @@
+package graft.sink
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path}
+
+/** Compaction: the file count collapses to the requested budget per
+  * partition while content and partition routing stay untouched. */
+class CompactionSpec extends SparkSpec {
+
+  private def dataFiles(root: Path): Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+      .toSeq
+      .groupBy(p => root.relativize(p).subpath(0, 1).toString)
+      .view.mapValues(_.size).toMap
+  }
+
+  test("compaction: 8-way fragmented tree collapses to 1 file per partition") {
+    val orders = graft.Tables(spark, sf0001, "orders")
+    val frag = Files.createTempDirectory("graft_compact_in")
+    val comp = Files.createTempDirectory("graft_compact_out")
+    PartitionedSink.write(orders.repartition(8), frag.toString,
+      SinkConfig(ParquetFormat, Seq("o_orderpriority"), runtimeNullCheck = true))
+    val before = dataFiles(frag)
+    assert(before.values.max > 1, s"fixture must be fragmented: $before")
+
+    PartitionedSink.compact(spark, frag.toString, comp.toString,
+      Seq("o_orderpriority"))
+    val after = dataFiles(comp)
+    assert(after.keySet == before.keySet, "partition set must be preserved")
+    assert(after.values.forall(_ == 1), s"expected 1 file per partition: $after")
+
+    // content identity: same rows, same partition routing
+    val a = PartitionedSink.readBack(spark, frag.toString)
+    val b = PartitionedSink.readBack(spark, comp.toString)
+    assert(a.count() == b.count())
+    assert(a.agg(sum("o_orderkey")).head.getLong(0) ==
+      b.agg(sum("o_orderkey")).head.getLong(0))
+    assert(b.groupBy("o_orderpriority").count().collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap ==
+      a.groupBy("o_orderpriority").count().collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap)
+  }
+
+  test("compaction with a file budget: salted split honors filesPerPartition") {
+    val orders = graft.Tables(spark, sf0001, "orders")
+    val frag = Files.createTempDirectory("graft_compact_in2")
+    val comp = Files.createTempDirectory("graft_compact_out2")
+    PartitionedSink.write(orders.repartition(8), frag.toString,
+      SinkConfig(ParquetFormat, Seq("o_orderpriority"), runtimeNullCheck = true))
+    PartitionedSink.compact(spark, frag.toString, comp.toString,
+      Seq("o_orderpriority"), filesPerPartition = 2)
+    val after = dataFiles(comp)
+    assert(after.values.forall(n => n >= 1 && n <= 2), s"file budget: $after")
+    assert(PartitionedSink.readBack(spark, comp.toString).count() ==
+      orders.count())
+  }
+}
