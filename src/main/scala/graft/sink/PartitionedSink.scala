@@ -264,6 +264,54 @@ object PartitionedSink {
   }
 
   /**
+   * k-column generalization of [[writeZOrdered]]: round-robin Morton
+   * interleave ([[graft.functions.ZOrder.zorderK]], a codegen'd native
+   * expression — the magic-mask spread only exists for stride 2), each
+   * column min-max normalized to its ⌊62/k⌋-bit share of the z domain.
+   * Same analytic equal-width slab bucketing, same single extra agg
+   * pass; layout determinism and slab disjointness are pinned in
+   * `ZOrderLayoutSpec` (bit-by-bit interleave is SQL-expressible only as
+   * ~60 terms, so the k>2 path is test-verified rather than
+   * oracle-verified — the 2-column path's oracle covers the shared
+   * normalize/slab machinery).
+   */
+  def writeZOrderedK(
+      df: DataFrame, path: String, cols: Seq[String], nBuckets: Int,
+      format: SinkFormat = ParquetFormat, bucketCol: String = "zbucket"): Unit = {
+    require(cols.size >= 2, "need at least 2 layout columns")
+    require(nBuckets > 0, "nBuckets must be positive")
+    if (df.isEmpty) {
+      df.withColumn(bucketCol, lit(0L))
+        .write.format(format.name).partitionBy(bucketCol)
+        .mode(SaveMode.Overwrite).save(path)
+      return
+    }
+    val k = cols.size
+    val bits = 62 / k
+    val top = (1L << bits) - 1
+    // one agg pass: [min(c0), max(c0), min(c1), max(c1), ...]
+    val aggCols = cols.flatMap(c => Seq(min(c), max(c)))
+    val mm = df.agg(aggCols.head, aggCols.tail: _*).head
+    def mn(i: Int): Long = mm.getAs[Number](2 * i).longValue()
+    def mx(i: Int): Long = mm.getAs[Number](2 * i + 1).longValue()
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val lo = mn(i)
+      val span = math.max(1L, mx(i) - lo)
+      expr(s"((cast($c as bigint) - $lo) * $top) div $span")
+    }
+    val withZ = df.withColumn("_z",
+      graft.functions.ZOrder.zorderK(array(scaled: _*)))
+    val width = ((1L << (k * bits)) - 1) / nBuckets + 1
+    withZ
+      .withColumn(bucketCol, expr(s"_z div $width"))
+      .repartition(col(bucketCol))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.format(format.name).partitionBy(bucketCol)
+      .mode(SaveMode.Overwrite).save(path)
+  }
+
+  /**
    * Compact a partitioned tree: THE operational failure mode of dynamic
    * partitioning at scale is small files — every (task × partition-value)
    * pair emits one, so a 2000-task write into 500 partitions can leave a

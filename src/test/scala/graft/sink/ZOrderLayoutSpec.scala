@@ -27,6 +27,58 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(want.distinct.size == pairs.distinct.size)
   }
 
+  test("zorderK: local-twin parity, 2-col equivalence with zorder2, codegen parity") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val triples = Seq.fill(100)((rng.nextInt(1 << 20).toLong,
+      rng.nextInt(1 << 20).toLong, rng.nextInt(1 << 20).toLong))
+    val dfK = triples.toDF("a", "b", "c")
+    def run(): Seq[Long] = dfK
+      .select(ZOrder.zorderK(array(col("a"), col("b"), col("c"))).as("z"))
+      .as[Long].collect().toSeq
+    val modeKey = "spark.sql.codegen.factoryMode"
+    val prior = spark.conf.getOption(modeKey)
+    try {
+      spark.conf.set(modeKey, "CODEGEN_ONLY")
+      val gen = run()
+      spark.conf.set(modeKey, "NO_CODEGEN")
+      assert(gen == run()) // generated == interpreted
+      assert(gen == triples.map(t => ZOrder.zorderKLocal(Seq(t._1, t._2, t._3))))
+    } finally prior match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None => spark.conf.unset(modeKey)
+    }
+    // k=2 round-robin layout is exactly the magic-mask zorder2 (31-bit domain)
+    val pairs = Seq.fill(50)((rng.nextLong().abs & 0x7FFFFFFFL,
+      rng.nextLong().abs & 0x7FFFFFFFL))
+    val viaK = pairs.toDF("a", "b")
+      .select(ZOrder.zorderK(array(col("a"), col("b"))).as("z")).as[Long].collect().toSeq
+    assert(viaK == pairs.map { case (a, b) => ZOrder.zorder2Local(a, b) })
+  }
+
+  test("3-column z-ordered write: disjoint slabs, all three dimensions bounded") {
+    val li = graft.Tables(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val out = java.nio.file.Files.createTempDirectory("graft_zorderk_spec").toString
+    PartitionedSink.writeZOrderedK(li, out,
+      Seq("l_partkey", "l_suppkey", "l_orderkey"), nBuckets = 64)
+    val back = PartitionedSink.readBack(spark, out)
+    assert(back.count() == li.count())
+    // 64 buckets = 2 top bits per dimension -> most buckets bound every
+    // column to about a quarter of its global span
+    val spans = back.groupBy("zbucket")
+      .agg((max("l_partkey") - min("l_partkey")).as("ps"),
+        (max("l_suppkey") - min("l_suppkey")).as("ss"),
+        (max("l_orderkey") - min("l_orderkey")).as("os"))
+      .collect()
+    def g(c: String) = li.agg(max(c) - min(c)).head.getLong(0)
+    val (gp, gs, go) = (g("l_partkey"), g("l_suppkey"), g("l_orderkey"))
+    val tight = spans.count(r => r.getAs[Long]("ps") <= gp / 2 + 1 &&
+      r.getAs[Long]("ss") <= gs / 2 + 1 && r.getAs[Long]("os") <= go / 2 + 1)
+    assert(tight * 2 >= spans.length,
+      s"only $tight/${spans.length} buckets 3-D tight (spans $gp,$gs,$go)")
+  }
+
   test("z-ordered write: content identity, disjoint z-slabs, 2-D clustering") {
     val li = graft.Tables(spark, sf0001, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
