@@ -31,5 +31,9 @@ object SqlFunctions {
     // composition of built-in bit ops — registered so SQL users can
     // sort/cluster by the same layout key the sink writes
     "zorder2" -> (e => ZOrder.zorder2Expr(e(0), e(1))),
+    // aggregate: the analyzer wraps a bare AggregateFunction returned by
+    // a registry builder, so SQL GROUP BY gets the bounded-heap top-k
+    "top_k_by_score" -> (e =>
+      TopKByScore(e(0), e(1), intArg(e, 2, 10)).toAggregateExpression()),
   )
 }

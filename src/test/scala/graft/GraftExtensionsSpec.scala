@@ -41,6 +41,16 @@ class GraftExtensionsSpec extends SparkSpec {
       // 3=0b11 even positions, 5=0b101 odd positions: 100|01|11 = 0x27
       assert(r.getLong(7) == graft.functions.ZOrder.zorder2Local(3L, 5L))
       assert(r.getLong(7) == 0x27L)
+      // the bounded-heap top-k aggregate works from SQL GROUP BY
+      val tk = s2.sql(
+        """SELECT g, top_k_by_score(s, id, 2) AS top FROM VALUES
+          |  ('a', 3.0D, 1L), ('a', 9.0D, 2L), ('a', 9.0D, 0L), ('a', 1.0D, 3L),
+          |  ('b', 5.0D, 7L) AS t(g, s, id)
+          |GROUP BY g ORDER BY g""".stripMargin).collect()
+      val topA = tk(0).getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getDouble(0), e.getLong(1)))
+      assert(topA == Seq((9.0, 0L), (9.0, 2L))) // score desc, id asc tiebreak
+      assert(tk(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(7L))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
