@@ -47,6 +47,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val warms = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     selected.foreach { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var it = 0
@@ -75,6 +76,12 @@ object Bench {
       val sorted = times.sorted
       medians(name) = sorted(sorted.size / 2)
       spreads(name) = sorted.last - sorted.head
+      // Warm median: iterations 2..n only. Iteration 1 carries per-query
+      // codegen/JIT (documented 3-9 s on the ngram PPJoin query), which the
+      // median-of-3 keeps by design for cross-round continuity; the warm
+      // figure is the steady-state number probes otherwise re-derive by hand.
+      val warmSorted = if (times.size > 1) times.drop(1).sorted else sorted
+      warms(name) = warmSorted(warmSorted.size / 2)
     }
     // The driver captures only the LAST 2000 BYTES of stdout (measured in
     // BENCH_r04.json: the tail was exactly 2000 bytes with the line's head
@@ -116,7 +123,7 @@ object Bench {
     // complete medians + spreads, one JSON object, written into the repo.
     val fullErrs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${medians.size},"n_failed":${errors.size},"iters":$iters,"warmup_sec":${fmt(warmup)},"errors":$fullErrs,"queries":${jmap(medians)},"spread":${jmap(spreads)},"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${medians.size},"n_failed":${errors.size},"iters":$iters,"warmup_sec":${fmt(warmup)},"errors":$fullErrs,"queries":${jmap(medians)},"spread":${jmap(spreads)},"warm":${jmap(warms)},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
     } catch {

@@ -284,6 +284,10 @@ case class WordTokens(child: Expression)
 case class CompressionRatio(child: Expression, level: Int = 6)
   extends UnaryExpression with CodegenFallback {
 
+  // Deflater would throw this at executor runtime per-row; fail at plan
+  // construction instead (the SQL surface lets any int literal through)
+  require(level >= 0 && level <= 9, s"compression level $level not in [0, 9]")
+
   override def dataType: DataType = DoubleType
   override def prettyName: String = "compression_ratio"
 

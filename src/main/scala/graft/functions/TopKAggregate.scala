@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -29,11 +29,20 @@ final class TopKBuffer(val k: Int) {
   val ids: Array[Long] = new Array[Long](k)
 
   /** true if (sa, ia) ranks BETTER than (sb, ib): higher score, then
-    * smaller id. */
-  @inline private def better(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa > sb || (sa == sb && ia < ib)
+    * smaller id. Scores compare under `java.lang.Double.compare`'s TOTAL
+    * order, which matches Spark's SQL ordering for doubles (NaN greater
+    * than every non-NaN, so NaN ranks FIRST under `desc` — exactly what
+    * the window formulation does); a naive `>` would silently drop NaN
+    * rows once the heap is full and break the heap invariant when one
+    * slipped in during the grow phase. -0.0 is normalized to 0.0 in
+    * [[add]] (Spark orders them equal; `Double.compare` does not). */
+  @inline private def better(sa: Double, ia: Long, sb: Double, ib: Long): Boolean = {
+    val c = java.lang.Double.compare(sa, sb)
+    c > 0 || (c == 0 && ia < ib)
+  }
 
-  def add(score: Double, id: Long): Unit = {
+  def add(score0: Double, id: Long): Unit = {
+    val score = if (score0 == 0.0) 0.0 else score0 // -0.0 → 0.0, like SQL
     if (size < k) {
       // grow phase: insert at the end, sift up toward the worst-at-root
       var i = size
@@ -84,16 +93,23 @@ final class TopKBuffer(val k: Int) {
  * `array<struct<score double, id bigint>>` best-first; explode with
  * `posexplode` to recover ranks. Null score or id rows are skipped
  * (window `row_number` formulations order nulls in; callers filter
- * nulls first — asserted by the oracle equivalence).
+ * nulls first — asserted by the oracle equivalence). NaN scores are
+ * KEPT and rank first under the descending order, matching Spark's
+ * SQL double ordering (NaN > every non-NaN) — a zero-norm vector's
+ * NaN cosine surfaces in the heap exactly where the window would
+ * put it.
  */
 case class TopKByScore(
     scoreExpr: Expression, idExpr: Expression, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TopKBuffer] {
+  extends TypedImperativeAggregate[TopKBuffer] with ImplicitCastInputTypes {
 
   require(k > 0, "k must be positive")
 
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
+  // analyzer-inserted casts: SQL callers passing FLOAT scores / INT ids get
+  // a plan-time cast, not an executor ClassCastException
+  override def inputTypes = Seq(DoubleType, LongType)
   override def nullable: Boolean = false
   override def prettyName: String = "top_k_by_score"
   override def dataType: DataType = ArrayType(StructType(Seq(

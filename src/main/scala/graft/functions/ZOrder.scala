@@ -80,7 +80,11 @@ object ZOrder {
     * call, so the per-row cost is one tight JIT'd loop. */
   def zorderK(arr: Column): Column = Bridge.column(ZOrderKExpr(Bridge.expression(arr)))
 
-  /** Kernel shared by interpreted eval and generated code. */
+  /** Kernel shared by interpreted eval and generated code. Null array
+    * elements contribute 0 bits (explicit isNullAt check — a blind
+    * getLong would NPE on GenericArrayData or silently read garbage on
+    * UnsafeArrayData); writers that want null-in → null-bucket semantics
+    * guard BEFORE the kernel (see `PartitionedSink.writeZOrderedK`). */
   def interleaveK(xs: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val k = xs.numElements()
     if (k == 0) return 0L
@@ -88,7 +92,7 @@ object ZOrder {
     var z = 0L
     var i = 0
     while (i < k) {
-      val v = xs.getLong(i)
+      val v = if (xs.isNullAt(i)) 0L else xs.getLong(i)
       var j = 0
       while (j < bits) {
         z |= ((v >>> j) & 1L) << (j * k + i)

@@ -7,7 +7,18 @@ package graft.macros
  * `/root/reference/src/main/java/io/cdap/plugin/common/MacroParser.java:30-217`):
  *  - `${name}` is replaced by the property `name`;
  *    `${fnName(arguments)}` is replaced by the registered macro function
- *    applied to the raw argument string.
+ *    applied to the argument list. Arguments are split on commas AFTER
+ *    escape replacement (`MacroParser.java:139-143`: `replaceEscapedSyntax`
+ *    runs before `Splitter.on(ARGUMENT_DELIMITER)`) — so `\,` also
+ *    delimits; a literal comma cannot appear inside an argument. Empty
+ *    arguments are preserved (`f()` receives one empty-string argument,
+ *    `f(a,,b)` three). A body whose first unescaped `(` exists is ALWAYS
+ *    a function call (`MacroParser.java:118-122`): the `)` must close the
+ *    body or it is an error, never a property fallback; an escaped `\(`
+ *    routes to property lookup.
+ *  - `escapingEnabled = false` (`MacroParser.java:41-44`) disables ALL
+ *    backslash processing: backslashes are literal and never suppress
+ *    macro syntax.
  *  - Expansion proceeds RIGHT-TO-LEFT: the rightmost `${` in the string is
  *    expanded first (`MacroParser.java:69-87`).
  *  - Substituted values are themselves re-expanded, to a maximum total depth
@@ -28,8 +39,9 @@ object MacroParser {
   def expand(
       input: String,
       properties: Map[String, String],
-      functions: Map[String, String => String] = Map.empty): String =
-    expandAt(input, properties, functions, MaxDepth)
+      functions: Map[String, Seq[String] => String] = Map.empty,
+      escapingEnabled: Boolean = true): String =
+    expandAt(input, properties, functions, MaxDepth, escapingEnabled)
 
   /** True when the string contains at least one unescaped `${` — i.e. it
     * still requires runtime expansion (property or function macro alike).
@@ -47,35 +59,65 @@ object MacroParser {
   private def expandAt(
       s: String,
       props: Map[String, String],
-      fns: Map[String, String => String],
-      depth: Int): String = {
+      fns: Map[String, Seq[String] => String],
+      depth: Int,
+      esc: Boolean): String = {
     if (depth < 0)
       throw new MacroException(s"Macro expansion exceeds maximum depth $MaxDepth")
-    findRightmostMacro(s) match {
-      case None => unescape(s)
+    findRightmostMacro(s, esc) match {
+      case None => if (esc) unescape(s) else s
       case Some((start, end, body)) =>
-        // Expand nested macros inside the body first (body itself may contain
-        // escaped chars — the recursive call handles them).
-        val resolved = resolve(expandAt(body, props, fns, depth - 1), props, fns)
+        // The RIGHTMOST macro's body cannot itself contain a macro open
+        // (that `${` would be more-right), so the body goes straight to
+        // the resolver, which owns its escape handling.
+        val resolved = resolve(body, props, fns, esc)
         // The substituted value may itself contain macros → re-scan.
         val replaced = s.substring(0, start) + resolved + s.substring(end + 1)
-        expandAt(replaced, props, fns, depth - 1)
+        expandAt(replaced, props, fns, depth - 1, esc)
     }
   }
 
+  /** Resolve one macro body (escapes still intact — escape decisions must
+    * be made BEFORE replacement, or an escaped `\(` would masquerade as a
+    * call). Mirrors `MacroParser.java:100-143`: trim; first unescaped `(`
+    * ⇒ function call whose first unescaped `)` must close the body;
+    * otherwise property lookup of the escape-replaced body. */
   private def resolve(
-      body: String,
+      rawBody: String,
       props: Map[String, String],
-      fns: Map[String, String => String]): String = {
-    val fnCall = "^\\s*([A-Za-z_][A-Za-z0-9_]*)\\((.*)\\)\\s*$".r
-    body match {
-      case fnCall(name, args) if fns.contains(name) => fns(name)(args)
-      case fnCall(name, _) if !props.contains(body.trim) =>
-        throw new MacroException(s"Undefined macro function '$name'")
-      case _ =>
-        props.getOrElse(body.trim,
-          throw new MacroException(s"Undefined macro property '${body.trim}'"))
+      fns: Map[String, Seq[String] => String],
+      esc: Boolean): String = {
+    val t = rawBody.trim
+    def unesc(x: String): String = if (esc) unescape(x) else x
+    val parenIdx = firstUnescaped(t, '(', esc)
+    if (parenIdx >= 0) {
+      val closeIdx = firstUnescaped(t, ')', esc)
+      if (closeIdx < 0 || !t.endsWith(")"))
+        throw new MacroException(
+          s"Could not find enclosing ')' for macro arguments in '$t'")
+      if (closeIdx != t.length - 1)
+        throw new MacroException(
+          s"Macro arguments in '$t' have extra invalid trailing ')'")
+      val name = unesc(t.substring(0, parenIdx))
+      // reference order of operations: escapes replaced FIRST, then the
+      // comma split — `\,` therefore still delimits (MacroParser.java:139-143)
+      val args: Seq[String] =
+        unesc(t.substring(parenIdx + 1, t.length - 1)).split(",", -1).toSeq
+      fns.getOrElse(name,
+        throw new MacroException(s"Undefined macro function '$name'"))(args)
+    } else {
+      val key = unesc(t)
+      props.getOrElse(key,
+        throw new MacroException(s"Undefined macro property '$key'"))
     }
+  }
+
+  /** Index of the first occurrence of `token` not escaped by a preceding
+    * odd backslash run; -1 if none. */
+  private def firstUnescaped(s: String, token: Char, esc: Boolean): Int = {
+    var i = s.indexOf(token)
+    while (i >= 0 && esc && isEscaped(s, i)) i = s.indexOf(token, i + 1)
+    i
   }
 
   /** Locate the rightmost unescaped `${`, return (startIdx, closingBraceIdx,
@@ -84,13 +126,13 @@ object MacroParser {
     * rightmost `${` is taken first, the body can never contain another
     * macro open, and a bare `{` inside it is literal (`${a{b}` → property
     * `a{b`), not a nesting level. */
-  private def findRightmostMacro(s: String): Option[(Int, Int, String)] = {
+  private def findRightmostMacro(s: String, esc: Boolean = true): Option[(Int, Int, String)] = {
     var i = s.length - 2
     while (i >= 0) {
-      if (s.charAt(i) == '$' && s.charAt(i + 1) == '{' && !isEscaped(s, i)) {
+      if (s.charAt(i) == '$' && s.charAt(i + 1) == '{' && !(esc && isEscaped(s, i))) {
         // find the first unescaped close brace
         var j = i + 2
-        while (j < s.length && (s.charAt(j) != '}' || isEscaped(s, j))) j += 1
+        while (j < s.length && (s.charAt(j) != '}' || (esc && isEscaped(s, j)))) j += 1
         if (j >= s.length)
           throw new MacroException(s"Unterminated macro in: $s")
         return Some((i, j, s.substring(i + 2, j)))

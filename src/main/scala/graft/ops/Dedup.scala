@@ -597,19 +597,27 @@ object Dedup {
       nodes: DataFrame, pairs: DataFrame, maxIterations: Int = 10,
       localEdgeThreshold: Long = 1000000L): DataFrame = {
     val spark = nodes.sparkSession
+    // The candidate-pair plan (typically an expensive banded LSH join) is
+    // referenced by BOTH the size dispatch and whichever branch wins, so it
+    // is persisted FIRST: the count below is the single materialization,
+    // and every later reference scans the cached blocks.
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Size-based dispatch: a near-dup edge list is tiny even for a huge
     // corpus (it IS the duplication rate), so below the threshold the
     // components are solved with a driver-side union-find — zero iterative
     // Spark jobs, exact, no convergence bound. 1M edges ≈ 32 MB on the
     // driver. The distributed propagation below remains for adversarial
     // pair volumes.
-    if (pairs.count() <= localEdgeThreshold)
-      return localComponents(nodes, pairs)
-    // symmetrized edge list, bounded by 2·|pairs| — near-dup pair sets are
-    // a tiny fraction of the corpus
+    if (p.count() <= localEdgeThreshold) {
+      val out = localComponents(nodes, p) // collects eagerly inside
+      p.unpersist(blocking = true)
+      return out
+    }
+    // symmetrized edge list, bounded by 2·|pairs| — a lazy projection pair
+    // over the cached pairs (each sweep re-derives it from cache blocks;
+    // a second cache of the same bytes would buy nothing)
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .cache()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
     var labelsRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
@@ -643,7 +651,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIterations sweeps — " +
           "raise maxIterations (long-chain components present)")
-    edges.unpersist(blocking = true)
+    p.unpersist(blocking = true)
     // untouched nodes are self-labeled singletons; the anti-join's right
     // side is the (small, RDD-backed) member label set → broadcast anti-join
     // at scale, and a `doc_id != cluster_id` filter prunes this branch out

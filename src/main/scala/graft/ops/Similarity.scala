@@ -201,19 +201,17 @@ object Similarity {
     best
   }
 
-  def ivfTopK(
-      queries: DataFrame, corpus: DataFrame, k: Int,
-      nCells: Int = 16, nProbe: Int = 4,
-      refineIters: Int = 0, sampleSize: Int = 1024,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // deterministic centroid seed: first nCells corpus vectors in md5(id)
-    // order (reproducible, no trained model to store). With refineIters > 0,
-    // Lloyd iterations run DRIVER-SIDE over the first `sampleSize` vectors
-    // in the same md5 order — sample-based k-means is the textbook scale
-    // play (the sample is bounded regardless of corpus size), and the
-    // strictly-ordered sequential accumulation keeps every refined
-    // coefficient bit-reproducible (ordinary distributed avg() is not:
-    // partial-sum order is nondeterministic in IEEE doubles).
+  /** Deterministic IVF centroids: first `nCells` corpus vectors in
+    * md5(id) order (reproducible, no trained model to store). With
+    * refineIters > 0, Lloyd iterations run DRIVER-SIDE over the first
+    * `sampleSize` vectors in the same md5 order — sample-based k-means is
+    * the textbook scale play (the sample is bounded regardless of corpus
+    * size), and the strictly-ordered sequential accumulation keeps every
+    * refined coefficient bit-reproducible (ordinary distributed avg() is
+    * not: partial-sum order is nondeterministic in IEEE doubles). */
+  private def ivfCentroids(
+      corpus: DataFrame, nCells: Int, refineIters: Int, sampleSize: Int,
+      idCol: String, vecCol: String): Array[(Int, Array[Double])] = {
     val nSample = if (refineIters > 0) math.max(nCells, sampleSize) else nCells
     val sample: Array[Array[Double]] = corpus
       .select(col(idCol).cast("string").as("sid"), toDouble(col(vecCol)).as("v"))
@@ -237,17 +235,28 @@ object Similarity {
         if (counts(j) == 0) cents(j) // empty cell keeps its seed
         else sums(j).map(_ / counts(j)))
     }
-    val centroids: Array[(Int, Array[Double])] = cents.zipWithIndex.map(_.swap)
+    cents.zipWithIndex.map(_.swap)
+  }
 
-    // nearest-cell assignment: argmin over squared distance to each
-    // centroid ≡ argmax of (dot - |c|²/2); evaluated as a struct array min
-    def cellRank(vec: Column): Column = {
-      val scored = centroids.map { case (i, c) =>
-        val dist = -(dot(vec, typedlit(c.toSeq)) - lit(c.map(x => x * x).sum / 2))
-        struct(dist.as("d"), lit(i).as("cell"))
-      }
-      array_sort(array(scored: _*))
+  /** Cells ranked nearest-first for a vector column: argmin over squared
+    * distance to each centroid ≡ argmax of (dot - |c|²/2); evaluated as a
+    * struct array sort so `element_at(..,1)` is the assignment and
+    * `slice(..,1,nProbe)` is the probe list. */
+  private def cellRankCol(vec: Column, centroids: Array[(Int, Array[Double])]): Column = {
+    val scored = centroids.map { case (i, c) =>
+      val dist = -(dot(vec, typedlit(c.toSeq)) - lit(c.map(x => x * x).sum / 2))
+      struct(dist.as("d"), lit(i).as("cell"))
     }
+    array_sort(array(scored: _*))
+  }
+
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      refineIters: Int = 0, sampleSize: Int = 1024,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCells, refineIters, sampleSize, idCol, vecCol)
+    def cellRank(vec: Column): Column = cellRankCol(vec, centroids)
 
     val c = corpus.select(col(idCol).as("n_id"), toDouble(col(vecCol)).as("n_vec"))
       .withColumn("n_norm", norm(col("n_vec")))
@@ -408,6 +417,59 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("qdot"), col("score"), col("rnk"))
+  }
+
+  /**
+   * Quantized IVF retrieval — the 100 TB composition of the two tricks
+   * above: int8 codes are scored INSIDE the IVF probe cells and ranked
+   * with the bounded-heap aggregate, so the per-query cost is
+   * (nProbe/nCells) of the corpus at a quarter of the vector bandwidth
+   * with O(k) ranking state — no cross join, no window sort anywhere
+   * (contrast [[quantizedTopK]], the labeled exact-scoring baseline).
+   *
+   * Cell geometry stays in float space (assignment = nCells native dots
+   * on the widened vector, same deterministic md5-order centroids as
+   * [[ivfTopK]]); scoring uses the max-abs int8 codes of
+   * [[quantizeInt8]] held as integer-valued DOUBLE arrays so the
+   * allocation-free DotProduct kernel applies. Integer dots are exact in
+   * any IEEE engine and the dequantize `qdot·scale_q·scale_c/127²` is
+   * one fixed-shape double expression, so the whole approximate path is
+   * hash-verifiable by the DuckDB oracle (rare for ANN). Each (query,
+   * neighbor) pair arises at most once — the corpus row lives in exactly
+   * one cell and probe cells are distinct — so ranking needs no
+   * pair-dedup shuffle first.
+   */
+  def ivfQuantizedTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCells, refineIters = 0,
+      sampleSize = nCells, idCol = idCol, vecCol = vecCol)
+    // max-abs int8 codes, computed inline on the widened vector so one
+    // projection yields both the cell assignment and the codes (exactly
+    // quantizeInt8's arithmetic: scale = max|x|, q = ⌊x·127/scale + 0.5⌋,
+    // zero vector → all-zero codes)
+    def codes(vec: Column, scale: Column): Column =
+      when(scale === lit(0.0), transform(vec, _ => lit(0.0)))
+        .otherwise(transform(vec, v => floor(v * lit(127.0) / scale + lit(0.5))))
+
+    val c = corpus.select(col(idCol).as("n_id"), toDouble(col(vecCol)).as("n_vec"))
+      .withColumn("cell", element_at(cellRankCol(col("n_vec"), centroids), 1)("cell"))
+      .withColumn("n_scale", array_max(transform(col("n_vec"), v => abs(v))))
+      .select(col("cell"), col("n_id"), col("n_scale"),
+        codes(col("n_vec"), col("n_scale")).as("n_q"))
+    val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("cell", explode(transform(
+        slice(cellRankCol(col("q_vec"), centroids), 1, nProbe), s => s("cell"))))
+      .withColumn("q_scale", array_max(transform(col("q_vec"), v => abs(v))))
+      .select(col("cell"), col("q_id"), col("q_scale"),
+        codes(col("q_vec"), col("q_scale")).as("q_q"))
+    val sims = q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        ((graft.functions.vectors.dot_product(col("q_q"), col("n_q"))
+          * col("q_scale")) * col("n_scale") / lit(16129.0)).as("sim"))
+    rankTopK(sims, k)
   }
 
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

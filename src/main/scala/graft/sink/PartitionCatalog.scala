@@ -173,14 +173,26 @@ object PartitionCatalog {
       case _ => list(spark, path, fields.length)
     }
     if (existing.isEmpty) return
-    val existingSet = existing.map(m => fields.map(m(_))).toSet
-    val incoming = prepared.select(fields.map(col): _*).distinct().collect()
-      .map(r => fields.indices.map(i => String.valueOf(r.get(i))))
-    val clashes = incoming.filter(t => existingSet.contains(t))
-    if (clashes.nonEmpty)
+    // the EXISTING side is driver-bounded (it is the partition listing a
+    // metastore already holds); the INCOMING side is not — at 100 TB a
+    // high-cardinality key would make a distinct().collect() an unbounded
+    // driver transfer. So the check runs as a broadcast semi-join against
+    // the existing set, and only a bounded clash sample (≤5 rows, for the
+    // error message) ever reaches the driver.
+    val existingDf = spark.createDataFrame(
+      java.util.Arrays.asList(existing.map(m =>
+        org.apache.spark.sql.Row.fromSeq(fields.map(m(_)))): _*),
+      org.apache.spark.sql.types.StructType(fields.map(f =>
+        org.apache.spark.sql.types.StructField(f, org.apache.spark.sql.types.StringType))))
+    val clashSample = prepared
+      .select(fields.map(f => col(f).cast("string").as(f)): _*)
+      .distinct()
+      .join(org.apache.spark.sql.functions.broadcast(existingDf), fields, "left_semi")
+      .take(5)
+    if (clashSample.nonEmpty)
       throw new IllegalStateException(
         s"CREATE disposition: partition(s) already exist: " +
-          clashes.take(5).map(t => fields.zip(t).map { case (f, v) => s"$f=$v" }
-            .mkString("/")).mkString(", "))
+          clashSample.map(r => fields.zipWithIndex.map { case (f, i) =>
+            s"$f=${r.get(i)}" }.mkString("/")).mkString(", "))
   }
 }

@@ -230,6 +230,23 @@ object PartitionedSink {
    * each) or AQE coalescing, not a sampled boundary search, because
    * reproducibility of the layout is the point.
    */
+  /** Backtick-quoted column reference: names with dots or backticks
+    * resolve as literal identifiers instead of being parsed. */
+  private def qcol(name: String): org.apache.spark.sql.Column =
+    col("`" + name.replace("`", "``") + "`")
+
+  /** min-max span, guarded so `(v - min) * factor` cannot overflow a
+    * long ((v - min) ≤ span): spans above ~1.4e14 (2-col) / wider for
+    * higher k would silently wrap negative and scatter the layout.
+    * Rank-normalize (e.g. a row_number pre-pass) such columns first. */
+  private def spanChecked(hi: Long, lo: Long, factor: Long, name: String): Long = {
+    val span = math.max(1L, hi - lo)
+    require(span <= Long.MaxValue / factor,
+      s"layout column $name spans $span > ${Long.MaxValue / factor} " +
+        "— normalization would overflow; rank-normalize the column first")
+    span
+  }
+
   def writeZOrdered(
       df: DataFrame, path: String, colA: String, colB: String,
       nBuckets: Int, format: SinkFormat = ParquetFormat,
@@ -241,15 +258,22 @@ object PartitionedSink {
         .mode(SaveMode.Overwrite).save(path)
       return
     }
-    val mm = df.agg(min(colA), max(colA), min(colB), max(colB)).head
+    val mm = df.agg(min(qcol(colA)), max(qcol(colA)),
+      min(qcol(colB)), max(qcol(colB))).head
     def lv(i: Int): Long = mm.getAs[Number](i).longValue()
     val (minA, minB) = (lv(0), lv(2))
-    val spanA = math.max(1L, lv(1) - minA)
-    val spanB = math.max(1L, lv(3) - minB)
-    val withZ = df.withColumn("_z",
-      graft.functions.ZOrder.zorder2(
-        expr(s"((cast($colA as bigint) - $minA) * 65535) div $spanA"),
-        expr(s"((cast($colB as bigint) - $minB) * 65535) div $spanB")))
+    val spanA = spanChecked(lv(1), minA, 65535L, colA)
+    val spanB = spanChecked(lv(3), minB, 65535L, colB)
+    // normalization in exact long arithmetic ((v-min)·65535 div span) via
+    // temp columns so the only parsed expr references are names we control
+    // — layout column names with backticks/dots resolve through qcol
+    val withZ = df
+      .withColumn("_na", (qcol(colA).cast("long") - lit(minA)) * lit(65535L))
+      .withColumn("_nb", (qcol(colB).cast("long") - lit(minB)) * lit(65535L))
+      .withColumn("_z",
+        graft.functions.ZOrder.zorder2(
+          expr(s"_na div $spanA"), expr(s"_nb div $spanB")))
+      .drop("_na", "_nb")
     // normalization stretches both columns to fill the 16-bit domain, so
     // the z domain is exactly [0, 2^32) — slab width comes from that bound
     // analytically, not from a second full-table agg pass
@@ -290,17 +314,29 @@ object PartitionedSink {
     val bits = 62 / k
     val top = (1L << bits) - 1
     // one agg pass: [min(c0), max(c0), min(c1), max(c1), ...]
-    val aggCols = cols.flatMap(c => Seq(min(c), max(c)))
+    val aggCols = cols.flatMap(c => Seq(min(qcol(c)), max(qcol(c))))
     val mm = df.agg(aggCols.head, aggCols.tail: _*).head
     def mn(i: Int): Long = mm.getAs[Number](2 * i).longValue()
     def mx(i: Int): Long = mm.getAs[Number](2 * i + 1).longValue()
-    val scaled = cols.zipWithIndex.map { case (c, i) =>
-      val lo = mn(i)
-      val span = math.max(1L, mx(i) - lo)
-      expr(s"((cast($c as bigint) - $lo) * $top) div $span")
+    // exact long normalization via temp columns (backtick-safe, overflow
+    // guarded — see writeZOrdered)
+    val tmp = cols.indices.map(i => s"_zn$i")
+    val dfNorm = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(tmp(i), (qcol(c).cast("long") - lit(mn(i))) * lit(top))
     }
-    val withZ = df.withColumn("_z",
-      graft.functions.ZOrder.zorderK(array(scaled: _*)))
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val span = spanChecked(mx(i), mn(i), top, c)
+      expr(s"${tmp(i)} div $span")
+    }
+    // a null in ANY layout column propagates to a null z — and so to the
+    // null bucket partition, matching writeZOrdered (the kernel itself
+    // zeroes null elements for direct SQL callers; the writer keeps null
+    // rows out of bucket 0)
+    val anyNull = cols.map(c => qcol(c).isNull).reduce(_ || _)
+    val withZ = dfNorm.withColumn("_z",
+      when(anyNull, lit(null).cast("long"))
+        .otherwise(graft.functions.ZOrder.zorderK(array(scaled: _*))))
+      .drop(tmp: _*)
     val width = ((1L << (k * bits)) - 1) / nBuckets + 1
     withZ
       .withColumn(bucketCol, expr(s"_z div $width"))

@@ -116,7 +116,7 @@ object SinkProperties {
   def resolve(
       props: Map[String, String],
       runtime: Map[String, String] = Map.empty,
-      functions: Map[String, String => String] = Map.empty): ResolvedSink = {
+      functions: Map[String, Seq[String] => String] = Map.empty): ResolvedSink = {
 
     def get(key: String): Option[String] =
       props.get(key).map(v => MacroParser.expand(v, runtime, functions))

@@ -57,13 +57,13 @@ class MacroParserSpec extends AnyFunSuite {
   }
 
   test("macro functions") {
-    val fns = Map[String, String => String](
-      "upper" -> (_.toUpperCase), "const" -> (_ => "K"))
+    val fns = Map[String, Seq[String] => String](
+      "upper" -> (a => a.head.toUpperCase), "const" -> (_ => "K"))
     assert(MacroParser.expand("${upper(abc)} ${const()}", props, fns) == "ABC K")
   }
 
   test("function argument containing a macro expands before the call") {
-    val fns = Map[String, String => String]("upper" -> (_.toUpperCase))
+    val fns = Map[String, Seq[String] => String]("upper" -> (a => a.head.toUpperCase))
     assert(MacroParser.expand("${upper(${name})}", props, fns) == "SALES")
   }
 
@@ -71,6 +71,47 @@ class MacroParserSpec extends AnyFunSuite {
     intercept[MacroException] {
       MacroParser.expand("${nofn(x)}", props, Map.empty)
     }
+  }
+
+  test("multi-arg functions: comma split, empty args preserved, escape-then-split") {
+    val fns = Map[String, Seq[String] => String](
+      "join" -> (_.mkString("|")),
+      "nargs" -> (a => a.length.toString))
+    // args split on commas (MacroParser.java:31 ARGUMENT_DELIMITER)
+    assert(MacroParser.expand("${join(a,b,c)}", props, fns) == "a|b|c")
+    // empty args are preserved, not dropped: f() gets ONE empty arg,
+    // f(a,,b) three (Guava Splitter semantics)
+    assert(MacroParser.expand("${nargs()}", props, fns) == "1")
+    assert(MacroParser.expand("${nargs(a,,b)}", props, fns) == "3")
+    assert(MacroParser.expand("${join(a,,b,)}", props, fns) == "a||b|")
+    // reference order of operations: escapes are replaced BEFORE the
+    // split (MacroParser.java:139-143), so an escaped comma still
+    // delimits — a literal comma cannot appear inside an argument
+    assert(MacroParser.expand("${join(a\\,b)}", props, fns) == "a|b")
+    // whitespace in args is NOT trimmed (the split is the only tokenizer)
+    assert(MacroParser.expand("${join(a, b)}", props, fns) == "a| b")
+  }
+
+  test("function-call malformations throw; escaped paren routes to property") {
+    val fns = Map[String, Seq[String] => String]("f" -> (_.mkString))
+    // unescaped '(' makes the body a call — a missing ')' is an error,
+    // never a property fallback (MacroParser.java:118-128)
+    intercept[MacroException] { MacroParser.expand("${f(x}", props, fns) }
+    // the first unescaped ')' must close the body
+    intercept[MacroException] { MacroParser.expand("${f(x)y)}", props, fns) }
+    // an ESCAPED paren is literal → property lookup of the unescaped name
+    assert(MacroParser.expand("${we\\(ird}", Map("we(ird" -> "V"), fns) == "V")
+  }
+
+  test("escapingEnabled=false: backslashes are literal, no escape processing") {
+    // reference MacroParser.java:41-44 constructor mode
+    val p = Map("x" -> "V", "a\\" -> "W")
+    assert(MacroParser.expand("\\${x}", p, Map.empty, escapingEnabled = false) == "\\V")
+    assert(MacroParser.expand("${a\\}", p, Map.empty, escapingEnabled = false) == "W")
+    val fns = Map[String, Seq[String] => String]("join" -> (_.mkString("|")))
+    // backslash before a comma is literal and rides into the arg
+    assert(MacroParser.expand("${join(a\\,b)}", p, fns, escapingEnabled = false)
+      == "a\\|b")
   }
 
   test("body ends at the FIRST unescaped close brace (reference contract)") {

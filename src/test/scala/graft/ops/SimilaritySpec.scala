@@ -197,6 +197,73 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("Window"), s"must not window-sort candidates:\n$plan")
   }
 
+  test("quantized IVF top-k: recall contract vs float IVF; no cartesian, heap-ranked plan") {
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // contract: quantization inside the SAME cell structure loses almost
+    // nothing vs the float IVF path (the approximation being measured is
+    // the 127-level rounding, not the cell pruning — hold cells fixed)
+    val float = sets(Similarity.ivfTopK(q, e, k = 5, nCells = 16, nProbe = 4))
+    val quant = sets(Similarity.ivfQuantizedTopK(q, e, k = 5, nCells = 16, nProbe = 4))
+    val recalls = float.map { case (qid, fl) =>
+      quant(qid).intersect(fl).size.toDouble / fl.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85, s"int8-IVF mean top-5 recall $mean vs float IVF")
+    // planted exact twins: identical codes land in the same cell, integer
+    // self-dot is maximal → twin is rank 1
+    val twins = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val top1 = Similarity.ivfQuantizedTopK(q, e.unionByName(twins), k = 1,
+      nCells = 8, nProbe = 2)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_id")).toMap
+    (0L until 10L).foreach { qid =>
+      assert(top1.get(qid).contains(qid + 10000), s"query $qid got ${top1.get(qid)}")
+    }
+    // plan shape: bucketed cell join + bounded-heap ranking — the whole
+    // point of the composition is that neither a cartesian nor a window
+    // sort appears anywhere
+    val plan = Similarity.ivfQuantizedTopK(q, e, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"must not cross-join:\n$plan")
+    assert(!plan.contains("Window"), s"must not window-sort candidates:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected heap aggregate:\n$plan")
+  }
+
+  test("heap top-k: NaN scores rank first, matching Spark's window order") {
+    import spark.implicits._
+    // zero-norm vector → NaN cosine; the heap must keep it exactly where
+    // row_number over (score desc) would: first
+    val df = Seq(
+      (1L, 10L, Double.NaN), (1L, 11L, 0.9), (1L, 12L, 0.8), (1L, 13L, 0.7)
+    ).toDF("q_id", "n_id", "sim")
+    val heap = df.groupBy("q_id")
+      .agg(graft.functions.topk.top_k_by_score(col("sim"), col("n_id"), 3).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("entry.id")).collect().map(_.getLong(0)).toSeq
+    val window = df.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("sim").desc, col("n_id").asc)))
+      .filter(col("rnk") <= 3).orderBy("rnk")
+      .select("n_id").collect().map(_.getLong(0)).toSeq
+    assert(heap == window && heap == Seq(10L, 11L, 12L))
+    // buffer-level: NaN entering during the grow phase keeps the invariant
+    val b = new graft.functions.TopKBuffer(2)
+    b.add(Double.NaN, 5L); b.add(0.5, 6L); b.add(0.9, 7L); b.add(0.95, 8L)
+    assert(b.sortedBest.toSeq.map(_._2) == Seq(5L, 8L))
+    // SQL surface: float score / int id implicit-cast instead of crashing
+    graft.functions.hashes.registerSql(spark)
+    val viaSql = df.selectExpr("q_id", "cast(n_id as int) as n_id",
+        "cast(sim as float) as sim")
+      .groupBy("q_id")
+      .agg(expr("top_k_by_score(sim, n_id, 3)").as("top"))
+      .select(size(col("top"))).collect().head.getInt(0)
+    assert(viaSql == 3)
+  }
+
   test("int8 top-k recall contract vs the exact float path") {
     val e = Tables(spark, sf0001, "embeddings")
     val q = e.filter(col("vec_id") < 10)

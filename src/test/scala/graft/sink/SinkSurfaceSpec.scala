@@ -140,6 +140,23 @@ class SinkSurfaceSpec extends SparkSpec {
     val backA = spark.table("avro_hive_f7").select("id", "v", "part")
     assert(backA.exceptAll(df).isEmpty && df.exceptAll(backA).isEmpty)
     spark.sql("DROP TABLE avro_hive_f7")
+
+    // orc flavor: the reference configures ORC Explore/SerDe registration
+    // equally (FileSetUtil.java:151-165) — execute it, same gauntlet
+    val outO = Files.createTempDirectory("graft_hive_f7_orc").toString
+    PartitionedSink.write(df, outO,
+      SinkConfig(OrcFormat, Seq("part"), runtimeNullCheck = true))
+    spark.sql("DROP TABLE IF EXISTS orc_hive_f7")
+    spark.sql(PartitionCatalog.hiveRegistrationDdl(
+      "orc_hive_f7", outO, df.schema, Seq("part"), "orc"))
+    assert(spark.sql("SHOW PARTITIONS orc_hive_f7").count() == 0)
+    spark.sql("MSCK REPAIR TABLE orc_hive_f7")
+    val partsO = spark.sql("SHOW PARTITIONS orc_hive_f7")
+      .collect().map(_.getString(0))
+    assert(partsO.toSet == Set("part=p1", "part=p2"))
+    val backO = spark.table("orc_hive_f7").select("id", "v", "part")
+    assert(backO.exceptAll(df).isEmpty && df.exceptAll(backO).isEmpty)
+    spark.sql("DROP TABLE orc_hive_f7")
   }
 
   test("hiveRegistrationDdl emits STORED AS storage with partition columns split out") {
