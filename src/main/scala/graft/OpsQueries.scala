@@ -174,6 +174,14 @@ object OpsQueries {
         nCells = 16, nProbe = 4)
     }),
 
+    // + the standard rerank stage: 4k int8 candidates, exact float
+    // rescoring of only those survivors (broadcast-bounded id join)
+    "sim_topk_int8_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfQuantizedTopKRerank(e.filter(col("vec_id") < 10), e,
+        k = 5, kCand = 20, nCells = 16, nProbe = 4)
+    }),
+
     // ------------------------------------------------------------- text
     "text_tokens" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -506,6 +514,64 @@ object OpsQueries {
         |    row_number() OVER (PARTITION BY q_id
         |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
         |  FROM sims)
+        |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    // the rerank composition: int8-IVF candidates to kCand=20 (same CTEs
+    // as sim_topk_ivf_int8), then exact float cosines over ONLY those
+    // survivors — deterministic end-to-end, so the oracle replicates the
+    // full two-stage algorithm
+    "sim_topk_int8_rerank" ->
+      """WITH v AS (
+        |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
+        |), cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) - 1 AS cell, e
+        |  FROM v ORDER BY md5(cast(vec_id as varchar)) LIMIT 16
+        |), sc AS (
+        |  SELECT vec_id, e,
+        |    list_max(list_transform(e, x -> abs(x))) AS scale
+        |  FROM v
+        |), qz AS (
+        |  SELECT vec_id, e, scale,
+        |    CASE WHEN scale = 0.0
+        |      THEN list_transform(e, x -> CAST(0 AS DOUBLE))
+        |      ELSE list_transform(e, x -> floor((x * 127.0) / scale + 0.5))
+        |    END AS qv
+        |  FROM sc
+        |), cassign AS (
+        |  SELECT vec_id, scale, qv, cell FROM (
+        |    SELECT n.vec_id, n.scale, n.qv, c.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY -(list_inner_product(n.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+        |                 c.cell ASC) AS r
+        |    FROM qz n CROSS JOIN cent c) WHERE r = 1
+        |), qprobe AS (
+        |  SELECT vec_id AS q_id, scale AS q_scale, qv AS q_qv, cell FROM (
+        |    SELECT q.vec_id, q.scale, q.qv, c.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY -(list_inner_product(q.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+        |                 c.cell ASC) AS r
+        |    FROM qz q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE r <= 4
+        |), csims AS (
+        |  SELECT p.q_id, a.vec_id AS n_id,
+        |    ((list_dot_product(p.q_qv, a.qv) * p.q_scale) * a.scale) / 16129.0 AS sim
+        |  FROM qprobe p JOIN cassign a USING (cell)
+        |  WHERE p.q_id != a.vec_id
+        |), cand AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |                         ORDER BY round(sim, 6) DESC, n_id ASC) AS crnk
+        |    FROM csims) WHERE crnk <= 20
+        |), rsims AS (
+        |  SELECT c.q_id, c.n_id, list_cosine_similarity(vq.e, vn.e) AS sim
+        |  FROM cand c
+        |  JOIN v vq ON vq.vec_id = c.q_id
+        |  JOIN v vn ON vn.vec_id = c.n_id
+        |), ranked AS (
+        |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
+        |  FROM rsims)
         |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
 
     // mirrors Similarity.quantizeInt8: exact float->double widening, one

@@ -472,6 +472,36 @@ object Similarity {
     rankTopK(sims, k)
   }
 
+  /**
+   * [[ivfQuantizedTopK]] plus the standard quantized-ANN rerank stage:
+   * the int8 path generates `kCand` (default 4k) candidates per query,
+   * then ONLY those survivors are rescored with exact float cosines and
+   * re-ranked to the final k. This recovers the quantization's ranking
+   * error at negligible cost — the rerank joins a |Q|·kCand id list
+   * (driver-bounded, broadcast at scale) back to the corpus, so the full
+   * float vectors are touched for a few dozen rows per query instead of
+   * every candidate in the probed cells. Every stage is deterministic
+   * (integer candidate dots, rounded rerank cosines, id tiebreaks), so
+   * the composition keeps a full-algorithm DuckDB oracle.
+   */
+  def ivfQuantizedTopKRerank(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      kCand: Int = 20, nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kCand >= k, s"kCand $kCand must be >= k $k")
+    val cand = ivfQuantizedTopK(queries, corpus, kCand, nCells, nProbe,
+      idCol, vecCol).select(col("q_id"), col("n_id"))
+    val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_norm", norm(col("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"), toDouble(col(vecCol)).as("n_vec"))
+      .withColumn("n_norm", norm(col("n_vec")))
+    val sims = cand.join(q, Seq("q_id")).join(c, Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+          .as("sim"))
+    rankTopK(sims, k)
+  }
+
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val x = col(vecCol)
     val scale = array_max(transform(x, v => abs(v.cast("double"))))

@@ -233,6 +233,30 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), s"expected heap aggregate:\n$plan")
   }
 
+  test("int8 rerank: recall vs float IVF not below the int8-only path; no cartesian") {
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def meanRecall(got: Map[Long, Set[Long]], ref: Map[Long, Set[Long]]) = {
+      val rs = ref.map { case (qid, r) => got(qid).intersect(r).size.toDouble / r.size }
+      rs.sum / rs.size
+    }
+    val float = sets(Similarity.ivfTopK(q, e, k = 5, nCells = 16, nProbe = 4))
+    val int8 = sets(Similarity.ivfQuantizedTopK(q, e, k = 5, nCells = 16, nProbe = 4))
+    val rerank = sets(Similarity.ivfQuantizedTopKRerank(q, e, k = 5, kCand = 20,
+      nCells = 16, nProbe = 4))
+    // the rerank stage rescores with EXACT float cosines, so within the
+    // same probed cells it can only repair quantization ranking errors
+    assert(meanRecall(rerank, float) >= meanRecall(int8, float),
+      s"rerank ${meanRecall(rerank, float)} < int8-only ${meanRecall(int8, float)}")
+    assert(meanRecall(rerank, float) >= 0.85)
+    val plan = Similarity.ivfQuantizedTopKRerank(q, e, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"must not cross-join:\n$plan")
+  }
+
   test("heap top-k: NaN scores rank first, matching Spark's window order") {
     import spark.implicits._
     // zero-norm vector → NaN cosine; the heap must keep it exactly where
