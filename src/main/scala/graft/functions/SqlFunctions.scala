@@ -23,6 +23,8 @@ object SqlFunctions {
     "word_tokens" -> (e => WordTokens(e.head)),
     "word_ngrams" -> (e => WordNgrams(e.head, intArg(e, 1, 3))),
     "dot_product" -> (e => DotProduct(e(0), e(1))),
+    "int8_pack" -> (e => Int8Pack(e.head)),
+    "int8_dot" -> (e => Int8Dot(e(0), e(1))),
     "cosine_similarity" -> (e => CosineSimilarity(e(0), e(1))),
     "sorted_intersect_count" -> (e => SortedIntersectCount(e(0), e(1))),
     "repetition_stats" -> (e => RepetitionStats(e.head, intArg(e, 1, 2))),

@@ -448,10 +448,14 @@ object Similarity {
     // max-abs int8 codes, computed inline on the widened vector so one
     // projection yields both the cell assignment and the codes (exactly
     // quantizeInt8's arithmetic: scale = max|x|, q = ⌊x·127/scale + 0.5⌋,
-    // zero vector → all-zero codes)
+    // zero vector → all-zero codes) — then PACKED to binary, one signed
+    // byte per component: the join/shuffle carries dim bytes per vector,
+    // not dim doubles, which is where the 4× bandwidth claim becomes real
     def codes(vec: Column, scale: Column): Column =
-      when(scale === lit(0.0), transform(vec, _ => lit(0.0)))
-        .otherwise(transform(vec, v => floor(v * lit(127.0) / scale + lit(0.5))))
+      graft.functions.vectors.int8_pack(
+        when(scale === lit(0.0), transform(vec, _ => lit(0L)))
+          .otherwise(transform(vec, v =>
+            floor(v * lit(127.0) / scale + lit(0.5)).cast("long"))))
 
     val c = corpus.select(col(idCol).as("n_id"), toDouble(col(vecCol)).as("n_vec"))
       .withColumn("cell", element_at(cellRankCol(col("n_vec"), centroids), 1)("cell"))
@@ -464,10 +468,12 @@ object Similarity {
       .withColumn("q_scale", array_max(transform(col("q_vec"), v => abs(v))))
       .select(col("cell"), col("q_id"), col("q_scale"),
         codes(col("q_vec"), col("q_scale")).as("q_q"))
+    // integer byte dot, exact; dequantized by the same fixed-shape double
+    // expression the oracle replicates
     val sims = q.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        ((graft.functions.vectors.dot_product(col("q_q"), col("n_q"))
+        ((graft.functions.vectors.int8_dot(col("q_q"), col("n_q")).cast("double")
           * col("q_scale")) * col("n_scale") / lit(16129.0)).as("sim"))
     rankTopK(sims, k)
   }
@@ -501,6 +507,14 @@ object Similarity {
           .as("sim"))
     rankTopK(sims, k)
   }
+
+  /** [[quantizeInt8]] with the code vector PACKED to binary (exactly dim
+    * bytes per vector — the representation [[ivfQuantizedTopK]] ships
+    * through shuffles/broadcasts; score packed codes with
+    * `graft.functions.vectors.int8_dot`). */
+  def quantizeInt8Packed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    quantizeInt8(df, idCol, vecCol).select(col(idCol), col("scale"),
+      graft.functions.vectors.int8_pack(col("qvec")).as("code"))
 
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val x = col(vecCol)

@@ -27,6 +27,36 @@ class VectorCodegenSpec extends SparkSpec {
       .map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
   }
 
+  test("int8 pack/dot: byte layout, exact dots, codegen parity, range guard") {
+    val df = Seq(
+      (Seq(127L, -127L, 0L, 1L), Seq(127L, 127L, 5L, -2L)),
+      (Seq(-128L, 127L), Seq(127L, -128L))).toDF("a", "b")
+    def run(): Seq[Long] = df.select(
+      vectors.int8_dot(vectors.int8_pack(col("a")), vectors.int8_pack(col("b")))
+        .as("d")).collect().toSeq.map(_.getLong(0))
+    val prior = spark.conf.getOption(modeKey)
+    try {
+      spark.conf.set(modeKey, "CODEGEN_ONLY")
+      val gen = run()
+      spark.conf.set(modeKey, "NO_CODEGEN")
+      val interp = run()
+      assert(gen == interp)
+      assert(gen == Seq(127L * 127 - 127L * 127 + 0 - 2, -128L * 127 + 127L * -128))
+    } finally prior match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None => spark.conf.unset(modeKey)
+    }
+    // packed form is exactly dim bytes — the 4×-vs-float32 bandwidth cut
+    val bytes = df.select(vectors.int8_pack(col("a")).as("p"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    assert(bytes(0).length == 4 && bytes(0).toSeq == Seq[Byte](127, -127, 0, 1))
+    // out-of-int8-range values throw instead of silently clamping
+    val err = intercept[Exception] {
+      Seq(Seq(128L)).toDF("a").select(vectors.int8_pack(col("a"))).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("generated and interpreted evaluation agree bit-for-bit") {
     val prior = spark.conf.getOption(modeKey)
     try {
