@@ -174,6 +174,17 @@ object OpsQueries {
         nCells = 16, nProbe = 4)
     }),
 
+    // the persisted-index path: cells as parquet partition directories,
+    // probe pruning = directory pruning; results identical to
+    // sim_topk_ivf_int8 by construction (same centroids, same codes)
+    "sim_topk_ivf_indexed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      Similarity.writeIvfIndex(e, idx, nCells = 16)
+      Similarity.ivfQuantizedTopKIndexed(idx, e.filter(col("vec_id") < 10),
+        k = 5, nProbe = 4)
+    }),
+
     // + the standard rerank stage: 4k int8 candidates, exact float
     // rescoring of only those survivors (broadcast-bounded id join)
     "sim_topk_int8_rerank" -> ((s, dir) => {
@@ -281,6 +292,51 @@ object OpsQueries {
     "text_rolling_fingerprint" -> ((s, dir) =>
       TextAnalysis.rollingFingerprint(docs(s, dir), "doc_id", "text", k = 5)),
   )
+
+  /** Shared by `sim_topk_ivf_int8` (in-memory) and `sim_topk_ivf_indexed`
+    * (persisted index) — the two paths are row-identical by construction. */
+  private val IvfInt8Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
+      |), cent AS (
+      |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) - 1 AS cell, e
+      |  FROM v ORDER BY md5(cast(vec_id as varchar)) LIMIT 16
+      |), sc AS (
+      |  SELECT vec_id, e,
+      |    list_max(list_transform(e, x -> abs(x))) AS scale
+      |  FROM v
+      |), qz AS (
+      |  SELECT vec_id, e, scale,
+      |    CASE WHEN scale = 0.0
+      |      THEN list_transform(e, x -> CAST(0 AS DOUBLE))
+      |      ELSE list_transform(e, x -> floor((x * 127.0) / scale + 0.5))
+      |    END AS qv
+      |  FROM sc
+      |), cassign AS (
+      |  SELECT vec_id, scale, qv, cell FROM (
+      |    SELECT n.vec_id, n.scale, n.qv, c.cell,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY -(list_inner_product(n.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+      |                 c.cell ASC) AS r
+      |    FROM qz n CROSS JOIN cent c) WHERE r = 1
+      |), qprobe AS (
+      |  SELECT vec_id AS q_id, scale AS q_scale, qv AS q_qv, cell FROM (
+      |    SELECT q.vec_id, q.scale, q.qv, c.cell,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY -(list_inner_product(q.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+      |                 c.cell ASC) AS r
+      |    FROM qz q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE r <= 4
+      |), sims AS (
+      |  SELECT p.q_id, a.vec_id AS n_id,
+      |    ((list_dot_product(p.q_qv, a.qv) * p.q_scale) * a.scale) / 16129.0 AS sim
+      |  FROM qprobe p JOIN cassign a USING (cell)
+      |  WHERE p.q_id != a.vec_id
+      |), ranked AS (
+      |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
+      |    row_number() OVER (PARTITION BY q_id
+      |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
+      |  FROM sims)
+      |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -469,52 +525,15 @@ object OpsQueries {
         |  FROM sims)
         |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
 
+    // the persisted-index path returns EXACTLY the in-memory composition's
+    // rows (same deterministic centroids, same codes) — same oracle
+    "sim_topk_ivf_indexed" -> IvfInt8Sql,
+
     // the quantized-IVF composition: same md5-ordered centroids and argmin
     // cell assignment as sim_topk_ivf, same exact integer-dot scoring as
     // sim_topk_int8 — every stage deterministic, so the full approximate
     // path hash-verifies
-    "sim_topk_ivf_int8" ->
-      """WITH v AS (
-        |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
-        |), cent AS (
-        |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) - 1 AS cell, e
-        |  FROM v ORDER BY md5(cast(vec_id as varchar)) LIMIT 16
-        |), sc AS (
-        |  SELECT vec_id, e,
-        |    list_max(list_transform(e, x -> abs(x))) AS scale
-        |  FROM v
-        |), qz AS (
-        |  SELECT vec_id, e, scale,
-        |    CASE WHEN scale = 0.0
-        |      THEN list_transform(e, x -> CAST(0 AS DOUBLE))
-        |      ELSE list_transform(e, x -> floor((x * 127.0) / scale + 0.5))
-        |    END AS qv
-        |  FROM sc
-        |), cassign AS (
-        |  SELECT vec_id, scale, qv, cell FROM (
-        |    SELECT n.vec_id, n.scale, n.qv, c.cell,
-        |      row_number() OVER (PARTITION BY n.vec_id
-        |        ORDER BY -(list_inner_product(n.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
-        |                 c.cell ASC) AS r
-        |    FROM qz n CROSS JOIN cent c) WHERE r = 1
-        |), qprobe AS (
-        |  SELECT vec_id AS q_id, scale AS q_scale, qv AS q_qv, cell FROM (
-        |    SELECT q.vec_id, q.scale, q.qv, c.cell,
-        |      row_number() OVER (PARTITION BY q.vec_id
-        |        ORDER BY -(list_inner_product(q.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
-        |                 c.cell ASC) AS r
-        |    FROM qz q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE r <= 4
-        |), sims AS (
-        |  SELECT p.q_id, a.vec_id AS n_id,
-        |    ((list_dot_product(p.q_qv, a.qv) * p.q_scale) * a.scale) / 16129.0 AS sim
-        |  FROM qprobe p JOIN cassign a USING (cell)
-        |  WHERE p.q_id != a.vec_id
-        |), ranked AS (
-        |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
-        |    row_number() OVER (PARTITION BY q_id
-        |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
-        |  FROM sims)
-        |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    "sim_topk_ivf_int8" -> IvfInt8Sql,
 
     // the rerank composition: int8-IVF candidates to kCand=20 (same CTEs
     // as sim_topk_ivf_int8), then exact float cosines over ONLY those

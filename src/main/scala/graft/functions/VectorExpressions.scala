@@ -156,6 +156,11 @@ object VectorKernels {
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
+      // explicit null check: a blind getLong would NPE on GenericArrayData
+      // or read garbage on UnsafeArrayData (cf. the zorder_k kernel)
+      if (xs.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"int8_pack: null element at index $i — codes must be non-null")
       val v = xs.getLong(i)
       if (v < -128L || v > 127L)
         throw new IllegalArgumentException(

@@ -508,6 +508,82 @@ object Similarity {
     rankTopK(sims, k)
   }
 
+  /**
+   * Persist an IVF index: the production shape for repeated retrieval
+   * over a fixed corpus. Cells become PARQUET PARTITION DIRECTORIES
+   * (`cells/cell=<i>/`), each row carrying the packed int8 code, its
+   * scale, and the original float vector (for rerank); the deterministic
+   * centroids go to a tiny `centroids/` sidecar. The index build — the
+   * only pass that touches every vector — is amortized across all later
+   * query batches, and a query batch's probed cells turn into a
+   * DIRECTORY-PRUNED scan (`cell IN (...)` is a partition filter, so
+   * unprobed cells are never read from storage at all — cheaper than any
+   * post-scan filter, and exactly how a 100 TB corpus avoids touching
+   * (nCells - nProbe)/nCells of its bytes).
+   */
+  def writeIvfIndex(
+      corpus: DataFrame, path: String, nCells: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(corpus, nCells, refineIters = 0,
+      sampleSize = nCells, idCol = idCol, vecCol = vecCol)
+    centroids.map { case (i, c) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "coefs").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val packed = when(col("__scale") === lit(0.0),
+      graft.functions.vectors.int8_pack(transform(col("__v"), _ => lit(0L))))
+      .otherwise(graft.functions.vectors.int8_pack(transform(col("__v"), x =>
+        floor(x * lit(127.0) / col("__scale") + lit(0.5)).cast("long"))))
+    corpus.select(col(idCol), col(vecCol))
+      .withColumn("__v", toDouble(col(vecCol)))
+      .withColumn("cell", element_at(cellRankCol(col("__v"), centroids), 1)("cell"))
+      .withColumn("__scale", array_max(transform(col("__v"), v => abs(v))))
+      .select(col(idCol), col(vecCol), col("cell"),
+        col("__scale").as("scale"), packed.as("code"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /**
+   * Quantized retrieval over a [[writeIvfIndex]] tree. The query batch's
+   * probed-cell union (≤ nCells values — driver-bounded by construction)
+   * becomes an `isin` literal on the partition column, so the scan is
+   * directory-pruned before any row is read; scoring and ranking are
+   * identical to [[ivfQuantizedTopK]] (same centroids, same codes — the
+   * two paths return the same rows, which the equivalence test and the
+   * shared oracle pin).
+   */
+  def ivfQuantizedTopKIndexed(
+      indexPath: String, queries: DataFrame, k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids: Array[(Int, Array[Double])] =
+      spark.read.parquet(s"$indexPath/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("cell", explode(transform(
+        slice(cellRankCol(col("q_vec"), centroids), 1, nProbe), s => s("cell"))))
+      .withColumn("q_scale", array_max(transform(col("q_vec"), v => abs(v))))
+      .withColumn("q_q", when(col("q_scale") === lit(0.0),
+        graft.functions.vectors.int8_pack(transform(col("q_vec"), _ => lit(0L))))
+        .otherwise(graft.functions.vectors.int8_pack(transform(col("q_vec"), x =>
+          floor(x * lit(127.0) / col("q_scale") + lit(0.5)).cast("long")))))
+      .select(col("cell"), col("q_id"), col("q_scale"), col("q_q"))
+    // the batch's probe-cell union: bounded by nCells, so the collect is a
+    // handful of ints — it exists precisely to become a partition filter
+    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val c = spark.read.parquet(s"$indexPath/cells")
+      .filter(col("cell").isin(probedCells.map(_.asInstanceOf[Any]): _*))
+      .select(col("cell"), col(idCol).as("n_id"),
+        col("scale").as("n_scale"), col("code").as("n_q"))
+    val sims = q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        ((graft.functions.vectors.int8_dot(col("q_q"), col("n_q")).cast("double")
+          * col("q_scale")) * col("n_scale") / lit(16129.0)).as("sim"))
+    rankTopK(sims, k)
+  }
+
   /** [[quantizeInt8]] with the code vector PACKED to binary (exactly dim
     * bytes per vector — the representation [[ivfQuantizedTopK]] ships
     * through shuffles/broadcasts; score packed codes with

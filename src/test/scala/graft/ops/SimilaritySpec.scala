@@ -257,6 +257,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"must not cross-join:\n$plan")
   }
 
+  test("persisted IVF index: row-identical to in-memory path; probe prunes partitions") {
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx_spec").toString
+    Similarity.writeIvfIndex(e, idx, nCells = 8)
+    val indexed = Similarity.ivfQuantizedTopKIndexed(idx, q, k = 5, nProbe = 2)
+    val inMem = Similarity.ivfQuantizedTopK(q, e, k = 5, nCells = 8, nProbe = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id", "sim_r", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(indexed) == rows(inMem),
+      "index path must reproduce the in-memory composition exactly")
+    // the probed-cell filter must reach the scan as a PARTITION filter —
+    // unprobed cell directories are never read, which is the whole point
+    // of laying the index out as cell=<i>/ partitions
+    val scan = indexed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"expected a partition-pruned cells scan:\n$scan")
+    // directory layout really is one dir per cell
+    val cellDirs = new java.io.File(s"$idx/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.matches("cell=\\d+")))
+  }
+
   test("heap top-k: NaN scores rank first, matching Spark's window order") {
     import spark.implicits._
     // zero-norm vector → NaN cosine; the heap must keep it exactly where
