@@ -531,6 +531,37 @@ object Similarity {
     centroids.map { case (i, c) => (i, c.toSeq) }.toSeq
       .toDF("cell", "coefs").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
+    indexRows(corpus, centroids, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /**
+   * Append a batch to an existing [[writeIvfIndex]] tree WITHOUT
+   * rebuilding: new vectors are assigned with the index's STORED
+   * centroids (the sidecar is the source of truth — cell geometry must
+   * stay fixed or every existing row would need reassignment) and their
+   * rows land as new files inside the matching `cell=<i>/` directories.
+   * The streaming-corpus posture at scale: daily batches append in one
+   * bounded pass each, queries keep pruning by the same directories, and
+   * a periodic full [[writeIvfIndex]] rebuild re-balances cells when
+   * drift warrants it (the small-file story is the sink's `compact`).
+   */
+  def appendToIvfIndex(
+      batch: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = batch.sparkSession
+    val centroids: Array[(Int, Array[Double])] =
+      spark.read.parquet(s"$path/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    indexRows(batch, centroids, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Shared index-row projection: cell assignment + scale + packed code
+    * (one pass over the batch; exactly [[quantizeInt8]]'s arithmetic). */
+  private def indexRows(
+      corpus: DataFrame, centroids: Array[(Int, Array[Double])],
+      idCol: String, vecCol: String): DataFrame = {
     val packed = when(col("__scale") === lit(0.0),
       graft.functions.vectors.int8_pack(transform(col("__v"), _ => lit(0L))))
       .otherwise(graft.functions.vectors.int8_pack(transform(col("__v"), x =>
@@ -541,7 +572,6 @@ object Similarity {
       .withColumn("__scale", array_max(transform(col("__v"), v => abs(v))))
       .select(col(idCol), col(vecCol), col("cell"),
         col("__scale").as("scale"), packed.as("code"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
   /**

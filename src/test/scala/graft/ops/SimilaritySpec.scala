@@ -279,6 +279,22 @@ class SimilaritySpec extends SparkSpec {
     val cellDirs = new java.io.File(s"$idx/cells").listFiles()
       .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
     assert(cellDirs.nonEmpty && cellDirs.forall(_.matches("cell=\\d+")))
+
+    // incremental append: exact twins of the queries land in the queries'
+    // own cells (stored-centroid assignment) and become every query's new
+    // rank-1 neighbor; centroid sidecar is untouched
+    val centsBefore = spark.read.parquet(s"$idx/centroids")
+      .orderBy("cell").collect().map(_.toString).toSeq
+    val twins = q.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfIndex(twins, idx)
+    val centsAfter = spark.read.parquet(s"$idx/centroids")
+      .orderBy("cell").collect().map(_.toString).toSeq
+    assert(centsAfter == centsBefore, "append must not move centroids")
+    val top1 = Similarity.ivfQuantizedTopKIndexed(idx, q, k = 1, nProbe = 2)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_id")).toMap
+    (0L until 10L).foreach { qid =>
+      assert(top1.get(qid).contains(qid + 10000), s"query $qid got ${top1.get(qid)}")
+    }
   }
 
   test("heap top-k: NaN scores rank first, matching Spark's window order") {
