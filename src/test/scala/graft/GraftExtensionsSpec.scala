@@ -41,6 +41,11 @@ class GraftExtensionsSpec extends SparkSpec {
       // 3=0b11 even positions, 5=0b101 odd positions: 100|01|11 = 0x27
       assert(r.getLong(7) == graft.functions.ZOrder.zorder2Local(3L, 5L))
       assert(r.getLong(7) == 0x27L)
+      // packed int8 kernels are on the SQL surface too
+      val i8 = s2.sql(
+        """SELECT int8_dot(int8_pack(array(127L, -127L)),
+          |                int8_pack(array(2L, 3L))) AS d""".stripMargin).head()
+      assert(i8.getLong(0) == 127L * 2 - 127L * 3)
       // the bounded-heap top-k aggregate works from SQL GROUP BY
       val tk = s2.sql(
         """SELECT g, top_k_by_score(s, id, 2) AS top FROM VALUES
