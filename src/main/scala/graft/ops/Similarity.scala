@@ -583,14 +583,21 @@ object Similarity {
    * two paths return the same rows, which the equivalence test and the
    * shared oracle pin).
    */
+  /** @param kCand when > k, the int8 stage keeps `kCand` candidates per
+    *   query and ONLY those are rescored with exact float cosines against
+    *   the vectors STORED IN THE INDEX (still just the pruned cell
+    *   directories — no second corpus pass), mirroring
+    *   [[ivfQuantizedTopKRerank]]. 0 (default) = no rerank. */
   def ivfQuantizedTopKIndexed(
       indexPath: String, queries: DataFrame, k: Int, nProbe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      kCand: Int = 0): DataFrame = {
     val spark = queries.sparkSession
     val centroids: Array[(Int, Array[Double])] =
       spark.read.parquet(s"$indexPath/centroids").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-    val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
+    val q0 = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
+    val q = q0
       .withColumn("cell", explode(transform(
         slice(cellRankCol(col("q_vec"), centroids), 1, nProbe), s => s("cell"))))
       .withColumn("q_scale", array_max(transform(col("q_vec"), v => abs(v))))
@@ -602,16 +609,27 @@ object Similarity {
     // the batch's probe-cell union: bounded by nCells, so the collect is a
     // handful of ints — it exists precisely to become a partition filter
     val probedCells = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
-    val c = spark.read.parquet(s"$indexPath/cells")
+    val cells = spark.read.parquet(s"$indexPath/cells")
       .filter(col("cell").isin(probedCells.map(_.asInstanceOf[Any]): _*))
-      .select(col("cell"), col(idCol).as("n_id"),
-        col("scale").as("n_scale"), col("code").as("n_q"))
+    val c = cells.select(col("cell"), col(idCol).as("n_id"),
+      col("scale").as("n_scale"), col("code").as("n_q"))
     val sims = q.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         ((graft.functions.vectors.int8_dot(col("q_q"), col("n_q")).cast("double")
           * col("q_scale")) * col("n_scale") / lit(16129.0)).as("sim"))
-    rankTopK(sims, k)
+    if (kCand <= k) rankTopK(sims, k)
+    else {
+      val cand = rankTopK(sims, kCand).select(col("q_id"), col("n_id"))
+      val qv = q0.withColumn("q_norm", norm(col("q_vec")))
+      val nv = cells.select(col(idCol).as("n_id"), toDouble(col(vecCol)).as("n_vec"))
+        .withColumn("n_norm", norm(col("n_vec")))
+      val exact = cand.join(qv, Seq("q_id")).join(nv, Seq("n_id"))
+        .select(col("q_id"), col("n_id"),
+          (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+            .as("sim"))
+      rankTopK(exact, k)
+    }
   }
 
   /** [[quantizeInt8]] with the code vector PACKED to binary (exactly dim

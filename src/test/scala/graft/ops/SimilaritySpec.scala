@@ -295,6 +295,18 @@ class SimilaritySpec extends SparkSpec {
     (0L until 10L).foreach { qid =>
       assert(top1.get(qid).contains(qid + 10000), s"query $qid got ${top1.get(qid)}")
     }
+
+    // indexed rerank == in-memory rerank on the pre-append corpus shape:
+    // same centroids, same candidates, same exact rescoring (build a fresh
+    // index because the appended twins above changed this one)
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_ivf_idx_spec2").toString
+    Similarity.writeIvfIndex(e, idx2, nCells = 16)
+    val idxRerank = rows(Similarity.ivfQuantizedTopKIndexed(idx2, q, k = 5,
+      nProbe = 4, kCand = 20))
+    val memRerank = rows(Similarity.ivfQuantizedTopKRerank(q, e, k = 5,
+      kCand = 20, nCells = 16, nProbe = 4))
+    assert(idxRerank == memRerank,
+      "indexed rerank must reproduce the in-memory rerank exactly")
   }
 
   test("heap top-k: NaN scores rank first, matching Spark's window order") {
