@@ -557,6 +557,27 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /**
+   * Continuous index maintenance: every micro-batch of an embedding
+   * stream appends into an existing [[writeIvfIndex]] tree through
+   * [[appendToIvfIndex]] (stored-centroid assignment, bounded one-pass
+   * batch work — the same stateless-foreachBatch posture as the
+   * incremental-dedup stream: no streaming state store, the INDEX is the
+   * state). Queries against the index see each batch as soon as its
+   * files land; cell geometry never moves, so concurrent readers keep
+   * pruning by the same directories.
+   */
+  def appendStreamToIvfIndex(
+      stream: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendToIvfIndex(batch.toDF(), path, idCol, vecCol): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Shared index-row projection: cell assignment + scale + packed code
     * (one pass over the batch; exactly [[quantizeInt8]]'s arithmetic). */
   private def indexRows(

@@ -309,6 +309,30 @@ class SimilaritySpec extends SparkSpec {
       "indexed rerank must reproduce the in-memory rerank exactly")
   }
 
+  test("streaming index append: micro-batched twins land in the index and rank first") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx_stream").toString
+    Similarity.writeIvfIndex(e, idx, nCells = 8)
+    // stream two micro-batches of exact twins of the queries
+    val twins = q.collect().map(r =>
+      (r.getLong(0) + 10000, r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = input.toDF().toDF("vec_id", "embedding")
+    input.addData(twins.take(5).toSeq)
+    input.addData(twins.drop(5).toSeq)
+    val sq = Similarity.appendStreamToIvfIndex(stream, idx)
+    sq.awaitTermination(60000)
+    val top1 = Similarity.ivfQuantizedTopKIndexed(idx, q, k = 1, nProbe = 2)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_id")).toMap
+    (0L until 10L).foreach { qid =>
+      assert(top1.get(qid).contains(qid + 10000), s"query $qid got ${top1.get(qid)}")
+    }
+  }
+
   test("heap top-k: NaN scores rank first, matching Spark's window order") {
     import spark.implicits._
     // zero-norm vector → NaN cosine; the heap must keep it exactly where
