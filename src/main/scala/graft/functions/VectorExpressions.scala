@@ -23,8 +23,12 @@ import org.apache.spark.sql.types._
  * joins, the hottest per-row site in the library.
  */
 case class DotProduct(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
+  // analyzer-inserted casts: SQL callers with float/int arrays get a
+  // plan-time cast instead of an executor ClassCastException
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
@@ -42,8 +46,10 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Cosine similarity in one pass: dot, |a|², |b|² accumulated together. */
 case class CosineSimilarity(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
 
@@ -64,8 +70,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * Inputs MUST be sorted and distinct (e.g. via `sort_array(array_distinct)`);
   * the count equals `size(array_intersect(a, b))` on such inputs. */
 case class SortedIntersectCount(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
 
@@ -118,7 +126,9 @@ case class MathLn(child: Expression)
  * not data to clamp silently.
  */
 case class Int8Pack(child: Expression)
-  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = BinaryType
   override def prettyName: String = "int8_pack"
   override def nullSafeEval(input: Any): Any =
@@ -133,7 +143,9 @@ case class Int8Pack(child: Expression)
   * (≤64-dim int8 dots are far inside long range), one byte-array loop per
   * candidate pair with no boxing or array header traffic. */
 case class Int8Dot(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, BinaryType)
   override def dataType: DataType = LongType
   override def prettyName: String = "int8_dot"
   override def nullSafeEval(a: Any, b: Any): Any =

@@ -134,7 +134,9 @@ object ZOrder {
   * [[ZOrder.zorderK]]. Real `doGenCode` (static-kernel call): this sits
   * in the projection feeding a layout exchange, once per row of the
   * whole table being laid out. */
-case class ZOrderKExpr(child: Expression) extends UnaryExpression {
+case class ZOrderKExpr(child: Expression) extends UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  override def inputTypes = Seq(org.apache.spark.sql.types.ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "zorder_k"
   override def nullSafeEval(input: Any): Any =
