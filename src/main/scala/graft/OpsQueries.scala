@@ -287,6 +287,13 @@ object OpsQueries {
     "text_bpe_merge" -> ((s, dir) =>
       graft.ops.TextAnalysis.bpeMergeRound(docs(s, dir), "text", k = 20)),
 
+    // full tokenizer induction: 4 real merge rounds, each one distributed
+    // count pass with all prior merges applied (no_oracle — the greedy
+    // priority-order apply is not portable SQL; exact-equality contract
+    // vs a driver-side reference trainer in TextAnalysisSpec)
+    "text_bpe_train" -> ((s, dir) =>
+      graft.ops.TextAnalysis.bpeTrain(docs(s, dir), "text", nMerges = 4)),
+
     // Unigram-LM cross-entropy (KenLM-perplexity proxy): corpus unigram
     // table → bounded top-1000 vocab literal → zero-shuffle scoring pass
     "text_perplexity" -> ((s, dir) =>

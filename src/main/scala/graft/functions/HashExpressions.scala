@@ -236,6 +236,70 @@ case class BpeRound2Pairs(child: Expression, pair: String)
 }
 
 /**
+ * Adjacent symbol pairs of ONE WORD after applying an ORDERED merge list
+ * — the general-k sibling of [[BpeRound2Pairs]] powering full BPE
+ * tokenizer induction (`TextAnalysis.bpeTrain`). Each merge `"a b"`
+ * rewrites the current symbol sequence greedily left-to-right (adjacent
+ * (a, b) → `ab`), in PRIORITY ORDER — the standard BPE apply, handling
+ * multi-character symbols from earlier merges. The sequential greedy fold
+ * is not expressible as portable set-oriented SQL, so this surface is
+ * pinned by an exact-equality contract against a driver-side reference
+ * implementation instead of a DuckDB oracle (see `TextAnalysisSpec`).
+ * Emits `"s1 s2"` per adjacent pair of the final sequence.
+ */
+case class BpePairsWithMerges(child: Expression, merges: Seq[String])
+  extends UnaryExpression with CodegenFallback {
+
+  merges.foreach(m => require(m.indexOf(' ') > 0,
+    s"merge '$m' must be 'left right' (space-separated symbols)"))
+
+  private val parsed: Array[(String, String)] = merges.map { m =>
+    val i = m.indexOf(' ')
+    (m.substring(0, i), m.substring(i + 1))
+  }.toArray
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_pairs_with_merges"
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = input.toString.codePoints.toArray
+    var syms = new scala.collection.mutable.ArrayBuffer[String](cps.length)
+    var i = 0
+    while (i < cps.length) {
+      syms += new String(Character.toChars(cps(i))); i += 1
+    }
+    var m = 0
+    while (m < parsed.length) {
+      val (a, b) = parsed(m)
+      if (syms.length >= 2) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            out += a + b; j += 2
+          } else {
+            out += syms(j); j += 1
+          }
+        }
+        syms = out
+      }
+      m += 1
+    }
+    if (syms.length < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](syms.length - 1)
+    var j = 0
+    while (j < syms.length - 1) {
+      out(j) = UTF8String.fromString(syms(j) + " " + syms(j + 1))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Normalized whitespace tokens of a text column — native one-pass twin of
  * `split(Dedup.normalize(c), " ")` (regex lower/trim/collapse + regex split
  * costs interpreted-regex time on every document; this is a single scan).
@@ -472,6 +536,9 @@ object hashes {
 
   def bpe_round2_pairs(c: Column, pair: String): Column =
     Bridge.column(BpeRound2Pairs(Bridge.expression(c), pair))
+
+  def bpe_pairs_with_merges(c: Column, merges: Seq[String]): Column =
+    Bridge.column(BpePairsWithMerges(Bridge.expression(c), merges))
 
   /** Expose the native expressions to SQL on an EXISTING session (temp
     * functions): `SELECT minhash_signature(text), simhash64(text) ...`.

@@ -395,6 +395,44 @@ object TextAnalysis {
   }
 
   /**
+   * Full BPE tokenizer induction: `nMerges` REAL merge rounds — the
+   * general-k extension of [[bpeMergeRound]]. Each round counts adjacent
+   * symbol pairs over the corpus with ALL previous merges applied (native
+   * [[graft.functions.BpePairsWithMerges]] pass, standard greedy
+   * priority-order apply with multi-character symbols) and adopts the most
+   * frequent pair (count desc, pair asc tiebreak — deterministic). The
+   * driver holds only the merge table (nMerges strings — the same bounded
+   * global-context pattern as IVF centroids and top-K vocab); each round
+   * is one fully-distributed count job, so corpus size only scales the
+   * per-round pass, never driver state. Returns (merge_rank, pair, n).
+   *
+   * The greedy sequential apply is not SQL-expressible, so this operator
+   * is contract-verified by exact equality against a driver-side
+   * reference trainer in `TextAnalysisSpec` rather than a DuckDB oracle.
+   */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(graft.functions.hashes.word_tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) >= 2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (merges.length < nMerges) {
+      val top = words
+        .select(explode(graft.functions.hashes.bpe_pairs_with_merges(
+          col("w"), merges.map(_._1).toSeq)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc).limit(1)
+        .head()
+      merges += ((top.getString(0), top.getLong(1)))
+    }
+    merges.zipWithIndex
+      .map { case ((p, n), i) => (i + 1, p, n) }.toSeq
+      .toDF("merge_rank", "pair", "n")
+  }
+
+  /**
    * Hybrid retrieval: BM25 keyword ranking fused with embedding cosine
    * ranking via Reciprocal Rank Fusion — score(d) = Σ 1/(rrfK + rank_i(d))
    * over the two top-`kEach` lists. RRF is the standard fusion for

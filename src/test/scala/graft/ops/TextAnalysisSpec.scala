@@ -138,6 +138,63 @@ class TextAnalysisSpec extends SparkSpec {
     assert(res == Map("ab a" -> 3L, "ab ab" -> 3L, "b a" -> 3L))
   }
 
+  test("bpe train: exact equality with a driver-side reference over the real corpus") {
+    // the greedy priority-order apply is not SQL-expressible, so the
+    // contract is EXACT EQUALITY of the full merge table against an
+    // independent reference implementation run on the same tokenization
+    def refTrain(words: Seq[String], n: Int): Seq[(String, Long)] = {
+      var merges = Vector.empty[(String, String)]
+      def applySyms(w: String): Vector[String] = {
+        var syms = w.codePoints.toArray
+          .map(cp => new String(Character.toChars(cp))).toVector
+        merges.foreach { case (a, b) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+              out += a + b; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          syms = out.result()
+        }
+        syms
+      }
+      (1 to n).map { _ =>
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        words.foreach { w =>
+          val syms = applySyms(w)
+          var j = 0
+          while (j < syms.length - 1) {
+            val p = syms(j) + " " + syms(j + 1)
+            counts(p) = counts.getOrElse(p, 0L) + 1L
+            j += 1
+          }
+        }
+        val (pair, cnt) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+        val i = pair.indexOf(' ')
+        merges :+= ((pair.substring(0, i), pair.substring(i + 1)))
+        (pair, cnt)
+      }
+    }
+    val docs = graft.Tables(spark, sf0001, "documents")
+    // the SAME tokenization the trainer uses
+    val words = docs
+      .select(explode(graft.functions.hashes.word_tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2).collect().map(_.getString(0)).toSeq
+    val expected = refTrain(words, 6)
+    val got = TextAnalysis.bpeTrain(docs, "text", nMerges = 6)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected, s"merge tables differ:\n got=$got\n exp=$expected")
+    // multi-character symbols: later merges can combine earlier ones
+    val tiny = Seq((1L, "abab abab abab")).toDF("doc_id", "text")
+    val tinyMerges = TextAnalysis.bpeTrain(tiny, "text", nMerges = 2)
+      .orderBy("merge_rank").collect().map(_.getString(1)).toSeq
+    // "abab": round 1 pairs {a b:2, b a:1} → "a b"; round 2 symbols
+    // [ab, ab] → pair "ab ab"
+    assert(tinyMerges == Seq("a b", "ab ab"))
+  }
+
   test("content fingerprint is whitespace/case insensitive") {
     val df = Seq(
       (1L, "Hello   World"), (2L, "  hello world "), (3L, "hello worlds"))
