@@ -48,6 +48,7 @@ object Bench {
     val medians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val warms = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val iterTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     selected.foreach { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var it = 0
@@ -59,20 +60,32 @@ object Bench {
               .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
         }
         times += (System.nanoTime() - t0) / 1e9
+        // Untimed per-ITERATION hygiene (tightened from per-query in
+        // round 8). clearCache() only clears the SQL cache; RDD-level
+        // persists and localCheckpoint blocks (clustering sweeps,
+        // packed-sequence materialization, checkpointed results) are
+        // invisible to it and previously survived until the query's LAST
+        // iteration — so iteration-level leftovers could compound WITHIN
+        // a query and land in its median (the round-7 text_collocations
+        // monotone-growth signature: driver iters ≈ [1.8, 7.3, 15.3] s at
+        // suite position ~90, clean-JVM healthy). Unpersist + GC-hint
+        // after EVERY iteration, outside the timed region: each iteration
+        // now starts from the same storage/heap state, and `iter_times`
+        // in bench_full.json makes any residual growth diagnosable from
+        // the record alone. (Also the round-4 q15/q16 additive-floor fix:
+        // memory pressure from 97×3 runs no longer accumulates.)
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        System.gc()
         it += 1
       }
-      // Untimed inter-query hygiene. clearCache() only clears the SQL cache;
-      // RDD-level persists and localCheckpoint blocks (used by the iterative
-      // operators — clustering sweeps, packed-sequence materialization) are
-      // invisible to it and accumulate across the 83×3 runs, building memory
-      // pressure that shows up as a ~0.1-0.6 s additive floor on otherwise
-      // trivial queries (round-4 q15/q16). Unpersist anything left behind and
-      // hint a GC so the ContextCleaner reclaims unreferenced checkpoint
-      // blocks. This sits OUTSIDE the timed region, so it costs wall-clock
-      // but not reported medians.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      System.gc()
+      // Raw per-iteration times, in run order. Monotone growth across
+      // iterations (the round-7 text_collocations signature) is invisible
+      // in a median+spread summary — a [1.8, 7.3, 15.3] accumulation and a
+      // [15.3, 7.3, 1.8] warmup report identical medians and spreads — so
+      // the record keeps the ordered raw times and makes in-suite
+      // accumulation first-class diagnosable from bench_full.json alone.
+      iterTimes(name) = times.toSeq
       val sorted = times.sorted
       medians(name) = sorted(sorted.size / 2)
       spreads(name) = sorted.last - sorted.head
@@ -123,7 +136,10 @@ object Bench {
     // complete medians + spreads, one JSON object, written into the repo.
     val fullErrs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${medians.size},"n_failed":${errors.size},"iters":$iters,"warmup_sec":${fmt(warmup)},"errors":$fullErrs,"queries":${jmap(medians)},"spread":${jmap(spreads)},"warm":${jmap(warms)},"sf":"$sfDir"}"""
+    val itersJson = iterTimes.toSeq.sortBy(_._1).map { case (k, ts) =>
+      s"\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val fullJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${medians.size},"n_failed":${errors.size},"iters":$iters,"warmup_sec":${fmt(warmup)},"errors":$fullErrs,"queries":${jmap(medians)},"spread":${jmap(spreads)},"warm":${jmap(warms)},"iter_times":$itersJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(fullPath, (fullJson + "\n").getBytes("UTF-8"))
     } catch {

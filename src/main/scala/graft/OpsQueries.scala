@@ -20,9 +20,38 @@ object OpsQueries {
     Tables(s, dir, "embeddings")
 
   /** One persisted IVF index per corpus dir per JVM (see
-    * `sim_topk_ivf_indexed` — build amortization is the semantics). */
+    * `sim_topk_ivf_indexed` — build amortization is the semantics). The
+    * shutdown hook reclaims the temp trees: without it every bench/verify
+    * JVM would leak a full on-disk index copy of the corpus into /tmp. */
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    ivfIndexCache.values.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }))
+
+  /** Fixed absolute path for `dedup_keep_best`'s exported cluster
+    * assignment — the DuckDB oracle reads it back with `read_parquet`,
+    * so the path must be a literal both sides agree on (the oracle SQL
+    * is a static string, pinned to the driver's sf0.01 oracle scale).
+    * Keyed by the corpus dir's basename so a bench run at another SF
+    * cannot clobber the sf0.01 side input between the driver's Verify
+    * and its DuckDB compare. Tiny (≤1000 rows), overwritten per run. */
+  private def keepBestSideDir(dir: String): String =
+    s"/tmp/graft_keep_best_clusters/${new java.io.File(dir).getName}"
+
+  /** Build-once accessor for the persisted IVF index over a corpus dir
+    * (shared by the three `sim_*_indexed*`/`sim_index_health` queries). */
+  private def cachedIndex(s: SparkSession, dir: String): String =
+    ivfIndexCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      Similarity.writeIvfIndex(emb(s, dir), p, nCells = 16)
+      p
+    })
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------------------- dedup
@@ -98,11 +127,20 @@ object OpsQueries {
 
     // quality-weighted survivorship: per minhash cluster keep the
     // highest-quality member (id-capped like the other quadratic-bounded
-    // exact baselines; the cap covers every row at the sf0.01 oracle scale)
+    // exact baselines; the cap covers every row at the sf0.01 oracle scale).
+    // The xxhash64 minhash CLUSTERING has no SQL twin, but the survivorship
+    // POLICY over a fixed assignment is pure SQL — so the Spark-computed
+    // assignment is exported to KeepBestSideDir and the oracle re-applies
+    // the policy (max score, min-id tie) to exactly those clusters,
+    // hash-verifying the policy end-to-end. keepBest consumes the
+    // READ-BACK side input, so the oracle sees byte-identical clusters.
     "dedup_keep_best" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("doc_id") < 1000)
+      val side = keepBestSideDir(dir)
+      Dedup.minhashDedup(d, "doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(side)
       Dedup.keepBest(
-        Dedup.minhashDedup(d, "doc_id", "text"),
+        s.read.parquet(side),
         graft.ops.TextAnalysis.qualityScore(d, "doc_id", "text")
           .select("doc_id", "quality_score"),
         "doc_id", "cluster_id", "quality_score")
@@ -188,15 +226,24 @@ object OpsQueries {
     // query-only cost (iteration 1 carries the build, like a first
     // deployment would)
     "sim_topk_ivf_indexed" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val idx = ivfIndexCache.computeIfAbsent(dir, _ => {
-        val p = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
-        Similarity.writeIvfIndex(e, p, nCells = 16)
-        p
-      })
-      Similarity.ivfQuantizedTopKIndexed(idx, e.filter(col("vec_id") < 10),
-        k = 5, nProbe = 4)
+      Similarity.ivfQuantizedTopKIndexed(cachedIndex(s, dir),
+        emb(s, dir).filter(col("vec_id") < 10), k = 5, nProbe = 4)
     }),
+
+    // the indexed path's rerank flavor: int8 candidates to kCand=20 from
+    // the SAME pruned cell directories, exact float rescoring against the
+    // vectors STORED IN THE INDEX — no second corpus pass, the rerank
+    // read is still partition-pruned to the probed cells
+    "sim_topk_ivf_indexed_rerank" -> ((s, dir) => {
+      Similarity.ivfQuantizedTopKIndexed(cachedIndex(s, dir),
+        emb(s, dir).filter(col("vec_id") < 10), k = 5, nProbe = 4, kCand = 20)
+    }),
+
+    // index health surface: per-cell occupancy + the global skew verdict
+    // driving the documented rebuild threshold (one footer-count agg over
+    // the partition column — no vector bytes read)
+    "sim_index_health" -> ((s, dir) =>
+      Similarity.ivfIndexHealth(s, cachedIndex(s, dir))),
 
     // + the standard rerank stage: 4k int8 candidates, exact float
     // rescoring of only those survivors (broadcast-bounded id join)
@@ -358,7 +405,7 @@ object OpsQueries {
       |  FROM sims)
       |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesHead: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
@@ -447,6 +494,40 @@ object OpsQueries {
         |WHERE n.doc_id > cut.c AND NOT EXISTS (
         |  SELECT 1 FROM documents h
         |  WHERE h.doc_id <= cut.c AND h.text = n.text)""".stripMargin,
+
+    // policy-only oracle over the EXPORTED cluster assignment (see the
+    // query registration: the xxhash64 clustering itself has no SQL twin;
+    // the side input makes the survivorship policy hash-verifiable).
+    // quality_score CTE = the text_quality_score oracle, id-capped.
+    "dedup_keep_best" ->
+      """WITH clusters AS (
+        |  SELECT doc_id, cluster_id
+        |  FROM read_parquet('/tmp/graft_keep_best_clusters/sf0.01/*.parquet')
+        |), f AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |    cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double)
+        |      / length(text) AS alpha_ratio,
+        |    cast(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) as double)
+        |      / length(text) AS punct_ratio,
+        |    cast(length(text) as double)
+        |      / len(regexp_split_to_array(trim(text), '\s+')) AS mean_token_len
+        |  FROM documents WHERE doc_id < 1000
+        |), q AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END * 2
+        |     + CASE WHEN alpha_ratio >= 0.6 THEN 1.0 ELSE alpha_ratio / 0.6 END * 4
+        |     + CASE WHEN punct_ratio <= 0.2 THEN 1.0
+        |         ELSE greatest(0.0, 1.0 - (punct_ratio - 0.2) * 5) END * 2
+        |     + CASE WHEN mean_token_len BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END * 2)
+        |    / 10.0 AS quality_score
+        |  FROM f
+        |), j AS (
+        |  SELECT c.doc_id, c.cluster_id, q.quality_score,
+        |    row_number() OVER (PARTITION BY c.cluster_id
+        |                       ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+        |  FROM clusters c JOIN q USING (doc_id))
+        |SELECT doc_id, cluster_id, quality_score FROM j WHERE rn = 1""".stripMargin,
 
     "dedup_embedding_pairs" ->
       """WITH v AS (
@@ -558,8 +639,53 @@ object OpsQueries {
     // the rerank composition: int8-IVF candidates to kCand=20 (same CTEs
     // as sim_topk_ivf_int8), then exact float cosines over ONLY those
     // survivors — deterministic end-to-end, so the oracle replicates the
-    // full two-stage algorithm
-    "sim_topk_int8_rerank" ->
+    // full two-stage algorithm. Shared with the indexed flavor: the
+    // persisted-index rerank rescores against the vectors stored in the
+    // pruned cell directories, which are by construction the same rows.
+    "sim_topk_int8_rerank" -> IvfInt8RerankSql,
+    "sim_topk_ivf_indexed_rerank" -> IvfInt8RerankSql,
+
+    // index health: the oracle re-derives the per-cell occupancy from the
+    // embeddings table with the same md5-ordered centroids and argmin
+    // assignment the index build used — a full-algorithm oracle for the
+    // health report (the LEFT JOIN keeps drift-emptied cells at 0)
+    "sim_index_health" ->
+      """WITH v AS (
+        |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
+        |), cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) - 1 AS cell, e
+        |  FROM v ORDER BY md5(cast(vec_id as varchar)) LIMIT 16
+        |), cassign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT n.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY -(list_inner_product(n.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+        |                 c.cell ASC) AS r
+        |    FROM v n CROSS JOIN cent c) WHERE r = 1
+        |), occ AS (
+        |  SELECT c.cell, count(a.vec_id) AS n_rows
+        |  FROM cent c LEFT JOIN cassign a ON a.cell = c.cell
+        |  GROUP BY c.cell
+        |), stats AS (
+        |  SELECT cell, n_rows,
+        |    CAST(sum(n_rows) OVER () AS DOUBLE) / CAST(count(*) OVER () AS DOUBLE) AS mean_rows,
+        |    CAST(max(n_rows) OVER () AS DOUBLE) AS max_rows
+        |  FROM occ)
+        |SELECT CAST(cell AS INTEGER) AS cell, n_rows,
+        |  CAST(n_rows AS DOUBLE) / mean_rows AS occupancy_ratio,
+        |  max_rows / mean_rows AS skew_ratio,
+        |  (max_rows / mean_rows) >= 4.0 AS rebuild_recommended
+        |FROM stats""".stripMargin,
+  )
+
+  /** The two-stage int8-candidates→exact-rerank oracle, shared by the
+    * in-memory (`sim_topk_int8_rerank`) and persisted-index
+    * (`sim_topk_ivf_indexed_rerank`) flavors — identical rows by
+    * construction (same centroids, same codes, candidates confined to
+    * probed cells either way). */
+  // lazy: referenced from oraclesHead, which precedes this definition in
+  // the object's initializer order
+  private lazy val IvfInt8RerankSql: String =
       """WITH v AS (
         |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
         |), cent AS (
@@ -611,8 +737,9 @@ object OpsQueries {
         |    row_number() OVER (PARTITION BY q_id
         |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
         |  FROM rsims)
-        |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+        |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin
 
+  private val oraclesTail: Map[String, String] = Map(
     // mirrors Similarity.quantizeInt8: exact float->double widening, one
     // fixed-shape double expression, integer code summaries
     "sim_quantize_int8" ->
@@ -1097,4 +1224,8 @@ object OpsQueries {
         |SELECT c.vec_id, cast(c.cell as int) AS cell
         |FROM cassign c WHERE c.vec_id NOT IN (SELECT vec_id FROM dom)""".stripMargin,
   )
+
+  /** Head/tail split exists only because the shared rerank SQL literal
+    * sits between them; the surface is the one concatenated map. */
+  val oracles: Map[String, String] = oraclesHead ++ oraclesTail
 }

@@ -490,12 +490,14 @@ object Similarity {
    * (integer candidate dots, rounded rerank cosines, id tiebreaks), so
    * the composition keeps a full-algorithm DuckDB oracle.
    */
+  /** @param kCand candidate-list size; ≤ 0 (the default) resolves to 4·k. */
   def ivfQuantizedTopKRerank(
       queries: DataFrame, corpus: DataFrame, k: Int,
-      kCand: Int = 20, nCells: Int = 16, nProbe: Int = 4,
+      kCand: Int = -1, nCells: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(kCand >= k, s"kCand $kCand must be >= k $k")
-    val cand = ivfQuantizedTopK(queries, corpus, kCand, nCells, nProbe,
+    val kc = if (kCand <= 0) 4 * k else kCand
+    require(kc >= k, s"kCand $kc must be >= k $k")
+    val cand = ivfQuantizedTopK(queries, corpus, kc, nCells, nProbe,
       idCol, vecCol).select(col("q_id"), col("n_id"))
     val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
       .withColumn("q_norm", norm(col("q_vec")))
@@ -651,6 +653,58 @@ object Similarity {
             .as("sim"))
       rankTopK(exact, k)
     }
+  }
+
+  /**
+   * Skew ratio above which [[ivfIndexHealth]] recommends a full
+   * [[writeIvfIndex]] rebuild. [[appendToIvfIndex]] keeps cell geometry
+   * fixed forever, so a drifting corpus concentrates appends into a few
+   * cells; once the hottest cell holds ≥ 4× its fair share, any probe
+   * touching it scans ≥ 4× the bytes the (nProbe/nCells) cost model
+   * promises — the pruning win the index exists for is gone for exactly
+   * the queries that land there. 4 is the standard "hot partition"
+   * alarm line (same order as AQE's skew-join factor of 5); rebuilds
+   * re-sample centroids over the grown corpus and re-balance every cell.
+   */
+  val IvfRebuildSkewThreshold: Double = 4.0
+
+  /**
+   * Index health over a [[writeIvfIndex]] tree: per-cell occupancy plus
+   * the skew ratio driving the documented rebuild policy — the
+   * queryable-metadata posture of the reference's partition catalog
+   * (`DynamicPartitionedFilesetSinkTest.java:155-162`: partitions are a
+   * first-class queryable surface, not opaque directories).
+   *
+   * Cost model at 100 TB: the occupancy count is one count-star
+   * aggregate grouped on the PARTITION column — column-pruned to
+   * zero data columns, answered from parquet footer row counts per
+   * `cell=<i>/` directory, no vector bytes read. The centroid sidecar
+   * (≤ nCells rows) is the spine so cells emptied by drift still report
+   * `n_rows = 0` instead of vanishing; every window below runs over
+   * ≤ nCells aggregated rows, not corpus rows.
+   *
+   * Returns one row per cell: (cell, n_rows, occupancy_ratio = n/mean,
+   * skew_ratio = max/mean — identical on every row, it is the global
+   * verdict, rebuild_recommended = skew_ratio ≥
+   * [[IvfRebuildSkewThreshold]]).
+   */
+  def ivfIndexHealth(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame = {
+    val spine = spark.read.parquet(s"$indexPath/centroids").select("cell")
+    val occ = spark.read.parquet(s"$indexPath/cells")
+      .groupBy("cell").agg(count(lit(1)).as("n_rows"))
+    val full = spine.join(occ, Seq("cell"), "left")
+      .select(col("cell").cast("int").as("cell"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+    val w = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val meanRows = sum(col("n_rows")).over(w).cast("double") /
+      count(lit(1)).over(w).cast("double")
+    full
+      .withColumn("occupancy_ratio", col("n_rows").cast("double") / meanRows)
+      .withColumn("skew_ratio", max(col("n_rows")).over(w).cast("double") / meanRows)
+      .withColumn("rebuild_recommended",
+        col("skew_ratio") >= lit(IvfRebuildSkewThreshold))
   }
 
   /** [[quantizeInt8]] with the code vector PACKED to binary (exactly dim

@@ -414,22 +414,39 @@ object TextAnalysis {
     require(nMerges >= 1, "nMerges must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
+    // Tokenize ONCE, materialized: the merge loop reads `words` k times,
+    // and without persistence each round would repeat the corpus scan +
+    // word_tokens pass — k tokenize passes where one suffices (contrast
+    // the deliberately-uncached single-round bpeMergeRound, whose two
+    // jobs don't amortize a write). DISK_ONLY, not memory: the exploded
+    // word column is corpus-sized, and the k counting passes stream it
+    // from local spill instead of evicting executor cache at 100 TB.
     val words = df
       .select(explode(graft.functions.hashes.word_tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
-    while (merges.length < nMerges) {
-      val top = words
-        .select(explode(graft.functions.hashes.bpe_pairs_with_merges(
-          col("w"), merges.map(_._1).toSeq)).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pair").asc).limit(1)
-        .head()
-      merges += ((top.getString(0), top.getLong(1)))
-    }
-    merges.zipWithIndex
-      .map { case ((p, n), i) => (i + 1, p, n) }.toSeq
-      .toDF("merge_rank", "pair", "n")
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      var exhausted = false
+      while (!exhausted && merges.length < nMerges) {
+        // headOption, not head(): a corpus whose words fully merge before
+        // nMerges rounds (or has no ≥2-symbol words at all) ends training
+        // early with the merges found so far, instead of throwing a bare
+        // NoSuchElementException mid-loop
+        words
+          .select(explode(graft.functions.hashes.bpe_pairs_with_merges(
+            col("w"), merges.map(_._1).toSeq)).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair").asc).limit(1)
+          .collect().headOption match {
+          case Some(top) => merges += ((top.getString(0), top.getLong(1)))
+          case None => exhausted = true
+        }
+      }
+      merges.zipWithIndex
+        .map { case ((p, n), i) => (i + 1, p, n) }.toSeq
+        .toDF("merge_rank", "pair", "n")
+    } finally words.unpersist(blocking = false)
   }
 
   /**

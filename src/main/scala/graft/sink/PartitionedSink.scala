@@ -240,11 +240,26 @@ object PartitionedSink {
     * higher k would silently wrap negative and scatter the layout.
     * Rank-normalize (e.g. a row_number pre-pass) such columns first. */
   private def spanChecked(hi: Long, lo: Long, factor: Long, name: String): Long = {
-    val span = math.max(1L, hi - lo)
+    // subtractExact: a plain `hi - lo` itself wraps for extreme ranges
+    // (lo near Long.MinValue, hi near Long.MaxValue), and the wrapped
+    // NEGATIVE span would sail through max(1, _) and the require — the
+    // exact overflow this guard exists to reject
+    val span =
+      try math.max(1L, Math.subtractExact(hi, lo))
+      catch { case _: ArithmeticException => Long.MaxValue }
     require(span <= Long.MaxValue / factor,
       s"layout column $name spans $span > ${Long.MaxValue / factor} " +
         "— normalization would overflow; rank-normalize the column first")
     span
+  }
+
+  /** Internal layout columns would silently shadow (and then drop) input
+    * columns of the same name — reject up front instead. */
+  private def assertNoReservedCols(df: DataFrame, reserved: Seq[String]): Unit = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input columns ${clash.toSeq.sorted.mkString(", ")} collide with " +
+        "internal layout column names — rename them before the z-order write")
   }
 
   def writeZOrdered(
@@ -252,6 +267,7 @@ object PartitionedSink {
       nBuckets: Int, format: SinkFormat = ParquetFormat,
       bucketCol: String = "zbucket"): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
+    assertNoReservedCols(df, Seq("_na", "_nb", "_z", bucketCol))
     if (df.isEmpty) {
       df.withColumn(bucketCol, lit(0L))
         .write.format(format.name).partitionBy(bucketCol)
@@ -304,6 +320,8 @@ object PartitionedSink {
       format: SinkFormat = ParquetFormat, bucketCol: String = "zbucket"): Unit = {
     require(cols.size >= 2, "need at least 2 layout columns")
     require(nBuckets > 0, "nBuckets must be positive")
+    assertNoReservedCols(df,
+      cols.indices.map(i => s"_zn$i") ++ Seq("_z", bucketCol))
     if (df.isEmpty) {
       df.withColumn(bucketCol, lit(0L))
         .write.format(format.name).partitionBy(bucketCol)

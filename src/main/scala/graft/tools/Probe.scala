@@ -33,9 +33,12 @@ object Probe {
           val t0 = System.nanoTime()
           val n = fn(spark, sfDir).count()
           println(f"PROBE $q run$i ${(System.nanoTime() - t0) / 1e9}%.3fs rows=$n")
+          // per-run untimed hygiene, matching Bench: leftover RDD persists /
+          // checkpoint blocks must not compound across probe runs
           spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          System.gc()
         }
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
           fn(spark, sfDir).explain("formatted")
       }

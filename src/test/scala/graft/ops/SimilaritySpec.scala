@@ -309,6 +309,69 @@ class SimilaritySpec extends SparkSpec {
       "indexed rerank must reproduce the in-memory rerank exactly")
   }
 
+  test("IVF index health: full spine, exact occupancy, planted hot-cell append trips rebuild") {
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_idx_health").toString
+    Similarity.writeIvfIndex(e, idx, nCells = 8)
+    val before = Similarity.ivfIndexHealth(spark, idx).collect()
+    // the centroid sidecar is the spine: every cell reports, even at 0
+    assert(before.length == 8)
+    assert(before.map(_.getAs[Long]("n_rows")).sum == e.count())
+    // skew_ratio is the global verdict (identical on every row) and is
+    // exactly max(occupancy_ratio)
+    val skewBefore = before.head.getAs[Double]("skew_ratio")
+    assert(before.forall(_.getAs[Double]("skew_ratio") == skewBefore))
+    assert(math.abs(skewBefore -
+      before.map(_.getAs[Double]("occupancy_ratio")).max) < 1e-12)
+    // drift: append ~2× the corpus as copies of ONE vector — the stored-
+    // centroid assignment lands every copy in that vector's cell
+    val hot = e.filter(col("vec_id") === 0L)
+      .select(Similarity.toDouble(col("embedding"))).head.getSeq[Double](0)
+    val n = e.count()
+    val batch = spark.range(20000, 20000 + 2 * n)
+      .select(col("id").as("vec_id"),
+        typedlit(hot.map(_.toFloat)).as("embedding"))
+    Similarity.appendToIvfIndex(batch, idx)
+    val after = Similarity.ivfIndexHealth(spark, idx).collect()
+    val skewAfter = after.head.getAs[Double]("skew_ratio")
+    assert(after.map(_.getAs[Long]("n_rows")).sum == 3 * n)
+    assert(skewAfter > skewBefore, s"hot append must raise skew: $skewBefore -> $skewAfter")
+    assert(skewAfter >= Similarity.IvfRebuildSkewThreshold &&
+      after.forall(_.getAs[Boolean]("rebuild_recommended")),
+      s"skew $skewAfter must trip the documented rebuild threshold")
+  }
+
+  test("append-mode index equals a fresh rebuild over the union when centroids coincide") {
+    // pins the stored-centroid contract (writeIvfIndex's sidecar is the
+    // source of truth for appendToIvfIndex): when the union corpus's
+    // md5-ordered centroid sample happens to equal the base corpus's,
+    // append-then-query and fresh-rebuild-then-query are row-identical —
+    // cell geometry, codes, and ranking all derive from the centroids
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    val twins = q.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val union = e.unionByName(twins)
+    val idxA = java.nio.file.Files.createTempDirectory("graft_ivf_app_a").toString
+    val idxB = java.nio.file.Files.createTempDirectory("graft_ivf_app_b").toString
+    Similarity.writeIvfIndex(e, idxA, nCells = 8)
+    Similarity.appendToIvfIndex(twins, idxA)
+    Similarity.writeIvfIndex(union, idxB, nCells = 8)
+    def cents(p: String) = spark.read.parquet(s"$p/centroids")
+      .orderBy("cell").collect().map(_.toString).toSeq
+    // precondition of the equivalence (not of the operator): none of the
+    // twin ids md5-rank into the union's first-8 sample on this data — if
+    // the synthetic data ever changes and breaks this, pick a different
+    // twin id offset rather than weakening the row-identity assertion
+    assert(cents(idxA) == cents(idxB),
+      "twin ids entered the centroid sample — adjust the test's id offset")
+    def rows(p: String) = Similarity
+      .ivfQuantizedTopKIndexed(p, q, k = 5, nProbe = 2)
+      .select("q_id", "n_id", "sim_r", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(idxA) == rows(idxB),
+      "append-mode index must be indistinguishable from a same-centroid rebuild")
+  }
+
   test("streaming index append: micro-batched twins land in the index and rank first") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
