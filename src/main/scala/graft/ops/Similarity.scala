@@ -707,6 +707,60 @@ object Similarity {
         col("skew_ratio") >= lit(IvfRebuildSkewThreshold))
   }
 
+  /**
+   * Full rebuild of a [[writeIvfIndex]] tree over its CURRENT contents
+   * (original rows + every appended batch): re-sample centroids from the
+   * grown corpus, rewrite every cell balanced, swap in place. This is
+   * the HOW to [[ivfIndexHealth]]'s WHEN — the operational loop is
+   * append continuously, read the health row, rebuild once
+   * `rebuild_recommended` trips.
+   *
+   * The new tree is written COMPLETELY into a sibling staging directory
+   * before any destructive step (the corpus read out of the old cells
+   * finishes during that write), then the old `cells/`+`centroids/` are
+   * swapped out via directory renames — metadata operations, so the
+   * vulnerable window is rename-sized, not rewrite-sized. Concurrent
+   * readers of a local/posix tree see old or new, not a mix; on object
+   * stores, run rebuilds from the index's single writer (the same
+   * single-writer discipline appends already require).
+   */
+  def rebuildIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String, nCells: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val corpus = spark.read.parquet(s"$path/cells").select(col(idCol), col(vecCol))
+    val staging = s"$path/.rebuild"
+    writeIvfIndex(corpus, staging, nCells, idCol, vecCol)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    Seq("cells", "centroids").foreach { d =>
+      val old = new java.io.File(s"$path/$d")
+      val retired = new java.io.File(s"$path/.retired_$d")
+      rm(retired) // leftover from a crashed prior swap
+      if (old.exists()) java.nio.file.Files.move(old.toPath, retired.toPath)
+      java.nio.file.Files.move(
+        new java.io.File(s"$staging/$d").toPath, old.toPath)
+      rm(retired)
+    }
+    rm(new java.io.File(staging))
+  }
+
+  /** Read the index's skew verdict and rebuild only if it breaches
+    * `threshold` (default [[IvfRebuildSkewThreshold]] — the documented
+    * policy). Returns whether a rebuild ran. The health read costs
+    * parquet footers; the rebuild costs one full index pass — which is
+    * the point of gating it. */
+  def rebuildIfSkewed(
+      spark: org.apache.spark.sql.SparkSession, path: String, nCells: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = IvfRebuildSkewThreshold): Boolean = {
+    val skew = ivfIndexHealth(spark, path)
+      .select("skew_ratio").head().getDouble(0)
+    if (skew >= threshold) { rebuildIvfIndex(spark, path, nCells, idCol, vecCol); true }
+    else false
+  }
+
   /** [[quantizeInt8]] with the code vector PACKED to binary (exactly dim
     * bytes per vector — the representation [[ivfQuantizedTopK]] ships
     * through shuffles/broadcasts; score packed codes with

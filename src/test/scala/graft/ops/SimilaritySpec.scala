@@ -341,6 +341,52 @@ class SimilaritySpec extends SparkSpec {
       s"skew $skewAfter must trip the documented rebuild threshold")
   }
 
+  test("rebuildIfSkewed: drift trips the policy, rebuild re-balances and preserves retrieval") {
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_rebuild").toString
+    Similarity.writeIvfIndex(e, idx, nCells = 8)
+    def cents() = spark.read.parquet(s"$idx/centroids")
+      .orderBy("cell").collect().map(_.toString).toSeq
+    // no-op path: an unreachable threshold must not touch the tree
+    val centsBefore = cents()
+    assert(!Similarity.rebuildIfSkewed(spark, idx, nCells = 8, threshold = 1e9))
+    assert(cents() == centsBefore)
+    // drift: a hot CLUSTER around one vector — per-row perturbations, NOT
+    // identical copies (identical vectors land in one cell under ANY
+    // geometry, so no rebuild could ever re-balance them; perturbation is
+    // what lets re-sampled centroids split the hot region)
+    val base = e.filter(col("vec_id") === 0L)
+      .select(Similarity.toDouble(col("embedding"))).head.getSeq[Double](0).toArray
+    val n = e.count()
+    val hot = (0 until (2 * n).toInt).map { i =>
+      val v = base.clone()
+      v(i % v.length) += 1e-3 * ((i % 7) + 1)
+      (20000L + i, v.map(_.toFloat).toSeq)
+    }
+    val batch = hot.toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(batch, idx)
+    val skewBefore = Similarity.ivfIndexHealth(spark, idx)
+      .select("skew_ratio").head().getDouble(0)
+    assert(skewBefore >= Similarity.IvfRebuildSkewThreshold,
+      s"planted drift must trip the policy (skew $skewBefore)")
+    assert(Similarity.rebuildIfSkewed(spark, idx, nCells = 8))
+    val after = Similarity.ivfIndexHealth(spark, idx).collect()
+    assert(after.map(_.getAs[Long]("n_rows")).sum == 3 * n, "rebuild must not lose rows")
+    val skewAfter = after.head.getAs[Double]("skew_ratio")
+    assert(skewAfter < skewBefore, s"rebuild must reduce skew: $skewBefore -> $skewAfter")
+    // retrieval equivalence: the rebuilt index answers exactly like the
+    // in-memory composition over the same grown corpus (identical
+    // deterministic centroid derivation from identical rows)
+    val union = e.unionByName(batch)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id", "sim_r", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(rows(Similarity.ivfQuantizedTopKIndexed(idx, q, k = 5, nProbe = 2)) ==
+      rows(Similarity.ivfQuantizedTopK(q, union, k = 5, nCells = 8, nProbe = 2)),
+      "rebuilt index must match the in-memory path over the grown corpus")
+  }
+
   test("append-mode index equals a fresh rebuild over the union when centroids coincide") {
     // pins the stored-centroid contract (writeIvfIndex's sidecar is the
     // source of truth for appendToIvfIndex): when the union corpus's
