@@ -39,6 +39,14 @@ object PipelineQueries {
         "source", "doc_id", keepFraction = 0.3)
         .groupBy("source").agg(count(lit(1)).as("n_kept"))),
 
+    // Token-budget draw: maximal md5-ordered prefix whose running token
+    // total fits the budget (two-level cumsum — no global sort, no
+    // single-partition window; whole buckets past the budget pruned
+    // before their window runs).
+    "mix_token_budget" -> ((s, dir) =>
+      Chunking.tokenBudgetSample(Tables(s, dir, "documents"),
+        "doc_id", "text", budget = 20000L)),
+
     // GPT-style concat-and-split training-sequence layout: 512-token
     // sequences over 8 independent shards (per-shard prefix sum).
     "pack_sequences" -> ((s, dir) =>
@@ -143,6 +151,23 @@ object PipelineQueries {
         |WHERE cutv = 65536
         |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', cutv)
         |GROUP BY d.source""".stripMargin,
+
+    // running-total prefix in md5 order — exact integer cumsum, and the
+    // oracle's single global window IS the naive formulation the Spark
+    // side deliberately avoids (two-level bucketed cumsum, plan-asserted
+    // free of SinglePartition exchanges)
+    "mix_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    md5(cast(doc_id as varchar)) AS h,
+        |    cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    cast(sum(n_tokens) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) as bigint)
+        |      AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 20000""".stripMargin,
 
     // pure exact-integer prefix-sum arithmetic — engine-reproducible
     "pack_sequences" ->

@@ -180,6 +180,54 @@ object Chunking {
    * back), then one scan with a per-row md5 — no window, no global sort,
    * no driver collect; the same plan at 100 TB.
    */
+  /**
+   * Deterministic token-budget sampling — the "take ~N tokens from this
+   * source" primitive of pretraining mixes: keep exactly the docs whose
+   * RUNNING whitespace-token total, accumulated in md5(id) order (the
+   * same engine-portable pseudo-random order as [[stratifiedSample]] /
+   * [[temperatureMix]]), stays within `budget`. Emits (id, n_tokens,
+   * cum_tokens) for the kept prefix.
+   *
+   * Plan shape at 100 TB: a running total over a GLOBAL order is the
+   * textbook single-partition window (`Exchange SinglePartition` — one
+   * task sorts the corpus), so the cumulative sum is computed in two
+   * levels instead. Docs hash into 256 buckets by their md5's leading
+   * byte — bucket order is a PREFIX of full md5 order — so per-bucket
+   * token totals (≤ 256 rows, one partial agg) prefix-sum on the driver
+   * into per-bucket starting offsets; each bucket then runs its own
+   * window PARTITIONED BY bucket (parallel, bounded by bucket size,
+   * plan-asserted: no SinglePartition exchange), seeded by its offset.
+   * Buckets whose offset already exceeds the budget are filtered out
+   * BEFORE the window — at scale, (1 − budget/corpus) of the data never
+   * reaches the sort, and the pre-window filter on the broadcast offset
+   * column prunes it at the scan side of the shuffle.
+   */
+  def tokenBudgetSample(
+      df: DataFrame, idCol: String, textCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val t = df.select(col(idCol),
+      md5(col(idCol).cast("string").cast("binary")).as("__h"),
+      graft.ops.TextAnalysis.wsTokenCount(col(textCol)).cast("long")
+        .as("n_tokens"))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    // ≤ 256 rows to the driver — the bounded-global-context pattern
+    val perBucket = t.groupBy("__b").agg(sum(col("n_tokens")).as("__bt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val offsets = perBucket.scanLeft(("", 0L)) {
+      case ((_, cum), (b, bt)) => (b, cum + bt)
+    }.sliding(2).collect { case Array((_, prev), (b, _)) => (b, prev) }.toSeq
+    val odf = offsets.toDF("__b", "__off")
+    val w = Window.partitionBy(col("__b")).orderBy(col("__h").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(broadcast(odf), Seq("__b"))
+      .filter(col("__off") < budget) // whole-bucket prune, BEFORE the window
+      .withColumn("cum_tokens", col("__off") + sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   def temperatureMix(
       df: DataFrame, sourceCol: String, idCol: String,
       keepFraction: Double): DataFrame = {

@@ -128,6 +128,40 @@ class ChunkingSpec extends SparkSpec {
     assert(rows((0, 1L))._1 == "w4 w5 w6 w7 w0 w1 w2")
   }
 
+  test("token-budget sample: exact md5-order prefix, edges, no single-partition window") {
+    val docs = graft.Tables(spark, sf0001, "documents").select("doc_id", "text")
+    val total = docs.select(sum(TextAnalysis.wsTokenCount(col("text"))
+      .cast("long"))).head().getLong(0)
+    val budget = total / 2
+    val got = Chunking.tokenBudgetSample(docs, "doc_id", "text", budget)
+    // equals the naive single-window formulation exactly (rows AND cumsums)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")).asc)
+      .rowsBetween(Long.MinValue, 0)
+    val naive = docs.select(col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_tokens", "cum_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(got) == rows(naive))
+    // prefix is maximal: the kept max cum fits, adding any dropped doc's
+    // count to it would not necessarily — but the BOUNDARY doc must not fit
+    val kept = rows(got)
+    assert(kept.nonEmpty && kept.map(_._3).max <= budget)
+    // edges: zero budget -> empty; full budget -> whole corpus, last cum = total
+    assert(Chunking.tokenBudgetSample(docs, "doc_id", "text", 0L).count() == 0)
+    val all = Chunking.tokenBudgetSample(docs, "doc_id", "text", total)
+    assert(all.count() == docs.count())
+    assert(all.agg(max(col("cum_tokens"))).head().getLong(0) == total)
+    // scale guard: the two-level cumsum must not plan the naive global
+    // window's Exchange SinglePartition
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"token-budget sample must not global-sort:\n$plan")
+  }
+
   test("temperature mix upweights small sources and is deterministic") {
     // skewed corpus: big 2000 docs, small 40 docs
     val df = ((1L to 2000L).map(i => (i, "big")) ++
