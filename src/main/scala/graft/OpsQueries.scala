@@ -25,14 +25,18 @@ object OpsQueries {
     * JVM would leak a full on-disk index copy of the corpus into /tmp. */
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Temp text-index trees (bm25), reclaimed by the same shutdown hook. */
+  private val textIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    ivfIndexCache.values.forEach { p =>
+    Seq(ivfIndexCache, textIndexCache).foreach(_.values.forEach { p =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit
       }
       rm(new java.io.File(p))
-    }))
+    })))
 
   /** Fixed absolute path for `dedup_keep_best`'s exported cluster
     * assignment — the DuckDB oracle reads it back with `read_parquet`,
@@ -52,6 +56,15 @@ object OpsQueries {
     ivfIndexCache.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
       Similarity.writeIvfIndex(emb(s, dir), p, nCells = 16)
+      p
+    })
+
+  /** Build-once accessor for the persisted BM25 text index (same
+    * amortization semantics as [[cachedIndex]]). */
+  private def cachedTextIndex(s: SparkSession, dir: String): String =
+    textIndexCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_text_idx").toString
+      TextAnalysis.writeTextIndex(docs(s, dir), "doc_id", "text", p)
       p
     })
 
@@ -301,6 +314,13 @@ object OpsQueries {
 
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25Search(docs(s, dir), "doc_id", "text",
+        Seq("spark", "table", "query"), k = 20)),
+
+    // the persisted-inverted-index path: query terms' md5 buckets become
+    // a PARTITION FILTER on the postings scan; row-identical to
+    // text_bm25 by construction (shared oracle), build amortized
+    "text_bm25_indexed" -> ((s, dir) =>
+      TextAnalysis.bm25SearchIndexed(s, cachedTextIndex(s, dir),
         Seq("spark", "table", "query"), k = 20)),
 
     // Hybrid retrieval: BM25 ∪ embedding-cosine top lists fused by
@@ -748,6 +768,42 @@ object OpsQueries {
         |  FROM rsims)
         |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin
 
+  /** The BM25 oracle, shared by the stats-pass (`text_bm25`) and
+    * persisted-inverted-index (`text_bm25_indexed`) flavors. */
+  private val TextBm25Sql: String =
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, len(w) AS dl,
+        |    len(list_filter(w, t -> t = 'spark')) AS tf0,
+        |    len(list_filter(w, t -> t = 'table')) AS tf1,
+        |    len(list_filter(w, t -> t = 'query')) AS tf2
+        |  FROM toks
+        |), stats AS (
+        |  SELECT count(*) AS n, cast(sum(dl) as bigint) AS sum_dl,
+        |    cast(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) as bigint) AS df0,
+        |    cast(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) as bigint) AS df1,
+        |    cast(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) as bigint) AS df2
+        |  FROM base
+        |), scored AS (
+        |  SELECT b.doc_id,
+        |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
+        |      * (tf0 * (CAST(1.2 AS DOUBLE) + 1.0))
+        |      / (tf0 + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * (dl / (cast(sum_dl as double) / n))))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
+        |      * (tf1 * (CAST(1.2 AS DOUBLE) + 1.0))
+        |      / (tf1 + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * (dl / (cast(sum_dl as double) / n))))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
+        |      * (tf2 * (CAST(1.2 AS DOUBLE) + 1.0))
+        |      / (tf2 + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * (dl / (cast(sum_dl as double) / n))))
+        |    AS bm25
+        |  FROM base b CROSS JOIN stats
+        |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0)
+        |SELECT doc_id, bm25 FROM scored
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
+
   private val oraclesTail: Map[String, String] = Map(
     // mirrors Similarity.quantizeInt8: exact float->double widening, one
     // fixed-shape double expression, integer code summaries
@@ -988,40 +1044,10 @@ object OpsQueries {
     // BM25: corpus stats are exact integers, avgdl/idf mirror the driver's
     // double op sequence term-for-term ((1.2 + 1), (1 - 0.75) written out,
     // NOT 2.2/0.25 — the pre-added literals can round differently), and ln
-    // is bit-identical across JVM and DuckDB libm (verified)
-    "text_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
-        |  FROM documents
-        |), base AS (
-        |  SELECT doc_id, len(w) AS dl,
-        |    len(list_filter(w, t -> t = 'spark')) AS tf0,
-        |    len(list_filter(w, t -> t = 'table')) AS tf1,
-        |    len(list_filter(w, t -> t = 'query')) AS tf2
-        |  FROM toks
-        |), stats AS (
-        |  SELECT count(*) AS n, cast(sum(dl) as bigint) AS sum_dl,
-        |    cast(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) as bigint) AS df0,
-        |    cast(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) as bigint) AS df1,
-        |    cast(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) as bigint) AS df2
-        |  FROM base
-        |), scored AS (
-        |  SELECT b.doc_id,
-        |    ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0)
-        |      * (tf0 * (CAST(1.2 AS DOUBLE) + 1.0))
-        |      / (tf0 + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * (dl / (cast(sum_dl as double) / n))))
-        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0)
-        |      * (tf1 * (CAST(1.2 AS DOUBLE) + 1.0))
-        |      / (tf1 + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * (dl / (cast(sum_dl as double) / n))))
-        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0)
-        |      * (tf2 * (CAST(1.2 AS DOUBLE) + 1.0))
-        |      / (tf2 + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 * (dl / (cast(sum_dl as double) / n))))
-        |    AS bm25
-        |  FROM base b CROSS JOIN stats
-        |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0)
-        |SELECT doc_id, bm25 FROM scored
-        |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+    // is bit-identical across JVM and DuckDB libm (verified). Shared with
+    // the persisted-inverted-index flavor, row-identical by construction.
+    "text_bm25" -> TextBm25Sql,
+    "text_bm25_indexed" -> TextBm25Sql,
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -181,6 +181,103 @@ object TextAnalysis {
   }
 
   /**
+   * Persist a BM25 text index — the keyword-retrieval twin of
+   * [[Similarity.writeIvfIndex]]'s layout philosophy: make the per-query
+   * filter a property of the directory tree. One corpus pass writes
+   *  - `postings/` — (term, doc_id, tf), PARTITIONED by the term's
+   *    md5-prefix bucket (256 directories): a query's terms map to a
+   *    handful of buckets, so the postings scan is directory-pruned
+   *    before any row is read — the inverted-index analogue of probing
+   *    nProbe of nCells,
+   *  - `doclen/` — (doc_id, dl) for the length normalization,
+   *  - `totals/` — one row (n docs, Σdl): the corpus-level stats.
+   * Per-term document frequencies are NOT precomputed: df(t) is an exact
+   * count over t's (pruned) posting list at query time, so appends to
+   * the index keep idf exact with no stats maintenance.
+   *
+   * The md5 bucket (not xxhash) keeps the whole layout
+   * oracle-derivable; the build is amortized across every later query,
+   * and [[bm25SearchIndexed]] returns rows IDENTICAL to [[bm25Search]]
+   * over the same corpus (same exact-integer stats, same driver idf
+   * literals, same term-order score fold — pinned by test and by the
+   * shared DuckDB oracle).
+   */
+  def writeTextIndex(
+      df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val toks = df.select(col(idCol).as("doc_id"),
+      graft.functions.hashes.word_tokens(col(textCol)).as("__w"))
+    toks.select(col("doc_id"), size(col("__w")).cast("long").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclen")
+    spark.read.parquet(s"$path/doclen")
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/totals")
+    toks.select(col("doc_id"), explode(col("__w")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", substring(md5(col("term").cast("binary")), 1, 2))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/postings")
+  }
+
+  /**
+   * BM25 search over a [[writeTextIndex]] tree. The query terms'
+   * md5-prefix buckets become an `isin` PARTITION FILTER on the postings
+   * scan (unrequested buckets are never read); df per term is an exact
+   * count over the pruned posting lists; N and avgdl come from the
+   * 1-row totals sidecar. Scoring pivots the ≤|terms| posting lists to
+   * per-term tf columns and applies [[bm25Search]]'s exact expression —
+   * same idf literals, same term-order floating fold (a doc's missing
+   * term contributes an exact 0.0) — so the two paths are row-identical
+   * by construction. The only corpus-sized input touched is `doclen`,
+   * joined once against the matched-candidate set.
+   */
+  def bm25SearchIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], k: Int, idCol: String = "doc_id",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty)
+    val lower = terms.map(_.toLowerCase)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buckets = lower.map { t =>
+      md.reset()
+      md.digest(t.getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+    }.distinct
+    // deliberately NOT cached: the pruned posting lists are read twice
+    // (df counts now, candidate pivot at evaluation time), but both reads
+    // are directory-pruned and bounded by Σ df(t) — stateless beats
+    // holding blocks across the caller's lifetime (the collocations
+    // lesson: no leftover persists for a harness to clean up)
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(lower: _*))
+      .select(col("term"), col("doc_id"), col("tf"))
+    val dfByTerm = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = spark.read.parquet(s"$path/totals").head()
+    val n = totals.getLong(0)
+    val avgdl = totals.getLong(1).toDouble / n
+    val idfs = lower.map { t =>
+      val dft = dfByTerm.getOrElse(t, 0L)
+      math.log((n - dft + 0.5) / (dft + 0.5) + 1.0)
+    }
+    val cand = post.groupBy("doc_id").agg(
+      sum(when(col("term") === lower.head, col("tf")).otherwise(0L))
+        .as("__tf_0"),
+      lower.zipWithIndex.tail.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf_$i")
+      }: _*)
+    val scored = cand.join(spark.read.parquet(s"$path/doclen"), Seq("doc_id"))
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl)))
+    val score = lower.indices.map { i =>
+      val tf = col(s"__tf_$i").cast("double")
+      lit(idfs(i)) * (tf * lit(k1 + 1.0)) / (tf + norm)
+    }.reduce(_ + _)
+    scored.select(col("doc_id").as(idCol), score.as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
    * Vocabulary coverage / OOV scoring: per document, the fraction of its
    * token stream outside a reference vocabulary (e.g. a tokenizer's word
    * list, or the corpus head from [[Relational.topTokens]]). High OOV is a

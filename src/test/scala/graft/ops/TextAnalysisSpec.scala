@@ -105,6 +105,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ranked.map(_.toSeq).sameElements(again.map(_.toSeq)))
   }
 
+  test("persisted text index: row-identical to bm25Search; postings scan is partition-pruned") {
+    val docs = graft.Tables(spark, sf0001, "documents").select("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_text_idx_spec").toString
+    TextAnalysis.writeTextIndex(docs, "doc_id", "text", idx)
+    val terms = Seq("spark", "table", "query")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = rows(TextAnalysis.bm25Search(docs, "doc_id", "text", terms, k = 20))
+    val indexed = rows(TextAnalysis.bm25SearchIndexed(spark, idx, terms, k = 20))
+    // same rows, same order, BIT-identical scores (same exact-integer
+    // stats, same driver idf literals, same term-order floating fold)
+    assert(indexed == direct,
+      s"indexed BM25 must reproduce the stats-pass exactly:\n$direct\nvs\n$indexed")
+    // absent term: idf computed from df=0 in both paths
+    val withGhost = terms :+ "zzznotaword"
+    assert(rows(TextAnalysis.bm25SearchIndexed(spark, idx, withGhost, k = 20)) ==
+      rows(TextAnalysis.bm25Search(docs, "doc_id", "text", withGhost, k = 20)))
+    // the query terms' md5 buckets must reach the postings scan as a
+    // PARTITION filter (directory pruning — the layout's whole point)
+    val plan = TextAnalysis.bm25SearchIndexed(spark, idx, terms, k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected a bucket-pruned postings scan:\n$plan")
+    // layout really is one dir per term bucket
+    val dirs = new java.io.File(s"$idx/postings").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.matches("bucket=[0-9a-f]{2}")))
+  }
+
   test("vocab coverage: exact OOV counts against an explicit vocabulary") {
     val df = Seq(
       (1L, "alpha beta gamma alpha"), // 4 tokens, 3 in vocab (alpha x2, beta)
