@@ -221,6 +221,54 @@ object TextAnalysis {
   }
 
   /**
+   * Append a document batch to a [[writeTextIndex]] tree WITHOUT
+   * rebuilding: new posting rows land inside their terms' existing
+   * bucket directories, doc lengths append beside them, and the 1-row
+   * totals sidecar is recomputed from the (doc-count-sized) doclen
+   * table. Because df is counted at query time and the md5 bucket of a
+   * term never changes, an appended index is EXACTLY a fresh build over
+   * the union corpus — no drift, no stale statistics, no rebuild policy
+   * needed (contrast [[Similarity.appendToIvfIndex]], whose sampled
+   * centroid geometry is frozen); pinned by an equality test. Same
+   * single-writer discipline: the totals rewrite is the only
+   * non-additive step.
+   */
+  def appendToTextIndex(
+      batch: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    val toks = batch.select(col(idCol).as("doc_id"),
+      graft.functions.hashes.word_tokens(col(textCol)).as("__w"))
+    toks.select(col("doc_id"), size(col("__w")).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$path/doclen")
+    toks.select(col("doc_id"), explode(col("__w")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", substring(md5(col("term").cast("binary")), 1, 2))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/postings")
+    spark.read.parquet(s"$path/doclen")
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/totals")
+  }
+
+  /**
+   * Continuous text-index maintenance: every micro-batch of a document
+   * stream appends through [[appendToTextIndex]] — the same stateless
+   * foreachBatch posture as the IVF index stream (no streaming state
+   * store; the INDEX is the state), and queries see each batch as soon
+   * as its files land.
+   */
+  def appendStreamToTextIndex(
+      stream: DataFrame, idCol: String, textCol: String, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        appendToTextIndex(batch.toDF(), idCol, textCol, path): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /**
    * BM25 search over a [[writeTextIndex]] tree. The query terms'
    * md5-prefix buckets become an `isin` PARTITION FILTER on the postings
    * scan (unrequested buckets are never read); df per term is an exact

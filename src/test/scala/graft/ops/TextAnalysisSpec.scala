@@ -134,6 +134,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dirs.nonEmpty && dirs.forall(_.matches("bucket=[0-9a-f]{2}")))
   }
 
+  test("text index append: equals a fresh build over the union; stream append lands") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.Tables(spark, sf0001, "documents").select("doc_id", "text")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    val terms = Seq("spark", "table", "query")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // batch append: build on half, append the rest — must EQUAL both the
+    // fresh full build and the direct stats-pass search (df is counted at
+    // query time and buckets are content-addressed, so an appended index
+    // is indistinguishable from a rebuild; no IVF-style frozen geometry)
+    val idxApp = java.nio.file.Files.createTempDirectory("graft_text_idx_app").toString
+    TextAnalysis.writeTextIndex(half1, "doc_id", "text", idxApp)
+    TextAnalysis.appendToTextIndex(half2, "doc_id", "text", idxApp)
+    val idxFull = java.nio.file.Files.createTempDirectory("graft_text_idx_full").toString
+    TextAnalysis.writeTextIndex(docs, "doc_id", "text", idxFull)
+    val appended = rows(TextAnalysis.bm25SearchIndexed(spark, idxApp, terms, k = 20))
+    assert(appended == rows(TextAnalysis.bm25SearchIndexed(spark, idxFull, terms, k = 20)))
+    assert(appended == rows(TextAnalysis.bm25Search(docs, "doc_id", "text", terms, k = 20)))
+    // streaming maintenance: micro-batched docs land and become searchable
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idxStream = java.nio.file.Files.createTempDirectory("graft_text_idx_stream").toString
+    TextAnalysis.writeTextIndex(half1, "doc_id", "text", idxStream)
+    val half2Rows = half2.collect().map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)]
+    input.addData(half2Rows.take(half2Rows.length / 2).toSeq)
+    input.addData(half2Rows.drop(half2Rows.length / 2).toSeq)
+    val sq = TextAnalysis.appendStreamToTextIndex(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", idxStream)
+    sq.awaitTermination(60000)
+    assert(rows(TextAnalysis.bm25SearchIndexed(spark, idxStream, terms, k = 20)) == appended)
+  }
+
   test("vocab coverage: exact OOV counts against an explicit vocabulary") {
     val df = Seq(
       (1L, "alpha beta gamma alpha"), // 4 tokens, 3 in vocab (alpha x2, beta)
