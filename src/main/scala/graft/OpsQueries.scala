@@ -323,6 +323,12 @@ object OpsQueries {
       TextAnalysis.bm25SearchIndexed(s, cachedTextIndex(s, dir),
         Seq("spark", "table", "query"), k = 20)),
 
+    // stop-gram report over the postings table: top terms by document
+    // frequency + corpus share (the text-index health surface; feeds
+    // maxDocFreq caps and stop-term lists)
+    "text_index_topdf" -> ((s, dir) =>
+      TextAnalysis.textIndexTopDf(s, cachedTextIndex(s, dir), k = 50)),
+
     // Hybrid retrieval: BM25 ∪ embedding-cosine top lists fused by
     // Reciprocal Rank Fusion (rank-only arithmetic — engine-exact)
     "text_hybrid_search" -> ((s, dir) =>
@@ -1048,6 +1054,22 @@ object OpsQueries {
     // the persisted-inverted-index flavor, row-identical by construction.
     "text_bm25" -> TextBm25Sql,
     "text_bm25_indexed" -> TextBm25Sql,
+
+    // stop-gram report: df re-derived from the corpus as DISTINCT
+    // (doc, term) pairs — exactly what one posting row represents
+    "text_index_topdf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), td AS (
+        |  SELECT DISTINCT doc_id, t.term
+        |  FROM toks, unnest(w) AS t(term) WHERE t.term != ''
+        |), n AS (SELECT count(*) AS n FROM documents),
+        |dfq AS (SELECT term, count(*) AS df FROM td GROUP BY term)
+        |SELECT term, df, cast(df as double) / cast(n as double) AS df_share
+        |FROM dfq, n
+        |ORDER BY df DESC, term ASC LIMIT 50""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -269,6 +269,29 @@ object TextAnalysis {
       .start()
 
   /**
+   * Posting-list health for a [[writeTextIndex]] tree: the top-`k` terms
+   * by document frequency with their corpus share — the STOP-GRAM report
+   * (the text-index analogue of [[Similarity.ivfIndexHealth]]). A term
+   * appearing in most documents makes every query touching it scan a
+   * corpus-sized posting list, exactly like a hot IVF cell; this report
+   * is what feeds `maxDocFreq`-style caps (see
+   * [[Dedup.ngramJaccardPairs]]) and stop-term lists. One count
+   * aggregate over the postings table (df = posting rows per term, no
+   * text re-scan) + TakeOrdered; `n` comes from the 1-row totals
+   * sidecar.
+   */
+  def textIndexTopDf(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      k: Int = 50): DataFrame = {
+    val n = spark.read.parquet(s"$path/totals").head().getLong(0)
+    spark.read.parquet(s"$path/postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("df_share", col("df").cast("double") / lit(n.toDouble))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(k)
+  }
+
+  /**
    * BM25 search over a [[writeTextIndex]] tree. The query terms'
    * md5-prefix buckets become an `isin` PARTITION FILTER on the postings
    * scan (unrequested buckets are never read); df per term is an exact

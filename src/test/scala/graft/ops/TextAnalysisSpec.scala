@@ -132,6 +132,15 @@ class TextAnalysisSpec extends SparkSpec {
     val dirs = new java.io.File(s"$idx/postings").listFiles()
       .filter(_.getName.startsWith("bucket=")).map(_.getName)
     assert(dirs.nonEmpty && dirs.forall(_.matches("bucket=[0-9a-f]{2}")))
+    // stop-gram report: df-desc/term-asc order, shares exact df/n, df ≤ n
+    val n = docs.count()
+    val top = TextAnalysis.textIndexTopDf(spark, idx, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(top.nonEmpty && top.length <= 10)
+    assert(top.sliding(2).forall { case Array((ta, da, _), (tb, db, _)) =>
+      da > db || (da == db && ta < tb); case _ => true })
+    assert(top.forall { case (_, df, share) =>
+      df <= n && share == df.toDouble / n.toDouble })
   }
 
   test("text index append: equals a fresh build over the union; stream append lands") {
