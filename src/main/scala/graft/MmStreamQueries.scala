@@ -52,6 +52,20 @@ object MmStreamQueries {
         f.filter(col("media_id") < 10), f, k = 5,
         idCol = "media_id", vecCol = "feature")
     }),
+
+    // the SCALE path of the same pipeline: decode → embed → quantized-IVF
+    // retrieval (int8 codes scored inside probe cells, bounded-heap
+    // ranking — no cross join; mm_similar_media above stays as the
+    // labeled exact baseline). The whole composition keeps a
+    // full-algorithm oracle because the stub feature lanes are exact
+    // integers and every IVF stage is deterministic.
+    "mm_similar_media_ivf" -> ((s, dir) => {
+      val f = Multimodal.extractFeatures(media(s, dir), dim = 16)
+        .toDF().localCheckpoint()
+      graft.ops.Similarity.ivfQuantizedTopK(
+        f.filter(col("media_id") < 10), f, k = 5, nCells = 16, nProbe = 4,
+        idCol = "media_id", vecCol = "feature")
+    }),
   )
 
   private val metaSql =
@@ -94,6 +108,56 @@ object MmStreamQueries {
         |    list_cosine_similarity(q.e, c.e) AS sim
         |  FROM f q JOIN f c ON q.media_id != c.media_id
         |  WHERE q.media_id < 10
+        |), ranked AS (
+        |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
+        |  FROM sims)
+        |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    // the IvfInt8Sql pipeline (OpsQueries precedent) over the stub
+    // feature lanes: same md5-ordered centroids, argmin cells, max-abs
+    // int8 codes, exact integer dots, round(sim,6)+id ranking
+    "mm_similar_media_ivf" ->
+      """WITH v AS (
+        |  SELECT doc_id AS vec_id,
+        |    [cast(coalesce(list_sum(
+        |       [ascii(substr(text, p, 1)) for p in range(1 + j, length(text) + 1, 16)]
+        |     ), 0) as double) for j in range(0, 16)] AS e
+        |  FROM documents
+        |), cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) - 1 AS cell, e
+        |  FROM v ORDER BY md5(cast(vec_id as varchar)) LIMIT 16
+        |), sc AS (
+        |  SELECT vec_id, e,
+        |    list_max(list_transform(e, x -> abs(x))) AS scale
+        |  FROM v
+        |), qz AS (
+        |  SELECT vec_id, e, scale,
+        |    CASE WHEN scale = 0.0
+        |      THEN list_transform(e, x -> CAST(0 AS DOUBLE))
+        |      ELSE list_transform(e, x -> floor((x * 127.0) / scale + 0.5))
+        |    END AS qv
+        |  FROM sc
+        |), cassign AS (
+        |  SELECT vec_id, scale, qv, cell FROM (
+        |    SELECT n.vec_id, n.scale, n.qv, c.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY -(list_inner_product(n.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+        |                 c.cell ASC) AS r
+        |    FROM qz n CROSS JOIN cent c) WHERE r = 1
+        |), qprobe AS (
+        |  SELECT vec_id AS q_id, scale AS q_scale, qv AS q_qv, cell FROM (
+        |    SELECT q.vec_id, q.scale, q.qv, c.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY -(list_inner_product(q.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+        |                 c.cell ASC) AS r
+        |    FROM qz q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE r <= 4
+        |), sims AS (
+        |  SELECT p.q_id, a.vec_id AS n_id,
+        |    ((list_dot_product(p.q_qv, a.qv) * p.q_scale) * a.scale) / 16129.0 AS sim
+        |  FROM qprobe p JOIN cassign a USING (cell)
+        |  WHERE p.q_id != a.vec_id
         |), ranked AS (
         |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
         |    row_number() OVER (PARTITION BY q_id
