@@ -387,6 +387,13 @@ object OpsQueries {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(docs(s, dir), "doc_id", "text", n = 2)),
 
+    // character-distribution Shannon entropy (nats): the gibberish axis —
+    // base64/hex blobs rank high, templated text low; row-local native
+    // pass, ascending-char fold order keeps the double oracle-exact
+    "text_char_entropy" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.functions.hashes.char_entropy(col("text")).as("char_entropy"))),
+
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.contentFingerprint(col("text")).as("fingerprint"))),
@@ -1075,6 +1082,27 @@ object OpsQueries {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // per-char counts are exact integers; the -p·ln p terms fold in
+    // ascending char order via list(... ORDER BY c) — the same
+    // fixed-order list_sum discipline as text_perplexity, so the double
+    // hash-matches the JVM's ascending-TreeMap fold
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c
+        |), tot AS (
+        |  SELECT doc_id, cast(sum(k) as double) AS n FROM cnt GROUP BY doc_id
+        |), terms AS (
+        |  SELECT cnt.doc_id,
+        |    list_sum(list(
+        |      -((cast(k as double) / n) * ln(cast(k as double) / n))
+        |      ORDER BY c)) AS ent
+        |  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
+        |SELECT d.doc_id, cast(coalesce(t.ent, 0.0) as double) AS char_entropy
+        |FROM documents d LEFT JOIN terms t USING (doc_id)""".stripMargin,
 
     // RRF fusion: only integer RANKS enter the score (sum of two exact
     // reciprocals, fixed order) — the BM25 doubles and cosine rounding

@@ -455,6 +455,47 @@ case class RepetitionStats(child: Expression, n: Int)
 }
 
 /**
+ * Shannon entropy (nats) of a text column's CHARACTER distribution — the
+ * classic gibberish/boilerplate axis quality filters pair with token
+ * stats: base64 blobs and hex dumps sit far ABOVE prose (near-uniform
+ * chars), templated/repeated text sits far BELOW it. One row-local
+ * counting pass; the `-p·ln p` terms are summed in ascending character
+ * order — a FIXED fold order, so a SQL engine folding an ord-sorted list
+ * reproduces the double bit-for-bit (the [[UnigramLogProb]] discipline;
+ * `Math.log` matches DuckDB `ln` on this platform). Empty text → 0.0.
+ * Counts are per UTF-16 code unit, identical to codepoints on the ASCII
+ * corpus and to DuckDB's binary char order for BMP text.
+ */
+case class CharEntropy(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    if (s.isEmpty) return java.lang.Double.valueOf(0.0)
+    val counts = new java.util.TreeMap[Character, Long]()
+    var i = 0
+    while (i < s.length) {
+      counts.merge(s.charAt(i), 1L, java.lang.Long.sum(_, _))
+      i += 1
+    }
+    val n = s.length.toDouble
+    var sum = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      sum += -(p * Math.log(p))
+    }
+    java.lang.Double.valueOf(sum)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Unigram language-model surprisal of a text column — the KenLM-style
  * perplexity PROXY used for corpus quality filtering: per document,
  * struct(n_tokens, sum_logp) where
@@ -530,6 +571,9 @@ object hashes {
 
   def compression_ratio(c: Column, level: Int = 6): Column =
     Bridge.column(CompressionRatio(Bridge.expression(c), level))
+
+  def char_entropy(c: Column): Column =
+    Bridge.column(CharEntropy(Bridge.expression(c)))
 
   def unigram_logprob(c: Column, vocab: Map[String, Long], total: Long): Column =
     Bridge.column(UnigramLogProb(Bridge.expression(c), vocab, total))

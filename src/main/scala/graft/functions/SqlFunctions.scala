@@ -29,6 +29,7 @@ object SqlFunctions {
     "sorted_intersect_count" -> (e => SortedIntersectCount(e(0), e(1))),
     "repetition_stats" -> (e => RepetitionStats(e.head, intArg(e, 1, 2))),
     "compression_ratio" -> (e => CompressionRatio(e.head, intArg(e, 1, 6))),
+    "char_entropy" -> (e => CharEntropy(e.head)),
     "math_ln" -> (e => MathLn(e.head)),
     // composition of built-in bit ops — registered so SQL users can
     // sort/cluster by the same layout key the sink writes

@@ -177,6 +177,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(TextAnalysis.bm25SearchIndexed(spark, idxStream, terms, k = 20)) == appended)
   }
 
+  test("char entropy: hand-computed values, gibberish-vs-template separation, SQL surface") {
+    val df = Seq(
+      (1L, "aaaa"),                 // single symbol -> 0 nats
+      (2L, "abab"),                 // two equiprobable symbols -> ln 2
+      (3L, ""),                     // empty -> 0 by convention
+      (4L, "a8Zq3!kP0wXy$rT9"),     // near-uniform (gibberish-like)
+      (5L, "spam spam spam spam"),  // templated
+    ).toDF("doc_id", "text")
+    val e = df.select(col("doc_id"),
+      graft.functions.hashes.char_entropy(col("text")).as("ent"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(e(1L) == 0.0 && e(3L) == 0.0)
+    assert(math.abs(e(2L) - math.log(2.0)) < 1e-15)
+    // 16 distinct chars over 16 positions -> exactly ln 16
+    assert(math.abs(e(4L) - math.log(16.0)) < 1e-12)
+    assert(e(4L) > e(5L) + 1.0, s"gibberish ${e(4L)} vs template ${e(5L)}")
+    // deterministic and available from SQL (both installation paths)
+    graft.functions.hashes.registerSql(spark)
+    val viaSql = df.selectExpr("char_entropy(text) AS ent")
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    assert(viaSql == e.values.toSeq.sorted)
+  }
+
   test("vocab coverage: exact OOV counts against an explicit vocabulary") {
     val df = Seq(
       (1L, "alpha beta gamma alpha"), // 4 tokens, 3 in vocab (alpha x2, beta)
