@@ -70,7 +70,7 @@ object Dedup {
     df.withColumn("__h", digest)
       .join(winners, col("__h") === col("__win_h") &&
         col(idCol) === col("__win_id"), "left_semi")
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
   /**
@@ -394,7 +394,7 @@ object Dedup {
     val confirmedNovel = newDocs.filter(might)
       .withColumn("__h", md5(col(textCol).cast("binary")))
       .join(corpusDigests, col("__h") === col("__corpus_h"), "left_anti")
-      .select(newDocs.columns.map(col): _*)
+      .select(newDocs.columns.toIndexedSeq.map(col): _*)
     definiteNovel.union(confirmedNovel)
   }
 

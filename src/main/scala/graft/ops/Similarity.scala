@@ -247,7 +247,7 @@ object Similarity {
       val dist = -(dot(vec, typedlit(c.toSeq)) - lit(c.map(x => x * x).sum / 2))
       struct(dist.as("d"), lit(i).as("cell"))
     }
-    array_sort(array(scored: _*))
+    array_sort(array(scored.toIndexedSeq: _*))
   }
 
   def ivfTopK(
@@ -306,7 +306,7 @@ object Similarity {
         val dist = -(dot(vec, typedlit(c.toSeq)) - lit(c.map(x => x * x).sum / 2))
         struct(dist.as("d"), lit(i).as("cell"))
       }
-      element_at(array_sort(array(scored: _*)), 1)("cell")
+      element_at(array_sort(array(scored.toIndexedSeq: _*)), 1)("cell")
     }
     // materialized once: the assignment (nCells dots per row over the
     // parquet scan) feeds three plan branches (both pair sides + the
@@ -633,7 +633,7 @@ object Similarity {
     // handful of ints — it exists precisely to become a partition filter
     val probedCells = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
     val cells = spark.read.parquet(s"$indexPath/cells")
-      .filter(col("cell").isin(probedCells.map(_.asInstanceOf[Any]): _*))
+      .filter(col("cell").isin(probedCells.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
     val c = cells.select(col("cell"), col(idCol).as("n_id"),
       col("scale").as("n_scale"), col("code").as("n_q"))
     val sims = q.join(c, Seq("cell"))

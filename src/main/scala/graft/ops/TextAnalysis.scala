@@ -737,6 +737,6 @@ object TextAnalysis {
       .select(col(groupCol), col(scoreCol).as("__thr"))
     ranked.join(broadcast(thresholds), Seq(groupCol))
       .filter(col(scoreCol) >= col("__thr"))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 }

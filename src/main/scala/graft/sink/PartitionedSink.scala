@@ -275,7 +275,7 @@ object PartitionedSink {
       return
     }
     val mm = df.agg(min(qcol(colA)), max(qcol(colA)),
-      min(qcol(colB)), max(qcol(colB))).head
+      min(qcol(colB)), max(qcol(colB))).head()
     def lv(i: Int): Long = mm.getAs[Number](i).longValue()
     val (minA, minB) = (lv(0), lv(2))
     val spanA = spanChecked(lv(1), minA, 65535L, colA)
@@ -333,7 +333,7 @@ object PartitionedSink {
     val top = (1L << bits) - 1
     // one agg pass: [min(c0), max(c0), min(c1), max(c1), ...]
     val aggCols = cols.flatMap(c => Seq(min(qcol(c)), max(qcol(c))))
-    val mm = df.agg(aggCols.head, aggCols.tail: _*).head
+    val mm = df.agg(aggCols.head, aggCols.tail: _*).head()
     def mn(i: Int): Long = mm.getAs[Number](2 * i).longValue()
     def mx(i: Int): Long = mm.getAs[Number](2 * i + 1).longValue()
     // exact long normalization via temp columns (backtick-safe, overflow
@@ -387,7 +387,7 @@ object PartitionedSink {
     val clustered =
       if (filesPerPartition == 1) df.repartition(keyCols: _*)
       else df.repartition(keyCols :+
-        pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPartition)): _*)
+        pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(filesPerPartition)): _*)
     var w = clustered.write.format(format.name)
       .partitionBy(partitionFields: _*).mode(SaveMode.Overwrite)
     codec.foreach { c =>
