@@ -382,6 +382,12 @@ object OpsQueries {
       TextAnalysis.unigramSurprisal(docs(s, dir), "doc_id", "text",
         vocabSize = 1000)),
 
+    // conditional (bigram) cross-entropy: scrambled/templated text keeps
+    // plausible unigrams but implausible transitions — bounded top-K
+    // vocab literals + one zero-shuffle native scoring pass
+    "text_bigram_perplexity" -> ((s, dir) =>
+      TextAnalysis.bigramSurprisal(docs(s, dir), "doc_id", "text")),
+
     // Gopher-style repetition signals over word bigrams (dup fraction +
     // top-gram share — degenerate/templated-document detection)
     "text_repetition" -> ((s, dir) =>
@@ -1255,6 +1261,38 @@ object OpsQueries {
         |  FROM wne LEFT JOIN vocab v USING (token) CROSS JOIN tot)
         |SELECT doc_id,
         |  cast(count(*) as bigint) AS n_tokens,
+        |  -(list_sum(list(lp ORDER BY ord)) / count(*)) AS cross_entropy
+        |FROM term GROUP BY doc_id""".stripMargin,
+
+    // bigram surprisal: the same ord-sorted list_sum fold as
+    // text_perplexity; numerator/denominator floors and the ≤1 clamp
+    // (greatest) mirror BigramLogProb's documented proxy rule exactly
+    "text_bigram_perplexity" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), pr AS (
+        |  SELECT doc_id, i AS ord, toks[i] AS w1, toks[i+1] AS w2
+        |  FROM w, unnest(range(1, len(toks))) AS u(i)
+        |  WHERE toks[i] != '' AND toks[i+1] != ''
+        |), tok AS (
+        |  SELECT toks[i] AS token
+        |  FROM w, unnest(range(1, len(toks) + 1)) AS u(i)
+        |  WHERE toks[i] != ''
+        |), ucnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        |uvocab AS (SELECT token, n FROM ucnt ORDER BY n DESC, token ASC LIMIT 1000),
+        |bcnt AS (SELECT w1 || ' ' || w2 AS pair, count(*) AS n FROM pr GROUP BY 1),
+        |bvocab AS (SELECT pair, n FROM bcnt ORDER BY n DESC, pair ASC LIMIT 4000),
+        |term AS (
+        |  SELECT pr.doc_id, pr.ord,
+        |    ln(cast(coalesce(bv.n, 1) as double)
+        |       / cast(greatest(coalesce(uv.n, 1), coalesce(bv.n, 1)) as double)) AS lp
+        |  FROM pr
+        |  LEFT JOIN bvocab bv ON bv.pair = pr.w1 || ' ' || pr.w2
+        |  LEFT JOIN uvocab uv ON uv.token = pr.w1)
+        |SELECT doc_id,
+        |  cast(count(*) as bigint) AS n_pairs,
         |  -(list_sum(list(lp ORDER BY ord)) / count(*)) AS cross_entropy
         |FROM term GROUP BY doc_id""".stripMargin,
 

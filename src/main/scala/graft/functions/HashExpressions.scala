@@ -551,6 +551,64 @@ case class UnigramLogProb(
     copy(child = newChild)
 }
 
+/**
+ * Bigram language-model surprisal — the conditional sibling of
+ * [[UnigramLogProb]]: per document, struct(n_pairs, sum_logp) with
+ * `sum_logp = Σ ln(c(w₁w₂) / max(c(w₁), c(w₁w₂)))` over adjacent
+ * token pairs IN ORDER (both tokens non-empty). Counts outside the
+ * bounded top-K vocabularies floor to 1 (the add-one discipline), and
+ * the denominator clamps to the numerator so probabilities stay ≤ 1
+ * even when the bigram made its vocabulary cut but its left unigram
+ * missed the (separately truncated) unigram cut — a fixed, documented
+ * proxy rule both engines compute identically. Same determinism story
+ * as the unigram: sequential left-to-right fold, `Math.log` ==
+ * DuckDB `ln`, vocabularies ride as constructor literals.
+ */
+case class BigramLogProb(
+    child: Expression, bigrams: Map[String, Long],
+    unigrams: Map[String, Long])
+  extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val bi = {
+    val m = new java.util.HashMap[String, Long](bigrams.size * 2)
+    bigrams.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+  @transient private lazy val uni = {
+    val m = new java.util.HashMap[String, Long](unigrams.size * 2)
+    unigrams.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pairs", LongType, nullable = false),
+    StructField("sum_logp", DoubleType, nullable = false)))
+  override def prettyName: String = "bigram_logprob"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = TextNormJvm.normalize(input.toString)
+    val toks = text.split(" ", -1)
+    var sum = 0.0
+    var n = 0L
+    var i = 1
+    while (i < toks.length) {
+      val w1 = toks(i - 1)
+      val w2 = toks(i)
+      if (w1.nonEmpty && w2.nonEmpty) {
+        val num = bi.getOrDefault(w1 + " " + w2, 1L)
+        val den = Math.max(uni.getOrDefault(w1, 1L), num)
+        sum += Math.log(num.toDouble / den.toDouble)
+        n += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, sum)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers for the native expressions. */
 object hashes {
   def minhash_signature(c: Column, numHashes: Int = 64, shingleLen: Int = 5): Column =
@@ -577,6 +635,10 @@ object hashes {
 
   def unigram_logprob(c: Column, vocab: Map[String, Long], total: Long): Column =
     Bridge.column(UnigramLogProb(Bridge.expression(c), vocab, total))
+
+  def bigram_logprob(
+      c: Column, bigrams: Map[String, Long], unigrams: Map[String, Long]): Column =
+    Bridge.column(BigramLogProb(Bridge.expression(c), bigrams, unigrams))
 
   def bpe_round2_pairs(c: Column, pair: String): Column =
     Bridge.column(BpeRound2Pairs(Bridge.expression(c), pair))

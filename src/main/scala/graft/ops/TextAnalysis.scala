@@ -461,6 +461,52 @@ object TextAnalysis {
   }
 
   /**
+   * Bigram language-model surprisal — the CONDITIONAL sibling of
+   * [[unigramSurprisal]] and a sharper fluency filter: scrambled or
+   * templated text keeps plausible unigrams but implausible transitions,
+   * so its conditional cross-entropy rises where the unigram score
+   * stays flat. Per document: n_pairs and
+   * cross_entropy = −(Σ ln p(w₂|w₁))/n over adjacent non-empty token
+   * pairs in order, with p = c(w₁w₂)/max(c(w₁), c(w₁w₂)) and counts
+   * outside the bounded top-K vocabularies floored to 1 (the documented
+   * proxy rule of [[graft.functions.BigramLogProb]]).
+   *
+   * Same two-pass scale shape as the unigram: bounded corpus tables
+   * (top-`bigramVocab` bigrams, top-`unigramVocab` unigrams — count
+   * desc, key asc, deterministic at the cut) collected once and embedded
+   * as plan literals; then one zero-shuffle row-local native pass.
+   * Oracle-checkable end-to-end (fixed fold order + bit-identical ln).
+   */
+  def bigramSurprisal(
+      df: DataFrame, idCol: String, textCol: String,
+      bigramVocab: Int = 4000, unigramVocab: Int = 1000): DataFrame = {
+    val toks = df.select(graft.functions.hashes.word_tokens(col(textCol)).as("__w"))
+    val w = col("__w")
+    val uni: Map[String, Long] = toks
+      .select(explode(w).as("token")).filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(unigramVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bi: Map[String, Long] = toks
+      .filter(size(w) >= 2)
+      .select(explode(transform(sequence(lit(0), size(w) - 2),
+        i => struct(element_at(w, i + 1).as("a"), element_at(w, i + 2).as("b"))))
+        .as("p"))
+      .filter(col("p.a") =!= "" && col("p.b") =!= "")
+      .select(concat_ws(" ", col("p.a"), col("p.b")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc).limit(bigramVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = col("__st")
+    df.select(col(idCol),
+      graft.functions.hashes.bigram_logprob(col(textCol), bi, uni).as("__st"))
+      .filter(st("n_pairs") > 0)
+      .select(col(idCol),
+        st("n_pairs").as("n_pairs"),
+        (-(st("sum_logp") / st("n_pairs"))).as("cross_entropy"))
+  }
+
+  /**
    * Collocation extraction: top token bigrams by pointwise mutual
    * information, PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ), with a minimum
    * bigram count to suppress noise. The workhorse for multi-word-entity

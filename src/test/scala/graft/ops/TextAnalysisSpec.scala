@@ -177,6 +177,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(TextAnalysis.bm25SearchIndexed(spark, idxStream, terms, k = 20)) == appended)
   }
 
+  test("bigram surprisal: hand-computed conditional cross-entropy, rare-transition penalty") {
+    val df = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"),
+    ).toDF("doc_id", "text")
+    // corpus: c(a)=3, c(b)=2, c(c)=1; c("a b")=2, c("a c")=1
+    // doc1/doc2: p(b|a) = 2/max(3,2) -> ce = -ln(2/3)
+    // doc3:      p(c|a) = 1/max(3,1) -> ce = -ln(1/3) = ln 3
+    val got = TextAnalysis.bigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 1L && got(3L)._1 == 1L)
+    assert(got(1L)._2 == -Math.log(2.0 / 3.0))
+    assert(got(2L)._2 == got(1L)._2)
+    assert(got(3L)._2 == Math.log(3.0))
+    // the rare transition costs more than the common one
+    assert(got(3L)._2 > got(1L)._2)
+    // single-token and empty docs drop (no pairs)
+    val edge = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramSurprisal(edge, "doc_id", "text").count() == 0)
+  }
+
   test("char entropy: hand-computed values, gibberish-vs-template separation, SQL surface") {
     val df = Seq(
       (1L, "aaaa"),                 // single symbol -> 0 nats
