@@ -85,6 +85,20 @@ object SinkQueries {
           min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
     }),
 
+    // the sink's health surface: per-partition occupancy from a
+    // zero-data-column scan (footer counts grouped on partition cols +
+    // input_file_name). n_files is writer-parallelism-dependent, so the
+    // oracle checks the row side; the file side is spec-asserted through
+    // the fragment→compact cycle in CompactionSpec.
+    "sink_partition_stats" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_sink_stats").toString
+      PartitionedSink.write(Tables(s, dir, "orders"), out,
+        SinkConfig(ParquetFormat, Seq("o_orderpriority"), Some("snappy"),
+          runtimeNullCheck = true))
+      PartitionCatalog.partitionStats(s, out, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n_rows"))
+    }),
+
     "sink_multifield_layout" -> ((s, dir) => {
       val out = Files.createTempDirectory("graft_sink_multi").toString
       val li = Tables(s, dir, "lineitem")
@@ -159,6 +173,11 @@ object SinkQueries {
         |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
         |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
         |FROM b GROUP BY bucket""".stripMargin,
+
+    "sink_partition_stats" ->
+      """SELECT trim(cast(o_orderpriority as varchar)) AS o_orderpriority,
+        |  count(*) AS n_rows
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "sink_multifield_layout" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

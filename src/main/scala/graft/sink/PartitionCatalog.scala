@@ -165,6 +165,38 @@ object PartitionCatalog {
     * ([[listFromCatalog]]) instead of a filesystem walk — the catalog is the
     * source of truth a metastore deployment maintains, and the walk's
     * per-directory listStatus cost disappears. */
+  /**
+   * Per-partition occupancy over a partitioned tree: one row per
+   * partition tuple with `n_rows` and `n_files` — the sink's health
+   * surface, sibling of `Similarity.ivfIndexHealth` (partition metadata
+   * is a first-class queryable surface, not opaque directories). The
+   * operational read: `n_files` feeds the compaction decision (every
+   * (task × partition) pair writes a file, so fragmentation grows with
+   * writer parallelism), and row skew across partition values is the
+   * partition-key-choice alarm the validators can't see statically.
+   *
+   * Cost shape at 100 TB: grouping on the PARTITION columns plus
+   * `input_file_name` materializes zero data columns — the scan iterates
+   * footer/batch row counts per file; the aggregate's cardinality is the
+   * file count, combined map-side to the partition count. No driver
+   * filesystem walk, no collect.
+   */
+  def partitionStats(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      partitionFields: Seq[String],
+      format: SinkFormat = ParquetFormat): DataFrame = {
+    val keyCols = partitionFields.map(col)
+    PartitionedSink.readBack(spark, path, format)
+      .groupBy((keyCols :+ org.apache.spark.sql.functions.input_file_name()
+        .as("__f")): _*)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("__rows"))
+      .groupBy(keyCols: _*)
+      .agg(org.apache.spark.sql.functions.sum(col("__rows")).as("n_rows"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_files"))
+  }
+
   def assertNoneExist(prepared: DataFrame, path: String, fields: Seq[String],
       catalogTable: Option[String] = None): Unit = {
     val spark = prepared.sparkSession

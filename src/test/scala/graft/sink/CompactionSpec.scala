@@ -45,6 +45,31 @@ class CompactionSpec extends SparkSpec {
         r.getString(0) -> r.getLong(1)).toMap)
   }
 
+  test("partitionStats tracks the fragment->compact cycle exactly") {
+    val orders = graft.Tables(spark, sf0001, "orders")
+    val frag = Files.createTempDirectory("graft_stats_in")
+    val comp = Files.createTempDirectory("graft_stats_out")
+    PartitionedSink.write(orders.repartition(8), frag.toString,
+      SinkConfig(ParquetFormat, Seq("o_orderpriority"), runtimeNullCheck = true))
+    def stats(p: Path) = PartitionCatalog
+      .partitionStats(spark, p.toString, Seq("o_orderpriority"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val before = stats(frag)
+    // n_files agrees with the filesystem, n_rows with the source
+    // (dataFiles keys are directory names "field=value"; stats keys are values)
+    assert(before.map { case (k, v) => s"o_orderpriority=$k" -> v._2.toInt } ==
+      dataFiles(frag))
+    assert(before.values.map(_._1).sum == orders.count())
+    assert(before.values.exists(_._2 > 1), "fixture must be fragmented")
+    PartitionedSink.compact(spark, frag.toString, comp.toString,
+      Seq("o_orderpriority"))
+    val after = stats(comp)
+    assert(after.keySet == before.keySet)
+    assert(after.values.forall(_._2 == 1L), s"compacted to 1 file each: $after")
+    assert(after.view.mapValues(_._1).toMap == before.view.mapValues(_._1).toMap,
+      "per-partition row counts must survive compaction")
+  }
+
   test("compaction with a file budget: salted split honors filesPerPartition") {
     val orders = graft.Tables(spark, sf0001, "orders")
     val frag = Files.createTempDirectory("graft_compact_in2")
