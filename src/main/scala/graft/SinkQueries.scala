@@ -85,6 +85,24 @@ object SinkQueries {
           min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
     }),
 
+    // size-targeted flavor: the byte target (here: half the fragmented
+    // tree, so partitions really split) becomes the writer's
+    // maxRecordsPerFile via observed bytes/row; content identity is the
+    // oracle, the file-count/size behavior is spec-asserted
+    "sink_compacted_sized" -> ((s, dir) => {
+      val frag = Files.createTempDirectory("graft_sink_fragsz").toString
+      val comp = Files.createTempDirectory("graft_sink_compsz").toString
+      val orders = Tables(s, dir, "orders")
+      PartitionedSink.write(orders.repartition(8), frag,
+        SinkConfig(ParquetFormat, Seq("o_orderpriority"), Some("snappy"),
+          runtimeNullCheck = true))
+      PartitionedSink.compactToTargetSize(s, frag, comp,
+        Seq("o_orderpriority"), targetBytes = 4L << 20)
+      PartitionedSink.readBack(s, comp)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
     // the sink's health surface: per-partition occupancy from a
     // zero-data-column scan (footer counts grouped on partition cols +
     // input_file_name). n_files is writer-parallelism-dependent, so the
@@ -131,6 +149,7 @@ object SinkQueries {
   val oracles: Map[String, String] = Map(
     "sink_parquet_partitioned" -> ordersOracle,
     "sink_compacted" -> ordersOracle,
+    "sink_compacted_sized" -> ordersOracle,
     "sink_orc_partitioned" -> orcAvroOracle,
     "sink_avro_partitioned" -> orcAvroOracle,
     "sink_range_sharded" ->

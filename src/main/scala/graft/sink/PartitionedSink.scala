@@ -396,6 +396,51 @@ object PartitionedSink {
     w.save(outPath)
   }
 
+  /**
+   * [[compact]] with a TARGET FILE SIZE instead of a uniform file count —
+   * the knob operators actually reason in ("~512 MB files"), and the one
+   * that serves a 2 GB partition and a 2 MB partition in the same pass
+   * (a uniform `filesPerPartition` can't). The tree's total bytes come
+   * from one filesystem listing (driver-side, the listing a
+   * namenode/metastore already serves); with the corpus-wide observed
+   * bytes/row this converts the byte target into the writer's
+   * `maxRecordsPerFile` cap, which splits any oversized partition
+   * DETERMINISTICALLY at file-write time — a salt column cannot promise
+   * that (the partitionBy writer merges same-partition salt groups that
+   * hash into one task, silently under-splitting). Rows re-cluster one
+   * task per partition value, so under-target partitions land as exactly
+   * one file. Per-partition compression-ratio differences make the byte
+   * target approximate (it is a target, not a contract).
+   */
+  def compactToTargetSize(
+      spark: SparkSession, inPath: String, outPath: String,
+      partitionFields: Seq[String], targetBytes: Long,
+      format: SinkFormat = ParquetFormat, codec: Option[String] = None): Unit = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(inPath))
+    val it = fs.listFiles(root, true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && !f.getPath.getName.startsWith("_")) totalBytes += f.getLen
+    }
+    val df = readBack(spark, inPath, format)
+    val totalRows = math.max(df.count(), 1L)
+    val avgRowBytes = math.max(1L, totalBytes / totalRows)
+    val recordsPerFile = math.max(1L, targetBytes / avgRowBytes)
+    val keyCols = partitionFields.map(qcol)
+    var w = df.repartition(keyCols: _*)
+      .write.format(format.name)
+      .partitionBy(partitionFields: _*).mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", recordsPerFile)
+    codec.foreach { c =>
+      w = w.option("compression", Validators.resolveCodec(format.codecs, c, format.name))
+    }
+    w.save(outPath)
+  }
+
   /** T2 analogue (`_CDAPStageName` constant injection,
     * `common/Schemas.java:24-30` + `AvroDynamicPartitionedDatasetSink.java:82-85`):
     * append a constant stage-name column. In Spark the partition-field list

@@ -70,6 +70,41 @@ class CompactionSpec extends SparkSpec {
       "per-partition row counts must survive compaction")
   }
 
+  test("size-targeted compaction: budgets track per-partition input bytes") {
+    import scala.jdk.CollectionConverters._
+    val orders = graft.Tables(spark, sf0001, "orders")
+    val frag = Files.createTempDirectory("graft_tsize_in")
+    PartitionedSink.write(orders.repartition(8), frag.toString,
+      SinkConfig(ParquetFormat, Seq("o_orderpriority"), runtimeNullCheck = true))
+    def partBytes(root: Path): Map[String, Long] =
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.groupBy(p => root.relativize(p).subpath(0, 1).toString)
+        .view.mapValues(_.map(Files.size).sum).toMap
+    val pb = partBytes(frag)
+    // target = half the largest partition -> that partition needs >= 2 files
+    val target = pb.values.max / 2
+    val comp = Files.createTempDirectory("graft_tsize_out")
+    PartitionedSink.compactToTargetSize(spark, frag.toString, comp.toString,
+      Seq("o_orderpriority"), target)
+    val files = dataFiles(comp)
+    // the byte target is approximate (converted to a row cap via observed
+    // bytes/row), so allow one file of slack around the byte-derived budget
+    val expected = pb.view.mapValues(b => math.max(1L, (b - 1) / target + 1)).toMap
+    assert(files.keySet == pb.keySet, "partition set preserved")
+    files.foreach { case (p, n) =>
+      assert(n >= 1 && n <= expected(p) + 1, s"$p: $n files vs budget ${expected(p)}")
+    }
+    assert(files(pb.maxBy(_._2)._1) >= 2, s"largest partition must split: $files")
+    assert(PartitionedSink.readBack(spark, comp.toString).count() == orders.count())
+    // "one file no matter what": an unreachable target (and the overflow
+    // edge near Long.MaxValue) collapses every partition to a single file
+    val comp1 = Files.createTempDirectory("graft_tsize_one")
+    PartitionedSink.compactToTargetSize(spark, frag.toString, comp1.toString,
+      Seq("o_orderpriority"), Long.MaxValue)
+    assert(dataFiles(comp1).values.forall(_ == 1))
+  }
+
   test("compaction with a file budget: salted split honors filesPerPartition") {
     val orders = graft.Tables(spark, sf0001, "orders")
     val frag = Files.createTempDirectory("graft_compact_in2")
