@@ -85,6 +85,28 @@ object SinkQueries {
           min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
     }),
 
+    // W1's third disposition end-to-end: dynamic partition overwrite
+    // replaces ONLY the incoming partition's content. Full write, then an
+    // OverwritePartitions write of just the 1-URGENT rows with a patched
+    // status — if the overwrite leaked into other partitions (static
+    // overwrite wipes the tree) or missed its own, the read-back would
+    // not hash-match the CASE-patched source.
+    "sink_overwrite_partitions" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_sink_ovw").toString
+      val orders = Tables(s, dir, "orders")
+      val cfg = SinkConfig(ParquetFormat, Seq("o_orderpriority"),
+        Some("snappy"), runtimeNullCheck = true)
+      PartitionedSink.write(orders, out, cfg)
+      val patch = orders
+        .filter(trim(col("o_orderpriority").cast("string")) === "1-URGENT")
+        .withColumn("o_orderstatus", lit("X"))
+      PartitionedSink.write(patch, out,
+        cfg.copy(disposition = OverwritePartitions))
+      PartitionedSink.readBack(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
     // size-targeted flavor: the byte target (here: half the fragmented
     // tree, so partitions really split) becomes the writer's
     // maxRecordsPerFile via observed bytes/row; content identity is the
@@ -150,6 +172,13 @@ object SinkQueries {
     "sink_parquet_partitioned" -> ordersOracle,
     "sink_compacted" -> ordersOracle,
     "sink_compacted_sized" -> ordersOracle,
+    "sink_overwrite_partitions" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN trim(cast(o_orderpriority as varchar)) = '1-URGENT'
+        |    THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice,
+        |  trim(cast(o_orderpriority as varchar)) AS o_orderpriority
+        |FROM orders""".stripMargin,
     "sink_orc_partitioned" -> orcAvroOracle,
     "sink_avro_partitioned" -> orcAvroOracle,
     "sink_range_sharded" ->
