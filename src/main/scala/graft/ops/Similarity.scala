@@ -568,14 +568,27 @@ object Similarity {
    * state). Queries against the index see each batch as soon as its
    * files land; cell geometry never moves, so concurrent readers keep
    * pruning by the same directories.
+   *
+   * @param rebuildCheckEvery when > 0, every Nth micro-batch runs
+   *   [[rebuildIfSkewed]] after its append — the health-gated rebuild
+   *   wired into the maintenance loop itself. The foreachBatch worker IS
+   *   the index's single writer, so the swap happens where the
+   *   single-writer discipline already lives; the footer-priced health
+   *   read keeps the common (balanced) case nearly free, and a drifting
+   *   stream re-balances without an external operator in the loop.
    */
   def appendStreamToIvfIndex(
       stream: DataFrame, path: String,
-      idCol: String = "vec_id", vecCol: String = "embedding")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      rebuildCheckEvery: Int = 0, nCells: Int = 16,
+      rebuildThreshold: Double = IvfRebuildSkewThreshold)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        appendToIvfIndex(batch.toDF(), path, idCol, vecCol): Unit
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        appendToIvfIndex(batch.toDF(), path, idCol, vecCol)
+        if (rebuildCheckEvery > 0 && (id + 1) % rebuildCheckEvery == 0)
+          rebuildIfSkewed(batch.sparkSession, path, nCells, idCol, vecCol,
+            rebuildThreshold): Unit
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

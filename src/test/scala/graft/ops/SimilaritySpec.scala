@@ -418,6 +418,48 @@ class SimilaritySpec extends SparkSpec {
       "append-mode index must be indistinguishable from a same-centroid rebuild")
   }
 
+  test("streaming maintenance with health-gated rebuild: drift re-balances in the loop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val base = e.filter(col("vec_id") === 0L)
+      .select(Similarity.toDouble(col("embedding"))).head.getSeq[Double](0).toArray
+    val n = e.count()
+    // perturbed hot cluster (see the rebuildIfSkewed test: identical
+    // copies could never re-balance)
+    val hot = (0 until (2 * n).toInt).map { i =>
+      val v = base.clone()
+      v(i % v.length) += 1e-3 * ((i % 7) + 1)
+      (30000L + i, v.map(_.toFloat).toSeq)
+    }
+    // control: plain append, no rebuild in the loop
+    val idxCtl = java.nio.file.Files.createTempDirectory("graft_ivf_sctl").toString
+    Similarity.writeIvfIndex(e, idxCtl, nCells = 8)
+    Similarity.appendToIvfIndex(hot.toDF("vec_id", "embedding"), idxCtl)
+    val skewCtl = Similarity.ivfIndexHealth(spark, idxCtl)
+      .select("skew_ratio").head().getDouble(0)
+    assert(skewCtl >= Similarity.IvfRebuildSkewThreshold, "drift must trip")
+    // streamed: same drift through the maintenance loop with the
+    // health-gated rebuild wired in
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_srb").toString
+    Similarity.writeIvfIndex(e, idx, nCells = 8)
+    def cents() = spark.read.parquet(s"$idx/centroids")
+      .orderBy("cell").collect().map(_.toString).toSeq
+    val centsBefore = cents()
+    val input = MemoryStream[(Long, Seq[Float])]
+    input.addData(hot)
+    val sq = Similarity.appendStreamToIvfIndex(
+      input.toDF().toDF("vec_id", "embedding"), idx,
+      rebuildCheckEvery = 1, nCells = 8)
+    sq.awaitTermination(60000)
+    assert(cents() != centsBefore, "the gated rebuild must have run")
+    val health = Similarity.ivfIndexHealth(spark, idx).collect()
+    assert(health.map(_.getAs[Long]("n_rows")).sum == 3 * n, "no rows lost")
+    val skew = health.head.getAs[Double]("skew_ratio")
+    assert(skew < skewCtl, s"in-loop rebuild must beat the control: $skew vs $skewCtl")
+  }
+
   test("streaming index append: micro-batched twins land in the index and rank first") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
