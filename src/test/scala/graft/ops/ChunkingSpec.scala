@@ -160,6 +160,20 @@ class ChunkingSpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
       s"token-budget sample must not global-sort:\n$plan")
+    // property: two-level == naive at deterministic budgets spread across
+    // the whole range, including bucket-boundary-adjacent values (the
+    // driver prefix-sum's off-by-one habitat)
+    val naiveAll = docs.select(col("doc_id"),
+      TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    val cums = naiveAll.select("cum_tokens").collect().map(_.getLong(0)).sorted
+    val probes = Seq(1L, total / 7, total / 3, 2 * total / 3, total - 1) ++
+      Seq(cums(cums.length / 2) - 1, cums(cums.length / 2), cums(cums.length / 2) + 1)
+    probes.filter(b => b >= 0 && b <= total).foreach { b =>
+      assert(rows(Chunking.tokenBudgetSample(docs, "doc_id", "text", b)) ==
+        rows(naiveAll.filter(col("cum_tokens") <= b)),
+        s"two-level != naive at budget $b")
+    }
   }
 
   test("temperature mix upweights small sources and is deterministic") {
