@@ -23,6 +23,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // dynamic-partitioned writes: keep up to 16 output files open per task
+      // instead of planning a per-task sort on the partition expression —
+      // the sort is the write-side straggler amplifier on skewed partition
+      // values (SURVEY.md §7.4.5); 16 writers × default parquet buffers
+      // stays well inside executor memory
+      .config("spark.sql.maxConcurrentOutputFileWriters", "16")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -125,6 +125,26 @@ object SinkQueries {
           "o_orderpriority")
     }),
 
+    // Write-time skew control end-to-end: a deliberately hot partition value
+    // (90% of rows) written through the salted filesPerPartition path. The
+    // oracle is content identity against the source with the same derived
+    // shard column — if the salted re-cluster dropped, duplicated, or
+    // re-routed any row, the read-back would not hash-match. The file-side
+    // contract (hot value split across files, every value capped at the
+    // budget) is spec-asserted in SkewedWriteSpec.
+    "sink_skewed_write" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_sink_skew").toString
+      val orders = Tables(s, dir, "orders").withColumn("shard",
+        when(col("o_orderkey") % 100 < 90, lit("hot"))
+          .otherwise(concat(lit("c"), (col("o_orderkey") % 100).cast("string"))))
+      PartitionedSink.write(orders, out,
+        SinkConfig(ParquetFormat, Seq("shard"), Some("snappy"),
+          runtimeNullCheck = true, filesPerPartition = Some(4)))
+      PartitionedSink.readBack(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "shard")
+    }),
+
     // the sink's health surface: per-partition occupancy from a
     // zero-data-column scan (footer counts grouped on partition cols +
     // input_file_name). n_files is writer-parallelism-dependent, so the
@@ -221,6 +241,12 @@ object SinkQueries {
         |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
         |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
         |FROM b GROUP BY bucket""".stripMargin,
+
+    "sink_skewed_write" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  CASE WHEN o_orderkey % 100 < 90 THEN 'hot'
+        |    ELSE 'c' || cast(o_orderkey % 100 as varchar) END AS shard
+        |FROM orders""".stripMargin,
 
     "sink_partition_stats" ->
       """SELECT trim(cast(o_orderpriority as varchar)) AS o_orderpriority,

@@ -44,6 +44,21 @@ case object OverwritePartitions extends WriteDisposition
  *   (`SHOW PARTITIONS`) instead of walking the file tree — the right source
  *   of truth once the dataset is registered, and O(1) metastore calls
  *   instead of O(partition-dirs) listStatus at 100 TB.
+ * @param filesPerPartition write-time skew/file-budget control — THE named
+ *   100 TB failure mode of dynamic partitioned writes (SURVEY.md §7.4.5).
+ *   When set, rows are re-clustered before the write on
+ *   (partition key, deterministic content-hash salt mod n), so (a) a hot
+ *   partition value's rows spread across up to n concurrently-writing
+ *   tasks instead of one straggler, and (b) every partition value lands in
+ *   AT MOST n data files — an unshuffled wide input can no longer fan out
+ *   tasks × partitions small files. n is a cap, not an exact count: hash
+ *   collisions can merge salt groups of one value into a task (fewer
+ *   files), never split beyond n. Unset = ship the caller's task layout
+ *   unchanged (no extra exchange).
+ * @param maxRecordsPerFile per-write row cap per output file (the writer's
+ *   deterministic size-based split — a salt cannot promise file splits,
+ *   this can). Composes with filesPerPartition: the salt bounds files from
+ *   above for small partitions, the row cap splits oversized ones.
  */
 final case class SinkConfig(
     format: SinkFormat,
@@ -52,7 +67,9 @@ final case class SinkConfig(
     disposition: WriteDisposition = CreateOrAppend,
     orcOptions: Option[Validators.OrcOptions] = None,
     runtimeNullCheck: Boolean = false,
-    catalogTable: Option[String] = None)
+    catalogTable: Option[String] = None,
+    filesPerPartition: Option[Int] = None,
+    maxRecordsPerFile: Option[Long] = None)
 
 /**
  * Dynamic-partitioned dataset sink — the Spark-native re-expression of the
@@ -74,10 +91,13 @@ final case class SinkConfig(
  * tuples (column-pruned scan, partial aggregation) and lists existing
  * partitions from the file tree (or a catalog at real scale). Skewed
  * partition values are the known failure mode of dynamic partitioned writes:
- * writers sort rows by partition expression so each task holds one open file
- * per partition value at a time; pair with AQE (on by default) and
- * `spark.sql.maxConcurrentOutputFileWriters` when partition cardinality per
- * task is high.
+ * by default writers sort rows by partition expression so each task holds one
+ * open file per partition value at a time. Graft counters this on two axes:
+ * `SinkConfig.filesPerPartition` re-clusters the write so hot values spread
+ * across up to n tasks and small files are capped at n per value, and the
+ * entry sessions (Bench/Verify) pin
+ * `spark.sql.maxConcurrentOutputFileWriters=16` so high per-task partition
+ * cardinality writes through concurrent writers instead of a per-task sort.
  */
 object PartitionedSink {
 
@@ -98,6 +118,12 @@ object PartitionedSink {
       cfg.partitionFields)
     cfg.codec.foreach(c => Validators.resolveCodec(cfg.format.codecs, c, cfg.format.name))
     if (cfg.format == OrcFormat) Validators.validateOrcOptions(cfg.codec, cfg.orcOptions)
+    cfg.filesPerPartition.foreach(n =>
+      if (n <= 0) throw new GraftSchemaException(
+        s"filesPerPartition must be positive, got $n"))
+    cfg.maxRecordsPerFile.foreach(n =>
+      if (n <= 0) throw new GraftSchemaException(
+        s"maxRecordsPerFile must be positive, got $n"))
   }
 
   private def forceNonNullable(df: DataFrame, fields: Seq[String]) =
@@ -132,7 +158,22 @@ object PartitionedSink {
     if (cfg.disposition == Create)
       PartitionCatalog.assertNoneExist(prepared, path, cfg.partitionFields,
         cfg.catalogTable)
-    var writer = prepared.write
+    // write-time skew/file-budget control (see SinkConfig.filesPerPartition):
+    // re-cluster on (key, content-hash salt mod n) with the shuffle-partition
+    // count pinned explicitly — an AQE-coalescible exchange would merge salt
+    // groups on small inputs and silently defeat the hot-partition split
+    val clustered = cfg.filesPerPartition match {
+      case Some(n) =>
+        val nShuffle = math.max(n,
+          df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+        val exprs =
+          if (n == 1) cfg.partitionFields.map(col)
+          else cfg.partitionFields.map(col) :+
+            pmod(xxhash64(prepared.columns.toIndexedSeq.map(col): _*), lit(n))
+        prepared.repartition(nShuffle, exprs: _*)
+      case None => prepared
+    }
+    var writer = clustered.write
       .format(cfg.format.name)
       .partitionBy(cfg.partitionFields: _*)
       .mode(if (cfg.disposition == OverwritePartitions) SaveMode.Overwrite
@@ -152,6 +193,8 @@ object PartitionedSink {
         .option("orc.row.index.stride", o.indexStride.toString)
         .option("orc.create.index", o.createIndex.toString)
     }
+    cfg.maxRecordsPerFile.foreach(n =>
+      writer = writer.option("maxRecordsPerFile", n.toString))
     writer.save(path)
     cfg.partitionFields
   }
