@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
- * Multimodal-column and event-stream queries. The multimodal payloads are
- * the documents' UTF-8 bytes standing in for encoded media (see
- * [[graft.ops.Multimodal.MediaCodecStub]]): the decode is a deterministic
- * stub, which makes its metadata DuckDB-expressible from `length(text)` —
- * so the mapPartitions plumbing, schema, and batch shape get a real
- * hash-match oracle even though the codec is fake.
+ * Multimodal-column and event-stream queries. Image rows carry REAL
+ * synthesized PNG payloads decoded through `javax.imageio`
+ * ([[graft.ops.Multimodal.ImageIoCodec]]); audio/video rows carry the
+ * documents' UTF-8 bytes behind the deterministic
+ * [[graft.ops.Multimodal.MediaCodecStub]]. Both lanes stay
+ * DuckDB-expressible — the PNG is synthesized with SQL-derivable
+ * dimensions and pixel values (`Multimodal.synthesizePng`), so the oracle
+ * re-predicts what the real decode must read back out of the container.
+ * `byte_len` (PNG container size — an encoder property, not SQL-
+ * predictable) is projected out of the oracle queries and spec-asserted
+ * in `MultimodalSpec` instead.
  */
 object MmStreamQueries {
 
@@ -20,7 +25,7 @@ object MmStreamQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> ((s, dir) =>
-      Multimodal.decodeMeta(media(s, dir)).toDF()),
+      Multimodal.decodeMeta(media(s, dir)).toDF().drop("byte_len")),
 
     "mm_resize_plan" -> ((s, dir) =>
       Multimodal.resizePlan(Multimodal.decodeMeta(media(s, dir)).toDF(), 224)
@@ -60,18 +65,31 @@ object MmStreamQueries {
     // full-algorithm oracle because the stub feature lanes are exact
     // integers and every IVF stage is deterministic.
     "mm_similar_media_ivf" -> ((s, dir) => {
+      // exact power-of-two pre-scale (2^-16): image-lane pixel sums reach
+      // ~1e5, so reconstructed int8 dots would sit at ~3.5e9 — where
+      // round(sim, 6) is finer than the double ulp and the rounded score
+      // diverges between engines. Dividing by 65536 is exact in float32
+      // and double alike, so every downstream value (codes, cells, sims)
+      // is the unscaled one scaled bit-exactly into the O(1) range where
+      // rounded-score ranking is portable. Standard ANN practice anyway:
+      // bounded-magnitude features before quantized retrieval.
       val f = Multimodal.extractFeatures(media(s, dir), dim = 16)
-        .toDF().localCheckpoint()
+        .toDF()
+        .withColumn("feature", transform(col("feature"), x => x / lit(65536.0f)))
+        .localCheckpoint()
       graft.ops.Similarity.ivfQuantizedTopK(
         f.filter(col("media_id") < 10), f, k = 5, nCells = 16, nProbe = 4,
         idCol = "media_id", vecCol = "feature")
     }),
   )
 
+  // width/height hold for BOTH lanes by construction: the stub computes
+  // them from the payload byte length (== text length for audio/video) and
+  // synthesizePng SIZES the real PNG from the text length with the same
+  // formulas — the real decode then reads them back out of the container.
   private val metaSql =
     """SELECT doc_id AS media_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      |  octet_length(encode(text)) AS byte_len,
       |  16 + octet_length(encode(text)) % 64 AS width,
       |  16 + (octet_length(encode(text)) * 7) % 64 AS height,
       |  3 AS channels,
@@ -79,29 +97,39 @@ object MmStreamQueries {
       |  CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS n_frames
       |FROM documents""".stripMargin
 
+  // Exact-integer feature lanes, branched by kind: image rows re-predict
+  // the decoded band-0 pixel sums of the synthesized PNG (pixel p carries
+  // (p*31 + id*7) % 256 over a w×h raster sized from the text length);
+  // audio/video rows are the stub's byte-position sums (documents are pure
+  // ASCII, verified tri-scale: char position == byte position).
+  private val laneListSql =
+    """CASE WHEN doc_id % 3 = 0 THEN
+      |    [coalesce(list_sum([(p*31 + doc_id*7) % 256 for p in
+      |       range(j, (16 + length(text) % 64) * (16 + (length(text) * 7) % 64), 16)]), 0)
+      |     for j in range(0, 16)]
+      |  ELSE
+      |    [coalesce(list_sum([ascii(substr(text, p, 1)) for p in range(1 + j, length(text) + 1, 16)]), 0)
+      |     for j in range(0, 16)]
+      |  END""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "mm_decode_meta" -> metaSql,
 
-    // feature lanes are exact integer byte-sums (documents are pure ASCII,
-    // verified tri-scale: char position == byte position), so the digest is
-    // reproducible from SQL with no FP hazard
+    // exact integer lanes (see laneListSql), so the digest is reproducible
+    // from SQL with no FP hazard — for image rows this hash-checks the
+    // REAL javax.imageio decode pixel-by-pixel
     "mm_features" ->
-      """SELECT doc_id AS media_id,
-        |  md5(array_to_string(
-        |    [coalesce(list_sum(
-        |       [ascii(substr(text, p, 1)) for p in range(1 + j, length(text) + 1, 16)]
-        |     ), 0) for j in range(0, 16)], ',')) AS feature_digest
+      s"""SELECT doc_id AS media_id,
+        |  md5(array_to_string($laneListSql, ',')) AS feature_digest
         |FROM documents""".stripMargin,
 
     // same exact-integer lanes as mm_features, cast to DOUBLE[] — cosine
     // is then the bit-identical sequential fold (dedup_embedding_pairs
     // precedent); ranking by round(sim,6) + id tiebreak
     "mm_similar_media" ->
-      """WITH f AS (
+      s"""WITH f AS (
         |  SELECT doc_id AS media_id,
-        |    [cast(coalesce(list_sum(
-        |       [ascii(substr(text, p, 1)) for p in range(1 + j, length(text) + 1, 16)]
-        |     ), 0) as double) for j in range(0, 16)] AS e
+        |    list_transform($laneListSql, x -> cast(x as double)) AS e
         |  FROM documents
         |), sims AS (
         |  SELECT q.media_id AS q_id, c.media_id AS n_id,
@@ -119,11 +147,9 @@ object MmStreamQueries {
     // feature lanes: same md5-ordered centroids, argmin cells, max-abs
     // int8 codes, exact integer dots, round(sim,6)+id ranking
     "mm_similar_media_ivf" ->
-      """WITH v AS (
+      s"""WITH v AS (
         |  SELECT doc_id AS vec_id,
-        |    [cast(coalesce(list_sum(
-        |       [ascii(substr(text, p, 1)) for p in range(1 + j, length(text) + 1, 16)]
-        |     ), 0) as double) for j in range(0, 16)] AS e
+        |    list_transform($laneListSql, x -> cast(x as double) / 65536.0) AS e
         |  FROM documents
         |), cent AS (
         |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) - 1 AS cell, e

@@ -7,10 +7,13 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
  * Multimodal-column operators: image/audio/video payloads are opaque
  * `binary` columns with a typed metadata struct alongside. The Spark-side
  * plumbing — schema, partition-preserving batch processing, output shape —
- * is real and tested; the actual byte decoding is STUBBED behind
- * [[MediaCodecStub]] with a deterministic fake (no image/audio libraries in
- * this environment). A production deployment swaps the stub body for a real
- * codec; nothing else changes.
+ * is real and tested, and the IMAGE lane decodes for real through
+ * `javax.imageio` ([[ImageIoCodec]]): the fixture synthesizes genuine PNG
+ * payloads and the codec reads width/height/channels/pixels back out of
+ * them. Audio/video stay behind the deterministic [[MediaCodecStub]] (no
+ * audio/video libraries in this environment); the [[MediaCodec]] trait is
+ * the swap point — a production deployment drops in a real codec and
+ * nothing else changes.
  *
  * Scale posture: decode/feature-extract run as `mapPartitions` over the
  * typed Dataset — per-partition imperative batches (the Scala analogue of
@@ -26,7 +29,10 @@ object Multimodal {
     * "video"). */
   final case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
 
-  /** Decoded metadata (what a real codec would surface). */
+  /** Decoded metadata (what a real codec would surface). `byte_len` is the
+    * encoded payload size — a container/encoder property, not a content
+    * property, so oracle-matched queries project it out (PNG size is not
+    * SQL-predictable) and `MultimodalSpec` asserts it instead. */
   final case class MediaMeta(
       media_id: Long, kind: String, byte_len: Int,
       width: Int, height: Int, channels: Int,
@@ -35,14 +41,22 @@ object Multimodal {
   /** Extracted feature vector (what a real model/feature pipe would emit). */
   final case class MediaFeature(media_id: Long, feature: Array[Float])
 
+  /** The codec seam: decode + feature extraction over one media row.
+    * Serializable because instances ride mapPartitions closures to
+    * executors. */
+  trait MediaCodec extends Serializable {
+    def decode(row: MediaRow): MediaMeta
+    def features(row: MediaRow, dim: Int): MediaFeature
+  }
+
   /**
-   * STUB codec ???: deterministic fake decode driven only by payload length
-   * and bytes — replace the body with a real image/audio/video library
-   * call. Kept as plain functions of the byte array so the mapPartitions
-   * plumbing (batching, partition preservation, output schema) is
-   * exercised for real.
+   * STUB codec: deterministic fake decode driven only by payload length
+   * and bytes — the stand-in for audio/video (no sound/video libraries in
+   * this environment). Kept as plain functions of the byte array so the
+   * mapPartitions plumbing (batching, partition preservation, output
+   * schema) is exercised for real.
    */
-  object MediaCodecStub {
+  object MediaCodecStub extends MediaCodec {
     def decode(row: MediaRow): MediaMeta = {
       val n = row.content.length
       MediaMeta(
@@ -73,26 +87,108 @@ object Multimodal {
     }
   }
 
-  /** Wrap a text table as fake media rows (test harness: UTF-8 bytes stand
-    * in for encoded payloads; kind cycles deterministically by id). */
+  /**
+   * REAL image lane: `javax.imageio` decode of the payload bytes — width,
+   * height, and channel count come from the decoded raster, features from
+   * the decoded pixel samples (lane j = sum of band-0 samples at raster
+   * positions ≡ j mod dim, row-major). Pixel sums stay exact small
+   * integers (≤ raster_size/dim × 255 ≪ 2^24), so the feature path keeps
+   * its bit-exact cross-engine oracle even though the decode is real.
+   * Audio/video delegate to [[MediaCodecStub]].
+   */
+  object ImageIoCodec extends MediaCodec {
+    private def readImage(row: MediaRow): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.content))
+      if (img == null) throw new IllegalArgumentException(
+        s"undecodable image payload for media_id=${row.media_id}")
+      img
+    }
+
+    def decode(row: MediaRow): MediaMeta =
+      if (row.kind != "image") MediaCodecStub.decode(row)
+      else {
+        val img = readImage(row)
+        MediaMeta(
+          media_id = row.media_id,
+          kind = row.kind,
+          byte_len = row.content.length,
+          width = img.getWidth,
+          height = img.getHeight,
+          channels = img.getRaster.getNumBands,
+          sample_rate = 0,
+          n_frames = 1)
+      }
+
+    def features(row: MediaRow, dim: Int): MediaFeature =
+      if (row.kind != "image") MediaCodecStub.features(row, dim)
+      else {
+        val img = readImage(row)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val out = new Array[Float](dim)
+        var p = 0
+        while (p < w * h) {
+          out(p % dim) += raster.getSample(p % w, p / w, 0)
+          p += 1
+        }
+        MediaFeature(row.media_id, out)
+      }
+  }
+
+  /** Deterministic RGB PNG synthesis for the image fixture: dimensions
+    * follow the SAME formulas the stub applies to a byte length (so the
+    * SQL oracle derives them from `length(text)`), and band-0 pixel p
+    * (row-major) carries the value `(p*31 + id*7) % 256` — a function a
+    * SQL engine can re-evaluate, which is what gives the REAL decode path
+    * a full hash-match oracle. */
+  def synthesizePng(id: Long, sourceLen: Int): Array[Byte] = {
+    val w = 16 + sourceLen % 64
+    val h = 16 + (sourceLen * 7) % 64
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    var p = 0
+    while (p < w * h) {
+      val v = ((p * 31L + id * 7L) % 256L).toInt
+      raster.setSample(p % w, p / w, 0, v)
+      raster.setSample(p % w, p / w, 1, (v + 101) % 256)
+      raster.setSample(p % w, p / w, 2, (v + 202) % 256)
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Wrap a text table as media rows (test harness; kind cycles
+    * deterministically by id). Image rows carry a REAL synthesized PNG
+    * ([[synthesizePng]], sized from the text's byte length so metadata
+    * stays SQL-derivable); audio/video rows carry the UTF-8 bytes standing
+    * in for encoded payloads. */
   def fakeMediaFromDocs(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
-      col(idCol).as("media_id"),
-      element_at(typedlit(Seq("image", "audio", "video")),
-        (col(idCol) % 3 + 1).cast("int")).as("kind"),
-      col(textCol).cast("binary").as("content"))
-      .as[MediaRow]
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val kind = Seq("image", "audio", "video")((id % 3).toInt)
+        val bytes = text.getBytes("UTF-8")
+        val content =
+          if (kind == "image") synthesizePng(id, bytes.length) else bytes
+        MediaRow(id, kind, content)
+      }
   }
 
   /** Decode payloads to typed metadata — mapPartitions batch plumbing. */
-  def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] =
-    media.mapPartitions(_.map(MediaCodecStub.decode))(Encoders.product[MediaMeta])
+  def decodeMeta(media: Dataset[MediaRow],
+      codec: MediaCodec = ImageIoCodec): Dataset[MediaMeta] =
+    media.mapPartitions(_.map(codec.decode))(Encoders.product[MediaMeta])
 
   /** Feature extraction — mapPartitions, one codec context per partition. */
-  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeature] =
-    media.mapPartitions(_.map(MediaCodecStub.features(_, dim)))(Encoders.product[MediaFeature])
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 16,
+      codec: MediaCodec = ImageIoCodec): Dataset[MediaFeature] =
+    media.mapPartitions(_.map(codec.features(_, dim)))(Encoders.product[MediaFeature])
 
   /** Deterministic scalar digest of a feature vector — the oracle-checkable
     * projection of [[extractFeatures]] output (a raw `array<float>` column

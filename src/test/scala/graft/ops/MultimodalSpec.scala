@@ -9,6 +9,11 @@ class MultimodalSpec extends SparkSpec {
   private lazy val media = Multimodal.fakeMediaFromDocs(
     Tables(spark, sf0001, "documents"), "doc_id", "text")
 
+  private lazy val textLens: Map[Long, Int] =
+    Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), octet_length(col("text")).cast("int"))
+      .as[(Long, Int)].collect().toMap
+
   test("media wrapping: binary payload, kind cycles by id") {
     val rows = media.filter(col("media_id") < 6).collect().sortBy(_.media_id)
     assert(rows.map(_.kind).toSeq ==
@@ -16,13 +21,30 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.content.nonEmpty))
   }
 
-  test("decode stub produces schema-complete deterministic metadata") {
+  test("image payloads are genuine PNG containers") {
+    val pngMagic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val rows = media.filter(col("kind") === "image").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.content.take(8).sameElements(pngMagic),
+        s"media_id=${r.media_id} is not a PNG")
+      // the container is real: its size is the encoder's, not the text's
+      assert(r.content.length != textLens(r.media_id))
+    }
+  }
+
+  test("decode: REAL image dimensions from javax.imageio, stub for audio/video") {
     val meta = Multimodal.decodeMeta(media).collect()
     assert(meta.length == media.count())
     meta.foreach { m =>
-      assert(m.width == 16 + m.byte_len % 64)
-      assert(m.height == 16 + (m.byte_len * 7) % 64)
+      // image metadata must come out of the DECODED container and land on
+      // the synthesis formulas over the SOURCE text length (byte_len is the
+      // PNG size and must NOT satisfy them — that would mean the stub ran)
+      val srcLen = if (m.kind == "image") textLens(m.media_id) else m.byte_len
+      assert(m.width == 16 + srcLen % 64, s"$m")
+      assert(m.height == 16 + (srcLen * 7) % 64, s"$m")
       assert(m.channels == 3)
+      if (m.kind == "image") assert(m.byte_len != srcLen)
       if (m.kind == "audio") assert(m.sample_rate == 16000) else assert(m.sample_rate == 0)
       if (m.kind == "video") assert(m.n_frames == 1 + m.byte_len % 30)
       else assert(m.n_frames == 1)
@@ -30,6 +52,43 @@ class MultimodalSpec extends SparkSpec {
     // deterministic across evaluations
     val again = Multimodal.decodeMeta(media).collect()
     assert(meta.sortBy(_.media_id).sameElements(again.sortBy(_.media_id)))
+  }
+
+  test("codec seam: swapping the trait changes the image lane only") {
+    val real = Multimodal.decodeMeta(media, Multimodal.ImageIoCodec)
+      .collect().map(m => m.media_id -> m).toMap
+    val stub = Multimodal.decodeMeta(media, Multimodal.MediaCodecStub)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(real.keySet == stub.keySet)
+    real.foreach { case (id, m) =>
+      if (m.kind == "image")
+        // the stub hashes the PNG container length into width/height — the
+        // real codec reads the raster; they must disagree for ~all images
+        assert(m.byte_len == stub(id).byte_len)
+      else assert(m == stub(id))
+    }
+    val differing = real.collect {
+      case (id, m) if m.kind == "image" && m.width != stub(id).width => id }
+    assert(differing.nonEmpty, "real decode must not equal the stub formulas on PNG bytes")
+  }
+
+  test("image features sum DECODED pixel samples, reproducibly") {
+    val f = Multimodal.extractFeatures(media, dim = 16)
+      .collect().map(x => x.media_id -> x.feature.toSeq).toMap
+    // independent recomputation of one image row from the pixel formula
+    val imgIds = media.filter(col("kind") === "image")
+      .select("media_id").as[Long].collect().sorted.take(3)
+    imgIds.foreach { id =>
+      val len = textLens(id)
+      val (w, h) = (16 + len % 64, 16 + (len * 7) % 64)
+      val expect = new Array[Float](16)
+      var p = 0
+      while (p < w * h) {
+        expect(p % 16) += ((p * 31L + id * 7L) % 256L).toInt
+        p += 1
+      }
+      assert(f(id) == expect.toSeq, s"pixel-sum mismatch for media_id=$id")
+    }
   }
 
   test("resize plan fits the 224-box preserving aspect, metadata-only") {
