@@ -42,21 +42,25 @@ object OpsQueries {
     * xxhash64-derived layer (minhash signatures, simhashes, LSH buckets,
     * cluster assignments) has no SQL twin, but every layer ABOVE it —
     * banding, estimators, Hamming verification, survivorship, ranking —
-    * is pure SQL over a fixed assignment. Exporting the Spark-computed
-    * layer to a fixed absolute path (a literal both sides agree on; the
-    * oracle SQL is a static string pinned to the driver's sf0.01 oracle
-    * scale) makes those layers hash-verifiable end-to-end. Keyed by the
-    * corpus dir's basename so a bench run at another SF cannot clobber
-    * the sf0.01 side input between the driver's Verify and its DuckDB
-    * compare; built once per (export, corpus) per JVM so warm bench
-    * iterations price the operator, not the verification artifact. NOT
-    * reclaimed by the shutdown hook — DuckDB reads them after this JVM
-    * exits. All tiny (≤ corpus-row scalars/signatures). */
+    * is pure SQL over a fixed assignment. The export path is rooted at a
+    * PER-JVM run token and keyed by (export name, corpus basename); the
+    * oracle SQL carries `__SIDEROOT__`/`__SFBASE__` placeholders that
+    * `SparkEntry.oracleSqlFor` resolves against this JVM's token and the
+    * requested SF — so the DuckDB compare always reads exactly the export
+    * its own Verify run wrote (no cross-JVM clobbering, no stale exports
+    * from earlier code versions, and selfcheck is meaningful at every
+    * SF, not just the driver's sf0.01). Built once per (export, corpus)
+    * per JVM so warm bench iterations price the operator, not the
+    * verification artifact. NOT reclaimed by the shutdown hook — DuckDB
+    * reads them after this JVM exits; all tiny (≤ corpus-row
+    * scalars/signatures). */
+  private[graft] val sideRoot: String =
+    s"/tmp/graft_side/${java.util.UUID.randomUUID().toString.take(8)}"
   private val sideExports =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sideExport(name: String, dir: String)(build: => DataFrame): String =
     sideExports.computeIfAbsent(s"$name@$dir", _ => {
-      val p = s"/tmp/graft_$name/${new java.io.File(dir).getName}"
+      val p = s"$sideRoot/$name/${new java.io.File(dir).getName}"
       build.coalesce(1).write.mode("overwrite").parquet(p)
       p
     })
@@ -202,12 +206,17 @@ object OpsQueries {
     // planes have no SQL twin, but collision (multi-probe over 1-bit
     // flips ⇒ Hamming(bucket_a, bucket_b) ≤ 1), exact cosine scoring,
     // and thresholding are pure SQL over the exported bucket table
+    // threshold 0.3 (not the exact twin's 0.4): at the sf0.01 oracle scale
+    // the hottest bucket-colliding pair sits at cosine 0.385, so 0.4 made
+    // the oracle pass VACUOUSLY on 0=0 rows — 0.3 keeps a ~20-pair
+    // non-empty result that actually exercises the collision policy,
+    // threshold, and orientation handling end-to-end
     "dedup_embedding_pairs_lsh" -> ((s, dir) => {
       sideExport("lsh_buckets", dir)(emb(s, dir).select(col("vec_id"),
         Similarity.lshBucket(
           Similarity.toDouble(col("embedding")), 64, 12).as("bucket")))
       Similarity.nearDupPairs(
-        emb(s, dir).filter(col("vec_id") < 1000), dim = 64, threshold = 0.4)
+        emb(s, dir).filter(col("vec_id") < 1000), dim = 64, threshold = 0.3)
     }),
 
     // SemDeDup-style semantic dedup: IVF-cell-local greedy eps-dedup over
@@ -432,10 +441,17 @@ object OpsQueries {
 
     // character-distribution Shannon entropy (nats): the gibberish axis —
     // base64/hex blobs rank high, templated text low; row-local native
-    // pass, ascending-char fold order keeps the double oracle-exact
+    // pass. The registered projection rounds to 6 decimals: the fold
+    // order is fixed on both sides, but each -p·ln p term goes through
+    // libm, and JVM Math.log vs glibc ln disagree by 1 ulp on rare
+    // inputs (observed: p = 24/325 at sf0.1 doc 3568 — one doc in 5000).
+    // At O(1) magnitudes round(x, 6) absorbs a 1-ulp wobble with
+    // boundary risk ~1e-9/doc (the round(sim,6) argument); the raw-nats
+    // API (char_entropy) stays unrounded.
     "text_char_entropy" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        graft.functions.hashes.char_entropy(col("text")).as("char_entropy"))),
+        round(graft.functions.hashes.char_entropy(col("text")), 6)
+          .as("char_entropy"))),
 
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -587,7 +603,7 @@ object OpsQueries {
     "dedup_keep_best" ->
       """WITH clusters AS (
         |  SELECT doc_id, cluster_id
-        |  FROM read_parquet('/tmp/graft_keep_best_clusters/sf0.01/*.parquet')
+        |  FROM read_parquet('__SIDEROOT__/keep_best_clusters/__SFBASE__/*.parquet')
         |), f AS (
         |  SELECT doc_id,
         |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
@@ -633,7 +649,7 @@ object OpsQueries {
         |  FROM embeddings WHERE vec_id < 1000
         |), bk AS (
         |  SELECT vec_id, bucket
-        |  FROM read_parquet('/tmp/graft_lsh_buckets/sf0.01/*.parquet')
+        |  FROM read_parquet('__SIDEROOT__/lsh_buckets/__SFBASE__/*.parquet')
         |  WHERE vec_id < 1000)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  list_cosine_similarity(va.e, vb.e) AS sim
@@ -642,14 +658,14 @@ object OpsQueries {
         |  AND bit_count(xor(a.bucket, b.bucket)) <= 1
         |JOIN v va ON va.vec_id = a.vec_id
         |JOIN v vb ON vb.vec_id = b.vec_id
-        |WHERE list_cosine_similarity(va.e, vb.e) >= 0.4""".stripMargin,
+        |WHERE list_cosine_similarity(va.e, vb.e) >= 0.3""".stripMargin,
 
     "sim_topk_lsh" ->
       """WITH v AS (
         |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
         |), bk AS (
         |  SELECT vec_id, bucket
-        |  FROM read_parquet('/tmp/graft_lsh_buckets/sf0.01/*.parquet')
+        |  FROM read_parquet('__SIDEROOT__/lsh_buckets/__SFBASE__/*.parquet')
         |), cand AS (
         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id
         |  FROM bk q JOIN bk n
@@ -675,7 +691,7 @@ object OpsQueries {
     "dedup_minhash_pairs" ->
       """WITH s AS (
         |  SELECT doc_id, sig
-        |  FROM read_parquet('/tmp/graft_minhash_sigs/sf0.01/*.parquet')
+        |  FROM read_parquet('__SIDEROOT__/minhash_sigs/__SFBASE__/*.parquet')
         |), p AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |    cast(len(list_filter(range(1, 65), i -> a.sig[i] = b.sig[i])) as double)
@@ -688,7 +704,7 @@ object OpsQueries {
     "dedup_incremental" ->
       """WITH s AS (
         |  SELECT doc_id, sig
-        |  FROM read_parquet('/tmp/graft_minhash_sigs/sf0.01/*.parquet')
+        |  FROM read_parquet('__SIDEROOT__/minhash_sigs/__SFBASE__/*.parquet')
         |), cut AS (SELECT (max(doc_id) * 9) // 10 AS c FROM documents),
         |p AS (
         |  SELECT n.doc_id AS new_id, o.doc_id AS old_id,
@@ -707,7 +723,7 @@ object OpsQueries {
       """WITH RECURSIVE
         |s AS (
         |  SELECT doc_id, sig
-        |  FROM read_parquet('/tmp/graft_minhash_sigs/sf0.01/*.parquet')
+        |  FROM read_parquet('__SIDEROOT__/minhash_sigs/__SFBASE__/*.parquet')
         |), e0 AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -733,7 +749,7 @@ object OpsQueries {
     "dedup_simhash_pairs" ->
       """WITH s AS (
         |  SELECT doc_id, simhash
-        |  FROM read_parquet('/tmp/graft_simhash/sf0.01/*.parquet'))
+        |  FROM read_parquet('__SIDEROOT__/simhash/__SFBASE__/*.parquet'))
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  cast(bit_count(xor(a.simhash, b.simhash)) as int) AS hamming
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -1244,8 +1260,9 @@ object OpsQueries {
 
     // per-char counts are exact integers; the -p·ln p terms fold in
     // ascending char order via list(... ORDER BY c) — the same
-    // fixed-order list_sum discipline as text_perplexity, so the double
-    // hash-matches the JVM's ascending-TreeMap fold
+    // fixed-order list_sum discipline as text_perplexity. round(6) on
+    // both sides absorbs the rare 1-ulp JVM-vs-glibc libm divergence
+    // (see the query registration comment)
     "text_char_entropy" ->
       """WITH ch AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
@@ -1260,7 +1277,7 @@ object OpsQueries {
         |      -((cast(k as double) / n) * ln(cast(k as double) / n))
         |      ORDER BY c)) AS ent
         |  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
-        |SELECT d.doc_id, cast(coalesce(t.ent, 0.0) as double) AS char_entropy
+        |SELECT d.doc_id, round(cast(coalesce(t.ent, 0.0) as double), 6) AS char_entropy
         |FROM documents d LEFT JOIN terms t USING (doc_id)""".stripMargin,
 
     // RRF fusion: only integer RANKS enter the score (sum of two exact

@@ -30,8 +30,22 @@ object SparkEntry {
       MmStreamQueries.all ++ RelationalQueries.all ++ PipelineQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ SinkQueries.oracles ++ OpsQueries.oracles ++
-      MmStreamQueries.oracles ++ RelationalQueries.oracles ++ PipelineQueries.oracles
+    * the same parquet tables, resolved for a given SF dir: the seven
+    * side-input oracles read this JVM's per-run export root
+    * ([[OpsQueries.sideRoot]]) at the SF actually being verified —
+    * selfcheck is meaningful at sf0.001/0.01/0.1 alike, and a concurrent
+    * JVM on the same corpus can never swap an export between a Verify run
+    * and its DuckDB compare. Omit for non-SQL-expressible ops. */
+  def oracleSqlFor(sfDir: String): Map[String, String] = {
+    val sfBase = new java.io.File(sfDir).getName
+    (CoreQueries.oracles ++ SinkQueries.oracles ++ OpsQueries.oracles ++
+      MmStreamQueries.oracles ++ RelationalQueries.oracles ++ PipelineQueries.oracles)
+      .view.mapValues(_
+        .replace("__SIDEROOT__", OpsQueries.sideRoot)
+        .replace("__SFBASE__", sfBase))
+      .toMap
+  }
+
+  /** Driver-contract form, resolved at the driver's sf0.01 oracle scale. */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
 }

@@ -300,6 +300,109 @@ case class BpePairsWithMerges(child: Expression, merges: Seq[String])
 }
 
 /**
+ * NET adjacent-pair count deltas of ONE WORD when `newPair` is adopted on
+ * top of an ORDERED prior merge list — the single-pass kernel behind
+ * delta-maintained BPE training (`TextAnalysis.bpeTrain`). Applies the
+ * prior merges once (shared prefix of both states), diffs the adjacency
+ * pairs of the symbol sequence before/after the `newPair` merge, and
+ * emits only the NONZERO net deltas as `(pair, d)` structs — a word
+ * usually changes a handful of pairs around its merge sites, so the
+ * shuffle carries a few rows per affected word instead of two full pair
+ * listings. Words where (a, b) are never adjacent after the prior merges
+ * emit nothing (the caller's `contains(a+b)` filter is a substring
+ * SUPERSET — a+b can straddle a symbol boundary).
+ */
+case class BpeDeltaPairs(child: Expression, merges: Seq[String], newPair: String)
+  extends UnaryExpression with CodegenFallback {
+
+  (merges :+ newPair).foreach(m => require(m.indexOf(' ') > 0,
+    s"merge '$m' must be 'left right' (space-separated symbols)"))
+
+  private val parsed: Array[(String, String)] = merges.map { m =>
+    val i = m.indexOf(' ')
+    (m.substring(0, i), m.substring(i + 1))
+  }.toArray
+  private val (na, nb) = {
+    val i = newPair.indexOf(' ')
+    (newPair.substring(0, i), newPair.substring(i + 1))
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pair", StringType, nullable = false),
+      StructField("d", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "bpe_delta_pairs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = input.toString.codePoints.toArray
+    var syms = new scala.collection.mutable.ArrayBuffer[String](cps.length)
+    var i = 0
+    while (i < cps.length) {
+      syms += new String(Character.toChars(cps(i))); i += 1
+    }
+    var m = 0
+    while (m < parsed.length) {
+      val (a, b) = parsed(m)
+      if (syms.length >= 2) {
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            out += a + b; j += 2
+          } else {
+            out += syms(j); j += 1
+          }
+        }
+        syms = out
+      }
+      m += 1
+    }
+    // fast path: (na, nb) never adjacent -> no deltas at all
+    var adjacent = false
+    var j = 0
+    while (!adjacent && j + 1 < syms.length) {
+      if (syms(j) == na && syms(j + 1) == nb) adjacent = true
+      j += 1
+    }
+    if (!adjacent) return new GenericArrayData(Array.empty[Any])
+    // apply the new merge
+    val after = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    j = 0
+    while (j < syms.length) {
+      if (j + 1 < syms.length && syms(j) == na && syms(j + 1) == nb) {
+        after += na + nb; j += 2
+      } else {
+        after += syms(j); j += 1
+      }
+    }
+    // net pair deltas: -1 per old adjacency, +1 per new adjacency
+    val net = new java.util.LinkedHashMap[String, Long]()
+    j = 0
+    while (j + 1 < syms.length) {
+      val p = syms(j) + " " + syms(j + 1)
+      net.merge(p, -1L, (x, y) => x + y): Unit
+      j += 1
+    }
+    j = 0
+    while (j + 1 < after.length) {
+      val p = after(j) + " " + after(j + 1)
+      net.merge(p, 1L, (x, y) => x + y): Unit
+      j += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](net.size)
+    net.forEach { (p, d) =>
+      if (d != 0L)
+        out += org.apache.spark.sql.catalyst.InternalRow(UTF8String.fromString(p), d)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Normalized whitespace tokens of a text column — native one-pass twin of
  * `split(Dedup.normalize(c), " ")` (regex lower/trim/collapse + regex split
  * costs interpreted-regex time on every document; this is a single scan).
@@ -459,12 +562,14 @@ case class RepetitionStats(child: Expression, n: Int)
  * classic gibberish/boilerplate axis quality filters pair with token
  * stats: base64 blobs and hex dumps sit far ABOVE prose (near-uniform
  * chars), templated/repeated text sits far BELOW it. One row-local
- * counting pass; the `-p·ln p` terms are summed in ascending character
- * order — a FIXED fold order, so a SQL engine folding an ord-sorted list
- * reproduces the double bit-for-bit (the [[UnigramLogProb]] discipline;
- * `Math.log` matches DuckDB `ln` on this platform). Empty text → 0.0.
- * Counts are per UTF-16 code unit, identical to codepoints on the ASCII
- * corpus and to DuckDB's binary char order for BMP text.
+ * counting pass; the `-p·ln p` terms are summed in ascending CODEPOINT
+ * order — a FIXED fold order over per-codepoint counts (surrogate pairs
+ * count as ONE symbol, matching a SQL engine's per-codepoint extraction
+ * and UTF-8 binary sort), so an engine folding an ord-sorted list
+ * reproduces the double up to libm: JVM `Math.log` and glibc `ln`
+ * disagree by 1 ulp on rare inputs, which is why the oracle-matched
+ * QUERY projection rounds to 6 decimals while this expression returns
+ * raw nats (see `OpsQueries.text_char_entropy`). Empty text → 0.0.
  */
 case class CharEntropy(child: Expression)
   extends UnaryExpression with CodegenFallback {
@@ -475,13 +580,14 @@ case class CharEntropy(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val s = input.toString
     if (s.isEmpty) return java.lang.Double.valueOf(0.0)
-    val counts = new java.util.TreeMap[Character, Long]()
-    var i = 0
-    while (i < s.length) {
-      counts.merge(s.charAt(i), 1L, java.lang.Long.sum(_, _))
-      i += 1
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var n0 = 0L
+    val it0 = s.codePoints().iterator()
+    while (it0.hasNext) {
+      counts.merge(it0.next(), 1L, java.lang.Long.sum(_, _))
+      n0 += 1
     }
-    val n = s.length.toDouble
+    val n = n0.toDouble
     var sum = 0.0
     val it = counts.values().iterator()
     while (it.hasNext) {
@@ -630,6 +736,10 @@ object hashes {
   def compression_ratio(c: Column, level: Int = 6): Column =
     Bridge.column(CompressionRatio(Bridge.expression(c), level))
 
+  /** Shannon entropy (nats) of the text's CODEPOINT distribution —
+    * supplementary-plane symbols count once (surrogate pairs are not
+    * split). Raw double; for cross-engine hash comparisons round to 6
+    * decimals (libm implementations differ by 1 ulp on rare inputs). */
   def char_entropy(c: Column): Column =
     Bridge.column(CharEntropy(Bridge.expression(c)))
 
@@ -645,6 +755,9 @@ object hashes {
 
   def bpe_pairs_with_merges(c: Column, merges: Seq[String]): Column =
     Bridge.column(BpePairsWithMerges(Bridge.expression(c), merges))
+
+  def bpe_delta_pairs(c: Column, merges: Seq[String], newPair: String): Column =
+    Bridge.column(BpeDeltaPairs(Bridge.expression(c), merges, newPair))
 
   /** Expose the native expressions to SQL on an EXISTING session (temp
     * functions): `SELECT minhash_signature(text), simhash64(text) ...`.

@@ -731,32 +731,27 @@ object Similarity {
    * The new tree is written COMPLETELY into a sibling staging directory
    * before any destructive step (the corpus read out of the old cells
    * finishes during that write), then the old `cells/`+`centroids/` are
-   * swapped out via directory renames — metadata operations, so the
-   * vulnerable window is rename-sized, not rewrite-sized. Concurrent
-   * readers of a local/posix tree see old or new, not a mix; on object
-   * stores, run rebuilds from the index's single writer (the same
-   * single-writer discipline appends already require).
+   * swapped out via directory renames — metadata operations through the
+   * Hadoop FileSystem API (the path can be any Hadoop filesystem, not
+   * just a posix mount), so the vulnerable window is rename-sized, not
+   * rewrite-sized, and a crashed swap self-heals on the next run
+   * (`FsOps.swapIn`). Concurrent readers see old or new, not a mix, on
+   * any FS with directory rename; on object stores, run rebuilds from
+   * the index's single writer (the same single-writer discipline appends
+   * already require).
    */
   def rebuildIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String, nCells: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    import org.apache.hadoop.fs.Path
     val corpus = spark.read.parquet(s"$path/cells").select(col(idCol), col(vecCol))
-    val staging = s"$path/.rebuild"
-    writeIvfIndex(corpus, staging, nCells, idCol, vecCol)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
-    }
-    Seq("cells", "centroids").foreach { d =>
-      val old = new java.io.File(s"$path/$d")
-      val retired = new java.io.File(s"$path/.retired_$d")
-      rm(retired) // leftover from a crashed prior swap
-      if (old.exists()) java.nio.file.Files.move(old.toPath, retired.toPath)
-      java.nio.file.Files.move(
-        new java.io.File(s"$staging/$d").toPath, old.toPath)
-      rm(retired)
-    }
-    rm(new java.io.File(staging))
+    val (hfs, root) = graft.sink.FsOps.fs(spark, path)
+    val staging = new Path(root, ".rebuild")
+    graft.sink.FsOps.deleteIfExists(hfs, staging)
+    writeIvfIndex(corpus, staging.toString, nCells, idCol, vecCol)
+    Seq("cells", "centroids").foreach(d =>
+      graft.sink.FsOps.swapIn(hfs, new Path(staging, d), new Path(root, d)))
+    graft.sink.FsOps.deleteIfExists(hfs, staging)
   }
 
   /** Read the index's skew verdict and rebuild only if it breaches

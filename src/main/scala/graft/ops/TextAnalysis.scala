@@ -639,7 +639,28 @@ object TextAnalysis {
       .select(explode(graft.functions.hashes.word_tokens(col(textCol))).as("w"))
       .filter(length(col("w")) >= 2)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // DELTA pair counting — the classic BPE-at-scale play: only round 1
+    // counts every word; after adopting merge (a,b), exactly the words in
+    // which a and b were adjacent change their pair multiset, and each of
+    // those words must contain the merged string a+b as a raw substring
+    // (symbols are contiguous character runs). So each later round scans
+    // the persisted words ONCE with a cheap codegen'd `contains` filter
+    // and runs the single-pass native delta kernel
+    // ([[graft.functions.BpeDeltaPairs]]: one shared merge-apply, net
+    // (pair, ±d) rows around the merge sites only) on that affected
+    // sliver; the counts table absorbs the delta. Counts under delta
+    // maintenance are IDENTICAL to a full recount (the exact-equality
+    // contract vs the independent driver trainer pins it). The counts
+    // table is pair-vocabulary-sized — orders of magnitude below the
+    // corpus — and localCheckpoint keeps the round-over-round plan depth
+    // O(1) (the Dedup sweep precedent).
+    var counts: DataFrame = null
     try {
+      counts = words
+        .select(explode(graft.functions.hashes.bpe_pairs_with_merges(
+          col("w"), Nil)).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val merges = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       var exhausted = false
       while (!exhausted && merges.length < nMerges) {
@@ -647,14 +668,28 @@ object TextAnalysis {
         // nMerges rounds (or has no ≥2-symbol words at all) ends training
         // early with the merges found so far, instead of throwing a bare
         // NoSuchElementException mid-loop
-        words
-          .select(explode(graft.functions.hashes.bpe_pairs_with_merges(
-            col("w"), merges.map(_._1).toSeq)).as("pair"))
-          .groupBy("pair").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("pair").asc).limit(1)
+        counts.orderBy(col("n").desc, col("pair").asc).limit(1)
           .collect().headOption match {
-          case Some(top) => merges += ((top.getString(0), top.getLong(1)))
           case None => exhausted = true
+          case Some(top) =>
+            val pair = top.getString(0)
+            val prior = merges.map(_._1).toSeq
+            merges += ((pair, top.getLong(1)))
+            if (merges.length < nMerges) {
+              val sp = pair.indexOf(' ')
+              val mergedStr = pair.substring(0, sp) + pair.substring(sp + 1)
+              val delta = words
+                .filter(col("w").contains(mergedStr))
+                .select(explode(graft.functions.hashes.bpe_delta_pairs(
+                  col("w"), prior.toSeq, pair)).as("pd"))
+                .select(col("pd.pair").as("pair"), col("pd.d").as("d"))
+                .groupBy("pair").agg(sum(col("d")).as("d"))
+              counts = counts.join(delta, Seq("pair"), "full_outer")
+                .select(col("pair"),
+                  (coalesce(col("n"), lit(0L)) + coalesce(col("d"), lit(0L))).as("n"))
+                .filter(col("n") > 0)
+                .localCheckpoint()
+            }
         }
       }
       merges.zipWithIndex

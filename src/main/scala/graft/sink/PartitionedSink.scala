@@ -1,6 +1,7 @@
 package graft.sink
 
 import graft.schema.{GraftSchemaException, Validators}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
@@ -440,6 +441,46 @@ object PartitionedSink {
   }
 
   /**
+   * In-place [[compact]]: same re-cluster, but the compacted tree replaces
+   * the input tree itself — the "compact the live dataset where it lives"
+   * shape operators actually want (a separate out-path forces a
+   * whole-tree copy + cutover). Safe against the read-under-write hazard
+   * the [[compact]] doc names because the rewrite lands COMPLETELY in a
+   * `_`-hidden staging subtree first (the compaction job has fully
+   * materialized its read of the old files before the first destructive
+   * step; readers of `path` never list `_`/`.`-prefixed entries), then
+   * each top-level partition directory is swapped in via a rename pair —
+   * metadata ops, so the reader-visible window per partition is
+   * rename-sized, not rewrite-sized, and a crashed swap is self-healing
+   * on the next run ([[FsOps.swapIn]]). Hadoop FileSystem API end-to-end:
+   * works on any FS with directory rename (local, HDFS); on object
+   * stores, run from the tree's single writer — the discipline
+   * partitioned appends require anyway.
+   */
+  def compactInPlace(
+      spark: SparkSession, path: String,
+      partitionFields: Seq[String], format: SinkFormat = ParquetFormat,
+      filesPerPartition: Int = 1, codec: Option[String] = None): Unit = {
+    val (hfs, root) = FsOps.fs(spark, path)
+    val head = partitionFields.head + "="
+    // heal any crashed prior swap BEFORE reading the tree
+    hfs.listStatus(root).filter(_.getPath.getName.startsWith(".retired_"))
+      .foreach { s =>
+        val orig = new Path(root, s.getPath.getName.stripPrefix(".retired_"))
+        if (!hfs.exists(orig)) FsOps.renameOrFail(hfs, s.getPath, orig)
+        else FsOps.deleteIfExists(hfs, s.getPath)
+      }
+    val staging = new Path(root, "_compact_staging")
+    FsOps.deleteIfExists(hfs, staging)
+    compact(spark, path, staging.toString, partitionFields, format,
+      filesPerPartition, codec)
+    hfs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(head))
+      .foreach(s => FsOps.swapIn(hfs, s.getPath, new Path(root, s.getPath.getName)))
+    FsOps.deleteIfExists(hfs, staging)
+  }
+
+  /**
    * [[compact]] with a TARGET FILE SIZE instead of a uniform file count —
    * the knob operators actually reason in ("~512 MB files"), and the one
    * that serves a 2 GB partition and a 2 MB partition in the same pass
@@ -460,14 +501,17 @@ object PartitionedSink {
       partitionFields: Seq[String], targetBytes: Long,
       format: SinkFormat = ParquetFormat, codec: Option[String] = None): Unit = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val fs = new org.apache.hadoop.fs.Path(inPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(inPath))
+    val (fs, root) = FsOps.fs(spark, inPath)
     val it = fs.listFiles(root, true)
     var totalBytes = 0L
     while (it.hasNext) {
       val f = it.next()
-      if (f.isFile && !f.getPath.getName.startsWith("_")) totalBytes += f.getLen
+      val n = f.getPath.getName
+      // skip hidden entries per Hadoop convention: "_" (_SUCCESS) AND "."
+      // (.part-*.crc checksum sidecars on local/HDFS — counting those
+      // inflates totalBytes and silently shrinks the derived row cap)
+      if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+        totalBytes += f.getLen
     }
     val df = readBack(spark, inPath, format)
     val totalRows = math.max(df.count(), 1L)

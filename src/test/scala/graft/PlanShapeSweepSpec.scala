@@ -41,6 +41,83 @@ class PlanShapeSweepSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  /** Queries allowed to plan a SinglePartition exchange whose consumer is
+    * NOT a global aggregate — each carries a documented BOUNDED input:
+    * the whole-surface invariant is "no unbounded single-partition
+    * funnel", not "no single-partition exchange ever". */
+  private val singlePartitionAllowed: Map[String, String] = Map(
+    "sim_index_health" ->
+      "global window over the per-cell occupancy table (≤ nCells rows by construction)")
+
+  /** Lines between a SinglePartition exchange and its real consumer that
+    * don't change boundedness: shuffle readers and the sort feeding a
+    * SortAggregate. */
+  private val transparentNodes = Seq("AQEShuffleRead", "Sort ", "InputAdapter")
+
+  /** Global (keys=[]) aggregates: their single-partition input is the
+    * partial-aggregate output — one row per upstream partition, bounded at
+    * any data scale. */
+  private def isGlobalAgg(node: String): Boolean =
+    (node.startsWith("HashAggregate") || node.startsWith("ObjectHashAggregate") ||
+      node.startsWith("SortAggregate")) && node.contains("keys=[]")
+
+  /** Parse the plan-string tree: for every `Exchange SinglePartition`
+    * line, find its parent (nearest preceding line one indent level up,
+    * skipping transparent nodes) and return the offending parent node
+    * text unless it's a global aggregate. */
+  private def unboundedSinglePartitions(plan: String): Seq[String] = {
+    val lines = plan.linesIterator.toIndexedSeq
+    def depthOf(l: String): Int = {
+      val i = math.max(l.indexOf("+- "), l.indexOf(":- "))
+      if (i < 0) 0 else i / 3 + 1
+    }
+    def nodeText(l: String): String =
+      l.dropWhile(c => c == ' ' || c == '+' || c == ':' || c == '-')
+        .replaceFirst("^\\*\\(\\d+\\) ", "")
+    lines.zipWithIndex
+      .filter { case (l, _) => nodeText(l).startsWith("Exchange SinglePartition") }
+      .flatMap { case (l, idx) =>
+        val d = depthOf(l)
+        // walk upward to the consumer, skipping transparent nodes
+        val above = (idx - 1 to 0 by -1).iterator
+          .map(i => lines(i))
+          .filter(pl => depthOf(pl) < d)
+          .map(nodeText)
+          .dropWhile(n => transparentNodes.exists(n.startsWith))
+        above.nextOption() match {
+          case Some(parent) if isGlobalAgg(parent) => None
+          case Some(parent) => Some(parent.take(80))
+          case None => Some("<root>")
+        }
+      }
+  }
+
+  test("no unbounded Exchange SinglePartition anywhere in the query surface") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if singlePartitionAllowed.contains(name) => None
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+          unboundedSinglePartitions(plan)
+            .map(p => s"$name funnels into SinglePartition under: $p")
+        } catch {
+          case e: Throwable =>
+            Some(s"$name failed to plan: ${e.getClass.getSimpleName} ${e.getMessage}")
+        }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("the SinglePartition allowlist is tight") {
+    singlePartitionAllowed.keys.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(unboundedSinglePartitions(plan).nonEmpty,
+        s"$name no longer plans a non-aggregate SinglePartition exchange; " +
+          "remove it from the allowlist")
+    }
+  }
+
   test("the allowlist is tight: each listed twin really is cartesian") {
     // if a twin is later rewritten bucketed, it must leave the allowlist —
     // a stale allowlist would mask a future regression under its name

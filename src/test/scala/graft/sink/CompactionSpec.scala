@@ -105,6 +105,56 @@ class CompactionSpec extends SparkSpec {
     assert(dataFiles(comp1).values.forall(_ == 1))
   }
 
+  test("in-place compaction: tree compacts onto itself, content identical") {
+    val orders = graft.Tables(spark, sf0001, "orders")
+    val tree = Files.createTempDirectory("graft_compact_inplace")
+    PartitionedSink.write(orders.repartition(8), tree.toString,
+      SinkConfig(ParquetFormat, Seq("o_orderpriority"), runtimeNullCheck = true))
+    val before = dataFiles(tree)
+    assert(before.values.max > 1, s"fixture must be fragmented: $before")
+    val contentBefore = PartitionedSink.readBack(spark, tree.toString)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    PartitionedSink.compactInPlace(spark, tree.toString, Seq("o_orderpriority"))
+
+    val after = dataFiles(tree)
+    assert(after.keySet == before.keySet, "partition set must be preserved")
+    assert(after.values.forall(_ == 1), s"expected 1 file per partition: $after")
+    // no staging or retired leftovers, and readers see identical content
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.list(tree).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("_compact_staging") || n.startsWith(".retired_"))
+      .toSeq
+    assert(leftovers.isEmpty, s"swap must clean up: $leftovers")
+    val contentAfter = PartitionedSink.readBack(spark, tree.toString)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_orderkey").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(contentAfter == contentBefore, "in-place compaction must not alter content")
+    // idempotent: a second in-place pass is a no-op on layout and content
+    PartitionedSink.compactInPlace(spark, tree.toString, Seq("o_orderpriority"))
+    assert(dataFiles(tree) == after)
+  }
+
+  test("in-place compaction heals a crashed prior swap") {
+    val orders = graft.Tables(spark, sf0001, "orders")
+    val tree = Files.createTempDirectory("graft_compact_heal")
+    PartitionedSink.write(orders.repartition(4), tree.toString,
+      SinkConfig(ParquetFormat, Seq("o_orderpriority"), runtimeNullCheck = true))
+    val total = orders.count()
+    // simulate a crash between the two swap renames: one partition dir
+    // retired but its replacement never landed
+    val victim = dataFiles(tree).keys.head
+    java.nio.file.Files.move(tree.resolve(victim), tree.resolve(s".retired_$victim"))
+    PartitionedSink.compactInPlace(spark, tree.toString, Seq("o_orderpriority"))
+    assert(dataFiles(tree).values.forall(_ == 1))
+    assert(PartitionedSink.readBack(spark, tree.toString).count() == total,
+      "healed tree must contain every row")
+  }
+
   test("compaction with a file budget: salted split honors filesPerPartition") {
     val orders = graft.Tables(spark, sf0001, "orders")
     val frag = Files.createTempDirectory("graft_compact_in2")
