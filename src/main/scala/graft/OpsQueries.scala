@@ -285,6 +285,25 @@ object OpsQueries {
         nCells = 16, nProbe = 4)
     }),
 
+    // IVF-PQ/ADC: 4-bit product-quantization codes (one packed long per
+    // vector) scored through per-subspace lookup tables inside probe
+    // cells — the memory rung below int8 SQ; md5-deterministic codebooks
+    // keep the full algorithm oracle-reproducible
+    "sim_topk_ivf_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, k = 5,
+        nCells = 16, nProbe = 4, m = 8, kSub = 16)
+    }),
+
+    // the standard IVF-PQ deployment: 4-bit ADC candidates (kCand=20) →
+    // exact float rerank of only those survivors — ADC is the candidate
+    // GENERATOR (bandwidth), the floats do the final ranking (quality)
+    "sim_topk_ivf_pq_rerank" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopKRerank(e.filter(col("vec_id") < 10), e, k = 5,
+        kCand = 20, nCells = 16, nProbe = 4, m = 8, kSub = 16)
+    }),
+
     // the persisted-index path: cells as parquet partition directories,
     // probe pruning = directory pruning; results identical to
     // sim_topk_ivf_int8 by construction (same centroids, same codes).
@@ -505,6 +524,82 @@ object OpsQueries {
       |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
       |  FROM sims)
       |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+
+  /** IVF-PQ/ADC oracle — mirrors `Similarity.ivfPqTopK` op-for-op: cent
+    * doubles as cell centroids AND per-subspace PQ codebook (both are the
+    * md5-ordered 16-vector sample), sub-code assignment reuses the shared
+    * `-(x·c - |c|²/2)` ranking on 8-element slices, and the ADC score
+    * folds the 8 subspace inner products in ascending j order (list_sum
+    * over an ORDER BY j list = the Scala left-to-right reduce). */
+  private val IvfPqSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
+      |), cent AS (
+      |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) - 1 AS c, e
+      |  FROM v ORDER BY md5(cast(vec_id as varchar)) LIMIT 16
+      |), cassign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT n.vec_id, ct.c AS cell,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY -(list_inner_product(n.e, ct.e) - list_inner_product(ct.e, ct.e)/2) ASC,
+      |                 ct.c ASC) AS r
+      |    FROM v n CROSS JOIN cent ct) WHERE r = 1
+      |), qprobe AS (
+      |  SELECT vec_id AS q_id, e AS qe, cell FROM (
+      |    SELECT q.vec_id, q.e, ct.c AS cell,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY -(list_inner_product(q.e, ct.e) - list_inner_product(ct.e, ct.e)/2) ASC,
+      |                 ct.c ASC) AS r
+      |    FROM v q CROSS JOIN cent ct WHERE q.vec_id < 10) WHERE r <= 4
+      |), codes AS (
+      |  SELECT vec_id, j, code FROM (
+      |    SELECT n.vec_id, t.j, s.c AS code,
+      |      row_number() OVER (PARTITION BY n.vec_id, t.j
+      |        ORDER BY -(list_inner_product(n.e[t.j*8+1 : t.j*8+8], s.e[t.j*8+1 : t.j*8+8])
+      |                   - list_inner_product(s.e[t.j*8+1 : t.j*8+8], s.e[t.j*8+1 : t.j*8+8])/2) ASC,
+      |                 s.c ASC) AS r
+      |    FROM v n CROSS JOIN range(0, 8) t(j) CROSS JOIN cent s) WHERE r = 1
+      |), sims AS (
+      |  SELECT p.q_id, a.vec_id AS n_id,
+      |    list_sum(list(
+      |      list_inner_product(p.qe[c.j*8+1 : c.j*8+8], s.e[c.j*8+1 : c.j*8+8])
+      |      ORDER BY c.j)) AS sim
+      |  FROM qprobe p
+      |  JOIN cassign a USING (cell)
+      |  JOIN codes c ON c.vec_id = a.vec_id
+      |  JOIN cent s ON s.c = c.code
+      |  WHERE p.q_id != a.vec_id
+      |  GROUP BY p.q_id, a.vec_id
+      |), ranked AS (
+      |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
+      |    row_number() OVER (PARTITION BY q_id
+      |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
+      |  FROM sims)
+      |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+
+  /** IVF-PQ candidates (kCand=20 from the same CTE chain) → exact-cosine
+    * rerank — mirrors `Similarity.ivfPqTopKRerank`. */
+  private val IvfPqRerankSql: String = {
+    val core = IvfPqSql.substring(0, IvfPqSql.indexOf("), ranked AS ("))
+    core +
+      """), cand AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |                         ORDER BY round(sim, 6) DESC, n_id ASC) AS crnk
+        |    FROM sims) WHERE crnk <= 20
+        |), rsims AS (
+        |  SELECT c.q_id, c.n_id, list_cosine_similarity(vq.e, vn.e) AS sim
+        |  FROM cand c
+        |  JOIN v vq ON vq.vec_id = c.q_id
+        |  JOIN v vn ON vn.vec_id = c.n_id
+        |), ranked AS (
+        |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
+        |  FROM rsims)
+        |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+  }
 
   private val oraclesHead: Map[String, String] = Map(
     "dedup_exact" ->
@@ -852,6 +947,8 @@ object OpsQueries {
     // sim_topk_int8 — every stage deterministic, so the full approximate
     // path hash-verifies
     "sim_topk_ivf_int8" -> IvfInt8Sql,
+    "sim_topk_ivf_pq" -> IvfPqSql,
+    "sim_topk_ivf_pq_rerank" -> IvfPqRerankSql,
 
     // the rerank composition: int8-IVF candidates to kCand=20 (same CTEs
     // as sim_topk_ivf_int8), then exact float cosines over ONLY those

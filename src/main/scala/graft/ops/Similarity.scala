@@ -499,6 +499,15 @@ object Similarity {
     require(kc >= k, s"kCand $kc must be >= k $k")
     val cand = ivfQuantizedTopK(queries, corpus, kc, nCells, nProbe,
       idCol, vecCol).select(col("q_id"), col("n_id"))
+    exactRerank(cand, queries, corpus, k, idCol, vecCol)
+  }
+
+  /** Shared rerank stage: exact float cosines over a (q_id, n_id)
+    * candidate list only — the list is driver-bounded (|Q|·kCand), so the
+    * join back to the corpus broadcasts at scale. */
+  private def exactRerank(
+      cand: DataFrame, queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
       .withColumn("q_norm", norm(col("q_vec")))
     val c = corpus.select(col(idCol).as("n_id"), toDouble(col(vecCol)).as("n_vec"))
@@ -507,6 +516,102 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
           .as("sim"))
+    rankTopK(sims, k)
+  }
+
+  /** [[ivfPqTopK]] plus the exact-rerank stage — the standard IVF-PQ
+    * deployment: 4-bit ADC GENERATES `kCand` candidates per query (the
+    * compression is for candidate generation bandwidth, not final
+    * ranking), then only those survivors are rescored with exact float
+    * cosines. Same two-stage contract as [[ivfQuantizedTopKRerank]]. */
+  def ivfPqTopKRerank(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      kCand: Int = -1, nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 8, kSub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val kc = if (kCand <= 0) 4 * k else kCand
+    require(kc >= k, s"kCand $kc must be >= k $k")
+    val cand = ivfPqTopK(queries, corpus, kc, nCells, nProbe, m, kSub,
+      idCol, vecCol).select(col("q_id"), col("n_id"))
+    exactRerank(cand, queries, corpus, k, idCol, vecCol)
+  }
+
+  /**
+   * IVF-PQ retrieval with asymmetric-distance scoring (ADC) — the memory
+   * rung BELOW int8 SQ ([[ivfQuantizedTopK]]): each corpus vector is
+   * stored inside its probe cell as `m` 4-bit codebook indices packed
+   * into one long (dim=64 → 4 bytes per vector vs 64 int8 bytes vs 512
+   * float64 bytes), and queries score candidates through per-subspace
+   * inner-product LOOKUP TABLES — `m` table probes per candidate, never
+   * touching original vectors inside the cells. This is the classic
+   * IVF-PQ/ADC composition (Jégou et al., "Product Quantization for
+   * Nearest Neighbor Search", direct non-residual variant).
+   *
+   * Determinism end-to-end, so the WHOLE approximate path keeps a
+   * full-algorithm DuckDB oracle (the [[ivfQuantizedTopK]] precedent):
+   * the per-subspace codebooks are the md5-ordered corpus sample (the
+   * same bounded-sample trick as the cell centroids — no trained model),
+   * sub-code assignment uses the shared `-(x·c - |c|²/2)` ranking with
+   * lowest-code tie-break, and the ADC sum folds subspaces in fixed
+   * j = 0..m-1 order — every double op sequence is mirrored by the SQL.
+   *
+   * Scale posture: the shuffle/scan inside probe cells carries
+   * (cell, id, one long) per candidate; the per-query LUT is m·kSub
+   * doubles computed once per probed query row from the literal
+   * codebook (no join); ranking is the bounded-heap aggregate. The
+   * codebook/centroid collects are bounded (kSub, nCells rows).
+   */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 8, kSub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kSub >= 2 && kSub <= 16, "kSub must be in [2, 16] (4-bit packed codes)")
+    require(m >= 1 && m <= 15, "m must be in [1, 15] (m nibbles in one long)")
+    val centroids = ivfCentroids(corpus, nCells, refineIters = 0,
+      sampleSize = nCells, idCol = idCol, vecCol = vecCol)
+    val codebook: Array[Array[Double]] = ivfCentroids(corpus, kSub,
+      refineIters = 0, sampleSize = kSub, idCol = idCol, vecCol = vecCol)
+      .map(_._2)
+    val dim = codebook(0).length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    def sub(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
+    def cbSub(j: Int, c: Int): Array[Double] =
+      codebook(c).slice(j * dsub, (j + 1) * dsub)
+    // per-subspace code: nearest codebook entry under the shared
+    // -(x·c - |c|²/2) ranking, lowest code on ties — the cellRank
+    // formulation scoped to the subvector
+    def subCode(x: Column, j: Int): Column = {
+      val scored = (0 until kSub).map { c =>
+        val cb = cbSub(j, c)
+        val d = -(dot(sub(x, j), typedlit(cb.toSeq)) -
+          lit(cb.map(v => v * v).sum / 2))
+        struct(d.as("d"), lit(c).as("code"))
+      }
+      element_at(array_sort(array(scored: _*)), 1)("code")
+    }
+    val c = corpus.select(col(idCol).as("n_id"), toDouble(col(vecCol)).as("n_vec"))
+      .withColumn("cell", element_at(cellRankCol(col("n_vec"), centroids), 1)("cell"))
+      .withColumn("code", (0 until m)
+        .map(j => subCode(col("n_vec"), j).cast("long") * lit(1L << (4 * j)))
+        .reduce(_ + _))
+      .select(col("cell"), col("n_id"), col("code"))
+    val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
+      .withColumn("cell", explode(transform(
+        slice(cellRankCol(col("q_vec"), centroids), 1, nProbe), s => s("cell"))))
+      // ADC lookup table: lut[j][c] = q_subj · codebook[j][c] — m·kSub
+      // doubles per probed query row, from the literal codebook
+      .withColumn("lut", array((0 until m).map(j =>
+        array((0 until kSub).map(c =>
+          dot(sub(col("q_vec"), j), typedlit(cbSub(j, c).toSeq))): _*)): _*))
+      .select(col("cell"), col("q_id"), col("lut"))
+    val sims = q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        // ADC: unpack nibble j, probe lut[j], fold j = 0..m-1 left-to-right
+        (0 until m).map(j => element_at(element_at(col("lut"), j + 1),
+          shiftright(col("code"), 4 * j).bitwiseAND(lit(15L)).cast("int") + lit(1)))
+          .reduce(_ + _).as("sim"))
     rankTopK(sims, k)
   }
 
