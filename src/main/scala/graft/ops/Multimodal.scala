@@ -97,12 +97,29 @@ object Multimodal {
    * Audio/video delegate to [[MediaCodecStub]].
    */
   object ImageIoCodec extends MediaCodec {
+    /** One PNG ImageReader per task thread, reused across the partition's
+      * rows — `ImageIO.read` scans the plugin registry per call, which is
+      * the per-row overhead `mapPartitions` batching exists to amortize.
+      * ImageReader is not thread-safe; Spark runs one partition per task
+      * thread, so ThreadLocal is the correct scope. */
+    @transient private lazy val pngReader =
+      ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+        javax.imageio.ImageIO.getImageReadersByFormatName("png").next())
+
     private def readImage(row: MediaRow): java.awt.image.BufferedImage = {
-      val img = javax.imageio.ImageIO.read(
+      val reader = pngReader.get()
+      val in = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(row.content))
-      if (img == null) throw new IllegalArgumentException(
-        s"undecodable image payload for media_id=${row.media_id}")
-      img
+      try {
+        reader.setInput(in, true, true)
+        reader.read(0)
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"undecodable image payload for media_id=${row.media_id}", e)
+      } finally {
+        reader.setInput(null)
+        in.close()
+      }
     }
 
     def decode(row: MediaRow): MediaMeta =

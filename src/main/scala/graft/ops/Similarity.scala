@@ -597,13 +597,14 @@ object Similarity {
         .reduce(_ + _))
       .select(col("cell"), col("n_id"), col("code"))
     val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
-      .withColumn("cell", explode(transform(
-        slice(cellRankCol(col("q_vec"), centroids), 1, nProbe), s => s("cell"))))
-      // ADC lookup table: lut[j][c] = q_subj · codebook[j][c] — m·kSub
-      // doubles per probed query row, from the literal codebook
+      // ADC lookup table FIRST (m·kSub dots per query row, from the
+      // literal codebook), THEN the probe-cell explode — the other order
+      // would recompute the table nProbe times per query
       .withColumn("lut", array((0 until m).map(j =>
         array((0 until kSub).map(c =>
           dot(sub(col("q_vec"), j), typedlit(cbSub(j, c).toSeq))): _*)): _*))
+      .withColumn("cell", explode(transform(
+        slice(cellRankCol(col("q_vec"), centroids), 1, nProbe), s => s("cell"))))
       .select(col("cell"), col("q_id"), col("lut"))
     val sims = q.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
