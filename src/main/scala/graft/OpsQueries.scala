@@ -304,6 +304,15 @@ object OpsQueries {
         kCand = 20, nCells = 16, nProbe = 4, m = 8, kSub = 16)
     }),
 
+    // PQ over the PERSISTED index: stored pq_code longs (4 bytes/vector)
+    // ADC-scored inside directory-pruned probe cells — row-identical to
+    // sim_topk_ivf_pq by construction (same sidecar geometry), so the
+    // oracle is shared (the int8 indexed-path precedent)
+    "sim_topk_ivf_pq_indexed" -> ((s, dir) => {
+      Similarity.ivfPqTopKIndexed(cachedIndex(s, dir),
+        emb(s, dir).filter(col("vec_id") < 10), k = 5, nProbe = 4)
+    }),
+
     // the persisted-index path: cells as parquet partition directories,
     // probe pruning = directory pruning; results identical to
     // sim_topk_ivf_int8 by construction (same centroids, same codes).
@@ -949,6 +958,7 @@ object OpsQueries {
     "sim_topk_ivf_int8" -> IvfInt8Sql,
     "sim_topk_ivf_pq" -> IvfPqSql,
     "sim_topk_ivf_pq_rerank" -> IvfPqRerankSql,
+    "sim_topk_ivf_pq_indexed" -> IvfPqSql,
 
     // the rerank composition: int8-IVF candidates to kCand=20 (same CTEs
     // as sim_topk_ivf_int8), then exact float cosines over ONLY those

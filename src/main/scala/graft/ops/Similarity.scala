@@ -561,6 +561,55 @@ object Similarity {
    * codebook (no join); ranking is the bounded-heap aggregate. The
    * codebook/centroid collects are bounded (kSub, nCells rows).
    */
+  /** md5-ordered PQ codebook sample: kSub full-dim corpus vectors (each
+    * subspace's codebook is its slice — one bounded collect serves all
+    * m subspaces). */
+  private def pqCodebook(
+      corpus: DataFrame, kSub: Int, idCol: String, vecCol: String): Array[Array[Double]] =
+    ivfCentroids(corpus, kSub, refineIters = 0, sampleSize = kSub,
+      idCol = idCol, vecCol = vecCol).map(_._2)
+
+  private def pqSub(v: Column, j: Int, dsub: Int): Column =
+    slice(v, j * dsub + 1, dsub)
+
+  /** Packed PQ code: per-subspace nearest codebook entry under the shared
+    * -(x·c - |c|²/2) ranking (lowest code on ties — the cellRank
+    * formulation scoped to the subvector), m 4-bit codes in one long. */
+  private def pqPackedCodeCol(
+      vec: Column, codebook: Array[Array[Double]], m: Int): Column = {
+    val dim = codebook(0).length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    def subCode(j: Int): Column = {
+      val scored = codebook.indices.map { c =>
+        val cb = codebook(c).slice(j * dsub, (j + 1) * dsub)
+        val d = -(dot(pqSub(vec, j, dsub), typedlit(cb.toSeq)) -
+          lit(cb.map(v => v * v).sum / 2))
+        struct(d.as("d"), lit(c).as("code"))
+      }
+      element_at(array_sort(array(scored: _*)), 1)("code")
+    }
+    (0 until m).map(j => subCode(j).cast("long") * lit(1L << (4 * j)))
+      .reduce(_ + _)
+  }
+
+  /** Per-query ADC lookup table: lut[j][c] = q_subj · codebook[j][c]. */
+  private def pqLutCol(
+      vec: Column, codebook: Array[Array[Double]], m: Int): Column = {
+    val dsub = codebook(0).length / m
+    array((0 until m).map(j =>
+      array(codebook.indices.map(c =>
+        dot(pqSub(vec, j, dsub),
+          typedlit(codebook(c).slice(j * dsub, (j + 1) * dsub).toSeq))): _*)): _*)
+  }
+
+  /** ADC score: unpack nibble j, probe lut[j], fold j = 0..m-1
+    * left-to-right (the fixed order the SQL oracle mirrors). */
+  private def pqAdcScore(lut: Column, code: Column, m: Int): Column =
+    (0 until m).map(j => element_at(element_at(lut, j + 1),
+      shiftright(code, 4 * j).bitwiseAND(lit(15L)).cast("int") + lit(1)))
+      .reduce(_ + _)
+
   def ivfPqTopK(
       queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4, m: Int = 8, kSub: Int = 16,
@@ -569,50 +618,23 @@ object Similarity {
     require(m >= 1 && m <= 15, "m must be in [1, 15] (m nibbles in one long)")
     val centroids = ivfCentroids(corpus, nCells, refineIters = 0,
       sampleSize = nCells, idCol = idCol, vecCol = vecCol)
-    val codebook: Array[Array[Double]] = ivfCentroids(corpus, kSub,
-      refineIters = 0, sampleSize = kSub, idCol = idCol, vecCol = vecCol)
-      .map(_._2)
-    val dim = codebook(0).length
-    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
-    val dsub = dim / m
-    def sub(v: Column, j: Int): Column = slice(v, j * dsub + 1, dsub)
-    def cbSub(j: Int, c: Int): Array[Double] =
-      codebook(c).slice(j * dsub, (j + 1) * dsub)
-    // per-subspace code: nearest codebook entry under the shared
-    // -(x·c - |c|²/2) ranking, lowest code on ties — the cellRank
-    // formulation scoped to the subvector
-    def subCode(x: Column, j: Int): Column = {
-      val scored = (0 until kSub).map { c =>
-        val cb = cbSub(j, c)
-        val d = -(dot(sub(x, j), typedlit(cb.toSeq)) -
-          lit(cb.map(v => v * v).sum / 2))
-        struct(d.as("d"), lit(c).as("code"))
-      }
-      element_at(array_sort(array(scored: _*)), 1)("code")
-    }
+    val codebook = pqCodebook(corpus, kSub, idCol, vecCol)
     val c = corpus.select(col(idCol).as("n_id"), toDouble(col(vecCol)).as("n_vec"))
       .withColumn("cell", element_at(cellRankCol(col("n_vec"), centroids), 1)("cell"))
-      .withColumn("code", (0 until m)
-        .map(j => subCode(col("n_vec"), j).cast("long") * lit(1L << (4 * j)))
-        .reduce(_ + _))
+      .withColumn("code", pqPackedCodeCol(col("n_vec"), codebook, m))
       .select(col("cell"), col("n_id"), col("code"))
     val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
       // ADC lookup table FIRST (m·kSub dots per query row, from the
       // literal codebook), THEN the probe-cell explode — the other order
       // would recompute the table nProbe times per query
-      .withColumn("lut", array((0 until m).map(j =>
-        array((0 until kSub).map(c =>
-          dot(sub(col("q_vec"), j), typedlit(cbSub(j, c).toSeq))): _*)): _*))
+      .withColumn("lut", pqLutCol(col("q_vec"), codebook, m))
       .withColumn("cell", explode(transform(
         slice(cellRankCol(col("q_vec"), centroids), 1, nProbe), s => s("cell"))))
       .select(col("cell"), col("q_id"), col("lut"))
     val sims = q.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        // ADC: unpack nibble j, probe lut[j], fold j = 0..m-1 left-to-right
-        (0 until m).map(j => element_at(element_at(col("lut"), j + 1),
-          shiftright(col("code"), 4 * j).bitwiseAND(lit(15L)).cast("int") + lit(1)))
-          .reduce(_ + _).as("sim"))
+        pqAdcScore(col("lut"), col("code"), m).as("sim"))
     rankTopK(sims, k)
   }
 
@@ -631,7 +653,8 @@ object Similarity {
    */
   def writeIvfIndex(
       corpus: DataFrame, path: String, nCells: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pqM: Int = 8, pqKSub: Int = 16): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = ivfCentroids(corpus, nCells, refineIters = 0,
@@ -639,8 +662,25 @@ object Similarity {
     centroids.map { case (i, c) => (i, c.toSeq) }.toSeq
       .toDF("cell", "coefs").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    indexRows(corpus, centroids, idCol, vecCol)
+    // PQ codebook sidecar: like the centroids, the stored sample is the
+    // source of truth — appends must encode with the SAME codebook or
+    // stored codes would stop being comparable (frozen geometry, same
+    // caveat and same rebuild remedy as cell centroids)
+    val codebook = pqCodebook(corpus, pqKSub, idCol, vecCol)
+    codebook.zipWithIndex.map { case (cb, i) => (i, cb.toSeq, pqM) }.toSeq
+      .toDF("c", "coefs", "m").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/pqcodebook")
+    indexRows(corpus, centroids, codebook, pqM, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Read the stored PQ codebook sidecar: (codebook rows in c order, m). */
+  private def readPqCodebook(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Array[Array[Double]], Int) = {
+    val rows = spark.read.parquet(s"$path/pqcodebook").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+      .sortBy(_._1)
+    (rows.map(_._2), rows.head._3)
   }
 
   /**
@@ -661,7 +701,8 @@ object Similarity {
     val centroids: Array[(Int, Array[Double])] =
       spark.read.parquet(s"$path/centroids").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-    indexRows(batch, centroids, idCol, vecCol)
+    val (codebook, m) = readPqCodebook(spark, path)
+    indexRows(batch, centroids, codebook, m, idCol, vecCol)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -699,10 +740,12 @@ object Similarity {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
-  /** Shared index-row projection: cell assignment + scale + packed code
-    * (one pass over the batch; exactly [[quantizeInt8]]'s arithmetic). */
+  /** Shared index-row projection: cell assignment + scale + packed int8
+    * code + packed PQ code (one pass over the batch; exactly
+    * [[quantizeInt8]]'s / [[pqPackedCodeCol]]'s arithmetic). */
   private def indexRows(
       corpus: DataFrame, centroids: Array[(Int, Array[Double])],
+      codebook: Array[Array[Double]], pqM: Int,
       idCol: String, vecCol: String): DataFrame = {
     val packed = when(col("__scale") === lit(0.0),
       graft.functions.vectors.int8_pack(transform(col("__v"), _ => lit(0L))))
@@ -713,7 +756,8 @@ object Similarity {
       .withColumn("cell", element_at(cellRankCol(col("__v"), centroids), 1)("cell"))
       .withColumn("__scale", array_max(transform(col("__v"), v => abs(v))))
       .select(col(idCol), col(vecCol), col("cell"),
-        col("__scale").as("scale"), packed.as("code"))
+        col("__scale").as("scale"), packed.as("code"),
+        pqPackedCodeCol(col("__v"), codebook, pqM).as("pq_code"))
   }
 
   /**
@@ -760,6 +804,58 @@ object Similarity {
       .select(col("q_id"), col("n_id"),
         ((graft.functions.vectors.int8_dot(col("q_q"), col("n_q")).cast("double")
           * col("q_scale")) * col("n_scale") / lit(16129.0)).as("sim"))
+    if (kCand <= k) rankTopK(sims, k)
+    else {
+      val cand = rankTopK(sims, kCand).select(col("q_id"), col("n_id"))
+      val qv = q0.withColumn("q_norm", norm(col("q_vec")))
+      val nv = cells.select(col(idCol).as("n_id"), toDouble(col(vecCol)).as("n_vec"))
+        .withColumn("n_norm", norm(col("n_vec")))
+      val exact = cand.join(qv, Seq("q_id")).join(nv, Seq("n_id"))
+        .select(col("q_id"), col("n_id"),
+          (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+            .as("sim"))
+      rankTopK(exact, k)
+    }
+  }
+
+  /**
+   * PQ/ADC retrieval over a [[writeIvfIndex]] tree — the stored `pq_code`
+   * longs scored through per-query lookup tables built from the
+   * `pqcodebook/` sidecar. Same directory-pruned scan as
+   * [[ivfQuantizedTopKIndexed]] (the probe set is an `isin` partition
+   * filter), but the candidate pass reads 4 BYTES of code per vector
+   * instead of the dim-byte int8 code — the bandwidth rung a 100 TB
+   * corpus scan cares about. Row-identical to [[ivfPqTopK]] over the same
+   * corpus by construction (same md5 centroid sample, same codebook, same
+   * fold orders — the shared-oracle pattern of the int8 indexed path).
+   *
+   * @param kCand when > k: ADC keeps kCand candidates and ONLY those are
+   *   rescored with exact float cosines from the vectors stored in the
+   *   pruned cell directories (mirrors [[ivfPqTopKRerank]]).
+   */
+  def ivfPqTopKIndexed(
+      indexPath: String, queries: DataFrame, k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      kCand: Int = 0): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids: Array[(Int, Array[Double])] =
+      spark.read.parquet(s"$indexPath/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val (codebook, m) = readPqCodebook(spark, indexPath)
+    val q0 = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
+    val q = q0
+      .withColumn("lut", pqLutCol(col("q_vec"), codebook, m))
+      .withColumn("cell", explode(transform(
+        slice(cellRankCol(col("q_vec"), centroids), 1, nProbe), s => s("cell"))))
+      .select(col("cell"), col("q_id"), col("lut"))
+    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val cells = spark.read.parquet(s"$indexPath/cells")
+      .filter(col("cell").isin(probedCells.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
+    val c = cells.select(col("cell"), col(idCol).as("n_id"), col("pq_code"))
+    val sims = q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        pqAdcScore(col("lut"), col("pq_code"), m).as("sim"))
     if (kCand <= k) rankTopK(sims, k)
     else {
       val cand = rankTopK(sims, kCand).select(col("q_id"), col("n_id"))
@@ -851,11 +947,15 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     import org.apache.hadoop.fs.Path
     val corpus = spark.read.parquet(s"$path/cells").select(col(idCol), col(vecCol))
+    // carry the index's PQ geometry (m, kSub) through the rebuild — the
+    // codebook itself is re-sampled over the grown corpus, like centroids
+    val (oldCodebook, oldM) = readPqCodebook(spark, path)
     val (hfs, root) = graft.sink.FsOps.fs(spark, path)
     val staging = new Path(root, ".rebuild")
     graft.sink.FsOps.deleteIfExists(hfs, staging)
-    writeIvfIndex(corpus, staging.toString, nCells, idCol, vecCol)
-    Seq("cells", "centroids").foreach(d =>
+    writeIvfIndex(corpus, staging.toString, nCells, idCol, vecCol,
+      pqM = oldM, pqKSub = oldCodebook.length)
+    Seq("cells", "centroids", "pqcodebook").foreach(d =>
       graft.sink.FsOps.swapIn(hfs, new Path(staging, d), new Path(root, d)))
     graft.sink.FsOps.deleteIfExists(hfs, staging)
   }

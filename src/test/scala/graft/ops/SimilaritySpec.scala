@@ -321,6 +321,16 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(rows(indexed) == rows(inMem),
       "index path must reproduce the in-memory composition exactly")
+    // the PQ lane of the same index: stored pq_code longs ADC-scored
+    // through the sidecar codebook must reproduce the in-memory PQ
+    // composition exactly (same md5 sample geometry)
+    val pqIndexed = Similarity.ivfPqTopKIndexed(idx, q, k = 5, nProbe = 2)
+    val pqInMem = Similarity.ivfPqTopK(q, e, k = 5, nCells = 8, nProbe = 2)
+    assert(rows(pqIndexed) == rows(pqInMem),
+      "PQ index path must reproduce the in-memory PQ composition exactly")
+    val pqScan = pqIndexed.queryExecution.executedPlan.toString
+    assert(pqScan.contains("PartitionFilters") && pqScan.contains("cell"),
+      s"expected a partition-pruned PQ cells scan:\n$pqScan")
     // the probed-cell filter must reach the scan as a PARTITION filter —
     // unprobed cell directories are never read, which is the whole point
     // of laying the index out as cell=<i>/ partitions
