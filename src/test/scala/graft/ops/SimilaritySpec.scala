@@ -331,6 +331,12 @@ class SimilaritySpec extends SparkSpec {
     val pqScan = pqIndexed.queryExecution.executedPlan.toString
     assert(pqScan.contains("PartitionFilters") && pqScan.contains("cell"),
       s"expected a partition-pruned PQ cells scan:\n$pqScan")
+    // the indexed kCand rerank: identical ADC candidates (row-identical
+    // ADC stage) rescored with the same exact cosines -> must equal the
+    // in-memory PQ rerank composition
+    assert(rows(Similarity.ivfPqTopKIndexed(idx, q, k = 5, nProbe = 2, kCand = 15)) ==
+      rows(Similarity.ivfPqTopKRerank(q, e, k = 5, kCand = 15, nCells = 8, nProbe = 2)),
+      "indexed PQ rerank must reproduce the in-memory PQ rerank exactly")
     // the probed-cell filter must reach the scan as a PARTITION filter —
     // unprobed cell directories are never read, which is the whole point
     // of laying the index out as cell=<i>/ partitions
