@@ -129,10 +129,13 @@ object MmStreamQueries {
   // (p*31 + id*7) % 256 over a w×h raster sized from the text length);
   // audio/video rows are the stub's byte-position sums (documents are pure
   // ASCII, verified tri-scale: char position == byte position).
+  // the raster is sized from the text's BYTE length (synthesizePng takes
+  // UTF-8 bytes), so the image branch uses octet_length like metaSql —
+  // length(text) would silently diverge on any non-ASCII document
   private val laneListSql =
     """CASE WHEN doc_id % 3 = 0 THEN
       |    [coalesce(list_sum([(p*31 + doc_id*7) % 256 for p in
-      |       range(j, (16 + length(text) % 64) * (16 + (length(text) * 7) % 64), 16)]), 0)
+      |       range(j, (16 + octet_length(encode(text)) % 64) * (16 + (octet_length(encode(text)) * 7) % 64), 16)]), 0)
       |     for j in range(0, 16)]
       |  ELSE
       |    [coalesce(list_sum([ascii(substr(text, p, 1)) for p in range(1 + j, length(text) + 1, 16)]), 0)

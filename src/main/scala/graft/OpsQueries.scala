@@ -54,8 +54,22 @@ object OpsQueries {
     * verification artifact. NOT reclaimed by the shutdown hook — DuckDB
     * reads them after this JVM exits; all tiny (≤ corpus-row
     * scalars/signatures). */
-  private[graft] val sideRoot: String =
+  private[graft] val sideRoot: String = {
+    // best-effort sweep of PRIOR runs' export roots (> 6 h old — far past
+    // any run's Verify→DuckDB window) so the per-run layout stays bounded
+    // on a long-lived host instead of accreting one tree per JVM forever
+    val base = new java.io.File("/tmp/graft_side")
+    val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+    Option(base.listFiles()).foreach(_.filter(_.lastModified() < cutoff)
+      .foreach { old =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(old)
+      })
     s"/tmp/graft_side/${java.util.UUID.randomUUID().toString.take(8)}"
+  }
   private val sideExports =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def sideExport(name: String, dir: String)(build: => DataFrame): String =

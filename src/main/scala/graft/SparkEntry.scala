@@ -46,6 +46,10 @@ object SparkEntry {
       .toMap
   }
 
-  /** Driver-contract form, resolved at the driver's sf0.01 oracle scale. */
+  /** Driver-contract form, resolved at the driver's sf0.01 oracle scale.
+    * The seven side-input paths resolve against THIS JVM's export root —
+    * the SQL is runnable once this JVM has executed the corresponding
+    * queries (exactly the Verify flow, which dumps this map alongside the
+    * exports it just wrote); a different JVM must use its own dump. */
   def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
 }

@@ -618,7 +618,11 @@ object Similarity {
     require(m >= 1 && m <= 15, "m must be in [1, 15] (m nibbles in one long)")
     val centroids = ivfCentroids(corpus, nCells, refineIters = 0,
       sampleSize = nCells, idCol = idCol, vecCol = vecCol)
-    val codebook = pqCodebook(corpus, kSub, idCol, vecCol)
+    // kSub == nCells ⇒ the codebook IS the centroid sample (same
+    // md5-ordered first-k) — skip the second corpus orderBy/collect
+    val codebook =
+      if (kSub == nCells) centroids.map(_._2)
+      else pqCodebook(corpus, kSub, idCol, vecCol)
     val c = corpus.select(col(idCol).as("n_id"), toDouble(col(vecCol)).as("n_vec"))
       .withColumn("cell", element_at(cellRankCol(col("n_vec"), centroids), 1)("cell"))
       .withColumn("code", pqPackedCodeCol(col("n_vec"), codebook, m))
@@ -655,6 +659,10 @@ object Similarity {
       corpus: DataFrame, path: String, nCells: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding",
       pqM: Int = 8, pqKSub: Int = 16): Unit = {
+    // same bounds the in-memory PQ path enforces — out-of-range values
+    // would silently pack overlapping nibbles into stored pq_codes
+    require(pqKSub >= 2 && pqKSub <= 16, "pqKSub must be in [2, 16] (4-bit packed codes)")
+    require(pqM >= 1 && pqM <= 15, "pqM must be in [1, 15] (m nibbles in one long)")
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = ivfCentroids(corpus, nCells, refineIters = 0,
@@ -665,8 +673,12 @@ object Similarity {
     // PQ codebook sidecar: like the centroids, the stored sample is the
     // source of truth — appends must encode with the SAME codebook or
     // stored codes would stop being comparable (frozen geometry, same
-    // caveat and same rebuild remedy as cell centroids)
-    val codebook = pqCodebook(corpus, pqKSub, idCol, vecCol)
+    // caveat and same rebuild remedy as cell centroids). When the
+    // geometries coincide the codebook IS the centroid sample — skip the
+    // second md5-ordered corpus scan
+    val codebook =
+      if (pqKSub == nCells) centroids.map(_._2)
+      else pqCodebook(corpus, pqKSub, idCol, vecCol)
     codebook.zipWithIndex.map { case (cb, i) => (i, cb.toSeq, pqM) }.toSeq
       .toDF("c", "coefs", "m").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/pqcodebook")
@@ -674,10 +686,17 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
-  /** Read the stored PQ codebook sidecar: (codebook rows in c order, m). */
+  /** Read the stored PQ codebook sidecar: (codebook rows in c order, m).
+    * Fails with an actionable message on trees persisted before the PQ
+    * sidecar existed. */
   private def readPqCodebook(
       spark: org.apache.spark.sql.SparkSession, path: String): (Array[Array[Double]], Int) = {
-    val rows = spark.read.parquet(s"$path/pqcodebook").collect()
+    val sidecar = new org.apache.hadoop.fs.Path(s"$path/pqcodebook")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sidecar)) throw new IllegalStateException(
+      s"index at $path has no pqcodebook/ sidecar (persisted by an older " +
+        "build) — run writeIvfIndex over its cells/ to migrate")
+    val rows = spark.read.parquet(sidecar.toString).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getInt(2)))
       .sortBy(_._1)
     (rows.map(_._2), rows.head._3)
@@ -946,11 +965,22 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String, nCells: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     import org.apache.hadoop.fs.Path
+    val (hfs, root) = graft.sink.FsOps.fs(spark, path)
+    // heal a crashed prior swap BEFORE reading the tree — a crash between
+    // swapIn's two renames leaves cells/ (or a sidecar) retired with no
+    // replacement, and reading it first would throw before any heal ran
+    Seq("cells", "centroids", "pqcodebook").foreach { d =>
+      val retired = new Path(root, s".retired_$d")
+      val orig = new Path(root, d)
+      if (hfs.exists(retired)) {
+        if (!hfs.exists(orig)) graft.sink.FsOps.renameOrFail(hfs, retired, orig)
+        else graft.sink.FsOps.deleteIfExists(hfs, retired)
+      }
+    }
     val corpus = spark.read.parquet(s"$path/cells").select(col(idCol), col(vecCol))
     // carry the index's PQ geometry (m, kSub) through the rebuild — the
     // codebook itself is re-sampled over the grown corpus, like centroids
     val (oldCodebook, oldM) = readPqCodebook(spark, path)
-    val (hfs, root) = graft.sink.FsOps.fs(spark, path)
     val staging = new Path(root, ".rebuild")
     graft.sink.FsOps.deleteIfExists(hfs, staging)
     writeIvfIndex(corpus, staging.toString, nCells, idCol, vecCol,

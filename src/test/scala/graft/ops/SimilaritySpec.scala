@@ -285,6 +285,23 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"must not cross-join:\n$plan")
   }
 
+  test("index rebuild heals a crashed prior swap before reading the tree") {
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_heal").toString
+    Similarity.writeIvfIndex(e, idx, nCells = 8)
+    // simulate a crash between swapIn's two renames: cells/ retired, the
+    // staging replacement never landed — the tree is unreadable until
+    // healed, and the heal must run BEFORE the rebuild's corpus read
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(idx, "cells"),
+      java.nio.file.Paths.get(idx, ".retired_cells"))
+    Similarity.rebuildIvfIndex(spark, idx, nCells = 8)
+    val q = e.filter(col("vec_id") < 5)
+    val out = Similarity.ivfQuantizedTopKIndexed(idx, q, k = 5, nProbe = 2)
+    assert(out.count() > 0, "healed + rebuilt index must answer queries")
+    assert(!new java.io.File(s"$idx/.retired_cells").exists())
+  }
+
   test("int8 rerank: recall vs float IVF not below the int8-only path; no cartesian") {
     val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
     val q = e.filter(col("vec_id") < 10)
