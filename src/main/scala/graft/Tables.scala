@@ -11,14 +11,22 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; read nanos as long and convert to a
-    * microsecond timestamp (`ts div 1000`) — sub-microsecond precision is
-    * below every window/trunc granularity the engine exposes. */
+  /** Schema-adaptive events loader. The driver has shipped `ts` in two
+    * physical layouts across rounds: parquet TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader only accepts as a raw long (`nanosAsLong`) — and
+    * parquet TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    * TIMESTAMP_NTZ. Normalize both to a session-TZ (UTC) TimestampType so
+    * every downstream query sees one stable type; sub-microsecond precision
+    * is below every window/trunc granularity the engine exposes. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }
