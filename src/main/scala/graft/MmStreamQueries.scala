@@ -7,16 +7,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
  * Multimodal-column and event-stream queries. Image rows carry REAL
- * synthesized PNG payloads decoded through `javax.imageio`
- * ([[graft.ops.Multimodal.ImageIoCodec]]); audio/video rows carry the
+ * synthesized PNG payloads decoded through `javax.imageio` and audio rows
+ * REAL synthesized WAV payloads decoded through `javax.sound.sampled`
+ * ([[graft.ops.Multimodal.JdkMediaCodec]]); video rows carry the
  * documents' UTF-8 bytes behind the deterministic
- * [[graft.ops.Multimodal.MediaCodecStub]]. Both lanes stay
- * DuckDB-expressible — the PNG is synthesized with SQL-derivable
- * dimensions and pixel values (`Multimodal.synthesizePng`), so the oracle
- * re-predicts what the real decode must read back out of the container.
- * `byte_len` (PNG container size — an encoder property, not SQL-
- * predictable) is projected out of the oracle queries and spec-asserted
- * in `MultimodalSpec` instead.
+ * [[graft.ops.Multimodal.MediaCodecStub]] (no JDK video codec). All lanes
+ * stay DuckDB-expressible — PNG dimensions/pixels and WAV frame
+ * counts/samples are synthesized from SQL-derivable formulas
+ * (`Multimodal.synthesizePng` / `synthesizeWav`), so the oracle
+ * re-predicts what the real decodes must read back out of the containers.
+ * `byte_len` (container size — an encoder property, not SQL-predictable)
+ * is projected out of the oracle queries and spec-asserted in
+ * `MultimodalSpec` instead.
  */
 object MmStreamQueries {
 
@@ -54,8 +56,11 @@ object MmStreamQueries {
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.decodeMeta(media(s, dir)).toDF().drop("byte_len")),
 
+    // visual lanes only: audio metadata has no raster (width/height 0), so
+    // an aspect-fit over it is undefined — filter on the decoded width
     "mm_resize_plan" -> ((s, dir) =>
-      Multimodal.resizePlan(Multimodal.decodeMeta(media(s, dir)).toDF(), 224)
+      Multimodal.resizePlan(
+        Multimodal.decodeMeta(media(s, dir)).toDF().filter(col("width") > 0), 224)
         .select("media_id", "width", "height", "out_width", "out_height")),
 
     "mm_frame_sample" -> ((s, dir) =>
@@ -110,32 +115,42 @@ object MmStreamQueries {
     }),
   )
 
-  // width/height hold for BOTH lanes by construction: the stub computes
-  // them from the payload byte length (== text length for audio/video) and
-  // synthesizePng SIZES the real PNG from the text length with the same
-  // formulas — the real decode then reads them back out of the container.
+  // Per-kind metadata, each branch re-predicting what the REAL decode (or
+  // the video stub) reads out of its payload: image width/height come from
+  // synthesizePng's text-length formulas (read back from the PNG raster),
+  // audio sample_rate/n_frames from synthesizeWav's (read back from the WAV
+  // container; width/height 0, mono), video from the stub's byte-length
+  // arithmetic over the raw UTF-8 payload.
   private val metaSql =
     """SELECT doc_id AS media_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      |  16 + octet_length(encode(text)) % 64 AS width,
-      |  16 + (octet_length(encode(text)) * 7) % 64 AS height,
-      |  3 AS channels,
+      |  CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 + octet_length(encode(text)) % 64 END AS width,
+      |  CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 + (octet_length(encode(text)) * 7) % 64 END AS height,
+      |  CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS channels,
       |  CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate,
-      |  CASE WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS n_frames
+      |  CASE WHEN doc_id % 3 = 1 THEN 64 + (octet_length(encode(text)) * 5) % 256
+      |       WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS n_frames
       |FROM documents""".stripMargin
 
   // Exact-integer feature lanes, branched by kind: image rows re-predict
   // the decoded band-0 pixel sums of the synthesized PNG (pixel p carries
   // (p*31 + id*7) % 256 over a w×h raster sized from the text length);
-  // audio/video rows are the stub's byte-position sums (documents are pure
-  // ASCII, verified tri-scale: char position == byte position).
-  // the raster is sized from the text's BYTE length (synthesizePng takes
-  // UTF-8 bytes), so the image branch uses octet_length like metaSql —
-  // length(text) would silently diverge on any non-ASCII document
+  // audio rows the decoded PCM sample sums of the synthesized WAV (frame p
+  // carries the same (p*31 + id*7) % 256 over n_frames sized from the text
+  // length); video rows are the stub's byte-position sums over the raw
+  // UTF-8 payload (documents are pure ASCII, verified tri-scale: char
+  // position == byte position).
+  // payloads are sized from the text's BYTE length (synthesizePng/Wav take
+  // UTF-8 bytes), so the image/audio branches use octet_length like
+  // metaSql — length(text) would silently diverge on non-ASCII documents
   private val laneListSql =
     """CASE WHEN doc_id % 3 = 0 THEN
       |    [coalesce(list_sum([(p*31 + doc_id*7) % 256 for p in
       |       range(j, (16 + octet_length(encode(text)) % 64) * (16 + (octet_length(encode(text)) * 7) % 64), 16)]), 0)
+      |     for j in range(0, 16)]
+      |  WHEN doc_id % 3 = 1 THEN
+      |    [coalesce(list_sum([(p*31 + doc_id*7) % 256 for p in
+      |       range(j, 64 + (octet_length(encode(text)) * 5) % 256, 16)]), 0)
       |     for j in range(0, 16)]
       |  ELSE
       |    [coalesce(list_sum([ascii(substr(text, p, 1)) for p in range(1 + j, length(text) + 1, 16)]), 0)
@@ -226,7 +241,7 @@ object MmStreamQueries {
         |SELECT media_id, width, height,
         |  cast(round(width * least(224.0 / width, 224.0 / height)) as int) AS out_width,
         |  cast(round(height * least(224.0 / width, 224.0 / height)) as int) AS out_height
-        |FROM meta""".stripMargin,
+        |FROM meta WHERE width > 0""".stripMargin,
 
     "mm_frame_sample" ->
       s"""WITH meta AS ($metaSql)

@@ -7,13 +7,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
  * Multimodal-column operators: image/audio/video payloads are opaque
  * `binary` columns with a typed metadata struct alongside. The Spark-side
  * plumbing — schema, partition-preserving batch processing, output shape —
- * is real and tested, and the IMAGE lane decodes for real through
- * `javax.imageio` ([[ImageIoCodec]]): the fixture synthesizes genuine PNG
- * payloads and the codec reads width/height/channels/pixels back out of
- * them. Audio/video stay behind the deterministic [[MediaCodecStub]] (no
- * audio/video libraries in this environment); the [[MediaCodec]] trait is
- * the swap point — a production deployment drops in a real codec and
- * nothing else changes.
+ * is real and tested, and the IMAGE and AUDIO lanes decode for real
+ * through JDK-shipped codecs ([[JdkMediaCodec]]: `javax.imageio` +
+ * `javax.sound.sampled`): the fixture synthesizes genuine PNG/WAV
+ * payloads and the codec reads width/height/channels/pixels (image) and
+ * sample_rate/n_frames/samples (audio) back out of the containers. Video
+ * stays behind the deterministic [[MediaCodecStub]] (the JDK ships no
+ * video codec); the [[MediaCodec]] trait is the swap point — a production
+ * deployment drops in a real codec and nothing else changes.
  *
  * Scale posture: decode/feature-extract run as `mapPartitions` over the
  * typed Dataset — per-partition imperative batches (the Scala analogue of
@@ -51,10 +52,10 @@ object Multimodal {
 
   /**
    * STUB codec: deterministic fake decode driven only by payload length
-   * and bytes — the stand-in for audio/video (no sound/video libraries in
-   * this environment). Kept as plain functions of the byte array so the
-   * mapPartitions plumbing (batching, partition preservation, output
-   * schema) is exercised for real.
+   * and bytes — the stand-in for video (no JDK video codec) and the
+   * all-lanes fake the codec-seam tests swap in. Kept as plain functions
+   * of the byte array so the mapPartitions plumbing (batching, partition
+   * preservation, output schema) is exercised for real.
    */
   object MediaCodecStub extends MediaCodec {
     def decode(row: MediaRow): MediaMeta = {
@@ -88,15 +89,24 @@ object Multimodal {
   }
 
   /**
-   * REAL image lane: `javax.imageio` decode of the payload bytes — width,
-   * height, and channel count come from the decoded raster, features from
-   * the decoded pixel samples (lane j = sum of band-0 samples at raster
-   * positions ≡ j mod dim, row-major). Pixel sums stay exact small
-   * integers (≤ raster_size/dim × 255 ≪ 2^24), so the feature path keeps
-   * its bit-exact cross-engine oracle even though the decode is real.
-   * Audio/video delegate to [[MediaCodecStub]].
+   * REAL image + audio lanes, both on JDK-shipped codecs (no external
+   * libraries needed):
+   *
+   *  - image: `javax.imageio` decode of the payload bytes — width, height,
+   *    and channel count come from the decoded raster, features from the
+   *    decoded pixel samples (lane j = sum of band-0 samples at raster
+   *    positions ≡ j mod dim, row-major).
+   *  - audio: `javax.sound.sampled` decode of the payload bytes — sample
+   *    rate, channel count, and frame count come from the parsed WAV
+   *    container, features from the decoded 16-bit PCM samples (lane j =
+   *    sum of channel-0 samples at frame positions ≡ j mod dim).
+   *
+   * Pixel/sample sums stay exact small integers (≤ count/dim × 255 ≪ 2^24),
+   * so both feature paths keep their bit-exact cross-engine oracle even
+   * though the decodes are real. Video delegates to [[MediaCodecStub]] —
+   * the JDK ships no video codec, so that lane stays a documented stub.
    */
-  object ImageIoCodec extends MediaCodec {
+  object JdkMediaCodec extends MediaCodec {
     /** One PNG ImageReader per task thread, reused across the partition's
       * rows — `ImageIO.read` scans the plugin registry per call, which is
       * the per-row overhead `mapPartitions` batching exists to amortize.
@@ -122,9 +132,24 @@ object Multimodal {
       }
     }
 
-    def decode(row: MediaRow): MediaMeta =
-      if (row.kind != "image") MediaCodecStub.decode(row)
-      else {
+    /** Parse the WAV container and drain its PCM frames. Returns the
+      * decoded format plus the raw frame bytes (16-bit little-endian
+      * signed, per `synthesizeWav`). `AudioSystem.getAudioInputStream`
+      * needs mark/reset — ByteArrayInputStream provides it natively. */
+    private def readAudio(row: MediaRow): (javax.sound.sampled.AudioFormat, Array[Byte]) = {
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.content))
+        try (ais.getFormat, ais.readAllBytes())
+        finally ais.close()
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"undecodable audio payload for media_id=${row.media_id}", e)
+      }
+    }
+
+    def decode(row: MediaRow): MediaMeta = row.kind match {
+      case "image" =>
         val img = readImage(row)
         MediaMeta(
           media_id = row.media_id,
@@ -135,11 +160,22 @@ object Multimodal {
           channels = img.getRaster.getNumBands,
           sample_rate = 0,
           n_frames = 1)
-      }
+      case "audio" =>
+        val (fmt, pcm) = readAudio(row)
+        MediaMeta(
+          media_id = row.media_id,
+          kind = row.kind,
+          byte_len = row.content.length,
+          width = 0,
+          height = 0,
+          channels = fmt.getChannels,
+          sample_rate = fmt.getSampleRate.toInt,
+          n_frames = pcm.length / fmt.getFrameSize)
+      case _ => MediaCodecStub.decode(row)
+    }
 
-    def features(row: MediaRow, dim: Int): MediaFeature =
-      if (row.kind != "image") MediaCodecStub.features(row, dim)
-      else {
+    def features(row: MediaRow, dim: Int): MediaFeature = row.kind match {
+      case "image" =>
         val img = readImage(row)
         val (w, h) = (img.getWidth, img.getHeight)
         val raster = img.getRaster
@@ -150,7 +186,22 @@ object Multimodal {
           p += 1
         }
         MediaFeature(row.media_id, out)
-      }
+      case "audio" =>
+        val (fmt, pcm) = readAudio(row)
+        val stride = fmt.getFrameSize // bytes per frame (2: 16-bit mono)
+        val out = new Array[Float](dim)
+        val nFrames = pcm.length / stride
+        var p = 0
+        while (p < nFrames) {
+          // channel-0 sample, 16-bit little-endian signed
+          val lo = pcm(p * stride) & 0xFF
+          val hi = pcm(p * stride + 1).toInt
+          out(p % dim) += ((hi << 8) | lo).toShort.toInt
+          p += 1
+        }
+        MediaFeature(row.media_id, out)
+      case _ => MediaCodecStub.features(row, dim)
+    }
   }
 
   /** Deterministic RGB PNG synthesis for the image fixture: dimensions
@@ -178,11 +229,37 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic 16-bit mono PCM WAV synthesis for the audio fixture:
+    * the frame count follows a formula of the source byte length (so the
+    * SQL oracle derives it from `octet_length(text)`), and frame p carries
+    * the sample value `(p*31 + id*7) % 256` — the same SQL-re-evaluable
+    * family as the PNG band-0 pixels, which is what gives the REAL
+    * `javax.sound.sampled` decode path a full hash-match oracle. */
+  def synthesizeWav(id: Long, sourceLen: Int): Array[Byte] = {
+    val nFrames = 64 + (sourceLen * 5) % 256
+    val pcm = new Array[Byte](nFrames * 2)
+    var p = 0
+    while (p < nFrames) {
+      val v = ((p * 31L + id * 7L) % 256L).toInt
+      pcm(p * 2) = (v & 0xFF).toByte // little-endian, values < 256 → hi byte 0
+      pcm(p * 2 + 1) = 0
+      p += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Wrap a text table as media rows (test harness; kind cycles
     * deterministically by id). Image rows carry a REAL synthesized PNG
-    * ([[synthesizePng]], sized from the text's byte length so metadata
-    * stays SQL-derivable); audio/video rows carry the UTF-8 bytes standing
-    * in for encoded payloads. */
+    * ([[synthesizePng]]) and audio rows a REAL synthesized WAV
+    * ([[synthesizeWav]]), both sized from the text's byte length so
+    * metadata stays SQL-derivable; video rows carry the UTF-8 bytes
+    * standing in for encoded payloads (no JDK video codec). */
   def fakeMediaFromDocs(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -191,20 +268,23 @@ object Multimodal {
       .map { case (id, text) =>
         val kind = Seq("image", "audio", "video")((id % 3).toInt)
         val bytes = text.getBytes("UTF-8")
-        val content =
-          if (kind == "image") synthesizePng(id, bytes.length) else bytes
+        val content = kind match {
+          case "image" => synthesizePng(id, bytes.length)
+          case "audio" => synthesizeWav(id, bytes.length)
+          case _ => bytes
+        }
         MediaRow(id, kind, content)
       }
   }
 
   /** Decode payloads to typed metadata — mapPartitions batch plumbing. */
   def decodeMeta(media: Dataset[MediaRow],
-      codec: MediaCodec = ImageIoCodec): Dataset[MediaMeta] =
+      codec: MediaCodec = JdkMediaCodec): Dataset[MediaMeta] =
     media.mapPartitions(_.map(codec.decode))(Encoders.product[MediaMeta])
 
   /** Feature extraction — mapPartitions, one codec context per partition. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16,
-      codec: MediaCodec = ImageIoCodec): Dataset[MediaFeature] =
+      codec: MediaCodec = JdkMediaCodec): Dataset[MediaFeature] =
     media.mapPartitions(_.map(codec.features(_, dim)))(Encoders.product[MediaFeature])
 
   /** Deterministic scalar digest of a feature vector — the oracle-checkable

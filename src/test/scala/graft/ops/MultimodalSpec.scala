@@ -33,43 +33,70 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("decode: REAL image dimensions from javax.imageio, stub for audio/video") {
+  test("audio payloads are genuine WAV containers") {
+    val rows = media.filter(col("kind") === "audio").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(new String(r.content.take(4), "US-ASCII") == "RIFF" &&
+        new String(r.content.slice(8, 12), "US-ASCII") == "WAVE",
+        s"media_id=${r.media_id} is not a WAV")
+      // the container is real: its size is the encoder's, not the text's
+      assert(r.content.length != textLens(r.media_id))
+    }
+  }
+
+  test("decode: REAL image/audio metadata from JDK codecs, stub for video") {
     val meta = Multimodal.decodeMeta(media).collect()
     assert(meta.length == media.count())
     meta.foreach { m =>
-      // image metadata must come out of the DECODED container and land on
-      // the synthesis formulas over the SOURCE text length (byte_len is the
-      // PNG size and must NOT satisfy them — that would mean the stub ran)
-      val srcLen = if (m.kind == "image") textLens(m.media_id) else m.byte_len
-      assert(m.width == 16 + srcLen % 64, s"$m")
-      assert(m.height == 16 + (srcLen * 7) % 64, s"$m")
-      assert(m.channels == 3)
-      if (m.kind == "image") assert(m.byte_len != srcLen)
-      if (m.kind == "audio") assert(m.sample_rate == 16000) else assert(m.sample_rate == 0)
-      if (m.kind == "video") assert(m.n_frames == 1 + m.byte_len % 30)
-      else assert(m.n_frames == 1)
+      // image/audio metadata must come out of the DECODED container and
+      // land on the synthesis formulas over the SOURCE text length
+      // (byte_len is the container size and must NOT satisfy them — that
+      // would mean the stub ran)
+      m.kind match {
+        case "image" =>
+          val srcLen = textLens(m.media_id)
+          assert(m.byte_len != srcLen)
+          assert(m.width == 16 + srcLen % 64, s"$m")
+          assert(m.height == 16 + (srcLen * 7) % 64, s"$m")
+          assert(m.channels == 3 && m.sample_rate == 0 && m.n_frames == 1)
+        case "audio" =>
+          val srcLen = textLens(m.media_id)
+          assert(m.byte_len != srcLen)
+          assert(m.width == 0 && m.height == 0 && m.channels == 1, s"$m")
+          assert(m.sample_rate == 16000, s"$m")
+          assert(m.n_frames == 64 + (srcLen * 5) % 256, s"$m")
+        case _ =>
+          assert(m.width == 16 + m.byte_len % 64, s"$m")
+          assert(m.height == 16 + (m.byte_len * 7) % 64, s"$m")
+          assert(m.channels == 3 && m.sample_rate == 0)
+          assert(m.n_frames == 1 + m.byte_len % 30)
+      }
     }
     // deterministic across evaluations
     val again = Multimodal.decodeMeta(media).collect()
     assert(meta.sortBy(_.media_id).sameElements(again.sortBy(_.media_id)))
   }
 
-  test("codec seam: swapping the trait changes the image lane only") {
-    val real = Multimodal.decodeMeta(media, Multimodal.ImageIoCodec)
+  test("codec seam: swapping the trait changes the image+audio lanes only") {
+    val real = Multimodal.decodeMeta(media, Multimodal.JdkMediaCodec)
       .collect().map(m => m.media_id -> m).toMap
     val stub = Multimodal.decodeMeta(media, Multimodal.MediaCodecStub)
       .collect().map(m => m.media_id -> m).toMap
     assert(real.keySet == stub.keySet)
     real.foreach { case (id, m) =>
-      if (m.kind == "image")
-        // the stub hashes the PNG container length into width/height — the
-        // real codec reads the raster; they must disagree for ~all images
+      if (m.kind == "image" || m.kind == "audio")
+        // the stub hashes the container length into width/height — the
+        // real codec reads the container; only byte_len can agree
         assert(m.byte_len == stub(id).byte_len)
       else assert(m == stub(id))
     }
-    val differing = real.collect {
+    val imgDiffering = real.collect {
       case (id, m) if m.kind == "image" && m.width != stub(id).width => id }
-    assert(differing.nonEmpty, "real decode must not equal the stub formulas on PNG bytes")
+    assert(imgDiffering.nonEmpty, "real decode must not equal the stub formulas on PNG bytes")
+    val audDiffering = real.collect {
+      case (id, m) if m.kind == "audio" && m.width != stub(id).width => id }
+    assert(audDiffering.nonEmpty, "real decode must not equal the stub formulas on WAV bytes")
   }
 
   test("image features sum DECODED pixel samples, reproducibly") {
@@ -91,8 +118,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio features sum DECODED PCM samples, reproducibly") {
+    val f = Multimodal.extractFeatures(media, dim = 16)
+      .collect().map(x => x.media_id -> x.feature.toSeq).toMap
+    // independent recomputation of audio rows from the sample formula
+    val audIds = media.filter(col("kind") === "audio")
+      .select("media_id").as[Long].collect().sorted.take(3)
+    audIds.foreach { id =>
+      val nFrames = 64 + (textLens(id) * 5) % 256
+      val expect = new Array[Float](16)
+      var p = 0
+      while (p < nFrames) {
+        expect(p % 16) += ((p * 31L + id * 7L) % 256L).toInt
+        p += 1
+      }
+      assert(f(id) == expect.toSeq, s"sample-sum mismatch for media_id=$id")
+    }
+  }
+
   test("resize plan fits the 224-box preserving aspect, metadata-only") {
-    val plan = Multimodal.resizePlan(Multimodal.decodeMeta(media).toDF(), 224)
+    val plan = Multimodal.resizePlan(
+      Multimodal.decodeMeta(media).toDF().filter(col("width") > 0), 224)
     val r = plan.collect()
     r.foreach { row =>
       val (w, h) = (row.getAs[Int]("out_width"), row.getAs[Int]("out_height"))
