@@ -318,6 +318,19 @@ object OpsQueries {
         kCand = 20, nCells = 16, nProbe = 4, m = 8, kSub = 16)
     }),
 
+    // residual IVF-PQ: codes quantize x − centroid[cell] instead of raw x
+    // (the classic recall improvement at the same 4-bit budget — the
+    // codebook only covers within-cell displacements); scoring decomposes
+    // q·x = q·centroid + ADC(q·residual). The codebook is the
+    // OFFSET md5 sample (rows nCells..nCells+kSub) residualized against
+    // its nearest centroid — deterministic, so the full algorithm keeps a
+    // DuckDB oracle
+    "sim_topk_ivf_pq_residual" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqResidualTopK(e.filter(col("vec_id") < 10), e, k = 5,
+        nCells = 16, nProbe = 4, m = 8, kSub = 16)
+    }),
+
     // PQ over the PERSISTED index: stored pq_code longs (4 bytes/vector)
     // ADC-scored inside directory-pruned probe cells — row-identical to
     // sim_topk_ivf_pq by construction (same sidecar geometry), so the
@@ -593,6 +606,74 @@ object OpsQueries {
       |  JOIN cent s ON s.c = c.code
       |  WHERE p.q_id != a.vec_id
       |  GROUP BY p.q_id, a.vec_id
+      |), ranked AS (
+      |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
+      |    row_number() OVER (PARTITION BY q_id
+      |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
+      |  FROM sims)
+      |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+
+  /** Residual IVF-PQ — mirrors `Similarity.ivfPqResidualTopK`: centroids
+    * are md5-sample rows 0..15, the residual codebook is rows 16..31
+    * residualized against their nearest centroid (the shared ranking +
+    * tie-break), corpus codes quantize per-vector residuals, and the score
+    * folds the q·centroid term first, then the 8 ADC subspace terms in j
+    * order. */
+  private val IvfPqResidualSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
+      |), samp AS (
+      |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) - 1 AS rn, e
+      |  FROM v ORDER BY md5(cast(vec_id as varchar)) LIMIT 32
+      |), cent AS (
+      |  SELECT rn AS c, e FROM samp WHERE rn < 16
+      |), rcb AS (
+      |  SELECT rn - 16 AS c,
+      |    list_transform(range(1, 65), i -> se[i] - ce[i]) AS e
+      |  FROM (
+      |    SELECT s.rn, s.e AS se, ct.e AS ce,
+      |      row_number() OVER (PARTITION BY s.rn
+      |        ORDER BY -(list_inner_product(s.e, ct.e) - list_inner_product(ct.e, ct.e)/2) ASC,
+      |                 ct.c ASC) AS r
+      |    FROM samp s CROSS JOIN cent ct WHERE s.rn >= 16) WHERE r = 1
+      |), cassign AS (
+      |  SELECT vec_id, cell, ce FROM (
+      |    SELECT n.vec_id, ct.c AS cell, ct.e AS ce,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY -(list_inner_product(n.e, ct.e) - list_inner_product(ct.e, ct.e)/2) ASC,
+      |                 ct.c ASC) AS r
+      |    FROM v n CROSS JOIN cent ct) WHERE r = 1
+      |), res AS (
+      |  SELECT a.vec_id, a.cell,
+      |    list_transform(range(1, 65), i -> n.e[i] - a.ce[i]) AS re
+      |  FROM cassign a JOIN v n USING (vec_id)
+      |), qprobe AS (
+      |  SELECT vec_id AS q_id, e AS qe, cell, coff FROM (
+      |    SELECT q.vec_id, q.e, ct.c AS cell,
+      |      list_inner_product(q.e, ct.e) AS coff,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY -(list_inner_product(q.e, ct.e) - list_inner_product(ct.e, ct.e)/2) ASC,
+      |                 ct.c ASC) AS r
+      |    FROM v q CROSS JOIN cent ct WHERE q.vec_id < 10) WHERE r <= 4
+      |), codes AS (
+      |  SELECT vec_id, j, code FROM (
+      |    SELECT n.vec_id, t.j, s.c AS code,
+      |      row_number() OVER (PARTITION BY n.vec_id, t.j
+      |        ORDER BY -(list_inner_product(n.re[t.j*8+1 : t.j*8+8], s.e[t.j*8+1 : t.j*8+8])
+      |                   - list_inner_product(s.e[t.j*8+1 : t.j*8+8], s.e[t.j*8+1 : t.j*8+8])/2) ASC,
+      |                 s.c ASC) AS r
+      |    FROM res n CROSS JOIN range(0, 8) t(j) CROSS JOIN rcb s) WHERE r = 1
+      |), sims AS (
+      |  SELECT p.q_id, a.vec_id AS n_id,
+      |    p.coff + list_sum(list(
+      |      list_inner_product(p.qe[c.j*8+1 : c.j*8+8], s.e[c.j*8+1 : c.j*8+8])
+      |      ORDER BY c.j)) AS sim
+      |  FROM qprobe p
+      |  JOIN cassign a USING (cell)
+      |  JOIN codes c ON c.vec_id = a.vec_id
+      |  JOIN rcb s ON s.c = c.code
+      |  WHERE p.q_id != a.vec_id
+      |  GROUP BY p.q_id, a.vec_id, p.coff
       |), ranked AS (
       |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
       |    row_number() OVER (PARTITION BY q_id
@@ -971,6 +1052,7 @@ object OpsQueries {
     // path hash-verifies
     "sim_topk_ivf_int8" -> IvfInt8Sql,
     "sim_topk_ivf_pq" -> IvfPqSql,
+    "sim_topk_ivf_pq_residual" -> IvfPqResidualSql,
     "sim_topk_ivf_pq_rerank" -> IvfPqRerankSql,
     "sim_topk_ivf_pq_indexed" -> IvfPqSql,
 

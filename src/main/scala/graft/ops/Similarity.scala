@@ -642,6 +642,85 @@ object Similarity {
     rankTopK(sims, k)
   }
 
+  /** Residual-PQ codebook: the md5-ordered corpus sample AFTER the
+    * centroid sample (offset nCells — the centroid rows themselves would
+    * residualize to the zero vector and collapse the codebook), each
+    * residualized against its nearest centroid. Driver-side and bounded
+    * (nCells + kSub rows), deterministic, and SQL-re-derivable. */
+  private def pqResidualCodebook(
+      corpus: DataFrame, centroids: Array[(Int, Array[Double])], kSub: Int,
+      idCol: String, vecCol: String): Array[Array[Double]] = {
+    val nCells = centroids.length
+    val cents = centroids.map(_._2)
+    corpus
+      .select(col(idCol).cast("string").as("sid"), toDouble(col(vecCol)).as("v"))
+      .withColumn("__o", md5(col("sid").cast("binary")))
+      .orderBy(col("__o")).limit(nCells + kSub)
+      .select("v").collect()
+      .map(_.getSeq[Double](0).toArray)
+      .drop(nCells)
+      .map { v =>
+        val c = cents(nearestCell(v, cents))
+        Array.tabulate(v.length)(i => v(i) - c(i))
+      }
+  }
+
+  /**
+   * Residual IVF-PQ/ADC — [[ivfPqTopK]] encoding each corpus vector as
+   * its RESIDUAL `x − centroid[cell(x)]` rather than raw `x` (Jégou et
+   * al. §IV): with trained codebooks on clustered data the codebook only
+   * has to cover the tighter within-cell displacement distribution — the
+   * classic recall improvement at the same code budget. (With this
+   * module's deterministic SAMPLED codebook on isotropic data the two
+   * variants measure comparably — the spec pins the shared floor; the
+   * structural win needs real cluster structure.)
+   * Scoring decomposes exactly: `q·x = q·centroid[cell] + q·residual` —
+   * the first term is one dot against the literal centroid matrix computed
+   * at probe time (per probed (query, cell) pair, BEFORE the candidate
+   * join), the second is the same m-probe ADC lookup as the direct
+   * variant, now over the residual codebook.
+   *
+   * Determinism end-to-end (the [[ivfPqTopK]] oracle contract): centroids
+   * are the md5-ordered first-nCells sample; the residual codebook is the
+   * NEXT kSub vectors in the same order, residualized driver-side with the
+   * shared tie-break ([[pqResidualCodebook]]); the score folds the cell
+   * term first, then subspaces in fixed j = 0..m-1 order — every double op
+   * sequence is mirrored by the SQL oracle.
+   */
+  def ivfPqResidualTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 8, kSub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(kSub >= 2 && kSub <= 16, "kSub must be in [2, 16] (4-bit packed codes)")
+    require(m >= 1 && m <= 15, "m must be in [1, 15] (m nibbles in one long)")
+    val centroids = ivfCentroids(corpus, nCells, refineIters = 0,
+      sampleSize = nCells, idCol = idCol, vecCol = vecCol)
+    val codebook = pqResidualCodebook(corpus, centroids, kSub, idCol, vecCol)
+    val centMat = typedlit(centroids.map(_._2.toSeq).toSeq)
+    def centOf(cell: Column): Column = element_at(centMat, cell + lit(1))
+    val c = corpus.select(col(idCol).as("n_id"), toDouble(col(vecCol)).as("n_vec"))
+      .withColumn("cell", element_at(cellRankCol(col("n_vec"), centroids), 1)("cell"))
+      // materialize the residual once — pqPackedCodeCol slices it m·kSub times
+      .withColumn("__res", zip_with(col("n_vec"), centOf(col("cell")), (a, b) => a - b))
+      .withColumn("code", pqPackedCodeCol(col("__res"), codebook, m))
+      .select(col("cell"), col("n_id"), col("code"))
+    val q = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
+      // LUT over the RAW query against the residual codebook (q·r term),
+      // hoisted above the probe explode like the direct variant
+      .withColumn("lut", pqLutCol(col("q_vec"), codebook, m))
+      .withColumn("cell", explode(transform(
+        slice(cellRankCol(col("q_vec"), centroids), 1, nProbe), s => s("cell"))))
+      // per-(query, probed cell) centroid term — computed before the
+      // candidate join, so it prices at |Q|·nProbe, not per candidate
+      .withColumn("coff", dot(col("q_vec"), centOf(col("cell"))))
+      .select(col("cell"), col("q_id"), col("lut"), col("coff"))
+    val sims = q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (col("coff") + pqAdcScore(col("lut"), col("code"), m)).as("sim"))
+    rankTopK(sims, k)
+  }
+
   /**
    * Persist an IVF index: the production shape for repeated retrieval
    * over a fixed corpus. Cells become PARQUET PARTITION DIRECTORIES

@@ -285,6 +285,52 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"must not cross-join:\n$plan")
   }
 
+  test("residual IVF-PQ: twins recalled, deterministic, recall ≥ the direct-PQ floor") {
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    // planted exact twins: a twin lands in its query's cell, so its
+    // residual — hence its packed residual code — is identical too, and
+    // its ADC-plus-centroid score equals the query's self-score (the
+    // maximum). Same twin ∈ top-k floor as the direct variant.
+    val twins = q.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val topk = Similarity.ivfPqResidualTopK(q, e.unionByName(twins), k = 5,
+      nCells = 8, nProbe = 2)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    (0L until 10L).foreach { qid =>
+      assert(topk(qid).contains(qid + 10000),
+        s"query $qid lost its twin: ${topk(qid)}")
+    }
+    // deterministic across evaluations (offset-sample residual codebook,
+    // fixed fold orders)
+    val a = Similarity.ivfPqResidualTopK(q, e, k = 5).collect().map(_.toString).sorted
+    val b = Similarity.ivfPqResidualTopK(q, e, k = 5).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // recall contract vs float IVF: residual coding must hold the SAME
+    // candidate-generation floor the direct variant pins (0.15, above
+    // chance). It is NOT asserted to dominate direct PQ here: residual's
+    // textbook advantage assumes TRAINED codebooks on clustered data
+    // (within-cell displacements tighter than the whole space); with the
+    // deterministic sampled codebook on isotropic synthetic embeddings,
+    // residuals against random-sample centroids are not tighter (measured
+    // 0.20 vs direct 0.26 at sf0.001), so the floor is the honest
+    // contract — the rerank composition is the deployment shape either way
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def meanRecall(got: Map[Long, Set[Long]], ref: Map[Long, Set[Long]]) = {
+      val rs = ref.map { case (qid, r) => got(qid).intersect(r).size.toDouble / r.size }
+      rs.sum / rs.size
+    }
+    val float = sets(Similarity.ivfTopK(q, e, k = 5, nCells = 16, nProbe = 4))
+    val resid = sets(Similarity.ivfPqResidualTopK(q, e, k = 5, nCells = 16, nProbe = 4))
+    assert(meanRecall(resid, float) >= 0.15,
+      s"residual-PQ candidate generation ${meanRecall(resid, float)} below the direct-PQ floor")
+    val plan = Similarity.ivfPqResidualTopK(q, e, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"must not cross-join:\n$plan")
+  }
+
   test("index rebuild heals a crashed prior swap before reading the tree") {
     val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf_heal").toString
