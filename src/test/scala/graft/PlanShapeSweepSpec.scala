@@ -10,10 +10,14 @@ package graft
  * unbucketed join — or a refactor that drops a join key and silently
  * degrades a hash join into a cartesian — fails here by name.
  *
- * Broadcast nested-loop joins are NOT flagged: a BNLJ's small side is
- * broadcast-bounded by construction (the containment/decontamination
- * pattern: benchmark-side broadcast, the corpus never shuffles), which is
- * exactly the documented 100 TB shape for those operators.
+
+ * Broadcast nested-loop joins get the same treatment (third sweep): a
+ * BNLJ is only acceptable when its broadcast side is BOUNDED by
+ * construction (the containment/decontamination pattern: benchmark-side
+ * broadcast, the corpus never shuffles) — so every BNLJ in the surface
+ * must sit on a named allowlist citing its bounded side, and a FUTURE
+ * unlabeled BNLJ whose "small" side grows with the data fails here by
+ * name instead of silently degrading at scale.
  */
 class PlanShapeSweepSpec extends SparkSpec {
 
@@ -115,6 +119,53 @@ class PlanShapeSweepSpec extends SparkSpec {
       assert(unboundedSinglePartitions(plan).nonEmpty,
         s"$name no longer plans a non-aggregate SinglePartition exchange; " +
           "remove it from the allowlist")
+    }
+  }
+
+  /** Queries allowed to plan a BroadcastNestedLoopJoin — each entry cites
+    * why its broadcast side stays bounded at any corpus scale. The labeled
+    * cartesian twins are implicitly allowed too (Spark plans their
+    * crossJoin as BNLJ when one side is broadcastable — same all-pairs
+    * role, already documented in `cartesianAllowed`). */
+  private val bnljAllowed: Map[String, String] = Map(
+    "mix_temperature" ->
+      ("Chunking.temperatureMix: counts.crossJoin(broadcast(totals)) — the " +
+        "broadcast side is the ONE-ROW global (N, W) aggregate, and the " +
+        "stream side is the per-source count table (≤ #sources rows)"),
+    "mm_similar_media" ->
+      ("the labeled exact media-retrieval baseline (bruteForceTopK over " +
+        "feature vectors): the broadcast side is the fixed ≤10-row probe " +
+        "set (media_id < 10) — same all-pairs role as the cartesian twins, " +
+        "hash-verifying mm_similar_media_ivf"),
+    "text_hybrid_search" ->
+      ("TextAnalysis.hybridSearch: embDf.crossJoin(broadcast(qv)) — the " +
+        "broadcast side is the SINGLE query-vector row " +
+        "(vec_id === queryVecId); the corpus side streams once"))
+
+  test("every BroadcastNestedLoopJoin sits on the bounded-side allowlist") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, _) if bnljAllowed.contains(name) || cartesianAllowed(name) => None
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+          if (plan.contains("BroadcastNestedLoopJoin"))
+            Some(s"$name plans an unlabeled BroadcastNestedLoopJoin")
+          else None
+        } catch {
+          case e: Throwable =>
+            Some(s"$name failed to plan: ${e.getClass.getSimpleName} ${e.getMessage}")
+        }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("the BNLJ allowlist is tight: each listed query really plans one") {
+    bnljAllowed.keys.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"$name no longer plans a BroadcastNestedLoopJoin; remove it " +
+          "from the allowlist")
     }
   }
 
