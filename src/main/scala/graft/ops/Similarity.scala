@@ -765,12 +765,24 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Resolve an index subtree (`cells`/`centroids`/`pqcodebook`) through
+    * the optional MANIFEST generation pointer ([[FsOps.publishGeneration]]
+    * layout): a versioned tree resolves to `<path>/<liveVersion>/<sub>`,
+    * a flat legacy tree to `<path>/<sub>` unchanged. One tiny-file read
+    * per resolution — no directory listing. */
+  private def indexDir(
+      spark: org.apache.spark.sql.SparkSession, path: String, sub: String): String = {
+    val (hfs, root) = graft.sink.FsOps.fs(spark, path)
+    graft.sink.FsOps.readManifest(hfs, root)
+      .map(v => s"$path/$v/$sub").getOrElse(s"$path/$sub")
+  }
+
   /** Read the stored PQ codebook sidecar: (codebook rows in c order, m).
     * Fails with an actionable message on trees persisted before the PQ
     * sidecar existed. */
   private def readPqCodebook(
       spark: org.apache.spark.sql.SparkSession, path: String): (Array[Array[Double]], Int) = {
-    val sidecar = new org.apache.hadoop.fs.Path(s"$path/pqcodebook")
+    val sidecar = new org.apache.hadoop.fs.Path(indexDir(spark, path, "pqcodebook"))
     val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(sidecar)) throw new IllegalStateException(
       s"index at $path has no pqcodebook/ sidecar (persisted by an older " +
@@ -797,11 +809,12 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
     val centroids: Array[(Int, Array[Double])] =
-      spark.read.parquet(s"$path/centroids").collect()
+      spark.read.parquet(indexDir(spark, path, "centroids")).collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     val (codebook, m) = readPqCodebook(spark, path)
     indexRows(batch, centroids, codebook, m, idCol, vecCol)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      .write.mode("append").partitionBy("cell")
+      .parquet(indexDir(spark, path, "cells"))
   }
 
   /**
@@ -878,7 +891,7 @@ object Similarity {
       kCand: Int = 0): DataFrame = {
     val spark = queries.sparkSession
     val centroids: Array[(Int, Array[Double])] =
-      spark.read.parquet(s"$indexPath/centroids").collect()
+      spark.read.parquet(indexDir(spark, indexPath, "centroids")).collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     val q0 = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
     val q = q0
@@ -893,7 +906,7 @@ object Similarity {
     // the batch's probe-cell union: bounded by nCells, so the collect is a
     // handful of ints — it exists precisely to become a partition filter
     val probedCells = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(s"$indexPath/cells")
+    val cells = spark.read.parquet(indexDir(spark, indexPath, "cells"))
       .filter(col("cell").isin(probedCells.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
     val c = cells.select(col("cell"), col(idCol).as("n_id"),
       col("scale").as("n_scale"), col("code").as("n_q"))
@@ -937,7 +950,7 @@ object Similarity {
       kCand: Int = 0): DataFrame = {
     val spark = queries.sparkSession
     val centroids: Array[(Int, Array[Double])] =
-      spark.read.parquet(s"$indexPath/centroids").collect()
+      spark.read.parquet(indexDir(spark, indexPath, "centroids")).collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     val (codebook, m) = readPqCodebook(spark, indexPath)
     val q0 = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
@@ -947,7 +960,7 @@ object Similarity {
         slice(cellRankCol(col("q_vec"), centroids), 1, nProbe), s => s("cell"))))
       .select(col("cell"), col("q_id"), col("lut"))
     val probedCells = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(s"$indexPath/cells")
+    val cells = spark.read.parquet(indexDir(spark, indexPath, "cells"))
       .filter(col("cell").isin(probedCells.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
     val c = cells.select(col("cell"), col(idCol).as("n_id"), col("pq_code"))
     val sims = q.join(c, Seq("cell"))
@@ -1003,8 +1016,8 @@ object Similarity {
    */
   def ivfIndexHealth(
       spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame = {
-    val spine = spark.read.parquet(s"$indexPath/centroids").select("cell")
-    val occ = spark.read.parquet(s"$indexPath/cells")
+    val spine = spark.read.parquet(indexDir(spark, indexPath, "centroids")).select("cell")
+    val occ = spark.read.parquet(indexDir(spark, indexPath, "cells"))
       .groupBy("cell").agg(count(lit(1)).as("n_rows"))
     val full = spine.join(occ, Seq("cell"), "left")
       .select(col("cell").cast("int").as("cell"),
@@ -1030,25 +1043,33 @@ object Similarity {
    *
    * The new tree is written COMPLETELY into a sibling staging directory
    * before any destructive step (the corpus read out of the old cells
-   * finishes during that write), then the old `cells/`+`centroids/` are
-   * swapped out via directory renames — metadata operations through the
-   * Hadoop FileSystem API (the path can be any Hadoop filesystem, not
-   * just a posix mount), so the vulnerable window is rename-sized, not
-   * rewrite-sized, and a crashed swap self-heals on the next run
-   * (`FsOps.swapIn`). Concurrent readers see old or new, not a mix, on
-   * any FS with directory rename; on object stores, run rebuilds from
-   * the index's single writer (the same single-writer discipline appends
-   * already require).
+   * finishes during that write). The publish step depends on the layout:
+   *
+   *  - FLAT tree (the [[writeIvfIndex]] default): the old
+   *    `cells/`+`centroids/`+`pqcodebook/` are swapped out via directory
+   *    renames — metadata operations through the Hadoop FileSystem API,
+   *    so the vulnerable window is rename-sized, not rewrite-sized, and a
+   *    crashed swap self-heals on the next run (`FsOps.swapIn`). Correct
+   *    on any FS with directory rename; on object stores renames are
+   *    copy-sized — use the versioned layout there.
+   *  - VERSIONED tree ([[writeIvfIndexVersioned]]): the staging dir
+   *    becomes generation `v<N+1>` and the MANIFEST pointer flips in ONE
+   *    small-file write — atomic on object stores, and all three subtrees
+   *    change generation together (the flat path's three sequential swaps
+   *    cannot mix generations here by construction).
    */
   def rebuildIvfIndex(
       spark: org.apache.spark.sql.SparkSession, path: String, nCells: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     import org.apache.hadoop.fs.Path
     val (hfs, root) = graft.sink.FsOps.fs(spark, path)
-    // heal a crashed prior swap BEFORE reading the tree — a crash between
-    // swapIn's two renames leaves cells/ (or a sidecar) retired with no
-    // replacement, and reading it first would throw before any heal ran
-    Seq("cells", "centroids", "pqcodebook").foreach { d =>
+    val versioned = graft.sink.FsOps.readManifest(hfs, root).isDefined
+    // heal a crashed prior FLAT swap BEFORE reading the tree — a crash
+    // between swapIn's two renames leaves cells/ (or a sidecar) retired
+    // with no replacement, and reading it first would throw before any
+    // heal ran. (The versioned layout has no such state: an interrupted
+    // publish leaves only an unreferenced generation dir.)
+    if (!versioned) Seq("cells", "centroids", "pqcodebook").foreach { d =>
       val retired = new Path(root, s".retired_$d")
       val orig = new Path(root, d)
       if (hfs.exists(retired)) {
@@ -1056,7 +1077,8 @@ object Similarity {
         else graft.sink.FsOps.deleteIfExists(hfs, retired)
       }
     }
-    val corpus = spark.read.parquet(s"$path/cells").select(col(idCol), col(vecCol))
+    val corpus = spark.read.parquet(indexDir(spark, path, "cells"))
+      .select(col(idCol), col(vecCol))
     // carry the index's PQ geometry (m, kSub) through the rebuild — the
     // codebook itself is re-sampled over the grown corpus, like centroids
     val (oldCodebook, oldM) = readPqCodebook(spark, path)
@@ -1064,9 +1086,39 @@ object Similarity {
     graft.sink.FsOps.deleteIfExists(hfs, staging)
     writeIvfIndex(corpus, staging.toString, nCells, idCol, vecCol,
       pqM = oldM, pqKSub = oldCodebook.length)
-    Seq("cells", "centroids", "pqcodebook").foreach(d =>
-      graft.sink.FsOps.swapIn(hfs, new Path(staging, d), new Path(root, d)))
+    if (versioned) { graft.sink.FsOps.publishGeneration(hfs, root, staging): Unit }
+    else {
+      Seq("cells", "centroids", "pqcodebook").foreach(d =>
+        graft.sink.FsOps.swapIn(hfs, new Path(staging, d), new Path(root, d)))
+      graft.sink.FsOps.deleteIfExists(hfs, staging)
+    }
+  }
+
+  /**
+   * [[writeIvfIndex]] in the VERSIONED generation layout — the
+   * object-store-safe shape: the whole generation
+   * (`cells/`+`centroids/`+`pqcodebook/`) is staged as one immutable
+   * directory and published by [[graft.sink.FsOps.publishGeneration]] —
+   * `v<N+1>/` plus a one-small-file MANIFEST flip (a single PUT where
+   * directory rename is a key-by-key copy). Every reader and
+   * [[appendToIvfIndex]] resolve the manifest first, so queries, appends,
+   * health reads, and [[rebuildIvfIndex]] all work unchanged on either
+   * layout; the previous generation stays on disk until the NEXT publish,
+   * so a reader that resolved just before a flip finishes its scan
+   * against a complete, immutable tree.
+   */
+  def writeIvfIndexVersioned(
+      corpus: DataFrame, path: String, nCells: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      pqM: Int = 8, pqKSub: Int = 16): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = corpus.sparkSession
+    val (hfs, root) = graft.sink.FsOps.fs(spark, path)
+    hfs.mkdirs(root)
+    val staging = new Path(root, ".gen_staging")
     graft.sink.FsOps.deleteIfExists(hfs, staging)
+    writeIvfIndex(corpus, staging.toString, nCells, idCol, vecCol, pqM, pqKSub)
+    graft.sink.FsOps.publishGeneration(hfs, root, staging): Unit
   }
 
   /** Read the index's skew verdict and rebuild only if it breaches

@@ -38,4 +38,53 @@ private[graft] object FsOps {
     renameOrFail(f, incoming, dst)
     deleteIfExists(f, retired)
   }
+
+  // ------------------------- versioned-generation (manifest-pointer) layout
+  //
+  // `swapIn` above is rename-sized on any FS with directory rename — but on
+  // object stores a "rename" is a key-by-key copy, so the two-rename window
+  // becomes copy-sized. The alternative layout: each published state lives
+  // under an immutable `v<N>/` generation directory and a tiny `MANIFEST`
+  // file names the live one. Publishing = one small-file overwrite (a
+  // single PUT — atomic on object stores, where it matters most), readers
+  // resolve the manifest first, and the immediately-previous generation is
+  // retained so a reader that resolved just before the flip finishes its
+  // scan against a complete, immutable tree.
+
+  def readManifest(f: FileSystem, root: Path): Option[String] = {
+    val m = new Path(root, "MANIFEST")
+    if (!f.exists(m)) None
+    else {
+      val in = f.open(m)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+      finally in.close()
+    }
+  }
+
+  def writeManifest(f: FileSystem, root: Path, version: String): Unit = {
+    val out = f.create(new Path(root, "MANIFEST"), true)
+    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Publish `staging` as the next generation under `root`: rename it to
+    * `v<N+1>`, flip the MANIFEST pointer (the one atomic step), and drop
+    * every generation older than the PREVIOUS one. A crash before the
+    * manifest write leaves an unreferenced `v<N+1>` dir (garbage, swept by
+    * the next publish) and the live pointer untouched — there is no state
+    * in which readers see a partial or mixed tree. */
+  def publishGeneration(f: FileSystem, root: Path, staging: Path): String = {
+    val cur = readManifest(f, root)
+    val next = s"v${cur.map(_.stripPrefix("v").toInt).getOrElse(0) + 1}"
+    deleteIfExists(f, new Path(root, next)) // crashed prior publish's orphan
+    renameOrFail(f, staging, new Path(root, next))
+    writeManifest(f, root, next)
+    val keep = Set(next) ++ cur
+    Option(f.listStatus(root)).getOrElse(Array.empty)
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+")
+        && !keep(s.getPath.getName))
+      .foreach(s => deleteIfExists(f, s.getPath))
+    next
+  }
 }

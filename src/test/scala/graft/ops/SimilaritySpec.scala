@@ -331,6 +331,48 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"must not cross-join:\n$plan")
   }
 
+  test("versioned index: one-pointer publish, reads stay consistent through swaps") {
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 5)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_ver").toString
+    Similarity.writeIvfIndexVersioned(e, idx, nCells = 8)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(idx, "MANIFEST")).trim == "v1")
+    // layout equivalence: identical retrieval rows vs a flat tree
+    val flat = java.nio.file.Files.createTempDirectory("graft_ivf_flat").toString
+    Similarity.writeIvfIndex(e, flat, nCells = 8)
+    val a = Similarity.ivfQuantizedTopKIndexed(idx, q, k = 5, nProbe = 2)
+      .collect().map(_.toString).sorted
+    val b = Similarity.ivfQuantizedTopKIndexed(flat, q, k = 5, nProbe = 2)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // a reader that resolved v1 just before the swap must finish against a
+    // complete immutable tree: rebuild publishes v2, v1 stays on disk
+    val v1Cells = s"$idx/v1/cells"
+    val preCount = spark.read.parquet(v1Cells).count()
+    Similarity.rebuildIvfIndex(spark, idx, nCells = 8)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(idx, "MANIFEST")).trim == "v2")
+    assert(spark.read.parquet(v1Cells).count() == preCount,
+      "previous generation must survive one publish for in-flight readers")
+    // new resolutions see the new generation transparently (same API)
+    assert(Similarity.ivfQuantizedTopKIndexed(idx, q, k = 5, nProbe = 2).count() > 0)
+    // appends resolve the live generation
+    val batch = e.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 20000).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfIndex(batch, idx)
+    assert(spark.read.parquet(s"$idx/v2/cells").count() == preCount + 3)
+    assert(spark.read.parquet(v1Cells).count() == preCount, "v1 untouched by append")
+    // the next publish retires v1 (only live + previous are retained)
+    Similarity.rebuildIvfIndex(spark, idx, nCells = 8)
+    assert(!new java.io.File(s"$idx/v1").exists())
+    assert(new java.io.File(s"$idx/v2").exists())
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(idx, "MANIFEST")).trim == "v3")
+    // the rebuilt v3 carried the appended rows through
+    assert(spark.read.parquet(s"$idx/v3/cells").count() == preCount + 3)
+  }
+
   test("index rebuild heals a crashed prior swap before reading the tree") {
     val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf_heal").toString
