@@ -60,6 +60,18 @@ case object OverwritePartitions extends WriteDisposition
  *   deterministic size-based split — a salt cannot promise file splits,
  *   this can). Composes with filesPerPartition: the salt bounds files from
  *   above for small partitions, the row cap splits oversized ones.
+ * @param adaptiveRowsPerFile ADAPTIVE salt sizing — the measure-then-
+ *   rebalance loop (ARCHITECTURE.md): instead of `filesPerPartition`'s one
+ *   uniform width, the write MEASURES per-partition-value row counts (one
+ *   column-pruned count aggregation over the input — the same cost class
+ *   as the CREATE pre-check) and salts each value with its OWN width
+ *   `ceil(n_value / adaptiveRowsPerFile)`: hot values fan out across
+ *   exactly the tasks their row count warrants while cold values stay
+ *   single-file, with no operator-tuned n to misestimate. When
+ *   `filesPerPartition` is also set it becomes the per-value width CAP.
+ *   The width table is one row per partition value — broadcast-joined,
+ *   bounded by the same partition-cardinality assumption `partitionBy`
+ *   itself makes.
  */
 final case class SinkConfig(
     format: SinkFormat,
@@ -70,7 +82,8 @@ final case class SinkConfig(
     runtimeNullCheck: Boolean = false,
     catalogTable: Option[String] = None,
     filesPerPartition: Option[Int] = None,
-    maxRecordsPerFile: Option[Long] = None)
+    maxRecordsPerFile: Option[Long] = None,
+    adaptiveRowsPerFile: Option[Long] = None)
 
 /**
  * Dynamic-partitioned dataset sink — the Spark-native re-expression of the
@@ -125,6 +138,9 @@ object PartitionedSink {
     cfg.maxRecordsPerFile.foreach(n =>
       if (n <= 0) throw new GraftSchemaException(
         s"maxRecordsPerFile must be positive, got $n"))
+    cfg.adaptiveRowsPerFile.foreach(n =>
+      if (n <= 0) throw new GraftSchemaException(
+        s"adaptiveRowsPerFile must be positive, got $n"))
   }
 
   private def forceNonNullable(df: DataFrame, fields: Seq[String]) =
@@ -159,20 +175,37 @@ object PartitionedSink {
     if (cfg.disposition == Create)
       PartitionCatalog.assertNoneExist(prepared, path, cfg.partitionFields,
         cfg.catalogTable)
-    // write-time skew/file-budget control (see SinkConfig.filesPerPartition):
-    // re-cluster on (key, content-hash salt mod n) with the shuffle-partition
-    // count pinned explicitly — an AQE-coalescible exchange would merge salt
-    // groups on small inputs and silently defeat the hot-partition split
-    val clustered = cfg.filesPerPartition match {
-      case Some(n) =>
-        val nShuffle = math.max(n,
-          df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
-        val exprs =
-          if (n == 1) cfg.partitionFields.map(col)
-          else cfg.partitionFields.map(col) :+
-            pmod(xxhash64(prepared.columns.toIndexedSeq.map(col): _*), lit(n))
-        prepared.repartition(nShuffle, exprs: _*)
-      case None => prepared
+    // write-time skew/file-budget control (see SinkConfig.filesPerPartition
+    // / adaptiveRowsPerFile): re-cluster on (key, content-hash salt) with
+    // the shuffle-partition count pinned explicitly — an AQE-coalescible
+    // exchange would merge salt groups on small inputs and silently defeat
+    // the hot-partition split
+    val nShuffle = math.max(cfg.filesPerPartition.getOrElse(1),
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val keys = cfg.partitionFields.map(col)
+    val rowHash = xxhash64(prepared.columns.toIndexedSeq.map(col): _*)
+    val clustered = cfg.adaptiveRowsPerFile match {
+      case Some(target) =>
+        // measure: per-value row counts (column-pruned partial agg), then
+        // size each value's salt to exactly its own fan-out need; the cap
+        // (filesPerPartition, when set) bounds runaway values
+        val rawW = ceil(col("__n").cast("double") / target).cast("long")
+        val cappedW = cfg.filesPerPartition
+          .map(c => least(lit(c.toLong), rawW)).getOrElse(rawW)
+        val widths = prepared.groupBy(keys: _*)
+          .agg(count(lit(1)).as("__n"))
+          .select(keys :+ greatest(lit(1L), cappedW).as("__w"): _*)
+        prepared.join(broadcast(widths), cfg.partitionFields)
+          .repartition(nShuffle, keys :+ pmod(rowHash, col("__w")): _*)
+          .drop("__w")
+      case None => cfg.filesPerPartition match {
+        case Some(n) =>
+          val exprs =
+            if (n == 1) keys
+            else keys :+ pmod(rowHash, lit(n))
+          prepared.repartition(nShuffle, exprs: _*)
+        case None => prepared
+      }
     }
     var writer = clustered.write
       .format(cfg.format.name)

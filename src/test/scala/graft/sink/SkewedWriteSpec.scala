@@ -93,6 +93,49 @@ class SkewedWriteSpec extends SparkSpec {
       skewed.count())
   }
 
+  test("adaptive salt: file counts track per-value row counts within the target") {
+    val out = Files.createTempDirectory("graft_skew_adaptive")
+    val df = skewed
+    val counts = df.groupBy("shard").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = 200L
+    PartitionedSink.write(df, out.toString,
+      SinkConfig(ParquetFormat, Seq("shard"), runtimeNullCheck = true,
+        adaptiveRowsPerFile = Some(target)))
+    val files = dataFiles(out)
+    counts.foreach { case (v, n) =>
+      val want = math.ceil(n.toDouble / target).toLong
+      val got = files(s"shard=$v").toLong
+      // the derived width IS the ceiling; hash collisions across reducers
+      // can only merge salt groups, and rows >> width keeps every salt
+      // populated — so the count tracks the per-value need within 2x below
+      assert(got <= want, s"value $v ($n rows): $got files exceeds width $want")
+      assert(got >= math.max(1L, want / 2),
+        s"value $v ($n rows): $got files does not track its need $want")
+    }
+    // the measured widths, not a uniform n: hot fans out, cold stays at 1
+    assert(files("shard=hot") > 1, s"hot value must fan out: $files")
+    assert(counts.filter(_._2 <= target).keys
+      .forall(v => files(s"shard=$v") == 1),
+      s"under-target values must stay single-file: $files")
+    // content identity through the adaptive path
+    val back = PartitionedSink.readBack(spark, out.toString)
+    assert(back.count() == df.count())
+    assert(back.agg(sum("o_orderkey")).head.getLong(0) ==
+      df.agg(sum("o_orderkey")).head.getLong(0))
+  }
+
+  test("adaptive salt respects the filesPerPartition cap") {
+    val out = Files.createTempDirectory("graft_skew_adaptive_cap")
+    // a target that would give hot ~27 salts, capped at 3
+    PartitionedSink.write(skewed, out.toString,
+      SinkConfig(ParquetFormat, Seq("shard"), runtimeNullCheck = true,
+        filesPerPartition = Some(3), adaptiveRowsPerFile = Some(200L)))
+    val files = dataFiles(out)
+    assert(files.values.forall(_ <= 3), s"cap of 3 violated: $files")
+    assert(files("shard=hot") > 1, s"hot value must still split: $files")
+  }
+
   test("invalid budgets are rejected up front") {
     val df = skewed
     intercept[graft.schema.GraftSchemaException] {
@@ -102,6 +145,10 @@ class SkewedWriteSpec extends SparkSpec {
     intercept[graft.schema.GraftSchemaException] {
       PartitionedSink.validate(df, SinkConfig(ParquetFormat, Seq("shard"),
         runtimeNullCheck = true, maxRecordsPerFile = Some(-1L)))
+    }
+    intercept[graft.schema.GraftSchemaException] {
+      PartitionedSink.validate(df, SinkConfig(ParquetFormat, Seq("shard"),
+        runtimeNullCheck = true, adaptiveRowsPerFile = Some(0L)))
     }
   }
 }
