@@ -116,6 +116,19 @@ object OpsQueries {
       Dedup.ngramJaccardPairsPrefix(docs(s, dir), "doc_id", "text",
         n = 3, threshold = 0.8)),
 
+    // exact substring dedup (the repeated-span detector of the
+    // "deduplicating training data" line): every token k-gram occurring
+    // more than once corpus-wide, merged per doc into maximal spans —
+    // linear tokenize + one gram-key aggregate + per-doc island windows,
+    // no all-pairs stage
+    "dedup_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(docs(s, dir), "doc_id", "text", k = 5)),
+
+    // the excision composition: tokens inside any repeated span dropped,
+    // survivors re-joined (boilerplate/contamination strip semantics)
+    "dedup_strip_spans" -> ((s, dir) =>
+      Dedup.stripRepeatedSpans(docs(s, dir), "doc_id", "text", k = 5)),
+
     // decontamination: containment-dominant pairs (short-in-long leakage)
     "dedup_containment" -> ((s, dir) =>
       Dedup.ngramContainmentPairs(docs(s, dir).filter(col("doc_id") < 1000),
@@ -749,6 +762,77 @@ object OpsQueries {
         |WHERE greatest(
         |    cast(len(list_intersect(a.g, b.g)) as double) / len(a.g),
         |    cast(len(list_intersect(a.g, b.g)) as double) / len(b.g)) >= 0.9""".stripMargin,
+
+    // mirrors Dedup.repeatedSpans: \s+-split tokens (NOT lowercased — the
+    // operator detects exact repeats), md5 gram keys, global occurrence
+    // count > 1, per-doc gaps-and-islands merge with the overlap-or-abut
+    // rule (new span when the position gap exceeds k)
+    "dedup_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), occ AS (
+        |  SELECT doc_id, p, md5(array_to_string(w[p+1:p+5], ' ')) AS g
+        |  FROM toks, unnest(range(0, len(w) - 4)) t(p)
+        |  WHERE len(w) >= 5
+        |), c AS (
+        |  SELECT g, count(*) AS n FROM occ GROUP BY g
+        |), dup AS (
+        |  SELECT o.doc_id, o.p FROM occ o JOIN c USING (g) WHERE c.n > 1
+        |), flag AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 5
+        |         THEN 0 ELSE 1 END AS is_new
+        |  FROM dup
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |    sum(is_new) OVER (PARTITION BY doc_id ORDER BY p
+        |                      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flag)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 4 AS span_end,
+        |  count(*) AS n_grams
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
+
+    "dedup_strip_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), occ AS (
+        |  SELECT doc_id, p, md5(array_to_string(w[p+1:p+5], ' ')) AS g
+        |  FROM toks, unnest(range(0, len(w) - 4)) t(p)
+        |  WHERE len(w) >= 5
+        |), c AS (
+        |  SELECT g, count(*) AS n FROM occ GROUP BY g
+        |), dup AS (
+        |  SELECT o.doc_id, o.p FROM occ o JOIN c USING (g) WHERE c.n > 1
+        |), flag AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 5
+        |         THEN 0 ELSE 1 END AS is_new
+        |  FROM dup
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |    sum(is_new) OVER (PARTITION BY doc_id ORDER BY p
+        |                      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flag
+        |), spans AS (
+        |  SELECT doc_id, min(p) AS s, max(p) + 4 AS e
+        |  FROM isl GROUP BY doc_id, island
+        |), tok AS (
+        |  SELECT doc_id, i - 1 AS ti, w[i] AS t
+        |  FROM toks, unnest(range(1, len(w) + 1)) u(i)
+        |), kept AS (
+        |  SELECT tk.doc_id, tk.ti, tk.t
+        |  FROM tok tk
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = tk.doc_id AND tk.ti BETWEEN sp.s AND sp.e)
+        |)
+        |SELECT t.doc_id,
+        |  coalesce((SELECT string_agg(k.t, ' ' ORDER BY k.ti)
+        |            FROM kept k WHERE k.doc_id = t.doc_id), '') AS clean_text,
+        |  len(t.w) - coalesce((SELECT count(*) FROM kept k
+        |                       WHERE k.doc_id = t.doc_id), 0) AS n_tokens_removed
+        |FROM toks t""".stripMargin,
 
     "dedup_ngram_pairs_filtered" ->
       """WITH toks AS (

@@ -778,4 +778,98 @@ object Dedup {
       .withColumn("sub",
         pmod(xxhash64(col("doc_id")), col("nsplits").cast("long")).cast("int"))
   }
+
+  // --------------------------------------- exact substring (k-gram spans)
+
+  /** Every token-level k-gram occurrence across the corpus: one row per
+    * (doc, start position) with the gram's md5 key — md5 rather than a
+    * 64-bit hash because the key must be re-derivable by the SQL oracle,
+    * and constant-width rather than the gram text because the key rides a
+    * corpus-wide shuffle. Tokens are `\s+`-split (the module's shared
+    * convention). */
+  private def gramOccurrences(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol),
+        split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col(idCol), col("__toks"), explode(
+        // a doc shorter than k tokens has no k-grams — guard the sequence
+        // (sequence(0, negative) would DESCEND and fabricate positions)
+        when(size(col("__toks")) >= k,
+          sequence(lit(0), size(col("__toks")) - k))
+          .otherwise(array().cast("array<int>")))
+        .as("p"))
+      .select(col(idCol), col("p"),
+        md5(concat_ws(" ", slice(col("__toks"), col("p") + 1, lit(k)))
+          .cast("binary")).as("g"))
+
+  /**
+   * Exact substring (repeated k-gram span) detection — the cross-document
+   * duplicate-text operator of the "deduplicating training data" line of
+   * work: find every token position whose k-gram occurs MORE THAN ONCE in
+   * the corpus (any document, including repeats within one document), then
+   * merge overlapping/adjacent duplicated positions per document into
+   * maximal spans. Output: one row per merged span —
+   * (id, span_start, span_end, n_grams) with token-index bounds inclusive.
+   *
+   * Scale posture: tokenize/explode is linear in corpus tokens; the
+   * occurrence count is one hash-partitioned aggregate on the constant-
+   * width gram key (map-side partial combine — a viral boilerplate gram
+   * arrives pre-counted per task, the same skew posture as
+   * [[withGramDocFreq]]); the island merge is a per-document window over
+   * only the DUPLICATED positions. No all-pairs stage anywhere: cost is
+   * O(tokens) + one shuffle on the gram key + one on the doc id.
+   */
+  def repeatedSpans(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val occ = gramOccurrences(df, idCol, textCol, k)
+    val counts = occ.groupBy(col("g")).agg(count(lit(1)).as("__n"))
+    val dup = occ.join(counts.filter(col("__n") > 1), Seq("g"))
+    // gaps-and-islands: a new span starts where this duplicated position
+    // no longer overlaps/abuts the previous one's k-token window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    dup
+      .withColumn("__new",
+        when(col("p") - lag(col("p"), 1).over(w) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("__island", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /**
+   * Excise every repeated k-gram span ([[repeatedSpans]]) from the text:
+   * tokens covered by any duplicated span are dropped and the survivors
+   * re-joined with single spaces — the boilerplate/contamination-strip
+   * semantic (symmetric removal; a keep-one-canonical-copy policy is a
+   * downstream choice over the span table, not baked in here). Output:
+   * (id, clean_text, n_tokens_removed).
+   *
+   * The span table is per-document-bounded, so the excision join
+   * co-partitions on the doc id — one shuffle, then a row-local array
+   * filter; the text is never exploded a second time.
+   */
+  def stripRepeatedSpans(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        filter(
+          transform(col("__toks"),
+            (t, i) => struct(t.as("t"),
+              coalesce(exists(col("__spans"),
+                s => i.between(s("span_start"), s("span_end"))), lit(false))
+                .as("cut"))),
+          x => !x("cut")).as("__kept"),
+        size(col("__toks")).as("__n"))
+      .select(col(idCol),
+        concat_ws(" ", transform(col("__kept"), x => x("t"))).as("clean_text"),
+        (col("__n") - size(col("__kept"))).as("n_tokens_removed"))
+  }
 }

@@ -350,6 +350,35 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((1L, 2L)) && capped.contains((1L, 3L)))
   }
 
+  test("repeated spans: cross-doc k-gram repeats merge to maximal spans; strip excises them") {
+    import spark.implicits._
+    // docs 1 and 2 share a 7-token run (3 overlapping 5-grams each -> one
+    // merged span per doc); doc 3 is clean; doc 4 repeats a 5-gram WITHIN
+    // itself at positions 0 and 6 (gap 6 > k -> two separate spans)
+    val shared = "the quick brown fox jumps over fences"
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma delta"),
+      (2L, s"$shared epsilon zeta eta theta iota"),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "a b c d e x a b c d e")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    // doc 1: shared run spans tokens 2..8 (3 grams); doc 2: tokens 0..6
+    assert(spans.filter(_._1 == 1L).toSeq == Seq((1L, 2, 8, 3L)), s"${spans.toSeq}")
+    assert(spans.filter(_._1 == 2L).toSeq == Seq((2L, 0, 6, 3L)), s"${spans.toSeq}")
+    assert(!spans.exists(_._1 == 3L), "clean doc must have no spans")
+    // doc 4: 'a b c d e' at 0..4 and 6..10 — gap 6 > k keeps them apart
+    assert(spans.filter(_._1 == 4L).toSeq == Seq((4L, 0, 4, 1L), (4L, 6, 10, 1L)),
+      s"${spans.toSeq}")
+    val clean = Dedup.stripRepeatedSpans(docs, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(clean(1L) == ("alpha beta gamma delta", 7))
+    assert(clean(2L) == ("epsilon zeta eta theta iota", 7))
+    assert(clean(3L) == ("one two three four five six seven eight nine", 0))
+    assert(clean(4L) == ("x", 10))
+  }
+
   test("keepBest keeps the highest-quality cluster member, min id on ties") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L))
