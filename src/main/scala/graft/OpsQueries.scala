@@ -129,6 +129,18 @@ object OpsQueries {
     "dedup_strip_spans" -> ((s, dir) =>
       Dedup.stripRepeatedSpans(docs(s, dir), "doc_id", "text", k = 5)),
 
+    // span-level decontamination (the GPT-3-style long-n-gram filter):
+    // corpus positions whose 8-gram appears anywhere in the benchmark
+    // stand-in (every 37th doc), merged to contaminated spans — benchmark
+    // grams broadcast, corpus probes by semi-join and never shuffles for
+    // membership
+    "dedup_decontaminate_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.benchmarkSpanContamination(
+        d.filter(col("doc_id") % 37 =!= 0), d.filter(col("doc_id") % 37 === 0),
+        "doc_id", "text", k = 8)
+    }),
+
     // decontamination: containment-dominant pairs (short-in-long leakage)
     "dedup_containment" -> ((s, dir) =>
       Dedup.ngramContainmentPairs(docs(s, dir).filter(col("doc_id") < 1000),
@@ -790,6 +802,33 @@ object OpsQueries {
         |                      ROWS UNBOUNDED PRECEDING) AS island
         |  FROM flag)
         |SELECT doc_id, min(p) AS span_start, max(p) + 4 AS span_end,
+        |  count(*) AS n_grams
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
+
+    "dedup_decontaminate_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), occ AS (
+        |  SELECT doc_id, p, md5(array_to_string(w[p+1:p+8], ' ')) AS g
+        |  FROM toks, unnest(range(0, len(w) - 7)) t(p)
+        |  WHERE len(w) >= 8
+        |), bench AS (
+        |  SELECT DISTINCT g FROM occ WHERE doc_id % 37 = 0
+        |), dup AS (
+        |  SELECT o.doc_id, o.p FROM occ o JOIN bench USING (g)
+        |  WHERE o.doc_id % 37 != 0
+        |), flag AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 8
+        |         THEN 0 ELSE 1 END AS is_new
+        |  FROM dup
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |    sum(is_new) OVER (PARTITION BY doc_id ORDER BY p
+        |                      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flag)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 7 AS span_end,
         |  count(*) AS n_grams
         |FROM isl GROUP BY doc_id, island""".stripMargin,
 

@@ -819,16 +819,13 @@ object Dedup {
    * only the DUPLICATED positions. No all-pairs stage anywhere: cost is
    * O(tokens) + one shuffle on the gram key + one on the doc id.
    */
-  def repeatedSpans(
-      df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
-    require(k >= 2, s"k must be >= 2, got $k")
-    val occ = gramOccurrences(df, idCol, textCol, k)
-    val counts = occ.groupBy(col("g")).agg(count(lit(1)).as("__n"))
-    val dup = occ.join(counts.filter(col("__n") > 1), Seq("g"))
-    // gaps-and-islands: a new span starts where this duplicated position
-    // no longer overlaps/abuts the previous one's k-token window
+  /** Gaps-and-islands merge of flagged gram positions (idCol, p) into
+    * maximal spans: a new span starts where a position no longer
+    * overlaps/abuts the previous one's k-token window. One per-doc window
+    * over only the FLAGGED positions. */
+  private def mergeSpans(flagged: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("p"))
-    dup
+    flagged
       .withColumn("__new",
         when(col("p") - lag(col("p"), 1).over(w) <= k, lit(0)).otherwise(lit(1)))
       .withColumn("__island", sum(col("__new")).over(
@@ -838,6 +835,39 @@ object Dedup {
         (max(col("p")) + lit(k - 1)).as("span_end"),
         count(lit(1)).as("n_grams"))
       .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  def repeatedSpans(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val occ = gramOccurrences(df, idCol, textCol, k)
+    val counts = occ.groupBy(col("g")).agg(count(lit(1)).as("__n"))
+    mergeSpans(occ.join(counts.filter(col("__n") > 1), Seq("g")), idCol, k)
+  }
+
+  /**
+   * Span-level benchmark decontamination — the n-gram-overlap filter of
+   * the GPT-3/PaLM data-prep appendices: mark every CORPUS position whose
+   * k-gram also appears ANYWHERE in the benchmark set, merged into
+   * maximal contaminated spans per corpus document. Downstream either
+   * drops the document or excises the spans ([[stripRepeatedSpans]]'s
+   * excision applies verbatim to this span table).
+   *
+   * Scale posture: the benchmark side reduces to DISTINCT gram keys —
+   * benchmark suites are bounded (thousands of documents), so the key set
+   * broadcasts and the corpus-side probe is a broadcast semi-join: the
+   * corpus never shuffles for membership, only the flagged positions
+   * shuffle for the per-doc island merge.
+   */
+  def benchmarkSpanContamination(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val benchGrams = gramOccurrences(benchmark, idCol, textCol, k)
+      .select(col("g")).distinct()
+    val flagged = gramOccurrences(corpus, idCol, textCol, k)
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+    mergeSpans(flagged, idCol, k)
   }
 
   /**

@@ -379,6 +379,27 @@ class DedupSpec extends SparkSpec {
     assert(clean(4L) == ("x", 10))
   }
 
+  test("benchmark span contamination flags only corpus spans matching benchmark grams") {
+    import spark.implicits._
+    val bench = Seq((100L, "what is the capital of france paris is")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // leaks the benchmark's first 6 tokens at positions 2..7
+      (1L, s"intro text what is the capital of france and more trailing words"),
+      (2L, "completely unrelated content about other topics entirely here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.benchmarkSpanContamination(corpus, bench,
+      "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // 'what is the capital of france' = 6 tokens -> two 5-grams at corpus
+    // positions 2 and 3 -> one merged span tokens 2..7
+    assert(spans.toSeq == Seq((1L, 2, 7, 2L)), s"${spans.toSeq}")
+    // the plan must not shuffle the corpus for membership: broadcast semi-join
+    val plan = Dedup.benchmarkSpanContamination(corpus, bench, "doc_id", "text", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"benchmark membership must be a broadcast semi-join:\n$plan")
+  }
+
   test("keepBest keeps the highest-quality cluster member, min id on ties") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L))
