@@ -802,23 +802,6 @@ object Dedup {
         md5(concat_ws(" ", slice(col("__toks"), col("p") + 1, lit(k)))
           .cast("binary")).as("g"))
 
-  /**
-   * Exact substring (repeated k-gram span) detection — the cross-document
-   * duplicate-text operator of the "deduplicating training data" line of
-   * work: find every token position whose k-gram occurs MORE THAN ONCE in
-   * the corpus (any document, including repeats within one document), then
-   * merge overlapping/adjacent duplicated positions per document into
-   * maximal spans. Output: one row per merged span —
-   * (id, span_start, span_end, n_grams) with token-index bounds inclusive.
-   *
-   * Scale posture: tokenize/explode is linear in corpus tokens; the
-   * occurrence count is one hash-partitioned aggregate on the constant-
-   * width gram key (map-side partial combine — a viral boilerplate gram
-   * arrives pre-counted per task, the same skew posture as
-   * [[withGramDocFreq]]); the island merge is a per-document window over
-   * only the DUPLICATED positions. No all-pairs stage anywhere: cost is
-   * O(tokens) + one shuffle on the gram key + one on the doc id.
-   */
   /** Gaps-and-islands merge of flagged gram positions (idCol, p) into
     * maximal spans: a new span starts where a position no longer
     * overlaps/abuts the previous one's k-token window. One per-doc window
@@ -837,6 +820,23 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_grams"))
   }
 
+  /**
+   * Exact substring (repeated k-gram span) detection — the cross-document
+   * duplicate-text operator of the "deduplicating training data" line of
+   * work: find every token position whose k-gram occurs MORE THAN ONCE in
+   * the corpus (any document, including repeats within one document), then
+   * merge overlapping/adjacent duplicated positions per document into
+   * maximal spans. Output: one row per merged span —
+   * (id, span_start, span_end, n_grams) with token-index bounds inclusive.
+   *
+   * Scale posture: tokenize/explode is linear in corpus tokens; the
+   * occurrence count is one hash-partitioned aggregate on the constant-
+   * width gram key (map-side partial combine — a viral boilerplate gram
+   * arrives pre-counted per task, the same skew posture as
+   * [[withGramDocFreq]]); the island merge is a per-document window over
+   * only the DUPLICATED positions. No all-pairs stage anywhere: cost is
+   * O(tokens) + one shuffle on the gram key + one on the doc id.
+   */
   def repeatedSpans(
       df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")

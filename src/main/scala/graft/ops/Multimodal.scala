@@ -132,21 +132,40 @@ object Multimodal {
       }
     }
 
-    /** Parse the WAV container and drain its PCM frames. Returns the
-      * decoded format plus the raw frame bytes (16-bit little-endian
-      * signed, per `synthesizeWav`). `AudioSystem.getAudioInputStream`
-      * needs mark/reset — ByteArrayInputStream provides it natively. */
-    private def readAudio(row: MediaRow): (javax.sound.sampled.AudioFormat, Array[Byte]) = {
-      try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(row.content))
-        try (ais.getFormat, ais.readAllBytes())
-        finally ais.close()
-      } catch {
+    /** One WAV-capable `AudioFileReader` provider per task thread, reused
+      * across the partition's rows — `AudioSystem.getAudioInputStream`
+      * walks the provider registry per call, the same per-row overhead
+      * the thread-local PNG reader above exists to amortize. The probe
+      * WAV selects the provider once per thread. */
+    @transient private lazy val wavReader =
+      ThreadLocal.withInitial[javax.sound.sampled.spi.AudioFileReader] { () =>
+        val probe = synthesizeWav(0L, 0)
+        val it = java.util.ServiceLoader
+          .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+        var found: javax.sound.sampled.spi.AudioFileReader = null
+        while (found == null && it.hasNext) {
+          val r = it.next()
+          try {
+            r.getAudioInputStream(new java.io.ByteArrayInputStream(probe)).close()
+            found = r
+          } catch { case _: Exception => }
+        }
+        if (found == null) throw new IllegalStateException(
+          "no WAV-capable javax.sound AudioFileReader provider on this JVM")
+        found
+      }
+
+    /** Open the WAV container WITHOUT draining it: header parse only.
+      * `ByteArrayInputStream` provides the mark/reset the reader needs.
+      * Callers close the stream; `getFrameLength` comes from the header,
+      * so metadata-only decode never touches the PCM bytes. */
+    private def openAudio(row: MediaRow): javax.sound.sampled.AudioInputStream =
+      try wavReader.get().getAudioInputStream(
+        new java.io.ByteArrayInputStream(row.content))
+      catch {
         case e: Exception => throw new IllegalArgumentException(
           s"undecodable audio payload for media_id=${row.media_id}", e)
       }
-    }
 
     def decode(row: MediaRow): MediaMeta = row.kind match {
       case "image" =>
@@ -161,16 +180,18 @@ object Multimodal {
           sample_rate = 0,
           n_frames = 1)
       case "audio" =>
-        val (fmt, pcm) = readAudio(row)
-        MediaMeta(
+        val ais = openAudio(row)
+        try MediaMeta(
           media_id = row.media_id,
           kind = row.kind,
           byte_len = row.content.length,
           width = 0,
           height = 0,
-          channels = fmt.getChannels,
-          sample_rate = fmt.getSampleRate.toInt,
-          n_frames = pcm.length / fmt.getFrameSize)
+          channels = ais.getFormat.getChannels,
+          sample_rate = ais.getFormat.getSampleRate.toInt,
+          // header field — metadata decode never drains the PCM bytes
+          n_frames = ais.getFrameLength.toInt)
+        finally ais.close()
       case _ => MediaCodecStub.decode(row)
     }
 
@@ -187,8 +208,10 @@ object Multimodal {
         }
         MediaFeature(row.media_id, out)
       case "audio" =>
-        val (fmt, pcm) = readAudio(row)
-        val stride = fmt.getFrameSize // bytes per frame (2: 16-bit mono)
+        val ais = openAudio(row)
+        val (stride, pcm) =
+          try (ais.getFormat.getFrameSize, ais.readAllBytes())
+          finally ais.close()
         val out = new Array[Float](dim)
         val nFrames = pcm.length / stride
         var p = 0

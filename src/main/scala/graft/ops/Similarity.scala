@@ -765,27 +765,32 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
-  /** Resolve an index subtree (`cells`/`centroids`/`pqcodebook`) through
-    * the optional MANIFEST generation pointer ([[FsOps.publishGeneration]]
-    * layout): a versioned tree resolves to `<path>/<liveVersion>/<sub>`,
-    * a flat legacy tree to `<path>/<sub>` unchanged. One tiny-file read
-    * per resolution — no directory listing. */
-  private def indexDir(
-      spark: org.apache.spark.sql.SparkSession, path: String, sub: String): String = {
+  /** Resolve the index tree's LIVE root through the optional MANIFEST
+    * generation pointer ([[graft.sink.FsOps.publishGeneration]] layout):
+    * `<path>/<liveVersion>` for a versioned tree, `path` itself for a flat
+    * legacy tree. One tiny-file read — no directory listing. Every
+    * operation must resolve ONCE and derive all its subtree paths from
+    * that single result: per-subtree resolution could straddle a
+    * concurrent publish and silently mix generations (v1 centroids
+    * scoring v2 codes). */
+  private def liveIndexRoot(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
     val (hfs, root) = graft.sink.FsOps.fs(spark, path)
     graft.sink.FsOps.readManifest(hfs, root)
-      .map(v => s"$path/$v/$sub").getOrElse(s"$path/$sub")
+      .map(v => s"$path/$v").getOrElse(path)
   }
 
   /** Read the stored PQ codebook sidecar: (codebook rows in c order, m).
     * Fails with an actionable message on trees persisted before the PQ
     * sidecar existed. */
+  /** @param resolvedRoot the LIVE root from [[liveIndexRoot]] — callers
+    *   pass their operation's single resolution, never re-resolve here. */
   private def readPqCodebook(
-      spark: org.apache.spark.sql.SparkSession, path: String): (Array[Array[Double]], Int) = {
-    val sidecar = new org.apache.hadoop.fs.Path(indexDir(spark, path, "pqcodebook"))
+      spark: org.apache.spark.sql.SparkSession, resolvedRoot: String): (Array[Array[Double]], Int) = {
+    val sidecar = new org.apache.hadoop.fs.Path(s"$resolvedRoot/pqcodebook")
     val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(sidecar)) throw new IllegalStateException(
-      s"index at $path has no pqcodebook/ sidecar (persisted by an older " +
+      s"index at $resolvedRoot has no pqcodebook/ sidecar (persisted by an older " +
         "build) — run writeIvfIndex over its cells/ to migrate")
     val rows = spark.read.parquet(sidecar.toString).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getInt(2)))
@@ -808,13 +813,17 @@ object Similarity {
       batch: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
+    // ONE generation resolution for the whole append: a publish landing
+    // between a per-subtree centroid read and the cells write would
+    // append old-geometry rows into the new generation
+    val live = liveIndexRoot(spark, path)
     val centroids: Array[(Int, Array[Double])] =
-      spark.read.parquet(indexDir(spark, path, "centroids")).collect()
+      spark.read.parquet(s"$live/centroids").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-    val (codebook, m) = readPqCodebook(spark, path)
+    val (codebook, m) = readPqCodebook(spark, live)
     indexRows(batch, centroids, codebook, m, idCol, vecCol)
       .write.mode("append").partitionBy("cell")
-      .parquet(indexDir(spark, path, "cells"))
+      .parquet(s"$live/cells")
   }
 
   /**
@@ -890,8 +899,9 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       kCand: Int = 0): DataFrame = {
     val spark = queries.sparkSession
+    val live = liveIndexRoot(spark, indexPath) // one resolution per op
     val centroids: Array[(Int, Array[Double])] =
-      spark.read.parquet(indexDir(spark, indexPath, "centroids")).collect()
+      spark.read.parquet(s"$live/centroids").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     val q0 = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
     val q = q0
@@ -906,7 +916,7 @@ object Similarity {
     // the batch's probe-cell union: bounded by nCells, so the collect is a
     // handful of ints — it exists precisely to become a partition filter
     val probedCells = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(indexDir(spark, indexPath, "cells"))
+    val cells = spark.read.parquet(s"$live/cells")
       .filter(col("cell").isin(probedCells.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
     val c = cells.select(col("cell"), col(idCol).as("n_id"),
       col("scale").as("n_scale"), col("code").as("n_q"))
@@ -949,10 +959,11 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       kCand: Int = 0): DataFrame = {
     val spark = queries.sparkSession
+    val live = liveIndexRoot(spark, indexPath) // one resolution per op
     val centroids: Array[(Int, Array[Double])] =
-      spark.read.parquet(indexDir(spark, indexPath, "centroids")).collect()
+      spark.read.parquet(s"$live/centroids").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
-    val (codebook, m) = readPqCodebook(spark, indexPath)
+    val (codebook, m) = readPqCodebook(spark, live)
     val q0 = queries.select(col(idCol).as("q_id"), toDouble(col(vecCol)).as("q_vec"))
     val q = q0
       .withColumn("lut", pqLutCol(col("q_vec"), codebook, m))
@@ -960,7 +971,7 @@ object Similarity {
         slice(cellRankCol(col("q_vec"), centroids), 1, nProbe), s => s("cell"))))
       .select(col("cell"), col("q_id"), col("lut"))
     val probedCells = q.select("cell").distinct().collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(indexDir(spark, indexPath, "cells"))
+    val cells = spark.read.parquet(s"$live/cells")
       .filter(col("cell").isin(probedCells.toIndexedSeq.map(_.asInstanceOf[Any]): _*))
     val c = cells.select(col("cell"), col(idCol).as("n_id"), col("pq_code"))
     val sims = q.join(c, Seq("cell"))
@@ -1016,8 +1027,9 @@ object Similarity {
    */
   def ivfIndexHealth(
       spark: org.apache.spark.sql.SparkSession, indexPath: String): DataFrame = {
-    val spine = spark.read.parquet(indexDir(spark, indexPath, "centroids")).select("cell")
-    val occ = spark.read.parquet(indexDir(spark, indexPath, "cells"))
+    val live = liveIndexRoot(spark, indexPath) // one resolution per op
+    val spine = spark.read.parquet(s"$live/centroids").select("cell")
+    val occ = spark.read.parquet(s"$live/cells")
       .groupBy("cell").agg(count(lit(1)).as("n_rows"))
     val full = spine.join(occ, Seq("cell"), "left")
       .select(col("cell").cast("int").as("cell"),
@@ -1077,11 +1089,12 @@ object Similarity {
         else graft.sink.FsOps.deleteIfExists(hfs, retired)
       }
     }
-    val corpus = spark.read.parquet(indexDir(spark, path, "cells"))
+    val live = liveIndexRoot(spark, path) // one resolution per rebuild
+    val corpus = spark.read.parquet(s"$live/cells")
       .select(col(idCol), col(vecCol))
     // carry the index's PQ geometry (m, kSub) through the rebuild — the
     // codebook itself is re-sampled over the grown corpus, like centroids
-    val (oldCodebook, oldM) = readPqCodebook(spark, path)
+    val (oldCodebook, oldM) = readPqCodebook(spark, live)
     val staging = new Path(root, ".rebuild")
     graft.sink.FsOps.deleteIfExists(hfs, staging)
     writeIvfIndex(corpus, staging.toString, nCells, idCol, vecCol,

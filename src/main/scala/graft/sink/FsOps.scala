@@ -62,10 +62,31 @@ private[graft] object FsOps {
     }
   }
 
+  /** Flip the MANIFEST pointer atomically: write the new content to a
+    * dot-hidden sibling, then overwrite-rename it onto MANIFEST through
+    * `FileContext` (posix/HDFS atomic overwrite-rename) — a plain
+    * `create(overwrite=true)` would TRUNCATE the live manifest first,
+    * and a reader in that window would resolve the flat layout and crash
+    * on a nonexistent path. Filesystems without FileContext support fall
+    * back to the direct create — on object stores a small single PUT is
+    * atomic anyway, which is the case the versioned layout targets. */
   def writeManifest(f: FileSystem, root: Path, version: String): Unit = {
-    val out = f.create(new Path(root, "MANIFEST"), true)
+    val manifest = new Path(root, "MANIFEST")
+    val tmp = new Path(root, ".MANIFEST.tmp")
+    val out = f.create(tmp, true)
     try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        manifest.toUri, f.getConf)
+      fc.rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        val direct = f.create(manifest, true)
+        try direct.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally direct.close()
+        deleteIfExists(f, tmp)
+    }
   }
 
   /** Publish `staging` as the next generation under `root`: rename it to
@@ -74,9 +95,19 @@ private[graft] object FsOps {
     * manifest write leaves an unreferenced `v<N+1>` dir (garbage, swept by
     * the next publish) and the live pointer untouched — there is no state
     * in which readers see a partial or mixed tree. */
+  private val VersionRe = "^v(\\d+)$".r
+
   def publishGeneration(f: FileSystem, root: Path, staging: Path): String = {
     val cur = readManifest(f, root)
-    val next = s"v${cur.map(_.stripPrefix("v").toInt).getOrElse(0) + 1}"
+    // a malformed manifest must fail with an actionable message, not a
+    // NumberFormatException that blocks every future publish opaquely
+    val curN = cur.map {
+      case VersionRe(n) => n.toInt
+      case other => throw new IllegalStateException(
+        s"corrupt MANIFEST at $root: expected v<N>, got '$other' — restore " +
+          "it to the live generation's name (the newest complete v*/ dir)")
+    }
+    val next = s"v${curN.getOrElse(0) + 1}"
     deleteIfExists(f, new Path(root, next)) // crashed prior publish's orphan
     renameOrFail(f, staging, new Path(root, next))
     writeManifest(f, root, next)

@@ -180,12 +180,13 @@ object PartitionedSink {
     // the shuffle-partition count pinned explicitly — an AQE-coalescible
     // exchange would merge salt groups on small inputs and silently defeat
     // the hot-partition split
-    val nShuffle = math.max(cfg.filesPerPartition.getOrElse(1),
-      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+    val sessionShuffle =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val keys = cfg.partitionFields.map(col)
     val rowHash = xxhash64(prepared.columns.toIndexedSeq.map(col): _*)
     val clustered = cfg.adaptiveRowsPerFile match {
       case Some(target) =>
+        assertNoReservedCols(prepared, Seq("__n", "__w"))
         // measure: per-value row counts (column-pruned partial agg), then
         // size each value's salt to exactly its own fan-out need; the cap
         // (filesPerPartition, when set) bounds runaway values
@@ -195,11 +196,18 @@ object PartitionedSink {
         val widths = prepared.groupBy(keys: _*)
           .agg(count(lit(1)).as("__n"))
           .select(keys :+ greatest(lit(1L), cappedW).as("__w"): _*)
+        // the reducer count must cover the WIDEST value's salt range or
+        // repartition folds salt groups back together and silently
+        // under-splits past the target (the widths table is bounded by
+        // partition cardinality, so this max is a tiny driver agg)
+        val maxW = widths.agg(max(col("__w"))).head.getLong(0).toInt
+        val nShuffle = math.max(maxW, sessionShuffle)
         prepared.join(broadcast(widths), cfg.partitionFields)
           .repartition(nShuffle, keys :+ pmod(rowHash, col("__w")): _*)
           .drop("__w")
       case None => cfg.filesPerPartition match {
         case Some(n) =>
+          val nShuffle = math.max(n, sessionShuffle)
           val exprs =
             if (n == 1) keys
             else keys :+ pmod(rowHash, lit(n))

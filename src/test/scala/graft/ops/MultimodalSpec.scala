@@ -40,8 +40,13 @@ class MultimodalSpec extends SparkSpec {
       assert(new String(r.content.take(4), "US-ASCII") == "RIFF" &&
         new String(r.content.slice(8, 12), "US-ASCII") == "WAVE",
         s"media_id=${r.media_id} is not a WAV")
-      // the container is real: its size is the encoder's, not the text's
-      assert(r.content.length != textLens(r.media_id))
+      // the container is real: canonical 44-byte PCM header + 2 bytes per
+      // frame. (NOT a "size != text length" check — a 436-byte text
+      // synthesizes a WAV of exactly 436 bytes, so that discriminator is
+      // ambiguous on real fixture lengths.)
+      val frames = 64 + (textLens(r.media_id) * 5) % 256
+      assert(r.content.length == 44 + 2 * frames,
+        s"media_id=${r.media_id}: ${r.content.length} != 44 + 2*$frames")
     }
   }
 
@@ -62,7 +67,9 @@ class MultimodalSpec extends SparkSpec {
           assert(m.channels == 3 && m.sample_rate == 0 && m.n_frames == 1)
         case "audio" =>
           val srcLen = textLens(m.media_id)
-          assert(m.byte_len != srcLen)
+          // structural container check, unambiguous at any text length
+          // (byte_len != srcLen is NOT: a 436-byte text yields a 436-byte WAV)
+          assert(m.byte_len == 44 + 2 * m.n_frames, s"$m")
           assert(m.width == 0 && m.height == 0 && m.channels == 1, s"$m")
           assert(m.sample_rate == 16000, s"$m")
           assert(m.n_frames == 64 + (srcLen * 5) % 256, s"$m")

@@ -127,13 +127,33 @@ class SkewedWriteSpec extends SparkSpec {
 
   test("adaptive salt respects the filesPerPartition cap") {
     val out = Files.createTempDirectory("graft_skew_adaptive_cap")
-    // a target that would give hot ~27 salts, capped at 3
+    // target 200 gives the ~1350-row hot value width 7, capped at 3
     PartitionedSink.write(skewed, out.toString,
       SinkConfig(ParquetFormat, Seq("shard"), runtimeNullCheck = true,
         filesPerPartition = Some(3), adaptiveRowsPerFile = Some(200L)))
     val files = dataFiles(out)
     assert(files.values.forall(_ <= 3), s"cap of 3 violated: $files")
     assert(files("shard=hot") > 1, s"hot value must still split: $files")
+  }
+
+  test("adaptive salt raises the reducer count past a width above shuffle.partitions") {
+    val out = Files.createTempDirectory("graft_skew_adaptive_wide")
+    val hotRows = skewed.filter(col("shard") === "hot").count()
+    // width for the hot value = ceil(1350/100) = 14 > the session's 8
+    // shuffle partitions: without raising nShuffle to the max width,
+    // repartition would fold the 14 salt groups into <= 8 reducers and
+    // under-split past the target
+    val target = 100L
+    val want = math.ceil(hotRows.toDouble / target).toLong
+    assert(want > spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      s"fixture no longer exercises width > shuffle.partitions (want=$want)")
+    PartitionedSink.write(skewed, out.toString,
+      SinkConfig(ParquetFormat, Seq("shard"), runtimeNullCheck = true,
+        adaptiveRowsPerFile = Some(target)))
+    val files = dataFiles(out)
+    assert(files("shard=hot") <= want, s"width must cap files: $files")
+    assert(files("shard=hot") >= want / 2,
+      s"hot value must track its width $want even past shuffle.partitions: $files")
   }
 
   test("invalid budgets are rejected up front") {
