@@ -81,6 +81,36 @@ object EventStream {
       .start()
 
   /**
+   * Streaming eval-decontamination guard: every micro-batch of incoming
+   * documents is span-checked against a FIXED benchmark set
+   * ([[graft.ops.Dedup.benchmarkSpanContamination]]) before admission —
+   * the ingestion-time twin of the batch `dedup_decontaminate_spans`
+   * query, and the gate a training-data pipeline runs where documents
+   * ENTER the corpus rather than as a later sweep. Stateless foreachBatch
+   * (the incremental-dedup posture: no streaming state store — the
+   * benchmark gram set is the state, and it is static): per batch, the
+   * bounded benchmark grams broadcast and the batch probes by semi-join,
+   * so a batch never shuffles for membership.
+   *
+   * `onContaminated` receives each batch's contaminated-span table
+   * (id, span_start, span_end, n_grams) — route it to quarantine,
+   * excision ([[graft.ops.Dedup.stripRepeatedSpans]]'s span semantics),
+   * or a drop list.
+   */
+  def decontaminationStream(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame,
+      onContaminated: DataFrame => Unit,
+      k: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onContaminated(graft.ops.Dedup.benchmarkSpanContamination(
+          batch.toDF(), benchmark, idCol, textCol, k))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /**
    * Stream-stream interval join — click-to-view attribution, the streaming
    * twin of the batch `q32_attribution` query: each click pairs with the
    * same user's views at most `windowMinutes` before it.

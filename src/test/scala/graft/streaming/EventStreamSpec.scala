@@ -210,6 +210,36 @@ class EventStreamSpec extends SparkSpec {
     assert(collected.toSeq == Seq((100L, 1L))) // dup found, novel doc clean
   }
 
+  test("streaming decontamination guard flags the batch operator's exact spans") {
+    import graft.ops.Dedup
+    val bench = Seq(
+      (100L, "what is the capital of france paris is the answer")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "prefix words what is the capital of france and trailing text"),
+      (2L, "clean document with no benchmark overlap whatsoever in it at all"),
+    ).toDF("doc_id", "text")
+
+    val inDir = java.nio.file.Files.createTempDirectory("graft_decon_in").toString
+    incoming.write.mode("overwrite").parquet(inDir)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    val q = EventStream.decontaminationStream(
+      spark.readStream.schema(incoming.schema).parquet(inDir),
+      "doc_id", "text", bench,
+      spans => collected ++= spans.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))),
+      k = 5)
+    q.awaitTermination(60000)
+
+    val batchResult = Dedup.benchmarkSpanContamination(
+      incoming, bench, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(collected.toSeq.sorted == batchResult.sorted)
+    // the leaked 6-token run 'what is the capital of france' at positions
+    // 2..7 is the one contaminated span; the clean doc passes
+    assert(collected.toSeq == Seq((1L, 2, 7)))
+  }
+
   test("watermark closes windows in append mode and drops late data") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
