@@ -6,19 +6,20 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
- * Multimodal-column and event-stream queries. Image rows carry REAL
- * synthesized PNG payloads decoded through `javax.imageio` and audio rows
- * REAL synthesized WAV payloads decoded through `javax.sound.sampled`
- * ([[graft.ops.Multimodal.JdkMediaCodec]]); video rows carry the
- * documents' UTF-8 bytes behind the deterministic
- * [[graft.ops.Multimodal.MediaCodecStub]] (no JDK video codec). All lanes
- * stay DuckDB-expressible — PNG dimensions/pixels and WAV frame
- * counts/samples are synthesized from SQL-derivable formulas
- * (`Multimodal.synthesizePng` / `synthesizeWav`), so the oracle
- * re-predicts what the real decodes must read back out of the containers.
- * `byte_len` (container size — an encoder property, not SQL-predictable)
- * is projected out of the oracle queries and spec-asserted in
- * `MultimodalSpec` instead.
+ * Multimodal-column and event-stream queries. All three media lanes are
+ * REAL JDK-codec decodes ([[graft.ops.Multimodal.JdkMediaCodec]]): image
+ * rows carry synthesized PNG payloads decoded through `javax.imageio`,
+ * audio rows synthesized WAV payloads decoded through
+ * `javax.sound.sampled`, and video rows synthesized multi-frame animated
+ * GIF payloads decoded frame-by-frame through the `javax.imageio` GIF
+ * sequence reader. All lanes stay DuckDB-expressible — PNG
+ * dimensions/pixels, WAV frame counts/samples, and GIF frame
+ * counts/per-frame rasters are synthesized from SQL-derivable formulas
+ * (`Multimodal.synthesizePng` / `synthesizeWav` / `synthesizeGif`), so
+ * the oracle re-predicts what the real decodes must read back out of the
+ * containers. `byte_len` (container size — an encoder property, not
+ * SQL-predictable) is projected out of the oracle queries and
+ * spec-asserted in `MultimodalSpec` instead.
  */
 object MmStreamQueries {
 
@@ -65,6 +66,12 @@ object MmStreamQueries {
 
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSamplePlan(Multimodal.decodeMeta(media(s, dir)).toDF(), 4)),
+
+    // REAL frame extraction: decode every 4th frame of each video row's
+    // GIF sequence and digest its raster (mm_frame_sample above plans the
+    // same indices without touching payload bytes)
+    "mm_frame_digest" -> ((s, dir) =>
+      Multimodal.frameDigest(media(s, dir), step = 4).toDF()),
 
     // digest projection: the raw array<float> API stays (extractFeatures);
     // the registered query emits an oracle-checkable md5 of the exact
@@ -115,18 +122,21 @@ object MmStreamQueries {
     }),
   )
 
-  // Per-kind metadata, each branch re-predicting what the REAL decode (or
-  // the video stub) reads out of its payload: image width/height come from
-  // synthesizePng's text-length formulas (read back from the PNG raster),
-  // audio sample_rate/n_frames from synthesizeWav's (read back from the WAV
-  // container; width/height 0, mono), video from the stub's byte-length
-  // arithmetic over the raw UTF-8 payload.
+  // Per-kind metadata, each branch re-predicting what the REAL decode
+  // reads out of its payload: image width/height come from synthesizePng's
+  // text-length formulas (read back from the PNG raster), audio
+  // sample_rate/n_frames from synthesizeWav's (read back from the WAV
+  // container; width/height 0, mono), video width/height/n_frames from
+  // synthesizeGif's (read back from the GIF frame-0 header and the
+  // container's image-sequence length; 1 band — palette-indexed frames).
   private val metaSql =
     """SELECT doc_id AS media_id,
       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-      |  CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 + octet_length(encode(text)) % 64 END AS width,
-      |  CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 16 + (octet_length(encode(text)) * 7) % 64 END AS height,
-      |  CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS channels,
+      |  CASE WHEN doc_id % 3 = 0 THEN 16 + octet_length(encode(text)) % 64
+      |       WHEN doc_id % 3 = 2 THEN 8 + octet_length(encode(text)) % 8 ELSE 0 END AS width,
+      |  CASE WHEN doc_id % 3 = 0 THEN 16 + (octet_length(encode(text)) * 7) % 64
+      |       WHEN doc_id % 3 = 2 THEN 8 + (octet_length(encode(text)) * 3) % 8 ELSE 0 END AS height,
+      |  CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS channels,
       |  CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate,
       |  CASE WHEN doc_id % 3 = 1 THEN 64 + (octet_length(encode(text)) * 5) % 256
       |       WHEN doc_id % 3 = 2 THEN 1 + octet_length(encode(text)) % 30 ELSE 1 END AS n_frames
@@ -137,12 +147,12 @@ object MmStreamQueries {
   // (p*31 + id*7) % 256 over a w×h raster sized from the text length);
   // audio rows the decoded PCM sample sums of the synthesized WAV (frame p
   // carries the same (p*31 + id*7) % 256 over n_frames sized from the text
-  // length); video rows are the stub's byte-position sums over the raw
-  // UTF-8 payload (documents are pure ASCII, verified tri-scale: char
-  // position == byte position).
-  // payloads are sized from the text's BYTE length (synthesizePng/Wav take
-  // UTF-8 bytes), so the image/audio branches use octet_length like
-  // metaSql — length(text) would silently diverge on non-ASCII documents
+  // length); video rows the decoded per-frame gray sums of the synthesized
+  // GIF (GLOBAL space-time sample s over n_frames·w·h carries the same
+  // (s*31 + id*7) % 256 — the flattened frame sequence).
+  // payloads are sized from the text's BYTE length (synthesizePng/Wav/Gif
+  // take UTF-8 bytes), so every branch uses octet_length like metaSql —
+  // length(text) would silently diverge on non-ASCII documents
   private val laneListSql =
     """CASE WHEN doc_id % 3 = 0 THEN
       |    [coalesce(list_sum([(p*31 + doc_id*7) % 256 for p in
@@ -153,7 +163,10 @@ object MmStreamQueries {
       |       range(j, 64 + (octet_length(encode(text)) * 5) % 256, 16)]), 0)
       |     for j in range(0, 16)]
       |  ELSE
-      |    [coalesce(list_sum([ascii(substr(text, p, 1)) for p in range(1 + j, length(text) + 1, 16)]), 0)
+      |    [coalesce(list_sum([(p*31 + doc_id*7) % 256 for p in
+      |       range(j, (1 + octet_length(encode(text)) % 30)
+      |                * (8 + octet_length(encode(text)) % 8)
+      |                * (8 + (octet_length(encode(text)) * 3) % 8), 16)]), 0)
       |     for j in range(0, 16)]
       |  END""".stripMargin
 
@@ -247,6 +260,25 @@ object MmStreamQueries {
       s"""WITH meta AS ($metaSql)
         |SELECT media_id, n_frames, unnest(range(0, n_frames, 4)) AS frame_idx
         |FROM meta WHERE kind = 'video'""".stripMargin,
+
+    // re-predicts each sampled DECODED frame's gray sum: frame f of video
+    // row id spans global samples [f·w·h, (f+1)·w·h), sample s carrying
+    // (s*31 + id*7) % 256 — what the real GIF-sequence decode must read
+    "mm_frame_digest" ->
+      """WITH v AS (
+        |  SELECT doc_id AS media_id,
+        |    (8 + octet_length(encode(text)) % 8)
+        |      * (8 + (octet_length(encode(text)) * 3) % 8) AS area,
+        |    1 + octet_length(encode(text)) % 30 AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), fr AS (
+        |  SELECT media_id, area, unnest(range(0, n_frames, 4)) AS frame_idx
+        |  FROM v)
+        |SELECT media_id, cast(frame_idx as int) AS frame_idx,
+        |  cast(list_sum([(s*31 + media_id*7) % 256
+        |    for s in range(frame_idx * area, (frame_idx + 1) * area)]) as bigint)
+        |    AS frame_sum
+        |FROM fr""".stripMargin,
 
     "events_sessionize" ->
       """WITH b AS (

@@ -7,14 +7,18 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
  * Multimodal-column operators: image/audio/video payloads are opaque
  * `binary` columns with a typed metadata struct alongside. The Spark-side
  * plumbing — schema, partition-preserving batch processing, output shape —
- * is real and tested, and the IMAGE and AUDIO lanes decode for real
- * through JDK-shipped codecs ([[JdkMediaCodec]]: `javax.imageio` +
- * `javax.sound.sampled`): the fixture synthesizes genuine PNG/WAV
- * payloads and the codec reads width/height/channels/pixels (image) and
- * sample_rate/n_frames/samples (audio) back out of the containers. Video
- * stays behind the deterministic [[MediaCodecStub]] (the JDK ships no
- * video codec); the [[MediaCodec]] trait is the swap point — a production
- * deployment drops in a real codec and nothing else changes.
+ * is real and tested, and ALL THREE lanes decode for real through
+ * JDK-shipped codecs ([[JdkMediaCodec]]: `javax.imageio` +
+ * `javax.sound.sampled`): the fixture synthesizes genuine PNG/WAV payloads
+ * and multi-frame animated GIF payloads (the JDK's `javax.imageio` GIF
+ * plugin reads and writes frame sequences — the video lane's
+ * moving-picture container), and the codec reads width/height/channels/
+ * pixels (image), sample_rate/n_frames/samples (audio), and per-frame
+ * rasters + the container frame count (video) back out of the containers.
+ * The [[MediaCodec]] trait is the swap point — a production deployment
+ * drops in an H.264/VP9-class codec for the video lane and nothing else
+ * changes; [[MediaCodecStub]] remains as the deterministic all-lanes fake
+ * the codec-seam tests swap in.
  *
  * Scale posture: decode/feature-extract run as `mapPartitions` over the
  * typed Dataset — per-partition imperative batches (the Scala analogue of
@@ -44,10 +48,14 @@ object Multimodal {
 
   /** The codec seam: decode + feature extraction over one media row.
     * Serializable because instances ride mapPartitions closures to
-    * executors. */
+    * executors. `frameSums` is the video-frame access path: the sum of
+    * band-0 sample values of every `step`-th decoded frame, indexed by
+    * frame number — the digest projection a real frame-extraction
+    * pipeline exposes for verification. */
   trait MediaCodec extends Serializable {
     def decode(row: MediaRow): MediaMeta
     def features(row: MediaRow, dim: Int): MediaFeature
+    def frameSums(row: MediaRow, step: Int): Array[(Int, Long)]
   }
 
   /**
@@ -86,11 +94,22 @@ object Multimodal {
       }
       MediaFeature(row.media_id, out)
     }
+
+    /** Fake frame digests: byte-length arithmetic, same register as the
+      * fake decode — video rows only. */
+    def frameSums(row: MediaRow, step: Int): Array[(Int, Long)] =
+      if (row.kind != "video") Array.empty
+      else {
+        val n = row.content.length
+        (0 until decode(row).n_frames by step)
+          .map(f => f -> (f * 131L + n))
+          .toArray
+      }
   }
 
   /**
-   * REAL image + audio lanes, both on JDK-shipped codecs (no external
-   * libraries needed):
+   * REAL image + audio + video lanes, all on JDK-shipped codecs (no
+   * external libraries needed):
    *
    *  - image: `javax.imageio` decode of the payload bytes — width, height,
    *    and channel count come from the decoded raster, features from the
@@ -100,11 +119,18 @@ object Multimodal {
    *    rate, channel count, and frame count come from the parsed WAV
    *    container, features from the decoded 16-bit PCM samples (lane j =
    *    sum of channel-0 samples at frame positions ≡ j mod dim).
+   *  - video: `javax.imageio` GIF-sequence decode of the payload bytes —
+   *    the frame count comes from the container's image sequence
+   *    (`getNumImages`), width/height/channels from the frame-0 header,
+   *    and features from the decoded per-frame pixels (lane j = sum of
+   *    gray values at GLOBAL sample positions ≡ j mod dim, where global
+   *    position = frame·(w·h) + row-major pixel index — the flattened
+   *    space-time raster). Pixels are read through `getRGB` so the values
+   *    are palette-resolved colors, independent of GIF color-table order.
    *
    * Pixel/sample sums stay exact small integers (≤ count/dim × 255 ≪ 2^24),
-   * so both feature paths keep their bit-exact cross-engine oracle even
-   * though the decodes are real. Video delegates to [[MediaCodecStub]] —
-   * the JDK ships no video codec, so that lane stays a documented stub.
+   * so all three feature paths keep their bit-exact cross-engine oracle
+   * even though the decodes are real.
    */
   object JdkMediaCodec extends MediaCodec {
     /** One PNG ImageReader per task thread, reused across the partition's
@@ -115,6 +141,34 @@ object Multimodal {
     @transient private lazy val pngReader =
       ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
         javax.imageio.ImageIO.getImageReadersByFormatName("png").next())
+
+    /** One GIF ImageReader per task thread (same amortization rationale as
+      * [[pngReader]]): the video lane opens the container once per row and
+      * reads frames through it. */
+    @transient private lazy val gifReader =
+      ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next())
+
+    /** Open the GIF container on the reader and run `body` with it —
+      * centralizes setInput/cleanup so decode, features, and frameSums
+      * share one access path. `seekForwardOnly=false` because frame reads
+      * may revisit the stream; `getNumImages(true)` needs the full scan. */
+    private def withGif[A](row: MediaRow)(
+        body: javax.imageio.ImageReader => A): A = {
+      val reader = gifReader.get()
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(row.content))
+      try {
+        reader.setInput(in, false, true)
+        body(reader)
+      } catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"undecodable video payload for media_id=${row.media_id}", e)
+      } finally {
+        reader.setInput(null)
+        in.close()
+      }
+    }
 
     private def readImage(row: MediaRow): java.awt.image.BufferedImage = {
       val reader = pngReader.get()
@@ -192,7 +246,19 @@ object Multimodal {
           // header field — metadata decode never drains the PCM bytes
           n_frames = ais.getFrameLength.toInt)
         finally ais.close()
-      case _ => MediaCodecStub.decode(row)
+      case _ => withGif(row) { rd =>
+        MediaMeta(
+          media_id = row.media_id,
+          kind = row.kind,
+          byte_len = row.content.length,
+          // frame-0 header fields — no pixel decode for metadata
+          width = rd.getWidth(0),
+          height = rd.getHeight(0),
+          channels = rd.getImageTypes(0).next().getNumBands,
+          sample_rate = 0,
+          // the container's actual image sequence length
+          n_frames = rd.getNumImages(true))
+      }
     }
 
     def features(row: MediaRow, dim: Int): MediaFeature = row.kind match {
@@ -223,8 +289,45 @@ object Multimodal {
           p += 1
         }
         MediaFeature(row.media_id, out)
-      case _ => MediaCodecStub.features(row, dim)
+      case _ => withGif(row) { rd =>
+        val out = new Array[Float](dim)
+        val n = rd.getNumImages(true)
+        var f = 0
+        var s = 0 // global sample position across the frame sequence
+        while (f < n) {
+          val img = rd.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var p = 0
+          while (p < w * h) {
+            out(s % dim) += (img.getRGB(p % w, p / w) & 0xFF)
+            p += 1
+            s += 1
+          }
+          f += 1
+        }
+        MediaFeature(row.media_id, out)
+      }
     }
+
+    /** Real frame extraction: decode every `step`-th frame of the GIF
+      * sequence and emit its band-0 pixel sum — the verifiable digest of
+      * "the pipeline actually held frame f's raster in memory". */
+    def frameSums(row: MediaRow, step: Int): Array[(Int, Long)] =
+      if (row.kind != "video") Array.empty
+      else withGif(row) { rd =>
+        val n = rd.getNumImages(true)
+        (0 until n by step).map { f =>
+          val img = rd.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var p = 0
+          while (p < w * h) {
+            sum += (img.getRGB(p % w, p / w) & 0xFF)
+            p += 1
+          }
+          f -> sum
+        }.toArray
+      }
   }
 
   /** Deterministic RGB PNG synthesis for the image fixture: dimensions
@@ -277,12 +380,57 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic multi-frame animated-GIF synthesis for the video
+    * fixture: `1 + sourceLen % 30` frames of a small gray raster
+    * (`8 + sourceLen % 8` × `8 + sourceLen*3 % 8` — kept compact because
+    * the oracle re-evaluates every space-time sample in SQL), where the
+    * pixel at GLOBAL sample position s (= frame·w·h + row-major index)
+    * carries `(s*31 + id*7) % 256` — the same SQL-re-evaluable family as
+    * the PNG pixels and WAV samples, extended along the time axis, which
+    * is what gives the REAL GIF-sequence decode path a full hash-match
+    * oracle. Frames use an explicit 256-gray palette so `getRGB & 0xFF`
+    * reads the exact synthesized value back regardless of how the writer
+    * orders the color table. */
+  def synthesizeGif(id: Long, sourceLen: Int): Array[Byte] = {
+    val w = 8 + sourceLen % 8
+    val h = 8 + (sourceLen * 3) % 8
+    val nFrames = 1 + sourceLen % 30
+    val grays = Array.tabulate[Byte](256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var p = 0
+        while (p < w * h) {
+          val s = f.toLong * w * h + p
+          raster.setSample(p % w, p / w, 0, ((s * 31L + id * 7L) % 256L).toInt)
+          p += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.setOutput(null)
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** Wrap a text table as media rows (test harness; kind cycles
     * deterministically by id). Image rows carry a REAL synthesized PNG
-    * ([[synthesizePng]]) and audio rows a REAL synthesized WAV
-    * ([[synthesizeWav]]), both sized from the text's byte length so
-    * metadata stays SQL-derivable; video rows carry the UTF-8 bytes
-    * standing in for encoded payloads (no JDK video codec). */
+    * ([[synthesizePng]]), audio rows a REAL synthesized WAV
+    * ([[synthesizeWav]]), and video rows a REAL synthesized multi-frame
+    * animated GIF ([[synthesizeGif]]) — all sized from the text's byte
+    * length so metadata stays SQL-derivable. */
   def fakeMediaFromDocs(docs: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -294,7 +442,7 @@ object Multimodal {
         val content = kind match {
           case "image" => synthesizePng(id, bytes.length)
           case "audio" => synthesizeWav(id, bytes.length)
-          case _ => bytes
+          case _ => synthesizeGif(id, bytes.length)
         }
         MediaRow(id, kind, content)
       }
@@ -338,4 +486,20 @@ object Multimodal {
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(step)))
           .as("frame_idx"))
+
+  /** One decoded-frame digest row. */
+  final case class FrameDigest(media_id: Long, frame_idx: Int, frame_sum: Long)
+
+  /** REAL frame extraction over video rows: decode every `step`-th frame
+    * of each payload's image sequence and emit its band-0 pixel sum —
+    * the executable counterpart of [[frameSamplePlan]] (which plans
+    * indices without touching bytes, this one holds each sampled frame's
+    * raster). mapPartitions batches, per-task-thread reader reuse, bytes
+    * never reach the driver — identical scale posture to decode/features. */
+  def frameDigest(media: Dataset[MediaRow], step: Int,
+      codec: MediaCodec = JdkMediaCodec): Dataset[FrameDigest] =
+    media.mapPartitions(_.flatMap(row =>
+      codec.frameSums(row, step).iterator.map { case (f, sum) =>
+        FrameDigest(row.media_id, f, sum)
+      }))(Encoders.product[FrameDigest])
 }

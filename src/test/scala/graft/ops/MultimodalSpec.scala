@@ -50,7 +50,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("decode: REAL image/audio metadata from JDK codecs, stub for video") {
+  test("video payloads are genuine multi-frame GIF containers") {
+    val rows = media.filter(col("kind") === "video").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val magic = new String(r.content.take(6), "US-ASCII")
+      assert(magic == "GIF89a" || magic == "GIF87a",
+        s"media_id=${r.media_id} is not a GIF")
+      // the container is real: its size is the encoder's, not the text's
+      assert(r.content.length != textLens(r.media_id))
+    }
+  }
+
+  test("decode: REAL image/audio/video metadata from JDK codecs") {
     val meta = Multimodal.decodeMeta(media).collect()
     assert(meta.length == media.count())
     meta.foreach { m =>
@@ -74,10 +86,15 @@ class MultimodalSpec extends SparkSpec {
           assert(m.sample_rate == 16000, s"$m")
           assert(m.n_frames == 64 + (srcLen * 5) % 256, s"$m")
         case _ =>
-          assert(m.width == 16 + m.byte_len % 64, s"$m")
-          assert(m.height == 16 + (m.byte_len * 7) % 64, s"$m")
-          assert(m.channels == 3 && m.sample_rate == 0)
-          assert(m.n_frames == 1 + m.byte_len % 30)
+          val srcLen = textLens(m.media_id)
+          // GIF container size is the encoder's, not the text's
+          assert(m.byte_len != srcLen)
+          assert(m.width == 8 + srcLen % 8, s"$m")
+          assert(m.height == 8 + (srcLen * 3) % 8, s"$m")
+          // palette-indexed frames: one band; frame count from the
+          // container's image sequence
+          assert(m.channels == 1 && m.sample_rate == 0, s"$m")
+          assert(m.n_frames == 1 + srcLen % 30, s"$m")
       }
     }
     // deterministic across evaluations
@@ -85,25 +102,21 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.sortBy(_.media_id).sameElements(again.sortBy(_.media_id)))
   }
 
-  test("codec seam: swapping the trait changes the image+audio lanes only") {
+  test("codec seam: swapping the trait swaps all three decode lanes") {
     val real = Multimodal.decodeMeta(media, Multimodal.JdkMediaCodec)
       .collect().map(m => m.media_id -> m).toMap
     val stub = Multimodal.decodeMeta(media, Multimodal.MediaCodecStub)
       .collect().map(m => m.media_id -> m).toMap
     assert(real.keySet == stub.keySet)
-    real.foreach { case (id, m) =>
-      if (m.kind == "image" || m.kind == "audio")
-        // the stub hashes the container length into width/height — the
-        // real codec reads the container; only byte_len can agree
-        assert(m.byte_len == stub(id).byte_len)
-      else assert(m == stub(id))
+    // the stub hashes the container length into width/height — the real
+    // codec reads the container; only byte_len can agree
+    real.foreach { case (id, m) => assert(m.byte_len == stub(id).byte_len) }
+    Seq("image", "audio", "video").foreach { kind =>
+      val differing = real.collect {
+        case (id, m) if m.kind == kind && m.width != stub(id).width => id }
+      assert(differing.nonEmpty,
+        s"real $kind decode must not equal the stub formulas on container bytes")
     }
-    val imgDiffering = real.collect {
-      case (id, m) if m.kind == "image" && m.width != stub(id).width => id }
-    assert(imgDiffering.nonEmpty, "real decode must not equal the stub formulas on PNG bytes")
-    val audDiffering = real.collect {
-      case (id, m) if m.kind == "audio" && m.width != stub(id).width => id }
-    assert(audDiffering.nonEmpty, "real decode must not equal the stub formulas on WAV bytes")
   }
 
   test("image features sum DECODED pixel samples, reproducibly") {
@@ -140,6 +153,48 @@ class MultimodalSpec extends SparkSpec {
         p += 1
       }
       assert(f(id) == expect.toSeq, s"sample-sum mismatch for media_id=$id")
+    }
+  }
+
+  test("video features sum DECODED per-frame pixels over the flattened sequence") {
+    val f = Multimodal.extractFeatures(media, dim = 16)
+      .collect().map(x => x.media_id -> x.feature.toSeq).toMap
+    val vidIds = media.filter(col("kind") === "video")
+      .select("media_id").as[Long].collect().sorted.take(3)
+    vidIds.foreach { id =>
+      val len = textLens(id)
+      val (w, h, n) = (8 + len % 8, 8 + (len * 3) % 8, 1 + len % 30)
+      val expect = new Array[Float](16)
+      var s = 0
+      while (s < n * w * h) {
+        expect(s % 16) += ((s * 31L + id * 7L) % 256L).toInt
+        s += 1
+      }
+      assert(f(id) == expect.toSeq, s"frame-pixel-sum mismatch for media_id=$id")
+    }
+  }
+
+  test("frame digests decode every 4th frame's raster for real") {
+    val digests = Multimodal.frameDigest(media, step = 4).collect()
+      .groupBy(_.media_id)
+    val vidIds = media.filter(col("kind") === "video")
+      .select("media_id").as[Long].collect().toSet
+    assert(digests.keySet == vidIds)
+    digests.foreach { case (id, rows) =>
+      val len = textLens(id)
+      val (w, h, n) = (8 + len % 8, 8 + (len * 3) % 8, 1 + len % 30)
+      assert(rows.map(_.frame_idx).sorted.toSeq == (0 until n by 4).toSeq)
+      rows.foreach { r =>
+        val area = w * h
+        var expect = 0L
+        var p = 0
+        while (p < area) {
+          expect += ((r.frame_idx.toLong * area + p) * 31L + id * 7L) % 256L
+          p += 1
+        }
+        assert(r.frame_sum == expect,
+          s"frame-sum mismatch media_id=$id frame=${r.frame_idx}")
+      }
     }
   }
 
