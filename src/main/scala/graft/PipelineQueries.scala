@@ -47,6 +47,24 @@ object PipelineQueries {
       Chunking.tokenBudgetSample(Tables(s, dir, "documents"),
         "doc_id", "text", budget = 20000L)),
 
+    // DSIR importance weights against the 'en' target domain: hashed-
+    // unigram log-likelihood ratio per document (bounded bucket tables as
+    // plan literals, zero-shuffle scoring fold). is_target as int —
+    // cross-engine boolean hashing is not guaranteed stable.
+    "mix_dsir_weights" -> ((s, dir) =>
+      Chunking.dsirWeights(Tables(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", nBuckets = 1024)
+        .withColumn("is_target", col("is_target").cast("int"))),
+
+    // the resampling cut of the same weights: top-100 most-target-like
+    // documents (weight desc, id tiebreak) — TakeOrdered, no global sort
+    "mix_dsir_resample" -> ((s, dir) =>
+      Chunking.dsirWeights(Tables(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", nBuckets = 1024)
+        .orderBy(col("log_weight_r").desc, col("doc_id").asc)
+        .limit(100)
+        .select("doc_id", "log_weight_r")),
+
     // GPT-style concat-and-split training-sequence layout: 512-token
     // sequences over 8 independent shards (per-shard prefix sum).
     "pack_sequences" -> ((s, dir) =>
@@ -168,6 +186,73 @@ object PipelineQueries {
         |      AS cum_tokens
         |  FROM t)
         |SELECT doc_id, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 20000""".stripMargin,
+
+    // DSIR re-derivation: same md5-mod feature hash, add-1 smoothed
+    // bucket distributions, per-document ord-sorted list_sum fold of the
+    // per-token log ratios (the text_perplexity fold discipline),
+    // round(,6) 1-ulp-ln guard. Source bucket counts cover every token a
+    // document can contain (source = corpus), so the JOIN is inner.
+    "mix_dsir_weights" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), wne AS (
+        |  SELECT doc_id, lang, i AS ord,
+        |    ('0x' || substr(md5(toks[i]), 1, 8))::bigint % 1024 AS b
+        |  FROM w, unnest(range(1, len(toks) + 1)) AS u(i)
+        |  WHERE toks[i] != ''
+        |), cnt AS (
+        |  SELECT b, count(*) AS ns,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+        |  FROM wne GROUP BY b
+        |), tot AS (
+        |  SELECT cast(sum(ns) as bigint) AS ts, cast(sum(nt) as bigint) AS tt
+        |  FROM cnt
+        |), term AS (
+        |  SELECT wne.doc_id, wne.ord,
+        |    ln(cast(c.nt + 1 as double) / (tot.tt + 1024))
+        |      - ln(cast(c.ns + 1 as double) / (tot.ts + 1024)) AS d
+        |  FROM wne JOIN cnt c USING (b) CROSS JOIN tot
+        |), folds AS (
+        |  SELECT doc_id, list_sum(list(d ORDER BY ord)) AS s,
+        |    cast(count(*) as bigint) AS n
+        |  FROM term GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(f.n, 0) AS n_tokens,
+        |  round(coalesce(f.s, 0.0), 6) AS log_weight_r,
+        |  cast(d.lang = 'en' as int) AS is_target
+        |FROM documents d LEFT JOIN folds f USING (doc_id)""".stripMargin,
+
+    "mix_dsir_resample" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), wne AS (
+        |  SELECT doc_id, lang, i AS ord,
+        |    ('0x' || substr(md5(toks[i]), 1, 8))::bigint % 1024 AS b
+        |  FROM w, unnest(range(1, len(toks) + 1)) AS u(i)
+        |  WHERE toks[i] != ''
+        |), cnt AS (
+        |  SELECT b, count(*) AS ns,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+        |  FROM wne GROUP BY b
+        |), tot AS (
+        |  SELECT cast(sum(ns) as bigint) AS ts, cast(sum(nt) as bigint) AS tt
+        |  FROM cnt
+        |), term AS (
+        |  SELECT wne.doc_id, wne.ord,
+        |    ln(cast(c.nt + 1 as double) / (tot.tt + 1024))
+        |      - ln(cast(c.ns + 1 as double) / (tot.ts + 1024)) AS d
+        |  FROM wne JOIN cnt c USING (b) CROSS JOIN tot
+        |), folds AS (
+        |  SELECT doc_id, list_sum(list(d ORDER BY ord)) AS s
+        |  FROM term GROUP BY doc_id
+        |), scored AS (
+        |  SELECT d.doc_id, round(coalesce(f.s, 0.0), 6) AS log_weight_r
+        |  FROM documents d LEFT JOIN folds f USING (doc_id))
+        |SELECT doc_id, log_weight_r FROM scored
+        |ORDER BY log_weight_r DESC, doc_id ASC LIMIT 100""".stripMargin,
 
     // pure exact-integer prefix-sum arithmetic — engine-reproducible
     "pack_sequences" ->

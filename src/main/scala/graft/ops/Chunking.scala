@@ -250,4 +250,64 @@ object Chunking {
           < lower(lpad(hex(col("__cut")), 4, "0")))
       .drop("__cut")
   }
+
+  /**
+   * DSIR-style importance weights for targeted data selection (Xie et
+   * al. 2023, "Data Selection for Language Models via Importance
+   * Resampling"): score every document by how much more likely its
+   * hashed-unigram bag is under the TARGET domain's token distribution
+   * than under the full corpus's —
+   * `log w(d) = Σ_tokens [ln p_target(bucket) − ln p_source(bucket)]`
+   * with add-one smoothing over `nBuckets` feature-hash buckets
+   * (`p(b) = (count_b + 1)/(total + nBuckets)`). High weight = looks
+   * like the target domain; resample the source by weight to shift the
+   * mixture. The hash is the first 8 hex chars of md5 mod `nBuckets` —
+   * cross-engine reproducible, so the whole pipeline (hashing, counts,
+   * smoothing, per-document fold) carries a full SQL oracle.
+   *
+   * Scale shape: ONE distributed aggregate builds the two bucket tables
+   * (≤ `nBuckets` rows collected — corpus-size-independent), embedded in
+   * the plan as a per-bucket log-ratio array literal; then one
+   * zero-shuffle row-local pass folds each document's token stream
+   * through the array (sequential order — reproducible by a SQL engine
+   * folding an ord-sorted list). Output log_weight_r = round(log w, 6):
+   * the documented 1-ulp-ln guard (each delta term transits libm).
+   */
+  def dsirWeights(
+      df: DataFrame, idCol: String, textCol: String, targetFilter: Column,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be > 0")
+    def bucketOf(t: Column): Column =
+      conv(substring(md5(t.cast("binary")), 1, 8), 16, 10)
+        .cast("long") % nBuckets
+    val counts = df
+      .select(targetFilter.as("__tgt"),
+        explode(graft.functions.hashes.word_tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(bucketOf(col("__t")).as("__b"))
+      .agg(count(lit(1)).as("ns"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("nt"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val totS = counts.valuesIterator.map(_._1).sum
+    val totT = counts.valuesIterator.map(_._2).sum
+    // per-bucket log ratio, dense over all nBuckets slots (unseen buckets
+    // carry the pure-smoothing delta; unreachable when source = corpus,
+    // but dense keeps element_at total)
+    val deltas: IndexedSeq[Double] = (0 until nBuckets).map { b =>
+      val (ns, nt) = counts.getOrElse(b, (0L, 0L))
+      Math.log((nt + 1).toDouble / (totT + nBuckets)) -
+        Math.log((ns + 1).toDouble / (totS + nBuckets))
+    }
+    val deltaArr = array(deltas.map(lit): _*)
+    val toks = col("__w")
+    df.withColumn("__w", graft.functions.hashes.word_tokens(col(textCol)))
+      .select(col(idCol),
+        size(filter(toks, t => t =!= "")).cast("long").as("n_tokens"),
+        round(aggregate(toks, lit(0.0), (acc, t) =>
+          acc + when(t === "", lit(0.0))
+            .otherwise(element_at(deltaArr, (bucketOf(t) + 1).cast("int")))),
+          6).as("log_weight_r"),
+        targetFilter.as("is_target"))
+  }
 }

@@ -198,4 +198,33 @@ class ChunkingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(again == kept)
   }
+
+  test("DSIR weights: target-domain docs score above off-domain docs") {
+    // disjoint vocabularies: target (en) talks fruit, source-only docs
+    // talk metal; a held-out fruit doc must outrank every metal doc
+    val df = Seq(
+      (0L, "apple banana apple cherry", "en"),
+      (1L, "banana cherry apple", "en"),
+      (2L, "apple cherry banana banana", "en"),
+      (3L, "iron copper zinc zinc", "de"),
+      (4L, "copper iron zinc", "de"),
+      (5L, "apple banana cherry apple", "fr"), // fruit text, non-en label
+      (6L, "iron zinc copper copper", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val w = Chunking.dsirWeights(df, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(w.size == 7)
+    assert(w(0L)._1 == 4 && w(0L)._3 && !w(5L)._3)
+    // fruit-vocabulary docs (target-like) must all outweigh metal docs,
+    // regardless of their own label
+    val fruit = Seq(0L, 1L, 2L, 5L).map(w(_)._2)
+    val metal = Seq(3L, 4L, 6L).map(w(_)._2)
+    assert(fruit.min > metal.max,
+      s"fruit $fruit must outrank metal $metal")
+    // deterministic across evaluations
+    val again = Chunking.dsirWeights(df, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.map { case (k, v) => k -> v._2 } == again)
+  }
 }
