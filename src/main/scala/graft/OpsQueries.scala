@@ -393,6 +393,27 @@ object OpsQueries {
     "sim_index_health" -> ((s, dir) =>
       Similarity.ivfIndexHealth(s, cachedIndex(s, dir))),
 
+    // -------------------------------------------------------- clustering
+    // k-means assignments as a curation output (md5-sample seed + 2
+    // driver-side sample-Lloyd iterations, bit-reproducible; one
+    // zero-shuffle argmin pass over the corpus)
+    "cluster_kmeans" -> ((s, dir) =>
+      Similarity.kmeansAssign(emb(s, dir), k = 16, iters = 2,
+        sampleSize = 256)),
+
+    // per-cluster occupancy + exact-integer micro-inertia (the
+    // measure-then-act input: skewed/diffuse clusters are the rebalance
+    // and deeper-dedup candidates)
+    "cluster_stats" -> ((s, dir) =>
+      Similarity.kmeansStats(Similarity.kmeansAssign(emb(s, dir),
+        k = 16, iters = 2, sampleSize = 256))),
+
+    // diversity-preserving selection: 10 members per cluster in md5
+    // order — cluster-balanced data pruning's sampling step
+    "cluster_balanced_sample" -> ((s, dir) =>
+      Similarity.clusterBalancedSample(emb(s, dir), perCluster = 10,
+        k = 16, iters = 2, sampleSize = 256)),
+
     // + the standard rerank stage: 4k int8 candidates, exact float
     // rescoring of only those survivors (broadcast-bounded id join)
     "sim_topk_int8_rerank" -> ((s, dir) => {
@@ -416,6 +437,16 @@ object OpsQueries {
 
     "text_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir), "doc_id", "text")),
+
+    // TRAINED multinomial Naive Bayes classifier (the fastText-filtering
+    // role): fit add-1-smoothed token likelihoods + priors on the 80%
+    // doc_id split, score every document against every class in one
+    // zero-shuffle native pass, argmax with class tiebreak. is_train as
+    // int — cross-engine boolean hashing is not guaranteed stable
+    "text_classify_nb" -> ((s, dir) =>
+      TextAnalysis.naiveBayesClassify(docs(s, dir), "doc_id", "text",
+        "lang", col("doc_id") % 10 < 8, vocabSize = 1000)
+        .withColumn("is_train", col("is_train").cast("int"))),
 
     "text_sentences" -> ((s, dir) =>
       TextAnalysis.sentences(docs(s, dir), "doc_id", "text")),
@@ -540,6 +571,64 @@ object OpsQueries {
     "text_rolling_fingerprint" -> ((s, dir) =>
       TextAnalysis.rollingFingerprint(docs(s, dir), "doc_id", "text", k = 5)),
   )
+
+  /** Shared CTE prefix of the three cluster_* oracles: centroids after
+    * the md5-sample seed + TWO sample-Lloyd iterations (the
+    * sim_topk_ivf_refined recurrence applied twice — empty cells keep
+    * their previous centroid via the coalesce), then the full-corpus
+    * argmin assignment carrying the ranking key d, from which
+    * dist_r = round(‖v‖² + 2d, 6) exactly as the Spark side computes it. */
+  private val KmeansAssignSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
+      |), samp AS (
+      |  SELECT md5(cast(vec_id as varchar)) AS h, e
+      |  FROM v ORDER BY h LIMIT 256
+      |), cent0 AS (
+      |  SELECT row_number() OVER (ORDER BY h) - 1 AS cell, e
+      |  FROM samp ORDER BY h LIMIT 16
+      |), sa1 AS (
+      |  SELECT h, e, cell FROM (
+      |    SELECT s.h, s.e, c.cell,
+      |      row_number() OVER (PARTITION BY s.h
+      |        ORDER BY -(list_inner_product(s.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+      |                 c.cell ASC) AS r
+      |    FROM samp s CROSS JOIN cent0 c) WHERE r = 1
+      |), cm1 AS (
+      |  SELECT cell,
+      |    list_transform(range(1, len(members[1]) + 1),
+      |      i -> list_sum(list_transform(members, m -> m[i])) / len(members)) AS e
+      |  FROM (SELECT cell, list(e ORDER BY h) AS members FROM sa1 GROUP BY cell)
+      |), cent1 AS (
+      |  SELECT c0.cell, coalesce(cm.e, c0.e) AS e
+      |  FROM cent0 c0 LEFT JOIN cm1 cm ON c0.cell = cm.cell
+      |), sa2 AS (
+      |  SELECT h, e, cell FROM (
+      |    SELECT s.h, s.e, c.cell,
+      |      row_number() OVER (PARTITION BY s.h
+      |        ORDER BY -(list_inner_product(s.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+      |                 c.cell ASC) AS r
+      |    FROM samp s CROSS JOIN cent1 c) WHERE r = 1
+      |), cm2 AS (
+      |  SELECT cell,
+      |    list_transform(range(1, len(members[1]) + 1),
+      |      i -> list_sum(list_transform(members, m -> m[i])) / len(members)) AS e
+      |  FROM (SELECT cell, list(e ORDER BY h) AS members FROM sa2 GROUP BY cell)
+      |), cent AS (
+      |  SELECT c1.cell, coalesce(cm.e, c1.e) AS e
+      |  FROM cent1 c1 LEFT JOIN cm2 cm ON c1.cell = cm.cell
+      |), cassign AS (
+      |  SELECT vec_id, e, cell, d FROM (
+      |    SELECT n.vec_id, n.e, c.cell,
+      |      -(list_inner_product(n.e, c.e) - list_inner_product(c.e, c.e)/2) AS d,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY -(list_inner_product(n.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+      |                 c.cell ASC) AS r
+      |    FROM v n CROSS JOIN cent c) WHERE r = 1
+      |), adist AS (
+      |  SELECT vec_id, cell AS cluster,
+      |    round(list_inner_product(e, e) + 2 * d, 6) AS dist_r
+      |  FROM cassign)""".stripMargin
 
   /** Shared by `sim_topk_ivf_int8` (in-memory) and `sim_topk_ivf_indexed`
     * (persisted index) — the two paths are row-identical by construction. */
@@ -1116,6 +1205,27 @@ object OpsQueries {
     // the refined variant's oracle also replicates the Lloyd step: members
     // are summed per dimension IN md5 ORDER (list built with ORDER BY h),
     // matching the driver-side sequential accumulation bit-for-bit
+    "cluster_kmeans" ->
+      s"""$KmeansAssignSql
+        |SELECT vec_id, cluster, dist_r FROM adist""".stripMargin,
+
+    // exact-integer micro-inertia: Σ round(dist_r·10⁶) as bigint — the
+    // order-independent accumulation (integer-cents discipline)
+    "cluster_stats" ->
+      s"""$KmeansAssignSql
+        |SELECT cluster, count(*) AS n_members,
+        |  cast(sum(cast(round(dist_r * 1e6) as bigint)) as bigint) AS inertia_micro
+        |FROM adist GROUP BY cluster""".stripMargin,
+
+    "cluster_balanced_sample" ->
+      s"""$KmeansAssignSql
+        |SELECT vec_id, cluster FROM (
+        |  SELECT vec_id, cluster,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY md5(cast(vec_id as varchar)) ASC, vec_id ASC) AS rn
+        |  FROM adist)
+        |WHERE rn <= 10""".stripMargin,
+
     "sim_topk_ivf_refined" ->
       """WITH v AS (
         |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
@@ -1537,6 +1647,58 @@ object OpsQueries {
         |  ELSE 'und' END AS lang_pred,
         |  ms AS lang_score
         |FROM m""".stripMargin,
+
+    // NB re-derivation: same bounded top-1000 vocab cut, add-1 class
+    // likelihoods over vocab slots, ln-prior + ord-sorted list_sum fold
+    // (the text_perplexity fold discipline), argmax by (round(score,6)
+    // desc, class asc). Zero-token docs keep their prior-only score via
+    // the LEFT JOIN + coalesce(fold, 0)
+    "text_classify_nb" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), wne AS (
+        |  SELECT doc_id, lang, i AS ord, toks[i] AS token
+        |  FROM w, unnest(range(1, len(toks) + 1)) AS u(i)
+        |  WHERE toks[i] != ''
+        |), tr AS (SELECT * FROM wne WHERE doc_id % 10 < 8),
+        |vocab AS (
+        |  SELECT token FROM tr GROUP BY token
+        |  ORDER BY count(*) DESC, token ASC LIMIT 1000),
+        |ccnt AS (
+        |  SELECT lang AS cls, token, count(*) AS n FROM tr
+        |  WHERE token IN (SELECT token FROM vocab) GROUP BY lang, token),
+        |ctot AS (
+        |  SELECT cls,
+        |    cast(sum(n) as bigint) + (SELECT count(*) FROM vocab) AS total
+        |  FROM ccnt GROUP BY cls),
+        |prior AS (
+        |  SELECT lang AS cls, count(*) AS nd FROM documents
+        |  WHERE doc_id % 10 < 8 GROUP BY lang),
+        |ptot AS (SELECT cast(sum(nd) as bigint) AS n FROM prior),
+        |term AS (
+        |  SELECT wne.doc_id, ct.cls, wne.ord,
+        |    ln(cast(coalesce(cc.n, 0) + 1 as double) / ct.total) AS lp
+        |  FROM wne CROSS JOIN ctot ct
+        |  LEFT JOIN ccnt cc ON cc.cls = ct.cls AND cc.token = wne.token
+        |), folds AS (
+        |  SELECT doc_id, cls, list_sum(list(lp ORDER BY ord)) AS s
+        |  FROM term GROUP BY doc_id, cls
+        |), allscore AS (
+        |  SELECT d.doc_id, d.lang AS actual, p.cls,
+        |    round(ln(cast(p.nd as double) / (SELECT n FROM ptot))
+        |          + coalesce(f.s, 0.0), 6) AS score
+        |  FROM documents d CROSS JOIN prior p
+        |  LEFT JOIN folds f ON f.doc_id = d.doc_id AND f.cls = p.cls
+        |), best AS (
+        |  SELECT doc_id, actual, cls, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, cls ASC) AS r
+        |  FROM allscore)
+        |SELECT doc_id, actual, cls AS pred, score AS score_r,
+        |  cast(doc_id % 10 < 8 as int) AS is_train
+        |FROM best WHERE r = 1""".stripMargin,
 
     "text_search" ->
       """WITH toks AS (

@@ -331,6 +331,73 @@ object Similarity {
     out
   }
 
+  // ----------------------------------------------------------- clustering
+
+  /**
+   * K-means cluster ASSIGNMENTS over an embedding corpus — clustering as
+   * a first-class curation output (the SemDeDup/data-pruning preparation
+   * step: partition the corpus semantically, then sample, dedup, or
+   * re-weight per cluster). Centroids come from [[ivfCentroids]]: the
+   * md5-ordered corpus sample seeds k cells, `iters` Lloyd iterations
+   * run DRIVER-SIDE over the first `sampleSize` sample vectors —
+   * sample-based k-means is the textbook scale play (the sample is
+   * bounded regardless of corpus size) and the strictly-ordered
+   * sequential accumulation keeps every refined coefficient
+   * bit-reproducible by the SQL oracle (the `sim_topk_ivf_refined`
+   * precedent). Assignment is one native-dot argmin per row — a single
+   * zero-shuffle pass with the k×dim centroid matrix as a plan literal.
+   *
+   * Returns (idCol, cluster, dist_r) with dist_r = round(‖v − c‖², 6) —
+   * the member's squared L2 distance to its centroid.
+   */
+  def kmeansAssign(
+      df: DataFrame, k: Int = 16, iters: Int = 2, sampleSize: Int = 256,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(df, k, iters, sampleSize, idCol, vecCol)
+    val v = col("__v")
+    df.withColumn("__v", toDouble(col(vecCol)))
+      .withColumn("__best", element_at(cellRankCol(v, cents), 1))
+      .select(col(idCol),
+        col("__best")("cell").as("cluster"),
+        // ‖v−c‖² = ‖v‖² + 2·d where d is the ranking key −(v·c − ‖c‖²/2)
+        round(dot(v, v) + lit(2.0) * col("__best")("d"), 6).as("dist_r"))
+  }
+
+  /**
+   * Per-cluster quality stats over a [[kmeansAssign]] result: member
+   * count and integer-micro inertia (Σ round(dist·10⁶) — exact-integer
+   * accumulation, so the sum is order-independent and engine-exact; the
+   * CoreQueries integer-cents discipline). The k-row output is the
+   * measure-then-act loop's input: oversized or high-inertia clusters
+   * are the re-balance / deeper-dedup candidates.
+   */
+  def kmeansStats(assign: DataFrame): DataFrame =
+    assign.groupBy(col("cluster")).agg(
+      count(lit(1)).as("n_members"),
+      sum(round(col("dist_r") * 1e6).cast("long")).as("inertia_micro"))
+
+  /**
+   * Cluster-balanced sample: `perCluster` members per k-means cluster in
+   * md5(id) order (deterministic pseudo-random within cluster) — the
+   * diversity-preserving selection used by cluster-based data pruning:
+   * uniform-per-cluster draws flatten the corpus's semantic density
+   * instead of oversampling its dense modes. Window partitioned BY
+   * CLUSTER — bounded partitions, no single-partition funnel.
+   */
+  def clusterBalancedSample(
+      df: DataFrame, perCluster: Int, k: Int = 16, iters: Int = 2,
+      sampleSize: Int = 256, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assign = kmeansAssign(df, k, iters, sampleSize, idCol, vecCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")).asc,
+        col(idCol).asc)
+    assign.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perCluster)
+      .select(col(idCol), col("cluster"))
+  }
+
   /** Exact embedding near-duplicate pairs: all pairs with cosine >=
     * threshold via blocked cross join — the correctness baseline for
     * [[nearDupPairs]] and the oracle-checked variant. */

@@ -820,4 +820,93 @@ object TextAnalysis {
       .filter(col(scoreCol) >= col("__thr"))
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
+
+  // ----------------------------------------------------- classification
+
+  /**
+   * Multinomial Naive Bayes text classifier — the trainable cousin of the
+   * stopword-profile [[languageId]] heuristic, and the standard fast
+   * quality/domain/language classifier of large-corpus pipelines (the
+   * fastText-filtering role): TRAIN on the rows matching `trainFilter`,
+   * PREDICT on every row.
+   *
+   * Model: shared vocabulary = top-`vocabSize` train tokens (count desc,
+   * token asc — deterministic at the cut); per class c,
+   * `P(t|c) = (count(t,c) + 1) / (count_c + V)` (add-one smoothing over
+   * the V vocabulary slots, where count_c sums the class's vocab-token
+   * occurrences), prior `P(c) = docs_c / docs_train`. Score(d, c) =
+   * ln P(c) + Σ_tokens ln P(t|c), tokens outside the vocabulary (or
+   * unseen in class c) hitting the smoothing floor `1/(count_c + V)` —
+   * which is exactly [[graft.functions.UnigramLogProb]]'s add-one OOV
+   * rule, so the per-class scoring pass reuses that native expression
+   * with vocab = {t → count(t,c)+1} and total = count_c + V, keeping the
+   * fold sequential and oracle-reproducible.
+   *
+   * Scale shape: one distributed aggregate builds the bounded model
+   * (≤ C·V counts + C priors collected — class count times vocab size,
+   * independent of corpus size), embedded in the plan as literals; then
+   * ONE zero-shuffle row-local pass scores all C classes per document
+   * (C native folds per row). Output: (id, `labelCol` actual, pred,
+   * score_r, is_train), score_r = round(best score, 6) — the documented
+   * 1-ulp-ln guard (see text_char_entropy): fold order is fixed on both
+   * sides, but each ln term goes through libm, so scores can wobble
+   * ~n_tokens ulps ≈ 1e-10 — far under the rounding grain.
+   */
+  def naiveBayesClassify(
+      df: DataFrame, idCol: String, textCol: String, labelCol: String,
+      trainFilter: Column, vocabSize: Int = 1000): DataFrame = {
+    val train = df.filter(trainFilter)
+    val toks = train.select(col(labelCol).as("__cls"),
+        explode(graft.functions.hashes.word_tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .localCheckpoint() // vocab cut + class counts share one token pass
+    // shared vocabulary: bounded, deterministic at the cut
+    val vocab: Array[String] = toks
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(vocabSize)
+      .select("token").collect().map(_.getString(0))
+    val vocabSet = vocab.toSet
+    // per-class vocab-token counts: ≤ C·V rows (bounded by construction)
+    val counts: Array[(String, String, Long)] = toks
+      .join(broadcast(toks.sparkSession.createDataFrame(
+        vocab.map(Tuple1(_)).toIndexedSeq).toDF("token")), Seq("token"))
+      .groupBy("__cls", "token").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // priors from train DOCUMENT counts: ≤ C rows
+    val priors: Array[(String, Long)] = train
+      .groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val nTrainDocs = priors.map(_._2).sum
+    require(nTrainDocs > 0, "empty training split")
+    val classes = priors.map(_._1).sorted
+    val byClass: Map[String, Map[String, Long]] = counts
+      .groupBy(_._1).view
+      .mapValues(_.map { case (_, t, n) => t -> (n + 1L) }.toMap).toMap
+    val priorOf = priors.toMap
+    require(vocabSet.nonEmpty, "empty training vocabulary")
+
+    val scored = classes.toIndexedSeq.map { c =>
+      val m = byClass.getOrElse(c, Map.empty)
+      // count_c + V: Σ (count+1) over observed vocab tokens, +1 per
+      // unobserved vocab slot — i.e. Σ observed counts + V exactly
+      val totalC = m.values.sum + (vocabSet.size - m.size).toLong
+      val lnPrior = Math.log(priorOf(c).toDouble / nTrainDocs)
+      val s = round(
+        lit(lnPrior) +
+          graft.functions.hashes.unigram_logprob(col(textCol), m, totalC)("sum_logp"),
+        6)
+      struct(s.as("score"), lit(c).as("cls"))
+    }
+    // argmax by (rounded score desc, class asc) — the languageId pattern
+    val best = element_at(
+      array_sort(array(scored: _*), (a, b) =>
+        when(a("score") > b("score"), -1)
+          .when(a("score") < b("score"), 1)
+          .when(a("cls") < b("cls"), -1)
+          .when(a("cls") > b("cls"), 1)
+          .otherwise(0)), 1)
+    df.select(col(idCol), col(labelCol).as("actual"),
+      best("cls").as("pred"), best("score").as("score_r"),
+      trainFilter.as("is_train"))
+  }
 }

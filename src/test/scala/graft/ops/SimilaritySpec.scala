@@ -703,4 +703,38 @@ class SimilaritySpec extends SparkSpec {
     // 127-level codes on 64-dim unit-ish vectors: near-lossless ranking
     assert(mean >= 0.85, s"int8 mean top-5 recall $mean vs exact path")
   }
+
+  test("k-means separates well-separated blobs; stats and balance follow") {
+    // two tight blobs far apart in 4-d; k=2 must recover the split
+    val blob = (0 until 20).map { i =>
+      val off = (i % 5) * 0.01f
+      if (i < 10) (i.toLong, Array(10.0f + off, 10.0f, 0.0f, 0.0f))
+      else (i.toLong, Array(-10.0f, -10.0f - off, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val assign = Similarity.kmeansAssign(blob, k = 2, iters = 2, sampleSize = 20)
+    val byCluster = assign.collect()
+      .groupBy(_.getAs[Int]("cluster")).view
+      .mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    assert(byCluster.size == 2)
+    assert(byCluster.values.toSet == Set((0L until 10L).toSet, (10L until 20L).toSet),
+      s"blobs not separated: $byCluster")
+    // members sit near their centroid: every distance far below the
+    // inter-blob distance (~800 in squared L2)
+    assert(assign.collect().forall(_.getAs[Double]("dist_r") < 10.0))
+    // stats: counts add up, exact-integer inertia is non-negative
+    val stats = Similarity.kmeansStats(assign).collect()
+      .map(r => r.getAs[Int]("cluster") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("inertia_micro"))).toMap
+    assert(stats.values.map(_._1).sum == 20L)
+    assert(stats.values.forall(_._2 >= 0L))
+    // balanced sample: exactly perCluster from each side, deterministic
+    val sample = Similarity.clusterBalancedSample(blob, perCluster = 3,
+      k = 2, iters = 2, sampleSize = 20)
+    val s1 = sample.collect().map(r => (r.getLong(0), r.getAs[Int]("cluster")))
+    assert(s1.length == 6 && s1.map(_._2).groupBy(identity).values.forall(_.length == 3))
+    val s2 = Similarity.clusterBalancedSample(blob, perCluster = 3,
+      k = 2, iters = 2, sampleSize = 20)
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("cluster")))
+    assert(s1.toSet == s2.toSet)
+  }
 }

@@ -470,4 +470,47 @@ class TextAnalysisSpec extends SparkSpec {
     // group b: n=1, rank 1 -> its single row is its own threshold and stays.
     assert(kept == Set(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
   }
+
+  test("naive Bayes: separable classes recovered on held-out docs") {
+    // disjoint class vocabularies; ids 0-7 train (doc_id % 10 < 8),
+    // ids 8,9 are held-out and must classify by their tokens
+    val df = Seq(
+      (0L, "apple banana apple", "fruit"), (1L, "banana cherry", "fruit"),
+      (2L, "apple apple cherry", "fruit"), (3L, "banana banana", "fruit"),
+      (4L, "iron copper zinc", "metal"), (5L, "copper copper iron", "metal"),
+      (6L, "zinc iron", "metal"), (7L, "iron zinc copper", "metal"),
+      (8L, "apple banana cherry", "fruit"), (9L, "copper zinc zinc", "metal"))
+      .toDF("doc_id", "text", "label")
+    val out = TextAnalysis.naiveBayesClassify(
+      df, "doc_id", "text", "label", col("doc_id") % 10 < 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getBoolean(4))).toMap
+    assert(out.size == 10)
+    // every prediction correct (vocabularies are disjoint), including the
+    // two held-out documents
+    out.foreach { case (id, (actual, pred, _)) =>
+      assert(pred == actual, s"doc $id predicted $pred, actual $actual") }
+    assert(!out(8L)._3 && !out(9L)._3 && out(0L)._3)
+  }
+
+  test("naive Bayes: hand-computed add-1 scores and prior tiebreak") {
+    // one-token classes; doc 4's token is out-of-vocab for both classes,
+    // so both scores reduce to ln(prior) + ln(1/(count_c + V)) and the
+    // class-name tiebreak must pick "a"
+    val df = Seq(
+      (0L, "x", "a"), (1L, "x x", "a"), (2L, "y", "b"), (3L, "y y", "b"),
+      (4L, "zzz", "a"))
+      .toDF("doc_id", "text", "label")
+    val out = TextAnalysis.naiveBayesClassify(
+      df, "doc_id", "text", "label", col("doc_id") < 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getDouble(3))).toMap
+    // vocab = {x, y} (V=2); class a: count_x=3 -> P(x|a)=(3+1)/(3+2)=0.8;
+    // class b: count_y=3, same by symmetry; priors 2/4 each
+    val expect0 = BigDecimal(Math.log(0.5) + Math.log(4.0 / 5.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L)._1 == "a" && math.abs(out(0L)._2 - expect0) < 1e-9)
+    assert(out(2L)._1 == "b")
+    // OOV-only doc: equal scores, alphabetical class tiebreak
+    assert(out(4L)._1 == "a")
+  }
 }
