@@ -393,6 +393,16 @@ object OpsQueries {
     "sim_index_health" -> ((s, dir) =>
       Similarity.ivfIndexHealth(s, cachedIndex(s, dir))),
 
+    // JL random projection + IVF in the projected space: the
+    // reduce-then-index recipe (64→16 dims cuts every downstream dot and
+    // scan 4×); deterministic md5-sign Rademacher matrix keeps the whole
+    // composition oracle-reproducible
+    "sim_topk_jl" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.jlTopK(e.filter(col("vec_id") < 10), e, k = 5,
+        outDim = 16, nCells = 16, nProbe = 4)
+    }),
+
     // -------------------------------------------------------- clustering
     // k-means assignments as a curation output (md5-sample seed + 2
     // driver-side sample-Lloyd iterations, bit-reproducible; one
@@ -532,6 +542,17 @@ object OpsQueries {
     // vs a driver-side reference trainer in TextAnalysisSpec)
     "text_bpe_train" -> ((s, dir) =>
       graft.ops.TextAnalysis.bpeTrain(docs(s, dir), "text", nMerges = 4)),
+
+    // tokenizer APPLICATION: train 4 merges, then encode every document
+    // with them (train-once-encode-corpus deployment shape; same
+    // no-SQL-oracle status as training — greedy apply — pinned by the
+    // reference-encoder contract in TextAnalysisSpec)
+    "text_bpe_encode" -> ((s, dir) => {
+      val merges = TextAnalysis.bpeTrain(docs(s, dir), "text", nMerges = 4)
+        .orderBy(col("merge_rank").asc)
+        .collect().map(_.getString(1)).toIndexedSeq
+      TextAnalysis.bpeEncode(docs(s, dir), "doc_id", "text", merges)
+    }),
 
     // Unigram-LM cross-entropy (KenLM-perplexity proxy): corpus unigram
     // table → bounded top-1000 vocab literal → zero-shuffle scoring pass
@@ -1205,6 +1226,51 @@ object OpsQueries {
     // the refined variant's oracle also replicates the Lloyd step: members
     // are summed per dimension IN md5 ORDER (list built with ORDER BY h),
     // matching the driver-side sequential accumulation bit-for-bit
+    // JL re-derivation: the ±1 coefficient signs come from the same
+    // md5("i:j") parity, projection is the same sequential inner product,
+    // and the projected-space IVF mirrors sim_topk_ivf with p for v
+    "sim_topk_jl" ->
+      """WITH v AS (
+        |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
+        |), coef AS (
+        |  SELECT j, list(CASE WHEN
+        |      ('0x' || substr(md5(cast(i as varchar) || ':' || cast(j as varchar)), 1, 8))::bigint % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END ORDER BY i) AS c
+        |  FROM range(0, 64) t(i) CROSS JOIN range(0, 16) u(j)
+        |  GROUP BY j
+        |), px AS (
+        |  SELECT v.vec_id, cf.j, list_inner_product(v.e, cf.c) AS x
+        |  FROM v CROSS JOIN coef cf
+        |), p AS (
+        |  SELECT vec_id, list(x ORDER BY j) AS e FROM px GROUP BY vec_id
+        |), cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) - 1 AS cell, e
+        |  FROM p ORDER BY md5(cast(vec_id as varchar)) LIMIT 16
+        |), cassign AS (
+        |  SELECT vec_id, e, cell FROM (
+        |    SELECT n.vec_id, n.e, c.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY -(list_inner_product(n.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+        |                 c.cell ASC) AS r
+        |    FROM p n CROSS JOIN cent c) WHERE r = 1
+        |), qprobe AS (
+        |  SELECT vec_id AS q_id, e AS qe, cell FROM (
+        |    SELECT q.vec_id, q.e, c.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY -(list_inner_product(q.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+        |                 c.cell ASC) AS r
+        |    FROM p q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE r <= 4
+        |), sims AS (
+        |  SELECT pb.q_id, a.vec_id AS n_id, list_cosine_similarity(pb.qe, a.e) AS sim
+        |  FROM qprobe pb JOIN cassign a USING (cell)
+        |  WHERE pb.q_id != a.vec_id
+        |), ranked AS (
+        |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
+        |  FROM sims)
+        |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+
     "cluster_kmeans" ->
       s"""$KmeansAssignSql
         |SELECT vec_id, cluster, dist_r FROM adist""".stripMargin,

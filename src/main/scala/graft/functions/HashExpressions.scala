@@ -247,22 +247,15 @@ case class BpeRound2Pairs(child: Expression, pair: String)
  * implementation instead of a DuckDB oracle (see `TextAnalysisSpec`).
  * Emits `"s1 s2"` per adjacent pair of the final sequence.
  */
-case class BpePairsWithMerges(child: Expression, merges: Seq[String])
-  extends UnaryExpression with CodegenFallback {
-
-  merges.foreach(m => require(m.indexOf(' ') > 0,
-    s"merge '$m' must be 'left right' (space-separated symbols)"))
-
-  private val parsed: Array[(String, String)] = merges.map { m =>
-    val i = m.indexOf(' ')
-    (m.substring(0, i), m.substring(i + 1))
-  }.toArray
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "bpe_pairs_with_merges"
-
-  override def nullSafeEval(input: Any): Any = {
-    val cps = input.toString.codePoints.toArray
+/** The shared BPE merge-apply loop: split a word into codepoint symbols,
+  * then rewrite greedily left-to-right per merge IN PRIORITY ORDER — the
+  * standard apply, shared by the pair-counting ([[BpePairsWithMerges]])
+  * and encoding ([[BpeEncode]]) expressions so the two surfaces can never
+  * drift. */
+private[functions] object BpeApplyJvm {
+  def symbols(text: String,
+      parsed: Array[(String, String)]): scala.collection.mutable.ArrayBuffer[String] = {
+    val cps = text.codePoints.toArray
     var syms = new scala.collection.mutable.ArrayBuffer[String](cps.length)
     var i = 0
     while (i < cps.length) {
@@ -285,11 +278,66 @@ case class BpePairsWithMerges(child: Expression, merges: Seq[String])
       }
       m += 1
     }
+    syms
+  }
+
+  def parse(merges: Seq[String]): Array[(String, String)] = {
+    merges.foreach(m => require(m.indexOf(' ') > 0,
+      s"merge '$m' must be 'left right' (space-separated symbols)"))
+    merges.map { m =>
+      val i = m.indexOf(' ')
+      (m.substring(0, i), m.substring(i + 1))
+    }.toArray
+  }
+}
+
+case class BpePairsWithMerges(child: Expression, merges: Seq[String])
+  extends UnaryExpression with CodegenFallback {
+
+  private val parsed: Array[(String, String)] = BpeApplyJvm.parse(merges)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_pairs_with_merges"
+
+  override def nullSafeEval(input: Any): Any = {
+    val syms = BpeApplyJvm.symbols(input.toString, parsed)
     if (syms.length < 2) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](syms.length - 1)
     var j = 0
     while (j < syms.length - 1) {
       out(j) = UTF8String.fromString(syms(j) + " " + syms(j + 1))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * BPE ENCODE of one word: the symbol (token) sequence after applying the
+ * trained merge list — the tokenizer-application counterpart of
+ * [[BpePairsWithMerges]] (identical [[BpeApplyJvm]] apply loop, symbols
+ * out instead of adjacent pairs). Empty input → empty array. The greedy
+ * sequential apply is not expressible as portable set-oriented SQL, so
+ * this surface is pinned by an exact-equality contract against a
+ * driver-side reference encoder (see `TextAnalysisSpec`).
+ */
+case class BpeEncode(child: Expression, merges: Seq[String])
+  extends UnaryExpression with CodegenFallback {
+
+  private val parsed: Array[(String, String)] = BpeApplyJvm.parse(merges)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val syms = BpeApplyJvm.symbols(input.toString, parsed)
+    val out = new Array[Any](syms.length)
+    var j = 0
+    while (j < syms.length) {
+      out(j) = UTF8String.fromString(syms(j))
       j += 1
     }
     new GenericArrayData(out)
@@ -755,6 +803,9 @@ object hashes {
 
   def bpe_pairs_with_merges(c: Column, merges: Seq[String]): Column =
     Bridge.column(BpePairsWithMerges(Bridge.expression(c), merges))
+
+  def bpe_encode(c: Column, merges: Seq[String]): Column =
+    Bridge.column(BpeEncode(Bridge.expression(c), merges))
 
   def bpe_delta_pairs(c: Column, merges: Seq[String], newPair: String): Column =
     Bridge.column(BpeDeltaPairs(Bridge.expression(c), merges, newPair))

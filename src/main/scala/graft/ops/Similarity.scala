@@ -331,6 +331,68 @@ object Similarity {
     out
   }
 
+  // ------------------------------------------------ dimensionality reduction
+
+  /** Deterministic Rademacher (±1) random-projection matrix (`outDim`
+    * rows × `inDim` cols): the sign of coefficient (i, j) comes from the
+    * md5 of `"i:j"` — cross-engine re-derivable, no RNG state to store.
+    * Unscaled ±1 entries: the downstream metric is COSINE, which is
+    * invariant to the 1/√k JL scale factor. */
+  def jlProjectionMatrix(inDim: Int, outDim: Int): Array[Array[Double]] =
+    Array.tabulate(outDim) { j =>
+      Array.tabulate(inDim) { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$i:$j".getBytes("UTF-8"))
+        val h = java.lang.Long.parseLong(
+          md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+        if (h % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  /**
+   * Johnson–Lindenstrauss random projection of an embedding column:
+   * `outDim` native sequential dots per row against the
+   * [[jlProjectionMatrix]] plan literal — zero shuffle, distances
+   * approximately preserved (the JL lemma), bandwidth and downstream ANN
+   * cost cut by inDim/outDim. Returns (idCol, proj).
+   */
+  def jlProject(
+      df: DataFrame, outDim: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      inDim: Int = 0): DataFrame = {
+    val d = if (inDim > 0) inDim
+            else df.select(size(col(vecCol))).head().getInt(0)
+    val mat = jlProjectionMatrix(d, outDim)
+    df.withColumn("__v", toDouble(col(vecCol)))
+      .select(col(idCol),
+        array(mat.toIndexedSeq.map(row =>
+          dot(col("__v"), typedlit(row.toSeq))): _*).as("proj"))
+  }
+
+  /**
+   * Top-k retrieval in JL-projected space: project queries and corpus to
+   * `outDim` dims, then run [[ivfTopK]] there — the standard
+   * reduce-then-index recipe (projection shrinks every downstream
+   * centroid dot and cell scan by inDim/outDim). Deterministic
+   * projection + deterministic IVF keep the full composition
+   * oracle-reproducible; recall-vs-exact is contract-tested in
+   * `SimilaritySpec` (a planted identical twin projects identically, so
+   * it must still rank first).
+   */
+  def jlTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, outDim: Int = 16,
+      nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val inDim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // materialize the projected corpus once: ivfTopK reads it for the
+    // centroid sample AND the cell-assignment scan, and without the
+    // checkpoint each read would recompute the outDim-dot projection pass
+    val pc = jlProject(corpus, outDim, idCol, vecCol, inDim).localCheckpoint()
+    ivfTopK(
+      jlProject(queries, outDim, idCol, vecCol, inDim), pc,
+      k, nCells, nProbe, idCol = idCol, vecCol = "proj")
+  }
+
   // ----------------------------------------------------------- clustering
 
   /**

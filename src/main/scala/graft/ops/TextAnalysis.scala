@@ -821,6 +821,35 @@ object TextAnalysis {
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
+  /**
+   * Apply a TRAINED BPE merge list to every document — tokenizer
+   * application, the deployment counterpart of [[bpeTrain]] (train once,
+   * encode the corpus; the token counts that gate sequence packing and
+   * budget draws come from the REAL tokenizer, not the whitespace
+   * proxy). Per document: whitespace word count, encoded-symbol count,
+   * and the md5 digest of the space-joined symbol stream (the compact
+   * verifiable projection — symbol streams are corpus-sized). One
+   * zero-shuffle native pass: each word runs the shared
+   * [[graft.functions.BpeApplyJvm]] merge loop inside a `transform`
+   * lambda, so encode cost scales with executor cores at any corpus
+   * size. Same no-SQL-oracle status as training (greedy sequential
+   * apply), pinned by the reference-encoder contract in
+   * `TextAnalysisSpec`.
+   */
+  def bpeEncode(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[String]): DataFrame = {
+    val syms = col("__syms")
+    df.withColumn("__syms",
+        flatten(transform(graft.functions.hashes.word_tokens(col(textCol)),
+          w => graft.functions.hashes.bpe_encode(w, merges))))
+      .select(col(idCol),
+        size(filter(graft.functions.hashes.word_tokens(col(textCol)),
+          w => w =!= "")).cast("long").as("n_words"),
+        size(syms).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", syms).cast("binary")).as("tokens_digest"))
+  }
+
   // ----------------------------------------------------- classification
 
   /**

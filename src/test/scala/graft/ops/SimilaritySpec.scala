@@ -704,6 +704,30 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.85, s"int8 mean top-5 recall $mean vs exact path")
   }
 
+  test("JL projection: signs deterministic, planted twin still ranks first") {
+    val e = Tables(spark, sf0001, "embeddings")
+    // projection determinism + shape
+    val p1 = Similarity.jlProject(e, outDim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val p2 = Similarity.jlProject(e, outDim = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(p1 == p2 && p1.values.forall(_.length == 16))
+    // a planted identical twin projects identically, so it must rank
+    // first in the projected-space retrieval too
+    val base = e.filter(col("vec_id") === 3L)
+      .select(lit(100000L).as("vec_id"), col("embedding"))
+    val corpus = e.select("vec_id", "embedding").unionByName(base)
+    val top = Similarity.jlTopK(
+      corpus.filter(col("vec_id") === 3L), corpus, k = 3)
+      .filter(col("rnk") === 1).collect()
+    assert(top.length == 1 && top.head.getAs[Long]("n_id") == 100000L,
+      s"twin must rank first, got ${top.toSeq}")
+    // the matrix itself: ±1 entries, both signs present per row
+    val mat = Similarity.jlProjectionMatrix(64, 16)
+    assert(mat.forall(_.forall(v => v == 1.0 || v == -1.0)))
+    assert(mat.forall(row => row.exists(_ > 0) && row.exists(_ < 0)))
+  }
+
   test("k-means separates well-separated blobs; stats and balance follow") {
     // two tight blobs far apart in 4-d; k=2 must recover the split
     val blob = (0 until 20).map { i =>

@@ -310,6 +310,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tinyMerges == Seq("a b", "ab ab"))
   }
 
+  test("bpe encode: exact equality with a driver-side reference encoder") {
+    // independent reference apply (the refTrain loop's applySyms, run
+    // against the operator's own trained merges)
+    def refEncode(word: String, merges: Seq[(String, String)]): Vector[String] = {
+      var syms = word.codePoints.toArray
+        .map(cp => new String(Character.toChars(cp))).toVector
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+            out += a + b; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 4)
+      .orderBy("merge_rank").collect().map(_.getString(1)).toIndexedSeq
+    val parsed = merges.map { m =>
+      val i = m.indexOf(' '); (m.substring(0, i), m.substring(i + 1))
+    }
+    val got = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // recompute every document's symbol stream with the reference encoder
+    val texts = docs.select(col("doc_id"),
+      graft.functions.hashes.word_tokens(col("text")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    texts.foreach { case (id, toks) =>
+      val words = toks.filter(_.nonEmpty)
+      val stream = toks.flatMap(refEncode(_, parsed))
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(stream.mkString(" ").getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      assert(got(id) == ((words.size.toLong, stream.size.toLong, digest)),
+        s"encode mismatch doc $id")
+    }
+    // merged symbols really appear: total tokens < total codepoints
+    val totalTokens = got.values.map(_._2).sum
+    val totalChars = texts.map(_._2.map(_.length).sum).sum
+    assert(totalTokens < totalChars, "merges must compress the symbol stream")
+  }
+
   test("content fingerprint is whitespace/case insensitive") {
     val df = Seq(
       (1L, "Hello   World"), (2L, "  hello world "), (3L, "hello worlds"))
