@@ -1735,13 +1735,18 @@ object OpsQueries {
         |ccnt AS (
         |  SELECT lang AS cls, token, count(*) AS n FROM tr
         |  WHERE token IN (SELECT token FROM vocab) GROUP BY lang, token),
-        |ctot AS (
-        |  SELECT cls,
-        |    cast(sum(n) as bigint) + (SELECT count(*) FROM vocab) AS total
-        |  FROM ccnt GROUP BY cls),
         |prior AS (
         |  SELECT lang AS cls, count(*) AS nd FROM documents
         |  WHERE doc_id % 10 < 8 GROUP BY lang),
+        |-- anchored on prior, not ccnt: a class whose train tokens all
+        |-- miss the vocab cut still has total = 0 + V (the Spark side's
+        |-- empty-map case), not a missing row
+        |ctot AS (
+        |  SELECT p.cls,
+        |    cast(coalesce(sum(c.n), 0) as bigint)
+        |      + (SELECT count(*) FROM vocab) AS total
+        |  FROM prior p LEFT JOIN ccnt c ON c.cls = p.cls
+        |  GROUP BY p.cls),
         |ptot AS (SELECT cast(sum(nd) as bigint) AS n FROM prior),
         |term AS (
         |  SELECT wne.doc_id, ct.cls, wne.ord,

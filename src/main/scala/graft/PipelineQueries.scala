@@ -93,6 +93,37 @@ object PipelineQueries {
             / count(lit(1))).as("en_share"))),
   )
 
+  /** Shared CTE prefix of the two mix_dsir_* oracles (the KmeansAssignSql
+    * pattern): md5-mod-1024 hashed-unigram buckets, add-1 smoothed
+    * target/source distributions, per-document ord-sorted fold of the
+    * per-token log ratios into `folds(doc_id, s, n)`. */
+  private val DsirFoldsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |  FROM documents
+      |), wne AS (
+      |  SELECT doc_id, lang, i AS ord,
+      |    ('0x' || substr(md5(toks[i]), 1, 8))::bigint % 1024 AS b
+      |  FROM w, unnest(range(1, len(toks) + 1)) AS u(i)
+      |  WHERE toks[i] != ''
+      |), cnt AS (
+      |  SELECT b, count(*) AS ns,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+      |  FROM wne GROUP BY b
+      |), tot AS (
+      |  SELECT cast(sum(ns) as bigint) AS ts, cast(sum(nt) as bigint) AS tt
+      |  FROM cnt
+      |), term AS (
+      |  SELECT wne.doc_id, wne.ord,
+      |    ln(cast(c.nt + 1 as double) / (tot.tt + 1024))
+      |      - ln(cast(c.ns + 1 as double) / (tot.ts + 1024)) AS d
+      |  FROM wne JOIN cnt c USING (b) CROSS JOIN tot
+      |), folds AS (
+      |  SELECT doc_id, list_sum(list(d ORDER BY ord)) AS s,
+      |    cast(count(*) as bigint) AS n
+      |  FROM term GROUP BY doc_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q18_chunk" ->
       """WITH t AS (
@@ -193,62 +224,15 @@ object PipelineQueries {
     // round(,6) 1-ulp-ln guard. Source bucket counts cover every token a
     // document can contain (source = corpus), so the JOIN is inner.
     "mix_dsir_weights" ->
-      """WITH w AS (
-        |  SELECT doc_id, lang,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        |  FROM documents
-        |), wne AS (
-        |  SELECT doc_id, lang, i AS ord,
-        |    ('0x' || substr(md5(toks[i]), 1, 8))::bigint % 1024 AS b
-        |  FROM w, unnest(range(1, len(toks) + 1)) AS u(i)
-        |  WHERE toks[i] != ''
-        |), cnt AS (
-        |  SELECT b, count(*) AS ns,
-        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
-        |  FROM wne GROUP BY b
-        |), tot AS (
-        |  SELECT cast(sum(ns) as bigint) AS ts, cast(sum(nt) as bigint) AS tt
-        |  FROM cnt
-        |), term AS (
-        |  SELECT wne.doc_id, wne.ord,
-        |    ln(cast(c.nt + 1 as double) / (tot.tt + 1024))
-        |      - ln(cast(c.ns + 1 as double) / (tot.ts + 1024)) AS d
-        |  FROM wne JOIN cnt c USING (b) CROSS JOIN tot
-        |), folds AS (
-        |  SELECT doc_id, list_sum(list(d ORDER BY ord)) AS s,
-        |    cast(count(*) as bigint) AS n
-        |  FROM term GROUP BY doc_id)
+      s"""$DsirFoldsSql
         |SELECT d.doc_id, coalesce(f.n, 0) AS n_tokens,
         |  round(coalesce(f.s, 0.0), 6) AS log_weight_r,
         |  cast(d.lang = 'en' as int) AS is_target
         |FROM documents d LEFT JOIN folds f USING (doc_id)""".stripMargin,
 
     "mix_dsir_resample" ->
-      """WITH w AS (
-        |  SELECT doc_id, lang,
-        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
-        |  FROM documents
-        |), wne AS (
-        |  SELECT doc_id, lang, i AS ord,
-        |    ('0x' || substr(md5(toks[i]), 1, 8))::bigint % 1024 AS b
-        |  FROM w, unnest(range(1, len(toks) + 1)) AS u(i)
-        |  WHERE toks[i] != ''
-        |), cnt AS (
-        |  SELECT b, count(*) AS ns,
-        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
-        |  FROM wne GROUP BY b
-        |), tot AS (
-        |  SELECT cast(sum(ns) as bigint) AS ts, cast(sum(nt) as bigint) AS tt
-        |  FROM cnt
-        |), term AS (
-        |  SELECT wne.doc_id, wne.ord,
-        |    ln(cast(c.nt + 1 as double) / (tot.tt + 1024))
-        |      - ln(cast(c.ns + 1 as double) / (tot.ts + 1024)) AS d
-        |  FROM wne JOIN cnt c USING (b) CROSS JOIN tot
-        |), folds AS (
-        |  SELECT doc_id, list_sum(list(d ORDER BY ord)) AS s
-        |  FROM term GROUP BY doc_id
-        |), scored AS (
+      s"""$DsirFoldsSql
+        |, scored AS (
         |  SELECT d.doc_id, round(coalesce(f.s, 0.0), 6) AS log_weight_r
         |  FROM documents d LEFT JOIN folds f USING (doc_id))
         |SELECT doc_id, log_weight_r FROM scored

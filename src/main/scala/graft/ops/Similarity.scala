@@ -338,16 +338,18 @@ object Similarity {
     * md5 of `"i:j"` — cross-engine re-derivable, no RNG state to store.
     * Unscaled ±1 entries: the downstream metric is COSINE, which is
     * invariant to the 1/√k JL scale factor. */
-  def jlProjectionMatrix(inDim: Int, outDim: Int): Array[Array[Double]] =
+  def jlProjectionMatrix(inDim: Int, outDim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(outDim) { j =>
       Array.tabulate(inDim) { i =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$i:$j".getBytes("UTF-8"))
+        md.reset()
         val h = java.lang.Long.parseLong(
-          md.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+          md.digest(s"$i:$j".getBytes("UTF-8"))
+            .take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
         if (h % 2 == 0) 1.0 else -1.0
       }
     }
+  }
 
   /**
    * Johnson–Lindenstrauss random projection of an embedding column:
@@ -361,7 +363,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       inDim: Int = 0): DataFrame = {
     val d = if (inDim > 0) inDim
-            else df.select(size(col(vecCol))).head().getInt(0)
+            else df.select(size(col(vecCol))).head(1).headOption
+              .map(_.getInt(0))
+              .getOrElse(throw new IllegalArgumentException(
+                "jlProject: empty input and no explicit inDim"))
     val mat = jlProjectionMatrix(d, outDim)
     df.withColumn("__v", toDouble(col(vecCol)))
       .select(col(idCol),
@@ -383,7 +388,9 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, k: Int, outDim: Int = 16,
       nCells: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val inDim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val inDim = corpus.select(size(col(vecCol))).head(1).headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("jlTopK: empty corpus"))
     // materialize the projected corpus once: ivfTopK reads it for the
     // centroid sample AND the cell-assignment scan, and without the
     // checkpoint each read would recompute the outDim-dot projection pass
@@ -416,6 +423,7 @@ object Similarity {
       df: DataFrame, k: Int = 16, iters: Int = 2, sampleSize: Int = 256,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = ivfCentroids(df, k, iters, sampleSize, idCol, vecCol)
+    require(cents.nonEmpty, "kmeansAssign: empty corpus")
     val v = col("__v")
     df.withColumn("__v", toDouble(col(vecCol)))
       .withColumn("__best", element_at(cellRankCol(v, cents), 1))
@@ -449,8 +457,17 @@ object Similarity {
   def clusterBalancedSample(
       df: DataFrame, perCluster: Int, k: Int = 16, iters: Int = 2,
       sampleSize: Int = 256, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val assign = kmeansAssign(df, k, iters, sampleSize, idCol, vecCol)
+      vecCol: String = "embedding"): DataFrame =
+    clusterBalancedSampleFrom(
+      kmeansAssign(df, k, iters, sampleSize, idCol, vecCol),
+      perCluster, idCol)
+
+  /** The composing form over an EXISTING [[kmeansAssign]] result — the
+    * natural pipeline (assign once, then [[kmeansStats]] + sample from
+    * the SAME assignment) pays the clustering exactly once. */
+  def clusterBalancedSampleFrom(
+      assign: DataFrame, perCluster: Int,
+      idCol: String = "vec_id"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster"))
       .orderBy(md5(col(idCol).cast("string").cast("binary")).asc,

@@ -839,13 +839,15 @@ object TextAnalysis {
   def bpeEncode(
       df: DataFrame, idCol: String, textCol: String,
       merges: Seq[String]): DataFrame = {
+    // tokenize once; both the word count and the encode fold read __w
+    val toks = col("__w")
     val syms = col("__syms")
-    df.withColumn("__syms",
-        flatten(transform(graft.functions.hashes.word_tokens(col(textCol)),
+    df.withColumn("__w", graft.functions.hashes.word_tokens(col(textCol)))
+      .withColumn("__syms",
+        flatten(transform(toks,
           w => graft.functions.hashes.bpe_encode(w, merges))))
       .select(col(idCol),
-        size(filter(graft.functions.hashes.word_tokens(col(textCol)),
-          w => w =!= "")).cast("long").as("n_words"),
+        size(filter(toks, w => w =!= "")).cast("long").as("n_words"),
         size(syms).cast("long").as("n_tokens"),
         md5(concat_ws(" ", syms).cast("binary")).as("tokens_digest"))
   }
