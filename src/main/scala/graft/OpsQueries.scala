@@ -403,6 +403,19 @@ object OpsQueries {
         outDim = 16, nCells = 16, nProbe = 4)
     }),
 
+    // retrieval EVALUATION as a query: recall@5 of the JL-projected
+    // retrieval against exact ground truth — ground truth comes from
+    // FULL-PROBE IVF (nProbe = nCells covers every cell, so it equals
+    // the brute-force ranking through the bucketed cell join — no
+    // cartesian enters this plan)
+    "sim_recall_jl" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.jlTopK(q, e, k = 5, outDim = 16, nCells = 16, nProbe = 4),
+        Similarity.ivfTopK(q, e, k = 5, nCells = 16, nProbe = 16))
+    }),
+
     // -------------------------------------------------------- clustering
     // k-means assignments as a curation output (md5-sample seed + 2
     // driver-side sample-Lloyd iterations, bit-reproducible; one
@@ -650,6 +663,51 @@ object OpsQueries {
       |  SELECT vec_id, cell AS cluster,
       |    round(list_inner_product(e, e) + 2 * d, 6) AS dist_r
       |  FROM cassign)""".stripMargin
+
+  /** Shared CTE prefix of the sim_topk_jl / sim_recall_jl oracles: the
+    * md5-parity ±1 Rademacher matrix, the per-vector projection (same
+    * sequential inner product as the native dot), and the projected-space
+    * IVF ranking into `ranked` (mirrors sim_topk_ivf with p for v). */
+  private val JlRankedSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
+      |), coef AS (
+      |  SELECT j, list(CASE WHEN
+      |      ('0x' || substr(md5(cast(i as varchar) || ':' || cast(j as varchar)), 1, 8))::bigint % 2 = 0
+      |      THEN 1.0 ELSE -1.0 END ORDER BY i) AS c
+      |  FROM range(0, 64) t(i) CROSS JOIN range(0, 16) u(j)
+      |  GROUP BY j
+      |), px AS (
+      |  SELECT v.vec_id, cf.j, list_inner_product(v.e, cf.c) AS x
+      |  FROM v CROSS JOIN coef cf
+      |), p AS (
+      |  SELECT vec_id, list(x ORDER BY j) AS e FROM px GROUP BY vec_id
+      |), cent AS (
+      |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) - 1 AS cell, e
+      |  FROM p ORDER BY md5(cast(vec_id as varchar)) LIMIT 16
+      |), cassign AS (
+      |  SELECT vec_id, e, cell FROM (
+      |    SELECT n.vec_id, n.e, c.cell,
+      |      row_number() OVER (PARTITION BY n.vec_id
+      |        ORDER BY -(list_inner_product(n.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+      |                 c.cell ASC) AS r
+      |    FROM p n CROSS JOIN cent c) WHERE r = 1
+      |), qprobe AS (
+      |  SELECT vec_id AS q_id, e AS qe, cell FROM (
+      |    SELECT q.vec_id, q.e, c.cell,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY -(list_inner_product(q.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+      |                 c.cell ASC) AS r
+      |    FROM p q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE r <= 4
+      |), sims AS (
+      |  SELECT pb.q_id, a.vec_id AS n_id, list_cosine_similarity(pb.qe, a.e) AS sim
+      |  FROM qprobe pb JOIN cassign a USING (cell)
+      |  WHERE pb.q_id != a.vec_id
+      |), ranked AS (
+      |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
+      |    row_number() OVER (PARTITION BY q_id
+      |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
+      |  FROM sims)""".stripMargin
 
   /** Shared by `sim_topk_ivf_int8` (in-memory) and `sim_topk_ivf_indexed`
     * (persisted index) — the two paths are row-identical by construction. */
@@ -1230,46 +1288,37 @@ object OpsQueries {
     // md5("i:j") parity, projection is the same sequential inner product,
     // and the projected-space IVF mirrors sim_topk_ivf with p for v
     "sim_topk_jl" ->
-      """WITH v AS (
-        |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
-        |), coef AS (
-        |  SELECT j, list(CASE WHEN
-        |      ('0x' || substr(md5(cast(i as varchar) || ':' || cast(j as varchar)), 1, 8))::bigint % 2 = 0
-        |      THEN 1.0 ELSE -1.0 END ORDER BY i) AS c
-        |  FROM range(0, 64) t(i) CROSS JOIN range(0, 16) u(j)
-        |  GROUP BY j
-        |), px AS (
-        |  SELECT v.vec_id, cf.j, list_inner_product(v.e, cf.c) AS x
-        |  FROM v CROSS JOIN coef cf
-        |), p AS (
-        |  SELECT vec_id, list(x ORDER BY j) AS e FROM px GROUP BY vec_id
-        |), cent AS (
-        |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) - 1 AS cell, e
-        |  FROM p ORDER BY md5(cast(vec_id as varchar)) LIMIT 16
-        |), cassign AS (
-        |  SELECT vec_id, e, cell FROM (
-        |    SELECT n.vec_id, n.e, c.cell,
-        |      row_number() OVER (PARTITION BY n.vec_id
-        |        ORDER BY -(list_inner_product(n.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
-        |                 c.cell ASC) AS r
-        |    FROM p n CROSS JOIN cent c) WHERE r = 1
-        |), qprobe AS (
-        |  SELECT vec_id AS q_id, e AS qe, cell FROM (
-        |    SELECT q.vec_id, q.e, c.cell,
-        |      row_number() OVER (PARTITION BY q.vec_id
-        |        ORDER BY -(list_inner_product(q.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
-        |                 c.cell ASC) AS r
-        |    FROM p q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE r <= 4
-        |), sims AS (
-        |  SELECT pb.q_id, a.vec_id AS n_id, list_cosine_similarity(pb.qe, a.e) AS sim
-        |  FROM qprobe pb JOIN cassign a USING (cell)
-        |  WHERE pb.q_id != a.vec_id
-        |), ranked AS (
-        |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
+      s"""$JlRankedSql
+        |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    // recall@5 of the JL retrieval vs exact ground truth: the approx
+    // side is the shared JL ranking, the exact side the brute-force
+    // cosine ranking (what full-probe IVF equals by construction);
+    // exact-integer hit counts + one final division
+    "sim_recall_jl" ->
+      s"""$JlRankedSql
+        |, approx AS (SELECT q_id, n_id FROM ranked WHERE rnk <= 5
+        |), esims AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_cosine_similarity(q.e, c.e) AS sim
+        |  FROM v q JOIN v c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 10
+        |), eranked AS (
+        |  SELECT q_id, n_id,
         |    row_number() OVER (PARTITION BY q_id
         |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
-        |  FROM sims)
-        |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+        |  FROM esims
+        |), exact AS (SELECT q_id, n_id FROM eranked WHERE rnk <= 5
+        |), rec AS (
+        |  SELECT e.q_id, count(*) AS n_exact,
+        |    sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |  FROM exact e LEFT JOIN approx a
+        |    ON a.q_id = e.q_id AND a.n_id = e.n_id
+        |  GROUP BY e.q_id)
+        |SELECT q_id, cast(n_exact as bigint) AS n_exact,
+        |  cast(n_hit as bigint) AS n_hit,
+        |  cast(n_hit as double) / n_exact AS recall
+        |FROM rec""".stripMargin,
 
     "cluster_kmeans" ->
       s"""$KmeansAssignSql

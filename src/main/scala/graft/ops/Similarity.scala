@@ -400,6 +400,29 @@ object Similarity {
       k, nCells, nProbe, idCol = idCol, vecCol = "proj")
   }
 
+  // ----------------------------------------------------------- evaluation
+
+  /**
+   * Recall@k of an approximate top-k result against a ground-truth
+   * top-k result (both in the (q_id, n_id, sim_r, rnk) shape every
+   * retrieval op here emits): per query, |approx ∩ exact| / |exact| —
+   * the measure-then-tune loop for ANN parameters (probe counts, code
+   * budgets, projection dims) run as a first-class query over a sampled
+   * query set. Exact integer counts + one final division — engine-exact,
+   * no rounding needed. The join is keyed on (q_id, n_id): ≤ k rows per
+   * query on either side, so cost is bounded by the toplist sizes, never
+   * the corpus.
+   */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("q_id"), col("n_id"))
+      .join(approx.select(col("q_id"), col("n_id")).withColumn("__hit", lit(1L)),
+        Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id")).agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact"))
+
   // ----------------------------------------------------------- clustering
 
   /**

@@ -728,6 +728,26 @@ class SimilaritySpec extends SparkSpec {
     assert(mat.forall(row => row.exists(_ > 0) && row.exists(_ < 0)))
   }
 
+  test("recall@k: hand fixture and full-probe-IVF ground truth") {
+    // hand fixture: q1 hits 2 of 3, q2 hits 3 of 3
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L)).toDF("q_id", "n_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 99L),
+      (2L, 20L), (2L, 21L), (2L, 22L)).toDF("q_id", "n_id")
+    val r = Similarity.recallAtK(approx, exact).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r(1L) == ((3L, 2L, 2.0 / 3.0)) && r(2L) == ((3L, 3L, 1.0)))
+    // full-probe IVF must EQUAL brute force (every cell probed), so its
+    // self-recall is exactly 1.0 on every query
+    val e = Tables(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val full = Similarity.ivfTopK(q, e, k = 5, nCells = 16, nProbe = 16)
+    val bf = Similarity.bruteForceTopK(q, e, k = 5)
+    val self = Similarity.recallAtK(full, bf).collect()
+    assert(self.nonEmpty && self.forall(_.getDouble(3) == 1.0),
+      "full-probe IVF must match the exact ranking")
+  }
+
   test("k-means separates well-separated blobs; stats and balance follow") {
     // two tight blobs far apart in 4-d; k=2 must recover the split
     val blob = (0 until 20).map { i =>
