@@ -886,7 +886,33 @@ object TextAnalysis {
   def naiveBayesClassify(
       df: DataFrame, idCol: String, textCol: String, labelCol: String,
       trainFilter: Column, vocabSize: Int = 1000): DataFrame = {
-    val train = df.filter(trainFilter)
+    val model = naiveBayesFit(df.filter(trainFilter), textCol, labelCol,
+      vocabSize)
+    val best = nbBest(col(textCol), model)
+    df.select(col(idCol), col(labelCol).as("actual"),
+      best("cls").as("pred"), best("score").as("score_r"),
+      trainFilter.as("is_train"))
+  }
+
+  /** A fitted Naive Bayes model — the bounded global context the scoring
+    * pass embeds as plan literals (≤ C·V counts): per class, the add-1
+    * count map {token → count+1}, the smoothed denominator count_c + V,
+    * and the document-count log prior. Serializable so it rides
+    * foreachBatch closures into streaming micro-batches. */
+  final case class NbModel(
+      classes: IndexedSeq[String],
+      lnPrior: Map[String, Double],
+      counts: Map[String, Map[String, Long]],
+      totals: Map[String, Long]) extends Serializable
+
+  /** Fit the [[NbModel]] on a (already-filtered) training DataFrame —
+    * see [[naiveBayesClassify]] for the model definition and scale
+    * shape. Exposed separately so a stream can train ONCE on the
+    * reference corpus and score micro-batches forever
+    * ([[graft.streaming.EventStream.classifyStream]]). */
+  def naiveBayesFit(
+      train: DataFrame, textCol: String, labelCol: String,
+      vocabSize: Int = 1000): NbModel = {
     val toks = train.select(col(labelCol).as("__cls"),
         explode(graft.functions.hashes.word_tokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
@@ -896,7 +922,7 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc).limit(vocabSize)
       .select("token").collect().map(_.getString(0))
-    val vocabSet = vocab.toSet
+    require(vocab.nonEmpty, "empty training vocabulary")
     // per-class vocab-token counts: ≤ C·V rows (bounded by construction)
     val counts: Array[(String, String, Long)] = toks
       .join(broadcast(toks.sparkSession.createDataFrame(
@@ -909,35 +935,51 @@ object TextAnalysis {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val nTrainDocs = priors.map(_._2).sum
     require(nTrainDocs > 0, "empty training split")
-    val classes = priors.map(_._1).sorted
     val byClass: Map[String, Map[String, Long]] = counts
       .groupBy(_._1).view
       .mapValues(_.map { case (_, t, n) => t -> (n + 1L) }.toMap).toMap
-    val priorOf = priors.toMap
-    require(vocabSet.nonEmpty, "empty training vocabulary")
-
-    val scored = classes.toIndexedSeq.map { c =>
-      val m = byClass.getOrElse(c, Map.empty)
+    val classes = priors.map(_._1).sorted.toIndexedSeq
+    NbModel(
+      classes = classes,
+      lnPrior = priors.map { case (c, n) =>
+        c -> Math.log(n.toDouble / nTrainDocs) }.toMap,
+      counts = classes.map(c => c -> byClass.getOrElse(c, Map.empty)).toMap,
       // count_c + V: Σ (count+1) over observed vocab tokens, +1 per
       // unobserved vocab slot — i.e. Σ observed counts + V exactly
-      val totalC = m.values.sum + (vocabSet.size - m.size).toLong
-      val lnPrior = Math.log(priorOf(c).toDouble / nTrainDocs)
+      totals = classes.map { c =>
+        val m = byClass.getOrElse(c, Map.empty[String, Long])
+        c -> (m.values.sum + (vocab.length - m.size).toLong)
+      }.toMap)
+  }
+
+  /** The winning (score, class) struct for a text column under a fitted
+    * model: argmax by (rounded score desc, class asc) — the languageId
+    * pattern. */
+  private def nbBest(textCol: Column, model: NbModel): Column = {
+    val scored = model.classes.map { c =>
       val s = round(
-        lit(lnPrior) +
-          graft.functions.hashes.unigram_logprob(col(textCol), m, totalC)("sum_logp"),
+        lit(model.lnPrior(c)) +
+          graft.functions.hashes.unigram_logprob(
+            textCol, model.counts(c), model.totals(c))("sum_logp"),
         6)
       struct(s.as("score"), lit(c).as("cls"))
     }
-    // argmax by (rounded score desc, class asc) — the languageId pattern
-    val best = element_at(
+    element_at(
       array_sort(array(scored: _*), (a, b) =>
         when(a("score") > b("score"), -1)
           .when(a("score") < b("score"), 1)
           .when(a("cls") < b("cls"), -1)
           .when(a("cls") > b("cls"), 1)
           .otherwise(0)), 1)
-    df.select(col(idCol), col(labelCol).as("actual"),
-      best("cls").as("pred"), best("score").as("score_r"),
-      trainFilter.as("is_train"))
+  }
+
+  /** Score a DataFrame under a fitted [[NbModel]]: one zero-shuffle
+    * native pass, (id, pred, score_r) out. */
+  def naiveBayesScore(
+      df: DataFrame, idCol: String, textCol: String,
+      model: NbModel): DataFrame = {
+    val best = nbBest(col(textCol), model)
+    df.select(col(idCol),
+      best("cls").as("pred"), best("score").as("score_r"))
   }
 }

@@ -111,6 +111,32 @@ object EventStream {
       .start()
 
   /**
+   * Streaming classification gate: every micro-batch of incoming
+   * documents is scored under a PRE-FITTED Naive Bayes model
+   * ([[graft.ops.TextAnalysis.naiveBayesFit]]) — the ingestion-time twin
+   * of the batch `text_classify_nb` query, and the shape a production
+   * quality/language/domain filter takes: train once on the reference
+   * corpus, gate documents where they ENTER the pipeline. Stateless
+   * foreachBatch (the decontamination-guard posture: the bounded model
+   * IS the state, and it is static — it rides the closure as plan
+   * literals, so a batch never shuffles to be scored).
+   *
+   * `onScored` receives each batch's (id, pred, score_r) table — route
+   * it to routing, dropping, or per-class quotas.
+   */
+  def classifyStream(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      model: graft.ops.TextAnalysis.NbModel,
+      onScored: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onScored(graft.ops.TextAnalysis.naiveBayesScore(
+          batch.toDF(), idCol, textCol, model))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /**
    * Stream-stream interval join — click-to-view attribution, the streaming
    * twin of the batch `q32_attribution` query: each click pairs with the
    * same user's views at most `windowMinutes` before it.

@@ -240,6 +240,33 @@ class EventStreamSpec extends SparkSpec {
     assert(collected.toSeq == Seq((1L, 2, 7)))
   }
 
+  test("streaming classification gate scores batches exactly like the batch op") {
+    import graft.ops.TextAnalysis
+    // fit once on the real corpus (the train-once posture)
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val model = TextAnalysis.naiveBayesFit(
+      docs.filter(col("doc_id") % 10 < 8), "text", "lang")
+
+    val incoming = docs.filter(col("doc_id") >= 400).select("doc_id", "text")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_clf_in").toString
+    incoming.write.mode("overwrite").parquet(inDir)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+    val q = EventStream.classifyStream(
+      spark.readStream.schema(incoming.schema).parquet(inDir),
+      "doc_id", "text", model,
+      scored => collected ++= scored.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))))
+    q.awaitTermination(60000)
+
+    val batchResult = TextAnalysis.naiveBayesScore(
+      incoming, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(collected.nonEmpty)
+    assert(collected.toSeq.sorted == batchResult.sorted)
+    // the model actually discriminates: more than one class appears
+    assert(collected.map(_._2).toSet.size > 1)
+  }
+
   test("watermark closes windows in append mode and drops late data") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
