@@ -129,6 +129,61 @@ object OpsQueries {
     "dedup_strip_spans" -> ((s, dir) =>
       Dedup.stripRepeatedSpans(docs(s, dir), "doc_id", "text", k = 5)),
 
+    // the doc-level FILTER signal derived from the span detector: fraction
+    // of each document's tokens covered by some cross-corpus repeated
+    // 5-gram span (the Gopher-style duplicate-text ratio) — merged spans
+    // are disjoint so coverage is a straight span-length sum per doc
+    "text_dup_span_fraction" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val spans = Dedup.repeatedSpans(d, "doc_id", "text", k = 5)
+        .groupBy("doc_id")
+        .agg(sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+      d.select(col("doc_id"),
+          // the span detector's own tokenization (trim + regex split),
+          // NOT word_tokens (which lowercases) — the ratio must be over
+          // the same token stream the spans index into
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            greatest(col("n_tokens"), lit(1L)), 6).as("dup_fraction_r"))
+    }),
+
+    // snapshot-to-snapshot change census (incremental-crawl planning):
+    // old = all but every 19th doc, new = all but every 23rd with every
+    // 7th doc's text amended — both sides reduce to (id, md5) before the
+    // full-outer join, so only fingerprints shuffle
+    "corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 19 =!= 0)
+      val newSnap = d.filter(col("doc_id") % 23 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+    }),
+
+    // connected components as a FIRST-CLASS operator (not just the
+    // minhash-cluster internal): min-label components over the bucketed
+    // PPJoin edge set, every doc labeled (singletons self-labeled via the
+    // lazy anti-join branch). Full SQL oracle: same edges + recursive
+    // transitive closure — no side input, no cartesian carrier.
+    "graph_components" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text",
+        n = 3, threshold = 0.8).select(col("a_id"), col("b_id"))
+      Dedup.connectedComponents(d.select(col("doc_id")), pairs)
+    }),
+
+    // the minhash design table itself as a first-class query: detection
+    // probability 1-(1-t^r)^b for the layouts this codebase ships (64
+    // hashes as 16x4 / 8x8 / 32x2), on a 5%-step similarity grid —
+    // chained-multiply powers, bit-identical in any IEEE engine
+    "lsh_tuning_curve" -> ((s, dir) =>
+      Dedup.lshTuningCurve(s, Seq((16, 4), (8, 8), (32, 2)),
+        (1 to 19).map(_ * 0.05))),
+
     // span-level decontamination (the GPT-3-style long-n-gram filter):
     // corpus positions whose 8-gram appears anywhere in the benchmark
     // stand-in (every 37th doc), merged to contaminated spans — benchmark
@@ -1544,6 +1599,110 @@ object OpsQueries {
         |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin
 
   private val oraclesTail: Map[String, String] = Map(
+    // repeated-spans CTE (same as dedup_repeated_spans) extended with the
+    // per-doc coverage sum over the doc's own token count; docs with no
+    // duplicated span report 0
+    "text_dup_span_fraction" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents
+        |), occ AS (
+        |  SELECT doc_id, p, md5(array_to_string(w[p+1:p+5], ' ')) AS g
+        |  FROM toks, unnest(range(0, len(w) - 4)) t(p)
+        |  WHERE len(w) >= 5
+        |), c AS (
+        |  SELECT g, count(*) AS n FROM occ GROUP BY g
+        |), dup AS (
+        |  SELECT o.doc_id, o.p FROM occ o JOIN c USING (g) WHERE c.n > 1
+        |), flag AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 5
+        |         THEN 0 ELSE 1 END AS is_new
+        |  FROM dup
+        |), isl AS (
+        |  SELECT doc_id, p,
+        |    sum(is_new) OVER (PARTITION BY doc_id ORDER BY p
+        |                      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM flag
+        |), spans AS (
+        |  SELECT doc_id, min(p) AS s, max(p) + 4 AS e
+        |  FROM isl GROUP BY doc_id, island
+        |), cov AS (
+        |  SELECT doc_id, sum(e - s + 1) AS dup_tokens FROM spans GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, cast(len(t.w) as bigint) AS n_tokens,
+        |  cast(coalesce(cov.dup_tokens, 0) as bigint) AS dup_tokens,
+        |  round(cast(coalesce(cov.dup_tokens, 0) as double)
+        |    / greatest(len(t.w), 1), 6) AS dup_fraction_r
+        |FROM toks t LEFT JOIN cov USING (doc_id)""".stripMargin,
+
+    // both snapshots reduce to (id, fingerprint); the status CASE mirrors
+    // Dedup.snapshotDiff exactly
+    "corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 19 != 0
+        |), n AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 23 != 0
+        |)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.h IS NULL THEN 'added'
+        |       WHEN n.h IS NULL THEN 'removed'
+        |       WHEN o.h != n.h THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
+    // the PPJoin edge set (same CTE as dedup_ngram_pairs_filtered) closed
+    // under recursive reachability; docs outside any edge self-label
+    "graph_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM toks WHERE len(w) >= 3
+        |), e0 AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |  WHERE cast(len(list_intersect(a.g, b.g)) as double)
+        |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+        |), edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM e0
+        |  UNION ALL SELECT b_id, a_id FROM e0
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+        |), cl AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        |  FROM reach GROUP BY u)
+        |SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin,
+
+    // the exact multiply chains of Dedup.lshTuningCurve, spelled out
+    // left-associated per layout — identical IEEE operation order, so no
+    // rounding is needed on either side; the grid is generated as i*0.05
+    // on BOTH sides (a '0.15' literal parses to a DIFFERENT double than
+    // 3*0.05 computes)
+    "lsh_tuning_curve" ->
+      """WITH g AS (
+        |  SELECT i * CAST(0.05 AS DOUBLE) AS t FROM range(1, 20) r(i)),
+        |one AS (SELECT CAST(1.0 AS DOUBLE) AS o),
+        |a AS (SELECT t, o - (o*t*t*t*t) AS u, o FROM g, one),
+        |b AS (SELECT t, o - (o*t*t*t*t*t*t*t*t) AS u, o FROM g, one),
+        |c AS (SELECT t, o - (o*t*t) AS u, o FROM g, one)
+        |SELECT 16 AS bands, 4 AS rows_per_band, t AS threshold,
+        |  o - (o*u*u*u*u*u*u*u*u*u*u*u*u*u*u*u*u) AS p_detect FROM a
+        |UNION ALL
+        |SELECT 8, 8, t, o - (o*u*u*u*u*u*u*u*u) FROM b
+        |UNION ALL
+        |SELECT 32, 2, t,
+        |  o - (o*u*u*u*u*u*u*u*u*u*u*u*u*u*u*u*u
+        |       *u*u*u*u*u*u*u*u*u*u*u*u*u*u*u*u) FROM c""".stripMargin,
+
     // mirrors Similarity.quantizeInt8: exact float->double widening, one
     // fixed-shape double expression, integer code summaries
     "sim_quantize_int8" ->

@@ -77,6 +77,15 @@ object PipelineQueries {
       Chunking.packedSequenceRows(Tables(s, dir, "documents"), "doc_id",
         "text", seqLen = 512, nShards = 8)),
 
+    // Deterministic 98/1/1 train/val/test assignment (md5-of-id buckets —
+    // stable under reruns, engines, and corpus growth; a doc can never
+    // drift across the eval boundary), reported per source: one row-local
+    // projection + one partial-aggregated count
+    "split_assign" -> ((s, dir) =>
+      Chunking.hashSplit(Tables(s, dir, "documents"), "doc_id",
+        Seq(("train", 98), ("val", 1), ("test", 1)))
+        .groupBy("split", "source").agg(count(lit(1)).as("n_docs"))),
+
     // Corpus profiling dashboard: per-source composition stats in ONE
     // partial-aggregated pass (counts, char volume, language spread, mean
     // length, en share — all exact ints + single final divisions).
@@ -125,6 +134,21 @@ object PipelineQueries {
       |  FROM term GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Chunking.hashSplit's bucket function verbatim: first 8 md5 hex chars
+    // of the stringified id, mod 100, cumulative-range CASE
+    "split_assign" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint
+        |      % 100 AS bk
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bk < 98 THEN 'train'
+        |            WHEN bk < 99 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  source, count(*) AS n_docs
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
     "q18_chunk" ->
       """WITH t AS (
         |  SELECT doc_id,

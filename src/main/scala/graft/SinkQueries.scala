@@ -107,6 +107,41 @@ object SinkQueries {
           "o_orderpriority")
     }),
 
+    // CDC MERGE end-to-end: one batch of in-place updates (which also MOVE
+    // their rows to the 1-URGENT partition), inserts of brand-new keys, and
+    // deletes — applied copy-on-write to only the touched partitions
+    // (partition-pruned survivor scan + broadcast key anti-join; see
+    // PartitionedSink.mergeUpsert). The oracle replays the same batch as
+    // set algebra over the source table: any row the merge lost, kept
+    // stale, duplicated, or routed to the wrong partition breaks the hash.
+    "sink_merge_upsert" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_sink_merge").toString
+      val orders = Tables(s, dir, "orders")
+      val cfg = SinkConfig(ParquetFormat, Seq("o_orderpriority"),
+        Some("snappy"), runtimeNullCheck = true)
+      PartitionedSink.write(orders, out, cfg)
+      val upd = orders.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_orderpriority", lit("1-URGENT"))
+        .withColumn("__del", lit(false))
+      val ins = orders
+        .filter(col("o_orderkey") % 10 === 4 && col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("o_orderpriority", lit("5-LOW"))
+        .withColumn("__del", lit(false))
+      val del = orders
+        .filter(col("o_orderkey") % 17 === 0 && col("o_orderkey") % 10 =!= 3)
+        .withColumn("__del", lit(true))
+      PartitionedSink.mergeUpsert(s, out,
+        upd.unionByName(ins).unionByName(del), Seq("o_orderkey"), cfg,
+        deleteCol = Some("__del"))
+      PartitionedSink.readBack(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
     // size-targeted flavor: the byte target (here: half the fragmented
     // tree, so partitions really split) becomes the writer's
     // maxRecordsPerFile via observed bytes/row; content identity is the
@@ -199,6 +234,27 @@ object SinkQueries {
         |  o_totalprice,
         |  trim(cast(o_orderpriority as varchar)) AS o_orderpriority
         |FROM orders""".stripMargin,
+    "sink_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0 AS o_totalprice,
+        |    '1-URGENT' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |), ins AS (
+        |  SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey,
+        |    'N' AS o_orderstatus, o_totalprice, '5-LOW' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 4 AND o_orderkey % 3 = 0
+        |), delk AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderkey % 17 = 0 AND o_orderkey % 10 != 3
+        |)
+        |SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice,
+        |  trim(cast(b.o_orderpriority as varchar)) AS o_orderpriority
+        |FROM orders b
+        |WHERE b.o_orderkey % 10 != 3
+        |  AND b.o_orderkey NOT IN (SELECT o_orderkey FROM delk)
+        |UNION ALL SELECT * FROM upd
+        |UNION ALL SELECT * FROM ins""".stripMargin,
     "sink_orc_partitioned" -> orcAvroOracle,
     "sink_avro_partitioned" -> orcAvroOracle,
     "sink_range_sharded" ->

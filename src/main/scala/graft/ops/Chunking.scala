@@ -310,4 +310,34 @@ object Chunking {
           6).as("log_weight_r"),
         targetFilter.as("is_target"))
   }
+
+  /**
+   * Deterministic train/val/test assignment — the split every training
+   * pipeline needs to be STABLE across reruns, engines, and data growth: a
+   * document's split must depend only on its id, never on row order,
+   * partitioning, or corpus size (a new dump must not reshuffle old docs
+   * across the eval boundary — that's silent train-on-test contamination).
+   *
+   * A row lands in the bucket `md5(id) mod Σweights` and buckets map to
+   * splits by cumulative weight ranges (`("train",98),("val",1),("test",1)`
+   * → buckets 0-97, 98, 99). md5-of-id is the engine-portable pseudo-random
+   * source used across this codebase ([[stratifiedSample]],
+   * [[temperatureMix]]); the whole assignment is one row-local projection —
+   * zero shuffle, zero driver state, the same plan at 100 TB.
+   */
+  def hashSplit(
+      df: DataFrame, idCol: String, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be (name, positive weight) pairs")
+    val total = splits.map(_._2).sum
+    val bucket =
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long") % total
+    val cum = splits.scanLeft(0)(_ + _._2).init
+    val assign = splits.zip(cum).tail.foldLeft(
+      when(bucket < splits.head._2 + cum.head, lit(splits.head._1))) {
+      case (acc, ((name, w), lo)) => acc.when(bucket < lo + w, lit(name))
+    }
+    df.withColumn("split", assign)
+  }
 }

@@ -902,4 +902,65 @@ object Dedup {
         concat_ws(" ", transform(col("__kept"), x => x("t"))).as("clean_text"),
         (col("__n") - size(col("__kept"))).as("n_tokens_removed"))
   }
+
+  /**
+   * Corpus snapshot diff — the change census between two crawls/dumps of
+   * the same corpus that every incremental pipeline runs before deciding
+   * what to re-process: per id, `added` (new only), `removed` (old only),
+   * `changed` (both, content fingerprint differs), `unchanged`.
+   *
+   * Scale posture: each side reduces to (id, md5 fingerprint) — two thin
+   * columns regardless of document size — then one hash-partitioned
+   * full-outer join on the id. No content ever shuffles twice: the
+   * fingerprint is computed in the scan projection, so the exchange
+   * carries 16-byte hashes, not 100 TB of text.
+   */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def fp(df: DataFrame, as: String) =
+      df.select(col(idCol), md5(col(textCol).cast("binary")).as(as))
+    fp(oldDf, "__old").join(fp(newDf, "__new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__old").isNull, "added")
+          .when(col("__new").isNull, "removed")
+          .when(col("__old") =!= col("__new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /**
+   * Analytic MinHash-LSH operating curve — the tuning table consulted
+   * before any minhash run: for each (bands b, rowsPerBand r) layout and
+   * each true Jaccard similarity t on a grid, the detection probability
+   * `p = 1 − (1 − t^r)^b`. Data-independent by construction (it's the
+   * design tool, not the scan), and engine-portable WITHOUT rounding: both
+   * integer powers
+   * are expanded into left-associated multiply chains — the identical
+   * IEEE-754 operation sequence in any engine — rather than `pow`, whose
+   * correct rounding libms do not guarantee (the documented 1-ulp
+   * JVM-vs-glibc hazard).
+   */
+  def lshTuningCurve(
+      spark: org.apache.spark.sql.SparkSession,
+      layouts: Seq[(Int, Int)],
+      thresholds: Seq[Double]): DataFrame = {
+    require(layouts.nonEmpty && thresholds.nonEmpty)
+    require(layouts.forall { case (b, r) => b >= 1 && r >= 1 },
+      "bands and rowsPerBand must be >= 1")
+    import spark.implicits._
+    val rows = for {
+      (b, r) <- layouts
+      t <- thresholds
+    } yield {
+      var tr = 1.0
+      var i = 0
+      while (i < r) { tr *= t; i += 1 }
+      val u = 1.0 - tr
+      var ub = 1.0
+      i = 0
+      while (i < b) { ub *= u; i += 1 }
+      (b, r, t, 1.0 - ub)
+    }
+    rows.toDF("bands", "rows_per_band", "threshold", "p_detect")
+  }
 }

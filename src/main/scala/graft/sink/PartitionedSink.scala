@@ -569,6 +569,107 @@ object PartitionedSink {
     w.save(outPath)
   }
 
+  /** Result of a [[mergeUpsert]]: how many partitions were rewritten and how
+    * many became empty (every row deleted) and had their directory dropped. */
+  final case class MergeStats(partitionsRewritten: Int, partitionsDropped: Int)
+
+  /**
+   * CDC MERGE (upsert + delete) into an existing partitioned dataset,
+   * copy-on-write at PARTITION granularity — the "apply a change batch to a
+   * 100 TB table without rewriting the table" primitive every incremental
+   * corpus pipeline needs.
+   *
+   * Semantics: `updates` carries the full payload schema plus, optionally, a
+   * boolean `deleteCol`. Per key (`keyFields`): a non-delete row REPLACES the
+   * existing row (inserting if absent — and the replacement may land in a
+   * DIFFERENT partition, in which case the old copy is removed from its old
+   * partition); a delete row removes the key wherever it lives. Keys must be
+   * unique within the batch (checked — one tiny aggregation on the
+   * CDC-batch-sized side).
+   *
+   * Scale posture: the merge touches only the partitions that can change —
+   * (a) partitions where non-delete update rows land, plus (b) partitions
+   * currently holding an updated key, found with one column-pruned scan of
+   * the base (key + partition columns only — at 100 TB this reads two thin
+   * columns, or is skipped entirely by a metastore key-location index when
+   * one exists). The touched set is collected (bounded by partition-value
+   * cardinality, the same assumption `partitionBy` makes) and becomes a
+   * LITERAL partition-pruning predicate, so the survivor scan reads only
+   * touched partitions; update keys broadcast into the anti-join (CDC
+   * batches are small by definition). The rewrite itself is a dynamic
+   * partition overwrite — untouched partitions' files are never opened.
+   * Partitions whose every row was deleted produce no output rows, which
+   * dynamic overwrite would silently leave stale — those directories are
+   * dropped explicitly (driver loop bounded by the touched count).
+   */
+  def mergeUpsert(
+      spark: SparkSession,
+      path: String,
+      updates: DataFrame,
+      keyFields: Seq[String],
+      cfg: SinkConfig,
+      deleteCol: Option[String] = None): MergeStats = {
+    require(keyFields.nonEmpty, "mergeUpsert needs at least one key field")
+    require(!keyFields.exists(cfg.partitionFields.contains),
+      "partition fields cannot be merge keys (a key that IS the partition " +
+        "value cannot move; route through a payload column instead)")
+    val dupKeys = updates.groupBy(keyFields.map(qcol): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"update batch has multiple rows for one (${keyFields.mkString(",")}) key")
+
+    val isDelete = deleteCol
+      .map(c => coalesce(col(c), lit(false))).getOrElse(lit(false))
+    val upserts = preparePartitionColumns(
+      deleteCol.foldLeft(updates.filter(!isDelete))((d, c) => d.drop(c)), cfg)
+    validate(upserts, cfg)
+    val keyCols = keyFields.map(qcol)
+    val allKeys = updates.select(keyCols: _*).distinct()
+    val pCols = cfg.partitionFields.map(qcol)
+
+    val base = readBack(spark, path, cfg.format)
+    // touched = partitions receiving upserts ∪ partitions holding updated
+    // keys (thin key+partition scan of the base; finds moved and deleted
+    // keys' OLD locations)
+    val touched = upserts.select(pCols: _*)
+      .union(base.join(broadcast(allKeys), keyFields.toSeq, "left_semi")
+        .select(pCols: _*))
+      .distinct().collect()
+    val touchedPred = touched.map { r =>
+      cfg.partitionFields.zipWithIndex
+        .map { case (f, i) => qcol(f) === lit(r.getString(i)) }
+        .reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+
+    // survivors: rows of touched partitions whose key is not in the batch.
+    // The literal predicate partition-prunes the parquet scan; persist so
+    // the partition census below and the rewrite share one base read.
+    val survivors = base.filter(touchedPred)
+      .join(broadcast(allKeys), keyFields.toSeq, "left_anti")
+      .persist()
+    try {
+      val out = survivors.unionByName(upserts)
+      // partitions left with zero rows (all deleted, nothing upserted):
+      // dynamic overwrite won't clear them — enumerate before the write
+      val live = out.select(pCols: _*).distinct().collect()
+        .map(r => (0 until cfg.partitionFields.length).map(r.getString))
+        .toSet
+      write(out, path, cfg.copy(disposition = OverwritePartitions))
+      val emptied = touched
+        .map(r => (0 until cfg.partitionFields.length).map(r.getString))
+        .filterNot(live)
+      val (fsys, root) = FsOps.fs(spark, path)
+      emptied.foreach { vals =>
+        val rel = cfg.partitionFields.zip(vals).map { case (f, v) =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(f, v)
+        }.mkString("/")
+        FsOps.deleteIfExists(fsys, new Path(root, rel))
+      }
+      MergeStats(touched.length - emptied.length, emptied.length)
+    } finally { survivors.unpersist(): Unit }
+  }
+
   /** T2 analogue (`_CDAPStageName` constant injection,
     * `common/Schemas.java:24-30` + `AvroDynamicPartitionedDatasetSink.java:82-85`):
     * append a constant stage-name column. In Spark the partition-field list

@@ -111,6 +111,37 @@ object EventStream {
       .start()
 
   /**
+   * Streaming CDC apply: each micro-batch of change rows (upserts +
+   * deletes, the [[graft.sink.PartitionedSink.mergeUpsert]] contract) is
+   * MERGED into the partitioned dataset at `path` — the ingestion-time
+   * loop that keeps a 100 TB partitioned corpus current from a change
+   * feed without ever rewriting untouched partitions.
+   *
+   * Exactly-once posture: foreachBatch can re-deliver a batch after a
+   * failure, and mergeUpsert is IDEMPOTENT for re-application (upserting
+   * the same row twice, or deleting an already-deleted key, converges to
+   * the same table state), so replays are safe. Within one batch the
+   * per-key uniqueness check inside mergeUpsert still applies — feed it
+   * compacted change batches (last change per key), which is what any CDC
+   * source (Debezium-style) emits per poll anyway.
+   */
+  def mergeStream(
+      changes: DataFrame, path: String, keyFields: Seq[String],
+      cfg: graft.sink.SinkConfig,
+      deleteCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.sink.PartitionedSink.mergeUpsert(
+            batch.sparkSession, path, batch.toDF(), keyFields, cfg,
+            deleteCol): Unit
+      }
+      // default as-fast-as-possible micro-batches (NOT AvailableNow): a
+      // CDC feed is continuous — the query keeps draining the change
+      // source until stopped
+      .start()
+
+  /**
    * Streaming classification gate: every micro-batch of incoming
    * documents is scored under a PRE-FITTED Naive Bayes model
    * ([[graft.ops.TextAnalysis.naiveBayesFit]]) — the ingestion-time twin

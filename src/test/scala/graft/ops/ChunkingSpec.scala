@@ -227,4 +227,31 @@ class ChunkingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(w.map { case (k, v) => k -> v._2 } == again)
   }
+
+  test("hashSplit: total coverage, id-only determinism, weight ranges honored") {
+    val df = graft.Tables(spark, sf0001, "documents")
+    val splits = Seq(("train", 98), ("val", 1), ("test", 1))
+    val a = Chunking.hashSplit(df, "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.size == df.count(), "every doc gets exactly one split")
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // id-only: the same ids through a reshuffled, re-derived frame land
+    // in the same split (order/partitioning independence)
+    val b = Chunking.hashSplit(df.repartition(7).filter(col("doc_id") >= 0),
+      "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // assignment matches the bucket arithmetic exactly
+    val buckets = df.select(col("doc_id"),
+      (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long") % 100).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { case (id, s) =>
+      val expect =
+        if (buckets(id) < 98) "train" else if (buckets(id) < 99) "val" else "test"
+      assert(s == expect, s"doc $id bucket ${buckets(id)} got $s")
+    }
+  }
 }

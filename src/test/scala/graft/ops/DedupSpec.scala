@@ -414,4 +414,36 @@ class DedupSpec extends SparkSpec {
     assert(kept(Seq((1L, 0.9), (2L, 0.9), (3L, 0.5))
       .toDF("doc_id", "quality_score")) == Set(1L, 3L))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged by content hash") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((2L, "beta"), (3L, "gamma v2"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("lshTuningCurve: S-curve rises with t; more rows/band sharpens it") {
+    val rows = Dedup.lshTuningCurve(spark,
+      Seq((16, 4), (8, 8)), (1 to 19).map(_ * 0.05))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 38)
+    assert(rows.forall { case (_, _, _, p) => p >= 0.0 && p <= 1.0 })
+    // monotone nondecreasing in t per layout
+    Seq((16, 4), (8, 8)).foreach { case (b, r) =>
+      val ps = rows.filter(x => x._1 == b && x._2 == r).sortBy(_._3).map(_._4)
+      assert(ps.zip(ps.tail).forall { case (a, c) => c >= a })
+    }
+    // 8x8 (more rows per band) admits fewer low-similarity pairs than
+    // 16x4 at t=0.3, and both layouts nearly always catch t=0.9 pairs
+    def p(b: Int, r: Int, t: Double) =
+      rows.find(x => x._1 == b && x._2 == r && math.abs(x._3 - t) < 1e-9).get._4
+    assert(p(8, 8, 0.3) < p(16, 4, 0.3))
+    assert(p(16, 4, 0.9) > 0.99 && p(8, 8, 0.9) > 0.96)
+  }
 }

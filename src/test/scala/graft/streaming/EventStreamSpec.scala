@@ -340,4 +340,43 @@ class EventStreamSpec extends SparkSpec {
         r.getAs[Long]("n_events"))).toSet
     assert(sessions == Set((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
   }
+
+  test("mergeStream applies CDC micro-batches to the partitioned dataset") {
+    import graft.sink.{ParquetFormat, PartitionedSink, SinkConfig}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val cfg = SinkConfig(ParquetFormat, Seq("grp"), runtimeNullCheck = true)
+    val out = java.nio.file.Files.createTempDirectory("graft_merge_stream")
+    PartitionedSink.write(
+      Seq((1L, "a", "A"), (2L, "b", "A"), (3L, "c", "B"))
+        .toDF("id", "payload", "grp"),
+      out.toString, cfg)
+
+    // (id, payload, grp, del)
+    val input = MemoryStream[(Long, String, String, Boolean)]
+    val q = EventStream.mergeStream(
+      input.toDF().toDF("id", "payload", "grp", "del"),
+      out.toString, Seq("id"), cfg, deleteCol = Some("del"))
+    try {
+      // batch 1: update id 1 in place, move id 3 from B to A
+      input.addData((1L, "a2", "A", false), (3L, "c2", "A", false))
+      q.processAllAvailable()
+      val afterB1 = PartitionedSink.readBack(spark, out.toString)
+        .select("id", "payload", "grp").as[(Long, String, String)]
+        .collect().toSet
+      assert(afterB1 == Set((1L, "a2", "A"), (2L, "b", "A"), (3L, "c2", "A")))
+      assert(!java.nio.file.Files.exists(out.resolve("grp=B")),
+        "partition B emptied by the move — dir must be dropped")
+
+      // batch 2: delete id 2, insert id 9 into C
+      input.addData((2L, "", "A", true), (9L, "i", "C", false))
+      q.processAllAvailable()
+      val afterB2 = PartitionedSink.readBack(spark, out.toString)
+        .select("id", "payload", "grp").as[(Long, String, String)]
+        .collect().toSet
+      assert(afterB2 == Set((1L, "a2", "A"), (3L, "c2", "A"), (9L, "i", "C")))
+    } finally q.stop()
+  }
 }
