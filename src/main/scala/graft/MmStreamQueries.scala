@@ -73,6 +73,14 @@ object MmStreamQueries {
     "mm_frame_digest" -> ((s, dir) =>
       Multimodal.frameDigest(media(s, dir), step = 4).toDF()),
 
+    // REAL windowed audio DSP: decode each audio row's WAV and aggregate
+    // its PCM samples in 50-frame windows (sum / sumsq / peak exact ints,
+    // RMS = two correctly-rounded IEEE ops) — the silence-trim/clipping
+    // envelope an audio curation pipeline filters on; the oracle
+    // re-synthesizes every sample from the fixture formula
+    "mm_audio_windows" -> ((s, dir) =>
+      Multimodal.audioWindows(media(s, dir), win = 50)),
+
     // digest projection: the raw array<float> API stays (extractFeatures);
     // the registered query emits an oracle-checkable md5 of the exact
     // integer lanes — generic comparators can't sort an array column
@@ -172,6 +180,28 @@ object MmStreamQueries {
 
   val oracles: Map[String, String] = Map(
     "mm_decode_meta" -> metaSql,
+
+    // the WAV fixture formula re-evaluated sample-by-sample: nFrames =
+    // 64 + octet_length*5 % 256, sample p = (p*31 + id*7) % 256, grouped
+    // into 50-frame windows; sums cast back to BIGINT (DuckDB sum() is
+    // HUGEINT), rms = sqrt(sumsq/n) with no rounding (both ops are
+    // correctly-rounded IEEE on identical integer inputs)
+    "mm_audio_windows" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    64 + (octet_length(encode(text)) * 5) % 256 AS nf
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), s AS (
+        |  SELECT doc_id, p, (p*31 + doc_id*7) % 256 AS v, p // 50 AS w
+        |  FROM a, unnest(range(0, nf)) t(p)
+        |)
+        |SELECT doc_id AS media_id, cast(w as int) AS window_idx,
+        |  cast(count(*) as int) AS n_samples,
+        |  cast(sum(v) as bigint) AS sample_sum,
+        |  cast(sum(v*v) as bigint) AS sample_sumsq,
+        |  cast(max(v) as int) AS peak,
+        |  sqrt(cast(sum(v*v) as double) / count(*)) AS rms
+        |FROM s GROUP BY doc_id, w""".stripMargin,
 
     // exact integer lanes (see laneListSql), so the digest is reproducible
     // from SQL with no FP hazard — for image rows this hash-checks the

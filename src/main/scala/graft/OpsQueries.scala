@@ -363,6 +363,15 @@ object OpsQueries {
         nCells = 16, nProbe = 4)
     }),
 
+    // hard-negative mining for contrastive training: per query, the top-5
+    // most-similar DIFFERENT-label vectors, candidates from IVF probe
+    // cells (bucketed join, label filter inside the probe, bounded heap)
+    "mine_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.hardNegatives(e.filter(col("vec_id") < 10), e, k = 5,
+        nCells = 16, nProbe = 4)
+    }),
+
     // one driver-side Lloyd iteration over a 256-vector md5-ordered sample
     // refines the centroid seed — better-balanced cells, same determinism
     "sim_topk_ivf_refined" -> ((s, dir) => {
@@ -1329,6 +1338,42 @@ object OpsQueries {
         |  SELECT p.q_id, a.vec_id AS n_id, list_cosine_similarity(p.qe, a.e) AS sim
         |  FROM qprobe p JOIN cassign a USING (cell)
         |  WHERE p.q_id != a.vec_id
+        |), ranked AS (
+        |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
+        |  FROM sims)
+        |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    // sim_topk_ivf's oracle with the label carried through and the
+    // mismatch filter inside the probe join — the mined negative set is
+    // the IVF candidate set minus same-label rows, exactly as the
+    // operator computes it
+    "mine_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e, label
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT row_number() OVER (ORDER BY md5(cast(vec_id as varchar))) - 1 AS cell, e
+        |  FROM v ORDER BY md5(cast(vec_id as varchar)) LIMIT 16
+        |), cassign AS (
+        |  SELECT vec_id, e, label, cell FROM (
+        |    SELECT n.vec_id, n.e, n.label, c.cell,
+        |      row_number() OVER (PARTITION BY n.vec_id
+        |        ORDER BY -(list_inner_product(n.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+        |                 c.cell ASC) AS r
+        |    FROM v n CROSS JOIN cent c) WHERE r = 1
+        |), qprobe AS (
+        |  SELECT vec_id AS q_id, e AS qe, label AS q_label, cell FROM (
+        |    SELECT q.vec_id, q.e, q.label, c.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY -(list_inner_product(q.e, c.e) - list_inner_product(c.e, c.e)/2) ASC,
+        |                 c.cell ASC) AS r
+        |    FROM v q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE r <= 4
+        |), sims AS (
+        |  SELECT p.q_id, a.vec_id AS n_id, list_cosine_similarity(p.qe, a.e) AS sim
+        |  FROM qprobe p JOIN cassign a USING (cell)
+        |  WHERE p.q_id != a.vec_id AND p.q_label != a.label
         |), ranked AS (
         |  SELECT q_id, n_id, round(sim, 6) AS sim_r,
         |    row_number() OVER (PARTITION BY q_id

@@ -56,7 +56,14 @@ object Multimodal {
     def decode(row: MediaRow): MediaMeta
     def features(row: MediaRow, dim: Int): MediaFeature
     def frameSums(row: MediaRow, step: Int): Array[(Int, Long)]
+    def pcmWindows(row: MediaRow, win: Int): Array[AudioWindow]
   }
+
+  /** One windowed-PCM stats row ([[MediaCodec.pcmWindows]]): integer-exact
+    * per-window aggregates of the decoded channel-0 samples. */
+  final case class AudioWindow(
+      media_id: Long, window_idx: Int, n_samples: Int,
+      sample_sum: Long, sample_sumsq: Long, peak: Int)
 
   /**
    * STUB codec: deterministic fake decode driven only by payload length
@@ -104,6 +111,19 @@ object Multimodal {
         (0 until decode(row).n_frames by step)
           .map(f => f -> (f * 131L + n))
           .toArray
+      }
+
+    /** Fake PCM windows: byte-length arithmetic (audio rows only), same
+      * register as the other stub lanes — window w pretends to hold `win`
+      * samples of constant value `(w*13 + n) % 256`. */
+    def pcmWindows(row: MediaRow, win: Int): Array[AudioWindow] =
+      if (row.kind != "audio") Array.empty
+      else {
+        val n = row.content.length
+        (0 until 1 + n % 4).map { w =>
+          val v = (w * 13L + n) % 256L
+          AudioWindow(row.media_id, w, win, v * win, v * v * win, v.toInt)
+        }.toArray
       }
   }
 
@@ -328,6 +348,46 @@ object Multimodal {
           f -> sum
         }.toArray
       }
+
+    /** REAL windowed PCM statistics over audio rows: decode the WAV
+      * payload with `javax.sound.sampled` and aggregate the channel-0
+      * samples in fixed windows of `win` frames (the last window may be
+      * partial) — sum, sum of squares, and peak |sample| per window, all
+      * exact integers so downstream RMS (`sqrt(sumsq/n)`, two
+      * correctly-rounded IEEE ops) is bit-identical cross-engine. The
+      * per-window energy/peak envelope is the silence-trim / clipping /
+      * activity-detection signal an audio curation pipeline filters on. */
+    def pcmWindows(row: MediaRow, win: Int): Array[AudioWindow] =
+      if (row.kind != "audio") Array.empty
+      else {
+        require(win >= 1, s"window must be >= 1, got $win")
+        val ais = openAudio(row)
+        val (stride, pcm) =
+          try (ais.getFormat.getFrameSize, ais.readAllBytes())
+          finally ais.close()
+        val nFrames = pcm.length / stride
+        val out = Array.newBuilder[AudioWindow]
+        var w = 0
+        while (w * win < nFrames) {
+          val end = math.min((w + 1) * win, nFrames)
+          var p = w * win
+          var sum = 0L
+          var sumsq = 0L
+          var peak = 0
+          while (p < end) {
+            val lo = pcm(p * stride) & 0xFF
+            val hi = pcm(p * stride + 1).toInt
+            val v = ((hi << 8) | lo).toShort.toInt
+            sum += v
+            sumsq += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            p += 1
+          }
+          out += AudioWindow(row.media_id, w, end - w * win, sum, sumsq, peak)
+          w += 1
+        }
+        out.result()
+      }
   }
 
   /** Deterministic RGB PNG synthesis for the image fixture: dimensions
@@ -486,6 +546,20 @@ object Multimodal {
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(step)))
           .as("frame_idx"))
+
+  /** REAL windowed audio feature extraction over audio rows: decode →
+    * fixed-window PCM stats ([[MediaCodec.pcmWindows]]) → RMS column
+    * (`sqrt(sumsq/n)`: both ops correctly-rounded IEEE over exact integer
+    * inputs, so the double is bit-identical in any engine — no rounding
+    * needed). Same scale posture as decode/features: mapPartitions
+    * batches, payload bytes never leave the executor. */
+  def audioWindows(media: Dataset[MediaRow], win: Int,
+      codec: MediaCodec = JdkMediaCodec): DataFrame =
+    media.mapPartitions(_.flatMap(row =>
+        codec.pcmWindows(row, win).iterator))(Encoders.product[AudioWindow])
+      .toDF()
+      .withColumn("rms",
+        sqrt(col("sample_sumsq").cast("double") / col("n_samples")))
 
   /** One decoded-frame digest row. */
   final case class FrameDigest(media_id: Long, frame_idx: Int, frame_sum: Long)

@@ -274,6 +274,48 @@ object Similarity {
   }
 
   /**
+   * Hard-negative mining — the contrastive-training data-prep step
+   * (retrieval/embedding training à la DPR/SimCSE): for each query vector,
+   * the top-k most-similar corpus vectors whose label DIFFERS from the
+   * query's. High-similarity different-label neighbors are exactly the
+   * negatives that carry gradient signal; random negatives are trivially
+   * separable.
+   *
+   * Scale posture: identical to [[ivfTopK]] — candidates come from the
+   * `nProbe` nearest Voronoi cells (cell-bucketed join, no cross join),
+   * the label-mismatch filter applies inside the probe join before the
+   * bounded-heap ranking, and centroids ride as broadcast literals. The
+   * mined set is approximate in exactly the IVF sense (a hard negative in
+   * an unprobed cell is missed) — acceptable by construction for negative
+   * SAMPLING, and deterministic end-to-end so the full algorithm carries a
+   * SQL oracle.
+   */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCells, 0, 1024, idCol, vecCol)
+    def cellRank(vec: Column): Column = cellRankCol(vec, centroids)
+    val c = corpus.select(col(idCol).as("n_id"),
+        toDouble(col(vecCol)).as("n_vec"), col(labelCol).as("n_label"))
+      .withColumn("n_norm", norm(col("n_vec")))
+      .withColumn("cell", element_at(cellRank(col("n_vec")), 1)("cell"))
+    val q = queries.select(col(idCol).as("q_id"),
+        toDouble(col(vecCol)).as("q_vec"), col(labelCol).as("q_label"))
+      .withColumn("q_norm", norm(col("q_vec")))
+      .withColumn("cell", explode(transform(
+        slice(cellRank(col("q_vec")), 1, nProbe), s => s("cell"))))
+    val sims = q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
+      .select(col("q_id"), col("n_id"),
+        (dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+          .as("sim"))
+      .groupBy("q_id", "n_id").agg(max(col("sim")).as("sim"))
+    rankTopK(sims, k)
+  }
+
+  /**
    * SemDeDup-style semantic deduplication: partition the corpus into
    * `nCells` Voronoi cells around the SAME deterministic md5-order
    * centroids as [[ivfTopK]], then WITHIN each cell drop every vector that

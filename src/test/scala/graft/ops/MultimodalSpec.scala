@@ -156,6 +156,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio windows aggregate DECODED PCM in fixed windows; stub seam swaps") {
+    val win = 50
+    val got = Multimodal.audioWindows(media, win)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getLong(3), r.getLong(4), r.getInt(5), r.getDouble(6)))
+      .toMap
+    // audio rows only
+    assert(got.keys.map(_._1).forall(_ % 3 == 1))
+    // independent recomputation of the first 3 audio rows from the fixture
+    val audIds = media.filter(col("kind") === "audio")
+      .select("media_id").as[Long].collect().sorted.take(3)
+    audIds.foreach { id =>
+      val nFrames = 64 + (textLens(id) * 5) % 256
+      (0 until (nFrames + win - 1) / win).foreach { w =>
+        val samples = (w * win until math.min((w + 1) * win, nFrames))
+          .map(p => ((p * 31L + id * 7L) % 256L).toInt)
+        val sumsq = samples.map(v => v.toLong * v).sum
+        val expect = (samples.size, samples.map(_.toLong).sum, sumsq,
+          samples.max, math.sqrt(sumsq.toDouble / samples.size))
+        assert(got((id, w)) == expect, s"window ($id,$w)")
+      }
+      // full coverage: no extra windows beyond the frame count
+      assert(!got.contains((id, (nFrames + win - 1) / win)))
+    }
+    // seam: the stub produces its length-arithmetic windows instead
+    val stub = Multimodal.audioWindows(media, win, Multimodal.MediaCodecStub)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    assert(stub.keys.map(_._1).forall(_ % 3 == 1))
+    assert(stub != got.view.mapValues(_._2).toMap,
+      "real decode must not equal the stub formulas")
+  }
+
   test("video features sum DECODED per-frame pixels over the flattened sequence") {
     val f = Multimodal.extractFeatures(media, dim = 16)
       .collect().map(x => x.media_id -> x.feature.toSeq).toMap

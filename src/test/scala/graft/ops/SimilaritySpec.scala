@@ -781,4 +781,27 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getAs[Int]("cluster")))
     assert(s1.toSet == s2.toSet)
   }
+
+  test("hardNegatives: same-label twin excluded, best different-label mined first") {
+    import spark.implicits._
+    // query 0 (label 0): its NEAREST vector is the same-label twin 1 —
+    // which must never surface as a negative; the best different-label
+    // vector is 2, then 3; 4 is the far different-label distractor
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.01f), 0),  // same-label near-twin: excluded
+      (2L, Array(0.95f, 0.2f), 1),  // hard negative
+      (3L, Array(0.5f, 0.8f), 1),
+      (4L, Array(-1.0f, 0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(
+      d.filter(col("vec_id") === 0L), d, k = 3, nCells = 8, nProbe = 8)
+      .collect().sortBy(_.getAs[Int]("rnk"))
+      .map(r => r.getAs[Long]("n_id"))
+    assert(!got.contains(1L), "same-label twin must not be mined")
+    assert(got.toSeq == Seq(2L, 3L, 4L),
+      s"negatives must rank by similarity, got ${got.toSeq}")
+    // all cells probed (nProbe = nCells) → exhaustive over different labels
+    assert(got.length == 3)
+  }
 }

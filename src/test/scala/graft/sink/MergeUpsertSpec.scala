@@ -100,6 +100,39 @@ class MergeUpsertSpec extends SparkSpec {
     assert(!got.select("grp").distinct().as[String].collect().contains("E"))
   }
 
+  test("snapshotDiff → CDC batch → merge converges the stored old snapshot to new") {
+    val docs = graft.Tables(spark, sf0001, "documents")
+      .select("doc_id", "text", "lang")
+    val oldSnap = docs.filter(col("doc_id") % 19 =!= 0)
+    val newSnap = docs.filter(col("doc_id") % 23 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+    val out = Files.createTempDirectory("graft_diff_merge")
+    val dcfg = SinkConfig(ParquetFormat, Seq("lang"), runtimeNullCheck = true)
+    PartitionedSink.write(oldSnap, out.toString, dcfg)
+
+    // the incremental pipeline: diff the snapshots, turn the diff into a
+    // CDC batch (added/changed → upsert with the new payload, removed →
+    // delete-by-key), merge — the stored table must BE the new snapshot
+    val diff = graft.ops.Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+    val upserts = diff.filter(col("status").isin("added", "changed"))
+      .join(newSnap, Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("lang"))
+      .withColumn("__del", lit(false))
+    val deletes = diff.filter(col("status") === "removed")
+      .select(col("doc_id"), lit("").as("text"), lit("zz").as("lang"),
+        lit(true).as("__del"))
+    PartitionedSink.mergeUpsert(spark, out.toString,
+      upserts.unionByName(deletes), Seq("doc_id"), dcfg, Some("__del"))
+
+    val got = PartitionedSink.readBack(spark, out.toString)
+      .select("doc_id", "text", "lang")
+    assert(got.count() == newSnap.count())
+    assert(got.exceptAll(newSnap).isEmpty && newSnap.exceptAll(got).isEmpty,
+      "merged table must equal the new snapshot row-for-row")
+  }
+
   test("merge: duplicate keys in one batch are rejected") {
     val out = Files.createTempDirectory("graft_merge_dup")
     PartitionedSink.write(base(), out.toString, cfg)
