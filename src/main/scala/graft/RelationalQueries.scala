@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Relational, TextAnalysis}
+import graft.ops.{Dedup, EntityResolution, Relational, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -306,6 +306,37 @@ object RelationalQueries {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
           (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"))),
+
+    // ------------------------------------------------- entity resolution
+    // Cross-source record linkage: per probe customer, the best
+    // Jaro-Winkler supplier-name match inside its nation BLOCK. Candidate
+    // generation is the block equi-join (the ER analogue of LSH banding —
+    // never all-pairs), ranking is the bounded top-k heap; the native
+    // codegen'd jaro_winkler expression matches DuckDB's semantics
+    // exactly, so the full pipeline hash-checks against the SQL oracle.
+    "er_link_suppliers" -> ((s, dir) =>
+      EntityResolution.fuzzyLink(
+        Tables(s, dir, "customer").filter(col("c_custkey") < 100)
+          .select(col("c_custkey").as("p_id"), col("c_name").as("p_name"),
+            col("c_nationkey").as("block")),
+        Tables(s, dir, "supplier")
+          .select(col("s_suppkey").as("c_id"), col("s_name").as("c_name"),
+            col("s_nationkey").as("block")),
+        k = 1)),
+
+    // In-table fuzzy dedup: top-3 closest same-nation customer names per
+    // probe (self excluded) — the name-survivorship candidate list an ER
+    // merge step consumes.
+    "er_dedup_names" -> ((s, dir) => {
+      val custs = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("p_id"), col("c_name").as("p_name"),
+          col("c_nationkey").as("block"))
+      EntityResolution.fuzzyLink(
+        custs.filter(col("p_id") < 100),
+        custs.select(col("p_id").as("c_id"), col("p_name").as("c_name"),
+          col("block")),
+        k = 3, excludeSelf = true)
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -518,5 +549,42 @@ object RelationalQueries {
         |  cast(sum(cast(round(l_quantity * 100, 0) as bigint)) / 100.0 as double) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // DuckDB's jaro_winkler_similarity IS the reference for the native
+    // expression (semantics pinned empirically — StringSimilarity.scala);
+    // sim rounded to 6 dp BEFORE ranking on both sides, ties by c_id.
+    "er_link_suppliers" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS p_id, c_name AS p_name, c_nationkey AS blk
+        |  FROM customer WHERE c_custkey < 100),
+        |c AS (
+        |  SELECT s_suppkey AS c_id, s_name AS c_name, s_nationkey AS blk
+        |  FROM supplier),
+        |s AS (
+        |  SELECT p_id, c_id,
+        |    round(jaro_winkler_similarity(p_name, c_name), 6) AS jw_r
+        |  FROM p JOIN c ON p.blk = c.blk),
+        |r AS (
+        |  SELECT p_id, c_id, jw_r,
+        |    row_number() OVER (PARTITION BY p_id
+        |                       ORDER BY jw_r DESC, c_id ASC) AS rnk
+        |  FROM s)
+        |SELECT p_id, c_id, jw_r, rnk FROM r WHERE rnk <= 1""".stripMargin,
+
+    "er_dedup_names" ->
+      """WITH cu AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS blk
+        |  FROM customer),
+        |s AS (
+        |  SELECT a.id AS p_id, b.id AS c_id,
+        |    round(jaro_winkler_similarity(a.name, b.name), 6) AS jw_r
+        |  FROM cu a JOIN cu b ON a.blk = b.blk AND a.id != b.id
+        |  WHERE a.id < 100),
+        |r AS (
+        |  SELECT p_id, c_id, jw_r,
+        |    row_number() OVER (PARTITION BY p_id
+        |                       ORDER BY jw_r DESC, c_id ASC) AS rnk
+        |  FROM s)
+        |SELECT p_id, c_id, jw_r, rnk FROM r WHERE rnk <= 3""".stripMargin,
   )
 }

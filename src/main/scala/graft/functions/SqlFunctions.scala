@@ -31,6 +31,7 @@ object SqlFunctions {
     "compression_ratio" -> (e => CompressionRatio(e.head, intArg(e, 1, 6))),
     "char_entropy" -> (e => CharEntropy(e.head)),
     "math_ln" -> (e => MathLn(e.head)),
+    "jaro_winkler" -> (e => JaroWinkler(e(0), e(1))),
     // composition of built-in bit ops — registered so SQL users can
     // sort/cluster by the same layout key the sink writes
     "zorder2" -> (e => ZOrder.zorder2Expr(e(0), e(1))),

@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.StringKernels
+import org.apache.spark.sql.functions._
+
+class EntityResolutionSpec extends SparkSpec {
+
+  // ------------------------------------------------------ kernel semantics
+
+  test("jaroWinkler kernel matches the textbook/DuckDB reference values") {
+    val cases = Seq(
+      // (a, b, expected) — classic record-linkage literature pairs, values
+      // verified against DuckDB's jaro_winkler_similarity
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("CRATE", "TRACE", 0.7333333333333334), // no common prefix → no bonus
+      ("abc", "abc", 1.0),
+      ("a", "a", 1.0))
+    for ((a, b, exp) <- cases) {
+      assert(math.abs(StringKernels.jaroWinkler(a, b) - exp) < 1e-12,
+        s"$a/$b")
+      // symmetry
+      assert(StringKernels.jaroWinkler(a, b) == StringKernels.jaroWinkler(b, a))
+    }
+  }
+
+  test("jaroWinkler edge semantics: empties, boost threshold, prefix cap") {
+    // DuckDB returns 0.0 when EITHER side is empty — including both
+    assert(StringKernels.jaroWinkler("", "") == 0.0)
+    assert(StringKernels.jaroWinkler("", "abc") == 0.0)
+    assert(StringKernels.jaroWinkler("abc", "") == 0.0)
+    // jaro = 0.6 ≤ 0.7 → Winkler prefix bonus suppressed despite the
+    // 4-char common prefix (DuckDB-verified value)
+    assert(math.abs(StringKernels.jaroWinkler("abcdxxxxxx", "abcdyyyyyy") - 0.6) < 1e-12)
+    // prefix bonus caps at 4 even with a longer common prefix:
+    // jw = jaro + min(l,4)·0.1·(1−jaro)
+    val j = StringKernels.jaroWinkler("abcdefgh", "abcdefxy")
+    val jaro = (6.0 / 8 + 6.0 / 8 + 1.0) / 3
+    assert(math.abs(j - (jaro + 4 * 0.1 * (1 - jaro))) < 1e-12)
+    // no matches at all → 0.0
+    assert(StringKernels.jaroWinkler("aaaa", "bbbb") == 0.0)
+  }
+
+  test("jaroWinkler transposition count uses integer division (DuckDB parity)") {
+    // even-mismatch case: abcdef/badcfe — all 6 match within window 2,
+    // 6 mismatched positions → t = 3
+    val v = StringKernels.jaroWinkler("abcdef", "badcfe")
+    val jaro = (1.0 + 1.0 + (6.0 - 3) / 6) / 3
+    assert(math.abs(v - jaro) < 1e-12)
+    // ODD-mismatch pair (from the 8000-pair DuckDB Monte Carlo pin):
+    // floor-division gives DuckDB's 0.611111…; float division would give
+    // 0.583333… — this is the case that separates the two variants
+    assert(math.abs(
+      StringKernels.jaroWinkler("c1#1cbb0c", "#c10ab###11b")
+        - 0.611111111111111) < 1e-12)
+  }
+
+  test("jaro_winkler expression: codegen path equals kernel, null-safe, SQL-registered") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "MARTHA", "MARHTA"),
+      (2L, "DIXON", "DICKSONX"),
+      (3L, null.asInstanceOf[String], "x"))).toDF("id", "a", "b")
+    graft.functions.hashes.registerSql(spark)
+    val rows = df.select(col("id"),
+      EntityResolution.jaroWinkler(col("a"), col("b")).as("jw"),
+      expr("jaro_winkler(a, b)").as("jw_sql"))
+      .orderBy("id").collect()
+    assert(math.abs(rows(0).getDouble(1) - 0.9611111111111111) < 1e-12)
+    assert(rows(0).getDouble(1) == rows(0).getDouble(2))
+    assert(math.abs(rows(1).getDouble(1) - 0.8133333333333332) < 1e-12)
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
+
+  // ---------------------------------------------------------- fuzzy linkage
+
+  test("fuzzyLink: block-bounded candidates, heap ranking equals window ranking") {
+    import spark.implicits._
+    val probes = Seq(
+      (1L, "Customer#000000001", 0),
+      (2L, "Customer#000000042", 1))
+      .toDF("p_id", "p_name", "block")
+    val cands = Seq(
+      (10L, "Customer#000000001", 0), // exact twin, block 0
+      (11L, "Customer#000000011", 0),
+      (12L, "Customer#000000041", 1),
+      (13L, "Customer#000000042", 1), // exact twin, block 1
+      (14L, "Customer#000000942", 1),
+      (99L, "Customer#000000001", 9)) // right name, WRONG block — unreachable
+      .toDF("c_id", "c_name", "block")
+    val out = EntityResolution.fuzzyLink(probes, cands, k = 2)
+      .orderBy("p_id", "rnk").collect()
+    // probe 1: twin first (jw=1.0), then the in-block alternative; the
+    // identical name in block 9 must NOT appear
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq ==
+      Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 13L, 1), (2L, 12L, 2)))
+    assert(out(0).getDouble(2) == 1.0)
+    assert(out(2).getDouble(2) == 1.0)
+    // rnk-2 of probe 2: 12 ("...041") beats 14 ("...942") on jw
+    assert(out(3).getLong(1) == 12L)
+  }
+
+  test("fuzzyLink excludeSelf drops the identity pair; ties break by smaller c_id") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "alpha", 0), (2L, "alpha", 0), (3L, "alpha", 0))
+      .toDF("p_id", "p_name", "block")
+    val out = EntityResolution.fuzzyLink(
+      recs, recs.select(col("p_id").as("c_id"), col("p_name").as("c_name"),
+        col("block")), k = 2, excludeSelf = true)
+      .orderBy("p_id", "rnk").collect()
+    // every pair has jw=1.0 → order purely by c_id asc, self excluded
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 2L)))
+  }
+
+  test("fuzzyPairs: canonical a<b pairs, threshold-gated, blocked") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "Supplier#0001", 0), (2L, "Supplier#0002", 0),
+      (3L, "Zebra", 0), (4L, "Supplier#0001", 1))
+      .toDF("p_id", "p_name", "block")
+    val out = EntityResolution.fuzzyPairs(recs, threshold = 0.9)
+      .orderBy("a_id", "b_id").collect()
+    // only (1,2) survives: same block, jw high; Zebra fails threshold;
+    // record 4 shares a name with 1 but sits in another block
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("er queries run against sf0.001 with bounded shapes") {
+    for (q <- Seq("er_link_suppliers", "er_dedup_names")) {
+      val df = SparkEntryAccess.query(q)(spark, sf0001)
+      val n = df.count()
+      assert(n > 0, q)
+      // one row per probe per rank — bounded by probes × k by construction
+      assert(n <= 300, q)
+    }
+  }
+}
+
+/** Small indirection so ops-package specs can reach the query map without
+  * importing the root package object explicitly. */
+object SparkEntryAccess {
+  def query(name: String): (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame =
+    graft.SparkEntry.queries(name)
+}
