@@ -36,6 +36,31 @@ object OpsQueries {
   private val pcaModelCache =
     new java.util.concurrent.ConcurrentHashMap[String, Pca.PcaModel]()
 
+  /** Fit-once accessor for the per-corpus PCA model, which ALSO
+    * side-exports the components (+offsets) and the mean — every
+    * pca-consuming oracle reads exactly the model this JVM fitted,
+    * regardless of which query runs first. */
+  private def cachedPcaModel(
+      s: SparkSession, dir: String,
+      e: org.apache.spark.sql.DataFrame): Pca.PcaModel = {
+    val model = pcaModelCache.computeIfAbsent(dir, _ => Pca.fit(e, 8))
+    sideExport("pca_model", dir) {
+      import s.implicits._
+      val offs = model.offsets
+      (for {
+        c <- model.components.indices
+        i <- 0 until model.dim
+      } yield (c, i, model.components(c)(i), offs(c)))
+        .toDF("comp", "idx", "coef", "off")
+    }
+    sideExport("pca_mean", dir) {
+      import s.implicits._
+      model.mean.toIndexedSeq.zipWithIndex.map { case (m, i) => (i, m) }
+        .toDF("idx", "mu")
+    }
+    model
+  }
+
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     Seq(ivfIndexCache, textIndexCache).foreach(_.values.forEach { p =>
       def rm(f: java.io.File): Unit = {
@@ -434,6 +459,28 @@ object OpsQueries {
     "sim_pca_covariance" -> ((s, dir) =>
       Pca.covarianceDf(s, emb(s, dir))),
 
+    // the persisted-moments MAINTENANCE loop surfaced as a query: state
+    // written from the even-id half, the odd-id half APPENDED (one pass
+    // over the batch + an O(d²) elementwise add — the historical corpus
+    // is never re-scanned), covariance re-derived from the merged
+    // statistics. The oracle is the full-corpus covariance SQL: merged
+    // moments ARE the corpus moments (sum associativity; the changed fp
+    // accumulation order sits under the same round-6 guard).
+    "sim_pca_covariance_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val st = java.nio.file.Files.createTempDirectory("graft_pca_state").toString
+      Pca.writeMomentsState(e.filter(col("vec_id") % 2 === 0), st)
+      Pca.appendMomentsState(s, st, e.filter(col("vec_id") % 2 === 1))
+      val out = Pca.covarianceDfFromState(s, st)
+      // covariance rows are driver-materialized by construction; the
+      // O(d²)-byte state dir is reclaimable immediately
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(st))
+      out
+    }),
+
     // reduce-then-rank retrieval in PCA space (the data-adaptive sibling
     // of sim_topk_jl): fit is cached per corpus (training); the projected
     // corpus ranks under exact cosine in 8 dims. The fitted components
@@ -441,18 +488,18 @@ object OpsQueries {
     // over the exact model this JVM fitted.
     "sim_topk_pca" -> ((s, dir) => {
       val e = emb(s, dir)
-      val model = pcaModelCache.computeIfAbsent(dir, _ => Pca.fit(e, 8))
-      sideExport("pca_model", dir) {
-        import s.implicits._
-        val offs = model.offsets
-        (for {
-          c <- model.components.indices
-          i <- 0 until model.dim
-        } yield (c, i, model.components(c)(i), offs(c)))
-          .toDF("comp", "idx", "coef", "off")
-      }
+      val model = cachedPcaModel(s, dir, e)
       Pca.pcaTopK(e.filter(col("vec_id") < 10), e, k = 5,
         nComponents = 8, precomputed = Some(model))
+    }),
+
+    // the PCA model's third consumer: per-vector low-rank residual — the
+    // off-manifold outlier score for embedding curation (corrupt vectors,
+    // encoder drift). Row-local after the cached fit; the side-exported
+    // model + mean let the oracle replay the identical centered-dot folds.
+    "sim_pca_recon" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Pca.reconstructionError(e, cachedPcaModel(s, dir, e))
     }),
 
     // PQ over the PERSISTED index: stored pq_code longs (4 bytes/vector)
@@ -678,6 +725,12 @@ object OpsQueries {
     "text_bigram_perplexity" -> ((s, dir) =>
       TextAnalysis.bigramSurprisal(docs(s, dir), "doc_id", "text")),
 
+    // KenLM-shaped interpolated trigram LM (½/⅜/⅛ dyadic mix of the
+    // three orders) — the smooth-backoff filter signal; final round(6)
+    // carries the ln ulp guard
+    "text_trigram_perplexity" -> ((s, dir) =>
+      TextAnalysis.trigramSurprisal(docs(s, dir), "doc_id", "text")),
+
     // Gopher-style repetition signals over word bigrams (dup fraction +
     // top-gram share — degenerate/templated-document detection)
     "text_repetition" -> ((s, dir) =>
@@ -767,6 +820,27 @@ object OpsQueries {
     * md5-parity ±1 Rademacher matrix, the per-vector projection (same
     * sequential inner product as the native dot), and the projected-space
     * IVF ranking into `ranked` (mirrors sim_topk_ivf with p for v). */
+  /** Full-corpus covariance — shared by `sim_pca_covariance` (one-pass
+    * moments aggregate) and `sim_pca_covariance_incremental` (persisted
+    * half-corpus state + batch append): both reduce to the same corpus
+    * moments, so one SQL oracles both plans. */
+  private val PcaCovSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, unnest(cast(embedding AS DOUBLE[])) AS x,
+      |         unnest(range(len(embedding))) AS i
+      |  FROM embeddings),
+      |nn AS (SELECT cast(count(*) AS DOUBLE) AS n FROM embeddings),
+      |s AS (SELECT i, sum(x) AS si FROM v GROUP BY i),
+      |p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sij
+      |      FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |      GROUP BY a.i, b.i)
+      |SELECT cast(p.i AS int) AS i, cast(p.j AS int) AS j,
+      |  round((sij - sa.si * sb.si / nn.n) / nn.n, 6) + 0.0 AS cov_r
+      |FROM p
+      |JOIN s sa ON sa.i = p.i
+      |JOIN s sb ON sb.i = p.j
+      |CROSS JOIN nn""".stripMargin
+
   private val JlRankedSql: String =
     """WITH v AS (
       |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
@@ -1540,23 +1614,10 @@ object OpsQueries {
     // the engine folds moments in one mergeable pass; the oracle pays the
     // d²-per-row explode DuckDB-side. Identical exact-shape covariance
     // expression ((Sij − si·sj/n)/n) both sides; accumulation-order noise
-    // ~1e-12 absorbed by round 6.
-    "sim_pca_covariance" ->
-      """WITH v AS (
-        |  SELECT vec_id, unnest(cast(embedding AS DOUBLE[])) AS x,
-        |         unnest(range(len(embedding))) AS i
-        |  FROM embeddings),
-        |nn AS (SELECT cast(count(*) AS DOUBLE) AS n FROM embeddings),
-        |s AS (SELECT i, sum(x) AS si FROM v GROUP BY i),
-        |p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sij
-        |      FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.i <= b.i
-        |      GROUP BY a.i, b.i)
-        |SELECT cast(p.i AS int) AS i, cast(p.j AS int) AS j,
-        |  round((sij - sa.si * sb.si / nn.n) / nn.n, 6) + 0.0 AS cov_r
-        |FROM p
-        |JOIN s sa ON sa.i = p.i
-        |JOIN s sb ON sb.i = p.j
-        |CROSS JOIN nn""".stripMargin,
+    // ~1e-12 absorbed by round 6. SHARED by the incremental-state flavor:
+    // merged half-corpus moments are the corpus moments.
+    "sim_pca_covariance" -> PcaCovSql,
+    "sim_pca_covariance_incremental" -> PcaCovSql,
 
     // replay projection + projected-space IVF ranking over the side-
     // exported model this JVM fitted (the eigensolve itself is not SQL;
@@ -1607,6 +1668,36 @@ object OpsQueries {
         |                       ORDER BY round(sim, 6) DESC, n_id ASC) AS rnk
         |  FROM sims)
         |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    // same centered-dot fold shapes as the engine: elementwise centering,
+    // sequential inner products, ord-sorted list_sum over the squared
+    // projections — round 6 + (−0.0 → +0.0) both sides
+    "sim_pca_recon" ->
+      """WITH m AS (
+        |  SELECT comp, idx, coef
+        |  FROM read_parquet('__SIDEROOT__/pca_model/__SFBASE__/*.parquet')),
+        |mu AS (
+        |  SELECT idx, mu
+        |  FROM read_parquet('__SIDEROOT__/pca_mean/__SFBASE__/*.parquet')),
+        |v AS (
+        |  SELECT vec_id, unnest(cast(embedding AS DOUBLE[])) AS x,
+        |         unnest(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |cv AS (
+        |  SELECT vec_id, list(x - mu.mu ORDER BY i) AS c
+        |  FROM v JOIN mu ON v.i = mu.idx GROUP BY vec_id),
+        |mc AS (SELECT comp, list(coef ORDER BY idx) AS ec FROM m GROUP BY comp),
+        |pj AS (
+        |  SELECT cv.vec_id, mc.comp,
+        |    list_inner_product(cv.c, mc.ec) AS pv
+        |  FROM cv CROSS JOIN mc),
+        |ps AS (
+        |  SELECT vec_id, list_sum(list(pv * pv ORDER BY comp)) AS p2
+        |  FROM pj GROUP BY vec_id)
+        |SELECT cv.vec_id,
+        |  round(list_inner_product(cv.c, cv.c) - ps.p2, 6) + 0.0 AS err_r
+        |FROM cv JOIN ps ON cv.vec_id = ps.vec_id""".stripMargin,
+
     "sim_topk_ivf_pq_rerank" -> IvfPqRerankSql,
     "sim_topk_ivf_pq_indexed" -> IvfPqSql,
 
@@ -2382,6 +2473,54 @@ object OpsQueries {
         |SELECT doc_id,
         |  cast(count(*) as bigint) AS n_pairs,
         |  -(list_sum(list(lp ORDER BY ord)) / count(*)) AS cross_entropy
+        |FROM term GROUP BY doc_id""".stripMargin,
+
+    // interpolated trigram: identical fixed-shape arithmetic into ln on
+    // both sides (dyadic λ, greatest-guarded denominators, exact-int
+    // counts), ord-sorted list_sum fold, final round(6) = the ln ulp guard
+    "text_trigram_perplexity" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), tok AS (
+        |  SELECT toks[i] AS token
+        |  FROM w, unnest(range(1, len(toks) + 1)) AS u(i)
+        |  WHERE toks[i] != ''
+        |), tot AS (SELECT cast(count(*) AS DOUBLE) AS t FROM tok),
+        |ucnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        |uvocab AS (SELECT token, n FROM ucnt ORDER BY n DESC, token ASC LIMIT 1000),
+        |prb AS (
+        |  SELECT toks[i] AS w1, toks[i+1] AS w2
+        |  FROM w, unnest(range(1, len(toks))) AS u(i)
+        |  WHERE toks[i] != '' AND toks[i+1] != ''
+        |), bcnt AS (SELECT w1 || ' ' || w2 AS pair, count(*) AS n FROM prb GROUP BY 1),
+        |bvocab AS (SELECT pair, n FROM bcnt ORDER BY n DESC, pair ASC LIMIT 4000),
+        |prt AS (
+        |  SELECT doc_id, i AS ord, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+        |  FROM w, unnest(range(1, len(toks) - 1)) AS u(i)
+        |  WHERE toks[i] != '' AND toks[i+1] != '' AND toks[i+2] != ''
+        |), tcnt AS (
+        |  SELECT w1 || ' ' || w2 || ' ' || w3 AS tripl, count(*) AS n
+        |  FROM prt GROUP BY 1
+        |), tvocab AS (SELECT tripl, n FROM tcnt ORDER BY n DESC, tripl ASC LIMIT 8000),
+        |term AS (
+        |  SELECT prt.doc_id, prt.ord,
+        |    ln(0.5 * (cast(coalesce(tv.n, 0) AS DOUBLE)
+        |         / cast(greatest(coalesce(bv12.n, 0), coalesce(tv.n, 0), 1) AS DOUBLE))
+        |     + 0.375 * (cast(coalesce(bv23.n, 0) AS DOUBLE)
+        |         / cast(greatest(coalesce(uv2.n, 0), coalesce(bv23.n, 0), 1) AS DOUBLE))
+        |     + 0.125 * (cast(greatest(coalesce(uv3.n, 1), 1) AS DOUBLE) / tot.t)) AS lp
+        |  FROM prt
+        |  LEFT JOIN tvocab tv ON tv.tripl = prt.w1 || ' ' || prt.w2 || ' ' || prt.w3
+        |  LEFT JOIN bvocab bv12 ON bv12.pair = prt.w1 || ' ' || prt.w2
+        |  LEFT JOIN bvocab bv23 ON bv23.pair = prt.w2 || ' ' || prt.w3
+        |  LEFT JOIN uvocab uv2 ON uv2.token = prt.w2
+        |  LEFT JOIN uvocab uv3 ON uv3.token = prt.w3
+        |  CROSS JOIN tot)
+        |SELECT doc_id,
+        |  cast(count(*) AS bigint) AS n_triples,
+        |  round(-(list_sum(list(lp ORDER BY ord)) / count(*)), 6) AS cross_entropy_r
         |FROM term GROUP BY doc_id""".stripMargin,
 
     // ratios are single divisions of exact integer counts; top-gram pick is

@@ -324,6 +324,34 @@ object RelationalQueries {
             col("s_nationkey").as("block")),
         k = 1)),
 
+    // Edit-distance candidate generation: in-block pairs within
+    // Levenshtein distance 2, via the threshold-bounded kernel (banded
+    // DP with early abandon — the bound keeps per-pair cost flat at
+    // scale). Exact integers: no rounding anywhere in the oracle compare.
+    "er_edit_candidates" -> ((s, dir) => {
+      val custs = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("p_id"), col("c_name").as("p_name"),
+          col("c_nationkey").as("block"))
+      EntityResolution.editCandidates(
+        custs.filter(col("p_id") < 100),
+        custs.select(col("p_id").as("c_id"), col("p_name").as("c_name"),
+          col("block")),
+        maxDist = 2, excludeSelf = true)
+    }),
+
+    // BLOCKING-FREE edit join (Pass-Join pigeonhole segments): no nation
+    // key anywhere — candidates come from the segment-signature equi-join,
+    // exact threshold-levenshtein verify makes the result identical to
+    // the all-pairs join, which is exactly what the oracle runs.
+    "er_edit_join" -> ((s, dir) => {
+      val custs = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("p_id"), col("c_name").as("p_name"))
+      EntityResolution.editJoin(
+        custs.filter(col("p_id") < 100),
+        custs.select(col("p_id").as("c_id"), col("p_name").as("c_name")),
+        maxDist = 2, excludeSelf = true)
+    }),
+
     // In-table fuzzy dedup: top-3 closest same-nation customer names per
     // probe (self excluded) — the name-survivorship candidate list an ER
     // merge step consumes.
@@ -586,5 +614,23 @@ object RelationalQueries {
         |                       ORDER BY jw_r DESC, c_id ASC) AS rnk
         |  FROM s)
         |SELECT p_id, c_id, jw_r, rnk FROM r WHERE rnk <= 3""".stripMargin,
+
+    "er_edit_candidates" ->
+      """WITH cu AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS blk
+        |  FROM customer)
+        |SELECT a.id AS p_id, b.id AS c_id,
+        |  cast(levenshtein(a.name, b.name) AS int) AS dist
+        |FROM cu a JOIN cu b ON a.blk = b.blk AND a.id != b.id
+        |WHERE a.id < 100 AND levenshtein(a.name, b.name) <= 2""".stripMargin,
+
+    // lossless filter + exact verify ⇒ the brute-force all-pairs SQL is
+    // the oracle for the segment-signature plan
+    "er_edit_join" ->
+      """WITH cu AS (SELECT c_custkey AS id, c_name AS name FROM customer)
+        |SELECT a.id AS p_id, b.id AS c_id,
+        |  cast(levenshtein(a.name, b.name) AS int) AS dist
+        |FROM cu a JOIN cu b ON a.id != b.id
+        |WHERE a.id < 100 AND levenshtein(a.name, b.name) <= 2""".stripMargin,
   )
 }

@@ -63,6 +63,116 @@ object EntityResolution {
   }
 
   /**
+   * Edit-distance candidate pairs: in-block pairs within Levenshtein
+   * distance `maxDist`, using Spark's THRESHOLD-bounded `levenshtein`
+   * (the banded O(len·maxDist) DP that abandons a pair the moment the
+   * distance provably exceeds the bound — not the full O(len²) table;
+   * at 100 TB the bound, like the block, is what keeps per-pair cost
+   * flat). Emits (p_id, c_id, dist) with exact integer distances —
+   * no float rounding anywhere.
+   */
+  def editCandidates(
+      probes: DataFrame, candidates: DataFrame, maxDist: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val joined = probes.join(candidates, "block")
+    val pairs = if (excludeSelf) joined.filter(col("p_id") =!= col("c_id"))
+                else joined
+    pairs
+      .select(col("p_id"), col("c_id"),
+        levenshtein(col("p_name"), col("c_name"), maxDist).as("dist"))
+      .filter(col("dist") >= 0) // threshold overflow sentinel is -1
+  }
+
+  /**
+   * BLOCKING-FREE edit-distance join via pigeonhole segment signatures
+   * (the Pass-Join scheme — Li/Deng/Feng, VLDB 2011): each probe string
+   * splits into `maxDist + 1` contiguous even-width segments; if
+   * `dist(s, t) ≤ maxDist`, at least one segment survives all edits
+   * untouched (pigeonhole) and appears VERBATIM in `t` starting within
+   * ±maxDist of its probe position (the alignment-shift bound). So:
+   *
+   *  1. probes explode into their τ+1 (seg, start, substring) signatures;
+   *  2. candidates explode into every substring that could BE such a
+   *     signature — for each probe length in `c_len ± τ`, each segment
+   *     spec of that length, each start in the ±τ window (a generated
+   *     inverted signature index);
+   *  3. an EQUI-join on (probe_len, seg, start-window substring) yields
+   *     candidates — never an all-pairs comparison;
+   *  4. survivors verify EXACTLY with the threshold-bounded levenshtein.
+   *
+   * Filter is lossless and verify is exact, so the result is identical
+   * to the brute-force join — which is what lets DuckDB's all-pairs SQL
+   * oracle the whole pipeline. Candidate volume is Σ signature-bucket
+   * products: on natural key distributions segments are selective; a
+   * corpus-wide shared literal prefix (synthetic `Customer#…` keys)
+   * makes ITS segments stop-keys — the PPJoin stop-gram caveat — in
+   * which case compose with a blocking key ([[fuzzyLink]]'s shape) or
+   * strip the shared template first. Strings shorter than `maxDist + 1`
+   * cannot be segmented and are EXCLUDED from both sides (documented
+   * contract; route degenerate short keys through [[editCandidates]]).
+   */
+  def editJoin(
+      probes: DataFrame, candidates: DataFrame, maxDist: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val n = maxDist + 1
+    val segs = probes
+      .filter(length(col("p_name")) >= n)
+      .withColumn("p_len", length(col("p_name")))
+      .select(col("p_id"), col("p_name"), col("p_len"),
+        explode(sequence(lit(0), lit(n - 1))).as("seg"))
+      .withColumn("st", floor(col("seg") * col("p_len") / n).cast("int"))
+      .withColumn("sl",
+        (floor((col("seg") + 1) * col("p_len") / n)
+          - floor(col("seg") * col("p_len") / n)).cast("int"))
+      .withColumn("sig", expr("substring(p_name, st + 1, sl)"))
+      .select(col("p_id"), col("p_name"), col("p_len"), col("seg"),
+        col("st"), col("sig"))
+    val subs = candidates
+      .filter(length(col("c_name")) >= n - maxDist)
+      .withColumn("c_len", length(col("c_name")))
+      .select(col("c_id"), col("c_name"), col("c_len"),
+        explode(sequence(greatest(col("c_len") - maxDist, lit(n)),
+          col("c_len") + maxDist)).as("p_len"))
+      .select(col("c_id"), col("c_name"), col("c_len"), col("p_len"),
+        explode(sequence(lit(0), lit(n - 1))).as("seg"))
+      .withColumn("st", floor(col("seg") * col("p_len") / n).cast("int"))
+      .withColumn("sl",
+        (floor((col("seg") + 1) * col("p_len") / n)
+          - floor(col("seg") * col("p_len") / n)).cast("int"))
+      // start window ±τ, clamped to the candidate; empty-when-invalid
+      // (explode of the empty array drops the row — sequence() would
+      // otherwise count DOWN when lo > hi)
+      .withColumn("pos", explode(
+        when(greatest(col("st") - maxDist, lit(0)) <=
+             least(col("c_len") - col("sl"), col("st") + maxDist),
+          sequence(greatest(col("st") - maxDist, lit(0)),
+            least(col("c_len") - col("sl"), col("st") + maxDist)))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("sig", expr("substring(c_name, pos + 1, sl)"))
+      // ids only through the hot join, and DISTINCT before it: different
+      // windows of one candidate often yield the same substring (digit
+      // runs), and a corpus-shared prefix makes some signatures hot —
+      // both multiply join fan-out for rows that dedupe to the same pair
+      .select(col("c_id"), col("p_len"), col("seg"), col("st"), col("sig"))
+      .distinct()
+    val joined = segs.select(col("p_id"), col("p_len"), col("seg"),
+        col("st"), col("sig"))
+      .join(subs, Seq("p_len", "seg", "st", "sig"))
+    val pairIds = (if (excludeSelf) joined.filter(col("p_id") =!= col("c_id"))
+                   else joined)
+      .select(col("p_id"), col("c_id"))
+      .distinct()
+    // names re-attach to the DEDUPED pair list only (the probe side is
+    // broadcast-sized by construction; the candidate join is keyed)
+    pairIds
+      .join(probes.select(col("p_id"), col("p_name")), Seq("p_id"))
+      .join(candidates.select(col("c_id"), col("c_name")), Seq("c_id"))
+      .select(col("p_id"), col("c_id"),
+        levenshtein(col("p_name"), col("c_name"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
+  /**
    * Symmetric fuzzy-duplicate pairs inside one table: every in-block pair
    * (a < b by id) whose Jaro–Winkler similarity meets `threshold`.
    * Emits (a_id, b_id, jw_r). The `a < b` predicate halves the join

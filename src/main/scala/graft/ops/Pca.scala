@@ -153,17 +153,13 @@ object Pca {
     (values, vectors)
   }
 
-  /** Fit top-`nComponents` principal components of `vecCol`. */
-  def fit(
-      df: DataFrame, nComponents: Int,
-      vecCol: String = "embedding", inDim: Int = 0): PcaModel = {
-    val d = if (inDim > 0) inDim
-            else df.select(size(col(vecCol))).head(1).headOption
-              .map(_.getInt(0))
-              .getOrElse(throw new IllegalArgumentException("pca: empty input"))
+  /** Eigensolve + ordering + sign canonicalization from packed moments —
+    * the shared driver tail of [[fit]] and [[fitFromState]]. */
+  def modelFromMoments(
+      d: Int, nComponents: Int,
+      n: Double, sums: Array[Double], scatter: Array[Double]): PcaModel = {
     require(nComponents > 0 && nComponents <= d,
       s"pca: nComponents $nComponents out of range for dim $d")
-    val (n, sums, scatter) = momentsOf(df, vecCol, d)
     val cov = covarianceMatrix(n, sums, scatter)
     val (values, vectors) = jacobiEigen(cov)
     // order by eigenvalue desc (ties by original index for determinism),
@@ -181,6 +177,88 @@ object Pca {
       if (e(best) < 0) e.map(x => -x) else e.clone()
     }.toArray
     PcaModel(d, sums.map(_ / n), order.map(values).toArray, comps)
+  }
+
+  /** Fit top-`nComponents` principal components of `vecCol`. */
+  def fit(
+      df: DataFrame, nComponents: Int,
+      vecCol: String = "embedding", inDim: Int = 0): PcaModel = {
+    val d = if (inDim > 0) inDim
+            else df.select(size(col(vecCol))).head(1).headOption
+              .map(_.getInt(0))
+              .getOrElse(throw new IllegalArgumentException("pca: empty input"))
+    val (n, sums, scatter) = momentsOf(df, vecCol, d)
+    modelFromMoments(d, nComponents, n, sums, scatter)
+  }
+
+  // --------------------------------------------------- persisted moments
+
+  /**
+   * The moment buffer IS the model's sufficient statistic, and it is
+   * MERGEABLE — so it persists as state the way the IVF/text indexes do:
+   * one tiny parquet row `(dim, buffer)`. Refreshing the model after new
+   * data arrives folds ONLY the new batch (one linear pass over the
+   * batch) and adds two O(d²) vectors; the historical corpus is never
+   * re-scanned. `fitFromState` re-runs the (driver-microseconds)
+   * eigensolve over the merged statistics. Single-writer semantics like
+   * the index append path; the state file is O(d²) bytes, so the write
+   * is metadata-sized at any corpus scale.
+   */
+  def writeMomentsState(
+      df: DataFrame, path: String,
+      vecCol: String = "embedding", inDim: Int = 0): Unit = {
+    val d = if (inDim > 0) inDim
+            else df.select(size(col(vecCol))).head(1).headOption
+              .map(_.getInt(0))
+              .getOrElse(throw new IllegalArgumentException("pca: empty input"))
+    val buf = df.select(
+      moments.vector_moments(toDouble(col(vecCol)), d).as("m"))
+      .head().getSeq[Double](0).toArray
+    writeState(df.sparkSession, path, d, buf)
+  }
+
+  private def writeState(
+      spark: SparkSession, path: String, d: Int, buf: Array[Double]): Unit = {
+    import spark.implicits._
+    Seq((d, buf.toSeq)).toDF("dim", "buf")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readMomentsState(spark: SparkSession, path: String): (Int, Array[Double]) = {
+    val row = spark.read.parquet(path).head()
+    (row.getInt(0), row.getSeq[Double](1).toArray)
+  }
+
+  /** Fold `batch` into the persisted state: one pass over the BATCH plus
+    * an elementwise O(d²) add — never a corpus re-scan. */
+  def appendMomentsState(
+      spark: SparkSession, path: String, batch: DataFrame,
+      vecCol: String = "embedding"): Unit = {
+    val (d, state) = readMomentsState(spark, path)
+    val delta = batch.select(
+      moments.vector_moments(toDouble(col(vecCol)), d).as("m"))
+      .head().getSeq[Double](0).toArray
+    var i = 0
+    while (i < state.length) { state(i) += delta(i); i += 1 }
+    writeState(spark, path, d, state)
+  }
+
+  private def unpack(d: Int, buf: Array[Double]): (Double, Array[Double], Array[Double]) =
+    (buf(0), buf.slice(1, 1 + d), buf.drop(1 + d))
+
+  def fitFromState(spark: SparkSession, path: String, nComponents: Int): PcaModel = {
+    val (d, buf) = readMomentsState(spark, path)
+    val (n, sums, scatter) = unpack(d, buf)
+    require(n > 0, "pca: empty state")
+    modelFromMoments(d, nComponents, n, sums, scatter)
+  }
+
+  /** Covariance rows from persisted state — same emit as [[covarianceDf]]. */
+  def covarianceDfFromState(spark: SparkSession, path: String): DataFrame = {
+    val (d, buf) = readMomentsState(spark, path)
+    val (n, sums, scatter) = unpack(d, buf)
+    require(n > 0, "pca: empty state")
+    covRows(spark, covarianceMatrix(n, sums, scatter), d)
   }
 
   /** Centered projection of `vecCol` onto the model's components:
@@ -217,6 +295,37 @@ object Pca {
       idCol = idCol, vecCol = "proj")
   }
 
+  /**
+   * Low-rank reconstruction error per vector — the classic embedding
+   * outlier/novelty score: `‖x−μ‖² − Σ_c ⟨x−μ, e_c⟩²` (components are
+   * orthonormal, so the residual norm needs no explicit reconstruction).
+   * A vector the principal subspace explains well scores ≈ 0; a vector
+   * pointing off-manifold scores high — the filter signal for corrupted
+   * or out-of-distribution embeddings. Row-local after the (cached) fit:
+   * one centered dot per component plus one self-dot, zero shuffle.
+   *
+   * Fold shapes are fixed for the oracle: centering is an elementwise
+   * zip, every dot is the sequential kernel, and the Σ over components
+   * is a left-associated reduce — DuckDB replays the same op sequence
+   * (list_inner_product + ord-sorted list_sum), so `round(err, 6)` is
+   * hash-stable; `+ 0.0` collapses a −0.0 from tiny negative residuals.
+   */
+  def reconstructionError(
+      df: DataFrame, model: PcaModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val meanLit = typedlit(model.mean.toSeq)
+    val centered = zip_with(toDouble(col(vecCol)), meanLit, (a, b) => a - b)
+    val projSq = model.components.toIndexedSeq
+      .map { e =>
+        val p = dot(col("__c"), typedlit(e.toSeq))
+        p * p
+      }
+      .reduce(_ + _)
+    df.withColumn("__c", centered)
+      .select(col(idCol),
+        (round(dot(col("__c"), col("__c")) - projSq, 6) + lit(0.0)).as("err_r"))
+  }
+
   /** Upper-triangle covariance as rows (i, j, cov_r) — the
     * moments-aggregate output surfaced as a first-class query (i ≤ j,
     * 0-based, rounded to 6 dp AFTER the exact-shape covariance
@@ -224,13 +333,17 @@ object Pca {
   def covarianceDf(
       spark: SparkSession, df: DataFrame, vecCol: String = "embedding",
       inDim: Int = 0): DataFrame = {
-    import spark.implicits._
     val d = if (inDim > 0) inDim
             else df.select(size(col(vecCol))).head(1).headOption
               .map(_.getInt(0))
               .getOrElse(throw new IllegalArgumentException("pca: empty input"))
     val (n, sums, scatter) = momentsOf(df, vecCol, d)
-    val cov = covarianceMatrix(n, sums, scatter)
+    covRows(spark, covarianceMatrix(n, sums, scatter), d)
+  }
+
+  private def covRows(
+      spark: SparkSession, cov: Array[Array[Double]], d: Int): DataFrame = {
+    import spark.implicits._
     val rows = for { i <- 0 until d; j <- i until d } yield (i, j, cov(i)(j))
     // + 0.0 collapses IEEE −0.0 to +0.0 (a covariance that rounds to zero
     // from below would otherwise hash-differ from the oracle's +0.0)

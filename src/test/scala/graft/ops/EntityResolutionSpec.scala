@@ -128,6 +128,77 @@ class EntityResolutionSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("editCandidates: exact distances, threshold gate, block confinement") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "abcd", 0), (2L, "abce", 0), // dist 1
+      (3L, "azce", 0),                  // dist(1,3)=2, dist(2,3)=1
+      (4L, "zzzzzz", 0),                // far from everything
+      (5L, "abcd", 1))                  // twin of 1, WRONG block
+      .toDF("p_id", "p_name", "block")
+    val out = EntityResolution.editCandidates(
+      recs, recs.select(col("p_id").as("c_id"), col("p_name").as("c_name"),
+        col("block")), maxDist = 2, excludeSelf = true)
+      .orderBy("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1), (1L, 3L, 2), (2L, 1L, 1), (2L, 3L, 1),
+      (3L, 1L, 2), (3L, 2L, 1)))
+  }
+
+  test("editJoin equals brute force on random strings (lossless filter + exact verify)") {
+    import spark.implicits._
+    val rng = new java.util.Random(17)
+    val alpha = "abcd"
+    val names = Seq.tabulate(250)(i =>
+      (i.toLong, Seq.fill(4 + rng.nextInt(9))(alpha(rng.nextInt(alpha.length))).mkString))
+    val probes = names.take(40).toDF("p_id", "p_name")
+    val cands = names.toDF("c_id", "c_name")
+    for (tau <- Seq(1, 2)) {
+      val got = EntityResolution.editJoin(probes, cands, tau, excludeSelf = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // driver-side brute force over the same contract (strings ≥ tau+1)
+      val want = (for {
+        (pid, pn) <- names.take(40) if pn.length >= tau + 1
+        (cid, cn) <- names if cid != pid && cn.length >= tau + 1
+        d = levenshteinRef(pn, cn) if d <= tau
+      } yield (pid, cid, d)).toSet
+      assert(got == want, s"tau=$tau: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      assert(want.nonEmpty, s"tau=$tau fixture degenerate")
+    }
+  }
+
+  test("editJoin: planted distances, short-string contract, self-exclusion") {
+    import spark.implicits._
+    val probes = Seq((1L, "abcdef"), (2L, "ab")).toDF("p_id", "p_name")
+    val cands = Seq(
+      (1L, "abcdef"),   // self — excluded
+      (10L, "abcdef"),  // dist 0
+      (11L, "abcdxf"),  // dist 1 (substitution)
+      (12L, "abcdefgh"),// dist 2 (two inserts)
+      (13L, "abcdefghi"), // dist 3 — out
+      (20L, "ab"))      // short probe 2's twin — probe excluded by contract
+      .toDF("c_id", "c_name")
+    val out = EntityResolution.editJoin(probes, cands, maxDist = 2,
+      excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 10L, 0), (1L, 11L, 1), (1L, 12L, 2)))
+  }
+
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = d(0); d(0) = j
+      for (i <- 1 to a.length) {
+        val t = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = t
+      }
+    }
+    d(a.length)
+  }
+
   test("er queries run against sf0.001 with bounded shapes") {
     for (q <- Seq("er_link_suppliers", "er_dedup_names")) {
       val df = SparkEntryAccess.query(q)(spark, sf0001)

@@ -116,6 +116,80 @@ class PcaSpec extends SparkSpec {
       top(0).getDouble(2) == 1.0)
   }
 
+  test("reconstructionError matches the naive local score and shrinks with rank") {
+    import spark.implicits._
+    val rng = new java.util.Random(21)
+    val data = Seq.tabulate(120)(i => (i.toLong, Seq.fill(6)(rng.nextGaussian())))
+    val df = data.toDF("vec_id", "embedding")
+    val m3 = Pca.fit(df, 3)
+    val err3 = Pca.reconstructionError(df, m3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // naive driver-side recompute of the same formula
+    for ((id, v) <- data.take(10)) {
+      val c = v.toArray.zip(m3.mean).map { case (x, mu) => x - mu }
+      val cn = c.map(x => x * x).sum
+      val ps = m3.components.map(e =>
+        math.pow(c.zip(e).map { case (a, b) => a * b }.sum, 2)).sum
+      assert(math.abs(err3(id) - (cn - ps)) < 1e-5, s"vec $id")
+    }
+    // residual is non-negative and non-increasing in rank
+    val m6 = Pca.fit(df, 6)
+    val err6 = Pca.reconstructionError(df, m6).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(err3.values.forall(_ >= 0.0))
+    for (id <- err3.keys) assert(err6(id) <= err3(id) + 1e-6)
+    // full-rank model reconstructs exactly: residual ~ 0
+    assert(err6.values.forall(_ < 1e-3))
+  }
+
+  test("reconstructionError flags an off-manifold outlier") {
+    import spark.implicits._
+    val rng = new java.util.Random(4)
+    // corpus lives in dims 0-1 (plus tiny noise); vec 999 points off-plane
+    val base = Seq.tabulate(150)(i => (i.toLong, Seq(
+      3.0 * rng.nextGaussian(), 2.0 * rng.nextGaussian(),
+      0.01 * rng.nextGaussian(), 0.01 * rng.nextGaussian())))
+    val data = base :+ (999L, Seq(0.0, 0.0, 5.0, 5.0))
+    val df = data.toDF("vec_id", "embedding")
+    val model = Pca.fit(df, 2)
+    val err = Pca.reconstructionError(df, model).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val inliers = base.map(b => err(b._1))
+    assert(err(999L) > 10 * inliers.max,
+      s"outlier ${err(999L)} vs max inlier ${inliers.max}")
+  }
+
+  test("persisted moments state: batch append equals the full-corpus statistics") {
+    import spark.implicits._
+    val rng = new java.util.Random(33)
+    val data = Seq.tabulate(150)(i => (i.toLong, Seq.fill(5)(rng.nextGaussian())))
+    val df = data.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca_state_t").toString
+    Pca.writeMomentsState(df.filter(col("vec_id") % 2 === 0), dir)
+    Pca.appendMomentsState(spark, dir, df.filter(col("vec_id") % 2 === 1))
+    val (d, buf) = Pca.readMomentsState(spark, dir)
+    assert(d == 5)
+    val (n, sums, scatter) = Pca.momentsOf(df, "embedding", 5)
+    assert(buf(0) == n)
+    for (i <- 0 until 5) assert(approx(buf(1 + i), sums(i), 1e-9))
+    for (t <- scatter.indices) assert(approx(buf(1 + 5 + t), scatter(t), 1e-9))
+    // the refit from merged state matches the direct fit
+    val m1 = Pca.fitFromState(spark, dir, 3)
+    val m2 = Pca.fit(df, 3)
+    for (c <- 0 until 3; i <- 0 until 5)
+      assert(approx(m1.components(c)(i), m2.components(c)(i), 1e-7))
+  }
+
+  test("incremental covariance query equals the direct covariance query") {
+    def rows(q: String) = graft.SparkEntry.queries(q)(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val direct = rows("sim_pca_covariance")
+    val inc = rows("sim_pca_covariance_incremental")
+    assert(direct.keySet == inc.keySet)
+    for ((k, v) <- direct)
+      assert(math.abs(v - inc(k)) <= 2e-6, s"cov$k: $v vs ${inc(k)}")
+  }
+
   test("sim_pca queries run bounded against sf0.001") {
     val covd = graft.SparkEntry.queries("sim_pca_covariance")(spark, sf0001)
     assert(covd.count() == 64L * 65 / 2)
