@@ -763,6 +763,85 @@ case class BigramLogProb(
     copy(child = newChild)
 }
 
+/**
+ * Interpolated trigram language-model surprisal — the KenLM-shaped rung
+ * above [[BigramLogProb]]: per document, struct(n_triples, sum_logp)
+ * with, for each in-order token triple (w₁ w₂ w₃),
+ *
+ *   p = λ₃·c(w₁w₂w₃)/max(c(w₁w₂), c₃, 1)
+ *     + λ₂·c(w₂w₃)/max(c(w₂), c₂, 1)
+ *     + λ₁·max(c(w₃),1)/T
+ *
+ * and `sum_logp = Σ ln(p)`. Unseen higher orders contribute 0 (counts
+ * default 0), the unigram floor keeps p > 0 — the textbook
+ * interpolation that backs off smoothly instead of cliffing to the OOV
+ * floor, which is what separates "rare but well-formed" from
+ * "implausible" continuations. λ = (1/2, 3/8, 1/8): DYADIC rationals,
+ * so the scaling is exact in binary and the whole pre-ln arithmetic is
+ * one fixed-shape correctly-rounded sequence — cross-engine
+ * bit-identical into `ln`, whose 1-ulp libm wobble the caller's final
+ * round(·, 6) absorbs (the char_entropy discipline). Vocabulary maps
+ * are bounded top-K literals (the BM25/bounded-global-context
+ * discipline): one pass, three HashMap probes per token, zero shuffle.
+ */
+case class TrigramLogProb(
+    child: Expression, trigrams: Map[String, Long],
+    bigrams: Map[String, Long], unigrams: Map[String, Long], total: Long)
+  extends UnaryExpression with CodegenFallback {
+
+  require(total > 0)
+
+  @transient private lazy val tri = {
+    val m = new java.util.HashMap[String, Long](trigrams.size * 2)
+    trigrams.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+  @transient private lazy val bi = {
+    val m = new java.util.HashMap[String, Long](bigrams.size * 2)
+    bigrams.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+  @transient private lazy val uni = {
+    val m = new java.util.HashMap[String, Long](unigrams.size * 2)
+    unigrams.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_triples", LongType, nullable = false),
+    StructField("sum_logp", DoubleType, nullable = false)))
+  override def prettyName: String = "trigram_logprob"
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = TextNormJvm.normalize(input.toString)
+    val toks = text.split(" ", -1)
+    var sum = 0.0
+    var n = 0L
+    var i = 2
+    while (i < toks.length) {
+      val w1 = toks(i - 2)
+      val w2 = toks(i - 1)
+      val w3 = toks(i)
+      if (w1.nonEmpty && w2.nonEmpty && w3.nonEmpty) {
+        val c3 = tri.getOrDefault(w1 + " " + w2 + " " + w3, 0L)
+        val d3 = Math.max(bi.getOrDefault(w1 + " " + w2, 0L), Math.max(c3, 1L))
+        val c2 = bi.getOrDefault(w2 + " " + w3, 0L)
+        val d2 = Math.max(uni.getOrDefault(w2, 0L), Math.max(c2, 1L))
+        val c1 = Math.max(uni.getOrDefault(w3, 1L), 1L)
+        val p = 0.5 * (c3.toDouble / d3) + 0.375 * (c2.toDouble / d2) +
+          0.125 * (c1.toDouble / total)
+        sum += Math.log(p)
+        n += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, sum)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers for the native expressions. */
 object hashes {
   def minhash_signature(c: Column, numHashes: Int = 64, shingleLen: Int = 5): Column =
@@ -797,6 +876,12 @@ object hashes {
   def bigram_logprob(
       c: Column, bigrams: Map[String, Long], unigrams: Map[String, Long]): Column =
     Bridge.column(BigramLogProb(Bridge.expression(c), bigrams, unigrams))
+
+  def trigram_logprob(
+      c: Column, trigrams: Map[String, Long], bigrams: Map[String, Long],
+      unigrams: Map[String, Long], total: Long): Column =
+    Bridge.column(TrigramLogProb(
+      Bridge.expression(c), trigrams, bigrams, unigrams, total))
 
   def bpe_round2_pairs(c: Column, pair: String): Column =
     Bridge.column(BpeRound2Pairs(Bridge.expression(c), pair))

@@ -507,6 +507,64 @@ object TextAnalysis {
   }
 
   /**
+   * Interpolated trigram surprisal — the KenLM-shaped rung above
+   * [[bigramSurprisal]]: per token triple,
+   * `p = ½·p(w₃|w₁w₂) + ⅜·p(w₃|w₂) + ⅛·p(w₃)`, cross-entropy
+   * `−Σln(p)/n`. Interpolation backs off smoothly where the conditional
+   * models have no evidence (unseen orders contribute 0; the unigram
+   * floor keeps p > 0), which is what separates rare-but-well-formed
+   * text from genuinely implausible continuations. The three count
+   * tables are bounded top-K driver literals (one aggregate each — the
+   * bounded-global-context pattern); scoring is one zero-shuffle native
+   * pass. λ are dyadic so all pre-ln arithmetic is cross-engine
+   * bit-identical; the final round(·, 6) absorbs ln's 1-ulp libm wobble
+   * (the char_entropy discipline).
+   */
+  def trigramSurprisal(
+      df: DataFrame, idCol: String, textCol: String,
+      trigramVocab: Int = 8000, bigramVocab: Int = 4000,
+      unigramVocab: Int = 1000): DataFrame = {
+    val toks = df.select(graft.functions.hashes.word_tokens(col(textCol)).as("__w"))
+    val w = col("__w")
+    val nonEmptyToks = toks.select(explode(w).as("token"))
+      .filter(col("token") =!= "")
+    val total: Long = nonEmptyToks.count()
+    val uni: Map[String, Long] = nonEmptyToks
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(unigramVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bi: Map[String, Long] = toks
+      .filter(size(w) >= 2)
+      .select(explode(transform(sequence(lit(0), size(w) - 2),
+        i => struct(element_at(w, i + 1).as("a"), element_at(w, i + 2).as("b"))))
+        .as("p"))
+      .filter(col("p.a") =!= "" && col("p.b") =!= "")
+      .select(concat_ws(" ", col("p.a"), col("p.b")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc).limit(bigramVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tri: Map[String, Long] = toks
+      .filter(size(w) >= 3)
+      .select(explode(transform(sequence(lit(0), size(w) - 3),
+        i => struct(element_at(w, i + 1).as("a"), element_at(w, i + 2).as("b"),
+          element_at(w, i + 3).as("c"))))
+        .as("p"))
+      .filter(col("p.a") =!= "" && col("p.b") =!= "" && col("p.c") =!= "")
+      .select(concat_ws(" ", col("p.a"), col("p.b"), col("p.c")).as("tripl"))
+      .groupBy("tripl").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tripl").asc).limit(trigramVocab)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = col("__st")
+    df.select(col(idCol),
+      graft.functions.hashes.trigram_logprob(col(textCol), tri, bi, uni, total)
+        .as("__st"))
+      .filter(st("n_triples") > 0)
+      .select(col(idCol),
+        st("n_triples").as("n_triples"),
+        round(-(st("sum_logp") / st("n_triples")), 6).as("cross_entropy_r"))
+  }
+
+  /**
    * Collocation extraction: top token bigrams by pointwise mutual
    * information, PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ), with a minimum
    * bigram count to suppress noise. The workhorse for multi-word-entity

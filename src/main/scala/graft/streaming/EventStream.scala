@@ -81,6 +81,30 @@ object EventStream {
       .start()
 
   /**
+   * Streaming entity linkage at ingestion: every micro-batch of incoming
+   * records fuzzy-links against a FIXED canonical entity table — the
+   * "resolve before you write" step of a CDC/crawl intake pipeline, and
+   * the streaming twin of the batch `er_link_*` queries. Stateless
+   * foreachBatch (the incremental-dedup posture: no state store — the
+   * canonical table IS the state): per batch, a blocking-key equi-join +
+   * bounded-heap Jaro–Winkler ranking, so batch cost is
+   * Σ |block(record)|, never the canonical-table size.
+   *
+   * Inputs use [[graft.ops.EntityResolution.fuzzyLink]]'s standard
+   * shapes: records (p_id, p_name, block), canonical (c_id, c_name,
+   * block). `onLinks` receives each batch's (p_id, c_id, jw_r, rnk).
+   */
+  def linkStream(
+      newRecords: DataFrame, canonical: DataFrame, k: Int,
+      onLinks: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    newRecords.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        onLinks(graft.ops.EntityResolution.fuzzyLink(batch.toDF(), canonical, k))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /**
    * Streaming eval-decontamination guard: every micro-batch of incoming
    * documents is span-checked against a FIXED benchmark set
    * ([[graft.ops.Dedup.benchmarkSpanContamination]]) before admission —

@@ -197,6 +197,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bigramSurprisal(edge, "doc_id", "text").count() == 0)
   }
 
+  test("trigram surprisal: hand-computed interpolated cross-entropy, smooth backoff") {
+    val df = Seq(
+      (1L, "a b c a b c"), (2L, "a b x"),
+    ).toDF("doc_id", "text")
+    // corpus: T=9; uni a:3 b:3 c:2 x:1; bi "a b":3 "b c":2 "c a":1 "b x":1;
+    // tri "a b c":2 "b c a":1 "c a b":1 "a b x":1
+    val got = TextAnalysis.trigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L)._1 == 4L && got(2L)._1 == 1L)
+    // doc2's (a,b,x): p3 = 1/max(3,1) = 1/3; p2 = c("b x")/max(c(b),1) = 1/3;
+    // p1 = c(x)/T = 1/9 → p = ½·⅓ + ⅜·⅓ + ⅛·⅑
+    val p2doc = 0.5 * (1.0 / 3) + 0.375 * (1.0 / 3) + 0.125 * (1.0 / 9)
+    assert(math.abs(got(2L)._2 -
+      BigDecimal(-Math.log(p2doc)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+    // doc1's triples are corpus-typical → lower cross-entropy than doc2
+    assert(got(1L)._2 < got(2L)._2)
+    // interpolation backs off smoothly: even the OOV-heavy doc is finite
+    assert(got(2L)._2.isFinite)
+    // docs with < 3 tokens drop
+    val edge = Seq((1L, "just two"), (2L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.trigramSurprisal(edge, "doc_id", "text").count() == 0)
+  }
+
   test("char entropy: hand-computed values, gibberish-vs-template separation, SQL surface") {
     val df = Seq(
       (1L, "aaaa"),                 // single symbol -> 0 nats

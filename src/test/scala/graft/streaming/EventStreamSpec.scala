@@ -182,6 +182,32 @@ class EventStreamSpec extends SparkSpec {
     assert(parts == expected)
   }
 
+  test("streaming entity linkage matches the batch fuzzyLink per micro-batch") {
+    import graft.ops.EntityResolution
+    val canonical = Seq(
+      (10L, "Acme Corporation", 0), (11L, "Acme Corp", 0),
+      (12L, "Globex Industries", 0), (13L, "Initech LLC", 1))
+      .toDF("c_id", "c_name", "block")
+    val incoming = Seq(
+      (100L, "Acme Corportion", 0), // typo'd Acme — links to 10/11
+      (101L, "Initech L.L.C.", 1))  // links to 13
+      .toDF("p_id", "p_name", "block")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_linkstream_in").toString
+    incoming.write.mode("overwrite").parquet(inDir)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q = EventStream.linkStream(
+      spark.readStream.schema(incoming.schema).parquet(inDir),
+      canonical, k = 1,
+      links => collected ++= links.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))))
+    q.awaitTermination(60000)
+    val batch = EntityResolution.fuzzyLink(incoming, canonical, k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    assert(collected.toSeq.sorted == batch.sorted)
+    // block 1's probe resolves to Initech, never to a block-0 entity
+    assert(collected.exists(l => l._1 == 101L && l._2 == 13L))
+  }
+
   test("streaming incremental near-dup matches equal the batch operator's") {
     import graft.ops.Dedup
     val corpus = Seq(
