@@ -339,6 +339,20 @@ object RelationalQueries {
         maxDist = 2, excludeSelf = true)
     }),
 
+    // Transposition-aware candidates: unrestricted Damerau-Levenshtein
+    // prices the commonest keying error (adjacent swap) at 1, so
+    // digit-swapped ids survive a threshold plain Levenshtein rejects.
+    "er_dl_candidates" -> ((s, dir) => {
+      val custs = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("p_id"), col("c_name").as("p_name"),
+          col("c_nationkey").as("block"))
+      EntityResolution.dlCandidates(
+        custs.filter(col("p_id") < 100),
+        custs.select(col("p_id").as("c_id"), col("p_name").as("c_name"),
+          col("block")),
+        maxDist = 2, excludeSelf = true)
+    }),
+
     // BLOCKING-FREE edit join (Pass-Join pigeonhole segments): no nation
     // key anywhere — candidates come from the segment-signature equi-join,
     // exact threshold-levenshtein verify makes the result identical to
@@ -623,6 +637,17 @@ object RelationalQueries {
         |  cast(levenshtein(a.name, b.name) AS int) AS dist
         |FROM cu a JOIN cu b ON a.blk = b.blk AND a.id != b.id
         |WHERE a.id < 100 AND levenshtein(a.name, b.name) <= 2""".stripMargin,
+
+    // DuckDB's damerau_levenshtein is the UNRESTRICTED variant — pinned
+    // by Monte Carlo (StringSimilarity.scala); exact integers, no rounding
+    "er_dl_candidates" ->
+      """WITH cu AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS blk
+        |  FROM customer)
+        |SELECT a.id AS p_id, b.id AS c_id,
+        |  cast(damerau_levenshtein(a.name, b.name) AS int) AS dist
+        |FROM cu a JOIN cu b ON a.blk = b.blk AND a.id != b.id
+        |WHERE a.id < 100 AND damerau_levenshtein(a.name, b.name) <= 2""".stripMargin,
 
     // lossless filter + exact verify ⇒ the brute-force all-pairs SQL is
     // the oracle for the segment-signature plan

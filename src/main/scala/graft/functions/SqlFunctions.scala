@@ -32,6 +32,7 @@ object SqlFunctions {
     "char_entropy" -> (e => CharEntropy(e.head)),
     "math_ln" -> (e => MathLn(e.head)),
     "jaro_winkler" -> (e => JaroWinkler(e(0), e(1))),
+    "damerau_levenshtein" -> (e => DamerauLevenshtein(e(0), e(1))),
     // composition of built-in bit ops — registered so SQL users can
     // sort/cluster by the same layout key the sink writes
     "zorder2" -> (e => ZOrder.zorder2Expr(e(0), e(1))),

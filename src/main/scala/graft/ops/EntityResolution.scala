@@ -83,6 +83,33 @@ object EntityResolution {
       .filter(col("dist") >= 0) // threshold overflow sentinel is -1
   }
 
+  /** Native unrestricted Damerau–Levenshtein column (see
+    * [[graft.functions.DamerauLevenshtein]] — DuckDB-matched). */
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    Bridge.column(graft.functions.DamerauLevenshtein(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  /**
+   * Transposition-aware [[editCandidates]]: in-block pairs within
+   * UNRESTRICTED Damerau–Levenshtein `maxDist`. Adjacent transpositions
+   * are the most common human keying error in names and ids, so a pair
+   * like `…123`/`…213` that plain Levenshtein prices at 2 costs 1 here
+   * and survives a tighter threshold. No early-abandon banding exists
+   * for the unrestricted DP (the transposition rule reaches back across
+   * rows), so the BLOCK is the per-pair cost control.
+   */
+  def dlCandidates(
+      probes: DataFrame, candidates: DataFrame, maxDist: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val joined = probes.join(candidates, "block")
+    val pairs = if (excludeSelf) joined.filter(col("p_id") =!= col("c_id"))
+                else joined
+    pairs
+      .select(col("p_id"), col("c_id"),
+        damerauLevenshtein(col("p_name"), col("c_name")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /**
    * BLOCKING-FREE edit-distance join via pigeonhole segment signatures
    * (the Pass-Join scheme — Li/Deng/Feng, VLDB 2011): each probe string

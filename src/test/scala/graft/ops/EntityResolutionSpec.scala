@@ -146,6 +146,49 @@ class EntityResolutionSpec extends SparkSpec {
       (3L, 1L, 2), (3L, 2L, 1)))
   }
 
+  test("damerauLevenshtein kernel: DuckDB-pinned values, unrestricted variant") {
+    import graft.functions.DamerauKernel
+    val pinned = Seq(
+      // values read from DuckDB damerau_levenshtein this session
+      ("CA", "ABC", 2), // THE separator: OSA says 3, unrestricted says 2
+      ("abcdef", "abcfed", 2),
+      ("kitten", "sitting", 3),
+      ("ab", "ba", 1),
+      ("abc", "", 3),
+      ("Customer#000000123", "Customer#000000213", 1),
+      ("acbd", "abcd", 1),
+      ("aabb", "bbaa", 3),
+      ("abcde", "baedc", 3),
+      ("xy", "yx", 1))
+    for ((a, b, exp) <- pinned) {
+      assert(DamerauKernel.dist(a, b) == exp, s"$a/$b")
+      assert(DamerauKernel.dist(b, a) == exp, s"symmetry $a/$b")
+    }
+    // transposition beats substitution-only pricing
+    assert(DamerauKernel.dist("abcd", "abdc") == 1)
+    assert(DamerauKernel.dist("", "") == 0)
+  }
+
+  test("dlCandidates: transposed ids survive the threshold plain levenshtein rejects") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "id-1234", 0), (2L, "id-1243", 0), // one adjacent swap: DL 1, Lev 2
+      (3L, "id-4321", 0),                     // far under both
+      (4L, "id-2134", 0))                     // swap at digits 1-2: DL 1
+      .toDF("p_id", "p_name", "block")
+    val cands = recs.select(col("p_id").as("c_id"), col("p_name").as("c_name"),
+      col("block"))
+    val dl = EntityResolution.dlCandidates(recs, cands, maxDist = 1,
+      excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(dl.contains((1L, 2L, 1)) && dl.contains((1L, 4L, 1)))
+    assert(!dl.exists(p => p._1 == 3L || p._2 == 3L))
+    // plain levenshtein at the same threshold finds nothing
+    val lev = EntityResolution.editCandidates(recs, cands, maxDist = 1,
+      excludeSelf = true).count()
+    assert(lev == 0L)
+  }
+
   test("editJoin equals brute force on random strings (lossless filter + exact verify)") {
     import spark.implicits._
     val rng = new java.util.Random(17)
