@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Pca, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Graph, Pca, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -206,6 +206,29 @@ object OpsQueries {
       val pairs = Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text",
         n = 3, threshold = 0.8).select(col("a_id"), col("b_id"))
       Dedup.connectedComponents(d.select(col("doc_id")), pairs)
+    }),
+
+    // PageRank over the same near-dup edge set — the per-node importance
+    // signal for "which document is the canonical one in this duplicate
+    // neighborhood". Fixed 5 power-iteration sweeps over the symmetrized
+    // degree-weighted edges; full SQL oracle (iterations unrolled as
+    // chained CTEs, double-forced damping literals).
+    "graph_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text",
+        n = 3, threshold = 0.8).select(col("a_id"), col("b_id"))
+      Graph.pageRank(pairs, iterations = 5, damping = 0.85)
+    }),
+
+    // per-node triangle participation + degree on the same edge set — the
+    // local-clustering signal separating dense duplicate cliques from hub
+    // artifacts (a template string matching many unrelated docs). Oriented
+    // a<b<c enumeration, exact integers, full SQL oracle.
+    "graph_triangles" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text",
+        n = 3, threshold = 0.8).select(col("a_id"), col("b_id"))
+      Graph.triangleStats(pairs)
     }),
 
     // the minhash design table itself as a first-class query: detection
@@ -713,6 +736,23 @@ object OpsQueries {
       TextAnalysis.bpeEncode(docs(s, dir), "doc_id", "text", merges)
     }),
 
+    // unigram-LM tokenizer induction (SentencePiece family — the
+    // subtractive counterpart of BPE's additive merges): substring seed
+    // inventory → hard-EM Viterbi rounds → vocab cut. Sequential DP ⇒
+    // no portable SQL oracle; pinned by the independent-trainer
+    // exact-equality contract in TextAnalysisSpec
+    "text_unigram_train" -> ((s, dir) =>
+      TextAnalysis.unigramTrain(docs(s, dir), "text", vocabSize = 120)),
+
+    // unigram tokenizer APPLICATION: train the 120-piece table, then
+    // Viterbi-encode every document with it (train-once-encode-corpus
+    // shape; same contract-test status as training)
+    "text_unigram_encode" -> ((s, dir) => {
+      val pieces = TextAnalysis.unigramTrain(docs(s, dir), "text", vocabSize = 120)
+        .collect().map(r => (r.getString(1), r.getDouble(3))).toIndexedSeq
+      TextAnalysis.unigramEncode(docs(s, dir), "doc_id", "text", pieces)
+    }),
+
     // Unigram-LM cross-entropy (KenLM-perplexity proxy): corpus unigram
     // table → bounded top-1000 vocab literal → zero-shuffle scoring pass
     "text_perplexity" -> ((s, dir) =>
@@ -1070,6 +1110,33 @@ object OpsQueries {
         |  FROM rsims)
         |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin
   }
+
+  /** Shared oracle prelude: the PPJoin 3-gram Jaccard edge set over
+    * `documents` (same derivation as the `graph_components` oracle), as
+    * plain chained CTEs — `e0` is the oriented (a<b) pair list, `edges`
+    * its symmetrization. The consumers reference `edges` once per unrolled
+    * sweep, and DuckDB inlines plain CTEs per reference — re-running the
+    * all-pairs gram join 6×; `AS MATERIALIZED` pins one evaluation
+    * (measured 33 s → 4.7 s at sf0.01). Appended to by the
+    * graph-analytics oracles. */
+  private val ngramEdgeSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      |  FROM documents
+      |), grams AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+      |  FROM toks WHERE len(w) >= 3
+      |), e0 AS MATERIALIZED (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      |  WHERE cast(len(list_intersect(a.g, b.g)) as double)
+      |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+      |), edges AS MATERIALIZED (
+      |  SELECT a_id AS u, b_id AS v FROM e0
+      |  UNION ALL SELECT b_id, a_id FROM e0
+      |)""".stripMargin
 
   private val oraclesHead: Map[String, String] = Map(
     "dedup_exact" ->
@@ -1923,6 +1990,67 @@ object OpsQueries {
         |  FROM reach GROUP BY u)
         |SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin,
+
+    // Graph.pageRank's five power-iteration sweeps unrolled as chained
+    // CTEs over the shared edge prelude. Damping literals are FORCED to
+    // double on the DuckDB side (`1 - cast(0.85 AS double)`) because a
+    // bare `0.15` parses as DECIMAL — a different value than the Scala
+    // double `1.0 - 0.85` the Spark side folds. round(·,9) absorbs
+    // summation-order wobble at the O(1/N) rank magnitude.
+    "graph_pagerank" ->
+      (ngramEdgeSql +
+        """, deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u
+          |), nn AS (SELECT cast(count(*) AS double) AS c FROM deg
+          |), p0 AS (SELECT u, 1 / (SELECT c FROM nn) AS r FROM deg
+          |), p1 AS (
+          |  SELECT e.v AS u, (1 - cast(0.85 AS double)) / (SELECT c FROM nn)
+          |      + cast(0.85 AS double) * sum(p.r / d.d) AS r
+          |  FROM p0 p JOIN edges e ON e.u = p.u JOIN deg d ON d.u = p.u
+          |  GROUP BY e.v
+          |), p2 AS (
+          |  SELECT e.v AS u, (1 - cast(0.85 AS double)) / (SELECT c FROM nn)
+          |      + cast(0.85 AS double) * sum(p.r / d.d) AS r
+          |  FROM p1 p JOIN edges e ON e.u = p.u JOIN deg d ON d.u = p.u
+          |  GROUP BY e.v
+          |), p3 AS (
+          |  SELECT e.v AS u, (1 - cast(0.85 AS double)) / (SELECT c FROM nn)
+          |      + cast(0.85 AS double) * sum(p.r / d.d) AS r
+          |  FROM p2 p JOIN edges e ON e.u = p.u JOIN deg d ON d.u = p.u
+          |  GROUP BY e.v
+          |), p4 AS (
+          |  SELECT e.v AS u, (1 - cast(0.85 AS double)) / (SELECT c FROM nn)
+          |      + cast(0.85 AS double) * sum(p.r / d.d) AS r
+          |  FROM p3 p JOIN edges e ON e.u = p.u JOIN deg d ON d.u = p.u
+          |  GROUP BY e.v
+          |), p5 AS (
+          |  SELECT e.v AS u, (1 - cast(0.85 AS double)) / (SELECT c FROM nn)
+          |      + cast(0.85 AS double) * sum(p.r / d.d) AS r
+          |  FROM p4 p JOIN edges e ON e.u = p.u JOIN deg d ON d.u = p.u
+          |  GROUP BY e.v)
+          |SELECT u AS doc_id, round(r, 9) AS pagerank FROM p5""".stripMargin),
+
+    // Graph.triangleStats: oriented a<b<c enumeration over e0, each
+    // triangle credited to all three corners; degree from the unoriented
+    // endpoint multiset. Exact integers, no rounding.
+    "graph_triangles" ->
+      (ngramEdgeSql +
+        """, tri AS (
+          |  SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+          |  FROM e0 e1 JOIN e0 e2 ON e2.a_id = e1.b_id
+          |  JOIN e0 e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+          |), tc AS (
+          |  SELECT doc_id, count(*) AS triangles FROM (
+          |    SELECT a AS doc_id FROM tri
+          |    UNION ALL SELECT b FROM tri
+          |    UNION ALL SELECT c FROM tri)
+          |  GROUP BY doc_id
+          |), dg AS (
+          |  SELECT doc_id, count(*) AS degree FROM (
+          |    SELECT a_id AS doc_id FROM e0
+          |    UNION ALL SELECT b_id FROM e0)
+          |  GROUP BY doc_id)
+          |SELECT dg.doc_id, dg.degree, coalesce(tc.triangles, 0) AS triangles
+          |FROM dg LEFT JOIN tc ON tc.doc_id = dg.doc_id""".stripMargin),
 
     // the exact multiply chains of Dedup.lshTuningCurve, spelled out
     // left-associated per layout — identical IEEE operation order, so no

@@ -65,6 +65,16 @@ object PipelineQueries {
         .limit(100)
         .select("doc_id", "log_weight_r")),
 
+    // Weight-proportional draw without replacement (A-ES u^(1/w) keys,
+    // weight = document length): the quality/length-weighted corpus
+    // subset every mix recipe needs; md5-uniform keys so the selection
+    // is exactly reproducible cross-engine. Output is the selected rows
+    // themselves — exact integers, keys never leave the plan.
+    "mix_weighted_sample" -> ((s, dir) =>
+      Chunking.weightedSample(Tables(s, dir, "documents"),
+        "doc_id", "n_chars", k = 100)
+        .select("doc_id", "n_chars", "source")),
+
     // GPT-style concat-and-split training-sequence layout: 512-token
     // sequences over 8 independent shards (per-shard prefix sum).
     "pack_sequences" -> ((s, dir) =>
@@ -136,6 +146,19 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     // Chunking.hashSplit's bucket function verbatim: first 8 md5 hex chars
     // of the stringified id, mod 100, cumulative-range CASE
+    // weightedSample's key function verbatim: md5-uniform u over 2^32,
+    // rank by pow(u, 1/w) desc with id tiebreak — selection-only output,
+    // so the compare is over exact integers
+    "mix_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, n_chars, source,
+        |    pow((('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint)
+        |        / cast(4294967296 AS double),
+        |      1.0 / cast(n_chars AS double)) AS k
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars, source FROM keyed
+        |ORDER BY k DESC, doc_id ASC LIMIT 100""".stripMargin,
+
     "split_assign" ->
       """WITH b AS (
         |  SELECT source,

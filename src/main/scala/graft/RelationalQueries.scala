@@ -353,6 +353,32 @@ object RelationalQueries {
         maxDist = 2, excludeSelf = true)
     }),
 
+    // Robust per-priority price outliers: median/MAD gate over integer
+    // cents — every intermediate (half/quarter cents) is binary-exact, so
+    // the verdict needs NO rounding on either engine.
+    "q38_mad_outliers" -> ((s, dir) =>
+      Relational.madOutliers(Tables(s, dir, "orders"), "o_orderpriority",
+        cents(col("o_totalprice")), k = 1.8)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice",
+          "group_median", "group_mad")),
+
+    // Key-skew profile on the event stream's user key: the 50 hottest
+    // keys with exact counts and corpus share — the measurement read
+    // before salting a join/write on that key (the sink layer's
+    // measure-then-rebalance loop as a query).
+    "q37_key_skew" -> ((s, dir) =>
+      Relational.keySkewProfile(Tables.events(s, dir), "user_id", topN = 50)),
+
+    // Vector-space linkage over part names: token TF-IDF cosine via the
+    // inverted token index — catches reordered-token matches the edit
+    // family rejects, rare shared tokens dominate. Probe side pruned
+    // below the join; one driver scalar (corpus count) only.
+    "er_tfidf_candidates" -> ((s, dir) => {
+      EntityResolution.tfidfCandidates(
+        Tables(s, dir, "part"), "p_partkey", "p_name",
+        threshold = 0.7, probePred = col("p_id") < 100)
+    }),
+
     // BLOCKING-FREE edit join (Pass-Join pigeonhole segments): no nation
     // key anywhere — candidates come from the segment-signature equi-join,
     // exact threshold-levenshtein verify makes the result identical to
@@ -648,6 +674,65 @@ object RelationalQueries {
         |  cast(damerau_levenshtein(a.name, b.name) AS int) AS dist
         |FROM cu a JOIN cu b ON a.blk = b.blk AND a.id != b.id
         |WHERE a.id < 100 AND damerau_levenshtein(a.name, b.name) <= 2""".stripMargin,
+
+    // integer-cents medians interpolate to exact halves/quarters — the
+    // whole pipeline is binary-exact, no rounding
+    "q38_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    cast(round(o_totalprice * 100) AS double) AS vv
+        |  FROM orders
+        |), med AS (
+        |  SELECT o_orderpriority, median(vv) AS med FROM v GROUP BY 1
+        |), d AS (
+        |  SELECT v.o_orderkey, v.o_orderpriority, v.o_totalprice,
+        |    med.med, abs(v.vv - med.med) AS dev
+        |  FROM v JOIN med USING (o_orderpriority)
+        |), mad AS (
+        |  SELECT o_orderpriority, median(dev) AS mad FROM d GROUP BY 1)
+        |SELECT d.o_orderkey, d.o_orderpriority, d.o_totalprice,
+        |  d.med AS group_median, mad.mad AS group_mad
+        |FROM d JOIN mad USING (o_orderpriority)
+        |WHERE d.dev > 1.8 * mad.mad""".stripMargin,
+
+    // exact counts, (count desc, key asc) selection, single rounded
+    // division for the share
+    "q37_key_skew" ->
+      """WITH c AS (
+        |  SELECT user_id AS key, count(*) AS n_rows FROM events GROUP BY user_id),
+        |t AS (SELECT cast(count(*) AS double) AS tot FROM events)
+        |SELECT key, n_rows, round(n_rows / (SELECT tot FROM t), 6) AS share_r
+        |FROM c ORDER BY n_rows DESC, key ASC LIMIT 50""".stripMargin,
+
+    // the same tf·ln(N/df) weights and cosine, ln() matching MathLn
+    // bit-for-bit (the BM25-verified libm fact); round(·,6) before the
+    // threshold on both sides
+    "er_tfidf_candidates" ->
+      """WITH toks AS (
+        |  SELECT p_partkey AS id,
+        |    unnest(string_split(
+        |      regexp_replace(lower(trim(p_name)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM part
+        |), tf AS (
+        |  SELECT id, token, count(*) AS tf FROM toks
+        |  WHERE token != '' GROUP BY id, token
+        |), dfreq AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY token
+        |), n AS (SELECT cast(count(*) AS double) AS c FROM part
+        |), w AS (
+        |  SELECT tf.id, tf.token,
+        |    tf.tf * ln((SELECT c FROM n) / cast(dfreq.df AS double)) AS w
+        |  FROM tf JOIN dfreq ON tf.token = dfreq.token
+        |), nrm AS (
+        |  SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id)
+        |SELECT a.id AS p_id, b.id AS c_id,
+        |  round(sum(a.w * b.w) / (na.nrm * nb.nrm), 6) AS cos_r
+        |FROM w a JOIN w b ON a.token = b.token AND a.id != b.id
+        |JOIN nrm na ON na.id = a.id
+        |JOIN nrm nb ON nb.id = b.id
+        |WHERE a.id < 100
+        |GROUP BY a.id, b.id, na.nrm, nb.nrm
+        |HAVING round(sum(a.w * b.w) / (na.nrm * nb.nrm), 6) >= 0.7""".stripMargin,
 
     // lossless filter + exact verify ⇒ the brute-force all-pairs SQL is
     // the oracle for the segment-signature plan

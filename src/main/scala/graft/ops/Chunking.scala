@@ -340,4 +340,32 @@ object Chunking {
     }
     df.withColumn("split", assign)
   }
+
+  /**
+   * Deterministic weighted sampling WITHOUT replacement (the A-ES /
+   * Efraimidis–Spirakis exponential-jumps scheme, reduced to its one-pass
+   * key form): each row draws a uniform `u` and is ranked by `u^(1/w)`;
+   * the top `k` keys are EXACTLY a weight-proportional draw without
+   * replacement. The uniform comes from the codebase's engine-portable
+   * pseudo-random source — the first 8 md5 hex chars of the stringified
+   * id over 2^32 — so the selection is reproducible across reruns,
+   * engines, and partitionings (same contract as [[hashSplit]]).
+   *
+   * Scale: one row-local projection plus a distributed bounded-heap top-k
+   * (`TakeOrderedAndProject` — each partition keeps k rows, the driver
+   * merges P·k). No shuffle, no sort of the full corpus. Rows with
+   * non-positive weight are excluded (a zero-weight row must never be
+   * drawn; guarding here beats a NaN-poisoned pow downstream).
+   */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .orderBy(col("__key").desc, col(idCol).asc)
+      .limit(k)
+      .drop("__key")
+  }
 }

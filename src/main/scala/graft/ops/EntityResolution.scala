@@ -111,6 +111,61 @@ object EntityResolution {
   }
 
   /**
+   * Token TF-IDF cosine self-linkage — the vector-space complement to the
+   * edit-distance family: a name with REORDERED tokens ("lavender spring
+   * chocolate" vs "chocolate lavender spring") is distance-many under any
+   * edit model but cosine-identical here, while a shared rare token
+   * ("goldenrod") counts far more than a shared frequent one. This is the
+   * classic record-linkage similarity for multi-token names/titles.
+   *
+   * Candidates come from the inverted token index (a pair is scored only
+   * if it SHARES a token — token blocking), never an all-pairs scan; at
+   * scale the join volume is Σ_token df(token)·df_probe(token), bounded
+   * by the posting lists, with a `maxDf` stop-token cut available when a
+   * token's posting list is hub-sized. Probe restriction (`probePred`) is
+   * pushed below the join so the candidate side is the only full scan.
+   *
+   * Determinism: weights use [[graft.functions.MathLn]] (libm-matched ln);
+   * the cosine is rounded to 6 dp before thresholding, so membership
+   * never hinges on sub-1e-6 float noise. The corpus size N is the one
+   * driver scalar (a count — bounded by definition).
+   *
+   * Output: (p_id, c_id, cos_r) — probe rows, their shared-token matches
+   * with round(cosine, 6) ≥ threshold, self-pairs excluded.
+   */
+  def tfidfCandidates(
+      df: DataFrame, idCol: String, nameCol: String, threshold: Double,
+      probePred: Column, maxDf: Long = Long.MaxValue): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(nameCol))), "\\s+", " ")
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(norm, " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val n = df.count().toDouble
+    val w = tf.join(dfreq, "token")
+      .select(col("id"), col("token"), (col("tf").cast("double") *
+        graft.functions.vectors.math_ln(lit(n) / col("df").cast("double")))
+        .as("w"))
+    val norms = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val probes = w.join(norms, "id")
+      .select(col("id").as("p_id"), col("token"), col("w").as("wa"),
+        col("nrm").as("na"))
+      .filter(probePred)
+    val cands = w.join(norms, "id")
+      .select(col("id").as("c_id"), col("token"), col("w").as("wb"),
+        col("nrm").as("nb"))
+    probes.join(cands, "token")
+      .filter(col("p_id") =!= col("c_id"))
+      .groupBy("p_id", "c_id", "na", "nb")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+      .select(col("p_id"), col("c_id"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cos_r"))
+      .filter(col("cos_r") >= threshold)
+  }
+
+  /**
    * BLOCKING-FREE edit-distance join via pigeonhole segment signatures
    * (the Pass-Join scheme — Li/Deng/Feng, VLDB 2011): each probe string
    * splits into `maxDist + 1` contiguous even-width segments; if

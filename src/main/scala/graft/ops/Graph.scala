@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph analytics over similarity edge lists — the layer a corpus-curation
+ * pipeline runs AFTER candidate generation: connected components already
+ * live in [[Dedup.connectedComponents]]; this module adds the two standard
+ * per-node importance/cohesion signals, PageRank and triangle counting.
+ * Both take the same `(a_id, b_id)` undirected pair frame the dedup
+ * operators emit (`a_id < b_id` by construction), so any of the
+ * MinHash/SimHash/PPJoin candidate generators composes directly.
+ *
+ * Scale notes (100 TB posture):
+ *  - both operators run ONLY over the edge-induced subgraph — the frame is
+ *    bounded by the pair volume (the duplication rate), never the corpus;
+ *  - PageRank is a fixed number of hash-join + partial-agg sweeps over a
+ *    cached degree-weighted edge list; no driver-side adjacency, and the
+ *    only collect is the member-count scalar;
+ *  - triangle counting uses the oriented-edge (a<b<c) double join, the
+ *    standard way to cut the enumeration 6× and bound the join fan-out by
+ *    the out-degree of the SMALLER endpoint.
+ */
+object Graph {
+
+  /**
+   * PageRank over an undirected pair list, run for a FIXED number of
+   * power-iteration sweeps (deterministic — no convergence race, and the
+   * result is reproducible across engines and cluster sizes).
+   *
+   * Semantics: the graph is the edge-induced subgraph (nodes with at least
+   * one pair); `N` = member count; ranks start uniform at `1/N`; each sweep
+   * computes `r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/deg(u)` over the
+   * symmetrized edge list. Symmetrization means every member has in- and
+   * out-degree ≥ 1, so there is no dangling-mass term to redistribute.
+   *
+   * Plan shape: the degree-weighted edge list is computed once and cached
+   * (it feeds every sweep); each sweep is one shuffle-join plus one
+   * partially-aggregated sum, and ranks are referenced exactly once per
+   * sweep, so the composed lazy plan stays LINEAR in `iterations` (contrast
+   * [[Dedup.connectedComponents]], whose convergence check forces per-sweep
+   * materialization).
+   *
+   * Output: `(doc_id, pagerank)` with the rank rounded to 9 decimals —
+   * ranks are O(1/N), and the final round absorbs the sub-ulp wobble of
+   * cross-partition summation order (same argument as the round(·,6)
+   * contract on the O(1)-magnitude similarity scores).
+   */
+  def pageRank(
+      pairs: DataFrame, iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // one cached frame feeds all sweeps: (src, dst, deg-of-src)
+    val edgesW = edges.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the single driver scalar — member count, bounded by 2·|pairs|
+    val n = edgesW.select(col("src")).distinct().count().toDouble
+    val base = lit(1.0 - damping) / lit(n)
+    var ranks = edgesW.select(col("src").as("doc_id")).distinct()
+      .withColumn("rank", lit(1.0) / lit(n))
+    for (_ <- 1 to iterations) {
+      ranks = edgesW
+        .join(ranks, edgesW("src") === ranks("doc_id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("contrib"))
+        .select(col("dst").as("doc_id"),
+          (base + lit(damping) * col("contrib")).as("rank"))
+    }
+    val out = ranks.select(col("doc_id"), round(col("rank"), 9).as("pagerank"))
+    // lazy unpersist would drop blocks mid-scan for a caller that collects
+    // twice; the frame is small (edge-bounded), let it age out with the
+    // returned plan: callers running repeatedly should cache upstream pairs
+    out
+  }
+
+  /**
+   * Per-node triangle participation over an undirected pair list, plus the
+   * degree — together they give the local clustering coefficient
+   * `2T / (deg·(deg-1))`, the standard "is this a dense duplicate clique
+   * or a hub artifact?" signal for near-dup graphs.
+   *
+   * Enumeration is the oriented form: pairs already satisfy `a_id < b_id`,
+   * so each triangle `a<b<c` is found exactly once by joining
+   * `(a,b)⋈(b,c)` and closing with `(a,c)`. Exact integer output — full
+   * SQL oracle, no rounding anywhere.
+   *
+   * Output: `(doc_id, degree, triangles)` for every node that appears in
+   * at least one pair.
+   */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("a_id"), col("b_id"))
+    val ab = e.select(col("a_id").as("ta"), col("b_id").as("tb"))
+    val bc = e.select(col("a_id").as("tb"), col("b_id").as("tc"))
+    val ac = e.select(col("a_id").as("ta"), col("b_id").as("tc"))
+    val tris = ab.join(bc, "tb").join(ac, Seq("ta", "tc"))
+    // each triangle contributes once to each of its three corners
+    val perNode = tris.select(col("ta").as("doc_id"))
+      .union(tris.select(col("tb").as("doc_id")))
+      .union(tris.select(col("tc").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
+    val deg = e.select(col("a_id").as("doc_id"))
+      .union(e.select(col("b_id").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    deg.join(perNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+}

@@ -104,4 +104,61 @@ object Relational {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
+
+  /**
+   * Key-skew profile: the measurement half of the sink layer's
+   * measure-then-rebalance loop ([[graft.sink.SinkConfig]] salting,
+   * `adaptiveFilesPerPartition`) as a first-class query. Emits the `topN`
+   * hottest keys with their exact row count and corpus share — exactly
+   * what you read before deciding which join/write keys need salting and
+   * how wide.
+   *
+   * One partial-aggregated count per key, then a bounded top-k
+   * (TakeOrderedAndProject) — no global sort, no full collect; the total
+   * is the single driver scalar. `share_r` is a single double division
+   * rounded to 6 dp (engine-exact under the round(·,6) contract).
+   */
+  def keySkewProfile(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val total = df.count().toDouble
+    df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("n_rows").desc, col("key").asc)
+      .limit(topN)
+      .select(col("key"), col("n_rows"),
+        round(col("n_rows").cast("double") / lit(total), 6).as("share_r"))
+  }
+
+  /**
+   * Robust per-group outlier gate: median/MAD (median absolute deviation)
+   * instead of mean/stddev, so a handful of extreme rows cannot inflate
+   * the spread estimate and mask themselves — the standard robust filter
+   * for price/length/score columns before training-data admission.
+   *
+   * `valueCents` must be an integral column (the caller converts doubles
+   * through the codebase's integer-cents discipline): medians of ints
+   * interpolate to exact halves, deviations to exact quarters — every
+   * intermediate is binary-exact, so the `|x−med| > k·MAD` verdict is
+   * engine-reproducible with NO rounding anywhere.
+   *
+   * Shape: two partial-aggregated exact-percentile passes (group medians,
+   * then deviation medians) + two broadcast-sized joins back — group
+   * count is the cardinality of `groupCol`, tiny by construction.
+   */
+  def madOutliers(
+      df: DataFrame, groupCol: String, valueCents: Column, k: Double): DataFrame = {
+    val v = valueCents.cast("double")
+    val withV = df.withColumn("__v", v)
+    val med = withV.groupBy(col(groupCol))
+      .agg(expr("percentile(__v, 0.5)").as("__med"))
+    val withDev = withV.join(med, groupCol)
+      .withColumn("__dev", abs(col("__v") - col("__med")))
+    val mad = withDev.groupBy(col(groupCol))
+      .agg(expr("percentile(__dev, 0.5)").as("__mad"))
+    withDev.join(mad, groupCol)
+      .filter(col("__dev") > lit(k) * col("__mad"))
+      .drop("__v", "__dev")
+      .withColumnRenamed("__med", "group_median")
+      .withColumnRenamed("__mad", "group_mad")
+  }
 }

@@ -910,6 +910,117 @@ object TextAnalysis {
         md5(concat_ws(" ", syms).cast("binary")).as("tokens_digest"))
   }
 
+  /**
+   * Unigram-LM tokenizer induction (the SentencePiece model family) — the
+   * subtractive counterpart of [[bpeTrain]]'s additive merges: seed a
+   * large candidate piece inventory from corpus substrings, then
+   * alternate Viterbi segmentation and frequency re-estimation
+   * (hard/Viterbi EM), pruning unused pieces each round and cutting to
+   * `vocabSize` at the end (single-character pieces always retained —
+   * they are the coverage floor).
+   *
+   * Deterministic by construction: seed selection and the final cut order
+   * by (count desc, piece asc); Viterbi ties resolve by the documented
+   * shortest-piece rule ([[graft.functions.UnigramViterbiJvm]]); piece
+   * log-probs are `Math.log` of exact long-count ratios, rounded to 6 dp
+   * in the output. Like BPE training, the sequential DP is not portable
+   * SQL — pinned by an exact-equality contract against an independent
+   * driver-side trainer in `TextAnalysisSpec` (no_oracle status).
+   *
+   * Scale shape: the corpus collapses to a persisted (word, count) table
+   * in one aggregation; the seed pass and each EM round are ONE
+   * distributed pass over that table (native Viterbi per distinct word,
+   * piece table riding as a bounded plan literal); every driver collect
+   * is vocab-bounded (≤ `seedSize` rows) — corpus size only scales the
+   * per-round pass.
+   */
+  def unigramTrain(
+      df: DataFrame, textCol: String, vocabSize: Int = 120,
+      maxPieceLen: Int = 4, emRounds: Int = 2,
+      seedSize: Int = 600): DataFrame = {
+    require(vocabSize >= 1 && maxPieceLen >= 1 && emRounds >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wordCounts = df
+      .select(explode(graft.functions.hashes.word_tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val w = col("w")
+      // every substring occurrence of length 1..maxPieceLen, weighted by
+      // word count — (start, len) structs so clipped windows can be
+      // dropped exactly (substr silently truncates at the word edge)
+      val positions = flatten(transform(sequence(lit(1), length(w)), i =>
+        transform(sequence(lit(1), lit(maxPieceLen)),
+          l => struct(i.as("i"), l.as("l")))))
+      val seedFreq = wordCounts
+        .select(w, col("cnt"), explode(positions).as("pl"))
+        .filter(col("pl.i") + col("pl.l") - 1 <= length(w))
+        .select(w.substr(col("pl.i"), col("pl.l")).as("piece"), col("cnt"))
+        .groupBy("piece").agg(sum(col("cnt")).as("freq"))
+      // bounded collects: the multi-char head by (freq desc, piece asc),
+      // plus EVERY single char (coverage floor — never cut at seed time)
+      val head = seedFreq.filter(length(col("piece")) > 1)
+        .orderBy(col("freq").desc, col("piece").asc).limit(seedSize)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val singles = seedFreq.filter(length(col("piece")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      var inventory: Seq[(String, Long)] = (singles ++ head).toSeq
+        .sortBy { case (p, f) => (-f, p) }
+      val unkLogp = -20.0 // floor for chars outside the piece table
+      def toLogps(inv: Seq[(String, Long)]): Seq[(String, Double)] = {
+        val total = inv.map(_._2).sum.toDouble
+        inv.map { case (p, f) => (p, Math.log(f / total)) }
+      }
+      // hard-EM rounds: segment every distinct word with the current
+      // piece probs (one distributed native pass), recount piece usage
+      // weighted by word count, drop unused pieces
+      for (_ <- 1 to emRounds) {
+        val pieces = toLogps(inventory)
+        inventory = wordCounts
+          .select(col("cnt"), explode(graft.functions.unigram.viterbi(
+            w, pieces, maxPieceLen, unkLogp)).as("piece"))
+          .groupBy("piece").agg(sum(col("cnt")).as("n_uses"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          .sortBy { case (p, f) => (-f, p) }
+      }
+      // final cut: all used single chars + the multi-char head up to
+      // vocabSize, re-normalized over the surviving set
+      val (sing, multi) = inventory.partition(_._1.length == 1)
+      val kept = (sing ++ multi.take(math.max(0, vocabSize - sing.size)))
+        .sortBy { case (p, f) => (-f, p) }
+      val total = kept.map(_._2).sum.toDouble
+      kept.zipWithIndex.map { case ((p, f), i) =>
+        (i + 1, p, f, BigDecimal(Math.log(f / total))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toDF("rank", "piece", "n_uses", "logp_r")
+    } finally wordCounts.unpersist(blocking = false)
+  }
+
+  /**
+   * Unigram-LM tokenizer APPLICATION — the deployment shape of
+   * [[unigramTrain]], mirroring [[bpeEncode]]: per word, the Viterbi
+   * piece sequence under the trained table; per document, word/token
+   * counts and an md5 digest of the token stream. One zero-shuffle
+   * native pass; same contract-test status as training.
+   */
+  def unigramEncode(
+      df: DataFrame, idCol: String, textCol: String,
+      pieces: Seq[(String, Double)], maxPieceLen: Int = 4,
+      unkLogp: Double = -20.0): DataFrame = {
+    val toks = col("__w")
+    val syms = col("__syms")
+    df.withColumn("__w", graft.functions.hashes.word_tokens(col(textCol)))
+      .withColumn("__syms",
+        flatten(transform(toks, wd => graft.functions.unigram.viterbi(
+          wd, pieces, maxPieceLen, unkLogp))))
+      .select(col(idCol),
+        size(filter(toks, wd => wd =!= "")).cast("long").as("n_words"),
+        size(syms).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", syms).cast("binary")).as("tokens_digest"))
+  }
+
   // ----------------------------------------------------- classification
 
   /**

@@ -254,4 +254,44 @@ class ChunkingSpec extends SparkSpec {
       assert(s == expect, s"doc $id bucket ${buckets(id)} got $s")
     }
   }
+
+  test("weightedSample: selection equals the brute-force A-ES reference") {
+    val df = graft.Tables(spark, sf0001, "documents")
+    val k = 20
+    val got = Chunking.weightedSample(df, "doc_id", "n_chars", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // independent reference: recompute every key on the driver and take
+    // the top-k by (key desc, id asc)
+    val keys = df.select(col("doc_id"),
+      (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long").cast("double") / 4294967296.0).as("u"),
+      col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .filter(_._3 > 0)
+      .map { case (id, u, w) => (id, math.pow(u, 1.0 / w)) }
+    val want = keys.sortBy { case (id, key) => (-key, id) }.take(k).map(_._1).toSet
+    assert(got == want)
+    assert(got.size == k)
+  }
+
+  test("weightedSample: non-positive weights never drawn; k over corpus returns all positive") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 0L), (3L, -5L), (4L, 100L))
+      .toDF("doc_id", "n_chars")
+    val got = Chunking.weightedSample(df, "doc_id", "n_chars", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L))
+  }
+
+  test("weightedSample: heavier docs are drawn more often across disjoint id universes") {
+    import spark.implicits._
+    // 500 light docs (w=10) + 500 heavy docs (w=1000): a weight-correct
+    // sampler's draw must be dominated by heavy docs
+    val df = (1L to 500L).map(i => (i, 10L))
+      .++((501L to 1000L).map(i => (i, 1000L))).toDF("doc_id", "n_chars")
+    val got = Chunking.weightedSample(df, "doc_id", "n_chars", 100)
+      .select("doc_id").collect().map(_.getLong(0))
+    val heavy = got.count(_ > 500L)
+    assert(heavy > 80, s"only $heavy/100 draws were heavy docs")
+  }
 }

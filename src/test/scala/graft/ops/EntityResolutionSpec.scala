@@ -189,6 +189,30 @@ class EntityResolutionSpec extends SparkSpec {
     assert(lev == 0L)
   }
 
+  test("tfidfCandidates: reordered tokens match, rare tokens dominate, self excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "lavender spring chocolate"),
+      (2L, "chocolate lavender spring"), // exact token-set reorder of 1
+      (3L, "goldenrod spring lace"),
+      (4L, "goldenrod navy lace"),       // shares rare goldenrod+lace with 3
+      (5L, "spring spring spring"))      // frequent-token-only doc
+      .toDF("id", "name")
+    val got = EntityResolution.tfidfCandidates(df, "id", "name",
+      threshold = 0.0000010, probePred = col("p_id") <= 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // reordered token sets are cosine-identical (1.0)
+    assert(got((1L, 2L)) == 1.0 && got((2L, 1L)) == 1.0)
+    assert(!got.contains((1L, 1L)), "self pair must be excluded")
+    // 3-4 share two RARE tokens; 1-3 share only the frequent 'spring':
+    // the rare-token pair must score far higher
+    assert(got((3L, 4L)) > got.getOrElse((1L, 3L), 0.0) + 0.3,
+      s"rare-token pair ${got((3L, 4L))} vs frequent-token ${got.get((1L, 3L))}")
+    // symmetry of the score
+    for (((a, b), v) <- got if got.contains((b, a)))
+      assert(got((b, a)) == v, s"asymmetric score for ($a,$b)")
+  }
+
   test("editJoin equals brute force on random strings (lossless filter + exact verify)") {
     import spark.implicits._
     val rng = new java.util.Random(17)

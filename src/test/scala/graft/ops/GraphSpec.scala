@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+
+  /** Independent driver-side PageRank — same fixed-sweep semantics as the
+    * operator, but plain Scala maps: the contract the distributed plan
+    * must reproduce exactly (after the 9-decimal round). */
+  private def refPageRank(
+      pairs: Seq[(Long, Long)], iters: Int, d: Double): Map[Long, Double] = {
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = out.keySet
+    val n = nodes.size.toDouble
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / out(u).size }.sum
+      }
+      r = nodes.map(v => v -> ((1.0 - d) / n + d * contrib.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the independent reference on a planted graph") {
+    import spark.implicits._
+    // a 3-clique bridged to a path: distinct degrees, asymmetric ranks
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val got = Graph.pageRank(pairs.toDF("a_id", "b_id"), iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(pairs, 5, 0.85)
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want)
+      assert(math.abs(got(k) - v) < 1e-9, s"node $k: ${got(k)} vs $v")
+    // rank mass is conserved (no dangling nodes in a symmetrized graph)
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+    // the bridge node 3 (degree 3) outranks the clique-only nodes (degree 2)
+    assert(got(3L) > got(1L) && got(3L) > got(2L))
+  }
+
+  test("pageRank is deterministic across runs") {
+    import spark.implicits._
+    val pairs = (1L to 30L).flatMap(i => Seq((i, i % 30 + 1), (i, (i * 7) % 30 + 1)))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct
+    val df = pairs.toDF("a_id", "b_id")
+    val a = Graph.pageRank(df).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = Graph.pageRank(df).collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a == b)
+  }
+
+  test("triangleStats counts planted triangles exactly") {
+    import spark.implicits._
+    // triangles {1,2,3} and {2,3,4}; node 5 hangs off node 4
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val got = Graph.triangleStats(pairs.toDF("a_id", "b_id"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      1L -> (2L, 1L), 2L -> (3L, 2L), 3L -> (3L, 2L),
+      4L -> (3L, 1L), 5L -> (1L, 0L)))
+  }
+
+  test("triangleStats: triangle-free graph is all zeros, 4-clique is all 3s") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    assert(Graph.triangleStats(path).filter(col("triangles") =!= 0).count() == 0)
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a_id", "b_id")
+    val got = Graph.triangleStats(k4)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((3L, 3L))) // every node: degree 3, 3 triangles
+  }
+}

@@ -121,4 +121,35 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("keySkewProfile: exact counts, hot key first, shares sum to selection mass") {
+    import spark.implicits._
+    val df = (Seq.fill(60)(1L) ++ Seq.fill(25)(2L) ++ Seq.fill(10)(3L)
+      ++ Seq(4L, 5L, 6L, 7L, 8L)).toDF("k")
+    val got = Relational.keySkewProfile(df, "k", topN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 60L), (2L, 25L), (3L, 10L)))
+    assert(got.map(_._3).toSeq == Seq(0.6, 0.25, 0.1))
+    // tie region: keys 4..8 all have count 1 — topN=7 must pick 4,5 by key asc
+    val ties = Relational.keySkewProfile(df, "k", topN = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ties == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("madOutliers: planted extreme rows gate out, uniform bulk survives") {
+    import spark.implicits._
+    // group a: tight cluster around 1000 plus two extremes; group b: clean
+    val rows = (1 to 20).map(i => ("a", i.toLong, 1000L + i))
+      .++(Seq(("a", 98L, 10000L), ("a", 99L, -5000L)))
+      .++((1 to 20).map(i => ("b", 100L + i, 500L + i)))
+    val df = rows.toDF("grp", "id", "cents")
+    val out = Relational.madOutliers(df, "grp", col("cents"), k = 5.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(98L, 99L))
+    // median/MAD robustness: the two planted extremes must not drag the
+    // group median away from the bulk
+    val med = Relational.madOutliers(df, "grp", col("cents"), k = 5.0)
+      .select("group_median").head().getDouble(0)
+    assert(med > 1000 && med < 1025, s"median $med polluted by outliers")
+  }
 }

@@ -582,4 +582,131 @@ class TextAnalysisSpec extends SparkSpec {
     // OOV-only doc: equal scores, alphabetical class tiebreak
     assert(out(4L)._1 == "a")
   }
+
+  // ---------------------------------------------- unigram-LM tokenizer
+
+  /** Independent Viterbi (top-down memo — different structure from the
+    * kernel's bottom-up loop) following the documented tie rule:
+    * shortest-first, strictly-greater wins. */
+  private def refViterbi(word: String, pieces: Map[String, Double],
+      maxLen: Int, unk: Double): List[String] = {
+    val memo = scala.collection.mutable.Map.empty[Int, (Double, List[String])]
+    def solve(i: Int): (Double, List[String]) = {
+      if (i == 0) return (0.0, Nil)
+      memo.getOrElseUpdate(i, {
+        var best = (Double.NegativeInfinity, List.empty[String])
+        for (l <- 1 to math.min(maxLen, i)) {
+          val p = word.substring(i - l, i)
+          val lp = pieces.get(p).orElse(if (l == 1) Some(unk) else None)
+          lp.foreach { v =>
+            val (s0, seq0) = solve(i - l)
+            val s = s0 + v
+            if (s > best._1) best = (s, p :: seq0)
+          }
+        }
+        best
+      })
+    }
+    solve(word.length)._2.reverse
+  }
+
+  test("unigram viterbi kernel: planted segmentations, tie rule, unk floor") {
+    import graft.functions.UnigramViterbiJvm
+    val t = UnigramViterbiJvm.buildMap(Seq(
+      ("abc", -2.5), ("ab", -1.0), ("c", -2.0), ("a", -3.0), ("b", -3.0)))
+    assert(UnigramViterbiJvm.segment("abc", t, 4, -20.0).toSeq == Seq("abc"))
+    // tie: [a b] = -2.0 equals [ab] = -2.0 → shortest-first keeps [a, b]
+    val tie = UnigramViterbiJvm.buildMap(Seq(("ab", -2.0), ("a", -1.0), ("b", -1.0)))
+    assert(UnigramViterbiJvm.segment("ab", tie, 4, -20.0).toSeq == Seq("a", "b"))
+    // unknown char: floor keeps decoding alive as single-char pieces
+    assert(UnigramViterbiJvm.segment("axb", tie, 4, -20.0).toSeq == Seq("a", "x", "b"))
+    // kernel ≡ independent reference on random words over a planted vocab
+    val pieces = Seq(("th", -1.2), ("he", -1.4), ("the", -1.1), ("t", -2.0),
+      ("h", -2.1), ("e", -1.9), ("r", -2.2), ("re", -1.6))
+    val tb = UnigramViterbiJvm.buildMap(pieces)
+    val rng = new java.util.Random(7)
+    val alpha = "ther"
+    for (_ <- 1 to 200) {
+      val word = (1 to (1 + rng.nextInt(8)))
+        .map(_ => alpha(rng.nextInt(alpha.length))).mkString
+      assert(UnigramViterbiJvm.segment(word, tb, 3, -20.0).toSeq ==
+        refViterbi(word, pieces.toMap, 3, -20.0), s"word $word")
+    }
+  }
+
+  /** Independent reference trainer — plain Scala collections, same
+    * documented algorithm (seed → hard-EM → cut). */
+  private def refUnigramTrain(wordCounts: Map[String, Long], vocabSize: Int,
+      maxLen: Int, emRounds: Int, seedSize: Int): Seq[(Int, String, Long, Double)] = {
+    val freq = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- wordCounts; i <- 0 until w.length;
+         l <- 1 to maxLen if i + l <= w.length) {
+      val p = w.substring(i, i + l)
+      freq(p) = freq.getOrElse(p, 0L) + c
+    }
+    val head = freq.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, f) => (-f, p) }.take(seedSize)
+    val singles = freq.toSeq.filter(_._1.length == 1)
+    var inv: Seq[(String, Long)] = (singles ++ head).sortBy { case (p, f) => (-f, p) }
+    for (_ <- 1 to emRounds) {
+      val total = inv.map(_._2).sum.toDouble
+      val lp = inv.map { case (p, f) => (p, Math.log(f / total)) }.toMap
+      val used = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, c) <- wordCounts; p <- refViterbi(w, lp, maxLen, -20.0))
+        used(p) = used.getOrElse(p, 0L) + c
+      inv = used.toSeq.sortBy { case (p, f) => (-f, p) }
+    }
+    val (sing, multi) = inv.partition(_._1.length == 1)
+    val kept = (sing ++ multi.take(math.max(0, vocabSize - sing.size)))
+      .sortBy { case (p, f) => (-f, p) }
+    val total = kept.map(_._2).sum.toDouble
+    kept.zipWithIndex.map { case ((p, f), i) =>
+      (i + 1, p, f, BigDecimal(Math.log(f / total))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("unigram train: exact equality with the independent trainer on the real corpus") {
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val wc = docs
+      .select(explode(graft.functions.hashes.word_tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = refUnigramTrain(wc, vocabSize = 120, maxLen = 4,
+      emRounds = 2, seedSize = 600)
+    val got = TextAnalysis.unigramTrain(docs, "text", vocabSize = 120)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.size == expected.size,
+      s"vocab sizes differ: ${got.size} vs ${expected.size}")
+    assert(got == expected,
+      s"first diff: ${got.zip(expected).find(t => t._1 != t._2)}")
+    // multi-char pieces actually won slots (the tokenizer learned units)
+    assert(got.count(_._2.length > 1) > 10)
+  }
+
+  test("unigram encode: digest equality with reference segmentation") {
+    val docs = graft.Tables(spark, sf0001, "documents").limit(50)
+    val pieces = TextAnalysis.unigramTrain(
+      graft.Tables(spark, sf0001, "documents"), "text", vocabSize = 120)
+      .collect().map(r => (r.getString(1), r.getDouble(3))).toIndexedSeq
+    val lp = pieces.toMap
+    val got = TextAnalysis.unigramEncode(docs, "doc_id", "text", pieces)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val texts = docs.select(col("doc_id"),
+      graft.functions.hashes.word_tokens(col("text")).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    for ((id, ws) <- texts) {
+      val words = ws.filter(_.nonEmpty)
+      val toks = ws.flatMap(w => refViterbi(w, lp, 4, -20.0))
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(toks.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(got(id)._1 == words.size, s"doc $id word count")
+      assert(got(id)._2 == toks.size, s"doc $id token count")
+      assert(got(id)._3 == digest, s"doc $id digest")
+    }
+  }
 }
