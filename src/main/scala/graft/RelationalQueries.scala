@@ -369,6 +369,18 @@ object RelationalQueries {
     "q37_key_skew" -> ((s, dir) =>
       Relational.keySkewProfile(Tables.events(s, dir), "user_id", topN = 50)),
 
+    // Sorted-neighborhood blocking over customer names: each record
+    // scored against its 3 successors in global (name, id) sort order —
+    // the linear-cost candidate scheme for records sharing no clean
+    // blocking key. Global ranks via range-repartition + per-partition
+    // offsets (no single-partition sort anywhere).
+    "er_sorted_neighborhood" -> ((s, dir) => {
+      EntityResolution.sortedNeighborhood(
+        Tables(s, dir, "customer")
+          .select(col("c_custkey").as("p_id"), col("c_name").as("p_name")),
+        window = 3, threshold = 0.9)
+    }),
+
     // Vector-space linkage over part names: token TF-IDF cosine via the
     // inverted token index — catches reordered-token matches the edit
     // family rejects, rare shared tokens dominate. Probe side pruned
@@ -703,6 +715,19 @@ object RelationalQueries {
         |t AS (SELECT cast(count(*) AS double) AS tot FROM events)
         |SELECT key, n_rows, round(n_rows / (SELECT tot FROM t), 6) AS share_r
         |FROM c ORDER BY n_rows DESC, key ASC LIMIT 50""".stripMargin,
+
+    // the global sort rank is engine-independent ((name, id) is a total
+    // order), so row_number + rank-distance join IS the oracle
+    "er_sorted_neighborhood" ->
+      """WITH r AS (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |    row_number() OVER (ORDER BY c_name, c_custkey) AS rank
+        |  FROM customer)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  cast(b.rank - a.rank AS int) AS dist,
+        |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw_r
+        |FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 3
+        |WHERE round(jaro_winkler_similarity(a.name, b.name), 6) >= 0.9""".stripMargin,
 
     // the same tf·ln(N/df) weights and cosine, ln() matching MathLn
     // bit-for-bit (the BM25-verified libm fact); round(·,6) before the

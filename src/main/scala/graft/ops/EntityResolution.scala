@@ -144,10 +144,14 @@ object EntityResolution {
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
     val n = df.count().toDouble
+    // the weight table feeds four branches (norms, probe side, candidate
+    // side — and norms again through each side's join); without a cache
+    // the tokenize + two aggregation passes re-run per branch
     val w = tf.join(dfreq, "token")
       .select(col("id"), col("token"), (col("tf").cast("double") *
         graft.functions.vectors.math_ln(lit(n) / col("df").cast("double")))
         .as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val norms = w.groupBy("id").agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val probes = w.join(norms, "id")
       .select(col("id").as("p_id"), col("token"), col("w").as("wa"),
@@ -271,6 +275,65 @@ object EntityResolution {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         round(jaroWinkler(col("a_name"), col("b_name")), 6).as("jw_r"))
+      .filter(col("jw_r") >= threshold)
+  }
+
+  /**
+   * Sorted-neighborhood blocking — the third classic candidate scheme
+   * next to key blocking ([[fuzzyPairs]]) and segment signatures
+   * ([[editJoin]]): sort the table by a key expression and compare each
+   * record only to its `window` successors in sort order. Catches
+   * prefix-similar records that share NO clean blocking key, with
+   * candidate volume exactly `window · n` — the linear-cost classic for
+   * large-table linkage.
+   *
+   * Global ranks WITHOUT a global sort (the 100 TB posture; the
+   * surface-wide plan sweep forbids unbounded single-partition
+   * exchanges): range-repartition on the sort key, rank within each
+   * range partition, then add per-partition offsets — a bounded
+   * (numPartitions-sized) collect + literal map. The rank equals the
+   * global (key, id) sort position regardless of where the sampled range
+   * boundaries fall, so the result is deterministic even though the
+   * partitioner's sampling is not.
+   *
+   * Pairs come from `window` equi-joins on `rank = rank + o` (offset
+   * explode — never a window function over the whole table), scored with
+   * [[jaroWinkler]] and rounded before thresholding. Output:
+   * (a_id, b_id, dist, jw_r) with a the earlier-ranked record.
+   */
+  def sortedNeighborhood(
+      records: DataFrame, window: Int, threshold: Double,
+      numPartitions: Int = 32): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val parted = records
+      .repartitionByRange(numPartitions, col("p_name"), col("p_id"))
+      .sortWithinPartitions(col("p_name"), col("p_id"))
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded collect: one row per range partition
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until numPartitions).scanLeft(0L) {
+      case (acc, p) => acc + counts.getOrElse(p, 0L)
+    }
+    val offsetExpr = (0 until numPartitions).foldLeft(lit(0L)) {
+      case (acc, p) => when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("p_name").asc, col("p_id").asc)
+    val ranked = parted
+      .withColumn("rank",
+        org.apache.spark.sql.functions.row_number().over(w).cast("long")
+          + offsetExpr)
+      .select(col("p_id"), col("p_name"), col("rank"))
+    val rhs = ranked.select(col("rank").as("b_rank"),
+      col("p_id").as("b_id"), col("p_name").as("b_name"))
+    ranked
+      .withColumn("o", explode(array((1 to window).map(lit): _*)))
+      .withColumn("b_rank", col("rank") + col("o"))
+      .join(rhs, "b_rank")
+      .select(col("p_id").as("a_id"), col("b_id"), col("o").as("dist"),
+        round(jaroWinkler(col("p_name"), col("b_name")), 6).as("jw_r"))
       .filter(col("jw_r") >= threshold)
   }
 }

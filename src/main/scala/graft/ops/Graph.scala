@@ -50,14 +50,22 @@ object Graph {
   def pageRank(
       pairs: DataFrame, iterations: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // the pair plan is typically an EXPENSIVE candidate join (PPJoin /
+    // banded LSH) and is referenced through every branch below (both
+    // union arms × degree agg × weighted-edge join — 4 evaluations
+    // without a cache, measured 2× the whole query's cost); persist it
+    // FIRST, exactly the connectedComponents discipline
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     // one cached frame feeds all sweeps: (src, dst, deg-of-src)
     val edgesW = edges.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the single driver scalar — member count, bounded by 2·|pairs|
+    // the single driver scalar — member count, bounded by 2·|pairs|;
+    // this count materializes edgesW, after which the pair cache is dead
     val n = edgesW.select(col("src")).distinct().count().toDouble
+    p.unpersist(blocking = false)
     val base = lit(1.0 - damping) / lit(n)
     var ranks = edgesW.select(col("src").as("doc_id")).distinct()
       .withColumn("rank", lit(1.0) / lit(n))
@@ -91,7 +99,11 @@ object Graph {
    * at least one pair.
    */
   def triangleStats(pairs: DataFrame): DataFrame = {
+    // five references below (three triangle-join arms + two degree arms):
+    // cache the expensive candidate plan once; the returned plan scans
+    // the cached blocks (the connectedComponents persisted-result posture)
     val e = pairs.select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ab = e.select(col("a_id").as("ta"), col("b_id").as("tb"))
     val bc = e.select(col("a_id").as("tb"), col("b_id").as("tc"))
     val ac = e.select(col("a_id").as("ta"), col("b_id").as("tc"))

@@ -213,6 +213,31 @@ class EntityResolutionSpec extends SparkSpec {
       assert(got((b, a)) == v, s"asymmetric score for ($a,$b)")
   }
 
+  test("sortedNeighborhood: pairs equal the driver-sorted window reference, any partitioning") {
+    import spark.implicits._
+    val rng = new java.util.Random(41)
+    val recs = (1L to 300L).map { i =>
+      (i, f"rec-${rng.nextInt(100)}%03d-${('a' + rng.nextInt(4)).toChar}")
+    }
+    val df = recs.toDF("p_id", "p_name")
+    // brute-force reference: global (name, id) sort, pairs within window
+    val sorted = recs.sortBy { case (id, n) => (n, id) }
+    val want = (for {
+      i <- sorted.indices; o <- 1 to 3 if i + o < sorted.size
+      a = sorted(i); b = sorted(i + o)
+      jw = BigDecimal(graft.functions.StringKernels.jaroWinkler(a._2, b._2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jw >= 0.9
+    } yield (a._1, b._1, o, jw)).toSet
+    for (np <- Seq(2, 7, 32)) {
+      val got = EntityResolution.sortedNeighborhood(df, window = 3,
+        threshold = 0.9, numPartitions = np)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3))).toSet
+      assert(got == want, s"numPartitions=$np: ${got.size} vs ${want.size}")
+    }
+  }
+
   test("editJoin equals brute force on random strings (lossless filter + exact verify)") {
     import spark.implicits._
     val rng = new java.util.Random(17)
