@@ -369,6 +369,16 @@ object RelationalQueries {
     "q37_key_skew" -> ((s, dir) =>
       Relational.keySkewProfile(Tables.events(s, dir), "user_id", topN = 50)),
 
+    // Equal-frequency length deciles over documents (exact integer rank
+    // transform — the deterministic ntile for length-stratified mixing),
+    // reported as per-bin composition stats.
+    "q39_length_deciles" -> ((s, dir) =>
+      Relational.equalFreqBins(Tables(s, dir, "documents")
+        .select("doc_id", "n_chars"), "n_chars", "doc_id", nBins = 10)
+        .groupBy("bin").agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))),
+
     // Sorted-neighborhood blocking over customer names: each record
     // scored against its 3 successors in global (name, id) sort order —
     // the linear-cost candidate scheme for records sharing no clean
@@ -715,6 +725,22 @@ object RelationalQueries {
         |t AS (SELECT cast(count(*) AS double) AS tot FROM events)
         |SELECT key, n_rows, round(n_rows / (SELECT tot FROM t), 6) AS share_r
         |FROM c ORDER BY n_rows DESC, key ASC LIMIT 50""".stripMargin,
+
+    // bin = ((rank-1)*10) // n + 1 — pure integer arithmetic; the
+    // (n_chars, doc_id) total order makes the rank engine-independent
+    "q39_length_deciles" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+        |  FROM documents),
+        |t AS (SELECT count(*) AS n FROM documents),
+        |b AS (
+        |  SELECT doc_id, n_chars,
+        |    cast(((rank - 1) * 10) // (SELECT n FROM t) AS int) + 1 AS bin
+        |  FROM r)
+        |SELECT bin, count(*) AS n_docs, min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars
+        |FROM b GROUP BY bin""".stripMargin,
 
     // the global sort rank is engine-independent ((name, id) is a total
     // order), so row_number + rank-distance join IS the oracle

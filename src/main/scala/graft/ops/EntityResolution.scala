@@ -287,44 +287,20 @@ object EntityResolution {
    * candidate volume exactly `window · n` — the linear-cost classic for
    * large-table linkage.
    *
-   * Global ranks WITHOUT a global sort (the 100 TB posture; the
-   * surface-wide plan sweep forbids unbounded single-partition
-   * exchanges): range-repartition on the sort key, rank within each
-   * range partition, then add per-partition offsets — a bounded
-   * (numPartitions-sized) collect + literal map. The rank equals the
-   * global (key, id) sort position regardless of where the sampled range
-   * boundaries fall, so the result is deterministic even though the
-   * partitioner's sampling is not.
-   *
-   * Pairs come from `window` equi-joins on `rank = rank + o` (offset
-   * explode — never a window function over the whole table), scored with
-   * [[jaroWinkler]] and rounded before thresholding. Output:
-   * (a_id, b_id, dist, jw_r) with a the earlier-ranked record.
+   * Global ranks come from [[Relational.globalRank]] (range-repartition
+   * + per-partition offsets — no single-partition sort; deterministic
+   * because (name, id) is a total order). Pairs come from `window`
+   * equi-joins on `rank = rank + o` (offset explode — never a window
+   * function over the whole table), scored with [[jaroWinkler]] and
+   * rounded before thresholding. Output: (a_id, b_id, dist, jw_r) with
+   * a the earlier-ranked record.
    */
   def sortedNeighborhood(
       records: DataFrame, window: Int, threshold: Double,
       numPartitions: Int = 32): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val parted = records
-      .repartitionByRange(numPartitions, col("p_name"), col("p_id"))
-      .sortWithinPartitions(col("p_name"), col("p_id"))
-      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bounded collect: one row per range partition
-    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until numPartitions).scanLeft(0L) {
-      case (acc, p) => acc + counts.getOrElse(p, 0L)
-    }
-    val offsetExpr = (0 until numPartitions).foldLeft(lit(0L)) {
-      case (acc, p) => when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
-    }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy(col("p_name").asc, col("p_id").asc)
-    val ranked = parted
-      .withColumn("rank",
-        org.apache.spark.sql.functions.row_number().over(w).cast("long")
-          + offsetExpr)
+    val ranked = Relational.globalRank(records,
+      Seq(col("p_name").asc, col("p_id").asc), numPartitions)
       .select(col("p_id"), col("p_name"), col("rank"))
     val rhs = ranked.select(col("rank").as("b_rank"),
       col("p_id").as("b_id"), col("p_name").as("b_name"))

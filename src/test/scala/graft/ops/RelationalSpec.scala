@@ -136,6 +136,33 @@ class RelationalSpec extends SparkSpec {
     assert(ties == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("globalRank equals a driver sort at any partitioning; bins are ±1-balanced") {
+    import spark.implicits._
+    val rng = new java.util.Random(23)
+    val rows = (1L to 257L).map(i => (i, rng.nextInt(40).toLong))
+    val df = rows.toDF("doc_id", "v")
+    val want = rows.sortBy { case (id, v) => (v, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    for (np <- Seq(2, 5, 32)) {
+      val got = Relational.globalRank(df,
+        Seq(col("v").asc, col("doc_id").asc), numPartitions = np)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == want, s"numPartitions=$np")
+    }
+    // equal-frequency bins: 257 rows into 10 bins → sizes 25 or 26,
+    // ordered by value, deterministic
+    val bins = Relational.equalFreqBins(df, "v", "doc_id", nBins = 10)
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bins.map(_._1).toSeq == (1 to 10))
+    assert(bins.forall(b => b._2 == 25L || b._2 == 26L))
+    // bin value ranges are non-decreasing
+    assert(bins.sliding(2).forall { case Array(a, b) => a._4 <= b._3 + 40 })
+    assert(bins.map(_._3).toSeq == bins.map(_._3).sorted.toSeq)
+  }
+
   test("madOutliers: planted extreme rows gate out, uniform bulk survives") {
     import spark.implicits._
     // group a: tight cluster around 1000 plus two extremes; group b: clean
