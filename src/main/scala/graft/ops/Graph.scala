@@ -48,7 +48,8 @@ object Graph {
    * contract on the O(1)-magnitude similarity scores).
    */
   def pageRank(
-      pairs: DataFrame, iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+      pairs: DataFrame, iterations: Int = 5, damping: Double = 0.85,
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     // the pair plan is typically an EXPENSIVE candidate join (PPJoin /
     // banded LSH) and is referenced through every branch below (both
@@ -56,6 +57,18 @@ object Graph {
     // without a cache, measured 2× the whole query's cost); persist it
     // FIRST, exactly the connectedComponents discipline
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size dispatch, the connectedComponents pattern: a near-dup edge
+    // list is tiny even for a huge corpus (it IS the duplication rate),
+    // and five distributed sweeps cost ~10 sequential shuffle stages of
+    // pure scheduling latency on a frame of a few thousand rows. Below
+    // the threshold the power iteration runs on the driver over the
+    // bounded collected edge list (1M pairs ≈ 16 MB); the distributed
+    // sweeps below remain for adversarial pair volumes.
+    if (p.count() <= localEdgeThreshold) {
+      val out = localPageRank(p, iterations, damping)
+      p.unpersist(blocking = true)
+      return out
+    }
     val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -82,6 +95,36 @@ object Graph {
     // twice; the frame is small (edge-bounded), let it age out with the
     // returned plan: callers running repeatedly should cache upstream pairs
     out
+  }
+
+  /** Driver-side power iteration over a bounded collected edge list —
+    * the same `r' = (1-d)/N + d·Σ r(u)/deg(u)` recurrence as the
+    * distributed sweeps, contributions folded in a canonical
+    * (sorted-edge) order; the final round(·,9) makes the two paths and
+    * the SQL oracle agree despite different summation orders (ranks are
+    * O(1/N) — the documented boundary-risk argument). */
+  private def localPageRank(
+      pairs: DataFrame, iterations: Int, damping: Double): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val raw = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = (raw ++ raw.map(_.swap)).sortBy(identity)
+    val deg = edges.groupBy(_._1).view.mapValues(_.length).toMap
+    val nodes = deg.keySet.toArray.sorted
+    val n = nodes.length.toDouble
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iterations) {
+      val contrib = new scala.collection.mutable.HashMap[Long, Double]()
+      edges.foreach { case (u, v) =>
+        contrib(v) = contrib.getOrElse(v, 0.0) + r(u) / deg(u)
+      }
+      r = nodes.map(v =>
+        v -> ((1.0 - damping) / n + damping * contrib.getOrElse(v, 0.0))).toMap
+    }
+    nodes.map(v => (v, BigDecimal(r(v))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSeq.toDF("doc_id", "pagerank")
   }
 
   /**

