@@ -61,6 +61,30 @@ object OpsQueries {
     model
   }
 
+  /** One FULL-RANK (dim×dim) rotation per corpus dir — the OPQ basis.
+    * Separate cache from the 8-component projection model: same fit
+    * machinery, different rank; side-exported so the OPQ oracle replays
+    * the identical rotation. */
+  private val opqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Pca.PcaModel]()
+
+  private def cachedOpqModel(
+      s: SparkSession, dir: String,
+      e: org.apache.spark.sql.DataFrame): Pca.PcaModel = {
+    val model = opqModelCache.computeIfAbsent(dir, _ => {
+      val d = e.select(size(col("embedding"))).head().getInt(0)
+      Pca.fit(e, d)
+    })
+    sideExport("opq_model", dir) {
+      import s.implicits._
+      (for {
+        c <- model.components.indices
+        i <- 0 until model.dim
+      } yield (c, i, model.components(c)(i))).toDF("comp", "idx", "coef")
+    }
+    model
+  }
+
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     Seq(ivfIndexCache, textIndexCache).foreach(_.values.forEach { p =>
       def rm(f: java.io.File): Unit = {
@@ -450,6 +474,18 @@ object OpsQueries {
     "sim_topk_ivf_pq" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, k = 5,
+        nCells = 16, nProbe = 4, m = 8, kSub = 16)
+    }),
+
+    // OPQ-style rotated IVF-PQ: the same 4-bit ADC machinery run in the
+    // corpus's full-rank PCA eigenbasis (Ge et al.'s non-parametric OPQ
+    // init) — the rotation preserves exact inner products but
+    // decorrelates coordinates so the m contiguous subspaces each carry
+    // a coherent variance slice; rotation side-exported for the oracle
+    "sim_topk_ivf_opq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqOpqTopK(e.filter(col("vec_id") < 10), e, k = 5,
+        rotation = cachedOpqModel(s, dir, e),
         nCells = 16, nProbe = 4, m = 8, kSub = 16)
     }),
 
@@ -1111,6 +1147,34 @@ object OpsQueries {
         |SELECT q_id, n_id, sim_r, rnk FROM ranked WHERE rnk <= 5""".stripMargin
   }
 
+  /** OPQ oracle: [[IvfPqSql]] verbatim, with the base vector CTE `v`
+    * replaced by the side-exported full-rank rotation applied row-wise —
+    * `rot_c = list_inner_product(e, component_c)` in component order
+    * (the list_inner_product ≡ sequential-native-dot parity that pins
+    * `sim_topk_pca`). Everything downstream — md5 centroid sample, cell
+    * assignment, sub-code argmin, fixed-order ADC fold — is the shared
+    * PQ machinery, now over rotated coordinates. */
+  private val IvfPqOpqSql: String = {
+    val rotatedV =
+      """WITH mdl AS (
+        |  SELECT comp, list(coef ORDER BY idx) AS ev
+        |  FROM read_parquet('__SIDEROOT__/opq_model/__SFBASE__/*.parquet')
+        |  GROUP BY comp
+        |), raw AS (
+        |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e0 FROM embeddings
+        |), v AS MATERIALIZED (
+        |  SELECT r.vec_id,
+        |    list(list_inner_product(r.e0, m.ev) ORDER BY m.comp) AS e
+        |  FROM raw r CROSS JOIN mdl m GROUP BY r.vec_id
+        |)""".stripMargin
+    val base =
+      """WITH v AS (
+        |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
+        |)""".stripMargin
+    require(IvfPqSql.startsWith(base), "IvfPqSql base CTE changed — fix IvfPqOpqSql")
+    rotatedV + IvfPqSql.substring(base.length)
+  }
+
   /** Shared oracle prelude: the PPJoin 3-gram Jaccard edge set over
     * `documents` (same derivation as the `graph_components` oracle), as
     * plain chained CTEs — `e0` is the oriented (a<b) pair list, `edges`
@@ -1766,6 +1830,7 @@ object OpsQueries {
         |FROM cv JOIN ps ON cv.vec_id = ps.vec_id""".stripMargin,
 
     "sim_topk_ivf_pq_rerank" -> IvfPqRerankSql,
+    "sim_topk_ivf_opq" -> IvfPqOpqSql,
     "sim_topk_ivf_pq_indexed" -> IvfPqSql,
 
     // the rerank composition: int8-IVF candidates to kCand=20 (same CTEs

@@ -264,6 +264,23 @@ object Pca {
   /** Centered projection of `vecCol` onto the model's components:
     * (idCol, proj array<double>) — component rows are plan literals, each
     * coordinate one native sequential dot; zero shuffle. */
+  /**
+   * Pure ROTATION into the eigenbasis — [[project]] WITHOUT the mean
+   * offsets: `rot_c = ⟨x, e_c⟩`. With a full-rank model this is an
+   * orthogonal change of basis, so inner products (and hence exact
+   * cosine rankings) are preserved EXACTLY while variance concentrates
+   * along leading axes — the property OPQ-style product quantization
+   * wants: the rotated subspace split balances information across code
+   * books without changing what the exact score means.
+   */
+  def rotate(
+      df: DataFrame, model: PcaModel,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    df.withColumn("__v", toDouble(col(vecCol)))
+      .select(col(idCol),
+        array(model.components.toIndexedSeq.map(e =>
+          dot(col("__v"), typedlit(e.toSeq))): _*).as("rot"))
+
   def project(
       df: DataFrame, model: PcaModel,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

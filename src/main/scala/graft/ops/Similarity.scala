@@ -933,6 +933,40 @@ object Similarity {
   }
 
   /**
+   * OPQ-style rotated IVF-PQ/ADC — [[ivfPqTopK]] run in the corpus's
+   * PCA eigenbasis (the non-parametric OPQ initialization of Ge et al.,
+   * CVPR 2013 §4: an orthogonal rotation before the subspace split).
+   * Rotation by a FULL-RANK orthogonal matrix preserves every inner
+   * product exactly — the exact ranking is unchanged — but it
+   * decorrelates coordinates, so the m fixed contiguous subspaces each
+   * carry a coherent variance slice instead of whatever axis-aligned
+   * split the raw embedding happened to have: the standard recall
+   * improvement at the same code budget when embeddings have
+   * correlated axes.
+   *
+   * Everything downstream is the [[ivfPqTopK]] machinery verbatim over
+   * the rotated frames; the rotated corpus is localCheckpointed once so
+   * the centroid sample, cell assignment, and code passes don't re-run
+   * the d² rotation dots. Determinism: the rotation is the
+   * deterministic Jacobi eigenbasis ([[Pca.fit]] canonical signs), and
+   * the oracle replays it from the side-exported model — the
+   * list_inner_product/sequential-dot parity that already pins
+   * `sim_topk_pca`.
+   */
+  def ivfPqOpqTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      rotation: Pca.PcaModel,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 8, kSub: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rotation.nComponents == rotation.dim,
+      "OPQ needs a FULL-RANK rotation (nComponents == dim) — a truncated " +
+        "basis would silently drop score mass instead of re-axing it")
+    val rc = Pca.rotate(corpus, rotation, idCol, vecCol).localCheckpoint()
+    val rq = Pca.rotate(queries, rotation, idCol, vecCol)
+    ivfPqTopK(rq, rc, k, nCells, nProbe, m, kSub, idCol = idCol, vecCol = "rot")
+  }
+
+  /**
    * Persist an IVF index: the production shape for repeated retrieval
    * over a fixed corpus. Cells become PARQUET PARTITION DIRECTORIES
    * (`cells/cell=<i>/`), each row carrying the packed int8 code, its

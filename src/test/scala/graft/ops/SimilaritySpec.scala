@@ -804,4 +804,44 @@ class SimilaritySpec extends SparkSpec {
     // all cells probed (nProbe = nCells) → exhaustive over different labels
     assert(got.length == 3)
   }
+
+  test("OPQ rotation: inner products preserved exactly; twins recalled; deterministic") {
+    val e = Tables(spark, sf0001, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+    val d = e.select(size(col("embedding"))).head().getInt(0)
+    val rot = graft.ops.Pca.fit(e, d)
+    assert(rot.nComponents == d, "full-rank rotation")
+    // orthogonal change of basis: rotated dot == raw dot (to fp wobble)
+    val raw = e.limit(5).collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def rotArr(x: Array[Double]) =
+      rot.components.map(c => c.zip(x).map { case (a, b) => a * b }.sum)
+    for (i <- raw.indices; j <- raw.indices) {
+      val dRaw = raw(i).zip(raw(j)).map { case (a, b) => a * b }.sum
+      val rI = rotArr(raw(i)); val rJ = rotArr(raw(j))
+      val dRot = rI.zip(rJ).map { case (a, b) => a * b }.sum
+      assert(math.abs(dRaw - dRot) < 1e-9 * math.max(1.0, math.abs(dRaw)),
+        s"rotation broke dot($i,$j): $dRaw vs $dRot")
+    }
+    // planted twin: identical vector → identical rotation → identical
+    // cell and PQ code → self-score maximum, same floor as direct PQ
+    val twins = q.select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val topk = Similarity.ivfPqOpqTopK(q, e.unionByName(twins), k = 5,
+      rotation = rot, nCells = 8, nProbe = 2)
+      .collect().groupBy(_.getAs[Long]("q_id"))
+      .view.mapValues(_.map(_.getAs[Long]("n_id")).toSet).toMap
+    (0L until 10L).foreach { qid =>
+      assert(topk(qid).contains(qid + 10000),
+        s"query $qid lost its twin: ${topk(qid)}")
+    }
+    // deterministic across evaluations
+    val a = Similarity.ivfPqOpqTopK(q, e, k = 5, rotation = rot)
+      .collect().map(_.toString).sorted
+    val b = Similarity.ivfPqOpqTopK(q, e, k = 5, rotation = rot)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // truncated rotation must be rejected, not silently lossy
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqOpqTopK(q, e, k = 5, rotation = graft.ops.Pca.fit(e, 8))
+    }
+  }
 }
