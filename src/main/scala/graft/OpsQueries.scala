@@ -61,6 +61,18 @@ object OpsQueries {
     model
   }
 
+  /** One trained unigram piece table per corpus dir per JVM — the
+    * cachedPcaModel fit-once pattern: the EM rounds are TRAINING, shared
+    * by the train-table query and the encode query instead of re-run
+    * per invocation (review finding). Driver rows only (vocab-sized). */
+  private val unigramModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, Long, Double)]]()
+
+  private def cachedUnigramModel(
+      s: SparkSession, dir: String): Seq[(Int, String, Long, Double)] =
+    unigramModelCache.computeIfAbsent(dir, _ =>
+      TextAnalysis.unigramFit(docs(s, dir), "text", vocabSize = 120))
+
   /** One FULL-RANK (dim×dim) rotation per corpus dir — the OPQ basis.
     * Separate cache from the 8-component projection model: same fit
     * machinery, different rank; side-exported so the OPQ oracle replays
@@ -777,15 +789,17 @@ object OpsQueries {
     // inventory → hard-EM Viterbi rounds → vocab cut. Sequential DP ⇒
     // no portable SQL oracle; pinned by the independent-trainer
     // exact-equality contract in TextAnalysisSpec
-    "text_unigram_train" -> ((s, dir) =>
-      TextAnalysis.unigramTrain(docs(s, dir), "text", vocabSize = 120)),
+    "text_unigram_train" -> ((s, dir) => {
+      import s.implicits._
+      cachedUnigramModel(s, dir).toDF("rank", "piece", "n_uses", "logp_r")
+    }),
 
-    // unigram tokenizer APPLICATION: train the 120-piece table, then
-    // Viterbi-encode every document with it (train-once-encode-corpus
+    // unigram tokenizer APPLICATION: the fit-once cached 120-piece
+    // table, Viterbi-encoding every document (train-once-encode-corpus
     // shape; same contract-test status as training)
     "text_unigram_encode" -> ((s, dir) => {
-      val pieces = TextAnalysis.unigramTrain(docs(s, dir), "text", vocabSize = 120)
-        .collect().map(r => (r.getString(1), r.getDouble(3))).toIndexedSeq
+      val pieces = cachedUnigramModel(s, dir)
+        .map { case (_, p, _, lp) => (p, lp) }
       TextAnalysis.unigramEncode(docs(s, dir), "doc_id", "text", pieces)
     }),
 

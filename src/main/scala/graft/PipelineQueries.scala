@@ -147,14 +147,15 @@ object PipelineQueries {
     // Chunking.hashSplit's bucket function verbatim: first 8 md5 hex chars
     // of the stringified id, mod 100, cumulative-range CASE
     // weightedSample's key function verbatim: md5-uniform u over 2^32,
-    // rank by pow(u, 1/w) desc with id tiebreak — selection-only output,
-    // so the compare is over exact integers
+    // rank by ln(u)/w desc (the pow(u,1/w)-monotone form whose only
+    // transcendental is the MathLn-pinned ln) with id tiebreak —
+    // selection-only output, so the compare is over exact integers
     "mix_weighted_sample" ->
       """WITH keyed AS (
         |  SELECT doc_id, n_chars, source,
-        |    pow((('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint)
-        |        / cast(4294967296 AS double),
-        |      1.0 / cast(n_chars AS double)) AS k
+        |    ln((('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint)
+        |        / cast(4294967296 AS double))
+        |      / cast(n_chars AS double) AS k
         |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars, source FROM keyed
         |ORDER BY k DESC, doc_id ASC LIMIT 100""".stripMargin,

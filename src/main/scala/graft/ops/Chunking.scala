@@ -344,12 +344,17 @@ object Chunking {
   /**
    * Deterministic weighted sampling WITHOUT replacement (the A-ES /
    * Efraimidis–Spirakis exponential-jumps scheme, reduced to its one-pass
-   * key form): each row draws a uniform `u` and is ranked by `u^(1/w)`;
-   * the top `k` keys are EXACTLY a weight-proportional draw without
-   * replacement. The uniform comes from the codebase's engine-portable
-   * pseudo-random source — the first 8 md5 hex chars of the stringified
-   * id over 2^32 — so the selection is reproducible across reruns,
-   * engines, and partitionings (same contract as [[hashSplit]]).
+   * key form): each row draws a uniform `u` and is ranked by `u^(1/w)` —
+   * realized as the monotone-equivalent `ln(u)/w` so the key needs only
+   * `ln` (which [[graft.functions.MathLn]] pins bit-for-bit to the
+   * oracle engine's libm) and one correctly-rounded division; `pow` has
+   * no such cross-engine guarantee, and a 1-ulp key wobble at the k-th
+   * boundary would flip the selection. The top `k` keys are EXACTLY a
+   * weight-proportional draw without replacement. The uniform comes from
+   * the codebase's engine-portable pseudo-random source — the first 8
+   * md5 hex chars of the stringified id over 2^32 — so the selection is
+   * reproducible across reruns, engines, and partitionings (same
+   * contract as [[hashSplit]]).
    *
    * Scale: one row-local projection plus a distributed bounded-heap top-k
    * (`TakeOrderedAndProject` — each partition keeps k rows, the driver
@@ -363,7 +368,8 @@ object Chunking {
     val u = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
       16, 10).cast("long").cast("double") / lit(4294967296.0)
     df.filter(col(weightCol) > 0)
-      .withColumn("__key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .withColumn("__key",
+        graft.functions.vectors.math_ln(u) / col(weightCol).cast("double"))
       .orderBy(col("__key").desc, col(idCol).asc)
       .limit(k)
       .drop("__key")

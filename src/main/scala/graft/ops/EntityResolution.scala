@@ -160,13 +160,19 @@ object EntityResolution {
     val cands = w.join(norms, "id")
       .select(col("id").as("c_id"), col("token"), col("w").as("wb"),
         col("nrm").as("nb"))
-    probes.join(cands, "token")
+    // the match set is threshold-gated (bounded); checkpoint it eagerly
+    // so the token-level weight cache can be dropped before returning
+    // instead of leaking one corpus-sized cached frame per invocation
+    val out = probes.join(cands, "token")
       .filter(col("p_id") =!= col("c_id"))
       .groupBy("p_id", "c_id", "na", "nb")
       .agg(sum(col("wa") * col("wb")).as("dot"))
       .select(col("p_id"), col("c_id"),
         round(col("dot") / (col("na") * col("nb")), 6).as("cos_r"))
       .filter(col("cos_r") >= threshold)
+      .localCheckpoint()
+    w.unpersist(blocking = false)
+    out
   }
 
   /**

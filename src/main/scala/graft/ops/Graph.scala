@@ -64,7 +64,19 @@ object Graph {
     // the threshold the power iteration runs on the driver over the
     // bounded collected edge list (1M pairs ≈ 16 MB); the distributed
     // sweeps below remain for adversarial pair volumes.
-    if (p.count() <= localEdgeThreshold) {
+    // the driver path keys its adjacency on long ids — dispatch to it
+    // only for integral id columns (a string-keyed edge list would cast
+    // to null and NPE); non-integral ids take the distributed sweeps,
+    // which are id-type-agnostic
+    val integralIds = Seq(p.schema("a_id").dataType, p.schema("b_id").dataType)
+      .forall {
+        case org.apache.spark.sql.types.LongType
+             | org.apache.spark.sql.types.IntegerType
+             | org.apache.spark.sql.types.ShortType
+             | org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+    if (integralIds && p.count() <= localEdgeThreshold) {
       val out = localPageRank(p, iterations, damping)
       p.unpersist(blocking = true)
       return out
@@ -107,6 +119,10 @@ object Graph {
       pairs: DataFrame, iterations: Int, damping: Double): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    // widen-to-long is lossless for the integral id types the dispatch
+    // admits; the output doc_id is cast back to the input's id type so
+    // both dispatch paths return the same schema
+    val idType = pairs.schema("a_id").dataType
     val raw = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val edges = (raw ++ raw.map(_.swap)).sortBy(identity)
@@ -125,6 +141,7 @@ object Graph {
     nodes.map(v => (v, BigDecimal(r(v))
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble))
       .toSeq.toDF("doc_id", "pagerank")
+      .withColumn("doc_id", col("doc_id").cast(idType))
   }
 
   /**

@@ -261,9 +261,6 @@ object Pca {
     covRows(spark, covarianceMatrix(n, sums, scatter), d)
   }
 
-  /** Centered projection of `vecCol` onto the model's components:
-    * (idCol, proj array<double>) — component rows are plan literals, each
-    * coordinate one native sequential dot; zero shuffle. */
   /**
    * Pure ROTATION into the eigenbasis — [[project]] WITHOUT the mean
    * offsets: `rot_c = ⟨x, e_c⟩`. With a full-rank model this is an
@@ -281,6 +278,9 @@ object Pca {
         array(model.components.toIndexedSeq.map(e =>
           dot(col("__v"), typedlit(e.toSeq))): _*).as("rot"))
 
+  /** Centered projection of `vecCol` onto the model's components:
+    * (idCol, proj array<double>) — component rows are plan literals, each
+    * coordinate one native sequential dot; zero shuffle. */
   def project(
       df: DataFrame, model: PcaModel,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -120,13 +120,23 @@ object Relational {
    */
   def keySkewProfile(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
     require(topN > 0, "topN must be positive")
-    val total = df.count().toDouble
-    df.groupBy(col(keyCol).as("key"))
+    // ONE scan of the input: the per-key count table is cached, the
+    // total is its aggregate, and the top-N reads the same blocks —
+    // the raw input (a whole micro-batch in skewStream) is never read
+    // twice. The bounded top-N is checkpointed so the cache can be
+    // released before returning.
+    val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n_rows"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(sum(col("n_rows"))).head().getLong(0).toDouble
+    val out = counts
       .orderBy(col("n_rows").desc, col("key").asc)
       .limit(topN)
       .select(col("key"), col("n_rows"),
         round(col("n_rows").cast("double") / lit(total), 6).as("share_r"))
+      .localCheckpoint()
+    counts.unpersist(blocking = false)
+    out
   }
 
   /**
@@ -148,25 +158,25 @@ object Relational {
   def globalRank(
       df: DataFrame, sortCols: Seq[Column], numPartitions: Int = 32): DataFrame = {
     require(sortCols.nonEmpty, "sortCols must be non-empty")
-    val parted = df
+    val spark = df.sparkSession
+    // ONE range exchange + one in-partition sort; zipWithIndex assigns
+    // global contiguous indices in (partition, in-partition) order —
+    // which IS the global sort order here. (The earlier window-function
+    // formulation forced a second hash exchange on the partition id plus
+    // a full re-sort — review finding, removed.) zipWithIndex runs a
+    // per-partition count job first, so the sorted RDD is persisted and
+    // the returned frame scans the same blocks.
+    val sorted = df
       .repartitionByRange(numPartitions, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    val schema = sorted.schema
+      .add("rank", org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = sorted.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // bounded collect: one row per range partition
-    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until numPartitions).scanLeft(0L) {
-      case (acc, p) => acc + counts.getOrElse(p, 0L)
+    val ranked = rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
     }
-    val offsetExpr = (0 until numPartitions).foldLeft(lit(0L)) {
-      case (acc, p) => when(col("__pid") === p, lit(offsets(p))).otherwise(acc)
-    }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy(sortCols: _*)
-    parted
-      .withColumn("rank", row_number().over(w).cast("long") + offsetExpr)
-      .drop("__pid")
+    spark.createDataFrame(ranked, schema)
   }
 
   /**
@@ -186,11 +196,14 @@ object Relational {
       df: DataFrame, valueCol: String, idCol: String, nBins: Int,
       numPartitions: Int = 32): DataFrame = {
     require(nBins >= 1, "nBins must be >= 1")
-    val n = df.count()
+    // rank FIRST: the total then comes from a scan of globalRank's
+    // persisted blocks instead of a second full pass over the raw input
+    val ranked = globalRank(df,
+      Seq(col(valueCol).asc, col(idCol).asc), numPartitions)
+    val n = ranked.count()
     require(n > 0, "cannot bin an empty frame")
-    globalRank(df, Seq(col(valueCol).asc, col(idCol).asc), numPartitions)
-      .withColumn("bin",
-        (expr(s"((rank - 1) * $nBins) div ${n}L") + lit(1)).cast("int"))
+    ranked.withColumn("bin",
+      (expr(s"((rank - 1) * $nBins) div ${n}L") + lit(1)).cast("int"))
   }
 
   /**

@@ -938,9 +938,22 @@ object TextAnalysis {
       df: DataFrame, textCol: String, vocabSize: Int = 120,
       maxPieceLen: Int = 4, emRounds: Int = 2,
       seedSize: Int = 600): DataFrame = {
-    require(vocabSize >= 1 && maxPieceLen >= 1 && emRounds >= 1)
     val spark = df.sparkSession
     import spark.implicits._
+    unigramFit(df, textCol, vocabSize, maxPieceLen, emRounds, seedSize)
+      .toDF("rank", "piece", "n_uses", "logp_r")
+  }
+
+  /** The trained piece table of [[unigramTrain]] as driver rows —
+    * (rank, piece, n_uses, logp_r). Exposed so callers (and the query
+    * layer's fit-once cache, the cachedPcaModel pattern) can train once
+    * and reuse the table for both the train-table query and encode
+    * passes without repeating the EM rounds. */
+  def unigramFit(
+      df: DataFrame, textCol: String, vocabSize: Int = 120,
+      maxPieceLen: Int = 4, emRounds: Int = 2,
+      seedSize: Int = 600): Seq[(Int, String, Long, Double)] = {
+    require(vocabSize >= 1 && maxPieceLen >= 1 && emRounds >= 1)
     val wordCounts = df
       .select(explode(graft.functions.hashes.word_tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
@@ -994,7 +1007,7 @@ object TextAnalysis {
       kept.zipWithIndex.map { case ((p, f), i) =>
         (i + 1, p, f, BigDecimal(Math.log(f / total))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }.toDF("rank", "piece", "n_uses", "logp_r")
+      }
     } finally wordCounts.unpersist(blocking = false)
   }
 

@@ -115,7 +115,7 @@ object EventStream {
    * consumer's one aggregation over the tiny emitted tables; no
    * streaming state store for an unbounded key domain).
    *
-   * `onProfile` receives (batch_id, key, n_rows, share_r) per batch —
+   * `onProfile` receives (key, n_rows, share_r, batch_id) per batch —
    * route it to the partition-stats table the adaptive writers read.
    */
   def skewStream(

@@ -268,7 +268,7 @@ class ChunkingSpec extends SparkSpec {
       col("n_chars"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
       .filter(_._3 > 0)
-      .map { case (id, u, w) => (id, math.pow(u, 1.0 / w)) }
+      .map { case (id, u, w) => (id, Math.log(u) / w) }
     val want = keys.sortBy { case (id, key) => (-key, id) }.take(k).map(_._1).toSet
     assert(got == want)
     assert(got.size == k)
