@@ -256,6 +256,18 @@ object OpsQueries {
       Graph.pageRank(pairs, iterations = 5, damping = 0.85)
     }),
 
+    // WEIGHTED PageRank: rank mass flows through the similarity weights
+    // themselves (the PPJoin jaccard), so a doc bound by STRONG duplicate
+    // links outranks one with many weak ones — the canonical-document
+    // signal weighted by how duplicate the neighborhood actually is
+    "graph_pagerank_weighted" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text",
+        n = 3, threshold = 0.8)
+        .select(col("a_id"), col("b_id"), col("jac").as("weight"))
+      Graph.pageRankWeighted(pairs, "weight")
+    }),
+
     // per-node triangle participation + degree on the same edge set — the
     // local-clustering signal separating dense duplicate cliques from hub
     // artifacts (a template string matching many unrelated docs). Oriented
@@ -1207,10 +1219,12 @@ object OpsQueries {
       |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
       |  FROM toks WHERE len(w) >= 3
       |), e0 AS MATERIALIZED (
-      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-      |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-      |  WHERE cast(len(list_intersect(a.g, b.g)) as double)
-      |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+      |  SELECT a_id, b_id, jac FROM (
+      |    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |      cast(len(list_intersect(a.g, b.g)) as double)
+      |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jac
+      |    FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+      |  WHERE jac >= 0.8
       |), edges AS MATERIALIZED (
       |  SELECT a_id AS u, b_id AS v FROM e0
       |  UNION ALL SELECT b_id, a_id FROM e0
@@ -2105,6 +2119,44 @@ object OpsQueries {
           |  SELECT e.v AS u, (1 - cast(0.85 AS double)) / (SELECT c FROM nn)
           |      + cast(0.85 AS double) * sum(p.r / d.d) AS r
           |  FROM p4 p JOIN edges e ON e.u = p.u JOIN deg d ON d.u = p.u
+          |  GROUP BY e.v)
+          |SELECT u AS doc_id, round(r, 9) AS pagerank FROM p5""".stripMargin),
+
+    // Graph.pageRankWeighted: same unrolled sweeps with the PPJoin
+    // jaccard as transition weight — w/W(u) replaces 1/deg(u); the jac
+    // division is the identical exact-int expression both engines fold
+    "graph_pagerank_weighted" ->
+      (ngramEdgeSql +
+        """, wedges AS MATERIALIZED (
+          |  SELECT a_id AS u, b_id AS v, jac AS w FROM e0
+          |  UNION ALL SELECT b_id, a_id, jac FROM e0
+          |), wsum AS (SELECT u, sum(w) AS wt FROM wedges GROUP BY u
+          |), nn AS (SELECT cast(count(*) AS double) AS c FROM wsum
+          |), p0 AS (SELECT u, 1 / (SELECT c FROM nn) AS r FROM wsum
+          |), p1 AS (
+          |  SELECT e.v AS u, (1 - cast(0.85 AS double)) / (SELECT c FROM nn)
+          |      + cast(0.85 AS double) * sum(p.r * e.w / s.wt) AS r
+          |  FROM p0 p JOIN wedges e ON e.u = p.u JOIN wsum s ON s.u = p.u
+          |  GROUP BY e.v
+          |), p2 AS (
+          |  SELECT e.v AS u, (1 - cast(0.85 AS double)) / (SELECT c FROM nn)
+          |      + cast(0.85 AS double) * sum(p.r * e.w / s.wt) AS r
+          |  FROM p1 p JOIN wedges e ON e.u = p.u JOIN wsum s ON s.u = p.u
+          |  GROUP BY e.v
+          |), p3 AS (
+          |  SELECT e.v AS u, (1 - cast(0.85 AS double)) / (SELECT c FROM nn)
+          |      + cast(0.85 AS double) * sum(p.r * e.w / s.wt) AS r
+          |  FROM p2 p JOIN wedges e ON e.u = p.u JOIN wsum s ON s.u = p.u
+          |  GROUP BY e.v
+          |), p4 AS (
+          |  SELECT e.v AS u, (1 - cast(0.85 AS double)) / (SELECT c FROM nn)
+          |      + cast(0.85 AS double) * sum(p.r * e.w / s.wt) AS r
+          |  FROM p3 p JOIN wedges e ON e.u = p.u JOIN wsum s ON s.u = p.u
+          |  GROUP BY e.v
+          |), p5 AS (
+          |  SELECT e.v AS u, (1 - cast(0.85 AS double)) / (SELECT c FROM nn)
+          |      + cast(0.85 AS double) * sum(p.r * e.w / s.wt) AS r
+          |  FROM p4 p JOIN wedges e ON e.u = p.u JOIN wsum s ON s.u = p.u
           |  GROUP BY e.v)
           |SELECT u AS doc_id, round(r, 9) AS pagerank FROM p5""".stripMargin),
 

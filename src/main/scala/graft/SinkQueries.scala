@@ -54,6 +54,24 @@ object SinkQueries {
     // Fragment the write on purpose (8 tasks × partitions), compact to one
     // file per partition, and hash the read-back against the source: if
     // compaction dropped, duplicated, or re-routed any row, this fails.
+    // Partition retention: write the tree, expire the 5-LOW partition by
+    // directory delete (metadata-cost — no data file opened, no rewrite),
+    // read back; the oracle is the source minus the expired partition, so
+    // a drop that touched the wrong directory or leaked rows hash-fails.
+    "sink_retention" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_sink_retain").toString
+      val orders = Tables(s, dir, "orders")
+      PartitionedSink.write(orders, out,
+        SinkConfig(ParquetFormat, Seq("o_orderpriority"), Some("snappy"),
+          runtimeNullCheck = true))
+      val dropped = PartitionedSink.dropPartitionsWhere(s, out,
+        Seq("o_orderpriority"), _("o_orderpriority").startsWith("5"))
+      require(dropped.size == 1, s"expected one expired partition: $dropped")
+      PartitionedSink.readBack(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
     "sink_compacted" -> ((s, dir) => {
       val frag = Files.createTempDirectory("graft_sink_frag").toString
       val comp = Files.createTempDirectory("graft_sink_comp").toString
@@ -226,6 +244,11 @@ object SinkQueries {
   val oracles: Map[String, String] = Map(
     "sink_parquet_partitioned" -> ordersOracle,
     "sink_compacted" -> ordersOracle,
+    "sink_retention" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  trim(cast(o_orderpriority as varchar)) AS o_orderpriority
+        |FROM orders
+        |WHERE trim(cast(o_orderpriority as varchar)) NOT LIKE '5%'""".stripMargin,
     "sink_compacted_sized" -> ordersOracle,
     "sink_overwrite_partitions" ->
       """SELECT o_orderkey, o_custkey,

@@ -145,6 +145,47 @@ object Graph {
   }
 
   /**
+   * WEIGHTED PageRank over an undirected pair list carrying an edge
+   * weight column (`a_id`, `b_id`, `weight`) — for near-dup graphs the
+   * weight is the similarity itself (Jaccard/cosine), so rank mass flows
+   * preferentially through STRONG duplicate links: the canonical-document
+   * signal weighted by how duplicate the neighbors actually are.
+   * Same fixed-sweep recurrence with weighted transition probabilities,
+   * `r'(v) = (1-dmp)/N + dmp · Σ_{u→v} r(u)·w(u,v)/W(u)` where `W(u)` is
+   * u's total incident weight. Distributed-only (no driver fast path —
+   * the unweighted operator covers the latency-sensitive tiny-graph
+   * case); one cached weighted-edge frame feeds all sweeps, plan depth
+   * linear, round(·,9) on output.
+   */
+  def pageRankWeighted(
+      pairs: DataFrame, weightCol: String = "weight",
+      iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .union(p.select(col("b_id").as("src"), col("a_id").as("dst"),
+        col(weightCol).cast("double").as("w")))
+    val wsum = edges.groupBy("src").agg(sum(col("w")).as("wtot"))
+    val edgesW = edges.join(wsum, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = edgesW.select(col("src")).distinct().count().toDouble
+    p.unpersist(blocking = false)
+    val base = lit(1.0 - damping) / lit(n)
+    var ranks = edgesW.select(col("src").as("doc_id")).distinct()
+      .withColumn("rank", lit(1.0) / lit(n))
+    for (_ <- 1 to iterations) {
+      ranks = edgesW
+        .join(ranks, edgesW("src") === ranks("doc_id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") * col("w") / col("wtot")).as("contrib"))
+        .select(col("dst").as("doc_id"),
+          (base + lit(damping) * col("contrib")).as("rank"))
+    }
+    ranks.select(col("doc_id"), round(col("rank"), 9).as("pagerank"))
+  }
+
+  /**
    * Per-node triangle participation over an undirected pair list, plus the
    * degree — together they give the local clustering coefficient
    * `2T / (deg·(deg-1))`, the standard "is this a dense duplicate clique

@@ -462,6 +462,37 @@ object PartitionedSink {
    * read-under-write hazard; callers swap directories atomically after.
    * Content is untouched (oracle-verified via `sink_compacted`).
    */
+  /**
+   * Partition retention: drop whole partition DIRECTORIES whose
+   * partition values satisfy `predicate` — the TTL/retention sweep every
+   * partitioned corpus store needs (expire old date partitions, purge a
+   * revoked source). This is a METADATA-COST operation: the partition
+   * values come from the directory tree ([[PartitionCatalog.list]] —
+   * O(partition-dirs) listStatus, no data file is ever opened), and each
+   * dropped partition is one recursive directory delete. No rewrite, no
+   * read, no shuffle — at 100 TB the sweep costs the same as at 100 GB
+   * because only the partition CARDINALITY matters.
+   *
+   * Returns the dropped partition-value tuples so callers can sync a
+   * registered catalog ([[PartitionCatalog]] `MSCK REPAIR` or explicit
+   * `DROP PARTITION`) and audit what went away.
+   */
+  def dropPartitionsWhere(
+      spark: SparkSession, path: String, partitionFields: Seq[String],
+      predicate: Map[String, String] => Boolean): Seq[Map[String, String]] = {
+    require(partitionFields.nonEmpty, "partitionFields must be non-empty")
+    val parts = PartitionCatalog.list(spark, path, partitionFields.size)
+    val (hfs, root) = FsOps.fs(spark, path)
+    val dropped = parts.filter(predicate)
+    dropped.foreach { vals =>
+      val rel = partitionFields.map(f =>
+        s"$f=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(vals(f))}").mkString("/")
+      FsOps.deleteIfExists(hfs, new Path(root, rel))
+    }
+    dropped
+  }
+
   def compact(
       spark: SparkSession, inPath: String, outPath: String,
       partitionFields: Seq[String], format: SinkFormat = ParquetFormat,

@@ -67,6 +67,40 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  /** Weighted reference: same recurrence with w/W(u) transitions. */
+  private def refWeightedPageRank(
+      pairs: Seq[(Long, Long, Double)], iters: Int,
+      d: Double): Map[Long, Double] = {
+    val edges = pairs.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+    val wtot = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nodes = wtot.keySet
+    val n = nodes.size.toDouble
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _, w) => r(u) * w / wtot(u) }.sum
+      }
+      r = nodes.map(v => v -> ((1.0 - d) / n + d * contrib.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("pageRankWeighted: strong links carry more mass; matches the reference") {
+    import spark.implicits._
+    // node 3 linked to 1 STRONGLY and to 5 weakly; symmetric shape
+    // otherwise, so weight is the only asymmetry
+    val pairs = Seq((1L, 3L, 0.9), (3L, 5L, 0.1), (1L, 2L, 0.5), (5L, 4L, 0.5))
+    val got = Graph.pageRankWeighted(pairs.toDF("a_id", "b_id", "weight"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refWeightedPageRank(pairs, 5, 0.85)
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want)
+      assert(math.abs(got(k) - v) < 1e-9, s"node $k: ${got(k)} vs $v")
+    // the strong-side neighbor of the hub outranks the weak-side one
+    assert(got(1L) > got(5L))
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
+
   test("triangleStats counts planted triangles exactly") {
     import spark.implicits._
     // triangles {1,2,3} and {2,3,4}; node 5 hangs off node 4

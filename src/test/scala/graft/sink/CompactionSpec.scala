@@ -168,4 +168,31 @@ class CompactionSpec extends SparkSpec {
     assert(PartitionedSink.readBack(spark, comp.toString).count() ==
       orders.count())
   }
+
+  test("retention drop: exact partition scope, escaped values, idempotent, audited") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_retention").toString
+    // a partition value needing Hive escaping ('/' is rejected by the
+    // writer, so use a space + colon — escaped as %3A in the dir name)
+    val rows = Seq(
+      (1L, "2024:old", "a"), (2L, "2024:old", "b"),
+      (3L, "2025:new", "c"), (4L, "keep me", "d"))
+      .toDF("id", "ptn", "payload")
+    PartitionedSink.write(rows, out,
+      SinkConfig(ParquetFormat, Seq("ptn"), Some("snappy"),
+        runtimeNullCheck = true))
+    val dropped = PartitionedSink.dropPartitionsWhere(spark, out,
+      Seq("ptn"), _("ptn") == "2024:old")
+    assert(dropped == Seq(Map("ptn" -> "2024:old")))
+    val left = PartitionedSink.readBack(spark, out)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(left == Set(3L, 4L), "only the expired partition's rows gone")
+    // idempotent: re-dropping an absent partition is a no-op
+    assert(PartitionedSink.dropPartitionsWhere(spark, out,
+      Seq("ptn"), _("ptn") == "2024:old").isEmpty)
+    // predicate matching nothing drops nothing
+    assert(PartitionedSink.dropPartitionsWhere(spark, out,
+      Seq("ptn"), _ => false).isEmpty)
+    assert(PartitionedSink.readBack(spark, out).count() == 2)
+  }
 }
