@@ -256,6 +256,18 @@ object OpsQueries {
       Graph.pageRank(pairs, iterations = 5, damping = 0.85)
     }),
 
+    // PERSONALIZED PageRank from a seed set: restart mass returns to the
+    // seeds, so the stationary mass is graph-proximity TO the seeds —
+    // the "what else is transitively near these documents" expansion
+    // primitive (contamination neighborhoods, cluster growing)
+    "graph_ppr" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text",
+        n = 3, threshold = 0.8).select(col("a_id"), col("b_id"))
+      Graph.personalizedPageRank(pairs,
+        d.select(col("doc_id")).filter(col("doc_id") < 50))
+    }),
+
     // WEIGHTED PageRank: rank mass flows through the similarity weights
     // themselves (the PPJoin jaccard), so a doc bound by STRONG duplicate
     // links outranks one with many weak ones — the canonical-document
@@ -2120,6 +2132,60 @@ object OpsQueries {
           |      + cast(0.85 AS double) * sum(p.r / d.d) AS r
           |  FROM p4 p JOIN edges e ON e.u = p.u JOIN deg d ON d.u = p.u
           |  GROUP BY e.v)
+          |SELECT u AS doc_id, round(r, 9) AS pagerank FROM p5""".stripMargin),
+
+    // Graph.personalizedPageRank: the restart term is CASE-gated to the
+    // seed membership (seeds ∩ subgraph members), everything else the
+    // shared unrolled-sweep machinery
+    "graph_ppr" ->
+      (ngramEdgeSql +
+        """, deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u
+          |), sds AS (SELECT u FROM deg WHERE u < 50
+          |), ns AS (SELECT cast(count(*) AS double) AS c FROM sds
+          |), p0 AS (
+          |  SELECT d.u, CASE WHEN s.u IS NOT NULL
+          |    THEN 1 / (SELECT c FROM ns) ELSE cast(0 AS double) END AS r
+          |  FROM deg d LEFT JOIN sds s ON s.u = d.u
+          |), p1 AS (
+          |  SELECT e.v AS u,
+          |    (CASE WHEN sv.u IS NOT NULL THEN (1 - cast(0.85 AS double))
+          |        / (SELECT c FROM ns) ELSE cast(0 AS double) END)
+          |      + cast(0.85 AS double) * sum(p.r / d.d) AS r
+          |  FROM p0 p JOIN edges e ON e.u = p.u JOIN deg d ON d.u = p.u
+          |  LEFT JOIN sds sv ON sv.u = e.v
+          |  GROUP BY e.v, sv.u
+          |), p2 AS (
+          |  SELECT e.v AS u,
+          |    (CASE WHEN sv.u IS NOT NULL THEN (1 - cast(0.85 AS double))
+          |        / (SELECT c FROM ns) ELSE cast(0 AS double) END)
+          |      + cast(0.85 AS double) * sum(p.r / d.d) AS r
+          |  FROM p1 p JOIN edges e ON e.u = p.u JOIN deg d ON d.u = p.u
+          |  LEFT JOIN sds sv ON sv.u = e.v
+          |  GROUP BY e.v, sv.u
+          |), p3 AS (
+          |  SELECT e.v AS u,
+          |    (CASE WHEN sv.u IS NOT NULL THEN (1 - cast(0.85 AS double))
+          |        / (SELECT c FROM ns) ELSE cast(0 AS double) END)
+          |      + cast(0.85 AS double) * sum(p.r / d.d) AS r
+          |  FROM p2 p JOIN edges e ON e.u = p.u JOIN deg d ON d.u = p.u
+          |  LEFT JOIN sds sv ON sv.u = e.v
+          |  GROUP BY e.v, sv.u
+          |), p4 AS (
+          |  SELECT e.v AS u,
+          |    (CASE WHEN sv.u IS NOT NULL THEN (1 - cast(0.85 AS double))
+          |        / (SELECT c FROM ns) ELSE cast(0 AS double) END)
+          |      + cast(0.85 AS double) * sum(p.r / d.d) AS r
+          |  FROM p3 p JOIN edges e ON e.u = p.u JOIN deg d ON d.u = p.u
+          |  LEFT JOIN sds sv ON sv.u = e.v
+          |  GROUP BY e.v, sv.u
+          |), p5 AS (
+          |  SELECT e.v AS u,
+          |    (CASE WHEN sv.u IS NOT NULL THEN (1 - cast(0.85 AS double))
+          |        / (SELECT c FROM ns) ELSE cast(0 AS double) END)
+          |      + cast(0.85 AS double) * sum(p.r / d.d) AS r
+          |  FROM p4 p JOIN edges e ON e.u = p.u JOIN deg d ON d.u = p.u
+          |  LEFT JOIN sds sv ON sv.u = e.v
+          |  GROUP BY e.v, sv.u)
           |SELECT u AS doc_id, round(r, 9) AS pagerank FROM p5""".stripMargin),
 
     // Graph.pageRankWeighted: same unrolled sweeps with the PPJoin

@@ -145,6 +145,55 @@ object Graph {
   }
 
   /**
+   * PERSONALIZED PageRank: the restart mass returns to a SEED set
+   * instead of spreading uniformly — `r'(v) = (1-dmp)·1[v∈S]/|S| +
+   * dmp·Σ_{u→v} r(u)/deg(u)` — so the stationary mass measures
+   * proximity TO THE SEEDS through the duplicate graph: "what else is
+   * transitively near these documents", the expand-a-cluster /
+   * find-related-contamination primitive. Seeds outside the edge-induced
+   * subgraph are ignored (they have no edges to carry mass).
+   *
+   * Same fixed-sweep distributed shape as [[pageRank]]; the seed set
+   * rides as a broadcast-joined flag frame, and the only driver scalar
+   * is |S∩members|.
+   */
+  def personalizedPageRank(
+      pairs: DataFrame, seeds: DataFrame,
+      iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesW = edges.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = edgesW.select(col("src").as("doc_id")).distinct()
+    val seedFlags = members
+      .join(seeds.select(col("doc_id")).distinct(), "doc_id")
+      .withColumn("__seed", lit(1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nS = seedFlags.count().toDouble
+    p.unpersist(blocking = false)
+    require(nS > 0, "no seed intersects the edge-induced subgraph")
+    val base = lit(1.0 - damping) / lit(nS)
+    var ranks = members.join(seedFlags, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__seed").isNotNull, lit(1.0) / lit(nS))
+          .otherwise(lit(0.0)).as("rank"))
+    for (_ <- 1 to iterations) {
+      ranks = edgesW
+        .join(ranks, edgesW("src") === ranks("doc_id"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("deg")).as("contrib"))
+        .join(seedFlags, col("dst") === seedFlags("doc_id"), "left")
+        .select(col("dst").as("doc_id"),
+          (when(col("__seed").isNotNull, base).otherwise(lit(0.0))
+            + lit(damping) * col("contrib")).as("rank"))
+    }
+    ranks.select(col("doc_id"), round(col("rank"), 9).as("pagerank"))
+  }
+
+  /**
    * WEIGHTED PageRank over an undirected pair list carrying an edge
    * weight column (`a_id`, `b_id`, `weight`) — for near-dup graphs the
    * weight is the similarity itself (Jaccard/cosine), so rank mass flows
