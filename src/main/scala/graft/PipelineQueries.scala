@@ -153,7 +153,7 @@ object PipelineQueries {
     "mix_weighted_sample" ->
       """WITH keyed AS (
         |  SELECT doc_id, n_chars, source,
-        |    ln((('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint)
+        |    ln((('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::bigint + 1)
         |        / cast(4294967296 AS double))
         |      / cast(n_chars AS double) AS k
         |  FROM documents WHERE n_chars > 0)

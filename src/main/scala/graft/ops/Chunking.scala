@@ -354,7 +354,12 @@ object Chunking {
    * the codebase's engine-portable pseudo-random source — the first 8
    * md5 hex chars of the stringified id over 2^32 — so the selection is
    * reproducible across reruns, engines, and partitionings (same
-   * contract as [[hashSplit]]).
+   * contract as [[hashSplit]]). The uniform is shifted off zero —
+   * `u = (hash + 1) / 2^32`, range (0, 1] — because a hash prefix of
+   * 00000000 (p = 2^-32 per row) would otherwise feed `ln(0)`: Spark
+   * yields -Infinity (sorts last, harmless) but the oracle engine
+   * RAISES on ln(0), so the two sides must agree on a strictly
+   * positive domain. u = 1 is safe on both (ln(1) = 0).
    *
    * Scale: one row-local projection plus a distributed bounded-heap top-k
    * (`TakeOrderedAndProject` — each partition keeps k rows, the driver
@@ -365,8 +370,8 @@ object Chunking {
   def weightedSample(
       df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val u = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
-      16, 10).cast("long").cast("double") / lit(4294967296.0)
+    val u = (conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+      16, 10).cast("long") + lit(1L)).cast("double") / lit(4294967296.0)
     df.filter(col(weightCol) > 0)
       .withColumn("__key",
         graft.functions.vectors.math_ln(u) / col(weightCol).cast("double"))

@@ -199,9 +199,14 @@ object EntityResolution {
    * corpus-wide shared literal prefix (synthetic `Customer#…` keys)
    * makes ITS segments stop-keys — the PPJoin stop-gram caveat — in
    * which case compose with a blocking key ([[fuzzyLink]]'s shape) or
-   * strip the shared template first. Strings shorter than `maxDist + 1`
-   * cannot be segmented and are EXCLUDED from both sides (documented
-   * contract; route degenerate short keys through [[editCandidates]]).
+   * strip the shared template first. PROBES shorter than `maxDist + 1`
+   * cannot be segmented and are EXCLUDED (documented contract; route
+   * degenerate short probes through [[editCandidates]]). Candidates are
+   * NOT length-excluded: a candidate participates down to length
+   * `probe_len - maxDist` (the Pass-Join guarantee — at least one probe
+   * segment survives verbatim — holds for any candidate within the edit
+   * window), so e.g. a 1-char candidate within threshold of a segmentable
+   * probe IS emitted, exactly as the all-pairs join would.
    */
   def editJoin(
       probes: DataFrame, candidates: DataFrame, maxDist: Int,

@@ -128,7 +128,18 @@ object Relational {
     val counts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n_rows"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = counts.agg(sum(col("n_rows"))).head().getLong(0).toDouble
+    // sum over ZERO rows is null, not 0 — coalesce, and short-circuit an
+    // empty input to an empty profile (skewStream calls this per
+    // micro-batch, and an empty batch must not kill the streaming query)
+    val total = counts.agg(coalesce(sum(col("n_rows")), lit(0L)))
+      .head().getLong(0).toDouble
+    if (total == 0.0) {
+      val empty = counts
+        .select(col("key"), col("n_rows"), lit(0.0).as("share_r"))
+        .localCheckpoint()
+      counts.unpersist(blocking = false)
+      return empty
+    }
     val out = counts
       .orderBy(col("n_rows").desc, col("key").asc)
       .limit(topN)

@@ -263,8 +263,8 @@ class ChunkingSpec extends SparkSpec {
     // independent reference: recompute every key on the driver and take
     // the top-k by (key desc, id asc)
     val keys = df.select(col("doc_id"),
-      (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
-        16, 10).cast("long").cast("double") / 4294967296.0).as("u"),
+      ((conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long") + lit(1L)).cast("double") / 4294967296.0).as("u"),
       col("n_chars"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
       .filter(_._3 > 0)

@@ -242,19 +242,25 @@ class EntityResolutionSpec extends SparkSpec {
     import spark.implicits._
     val rng = new java.util.Random(17)
     val alpha = "abcd"
+    // lengths 1..12: the short tail exercises the probe-only exclusion
+    // contract — sub-segmentable CANDIDATES must still pair with longer
+    // probes exactly as the all-pairs join would
     val names = Seq.tabulate(250)(i =>
-      (i.toLong, Seq.fill(4 + rng.nextInt(9))(alpha(rng.nextInt(alpha.length))).mkString))
+      (i.toLong, Seq.fill(1 + rng.nextInt(12))(alpha(rng.nextInt(alpha.length))).mkString))
     val probes = names.take(40).toDF("p_id", "p_name")
     val cands = names.toDF("c_id", "c_name")
     for (tau <- Seq(1, 2)) {
       val got = EntityResolution.editJoin(probes, cands, tau, excludeSelf = true)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-      // driver-side brute force over the same contract (strings ≥ tau+1)
+      // driver-side brute force over the same contract: PROBES shorter
+      // than tau+1 excluded (cannot be segmented), candidates unfiltered
       val want = (for {
         (pid, pn) <- names.take(40) if pn.length >= tau + 1
-        (cid, cn) <- names if cid != pid && cn.length >= tau + 1
+        (cid, cn) <- names if cid != pid
         d = levenshteinRef(pn, cn) if d <= tau
       } yield (pid, cid, d)).toSet
+      assert(names.exists(_._2.length <= tau),
+        s"tau=$tau fixture must contain sub-segmentable candidates")
       assert(got == want, s"tau=$tau: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
       assert(want.nonEmpty, s"tau=$tau fixture degenerate")
     }
@@ -262,19 +268,24 @@ class EntityResolutionSpec extends SparkSpec {
 
   test("editJoin: planted distances, short-string contract, self-exclusion") {
     import spark.implicits._
-    val probes = Seq((1L, "abcdef"), (2L, "ab")).toDF("p_id", "p_name")
+    val probes = Seq((1L, "abcdef"), (2L, "ab"), (3L, "abc"))
+      .toDF("p_id", "p_name")
     val cands = Seq(
       (1L, "abcdef"),   // self — excluded
       (10L, "abcdef"),  // dist 0
       (11L, "abcdxf"),  // dist 1 (substitution)
       (12L, "abcdefgh"),// dist 2 (two inserts)
       (13L, "abcdefghi"), // dist 3 — out
-      (20L, "ab"))      // short probe 2's twin — probe excluded by contract
+      (20L, "ab"),      // short probe 2's twin — probe excluded by contract;
+                        //   as CANDIDATE it pairs with probe 3 (dist 1)
+      (21L, "a"))       // 1-char candidate within threshold of probe 3 —
+                        //   emitted (candidates are not length-excluded)
       .toDF("c_id", "c_name")
     val out = EntityResolution.editJoin(probes, cands, maxDist = 2,
       excludeSelf = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(out == Set((1L, 10L, 0), (1L, 11L, 1), (1L, 12L, 2)))
+    assert(out == Set((1L, 10L, 0), (1L, 11L, 1), (1L, 12L, 2),
+      (3L, 20L, 1), (3L, 21L, 2)))
   }
 
   private def levenshteinRef(a: String, b: String): Int = {

@@ -136,6 +136,16 @@ class RelationalSpec extends SparkSpec {
     assert(ties == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("keySkewProfile: empty input yields an empty profile, not an NPE") {
+    import spark.implicits._
+    // skewStream runs this per micro-batch — an empty batch must emit an
+    // empty frame (sum over zero rows is null; the coalesce guard)
+    val got = Relational.keySkewProfile(
+      Seq.empty[Long].toDF("k"), "k", topN = 3)
+    assert(got.columns.toSeq == Seq("key", "n_rows", "share_r"))
+    assert(got.count() == 0)
+  }
+
   test("globalRank equals a driver sort at any partitioning; bins are ±1-balanced") {
     import spark.implicits._
     val rng = new java.util.Random(23)
