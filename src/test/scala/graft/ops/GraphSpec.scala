@@ -138,6 +138,92 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-6)
   }
 
+  test("personalizedPageRank: driver-local dispatch equals the distributed sweeps") {
+    import spark.implicits._
+    val pairs = (1L to 40L).flatMap(i => Seq((i, i % 40 + 1), (i, (i * 3) % 40 + 1)))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct.toDF("a_id", "b_id")
+    val seeds = Seq(1L, 7L, 13L, 999L).toDF("doc_id") // 999 outside the graph
+    val local = Graph.personalizedPageRank(pairs, seeds) // under threshold
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val dist = Graph.personalizedPageRank(pairs, seeds, localEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(local.keySet == dist.keySet)
+    for ((k, v) <- local)
+      assert(math.abs(dist(k) - v) <= 1e-9, s"node $k: local $v vs dist ${dist(k)}")
+    // the all-outside-seed contract holds on BOTH dispatch paths
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(pairs, Seq(999L).toDF("doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(pairs, Seq(999L).toDF("doc_id"),
+        localEdgeThreshold = 0L)
+    }
+  }
+
+  test("pageRankWeighted: driver-local dispatch equals the distributed sweeps") {
+    import spark.implicits._
+    val rng = new java.util.Random(7)
+    val pairs = (1L to 40L).flatMap(i => Seq((i, i % 40 + 1), (i, (i * 3) % 40 + 1)))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct
+      .map { case (a, b) => (a, b, 0.05 + rng.nextDouble()) }
+      .toDF("a_id", "b_id", "weight")
+    val local = Graph.pageRankWeighted(pairs) // under the threshold
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val dist = Graph.pageRankWeighted(pairs, localEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(local.keySet == dist.keySet)
+    for ((k, v) <- local)
+      assert(math.abs(dist(k) - v) <= 1e-9, s"node $k: local $v vs dist ${dist(k)}")
+  }
+
+  test("graph operators release their sweep caches (repeated calls don't accumulate blocks)") {
+    import spark.implicits._
+    val pairs = (1L to 30L).map(i => (i, i % 30 + 1))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct.toDF("a_id", "b_id")
+    val weighted = pairs.withColumn("weight", lit(0.5))
+    val seeds = Seq(1L, 5L).toDF("doc_id")
+    def nBlocks: Int = spark.sparkContext.getPersistentRDDs.size
+    // each invocation may legitimately leave ONE persisted RDD behind —
+    // the localCheckpointed RESULT (the connectedComponents posture);
+    // the sweep-feeding caches (edgesW / seedFlags / e / the input pairs)
+    // must all be released. Forced-distributed paths exercised explicitly.
+    val calls: Seq[() => Unit] = Seq(
+      () => { Graph.pageRank(pairs, localEdgeThreshold = 0L).count(): Unit },
+      () => { Graph.personalizedPageRank(pairs, seeds,
+        localEdgeThreshold = 0L).count(): Unit },
+      () => { Graph.pageRankWeighted(weighted,
+        localEdgeThreshold = 0L).count(): Unit },
+      () => { Graph.triangleStats(pairs).count(): Unit },
+      // local dispatch paths leave nothing at all
+      () => { Graph.pageRank(pairs).count(): Unit },
+      () => { Graph.personalizedPageRank(pairs, seeds).count(): Unit },
+      () => { Graph.pageRankWeighted(weighted).count(): Unit })
+    calls.zipWithIndex.foreach { case (call, i) =>
+      val before = nBlocks
+      call()
+      val after = nBlocks
+      assert(after - before <= 1,
+        s"call #$i leaked ${after - before} persisted RDDs (max 1 — the result)")
+    }
+    // a CALLER-managed pairs cache must survive the operator (the
+    // persistPairs guard): unpersisting it out from under the caller
+    // would force recomputation on their next use
+    val managed = pairs.persist()
+    managed.count()
+    Graph.pageRank(managed, localEdgeThreshold = 0L).count()
+    Graph.personalizedPageRank(managed, seeds).count()
+    assert(managed.storageLevel !=
+      org.apache.spark.storage.StorageLevel.NONE,
+      "operator released a caller-managed cache")
+    managed.unpersist(blocking = true)
+  }
+
   test("triangleStats counts planted triangles exactly") {
     import spark.implicits._
     // triangles {1,2,3} and {2,3,4}; node 5 hangs off node 4
