@@ -28,6 +28,14 @@ object OpsQueries {
   /** Temp text-index trees (bm25), reclaimed by the same shutdown hook. */
   private val textIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Temp duplicate-graph index trees ([[Dedup.writeDupGraph]]), reclaimed
+    * by the same shutdown hook — the PPJoin edge derivation is the
+    * expensive pass shared by every `graph_*_indexed` analytic, built once
+    * per corpus dir per JVM (the [[cachedIndex]] amortization argument:
+    * at 100 TB the edge list is computed once per corpus snapshot and
+    * every graph query reads stored edges). */
+  private val dupGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** One fitted PCA model per corpus dir per JVM — the [[cachedIndex]]
     * amortization argument: the moments pass + eigensolve is TRAINING,
     * reused across the projection/retrieval queries (and kept identical
@@ -98,7 +106,7 @@ object OpsQueries {
   }
 
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    Seq(ivfIndexCache, textIndexCache).foreach(_.values.forEach { p =>
+    Seq(ivfIndexCache, textIndexCache, dupGraphCache).foreach(_.values.forEach { p =>
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm))
         f.delete(): Unit
@@ -153,6 +161,18 @@ object OpsQueries {
     ivfIndexCache.computeIfAbsent(dir, _ => {
       val p = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
       Similarity.writeIvfIndex(emb(s, dir), p, nCells = 16)
+      p
+    })
+
+  /** Build-once accessor for the persisted duplicate-graph index (the
+    * [[cachedIndex]] amortization semantics; n=3, threshold=0.8 — the
+    * exact geometry every in-memory graph_* lane derives, so the indexed
+    * twins share their oracles verbatim). */
+  private def cachedDupGraph(s: SparkSession, dir: String): String =
+    dupGraphCache.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft_dup_graph").toString
+      Dedup.writeDupGraph(docs(s, dir), "doc_id", "text", p,
+        n = 3, threshold = 0.8)
       p
     })
 
@@ -290,6 +310,37 @@ object OpsQueries {
         n = 3, threshold = 0.8).select(col("a_id"), col("b_id"))
       Graph.triangleStats(pairs)
     }),
+
+    // ----- PERSISTED-INDEX graph lanes: every analytic below reads the
+    // stored edge list ([[Dedup.writeDupGraph]], built once per corpus —
+    // the sim_topk_ivf_indexed posture) instead of re-deriving the PPJoin
+    // candidate join per query. Row-identical to the in-memory twins by
+    // construction, so each SHARES its twin's full SQL oracle.
+    "graph_components_indexed" -> ((s, dir) => {
+      val edges = Dedup.readDupGraph(s, cachedDupGraph(s, dir))
+        .select(col("a_id"), col("b_id"))
+      Dedup.connectedComponents(docs(s, dir).select(col("doc_id")), edges)
+    }),
+
+    "graph_pagerank_indexed" -> ((s, dir) =>
+      Graph.pageRank(Dedup.readDupGraph(s, cachedDupGraph(s, dir))
+        .select(col("a_id"), col("b_id")))),
+
+    "graph_ppr_indexed" -> ((s, dir) =>
+      Graph.personalizedPageRank(
+        Dedup.readDupGraph(s, cachedDupGraph(s, dir))
+          .select(col("a_id"), col("b_id")),
+        docs(s, dir).select(col("doc_id")).filter(col("doc_id") < 50))),
+
+    "graph_pagerank_weighted_indexed" -> ((s, dir) =>
+      Graph.pageRankWeighted(
+        Dedup.readDupGraph(s, cachedDupGraph(s, dir))
+          .select(col("a_id"), col("b_id"), col("jac").as("weight")),
+        "weight")),
+
+    "graph_triangles_indexed" -> ((s, dir) =>
+      Graph.triangleStats(Dedup.readDupGraph(s, cachedDupGraph(s, dir))
+        .select(col("a_id"), col("b_id")))),
 
     // the minhash design table itself as a first-class query: detection
     // probability 1-(1-t^r)^b for the layouts this codebase ships (64
@@ -2902,5 +2953,12 @@ object OpsQueries {
 
   /** Head/tail split exists only because the shared rerank SQL literal
     * sits between them; the surface is the one concatenated map. */
-  val oracles: Map[String, String] = oraclesHead ++ oraclesTail
+  val oracles: Map[String, String] = {
+    val base = oraclesHead ++ oraclesTail
+    // the indexed graph lanes are row-identical to their in-memory twins
+    // (same edge geometry, stored vs derived) and share the oracles
+    base ++ Seq("graph_components", "graph_pagerank", "graph_ppr",
+      "graph_pagerank_weighted", "graph_triangles")
+      .map(n => s"${n}_indexed" -> base(n))
+  }
 }

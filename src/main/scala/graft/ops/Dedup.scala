@@ -411,7 +411,25 @@ object Dedup {
    */
   def ngramJaccardPairsPrefix(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8): DataFrame =
+    prefixFilteredPairs(df, idCol, textCol, n, threshold, probeIds = None)
+
+  /**
+   * The PPJoin core behind [[ngramJaccardPairsPrefix]], with an optional
+   * PROBE RESTRICTION — the incremental-append primitive: when `probeIds`
+   * is set, only pairs with AT LEAST ONE endpoint in the probe set are
+   * emitted (canonicalized `a_id < b_id`, exact — the prefix theorem
+   * needs the shared gram in BOTH prefixes, so restricting ONE join side
+   * to the probe docs' prefixes still finds every qualifying
+   * probe-touching pair while the candidate join's probe side shrinks to
+   * the new-batch slice). `df` must contain the probe docs (the global
+   * document-frequency ordering is corpus-wide either way — any
+   * consistent order is correct; using the current corpus's keeps the
+   * prefixes minimal).
+   */
+  private[graft] def prefixFilteredPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, probeIds: Option[DataFrame]): DataFrame = {
     // materialized once — the gram arrays feed three plan branches
     // (posting list, verify-side A, verify-side B); without caching the
     // tokenize+ngram pipeline would be recomputed per branch (measured 3×
@@ -444,18 +462,36 @@ object Dedup {
     //    1 + min(la-pa, lb-pb), which must reach the Jaccard-equivalent
     //    overlap threshold t/(1+t)·(la+lb)
     // both with the 1e-9 guard so exact-ratio pairs never drop to FP error
-    val a = prefixes.select(col("gram"), col("doc_id").as("a_id"),
+    val a0 = prefixes.select(col("gram"), col("doc_id").as("a_id"),
       col("n_grams").as("la"), col("__rank").as("pa"))
+    // probe restriction: only the probe docs' prefixes enter the hot
+    // join's left side (an id-keyed semi-join — the probe set is a new
+    // batch, small relative to the corpus posting lists)
+    val a = probeIds.fold(a0)(ids =>
+      a0.join(ids.select(col(ids.columns.head).as("a_id")), Seq("a_id"),
+        "left_semi"))
     val b = prefixes.select(col("gram"), col("doc_id").as("b_id"),
       col("n_grams").as("lb"), col("__rank").as("pb"))
-    val cands = a.join(b, Seq("gram"))
-      .filter(col("a_id") < col("b_id")
+    // unrestricted: a < b halves the join output (each unordered pair
+    // found once per shared prefix gram, canonical order free). Restricted:
+    // the probe side must see BOTH orientations (probe-old pairs have the
+    // probe on the a side only), so pair order is canonicalized after the
+    // filters — the length and positional prunes are symmetric in
+    // (la,pa)/(lb,pb), so filtering before the swap is exact.
+    val ordered = if (probeIds.isEmpty) col("a_id") < col("b_id")
+                  else col("a_id") =!= col("b_id")
+    val cands0 = a.join(b, Seq("gram"))
+      .filter(ordered
         && col("la") >= lit(threshold) * col("lb") - lit(1e-9)
         && col("lb") >= lit(threshold) * col("la") - lit(1e-9)
         && (lit(1) + least(col("la") - col("pa"), col("lb") - col("pb")))
           .cast("double") >=
           lit(threshold / (1.0 + threshold)) * (col("la") + col("lb")) - lit(1e-9))
-      .select(col("a_id"), col("b_id")).distinct()
+    val cands = (if (probeIds.isEmpty) cands0.select(col("a_id"), col("b_id"))
+                 else cands0.select(
+                   least(col("a_id"), col("b_id")).as("a_id"),
+                   greatest(col("a_id"), col("b_id")).as("b_id")))
+      .distinct()
     // verify with the full (sorted) gram sets — merge-count, no hash sets
     val ga = grams.select(col("doc_id").as("a_id"), col("g").as("ga"),
       col("n_grams").as("la"))
@@ -473,6 +509,87 @@ object Dedup {
     val out = result.localCheckpoint()
     grams.unpersist(blocking = true)
     out
+  }
+
+  // ------------------------------------------------- dup-graph index
+
+  /**
+   * Persist the near-duplicate EDGE LIST as an on-disk index — the
+   * "index is the state" posture ([[graft.ops.Similarity.writeIvfIndex]],
+   * [[graft.ops.TextAnalysis.writeTextIndex]]) applied to the duplicate
+   * graph: at 100 TB the PPJoin candidate join is the expensive pass, and
+   * every graph analytic (components, PageRank and its seeded/weighted
+   * variants, triangles) consumes the SAME edge set — so the edges are
+   * computed once per corpus snapshot and every analytic reads stored
+   * edges instead of re-deriving them per query.
+   *
+   * Layout: `edges/jband=<0..9>/` parquet, partitioned by the similarity
+   * DECILE (`jband = min(⌊jac·10⌋, 9)`) — the natural pruning dimension
+   * for graph analytics, which routinely re-run over only-strong edges
+   * (cluster at 0.9 after building at 0.8): a `minJaccard` read turns
+   * into a DIRECTORY-PRUNED scan, never touching the weaker deciles'
+   * bytes. A `params/` sidecar freezes (n, threshold) so appends probe
+   * with the exact same geometry (the stored-centroid discipline of the
+   * IVF tree).
+   */
+  def writeDupGraph(
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      n: Int = 3, threshold: Double = 0.8): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    ngramJaccardPairsPrefix(df, idCol, textCol, n, threshold)
+      .withColumn("jband",
+        least(floor(col("jac") * lit(10)).cast("int"), lit(9)))
+      .write.mode("overwrite").partitionBy("jband").parquet(s"$path/edges")
+    Seq((n, threshold)).toDF("n", "threshold").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /**
+   * Read the stored duplicate graph: `(a_id, b_id, common, la, lb, jac)`
+   * exactly as [[ngramJaccardPairsPrefix]] emits it. `minJaccard > 0`
+   * prunes by the decile PARTITION column first (`jband ≥ ⌊minJ·10⌋` is a
+   * directory filter — a superset by construction since
+   * jac ≥ minJ ⇒ ⌊jac·10⌋ ≥ ⌊minJ·10⌋) and refines with the exact
+   * per-row `jac ≥ minJ` predicate.
+   */
+  def readDupGraph(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      minJaccard: Double = 0.0): DataFrame = {
+    val e = spark.read.parquet(s"$path/edges")
+    val pruned =
+      if (minJaccard > 0)
+        e.filter(col("jband") >= lit(math.floor(minJaccard * 10).toInt)
+          && col("jac") >= lit(minJaccard))
+      else e
+    pruned.select("a_id", "b_id", "common", "la", "lb", "jac")
+  }
+
+  /**
+   * Append a NEW batch of documents' edges to an existing
+   * [[writeDupGraph]] tree without rebuilding: the probe-restricted
+   * PPJoin ([[prefixFilteredPairs]]) emits exactly the qualifying pairs
+   * touching at least one new document — new↔new and new↔old, never
+   * old↔old (those are already stored) — and the rows land as new files
+   * inside the matching `jband=<d>/` directories. (n, threshold) come
+   * from the stored `params/` sidecar, never from the caller: an append
+   * probing at a different threshold would silently mix edge semantics.
+   *
+   * `allDocs` must be the FULL corpus (old ∪ new): the prefix ordering is
+   * corpus-wide document frequency, and old docs' gram sets are needed to
+   * verify new↔old candidates. At scale this is one bounded candidate
+   * join per batch — the probe side is the new slice, not the corpus.
+   */
+  def appendToDupGraph(
+      allDocs: DataFrame, newIds: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = allDocs.sparkSession
+    val params = spark.read.parquet(s"$path/params").head()
+    val (n, threshold) = (params.getInt(0), params.getDouble(1))
+    prefixFilteredPairs(allDocs, idCol, textCol, n, threshold, Some(newIds))
+      .withColumn("jband",
+        least(floor(col("jac") * lit(10)).cast("int"), lit(9)))
+      .write.mode("append").partitionBy("jband").parquet(s"$path/edges")
   }
 
   // ----------------------------------------------------------- MinHash

@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The persisted duplicate-graph index: stored edges must be EXACTLY the
+  * in-memory PPJoin pair set, appends must equal a full rebuild, and
+  * min-similarity reads must prune storage directories. */
+class DupGraphSpec extends SparkSpec {
+
+  private def docs = graft.Tables(spark, sf0001, "documents")
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Int, Int, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getInt(3), r.getInt(4), r.getDouble(5))).toSet
+
+  test("writeDupGraph stores exactly the in-memory PPJoin edge set") {
+    val dir = java.nio.file.Files.createTempDirectory("dupg").toString
+    Dedup.writeDupGraph(docs, "doc_id", "text", dir)
+    val stored = edgeSet(Dedup.readDupGraph(spark, dir))
+    val live = edgeSet(
+      Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.8))
+    assert(stored == live)
+    assert(stored.nonEmpty, "fixture degenerate — no near-dup edges")
+    // params sidecar freezes the build geometry
+    val p = spark.read.parquet(s"$dir/params").head()
+    assert((p.getInt(0), p.getDouble(1)) == ((3, 0.8)))
+  }
+
+  test("appendToDupGraph equals a full rebuild (new-new and new-old edges)") {
+    val d = docs
+    val oldDocs = d.filter(col("doc_id") % 5 =!= 0)
+    val newIds = d.filter(col("doc_id") % 5 === 0).select("doc_id")
+    val dirOld = java.nio.file.Files.createTempDirectory("dupg_a").toString
+    val dirFull = java.nio.file.Files.createTempDirectory("dupg_f").toString
+    Dedup.writeDupGraph(oldDocs, "doc_id", "text", dirOld)
+    Dedup.appendToDupGraph(d, newIds, dirOld)
+    Dedup.writeDupGraph(d, "doc_id", "text", dirFull)
+    val appended = edgeSet(Dedup.readDupGraph(spark, dirOld))
+    val rebuilt = edgeSet(Dedup.readDupGraph(spark, dirFull))
+    assert(appended == rebuilt,
+      s"append-vs-rebuild: missing=${(rebuilt -- appended).take(3)} " +
+        s"extra=${(appended -- rebuilt).take(3)}")
+    // the append must have contributed BOTH kinds of edges for the test
+    // to mean anything: at least one new-old and one new-new pair
+    val newSet = newIds.collect().map(_.getLong(0)).toSet
+    val touchingNew = rebuilt.filter(e => newSet(e._1) || newSet(e._2))
+    assert(touchingNew.exists(e => newSet(e._1) ^ newSet(e._2)),
+      "fixture has no new-old edge")
+    assert(rebuilt.exists(e => !newSet(e._1) && !newSet(e._2)),
+      "fixture has no old-old edge (append exactness untested)")
+  }
+
+  test("probe-restricted PPJoin emits exactly the probe-touching pairs") {
+    val d = docs
+    val probeIds = d.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val probes = probeIds.collect().map(_.getLong(0)).toSet
+    val all = edgeSet(
+      Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text", 3, 0.8))
+    val got = edgeSet(
+      Dedup.prefixFilteredPairs(d, "doc_id", "text", 3, 0.8, Some(probeIds)))
+    val want = all.filter(e => probes(e._1) || probes(e._2))
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.nonEmpty && want.size < all.size, "fixture degenerate")
+  }
+
+  test("every graph_*_indexed query is row-identical to its in-memory twin") {
+    // the indexed lanes SHARE their twins' SQL oracles — this is the
+    // assertion that makes the sharing sound: same edge geometry (stored
+    // vs derived) in, identical rows out, across all five analytics
+    val twins = Seq("graph_components", "graph_pagerank", "graph_ppr",
+      "graph_pagerank_weighted", "graph_triangles")
+    for (name <- twins) {
+      val live = graft.SparkEntry.queries(name)(spark, sf0001)
+        .collect().map(_.toSeq).toSet
+      val idx = graft.SparkEntry.queries(s"${name}_indexed")(spark, sf0001)
+        .collect().map(_.toSeq).toSet
+      assert(idx == live,
+        s"$name: indexed diverges — missing=${(live -- idx).take(2)} " +
+          s"extra=${(idx -- live).take(2)}")
+      assert(live.nonEmpty, s"$name fixture degenerate")
+    }
+  }
+
+  test("minJaccard read is directory-pruned and exact") {
+    val dir = java.nio.file.Files.createTempDirectory("dupg_p").toString
+    Dedup.writeDupGraph(docs, "doc_id", "text", dir)
+    val full = edgeSet(Dedup.readDupGraph(spark, dir))
+    val strong = Dedup.readDupGraph(spark, dir, minJaccard = 0.9)
+    assert(edgeSet(strong) == full.filter(_._6 >= 0.9))
+    // the decile filter must reach the scan as a PARTITION filter —
+    // unprobed jband directories are never read from storage
+    val plan = strong.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("jband"),
+      s"jband not pruned at the scan:\n$plan")
+    // and the full read has distinct jband directories to prune
+    assert(full.map(e => math.min((e._6 * 10).toInt, 9)).size >= 1)
+  }
+}
