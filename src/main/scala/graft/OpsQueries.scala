@@ -342,6 +342,24 @@ object OpsQueries {
       Graph.triangleStats(Dedup.readDupGraph(s, cachedDupGraph(s, dir))
         .select(col("a_id"), col("b_id")))),
 
+    // INCREMENTAL components over the indexed edges: an "old" corpus
+    // labeling ([[Dedup.connectedComponents]]) plus one
+    // [[Dedup.appendToComponents]] batch fold of the "new" quarter —
+    // new-new, new-old, and the singleton lanes all exercised. The final
+    // labeling equals the full recompute by the contraction argument, so
+    // it SHARES graph_components' full SQL oracle.
+    "graph_components_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val edges = Dedup.readDupGraph(s, cachedDupGraph(s, dir))
+        .select(col("a_id"), col("b_id"))
+      val stored = Dedup.connectedComponents(
+        d.select(col("doc_id")).filter(col("doc_id") % 4 =!= 0),
+        edges.filter(col("a_id") % 4 =!= 0 && col("b_id") % 4 =!= 0))
+      Dedup.appendToComponents(stored,
+        d.select(col("doc_id")).filter(col("doc_id") % 4 === 0),
+        edges.filter(col("a_id") % 4 === 0 || col("b_id") % 4 === 0))
+    }),
+
     // the minhash design table itself as a first-class query: detection
     // probability 1-(1-t^r)^b for the layouts this codebase ships (64
     // hashes as 16x4 / 8x8 / 32x2), on a 5%-step similarity grid —
@@ -2959,6 +2977,8 @@ object OpsQueries {
     // (same edge geometry, stored vs derived) and share the oracles
     base ++ Seq("graph_components", "graph_pagerank", "graph_ppr",
       "graph_pagerank_weighted", "graph_triangles")
-      .map(n => s"${n}_indexed" -> base(n))
+      .map(n => s"${n}_indexed" -> base(n)) +
+      // the incremental fold lands on the identical final labeling
+      ("graph_components_incremental" -> base("graph_components"))
   }
 }

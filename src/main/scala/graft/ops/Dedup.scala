@@ -808,6 +808,137 @@ object Dedup {
     memberLabels.unionByName(singles)
   }
 
+  // ----------------------------------- incremental connected components
+
+  /**
+   * Fold a batch of NEW edges (and new, possibly edgeless, nodes) into an
+   * existing component labeling WITHOUT recomputing over the full edge
+   * set — the incremental twin of [[connectedComponents]], matching the
+   * maintenance posture of the IVF and BM25 indexes (the labeling IS the
+   * state; a batch updates it in one bounded pass).
+   *
+   * Contraction argument for exactness: every stored component is
+   * connected, so collapsing each old node to its stored label preserves
+   * the connectivity classes of (old edges ∪ new edges). Min-label
+   * components over the CONTRACTED batch graph — nodes are the touched
+   * stored labels plus new node ids, edges are the new edges with
+   * endpoints mapped through the stored labeling — therefore yield
+   * exactly the merged labeling: a stored label is the min member id of
+   * its component, so the min over a contracted component equals the min
+   * doc id over the union of the merged components' member sets.
+   *
+   * Scale posture: the contracted graph is bounded by |newEdges|, never
+   * by corpus size (old↔old edges already inside one component contract
+   * to self-loops and drop); the only corpus-wide work is ONE join of
+   * the stored labels against the batch-bounded relabel map — broadcast
+   * by construction. Re-delivered batches are idempotent: merging the
+   * same edges twice is a no-op and re-sent nodes are anti-joined away.
+   *
+   * @param stored   existing labeling `(doc_id, cluster_id)` — complete
+   *                 over every old node `newEdges` references
+   * @param newNodes new document ids entering the corpus (edgeless ones
+   *                 become self-labeled singletons); endpoints of
+   *                 `newEdges` absent from `stored` are treated as new
+   *                 nodes whether or not listed here
+   * @param newEdges new `(a_id, b_id)` pairs — new↔new, new↔old, or
+   *                 late-arriving old↔old merges
+   */
+  def appendToComponents(
+      stored: DataFrame, newNodes: DataFrame, newEdges: DataFrame,
+      maxIterations: Int = 10,
+      localEdgeThreshold: Long = 1000000L): DataFrame = {
+    val s = stored.select(col("doc_id"), col("cluster_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val la = s.select(col("doc_id").as("a_id"), col("cluster_id").as("__la"))
+    val lb = s.select(col("doc_id").as("b_id"), col("cluster_id").as("__lb"))
+    // contract endpoints to stored labels (new nodes keep their own id),
+    // drop intra-component self-loops, canonicalize for the distinct
+    val contracted = newEdges.select(col("a_id"), col("b_id"))
+      .join(la, Seq("a_id"), "left").join(lb, Seq("b_id"), "left")
+      .select(coalesce(col("__la"), col("a_id")).as("u"),
+        coalesce(col("__lb"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a_id"),
+        greatest(col("u"), col("v")).as("b_id"))
+      .distinct()
+    val touched = contracted.select(col("a_id").as("doc_id"))
+      .union(contracted.select(col("b_id").as("doc_id"))).distinct()
+    // batch-bounded components over the contracted graph → relabel map
+    val relabel = connectedComponents(
+      touched, contracted, maxIterations, localEdgeThreshold)
+      .select(col("doc_id").as("__old"), col("cluster_id").as("__new"))
+    // old rows remap through the bounded map; unmatched labels unchanged
+    val updatedOld = s.join(broadcast(relabel),
+        s("cluster_id") === col("__old"), "left")
+      .select(s("doc_id"),
+        coalesce(col("__new"), s("cluster_id")).as("cluster_id"))
+    // genuinely-new nodes: declared new ∪ unseen edge endpoints; labeled
+    // by the relabel map, self-labeled when edgeless
+    val fresh = newNodes.select(col("doc_id"))
+      .unionByName(newEdges.select(col("a_id").as("doc_id")))
+      .unionByName(newEdges.select(col("b_id").as("doc_id")))
+      .distinct()
+      .join(s.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val newLabeled = fresh.join(broadcast(relabel),
+        fresh("doc_id") === col("__old"), "left")
+      .select(fresh("doc_id"),
+        coalesce(col("__new"), fresh("doc_id")).as("cluster_id"))
+    // materialize so the stored-labels cache is released at operator exit
+    val out = updatedOld.unionByName(newLabeled).localCheckpoint()
+    s.unpersist(blocking = true)
+    out
+  }
+
+  /**
+   * Persist a component labeling as a VERSIONED generation tree
+   * (`v<N>/labels/` parquet + one-small-file MANIFEST flip via
+   * [[graft.sink.FsOps.publishGeneration]] — the [[graft.ops.Similarity.writeIvfIndexVersioned]]
+   * layout): readers that resolved just before a flip finish against a
+   * complete immutable generation, and an incremental update can read the
+   * live generation while writing the next one — no read-overwrite
+   * hazard on the same directory.
+   */
+  def writeComponentsIndex(labels: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = labels.sparkSession
+    val (hfs, root) = graft.sink.FsOps.fs(spark, path)
+    hfs.mkdirs(root): Unit
+    val staging = new Path(root, ".gen_staging")
+    graft.sink.FsOps.deleteIfExists(hfs, staging)
+    labels.select(col("doc_id"), col("cluster_id"))
+      .write.mode("overwrite").parquet(s"$staging/labels")
+    graft.sink.FsOps.publishGeneration(hfs, root, staging): Unit
+  }
+
+  /** Read the LIVE generation's labeling from a [[writeComponentsIndex]]
+    * tree: `(doc_id, cluster_id)`. */
+  def readComponentsIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val (hfs, root) = graft.sink.FsOps.fs(spark, path)
+    val live = graft.sink.FsOps.readManifest(hfs, root)
+      .map(v => s"$path/$v").getOrElse(path)
+    spark.read.parquet(s"$live/labels").select("doc_id", "cluster_id")
+  }
+
+  /**
+   * One incremental maintenance step against a [[writeComponentsIndex]]
+   * tree: read the live labeling, fold the batch in with
+   * [[appendToComponents]], publish the result as the next generation.
+   * The caller is the tree's single writer (the foreachBatch worker in
+   * the streaming wiring) — concurrent readers keep resolving whichever
+   * generation was live when they started.
+   */
+  def appendToComponentsIndex(
+      path: String, newNodes: DataFrame, newEdges: DataFrame,
+      maxIterations: Int = 10,
+      localEdgeThreshold: Long = 1000000L): Unit = {
+    val spark = newNodes.sparkSession
+    val merged = appendToComponents(
+      readComponentsIndex(spark, path), newNodes, newEdges,
+      maxIterations, localEdgeThreshold)
+    writeComponentsIndex(merged, path)
+  }
+
   // ----------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over the normalized token multiset (native

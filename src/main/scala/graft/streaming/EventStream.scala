@@ -217,6 +217,41 @@ object EventStream {
       .start()
 
   /**
+   * Continuous component-labeling maintenance: every micro-batch of new
+   * near-dup EDGES folds into a persisted
+   * [[graft.ops.Dedup.writeComponentsIndex]] tree through
+   * [[graft.ops.Dedup.appendToComponentsIndex]] — the
+   * [[appendStreamToIvfIndex]] posture for the duplicate graph's cluster
+   * labels (stateless foreachBatch, no streaming state store: the
+   * LABELING is the state, updated in one contraction-bounded pass per
+   * batch and published as a new generation, so concurrent readers keep
+   * resolving a complete immutable tree). Batches carry `(a_id, b_id)`
+   * pairs — the output shape of
+   * [[graft.ops.Dedup.prefixFilteredPairs]]-style probe joins or the
+   * incremental MinHash matcher; edgeless new docs ride along when the
+   * batch includes them as self-edges upstream or via a separate
+   * [[graft.ops.Dedup.appendToComponentsIndex]] call.
+   */
+  def componentsStream(
+      newEdges: DataFrame,
+      labelsPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    newEdges.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // an empty batch must not burn a generation publish
+        if (!batch.isEmpty) {
+          val b = batch.toDF()
+          graft.ops.Dedup.appendToComponentsIndex(
+            labelsPath,
+            b.select(col("a_id").as("doc_id")).limit(0),
+            b.select("a_id", "b_id"))
+        }
+      }
+      // default as-fast-as-possible micro-batches (the mergeStream
+      // posture): label maintenance is continuous — the query keeps
+      // draining the edge feed until stopped
+      .start()
+
+  /**
    * Stream-stream interval join — click-to-view attribution, the streaming
    * twin of the batch `q32_attribution` query: each click pairs with the
    * same user's views at most `windowMinutes` before it.
