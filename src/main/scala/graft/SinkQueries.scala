@@ -46,6 +46,42 @@ object SinkQueries {
     "sink_orc_partitioned" -> ((s, dir) => roundTrip(s, dir, OrcFormat, Some("zlib"))),
     "sink_avro_partitioned" -> ((s, dir) => roundTrip(s, dir, AvroFormat, Some("snappy"))),
 
+    // Schema evolution on the append path, end-to-end: half the table
+    // lands with the base column set, the other half appends with a NEW
+    // nullable column under the Widen policy (old files read null for it
+    // under the merged schema), and a NARROWED batch must be rejected by
+    // the gate before any file lands. The oracle recomputes the widened
+    // read: the new column is non-null exactly for the second half.
+    "sink_evolution_widen" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_sink_evo").toString
+      val cfg = SinkConfig(ParquetFormat, Seq("o_orderpriority"),
+        runtimeNullCheck = true,
+        evolution = Some(graft.schema.SchemaEvolution.Widen))
+      val orders = Tables(s, dir, "orders")
+      PartitionedSink.write(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderpriority"),
+        out, cfg)
+      PartitionedSink.write(
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("o_orderpriority")),
+        out, cfg)
+      // the gate must reject breakage (o_custkey narrowed to int) with
+      // nothing written — the read below would hash-fail on any leak
+      val narrowed = orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey").cast("int").as("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+      val rejected =
+        try { PartitionedSink.write(narrowed, out, cfg); false }
+        catch { case _: graft.schema.GraftSchemaException => true }
+      require(rejected, "narrowed append must be rejected by the Widen gate")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+          "o_orderpriority")
+    }),
+
     // Multi-field key: nested directory layers in declared order
     // (`PartitionedFileSetSinkConfig.java:128,133-147`). Verified by grouping
     // the read-back tree by its two partition columns.
@@ -250,6 +286,12 @@ object SinkQueries {
         |FROM orders
         |WHERE trim(cast(o_orderpriority as varchar)) NOT LIKE '5%'""".stripMargin,
     "sink_compacted_sized" -> ordersOracle,
+    "sink_evolution_widen" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END
+        |    AS o_orderstatus,
+        |  trim(cast(o_orderpriority as varchar)) AS o_orderpriority
+        |FROM orders""".stripMargin,
     "sink_overwrite_partitions" ->
       """SELECT o_orderkey, o_custkey,
         |  CASE WHEN trim(cast(o_orderpriority as varchar)) = '1-URGENT'

@@ -72,6 +72,15 @@ case object OverwritePartitions extends WriteDisposition
  *   The width table is one row per partition value — broadcast-joined,
  *   bounded by the same partition-cardinality assumption `partitionBy`
  *   itself makes.
+ * @param evolution opt-in schema-drift gate on the append/merge path
+ *   ([[graft.schema.SchemaEvolution]]): when set, a write into an
+ *   EXISTING tree (and every [[PartitionedSink.mergeUpsert]] batch)
+ *   classifies the incoming-vs-stored schema delta — `Strict` rejects any
+ *   drift (the reference-faithful fixed-schema posture as a live check),
+ *   `Widen` admits safe widening (new nullable columns, integral/float
+ *   promotions, loosened nullability) and still fails loudly on breakage
+ *   (narrowing, non-nullable additions, partition-field changes). Unset =
+ *   no check, the reference's original trust-the-pipeline behavior.
  */
 final case class SinkConfig(
     format: SinkFormat,
@@ -83,7 +92,8 @@ final case class SinkConfig(
     catalogTable: Option[String] = None,
     filesPerPartition: Option[Int] = None,
     maxRecordsPerFile: Option[Long] = None,
-    adaptiveRowsPerFile: Option[Long] = None)
+    adaptiveRowsPerFile: Option[Long] = None,
+    evolution: Option[graft.schema.SchemaEvolution.Policy] = None)
 
 /**
  * Dynamic-partitioned dataset sink — the Spark-native re-expression of the
@@ -143,6 +153,18 @@ object PartitionedSink {
         s"adaptiveRowsPerFile must be positive, got $n"))
   }
 
+  /** The stored dataset's schema when `path` already holds data — None on
+    * a first write (missing or empty tree). One root listing, no data
+    * read: schema comes from footers during the lazy load. */
+  private def storedSchema(
+      spark: SparkSession, path: String, cfg: SinkConfig):
+      Option[org.apache.spark.sql.types.StructType] = {
+    val (fsys, root) = FsOps.fs(spark, path)
+    if (!fsys.exists(root)) None
+    else if (Option(fsys.listStatus(root)).forall(_.isEmpty)) None
+    else Some(readBack(spark, path, cfg.format).schema)
+  }
+
   private def forceNonNullable(df: DataFrame, fields: Seq[String]) =
     org.apache.spark.sql.types.StructType(df.schema.fields.map(f =>
       if (fields.contains(f.name)) f.copy(nullable = false) else f))
@@ -172,6 +194,14 @@ object PartitionedSink {
   def write(df: DataFrame, path: String, cfg: SinkConfig): Seq[String] = {
     validate(df, cfg)
     val prepared = preparePartitionColumns(df, cfg)
+    // opt-in drift gate: appends into an existing tree validate against
+    // the schema the dataset already holds (partition columns compare as
+    // strings on both sides — stored trees read back with inference off,
+    // incoming frames were just stringified above)
+    cfg.evolution.foreach(policy =>
+      storedSchema(df.sparkSession, path, cfg).foreach(st =>
+        graft.schema.SchemaEvolution.validate(
+          st, prepared.schema, cfg.partitionFields, policy): Unit))
     if (cfg.disposition == Create)
       PartitionCatalog.assertNoneExist(prepared, path, cfg.partitionFields,
         cfg.catalogTable)
@@ -659,6 +689,11 @@ object PartitionedSink {
     val pCols = cfg.partitionFields.map(qcol)
 
     val base = readBack(spark, path, cfg.format)
+    // opt-in drift gate, same contract as the append path: the batch must
+    // fit (Strict) or safely widen (Widen) what the dataset already holds
+    cfg.evolution.foreach(policy =>
+      graft.schema.SchemaEvolution.validate(
+        base.schema, upserts.schema, cfg.partitionFields, policy): Unit)
     // touched = partitions receiving upserts ∪ partitions holding updated
     // keys (thin key+partition scan of the base; finds moved and deleted
     // keys' OLD locations)
@@ -679,13 +714,23 @@ object PartitionedSink {
       .join(broadcast(allKeys), keyFields.toSeq, "left_anti")
       .persist()
     try {
-      val out = survivors.unionByName(upserts)
+      // under Widen a batch may carry a NEW nullable column the survivors
+      // lack (old rows read null for it) — allowMissingColumns is exactly
+      // that contract; type promotions coerce through union's resolution
+      val out = cfg.evolution match {
+        case Some(graft.schema.SchemaEvolution.Widen) =>
+          survivors.unionByName(upserts, allowMissingColumns = true)
+        case _ => survivors.unionByName(upserts)
+      }
       // partitions left with zero rows (all deleted, nothing upserted):
       // dynamic overwrite won't clear them — enumerate before the write
       val live = out.select(pCols: _*).distinct().collect()
         .map(r => (0 until cfg.partitionFields.length).map(r.getString))
         .toSet
-      write(out, path, cfg.copy(disposition = OverwritePartitions))
+      // evolution already validated against the full base above — the
+      // inner write must not re-gate against a half-rewritten tree
+      write(out, path,
+        cfg.copy(disposition = OverwritePartitions, evolution = None))
       val emptied = touched
         .map(r => (0 until cfg.partitionFields.length).map(r.getString))
         .filterNot(live)
