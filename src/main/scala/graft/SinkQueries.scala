@@ -19,7 +19,8 @@ import java.nio.file.Files
 object SinkQueries {
 
   private def roundTrip(
-      s: SparkSession, dir: String, fmt: SinkFormat, codec: Option[String]): DataFrame = {
+      s: SparkSession, dir: String, fmt: SinkFormat, codec: Option[String],
+      allowModern: Boolean = false): DataFrame = {
     val out = Files.createTempDirectory(s"graft_sink_${fmt.name}").toString
     val orders = Tables(s, dir, "orders")
     val orcOpts =
@@ -30,7 +31,7 @@ object SinkQueries {
       else None
     PartitionedSink.write(orders, out,
       SinkConfig(fmt, Seq("o_orderpriority"), codec, orcOptions = orcOpts,
-        runtimeNullCheck = true))
+        runtimeNullCheck = true, allowModernCodecs = allowModern))
     PartitionedSink.readBack(s, out, fmt)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderpriority")
@@ -44,6 +45,10 @@ object SinkQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_parquet_partitioned" -> ((s, dir) => roundTrip(s, dir, ParquetFormat, Some("snappy"))),
     "sink_orc_partitioned" -> ((s, dir) => roundTrip(s, dir, OrcFormat, Some("zlib"))),
+    // the zstd EXTENSION lane (allowModernCodecs) through the same
+    // round-trip contract as the reference-codec queries above
+    "sink_zstd_partitioned" -> ((s, dir) =>
+      roundTrip(s, dir, ParquetFormat, Some("zstd"), allowModern = true)),
     "sink_avro_partitioned" -> ((s, dir) => roundTrip(s, dir, AvroFormat, Some("snappy"))),
 
     // Schema evolution on the append path, end-to-end: half the table
@@ -279,6 +284,7 @@ object SinkQueries {
 
   val oracles: Map[String, String] = Map(
     "sink_parquet_partitioned" -> ordersOracle,
+    "sink_zstd_partitioned" -> ordersOracle,
     "sink_compacted" -> ordersOracle,
     "sink_retention" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -60,6 +60,20 @@ object Validators {
   val OrcCodecs: Map[String, String] =
     Map("none" -> "none", "snappy" -> "snappy", "zlib" -> "zlib")
 
+  /** EXTENSION beyond the reference's 2015-era whitelists
+    * (`common/FileSetUtil.java:224-286` stops at snappy/deflate/gzip/lzo/
+    * zlib): zstd is the modern archival default on all three formats and
+    * Spark writes it natively. Kept in separate maps so the
+    * reference-faithful lists above stay byte-for-byte faithful; admitted
+    * only when `SinkConfig.allowModernCodecs` opts in. Avro's writer
+    * option spells it `zstandard`; both spellings are accepted as keys. */
+  val ModernAvroCodecs: Map[String, String] =
+    Map("zstd" -> "zstandard", "zstandard" -> "zstandard")
+  val ModernParquetCodecs: Map[String, String] =
+    Map("zstd" -> "zstd", "zstandard" -> "zstd")
+  val ModernOrcCodecs: Map[String, String] =
+    Map("zstd" -> "zstd", "zstandard" -> "zstd")
+
   def resolveCodec(whitelist: Map[String, String], codec: String, format: String): String =
     whitelist.getOrElse(codec.trim.toLowerCase,
       throw new GraftSchemaException(

@@ -9,11 +9,16 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * `name` is the Spark DataSource provider; avro ships inside spark-sql in
   * this image but is not ServiceLoader-registered under its short name, so
   * the fully-qualified FileFormat class is used. */
-sealed abstract class SinkFormat(val name: String, val codecs: Map[String, String])
-case object ParquetFormat extends SinkFormat("parquet", Validators.ParquetCodecs)
+sealed abstract class SinkFormat(
+    val name: String, val codecs: Map[String, String],
+    val modernCodecs: Map[String, String])
+case object ParquetFormat extends SinkFormat("parquet",
+  Validators.ParquetCodecs, Validators.ModernParquetCodecs)
 case object AvroFormat
-  extends SinkFormat("org.apache.spark.sql.avro.AvroFileFormat", Validators.AvroCodecs)
-case object OrcFormat extends SinkFormat("orc", Validators.OrcCodecs)
+  extends SinkFormat("org.apache.spark.sql.avro.AvroFileFormat",
+    Validators.AvroCodecs, Validators.ModernAvroCodecs)
+case object OrcFormat extends SinkFormat("orc",
+  Validators.OrcCodecs, Validators.ModernOrcCodecs)
 
 /** Write disposition (SURVEY.md §2.7 W1):
   * [[Create]] fails if any incoming partition already exists at the target;
@@ -81,6 +86,12 @@ case object OverwritePartitions extends WriteDisposition
  *   promotions, loosened nullability) and still fails loudly on breakage
  *   (narrowing, non-nullable additions, partition-field changes). Unset =
  *   no check, the reference's original trust-the-pipeline behavior.
+ * @param allowModernCodecs EXTENSION: admit zstd (both spellings) beside
+ *   the reference-faithful codec whitelist — the modern archival default
+ *   Spark writes natively on all three formats
+ *   ([[graft.schema.Validators.ModernParquetCodecs]] et al.). Off by
+ *   default so the reference's exact whitelist semantics stay the
+ *   contract unless a caller opts in.
  */
 final case class SinkConfig(
     format: SinkFormat,
@@ -93,7 +104,15 @@ final case class SinkConfig(
     filesPerPartition: Option[Int] = None,
     maxRecordsPerFile: Option[Long] = None,
     adaptiveRowsPerFile: Option[Long] = None,
-    evolution: Option[graft.schema.SchemaEvolution.Policy] = None)
+    evolution: Option[graft.schema.SchemaEvolution.Policy] = None,
+    allowModernCodecs: Boolean = false) {
+  /** The codec whitelist this write resolves against: the
+    * reference-faithful per-format list, plus the zstd extension when
+    * [[allowModernCodecs]] opts in. */
+  def codecWhitelist: Map[String, String] =
+    if (allowModernCodecs) format.codecs ++ format.modernCodecs
+    else format.codecs
+}
 
 /**
  * Dynamic-partitioned dataset sink — the Spark-native re-expression of the
@@ -140,7 +159,7 @@ object PartitionedSink {
     Validators.outputSchema(
       if (cfg.runtimeNullCheck) forceNonNullable(df, cfg.partitionFields) else df.schema,
       cfg.partitionFields)
-    cfg.codec.foreach(c => Validators.resolveCodec(cfg.format.codecs, c, cfg.format.name))
+    cfg.codec.foreach(c => Validators.resolveCodec(cfg.codecWhitelist, c, cfg.format.name))
     if (cfg.format == OrcFormat) Validators.validateOrcOptions(cfg.codec, cfg.orcOptions)
     cfg.filesPerPartition.foreach(n =>
       if (n <= 0) throw new GraftSchemaException(
@@ -256,7 +275,7 @@ object PartitionedSink {
       writer = writer.option("partitionOverwriteMode", "dynamic")
     cfg.codec.foreach { c =>
       writer = writer.option("compression",
-        Validators.resolveCodec(cfg.format.codecs, c, cfg.format.name))
+        Validators.resolveCodec(cfg.codecWhitelist, c, cfg.format.name))
     }
     cfg.orcOptions.foreach { o =>
       writer = writer
