@@ -217,6 +217,36 @@ object EventStream {
       .start()
 
   /**
+   * Continuous duplicate-graph maintenance: every micro-batch of NEW
+   * documents appends its near-dup edges into a persisted
+   * [[graft.ops.Dedup.writeDupGraph]] tree through
+   * [[graft.ops.Dedup.appendToDupGraph]] — the probe-restricted PPJoin
+   * computes only new-touching pairs, with (n, threshold) frozen by the
+   * stored `params/` sidecar. Stateless foreachBatch: the INDEX is the
+   * state ([[incrementalDedupStream]]'s posture — `corpus` is the
+   * at-rest historical document table, refreshed out-of-band as accepted
+   * batches land; pairs BETWEEN two not-yet-folded-in batches surface
+   * once the refresh catches up, exactly the historical-signatures
+   * caveat documented on [[incrementalDedupStream]]). Compose with
+   * [[componentsStream]] to keep cluster labels live off the same feed.
+   */
+  def dupGraphStream(
+      newDocs: DataFrame, corpus: DataFrame, path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.toDF()
+          graft.ops.Dedup.appendToDupGraph(
+            corpus.unionByName(
+              b.select(corpus.columns.toIndexedSeq.map(col): _*)),
+            b.select(col(idCol)), path, idCol, textCol)
+        }
+      }
+      .start()
+
+  /**
    * Continuous component-labeling maintenance: every micro-batch of new
    * near-dup EDGES folds into a persisted
    * [[graft.ops.Dedup.writeComponentsIndex]] tree through

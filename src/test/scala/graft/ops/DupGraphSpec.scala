@@ -83,6 +83,31 @@ class DupGraphSpec extends SparkSpec {
     }
   }
 
+  test("dupGraphStream folds a new-doc micro-batch into the stored graph") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val d = docs
+    val oldDocs = d.filter(col("doc_id") % 5 =!= 0)
+    val newRows = d.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dir = java.nio.file.Files.createTempDirectory("dupg_s").toString
+    Dedup.writeDupGraph(oldDocs, "doc_id", "text", dir)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.dupGraphStream(
+      input.toDF().toDF("doc_id", "text"),
+      oldDocs.select("doc_id", "text"), dir)
+    try {
+      input.addData(newRows.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = edgeSet(Dedup.readDupGraph(spark, dir))
+    val dirFull = java.nio.file.Files.createTempDirectory("dupg_sf").toString
+    Dedup.writeDupGraph(d, "doc_id", "text", dirFull)
+    assert(streamed == edgeSet(Dedup.readDupGraph(spark, dirFull)))
+  }
+
   test("minJaccard read is directory-pruned and exact") {
     val dir = java.nio.file.Files.createTempDirectory("dupg_p").toString
     Dedup.writeDupGraph(docs, "doc_id", "text", dir)
