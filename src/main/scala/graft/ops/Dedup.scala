@@ -579,6 +579,15 @@ object Dedup {
    * corpus-wide document frequency, and old docs' gram sets are needed to
    * verify new↔old candidates. At scale this is one bounded candidate
    * join per batch — the probe side is the new slice, not the corpus.
+   *
+   * Exactly-once posture (the [[graft.streaming.EventStream.mergeStream]]
+   * discipline): foreachBatch can re-deliver a batch after a failure, so
+   * the computed pairs are anti-joined against the edges already stored
+   * before landing — a replay converges to the same tree instead of
+   * duplicating rows (and duplicated edges would corrupt degree-weighted
+   * analytics like PageRank, not just waste bytes). The anti-join's
+   * right side is one column-pruned (a_id, b_id) scan of the edge list,
+   * which is corpus-duplication-rate-sized, not corpus-sized.
    */
   def appendToDupGraph(
       allDocs: DataFrame, newIds: DataFrame, path: String,
@@ -586,7 +595,13 @@ object Dedup {
     val spark = allDocs.sparkSession
     val params = spark.read.parquet(s"$path/params").head()
     val (n, threshold) = (params.getInt(0), params.getDouble(1))
+    // materialized BEFORE the write: the anti-join reads the same tree
+    // the append lands in, so the batch-bounded fresh set is pinned first
+    // rather than racing the scan against its own output files
     prefixFilteredPairs(allDocs, idCol, textCol, n, threshold, Some(newIds))
+      .join(spark.read.parquet(s"$path/edges").select("a_id", "b_id"),
+        Seq("a_id", "b_id"), "left_anti")
+      .localCheckpoint()
       .withColumn("jband",
         least(floor(col("jac") * lit(10)).cast("int"), lit(9)))
       .write.mode("append").partitionBy("jband").parquet(s"$path/edges")

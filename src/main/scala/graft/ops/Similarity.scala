@@ -1066,8 +1066,23 @@ object Similarity {
       spark.read.parquet(s"$live/centroids").collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     val (codebook, m) = readPqCodebook(spark, live)
-    indexRows(batch, centroids, codebook, m, idCol, vecCol)
-      .write.mode("append").partitionBy("cell")
+    val rows = indexRows(batch, centroids, codebook, m, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // exactly-once posture (the mergeStream/appendToDupGraph discipline):
+    // a foreachBatch re-delivery must converge, not duplicate rows — ids
+    // already present are dropped via an anti-join against ONLY the cell
+    // directories this batch lands in (an `isin` partition filter: the
+    // batch's cell set is ≤ nCells driver-bounded values, so the stored
+    // side is a pruned id-column scan, never the whole index). Appends
+    // are insert-only: a re-sent id with a CHANGED vector is dropped
+    // (rebuild to re-encode), matching the frozen-geometry contract.
+    val cells = rows.select("cell").distinct().collect().map(_.getInt(0))
+    val existing = spark.read.parquet(s"$live/cells")
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .select(col(idCol))
+    val fresh = rows.join(existing, Seq(idCol), "left_anti").localCheckpoint()
+    rows.unpersist(blocking = false)
+    fresh.write.mode("append").partitionBy("cell")
       .parquet(s"$live/cells")
   }
 

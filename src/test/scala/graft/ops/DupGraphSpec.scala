@@ -83,6 +83,23 @@ class DupGraphSpec extends SparkSpec {
     }
   }
 
+  test("appendToDupGraph replay is idempotent — no duplicated edge rows") {
+    val d = docs
+    val oldDocs = d.filter(col("doc_id") % 5 =!= 0)
+    val newIds = d.filter(col("doc_id") % 5 === 0).select("doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("dupg_r").toString
+    Dedup.writeDupGraph(oldDocs, "doc_id", "text", dir)
+    Dedup.appendToDupGraph(d, newIds, dir)
+    val once = Dedup.readDupGraph(spark, dir).collect()
+    Dedup.appendToDupGraph(d, newIds, dir) // the re-delivered batch
+    val twice = Dedup.readDupGraph(spark, dir).collect()
+    assert(twice.length == once.length,
+      s"replay duplicated ${twice.length - once.length} edge rows")
+    assert(edgeSet(Dedup.readDupGraph(spark, dir)) ==
+      once.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getInt(4), r.getDouble(5))).toSet)
+  }
+
   test("dupGraphStream folds a new-doc micro-batch into the stored graph") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

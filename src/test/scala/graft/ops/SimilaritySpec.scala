@@ -468,6 +468,12 @@ class SimilaritySpec extends SparkSpec {
     (0L until 10L).foreach { qid =>
       assert(top1.get(qid).contains(qid + 10000), s"query $qid got ${top1.get(qid)}")
     }
+    // replay idempotency: re-delivering the same batch must converge to
+    // the same cells content, not duplicate the rows
+    val cellCount = spark.read.parquet(s"$idx/cells").count()
+    Similarity.appendToIvfIndex(twins, idx)
+    assert(spark.read.parquet(s"$idx/cells").count() == cellCount,
+      "replayed append duplicated index rows")
 
     // indexed rerank == in-memory rerank on the pre-append corpus shape:
     // same centroids, same candidates, same exact rescoring (build a fresh
