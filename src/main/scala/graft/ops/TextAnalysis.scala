@@ -236,7 +236,17 @@ object TextAnalysis {
   def appendToTextIndex(
       batch: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     val spark = batch.sparkSession
-    val toks = batch.select(col(idCol).as("doc_id"),
+    // exactly-once posture (the appendToDupGraph/appendToIvfIndex
+    // discipline): a foreachBatch re-delivery must converge, not
+    // double-count — already-indexed doc ids are dropped via one
+    // doc_id-column anti-join against the doclen table, which covers the
+    // postings too (both trees are keyed by doc_id). Materialized before
+    // any write so the doclen scan never races its own appended files.
+    val fresh = batch.join(
+      spark.read.parquet(s"$path/doclen")
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti").localCheckpoint()
+    val toks = fresh.select(col(idCol).as("doc_id"),
       graft.functions.hashes.word_tokens(col(textCol)).as("__w"))
     toks.select(col("doc_id"), size(col("__w")).cast("long").as("dl"))
       .write.mode("append").parquet(s"$path/doclen")

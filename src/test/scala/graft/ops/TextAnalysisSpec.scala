@@ -163,6 +163,13 @@ class TextAnalysisSpec extends SparkSpec {
     val appended = rows(TextAnalysis.bm25SearchIndexed(spark, idxApp, terms, k = 20))
     assert(appended == rows(TextAnalysis.bm25SearchIndexed(spark, idxFull, terms, k = 20)))
     assert(appended == rows(TextAnalysis.bm25Search(docs, "doc_id", "text", terms, k = 20)))
+    // replay idempotency: re-delivering the same batch must not
+    // double-count doc lengths or tf rows
+    TextAnalysis.appendToTextIndex(half2, "doc_id", "text", idxApp)
+    assert(rows(TextAnalysis.bm25SearchIndexed(spark, idxApp, terms, k = 20))
+      == appended, "replayed append changed the index")
+    assert(spark.read.parquet(s"$idxApp/doclen").count() == docs.count(),
+      "replayed append duplicated doclen rows")
     // streaming maintenance: micro-batched docs land and become searchable
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val idxStream = java.nio.file.Files.createTempDirectory("graft_text_idx_stream").toString
