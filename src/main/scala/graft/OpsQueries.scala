@@ -342,6 +342,18 @@ object OpsQueries {
       Graph.triangleStats(Dedup.readDupGraph(s, cachedDupGraph(s, dir))
         .select(col("a_id"), col("b_id")))),
 
+    // STRONG-edge components through the index's pruning dimension: the
+    // jband partition column turns `minJaccard = 0.9` into a
+    // directory-pruned read (deciles 8 of 10 never open), and the exact
+    // per-row refine keeps it lossless — the "cluster at 0.9 after
+    // building at 0.8" re-analysis that motivates the decile layout,
+    // exercised end-to-end under its own full SQL oracle.
+    "graph_components_strong" -> ((s, dir) => {
+      val edges = Dedup.readDupGraph(s, cachedDupGraph(s, dir),
+        minJaccard = 0.9).select(col("a_id"), col("b_id"))
+      Dedup.connectedComponents(docs(s, dir).select(col("doc_id")), edges)
+    }),
+
     // INCREMENTAL components over the indexed edges: an "old" corpus
     // labeling ([[Dedup.connectedComponents]]) plus one
     // [[Dedup.appendToComponents]] batch fold of the "new" quarter —
@@ -2152,6 +2164,38 @@ object OpsQueries {
         |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
         |  WHERE cast(len(list_intersect(a.g, b.g)) as double)
         |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+        |), edges AS (
+        |  SELECT a_id AS u, b_id AS v FROM e0
+        |  UNION ALL SELECT b_id, a_id FROM e0
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+        |), cl AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        |  FROM reach GROUP BY u)
+        |SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin,
+
+    // graph_components at the STRONG threshold: identical pair CTE with
+    // the 0.9 floor — the Spark side reads the 0.8-built index pruned to
+    // jac >= 0.9, which is exactly the fresh 0.9 pair set (both engines
+    // compute the same common/(la+lb-common) double, so the floor
+    // comparison agrees pairwise)
+    "graph_components_strong" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM toks WHERE len(w) >= 3
+        |), e0 AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |  WHERE cast(len(list_intersect(a.g, b.g)) as double)
+        |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.9
         |), edges AS (
         |  SELECT a_id AS u, b_id AS v FROM e0
         |  UNION ALL SELECT b_id, a_id FROM e0
