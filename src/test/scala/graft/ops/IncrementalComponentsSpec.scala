@@ -85,6 +85,47 @@ class IncrementalComponentsSpec extends SparkSpec {
     assert(graft.sink.FsOps.readManifest(hfs, root).contains("v2"))
   }
 
+  test("live pipeline: dup-graph appends stream into the labels tree as edges") {
+    // the composition the two maintenance lanes exist for: new documents
+    // fold into the persisted dup graph (probe-restricted append), and
+    // the graph's OWN edges/ tree doubles as a file-stream source whose
+    // new files drive the component labeling — no custom feed between the
+    // two indexes, the storage layout IS the contract
+    val d = docs
+    val oldDocs = d.filter(col("doc_id") % 5 =!= 0)
+    val newIds = d.filter(col("doc_id") % 5 === 0).select("doc_id")
+    val gDir = java.nio.file.Files.createTempDirectory("cc_live_g").toString
+    val lDir = java.nio.file.Files.createTempDirectory("cc_live_l").toString
+    Dedup.writeDupGraph(oldDocs, "doc_id", "text", gDir)
+    // labels bootstrapped from the stored old-corpus edges
+    Dedup.writeComponentsIndex(
+      Dedup.connectedComponents(oldDocs.select("doc_id"),
+        Dedup.readDupGraph(spark, gDir).select("a_id", "b_id")), lDir)
+    val edgeSchema = spark.read.parquet(s"$gDir/edges").schema
+    val feed = spark.readStream.schema(edgeSchema)
+      .option("basePath", s"$gDir/edges").parquet(s"$gDir/edges/jband=*")
+    val q = graft.streaming.EventStream.componentsStream(feed, lDir)
+    try {
+      q.processAllAvailable() // drain the pre-existing files
+      Dedup.appendToDupGraph(d, newIds, gDir)
+      q.processAllAvailable() // the appended files become the next batch
+    } finally q.stop()
+    // labels must now equal a full recompute over the full corpus' edges
+    // for the docs that participate in edges (the stream never sees
+    // edgeless new docs — fold those via newNodes when they matter)
+    val fullPairs = Dedup.ngramJaccardPairsPrefix(d, "doc_id", "text", 3, 0.8)
+      .select(col("a_id"), col("b_id"))
+    val full = labelSet(Dedup.connectedComponents(d.select("doc_id"), fullPairs))
+    val live = labelSet(Dedup.readComponentsIndex(spark, lDir))
+    val memberIds = fullPairs.select(col("a_id").as("doc_id"))
+      .union(fullPairs.select(col("b_id").as("doc_id")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val oldIds = oldDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val covered = full.filter(e => memberIds(e._1) || oldIds(e._1))
+    assert(live.filter(e => memberIds(e._1) || oldIds(e._1)) == covered)
+    assert(covered.nonEmpty, "fixture degenerate")
+  }
+
   test("componentsStream folds edge micro-batches into the labels tree") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
