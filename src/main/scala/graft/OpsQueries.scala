@@ -342,6 +342,13 @@ object OpsQueries {
       Graph.triangleStats(Dedup.readDupGraph(s, cachedDupGraph(s, dir))
         .select(col("a_id"), col("b_id")))),
 
+    // the dup-graph's index-health read (the ivfIndexHealth /
+    // postingsHealth symmetry): per-decile edge volume + share from the
+    // stored tree — the partition column is the grouping key, so the
+    // aggregate reads file metadata, never edge payload bytes
+    "dedup_graph_health" -> ((s, dir) =>
+      Dedup.dupGraphHealth(s, cachedDupGraph(s, dir))),
+
     // STRONG-edge components through the index's pruning dimension: the
     // jband partition column turns `minJaccard = 0.9` into a
     // directory-pruned read (deciles 8 of 10 never open), and the exact
@@ -2176,6 +2183,32 @@ object OpsQueries {
         |  FROM reach GROUP BY u)
         |SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id""".stripMargin,
+
+    // the stored tree's decile histogram re-derived from the raw pairs;
+    // share_r is q37's proven count/count round-6 pattern
+    "dedup_graph_health" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]) AS g
+        |  FROM toks WHERE len(w) >= 3
+        |), e0 AS (
+        |  SELECT cast(len(list_intersect(a.g, b.g)) as double)
+        |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jac
+        |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        |  WHERE cast(len(list_intersect(a.g, b.g)) as double)
+        |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+        |), h AS (
+        |  SELECT cast(least(floor(jac * 10), 9) AS int) AS jband,
+        |    count(*) AS n_edges
+        |  FROM e0 GROUP BY 1
+        |), t AS (SELECT cast(sum(n_edges) AS double) AS tot FROM h)
+        |SELECT jband, n_edges,
+        |  round(n_edges / (SELECT tot FROM t), 6) AS share_r
+        |FROM h ORDER BY jband""".stripMargin,
 
     // graph_components at the STRONG threshold: identical pair CTE with
     // the 0.9 floor — the Spark side reads the 0.8-built index pruned to

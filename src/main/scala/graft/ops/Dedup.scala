@@ -566,6 +566,34 @@ object Dedup {
   }
 
   /**
+   * Edge-volume health for a [[writeDupGraph]] tree — the index-health
+   * read every persisted index here exposes
+   * ([[graft.ops.Similarity.ivfIndexHealth]]'s occupancy,
+   * [[graft.ops.TextAnalysis.postingsHealth]]'s stop-gram report): per
+   * similarity decile, the stored edge count and its share of the graph.
+   * A mass shifted toward weak deciles after many appends is the signal
+   * to re-run analytics at a higher floor (one pruned read — the decile
+   * layout's point) or rebuild at a tighter threshold. Cost: the
+   * grouping key IS the partition column, so the aggregate is satisfied
+   * from file metadata plus partition values — no edge payload columns
+   * are read.
+   */
+  def dupGraphHealth(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val e = spark.read.parquet(s"$path/edges")
+    val withN = e.groupBy(col("jband").cast("int").as("jband"))
+      .agg(count(lit(1)).as("n_edges"))
+    // global window over the POST-AGG frame — bounded by the 10-decile
+    // domain, the ivfIndexHealth discipline (≤ nCells there)
+    val w = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    withN
+      .withColumn("share_r",
+        round(col("n_edges").cast("double") / sum(col("n_edges")).over(w), 6))
+      .orderBy(col("jband"))
+  }
+
+  /**
    * Append a NEW batch of documents' edges to an existing
    * [[writeDupGraph]] tree without rebuilding: the probe-restricted
    * PPJoin ([[prefixFilteredPairs]]) emits exactly the qualifying pairs

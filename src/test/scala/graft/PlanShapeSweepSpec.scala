@@ -51,7 +51,9 @@ class PlanShapeSweepSpec extends SparkSpec {
     * funnel", not "no single-partition exchange ever". */
   private val singlePartitionAllowed: Map[String, String] = Map(
     "sim_index_health" ->
-      "global window over the per-cell occupancy table (≤ nCells rows by construction)")
+      "global window over the per-cell occupancy table (≤ nCells rows by construction)",
+    "dedup_graph_health" ->
+      "global window over the per-decile edge histogram (≤ 10 rows by construction)")
 
   /** Lines between a SinglePartition exchange and its real consumer that
     * don't change boundedness: shuffle readers and the sort feeding a

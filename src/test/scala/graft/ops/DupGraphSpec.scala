@@ -125,6 +125,19 @@ class DupGraphSpec extends SparkSpec {
     assert(streamed == edgeSet(Dedup.readDupGraph(spark, dirFull)))
   }
 
+  test("dupGraphHealth: per-decile counts match the stored edges, shares sum to 1") {
+    val dir = java.nio.file.Files.createTempDirectory("dupg_h").toString
+    Dedup.writeDupGraph(docs, "doc_id", "text", dir)
+    val edges = Dedup.readDupGraph(spark, dir).collect()
+    val want = edges.groupBy(e => math.min((e.getDouble(5) * 10).toInt, 9))
+      .view.mapValues(_.length.toLong).toMap
+    val got = Dedup.dupGraphHealth(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(g => g._1 -> g._2).toMap == want)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4, "shares must sum to 1")
+    assert(got.sortBy(_._1).sameElements(got), "ordered by decile")
+  }
+
   test("minJaccard read is directory-pruned and exact") {
     val dir = java.nio.file.Files.createTempDirectory("dupg_p").toString
     Dedup.writeDupGraph(docs, "doc_id", "text", dir)
