@@ -467,9 +467,21 @@ object Dedup {
     // probe restriction: only the probe docs' prefixes enter the hot
     // join's left side (an id-keyed semi-join — the probe set is a new
     // batch, small relative to the corpus posting lists)
-    val a = probeIds.fold(a0)(ids =>
-      a0.join(ids.select(col(ids.columns.head).as("a_id")), Seq("a_id"),
-        "left_semi"))
+    val a = probeIds.fold(a0) { ids =>
+      // resolve the probe id by the caller's idCol name when present;
+      // a positional columns.head grab on a multi-column frame whose
+      // first column is NOT the id would silently compute a wrong
+      // (likely empty) probe set instead of failing
+      val probeCol =
+        if (ids.columns.contains(idCol)) idCol
+        else {
+          require(ids.columns.length == 1,
+            s"probeIds must contain '$idCol' or be a single-column frame; " +
+              s"got [${ids.columns.mkString(", ")}]")
+          ids.columns.head
+        }
+      a0.join(ids.select(col(probeCol).as("a_id")), Seq("a_id"), "left_semi")
+    }
     val b = prefixes.select(col("gram"), col("doc_id").as("b_id"),
       col("n_grams").as("lb"), col("__rank").as("pb"))
     // unrestricted: a < b halves the join output (each unordered pair
@@ -559,7 +571,11 @@ object Dedup {
     val e = spark.read.parquet(s"$path/edges")
     val pruned =
       if (minJaccard > 0)
-        e.filter(col("jband") >= lit(math.floor(minJaccard * 10).toInt)
+        // the band floor is capped at 9 to mirror the writer's
+        // `least(floor(jac*10), 9)`: exact duplicates (jac == 1.0) live in
+        // jband=9, so an uncapped ⌊1.0·10⌋ = 10 filter would return zero rows
+        e.filter(col("jband") >=
+            lit(math.min(math.floor(minJaccard * 10).toInt, 9))
           && col("jac") >= lit(minJaccard))
       else e
     pruned.select("a_id", "b_id", "common", "la", "lb", "jac")

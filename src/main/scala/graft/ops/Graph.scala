@@ -339,7 +339,12 @@ object Graph {
     import spark.implicits._
     val idType = pairs.schema("a_id").dataType
     val raw = pairs.select(col("a_id").cast("long"), col("b_id").cast("long"),
-        col(weightCol).cast("double"))
+        col(weightCol).cast("double").as("__w"))
+      // drop null-cast weights BEFORE collect: the distributed path's
+      // aggregates silently skip nulls, so the driver path must too —
+      // without this a non-numeric weightCol NPEs here while the same
+      // input above the size threshold quietly null-skips
+      .filter(col("__w").isNotNull)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val edges = (raw ++ raw.map(t => (t._2, t._1, t._3))).sortBy(identity)
     val wtot = edges.groupBy(_._1).view

@@ -238,21 +238,32 @@ object TextAnalysis {
     val spark = batch.sparkSession
     // exactly-once posture (the appendToDupGraph/appendToIvfIndex
     // discipline): a foreachBatch re-delivery must converge, not
-    // double-count — already-indexed doc ids are dropped via one
-    // doc_id-column anti-join against the doclen table, which covers the
-    // postings too (both trees are keyed by doc_id). Materialized before
-    // any write so the doclen scan never races its own appended files.
-    val fresh = batch.join(
-      spark.read.parquet(s"$path/doclen")
-        .select(col("doc_id").as(idCol)),
-      Seq(idCol), "left_anti").localCheckpoint()
-    val toks = fresh.select(col(idCol).as("doc_id"),
+    // double-count. Each tree anti-joins against ITS OWN stored doc ids —
+    // a single doclen-keyed filter would leave a crash between the two
+    // appends permanently unhealable (docs with doclen rows but no
+    // postings that every replay then skips). Independently-converging
+    // trees make any replay heal whichever tree the crash left behind.
+    // Both fresh sets are materialized before any write so neither scan
+    // races its own appended files.
+    val toksAll = batch.select(col(idCol).as("doc_id"),
       graft.functions.hashes.word_tokens(col(textCol)).as("__w"))
-    toks.select(col("doc_id"), size(col("__w")).cast("long").as("dl"))
-      .write.mode("append").parquet(s"$path/doclen")
-    toks.select(col("doc_id"), explode(col("__w")).as("term"))
+    val freshLens = toksAll
+      .select(col("doc_id"), size(col("__w")).cast("long").as("dl"))
+      .join(spark.read.parquet(s"$path/doclen").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val freshPostings = toksAll
+      .select(col("doc_id"), explode(col("__w")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      // the anti-join's right side is one column-pruned doc_id scan of
+      // the postings tree (posting-row-count-sized, never re-tokenized)
+      .join(spark.read.parquet(s"$path/postings")
+          .select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    freshLens.write.mode("append").parquet(s"$path/doclen")
+    freshPostings
       .withColumn("bucket", substring(md5(col("term").cast("binary")), 1, 2))
       .write.mode("append").partitionBy("bucket")
       .parquet(s"$path/postings")

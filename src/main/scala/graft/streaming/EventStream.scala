@@ -238,10 +238,18 @@ object EventStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val b = batch.toDF()
+          // anti-join the corpus against the batch ids before the union:
+          // once the out-of-band refresh has folded a batch in (or on
+          // replay after a refresh) those docs would otherwise appear
+          // twice — duplicated gram rows fan out the verify join and
+          // emit duplicate edge rows that the stored-pair anti-join
+          // cannot block (it only drops ALREADY-STORED pairs, not
+          // within-batch duplicate output rows)
+          val batchIds = b.select(col(idCol))
           graft.ops.Dedup.appendToDupGraph(
-            corpus.unionByName(
+            corpus.join(batchIds, Seq(idCol), "left_anti").unionByName(
               b.select(corpus.columns.toIndexedSeq.map(col): _*)),
-            b.select(col(idCol)), path, idCol, textCol)
+            batchIds, path, idCol, textCol)
         }
       }
       .start()

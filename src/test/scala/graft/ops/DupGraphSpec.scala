@@ -125,6 +125,79 @@ class DupGraphSpec extends SparkSpec {
     assert(streamed == edgeSet(Dedup.readDupGraph(spark, dirFull)))
   }
 
+  test("minJaccard = 1.0 read returns exact-duplicate edges (band floor capped at 9)") {
+    import spark.implicits._
+    // planted exact duplicates: identical texts have jac == 1.0 and live in
+    // jband=9 (the writer caps at least(floor(jac*10), 9)); an uncapped
+    // ⌊1.0·10⌋ = 10 read filter would silently return zero rows
+    val t = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq((1L, t), (2L, t),
+      (3L, "wholly different words about another topic entirely here"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("dupg_x").toString
+    Dedup.writeDupGraph(d, "doc_id", "text", dir)
+    val exact = edgeSet(Dedup.readDupGraph(spark, dir, minJaccard = 1.0))
+    assert(exact.map(e => (e._1, e._2)) == Set((1L, 2L)),
+      s"exact-dup read lost the jband=9 edge: $exact")
+    assert(exact.forall(_._6 == 1.0))
+  }
+
+  test("appendToDupGraph resolves a multi-column newIds frame by idCol name") {
+    val d = docs
+    val oldDocs = d.filter(col("doc_id") % 5 =!= 0)
+    val newDocs = d.filter(col("doc_id") % 5 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("dupg_mc").toString
+    Dedup.writeDupGraph(oldDocs, "doc_id", "text", dir)
+    // id is NOT the first column — a positional columns.head grab would
+    // probe on text values and silently emit an empty set
+    Dedup.appendToDupGraph(d, newDocs.select("text", "doc_id"), dir)
+    val dirFull = java.nio.file.Files.createTempDirectory("dupg_mcf").toString
+    Dedup.writeDupGraph(d, "doc_id", "text", dirFull)
+    assert(edgeSet(Dedup.readDupGraph(spark, dir)) ==
+      edgeSet(Dedup.readDupGraph(spark, dirFull)))
+    // a multi-column frame WITHOUT the id column fails loudly
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.prefixFilteredPairs(d, "doc_id", "text", 3, 0.8,
+        Some(newDocs.select(col("text"), col("n_chars")))).collect()
+    }
+    assert(bad.getMessage.contains("doc_id"))
+  }
+
+  test("dupGraphStream converges when the corpus refresh already folded the batch in") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val d = docs
+    val oldDocs = d.filter(col("doc_id") % 5 =!= 0)
+    val newRows = d.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val dir = java.nio.file.Files.createTempDirectory("dupg_rf").toString
+    Dedup.writeDupGraph(oldDocs, "doc_id", "text", dir)
+    // the corpus handed to the stream is the FULL table — the out-of-band
+    // refresh has already folded the batch in (or the batch is a replay
+    // after a refresh). Without the pre-union anti-join those docs appear
+    // twice: duplicated gram rows fan out the verify join and identical
+    // edge rows land twice (the stored-pair anti-join only blocks
+    // already-stored pairs, not within-batch duplicate output rows).
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStream.dupGraphStream(
+      input.toDF().toDF("doc_id", "text"),
+      d.select("doc_id", "text"), dir)
+    try {
+      input.addData(newRows.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Dedup.readDupGraph(spark, dir).collect()
+    val dirFull = java.nio.file.Files.createTempDirectory("dupg_rff").toString
+    Dedup.writeDupGraph(d, "doc_id", "text", dirFull)
+    val want = edgeSet(Dedup.readDupGraph(spark, dirFull))
+    assert(streamed.length == want.size,
+      s"refresh-raced batch duplicated ${streamed.length - want.size} edge rows")
+    assert(streamed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getInt(3), r.getInt(4), r.getDouble(5))).toSet == want)
+  }
+
   test("dupGraphHealth: per-decile counts match the stored edges, shares sum to 1") {
     val dir = java.nio.file.Files.createTempDirectory("dupg_h").toString
     Dedup.writeDupGraph(docs, "doc_id", "text", dir)

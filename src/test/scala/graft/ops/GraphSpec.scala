@@ -180,6 +180,25 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(dist(k) - v) <= 1e-9, s"node $k: local $v vs dist ${dist(k)}")
   }
 
+  test("pageRankWeighted: null-cast weights are skipped identically on both dispatch paths") {
+    import spark.implicits._
+    // a NULL weight must not NPE the driver path's getDouble — the
+    // distributed sweeps' aggregates silently skip nulls, so the fast
+    // path must drop the same edges before collect
+    val pairs = Seq(
+      (1L, 2L, Some(1.0)), (2L, 3L, Some(2.0)),
+      (1L, 3L, None: Option[Double]), (3L, 4L, Some(0.5)))
+      .toDF("a_id", "b_id", "weight")
+    val local = Graph.pageRankWeighted(pairs) // under the threshold
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val dist = Graph.pageRankWeighted(pairs, localEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    for ((k, v) <- local)
+      assert(math.abs(dist(k) - v) <= 1e-9, s"node $k: local $v vs dist ${dist(k)}")
+    assert(local.keySet.subsetOf(dist.keySet))
+    assert(local.nonEmpty)
+  }
+
   test("graph operators release their sweep caches (repeated calls don't accumulate blocks)") {
     import spark.implicits._
     val pairs = (1L to 30L).map(i => (i, i % 30 + 1))

@@ -170,6 +170,20 @@ class TextAnalysisSpec extends SparkSpec {
       == appended, "replayed append changed the index")
     assert(spark.read.parquet(s"$idxApp/doclen").count() == docs.count(),
       "replayed append duplicated doclen rows")
+    // crash healing: a failure BETWEEN the doclen and postings appends
+    // leaves docs with doclen rows but no postings — the replay must heal
+    // the postings tree rather than skip those docs forever (each tree
+    // anti-joins against its OWN stored ids, not a shared doclen marker)
+    val idxCrash = java.nio.file.Files.createTempDirectory("graft_text_idx_crash").toString
+    TextAnalysis.writeTextIndex(half1, "doc_id", "text", idxCrash)
+    half2.select(col("doc_id"),
+        size(graft.functions.hashes.word_tokens(col("text"))).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$idxCrash/doclen") // the partial append
+    TextAnalysis.appendToTextIndex(half2, "doc_id", "text", idxCrash)
+    assert(rows(TextAnalysis.bm25SearchIndexed(spark, idxCrash, terms, k = 20))
+      == appended, "replay after a doclen-only crash left postings missing")
+    assert(spark.read.parquet(s"$idxCrash/doclen").count() == docs.count(),
+      "replay after a doclen-only crash duplicated doclen rows")
     // streaming maintenance: micro-batched docs land and become searchable
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val idxStream = java.nio.file.Files.createTempDirectory("graft_text_idx_stream").toString
