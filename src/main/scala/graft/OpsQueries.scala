@@ -857,6 +857,15 @@ object OpsQueries {
     "text_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(docs(s, dir), "text", minCount = 5, k = 50)),
 
+    // Frequent tokens by the Misra-Gries sketch + exact-recount path:
+    // EXACTLY the tokens above 1% corpus share (the sketch's n/(k+1)
+    // guarantee with k=199 makes the candidate set a superset of every
+    // qualifying token; the bounded recount makes the output exact, so
+    // the oracle is the plain HAVING formulation)
+    "text_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(docs(s, dir), "text",
+        minShare = 0.01, sketchK = 199)),
+
     // BPE merge-pair statistics (the counting step of byte-pair-encoding
     // tokenizer induction): most frequent adjacent character pairs inside
     // words, corpus-wide. Explode → partial-agg count → TakeOrdered —
@@ -2819,6 +2828,23 @@ object OpsQueries {
     // both engines; emitting ln itself is ulp-fragile (glibc vs JVM
     // intrinsic differ on some inputs), and ln is monotone so the ranking
     // is unchanged
+    // share = cnt/total is one double division of exact longs and the
+    // threshold compare multiplies the same exact longs as doubles —
+    // bit-identical in both engines (no round(double, n) anywhere)
+    "text_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents
+        |), tok AS (SELECT token FROM t WHERE token != ''),
+        |n AS (SELECT count(*) AS total FROM tok)
+        |SELECT token, count(*) AS cnt,
+        |  cast(count(*) as double) / cast((SELECT total FROM n) as double) AS share
+        |FROM tok GROUP BY token
+        |HAVING cast(count(*) as double) >
+        |  0.01 * cast((SELECT total FROM n) as double)
+        |ORDER BY cnt DESC, token ASC""".stripMargin,
+
     "text_collocations" ->
       """WITH t AS (
         |  SELECT string_split(

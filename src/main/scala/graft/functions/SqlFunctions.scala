@@ -40,5 +40,8 @@ object SqlFunctions {
     // a registry builder, so SQL GROUP BY gets the bounded-heap top-k
     "top_k_by_score" -> (e =>
       TopKByScore(e(0), e(1), intArg(e, 2, 10)).toAggregateExpression()),
+    // aggregate: bounded Misra-Gries frequent-items counters
+    "misra_gries" -> (e =>
+      MisraGriesSketch(e.head, intArg(e, 1, 199)).toAggregateExpression()),
   )
 }

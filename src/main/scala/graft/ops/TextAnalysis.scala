@@ -24,6 +24,51 @@ object TextAnalysis {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /**
+   * Corpus-scale frequent tokens by the sketch-proposes / exact-verifies
+   * shape: ONE pass folds every token into a bounded Misra–Gries buffer
+   * ([[graft.functions.MisraGriesSketch]] — at most `sketchK` counters per
+   * task, merged map-side, so the shuffle carries counters instead of the
+   * full distinct-token key space) alongside the exact total count; the
+   * surviving ≤ `sketchK` candidates are then RE-COUNTED exactly with a
+   * broadcast-membership filter and thresholded at `minShare` of the
+   * corpus. The MG guarantee makes this EXACT, not approximate: every
+   * token with true count > n/(sketchK+1) survives the merged sketch, so
+   * with `sketchK + 1 ≥ 1/minShare` (enforced) no qualifying token can be
+   * missed — the output equals the full `groupBy(token)` formulation
+   * row-for-row while only ever shuffling O(sketchK) keys.
+   *
+   * At 100 TB the exact formulation's shuffle is the job (billions of
+   * distinct tokens); here the wide pass is a single partial-aggregated
+   * fold and the exact pass counts a ≤ sketchK-token slice.
+   */
+  def heavyHitters(
+      df: DataFrame, textCol: String,
+      minShare: Double = 0.01, sketchK: Int = 199): DataFrame = {
+    require(minShare > 0 && minShare < 1, "minShare must be in (0,1)")
+    require((sketchK + 1).toDouble * minShare >= 1.0,
+      s"sketchK=$sketchK too small for minShare=$minShare: the MG guarantee " +
+        "needs sketchK + 1 >= 1/minShare or true heavy hitters can be missed")
+    val toks = df
+      .select(explode(graft.functions.hashes.word_tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val sketch = toks.agg(
+      count(lit(1)).as("n"),
+      graft.functions.mg.misra_gries(col("token"), sketchK).as("mg")).head()
+    val total = sketch.getLong(0)
+    if (total == 0L)
+      return toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .withColumn("share", col("cnt").cast("double"))
+        .limit(0)
+    val candidates = sketch.getSeq[org.apache.spark.sql.Row](1)
+      .map(_.getString(0)) // bounded by sketchK, by construction
+    toks.filter(col("token").isInCollection(candidates))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").cast("double") > lit(minShare) * lit(total.toDouble))
+      .withColumn("share", col("cnt").cast("double") / lit(total.toDouble))
+      .orderBy(col("cnt").desc, col("token").asc)
+  }
+
   // --------------------------------------------------------- quality score
 
   /** Character-class counts and ratios used by the quality heuristic.

@@ -35,6 +35,48 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("misra_gries sketch: guarantee, merge, and exact heavy-hitter equality") {
+    import spark.implicits._
+    // planted skew: "hot" is 30% of a 1000-item stream — with k=9 the
+    // n/(k+1) = 10% bound guarantees it survives any partitioning
+    val items = (Seq.fill(300)("hot") ++
+      (1 to 700).map(i => s"cold${i % 350}"))
+    val rng = new scala.util.Random(42)
+    val shuffled = rng.shuffle(items)
+    for (parts <- Seq(1, 7)) {
+      val df = shuffled.toDF("item").repartition(parts)
+      val sk = df.agg(graft.functions.mg.misra_gries($"item", 9).as("s"))
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(sk.length <= 9, s"buffer overflow at parts=$parts: ${sk.length}")
+      val hot = sk.find(_._1 == "hot")
+      assert(hot.isDefined, s"30% item lost from the sketch at parts=$parts")
+      // stored counts are lower bounds within n/(k+1) of the truth
+      assert(hot.get._2 <= 300 && hot.get._2 >= 300 - 100)
+    }
+    // heavyHitters output is EXACTLY the full-groupBy formulation
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val got = TextAnalysis.heavyHitters(docs, "text", minShare = 0.01,
+        sketchK = 199)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val toks = docs.select(explode(
+        graft.functions.hashes.word_tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val total = toks.count()
+    val want = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").cast("double") > lit(0.01) * lit(total.toDouble))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(1).toDouble / total.toDouble))
+    assert(got.toSeq == want.toSeq,
+      s"sketch path diverged from exact: got=${got.take(3).toSeq} want=${want.take(3).toSeq}")
+    assert(got.nonEmpty, "fixture degenerate — no 1% tokens")
+    // the guard that keeps the guarantee honest
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heavyHitters(docs, "text", minShare = 0.01, sketchK = 50)
+    }
+  }
+
   test("quality features on crafted text") {
     val df = Seq((1L, "abcde 12345")).toDF("doc_id", "text") // 11 chars
     val r = TextAnalysis.qualityFeatures(df, "doc_id", "text").collect().head
