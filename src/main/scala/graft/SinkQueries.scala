@@ -266,7 +266,81 @@ object SinkQueries {
           (sum(round(col("l_quantity") * 100).cast("long")) / 100.0)
             .as("sum_qty"))
     }),
+
+    // Snapshot time travel: land orders as snapshot 1, logically replace
+    // the 1-URGENT partition keeping only even order keys (snapshot 2 —
+    // the old files leave the live set but stay on disk), then read BOTH
+    // states: s1 through time travel, s2 as current. The oracle derives
+    // both states from the source table, so any leak of replaced files
+    // into s2 — or any loss of them from s1 — hash-fails.
+    "sink_snapshot_travel" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_travel").toString
+      val (_, s1, _) = snapshotFixture(s, dir, out)
+      def agg(df: DataFrame, snap: Int) = df
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .withColumn("snapshot", lit(snap))
+      agg(Snapshots.read(s, out, asOf = Some(s1)), 1)
+        .unionByName(agg(Snapshots.read(s, out), 2))
+        .select("snapshot", "o_orderpriority", "n_rows", "sum_cents")
+    }),
+
+    // Retention: a third snapshot appends half the replaced rows back,
+    // then expiry keeps only the newest two — the expired snapshot's
+    // manifest is gone (time travel to it must fail loudly), its
+    // now-unreferenced files are deleted, and the CURRENT state is
+    // byte-identical to before the expiry (the oracle recomputes it from
+    // the source: everything except odd 1-URGENT keys with key%4==3).
+    "sink_snapshot_expire" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_expire").toString
+      val (base, s1, _) = snapshotFixture(s, dir, out)
+      Snapshots.write(
+        base.filter(col("o_orderpriority") === "1-URGENT"
+          && col("o_orderkey") % 4 === 1).coalesce(1),
+        out, Seq("o_orderpriority"), Snapshots.SnapAppend)
+      val (expired, deleted) = Snapshots.expire(s, out, keepLast = 2)
+      require(expired == Seq(s1) && deleted > 0,
+        s"expected s$s1 expired with files deleted: $expired/$deleted")
+      val gone =
+        try { Snapshots.read(s, out, asOf = Some(s1)); false }
+        catch { case _: IllegalStateException => true }
+      require(gone, "time travel to an expired snapshot must fail loudly")
+      Snapshots.read(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
+    // Manifest-only history read: per snapshot, its mode and live
+    // file/partition counts (each batch coalesces to one file per
+    // partition, so the figures are derivable from the source table —
+    // what the oracle does). No data file is opened.
+    "sink_snapshot_history" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_hist").toString
+      val (base, _, _) = snapshotFixture(s, dir, out)
+      Snapshots.write(
+        base.filter(col("o_orderpriority") === "1-URGENT"
+          && col("o_orderkey") % 4 === 1).coalesce(1),
+        out, Seq("o_orderpriority"), Snapshots.SnapAppend)
+      Snapshots.history(s, out)
+    }),
   )
+
+  /** Shared two-snapshot fixture: full orders land as s1 (one file per
+    * partition), then an overwrite-partitions batch replaces 1-URGENT
+    * with only its even keys as s2. Returns (base projection, s1, s2). */
+  private def snapshotFixture(
+      s: SparkSession, dir: String, out: String): (DataFrame, Int, Int) = {
+    val base = Tables(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    val s1 = Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"))
+    val s2 = Snapshots.write(
+      base.filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_orderkey") % 2 === 0).coalesce(1),
+      out, Seq("o_orderpriority"), Snapshots.SnapOverwritePartitions)
+    (base, s1, s2)
+  }
 
   /** Range-sharded export round-trip (registered into [[all]] below):
     * content identity is the oracle; shard-file count and global ordering
@@ -385,5 +459,42 @@ object SinkQueries {
         |  cast(sum(cast(round(l_quantity * 100, 0) as bigint)) / 100.0 as double) AS sum_qty
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // snapshot 1 is the full table; snapshot 2 drops odd 1-URGENT keys
+    "sink_snapshot_travel" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    cast(round(o_totalprice * 100, 0) as bigint) AS cents
+        |  FROM orders)
+        |SELECT 1 AS snapshot, o_orderpriority,
+        |  count(*) AS n_rows, cast(sum(cents) as bigint) AS sum_cents
+        |FROM b GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 2 AS snapshot, o_orderpriority,
+        |  count(*) AS n_rows, cast(sum(cents) as bigint) AS sum_cents
+        |FROM b
+        |WHERE o_orderpriority != '1-URGENT' OR o_orderkey % 2 = 0
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // current state after overwrite + append-back + expiry: everything
+    // except odd 1-URGENT keys with key % 4 == 3
+    "sink_snapshot_expire" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE o_orderpriority != '1-URGENT'
+        |  OR o_orderkey % 2 = 0 OR o_orderkey % 4 = 1""".stripMargin,
+
+    // every batch lands one file per touched partition: s1 = one per
+    // priority, s2 replaces one partition's file (count unchanged),
+    // s3 appends one more file into 1-URGENT
+    "sink_snapshot_history" ->
+      """WITH p AS (SELECT count(DISTINCT o_orderpriority) AS np FROM orders)
+        |SELECT 1 AS snapshot_id, 'append' AS mode, np AS n_files,
+        |  np AS n_partitions, false AS is_current FROM p
+        |UNION ALL
+        |SELECT 2, 'overwrite_partitions', np, np, false FROM p
+        |UNION ALL
+        |SELECT 3, 'append', np + 1, np, true FROM p""".stripMargin,
   )
 }

@@ -1,0 +1,240 @@
+package graft.sink
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Snapshot / time-travel layer over a partitioned dataset — the
+ * "index is the state" posture applied to the DATASET ITSELF (the
+ * IVF / BM25 / dup-graph discipline, [[graft.ops.Similarity.writeIvfIndex]]):
+ * data files are immutable once landed, and each write publishes a new
+ * SNAPSHOT — a small manifest listing exactly the live files — behind the
+ * same atomic `MANIFEST` pointer flip the versioned index layout uses
+ * ([[FsOps.writeManifest]]). Reads resolve a snapshot first and scan only
+ * its files, so:
+ *
+ *  - an APPEND adds files and a manifest; nothing is rewritten,
+ *  - an OVERWRITE-PARTITIONS write replaces partitions LOGICALLY — the
+ *    new manifest drops the replaced partitions' files, but the bytes
+ *    stay until retention expires the snapshots referencing them,
+ *  - TIME TRAVEL is "read an older manifest" — metadata cost only,
+ *  - concurrent readers never see a partial state: a reader that
+ *    resolved `s<N>` keeps scanning `s<N>`'s immutable files while
+ *    `s<N+1>` publishes.
+ *
+ * 100 TB shape: every operation here is metadata-cost — manifests scale
+ * with FILE COUNT, not data size (the Iceberg/Delta argument), the
+ * pointer flip is one small PUT, and expiry deletes only files no
+ * retained snapshot references. Partition pruning still works on reads:
+ * the file listing is handed to the scan with `basePath`, so partition
+ * directories become partition COLUMNS and a filter on them prunes at
+ * planning time (asserted by `SnapshotsSpec`).
+ *
+ * Layout under `root`:
+ * {{{
+ *   data/<field>=<value>/.../part-*.parquet   immutable data files
+ *   snapshots/s<N>                            one text manifest per snapshot
+ *   MANIFEST                                  current snapshot name, e.g. "s3"
+ * }}}
+ *
+ * Manifest format: first line `mode=<append|overwrite_partitions>`, then
+ * one data-file path per line, relative to `data/`.
+ *
+ * Same single-WRITER discipline as the rest of the sink maintenance
+ * surface ([[PartitionedSink.compactInPlace]]): writes and expiry are one
+ * maintainer's job; readers are unrestricted.
+ */
+object Snapshots {
+
+  sealed abstract class SnapshotMode(val name: String)
+  case object SnapAppend extends SnapshotMode("append")
+  case object SnapOverwritePartitions extends SnapshotMode("overwrite_partitions")
+
+  private val SnapRe = "^s(\\d+)$".r
+
+  private def snapshotsDir(root: Path) = new Path(root, "snapshots")
+  private def dataDir(root: Path) = new Path(root, "data")
+
+  private def parentDirOf(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
+  private def readSnapshotFile(
+      f: FileSystem, root: Path, id: Int): (String, Seq[String]) = {
+    val p = new Path(snapshotsDir(root), s"s$id")
+    if (!f.exists(p))
+      throw new IllegalStateException(
+        s"snapshot s$id does not exist under $root — never written, or " +
+          "expired by Snapshots.expire (time travel only reaches retained " +
+          "snapshots)")
+    val in = f.open(p)
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val lines = text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    val mode = lines.head.stripPrefix("mode=")
+    (mode, lines.tail)
+  }
+
+  private def writeSnapshotFile(
+      f: FileSystem, root: Path, id: Int, mode: String,
+      files: Seq[String]): Unit = {
+    f.mkdirs(snapshotsDir(root))
+    val p = new Path(snapshotsDir(root), s"s$id")
+    val out = f.create(p, false) // snapshots are immutable — never overwrite
+    try out.write((s"mode=$mode\n" + files.sorted.mkString("\n"))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The current snapshot id, if any write has published. */
+  def currentSnapshot(spark: SparkSession, root: String): Option[Int] = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    FsOps.readManifest(f, qroot).map {
+      case SnapRe(n) => n.toInt
+      case other => throw new IllegalStateException(
+        s"corrupt MANIFEST at $root: expected s<N>, got '$other'")
+    }
+  }
+
+  private def listDataFiles(
+      f: FileSystem, base: Path): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val baseUri = base.toUri.getPath
+    val it = f.listFiles(base, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (s.isFile && !name.startsWith("_") && !name.startsWith("."))
+        out += s.getPath.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
+    }
+    out.toSeq
+  }
+
+  /**
+   * Land `df` as the next snapshot. The batch is staged as a partitioned
+   * parquet tree, its files MOVED (rename — metadata-cost) into `data/`
+   * under their partition directories, and the new manifest published
+   * with one atomic pointer flip. Spark's job-unique part-file names make
+   * staged files collision-free against every previously landed batch.
+   *
+   * `SnapAppend`: the new manifest is the previous live set plus the
+   * batch's files. `SnapOverwritePartitions`: partitions the batch
+   * touches are logically replaced (their previous files leave the live
+   * set but stay on disk for older snapshots); untouched partitions ride
+   * through unchanged — the dynamic-overwrite semantics of the
+   * reference's CREATE_OR_APPEND surface, but non-destructive.
+   *
+   * Returns the published snapshot id (1-based, monotonic).
+   */
+  def write(
+      df: DataFrame, root: String, partitionFields: Seq[String],
+      mode: SnapshotMode = SnapAppend): Int = {
+    require(partitionFields.nonEmpty, "snapshot datasets are partitioned")
+    val spark = df.sparkSession
+    val (f, qroot) = FsOps.fs(spark, root)
+    val staging = new Path(qroot,
+      s".stage_${java.util.UUID.randomUUID().toString.take(12)}")
+    df.write.mode("overwrite").partitionBy(partitionFields: _*)
+      .parquet(staging.toString)
+    val staged = listDataFiles(f, staging)
+    require(staged.nonEmpty, "empty batch — nothing to snapshot")
+    val data = dataDir(qroot)
+    staged.foreach { rel =>
+      val dst = new Path(data, rel)
+      f.mkdirs(dst.getParent)
+      FsOps.renameOrFail(f, new Path(staging, rel), dst)
+    }
+    FsOps.deleteIfExists(f, staging)
+    val cur = currentSnapshot(spark, root)
+    val prev = cur.map(readSnapshotFile(f, qroot, _)._2).getOrElse(Seq.empty)
+    val live = mode match {
+      case SnapAppend => prev ++ staged
+      case SnapOverwritePartitions =>
+        val replaced = staged.map(parentDirOf).toSet
+        prev.filterNot(p => replaced(parentDirOf(p))) ++ staged
+    }
+    val id = cur.getOrElse(0) + 1
+    writeSnapshotFile(f, qroot, id, mode.name, live)
+    FsOps.writeManifest(f, qroot, s"s$id")
+    id
+  }
+
+  /**
+   * Read the dataset at a snapshot — the CURRENT one when `asOf` is
+   * empty, or any retained older one (time travel). The manifest's file
+   * list goes straight to the scan with `basePath`, so the partition
+   * directories surface as partition columns and partition-filter
+   * pruning applies exactly as on a directly-read tree.
+   */
+  def read(
+      spark: SparkSession, root: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val id = asOf.orElse(currentSnapshot(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no snapshot published under $root"))
+    val (_, files) = readSnapshotFile(f, qroot, id)
+    require(files.nonEmpty, s"snapshot s$id is empty")
+    val base = dataDir(qroot).toString
+    spark.read.option("basePath", base)
+      .parquet(files.map(r => s"$base/$r"): _*)
+  }
+
+  /**
+   * Snapshot history as a DataFrame — the index-health read of the
+   * snapshot tree ([[graft.ops.Dedup.dupGraphHealth]]'s role): per
+   * retained snapshot, its write mode, live file count, live partition
+   * count, and whether it is current. All figures come from the manifests
+   * alone — no data file is opened.
+   */
+  private def snapshotIds(f: FileSystem, qroot: Path): Seq[Int] = {
+    val dir = snapshotsDir(qroot)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case SnapRe(n) => n.toInt }.sorted.toSeq
+  }
+
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val (f, qroot) = FsOps.fs(spark, root)
+    val cur = currentSnapshot(spark, root)
+    val ids = snapshotIds(f, qroot)
+    ids.map { id =>
+      val (mode, files) = readSnapshotFile(f, qroot, id)
+      (id, mode, files.length.toLong,
+        files.map(parentDirOf).distinct.length.toLong, cur.contains(id))
+    }.toDF("snapshot_id", "mode", "n_files", "n_partitions", "is_current")
+  }
+
+  /**
+   * Retention: keep the newest `keepLast` snapshots (always including the
+   * current one — ids are monotonic so the newest IS the current), delete
+   * older manifests, then delete every data file no retained snapshot
+   * references and prune emptied partition directories. Time travel to an
+   * expired snapshot fails loudly afterwards ([[read]]'s message).
+   * Returns (expired snapshot ids, deleted data-file count).
+   */
+  def expire(
+      spark: SparkSession, root: String, keepLast: Int): (Seq[Int], Int) = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    val (f, qroot) = FsOps.fs(spark, root)
+    val ids = snapshotIds(f, qroot)
+    val (expired, kept) = ids.splitAt(math.max(0, ids.length - keepLast))
+    if (expired.isEmpty) return (Seq.empty, 0)
+    val referenced = kept.flatMap(readSnapshotFile(f, qroot, _)._2).toSet
+    val data = dataDir(qroot)
+    val dead = listDataFiles(f, data).filterNot(referenced)
+    dead.foreach(rel => FsOps.deleteIfExists(f, new Path(data, rel)))
+    // prune emptied partition directories (metadata hygiene — an empty
+    // name=value dir would otherwise surface a phantom partition value)
+    dead.map(parentDirOf).distinct.filter(_.nonEmpty).foreach { d =>
+      val p = new Path(data, d)
+      if (f.exists(p) && !f.listFiles(p, true).hasNext)
+        FsOps.deleteIfExists(f, p)
+    }
+    expired.foreach(id =>
+      FsOps.deleteIfExists(f, new Path(snapshotsDir(qroot), s"s$id")))
+    (expired, dead.length)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.sink
+
+import graft.SparkSpec
+import graft.sink.Snapshots.{SnapAppend, SnapOverwritePartitions}
+import org.apache.spark.sql.functions._
+
+/** The snapshot/time-travel layer: append and overwrite-partitions
+  * manifests, time travel, manifest-only history, retention expiry, and
+  * the partition-pruned read plan. */
+class SnapshotsSpec extends SparkSpec {
+
+  private def orders = graft.Tables(spark, sf0001, "orders")
+    .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+  private def keys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("o_orderkey").collect().map(_.getLong(0)).toSet
+
+  test("append and overwrite-partitions: both states readable, old files retained") {
+    val root = java.nio.file.Files.createTempDirectory("snap_rw").toString
+    val s1 = Snapshots.write(orders, root, Seq("o_orderpriority"))
+    val patch = orders.filter(col("o_orderpriority") === "1-URGENT"
+      && col("o_orderkey") % 2 === 0)
+    val s2 = Snapshots.write(patch, root, Seq("o_orderpriority"),
+      SnapOverwritePartitions)
+    assert((s1, s2) == ((1, 2)))
+    assert(Snapshots.currentSnapshot(spark, root).contains(2))
+    // current = overwrite semantics; time travel = the original
+    val all = keys(orders)
+    val urgentOdd = keys(orders.filter(col("o_orderpriority") === "1-URGENT"
+      && col("o_orderkey") % 2 =!= 0))
+    assert(keys(Snapshots.read(spark, root)) == all -- urgentOdd)
+    assert(keys(Snapshots.read(spark, root, asOf = Some(1))) == all)
+    // an APPEND on top sees both trees
+    val s3 = Snapshots.write(
+      orders.filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_orderkey") % 4 === 1), root,
+      Seq("o_orderpriority"), SnapAppend)
+    assert(s3 == 3)
+    assert(keys(Snapshots.read(spark, root)) ==
+      all -- urgentOdd ++ urgentOdd.filter(_ % 4 == 1))
+    // snapshots 1 and 2 are unchanged by the append (immutability)
+    assert(keys(Snapshots.read(spark, root, asOf = Some(1))) == all)
+    assert(keys(Snapshots.read(spark, root, asOf = Some(2))) == all -- urgentOdd)
+  }
+
+  test("reads are partition-pruned through the manifest file listing") {
+    val root = java.nio.file.Files.createTempDirectory("snap_prune").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    val q = Snapshots.read(spark, root)
+      .filter(col("o_orderpriority") === "5-LOW")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderpriority"),
+      s"partition filter not pushed to the snapshot scan:\n$plan")
+    assert(keys(q) == keys(orders.filter(col("o_orderpriority") === "5-LOW")))
+  }
+
+  test("history reports per-snapshot mode and live file/partition counts") {
+    val root = java.nio.file.Files.createTempDirectory("snap_hist").toString
+    Snapshots.write(orders.coalesce(1), root, Seq("o_orderpriority"))
+    Snapshots.write(
+      orders.filter(col("o_orderpriority") === "1-URGENT").coalesce(1),
+      root, Seq("o_orderpriority"), SnapOverwritePartitions)
+    val h = Snapshots.history(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val np = orders.select("o_orderpriority").distinct().count()
+    assert(h.toSeq == Seq(
+      (1, "append", np, np, false),
+      (2, "overwrite_partitions", np, np, true)))
+  }
+
+  test("expire drops old manifests and unreferenced files, keeps the live tree intact") {
+    val root = java.nio.file.Files.createTempDirectory("snap_exp").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    Snapshots.write(
+      orders.filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_orderkey") % 2 === 0), root,
+      Seq("o_orderpriority"), SnapOverwritePartitions)
+    val before = keys(Snapshots.read(spark, root))
+    val dataFiles = {
+      val d = new java.io.File(s"$root/data")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
+          Seq(f) else Seq.empty
+      () => walk(d).map(_.getPath).toSet
+    }
+    val filesBefore = dataFiles()
+    val (expired, deleted) = Snapshots.expire(spark, root, keepLast = 1)
+    assert(expired == Seq(1))
+    // exactly the replaced partition's original file(s) died
+    assert(deleted > 0 && dataFiles().size == filesBefore.size - deleted)
+    // current state byte-identical after expiry
+    assert(keys(Snapshots.read(spark, root)) == before)
+    // time travel to the expired snapshot fails loudly
+    val e = intercept[IllegalStateException] {
+      Snapshots.read(spark, root, asOf = Some(1))
+    }
+    assert(e.getMessage.contains("expired") || e.getMessage.contains("exist"))
+    // expiring again is a no-op
+    assert(Snapshots.expire(spark, root, keepLast = 1) == ((Seq.empty, 0)))
+  }
+
+  test("guards: unpartitioned write, empty batch, unpublished read") {
+    val root = java.nio.file.Files.createTempDirectory("snap_guard").toString
+    intercept[IllegalArgumentException] {
+      Snapshots.write(orders, root, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.write(orders.filter(lit(false)), root, Seq("o_orderpriority"))
+    }
+    intercept[IllegalStateException] {
+      Snapshots.read(spark, root)
+    }
+    assert(Snapshots.currentSnapshot(spark, root).isEmpty)
+    assert(Snapshots.history(spark, root).count() == 0)
+  }
+}
