@@ -311,6 +311,35 @@ object SinkQueries {
           "o_orderpriority")
     }),
 
+    // Non-destructive compaction: three appended thirds fragment every
+    // partition to 3 files; compact rewrites each partition to one file
+    // and publishes snapshot 4, while time travel to the fragmented
+    // state still works and the content is byte-identical (the oracle is
+    // the source table — any row lost, duplicated, or re-routed by the
+    // rewrite hash-fails).
+    "sink_snapshot_compact" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_comp").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      for (m <- 0 to 2)
+        Snapshots.write(base.filter(col("o_orderkey") % 3 === m).coalesce(1),
+          out, Seq("o_orderpriority"), Snapshots.SnapAppend)
+      val cid = Snapshots.compact(s, out, Seq("o_orderpriority"))
+      require(cid.contains(4), s"expected compact snapshot 4: $cid")
+      val np = base.select("o_orderpriority").distinct().count()
+      val h = Snapshots.history(s, out)
+        .filter(col("snapshot_id") === 4).head()
+      require(h.getString(1) == "compact" && h.getLong(2) == np,
+        s"compact snapshot should hold one file per partition: $h")
+      // the fragmented state is still fully readable behind it
+      require(Snapshots.read(s, out, asOf = Some(3)).count() ==
+        Snapshots.read(s, out).count(), "pre-compact travel broke")
+      Snapshots.read(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
     // Manifest-only history read: per snapshot, its mode and live
     // file/partition counts (each batch coalesces to one file per
     // partition, so the figures are derivable from the source table —
@@ -475,6 +504,12 @@ object SinkQueries {
         |FROM b
         |WHERE o_orderpriority != '1-URGENT' OR o_orderkey % 2 = 0
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // compaction is a pure layout rewrite — content identity
+    "sink_snapshot_compact" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders""".stripMargin,
 
     // current state after overwrite + append-back + expiry: everything
     // except odd 1-URGENT keys with key % 4 == 3

@@ -130,7 +130,12 @@ object Snapshots {
    */
   def write(
       df: DataFrame, root: String, partitionFields: Seq[String],
-      mode: SnapshotMode = SnapAppend): Int = {
+      mode: SnapshotMode = SnapAppend): Int =
+    writeInternal(df, root, partitionFields, mode, mode.name)
+
+  private def writeInternal(
+      df: DataFrame, root: String, partitionFields: Seq[String],
+      mode: SnapshotMode, modeLabel: String): Int = {
     require(partitionFields.nonEmpty, "snapshot datasets are partitioned")
     val spark = df.sparkSession
     val (f, qroot) = FsOps.fs(spark, root)
@@ -156,10 +161,78 @@ object Snapshots {
         prev.filterNot(p => replaced(parentDirOf(p))) ++ staged
     }
     val id = cur.getOrElse(0) + 1
-    writeSnapshotFile(f, qroot, id, mode.name, live)
+    writeSnapshotFile(f, qroot, id, modeLabel, live)
     FsOps.writeManifest(f, qroot, s"s$id")
     id
   }
+
+  /**
+   * NON-DESTRUCTIVE compaction: partitions whose live file count exceeds
+   * `targetFilesPerPartition` are rewritten into that many files and
+   * published as a new snapshot (history mode `compact`); every older
+   * snapshot keeps reading the original fragments until [[expire]]
+   * reclaims them — contrast [[PartitionedSink.compactInPlace]], whose
+   * swap retires the fragments immediately. This is what the append lane
+   * needs operationally: micro-batches land one file per partition per
+   * batch, fragment counts grow linearly, and the streaming-side fix is
+   * a maintenance rewrite that cannot disturb concurrent readers.
+   *
+   * Scale shape: only over-fragmented partitions' files are read (the
+   * manifest names them — untouched partitions ride through by
+   * reference), and the rewrite repartitions by the partition columns so
+   * each partition compacts in parallel on its own task. Returns the new
+   * snapshot id, or None when nothing is fragmented.
+   */
+  def compact(
+      spark: SparkSession, root: String, partitionFields: Seq[String],
+      targetFilesPerPartition: Int = 1): Option[Int] = {
+    require(targetFilesPerPartition >= 1, "need at least one file")
+    val (f, qroot) = FsOps.fs(spark, root)
+    val id = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no snapshot published under $root"))
+    val (_, files) = readSnapshotFile(f, qroot, id)
+    val fragmented = files.groupBy(parentDirOf)
+      .filter(_._2.length > targetFilesPerPartition)
+    if (fragmented.isEmpty) return None
+    val base = dataDir(qroot).toString
+    val frag = spark.read.option("basePath", base)
+      .parquet(fragmented.values.flatten.map(r => s"$base/$r").toSeq: _*)
+    import org.apache.spark.sql.functions.col
+    // one task (→ one file) per partition value under the partition-column
+    // repartition; a >1 target adds a deterministic row-hash salt so each
+    // partition splits into at most that many tasks
+    val rewritten =
+      if (targetFilesPerPartition == 1)
+        frag.repartition(partitionFields.map(col): _*)
+      else frag.repartition(
+        (partitionFields.map(col) :+
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.hash(frag.columns.map(col): _*),
+            org.apache.spark.sql.functions.lit(targetFilesPerPartition))): _*)
+    Some(writeInternal(rewritten, root, partitionFields,
+      SnapOverwritePartitions, "compact"))
+  }
+
+  /**
+   * Continuous snapshot maintenance: every micro-batch lands as one
+   * snapshot through [[write]] — the stateless-foreachBatch posture of
+   * all the persisted-index streams ([[graft.streaming.EventStream]]):
+   * the SNAPSHOT TREE is the state, each batch publishes atomically, and
+   * readers time-travel to any retained batch boundary. Pair with a
+   * scheduled [[compact]] + [[expire]] to bound fragment and manifest
+   * growth.
+   */
+  def snapshotStream(
+      stream: DataFrame, root: String, partitionFields: Seq[String],
+      mode: SnapshotMode = SnapAppend)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // an empty batch must not burn a snapshot id
+        if (!batch.isEmpty)
+          write(batch.toDF(), root, partitionFields, mode): Unit
+      }
+      .start()
 
   /**
    * Read the dataset at a snapshot — the CURRENT one when `asOf` is

@@ -101,6 +101,55 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.expire(spark, root, keepLast = 1) == ((Seq.empty, 0)))
   }
 
+  test("compact rewrites only fragmented partitions; older snapshots keep the fragments") {
+    val root = java.nio.file.Files.createTempDirectory("snap_comp").toString
+    // 3 appends → 3 files per partition; compact → 1 per partition
+    for (m <- 0 to 2)
+      Snapshots.write(orders.filter(col("o_orderkey") % 3 === m).coalesce(1),
+        root, Seq("o_orderpriority"), SnapAppend)
+    val all = keys(orders)
+    val cid = Snapshots.compact(spark, root, Seq("o_orderpriority"))
+    assert(cid.contains(4))
+    assert(keys(Snapshots.read(spark, root)) == all)
+    assert(keys(Snapshots.read(spark, root, asOf = Some(3))) == all,
+      "fragmented snapshot must stay readable behind the compaction")
+    val h = Snapshots.history(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val np = orders.select("o_orderpriority").distinct().count()
+    assert(h.last == ((4, "compact", np)))
+    // nothing fragmented now — a second compact is a no-op
+    assert(Snapshots.compact(spark, root, Seq("o_orderpriority")).isEmpty)
+    // expiry to the compacted snapshot reclaims the fragments
+    val (expired, deleted) = Snapshots.expire(spark, root, keepLast = 1)
+    assert(expired == Seq(1, 2, 3) && deleted == 3 * np)
+    assert(keys(Snapshots.read(spark, root)) == all)
+  }
+
+  test("snapshotStream lands each micro-batch as one queryable snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_stream").toString
+    val rows = orders.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, Long, Double, String)]
+    val q = Snapshots.snapshotStream(
+      input.toDF().toDF("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderpriority"),
+      root, Seq("o_orderpriority"))
+    try {
+      input.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Snapshots.currentSnapshot(spark, root).contains(2))
+    assert(keys(Snapshots.read(spark, root, asOf = Some(1))) ==
+      b1.map(_._1).toSet)
+    assert(keys(Snapshots.read(spark, root)) == rows.map(_._1).toSet)
+  }
+
   test("guards: unpartitioned write, empty batch, unpublished read") {
     val root = java.nio.file.Files.createTempDirectory("snap_guard").toString
     intercept[IllegalArgumentException] {
