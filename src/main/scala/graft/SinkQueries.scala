@@ -311,6 +311,25 @@ object SinkQueries {
           "o_orderpriority")
     }),
 
+    // Incremental consumption off the manifests: three appended thirds,
+    // then "read what snapshot 1 didn't have" — exactly batches 2 and 3,
+    // resolved from two manifest reads with no directory listing and no
+    // data diffing (the oracle recomputes the two thirds from the source).
+    "sink_snapshot_incremental" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_incr").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      for (m <- 0 to 2)
+        Snapshots.write(base.filter(col("o_orderkey") % 3 === m).coalesce(1),
+          out, Seq("o_orderpriority"), Snapshots.SnapAppend)
+      require(Snapshots.changedPartitions(s, out, 1, 3).nonEmpty)
+      Snapshots.readAddedSince(s, out, sinceId = 1)
+        .getOrElse(sys.error("expected added files since snapshot 1"))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
     // Non-destructive compaction: three appended thirds fragment every
     // partition to 3 files; compact rewrites each partition to one file
     // and publishes snapshot 4, while time travel to the fragmented
@@ -504,6 +523,12 @@ object SinkQueries {
         |FROM b
         |WHERE o_orderpriority != '1-URGENT' OR o_orderkey % 2 = 0
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // batches 2 and 3 of the three mod-3 appends
+    "sink_snapshot_incremental" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders WHERE o_orderkey % 3 IN (1, 2)""".stripMargin,
 
     // compaction is a pure layout rewrite — content identity
     "sink_snapshot_compact" ->

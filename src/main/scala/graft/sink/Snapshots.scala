@@ -37,8 +37,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *   MANIFEST                                  current snapshot name, e.g. "s3"
  * }}}
  *
- * Manifest format: first line `mode=<append|overwrite_partitions>`, then
- * one data-file path per line, relative to `data/`.
+ * Manifest format: line 1 `mode=<append|overwrite_partitions|compact>`,
+ * line 2 `schema=<Spark StructType JSON>` (the dataset's recorded read
+ * contract), then one data-file path per line, relative to `data/`.
+ * Writes are gated by [[graft.schema.SchemaEvolution]] against the
+ * recorded schema — safe widening updates the contract, breakage fails
+ * loudly with nothing published.
  *
  * Same single-WRITER discipline as the rest of the sink maintenance
  * surface ([[PartitionedSink.compactInPlace]]): writes and expiry are one
@@ -60,8 +64,14 @@ object Snapshots {
     if (i < 0) "" else rel.substring(0, i)
   }
 
+  /** Parsed snapshot manifest: write mode, the dataset's recorded schema
+    * (the contract every reader gets — inference-free), live files. */
+  private case class Manifest(
+      mode: String, schema: Option[org.apache.spark.sql.types.StructType],
+      files: Seq[String])
+
   private def readSnapshotFile(
-      f: FileSystem, root: Path, id: Int): (String, Seq[String]) = {
+      f: FileSystem, root: Path, id: Int): Manifest = {
     val p = new Path(snapshotsDir(root), s"s$id")
     if (!f.exists(p))
       throw new IllegalStateException(
@@ -74,17 +84,28 @@ object Snapshots {
       finally in.close()
     val lines = text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
     val mode = lines.head.stripPrefix("mode=")
-    (mode, lines.tail)
+    // the schema line is POSITIONAL (second) — a `field=value` partition
+    // path can never be confused with it because paths are listed after
+    val (schema, files) = lines.tail match {
+      case s +: rest if s.startsWith("schema=") =>
+        (Some(org.apache.spark.sql.types.DataType
+          .fromJson(s.stripPrefix("schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]), rest)
+      case rest => (None, rest)
+    }
+    Manifest(mode, schema, files)
   }
 
   private def writeSnapshotFile(
       f: FileSystem, root: Path, id: Int, mode: String,
+      schema: org.apache.spark.sql.types.StructType,
       files: Seq[String]): Unit = {
     f.mkdirs(snapshotsDir(root))
     val p = new Path(snapshotsDir(root), s"s$id")
     val out = f.create(p, false) // snapshots are immutable — never overwrite
-    try out.write((s"mode=$mode\n" + files.sorted.mkString("\n"))
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(
+      (s"mode=$mode\nschema=${schema.json}\n" + files.sorted.mkString("\n"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -130,15 +151,30 @@ object Snapshots {
    */
   def write(
       df: DataFrame, root: String, partitionFields: Seq[String],
-      mode: SnapshotMode = SnapAppend): Int =
-    writeInternal(df, root, partitionFields, mode, mode.name)
+      mode: SnapshotMode = SnapAppend,
+      evolution: graft.schema.SchemaEvolution.Policy =
+        graft.schema.SchemaEvolution.Widen): Int =
+    writeInternal(df, root, partitionFields, mode, mode.name, evolution)
 
   private def writeInternal(
       df: DataFrame, root: String, partitionFields: Seq[String],
-      mode: SnapshotMode, modeLabel: String): Int = {
+      mode: SnapshotMode, modeLabel: String,
+      evolution: graft.schema.SchemaEvolution.Policy): Int = {
     require(partitionFields.nonEmpty, "snapshot datasets are partitioned")
     val spark = df.sparkSession
     val (f, qroot) = FsOps.fs(spark, root)
+    val cur = currentSnapshot(spark, root)
+    val prev = cur.map(readSnapshotFile(f, qroot, _))
+    // schema-evolution gate BEFORE any file lands (the PartitionedSink
+    // append/merge discipline): the batch either breaks the recorded
+    // contract loudly with nothing written, or the recorded schema
+    // becomes the (possibly widened) merge — so every reader resolves a
+    // single authoritative schema instead of per-file footer inference
+    val contract = prev.flatMap(_.schema) match {
+      case Some(stored) => graft.schema.SchemaEvolution.validate(
+        stored, df.schema, partitionFields, evolution)
+      case None => df.schema
+    }
     val staging = new Path(qroot,
       s".stage_${java.util.UUID.randomUUID().toString.take(12)}")
     df.write.mode("overwrite").partitionBy(partitionFields: _*)
@@ -152,16 +188,15 @@ object Snapshots {
       FsOps.renameOrFail(f, new Path(staging, rel), dst)
     }
     FsOps.deleteIfExists(f, staging)
-    val cur = currentSnapshot(spark, root)
-    val prev = cur.map(readSnapshotFile(f, qroot, _)._2).getOrElse(Seq.empty)
+    val prevFiles = prev.map(_.files).getOrElse(Seq.empty)
     val live = mode match {
-      case SnapAppend => prev ++ staged
+      case SnapAppend => prevFiles ++ staged
       case SnapOverwritePartitions =>
         val replaced = staged.map(parentDirOf).toSet
-        prev.filterNot(p => replaced(parentDirOf(p))) ++ staged
+        prevFiles.filterNot(p => replaced(parentDirOf(p))) ++ staged
     }
     val id = cur.getOrElse(0) + 1
-    writeSnapshotFile(f, qroot, id, modeLabel, live)
+    writeSnapshotFile(f, qroot, id, modeLabel, contract, live)
     FsOps.writeManifest(f, qroot, s"s$id")
     id
   }
@@ -190,12 +225,17 @@ object Snapshots {
     val (f, qroot) = FsOps.fs(spark, root)
     val id = currentSnapshot(spark, root).getOrElse(
       throw new IllegalStateException(s"no snapshot published under $root"))
-    val (_, files) = readSnapshotFile(f, qroot, id)
-    val fragmented = files.groupBy(parentDirOf)
+    val m = readSnapshotFile(f, qroot, id)
+    val fragmented = m.files.groupBy(parentDirOf)
       .filter(_._2.length > targetFilesPerPartition)
     if (fragmented.isEmpty) return None
     val base = dataDir(qroot).toString
-    val frag = spark.read.option("basePath", base)
+    val reader0 = spark.read.option("basePath", base)
+    // rewrite under the RECORDED contract, not per-file inference — a
+    // widened dataset's old fragments must compact into contract-typed
+    // files, not resurrect their pre-widening footer schemas
+    val reader = m.schema.fold(reader0)(reader0.schema)
+    val frag = reader
       .parquet(fragmented.values.flatten.map(r => s"$base/$r").toSeq: _*)
     import org.apache.spark.sql.functions.col
     // one task (→ one file) per partition value under the partition-column
@@ -210,7 +250,52 @@ object Snapshots {
             org.apache.spark.sql.functions.hash(frag.columns.map(col): _*),
             org.apache.spark.sql.functions.lit(targetFilesPerPartition))): _*)
     Some(writeInternal(rewritten, root, partitionFields,
-      SnapOverwritePartitions, "compact"))
+      SnapOverwritePartitions, "compact", graft.schema.SchemaEvolution.Widen))
+  }
+
+  /**
+   * Incremental consumption: read ONLY the files the dataset gained
+   * between snapshot `sinceId` (exclusive) and `untilId` (inclusive,
+   * default current) — the "process what's new since my last run" read
+   * every incremental ETL wants, resolved ENTIRELY from two manifests
+   * (no directory listing, no data diffing). For append-only histories
+   * this is exactly the appended rows; a rewritten partition
+   * (overwrite/compact) surfaces its new files whole — callers that must
+   * distinguish logical changes diff at row level over
+   * [[changedPartitions]]' pruned slice instead. Returns None when no
+   * files were added (since == until), so "nothing new" is explicit
+   * rather than an empty scan.
+   */
+  def readAddedSince(
+      spark: SparkSession, root: String, sinceId: Int,
+      untilId: Option[Int] = None): Option[DataFrame] = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val until = untilId.orElse(currentSnapshot(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no snapshot published under $root"))
+    require(sinceId <= until, s"since s$sinceId is after until s$until")
+    val before = readSnapshotFile(f, qroot, sinceId).files.toSet
+    val m = readSnapshotFile(f, qroot, until)
+    val added = m.files.filterNot(before)
+    if (added.isEmpty) None
+    else {
+      val base = dataDir(qroot).toString
+      val reader0 = spark.read.option("basePath", base)
+      Some(m.schema.fold(reader0)(reader0.schema)
+        .parquet(added.map(r => s"$base/$r"): _*))
+    }
+  }
+
+  /** Partition directories whose live FILE SETS differ between two
+    * snapshots — the pruning pre-pass for row-level snapshot diffing:
+    * manifests alone name the partitions worth reading; everything else
+    * is provably identical (same immutable files). */
+  def changedPartitions(
+      spark: SparkSession, root: String, fromId: Int, toId: Int): Seq[String] = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val a = readSnapshotFile(f, qroot, fromId).files.groupBy(parentDirOf)
+    val b = readSnapshotFile(f, qroot, toId).files.groupBy(parentDirOf)
+    (a.keySet ++ b.keySet).toSeq.sorted
+      .filter(p => a.get(p).map(_.toSet) != b.get(p).map(_.toSet))
   }
 
   /**
@@ -247,11 +332,15 @@ object Snapshots {
     val (f, qroot) = FsOps.fs(spark, root)
     val id = asOf.orElse(currentSnapshot(spark, root)).getOrElse(
       throw new IllegalStateException(s"no snapshot published under $root"))
-    val (_, files) = readSnapshotFile(f, qroot, id)
-    require(files.nonEmpty, s"snapshot s$id is empty")
+    val m = readSnapshotFile(f, qroot, id)
+    require(m.files.nonEmpty, s"snapshot s$id is empty")
     val base = dataDir(qroot).toString
-    spark.read.option("basePath", base)
-      .parquet(files.map(r => s"$base/$r"): _*)
+    val reader0 = spark.read.option("basePath", base)
+    // the recorded schema IS the read contract: inference-free, stable
+    // column order, widened columns resolve against pre-widening files
+    // (absent columns read null, stored ints upcast)
+    val reader = m.schema.fold(reader0)(reader0.schema)
+    reader.parquet(m.files.map(r => s"$base/$r"): _*)
   }
 
   /**
@@ -274,9 +363,9 @@ object Snapshots {
     val cur = currentSnapshot(spark, root)
     val ids = snapshotIds(f, qroot)
     ids.map { id =>
-      val (mode, files) = readSnapshotFile(f, qroot, id)
-      (id, mode, files.length.toLong,
-        files.map(parentDirOf).distinct.length.toLong, cur.contains(id))
+      val m = readSnapshotFile(f, qroot, id)
+      (id, m.mode, m.files.length.toLong,
+        m.files.map(parentDirOf).distinct.length.toLong, cur.contains(id))
     }.toDF("snapshot_id", "mode", "n_files", "n_partitions", "is_current")
   }
 
@@ -295,7 +384,7 @@ object Snapshots {
     val ids = snapshotIds(f, qroot)
     val (expired, kept) = ids.splitAt(math.max(0, ids.length - keepLast))
     if (expired.isEmpty) return (Seq.empty, 0)
-    val referenced = kept.flatMap(readSnapshotFile(f, qroot, _)._2).toSet
+    val referenced = kept.flatMap(readSnapshotFile(f, qroot, _).files).toSet
     val data = dataDir(qroot)
     val dead = listDataFiles(f, data).filterNot(referenced)
     dead.foreach(rel => FsOps.deleteIfExists(f, new Path(data, rel)))

@@ -150,6 +150,71 @@ class SnapshotsSpec extends SparkSpec {
     assert(keys(Snapshots.read(spark, root)) == rows.map(_._1).toSet)
   }
 
+  test("schema evolution gate: widen updates the recorded contract, breakage publishes nothing") {
+    val root = java.nio.file.Files.createTempDirectory("snap_evo").toString
+    val slim = orders.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    Snapshots.write(slim, root, Seq("o_orderpriority"))
+    // widened append: a new nullable column — admitted under Widen, and
+    // the recorded contract makes EVERY read resolve it (pre-widening
+    // files read null; no per-file footer inference, no mergeSchema)
+    Snapshots.write(
+      orders.select("o_orderkey", "o_totalprice", "o_custkey",
+        "o_orderpriority").filter(col("o_orderkey") % 2 === 1),
+      root, Seq("o_orderpriority"))
+    val cur = Snapshots.read(spark, root)
+    assert(cur.columns.toSet.contains("o_custkey"))
+    val byKey = cur.select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(byKey.filter(_._1 % 2 == 0).forall(_._2.isEmpty),
+      "pre-widening rows must read null for the new column")
+    assert(byKey.filter(_._1 % 2 == 1).forall(_._2.nonEmpty))
+    // time travel resolves the OLD snapshot under the CURRENT contract?
+    // No — each snapshot carries its own recorded schema
+    assert(!Snapshots.read(spark, root, asOf = Some(1))
+      .columns.contains("o_custkey"))
+    // a narrowed batch is rejected with nothing published
+    val before = Snapshots.currentSnapshot(spark, root)
+    intercept[graft.schema.GraftSchemaException] {
+      Snapshots.write(
+        slim.withColumn("o_orderkey", col("o_orderkey").cast("int")),
+        root, Seq("o_orderpriority"))
+    }
+    assert(Snapshots.currentSnapshot(spark, root) == before)
+    // Strict policy rejects even safe drift
+    intercept[graft.schema.GraftSchemaException] {
+      Snapshots.write(slim, root, Seq("o_orderpriority"),
+        evolution = graft.schema.SchemaEvolution.Strict)
+    }
+    // compaction under the widened contract keeps the merged schema
+    Snapshots.compact(spark, root, Seq("o_orderpriority"))
+    val compacted = Snapshots.read(spark, root)
+    assert(compacted.columns.toSet == cur.columns.toSet)
+    assert(compacted.select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap == byKey)
+  }
+
+  test("readAddedSince and changedPartitions resolve from manifests alone") {
+    val root = java.nio.file.Files.createTempDirectory("snap_incr").toString
+    for (m <- 0 to 2)
+      Snapshots.write(orders.filter(col("o_orderkey") % 3 === m),
+        root, Seq("o_orderpriority"), SnapAppend)
+    // since s1: exactly batches 2 and 3
+    val added = Snapshots.readAddedSince(spark, root, sinceId = 1)
+    assert(added.isDefined)
+    assert(keys(added.get) == keys(orders.filter(col("o_orderkey") % 3 =!= 0)))
+    // bounded window s1..s2: exactly batch 2
+    assert(keys(Snapshots.readAddedSince(spark, root, 1, Some(2)).get) ==
+      keys(orders.filter(col("o_orderkey") % 3 === 1)))
+    // nothing new between a snapshot and itself
+    assert(Snapshots.readAddedSince(spark, root, 3, Some(3)).isEmpty)
+    // every partition gained files across the appends
+    val np = orders.select("o_orderpriority").distinct().count()
+    assert(Snapshots.changedPartitions(spark, root, 1, 3).size == np)
+    assert(Snapshots.changedPartitions(spark, root, 3, 3).isEmpty)
+  }
+
   test("guards: unpartitioned write, empty batch, unpublished read") {
     val root = java.nio.file.Files.createTempDirectory("snap_guard").toString
     intercept[IllegalArgumentException] {
