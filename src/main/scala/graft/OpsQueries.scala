@@ -866,6 +866,23 @@ object OpsQueries {
       TextAnalysis.heavyHitters(docs(s, dir), "text",
         minShare = 0.01, sketchK = 199)),
 
+    // The PERSISTED-STATE twin: the MG counters built on a third of the
+    // corpus and folded forward batch-by-batch (O(k)-byte state, no
+    // corpus re-scan per append), then the on-demand exact recount — the
+    // mergeable-summaries bound keeps the candidate set a superset of
+    // every 1% token across any append sequence, so the output is
+    // row-identical to the direct path (shared oracle)
+    "text_heavy_hitters_state" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_hh_state").toString
+      TextAnalysis.writeHhState(
+        d.filter(col("doc_id") % 3 === 0), "text", path, k = 199)
+      TextAnalysis.appendToHhState(d.filter(col("doc_id") % 3 === 1), "text", path)
+      TextAnalysis.appendToHhState(d.filter(col("doc_id") % 3 === 2), "text", path)
+      TextAnalysis.heavyHittersFromState(d, "text", path, minShare = 0.01)
+    }),
+
     // BPE merge-pair statistics (the counting step of byte-pair-encoding
     // tokenizer induction): most frequent adjacent character pairs inside
     // words, corpus-wide. Explode → partial-agg count → TakeOrdered —
@@ -1095,6 +1112,23 @@ object OpsQueries {
 
   /** Shared by `sim_topk_ivf_int8` (in-memory) and `sim_topk_ivf_indexed`
     * (persisted index) — the two paths are row-identical by construction. */
+  /** Shared by the direct (`text_heavy_hitters`) and persisted-state
+    * (`text_heavy_hitters_state`) flavors — identical rows by the MG
+    * guarantee + identical exact recount. */
+  private val HeavyHittersSql: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split(
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+      |  FROM documents
+      |), tok AS (SELECT token FROM t WHERE token != ''),
+      |n AS (SELECT count(*) AS total FROM tok)
+      |SELECT token, count(*) AS cnt,
+      |  cast(count(*) as double) / cast((SELECT total FROM n) as double) AS share
+      |FROM tok GROUP BY token
+      |HAVING cast(count(*) as double) >
+      |  0.01 * cast((SELECT total FROM n) as double)
+      |ORDER BY cnt DESC, token ASC""".stripMargin
+
   private val IvfInt8Sql: String =
     """WITH v AS (
       |  SELECT vec_id, cast(embedding as DOUBLE[]) AS e FROM embeddings
@@ -2831,19 +2865,11 @@ object OpsQueries {
     // share = cnt/total is one double division of exact longs and the
     // threshold compare multiplies the same exact longs as doubles —
     // bit-identical in both engines (no round(double, n) anywhere)
-    "text_heavy_hitters" ->
-      """WITH t AS (
-        |  SELECT unnest(string_split(
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
-        |  FROM documents
-        |), tok AS (SELECT token FROM t WHERE token != ''),
-        |n AS (SELECT count(*) AS total FROM tok)
-        |SELECT token, count(*) AS cnt,
-        |  cast(count(*) as double) / cast((SELECT total FROM n) as double) AS share
-        |FROM tok GROUP BY token
-        |HAVING cast(count(*) as double) >
-        |  0.01 * cast((SELECT total FROM n) as double)
-        |ORDER BY cnt DESC, token ASC""".stripMargin,
+    "text_heavy_hitters" -> HeavyHittersSql,
+    // the persisted-state twin is row-identical by the maintained MG
+    // guarantee (candidate superset + identical exact recount) — shared
+    // oracle, pinned by the equality test in TextAnalysisSpec
+    "text_heavy_hitters_state" -> HeavyHittersSql,
 
     "text_collocations" ->
       """WITH t AS (

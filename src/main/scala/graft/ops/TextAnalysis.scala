@@ -69,6 +69,167 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("token").asc)
   }
 
+  // ------------------------------------------- persisted heavy-hitter state
+
+  /** Build the ≤ k MG counters + exact total for one corpus slice. */
+  private def mgSketchOf(
+      df: DataFrame, textCol: String, k: Int): (Seq[(String, Long)], Long) = {
+    val row = df
+      .select(explode(graft.functions.hashes.word_tokens(col(textCol)))
+        .as("token"))
+      .filter(col("token") =!= "")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.mg.misra_gries(col("token"), k).as("mg")).head()
+    (row.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1))), row.getLong(0))
+  }
+
+  /** Rebuild an [[graft.functions.MgBuffer]] from persisted counter rows —
+    * direct puts, NOT adds: the rows ARE the summary, re-adding would
+    * re-trigger decrements. */
+  private def mgBufferFrom(
+      k: Int, counters: Seq[(String, Long)]): graft.functions.MgBuffer = {
+    val b = new graft.functions.MgBuffer(k)
+    counters.foreach { case (item, w) =>
+      b.counts.put(org.apache.spark.unsafe.types.UTF8String.fromString(item), w)
+    }
+    b
+  }
+
+  /**
+   * Persist the Misra–Gries heavy-hitter state — the "index is the
+   * state" posture for FREQUENCY telemetry: the whole state is ≤ k
+   * counter rows plus the exact token total (O(k) bytes at any corpus
+   * size), so maintaining it costs one bounded fold per batch and NO
+   * corpus re-scan, while the mergeable-summaries bound keeps the
+   * guarantee corpus-wide: after any sequence of appends, every token
+   * with true count > total/(k+1) is among the stored counters.
+   *
+   * Layout: a [[graft.sink.FsOps.publishGeneration]] generation tree —
+   * the state is tiny, so each append publishes a complete new
+   * generation (`counters/`, `totals/`, `seen/` batch ids) behind one
+   * atomic MANIFEST flip; a replayed stream batch finds its id in
+   * `seen/` and skips, so at-least-once delivery cannot double-count.
+   */
+  def writeHhState(
+      df: DataFrame, textCol: String, path: String, k: Int = 199): Unit = {
+    require(k > 0, "k must be positive")
+    val (counters, total) = mgSketchOf(df, textCol, k)
+    publishHhGeneration(df.sparkSession, path, k, counters, total, Seq.empty)
+  }
+
+  private def publishHhGeneration(
+      spark: org.apache.spark.sql.SparkSession, path: String, k: Int,
+      counters: Seq[(String, Long)], total: Long,
+      seen: Seq[Long]): Unit = {
+    import spark.implicits._
+    val (f, root) = graft.sink.FsOps.fs(spark, path)
+    f.mkdirs(root)
+    val staging = new org.apache.hadoop.fs.Path(root,
+      s".staging_${java.util.UUID.randomUUID().toString.take(12)}")
+    counters.toDF("item", "weight").coalesce(1)
+      .write.parquet(s"$staging/counters")
+    Seq((total, k)).toDF("total", "k").coalesce(1)
+      .write.parquet(s"$staging/totals")
+    seen.toDF("batch_id").coalesce(1).write.parquet(s"$staging/seen")
+    graft.sink.FsOps.publishGeneration(f, root, staging): Unit
+  }
+
+  private def liveHhRoot(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val (f, root) = graft.sink.FsOps.fs(spark, path)
+    graft.sink.FsOps.readManifest(f, root).map(v => s"$path/$v")
+      .getOrElse(throw new IllegalStateException(
+        s"no heavy-hitter state published under $path"))
+  }
+
+  /**
+   * Fold one batch into the stored state: batch sketch (k frozen by the
+   * stored geometry) merges with the stored counters driver-side — both
+   * are ≤ k entries — and the result publishes as the next generation.
+   * `batchId` (from foreachBatch) makes replays converge: an id already
+   * recorded in the live generation's `seen/` is skipped whole.
+   */
+  def appendToHhState(
+      batch: DataFrame, textCol: String, path: String,
+      batchId: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    // ONE generation resolution for the whole append (the liveIndexRoot
+    // discipline) — all reads below come from the same immutable tree
+    val live = liveHhRoot(spark, path)
+    val seen = spark.read.parquet(s"$live/seen")
+      .collect().map(_.getLong(0)).toSeq
+    if (batchId.exists(seen.contains)) return
+    val t = spark.read.parquet(s"$live/totals").head()
+    val (total, k) = (t.getLong(0), t.getInt(1))
+    val stored = spark.read.parquet(s"$live/counters")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val (batchCounters, batchTotal) = mgSketchOf(batch, textCol, k)
+    val merged = mgBufferFrom(k, stored)
+    merged.merge(mgBufferFrom(k, batchCounters))
+    publishHhGeneration(spark, path, k,
+      merged.sorted.map { case (i, w) => (i.toString, w) }.toSeq,
+      total + batchTotal, seen ++ batchId)
+  }
+
+  /** The stored counters with their share LOWER BOUNDS — the health read
+    * of the heavy-hitter state (no corpus access; weights under-estimate
+    * true counts by at most total/(k+1)). */
+  def hhStateCandidates(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val live = liveHhRoot(spark, path)
+    val total = spark.read.parquet(s"$live/totals").head().getLong(0)
+    spark.read.parquet(s"$live/counters")
+      .select(col("item"), col("weight"),
+        (col("weight").cast("double") / lit(total.toDouble)).as("share_lb"))
+      .orderBy(col("weight").desc, col("item").asc)
+  }
+
+  /**
+   * EXACT heavy hitters from the maintained state: the stored candidates
+   * are re-counted over the corpus and thresholded — by the maintained
+   * guarantee this is row-identical to [[heavyHitters]] run directly
+   * (`sketchK+1 ≥ 1/minShare` enforced against the stored k), so the
+   * incremental state earns the direct path's oracle. The corpus scan
+   * happens HERE, on demand — the per-batch maintenance never scans it.
+   */
+  def heavyHittersFromState(
+      corpus: DataFrame, textCol: String, path: String,
+      minShare: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val live = liveHhRoot(spark, path)
+    val k = spark.read.parquet(s"$live/totals").head().getInt(1)
+    require((k + 1).toDouble * minShare >= 1.0,
+      s"stored k=$k too small for minShare=$minShare")
+    val candidates = spark.read.parquet(s"$live/counters")
+      .collect().map(_.getString(0)).toSeq
+    val toks = corpus
+      .select(explode(graft.functions.hashes.word_tokens(col(textCol)))
+        .as("token"))
+      .filter(col("token") =!= "")
+    val total = toks.count()
+    toks.filter(col("token").isInCollection(candidates))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").cast("double") > lit(minShare) * lit(total.toDouble))
+      .withColumn("share", col("cnt").cast("double") / lit(total.toDouble))
+      .orderBy(col("cnt").desc, col("token").asc)
+  }
+
+  /**
+   * Continuous heavy-hitter maintenance: each micro-batch folds into the
+   * persisted state through [[appendToHhState]] with its batch id (the
+   * stateless-foreachBatch posture — the STATE TREE is the state, replays
+   * skip). Frequency telemetry stays current without any corpus scan.
+   */
+  def hhStream(
+      stream: DataFrame, textCol: String, path: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        appendToHhState(batch.toDF(), textCol, path, Some(id))
+      }
+      .start()
+
   // --------------------------------------------------------- quality score
 
   /** Character-class counts and ratios used by the quality heuristic.

@@ -77,6 +77,49 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("persisted heavy-hitter state: fold-forward equals direct, replays skip, stream lands") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.Tables(spark, sf0001, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val direct = rows(TextAnalysis.heavyHitters(docs, "text", 0.01, 199))
+    // build on a third, fold the other two thirds forward — the exact
+    // recount over the maintained candidates must equal the direct path
+    val path = java.nio.file.Files.createTempDirectory("hh_state").toString
+    TextAnalysis.writeHhState(docs.filter(col("doc_id") % 3 === 0), "text", path)
+    TextAnalysis.appendToHhState(docs.filter(col("doc_id") % 3 === 1), "text", path)
+    TextAnalysis.appendToHhState(docs.filter(col("doc_id") % 3 === 2), "text", path)
+    assert(rows(TextAnalysis.heavyHittersFromState(docs, "text", path)) == direct)
+    // health read: lower-bound weights, every direct heavy hitter among
+    // the candidates
+    val cands = TextAnalysis.hhStateCandidates(spark, path).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(direct.forall { case (tok, cnt, _) =>
+      cands.contains(tok) && cands(tok) <= cnt })
+    // replayed batch id is skipped whole — the state is unchanged
+    TextAnalysis.appendToHhState(docs.limit(50), "text", path, batchId = Some(7L))
+    val withBatch = rows(TextAnalysis.hhStateCandidates(spark, path))
+    TextAnalysis.appendToHhState(docs.limit(50), "text", path, batchId = Some(7L))
+    assert(rows(TextAnalysis.hhStateCandidates(spark, path)) == withBatch)
+    // streaming maintenance: micro-batches fold in with their batch ids
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val sPath = java.nio.file.Files.createTempDirectory("hh_stream").toString
+    TextAnalysis.writeHhState(docs.filter(col("doc_id") % 3 === 0), "text", sPath)
+    val rest = docs.filter(col("doc_id") % 3 =!= 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = rest.splitAt(rest.length / 2)
+    val input = MemoryStream[(Long, String)]
+    val q = TextAnalysis.hhStream(
+      input.toDF().toDF("doc_id", "text"), "text", sPath)
+    try {
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(TextAnalysis.heavyHittersFromState(docs, "text", sPath)) == direct)
+  }
+
   test("quality features on crafted text") {
     val df = Seq((1L, "abcde 12345")).toDF("doc_id", "text") // 11 chars
     val r = TextAnalysis.qualityFeatures(df, "doc_id", "text").collect().head
