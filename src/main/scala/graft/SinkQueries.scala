@@ -311,6 +311,30 @@ object SinkQueries {
           "o_orderpriority")
     }),
 
+    // CDC merge published as a snapshot: status-patch every 7th key,
+    // delete every 11th, non-destructively — the pre-merge state stays
+    // time-travelable (asserted in-query) while the current read shows
+    // the merged state the oracle derives from the source.
+    "sink_snapshot_merge" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_merge").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"))
+      val k = col("o_orderkey")
+      val updates = base.filter(k % 7 === 0 && k % 11 =!= 0)
+        .withColumn("o_orderstatus", lit("X")).withColumn("__del", lit(false))
+        .unionByName(base.filter(k % 11 === 0).withColumn("__del", lit(true)))
+      val mid = Snapshots.mergeUpsert(s, out, updates,
+        Seq("o_orderpriority"), Seq("o_orderkey"), deleteCol = Some("__del"))
+      require(mid == 2, s"expected merge snapshot 2: $mid")
+      require(Snapshots.read(s, out, asOf = Some(1)).count() == base.count(),
+        "pre-merge state must stay time-travelable")
+      Snapshots.read(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
     // Incremental consumption off the manifests: three appended thirds,
     // then "read what snapshot 1 didn't have" — exactly batches 2 and 3,
     // resolved from two manifest reads with no directory listing and no
@@ -523,6 +547,14 @@ object SinkQueries {
         |FROM b
         |WHERE o_orderpriority != '1-URGENT' OR o_orderkey % 2 = 0
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // upserted status for every 7th key, every 11th key deleted
+    "sink_snapshot_merge" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 11 != 0
+        |    THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 11 != 0""".stripMargin,
 
     // batches 2 and 3 of the three mod-3 appends
     "sink_snapshot_incremental" ->

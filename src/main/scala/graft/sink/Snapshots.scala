@@ -159,7 +159,8 @@ object Snapshots {
   private def writeInternal(
       df: DataFrame, root: String, partitionFields: Seq[String],
       mode: SnapshotMode, modeLabel: String,
-      evolution: graft.schema.SchemaEvolution.Policy): Int = {
+      evolution: graft.schema.SchemaEvolution.Policy,
+      dropPartitionDirs: Set[String] = Set.empty): Int = {
     require(partitionFields.nonEmpty, "snapshot datasets are partitioned")
     val spark = df.sparkSession
     val (f, qroot) = FsOps.fs(spark, root)
@@ -180,7 +181,8 @@ object Snapshots {
     df.write.mode("overwrite").partitionBy(partitionFields: _*)
       .parquet(staging.toString)
     val staged = listDataFiles(f, staging)
-    require(staged.nonEmpty, "empty batch — nothing to snapshot")
+    require(staged.nonEmpty || dropPartitionDirs.nonEmpty,
+      "empty batch — nothing to snapshot")
     val data = dataDir(qroot)
     staged.foreach { rel =>
       val dst = new Path(data, rel)
@@ -192,7 +194,11 @@ object Snapshots {
     val live = mode match {
       case SnapAppend => prevFiles ++ staged
       case SnapOverwritePartitions =>
-        val replaced = staged.map(parentDirOf).toSet
+        // replaced: partitions receiving staged files, plus partitions
+        // explicitly dropped with NO replacement files (a merge that
+        // deleted a partition's every row — dynamic overwrite alone
+        // would silently leave them live)
+        val replaced = staged.map(parentDirOf).toSet ++ dropPartitionDirs
         prevFiles.filterNot(p => replaced(parentDirOf(p))) ++ staged
     }
     val id = cur.getOrElse(0) + 1
@@ -251,6 +257,113 @@ object Snapshots {
             org.apache.spark.sql.functions.lit(targetFilesPerPartition))): _*)
     Some(writeInternal(rewritten, root, partitionFields,
       SnapOverwritePartitions, "compact", graft.schema.SchemaEvolution.Widen))
+  }
+
+  /**
+   * CDC MERGE (upsert + delete) published as a NEW SNAPSHOT —
+   * [[PartitionedSink.mergeUpsert]]'s copy-on-write-at-partition-
+   * granularity semantics made non-destructive: replaced partitions'
+   * files leave the live set but stay on disk, so the pre-merge state
+   * remains time-travelable (audit the table as of before any change
+   * batch) until [[expire]] reclaims it.
+   *
+   * Semantics match the sink: per key, a non-delete row REPLACES the
+   * stored row (inserting if absent; the replacement may land in a
+   * different partition and the old copy leaves its old one), a
+   * `deleteCol=true` row removes the key wherever it lives; batch keys
+   * must be unique (checked). Only partitions that can change are read —
+   * those receiving upserts plus those holding updated keys (one
+   * column-pruned key+partition scan) — via a literal pruning predicate;
+   * update keys broadcast. Partitions whose every row disappeared are
+   * dropped from the manifest explicitly. Returns the new snapshot id.
+   */
+  def mergeUpsert(
+      spark: SparkSession, root: String, updates: DataFrame,
+      partitionFields: Seq[String], keyFields: Seq[String],
+      deleteCol: Option[String] = None,
+      evolution: graft.schema.SchemaEvolution.Policy =
+        graft.schema.SchemaEvolution.Widen): Int = {
+    import org.apache.spark.sql.functions._
+    require(keyFields.nonEmpty, "mergeUpsert needs at least one key field")
+    require(!keyFields.exists(partitionFields.contains),
+      "partition fields cannot be merge keys (a key that IS the partition " +
+        "value cannot move; route through a payload column instead)")
+    val dupKeys = updates.groupBy(keyFields.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"update batch has multiple rows for one (${keyFields.mkString(",")}) key")
+    val isDelete = deleteCol
+      .map(c => coalesce(col(c), lit(false))).getOrElse(lit(false))
+    val upserts = deleteCol
+      .foldLeft(updates.filter(!isDelete))((d, c) => d.drop(c))
+    val allKeys = updates.select(keyFields.map(col): _*).distinct()
+    val pCols = partitionFields.map(col)
+    val base = read(spark, root)
+    val touched = upserts.select(pCols: _*)
+      .unionByName(base.join(broadcast(allKeys), keyFields.toSeq, "left_semi")
+        .select(pCols: _*))
+      .distinct().collect()
+    val touchedPred = touched.map { r =>
+      partitionFields.zipWithIndex
+        .map { case (f, i) => col(f) === lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val survivors = base.filter(touchedPred)
+      .join(broadcast(allKeys), keyFields.toSeq, "left_anti")
+    val out = evolution match {
+      case graft.schema.SchemaEvolution.Widen =>
+        survivors.unionByName(upserts, allowMissingColumns = true)
+      case _ => survivors.unionByName(upserts)
+    }
+    // partitions left with zero rows (all deleted, nothing upserted)
+    // must leave the manifest even though no file replaces them
+    val live = out.select(pCols: _*).distinct().collect()
+      .map(partitionRelDir(partitionFields, _)).toSet
+    val emptied = touched.map(partitionRelDir(partitionFields, _))
+      .filterNot(live).toSet
+    // a batch that changes nothing (e.g. deletes of absent keys) is a
+    // NO-OP — don't burn a snapshot id on an identical manifest
+    if (touched.isEmpty)
+      return currentSnapshot(spark, root).getOrElse(
+        throw new IllegalStateException(s"no snapshot published under $root"))
+    writeInternal(out, root, partitionFields, SnapOverwritePartitions,
+      "merge", evolution, dropPartitionDirs = emptied)
+  }
+
+  private def partitionRelDir(
+      partitionFields: Seq[String], r: org.apache.spark.sql.Row): String =
+    partitionFields.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(f, String.valueOf(r.get(i)))
+    }.mkString("/")
+
+  /**
+   * Sweep files NO snapshot references (crashed writes that moved files
+   * in before their manifest published, plus leftover `.stage_*` trees)
+   * — the orphan-reclaim counterpart of [[expire]], which only deletes
+   * files that WERE referenced by expired manifests. Same single-
+   * maintainer discipline: do not run concurrently with a writer (an
+   * in-flight write's files are unreferenced until its manifest flips).
+   * Returns (orphan data files deleted, staging trees dropped).
+   */
+  def vacuum(spark: SparkSession, root: String): (Int, Int) = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val referenced = snapshotIds(f, qroot)
+      .flatMap(readSnapshotFile(f, qroot, _).files).toSet
+    val data = dataDir(qroot)
+    val orphans =
+      if (f.exists(data)) listDataFiles(f, data).filterNot(referenced)
+      else Seq.empty
+    orphans.foreach(rel => FsOps.deleteIfExists(f, new Path(data, rel)))
+    orphans.map(parentDirOf).distinct.filter(_.nonEmpty).foreach { d =>
+      val p = new Path(data, d)
+      if (f.exists(p) && !f.listFiles(p, true).hasNext)
+        FsOps.deleteIfExists(f, p)
+    }
+    val stages = Option(f.listStatus(qroot)).getOrElse(Array.empty)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage_"))
+    stages.foreach(s => FsOps.deleteIfExists(f, s.getPath))
+    (orphans.length, stages.length)
   }
 
   /**

@@ -215,6 +215,73 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.changedPartitions(spark, root, 3, 3).isEmpty)
   }
 
+  test("mergeUpsert: replace, insert, cross-partition move, delete, emptied partition — non-destructively") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_merge").toString
+    val base = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 40.0), (5L, "b", 50.0))
+      .toDF("id", "p", "v")
+    Snapshots.write(base, root, Seq("p"))
+    val updates = Seq(
+      (2L, "a", 21.0, false),  // in-place replace
+      (4L, "a", 41.0, false),  // MOVE b→a with new payload
+      (6L, "a", 60.0, false),  // insert
+      (3L, "a", 0.0, true),    // delete
+      (5L, "b", 0.0, true))    // delete — empties partition b entirely
+      .toDF("id", "p", "v", "__del")
+    val mid = Snapshots.mergeUpsert(spark, root, updates, Seq("p"), Seq("id"),
+      deleteCol = Some("__del"))
+    assert(mid == 2)
+    val cur = Snapshots.read(spark, root).select("id", "p", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(cur == Set((1L, "a", 10.0), (2L, "a", 21.0), (4L, "a", 41.0),
+      (6L, "a", 60.0)))
+    // the emptied partition is gone from the manifest — no phantom value
+    assert(Snapshots.read(spark, root).select("p").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("a"))
+    // ...but the PRE-merge state is fully time-travelable
+    val before = Snapshots.read(spark, root, asOf = Some(1))
+      .select("id", "p", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(before == Set((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 40.0), (5L, "b", 50.0)))
+    // no-op batch (delete of an absent key) publishes nothing
+    assert(Snapshots.mergeUpsert(spark, root,
+      Seq((99L, "a", 0.0, true)).toDF("id", "p", "v", "__del"),
+      Seq("p"), Seq("id"), deleteCol = Some("__del")) == 2)
+    // guards: duplicate batch keys, partition-field key
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeUpsert(spark, root,
+        Seq((7L, "a", 1.0), (7L, "a", 2.0)).toDF("id", "p", "v"),
+        Seq("p"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeUpsert(spark, root,
+        Seq((7L, "a", 1.0)).toDF("id", "p", "v"), Seq("p"), Seq("p"))
+    }
+  }
+
+  test("vacuum reclaims orphan files and stale staging trees, never live ones") {
+    val root = java.nio.file.Files.createTempDirectory("snap_vac").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    val before = keys(Snapshots.read(spark, root))
+    // plant a crashed write: a file moved into data/ with no manifest,
+    // and a leftover staging tree
+    val orphanDir = new java.io.File(s"$root/data/o_orderpriority=9-PHANTOM")
+    orphanDir.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$orphanDir/part-orphan.parquet"),
+      Array[Byte](1, 2, 3))
+    new java.io.File(s"$root/.stage_dead").mkdirs()
+    val (orphans, stages) = Snapshots.vacuum(spark, root)
+    assert((orphans, stages) == ((1, 1)))
+    assert(!orphanDir.exists(), "emptied orphan partition dir must be pruned")
+    assert(!new java.io.File(s"$root/.stage_dead").exists())
+    assert(keys(Snapshots.read(spark, root)) == before, "live files untouched")
+    assert(Snapshots.vacuum(spark, root) == ((0, 0)), "idempotent")
+  }
+
   test("guards: unpartitioned write, empty batch, unpublished read") {
     val root = java.nio.file.Files.createTempDirectory("snap_guard").toString
     intercept[IllegalArgumentException] {
