@@ -165,6 +165,10 @@ object TextAnalysis {
     val stored = spark.read.parquet(s"$live/counters")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val (batchCounters, batchTotal) = mgSketchOf(batch, textCol, k)
+    // an empty batch must not burn a generation publish (the
+    // componentsStream discipline) — and it contributes nothing on a
+    // replay either, so skipping keeps exactly-once intact
+    if (batchTotal == 0L) return
     val merged = mgBufferFrom(k, stored)
     merged.merge(mgBufferFrom(k, batchCounters))
     publishHhGeneration(spark, path, k,

@@ -305,7 +305,9 @@ object Snapshots {
       .distinct().collect()
     val touchedPred = touched.map { r =>
       partitionFields.zipWithIndex
-        .map { case (f, i) => col(f) === lit(r.get(i)) }
+        // null-safe equality: a null partition value must still prune to
+        // ITS partition, not silently match nothing
+        .map { case (f, i) => col(f) <=> lit(r.get(i)) }
         .reduce(_ && _)
     }.reduceOption(_ || _).getOrElse(lit(false))
     val survivors = base.filter(touchedPred)
@@ -333,8 +335,11 @@ object Snapshots {
   private def partitionRelDir(
       partitionFields: Seq[String], r: org.apache.spark.sql.Row): String =
     partitionFields.zipWithIndex.map { case (f, i) =>
+      // null must reach getPartitionPathString AS null so it maps to the
+      // __HIVE_DEFAULT_PARTITION__ directory, not a literal "null" dir
+      val v = r.get(i)
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .getPartitionPathString(f, String.valueOf(r.get(i)))
+        .getPartitionPathString(f, if (v == null) null else v.toString)
     }.mkString("/")
 
   /**
