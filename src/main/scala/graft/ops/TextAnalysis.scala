@@ -107,9 +107,14 @@ object TextAnalysis {
    *
    * Layout: a [[graft.sink.FsOps.publishGeneration]] generation tree —
    * the state is tiny, so each append publishes a complete new
-   * generation (`counters/`, `totals/`, `seen/` batch ids) behind one
-   * atomic MANIFEST flip; a replayed stream batch finds its id in
-   * `seen/` and skips, so at-least-once delivery cannot double-count.
+   * generation (`counters/`, `totals/`, `seen/` replay tags) behind one
+   * atomic MANIFEST flip; a replayed stream batch finds its
+   * (id, content-fingerprint) tag in `seen/` and skips, so at-least-once
+   * delivery cannot double-count. The tag is content-derived
+   * ([[graft.streaming.ReplayGuard]]) — batch ids ALONE are lineage-
+   * scoped (a restart without a durable checkpoint re-issues ids from 0)
+   * and would silently DROP colliding new batches; with the fingerprint
+   * in the key, only a genuine re-delivery matches.
    */
   def writeHhState(
       df: DataFrame, textCol: String, path: String, k: Int = 199): Unit = {
@@ -121,7 +126,7 @@ object TextAnalysis {
   private def publishHhGeneration(
       spark: org.apache.spark.sql.SparkSession, path: String, k: Int,
       counters: Seq[(String, Long)], total: Long,
-      seen: Seq[Long]): Unit = {
+      seen: Seq[(Long, Long)]): Unit = {
     import spark.implicits._
     val (f, root) = graft.sink.FsOps.fs(spark, path)
     f.mkdirs(root)
@@ -131,7 +136,7 @@ object TextAnalysis {
       .write.parquet(s"$staging/counters")
     Seq((total, k)).toDF("total", "k").coalesce(1)
       .write.parquet(s"$staging/totals")
-    seen.toDF("batch_id").coalesce(1).write.parquet(s"$staging/seen")
+    seen.toDF("batch_id", "fp").coalesce(1).write.parquet(s"$staging/seen")
     graft.sink.FsOps.publishGeneration(f, root, staging): Unit
   }
 
@@ -147,8 +152,11 @@ object TextAnalysis {
    * Fold one batch into the stored state: batch sketch (k frozen by the
    * stored geometry) merges with the stored counters driver-side — both
    * are ≤ k entries — and the result publishes as the next generation.
-   * `batchId` (from foreachBatch) makes replays converge: an id already
-   * recorded in the live generation's `seen/` is skipped whole.
+   * `batchId` (from foreachBatch) makes replays converge: the batch's
+   * (id, content-fingerprint) tag already recorded in the live
+   * generation's `seen/` is skipped whole. The fingerprint keeps the
+   * guard safe across checkpoint lineages — a fresh checkpoint re-issues
+   * ids from 0, and id-only dedup would silently drop that real data.
    */
   def appendToHhState(
       batch: DataFrame, textCol: String, path: String,
@@ -158,8 +166,10 @@ object TextAnalysis {
     // discipline) — all reads below come from the same immutable tree
     val live = liveHhRoot(spark, path)
     val seen = spark.read.parquet(s"$live/seen")
-      .collect().map(_.getLong(0)).toSeq
-    if (batchId.exists(seen.contains)) return
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val tag = batchId.map(id =>
+      (id, graft.streaming.ReplayGuard.fingerprint(batch.select(col(textCol)))))
+    if (tag.exists(seen.contains)) return
     val t = spark.read.parquet(s"$live/totals").head()
     val (total, k) = (t.getLong(0), t.getInt(1))
     val stored = spark.read.parquet(s"$live/counters")
@@ -173,7 +183,7 @@ object TextAnalysis {
     merged.merge(mgBufferFrom(k, batchCounters))
     publishHhGeneration(spark, path, k,
       merged.sorted.map { case (i, w) => (i.toString, w) }.toSeq,
-      total + batchTotal, seen ++ batchId)
+      total + batchTotal, seen ++ tag)
   }
 
   /** The stored counters with their share LOWER BOUNDS — the health read
@@ -223,16 +233,21 @@ object TextAnalysis {
    * Continuous heavy-hitter maintenance: each micro-batch folds into the
    * persisted state through [[appendToHhState]] with its batch id (the
    * stateless-foreachBatch posture — the STATE TREE is the state, replays
-   * skip). Frequency telemetry stays current without any corpus scan.
+   * skip on their content-derived tag, so the guard survives checkpoint-
+   * lineage changes). Pass `checkpointLocation` for restartable streams.
+   * Frequency telemetry stays current without any corpus scan.
    */
   def hhStream(
-      stream: DataFrame, textCol: String, path: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
+      stream: DataFrame, textCol: String, path: String,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         appendToHhState(batch.toDF(), textCol, path, Some(id))
       }
-      .start()
+    checkpointLocation.foldLeft(w)((x, c) =>
+      x.option("checkpointLocation", c)).start()
+  }
 
   // --------------------------------------------------------- quality score
 

@@ -62,32 +62,36 @@ private[graft] object FsOps {
     }
   }
 
-  /** Flip the MANIFEST pointer atomically: write the new content to a
-    * dot-hidden sibling, then overwrite-rename it onto MANIFEST through
+  /** Atomically replace `target`'s content: write to a dot-hidden
+    * sibling, then overwrite-rename it onto `target` through
     * `FileContext` (posix/HDFS atomic overwrite-rename) — a plain
-    * `create(overwrite=true)` would TRUNCATE the live manifest first,
-    * and a reader in that window would resolve the flat layout and crash
-    * on a nonexistent path. Filesystems without FileContext support fall
-    * back to the direct create — on object stores a small single PUT is
-    * atomic anyway, which is the case the versioned layout targets. */
-  def writeManifest(f: FileSystem, root: Path, version: String): Unit = {
-    val manifest = new Path(root, "MANIFEST")
-    val tmp = new Path(root, ".MANIFEST.tmp")
+    * `create(overwrite=true)` would TRUNCATE the live file first, and a
+    * reader in that window would see a partial or empty file. Filesystems
+    * without FileContext support fall back to the direct create — on
+    * object stores a small single PUT is atomic anyway, which is the
+    * case the versioned layout targets. */
+  def atomicWrite(f: FileSystem, target: Path, content: String): Unit = {
+    val bytes = content.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val tmp = new Path(target.getParent, s".${target.getName}.tmp")
     val out = f.create(tmp, true)
-    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(bytes)
     finally out.close()
     try {
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        manifest.toUri, f.getConf)
-      fc.rename(tmp, manifest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        target.toUri, f.getConf)
+      fc.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     } catch {
       case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        val direct = f.create(manifest, true)
-        try direct.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val direct = f.create(target, true)
+        try direct.write(bytes)
         finally direct.close()
         deleteIfExists(f, tmp)
     }
   }
+
+  /** Flip the MANIFEST pointer atomically (see [[atomicWrite]]). */
+  def writeManifest(f: FileSystem, root: Path, version: String): Unit =
+    atomicWrite(f, new Path(root, "MANIFEST"), version)
 
   /** Publish `staging` as the next generation under `root`: rename it to
     * `v<N+1>`, flip the MANIFEST pointer (the one atomic step), and drop

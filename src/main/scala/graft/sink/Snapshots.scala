@@ -1,14 +1,15 @@
 package graft.sink
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
 
 /**
  * Snapshot / time-travel layer over a partitioned dataset — the
  * "index is the state" posture applied to the DATASET ITSELF (the
  * IVF / BM25 / dup-graph discipline, [[graft.ops.Similarity.writeIvfIndex]]):
  * data files are immutable once landed, and each write publishes a new
- * SNAPSHOT — a small manifest listing exactly the live files — behind the
+ * SNAPSHOT — a small manifest naming exactly the live files — behind the
  * same atomic `MANIFEST` pointer flip the versioned index layout uses
  * ([[FsOps.writeManifest]]). Reads resolve a snapshot first and scan only
  * its files, so:
@@ -22,27 +23,47 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    resolved `s<N>` keeps scanning `s<N>`'s immutable files while
  *    `s<N+1>` publishes.
  *
- * 100 TB shape: every operation here is metadata-cost — manifests scale
- * with FILE COUNT, not data size (the Iceberg/Delta argument), the
- * pointer flip is one small PUT, and expiry deletes only files no
- * retained snapshot references. Partition pruning still works on reads:
- * the file listing is handed to the scan with `basePath`, so partition
- * directories become partition COLUMNS and a filter on them prunes at
- * planning time (asserted by `SnapshotsSpec`).
+ * 100 TB shape — the two costs that matter and how each stays bounded:
+ *
+ *  - '''Manifest write cost is O(change), not O(live files)''': each
+ *    snapshot is a DELTA — `parent=<id>` plus its `add=`/`remove=`
+ *    lines — so a micro-batch append writes a manifest proportional to
+ *    the BATCH. Resolution walks the parent chain; every
+ *    [[RebaseEvery]]-th snapshot is written as a rebased FULL manifest
+ *    so chains stay ≤ that constant (the Iceberg manifest-list
+ *    argument). Without this, a 100 TB dataset under per-minute appends
+ *    rewrites its entire file inventory every minute.
+ *  - '''Read planning is pruned twice''': partition pruning (the file
+ *    listing is handed to the scan with `basePath`, so partition
+ *    directories become partition COLUMNS and planning-time pruning
+ *    applies), and FILE-LEVEL DATA SKIPPING — manifests carry per-file
+ *    min/max for declared `statsColumns`, and [[read]] drops files whose
+ *    stat range cannot intersect a [[StatRange]] filter before the scan
+ *    ever sees them. This is what makes a z-order/range-clustered layout
+ *    ([[PartitionedSink.writeZOrdered]]) pay off at the FILE level.
  *
  * Layout under `root`:
  * {{{
- *   data/<field>=<value>/.../part-*.parquet   immutable data files
+ *   data/<field>=<value>/.../part-*.<ext>     immutable data files
  *   snapshots/s<N>                            one text manifest per snapshot
  *   MANIFEST                                  current snapshot name, e.g. "s3"
  * }}}
  *
- * Manifest format: line 1 `mode=<append|overwrite_partitions|compact>`,
- * line 2 `schema=<Spark StructType JSON>` (the dataset's recorded read
- * contract), then one data-file path per line, relative to `data/`.
+ * Manifest format (v2, `graftsnap=2` header): `key=value` lines —
+ * `mode`, `schema` (Spark StructType JSON — the dataset's recorded read
+ * contract), `format` (parquet/orc/avro — fixed at dataset creation),
+ * `codec`, `statscols`, `batch` (stream replay tag), `parent` (delta
+ * chaining), then `add=`/`remove=` lines (delta) or `file=` lines
+ * (full). File lines carry optional per-column min/max stats after a
+ * tab. v1 manifests (positional: mode, schema, bare paths) still parse.
+ *
  * Writes are gated by [[graft.schema.SchemaEvolution]] against the
  * recorded schema — safe widening updates the contract, breakage fails
- * loudly with nothing published.
+ * loudly with nothing published. Crash safety: a write that died between
+ * its snapshot file and the pointer flip leaves an orphan `s<N+1>` that
+ * the next write REPLACES (and [[vacuum]] reclaims) — it can never block
+ * the dataset or be mistaken for the newest snapshot ([[history]],
+ * [[expire]] and [[vacuum]] only consider ids ≤ the committed pointer).
  *
  * Same single-WRITER discipline as the rest of the sink maintenance
  * surface ([[PartitionedSink.compactInPlace]]): writes and expiry are one
@@ -54,6 +75,27 @@ object Snapshots {
   case object SnapAppend extends SnapshotMode("append")
   case object SnapOverwritePartitions extends SnapshotMode("overwrite_partitions")
 
+  /** File-skipping filter for [[read]]: keep only files whose recorded
+    * [min,max] for `column` can intersect [lower,upper] (either bound
+    * optional). Files without recorded stats are conservatively kept —
+    * pruning never changes results, only the file list. Bounds compare
+    * type-aware per the recorded schema (numerics numerically; strings,
+    * dates and timestamps by their Spark string form). */
+  case class StatRange(
+      column: String, lower: Option[Any] = None, upper: Option[Any] = None)
+
+  /** Delta chains rebase into a full manifest at this depth: manifest
+    * WRITE cost stays O(batch) (amortized O(live/RebaseEvery)), manifest
+    * READ cost stays ≤ this many small file opens. */
+  val RebaseEvery: Int = 8
+
+  /** [[vacuum]]'s default grace window: unreferenced files younger than
+    * this survive, so an in-flight writer's staged-but-not-yet-published
+    * files are never swept out from under it — defense in depth on top of
+    * the single-maintainer contract (the failure mode is silent data
+    * loss, so the guard is on by default). */
+  val DefaultVacuumGraceMs: Long = 10L * 60L * 1000L
+
   private val SnapRe = "^s(\\d+)$".r
 
   private def snapshotsDir(root: Path) = new Path(root, "snapshots")
@@ -64,14 +106,141 @@ object Snapshots {
     if (i < 0) "" else rel.substring(0, i)
   }
 
-  /** Parsed snapshot manifest: write mode, the dataset's recorded schema
-    * (the contract every reader gets — inference-free), live files. */
-  private case class Manifest(
-      mode: String, schema: Option[org.apache.spark.sql.types.StructType],
-      files: Seq[String])
+  private def fileNameOf(path: String): String =
+    path.substring(path.lastIndexOf('/') + 1)
+
+  // ------------------------------------------------------ manifest model
+
+  /** One live data file with its optional per-column (min, max) stats —
+    * values in Spark cast-to-string form; `None` = the file's every value
+    * for that column is null. */
+  private case class FileEntry(
+      rel: String, stats: Map[String, (Option[String], Option[String])])
+
+  /** Dataset-level write metadata recorded in every manifest. */
+  private case class SnapMeta(
+      mode: String, schema: StructType, format: String,
+      codec: Option[String], statsCols: Seq[String], batchTag: Option[String])
+
+  /** One manifest as stored: a FULL file listing (`full` defined) or a
+    * DELTA against `parent` (adds/removes). */
+  private case class RawManifest(
+      id: Int, mode: String, schema: Option[StructType], format: String,
+      codec: Option[String], statsCols: Seq[String], batchTag: Option[String],
+      parent: Option[Int], adds: Seq[FileEntry], removes: Seq[String],
+      full: Option[Seq[FileEntry]])
+
+  /** A snapshot with its delta chain applied: the complete live file set
+    * plus the requested manifest's metadata. */
+  private case class Resolved(
+      id: Int, mode: String, schema: Option[StructType], format: String,
+      codec: Option[String], statsCols: Seq[String], batchTag: Option[String],
+      files: Seq[FileEntry], chainDepth: Int)
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  // rel paths never contain a tab (Hive partition-path escaping encodes
+  // control characters; part-file names are alphanumeric), so tab cleanly
+  // separates the path from its stats blob
+  private def encodeEntry(e: FileEntry): String =
+    if (e.stats.isEmpty) e.rel
+    else e.rel + "\t" + e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+      s"${enc(c)}=${lo.fold("~")(enc)},${hi.fold("~")(enc)}"
+    }.mkString("&")
+
+  private def decodeEntry(s: String): FileEntry = {
+    val i = s.indexOf('\t')
+    if (i < 0) FileEntry(s, Map.empty)
+    else {
+      val stats = s.substring(i + 1).split("&").filter(_.nonEmpty).map { kv =>
+        val eq = kv.indexOf('=')
+        val Array(lo, hi) = kv.substring(eq + 1).split(",", 2)
+        dec(kv.substring(0, eq)) ->
+          ((if (lo == "~") None else Some(dec(lo))),
+            (if (hi == "~") None else Some(dec(hi))))
+      }.toMap
+      FileEntry(s.substring(0, i), stats)
+    }
+  }
+
+  private def renderManifest(
+      meta: SnapMeta, parent: Option[Int], adds: Seq[FileEntry],
+      removes: Seq[String], full: Option[Seq[FileEntry]]): String = {
+    val b = new StringBuilder
+    b ++= "graftsnap=2\n"
+    b ++= s"mode=${meta.mode}\n"
+    b ++= s"schema=${meta.schema.json}\n"
+    b ++= s"format=${meta.format}\n"
+    meta.codec.foreach(c => b ++= s"codec=$c\n")
+    if (meta.statsCols.nonEmpty)
+      b ++= s"statscols=${meta.statsCols.map(enc).mkString(",")}\n"
+    meta.batchTag.foreach(t => b ++= s"batch=${enc(t)}\n")
+    parent.foreach(p => b ++= s"parent=$p\n")
+    full match {
+      case Some(files) =>
+        files.sortBy(_.rel).foreach(e => b ++= s"file=${encodeEntry(e)}\n")
+      case None =>
+        removes.sorted.foreach(r => b ++= s"remove=$r\n")
+        adds.sortBy(_.rel).foreach(e => b ++= s"add=${encodeEntry(e)}\n")
+    }
+    b.result()
+  }
+
+  private def parseSchema(json: String): StructType =
+    DataType.fromJson(json).asInstanceOf[StructType]
+
+  private def parseManifest(id: Int, text: String): RawManifest = {
+    val lines = text.split("\n").toSeq.map(_.stripSuffix("\r")).filter(_.nonEmpty)
+    if (lines.headOption.contains("graftsnap=2")) {
+      var mode = ""; var schema: Option[StructType] = None
+      var format = "parquet"; var codec: Option[String] = None
+      var statsCols: Seq[String] = Seq.empty
+      var batchTag: Option[String] = None; var parent: Option[Int] = None
+      val adds = Seq.newBuilder[FileEntry]
+      val removes = Seq.newBuilder[String]
+      val fulls = Seq.newBuilder[FileEntry]
+      lines.tail.foreach {
+        case l if l.startsWith("mode=") => mode = l.stripPrefix("mode=")
+        case l if l.startsWith("schema=") =>
+          schema = Some(parseSchema(l.stripPrefix("schema=")))
+        case l if l.startsWith("format=") => format = l.stripPrefix("format=")
+        case l if l.startsWith("codec=") =>
+          codec = Some(l.stripPrefix("codec="))
+        case l if l.startsWith("statscols=") =>
+          statsCols = l.stripPrefix("statscols=").split(",").toSeq
+            .filter(_.nonEmpty).map(dec)
+        case l if l.startsWith("batch=") =>
+          batchTag = Some(dec(l.stripPrefix("batch=")))
+        case l if l.startsWith("parent=") =>
+          parent = Some(l.stripPrefix("parent=").toInt)
+        case l if l.startsWith("remove=") =>
+          removes += l.stripPrefix("remove=")
+        case l if l.startsWith("add=") =>
+          adds += decodeEntry(l.stripPrefix("add="))
+        case l if l.startsWith("file=") =>
+          fulls += decodeEntry(l.stripPrefix("file="))
+        case other => throw new IllegalStateException(
+          s"corrupt snapshot manifest s$id: unrecognized line '${other.take(80)}'")
+      }
+      RawManifest(id, mode, schema, format, codec, statsCols, batchTag,
+        parent, adds.result(), removes.result(),
+        if (parent.isEmpty) Some(fulls.result()) else None)
+    } else {
+      // v1 (positional): mode line, optional schema line, bare file paths
+      val mode = lines.head.stripPrefix("mode=")
+      val (schema, files) = lines.tail match {
+        case s +: rest if s.startsWith("schema=") =>
+          (Some(parseSchema(s.stripPrefix("schema="))), rest)
+        case rest => (None, rest)
+      }
+      RawManifest(id, mode, schema, "parquet", None, Seq.empty, None, None,
+        Seq.empty, Seq.empty, Some(files.map(FileEntry(_, Map.empty))))
+    }
+  }
 
   private def readSnapshotFile(
-      f: FileSystem, root: Path, id: Int): Manifest = {
+      f: FileSystem, root: Path, id: Int): RawManifest = {
     val p = new Path(snapshotsDir(root), s"s$id")
     if (!f.exists(p))
       throw new IllegalStateException(
@@ -82,31 +251,34 @@ object Snapshots {
     val text =
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    val lines = text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-    val mode = lines.head.stripPrefix("mode=")
-    // the schema line is POSITIONAL (second) — a `field=value` partition
-    // path can never be confused with it because paths are listed after
-    val (schema, files) = lines.tail match {
-      case s +: rest if s.startsWith("schema=") =>
-        (Some(org.apache.spark.sql.types.DataType
-          .fromJson(s.stripPrefix("schema="))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]), rest)
-      case rest => (None, rest)
-    }
-    Manifest(mode, schema, files)
+    parseManifest(id, text)
   }
 
-  private def writeSnapshotFile(
-      f: FileSystem, root: Path, id: Int, mode: String,
-      schema: org.apache.spark.sql.types.StructType,
-      files: Seq[String]): Unit = {
-    f.mkdirs(snapshotsDir(root))
-    val p = new Path(snapshotsDir(root), s"s$id")
-    val out = f.create(p, false) // snapshots are immutable — never overwrite
-    try out.write(
-      (s"mode=$mode\nschema=${schema.json}\n" + files.sorted.mkString("\n"))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+  /** Apply the delta chain: walk `parent` pointers to the nearest full
+    * manifest (≤ [[RebaseEvery]] hops by construction), then replay
+    * removes/adds oldest-first. Metadata comes from the REQUESTED
+    * manifest — each snapshot carries its own schema/mode. */
+  private def resolve(
+      f: FileSystem, root: Path, id: Int,
+      cache: scala.collection.mutable.Map[Int, RawManifest] =
+        scala.collection.mutable.Map.empty): Resolved = {
+    def raw(i: Int) = cache.getOrElseUpdate(i, readSnapshotFile(f, root, i))
+    var chain = List(raw(id))
+    while (chain.head.parent.isDefined) {
+      val p = chain.head.parent.get
+      require(p < chain.head.id,
+        s"corrupt manifest chain: s${chain.head.id} points at s$p")
+      chain = raw(p) :: chain
+    }
+    val top = chain.last
+    val files = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
+    chain.head.full.getOrElse(Seq.empty).foreach(e => files(e.rel) = e)
+    chain.tail.foreach { m =>
+      m.removes.foreach(files.remove)
+      m.adds.foreach(e => files(e.rel) = e)
+    }
+    Resolved(top.id, top.mode, top.schema, top.format, top.codec,
+      top.statsCols, top.batchTag, files.values.toSeq, chain.length - 1)
   }
 
   /** The current snapshot id, if any write has published. */
@@ -133,19 +305,125 @@ object Snapshots {
     out.toSeq
   }
 
+  // --------------------------------------------------- format dispatch
+
+  private def formatToken(fmt: SinkFormat): String = fmt match {
+    case ParquetFormat => "parquet"
+    case OrcFormat => "orc"
+    case AvroFormat => "avro"
+  }
+
+  private def sinkFormatOf(token: String): SinkFormat = token match {
+    case "parquet" => ParquetFormat
+    case "orc" => OrcFormat
+    case "avro" => AvroFormat
+    case other => throw new IllegalStateException(
+      s"unknown snapshot format '$other'")
+  }
+
+  /** Every snapshot data file is written/read through the provider name
+    * the sink surface uses (avro needs the fully-qualified FileFormat —
+    * [[SinkFormat.name]]). */
+  private def reader(
+      spark: SparkSession, formatTok: String, base: String,
+      schema: Option[StructType]): org.apache.spark.sql.DataFrameReader = {
+    val r0 = spark.read.format(sinkFormatOf(formatTok).name)
+      .option("basePath", base)
+    schema.fold(r0)(r0.schema)
+  }
+
+  // -------------------------------------------------------------- stats
+
+  private def isStatType(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | TimestampType |
+        BooleanType => true
+    case _ => false
+  }
+
+  /** Type-aware comparison of two stat values in their string form. */
+  private def statCompare(dt: DataType, a: String, b: String): Int = dt match {
+    case _: NumericType => BigDecimal(a).compare(BigDecimal(b))
+    case BooleanType => a.toBoolean.compare(b.toBoolean)
+    case _ => a.compareTo(b)
+  }
+
+  /** Per-staged-file min/max of the declared stat columns, keyed by file
+    * NAME (job-unique part names). One batch-sized aggregate over the
+    * staging tree — never over the dataset. */
+  private def computeStats(
+      spark: SparkSession, staging: Path, formatTok: String,
+      statsCols: Seq[String])
+      : Map[String, Map[String, (Option[String], Option[String])]] = {
+    if (statsCols.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format(sinkFormatOf(formatTok).name)
+      .load(staging.toString)
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        fileNameOf(r.getString(0)) -> statsCols.zipWithIndex.map {
+          case (c, i) =>
+            c -> ((Option(r.getString(1 + 2 * i)),
+              Option(r.getString(2 + 2 * i))))
+        }.toMap
+      }.toMap
+  }
+
+  /** True iff the file can hold a row matching every range: missing stats
+    * keep the file (conservative); recorded all-null stats (min and max
+    * both None) cannot match a range filter, which excludes nulls. */
+  private def survives(
+      e: FileEntry, ranges: Seq[StatRange], schema: StructType): Boolean =
+    ranges.forall { r =>
+      e.stats.get(r.column) match {
+        case None => true
+        case Some((lo, hi)) =>
+          val dt = schema.fields.find(_.name == r.column).map(_.dataType)
+            .getOrElse(StringType)
+          if (lo.isEmpty && hi.isEmpty) false // all-null file
+          else {
+            val belowUpper = (r.upper, lo) match {
+              case (Some(u), Some(l)) => statCompare(dt, l, u.toString) <= 0
+              case _ => true
+            }
+            val aboveLower = (r.lower, hi) match {
+              case (Some(l), Some(h)) => statCompare(dt, h, l.toString) >= 0
+              case _ => true
+            }
+            belowUpper && aboveLower
+          }
+      }
+    }
+
   /**
    * Land `df` as the next snapshot. The batch is staged as a partitioned
-   * parquet tree, its files MOVED (rename — metadata-cost) into `data/`
-   * under their partition directories, and the new manifest published
-   * with one atomic pointer flip. Spark's job-unique part-file names make
-   * staged files collision-free against every previously landed batch.
+   * file tree in the dataset's format, its files MOVED (rename —
+   * metadata-cost) into `data/` under their partition directories, and
+   * the new manifest published with one atomic pointer flip. Spark's
+   * job-unique part-file names make staged files collision-free against
+   * every previously landed batch.
    *
-   * `SnapAppend`: the new manifest is the previous live set plus the
-   * batch's files. `SnapOverwritePartitions`: partitions the batch
-   * touches are logically replaced (their previous files leave the live
-   * set but stay on disk for older snapshots); untouched partitions ride
-   * through unchanged — the dynamic-overwrite semantics of the
-   * reference's CREATE_OR_APPEND surface, but non-destructive.
+   * `SnapAppend`: the batch's files join the live set.
+   * `SnapOverwritePartitions`: partitions the batch touches are logically
+   * replaced (their previous files leave the live set but stay on disk
+   * for older snapshots); untouched partitions ride through unchanged —
+   * the dynamic-overwrite semantics of the reference's CREATE_OR_APPEND
+   * surface, but non-destructive.
+   *
+   * Dataset-level properties — `format`/`codec` (the sink's surface,
+   * modern codecs incl. zstd admitted) and `statsColumns` (per-file
+   * min/max recorded for data skipping) — are fixed by the FIRST write
+   * and inherited afterwards (pass `None`/empty to inherit; a conflicting
+   * value fails loudly).
+   *
+   * `batchTag` is the stream replay guard: a write whose tag equals the
+   * current snapshot's tag is a re-delivered micro-batch and returns the
+   * already-published id without staging anything (exactly-once
+   * publishing over at-least-once delivery — [[snapshotStream]]).
    *
    * Returns the published snapshot id (1-based, monotonic).
    */
@@ -153,19 +431,60 @@ object Snapshots {
       df: DataFrame, root: String, partitionFields: Seq[String],
       mode: SnapshotMode = SnapAppend,
       evolution: graft.schema.SchemaEvolution.Policy =
-        graft.schema.SchemaEvolution.Widen): Int =
-    writeInternal(df, root, partitionFields, mode, mode.name, evolution)
+        graft.schema.SchemaEvolution.Widen,
+      statsColumns: Seq[String] = Seq.empty,
+      format: Option[SinkFormat] = None, codec: Option[String] = None,
+      batchTag: Option[String] = None): Int =
+    writeInternal(df, root, partitionFields, mode, mode.name, evolution,
+      touchedDirs = None, batchTag = batchTag, statsColumns = statsColumns,
+      format = format, codec = codec)
 
   private def writeInternal(
       df: DataFrame, root: String, partitionFields: Seq[String],
       mode: SnapshotMode, modeLabel: String,
       evolution: graft.schema.SchemaEvolution.Policy,
-      dropPartitionDirs: Set[String] = Set.empty): Int = {
+      touchedDirs: Option[Set[String]] = None,
+      batchTag: Option[String] = None,
+      statsColumns: Seq[String] = Seq.empty,
+      format: Option[SinkFormat] = None,
+      codec: Option[String] = None): Int = {
     require(partitionFields.nonEmpty, "snapshot datasets are partitioned")
     val spark = df.sparkSession
     val (f, qroot) = FsOps.fs(spark, root)
     val cur = currentSnapshot(spark, root)
-    val prev = cur.map(readSnapshotFile(f, qroot, _))
+    val prev = cur.map(resolve(f, qroot, _))
+    // replay short-circuit BEFORE any staging: a re-delivered micro-batch
+    // (same id + content tag as the snapshot it already published) must
+    // converge, not double-append
+    if (batchTag.isDefined && prev.exists(_.batchTag == batchTag))
+      return cur.get
+    // dataset-fixed properties: first write declares, later writes inherit
+    val fmtTok = prev match {
+      case Some(p) =>
+        format.foreach(g => require(formatToken(g) == p.format,
+          s"dataset at $root is ${p.format}; cannot write ${formatToken(g)}"))
+        p.format
+      case None => formatToken(format.getOrElse(ParquetFormat))
+    }
+    val fmtObj = sinkFormatOf(fmtTok)
+    val userCodec = codec.map(c => graft.schema.Validators.resolveCodec(
+      fmtObj.codecs ++ fmtObj.modernCodecs, c, fmtTok))
+    val dsCodec = prev match {
+      case Some(p) =>
+        require(userCodec.isEmpty || userCodec == p.codec,
+          s"dataset at $root uses codec ${p.codec.getOrElse("(default)")}; " +
+            s"cannot write ${userCodec.get}")
+        p.codec
+      case None => userCodec
+    }
+    val statsCols = prev match {
+      case Some(p) =>
+        require(statsColumns.isEmpty || statsColumns == p.statsCols,
+          s"dataset at $root records stats for ${p.statsCols.mkString(",")}; " +
+            s"cannot switch to ${statsColumns.mkString(",")}")
+        p.statsCols
+      case None => statsColumns
+    }
     // schema-evolution gate BEFORE any file lands (the PartitionedSink
     // append/merge discipline): the batch either breaks the recorded
     // contract loudly with nothing written, or the recorded schema
@@ -176,12 +495,32 @@ object Snapshots {
         stored, df.schema, partitionFields, evolution)
       case None => df.schema
     }
+    statsCols.foreach { c =>
+      require(!partitionFields.contains(c),
+        s"stat column $c is a partition field — partition pruning already " +
+          "covers it")
+      val fld = contract.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"stat column $c is not in the dataset schema"))
+      require(isStatType(fld.dataType),
+        s"stat column $c has non-orderable-atomic type ${fld.dataType}")
+    }
     val staging = new Path(qroot,
       s".stage_${java.util.UUID.randomUUID().toString.take(12)}")
-    df.write.mode("overwrite").partitionBy(partitionFields: _*)
-      .parquet(staging.toString)
+    val w0 = df.write.mode("overwrite").partitionBy(partitionFields: _*)
+      .format(fmtObj.name)
+    dsCodec.fold(w0)(c => w0.option("compression", c)).save(staging.toString)
     val staged = listDataFiles(f, staging)
-    require(staged.nonEmpty || dropPartitionDirs.nonEmpty,
+    // per-file stats while the batch is still small and local to this
+    // write — one batch-sized pass, keyed by job-unique part-file name
+    val statsByName =
+      if (staged.isEmpty) Map.empty[String, Map[String, (Option[String], Option[String])]]
+      else computeStats(spark, staging, fmtTok, statsCols)
+    val stagedDirs = staged.map(parentDirOf).toSet
+    // partitions a merge touched but staged nothing back into: every row
+    // deleted — they must leave the manifest even with no replacement file
+    val emptied = touchedDirs.map(_ -- stagedDirs).getOrElse(Set.empty)
+    require(staged.nonEmpty || emptied.nonEmpty,
       "empty batch — nothing to snapshot")
     val data = dataDir(qroot)
     staged.foreach { rel =>
@@ -190,19 +529,37 @@ object Snapshots {
       FsOps.renameOrFail(f, new Path(staging, rel), dst)
     }
     FsOps.deleteIfExists(f, staging)
+    val addEntries = staged.map(rel =>
+      FileEntry(rel, statsByName.getOrElse(fileNameOf(rel), Map.empty)))
     val prevFiles = prev.map(_.files).getOrElse(Seq.empty)
-    val live = mode match {
-      case SnapAppend => prevFiles ++ staged
+    val removes: Seq[String] = mode match {
+      case SnapAppend => Seq.empty
       case SnapOverwritePartitions =>
-        // replaced: partitions receiving staged files, plus partitions
-        // explicitly dropped with NO replacement files (a merge that
-        // deleted a partition's every row — dynamic overwrite alone
-        // would silently leave them live)
-        val replaced = staged.map(parentDirOf).toSet ++ dropPartitionDirs
-        prevFiles.filterNot(p => replaced(parentDirOf(p))) ++ staged
+        val replaced = stagedDirs ++ emptied
+        prevFiles.map(_.rel).filter(p => replaced(parentDirOf(p)))
     }
     val id = cur.getOrElse(0) + 1
-    writeSnapshotFile(f, qroot, id, modeLabel, contract, live)
+    val meta = SnapMeta(modeLabel, contract, fmtTok, dsCodec, statsCols,
+      batchTag)
+    val chainDepth = prev.map(_.chainDepth).getOrElse(0)
+    val content =
+      if (prev.isEmpty || chainDepth + 1 >= RebaseEvery) {
+        // rebase: a full manifest caps every future resolution's chain walk
+        val removed = removes.toSet
+        val live = prevFiles.filterNot(e => removed(e.rel)) ++ addEntries
+        renderManifest(meta, None, Seq.empty, Seq.empty, Some(live))
+      } else
+        renderManifest(meta, cur, addEntries, removes, None)
+    val p = new Path(snapshotsDir(qroot), s"s$id")
+    f.mkdirs(snapshotsDir(qroot))
+    // a crash between this write and the pointer flip below leaves an
+    // orphan s<id> — the committed pointer still names s<id-1>, so the
+    // NEXT write computes the same id and must replace the orphan, not
+    // die on it forever (the FsOps.publishGeneration discipline)
+    FsOps.deleteIfExists(f, p)
+    val out = f.create(p, false)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     FsOps.writeManifest(f, qroot, s"s$id")
     id
   }
@@ -231,18 +588,16 @@ object Snapshots {
     val (f, qroot) = FsOps.fs(spark, root)
     val id = currentSnapshot(spark, root).getOrElse(
       throw new IllegalStateException(s"no snapshot published under $root"))
-    val m = readSnapshotFile(f, qroot, id)
-    val fragmented = m.files.groupBy(parentDirOf)
+    val m = resolve(f, qroot, id)
+    val fragmented = m.files.map(_.rel).groupBy(parentDirOf)
       .filter(_._2.length > targetFilesPerPartition)
     if (fragmented.isEmpty) return None
     val base = dataDir(qroot).toString
-    val reader0 = spark.read.option("basePath", base)
     // rewrite under the RECORDED contract, not per-file inference — a
     // widened dataset's old fragments must compact into contract-typed
     // files, not resurrect their pre-widening footer schemas
-    val reader = m.schema.fold(reader0)(reader0.schema)
-    val frag = reader
-      .parquet(fragmented.values.flatten.map(r => s"$base/$r").toSeq: _*)
+    val frag = reader(spark, m.format, base, m.schema)
+      .load(fragmented.values.flatten.map(r => s"$base/$r").toSeq: _*)
     import org.apache.spark.sql.functions.col
     // one task (→ one file) per partition value under the partition-column
     // repartition; a >1 target adds a deterministic row-hash salt so each
@@ -274,8 +629,10 @@ object Snapshots {
    * must be unique (checked). Only partitions that can change are read —
    * those receiving upserts plus those holding updated keys (one
    * column-pruned key+partition scan) — via a literal pruning predicate;
-   * update keys broadcast. Partitions whose every row disappeared are
-   * dropped from the manifest explicitly. Returns the new snapshot id.
+   * update keys broadcast. The merged frame is evaluated ONCE (by the
+   * staging write): partitions whose every row disappeared are derived
+   * inside the write as touched-minus-staged, not pre-counted with a
+   * second scan. Returns the new snapshot id.
    */
   def mergeUpsert(
       spark: SparkSession, root: String, updates: DataFrame,
@@ -303,13 +660,18 @@ object Snapshots {
       .unionByName(base.join(broadcast(allKeys), keyFields.toSeq, "left_semi")
         .select(pCols: _*))
       .distinct().collect()
+    // a batch that changes nothing (e.g. deletes of absent keys) is a
+    // NO-OP — don't burn a snapshot id on an identical manifest
+    if (touched.isEmpty)
+      return currentSnapshot(spark, root).getOrElse(
+        throw new IllegalStateException(s"no snapshot published under $root"))
     val touchedPred = touched.map { r =>
       partitionFields.zipWithIndex
         // null-safe equality: a null partition value must still prune to
         // ITS partition, not silently match nothing
-        .map { case (f, i) => col(f) <=> lit(r.get(i)) }
+        .map { case (fld, i) => col(fld) <=> lit(r.get(i)) }
         .reduce(_ && _)
-    }.reduceOption(_ || _).getOrElse(lit(false))
+    }.reduce(_ || _)
     val survivors = base.filter(touchedPred)
       .join(broadcast(allKeys), keyFields.toSeq, "left_anti")
     val out = evolution match {
@@ -317,23 +679,14 @@ object Snapshots {
         survivors.unionByName(upserts, allowMissingColumns = true)
       case _ => survivors.unionByName(upserts)
     }
-    // partitions left with zero rows (all deleted, nothing upserted)
-    // must leave the manifest even though no file replaces them
-    val live = out.select(pCols: _*).distinct().collect()
-      .map(partitionRelDir(partitionFields, _)).toSet
-    val emptied = touched.map(partitionRelDir(partitionFields, _))
-      .filterNot(live).toSet
-    // a batch that changes nothing (e.g. deletes of absent keys) is a
-    // NO-OP — don't burn a snapshot id on an identical manifest
-    if (touched.isEmpty)
-      return currentSnapshot(spark, root).getOrElse(
-        throw new IllegalStateException(s"no snapshot published under $root"))
     writeInternal(out, root, partitionFields, SnapOverwritePartitions,
-      "merge", evolution, dropPartitionDirs = emptied)
+      "merge", evolution,
+      touchedDirs = Some(
+        touched.map(partitionRelDir(partitionFields, _)).toSet))
   }
 
   private def partitionRelDir(
-      partitionFields: Seq[String], r: org.apache.spark.sql.Row): String =
+      partitionFields: Seq[String], r: Row): String =
     partitionFields.zipWithIndex.map { case (f, i) =>
       // null must reach getPartitionPathString AS null so it maps to the
       // __HIVE_DEFAULT_PARTITION__ directory, not a literal "null" dir
@@ -342,22 +695,56 @@ object Snapshots {
         .getPartitionPathString(f, if (v == null) null else v.toString)
     }.mkString("/")
 
+  /** Snapshot ids the committed pointer can reach — orphan manifests from
+    * a crashed write (id > current) are never treated as state. */
+  private def committedIds(
+      f: FileSystem, qroot: Path, cur: Option[Int]): Seq[Int] =
+    cur.fold(Seq.empty[Int])(c => allManifestIds(f, qroot).filter(_ <= c))
+
+  private def allManifestIds(f: FileSystem, qroot: Path): Seq[Int] = {
+    val dir = snapshotsDir(qroot)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case SnapRe(n) => n.toInt }.sorted.toSeq
+  }
+
   /**
-   * Sweep files NO snapshot references (crashed writes that moved files
-   * in before their manifest published, plus leftover `.stage_*` trees)
-   * — the orphan-reclaim counterpart of [[expire]], which only deletes
-   * files that WERE referenced by expired manifests. Same single-
-   * maintainer discipline: do not run concurrently with a writer (an
-   * in-flight write's files are unreferenced until its manifest flips).
+   * Sweep garbage NO committed snapshot references: data files from
+   * crashed writes, leftover `.stage_*` trees, and orphan snapshot
+   * manifests beyond the committed pointer — the orphan-reclaim
+   * counterpart of [[expire]], which only deletes files that WERE
+   * referenced by expired manifests.
+   *
+   * Files younger than `graceMs` survive (default
+   * [[DefaultVacuumGraceMs]]): an in-flight writer's just-moved files are
+   * unreferenced until its manifest flips, and the age guard keeps a
+   * mistimed vacuum from silently destroying that write — defense in
+   * depth on top of the single-maintainer contract. Pass `graceMs = 0`
+   * for immediate reclaim when the writer is known quiesced.
    * Returns (orphan data files deleted, staging trees dropped).
    */
-  def vacuum(spark: SparkSession, root: String): (Int, Int) = {
+  def vacuum(
+      spark: SparkSession, root: String,
+      graceMs: Long = DefaultVacuumGraceMs): (Int, Int) = {
     val (f, qroot) = FsOps.fs(spark, root)
-    val referenced = snapshotIds(f, qroot)
-      .flatMap(readSnapshotFile(f, qroot, _).files).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val cur = currentSnapshot(spark, root)
+    val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
+    val referenced = committedIds(f, qroot, cur)
+      .flatMap(resolve(f, qroot, _, cache).files.map(_.rel)).toSet
+    // orphan snapshot manifests (crash between snapshot file and pointer
+    // flip): never state, reclaim so they can't shadow a future write
+    allManifestIds(f, qroot).filter(id => cur.forall(_ < id)).foreach { id =>
+      val p = new Path(snapshotsDir(qroot), s"s$id")
+      if (f.getFileStatus(p).getModificationTime < cutoff)
+        FsOps.deleteIfExists(f, p)
+    }
     val data = dataDir(qroot)
     val orphans =
-      if (f.exists(data)) listDataFiles(f, data).filterNot(referenced)
+      if (f.exists(data))
+        listDataFiles(f, data).filterNot(referenced).filter { rel =>
+          f.getFileStatus(new Path(data, rel)).getModificationTime < cutoff
+        }
       else Seq.empty
     orphans.foreach(rel => FsOps.deleteIfExists(f, new Path(data, rel)))
     orphans.map(parentDirOf).distinct.filter(_.nonEmpty).foreach { d =>
@@ -366,7 +753,8 @@ object Snapshots {
         FsOps.deleteIfExists(f, p)
     }
     val stages = Option(f.listStatus(qroot)).getOrElse(Array.empty)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage_"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage_")
+        && s.getModificationTime < cutoff)
     stages.foreach(s => FsOps.deleteIfExists(f, s.getPath))
     (orphans.length, stages.length)
   }
@@ -375,14 +763,13 @@ object Snapshots {
    * Incremental consumption: read ONLY the files the dataset gained
    * between snapshot `sinceId` (exclusive) and `untilId` (inclusive,
    * default current) — the "process what's new since my last run" read
-   * every incremental ETL wants, resolved ENTIRELY from two manifests
+   * every incremental ETL wants, resolved ENTIRELY from manifests
    * (no directory listing, no data diffing). For append-only histories
    * this is exactly the appended rows; a rewritten partition
    * (overwrite/compact) surfaces its new files whole — callers that must
-   * distinguish logical changes diff at row level over
-   * [[changedPartitions]]' pruned slice instead. Returns None when no
-   * files were added (since == until), so "nothing new" is explicit
-   * rather than an empty scan.
+   * distinguish logical changes use [[changes]] instead. Returns None
+   * when no files were added (since == until), so "nothing new" is
+   * explicit rather than an empty scan.
    */
   def readAddedSince(
       spark: SparkSession, root: String, sinceId: Int,
@@ -391,15 +778,15 @@ object Snapshots {
     val until = untilId.orElse(currentSnapshot(spark, root)).getOrElse(
       throw new IllegalStateException(s"no snapshot published under $root"))
     require(sinceId <= until, s"since s$sinceId is after until s$until")
-    val before = readSnapshotFile(f, qroot, sinceId).files.toSet
-    val m = readSnapshotFile(f, qroot, until)
-    val added = m.files.filterNot(before)
+    val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
+    val before = resolve(f, qroot, sinceId, cache).files.map(_.rel).toSet
+    val m = resolve(f, qroot, until, cache)
+    val added = m.files.map(_.rel).filterNot(before)
     if (added.isEmpty) None
     else {
       val base = dataDir(qroot).toString
-      val reader0 = spark.read.option("basePath", base)
-      Some(m.schema.fold(reader0)(reader0.schema)
-        .parquet(added.map(r => s"$base/$r"): _*))
+      Some(reader(spark, m.format, base, m.schema)
+        .load(added.map(r => s"$base/$r"): _*))
     }
   }
 
@@ -410,10 +797,74 @@ object Snapshots {
   def changedPartitions(
       spark: SparkSession, root: String, fromId: Int, toId: Int): Seq[String] = {
     val (f, qroot) = FsOps.fs(spark, root)
-    val a = readSnapshotFile(f, qroot, fromId).files.groupBy(parentDirOf)
-    val b = readSnapshotFile(f, qroot, toId).files.groupBy(parentDirOf)
+    val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
+    val a = resolve(f, qroot, fromId, cache).files.map(_.rel).groupBy(parentDirOf)
+    val b = resolve(f, qroot, toId, cache).files.map(_.rel).groupBy(parentDirOf)
     (a.keySet ++ b.keySet).toSeq.sorted
       .filter(p => a.get(p).map(_.toSet) != b.get(p).map(_.toSet))
+  }
+
+  /**
+   * Row-level CDC between two snapshots: per key, `insert` (in `to`
+   * only), `delete` (in `from` only — pre-image values), or `update`
+   * (present in both with any column changed — post-image values).
+   * Column set is the TO snapshot's contract; a column the FROM snapshot
+   * predates reads null on its side.
+   *
+   * Scale shape: [[changedPartitions]] prunes FIRST — only partitions
+   * whose file sets differ are read on either side (everything else is
+   * provably identical: same immutable files), then one key-equality
+   * full-outer join over those slices with an `xxhash64` row comparison.
+   * A partition rewrite that changed no rows (compaction) joins and
+   * emits nothing. Applying the result to `read(asOf=from)` (delete the
+   * delete/update keys, union the insert/update rows) reproduces
+   * `read(asOf=to)` exactly.
+   */
+  def changes(
+      spark: SparkSession, root: String, fromId: Int, toId: Int,
+      keyFields: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyFields.nonEmpty, "changes needs at least one key field")
+    val (f, qroot) = FsOps.fs(spark, root)
+    val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
+    val a = resolve(f, qroot, fromId, cache)
+    val b = resolve(f, qroot, toId, cache)
+    val aBy = a.files.map(_.rel).groupBy(parentDirOf)
+    val bBy = b.files.map(_.rel).groupBy(parentDirOf)
+    val dirs = (aBy.keySet ++ bBy.keySet)
+      .filter(d => aBy.get(d).map(_.toSet) != bBy.get(d).map(_.toSet))
+    val base = dataDir(qroot).toString
+    val bSchema = b.schema.getOrElse(throw new IllegalStateException(
+      s"snapshot s$toId records no schema — cannot diff"))
+    def slice(m: Resolved, rels: Seq[String]): DataFrame =
+      if (rels.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](),
+          m.schema.getOrElse(bSchema))
+      else reader(spark, m.format, base, m.schema)
+        .load(rels.map(r => s"$base/$r"): _*)
+    val dfA = slice(a, a.files.map(_.rel).filter(r => dirs(parentDirOf(r))))
+    val dfB = slice(b, b.files.map(_.rel).filter(r => dirs(parentDirOf(r))))
+    // align FROM onto TO's contract: columns the older snapshot predates
+    // read null (matching what a post-widening travel read would see)
+    val cols = bSchema.fields.toSeq
+    val alignedA = dfA.select(cols.map(fd =>
+      if (dfA.columns.contains(fd.name)) col(fd.name)
+      else lit(null).cast(fd.dataType).as(fd.name)): _*)
+    val la = alignedA.select(struct(cols.map(fd => col(fd.name)): _*).as("a"))
+    val lb = dfB.select(struct(cols.map(fd => col(fd.name)): _*).as("b"))
+    val keyCond = keyFields.map(k => col(s"a.$k") <=> col(s"b.$k"))
+      .reduce(_ && _)
+    val change = when(col("a").isNull, "insert")
+      .when(col("b").isNull, "delete")
+      .when(xxhash64(col("a")) =!= xxhash64(col("b")), "update")
+    la.join(lb, keyCond, "full_outer")
+      .withColumn("change_type", change)
+      .filter(col("change_type").isNotNull)
+      .select(cols.map(fd =>
+        when(col("b").isNotNull, col(s"b.${fd.name}"))
+          .otherwise(col(s"a.${fd.name}")).as(fd.name))
+        :+ col("change_type"): _*)
   }
 
   /**
@@ -421,21 +872,36 @@ object Snapshots {
    * snapshot through [[write]] — the stateless-foreachBatch posture of
    * all the persisted-index streams ([[graft.streaming.EventStream]]):
    * the SNAPSHOT TREE is the state, each batch publishes atomically, and
-   * readers time-travel to any retained batch boundary. Pair with a
+   * readers time-travel to any retained batch boundary.
+   *
+   * Exactly-once over at-least-once delivery: each batch's
+   * (id, content-fingerprint) tag is recorded in the manifest it
+   * publishes, and a re-delivered batch (same tag as the current
+   * snapshot's) returns that snapshot instead of appending again. The
+   * tag is content-derived ([[graft.streaming.ReplayGuard]]), so it
+   * stays safe across checkpoint-lineage changes that restart batch ids
+   * at 0. Pass `checkpointLocation` for restartable streams. Pair with a
    * scheduled [[compact]] + [[expire]] to bound fragment and manifest
    * growth.
    */
   def snapshotStream(
       stream: DataFrame, root: String, partitionFields: Seq[String],
-      mode: SnapshotMode = SnapAppend)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      mode: SnapshotMode = SnapAppend,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
         // an empty batch must not burn a snapshot id
-        if (!batch.isEmpty)
-          write(batch.toDF(), root, partitionFields, mode): Unit
+        if (!batch.isEmpty) {
+          val tag = s"$id:${java.lang.Long.toHexString(
+            graft.streaming.ReplayGuard.fingerprint(batch.toDF()))}"
+          write(batch.toDF(), root, partitionFields, mode,
+            batchTag = Some(tag)): Unit
+        }
       }
-      .start()
+    checkpointLocation.foldLeft(w)((x, c) =>
+      x.option("checkpointLocation", c)).start()
+  }
 
   /**
    * Read the dataset at a snapshot — the CURRENT one when `asOf` is
@@ -443,22 +909,43 @@ object Snapshots {
    * list goes straight to the scan with `basePath`, so the partition
    * directories surface as partition columns and partition-filter
    * pruning applies exactly as on a directly-read tree.
+   *
+   * `prune` applies FILE-LEVEL DATA SKIPPING before the scan plans: files
+   * whose recorded per-column min/max cannot intersect a [[StatRange]]
+   * are dropped from the listing (callers still apply their row filter —
+   * skipping is a superset guarantee, asserted conservative). A snapshot
+   * whose live set is legitimately empty (a merge deleted every row)
+   * reads as an EMPTY frame under the recorded contract, not an error.
    */
   def read(
       spark: SparkSession, root: String,
-      asOf: Option[Int] = None): DataFrame = {
+      asOf: Option[Int] = None,
+      prune: Seq[StatRange] = Seq.empty): DataFrame = {
     val (f, qroot) = FsOps.fs(spark, root)
     val id = asOf.orElse(currentSnapshot(spark, root)).getOrElse(
       throw new IllegalStateException(s"no snapshot published under $root"))
-    val m = readSnapshotFile(f, qroot, id)
-    require(m.files.nonEmpty, s"snapshot s$id is empty")
+    val m = resolve(f, qroot, id)
+    val schema = m.schema
+    prune.foreach(r => require(
+      schema.forall(s => s.fields.exists(_.name == r.column)),
+      s"prune column ${r.column} is not in the snapshot schema"))
+    val kept =
+      if (prune.isEmpty) m.files
+      else m.files.filter(e =>
+        survives(e, prune, schema.getOrElse(StructType(Seq.empty))))
+    if (kept.isEmpty) {
+      // a legitimately-empty state (or a fully-pruned read) is an empty
+      // frame under the contract — never an unreadable dataset
+      val s = schema.getOrElse(throw new IllegalStateException(
+        s"snapshot s$id is empty and records no schema"))
+      return spark.createDataFrame(new java.util.ArrayList[Row](), s)
+    }
     val base = dataDir(qroot).toString
-    val reader0 = spark.read.option("basePath", base)
     // the recorded schema IS the read contract: inference-free, stable
     // column order, widened columns resolve against pre-widening files
     // (absent columns read null, stored ints upcast)
-    val reader = m.schema.fold(reader0)(reader0.schema)
-    reader.parquet(m.files.map(r => s"$base/$r"): _*)
+    reader(spark, m.format, base, schema)
+      .load(kept.map(e => s"$base/${e.rel}"): _*)
   }
 
   /**
@@ -466,24 +953,19 @@ object Snapshots {
    * snapshot tree ([[graft.ops.Dedup.dupGraphHealth]]'s role): per
    * retained snapshot, its write mode, live file count, live partition
    * count, and whether it is current. All figures come from the manifests
-   * alone — no data file is opened.
+   * alone — no data file is opened. Orphan manifests beyond the committed
+   * pointer are not history.
    */
-  private def snapshotIds(f: FileSystem, qroot: Path): Seq[Int] = {
-    val dir = snapshotsDir(qroot)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).map(_.getPath.getName)
-      .collect { case SnapRe(n) => n.toInt }.sorted.toSeq
-  }
-
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     val (f, qroot) = FsOps.fs(spark, root)
     val cur = currentSnapshot(spark, root)
-    val ids = snapshotIds(f, qroot)
-    ids.map { id =>
-      val m = readSnapshotFile(f, qroot, id)
+    val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
+    committedIds(f, qroot, cur).map { id =>
+      val m = resolve(f, qroot, id, cache)
       (id, m.mode, m.files.length.toLong,
-        m.files.map(parentDirOf).distinct.length.toLong, cur.contains(id))
+        m.files.map(e => parentDirOf(e.rel)).distinct.length.toLong,
+        cur.contains(id))
     }.toDF("snapshot_id", "mode", "n_files", "n_partitions", "is_current")
   }
 
@@ -493,16 +975,45 @@ object Snapshots {
    * older manifests, then delete every data file no retained snapshot
    * references and prune emptied partition directories. Time travel to an
    * expired snapshot fails loudly afterwards ([[read]]'s message).
+   *
+   * Delta-chain safety: if the oldest KEPT snapshot is a delta whose
+   * chain crosses the expiry boundary, it is first rebased in place into
+   * an equivalent FULL manifest (atomic content-identical replacement —
+   * readers mid-resolution see either form, both resolve the same file
+   * set). Manifests are deleted BEFORE data files: a crash between the
+   * two degrades to orphan files the next expire/vacuum reclaims, never
+   * to a manifest whose files are gone.
    * Returns (expired snapshot ids, deleted data-file count).
    */
   def expire(
       spark: SparkSession, root: String, keepLast: Int): (Seq[Int], Int) = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     val (f, qroot) = FsOps.fs(spark, root)
-    val ids = snapshotIds(f, qroot)
+    val cur = currentSnapshot(spark, root)
+    val ids = committedIds(f, qroot, cur)
     val (expired, kept) = ids.splitAt(math.max(0, ids.length - keepLast))
     if (expired.isEmpty) return (Seq.empty, 0)
-    val referenced = kept.flatMap(readSnapshotFile(f, qroot, _).files).toSet
+    val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
+    // rebase the oldest kept snapshot off the expiring chain (parents are
+    // always id-1, so deeper kept deltas chain within the kept set)
+    kept.headOption.foreach { k =>
+      val raw = readSnapshotFile(f, qroot, k)
+      if (raw.parent.isDefined) {
+        val res = resolve(f, qroot, k, cache)
+        val meta = SnapMeta(raw.mode,
+          raw.schema.getOrElse(StructType(Seq.empty)), raw.format,
+          raw.codec, raw.statsCols, raw.batchTag)
+        FsOps.atomicWrite(f, new Path(snapshotsDir(qroot), s"s$k"),
+          renderManifest(meta, None, Seq.empty, Seq.empty, Some(res.files)))
+        cache.remove(k): Unit
+      }
+    }
+    // manifests first (a manifest-less snapshot already fails loudly) —
+    // then the file sweep; a crash between degrades to orphan files
+    expired.foreach(id =>
+      FsOps.deleteIfExists(f, new Path(snapshotsDir(qroot), s"s$id")))
+    val referenced = kept
+      .flatMap(resolve(f, qroot, _, cache).files.map(_.rel)).toSet
     val data = dataDir(qroot)
     val dead = listDataFiles(f, data).filterNot(referenced)
     dead.foreach(rel => FsOps.deleteIfExists(f, new Path(data, rel)))
@@ -513,8 +1024,6 @@ object Snapshots {
       if (f.exists(p) && !f.listFiles(p, true).hasNext)
         FsOps.deleteIfExists(f, p)
     }
-    expired.foreach(id =>
-      FsOps.deleteIfExists(f, new Path(snapshotsDir(qroot), s"s$id")))
     (expired, dead.length)
   }
 }

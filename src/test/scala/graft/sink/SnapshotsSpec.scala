@@ -274,12 +274,255 @@ class SnapshotsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$orphanDir/part-orphan.parquet"),
       Array[Byte](1, 2, 3))
     new java.io.File(s"$root/.stage_dead").mkdirs()
-    val (orphans, stages) = Snapshots.vacuum(spark, root)
+    // the grace window protects fresh unreferenced files (an in-flight
+    // writer's) — the planted orphans are brand new, so a default vacuum
+    // must leave them alone...
+    assert(Snapshots.vacuum(spark, root) == ((0, 0)),
+      "fresh unreferenced files must survive the grace window")
+    assert(orphanDir.exists())
+    // ...and an immediate-reclaim vacuum (writer known quiesced) sweeps them
+    val (orphans, stages) = Snapshots.vacuum(spark, root, graceMs = 0L)
     assert((orphans, stages) == ((1, 1)))
     assert(!orphanDir.exists(), "emptied orphan partition dir must be pruned")
     assert(!new java.io.File(s"$root/.stage_dead").exists())
     assert(keys(Snapshots.read(spark, root)) == before, "live files untouched")
-    assert(Snapshots.vacuum(spark, root) == ((0, 0)), "idempotent")
+    assert(Snapshots.vacuum(spark, root, graceMs = 0L) == ((0, 0)), "idempotent")
+  }
+
+  private def manifestText(root: String, id: Int): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/snapshots/s$id")),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  test("delta manifests: appends write O(batch) manifests, chains rebase, every state resolves") {
+    val root = java.nio.file.Files.createTempDirectory("snap_delta").toString
+    // 10 single-file appends: s1 full (first write), s2..s8 deltas,
+    // s9 rebases (chain would hit RebaseEvery), s10 delta again
+    for (m <- 0 to 9)
+      Snapshots.write(orders.filter(col("o_orderkey") % 10 === m).coalesce(1),
+        root, Seq("o_orderpriority"), SnapAppend)
+    assert(!manifestText(root, 1).contains("parent="))
+    for (id <- 2 to 8)
+      assert(manifestText(root, id).contains(s"parent=${id - 1}"),
+        s"s$id should be a delta")
+    assert(!manifestText(root, 9).contains("parent="),
+      "s9 must rebase into a full manifest")
+    assert(manifestText(root, 10).contains("parent=9"))
+    // an APPEND delta's size is batch-shaped: add lines only, no full list
+    val np = orders.select("o_orderpriority").distinct().count()
+    val d8 = manifestText(root, 8)
+    assert(d8.linesIterator.count(_.startsWith("add=")) == np
+      && !d8.contains("file=") && !d8.contains("remove="))
+    // every intermediate state resolves to exactly its prefix of batches
+    for (id <- Seq(1, 5, 8, 9, 10))
+      assert(keys(Snapshots.read(spark, root, asOf = Some(id))) ==
+        keys(orders.filter(col("o_orderkey") % 10 < id)),
+        s"snapshot s$id resolved the wrong file set")
+  }
+
+  test("delta manifests: overwrite and merge record removes; expire rebases the oldest kept") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_dexp").toString
+    val base = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("id", "p", "v")
+    Snapshots.write(base, root, Seq("p"))
+    Snapshots.write(Seq((4L, "a", 40.0)).toDF("id", "p", "v"), root, Seq("p"),
+      SnapOverwritePartitions) // replaces partition a
+    Snapshots.write(Seq((5L, "b", 50.0)).toDF("id", "p", "v"), root, Seq("p"))
+    assert(manifestText(root, 2).contains("remove="))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(Snapshots.read(spark, root)) == Set(3L, 4L, 5L))
+    // expire past the full ancestor: s2 (kept head, a delta) must rebase
+    val (expired, _) = Snapshots.expire(spark, root, keepLast = 2)
+    assert(expired == Seq(1))
+    assert(!manifestText(root, 2).contains("parent="),
+      "oldest kept delta must rebase off the expired chain")
+    assert(ids(Snapshots.read(spark, root, asOf = Some(2))) == Set(3L, 4L))
+    assert(ids(Snapshots.read(spark, root)) == Set(3L, 4L, 5L))
+    assert(Snapshots.readAddedSince(spark, root, 2).map(ids)
+      .contains(Set(5L)))
+  }
+
+  test("replay guard: a re-delivered batch tag returns the published snapshot, rows counted once") {
+    val root = java.nio.file.Files.createTempDirectory("snap_replay").toString
+    val batch = orders.filter(col("o_orderkey") % 5 === 0)
+    val tag = Some("3:abcd1234")
+    val s1 = Snapshots.write(orders, root, Seq("o_orderpriority"))
+    val s2 = Snapshots.write(batch, root, Seq("o_orderpriority"),
+      SnapAppend, batchTag = tag)
+    // the replay: same tag delivered again must not stage, publish, or count
+    val s2b = Snapshots.write(batch, root, Seq("o_orderpriority"),
+      SnapAppend, batchTag = tag)
+    assert((s1, s2, s2b) == ((1, 2, 2)))
+    assert(Snapshots.currentSnapshot(spark, root).contains(2))
+    assert(Snapshots.read(spark, root).count() ==
+      orders.count() + batch.count(), "replayed rows must not double-count")
+    // a DIFFERENT tag (new lineage, new content) lands normally
+    assert(Snapshots.write(batch, root, Seq("o_orderpriority"),
+      SnapAppend, batchTag = Some("0:ffff")) == 3)
+  }
+
+  test("crash recovery: an orphan snapshot file never blocks writes nor leaks into history") {
+    val root = java.nio.file.Files.createTempDirectory("snap_orphan").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    // simulate a crash between the snapshot write and the pointer flip:
+    // s2 exists, MANIFEST still names s1
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/snapshots/s2"),
+      "garbage from a crashed writer".getBytes)
+    assert(Snapshots.currentSnapshot(spark, root).contains(1))
+    // history/expire ignore the orphan
+    assert(Snapshots.history(spark, root).collect().map(_.getInt(0)).toSeq
+      == Seq(1))
+    assert(Snapshots.expire(spark, root, keepLast = 1) == ((Seq.empty, 0)))
+    // the next write REPLACES the orphan instead of dying on it — forever
+    val s2 = Snapshots.write(
+      orders.filter(col("o_orderkey") % 2 === 0), root,
+      Seq("o_orderpriority"), SnapAppend)
+    assert(s2 == 2)
+    assert(keys(Snapshots.read(spark, root)).size > keys(orders).size / 2)
+  }
+
+  test("a merge that deletes every live row leaves a readable empty state, and recovers") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_empty").toString
+    Snapshots.write(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "v"),
+      root, Seq("p"))
+    Snapshots.mergeUpsert(spark, root,
+      Seq((1L, "a", 0.0, true), (2L, "b", 0.0, true))
+        .toDF("id", "p", "v", "__del"),
+      Seq("p"), Seq("id"), deleteCol = Some("__del"))
+    val empty = Snapshots.read(spark, root)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("id", "p", "v"),
+      "empty state must keep the recorded contract")
+    // the dataset is not bricked: a further merge inserts into it
+    Snapshots.mergeUpsert(spark, root,
+      Seq((3L, "a", 3.0, false)).toDF("id", "p", "v", "__del"),
+      Seq("p"), Seq("id"), deleteCol = Some("__del"))
+    assert(Snapshots.read(spark, root).select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    // and the pre-wipe state still time-travels
+    assert(Snapshots.read(spark, root, asOf = Some(1)).count() == 2)
+  }
+
+  test("format parity: orc and avro snapshot datasets round-trip with codec, travel and compact") {
+    for ((fmt, codec) <- Seq((OrcFormat, Some("zstd")), (AvroFormat, None))) {
+      val root = java.nio.file.Files.createTempDirectory(
+        s"snap_fmt_${Snapshots.SnapAppend.name}").toString
+      Snapshots.write(orders.coalesce(1), root, Seq("o_orderpriority"),
+        format = Some(fmt), codec = codec)
+      Snapshots.write(
+        orders.filter(col("o_orderpriority") === "1-URGENT"
+          && col("o_orderkey") % 2 === 0).coalesce(1),
+        root, Seq("o_orderpriority"), SnapOverwritePartitions)
+      val all = keys(orders)
+      val urgentOdd = keys(orders.filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_orderkey") % 2 =!= 0))
+      assert(keys(Snapshots.read(spark, root)) == all -- urgentOdd,
+        s"$fmt current state")
+      assert(keys(Snapshots.read(spark, root, asOf = Some(1))) == all,
+        s"$fmt time travel")
+      // partition pruning survives the non-parquet manifest read
+      val plan = Snapshots.read(spark, root)
+        .filter(col("o_orderpriority") === "5-LOW")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"), s"$fmt pruning:\n$plan")
+      // the format is a dataset property: a conflicting write fails loudly
+      intercept[IllegalArgumentException] {
+        Snapshots.write(orders, root, Seq("o_orderpriority"),
+          format = Some(ParquetFormat))
+      }
+      // compact reads and rewrites in the dataset's own format (the %7
+      // append re-introduces the urgent-odd keys it covers)
+      Snapshots.write(orders.filter(col("o_orderkey") % 7 === 0).coalesce(1),
+        root, Seq("o_orderpriority"), SnapAppend)
+      Snapshots.compact(spark, root, Seq("o_orderpriority"))
+      assert(keys(Snapshots.read(spark, root)) ==
+        all -- urgentOdd.filterNot(_ % 7 == 0), s"$fmt compact")
+    }
+  }
+
+  test("file stats skip files on read without changing results") {
+    val root = java.nio.file.Files.createTempDirectory("snap_skip").toString
+    // range-cluster by key before the write: each partition dir gets 4
+    // files, each covering ~a quarter of the key range — the z-order
+    // layout's promise, now backed by manifest stats
+    Snapshots.write(orders.repartitionByRange(4, col("o_orderkey")),
+      root, Seq("o_orderpriority"), statsColumns = Seq("o_orderkey"))
+    val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+    val (lo, hi) = (1L, maxKey / 8)
+    val pruned = Snapshots.read(spark, root,
+      prune = Seq(Snapshots.StatRange("o_orderkey", Some(lo), Some(hi))))
+    val full = Snapshots.read(spark, root)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"stat pruning dropped nothing: ${pruned.inputFiles.length}/${full.inputFiles.length}")
+    // pruning is a superset guarantee: the row filter on the pruned scan
+    // returns exactly the full-scan answer
+    assert(keys(pruned.filter(col("o_orderkey").between(lo, hi))) ==
+      keys(orders.filter(col("o_orderkey").between(lo, hi))))
+    // stats survive the delta chain AND compaction recomputes them
+    Snapshots.write(orders.limit(50).coalesce(1), root,
+      Seq("o_orderpriority"), SnapAppend)
+    Snapshots.compact(spark, root, Seq("o_orderpriority"))
+    val afterCompact = Snapshots.read(spark, root,
+      prune = Seq(Snapshots.StatRange("o_orderkey", Some(lo), Some(hi))))
+    assert(keys(afterCompact.filter(col("o_orderkey").between(lo, hi))) ==
+      keys(orders.filter(col("o_orderkey").between(lo, hi))))
+    // guards: unknown prune column; stat column that is a partition field
+    intercept[IllegalArgumentException] {
+      Snapshots.read(spark, root,
+        prune = Seq(Snapshots.StatRange("nope", Some(1), None))).count()
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.write(orders,
+        java.nio.file.Files.createTempDirectory("snap_badstat").toString,
+        Seq("o_orderpriority"), statsColumns = Seq("o_orderpriority"))
+    }
+  }
+
+  test("changes(from,to): insert/delete/update classification, and applying it reproduces the target") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_chg").toString
+    val base = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "c", 40.0))
+      .toDF("id", "p", "v")
+    Snapshots.write(base, root, Seq("p"))
+    // update 2 (same partition), move 3 b→a, delete 4, insert 5
+    Snapshots.mergeUpsert(spark, root,
+      Seq((2L, "a", 21.0, false), (3L, "a", 31.0, false),
+        (4L, "c", 0.0, true), (5L, "b", 50.0, false))
+        .toDF("id", "p", "v", "__del"),
+      Seq("p"), Seq("id"), deleteCol = Some("__del"))
+    val ch = Snapshots.changes(spark, root, 1, 2, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(ch == Set(
+      (2L, "a", 21.0, "update"),
+      (3L, "a", 31.0, "update"), // post-image: the moved row's new home
+      (4L, "c", 40.0, "delete"), // pre-image
+      (5L, "b", 50.0, "insert")))
+    // unchanged row 1 must NOT surface even though its partition was rewritten
+    assert(!ch.exists(_._1 == 1L))
+    // round-trip: read(asOf=1) + changes ≡ read(asOf=2)
+    val changes = Snapshots.changes(spark, root, 1, 2, Seq("id"))
+    val touchedKeys = changes
+      .filter(col("change_type").isin("delete", "update")).select("id")
+    val applied = Snapshots.read(spark, root, asOf = Some(1))
+      .join(touchedKeys, Seq("id"), "left_anti")
+      .unionByName(changes.filter(col("change_type").isin("insert", "update"))
+        .drop("change_type"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "p", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows(applied) == rows(Snapshots.read(spark, root, asOf = Some(2))))
+    // a compaction changes files but no rows: zero changes
+    for (m <- 0 to 1)
+      Snapshots.write(Seq((100L + m, "a", m.toDouble)).toDF("id", "p", "v"),
+        root, Seq("p"), SnapAppend)
+    Snapshots.compact(spark, root, Seq("p"))
+    assert(Snapshots.changes(spark, root, 4, 5, Seq("id")).isEmpty)
   }
 
   test("guards: unpartitioned write, empty batch, unpublished read") {
