@@ -396,6 +396,96 @@ object SinkQueries {
         out, Seq("o_orderpriority"), Snapshots.SnapAppend)
       Snapshots.history(s, out)
     }),
+
+    // Row-level CDC between snapshots: s1 = full orders, s2 = a merge
+    // that patches status on every 7th key (not 11th), deletes every
+    // 11th, and inserts negated copies of every 13th key.
+    // changes(1,2) must classify exactly those keys — update rows carry
+    // the post-image, deletes the pre-image — and NOTHING else:
+    // rewritten-but-unchanged rows in touched partitions hash-compare
+    // equal and stay silent. The diff itself is pruned to partitions
+    // whose manifests differ before any file is read. The oracle derives
+    // all three classes straight from the source table.
+    "sink_snapshot_changes" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_chg").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"))
+      val k = col("o_orderkey")
+      val updates = base.filter(k % 7 === 0 && k % 11 =!= 0)
+        .withColumn("o_orderstatus", lit("X")).withColumn("__del", lit(false))
+        .unionByName(base.filter(k % 11 === 0).withColumn("__del", lit(true)))
+        .unionByName(base.filter(k % 13 === 0 && k =!= 0)
+          .withColumn("o_orderkey", k * -1).withColumn("__del", lit(false)))
+      Snapshots.mergeUpsert(s, out, updates,
+        Seq("o_orderpriority"), Seq("o_orderkey"), deleteCol = Some("__del"))
+      Snapshots.changes(s, out, 1, 2, Seq("o_orderkey"))
+    }),
+
+    // File-level data skipping: orders range-clustered by key land with
+    // per-file min/max recorded in the manifest; a key-range read prunes
+    // to a strict subset of the live files BEFORE the scan plans
+    // (asserted in-query on inputFiles) and still returns exactly the
+    // range's rows — the oracle recomputes the range from the source, so
+    // an over-pruned read loses rows and hash-fails.
+    "sink_snapshot_skipping" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_skip").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      Snapshots.write(base.repartitionByRange(8, col("o_orderkey")), out,
+        Seq("o_orderpriority"), statsColumns = Seq("o_orderkey"))
+      val hi = base.agg(max("o_orderkey")).head().getLong(0) / 8
+      val pruned = Snapshots.read(s, out,
+        prune = Seq(Snapshots.StatRange("o_orderkey", Some(1L), Some(hi))))
+      val total = Snapshots.read(s, out).inputFiles.length
+      require(pruned.inputFiles.length < total,
+        s"data skipping pruned nothing: ${pruned.inputFiles.length}/$total")
+      pruned.filter(col("o_orderkey").between(1L, hi))
+    }),
+
+    // Metadata-only restore: land orders (s1), logically damage the
+    // 1-URGENT partition via overwrite (s2), then roll back — the
+    // current read must be byte-identical to the original table (the
+    // oracle), while the rolled-over state stays auditable (asserted
+    // in-query). No data file is written or moved by the rollback.
+    "sink_snapshot_rollback" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_rb").toString
+      val (base, s1, s2) = snapshotFixture(s, dir, out)
+      val rb = Snapshots.rollback(s, out, toId = s1)
+      require(rb == 3, s"expected rollback snapshot 3: $rb")
+      require(Snapshots.read(s, out, asOf = Some(s2)).count() < base.count(),
+        "rolled-over state must stay auditable")
+      Snapshots.read(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
+    // Format parity for the snapshot layer: the travel fixture on an
+    // ORC + zstd dataset — write, logically overwrite, time-travel, and
+    // read back through the manifest in the dataset's own format. The
+    // oracle is the same two-state derivation as sink_snapshot_travel.
+    "sink_snapshot_travel_orc" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_travel_orc").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      val s1 = Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"),
+        format = Some(OrcFormat), codec = Some("zstd"))
+      Snapshots.write(
+        base.filter(col("o_orderpriority") === "1-URGENT"
+          && col("o_orderkey") % 2 === 0).coalesce(1),
+        out, Seq("o_orderpriority"), Snapshots.SnapOverwritePartitions)
+      def agg(df: DataFrame, snap: Int) = df
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .withColumn("snapshot", lit(snap))
+      agg(Snapshots.read(s, out, asOf = Some(s1)), 1)
+        .unionByName(agg(Snapshots.read(s, out), 2))
+        .select("snapshot", "o_orderpriority", "n_rows", "sum_cents")
+    }),
   )
 
   /** Shared two-snapshot fixture: full orders land as s1 (one file per
@@ -588,5 +678,51 @@ object SinkQueries {
         |SELECT 2, 'overwrite_partitions', np, np, false FROM p
         |UNION ALL
         |SELECT 3, 'append', np + 1, np, true FROM p""".stripMargin,
+
+    // update = post-image (status X), delete = pre-image, insert = the
+    // negated-key copies; unchanged rows never surface
+    "sink_snapshot_changes" ->
+      """SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus, o_totalprice,
+        |  o_orderpriority, 'update' AS change_type
+        |FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 != 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority, 'delete' AS change_type
+        |FROM orders WHERE o_orderkey % 11 = 0
+        |UNION ALL
+        |SELECT -o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority, 'insert' AS change_type
+        |FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey != 0""".stripMargin,
+
+    // the stat-pruned range read returns exactly the key range
+    "sink_snapshot_skipping" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1 AND
+        |  (SELECT CAST(FLOOR(max(o_orderkey) / 8.0) AS BIGINT) FROM orders)""".stripMargin,
+
+    // rollback restores the pre-overwrite state exactly
+    "sink_snapshot_rollback" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders""".stripMargin,
+
+    // same two-state derivation as sink_snapshot_travel — the dataset
+    // format (orc+zstd) must be invisible to the content
+    "sink_snapshot_travel_orc" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    cast(round(o_totalprice * 100, 0) as bigint) AS cents
+        |  FROM orders)
+        |SELECT 1 AS snapshot, o_orderpriority,
+        |  count(*) AS n_rows, cast(sum(cents) as bigint) AS sum_cents
+        |FROM b GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 2 AS snapshot, o_orderpriority,
+        |  count(*) AS n_rows, cast(sum(cents) as bigint) AS sum_cents
+        |FROM b
+        |WHERE o_orderpriority != '1-URGENT' OR o_orderkey % 2 = 0
+        |GROUP BY o_orderpriority""".stripMargin,
   )
 }

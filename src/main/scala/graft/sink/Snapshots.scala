@@ -550,17 +550,80 @@ object Snapshots {
         renderManifest(meta, None, Seq.empty, Seq.empty, Some(live))
       } else
         renderManifest(meta, cur, addEntries, removes, None)
+    publishManifest(f, qroot, id, cur, content)
+    id
+  }
+
+  /** Publish one snapshot manifest and flip the pointer to it, with the
+    * two safety rails every publish needs: an orphan `s<id>` from a
+    * crashed prior writer is REPLACED, not died on (the
+    * [[FsOps.publishGeneration]] discipline — a crash between the
+    * manifest write and the flip leaves the committed pointer at
+    * `s<id-1>`, so the next write computes the same id); and a
+    * concurrent-writer race is detected rather than silently clobbered —
+    * if the committed pointer moved since this write resolved its base,
+    * the publish aborts loudly with nothing flipped (optimistic
+    * concurrency on the single atomic object the layer already has; the
+    * staged files become vacuum-reclaimable orphans). */
+  private[sink] def publishManifest(
+      f: FileSystem, qroot: Path, id: Int, expectedCur: Option[Int],
+      content: String): Unit = {
     val p = new Path(snapshotsDir(qroot), s"s$id")
     f.mkdirs(snapshotsDir(qroot))
-    // a crash between this write and the pointer flip below leaves an
-    // orphan s<id> — the committed pointer still names s<id-1>, so the
-    // NEXT write computes the same id and must replace the orphan, not
-    // die on it forever (the FsOps.publishGeneration discipline)
     FsOps.deleteIfExists(f, p)
     val out = f.create(p, false)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val committed = FsOps.readManifest(f, qroot).map {
+      case SnapRe(n) => n.toInt
+      case other => throw new IllegalStateException(
+        s"corrupt MANIFEST at $qroot: expected s<N>, got '$other'")
+    }
+    if (committed != expectedCur) {
+      FsOps.deleteIfExists(f, p)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot write lost a race at $qroot: resolved base " +
+          s"${expectedCur.fold("(none)")(c => s"s$c")} but the committed " +
+          s"pointer is now ${committed.fold("(none)")(c => s"s$c")} — " +
+          "another writer published first; re-read and retry (this " +
+          "dataset's write surface is single-maintainer by contract)")
+    }
     FsOps.writeManifest(f, qroot, s"s$id")
+  }
+
+  /**
+   * ROLLBACK: make an older retained snapshot the current state again —
+   * published as a NEW snapshot (mode `rollback`) whose live set is the
+   * target's, so the rolled-back-over states remain time-travelable for
+   * audit until [[expire]] reclaims them ("bad batch landed, restore
+   * yesterday" without rewriting a byte — metadata cost only). The new
+   * manifest is a delta against the current snapshot when the chain
+   * allows, a rebased full manifest otherwise. Returns the new id.
+   */
+  def rollback(spark: SparkSession, root: String, toId: Int): Int = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val cur = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no snapshot published under $root"))
+    require(toId <= cur, s"cannot roll back to s$toId: newest is s$cur")
+    if (toId == cur) return cur
+    val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
+    val target = resolve(f, qroot, toId, cache)
+    val live = resolve(f, qroot, cur, cache)
+    val meta = SnapMeta("rollback",
+      target.schema.getOrElse(StructType(Seq.empty)), target.format,
+      target.codec, target.statsCols, None)
+    val id = cur + 1
+    val content =
+      if (live.chainDepth + 1 >= RebaseEvery)
+        renderManifest(meta, None, Seq.empty, Seq.empty, Some(target.files))
+      else {
+        val targetRels = target.files.map(_.rel).toSet
+        val liveRels = live.files.map(_.rel).toSet
+        renderManifest(meta, Some(cur),
+          target.files.filterNot(e => liveRels(e.rel)),
+          live.files.map(_.rel).filterNot(targetRels), None)
+      }
+    publishManifest(f, qroot, id, Some(cur), content)
     id
   }
 

@@ -525,6 +525,63 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.changes(spark, root, 4, 5, Seq("id")).isEmpty)
   }
 
+  test("rollback restores an older state metadata-only; rolled-over states stay travelable") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_rb").toString
+    Snapshots.write(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "p", "v"),
+      root, Seq("p"))
+    Snapshots.write(Seq((3L, "a", 3.0)).toDF("id", "p", "v"), root, Seq("p"),
+      SnapOverwritePartitions) // the "bad batch": drops 1, adds 3
+    def ids(asOf: Option[Int] = None) =
+      Snapshots.read(spark, root, asOf).select("id").collect()
+        .map(_.getLong(0)).toSet
+    assert(ids() == Set(2L, 3L))
+    val rb = Snapshots.rollback(spark, root, toId = 1)
+    assert(rb == 3)
+    assert(ids() == Set(1L, 2L), "rollback must restore the target state")
+    // the bad state remains auditable until expiry
+    assert(ids(Some(2)) == Set(2L, 3L))
+    assert(Snapshots.history(spark, root).collect().map(_.getString(1)).toSeq
+      == Seq("append", "overwrite_partitions", "rollback"))
+    // rolling back to the current id is a no-op
+    assert(Snapshots.rollback(spark, root, toId = 3) == 3)
+    // writes continue normally on the restored contract
+    Snapshots.write(Seq((4L, "b", 4.0)).toDF("id", "p", "v"), root, Seq("p"))
+    assert(ids() == Set(1L, 2L, 4L))
+    // expire keeps exactly what the retained snapshots reference
+    Snapshots.expire(spark, root, keepLast = 2)
+    assert(ids() == Set(1L, 2L, 4L))
+    intercept[IllegalStateException] {
+      Snapshots.read(spark, root, asOf = Some(2)).count()
+    }
+  }
+
+  test("a racing writer is detected at publish, not silently clobbered") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_race").toString
+    Snapshots.write(Seq((1L, "a", 1.0)).toDF("id", "p", "v"), root, Seq("p"))
+    val (f, qroot) = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (fs, fs.makeQualified(p))
+    }
+    // a writer that resolved its base BEFORE s1 published (expectedCur =
+    // None) reaches its publish step after s1 flipped the pointer: the
+    // guard must abort with nothing flipped and its manifest cleaned up
+    val raced = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.publishManifest(f, qroot, 2, None, manifestText(root, 1))
+    }
+    assert(raced.getMessage.contains("lost a race"))
+    assert(Snapshots.currentSnapshot(spark, root).contains(1),
+      "the committed pointer must be untouched")
+    assert(!new java.io.File(s"$root/snapshots/s2").exists(),
+      "the losing writer's manifest must not linger")
+    assert(Snapshots.read(spark, root).count() == 1)
+    // and the matching expectation publishes normally
+    Snapshots.publishManifest(f, qroot, 2, Some(1), manifestText(root, 1))
+    assert(Snapshots.currentSnapshot(spark, root).contains(2))
+  }
+
   test("guards: unpartitioned write, empty batch, unpublished read") {
     val root = java.nio.file.Files.createTempDirectory("snap_guard").toString
     intercept[IllegalArgumentException] {
