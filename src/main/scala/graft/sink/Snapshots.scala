@@ -1032,21 +1032,82 @@ object Snapshots {
     }.toDF("snapshot_id", "mode", "n_files", "n_partitions", "is_current")
   }
 
+  // ------------------------------------------------------------- tags
+
+  private val RefRe = "^[A-Za-z0-9._-]{1,64}$".r
+  private def refsDir(root: Path) = new Path(root, "refs")
+
+  /** Name a retained snapshot: tagged snapshots are PROTECTED — [[expire]]
+    * keeps them (and their files) regardless of `keepLast`, so "pin the
+    * monthly baseline forever" is one metadata write. Re-tagging an
+    * existing name moves it (atomic overwrite). */
+  def tagSnapshot(
+      spark: SparkSession, root: String, name: String, id: Int): Unit = {
+    require(RefRe.matches(name),
+      s"tag name '$name' must match ${RefRe.regex}")
+    val (f, qroot) = FsOps.fs(spark, root)
+    val cur = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no snapshot published under $root"))
+    require(id <= cur, s"cannot tag unpublished snapshot s$id (newest s$cur)")
+    resolve(f, qroot, id): Unit // fails loudly if already expired
+    f.mkdirs(refsDir(qroot))
+    FsOps.atomicWrite(f, new Path(refsDir(qroot), name), s"s$id")
+  }
+
+  /** Delete a tag (the snapshot becomes expirable again). Returns whether
+    * the tag existed. */
+  def dropTag(spark: SparkSession, root: String, name: String): Boolean = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val p = new Path(refsDir(qroot), name)
+    val existed = f.exists(p)
+    FsOps.deleteIfExists(f, p)
+    existed
+  }
+
+  /** All tags as (name → snapshot id). */
+  def tags(spark: SparkSession, root: String): Map[String, Int] = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val dir = refsDir(qroot)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).map { s =>
+      val in = f.open(s.getPath)
+      val v =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      s.getPath.getName -> (v match {
+        case SnapRe(n) => n.toInt
+        case other => throw new IllegalStateException(
+          s"corrupt tag ${s.getPath.getName}: expected s<N>, got '$other'")
+      })
+    }.toMap
+  }
+
+  /** Read the dataset at a named tag ([[tagSnapshot]]) — `read(asOf=)`
+    * with the id resolved from the ref. */
+  def readTag(spark: SparkSession, root: String, name: String,
+      prune: Seq[StatRange] = Seq.empty): DataFrame = {
+    val id = tags(spark, root).getOrElse(name,
+      throw new IllegalStateException(s"no tag '$name' under $root"))
+    read(spark, root, asOf = Some(id), prune = prune)
+  }
+
   /**
    * Retention: keep the newest `keepLast` snapshots (always including the
-   * current one — ids are monotonic so the newest IS the current), delete
-   * older manifests, then delete every data file no retained snapshot
-   * references and prune emptied partition directories. Time travel to an
-   * expired snapshot fails loudly afterwards ([[read]]'s message).
+   * current one — ids are monotonic so the newest IS the current) plus
+   * every TAGGED snapshot ([[tagSnapshot]]), delete older manifests, then
+   * delete every data file no retained snapshot references and prune
+   * emptied partition directories. Time travel to an expired snapshot
+   * fails loudly afterwards ([[read]]'s message).
    *
-   * Delta-chain safety: if the oldest KEPT snapshot is a delta whose
-   * chain crosses the expiry boundary, it is first rebased in place into
-   * an equivalent FULL manifest (atomic content-identical replacement —
-   * readers mid-resolution see either form, both resolve the same file
-   * set). Manifests are deleted BEFORE data files: a crash between the
-   * two degrades to orphan files the next expire/vacuum reclaims, never
-   * to a manifest whose files are gone.
-   * Returns (expired snapshot ids, deleted data-file count).
+   * Delta-chain safety: every KEPT snapshot whose parent is expiring is
+   * first rebased in place into an equivalent FULL manifest (atomic
+   * content-identical replacement — readers mid-resolution see either
+   * form, both resolve the same file set); with tags, the kept set need
+   * not be a suffix, so each kept id is checked. Manifests are deleted
+   * BEFORE data files: a crash between the two degrades to orphan files
+   * the next expire/vacuum reclaims, never to a manifest whose files are
+   * gone. Returns (expired snapshot ids, deleted data-file count).
    */
   def expire(
       spark: SparkSession, root: String, keepLast: Int): (Seq[Int], Int) = {
@@ -1054,14 +1115,17 @@ object Snapshots {
     val (f, qroot) = FsOps.fs(spark, root)
     val cur = currentSnapshot(spark, root)
     val ids = committedIds(f, qroot, cur)
-    val (expired, kept) = ids.splitAt(math.max(0, ids.length - keepLast))
+    val protectedIds = tags(spark, root).values.toSet
+    val keptSet = ids.takeRight(keepLast).toSet ++ protectedIds
+    val expired = ids.filterNot(keptSet)
+    val kept = ids.filter(keptSet)
     if (expired.isEmpty) return (Seq.empty, 0)
     val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
-    // rebase the oldest kept snapshot off the expiring chain (parents are
-    // always id-1, so deeper kept deltas chain within the kept set)
-    kept.headOption.foreach { k =>
+    // rebase every kept snapshot whose parent chain crosses the expiry
+    // boundary (parents are always id-1, so one parent check suffices)
+    kept.foreach { k =>
       val raw = readSnapshotFile(f, qroot, k)
-      if (raw.parent.isDefined) {
+      if (raw.parent.exists(p => !keptSet(p))) {
         val res = resolve(f, qroot, k, cache)
         val meta = SnapMeta(raw.mode,
           raw.schema.getOrElse(StructType(Seq.empty)), raw.format,

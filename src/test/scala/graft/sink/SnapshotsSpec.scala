@@ -582,6 +582,49 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.currentSnapshot(spark, root).contains(2))
   }
 
+  test("tags protect snapshots from expiry and read by name; dropping re-arms retention") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_tag").toString
+    for (m <- 0 to 3)
+      Snapshots.write(Seq((m.toLong, "a", m.toDouble)).toDF("id", "p", "v"),
+        root, Seq("p"), SnapAppend)
+    Snapshots.tagSnapshot(spark, root, "baseline", 3)
+    assert(Snapshots.tags(spark, root) == Map("baseline" -> 3))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(Snapshots.readTag(spark, root, "baseline")) == Set(0L, 1L, 2L))
+    // keepLast=1 would normally expire s1..s3 — the tag pins s3 (and its
+    // files), and s3's delta chain rebases off the expiring s2
+    val (expired, _) = Snapshots.expire(spark, root, keepLast = 1)
+    assert(expired == Seq(1, 2))
+    assert(!manifestText(root, 3).contains("parent="),
+      "tag-kept delta must rebase off its expiring parent")
+    assert(ids(Snapshots.readTag(spark, root, "baseline")) == Set(0L, 1L, 2L),
+      "tagged state must survive expiry intact")
+    assert(ids(Snapshots.read(spark, root)) == Set(0L, 1L, 2L, 3L))
+    intercept[IllegalStateException] {
+      Snapshots.read(spark, root, asOf = Some(2)).count()
+    }
+    // drop the tag: the next expiry reclaims the snapshot
+    assert(Snapshots.dropTag(spark, root, "baseline"))
+    assert(!Snapshots.dropTag(spark, root, "baseline"))
+    val (expired2, _) = Snapshots.expire(spark, root, keepLast = 1)
+    assert(expired2 == Seq(3))
+    intercept[IllegalStateException] {
+      Snapshots.readTag(spark, root, "baseline")
+    }
+    // guards: bad name, unpublished id, tagging an expired snapshot
+    intercept[IllegalArgumentException] {
+      Snapshots.tagSnapshot(spark, root, "no spaces!", 4)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.tagSnapshot(spark, root, "future", 99)
+    }
+    intercept[IllegalStateException] {
+      Snapshots.tagSnapshot(spark, root, "gone", 1)
+    }
+  }
+
   test("guards: unpartitioned write, empty batch, unpublished read") {
     val root = java.nio.file.Files.createTempDirectory("snap_guard").toString
     intercept[IllegalArgumentException] {
