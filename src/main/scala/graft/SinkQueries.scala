@@ -445,6 +445,44 @@ object SinkQueries {
       pruned.filter(col("o_orderkey").between(1L, hi))
     }),
 
+    // Incremental aggregate maintenance off the CDC read: a per-priority
+    // (count, sum) maintained WITHOUT re-scanning the merged dataset —
+    // s1's aggregate plus the signed contributions of changes(1,2) with
+    // update pre-images (insert/update_post add, delete/update_pre
+    // subtract). The oracle recomputes the aggregate directly over the
+    // merged state from the source: if the maintained figures drift by
+    // one row or one cent, the hash fails. This is the materialized-view
+    // story the snapshot lane exists for: the delta is proportional to
+    // the CHANGE, never the dataset.
+    "sink_snapshot_incr_agg" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_iagg").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"))
+      val k = col("o_orderkey")
+      // constant replacement price: exact in both engines' cents math
+      val updates = base.filter(k % 7 === 0 && k % 11 =!= 0)
+        .withColumn("o_totalprice", lit(100.0)).withColumn("__del", lit(false))
+        .unionByName(base.filter(k % 11 === 0).withColumn("__del", lit(true)))
+      Snapshots.mergeUpsert(s, out, updates,
+        Seq("o_orderpriority"), Seq("o_orderkey"), deleteCol = Some("__del"))
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val ch = Snapshots.changes(s, out, 1, 2, Seq("o_orderkey"),
+        includeUpdatePreimages = true)
+      val sign = when(col("change_type").isin("insert", "update_post"),
+        lit(1L)).otherwise(lit(-1L))
+      val delta = ch.groupBy("o_orderpriority")
+        .agg(sum(sign).as("dn"), sum(sign * cents).as("dc"))
+      Snapshots.read(s, out, asOf = Some(1))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n0"), sum(cents).as("c0"))
+        .join(delta, Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"),
+          (col("n0") + coalesce(col("dn"), lit(0L))).as("n_rows"),
+          (col("c0") + coalesce(col("dc"), lit(0L))).as("sum_cents"))
+    }),
+
     // Metadata-only restore: land orders (s1), logically damage the
     // 1-URGENT partition via overwrite (s2), then roll back — the
     // current read must be byte-identical to the original table (the
@@ -701,6 +739,17 @@ object SinkQueries {
         |FROM orders
         |WHERE o_orderkey BETWEEN 1 AND
         |  (SELECT CAST(FLOOR(max(o_orderkey) / 8.0) AS BIGINT) FROM orders)""".stripMargin,
+
+    // the maintained aggregate must equal a direct recompute over the
+    // merged state (price 100.00 on 7-not-11 keys, 11-keys deleted)
+    "sink_snapshot_incr_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  cast(sum(CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 11 != 0
+        |    THEN 10000
+        |    ELSE cast(round(o_totalprice * 100, 0) as bigint) END) as bigint)
+        |    AS sum_cents
+        |FROM orders WHERE o_orderkey % 11 != 0
+        |GROUP BY o_orderpriority""".stripMargin,
 
     // rollback restores the pre-overwrite state exactly
     "sink_snapshot_rollback" ->

@@ -120,22 +120,23 @@ object Snapshots {
   /** Dataset-level write metadata recorded in every manifest. */
   private case class SnapMeta(
       mode: String, schema: StructType, format: String,
-      codec: Option[String], statsCols: Seq[String], batchTag: Option[String])
+      codec: Option[String], statsCols: Seq[String], batchTag: Option[String],
+      partitionCols: Seq[String])
 
   /** One manifest as stored: a FULL file listing (`full` defined) or a
     * DELTA against `parent` (adds/removes). */
   private case class RawManifest(
       id: Int, mode: String, schema: Option[StructType], format: String,
       codec: Option[String], statsCols: Seq[String], batchTag: Option[String],
-      parent: Option[Int], adds: Seq[FileEntry], removes: Seq[String],
-      full: Option[Seq[FileEntry]])
+      partitionCols: Seq[String], parent: Option[Int], adds: Seq[FileEntry],
+      removes: Seq[String], full: Option[Seq[FileEntry]])
 
   /** A snapshot with its delta chain applied: the complete live file set
     * plus the requested manifest's metadata. */
   private case class Resolved(
       id: Int, mode: String, schema: Option[StructType], format: String,
       codec: Option[String], statsCols: Seq[String], batchTag: Option[String],
-      files: Seq[FileEntry], chainDepth: Int)
+      partitionCols: Seq[String], files: Seq[FileEntry], chainDepth: Int)
 
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
@@ -175,6 +176,8 @@ object Snapshots {
     meta.codec.foreach(c => b ++= s"codec=$c\n")
     if (meta.statsCols.nonEmpty)
       b ++= s"statscols=${meta.statsCols.map(enc).mkString(",")}\n"
+    if (meta.partitionCols.nonEmpty)
+      b ++= s"partitionby=${meta.partitionCols.map(enc).mkString(",")}\n"
     meta.batchTag.foreach(t => b ++= s"batch=${enc(t)}\n")
     parent.foreach(p => b ++= s"parent=$p\n")
     full match {
@@ -196,6 +199,7 @@ object Snapshots {
       var mode = ""; var schema: Option[StructType] = None
       var format = "parquet"; var codec: Option[String] = None
       var statsCols: Seq[String] = Seq.empty
+      var partitionCols: Seq[String] = Seq.empty
       var batchTag: Option[String] = None; var parent: Option[Int] = None
       val adds = Seq.newBuilder[FileEntry]
       val removes = Seq.newBuilder[String]
@@ -209,6 +213,9 @@ object Snapshots {
           codec = Some(l.stripPrefix("codec="))
         case l if l.startsWith("statscols=") =>
           statsCols = l.stripPrefix("statscols=").split(",").toSeq
+            .filter(_.nonEmpty).map(dec)
+        case l if l.startsWith("partitionby=") =>
+          partitionCols = l.stripPrefix("partitionby=").split(",").toSeq
             .filter(_.nonEmpty).map(dec)
         case l if l.startsWith("batch=") =>
           batchTag = Some(dec(l.stripPrefix("batch=")))
@@ -224,7 +231,7 @@ object Snapshots {
           s"corrupt snapshot manifest s$id: unrecognized line '${other.take(80)}'")
       }
       RawManifest(id, mode, schema, format, codec, statsCols, batchTag,
-        parent, adds.result(), removes.result(),
+        partitionCols, parent, adds.result(), removes.result(),
         if (parent.isEmpty) Some(fulls.result()) else None)
     } else {
       // v1 (positional): mode line, optional schema line, bare file paths
@@ -234,8 +241,9 @@ object Snapshots {
           (Some(parseSchema(s.stripPrefix("schema="))), rest)
         case rest => (None, rest)
       }
-      RawManifest(id, mode, schema, "parquet", None, Seq.empty, None, None,
-        Seq.empty, Seq.empty, Some(files.map(FileEntry(_, Map.empty))))
+      RawManifest(id, mode, schema, "parquet", None, Seq.empty, None,
+        Seq.empty, None, Seq.empty, Seq.empty,
+        Some(files.map(FileEntry(_, Map.empty))))
     }
   }
 
@@ -278,7 +286,8 @@ object Snapshots {
       m.adds.foreach(e => files(e.rel) = e)
     }
     Resolved(top.id, top.mode, top.schema, top.format, top.codec,
-      top.statsCols, top.batchTag, files.values.toSeq, chain.length - 1)
+      top.statsCols, top.batchTag, top.partitionCols, files.values.toSeq,
+      chain.length - 1)
   }
 
   /** The current snapshot id, if any write has published. */
@@ -485,6 +494,15 @@ object Snapshots {
         p.statsCols
       case None => statsColumns
     }
+    // the partition SPEC is a dataset property too: a write under a
+    // different spec would route files into a second directory layout the
+    // manifest can't distinguish — silent corruption, so fail loudly
+    // (legacy manifests predate the recorded spec; first v2 write pins it)
+    prev.map(_.partitionCols).filter(_.nonEmpty).foreach { stored =>
+      require(partitionFields == stored,
+        s"dataset at $root is partitioned by ${stored.mkString(",")}; " +
+          s"cannot write under ${partitionFields.mkString(",")}")
+    }
     // schema-evolution gate BEFORE any file lands (the PartitionedSink
     // append/merge discipline): the batch either breaks the recorded
     // contract loudly with nothing written, or the recorded schema
@@ -540,7 +558,7 @@ object Snapshots {
     }
     val id = cur.getOrElse(0) + 1
     val meta = SnapMeta(modeLabel, contract, fmtTok, dsCodec, statsCols,
-      batchTag)
+      batchTag, partitionFields)
     val chainDepth = prev.map(_.chainDepth).getOrElse(0)
     val content =
       if (prev.isEmpty || chainDepth + 1 >= RebaseEvery) {
@@ -611,7 +629,7 @@ object Snapshots {
     val live = resolve(f, qroot, cur, cache)
     val meta = SnapMeta("rollback",
       target.schema.getOrElse(StructType(Seq.empty)), target.format,
-      target.codec, target.statsCols, None)
+      target.codec, target.statsCols, None, target.partitionCols)
     val id = cur + 1
     val content =
       if (live.chainDepth + 1 >= RebaseEvery)
@@ -836,7 +854,8 @@ object Snapshots {
    */
   def readAddedSince(
       spark: SparkSession, root: String, sinceId: Int,
-      untilId: Option[Int] = None): Option[DataFrame] = {
+      untilId: Option[Int] = None,
+      prune: Seq[StatRange] = Seq.empty): Option[DataFrame] = {
     val (f, qroot) = FsOps.fs(spark, root)
     val until = untilId.orElse(currentSnapshot(spark, root)).getOrElse(
       throw new IllegalStateException(s"no snapshot published under $root"))
@@ -844,12 +863,16 @@ object Snapshots {
     val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
     val before = resolve(f, qroot, sinceId, cache).files.map(_.rel).toSet
     val m = resolve(f, qroot, until, cache)
-    val added = m.files.map(_.rel).filterNot(before)
+    // the same file-level data skipping as [[read]] — an incremental
+    // consumer with a key filter never opens non-intersecting new files
+    val added = m.files.filterNot(e => before(e.rel))
+      .filter(e => prune.isEmpty ||
+        survives(e, prune, m.schema.getOrElse(StructType(Seq.empty))))
     if (added.isEmpty) None
     else {
       val base = dataDir(qroot).toString
       Some(reader(spark, m.format, base, m.schema)
-        .load(added.map(r => s"$base/$r"): _*))
+        .load(added.map(e => s"$base/${e.rel}"): _*))
     }
   }
 
@@ -871,8 +894,13 @@ object Snapshots {
    * Row-level CDC between two snapshots: per key, `insert` (in `to`
    * only), `delete` (in `from` only — pre-image values), or `update`
    * (present in both with any column changed — post-image values).
-   * Column set is the TO snapshot's contract; a column the FROM snapshot
-   * predates reads null on its side.
+   * With `includeUpdatePreimages`, each update emits TWO rows —
+   * `update_pre` (the from-side image) and `update_post` — the shape
+   * downstream INCREMENTAL MAINTENANCE needs: an aggregate updates by
+   * subtracting every pre-image/delete contribution and adding every
+   * post-image/insert one, no re-scan of unchanged data. Column set is
+   * the TO snapshot's contract; a column the FROM snapshot predates
+   * reads null on its side.
    *
    * Scale shape: [[changedPartitions]] prunes FIRST — only partitions
    * whose file sets differ are read on either side (everything else is
@@ -880,12 +908,13 @@ object Snapshots {
    * full-outer join over those slices with an `xxhash64` row comparison.
    * A partition rewrite that changed no rows (compaction) joins and
    * emits nothing. Applying the result to `read(asOf=from)` (delete the
-   * delete/update keys, union the insert/update rows) reproduces
+   * delete/update keys, union the insert/update-post rows) reproduces
    * `read(asOf=to)` exactly.
    */
   def changes(
       spark: SparkSession, root: String, fromId: Int, toId: Int,
-      keyFields: Seq[String]): DataFrame = {
+      keyFields: Seq[String],
+      includeUpdatePreimages: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     require(keyFields.nonEmpty, "changes needs at least one key field")
     val (f, qroot) = FsOps.fs(spark, root)
@@ -921,13 +950,21 @@ object Snapshots {
     val change = when(col("a").isNull, "insert")
       .when(col("b").isNull, "delete")
       .when(xxhash64(col("a")) =!= xxhash64(col("b")), "update")
-    la.join(lb, keyCond, "full_outer")
+    val j = la.join(lb, keyCond, "full_outer")
       .withColumn("change_type", change)
       .filter(col("change_type").isNotNull)
-      .select(cols.map(fd =>
-        when(col("b").isNotNull, col(s"b.${fd.name}"))
-          .otherwise(col(s"a.${fd.name}")).as(fd.name))
-        :+ col("change_type"): _*)
+    val post = j.select(cols.map(fd =>
+      when(col("b").isNotNull, col(s"b.${fd.name}"))
+        .otherwise(col(s"a.${fd.name}")).as(fd.name))
+      :+ (if (includeUpdatePreimages)
+            when(col("change_type") === "update", "update_post")
+              .otherwise(col("change_type")).as("change_type")
+          else col("change_type")): _*)
+    if (!includeUpdatePreimages) post
+    else post.unionByName(
+      j.filter(col("change_type") === "update")
+        .select(cols.map(fd => col(s"a.${fd.name}").as(fd.name))
+          :+ lit("update_pre").as("change_type"): _*))
   }
 
   /**
@@ -1129,7 +1166,7 @@ object Snapshots {
         val res = resolve(f, qroot, k, cache)
         val meta = SnapMeta(raw.mode,
           raw.schema.getOrElse(StructType(Seq.empty)), raw.format,
-          raw.codec, raw.statsCols, raw.batchTag)
+          raw.codec, raw.statsCols, raw.batchTag, raw.partitionCols)
         FsOps.atomicWrite(f, new Path(snapshotsDir(qroot), s"s$k"),
           renderManifest(meta, None, Seq.empty, Seq.empty, Some(res.files)))
         cache.remove(k): Unit

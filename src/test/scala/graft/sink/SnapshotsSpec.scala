@@ -517,6 +517,25 @@ class SnapshotsSpec extends SparkSpec {
       df.select("id", "p", "v").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(rows(applied) == rows(Snapshots.read(spark, root, asOf = Some(2))))
+    // update pre-images: each update emits its from-side image too — the
+    // subtract-then-add shape incremental aggregate maintenance needs
+    val withPre = Snapshots.changes(spark, root, 1, 2, Seq("id"),
+      includeUpdatePreimages = true).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+      .toSet
+    assert(withPre == Set(
+      (2L, "a", 20.0, "update_pre"), (2L, "a", 21.0, "update_post"),
+      (3L, "b", 30.0, "update_pre"), (3L, "a", 31.0, "update_post"),
+      (4L, "c", 40.0, "delete"), (5L, "b", 50.0, "insert")))
+    // maintained SUM: s1 total + signed contributions ≡ direct s2 total
+    val signed = withPre.toSeq.map { case (_, _, v, t) =>
+      if (t == "insert" || t == "update_post") v else -v
+    }.sum
+    val s1Total = Snapshots.read(spark, root, asOf = Some(1))
+      .agg(sum("v")).head().getDouble(0)
+    val s2Total = Snapshots.read(spark, root, asOf = Some(2))
+      .agg(sum("v")).head().getDouble(0)
+    assert(math.abs(s1Total + signed - s2Total) < 1e-9)
     // a compaction changes files but no rows: zero changes
     for (m <- 0 to 1)
       Snapshots.write(Seq((100L + m, "a", m.toDouble)).toDF("id", "p", "v"),
@@ -623,6 +642,49 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalStateException] {
       Snapshots.tagSnapshot(spark, root, "gone", 1)
     }
+  }
+
+  test("the partition spec is a dataset property: a conflicting write fails loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_pspec").toString
+    Snapshots.write(Seq((1L, "a", "x", 1.0)).toDF("id", "p", "q", "v"),
+      root, Seq("p"))
+    // a different spec would route files into a second directory layout
+    // the manifest can't distinguish — must be rejected with nothing staged
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.write(Seq((2L, "a", "y", 2.0)).toDF("id", "p", "q", "v"),
+        root, Seq("q"))
+    }
+    assert(e.getMessage.contains("partitioned by p"))
+    intercept[IllegalArgumentException] {
+      Snapshots.write(Seq((2L, "a", "y", 2.0)).toDF("id", "p", "q", "v"),
+        root, Seq("p", "q"))
+    }
+    assert(Snapshots.currentSnapshot(spark, root).contains(1))
+    // the matching spec still writes
+    assert(Snapshots.write(Seq((2L, "b", "y", 2.0)).toDF("id", "p", "q", "v"),
+      root, Seq("p")) == 2)
+  }
+
+  test("readAddedSince prunes new files by recorded stats") {
+    val root = java.nio.file.Files.createTempDirectory("snap_incrskip").toString
+    Snapshots.write(orders.limit(10).coalesce(1), root,
+      Seq("o_orderpriority"), statsColumns = Seq("o_orderkey"))
+    // two appends with disjoint key ranges, one file per partition each
+    Snapshots.write(orders.filter(col("o_orderkey").between(100, 199))
+      .coalesce(1), root, Seq("o_orderpriority"), SnapAppend)
+    Snapshots.write(orders.filter(col("o_orderkey").between(1200, 1299))
+      .coalesce(1), root, Seq("o_orderpriority"), SnapAppend)
+    val all = Snapshots.readAddedSince(spark, root, 1).get
+    val low = Snapshots.readAddedSince(spark, root, 1,
+      prune = Seq(Snapshots.StatRange("o_orderkey", Some(100L), Some(199L)))).get
+    assert(low.inputFiles.length < all.inputFiles.length,
+      "stat pruning must drop the high-range batch's files")
+    assert(keys(low.filter(col("o_orderkey").between(100, 199))) ==
+      keys(orders.filter(col("o_orderkey").between(100, 199))))
+    // a fully-pruned window is an explicit None, like an empty one
+    assert(Snapshots.readAddedSince(spark, root, 1,
+      prune = Seq(Snapshots.StatRange("o_orderkey", Some(5000L), None))).isEmpty)
   }
 
   test("guards: unpartitioned write, empty batch, unpublished read") {
