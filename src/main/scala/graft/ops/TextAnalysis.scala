@@ -12,6 +12,10 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object TextAnalysis {
 
+  /** Sentinel fp for seen/ rows recorded before content fingerprints
+    * existed: matches any fingerprint for its batch id. */
+  private val LegacyFp: Long = Long.MinValue
+
   // --------------------------------------------------------- token counts
 
   /** Whitespace token count. */
@@ -165,11 +169,19 @@ object TextAnalysis {
     // ONE generation resolution for the whole append (the liveIndexRoot
     // discipline) — all reads below come from the same immutable tree
     val live = liveHhRoot(spark, path)
-    val seen = spark.read.parquet(s"$live/seen")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val seenDf = spark.read.parquet(s"$live/seen")
+    // pre-fingerprint state trees recorded id-only seen/ rows: match those
+    // on id alone (their content is unknowable) and carry them forward as
+    // match-any-fp sentinels, so an upgrade never crashes or double-counts
+    val seen: Seq[(Long, Long)] =
+      if (seenDf.columns.contains("fp"))
+        seenDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      else seenDf.collect().map(r => (r.getLong(0), LegacyFp)).toSeq
     val tag = batchId.map(id =>
       (id, graft.streaming.ReplayGuard.fingerprint(batch.select(col(textCol)))))
-    if (tag.exists(seen.contains)) return
+    if (tag.exists { case (id, fp) =>
+        seen.exists(s => s._1 == id && (s._2 == fp || s._2 == LegacyFp)) })
+      return
     val t = spark.read.parquet(s"$live/totals").head()
     val (total, k) = (t.getLong(0), t.getInt(1))
     val stored = spark.read.parquet(s"$live/counters")

@@ -300,19 +300,26 @@ object Snapshots {
     }
   }
 
-  private def listDataFiles(
-      f: FileSystem, base: Path): Seq[String] = {
-    val out = scala.collection.mutable.ArrayBuffer[String]()
+  /** Recursive data-file listing as (relative path, mtime) — the mtime
+    * rides along from the listing's own `LocatedFileStatus`, so age
+    * filters (vacuum/expire grace) cost zero extra RPCs. */
+  private def listDataFilesWithMtime(
+      f: FileSystem, base: Path): Seq[(String, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
     val baseUri = base.toUri.getPath
     val it = f.listFiles(base, true)
     while (it.hasNext) {
       val s = it.next()
       val name = s.getPath.getName
       if (s.isFile && !name.startsWith("_") && !name.startsWith("."))
-        out += s.getPath.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
+        out += ((s.getPath.toUri.getPath.stripPrefix(baseUri)
+          .stripPrefix("/"), s.getModificationTime))
     }
     out.toSeq
   }
+
+  private def listDataFiles(f: FileSystem, base: Path): Seq[String] =
+    listDataFilesWithMtime(f, base).map(_._1)
 
   // --------------------------------------------------- format dispatch
 
@@ -349,12 +356,33 @@ object Snapshots {
     case _ => false
   }
 
-  /** Type-aware comparison of two stat values in their string form. */
+  /** Type-aware comparison of two stat values in their string form.
+    * Floating specials use Spark's total order (-Infinity < finite <
+    * Infinity < NaN) — a NaN-bearing stats column must degrade pruning,
+    * never crash the read. */
   private def statCompare(dt: DataType, a: String, b: String): Int = dt match {
-    case _: NumericType => BigDecimal(a).compare(BigDecimal(b))
+    case _: NumericType =>
+      def rank(s: String): Int = s match {
+        case "NaN" => 3; case "Infinity" => 2; case "-Infinity" => -2
+        case _ => 0
+      }
+      val (ra, rb) = (rank(a), rank(b))
+      if (ra != 0 || rb != 0) ra.compare(rb)
+      else BigDecimal(a).compare(BigDecimal(b))
     case BooleanType => a.toBoolean.compare(b.toBoolean)
     case _ => a.compareTo(b)
   }
+
+  /** A caller-supplied prune bound in the same string form the recorded
+    * stats use (Spark cast-to-string): `java.sql.Timestamp.toString`
+    * appends `.0` on whole seconds where the cast prints none — left
+    * unnormalized it would lexicographically exclude boundary files. */
+  private def boundString(v: Any): String = v match {
+    case t: java.sql.Timestamp => t.toString.stripSuffix(".0")
+    case other => other.toString
+  }
+
+  private[sink] def boundStringForTest(v: Any): String = boundString(v)
 
   /** Per-staged-file min/max of the declared stat columns, keyed by file
     * NAME (job-unique part names). One batch-sized aggregate over the
@@ -396,11 +424,11 @@ object Snapshots {
           if (lo.isEmpty && hi.isEmpty) false // all-null file
           else {
             val belowUpper = (r.upper, lo) match {
-              case (Some(u), Some(l)) => statCompare(dt, l, u.toString) <= 0
+              case (Some(u), Some(l)) => statCompare(dt, l, boundString(u)) <= 0
               case _ => true
             }
             val aboveLower = (r.lower, hi) match {
-              case (Some(l), Some(h)) => statCompare(dt, h, l.toString) >= 0
+              case (Some(l), Some(h)) => statCompare(dt, h, boundString(l)) >= 0
               case _ => true
             }
             belowUpper && aboveLower
@@ -586,25 +614,38 @@ object Snapshots {
   private[sink] def publishManifest(
       f: FileSystem, qroot: Path, id: Int, expectedCur: Option[Int],
       content: String): Unit = {
-    val p = new Path(snapshotsDir(qroot), s"s$id")
-    f.mkdirs(snapshotsDir(qroot))
-    FsOps.deleteIfExists(f, p)
-    val out = f.create(p, false)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val committed = FsOps.readManifest(f, qroot).map {
+    def committedNow(): Option[Int] = FsOps.readManifest(f, qroot).map {
       case SnapRe(n) => n.toInt
       case other => throw new IllegalStateException(
         s"corrupt MANIFEST at $qroot: expected s<N>, got '$other'")
     }
-    if (committed != expectedCur) {
-      FsOps.deleteIfExists(f, p)
+    def raceLost(committed: Option[Int]): Nothing =
       throw new java.util.ConcurrentModificationException(
         s"snapshot write lost a race at $qroot: resolved base " +
           s"${expectedCur.fold("(none)")(c => s"s$c")} but the committed " +
           s"pointer is now ${committed.fold("(none)")(c => s"s$c")} — " +
           "another writer published first; re-read and retry (this " +
           "dataset's write surface is single-maintainer by contract)")
+    // check BEFORE touching s<id>: in the common same-computed-id race the
+    // winner has already committed s<id>, and deleting it first would
+    // destroy the WINNING write (pointer at a nonexistent manifest — a
+    // bricked dataset); only when the pointer still matches can an
+    // existing s<id> be a crashed writer's orphan, safe to replace
+    val before = committedNow()
+    if (before != expectedCur) raceLost(before)
+    val p = new Path(snapshotsDir(qroot), s"s$id")
+    f.mkdirs(snapshotsDir(qroot))
+    FsOps.deleteIfExists(f, p)
+    val out = f.create(p, false)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // re-check after the write, before the flip: narrows the remaining
+    // window to rename-size (detection, not a lock — the single-writer
+    // contract still governs; losers' staged files are vacuum food)
+    val after = committedNow()
+    if (after != expectedCur) {
+      FsOps.deleteIfExists(f, p)
+      raceLost(after)
     }
     FsOps.writeManifest(f, qroot, s"s$id")
   }
@@ -823,9 +864,9 @@ object Snapshots {
     val data = dataDir(qroot)
     val orphans =
       if (f.exists(data))
-        listDataFiles(f, data).filterNot(referenced).filter { rel =>
-          f.getFileStatus(new Path(data, rel)).getModificationTime < cutoff
-        }
+        listDataFilesWithMtime(f, data)
+          .collect { case (rel, mtime)
+            if !referenced(rel) && mtime < cutoff => rel }
       else Seq.empty
     orphans.foreach(rel => FsOps.deleteIfExists(f, new Path(data, rel)))
     orphans.map(parentDirOf).distinct.filter(_.nonEmpty).foreach { d =>
@@ -864,7 +905,12 @@ object Snapshots {
     val before = resolve(f, qroot, sinceId, cache).files.map(_.rel).toSet
     val m = resolve(f, qroot, until, cache)
     // the same file-level data skipping as [[read]] — an incremental
-    // consumer with a key filter never opens non-intersecting new files
+    // consumer with a key filter never opens non-intersecting new files;
+    // an unknown prune column fails loudly here too (a typo silently
+    // disabling skipping would read as "pruned" while scanning everything)
+    prune.foreach(r => require(
+      m.schema.forall(s => s.fields.exists(_.name == r.column)),
+      s"prune column ${r.column} is not in the snapshot schema"))
     val added = m.files.filterNot(e => before(e.rel))
       .filter(e => prune.isEmpty ||
         survives(e, prune, m.schema.getOrElse(StructType(Seq.empty))))
@@ -910,6 +956,11 @@ object Snapshots {
    * emits nothing. Applying the result to `read(asOf=from)` (delete the
    * delete/update keys, union the insert/update-post rows) reproduces
    * `read(asOf=to)` exactly.
+   *
+   * PRECONDITION: `keyFields` identify rows uniquely within each
+   * snapshot (the invariant [[mergeUpsert]] maintains). A key duplicated
+   * by raw appends has no well-defined row diff — the join pairs
+   * arbitrary copies and the classification is meaningless for that key.
    */
   def changes(
       spark: SparkSession, root: String, fromId: Int, toId: Int,
@@ -1106,7 +1157,9 @@ object Snapshots {
     val (f, qroot) = FsOps.fs(spark, root)
     val dir = refsDir(qroot)
     if (!f.exists(dir)) Map.empty
-    else f.listStatus(dir).map { s =>
+    // dot-hidden entries are atomicWrite temps from a crashed tag — never
+    // refs; including them would wedge every tags()/expire() call
+    else f.listStatus(dir).filterNot(_.getPath.getName.startsWith(".")).map { s =>
       val in = f.open(s.getPath)
       val v =
         try new String(in.readAllBytes(),
@@ -1133,9 +1186,12 @@ object Snapshots {
    * Retention: keep the newest `keepLast` snapshots (always including the
    * current one — ids are monotonic so the newest IS the current) plus
    * every TAGGED snapshot ([[tagSnapshot]]), delete older manifests, then
-   * delete every data file no retained snapshot references and prune
-   * emptied partition directories. Time travel to an expired snapshot
-   * fails loudly afterwards ([[read]]'s message).
+   * delete exactly the data files the EXPIRED manifests referenced that
+   * no kept snapshot still does, and prune emptied partition directories.
+   * Files referenced by no manifest at all (an in-flight writer's
+   * just-moved batch, a crashed write) are never expire's to touch —
+   * [[vacuum]] reclaims those behind its age grace. Time travel to an
+   * expired snapshot fails loudly afterwards ([[read]]'s message).
    *
    * Delta-chain safety: every KEPT snapshot whose parent is expiring is
    * first rebased in place into an equivalent FULL manifest (atomic
@@ -1172,6 +1228,14 @@ object Snapshots {
         cache.remove(k): Unit
       }
     }
+    // the sweep set is EXACTLY "files the expired manifests referenced
+    // minus files the kept ones still do" — resolved while the expired
+    // manifests still exist. Files referenced by NO manifest (an
+    // in-flight writer's just-moved batch, a crashed write) are NOT
+    // expire's to touch: vacuum reclaims them behind its age grace,
+    // so a mistimed expire can never destroy a concurrent write
+    val expiredRefs = expired
+      .flatMap(resolve(f, qroot, _, cache).files.map(_.rel)).toSet
     // manifests first (a manifest-less snapshot already fails loudly) —
     // then the file sweep; a crash between degrades to orphan files
     expired.foreach(id =>
@@ -1179,7 +1243,7 @@ object Snapshots {
     val referenced = kept
       .flatMap(resolve(f, qroot, _, cache).files.map(_.rel)).toSet
     val data = dataDir(qroot)
-    val dead = listDataFiles(f, data).filterNot(referenced)
+    val dead = (expiredRefs -- referenced).toSeq.sorted
     dead.foreach(rel => FsOps.deleteIfExists(f, new Path(data, rel)))
     // prune emptied partition directories (metadata hygiene — an empty
     // name=value dir would otherwise surface a phantom partition value)

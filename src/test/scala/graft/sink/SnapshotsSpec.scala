@@ -599,6 +599,65 @@ class SnapshotsSpec extends SparkSpec {
     // and the matching expectation publishes normally
     Snapshots.publishManifest(f, qroot, 2, Some(1), manifestText(root, 1))
     assert(Snapshots.currentSnapshot(spark, root).contains(2))
+    // the SAME-computed-id race: a loser whose id collides with the
+    // winner's committed snapshot must NOT delete it on the way out
+    val s2Before = manifestText(root, 2)
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.publishManifest(f, qroot, 2, Some(1), "mode=append\n")
+    }
+    assert(manifestText(root, 2) == s2Before,
+      "the winning writer's committed manifest must survive the loser")
+    assert(Snapshots.read(spark, root).count() == 1)
+  }
+
+  test("expire never touches files no manifest references (in-flight writer safety)") {
+    val root = java.nio.file.Files.createTempDirectory("snap_expinf").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    Snapshots.write(
+      orders.filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_orderkey") % 2 === 0), root,
+      Seq("o_orderpriority"), SnapOverwritePartitions)
+    // an in-flight writer's just-moved, not-yet-published file
+    val inflight = new java.io.File(
+      s"$root/data/o_orderpriority=5-LOW/part-inflight.parquet")
+    java.nio.file.Files.write(inflight.toPath, Array[Byte](1, 2, 3))
+    val (expired, deleted) = Snapshots.expire(spark, root, keepLast = 1)
+    assert(expired == Seq(1) && deleted > 0)
+    assert(inflight.exists(),
+      "expire must only sweep files the expired manifests referenced")
+    // the stray is vacuum's job, behind its grace
+    assert(Snapshots.vacuum(spark, root) == ((0, 0)))
+    assert(Snapshots.vacuum(spark, root, graceMs = 0L)._1 == 1)
+  }
+
+  test("NaN-bearing stats degrade pruning, never crash; temporal bounds hit boundaries") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_nan").toString
+    Snapshots.write(
+      Seq((1L, "a", 1.0), (2L, "a", Double.NaN), (3L, "b", 3.0))
+        .toDF("id", "p", "v").repartition(3, col("id")),
+      root, Seq("p"), statsColumns = Seq("v"))
+    val pruned = Snapshots.read(spark, root,
+      prune = Seq(Snapshots.StatRange("v", Some(0.5), Some(2.0))))
+    assert(pruned.filter(col("v").between(0.5, 2.0)).count() == 1)
+    // a whole-second timestamp bound must not exclude its boundary file
+    assert(Snapshots.boundStringForTest(
+      java.sql.Timestamp.valueOf("2024-01-02 03:04:05")) ==
+      "2024-01-02 03:04:05")
+    assert(Snapshots.boundStringForTest(
+      java.sql.Timestamp.valueOf("2024-01-02 03:04:05.5")) ==
+      "2024-01-02 03:04:05.5")
+  }
+
+  test("a crashed tag's atomicWrite temp never wedges tags or expire") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_tagtmp").toString
+    Snapshots.write(Seq((1L, "a", 1.0)).toDF("id", "p", "v"), root, Seq("p"))
+    Snapshots.tagSnapshot(spark, root, "keep", 1)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$root/refs/.dead.tmp"))
+    assert(Snapshots.tags(spark, root) == Map("keep" -> 1))
+    assert(Snapshots.expire(spark, root, keepLast = 1) == ((Seq.empty, 0)))
   }
 
   test("tags protect snapshots from expiry and read by name; dropping re-arms retention") {
