@@ -379,6 +379,25 @@ object RelationalQueries {
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))),
 
+    // EXACT per-priority median order price (cents) at sketch cost: a
+    // per-group log-bucket rank histogram (exact bucket counts, O(1/ln γ)
+    // state) proposes the bucket holding rank ⌈n/2⌉, one exact keyed
+    // re-count inside the proposed window returns the true rank value —
+    // never per-distinct-value aggregation state (what percentile()
+    // builds per group), so the shape survives 100 TB.
+    "q40_sketch_median" -> ((s, dir) =>
+      Relational.sketchQuantile(
+        Tables(s, dir, "orders").select(col("o_orderpriority"),
+          cents(col("o_totalprice")).as("price_cents")),
+        "o_orderpriority", "price_cents", p = 0.5, outCol = "median_cents")),
+
+    // Same lane at p = 0.9 over a second table/domain (doc lengths per
+    // language) — the tail-quantile shape admission filters run.
+    "q41_sketch_p90" -> ((s, dir) =>
+      Relational.sketchQuantile(
+        Tables(s, dir, "documents").select("lang", "n_chars"),
+        "lang", "n_chars", p = 0.9, outCol = "p90_chars")),
+
     // Sorted-neighborhood blocking over customer names: each record
     // scored against its 3 successors in global (name, id) sort order —
     // the linear-cost candidate scheme for records sharing no clean
@@ -741,6 +760,30 @@ object RelationalQueries {
         |SELECT bin, count(*) AS n_docs, min(n_chars) AS min_chars,
         |  max(n_chars) AS max_chars
         |FROM b GROUP BY bin""".stripMargin,
+
+    // the engine's sketch lane returns the EXACT value at rank ⌈p·n⌉
+    // ascending (percentileFilter's rank convention), so the plain
+    // window formulation IS the oracle — ties share the value, making
+    // the rank-r value well-defined under any tie order
+    "q40_sketch_median" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |    cast(round(o_totalprice * 100, 0) as bigint) AS v,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY cast(round(o_totalprice * 100, 0) as bigint)) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, v AS median_cents FROM r
+        |WHERE rn = cast(ceil(n * 0.5) as bigint)""".stripMargin,
+
+    "q41_sketch_p90" ->
+      """WITH r AS (
+        |  SELECT lang, cast(n_chars as bigint) AS v,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, v AS p90_chars FROM r
+        |WHERE rn = cast(ceil(n * 0.9) as bigint)""".stripMargin,
 
     // the global sort rank is engine-independent ((name, id) is a total
     // order), so row_number + rank-distance join IS the oracle

@@ -233,6 +233,87 @@ object Relational {
    * then deviation medians) + two broadcast-sized joins back — group
    * count is the cardinality of `groupCol`, tiny by construction.
    */
+  /** SQL twin of [[graft.functions.LogHistogram.enc]] — the SAME
+    * `ceil(ln|v| / ln γ)` bucket mapping as a codegen'd expression, so the
+    * verify pass classifies rows in the sketch's own bucket space with no
+    * UDF. Float-log wobble between the JVM and codegen evaluations moves a
+    * boundary value by at most one bucket; the ±1-bucket probe window in
+    * [[sketchQuantile]] absorbs exactly that. */
+  private def encCol(v: Column, gamma: Double): Column = {
+    val lnG = math.log(gamma)
+    val m = (ceil(log(abs(v.cast("double"))) / lit(lnG)).cast("int") + lit(1))
+    when(v === 0L, lit(0)).when(v > 0L, m).otherwise(-m)
+  }
+
+  /**
+   * EXACT discrete per-group quantile — the value at rank `⌈p·n⌉` in
+   * ascending `valueCol` order (the [[graft.ops.TextAnalysis.percentileFilter]]
+   * rank convention) — computed at sketch cost: the
+   * sketch-proposes / exact-verifies shape of
+   * [[graft.ops.TextAnalysis.heavyHitters]], rank edition.
+   *
+   * Pass 1 builds a [[graft.functions.LogHistogram]] per group (O(1/ln γ)
+   * buckets per task and per shuffled partial, bucket-add merge — no
+   * per-distinct-value state anywhere, which is what Spark's exact
+   * `percentile` builds per group and what OOMs it at 100 TB). Bucket
+   * counts are exact, so the bucket holding rank ⌈p·n⌉ is certain: a
+   * per-group cumulative scan over the ≤ few-thousand-entry bucket array
+   * names it, and the one-row-per-group target frame broadcasts back.
+   *
+   * Pass 2 re-scans once, classifying each row against the target bucket
+   * ±1 (the probe window): below-window rows collapse into a single
+   * `(k = −1)` counter per group, window rows aggregate per DISTINCT
+   * value, above-window rows into `(k = +1)`. Because the bucket mapping
+   * is monotone in the value, the classes are value-contiguous, so the
+   * per-group cumulative count over `(k, value)` order crosses ⌈p·n⌉ at
+   * the TRUE rank-r value — exactness never rests on the sketch's error
+   * bound, and a crossing that escapes the window (impossible unless the
+   * histogram is wrong) raises rather than returning an estimate.
+   *
+   * Shuffle ledger: two keyed aggregations (both map-side combined — the
+   * second's key space is group × window-distinct-values, bucket-bounded)
+   * + two group-cardinality window scans + one broadcast join. Nulls are
+   * excluded from both the sketch and the rank universe.
+   */
+  def sketchQuantile(
+      df: DataFrame, groupCol: String, valueCol: String, p: Double,
+      gamma: Double = 1.02, outCol: String = "quantile"): DataFrame = {
+    require(p > 0 && p < 1, "p must be in (0, 1)")
+    val v = col(valueCol).cast("long")
+    val sk = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.dd.dd_sketch(v, gamma).as("__bk"),
+        count(col(valueCol)).as("__n"))
+    val byG = Window.partitionBy(col(groupCol)).orderBy(col("__e"))
+    val targets = sk
+      .select(col(groupCol), col("__n"), explode(col("__bk")).as("__b"))
+      .select(col(groupCol), col("__n"),
+        col("__b.bucket").as("__e"), col("__b.cnt").as("__c"))
+      .withColumn("__cum", sum("__c").over(byG))
+      .withColumn("__r", ceil(col("__n") * lit(p)).cast("long"))
+      .filter(col("__cum") >= col("__r") &&
+        col("__cum") - col("__c") < col("__r"))
+      .select(col(groupCol), col("__e").as("__et"), col("__r"))
+    val e2 = encCol(v, gamma)
+    val k = when(e2 < col("__et") - 1, lit(-1))
+      .when(e2 > col("__et") + 1, lit(1)).otherwise(lit(0))
+    val byGkw = Window.partitionBy(col(groupCol))
+      .orderBy(col("__k"), col("__w"))
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(targets), Seq(groupCol))
+      .groupBy(col(groupCol), k.as("__k"),
+        when(k === 0, v).otherwise(lit(0L)).as("__w"), col("__r"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum("__c").over(byGkw))
+      .filter(col("__cum") >= col("__r") &&
+        col("__cum") - col("__c") < col("__r"))
+      .select(col(groupCol),
+        when(col("__k") === 0, col("__w")).otherwise(raise_error(concat(
+          lit("sketchQuantile: rank crossing escaped the proposed bucket " +
+            "window for group "), col(groupCol).cast("string"))))
+          .as(outCol))
+  }
+
   def madOutliers(
       df: DataFrame, groupCol: String, valueCents: Column, k: Double): DataFrame = {
     val v = valueCents.cast("double")

@@ -1,0 +1,100 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Relational
+import org.apache.spark.sql.functions._
+
+class DdSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def exactQuantile(vs: Seq[Long], p: Double): Long = {
+    val sorted = vs.sorted
+    sorted((math.ceil(p * vs.size) - 1).toInt)
+  }
+
+  test("enc is monotone and order-preserving across signs, zero, extremes") {
+    val h = new LogHistogram(1.02)
+    val vs = Seq(Long.MinValue, -1000000L, -37L, -2L, -1L, 0L, 1L, 2L, 3L,
+      999L, 1000L, 123456789L, Long.MaxValue)
+    val encs = vs.map(h.enc)
+    assert(encs == encs.sorted, s"enc must be monotone: $encs")
+    assert(h.enc(0L) == 0 && h.enc(1L) == 1 && h.enc(-1L) == -1)
+  }
+
+  test("bucket counts are exact and merge order cannot change the histogram") {
+    val rnd = new scala.util.Random(7)
+    val vs = Seq.fill(5000)(rnd.nextLong() % 100000L)
+    val whole = new LogHistogram(1.05)
+    vs.foreach(whole.add(_))
+    // three-way split merged in two different orders
+    val parts = vs.grouped(1700).map { chunk =>
+      val h = new LogHistogram(1.05); chunk.foreach(h.add(_)); h
+    }.toSeq
+    val m1 = new LogHistogram(1.05)
+    parts.foreach(m1.merge)
+    val m2 = new LogHistogram(1.05)
+    parts.reverse.foreach(m2.merge)
+    assert(m1.sorted.toSeq == whole.sorted.toSeq)
+    assert(m2.sorted.toSeq == whole.sorted.toSeq)
+    assert(m1.sorted.map(_._2).sum == vs.size, "no count is ever lost")
+  }
+
+  test("serialize/deserialize round-trips the buffer") {
+    val h = new LogHistogram(1.02)
+    Seq(-500L, -1L, 0L, 0L, 3L, 3L, 3L, 999999L).foreach(h.add(_))
+    val agg = DdSketchAgg(org.apache.spark.sql.graftbridge.Bridge
+      .expression(col("x")), 1.02)
+    val back = agg.deserialize(agg.serialize(h))
+    assert(back.gamma == h.gamma && back.sorted.toSeq == h.sorted.toSeq)
+  }
+
+  test("sketchQuantile returns the exact rank-ceil(p*n) value on mixed-sign data") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 4000).map { i =>
+      val g = s"g${i % 5}"
+      // heavy duplication + negatives + zeros + a huge outlier per group
+      val v = rnd.nextInt(7) match {
+        case 0 => 0L
+        case 1 => -(rnd.nextInt(500).toLong)
+        case 2 => 1000000000L + rnd.nextInt(3)
+        case _ => rnd.nextInt(200).toLong
+      }
+      (g, v)
+    }
+    val df = rows.toDF("g", "v")
+    for (p <- Seq(0.25, 0.5, 0.9)) {
+      val got = Relational.sketchQuantile(df, "g", "v", p, outCol = "q")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = rows.groupBy(_._1).map { case (g, gs) =>
+        g -> exactQuantile(gs.map(_._2), p) }
+      assert(got == want, s"p=$p")
+    }
+  }
+
+  test("sketchQuantile is exact under a coarse gamma (wide buckets) too") {
+    val rows = (1 to 1000).map(i => ("only", (i * 7 % 997).toLong))
+    val got = Relational.sketchQuantile(
+      rows.toDF("g", "v"), "g", "v", 0.5, gamma = 1.5, outCol = "q")
+      .collect().map(r => r.getLong(1)).head
+    assert(got == exactQuantile(rows.map(_._2), 0.5))
+  }
+
+  test("nulls are excluded from the rank universe; constant groups return the constant") {
+    val df = Seq(("a", Some(10L)), ("a", None), ("a", Some(20L)),
+      ("a", Some(30L)), ("b", Some(5L)), ("b", Some(5L)))
+      .toDF("g", "v")
+    val got = Relational.sketchQuantile(df, "g", "v", 0.5, outCol = "q")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: non-null {10,20,30}, rank ceil(1.5)=2 -> 20; b: constant 5
+    assert(got == Map("a" -> 20L, "b" -> 5L))
+  }
+
+  test("sketchQuantile plan broadcasts the target frame and never goes cartesian") {
+    val df = (1 to 500).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "v")
+    val plan = Relational.sketchQuantile(df, "g", "v", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
