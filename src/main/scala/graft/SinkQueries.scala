@@ -286,6 +286,61 @@ object SinkQueries {
         .select("snapshot", "o_orderpriority", "n_rows", "sum_cents")
     }),
 
+    // WRITE–AUDIT–PUBLISH round trip: the base lands as s1; a BAD batch
+    // (re-appended keys → duplicates in the would-be state) stages and
+    // FAILS the expectations gate with nothing published; the real
+    // overwrite batch stages invisibly, passes the same gate, and
+    // publishes as s2 with one pointer flip. Both states read back
+    // source-derivably, so any leak of the rejected batch, of
+    // staged-but-unpublished state, or of replaced files hash-fails.
+    "sink_snapshot_wap" -> ((s, dir) => {
+      import graft.schema.Expectations.{NotNull, Unique}
+      val out = Files.createTempDirectory("graft_snap_wap").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"))
+      val exps = Seq(Unique(Seq("o_orderkey")), NotNull("o_totalprice"))
+      Snapshots.stageWrite(base.limit(10).coalesce(1), out,
+        Seq("o_orderpriority"), "bad")
+      val rejected =
+        try { Snapshots.publishStagedChecked(s, out, "bad", exps); false }
+        catch { case _: IllegalStateException => true }
+      require(rejected && Snapshots.currentSnapshot(s, out).contains(1),
+        "the gate must reject the duplicate batch and publish nothing")
+      Snapshots.abandonStaged(s, out, "bad")
+      Snapshots.stageWrite(
+        base.filter(col("o_orderpriority") === "1-URGENT"
+          && col("o_orderkey") % 2 === 0).coalesce(1),
+        out, Seq("o_orderpriority"), "good", Snapshots.SnapOverwritePartitions)
+      require(Snapshots.read(s, out).count() == base.count(),
+        "a staged write must be invisible to committed reads")
+      val s2 = Snapshots.publishStagedChecked(s, out, "good", exps)
+      def agg(df: DataFrame, snap: Int) = df
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .withColumn("snapshot", lit(snap))
+      agg(Snapshots.read(s, out, asOf = Some(1)), 1)
+        .unionByName(agg(Snapshots.read(s, out, asOf = Some(s2)), 2))
+        .select("snapshot", "o_orderpriority", "n_rows", "sum_cents")
+    }),
+
+    // One-pass declarative audit report over documents: exact conditional
+    // counts + one distinct count, one verdict row per expectation — the
+    // report IS the oracle surface (plain SQL recomputes every row,
+    // including the single-division ratio and the threshold verdicts).
+    "sink_expectations" -> ((s, dir) => {
+      import graft.schema.Expectations._
+      graft.schema.Expectations.check(Tables(s, dir, "documents"), Seq(
+        NotNull("lang"),
+        InRange("n_chars", Some(1), Some(500), maxViolationRatio = 0.05),
+        InSet("lang", Seq("en", "de", "fr"), maxViolationRatio = 0.5),
+        MatchesRegex("lang", "^[a-z]{2}$"),
+        Unique(Seq("doc_id")),
+        NonEmpty(100)))
+    }),
+
     // Retention: a third snapshot appends half the replaced rows back,
     // then expiry keeps only the newest two — the expired snapshot's
     // manifest is gone (time travel to it must fail loudly), its
@@ -675,6 +730,63 @@ object SinkQueries {
         |FROM b
         |WHERE o_orderpriority != '1-URGENT' OR o_orderkey % 2 = 0
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // identical derivation to sink_snapshot_travel: the WAP fixture's
+    // published states are the same two states, reached through the
+    // stage→audit→publish lane instead of direct writes
+    "sink_snapshot_wap" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    cast(round(o_totalprice * 100, 0) as bigint) AS cents
+        |  FROM orders)
+        |SELECT 1 AS snapshot, o_orderpriority,
+        |  count(*) AS n_rows, cast(sum(cents) as bigint) AS sum_cents
+        |FROM b GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 2 AS snapshot, o_orderpriority,
+        |  count(*) AS n_rows, cast(sum(cents) as bigint) AS sum_cents
+        |FROM b
+        |WHERE o_orderpriority != '1-URGENT' OR o_orderkey % 2 = 0
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // every verdict row recomputed in plain SQL: exact conditional
+    // counts, count(*)-count(distinct) duplicate surplus, the one IEEE
+    // division for the ratio, and the threshold compare for passed
+    "sink_expectations" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS v_null,
+        |    sum(CASE WHEN n_chars IS NOT NULL AND
+        |      (cast(n_chars as double) < 1.0 OR cast(n_chars as double) > 500.0)
+        |      THEN 1 ELSE 0 END) AS v_range,
+        |    sum(CASE WHEN lang IS NOT NULL AND lang NOT IN ('en','de','fr')
+        |      THEN 1 ELSE 0 END) AS v_set,
+        |    sum(CASE WHEN lang IS NOT NULL AND
+        |      NOT regexp_matches(lang, '^[a-z]{2}$')
+        |      THEN 1 ELSE 0 END) AS v_re,
+        |    count(*) - count(DISTINCT doc_id) AS v_uniq
+        |  FROM documents)
+        |SELECT 'not_null(lang)' AS "check", cast(v_null as bigint) AS violations,
+        |  n AS n_rows, cast(v_null as double) / n AS violation_ratio,
+        |  cast(v_null as double) / n <= 0.0 AS passed FROM a
+        |UNION ALL
+        |SELECT 'in_range(n_chars,1.0,500.0)', cast(v_range as bigint), n,
+        |  cast(v_range as double) / n,
+        |  cast(v_range as double) / n <= 0.05 FROM a
+        |UNION ALL
+        |SELECT 'in_set(lang)', cast(v_set as bigint), n, cast(v_set as double) / n,
+        |  cast(v_set as double) / n <= 0.5 FROM a
+        |UNION ALL
+        |SELECT 'matches_regex(lang)', cast(v_re as bigint), n, cast(v_re as double) / n,
+        |  cast(v_re as double) / n <= 0.0 FROM a
+        |UNION ALL
+        |SELECT 'unique(doc_id)', cast(v_uniq as bigint), n, cast(v_uniq as double) / n,
+        |  v_uniq = 0 FROM a
+        |UNION ALL
+        |SELECT 'non_empty(100)',
+        |  cast(CASE WHEN n < 100 THEN 100 - n ELSE 0 END as bigint), n,
+        |  cast(CASE WHEN n < 100 THEN 100 - n ELSE 0 END as double) / n,
+        |  n >= 100 FROM a""".stripMargin,
 
     // upserted status for every 7th key, every 11th key deleted
     "sink_snapshot_merge" ->

@@ -269,9 +269,19 @@ object Snapshots {
   private def resolve(
       f: FileSystem, root: Path, id: Int,
       cache: scala.collection.mutable.Map[Int, RawManifest] =
+        scala.collection.mutable.Map.empty): Resolved =
+    resolveFrom(f, root,
+      cache.getOrElseUpdate(id, readSnapshotFile(f, root, id)), cache)
+
+  /** [[resolve]] with an explicit head manifest — the head need not live
+    * under `snapshots/` (a STAGED write's manifest resolves through its
+    * committed parent chain exactly like a published one). */
+  private def resolveFrom(
+      f: FileSystem, root: Path, head: RawManifest,
+      cache: scala.collection.mutable.Map[Int, RawManifest] =
         scala.collection.mutable.Map.empty): Resolved = {
     def raw(i: Int) = cache.getOrElseUpdate(i, readSnapshotFile(f, root, i))
-    var chain = List(raw(id))
+    var chain = List(head)
     while (chain.head.parent.isDefined) {
       val p = chain.head.parent.get
       require(p < chain.head.id,
@@ -484,8 +494,15 @@ object Snapshots {
       batchTag: Option[String] = None,
       statsColumns: Seq[String] = Seq.empty,
       format: Option[SinkFormat] = None,
-      codec: Option[String] = None): Int = {
+      codec: Option[String] = None,
+      stageAs: Option[String] = None): Int = {
     require(partitionFields.nonEmpty, "snapshot datasets are partitioned")
+    stageAs.foreach { n =>
+      require(RefRe.matches(n), s"staged name '$n' must match ${RefRe.regex}")
+      require(batchTag.isEmpty,
+        "stageWrite is the manual audit lane — streaming batches publish " +
+          "directly with their replay tag")
+    }
     val spark = df.sparkSession
     val (f, qroot) = FsOps.fs(spark, root)
     val cur = currentSnapshot(spark, root)
@@ -596,7 +613,18 @@ object Snapshots {
         renderManifest(meta, None, Seq.empty, Seq.empty, Some(live))
       } else
         renderManifest(meta, cur, addEntries, removes, None)
-    publishManifest(f, qroot, id, cur, content)
+    stageAs match {
+      case Some(name) =>
+        // WAP: the manifest parks under staged/<name> with its base id in a
+        // header line; the committed pointer does NOT move. Data files are
+        // already in data/ (immutable, referenced only by this staged
+        // manifest — vacuum counts staged references, so they are safe
+        // until the write is published or abandoned).
+        f.mkdirs(stagedDir(qroot))
+        FsOps.atomicWrite(f, new Path(stagedDir(qroot), name),
+          s"wapbase=${cur.getOrElse(-1)}\n" + content)
+      case None => publishManifest(f, qroot, id, cur, content)
+    }
     id
   }
 
@@ -853,7 +881,8 @@ object Snapshots {
     val cur = currentSnapshot(spark, root)
     val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
     val referenced = committedIds(f, qroot, cur)
-      .flatMap(resolve(f, qroot, _, cache).files.map(_.rel)).toSet
+      .flatMap(resolve(f, qroot, _, cache).files.map(_.rel)).toSet ++
+      stagedFileRefs(f, qroot)
     // orphan snapshot manifests (crash between snapshot file and pointer
     // flip): never state, reclaim so they can't shadow a future write
     allManifestIds(f, qroot).filter(id => cur.forall(_ < id)).foreach { id =>
@@ -1075,7 +1104,12 @@ object Snapshots {
     val (f, qroot) = FsOps.fs(spark, root)
     val id = asOf.orElse(currentSnapshot(spark, root)).getOrElse(
       throw new IllegalStateException(s"no snapshot published under $root"))
-    val m = resolve(f, qroot, id)
+    readResolved(spark, qroot, resolve(f, qroot, id), prune, s"s$id")
+  }
+
+  private def readResolved(
+      spark: SparkSession, qroot: Path, m: Resolved,
+      prune: Seq[StatRange], label: String): DataFrame = {
     val schema = m.schema
     prune.foreach(r => require(
       schema.forall(s => s.fields.exists(_.name == r.column)),
@@ -1088,7 +1122,7 @@ object Snapshots {
       // a legitimately-empty state (or a fully-pruned read) is an empty
       // frame under the contract — never an unreadable dataset
       val s = schema.getOrElse(throw new IllegalStateException(
-        s"snapshot s$id is empty and records no schema"))
+        s"snapshot $label is empty and records no schema"))
       return spark.createDataFrame(new java.util.ArrayList[Row](), s)
     }
     val base = dataDir(qroot).toString
@@ -1182,6 +1216,164 @@ object Snapshots {
     read(spark, root, asOf = Some(id), prune = prune)
   }
 
+  // ------------------------------------------------ write–audit–publish
+
+  private def stagedDir(root: Path) = new Path(root, "staged")
+
+  /** Parse a staged manifest file into (base id, head manifest). The
+    * staged file is the exact manifest a publish will flip to, behind one
+    * `wapbase=` header line recording the snapshot it was computed
+    * against. */
+  private def readStagedFile(
+      f: FileSystem, qroot: Path, name: String): (Option[Int], RawManifest) = {
+    val p = new Path(stagedDir(qroot), name)
+    if (!f.exists(p))
+      throw new IllegalStateException(
+        s"no staged write '$name' under $qroot — never staged, already " +
+          "published, or abandoned")
+    val in = f.open(p)
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val (header, rest) = text.span(_ != '\n')
+    require(header.startsWith("wapbase="),
+      s"corrupt staged manifest '$name': missing wapbase header")
+    val base = header.stripPrefix("wapbase=").toInt match {
+      case -1 => None
+      case n => Some(n)
+    }
+    (base, parseManifest(base.getOrElse(0) + 1, rest.drop(1)))
+  }
+
+  /**
+   * WRITE–AUDIT–PUBLISH, step 1: run a full snapshot write — staging,
+   * stats, schema-evolution gate, manifest rendering — but park the
+   * manifest under `staged/<name>` instead of flipping the committed
+   * pointer. Readers of the dataset see NOTHING; [[readStaged]] sees the
+   * would-be state exactly as a post-publish [[read]] would. The audit
+   * step (row counts, [[graft.schema.Expectations]], diff against
+   * current) runs against that read; [[publishStaged]] then makes the
+   * state real with one atomic pointer flip, or [[abandonStaged]] drops
+   * it (its files become [[vacuum]] food behind the age grace).
+   *
+   * Re-staging an existing name replaces it atomically (the old attempt's
+   * files are abandoned). Returns the snapshot id the write will claim at
+   * publish.
+   */
+  def stageWrite(
+      df: DataFrame, root: String, partitionFields: Seq[String],
+      name: String, mode: SnapshotMode = SnapAppend,
+      evolution: graft.schema.SchemaEvolution.Policy =
+        graft.schema.SchemaEvolution.Widen,
+      statsColumns: Seq[String] = Seq.empty,
+      format: Option[SinkFormat] = None, codec: Option[String] = None): Int =
+    writeInternal(df, root, partitionFields, mode, mode.name, evolution,
+      statsColumns = statsColumns, format = format, codec = codec,
+      stageAs = Some(name))
+
+  /** Pending staged writes as (name → snapshot id each will claim). */
+  def stagedWrites(spark: SparkSession, root: String): Map[String, Int] = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val dir = stagedDir(qroot)
+    if (!f.exists(dir)) Map.empty
+    // dot-hidden entries are atomicWrite temps from a crashed stage
+    else f.listStatus(dir).filterNot(_.getPath.getName.startsWith(".")).map {
+      s =>
+        val name = s.getPath.getName
+        val (base, _) = readStagedFile(f, qroot, name)
+        name -> (base.getOrElse(0) + 1)
+    }.toMap
+  }
+
+  /** WRITE–AUDIT–PUBLISH, step 2 (audit): read the state a staged write
+    * would publish — the staged manifest resolved through its committed
+    * parent chain, with the same recorded-schema contract and file-level
+    * data skipping as [[read]]. */
+  def readStaged(
+      spark: SparkSession, root: String, name: String,
+      prune: Seq[StatRange] = Seq.empty): DataFrame = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val (_, head) = readStagedFile(f, qroot, name)
+    readResolved(spark, qroot, resolveFrom(f, qroot, head), prune,
+      s"staged '$name'")
+  }
+
+  /**
+   * WRITE–AUDIT–PUBLISH, step 3: make a staged write the current state
+   * with one atomic pointer flip. Fails loudly — publishing NOTHING — if
+   * the table advanced past the staged write's base (the audit validated
+   * a state that no longer follows from current; re-stage against the new
+   * current instead), exactly [[publishManifest]]'s optimistic-concurrency
+   * posture. Returns the published snapshot id.
+   */
+  def publishStaged(spark: SparkSession, root: String, name: String): Int = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val (base, _) = readStagedFile(f, qroot, name)
+    val cur = currentSnapshot(spark, root)
+    if (cur != base)
+      throw new java.util.ConcurrentModificationException(
+        s"staged write '$name' was computed against " +
+          s"${base.fold("an empty dataset")(b => s"s$b")} but the table is " +
+          s"now at ${cur.fold("(none)")(c => s"s$c")} — its audit is stale; " +
+          "re-stage against the current state")
+    val p = new Path(stagedDir(qroot), name)
+    val in = f.open(p)
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val content = text.drop(text.indexOf('\n') + 1)
+    val id = base.getOrElse(0) + 1
+    publishManifest(f, qroot, id, base, content)
+    FsOps.deleteIfExists(f, p)
+    id
+  }
+
+  /** The full WAP gate in one call: audit the staged state against
+    * `exps` ([[graft.schema.Expectations.requireClean]] — every failed
+    * expectation listed, nothing published on failure), then publish.
+    * The staged write SURVIVES a failed audit for inspection via
+    * [[readStaged]]; abandon it explicitly once diagnosed. */
+  def publishStagedChecked(
+      spark: SparkSession, root: String, name: String,
+      exps: Seq[graft.schema.Expectations.Expectation]): Int = {
+    graft.schema.Expectations.requireClean(readStaged(spark, root, name), exps)
+    publishStaged(spark, root, name)
+  }
+
+  /** Files a pending staged write itself lists (adds or full entries) —
+    * the set [[vacuum]] must treat as referenced. Parent-chain files are
+    * already referenced through the committed manifests. */
+  private def stagedFileRefs(f: FileSystem, qroot: Path): Set[String] = {
+    val dir = stagedDir(qroot)
+    if (!f.exists(dir)) Set.empty
+    else f.listStatus(dir).filterNot(_.getPath.getName.startsWith("."))
+      .flatMap { s =>
+        val (_, m) = readStagedFile(f, qroot, s.getPath.getName)
+        (m.adds ++ m.full.getOrElse(Seq.empty)).map(_.rel)
+      }.toSet
+  }
+
+  /** Committed ids pending staged writes were computed against — pinned
+    * through [[expire]] so a staged manifest's parent chain stays
+    * resolvable until it is published or abandoned. */
+  private def stagedBaseIds(f: FileSystem, qroot: Path): Set[Int] = {
+    val dir = stagedDir(qroot)
+    if (!f.exists(dir)) Set.empty
+    else f.listStatus(dir).filterNot(_.getPath.getName.startsWith("."))
+      .flatMap(s => readStagedFile(f, qroot, s.getPath.getName)._1).toSet
+  }
+
+  /** Drop a staged write without publishing. Its data files become
+    * unreferenced — [[vacuum]] reclaims them behind the age grace.
+    * Returns whether the staged write existed. */
+  def abandonStaged(spark: SparkSession, root: String, name: String): Boolean = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val p = new Path(stagedDir(qroot), name)
+    val existed = f.exists(p)
+    FsOps.deleteIfExists(f, p)
+    existed
+  }
+
   /**
    * Retention: keep the newest `keepLast` snapshots (always including the
    * current one — ids are monotonic so the newest IS the current) plus
@@ -1208,7 +1400,11 @@ object Snapshots {
     val (f, qroot) = FsOps.fs(spark, root)
     val cur = currentSnapshot(spark, root)
     val ids = committedIds(f, qroot, cur)
-    val protectedIds = tags(spark, root).values.toSet
+    // tags pin by policy; a pending staged write's base pins so its audit
+    // lane stays resolvable (abandoning stale staged writes re-arms
+    // retention for those ids)
+    val protectedIds = tags(spark, root).values.toSet ++
+      stagedBaseIds(f, qroot)
     val keptSet = ids.takeRight(keepLast).toSet ++ protectedIds
     val expired = ids.filterNot(keptSet)
     val kept = ids.filter(keptSet)

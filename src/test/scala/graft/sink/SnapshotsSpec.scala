@@ -660,6 +660,124 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.expire(spark, root, keepLast = 1) == ((Seq.empty, 0)))
   }
 
+  test("WAP: staged write invisible until publish; one flip lands it; travel intact") {
+    val root = java.nio.file.Files.createTempDirectory("snap_wap").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    val patch = orders.filter(col("o_orderpriority") === "1-URGENT"
+      && col("o_orderkey") % 4 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    val claimed = Snapshots.stageWrite(patch, root, Seq("o_orderpriority"), "audit1")
+    assert(claimed == 2)
+    // invisible to every committed read
+    assert(Snapshots.currentSnapshot(spark, root).contains(1))
+    assert(keys(Snapshots.read(spark, root)) == keys(orders))
+    // but the audit read sees exactly the would-be state
+    assert(keys(Snapshots.readStaged(spark, root, "audit1")) ==
+      keys(orders) ++ keys(patch))
+    assert(Snapshots.stagedWrites(spark, root) == Map("audit1" -> 2))
+    assert(Snapshots.publishStaged(spark, root, "audit1") == 2)
+    assert(Snapshots.stagedWrites(spark, root).isEmpty)
+    assert(keys(Snapshots.read(spark, root)) == keys(orders) ++ keys(patch))
+    assert(keys(Snapshots.read(spark, root, asOf = Some(1))) == keys(orders))
+  }
+
+  test("WAP: publish after the table advanced fails stale; abandon reclaims via vacuum") {
+    val root = java.nio.file.Files.createTempDirectory("snap_wapstale").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    Snapshots.stageWrite(
+      orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L),
+      root, Seq("o_orderpriority"), "nightly")
+    // vacuum must treat the staged write's files as referenced
+    assert(Snapshots.vacuum(spark, root, graceMs = 0L) == ((0, 0)))
+    assert(Snapshots.readStaged(spark, root, "nightly").count() > 0)
+    // the table advances past the staged base → audit is stale
+    Snapshots.write(orders.limit(5), root, Seq("o_orderpriority"))
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.publishStaged(spark, root, "nightly")
+    }
+    // the staged write survives the failed publish; abandoning frees it
+    assert(Snapshots.stagedWrites(spark, root) == Map("nightly" -> 2))
+    assert(Snapshots.abandonStaged(spark, root, "nightly"))
+    intercept[IllegalStateException] {
+      Snapshots.readStaged(spark, root, "nightly")
+    }
+    val (freed, _) = Snapshots.vacuum(spark, root, graceMs = 0L)
+    assert(freed > 0, "abandoned staged files become vacuum food")
+    assert(keys(Snapshots.read(spark, root)) ==
+      keys(orders) ++ keys(orders.limit(5)))
+  }
+
+  test("WAP: expire pins a pending staged write's base; abandoning re-arms it") {
+    val root = java.nio.file.Files.createTempDirectory("snap_wappin").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))          // s1
+    Snapshots.stageWrite(orders.limit(3), root, Seq("o_orderpriority"), "slow")
+    Snapshots.write(orders.limit(5), root, Seq("o_orderpriority")) // s2
+    Snapshots.write(orders.limit(7), root, Seq("o_orderpriority")) // s3
+    val (expired1, _) = Snapshots.expire(spark, root, keepLast = 1)
+    assert(expired1 == Seq(2), "s1 is pinned as the staged base")
+    // the audit lane still resolves against the pinned base
+    assert(keys(Snapshots.readStaged(spark, root, "slow")) ==
+      keys(orders) ++ keys(orders.limit(3)))
+    Snapshots.abandonStaged(spark, root, "slow")
+    val (expired2, _) = Snapshots.expire(spark, root, keepLast = 1)
+    assert(expired2 == Seq(1), "abandoning re-arms retention for the base")
+  }
+
+  test("WAP: staging the FIRST write of a dataset publishes as s1") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_wapfirst").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "p")
+    assert(Snapshots.stageWrite(df, root, Seq("p"), "genesis") == 1)
+    intercept[IllegalStateException] { Snapshots.read(spark, root) }
+    assert(Snapshots.readStaged(spark, root, "genesis").count() == 2)
+    assert(Snapshots.publishStaged(spark, root, "genesis") == 1)
+    assert(Snapshots.read(spark, root).count() == 2)
+  }
+
+  test("WAP: re-staging a name replaces the attempt; overwrite-mode staging previews") {
+    val root = java.nio.file.Files.createTempDirectory("snap_wapre").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    val urgentEven = orders.filter(col("o_orderpriority") === "1-URGENT"
+      && col("o_orderkey") % 2 === 0)
+    Snapshots.stageWrite(orders.limit(2), root, Seq("o_orderpriority"), "try")
+    Snapshots.stageWrite(urgentEven, root, Seq("o_orderpriority"), "try",
+      SnapOverwritePartitions)
+    // the replacement's overwrite semantics preview through readStaged
+    val urgentOdd = keys(orders.filter(col("o_orderpriority") === "1-URGENT"
+      && col("o_orderkey") % 2 =!= 0))
+    assert(keys(Snapshots.readStaged(spark, root, "try")) ==
+      keys(orders) -- urgentOdd)
+    // the first attempt's files are no longer referenced anywhere
+    assert(Snapshots.vacuum(spark, root, graceMs = 0L)._1 > 0)
+    assert(Snapshots.publishStaged(spark, root, "try") == 2)
+    assert(keys(Snapshots.read(spark, root)) == keys(orders) -- urgentOdd)
+  }
+
+  test("WAP gate: a failed audit publishes NOTHING and the staged write survives diagnosis") {
+    import graft.schema.Expectations._
+    val root = java.nio.file.Files.createTempDirectory("snap_wapgate").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    // re-appending existing keys duplicates them in the would-be state
+    Snapshots.stageWrite(orders.limit(10), root, Seq("o_orderpriority"), "batch7")
+    val e = intercept[IllegalStateException] {
+      Snapshots.publishStagedChecked(spark, root, "batch7",
+        Seq(Unique(Seq("o_orderkey")), NotNull("o_totalprice")))
+    }
+    assert(e.getMessage.contains("unique(o_orderkey)"))
+    assert(Snapshots.currentSnapshot(spark, root).contains(1), "nothing published")
+    assert(Snapshots.stagedWrites(spark, root).keySet == Set("batch7"),
+      "the failed batch stays inspectable")
+    Snapshots.abandonStaged(spark, root, "batch7")
+    // a clean batch sails through the same gate
+    val fresh = orders.limit(10)
+      .withColumn("o_orderkey", col("o_orderkey") + 30000000L)
+    Snapshots.stageWrite(fresh, root, Seq("o_orderpriority"), "batch8")
+    assert(Snapshots.publishStagedChecked(spark, root, "batch8",
+      Seq(Unique(Seq("o_orderkey")), NotNull("o_totalprice"))) == 2)
+    assert(Snapshots.read(spark, root).count() == orders.count() + 10)
+  }
+
   test("tags protect snapshots from expiry and read by name; dropping re-arms retention") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_tag").toString
