@@ -341,6 +341,28 @@ object SinkQueries {
         NonEmpty(100)))
     }),
 
+    // Clustered compaction end-to-end: the fragmented write leaves every
+    // file spanning the whole doc_id range (stats recorded but useless);
+    // compacting under sortBy=doc_id rewrites files into contiguous key
+    // ranges, after which the stat-pruned range read opens a strict
+    // subset of the live files (asserted in-query — metadata-level
+    // skipping) and returns exactly the range rows the oracle recomputes.
+    "sink_snapshot_cluster" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_cluster").toString
+      val docs = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      Snapshots.write(docs.repartition(8), out, Seq("lang"),
+        statsColumns = Seq("doc_id"))
+      Snapshots.compact(s, out, Seq("lang"),
+        targetFilesPerPartition = 4, sortBy = Seq("doc_id"))
+      val prune = Seq(Snapshots.StatRange("doc_id", Some(100L), Some(299L)))
+      val pruned = Snapshots.read(s, out, prune = prune)
+      require(pruned.inputFiles.length <
+        Snapshots.read(s, out).inputFiles.length,
+        "stat pruning after clustered compaction must skip files")
+      pruned.filter(col("doc_id").between(100, 299))
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     // Retention: a third snapshot appends half the replaced rows back,
     // then expiry keeps only the newest two — the expired snapshot's
     // manifest is gone (time travel to it must fail loudly), its
@@ -787,6 +809,11 @@ object SinkQueries {
         |  cast(CASE WHEN n < 100 THEN 100 - n ELSE 0 END as bigint), n,
         |  cast(CASE WHEN n < 100 THEN 100 - n ELSE 0 END as double) / n,
         |  n >= 100 FROM a""".stripMargin,
+
+    // the pruned range read returns exactly the range rows
+    "sink_snapshot_cluster" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 100 AND 299""".stripMargin,
 
     // upserted status for every 7th key, every 11th key deleted
     "sink_snapshot_merge" ->

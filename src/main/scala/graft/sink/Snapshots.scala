@@ -106,9 +106,6 @@ object Snapshots {
     if (i < 0) "" else rel.substring(0, i)
   }
 
-  private def fileNameOf(path: String): String =
-    path.substring(path.lastIndexOf('/') + 1)
-
   // ------------------------------------------------------ manifest model
 
   /** One live data file with its optional per-column (min, max) stats —
@@ -394,8 +391,13 @@ object Snapshots {
 
   private[sink] def boundStringForTest(v: Any): String = boundString(v)
 
-  /** Per-staged-file min/max of the declared stat columns, keyed by file
-    * NAME (job-unique part names). One batch-sized aggregate over the
+  /** Per-staged-file min/max of the declared stat columns, keyed by the
+    * file's staging-RELATIVE path (dir + name). Keying by bare part name
+    * is wrong: one write task that lands rows in TWO partition
+    * directories reuses its part-file name in both (range-clustered and
+    * salted compaction do this at every partition boundary), and a
+    * name-keyed map would collapse the two files onto one file's stats —
+    * silently mis-pruning reads. One batch-sized aggregate over the
     * staging tree — never over the dataset. */
   private def computeStats(
       spark: SparkSession, staging: Path, formatTok: String,
@@ -408,11 +410,18 @@ object Snapshots {
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c")))
+    val stagingPrefix = staging.toUri.getPath
     df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        fileNameOf(r.getString(0)) -> statsCols.zipWithIndex.map {
+        // input_file_name returns a percent-ENCODED URI (a partition value
+        // with a space reads `%20`); java.net.URI.getPath decodes it to
+        // the same form the staged listing's Path.toUri.getPath produces,
+        // so the keys line up exactly
+        val rel = java.net.URI.create(r.getString(0)).getPath
+          .stripPrefix(stagingPrefix).stripPrefix("/")
+        rel -> statsCols.zipWithIndex.map {
           case (c, i) =>
             c -> ((Option(r.getString(1 + 2 * i)),
               Option(r.getString(2 + 2 * i))))
@@ -593,7 +602,7 @@ object Snapshots {
     }
     FsOps.deleteIfExists(f, staging)
     val addEntries = staged.map(rel =>
-      FileEntry(rel, statsByName.getOrElse(fileNameOf(rel), Map.empty)))
+      FileEntry(rel, statsByName.getOrElse(rel, Map.empty)))
     val prevFiles = prev.map(_.files).getOrElse(Seq.empty)
     val removes: Seq[String] = mode match {
       case SnapAppend => Seq.empty
@@ -733,12 +742,20 @@ object Snapshots {
    */
   def compact(
       spark: SparkSession, root: String, partitionFields: Seq[String],
-      targetFilesPerPartition: Int = 1): Option[Int] = {
+      targetFilesPerPartition: Int = 1,
+      sortBy: Seq[String] = Seq.empty): Option[Int] = {
     require(targetFilesPerPartition >= 1, "need at least one file")
     val (f, qroot) = FsOps.fs(spark, root)
     val id = currentSnapshot(spark, root).getOrElse(
       throw new IllegalStateException(s"no snapshot published under $root"))
     val m = resolve(f, qroot, id)
+    sortBy.foreach { c =>
+      require(m.schema.forall(s => s.fields.exists(_.name == c)),
+        s"sort column $c is not in the snapshot schema")
+      require(!partitionFields.contains(c),
+        s"sort column $c is a partition field — directory routing already " +
+          "clusters it")
+    }
     val fragmented = m.files.map(_.rel).groupBy(parentDirOf)
       .filter(_._2.length > targetFilesPerPartition)
     if (fragmented.isEmpty) return None
@@ -750,16 +767,28 @@ object Snapshots {
       .load(fragmented.values.flatten.map(r => s"$base/$r").toSeq: _*)
     import org.apache.spark.sql.functions.col
     // one task (→ one file) per partition value under the partition-column
-    // repartition; a >1 target adds a deterministic row-hash salt so each
-    // partition splits into at most that many tasks
-    val rewritten =
-      if (targetFilesPerPartition == 1)
-        frag.repartition(partitionFields.map(col): _*)
-      else frag.repartition(
+    // repartition; a >1 target without a sort key adds a deterministic
+    // row-hash salt so each partition splits into at most that many tasks.
+    // WITH a sort key, the split is a RANGE partitioning over
+    // (partition cols, sortBy) + an in-task sort: every rewritten file
+    // covers a contiguous sort-key range, so the manifest's per-file
+    // min/max stats become (near-)disjoint and a stat-pruned [[read]]
+    // skips sibling files — clustered compaction is what turns recorded
+    // stats into actual file pruning on the append lane
+    val rewritten = (targetFilesPerPartition, sortBy) match {
+      case (1, Nil) => frag.repartition(partitionFields.map(col): _*)
+      case (1, s) => frag.repartition(partitionFields.map(col): _*)
+        .sortWithinPartitions(s.map(col): _*)
+      case (t, Nil) => frag.repartition(
         (partitionFields.map(col) :+
           org.apache.spark.sql.functions.pmod(
             org.apache.spark.sql.functions.hash(frag.columns.map(col): _*),
-            org.apache.spark.sql.functions.lit(targetFilesPerPartition))): _*)
+            org.apache.spark.sql.functions.lit(t))): _*)
+      case (t, s) =>
+        val keys = (partitionFields ++ s).map(col)
+        frag.repartitionByRange(fragmented.size * t, keys: _*)
+          .sortWithinPartitions(keys: _*)
+    }
     Some(writeInternal(rewritten, root, partitionFields,
       SnapOverwritePartitions, "compact", graft.schema.SchemaEvolution.Widen))
   }

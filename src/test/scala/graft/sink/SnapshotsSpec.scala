@@ -778,6 +778,46 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).count() == orders.count() + 10)
   }
 
+  test("clustered compaction: sorted rewrite makes stat pruning skip sibling files") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_cluster").toString
+    val df = (0 until 1000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "p")
+    Snapshots.write(df.repartition(8), root, Seq("p"),
+      statsColumns = Seq("k"))
+    val prune = Seq(Snapshots.StatRange("k", Some(100L), Some(199L)))
+    // fragmented hash layout: every file spans the whole key range, so
+    // the pruned read still opens (nearly) everything
+    val before = Snapshots.read(spark, root, prune = prune).inputFiles.length
+    assert(before > 8, s"fragmented pruned read opened $before files")
+    val cid = Snapshots.compact(spark, root, Seq("p"),
+      targetFilesPerPartition = 4, sortBy = Seq("k"))
+    assert(cid.contains(2))
+    // content identity under the rewrite
+    assert(Snapshots.read(spark, root).collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet ==
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    val all = Snapshots.read(spark, root).inputFiles.length
+    val after = Snapshots.read(spark, root, prune = prune).inputFiles.length
+    assert(after < before && after <= all / 2,
+      s"clustered pruning must skip sibling files: $after of $all " +
+        s"(pre-compact $before)")
+    // rows themselves are exactly the range regardless of pruning
+    assert(Snapshots.read(spark, root, prune = prune)
+      .filter(col("k").between(100, 199)).count() == 100)
+    // the pre-compact snapshot still travels
+    assert(Snapshots.read(spark, root, asOf = Some(1)).count() == 1000)
+    // pruning NEVER loses rows, at any boundary — guards the stats-keying
+    // regression where a boundary task writing into two partition dirs
+    // reused its part name and collapsed two files onto one file's stats
+    for ((lo, hi) <- Seq((0L, 49L), (450L, 520L), (999L, 999L), (500L, 501L))) {
+      val p2 = Seq(Snapshots.StatRange("k", Some(lo), Some(hi)))
+      assert(Snapshots.read(spark, root, prune = p2)
+        .filter(col("k").between(lo, hi)).count() == hi - lo + 1,
+        s"range [$lo,$hi]")
+    }
+  }
+
   test("tags protect snapshots from expiry and read by name; dropping re-arms retention") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_tag").toString
