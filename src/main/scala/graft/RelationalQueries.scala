@@ -398,6 +398,36 @@ object RelationalQueries {
         Tables(s, dir, "documents").select("lang", "n_chars"),
         "lang", "n_chars", p = 0.9, outCol = "p90_chars")),
 
+    // The quantile VECTOR from one sketch build: p25/p50/p95 per priority
+    // out of the same two passes q40 spends on a single p — the
+    // admission-dashboard shape (several exact tail points per group).
+    "q42_sketch_quantiles" -> ((s, dir) =>
+      Relational.sketchQuantiles(
+        Tables(s, dir, "orders").select(col("o_orderpriority"),
+          cents(col("o_totalprice")).as("price_cents")),
+        "o_orderpriority", "price_cents", ps = Seq(0.25, 0.5, 0.95))),
+
+    // The PERSISTED-STATE twin of q42: the histogram is maintained across
+    // three distributed appends (bucket-add is associative, so the stored
+    // state is bit-identical to sketching the union directly — spec-
+    // asserted), then the exact read proposes targets from the STATE with
+    // no sketch build and verifies over the corpus. Row-identical to q42
+    // by construction — shares its oracle.
+    "q43_quantiles_state" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_qstate").toString
+      val orders = Tables(s, dir, "orders").select(col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_cents"))
+      Relational.writeQuantileState(
+        orders.filter(col("price_cents") % 3 === 0),
+        "o_orderpriority", "price_cents", path)
+      Relational.appendToQuantileState(
+        orders.filter(col("price_cents") % 3 === 1), path)
+      Relational.appendToQuantileState(
+        orders.filter(col("price_cents") % 3 === 2), path)
+      Relational.quantilesFromState(orders, path, Seq(0.25, 0.5, 0.95))
+    }),
+
     // Sorted-neighborhood blocking over customer names: each record
     // scored against its 3 successors in global (name, id) sort order —
     // the linear-cost candidate scheme for records sharing no clean
@@ -447,6 +477,18 @@ object RelationalQueries {
         k = 3, excludeSelf = true)
     }),
   )
+
+  private val SketchQuantilesSql =
+    """WITH r AS (
+      |  SELECT o_orderpriority,
+      |    cast(round(o_totalprice * 100, 0) as bigint) AS v,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY cast(round(o_totalprice * 100, 0) as bigint)) AS rn,
+      |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders),
+      |p AS (SELECT unnest([0.25, 0.5, 0.95]) AS p)
+      |SELECT r.o_orderpriority, p.p AS p, r.v AS quantile
+      |FROM r JOIN p ON r.rn = cast(ceil(r.n * p.p) as bigint)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q10_rollup" ->
@@ -784,6 +826,11 @@ object RelationalQueries {
         |  FROM documents)
         |SELECT lang, v AS p90_chars FROM r
         |WHERE rn = cast(ceil(n * 0.9) as bigint)""".stripMargin,
+
+    "q42_sketch_quantiles" -> SketchQuantilesSql,
+    // q43 maintains the same histogram incrementally and reads the same
+    // exact quantiles — row-identical to q42 by construction
+    "q43_quantiles_state" -> SketchQuantilesSql,
 
     // the global sort rank is engine-independent ((name, id) is a total
     // order), so row_number + rank-distance join IS the oracle

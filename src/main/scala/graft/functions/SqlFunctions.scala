@@ -43,5 +43,18 @@ object SqlFunctions {
     // aggregate: bounded Misra-Gries frequent-items counters
     "misra_gries" -> (e =>
       MisraGriesSketch(e.head, intArg(e, 1, 199)).toAggregateExpression()),
+    // aggregate: γ-log-bucket rank histogram (exact bucket counts)
+    "dd_sketch" -> (e =>
+      DdSketchAgg(e.head, doubleArg(e, 1, 1.02)).toAggregateExpression()),
   )
+
+  private def doubleArg(exprs: Seq[Expression], i: Int, default: Double): Double =
+    if (exprs.length > i) exprs(i) match {
+      case Literal(v: Double, _) => v
+      case Literal(v: Int, _) => v.toDouble
+      case other => other.eval(null) match {
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }
+    } else default
 }

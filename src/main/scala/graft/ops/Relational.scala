@@ -277,41 +277,238 @@ object Relational {
    */
   def sketchQuantile(
       df: DataFrame, groupCol: String, valueCol: String, p: Double,
-      gamma: Double = 1.02, outCol: String = "quantile"): DataFrame = {
-    require(p > 0 && p < 1, "p must be in (0, 1)")
+      gamma: Double = 1.02, outCol: String = "quantile"): DataFrame =
+    sketchQuantiles(df, groupCol, valueCol, Seq(p), gamma)
+      .select(col(groupCol), col("quantile").as(outCol))
+
+  /**
+   * [[sketchQuantile]] for a whole quantile VECTOR (p50/p90/p99 together —
+   * the shape admission dashboards and packing heuristics actually ask
+   * for) at the cost of the SAME two passes: one sketch build serves
+   * every p (the per-group cumulative bucket scan is computed once and
+   * each p reads its own crossing), and the single verify scan joins each
+   * row against all |ps| broadcast targets — rows multiply |ps|-fold into
+   * a map-side-combined aggregate keyed on (group, p, window value),
+   * never a second scan of the input. Returns `(group, p, quantile)`.
+   */
+  def sketchQuantiles(
+      df: DataFrame, groupCol: String, valueCol: String, ps: Seq[Double],
+      gamma: Double = 1.02): DataFrame = {
     val v = col(valueCol).cast("long")
-    val sk = df.filter(col(valueCol).isNotNull)
+    val buckets = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol))
-      .agg(graft.functions.dd.dd_sketch(v, gamma).as("__bk"),
-        count(col(valueCol)).as("__n"))
+      .agg(graft.functions.dd.dd_sketch(v, gamma).as("__bk"))
+      .select(col(groupCol), explode(col("__bk")).as("__b"))
+      .select(col(groupCol), col("__b.bucket").as("__e"),
+        col("__b.cnt").as("__c"))
+    quantileVerify(df, groupCol, valueCol,
+      quantileTargets(buckets, groupCol, ps), gamma)
+  }
+
+  /** Rank crossings from sketch-bucket rows `(group, __e, __c)` — n and
+    * the cumulative scan both come off ONE per-group window pass, and
+    * every requested p reads its own crossing from it. One output row per
+    * (group, p), broadcast-sized. Shared by the direct path and the
+    * persisted-state path ([[quantilesFromState]]). */
+  private[ops] def quantileTargets(
+      buckets: DataFrame, groupCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p < 1),
+      "every p must be in (0, 1)")
+    require(ps.distinct == ps, "duplicate quantile requested")
     val byG = Window.partitionBy(col(groupCol)).orderBy(col("__e"))
-    val targets = sk
-      .select(col(groupCol), col("__n"), explode(col("__bk")).as("__b"))
-      .select(col(groupCol), col("__n"),
-        col("__b.bucket").as("__e"), col("__b.cnt").as("__c"))
+    val byGAll = Window.partitionBy(col(groupCol))
+    buckets
       .withColumn("__cum", sum("__c").over(byG))
-      .withColumn("__r", ceil(col("__n") * lit(p)).cast("long"))
+      .withColumn("__n", sum("__c").over(byGAll))
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .withColumn("__r", ceil(col("__n") * col("p")).cast("long"))
       .filter(col("__cum") >= col("__r") &&
         col("__cum") - col("__c") < col("__r"))
-      .select(col(groupCol), col("__e").as("__et"), col("__r"))
+      .select(col(groupCol), col("p"), col("__e").as("__et"), col("__r"))
+  }
+
+  /** The exact verify pass against broadcast targets `(group, p, __et,
+    * __r)`: classify every row into below/window/above its group's target
+    * bucket ±1, aggregate once keyed on (group, p, window value), read
+    * the rank crossing off the per-group cumulative counts. Exactness
+    * never rests on the sketch — an escaped crossing raises. */
+  private[ops] def quantileVerify(
+      df: DataFrame, groupCol: String, valueCol: String,
+      targets: DataFrame, gamma: Double): DataFrame = {
+    val v = col(valueCol).cast("long")
     val e2 = encCol(v, gamma)
     val k = when(e2 < col("__et") - 1, lit(-1))
       .when(e2 > col("__et") + 1, lit(1)).otherwise(lit(0))
-    val byGkw = Window.partitionBy(col(groupCol))
+    val byGPkw = Window.partitionBy(col(groupCol), col("p"))
       .orderBy(col("__k"), col("__w"))
     df.filter(col(valueCol).isNotNull)
       .join(broadcast(targets), Seq(groupCol))
-      .groupBy(col(groupCol), k.as("__k"),
+      .groupBy(col(groupCol), col("p"), k.as("__k"),
         when(k === 0, v).otherwise(lit(0L)).as("__w"), col("__r"))
       .agg(count(lit(1)).as("__c"))
-      .withColumn("__cum", sum("__c").over(byGkw))
+      .withColumn("__cum", sum("__c").over(byGPkw))
       .filter(col("__cum") >= col("__r") &&
         col("__cum") - col("__c") < col("__r"))
-      .select(col(groupCol),
+      .select(col(groupCol), col("p"),
         when(col("__k") === 0, col("__w")).otherwise(raise_error(concat(
           lit("sketchQuantile: rank crossing escaped the proposed bucket " +
             "window for group "), col(groupCol).cast("string"))))
-          .as(outCol))
+          .as("quantile"))
+  }
+
+  // ------------------------------------------------ persisted quantile state
+
+  /** Bucket rows `(group, __e, __c)` of one frame — the persisted form of
+    * the per-group rank histogram. */
+  private def bucketRowsOf(
+      df: DataFrame, groupCol: String, valueCol: String,
+      gamma: Double): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.dd.dd_sketch(
+        col(valueCol).cast("long"), gamma).as("__bk"))
+      .select(col(groupCol), explode(col("__bk")).as("__b"))
+      .select(col(groupCol), col("__b.bucket").as("__e"),
+        col("__b.cnt").as("__c"))
+
+  /**
+   * Persist per-group rank-histogram state — the "index is the state"
+   * posture for DISTRIBUTION telemetry, the quantile sibling of
+   * [[graft.ops.TextAnalysis.writeHhState]]. The state is
+   * O(groups × 1/ln γ) bucket rows with EXACT counts; because bucket
+   * merge is pure addition, per-batch maintenance is a DISTRIBUTED
+   * union + re-aggregate (no driver collect anywhere, unlike the O(k)
+   * heavy-hitter fold which is driver-sized by construction), and the
+   * maintained state is bit-identical to sketching the union of every
+   * appended batch directly — associativity the spec asserts.
+   *
+   * Layout: a [[graft.sink.FsOps.publishGeneration]] generation tree
+   * (`buckets/`, `meta/` with column names + γ, `seen/` replay tags)
+   * behind one atomic MANIFEST flip; a replayed stream batch finds its
+   * (id, content-fingerprint) tag in `seen/` and skips — the
+   * [[graft.ops.TextAnalysis.appendToHhState]] exactly-once discipline.
+   */
+  def writeQuantileState(
+      df: DataFrame, groupCol: String, valueCol: String, path: String,
+      gamma: Double = 1.02): Unit =
+    publishQuantileGeneration(df.sparkSession, path, groupCol, valueCol,
+      gamma, bucketRowsOf(df, groupCol, valueCol, gamma), Seq.empty)
+
+  private def publishQuantileGeneration(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      groupCol: String, valueCol: String, gamma: Double,
+      buckets: DataFrame, seen: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val (f, root) = graft.sink.FsOps.fs(spark, path)
+    f.mkdirs(root)
+    val staging = new org.apache.hadoop.fs.Path(root,
+      s".staging_${java.util.UUID.randomUUID().toString.take(12)}")
+    buckets.coalesce(1).write.parquet(s"$staging/buckets")
+    Seq((groupCol, valueCol, gamma)).toDF("group", "value", "gamma")
+      .coalesce(1).write.parquet(s"$staging/meta")
+    seen.toDF("batch_id", "fp").coalesce(1).write.parquet(s"$staging/seen")
+    graft.sink.FsOps.publishGeneration(f, root, staging): Unit
+  }
+
+  private def liveQuantileRoot(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val (f, root) = graft.sink.FsOps.fs(spark, path)
+    graft.sink.FsOps.readManifest(f, root).map(v => s"$path/$v")
+      .getOrElse(throw new IllegalStateException(
+        s"no quantile state published under $path"))
+  }
+
+  /** Fold one batch into the stored state: the batch's bucket rows union
+    * the stored ones and re-aggregate by (group, bucket) — distributed,
+    * exact, order-independent. `batchId` + content fingerprint make
+    * stream replays converge (the `seen/` discipline). */
+  def appendToQuantileState(
+      batch: DataFrame, path: String, batchId: Option[Long] = None): Unit = {
+    val spark = batch.sparkSession
+    // ONE generation resolution for the whole append — all reads below
+    // come from the same immutable tree
+    val live = liveQuantileRoot(spark, path)
+    val m = spark.read.parquet(s"$live/meta").head()
+    val (groupCol, valueCol, gamma) =
+      (m.getString(0), m.getString(1), m.getDouble(2))
+    val seen = spark.read.parquet(s"$live/seen")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val tag = batchId.map(id => (id, graft.streaming.ReplayGuard.fingerprint(
+      batch.select(col(groupCol), col(valueCol)))))
+    if (tag.exists(seen.contains)) return
+    // an empty batch must not burn a generation publish, and contributes
+    // nothing on a replay either
+    if (batch.filter(col(valueCol).isNotNull).isEmpty) return
+    val merged = spark.read.parquet(s"$live/buckets")
+      .unionByName(bucketRowsOf(batch, groupCol, valueCol, gamma))
+      .groupBy(col(groupCol), col("__e"))
+      .agg(sum("__c").as("__c"))
+    publishQuantileGeneration(spark, path, groupCol, valueCol, gamma,
+      merged, seen ++ tag)
+  }
+
+  /**
+   * APPROXIMATE quantiles straight off the stored state — no data scan
+   * at all: each (group, p) resolves to its crossing bucket's value
+   * interval `(value_lo, value_hi]`, within which the true rank-⌈p·n⌉
+   * value is GUARANTEED to lie (bucket counts are exact; only value
+   * resolution is γ-coarse — DDSketch's published relative-error bound).
+   * The health/dashboard read; [[quantilesFromState]] is the exact one.
+   */
+  def quantileStateBounds(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ps: Seq[Double]): DataFrame = {
+    val live = liveQuantileRoot(spark, path)
+    val m = spark.read.parquet(s"$live/meta").head()
+    val (groupCol, gamma) = (m.getString(0), m.getDouble(2))
+    val g = lit(gamma)
+    def pw(i: Column) = pow(g, i.cast("double"))
+    val e = col("__et")
+    quantileTargets(spark.read.parquet(s"$live/buckets"), groupCol, ps)
+      .select(col(groupCol), col("p"), col("__r").as("rank"),
+        when(e === 0, lit(0.0)).when(e > 0, pw(e - 2))
+          .otherwise(-pw(-e - 1)).as("value_lo"),
+        when(e === 0, lit(0.0)).when(e > 0, pw(e - 1))
+          .otherwise(-pw(-e - 2)).as("value_hi"))
+  }
+
+  /**
+   * EXACT quantiles from the maintained state: the stored histogram
+   * proposes each (group, p) target bucket — no sketch build — and the
+   * verify pass runs over the passed corpus. Because the maintained
+   * buckets are bit-identical to sketching the appended batches' union
+   * directly, this is row-identical to [[sketchQuantiles]] on that
+   * corpus and earns its oracle. The corpus scan happens HERE, on
+   * demand — per-batch maintenance never scans it.
+   */
+  def quantilesFromState(
+      corpus: DataFrame, path: String, ps: Seq[Double]): DataFrame = {
+    val spark = corpus.sparkSession
+    val live = liveQuantileRoot(spark, path)
+    val m = spark.read.parquet(s"$live/meta").head()
+    val (groupCol, valueCol, gamma) =
+      (m.getString(0), m.getString(1), m.getDouble(2))
+    quantileVerify(corpus, groupCol, valueCol,
+      quantileTargets(spark.read.parquet(s"$live/buckets"), groupCol, ps),
+      gamma)
+  }
+
+  /** Continuous distribution telemetry: each micro-batch folds into the
+    * persisted state through [[appendToQuantileState]] with its batch id
+    * (stateless foreachBatch — the state TREE is the state; replays skip
+    * on their content-derived tag). */
+  def quantileStream(
+      stream: DataFrame, path: String,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          appendToQuantileState(batch.toDF(), path, Some(id))
+      }
+    checkpointLocation.foldLeft(w)((x, c) =>
+      x.option("checkpointLocation", c)).start()
   }
 
   def madOutliers(

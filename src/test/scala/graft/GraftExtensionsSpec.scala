@@ -56,6 +56,17 @@ class GraftExtensionsSpec extends SparkSpec {
         .map(e => (e.getDouble(0), e.getLong(1)))
       assert(topA == Seq((9.0, 0L), (9.0, 2L))) // score desc, id asc tiebreak
       assert(tk(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)) == Seq(7L))
+      // the rank-histogram aggregate works from SQL GROUP BY: exact
+      // bucket counts, ascending bucket (= ascending value) order
+      val ddr = s2.sql(
+        """SELECT dd_sketch(v, 1.02D) AS sk FROM VALUES
+          |  (0L), (1L), (1L), (-4L), (1000L) AS t(v)""".stripMargin).head()
+      val buckets = ddr.getSeq[org.apache.spark.sql.Row](0)
+        .map(e => (e.getInt(0), e.getLong(1)))
+      val h = new graft.functions.LogHistogram(1.02)
+      assert(buckets == Seq(
+        (h.enc(-4L), 1L), (0, 1L), (1, 2L), (h.enc(1000L), 1L)))
+      assert(buckets.map(_._2).sum == 5L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -89,6 +89,97 @@ class DdSketchSpec extends SparkSpec {
     assert(got == Map("a" -> 20L, "b" -> 5L))
   }
 
+  test("sketchQuantiles: one sketch serves a quantile vector, matching per-p exact results") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 3000).map { i =>
+      (s"g${i % 4}", (rnd.nextInt(1000) - 200).toLong)
+    }
+    val ps = Seq(0.25, 0.5, 0.9, 0.99)
+    val got = Relational.sketchQuantiles(rows.toDF("g", "v"), "g", "v", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+      .toMap
+    val want = (for {
+      (g, gs) <- rows.groupBy(_._1); p <- ps
+    } yield (g, p) -> exactQuantile(gs.map(_._2), p)).toMap
+    assert(got == want)
+  }
+
+  test("persisted quantile state: distributed folds are exact; state path matches direct path") {
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 3000).map(i =>
+      (s"g${i % 3}", (rnd.nextInt(2000) - 300).toLong))
+    val (b0, rest) = rows.splitAt(1000)
+    val (b1, b2) = rest.splitAt(1000)
+    val path = java.nio.file.Files.createTempDirectory("q_state").toString
+    Relational.writeQuantileState(b0.toDF("g", "v"), "g", "v", path)
+    Relational.appendToQuantileState(b1.toDF("g", "v"), path)
+    Relational.appendToQuantileState(b2.toDF("g", "v"), path)
+    val ps = Seq(0.5, 0.95)
+    val all = rows.toDF("g", "v")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val fromState = m(Relational.quantilesFromState(all, path, ps))
+    assert(fromState == m(Relational.sketchQuantiles(all, "g", "v", ps)))
+    // and both equal brute force
+    val want = (for { (g, gs) <- rows.groupBy(_._1); p <- ps }
+      yield (g, p) -> exactQuantile(gs.map(_._2), p)).toMap
+    assert(fromState == want)
+    // the no-scan bounds read brackets the true value with the true rank
+    Relational.quantileStateBounds(spark, path, ps).collect().foreach { r =>
+      val (g, p, rank, lo, hi) = (r.getString(0), r.getDouble(1),
+        r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val n = rows.count(_._1 == g)
+      assert(rank == math.ceil(p * n).toLong)
+      val q = want((g, p)).toDouble
+      assert(q > lo - 1e-9 && q <= hi + 1e-9, s"($g,$p): $q not in ($lo,$hi]")
+    }
+  }
+
+  test("quantile state replays converge and empty batches don't publish") {
+    val path = java.nio.file.Files.createTempDirectory("q_replay").toString
+    val b = (1 to 100).map(i => ("g", i.toLong))
+    Relational.writeQuantileState(b.toDF("g", "v"), "g", "v", path)
+    val more = (101 to 200).map(i => ("g", i.toLong))
+    Relational.appendToQuantileState(more.toDF("g", "v"), path, Some(0L))
+    // a re-delivered batch (same id + content) must not double-fold: a
+    // double fold inflates n, pushing every rank past the corpus
+    Relational.appendToQuantileState(more.toDF("g", "v"), path, Some(0L))
+    val corpus = (b ++ more).toDF("g", "v")
+    val got = Relational.quantilesFromState(corpus, path, Seq(0.5))
+      .collect().map(_.getLong(2))
+    assert(got.toSeq == Seq(100L), s"median of 1..200 is 100: ${got.toSeq}")
+    // same id, DIFFERENT content (a fresh checkpoint lineage) must land
+    val fresh = (201 to 300).map(i => ("g", i.toLong))
+    Relational.appendToQuantileState(fresh.toDF("g", "v"), path, Some(0L))
+    assert(Relational.quantilesFromState(
+      (b ++ more ++ fresh).toDF("g", "v"), path, Seq(0.5))
+      .collect().map(_.getLong(2)).toSeq == Seq(150L))
+    // an all-null batch publishes nothing and breaks nothing
+    Relational.appendToQuantileState(
+      Seq(("g", Option.empty[Long])).toDF("g", "v"), path)
+    assert(Relational.quantileStateBounds(spark, path, Seq(0.5))
+      .collect().head.getLong(2) == 150L)
+  }
+
+  test("quantileStream folds micro-batches exactly-once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = java.nio.file.Files.createTempDirectory("q_stream").toString
+    Relational.writeQuantileState(
+      (1 to 50).map(i => ("g", i.toLong)).toDF("g", "v"), "g", "v", path)
+    val input = MemoryStream[(String, Long)]
+    val q = Relational.quantileStream(input.toDF().toDF("g", "v"), path)
+    try {
+      input.addData((51 to 75).map(i => ("g", i.toLong)))
+      q.processAllAvailable()
+      input.addData((76 to 100).map(i => ("g", i.toLong)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Relational.quantilesFromState(
+      (1 to 100).map(i => ("g", i.toLong)).toDF("g", "v"), path, Seq(0.5))
+      .collect().map(_.getLong(2)).toSeq == Seq(50L))
+  }
+
   test("sketchQuantile plan broadcasts the target frame and never goes cartesian") {
     val df = (1 to 500).map(i => (s"g${i % 3}", i.toLong)).toDF("g", "v")
     val plan = Relational.sketchQuantile(df, "g", "v", 0.5)
