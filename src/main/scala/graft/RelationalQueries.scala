@@ -428,6 +428,17 @@ object RelationalQueries {
       Relational.quantilesFromState(orders, path, Seq(0.25, 0.5, 0.95))
     }),
 
+    // WEIGHTED quantiles: the price level below which half / 90% of
+    // shipped QUANTITY lies, per return flag — rank over weight mass,
+    // the universe mixing/packing decisions live in. Integer quantities
+    // keep every cumulative exactly representable.
+    "q44_weighted_quantile" -> ((s, dir) =>
+      Relational.sketchQuantilesWeighted(
+        Tables(s, dir, "lineitem").select(col("l_returnflag"),
+          cents(col("l_extendedprice")).as("price_cents"),
+          col("l_quantity").cast("long").as("qty")),
+        "l_returnflag", "price_cents", "qty", ps = Seq(0.5, 0.9))),
+
     // Sorted-neighborhood blocking over customer names: each record
     // scored against its 3 successors in global (name, id) sort order —
     // the linear-cost candidate scheme for records sharing no clean
@@ -826,6 +837,26 @@ object RelationalQueries {
         |  FROM documents)
         |SELECT lang, v AS p90_chars FROM r
         |WHERE rn = cast(ceil(n * 0.9) as bigint)""".stripMargin,
+
+    // weighted rank: smallest value whose cumulative ascending weight
+    // reaches ceil(p*W) — per-distinct-value weight sums first, so ties
+    // are well-defined in both engines
+    "q44_weighted_quantile" ->
+      """WITH d AS (
+        |  SELECT l_returnflag,
+        |    cast(round(l_extendedprice * 100, 0) as bigint) AS v,
+        |    sum(cast(l_quantity as bigint)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, v, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM d),
+        |p AS (SELECT unnest([0.5, 0.9]) AS p)
+        |SELECT c.l_returnflag, p.p AS p, c.v AS quantile
+        |FROM c JOIN p
+        |  ON c.cum >= cast(ceil(c.tot * p.p) as bigint)
+        | AND c.cum - c.w < cast(ceil(c.tot * p.p) as bigint)""".stripMargin,
 
     "q42_sketch_quantiles" -> SketchQuantilesSql,
     // q43 maintains the same histogram incrementally and reads the same

@@ -78,22 +78,27 @@ final class LogHistogram(val gamma: Double) {
 }
 
 /**
- * `dd_sketch(value, γ)` — see [[LogHistogram]]. Returns
- * `array<struct<bucket int, cnt bigint>>` ascending by bucket. Null
- * values are skipped (callers derive n from the bucket sum or a
- * matching `count(value)`).
+ * `dd_sketch(value, γ)` / `dd_sketch_weighted(value, weight, γ)` — see
+ * [[LogHistogram]]. Returns `array<struct<bucket int, cnt bigint>>`
+ * ascending by bucket; in the weighted form each bucket count is the SUM
+ * OF WEIGHTS of its values (token-mass, quantity-mass — the rank
+ * universe training mixes actually care about). Null values, and rows
+ * with null or non-positive weight, are skipped (callers derive the
+ * total from the bucket sum).
  */
 case class DdSketchAgg(
     valueExpr: Expression, gamma: Double,
+    weightExpr: Option[Expression] = None,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[LogHistogram] with ImplicitCastInputTypes {
 
   require(gamma > 1.0, "gamma must exceed 1")
 
-  override def children: Seq[Expression] = Seq(valueExpr)
-  override def inputTypes = Seq(LongType)
+  override def children: Seq[Expression] = valueExpr +: weightExpr.toSeq
+  override def inputTypes = children.map(_ => LongType)
   override def nullable: Boolean = false
-  override def prettyName: String = "dd_sketch"
+  override def prettyName: String =
+    if (weightExpr.isDefined) "dd_sketch_weighted" else "dd_sketch"
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("bucket", IntegerType, nullable = false),
     StructField("cnt", LongType, nullable = false))), containsNull = false)
@@ -102,7 +107,13 @@ case class DdSketchAgg(
 
   override def update(b: LogHistogram, input: InternalRow): LogHistogram = {
     val v = valueExpr.eval(input)
-    if (v != null) b.add(v.asInstanceOf[Long])
+    if (v != null) weightExpr match {
+      case None => b.add(v.asInstanceOf[Long])
+      case Some(we) =>
+        val w = we.eval(input)
+        if (w != null && w.asInstanceOf[Long] > 0L)
+          b.add(v.asInstanceOf[Long], w.asInstanceOf[Long])
+    }
     b
   }
 
@@ -138,11 +149,16 @@ case class DdSketchAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): DdSketchAgg =
-    copy(valueExpr = newChildren(0))
+    copy(valueExpr = newChildren(0),
+      weightExpr = if (newChildren.length > 1) Some(newChildren(1)) else None)
 }
 
 object dd {
   def dd_sketch(value: Column, gamma: Double): Column =
     Bridge.column(
       DdSketchAgg(Bridge.expression(value), gamma).toAggregateExpression())
+
+  def dd_sketch_weighted(value: Column, weight: Column, gamma: Double): Column =
+    Bridge.column(DdSketchAgg(Bridge.expression(value), gamma,
+      Some(Bridge.expression(weight))).toAggregateExpression())
 }

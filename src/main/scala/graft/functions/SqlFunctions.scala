@@ -46,6 +46,10 @@ object SqlFunctions {
     // aggregate: γ-log-bucket rank histogram (exact bucket counts)
     "dd_sketch" -> (e =>
       DdSketchAgg(e.head, doubleArg(e, 1, 1.02)).toAggregateExpression()),
+    // weighted form: buckets carry weight mass instead of row counts
+    "dd_sketch_weighted" -> (e =>
+      DdSketchAgg(e.head, doubleArg(e, 2, 1.02), Some(e(1)))
+        .toAggregateExpression()),
   )
 
   private def doubleArg(exprs: Seq[Expression], i: Int, default: Double): Double =

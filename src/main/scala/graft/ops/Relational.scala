@@ -334,18 +334,23 @@ object Relational {
     * never rests on the sketch — an escaped crossing raises. */
   private[ops] def quantileVerify(
       df: DataFrame, groupCol: String, valueCol: String,
-      targets: DataFrame, gamma: Double): DataFrame = {
+      targets: DataFrame, gamma: Double,
+      weightCol: Option[String] = None): DataFrame = {
     val v = col(valueCol).cast("long")
     val e2 = encCol(v, gamma)
     val k = when(e2 < col("__et") - 1, lit(-1))
       .when(e2 > col("__et") + 1, lit(1)).otherwise(lit(0))
     val byGPkw = Window.partitionBy(col(groupCol), col("p"))
       .orderBy(col("__k"), col("__w"))
-    df.filter(col(valueCol).isNotNull)
+    val rowMass = weightCol
+      .map(wc => sum(col(wc).cast("long"))).getOrElse(count(lit(1)))
+    val admitted = weightCol.foldLeft(df.filter(col(valueCol).isNotNull))(
+      (d, wc) => d.filter(col(wc).isNotNull && col(wc).cast("long") > 0))
+    admitted
       .join(broadcast(targets), Seq(groupCol))
       .groupBy(col(groupCol), col("p"), k.as("__k"),
         when(k === 0, v).otherwise(lit(0L)).as("__w"), col("__r"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(rowMass.as("__c"))
       .withColumn("__cum", sum("__c").over(byGPkw))
       .filter(col("__cum") >= col("__r") &&
         col("__cum") - col("__c") < col("__r"))
@@ -354,6 +359,31 @@ object Relational {
           lit("sketchQuantile: rank crossing escaped the proposed bucket " +
             "window for group "), col(groupCol).cast("string"))))
           .as("quantile"))
+  }
+
+  /**
+   * WEIGHTED exact quantiles: the value at weighted rank `⌈p·W⌉` (W =
+   * total weight; smallest value whose cumulative ascending weight
+   * reaches it) — "the doc length below which 90% of TOKENS lie", the
+   * rank universe mixing and packing decisions actually live in. Same
+   * two passes as [[sketchQuantiles]] with every count replaced by a
+   * weight sum ([[graft.functions.dd.dd_sketch_weighted]] buckets carry
+   * weight mass exactly); reduces to the unweighted form at weight ≡ 1.
+   * Rows with null or non-positive weight are excluded everywhere.
+   */
+  def sketchQuantilesWeighted(
+      df: DataFrame, groupCol: String, valueCol: String, weightCol: String,
+      ps: Seq[Double], gamma: Double = 1.02): DataFrame = {
+    val buckets = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.dd.dd_sketch_weighted(
+        col(valueCol).cast("long"), col(weightCol).cast("long"), gamma)
+        .as("__bk"))
+      .select(col(groupCol), explode(col("__bk")).as("__b"))
+      .select(col(groupCol), col("__b.bucket").as("__e"),
+        col("__b.cnt").as("__c"))
+    quantileVerify(df, groupCol, valueCol,
+      quantileTargets(buckets, groupCol, ps), gamma, Some(weightCol))
   }
 
   // ------------------------------------------------ persisted quantile state

@@ -104,6 +104,41 @@ class DdSketchSpec extends SparkSpec {
     assert(got == want)
   }
 
+  private def exactWeightedQuantile(vws: Seq[(Long, Long)], p: Double): Long = {
+    val total = vws.map(_._2).sum
+    val r = math.ceil(p * total).toLong
+    var cum = 0L
+    for ((v, w) <- vws.sortBy(_._1)) { cum += w; if (cum >= r) return v }
+    throw new IllegalStateException("unreachable")
+  }
+
+  test("weighted quantiles: exact at weighted rank; weight 1 reduces to unweighted") {
+    val rnd = new scala.util.Random(19)
+    val rows = (1 to 2000).map { i =>
+      (s"g${i % 3}", (rnd.nextInt(500) - 100).toLong,
+        // include zero/negative/null-ish weights to prove exclusion
+        (rnd.nextInt(12) - 2).toLong)
+    }
+    val df = rows.toDF("g", "v", "w")
+    val ps = Seq(0.5, 0.9)
+    val got = Relational.sketchQuantilesWeighted(df, "g", "v", "w", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+      .toMap
+    val want = (for {
+      (g, gs) <- rows.filter(_._3 > 0).groupBy(_._1); p <- ps
+    } yield (g, p) -> exactWeightedQuantile(
+      gs.map(t => (t._2, t._3)), p)).toMap
+    assert(got == want)
+    // weight ≡ 1 is exactly the unweighted lane
+    val ones = df.withColumn("w", lit(1L))
+    assert(Relational.sketchQuantilesWeighted(ones, "g", "v", "w", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+      .toMap ==
+      Relational.sketchQuantiles(df, "g", "v", ps)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+        .toMap)
+  }
+
   test("persisted quantile state: distributed folds are exact; state path matches direct path") {
     val rnd = new scala.util.Random(5)
     val rows = (1 to 3000).map(i =>
