@@ -1245,6 +1245,43 @@ object Snapshots {
     read(spark, root, asOf = Some(id), prune = prune)
   }
 
+  // ------------------------------------------------------- maintenance
+
+  /** One cron-shaped maintenance pass: see [[maintain]]. `keepLast`
+    * defaults to unbounded retention (maintenance must opt INTO deleting
+    * history); `sortBy` opts into clustered compaction. */
+  case class MaintenancePolicy(
+      targetFilesPerPartition: Int = 1,
+      sortBy: Seq[String] = Seq.empty,
+      keepLast: Int = Int.MaxValue,
+      vacuumGraceMs: Long = DefaultVacuumGraceMs)
+
+  case class MaintenanceReport(
+      compactedTo: Option[Int], expired: Seq[Int], filesExpired: Int,
+      orphansVacuumed: Int, stagingTreesDropped: Int)
+
+  /**
+   * The periodic maintenance pass a streaming landing zone needs, in the
+   * one order that is safe: COMPACT first (over-fragmented partitions
+   * rewrite into a new snapshot — readers undisturbed), then EXPIRE
+   * (retention reclaims the pre-compact fragments once they fall out of
+   * `keepLast`, tags and staged bases still pinned), then VACUUM (crashed
+   * writes and abandoned staged files behind the age grace). Every step
+   * is the existing audited operation; this is composition, not new
+   * machinery — the call a scheduler runs against each dataset root.
+   */
+  def maintain(
+      spark: SparkSession, root: String, partitionFields: Seq[String],
+      policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
+    val compacted = compact(spark, root, partitionFields,
+      policy.targetFilesPerPartition, policy.sortBy)
+    val (expired, filesExpired) =
+      if (policy.keepLast == Int.MaxValue) (Seq.empty[Int], 0)
+      else expire(spark, root, policy.keepLast)
+    val (orphans, stages) = vacuum(spark, root, policy.vacuumGraceMs)
+    MaintenanceReport(compacted, expired, filesExpired, orphans, stages)
+  }
+
   // ------------------------------------------------ write–audit–publish
 
   private def stagedDir(root: Path) = new Path(root, "staged")

@@ -818,6 +818,42 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("maintain: compact -> expire -> vacuum in one policy pass, content intact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_maint").toString
+    val df = (0 until 600).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("k", "p")
+    Snapshots.write(df.repartition(6), root, Seq("p"),
+      statsColumns = Seq("k"))
+    Snapshots.write(
+      Seq((1000L, "a")).toDF("k", "p"), root, Seq("p"), SnapAppend)
+    // a crashed writer's stray file for vacuum to reclaim
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      s"$root/data/p=a/part-stray.parquet"), Array[Byte](1))
+    val r = Snapshots.maintain(spark, root, Seq("p"),
+      Snapshots.MaintenancePolicy(targetFilesPerPartition = 2,
+        sortBy = Seq("k"), keepLast = 1, vacuumGraceMs = 0L))
+    assert(r.compactedTo.contains(3))
+    assert(r.expired == Seq(1, 2) && r.filesExpired > 0)
+    assert(r.orphansVacuumed == 1, "the stray file is vacuum's")
+    // content identical, layout compacted + clustered
+    assert(Snapshots.read(spark, root).count() == 601)
+    // range split: files ≤ tasks + partitions − 1 (a boundary task that
+    // straddles two partition values writes one file into each)
+    assert(Snapshots.read(spark, root).inputFiles.length <= 5)
+    val pruned = Snapshots.read(spark, root,
+      prune = Seq(Snapshots.StatRange("k", Some(0L), Some(99L))))
+    assert(pruned.inputFiles.length < Snapshots.read(spark, root)
+      .inputFiles.length, "clustered stats prune after maintain")
+    // default policy deletes NO history
+    val root2 = java.nio.file.Files.createTempDirectory("snap_maint2").toString
+    Snapshots.write(df.repartition(6), root2, Seq("p"))
+    Snapshots.write(Seq((1000L, "a")).toDF("k", "p"), root2, Seq("p"))
+    val r2 = Snapshots.maintain(spark, root2, Seq("p"))
+    assert(r2.expired.isEmpty && r2.compactedTo.contains(3))
+    assert(Snapshots.read(spark, root2, asOf = Some(1)).count() == 600)
+  }
+
   test("tags protect snapshots from expiry and read by name; dropping re-arms retention") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_tag").toString
