@@ -412,6 +412,79 @@ object SinkQueries {
           "o_orderpriority")
     }),
 
+    // The SAME change batch as sink_snapshot_merge, written MERGE-ON-READ
+    // (mergeDeltas): upserts land as plain files, one equality-delete
+    // file suppresses the old copies at read — the write is O(batch),
+    // asserted in-query on the raw manifest (zero remove lines: no base
+    // partition was read or rewritten). The oracle is therefore identical
+    // to the copy-on-write merge's — same semantics, different write cost.
+    "sink_snapshot_mor" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_mor").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"))
+      val k = col("o_orderkey")
+      val updates = base.filter(k % 7 === 0 && k % 11 =!= 0)
+        .withColumn("o_orderstatus", lit("X")).withColumn("__del", lit(false))
+        .unionByName(base.filter(k % 11 === 0).withColumn("__del", lit(true)))
+      val mid = Snapshots.mergeDeltas(s, out, updates,
+        Seq("o_orderpriority"), Seq("o_orderkey"), deleteCol = Some("__del"))
+      require(mid == 2, s"expected merge snapshot 2: $mid")
+      val m2 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out/snapshots/s2")))
+      require(!m2.linesIterator.exists(_.startsWith("remove=")),
+        "merge-on-read must not rewrite base files")
+      require(m2.linesIterator.count(_.startsWith("dadd=")) == 1,
+        "expected exactly one equality-delete file")
+      require(Snapshots.read(s, out, asOf = Some(1)).count() == base.count(),
+        "pre-merge state must stay time-travelable")
+      Snapshots.read(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
+    // Two sequential merge-on-read batches — the second RE-INSERTS a
+    // subset of the keys the first deleted (status R), exercising the seq
+    // discipline (a newer file escapes an older delete) — then
+    // foldDeletes rewrites the affected partitions with the deletes
+    // applied and drops every delete entry (asserted in-query: the folded
+    // manifest joins nothing). The oracle derives the final state from
+    // the source; the pre-fold read must already equal it.
+    "sink_snapshot_fold" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_fold").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"))
+      val k = col("o_orderkey")
+      val b1 = base.filter(k % 7 === 0 && k % 11 =!= 0)
+        .withColumn("o_orderstatus", lit("X")).withColumn("__del", lit(false))
+        .unionByName(base.filter(k % 11 === 0).withColumn("__del", lit(true)))
+      Snapshots.mergeDeltas(s, out, b1,
+        Seq("o_orderpriority"), Seq("o_orderkey"), deleteCol = Some("__del"))
+      val b2 = base.filter(k % 22 === 0)
+        .withColumn("o_orderstatus", lit("R")).withColumn("__del", lit(false))
+      Snapshots.mergeDeltas(s, out, b2,
+        Seq("o_orderpriority"), Seq("o_orderkey"), deleteCol = Some("__del"))
+      val preFold = Snapshots.read(s, out).count()
+      val fid = Snapshots.foldDeletes(s, out, Seq("o_orderpriority"))
+      require(fid.contains(4), s"expected fold snapshot 4: $fid")
+      require(Snapshots.read(s, out).count() == preFold,
+        "fold must not change visible rows")
+      val m4 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out/snapshots/s4")))
+      require(m4.linesIterator.count(_.startsWith("dremove=")) == 2 &&
+        !m4.linesIterator.exists(_.startsWith("dadd=")),
+        "fold must drop every equality-delete entry")
+      // the MoR state behind the fold still reads through its deletes
+      require(Snapshots.read(s, out, asOf = Some(3)).count() == preFold,
+        "pre-fold travel broke")
+      Snapshots.read(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
     // Incremental consumption off the manifests: three appended thirds,
     // then "read what snapshot 1 didn't have" — exactly batches 2 and 3,
     // resolved from two manifest reads with no directory listing and no
@@ -822,6 +895,28 @@ object SinkQueries {
         |    THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
         |  o_totalprice, o_orderpriority
         |FROM orders WHERE o_orderkey % 11 != 0""".stripMargin,
+
+    // merge-on-read lands the identical logical state as the
+    // copy-on-write merge — same oracle derivation
+    "sink_snapshot_mor" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 11 != 0
+        |    THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 11 != 0""".stripMargin,
+
+    // after batch 1 (delete %11, patch %7-not-%11 to X) and batch 2
+    // (re-insert %22 with status R), folded to plain files
+    "sink_snapshot_fold" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 11 != 0
+        |    THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 11 != 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+        |  o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 22 = 0""".stripMargin,
 
     // batches 2 and 3 of the three mod-3 appends
     "sink_snapshot_incremental" ->

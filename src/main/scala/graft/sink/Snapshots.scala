@@ -100,6 +100,7 @@ object Snapshots {
 
   private def snapshotsDir(root: Path) = new Path(root, "snapshots")
   private def dataDir(root: Path) = new Path(root, "data")
+  private def deletesDir(root: Path) = new Path(root, "deletes")
 
   private def parentDirOf(rel: String): String = {
     val i = rel.lastIndexOf('/')
@@ -110,9 +111,26 @@ object Snapshots {
 
   /** One live data file with its optional per-column (min, max) stats —
     * values in Spark cast-to-string form; `None` = the file's every value
-    * for that column is null. */
+    * for that column is null. `seq` is the snapshot id the file was ADDED
+    * at — the merge-on-read sequencing token: an equality-delete file
+    * suppresses only rows in data files with a STRICTLY OLDER seq, so a
+    * merge batch's own upserts (same snapshot) and any later re-insert of
+    * a deleted key are never suppressed. Entries that predate seq
+    * recording carry 0 (every delete applies — correct: deletes are
+    * always newer than a pre-MoR file). */
   private case class FileEntry(
-      rel: String, stats: Map[String, (Option[String], Option[String])])
+      rel: String, stats: Map[String, (Option[String], Option[String])],
+      seq: Int = 0)
+
+  /** One live EQUALITY-DELETE file (merge-on-read): rows of `keyCols`
+    * values whose matching data rows are suppressed at read in every data
+    * file with seq < this entry's `seq`. `stats` records the delete
+    * batch's per-key-column min/max so reads and [[foldDeletes]] can skip
+    * data files whose key range provably cannot intersect. Lives under
+    * `deletes/` (rel to that dir), in the dataset's format. */
+  private case class DeleteEntry(
+      rel: String, seq: Int, keyCols: Seq[String],
+      stats: Map[String, (Option[String], Option[String])])
 
   /** Dataset-level write metadata recorded in every manifest. */
   private case class SnapMeta(
@@ -121,50 +139,99 @@ object Snapshots {
       partitionCols: Seq[String])
 
   /** One manifest as stored: a FULL file listing (`full` defined) or a
-    * DELTA against `parent` (adds/removes). */
+    * DELTA against `parent` (adds/removes). Delete-file lines ride the
+    * same shapes (`dfile=` in full manifests, `dadd=`/`dremove=` in
+    * deltas). */
   private case class RawManifest(
       id: Int, mode: String, schema: Option[StructType], format: String,
       codec: Option[String], statsCols: Seq[String], batchTag: Option[String],
       partitionCols: Seq[String], parent: Option[Int], adds: Seq[FileEntry],
-      removes: Seq[String], full: Option[Seq[FileEntry]])
+      removes: Seq[String], full: Option[Seq[FileEntry]],
+      dAdds: Seq[DeleteEntry], dRemoves: Seq[String],
+      dFull: Option[Seq[DeleteEntry]])
 
   /** A snapshot with its delta chain applied: the complete live file set
-    * plus the requested manifest's metadata. */
+    * (plus live equality-delete files) and the requested manifest's
+    * metadata. */
   private case class Resolved(
       id: Int, mode: String, schema: Option[StructType], format: String,
       codec: Option[String], statsCols: Seq[String], batchTag: Option[String],
-      partitionCols: Seq[String], files: Seq[FileEntry], chainDepth: Int)
+      partitionCols: Seq[String], files: Seq[FileEntry],
+      deletes: Seq[DeleteEntry], chainDepth: Int)
 
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
   // rel paths never contain a tab (Hive partition-path escaping encodes
   // control characters; part-file names are alphanumeric), so tab cleanly
-  // separates the path from its stats blob
-  private def encodeEntry(e: FileEntry): String =
-    if (e.stats.isEmpty) e.rel
-    else e.rel + "\t" + e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+  // separates the path from its seq and stats fields
+  private def encodeStats(
+      stats: Map[String, (Option[String], Option[String])]): String =
+    stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
       s"${enc(c)}=${lo.fold("~")(enc)},${hi.fold("~")(enc)}"
     }.mkString("&")
 
+  private def decodeStats(
+      s: String): Map[String, (Option[String], Option[String])] =
+    s.split("&").filter(_.nonEmpty).map { kv =>
+      val eq = kv.indexOf('=')
+      val Array(lo, hi) = kv.substring(eq + 1).split(",", 2)
+      dec(kv.substring(0, eq)) ->
+        ((if (lo == "~") None else Some(dec(lo))),
+          (if (hi == "~") None else Some(dec(hi))))
+    }.toMap
+
+  private val SeqField = "^seq=(\\d+)$".r
+
+  private def encodeEntry(e: FileEntry): String = {
+    val b = new StringBuilder(e.rel)
+    if (e.seq > 0) b ++= s"\tseq=${e.seq}"
+    if (e.stats.nonEmpty) { b += '\t'; b ++= encodeStats(e.stats) }
+    b.result()
+  }
+
+  // a stats blob always contains "=lo,hi" (comma included), so a bare
+  // `seq=<digits>` field is unambiguous against a stat column named "seq"
   private def decodeEntry(s: String): FileEntry = {
-    val i = s.indexOf('\t')
-    if (i < 0) FileEntry(s, Map.empty)
-    else {
-      val stats = s.substring(i + 1).split("&").filter(_.nonEmpty).map { kv =>
-        val eq = kv.indexOf('=')
-        val Array(lo, hi) = kv.substring(eq + 1).split(",", 2)
-        dec(kv.substring(0, eq)) ->
-          ((if (lo == "~") None else Some(dec(lo))),
-            (if (hi == "~") None else Some(dec(hi))))
-      }.toMap
-      FileEntry(s.substring(0, i), stats)
+    val fields = s.split("\t")
+    var seq = 0
+    var stats = Map.empty[String, (Option[String], Option[String])]
+    fields.tail.foreach {
+      case SeqField(n) => seq = n.toInt
+      case blob => stats = decodeStats(blob)
     }
+    FileEntry(fields.head, stats, seq)
+  }
+
+  private def encodeDelete(d: DeleteEntry): String = {
+    val b = new StringBuilder(d.rel)
+    b ++= s"\tseq=${d.seq}"
+    b ++= s"\tkeys=${d.keyCols.map(enc).mkString(",")}"
+    if (d.stats.nonEmpty) { b += '\t'; b ++= encodeStats(d.stats) }
+    b.result()
+  }
+
+  private def decodeDelete(s: String): DeleteEntry = {
+    val fields = s.split("\t")
+    var seq = 0
+    var keyCols = Seq.empty[String]
+    var stats = Map.empty[String, (Option[String], Option[String])]
+    fields.tail.foreach {
+      case SeqField(n) => seq = n.toInt
+      case kf if kf.startsWith("keys=") =>
+        keyCols = kf.stripPrefix("keys=").split(",").toSeq
+          .filter(_.nonEmpty).map(dec)
+      case blob => stats = decodeStats(blob)
+    }
+    DeleteEntry(fields.head, seq, keyCols, stats)
   }
 
   private def renderManifest(
       meta: SnapMeta, parent: Option[Int], adds: Seq[FileEntry],
-      removes: Seq[String], full: Option[Seq[FileEntry]]): String = {
+      removes: Seq[String], full: Option[Seq[FileEntry]],
+      dAdds: Seq[DeleteEntry] = Seq.empty,
+      dRemoves: Seq[String] = Seq.empty,
+      dFull: Seq[DeleteEntry] = Seq.empty): String = {
     val b = new StringBuilder
     b ++= "graftsnap=2\n"
     b ++= s"mode=${meta.mode}\n"
@@ -180,9 +247,12 @@ object Snapshots {
     full match {
       case Some(files) =>
         files.sortBy(_.rel).foreach(e => b ++= s"file=${encodeEntry(e)}\n")
+        dFull.sortBy(_.rel).foreach(d => b ++= s"dfile=${encodeDelete(d)}\n")
       case None =>
         removes.sorted.foreach(r => b ++= s"remove=$r\n")
         adds.sortBy(_.rel).foreach(e => b ++= s"add=${encodeEntry(e)}\n")
+        dRemoves.sorted.foreach(r => b ++= s"dremove=$r\n")
+        dAdds.sortBy(_.rel).foreach(d => b ++= s"dadd=${encodeDelete(d)}\n")
     }
     b.result()
   }
@@ -201,6 +271,9 @@ object Snapshots {
       val adds = Seq.newBuilder[FileEntry]
       val removes = Seq.newBuilder[String]
       val fulls = Seq.newBuilder[FileEntry]
+      val dAdds = Seq.newBuilder[DeleteEntry]
+      val dRemoves = Seq.newBuilder[String]
+      val dFulls = Seq.newBuilder[DeleteEntry]
       lines.tail.foreach {
         case l if l.startsWith("mode=") => mode = l.stripPrefix("mode=")
         case l if l.startsWith("schema=") =>
@@ -224,12 +297,20 @@ object Snapshots {
           adds += decodeEntry(l.stripPrefix("add="))
         case l if l.startsWith("file=") =>
           fulls += decodeEntry(l.stripPrefix("file="))
+        case l if l.startsWith("dremove=") =>
+          dRemoves += l.stripPrefix("dremove=")
+        case l if l.startsWith("dadd=") =>
+          dAdds += decodeDelete(l.stripPrefix("dadd="))
+        case l if l.startsWith("dfile=") =>
+          dFulls += decodeDelete(l.stripPrefix("dfile="))
         case other => throw new IllegalStateException(
           s"corrupt snapshot manifest s$id: unrecognized line '${other.take(80)}'")
       }
       RawManifest(id, mode, schema, format, codec, statsCols, batchTag,
         partitionCols, parent, adds.result(), removes.result(),
-        if (parent.isEmpty) Some(fulls.result()) else None)
+        if (parent.isEmpty) Some(fulls.result()) else None,
+        dAdds.result(), dRemoves.result(),
+        if (parent.isEmpty) Some(dFulls.result()) else None)
     } else {
       // v1 (positional): mode line, optional schema line, bare file paths
       val mode = lines.head.stripPrefix("mode=")
@@ -240,7 +321,8 @@ object Snapshots {
       }
       RawManifest(id, mode, schema, "parquet", None, Seq.empty, None,
         Seq.empty, None, Seq.empty, Seq.empty,
-        Some(files.map(FileEntry(_, Map.empty))))
+        Some(files.map(FileEntry(_, Map.empty))),
+        Seq.empty, Seq.empty, Some(Seq.empty))
     }
   }
 
@@ -287,14 +369,18 @@ object Snapshots {
     }
     val top = chain.last
     val files = scala.collection.mutable.LinkedHashMap[String, FileEntry]()
+    val dels = scala.collection.mutable.LinkedHashMap[String, DeleteEntry]()
     chain.head.full.getOrElse(Seq.empty).foreach(e => files(e.rel) = e)
+    chain.head.dFull.getOrElse(Seq.empty).foreach(d => dels(d.rel) = d)
     chain.tail.foreach { m =>
       m.removes.foreach(files.remove)
       m.adds.foreach(e => files(e.rel) = e)
+      m.dRemoves.foreach(dels.remove)
+      m.dAdds.foreach(d => dels(d.rel) = d)
     }
     Resolved(top.id, top.mode, top.schema, top.format, top.codec,
       top.statsCols, top.batchTag, top.partitionCols, files.values.toSeq,
-      chain.length - 1)
+      dels.values.toSeq, chain.length - 1)
   }
 
   /** The current snapshot id, if any write has published. */
@@ -455,6 +541,65 @@ object Snapshots {
       }
     }
 
+  /** Whether equality-delete `d` can suppress rows in data file `e`:
+    * strictly-older files only (seq ordering — a merge's own upserts and
+    * later re-inserts are never suppressed), and only when the file's
+    * recorded key range can intersect the delete batch's (missing stats
+    * on either side → conservative yes). */
+  private def deleteApplies(
+      d: DeleteEntry, e: FileEntry, schema: StructType): Boolean =
+    d.seq > e.seq && d.keyCols.forall { c =>
+      (e.stats.get(c), d.stats.get(c)) match {
+        case (Some((Some(flo), Some(fhi))), Some((Some(dlo), Some(dhi)))) =>
+          val dt = schema.fields.find(_.name == c).map(_.dataType)
+            .getOrElse(StringType)
+          statCompare(dt, flo, dhi) <= 0 && statCompare(dt, fhi, dlo) >= 0
+        case _ => true
+      }
+    }
+
+  /**
+   * Scan `kept` data files with the snapshot's equality-delete files
+   * applied — the MERGE-ON-READ read path. Files are grouped into classes
+   * by which deletes apply (seq ordering + key-range stats pruning — a
+   * file no delete can touch scans clean, no join at all); each class is
+   * one scan anti-joined against the BROADCAST union of its applicable
+   * delete keys. Every data file is read exactly once; class count is
+   * bounded by the live delete-file count, which [[foldDeletes]] /
+   * [[compact]] keep small — the Iceberg v2 merge-on-read shape.
+   */
+  private def scanWithDeletes(
+      spark: SparkSession, qroot: Path, m: Resolved,
+      kept: Seq[FileEntry]): DataFrame = {
+    val base = dataDir(qroot).toString
+    def load(entries: Seq[FileEntry]): DataFrame =
+      reader(spark, m.format, base, m.schema)
+        .load(entries.map(e => s"$base/${e.rel}"): _*)
+    if (m.deletes.isEmpty) return load(kept)
+    val schema = m.schema.getOrElse(StructType(Seq.empty))
+    val keyCols = m.deletes.head.keyCols
+    require(m.deletes.forall(_.keyCols == keyCols),
+      "live equality-delete files disagree on key columns — corrupt state")
+    val keySchema = StructType(keyCols.map(c =>
+      schema.fields.find(_.name == c).getOrElse(throw new IllegalStateException(
+        s"equality-delete key $c is not in the snapshot schema"))))
+    val delBase = deletesDir(qroot).toString
+    val classes = kept.groupBy(e =>
+      m.deletes.filter(deleteApplies(_, e, schema)).map(_.rel).sorted)
+    classes.toSeq.sortBy(_._1.mkString(","))
+      .map { case (delRels, entries) =>
+        val df = load(entries)
+        if (delRels.isEmpty) df
+        else {
+          val keys = spark.read.format(sinkFormatOf(m.format).name)
+            .schema(keySchema)
+            .load(delRels.map(r => s"$delBase/$r"): _*).distinct()
+          df.join(org.apache.spark.sql.functions.broadcast(keys),
+            keyCols, "left_anti")
+        }
+      }.reduce(_ unionByName _)
+  }
+
   /**
    * Land `df` as the next snapshot. The batch is staged as a partitioned
    * file tree in the dataset's format, its files MOVED (rename —
@@ -504,13 +649,17 @@ object Snapshots {
       statsColumns: Seq[String] = Seq.empty,
       format: Option[SinkFormat] = None,
       codec: Option[String] = None,
-      stageAs: Option[String] = None): Int = {
+      stageAs: Option[String] = None,
+      deleteKeys: Option[(DataFrame, Seq[String])] = None,
+      dropDeletes: Boolean = false): Int = {
     require(partitionFields.nonEmpty, "snapshot datasets are partitioned")
     stageAs.foreach { n =>
       require(RefRe.matches(n), s"staged name '$n' must match ${RefRe.regex}")
       require(batchTag.isEmpty,
         "stageWrite is the manual audit lane — streaming batches publish " +
           "directly with their replay tag")
+      require(deleteKeys.isEmpty && !dropDeletes,
+        "merge-on-read deletes publish directly, not through the WAP lane")
     }
     val spark = df.sparkSession
     val (f, qroot) = FsOps.fs(spark, root)
@@ -577,6 +726,22 @@ object Snapshots {
       require(isStatType(fld.dataType),
         s"stat column $c has non-orderable-atomic type ${fld.dataType}")
     }
+    // equality-delete key columns are a dataset property while any delete
+    // file is live: every reader anti-joins on ONE key set
+    deleteKeys.foreach { case (_, kc) =>
+      require(kc.nonEmpty, "merge-on-read needs at least one key column")
+      kc.foreach { c =>
+        require(!partitionFields.contains(c),
+          s"merge key $c cannot be a partition field")
+        require(contract.fields.exists(_.name == c),
+          s"merge key $c is not in the dataset schema")
+      }
+      prev.foreach(_.deletes.headOption.foreach(d =>
+        require(d.keyCols == kc,
+          s"dataset at $root has live equality-deletes keyed by " +
+            s"${d.keyCols.mkString(",")}; cannot merge by ${kc.mkString(",")} " +
+            "until foldDeletes clears them")))
+    }
     val staging = new Path(qroot,
       s".stage_${java.util.UUID.randomUUID().toString.take(12)}")
     val w0 = df.write.mode("overwrite").partitionBy(partitionFields: _*)
@@ -592,7 +757,7 @@ object Snapshots {
     // partitions a merge touched but staged nothing back into: every row
     // deleted — they must leave the manifest even with no replacement file
     val emptied = touchedDirs.map(_ -- stagedDirs).getOrElse(Set.empty)
-    require(staged.nonEmpty || emptied.nonEmpty,
+    require(staged.nonEmpty || emptied.nonEmpty || deleteKeys.isDefined,
       "empty batch — nothing to snapshot")
     val data = dataDir(qroot)
     staged.foreach { rel =>
@@ -601,16 +766,45 @@ object Snapshots {
       FsOps.renameOrFail(f, new Path(staging, rel), dst)
     }
     FsOps.deleteIfExists(f, staging)
+    val id = cur.getOrElse(0) + 1
     val addEntries = staged.map(rel =>
-      FileEntry(rel, statsByName.getOrElse(rel, Map.empty)))
+      FileEntry(rel, statsByName.getOrElse(rel, Map.empty), seq = id))
+    // stage the equality-delete file (merge-on-read): the batch's key
+    // rows, one small file in the dataset's format under deletes/, with
+    // per-key min/max recorded so reads and folds can skip clean files
+    val dAdds: Seq[DeleteEntry] = deleteKeys match {
+      case None => Seq.empty
+      case Some((keysDf, kc)) =>
+        import org.apache.spark.sql.functions.col
+        val cast = keysDf.select(kc.map(c => col(c).cast(
+          contract.fields.find(_.name == c).get.dataType).as(c)): _*)
+          .distinct()
+        val dstage = new Path(qroot,
+          s".stage_${java.util.UUID.randomUUID().toString.take(12)}")
+        val dw = cast.coalesce(1).write.mode("overwrite").format(fmtObj.name)
+        dsCodec.fold(dw)(c => dw.option("compression", c)).save(dstage.toString)
+        val parts = listDataFiles(f, dstage)
+        require(parts.length == 1,
+          s"delete-key staging produced ${parts.length} files, expected 1")
+        val dstats = computeStats(spark, dstage, fmtTok, kc)
+          .values.headOption.getOrElse(Map.empty)
+        val rel = s"del-s$id-${parts.head}"
+        f.mkdirs(deletesDir(qroot))
+        FsOps.renameOrFail(f, new Path(dstage, parts.head),
+          new Path(deletesDir(qroot), rel))
+        FsOps.deleteIfExists(f, dstage)
+        Seq(DeleteEntry(rel, id, kc, dstats))
+    }
     val prevFiles = prev.map(_.files).getOrElse(Seq.empty)
+    val prevDeletes = prev.map(_.deletes).getOrElse(Seq.empty)
     val removes: Seq[String] = mode match {
       case SnapAppend => Seq.empty
       case SnapOverwritePartitions =>
         val replaced = stagedDirs ++ emptied
         prevFiles.map(_.rel).filter(p => replaced(parentDirOf(p)))
     }
-    val id = cur.getOrElse(0) + 1
+    val dRemoves: Seq[String] =
+      if (dropDeletes) prevDeletes.map(_.rel) else Seq.empty
     val meta = SnapMeta(modeLabel, contract, fmtTok, dsCodec, statsCols,
       batchTag, partitionFields)
     val chainDepth = prev.map(_.chainDepth).getOrElse(0)
@@ -619,9 +813,12 @@ object Snapshots {
         // rebase: a full manifest caps every future resolution's chain walk
         val removed = removes.toSet
         val live = prevFiles.filterNot(e => removed(e.rel)) ++ addEntries
-        renderManifest(meta, None, Seq.empty, Seq.empty, Some(live))
+        val dRemoved = dRemoves.toSet
+        val dLive = prevDeletes.filterNot(d => dRemoved(d.rel)) ++ dAdds
+        renderManifest(meta, None, Seq.empty, Seq.empty, Some(live),
+          dFull = dLive)
       } else
-        renderManifest(meta, cur, addEntries, removes, None)
+        renderManifest(meta, cur, addEntries, removes, None, dAdds, dRemoves)
     stageAs match {
       case Some(name) =>
         // WAP: the manifest parks under staged/<name> with its base id in a
@@ -711,13 +908,18 @@ object Snapshots {
     val id = cur + 1
     val content =
       if (live.chainDepth + 1 >= RebaseEvery)
-        renderManifest(meta, None, Seq.empty, Seq.empty, Some(target.files))
+        renderManifest(meta, None, Seq.empty, Seq.empty, Some(target.files),
+          dFull = target.deletes)
       else {
         val targetRels = target.files.map(_.rel).toSet
         val liveRels = live.files.map(_.rel).toSet
+        val targetDRels = target.deletes.map(_.rel).toSet
+        val liveDRels = live.deletes.map(_.rel).toSet
         renderManifest(meta, Some(cur),
           target.files.filterNot(e => liveRels(e.rel)),
-          live.files.map(_.rel).filterNot(targetRels), None)
+          live.files.map(_.rel).filterNot(targetRels), None,
+          target.deletes.filterNot(d => liveDRels(d.rel)),
+          live.deletes.map(_.rel).filterNot(targetDRels))
       }
     publishManifest(f, qroot, id, Some(cur), content)
     id
@@ -756,15 +958,17 @@ object Snapshots {
         s"sort column $c is a partition field — directory routing already " +
           "clusters it")
     }
-    val fragmented = m.files.map(_.rel).groupBy(parentDirOf)
+    val fragmented = m.files.groupBy(e => parentDirOf(e.rel))
       .filter(_._2.length > targetFilesPerPartition)
     if (fragmented.isEmpty) return None
-    val base = dataDir(qroot).toString
     // rewrite under the RECORDED contract, not per-file inference — a
     // widened dataset's old fragments must compact into contract-typed
-    // files, not resurrect their pre-widening footer schemas
-    val frag = reader(spark, m.format, base, m.schema)
-      .load(fragmented.values.flatten.map(r => s"$base/$r").toSeq: _*)
+    // files, not resurrect their pre-widening footer schemas. Equality
+    // deletes are APPLIED during the rewrite (the rewritten files' newer
+    // seq would otherwise let suppressed rows resurrect) — compaction
+    // doubles as a partial fold for the partitions it touches
+    val frag = scanWithDeletes(spark, qroot, m,
+      fragmented.values.flatten.toSeq)
     import org.apache.spark.sql.functions.col
     // one task (→ one file) per partition value under the partition-column
     // repartition; a >1 target without a sort key adds a deterministic
@@ -864,6 +1068,106 @@ object Snapshots {
         touched.map(partitionRelDir(partitionFields, _)).toSet))
   }
 
+  /**
+   * MERGE-ON-READ CDC (Iceberg-v2-style equality deletes): the same
+   * per-key semantics as [[mergeUpsert]] — a non-delete row replaces the
+   * stored row wherever it lives, a `deleteCol=true` row removes the key —
+   * but the WRITE is O(batch), not O(touched partitions): upsert rows
+   * land as ordinary data files (seq = the new snapshot id) and ONE small
+   * equality-delete file records every key the batch touches; no base
+   * data is read, located, or rewritten. [[read]] suppresses matching
+   * rows in STRICTLY OLDER files (broadcast anti-join, seq- and
+   * key-range-pruned), so the batch's own upserts and any later
+   * re-insert are never suppressed. Read cost grows with the live
+   * delete-file count — run [[foldDeletes]] (or [[maintain]]) on a
+   * cadence to fold them back into plain data files.
+   *
+   * This is the CDC lane to choose when change batches are small and
+   * frequent relative to partition size (the 100 TB streaming-CDC shape);
+   * [[mergeUpsert]]'s copy-on-write remains better for rare, large
+   * batches that rewrite most of what they touch.
+   *
+   * Returns the published snapshot id (the current one unchanged for an
+   * empty batch).
+   */
+  def mergeDeltas(
+      spark: SparkSession, root: String, updates: DataFrame,
+      partitionFields: Seq[String], keyFields: Seq[String],
+      deleteCol: Option[String] = None,
+      evolution: graft.schema.SchemaEvolution.Policy =
+        graft.schema.SchemaEvolution.Widen,
+      batchTag: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions._
+    require(keyFields.nonEmpty, "mergeDeltas needs at least one key field")
+    require(!keyFields.exists(partitionFields.contains),
+      "partition fields cannot be merge keys (a key that IS the partition " +
+        "value cannot move; route through a payload column instead)")
+    currentSnapshot(spark, root).getOrElse(throw new IllegalStateException(
+      s"no snapshot published under $root — land the initial state with " +
+        "write() first"))
+    if (updates.isEmpty) return currentSnapshot(spark, root).get
+    val dupKeys = updates.groupBy(keyFields.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"update batch has multiple rows for one (${keyFields.mkString(",")}) key")
+    val isDelete = deleteCol
+      .map(c => coalesce(col(c), lit(false))).getOrElse(lit(false))
+    val upserts = deleteCol
+      .foldLeft(updates.filter(!isDelete))((d, c) => d.drop(c))
+    val allKeys = updates.select(keyFields.map(col): _*)
+    writeInternal(upserts, root, partitionFields, SnapAppend, "merge_mor",
+      evolution, batchTag = batchTag,
+      deleteKeys = Some((allKeys, keyFields)))
+  }
+
+  /**
+   * Fold every live equality-delete file back into plain data: partitions
+   * holding files any delete can still touch (seq- and key-range-pruned)
+   * are rewritten with the deletes APPLIED, published as one new snapshot
+   * that drops all delete entries — after which reads join nothing and
+   * [[mergeUpsert]]-style key re-merges are unconstrained. Untouched
+   * partitions ride through by reference; a delete set that touches
+   * nothing folds as a metadata-only snapshot. Older snapshots keep
+   * reading the original files + deletes until [[expire]] reclaims them.
+   * Returns the new snapshot id, or None when no deletes are live.
+   */
+  def foldDeletes(
+      spark: SparkSession, root: String,
+      partitionFields: Seq[String]): Option[Int] = {
+    import org.apache.spark.sql.functions.col
+    val (f, qroot) = FsOps.fs(spark, root)
+    val id = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no snapshot published under $root"))
+    val m = resolve(f, qroot, id)
+    if (m.deletes.isEmpty) return None
+    val schema = m.schema.getOrElse(StructType(Seq.empty))
+    val affectedDirs = m.files
+      .filter(e => m.deletes.exists(deleteApplies(_, e, schema)))
+      .map(e => parentDirOf(e.rel)).toSet
+    if (affectedDirs.isEmpty) {
+      // every delete is dead weight (already folded by compaction or
+      // key-range-pruned everywhere): drop the entries metadata-only
+      val meta = SnapMeta("fold", schema, m.format, m.codec, m.statsCols,
+        None, m.partitionCols)
+      val nid = id + 1
+      val content =
+        if (m.chainDepth + 1 >= RebaseEvery)
+          renderManifest(meta, None, Seq.empty, Seq.empty, Some(m.files))
+        else
+          renderManifest(meta, Some(id), Seq.empty, Seq.empty, None,
+            Seq.empty, m.deletes.map(_.rel))
+      publishManifest(f, qroot, nid, Some(id), content)
+      return Some(nid)
+    }
+    val entries = m.files.filter(e => affectedDirs(parentDirOf(e.rel)))
+    val folded = scanWithDeletes(spark, qroot, m, entries)
+    Some(writeInternal(
+      folded.repartition(partitionFields.map(col): _*),
+      root, partitionFields, SnapOverwritePartitions, "fold",
+      graft.schema.SchemaEvolution.Widen,
+      touchedDirs = Some(affectedDirs), dropDeletes = true))
+  }
+
   private def partitionRelDir(
       partitionFields: Seq[String], r: Row): String =
     partitionFields.zipWithIndex.map { case (f, i) =>
@@ -909,9 +1213,11 @@ object Snapshots {
     val cutoff = System.currentTimeMillis() - graceMs
     val cur = currentSnapshot(spark, root)
     val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
-    val referenced = committedIds(f, qroot, cur)
-      .flatMap(resolve(f, qroot, _, cache).files.map(_.rel)).toSet ++
+    val committedRes = committedIds(f, qroot, cur)
+      .map(resolve(f, qroot, _, cache))
+    val referenced = committedRes.flatMap(_.files.map(_.rel)).toSet ++
       stagedFileRefs(f, qroot)
+    val referencedDel = committedRes.flatMap(_.deletes.map(_.rel)).toSet
     // orphan snapshot manifests (crash between snapshot file and pointer
     // flip): never state, reclaim so they can't shadow a future write
     allManifestIds(f, qroot).filter(id => cur.forall(_ < id)).foreach { id =>
@@ -932,11 +1238,21 @@ object Snapshots {
       if (f.exists(p) && !f.listFiles(p, true).hasNext)
         FsOps.deleteIfExists(f, p)
     }
+    // orphan equality-delete files (a crashed merge that staged its delete
+    // file but never flipped) behind the same age grace
+    val dDir = deletesDir(qroot)
+    val orphanDels =
+      if (f.exists(dDir))
+        listDataFilesWithMtime(f, dDir)
+          .collect { case (rel, mtime)
+            if !referencedDel(rel) && mtime < cutoff => rel }
+      else Seq.empty
+    orphanDels.foreach(rel => FsOps.deleteIfExists(f, new Path(dDir, rel)))
     val stages = Option(f.listStatus(qroot)).getOrElse(Array.empty)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage_")
         && s.getModificationTime < cutoff)
     stages.foreach(s => FsOps.deleteIfExists(f, s.getPath))
-    (orphans.length, stages.length)
+    (orphans.length + orphanDels.length, stages.length)
   }
 
   /**
@@ -973,25 +1289,46 @@ object Snapshots {
       .filter(e => prune.isEmpty ||
         survives(e, prune, m.schema.getOrElse(StructType(Seq.empty))))
     if (added.isEmpty) None
-    else {
-      val base = dataDir(qroot).toString
-      Some(reader(spark, m.format, base, m.schema)
-        .load(added.map(e => s"$base/${e.rel}"): _*))
+    // equality-deletes newer than an added file still suppress its rows
+    // (seq-scoped, as in [[read]]) — the incremental consumer sees the
+    // same rows a full `until` read would show from those files
+    else Some(scanWithDeletes(spark, qroot, m, added))
+  }
+
+  /** Partition dirs whose VISIBLE ROWS could differ because the two
+    * snapshots' equality-delete sets differ: a delete only one side holds
+    * affects exactly the partitions holding files it applies to (on that
+    * side) — file sets can be identical while a new delete suppresses
+    * rows, so file-set diffing alone is not enough under merge-on-read. */
+  private def deleteDiffDirs(a: Resolved, b: Resolved): Set[String] = {
+    val aRels = a.deletes.map(_.rel).toSet
+    val bRels = b.deletes.map(_.rel).toSet
+    def affected(side: Resolved, dels: Seq[DeleteEntry]): Set[String] = {
+      val schema = side.schema.getOrElse(StructType(Seq.empty))
+      side.files.filter(e => dels.exists(deleteApplies(_, e, schema)))
+        .map(e => parentDirOf(e.rel)).toSet
     }
+    affected(b, b.deletes.filterNot(d => aRels(d.rel))) ++
+      affected(a, a.deletes.filterNot(d => bRels(d.rel)))
   }
 
   /** Partition directories whose live FILE SETS differ between two
-    * snapshots — the pruning pre-pass for row-level snapshot diffing:
-    * manifests alone name the partitions worth reading; everything else
-    * is provably identical (same immutable files). */
+    * snapshots (plus, under merge-on-read, dirs a differing
+    * equality-delete set can affect) — the pruning pre-pass for row-level
+    * snapshot diffing: manifests alone name the partitions worth reading;
+    * everything else is provably identical (same immutable files, same
+    * applicable deletes). */
   def changedPartitions(
       spark: SparkSession, root: String, fromId: Int, toId: Int): Seq[String] = {
     val (f, qroot) = FsOps.fs(spark, root)
     val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
-    val a = resolve(f, qroot, fromId, cache).files.map(_.rel).groupBy(parentDirOf)
-    val b = resolve(f, qroot, toId, cache).files.map(_.rel).groupBy(parentDirOf)
-    (a.keySet ++ b.keySet).toSeq.sorted
-      .filter(p => a.get(p).map(_.toSet) != b.get(p).map(_.toSet))
+    val ra = resolve(f, qroot, fromId, cache)
+    val rb = resolve(f, qroot, toId, cache)
+    val a = ra.files.map(_.rel).groupBy(parentDirOf)
+    val b = rb.files.map(_.rel).groupBy(parentDirOf)
+    ((a.keySet ++ b.keySet)
+      .filter(p => a.get(p).map(_.toSet) != b.get(p).map(_.toSet)) ++
+      deleteDiffDirs(ra, rb)).toSeq.sorted
   }
 
   /**
@@ -1033,19 +1370,20 @@ object Snapshots {
     val aBy = a.files.map(_.rel).groupBy(parentDirOf)
     val bBy = b.files.map(_.rel).groupBy(parentDirOf)
     val dirs = (aBy.keySet ++ bBy.keySet)
-      .filter(d => aBy.get(d).map(_.toSet) != bBy.get(d).map(_.toSet))
-    val base = dataDir(qroot).toString
+      .filter(d => aBy.get(d).map(_.toSet) != bBy.get(d).map(_.toSet)) ++
+      deleteDiffDirs(a, b)
     val bSchema = b.schema.getOrElse(throw new IllegalStateException(
       s"snapshot s$toId records no schema — cannot diff"))
-    def slice(m: Resolved, rels: Seq[String]): DataFrame =
-      if (rels.isEmpty)
+    // each side's slice applies ITS OWN snapshot's equality-deletes — the
+    // diff compares visible rows, not raw file contents
+    def slice(m: Resolved, entries: Seq[FileEntry]): DataFrame =
+      if (entries.isEmpty)
         spark.createDataFrame(
           new java.util.ArrayList[Row](),
           m.schema.getOrElse(bSchema))
-      else reader(spark, m.format, base, m.schema)
-        .load(rels.map(r => s"$base/$r"): _*)
-    val dfA = slice(a, a.files.map(_.rel).filter(r => dirs(parentDirOf(r))))
-    val dfB = slice(b, b.files.map(_.rel).filter(r => dirs(parentDirOf(r))))
+      else scanWithDeletes(spark, qroot, m, entries)
+    val dfA = slice(a, a.files.filter(e => dirs(parentDirOf(e.rel))))
+    val dfB = slice(b, b.files.filter(e => dirs(parentDirOf(e.rel))))
     // align FROM onto TO's contract: columns the older snapshot predates
     // read null (matching what a post-widening travel read would see)
     val cols = bSchema.fields.toSeq
@@ -1113,6 +1451,35 @@ object Snapshots {
   }
 
   /**
+   * Continuous CDC application: every micro-batch of change rows lands
+   * through [[mergeDeltas]] — merge-on-read, so each batch costs O(batch)
+   * regardless of how big the dataset has grown (the 100 TB streaming-CDC
+   * shape; the copy-on-write alternative rewrites touched partitions per
+   * batch). Exactly-once over at-least-once delivery by the same
+   * content-derived replay tag as [[snapshotStream]] — safe across
+   * checkpoint-lineage restarts. Pair with [[maintain]] (fold + compact +
+   * retention) on a schedule to bound read-side delete-join work.
+   */
+  def mergeStream(
+      stream: DataFrame, root: String, partitionFields: Seq[String],
+      keyFields: Seq[String], deleteCol: Option[String] = None,
+      checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val tag = s"$id:${java.lang.Long.toHexString(
+            graft.streaming.ReplayGuard.fingerprint(batch.toDF()))}"
+          mergeDeltas(batch.sparkSession, root, batch.toDF(),
+            partitionFields, keyFields, deleteCol,
+            batchTag = Some(tag)): Unit
+        }
+      }
+    checkpointLocation.foldLeft(w)((x, c) =>
+      x.option("checkpointLocation", c)).start()
+  }
+
+  /**
    * Read the dataset at a snapshot — the CURRENT one when `asOf` is
    * empty, or any retained older one (time travel). The manifest's file
    * list goes straight to the scan with `basePath`, so the partition
@@ -1154,12 +1521,11 @@ object Snapshots {
         s"snapshot $label is empty and records no schema"))
       return spark.createDataFrame(new java.util.ArrayList[Row](), s)
     }
-    val base = dataDir(qroot).toString
     // the recorded schema IS the read contract: inference-free, stable
     // column order, widened columns resolve against pre-widening files
-    // (absent columns read null, stored ints upcast)
-    reader(spark, m.format, base, schema)
-      .load(kept.map(e => s"$base/${e.rel}"): _*)
+    // (absent columns read null, stored ints upcast); live equality-delete
+    // files (merge-on-read) are applied per seq-and-stats class
+    scanWithDeletes(spark, qroot, m, kept)
   }
 
   /**
@@ -1254,17 +1620,20 @@ object Snapshots {
       targetFilesPerPartition: Int = 1,
       sortBy: Seq[String] = Seq.empty,
       keepLast: Int = Int.MaxValue,
-      vacuumGraceMs: Long = DefaultVacuumGraceMs)
+      vacuumGraceMs: Long = DefaultVacuumGraceMs,
+      foldDeletes: Boolean = true)
 
   case class MaintenanceReport(
-      compactedTo: Option[Int], expired: Seq[Int], filesExpired: Int,
-      orphansVacuumed: Int, stagingTreesDropped: Int)
+      foldedTo: Option[Int], compactedTo: Option[Int], expired: Seq[Int],
+      filesExpired: Int, orphansVacuumed: Int, stagingTreesDropped: Int)
 
   /**
    * The periodic maintenance pass a streaming landing zone needs, in the
-   * one order that is safe: COMPACT first (over-fragmented partitions
-   * rewrite into a new snapshot — readers undisturbed), then EXPIRE
-   * (retention reclaims the pre-compact fragments once they fall out of
+   * one order that is safe: FOLD first (merge-on-read equality-delete
+   * files rewrite into plain data — [[foldDeletes]] — so read-side join
+   * work stays bounded), then COMPACT (over-fragmented partitions rewrite
+   * into a new snapshot — readers undisturbed), then EXPIRE (retention
+   * reclaims the pre-fold/pre-compact files once they fall out of
    * `keepLast`, tags and staged bases still pinned), then VACUUM (crashed
    * writes and abandoned staged files behind the age grace). Every step
    * is the existing audited operation; this is composition, not new
@@ -1273,13 +1642,17 @@ object Snapshots {
   def maintain(
       spark: SparkSession, root: String, partitionFields: Seq[String],
       policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
+    val folded =
+      if (policy.foldDeletes) foldDeletes(spark, root, partitionFields)
+      else None
     val compacted = compact(spark, root, partitionFields,
       policy.targetFilesPerPartition, policy.sortBy)
     val (expired, filesExpired) =
       if (policy.keepLast == Int.MaxValue) (Seq.empty[Int], 0)
       else expire(spark, root, policy.keepLast)
     val (orphans, stages) = vacuum(spark, root, policy.vacuumGraceMs)
-    MaintenanceReport(compacted, expired, filesExpired, orphans, stages)
+    MaintenanceReport(folded, compacted, expired, filesExpired, orphans,
+      stages)
   }
 
   // ------------------------------------------------ write–audit–publish
@@ -1486,7 +1859,8 @@ object Snapshots {
           raw.schema.getOrElse(StructType(Seq.empty)), raw.format,
           raw.codec, raw.statsCols, raw.batchTag, raw.partitionCols)
         FsOps.atomicWrite(f, new Path(snapshotsDir(qroot), s"s$k"),
-          renderManifest(meta, None, Seq.empty, Seq.empty, Some(res.files)))
+          renderManifest(meta, None, Seq.empty, Seq.empty, Some(res.files),
+            dFull = res.deletes))
         cache.remove(k): Unit
       }
     }
@@ -1496,17 +1870,22 @@ object Snapshots {
     // in-flight writer's just-moved batch, a crashed write) are NOT
     // expire's to touch: vacuum reclaims them behind its age grace,
     // so a mistimed expire can never destroy a concurrent write
-    val expiredRefs = expired
-      .flatMap(resolve(f, qroot, _, cache).files.map(_.rel)).toSet
+    val expiredRes = expired.map(resolve(f, qroot, _, cache))
+    val expiredRefs = expiredRes.flatMap(_.files.map(_.rel)).toSet
+    val expiredDelRefs = expiredRes.flatMap(_.deletes.map(_.rel)).toSet
     // manifests first (a manifest-less snapshot already fails loudly) —
     // then the file sweep; a crash between degrades to orphan files
     expired.foreach(id =>
       FsOps.deleteIfExists(f, new Path(snapshotsDir(qroot), s"s$id")))
-    val referenced = kept
-      .flatMap(resolve(f, qroot, _, cache).files.map(_.rel)).toSet
+    val keptRes = kept.map(resolve(f, qroot, _, cache))
+    val referenced = keptRes.flatMap(_.files.map(_.rel)).toSet
+    val referencedDel = keptRes.flatMap(_.deletes.map(_.rel)).toSet
     val data = dataDir(qroot)
     val dead = (expiredRefs -- referenced).toSeq.sorted
     dead.foreach(rel => FsOps.deleteIfExists(f, new Path(data, rel)))
+    val deadDel = (expiredDelRefs -- referencedDel).toSeq.sorted
+    deadDel.foreach(rel =>
+      FsOps.deleteIfExists(f, new Path(deletesDir(qroot), rel)))
     // prune emptied partition directories (metadata hygiene — an empty
     // name=value dir would otherwise surface a phantom partition value)
     dead.map(parentDirOf).distinct.filter(_.nonEmpty).foreach { d =>
@@ -1514,6 +1893,6 @@ object Snapshots {
       if (f.exists(p) && !f.listFiles(p, true).hasNext)
         FsOps.deleteIfExists(f, p)
     }
-    (expired, dead.length)
+    (expired, dead.length + deadDel.length)
   }
 }

@@ -954,4 +954,296 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.currentSnapshot(spark, root).isEmpty)
     assert(Snapshots.history(spark, root).count() == 0)
   }
+
+  // --------------------------------------- merge-on-read equality deletes
+
+  private def manifestLines(root: String, id: Int, prefix: String): Seq[String] =
+    manifestText(root, id).linesIterator.filter(_.startsWith(prefix)).toSeq
+
+  test("mergeDeltas: O(batch) CDC write — merged read, base files untouched") {
+    val root = java.nio.file.Files.createTempDirectory("snap_mor").toString
+    Snapshots.write(orders.coalesce(1), root, Seq("o_orderpriority"))
+    val k = col("o_orderkey")
+    val updates = orders.filter(k % 7 === 0 && k % 11 =!= 0)
+      .withColumn("o_totalprice", lit(0.0)).withColumn("__del", lit(false))
+      .unionByName(orders.filter(k % 11 === 0).withColumn("__del", lit(true)))
+    val s2 = Snapshots.mergeDeltas(spark, root, updates,
+      Seq("o_orderpriority"), Seq("o_orderkey"), deleteCol = Some("__del"))
+    assert(s2 == 2)
+    val all = keys(orders)
+    val deleted = all.filter(_ % 11 == 0)
+    val patched = all.filter(x => x % 7 == 0 && x % 11 != 0)
+    val cur = Snapshots.read(spark, root)
+    assert(keys(cur) == all -- deleted)
+    assert(cur.count() == (all -- deleted).size.toLong, "no duplicate rows")
+    assert(keys(cur.filter(col("o_totalprice") === 0.0)) == patched,
+      "upsert rows must replace, not coexist")
+    // pre-merge state intact
+    assert(keys(Snapshots.read(spark, root, asOf = Some(1))) == all)
+    // the write was O(batch): nothing removed, nothing rewritten — the
+    // manifest is the upsert adds plus exactly one equality-delete entry
+    assert(manifestLines(root, 2, "remove=").isEmpty, "no base rewrite")
+    assert(manifestLines(root, 2, "dadd=").length == 1)
+    assert(manifestLines(root, 2, "add=").forall(_.contains("seq=2")))
+    // delete file is a real file under deletes/ in the dataset format
+    // (.crc siblings are the local checksum FS's, not ours)
+    val delDir = new java.io.File(s"$root/deletes")
+    assert(delDir.isDirectory && delDir.listFiles()
+      .count(x => x.isFile && !x.getName.startsWith(".")) == 1)
+  }
+
+  test("mergeDeltas seq discipline: same-batch upserts and re-inserts survive") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_mor_seq").toString
+    val df = (0L until 40L).map(i => (i, s"v$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "v", "p")
+    Snapshots.write(df.repartition(2), root, Seq("p"))
+    // batch: delete k=0, update k=2 (delete entry covers it; same-batch
+    // upsert must NOT be suppressed by its own delete file)
+    val b1 = Seq((0L, "x", "a", true), (2L, "V2", "a", false))
+      .toDF("k", "v", "p", "__del")
+    Snapshots.mergeDeltas(spark, root, b1, Seq("p"), Seq("k"),
+      deleteCol = Some("__del"))
+    val r2 = Snapshots.read(spark, root)
+    assert(r2.filter(col("k") === 0L).count() == 0)
+    assert(r2.filter(col("k") === 2L).select("v").head().getString(0) == "V2")
+    assert(r2.count() == 39)
+    // later re-insert of the deleted key: newer seq escapes the old delete
+    val b2 = Seq((0L, "reborn", "a", false)).toDF("k", "v", "p", "__del")
+    Snapshots.mergeDeltas(spark, root, b2, Seq("p"), Seq("k"),
+      deleteCol = Some("__del"))
+    val r3 = Snapshots.read(spark, root)
+    assert(r3.filter(col("k") === 0L).select("v").head().getString(0) == "reborn")
+    assert(r3.count() == 40)
+    // each intermediate state stays travelable with ITS delete set
+    assert(Snapshots.read(spark, root, asOf = Some(2))
+      .filter(col("k") === 0L).count() == 0)
+    assert(Snapshots.read(spark, root, asOf = Some(1)).count() == 40)
+  }
+
+  test("foldDeletes: reads identical before/after, delete entries dropped, travel intact") {
+    val root = java.nio.file.Files.createTempDirectory("snap_fold").toString
+    Snapshots.write(orders.coalesce(1), root, Seq("o_orderpriority"))
+    val k = col("o_orderkey")
+    val updates = orders.filter(k % 11 === 0).withColumn("__del", lit(true))
+      .unionByName(orders.filter(k % 7 === 0 && k % 11 =!= 0)
+        .withColumn("o_totalprice", lit(0.0)).withColumn("__del", lit(false)))
+    Snapshots.mergeDeltas(spark, root, updates,
+      Seq("o_orderpriority"), Seq("o_orderkey"), deleteCol = Some("__del"))
+    def rowSet(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq.toVector: Seq[Any]).toSet
+    val before = rowSet(Snapshots.read(spark, root))
+    val s3 = Snapshots.foldDeletes(spark, root, Seq("o_orderpriority"))
+    assert(s3.contains(3))
+    assert(rowSet(Snapshots.read(spark, root)) == before,
+      "fold must not change visible rows")
+    assert(manifestLines(root, 3, "dremove=").length == 1)
+    assert(manifestLines(root, 3, "dadd=").isEmpty)
+    // the MoR state before the fold still reads through its deletes
+    assert(rowSet(Snapshots.read(spark, root, asOf = Some(2))) == before)
+    // nothing left to fold
+    assert(Snapshots.foldDeletes(spark, root, Seq("o_orderpriority")).isEmpty)
+  }
+
+  test("key-range stats keep clean files out of the delete join and out of the fold") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_mor_stats").toString
+    val df = (0L until 200L).map(i => (i, if (i < 100) "a" else "b"))
+      .toDF("k", "p")
+    Snapshots.write(df.repartition(col("p")), root, Seq("p"),
+      statsColumns = Seq("k"))
+    // delete keys live entirely in p=a's recorded k-range [0,99]
+    val dels = (0L until 10L).map(i => (i, "a")).toDF("k", "p")
+      .withColumn("__del", lit(true))
+    Snapshots.mergeDeltas(spark, root, dels, Seq("p"), Seq("k"),
+      deleteCol = Some("__del"))
+    // read plan: exactly one anti-join class — p=b's file range [100,199]
+    // provably cannot intersect the delete batch and scans clean
+    val plan = Snapshots.read(spark, root).queryExecution.executedPlan.toString
+    assert("LeftAnti".r.findAllIn(plan).length == 1,
+      s"expected one delete class in the plan:\n$plan")
+    assert(Snapshots.read(spark, root).count() == 190)
+    // fold rewrites ONLY p=a: every remove/add in the fold manifest is a-side
+    val s3 = Snapshots.foldDeletes(spark, root, Seq("p"))
+    assert(s3.contains(3))
+    assert(manifestLines(root, 3, "remove=").nonEmpty)
+    assert(manifestLines(root, 3, "remove=").forall(_.startsWith("remove=p=a/")))
+    assert(manifestLines(root, 3, "add=").forall(_.startsWith("add=p=a/")))
+    assert(Snapshots.read(spark, root).count() == 190)
+  }
+
+  test("compact applies live deletes — rewritten files cannot resurrect rows") {
+    val root = java.nio.file.Files.createTempDirectory("snap_mor_comp").toString
+    for (m <- 0 to 2)
+      Snapshots.write(orders.filter(col("o_orderkey") % 3 === m).coalesce(1),
+        root, Seq("o_orderpriority"), SnapAppend)
+    val k = col("o_orderkey")
+    val dels = orders.filter(k % 11 === 0).withColumn("__del", lit(true))
+    Snapshots.mergeDeltas(spark, root, dels,
+      Seq("o_orderpriority"), Seq("o_orderkey"), deleteCol = Some("__del"))
+    val expected = keys(orders).filterNot(_ % 11 == 0)
+    val cid = Snapshots.compact(spark, root, Seq("o_orderpriority"))
+    assert(cid.contains(5))
+    assert(keys(Snapshots.read(spark, root)) == expected,
+      "compaction must not resurrect deleted rows")
+    // every file any delete applied to was rewritten (newer seq), so the
+    // next fold is METADATA-ONLY: it drops the entries, rewrites nothing
+    val s6 = Snapshots.foldDeletes(spark, root, Seq("o_orderpriority"))
+    assert(s6.contains(6))
+    assert(manifestLines(root, 6, "remove=").isEmpty &&
+      manifestLines(root, 6, "add=").isEmpty &&
+      manifestLines(root, 6, "dremove=").length == 1)
+    assert(keys(Snapshots.read(spark, root)) == expected)
+  }
+
+  test("delete-only batches diff correctly: changes/changedPartitions see suppression") {
+    val root = java.nio.file.Files.createTempDirectory("snap_mor_chg").toString
+    Snapshots.write(orders.coalesce(1), root, Seq("o_orderpriority"))
+    val dels = orders.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("__del", lit(true))
+    Snapshots.mergeDeltas(spark, root, dels,
+      Seq("o_orderpriority"), Seq("o_orderkey"), deleteCol = Some("__del"))
+    // a delete-only merge adds NO data file: the file sets of s1 and s2
+    // are identical, so only the delete-diff pass can name these dirs
+    assert(manifestLines(root, 2, "add=").isEmpty)
+    assert(Snapshots.changedPartitions(spark, root, 1, 2).nonEmpty)
+    val ch = Snapshots.changes(spark, root, 1, 2, Seq("o_orderkey"))
+    val delKeys = keys(orders).filter(_ % 11 == 0)
+    assert(ch.count() == delKeys.size.toLong)
+    assert(ch.select("change_type").distinct().collect()
+      .map(_.getString(0)).toSet == Set("delete"))
+    assert(keys(ch.drop("change_type")) == delKeys)
+  }
+
+  test("readAddedSince applies deletes newer than the added files") {
+    val root = java.nio.file.Files.createTempDirectory("snap_mor_incr").toString
+    for (m <- 0 to 1)
+      Snapshots.write(orders.filter(col("o_orderkey") % 2 === m).coalesce(1),
+        root, Seq("o_orderpriority"), SnapAppend)
+    val dels = orders.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("__del", lit(true))
+    Snapshots.mergeDeltas(spark, root, dels,
+      Seq("o_orderpriority"), Seq("o_orderkey"), deleteCol = Some("__del"))
+    // files added after s1 = the odd-key batch; the s3 delete suppresses
+    // its % 11 keys exactly as a full read would
+    val got = keys(Snapshots.readAddedSince(spark, root, sinceId = 1)
+      .getOrElse(sys.error("expected added files")))
+    assert(got == keys(orders).filter(x => x % 2 == 1 && x % 11 != 0))
+  }
+
+  test("rollback across a merge-on-read restores suppressed rows") {
+    val root = java.nio.file.Files.createTempDirectory("snap_mor_rb").toString
+    Snapshots.write(orders.coalesce(1), root, Seq("o_orderpriority"))
+    val dels = orders.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("__del", lit(true))
+    Snapshots.mergeDeltas(spark, root, dels,
+      Seq("o_orderpriority"), Seq("o_orderkey"), deleteCol = Some("__del"))
+    val s3 = Snapshots.rollback(spark, root, 1)
+    assert(s3 == 3)
+    assert(keys(Snapshots.read(spark, root)) == keys(orders),
+      "rollback must restore the pre-merge delete set")
+    // the merged state remains travelable with its delete applied
+    assert(keys(Snapshots.read(spark, root, asOf = Some(2))) ==
+      keys(orders).filterNot(_ % 11 == 0))
+  }
+
+  test("mergeDeltas replay tag converges; key-column consistency enforced until fold") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_mor_rg").toString
+    val df = (0L until 20L).map(i => (i, i * 10, "a")).toDF("k", "v", "p")
+    Snapshots.write(df, root, Seq("p"))
+    val b = Seq((3L, 999L, "a", true)).toDF("k", "v", "p", "__del")
+    val id1 = Snapshots.mergeDeltas(spark, root, b, Seq("p"), Seq("k"),
+      deleteCol = Some("__del"), batchTag = Some("batch-7"))
+    val id2 = Snapshots.mergeDeltas(spark, root, b, Seq("p"), Seq("k"),
+      deleteCol = Some("__del"), batchTag = Some("batch-7"))
+    assert(id1 == 2 && id2 == 2, "a re-delivered batch converges")
+    assert(Snapshots.read(spark, root).count() == 19)
+    // while a k-keyed delete is live, a v-keyed merge must fail loudly
+    intercept[IllegalArgumentException] {
+      Snapshots.mergeDeltas(spark, root,
+        Seq((30L, 999L, "a", false)).toDF("k", "v", "p", "__del"),
+        Seq("p"), Seq("v"), deleteCol = Some("__del"))
+    }
+    Snapshots.foldDeletes(spark, root, Seq("p"))
+    // folded: the key-column constraint re-arms
+    val id4 = Snapshots.mergeDeltas(spark, root,
+      Seq((0L, 999L, "a", false)).toDF("k", "v", "p", "__del"),
+      Seq("p"), Seq("v"), deleteCol = Some("__del"))
+    assert(id4 == 4)
+  }
+
+  test("maintain folds merge-on-read deletes by default") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_mor_maint").toString
+    val df = (0L until 50L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "p")
+    Snapshots.write(df.repartition(2), root, Seq("p"))
+    Snapshots.mergeDeltas(spark, root,
+      Seq((0L, "a", true), (1L, "b", true)).toDF("k", "p", "__del"),
+      Seq("p"), Seq("k"), deleteCol = Some("__del"))
+    val r = Snapshots.maintain(spark, root, Seq("p"))
+    assert(r.foldedTo.contains(3))
+    assert(Snapshots.read(spark, root).count() == 48)
+    assert(manifestLines(root, 3, "dremove=").length == 1)
+  }
+
+  test("mergeStream applies CDC batches merge-on-read, one snapshot each") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_mor_str").toString
+    val df = (0L until 30L).map(i => (i, s"v$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "v", "p")
+    Snapshots.write(df.repartition(2), root, Seq("p"))
+    val input = MemoryStream[(Long, String, String, Boolean)]
+    val q = Snapshots.mergeStream(
+      input.toDF().toDF("k", "v", "p", "__del"),
+      root, Seq("p"), Seq("k"), deleteCol = Some("__del"))
+    try {
+      input.addData((3L, "x", "a", true), (4L, "V4", "a", false))
+      q.processAllAvailable()
+      input.addData((3L, "reborn", "a", false))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(Snapshots.currentSnapshot(spark, root).contains(3))
+    val cur = Snapshots.read(spark, root)
+    assert(cur.count() == 30)
+    assert(cur.filter(col("k") === 3L).select("v").head().getString(0)
+      == "reborn")
+    assert(cur.filter(col("k") === 4L).select("v").head().getString(0)
+      == "V4")
+    // batch boundaries stay travelable: after batch 1, k=3 was deleted
+    val mid = Snapshots.read(spark, root, asOf = Some(2))
+    assert(mid.count() == 29 && mid.filter(col("k") === 3L).count() == 0)
+    // each merge was O(batch): no remove lines in either stream manifest
+    assert(manifestLines(root, 2, "remove=").isEmpty &&
+      manifestLines(root, 3, "remove=").isEmpty)
+  }
+
+  test("expire and vacuum account for equality-delete files") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_mor_gc").toString
+    val df = (0L until 30L).map(i => (i, "a")).toDF("k", "p")
+    Snapshots.write(df, root, Seq("p"))
+    Snapshots.mergeDeltas(spark, root,
+      Seq((5L, "a", true)).toDF("k", "p", "__del"),
+      Seq("p"), Seq("k"), deleteCol = Some("__del"))
+    Snapshots.foldDeletes(spark, root, Seq("p"))
+    val delDir = new java.io.File(s"$root/deletes")
+    def delFiles() = Option(delDir.listFiles()).getOrElse(Array.empty)
+      .count(x => x.isFile && !x.getName.startsWith("."))
+    assert(delFiles() == 1, "delete file retained for s2")
+    // expiring s1/s2 reclaims the delete file no kept snapshot references
+    val (expired, n) = Snapshots.expire(spark, root, keepLast = 1)
+    assert(expired == Seq(1, 2) && n > 0)
+    assert(delFiles() == 0, "expired delete file must be swept")
+    // an orphan delete file (crashed merge) is vacuum's, behind the grace
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/deletes/del-stray.parquet"),
+      Array[Byte](1))
+    assert(Snapshots.vacuum(spark, root, graceMs = Long.MaxValue)._1 == 0,
+      "grace window protects a fresh file")
+    assert(Snapshots.vacuum(spark, root, graceMs = 0L)._1 == 1)
+  }
 }
