@@ -444,6 +444,38 @@ object SinkQueries {
           "o_orderpriority")
     }),
 
+    // Partition-spec evolution: half the table lands partitioned by
+    // priority, the spec evolves (metadata-only) to (priority, status),
+    // the other half lands under the new layout — and the ERA-MIXED read
+    // returned here must reassemble the whole table exactly (status reads
+    // from file content in era 1, from directories in era 2). In-query:
+    // migrateSpec then rewrites ONLY the old-era files and the
+    // homogeneous read stays count-identical.
+    "sink_snapshot_evolve" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_ev").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      Snapshots.write(base.filter(col("o_orderkey") % 2 === 0).coalesce(1),
+        out, Seq("o_orderpriority"))
+      val sid = Snapshots.evolvePartitioning(s, out,
+        Seq("o_orderpriority", "o_orderstatus"))
+      require(sid == 2, s"expected evolution snapshot 2: $sid")
+      Snapshots.write(base.filter(col("o_orderkey") % 2 === 1).coalesce(1),
+        out, Seq("o_orderpriority", "o_orderstatus"))
+      val mixed = Snapshots.read(s, out, asOf = Some(3))
+      val mid = Snapshots.migrateSpec(s, out,
+        Seq("o_orderpriority", "o_orderstatus"))
+      require(mid.contains(4), s"expected migration snapshot 4: $mid")
+      require(Snapshots.read(s, out).count() == base.count(),
+        "migration must be a pure layout rewrite")
+      require(Snapshots.migrateSpec(s, out,
+        Seq("o_orderpriority", "o_orderstatus")).isEmpty,
+        "a homogeneous dataset has nothing to migrate")
+      mixed.select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+    }),
+
     // Two sequential merge-on-read batches — the second RE-INSERTS a
     // subset of the keys the first deleted (status R), exercising the seq
     // discipline (a newer file escapes an older delete) — then
@@ -895,6 +927,12 @@ object SinkQueries {
         |    THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
         |  o_totalprice, o_orderpriority
         |FROM orders WHERE o_orderkey % 11 != 0""".stripMargin,
+
+    // the era-mixed read reassembles the full table exactly
+    "sink_snapshot_evolve" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders""".stripMargin,
 
     // merge-on-read lands the identical logical state as the
     // copy-on-write merge — same oracle derivation

@@ -107,6 +107,17 @@ object Snapshots {
     if (i < 0) "" else rel.substring(0, i)
   }
 
+  /** The partition-column signature a data file was WRITTEN under, parsed
+    * from its own `name=value` directory segments — the per-file record
+    * that makes partition-spec evolution metadata-free: no era tag is
+    * stored because the path already is one. */
+  private def sigOf(rel: String): Seq[String] =
+    rel.split('/').dropRight(1).toSeq.map { seg =>
+      val i = seg.indexOf('=')
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(if (i < 0) seg else seg.substring(0, i))
+    }
+
   // ------------------------------------------------------ manifest model
 
   /** One live data file with its optional per-column (min, max) stats —
@@ -133,10 +144,14 @@ object Snapshots {
       stats: Map[String, (Option[String], Option[String])])
 
   /** Dataset-level write metadata recorded in every manifest. */
+  /** `ts` is the wall-clock publish instant (epoch millis) — recorded in
+    * the manifest so [[snapshotAt]]/[[readAt]] resolve "the table as of
+    * 9am" without trusting file mtimes (expire's rebase-in-place rewrites
+    * old manifests; their RECORDED ts is carried verbatim). */
   private case class SnapMeta(
       mode: String, schema: StructType, format: String,
       codec: Option[String], statsCols: Seq[String], batchTag: Option[String],
-      partitionCols: Seq[String])
+      partitionCols: Seq[String], ts: Option[Long] = None)
 
   /** One manifest as stored: a FULL file listing (`full` defined) or a
     * DELTA against `parent` (adds/removes). Delete-file lines ride the
@@ -148,7 +163,7 @@ object Snapshots {
       partitionCols: Seq[String], parent: Option[Int], adds: Seq[FileEntry],
       removes: Seq[String], full: Option[Seq[FileEntry]],
       dAdds: Seq[DeleteEntry], dRemoves: Seq[String],
-      dFull: Option[Seq[DeleteEntry]])
+      dFull: Option[Seq[DeleteEntry]], ts: Option[Long])
 
   /** A snapshot with its delta chain applied: the complete live file set
     * (plus live equality-delete files) and the requested manifest's
@@ -157,7 +172,7 @@ object Snapshots {
       id: Int, mode: String, schema: Option[StructType], format: String,
       codec: Option[String], statsCols: Seq[String], batchTag: Option[String],
       partitionCols: Seq[String], files: Seq[FileEntry],
-      deletes: Seq[DeleteEntry], chainDepth: Int)
+      deletes: Seq[DeleteEntry], chainDepth: Int, ts: Option[Long])
 
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
@@ -243,6 +258,7 @@ object Snapshots {
     if (meta.partitionCols.nonEmpty)
       b ++= s"partitionby=${meta.partitionCols.map(enc).mkString(",")}\n"
     meta.batchTag.foreach(t => b ++= s"batch=${enc(t)}\n")
+    meta.ts.foreach(t => b ++= s"ts=$t\n")
     parent.foreach(p => b ++= s"parent=$p\n")
     full match {
       case Some(files) =>
@@ -268,6 +284,7 @@ object Snapshots {
       var statsCols: Seq[String] = Seq.empty
       var partitionCols: Seq[String] = Seq.empty
       var batchTag: Option[String] = None; var parent: Option[Int] = None
+      var ts: Option[Long] = None
       val adds = Seq.newBuilder[FileEntry]
       val removes = Seq.newBuilder[String]
       val fulls = Seq.newBuilder[FileEntry]
@@ -289,6 +306,8 @@ object Snapshots {
             .filter(_.nonEmpty).map(dec)
         case l if l.startsWith("batch=") =>
           batchTag = Some(dec(l.stripPrefix("batch=")))
+        case l if l.startsWith("ts=") =>
+          ts = Some(l.stripPrefix("ts=").toLong)
         case l if l.startsWith("parent=") =>
           parent = Some(l.stripPrefix("parent=").toInt)
         case l if l.startsWith("remove=") =>
@@ -310,7 +329,7 @@ object Snapshots {
         partitionCols, parent, adds.result(), removes.result(),
         if (parent.isEmpty) Some(fulls.result()) else None,
         dAdds.result(), dRemoves.result(),
-        if (parent.isEmpty) Some(dFulls.result()) else None)
+        if (parent.isEmpty) Some(dFulls.result()) else None, ts)
     } else {
       // v1 (positional): mode line, optional schema line, bare file paths
       val mode = lines.head.stripPrefix("mode=")
@@ -322,7 +341,7 @@ object Snapshots {
       RawManifest(id, mode, schema, "parquet", None, Seq.empty, None,
         Seq.empty, None, Seq.empty, Seq.empty,
         Some(files.map(FileEntry(_, Map.empty))),
-        Seq.empty, Seq.empty, Some(Seq.empty))
+        Seq.empty, Seq.empty, Some(Seq.empty), None)
     }
   }
 
@@ -380,7 +399,7 @@ object Snapshots {
     }
     Resolved(top.id, top.mode, top.schema, top.format, top.codec,
       top.statsCols, top.batchTag, top.partitionCols, files.values.toSeq,
-      dels.values.toSeq, chain.length - 1)
+      dels.values.toSeq, chain.length - 1, top.ts)
   }
 
   /** The current snapshot id, if any write has published. */
@@ -572,9 +591,19 @@ object Snapshots {
       spark: SparkSession, qroot: Path, m: Resolved,
       kept: Seq[FileEntry]): DataFrame = {
     val base = dataDir(qroot).toString
+    // files written under DIFFERENT partition specs (spec evolution —
+    // [[evolvePartitioning]]) load as separate scans: each era's directory
+    // layout infers its own consistent partition columns against the same
+    // recorded contract (an elided column reads from dirs in its era,
+    // from file content in the others), then the eras union by name.
+    // One era → one scan: the common homogeneous case pays nothing.
     def load(entries: Seq[FileEntry]): DataFrame =
-      reader(spark, m.format, base, m.schema)
-        .load(entries.map(e => s"$base/${e.rel}"): _*)
+      entries.groupBy(e => sigOf(e.rel)).toSeq
+        .sortBy(_._1.mkString(","))
+        .map { case (_, es) =>
+          reader(spark, m.format, base, m.schema)
+            .load(es.map(e => s"$base/${e.rel}"): _*)
+        }.reduce(_ unionByName _)
     if (m.deletes.isEmpty) return load(kept)
     val schema = m.schema.getOrElse(StructType(Seq.empty))
     val keyCols = m.deletes.head.keyCols
@@ -651,7 +680,8 @@ object Snapshots {
       codec: Option[String] = None,
       stageAs: Option[String] = None,
       deleteKeys: Option[(DataFrame, Seq[String])] = None,
-      dropDeletes: Boolean = false): Int = {
+      dropDeletes: Boolean = false,
+      extraRemoves: Seq[String] = Seq.empty): Int = {
     require(partitionFields.nonEmpty, "snapshot datasets are partitioned")
     stageAs.foreach { n =>
       require(RefRe.matches(n), s"staged name '$n' must match ${RefRe.regex}")
@@ -699,13 +729,27 @@ object Snapshots {
     }
     // the partition SPEC is a dataset property too: a write under a
     // different spec would route files into a second directory layout the
-    // manifest can't distinguish — silent corruption, so fail loudly
-    // (legacy manifests predate the recorded spec; first v2 write pins it)
+    // manifest can't distinguish — so every write targets the CURRENT
+    // spec, and changing it is an explicit metadata operation
+    // ([[evolvePartitioning]]). Legacy manifests predate the recorded
+    // spec; the first v2 write pins it.
     prev.map(_.partitionCols).filter(_.nonEmpty).foreach { stored =>
       require(partitionFields == stored,
         s"dataset at $root is partitioned by ${stored.mkString(",")}; " +
-          s"cannot write under ${partitionFields.mkString(",")}")
+          s"cannot write under ${partitionFields.mkString(",")} " +
+          "(evolvePartitioning changes the spec going forward)")
     }
+    // directory-match replacement assumes every live file sits in the
+    // CURRENT spec's layout — a file written under an older spec would
+    // silently survive an overwrite of its logical partition, so
+    // partition-replacing writes on an era-mixed dataset fail loudly
+    // BEFORE anything stages (migrateSpec itself removes by explicit rel)
+    if (mode == SnapOverwritePartitions && extraRemoves.isEmpty)
+      prev.toSeq.flatMap(_.files).find(e => sigOf(e.rel) != partitionFields)
+        .foreach(e => throw new IllegalStateException(
+          s"dataset at $root holds files from an older partition spec " +
+            s"(e.g. ${e.rel}) — run migrateSpec before partition-replacing " +
+            "writes (overwrite/merge/compact/fold)"))
     // schema-evolution gate BEFORE any file lands (the PartitionedSink
     // append/merge discipline): the batch either breaks the recorded
     // contract loudly with nothing written, or the recorded schema
@@ -757,7 +801,8 @@ object Snapshots {
     // partitions a merge touched but staged nothing back into: every row
     // deleted — they must leave the manifest even with no replacement file
     val emptied = touchedDirs.map(_ -- stagedDirs).getOrElse(Set.empty)
-    require(staged.nonEmpty || emptied.nonEmpty || deleteKeys.isDefined,
+    require(staged.nonEmpty || emptied.nonEmpty || deleteKeys.isDefined ||
+      extraRemoves.nonEmpty,
       "empty batch — nothing to snapshot")
     val data = dataDir(qroot)
     staged.foreach { rel =>
@@ -797,16 +842,16 @@ object Snapshots {
     }
     val prevFiles = prev.map(_.files).getOrElse(Seq.empty)
     val prevDeletes = prev.map(_.deletes).getOrElse(Seq.empty)
-    val removes: Seq[String] = mode match {
-      case SnapAppend => Seq.empty
+    val removes: Seq[String] = (mode match {
+      case SnapAppend => Seq.empty[String]
       case SnapOverwritePartitions =>
         val replaced = stagedDirs ++ emptied
         prevFiles.map(_.rel).filter(p => replaced(parentDirOf(p)))
-    }
+    }) ++ extraRemoves
     val dRemoves: Seq[String] =
       if (dropDeletes) prevDeletes.map(_.rel) else Seq.empty
     val meta = SnapMeta(modeLabel, contract, fmtTok, dsCodec, statsCols,
-      batchTag, partitionFields)
+      batchTag, partitionFields, Some(System.currentTimeMillis()))
     val chainDepth = prev.map(_.chainDepth).getOrElse(0)
     val content =
       if (prev.isEmpty || chainDepth + 1 >= RebaseEvery) {
@@ -904,7 +949,8 @@ object Snapshots {
     val live = resolve(f, qroot, cur, cache)
     val meta = SnapMeta("rollback",
       target.schema.getOrElse(StructType(Seq.empty)), target.format,
-      target.codec, target.statsCols, None, target.partitionCols)
+      target.codec, target.statsCols, None, target.partitionCols,
+      Some(System.currentTimeMillis()))
     val id = cur + 1
     val content =
       if (live.chainDepth + 1 >= RebaseEvery)
@@ -1148,7 +1194,7 @@ object Snapshots {
       // every delete is dead weight (already folded by compaction or
       // key-range-pruned everywhere): drop the entries metadata-only
       val meta = SnapMeta("fold", schema, m.format, m.codec, m.statsCols,
-        None, m.partitionCols)
+        None, m.partitionCols, Some(System.currentTimeMillis()))
       val nid = id + 1
       val content =
         if (m.chainDepth + 1 >= RebaseEvery)
@@ -1166,6 +1212,96 @@ object Snapshots {
       root, partitionFields, SnapOverwritePartitions, "fold",
       graft.schema.SchemaEvolution.Widen,
       touchedDirs = Some(affectedDirs), dropDeletes = true))
+  }
+
+  /**
+   * PARTITION-SPEC EVOLUTION: change how FUTURE writes are partitioned —
+   * one metadata-only snapshot, zero bytes rewritten (the Iceberg
+   * posture). Files already landed stay in their old layout and remain
+   * fully readable: every read groups live files by the spec each was
+   * WRITTEN under (parsed from its own directory segments — no era tag
+   * needed) and unions the per-era scans, so a column that is elided
+   * into directories in one era reads from file content in the others.
+   * Per-era partition pruning still applies to the columns that era
+   * elides.
+   *
+   * Appends, reads, time travel, incremental reads and merge-on-read
+   * merges work freely on an era-mixed dataset; PARTITION-REPLACING
+   * operations (overwrite / copy-on-write merge / compact / fold) fail
+   * loudly until [[migrateSpec]] rewrites the old-era files — their
+   * directory-match replacement cannot see a logical partition split
+   * across two layouts. Returns the new snapshot id.
+   */
+  def evolvePartitioning(
+      spark: SparkSession, root: String, newSpec: Seq[String]): Int = {
+    require(newSpec.nonEmpty, "the evolved spec needs at least one field")
+    val (f, qroot) = FsOps.fs(spark, root)
+    val cur = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot published under $root — the first write declares " +
+          "the initial spec directly"))
+    val m = resolve(f, qroot, cur)
+    require(m.partitionCols.nonEmpty,
+      s"dataset at $root predates recorded partition specs — one write " +
+        "under the current layout pins it first")
+    require(newSpec != m.partitionCols,
+      s"dataset at $root is already partitioned by ${newSpec.mkString(",")}")
+    val schema = m.schema.getOrElse(throw new IllegalStateException(
+      s"snapshot s$cur records no schema — cannot evolve its spec"))
+    newSpec.foreach { c =>
+      val fld = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition field $c is not in the dataset schema"))
+      require(isStatType(fld.dataType),
+        s"partition field $c has non-partitionable type ${fld.dataType}")
+      require(!m.statsCols.contains(c),
+        s"partition field $c is a recorded stats column — partition " +
+          "pruning would shadow its file stats")
+    }
+    val meta = SnapMeta("evolve_spec", schema, m.format, m.codec,
+      m.statsCols, None, newSpec, Some(System.currentTimeMillis()))
+    val id = cur + 1
+    val content =
+      if (m.chainDepth + 1 >= RebaseEvery)
+        renderManifest(meta, None, Seq.empty, Seq.empty, Some(m.files),
+          dFull = m.deletes)
+      else
+        renderManifest(meta, Some(cur), Seq.empty, Seq.empty, None)
+    publishManifest(f, qroot, id, Some(cur), content)
+    id
+  }
+
+  /**
+   * Rewrite every file still in an OLDER partition layout into the
+   * current spec (live equality-deletes applied during the rewrite, like
+   * [[compact]]), published as one new snapshot that removes exactly
+   * those files by name — after which the dataset is era-homogeneous and
+   * partition-replacing operations work again. Old snapshots keep
+   * reading the old-layout files until [[expire]] reclaims them. Only
+   * old-era files are read or written — current-era partitions ride
+   * through by reference. Returns the new snapshot id, or None when the
+   * dataset is already homogeneous.
+   */
+  def migrateSpec(
+      spark: SparkSession, root: String,
+      partitionFields: Seq[String]): Option[Int] = {
+    import org.apache.spark.sql.functions.col
+    val (f, qroot) = FsOps.fs(spark, root)
+    val id = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no snapshot published under $root"))
+    val m = resolve(f, qroot, id)
+    m.partitionCols.headOption.foreach(_ => require(
+      partitionFields == m.partitionCols,
+      s"dataset at $root is partitioned by ${m.partitionCols.mkString(",")}; " +
+        s"cannot migrate to ${partitionFields.mkString(",")}"))
+    val old = m.files.filter(e => sigOf(e.rel) != partitionFields)
+    if (old.isEmpty) return None
+    val rewritten = scanWithDeletes(spark, qroot, m, old)
+    Some(writeInternal(
+      rewritten.repartition(partitionFields.map(col): _*),
+      root, partitionFields, SnapAppend, "migrate_spec",
+      graft.schema.SchemaEvolution.Widen,
+      extraRemoves = old.map(_.rel)))
   }
 
   private def partitionRelDir(
@@ -1502,6 +1638,45 @@ object Snapshots {
       throw new IllegalStateException(s"no snapshot published under $root"))
     readResolved(spark, qroot, resolve(f, qroot, id), prune, s"s$id")
   }
+
+  /** The newest retained snapshot published at or before `tsMillis`
+    * (epoch millis) — resolved from each manifest's RECORDED publish
+    * instant, which survives expire's rebase-in-place (file mtimes do
+    * not). None when every retained snapshot is newer. Snapshots
+    * predating timestamp recording resolve as id order allows: they are
+    * older than every stamped one by construction. */
+  def snapshotAt(
+      spark: SparkSession, root: String, tsMillis: Long): Option[Int] = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val cur = currentSnapshot(spark, root)
+    val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
+    val ids = committedIds(f, qroot, cur)
+    // ts is monotone in id (single-writer publishes in id order), so the
+    // newest qualifying id is the answer; an unstamped (legacy) manifest
+    // qualifies iff some stamped descendant does or none is stamped
+    ids.reverse.find { id =>
+      readSnapshotFileCached(f, qroot, id, cache).ts.forall(_ <= tsMillis)
+    }
+  }
+
+  /** Time-based travel: [[read]] at [[snapshotAt]]`(tsMillis)` — "the
+    * table as it was at 9am". Fails loudly when the dataset has no
+    * snapshot that old. */
+  def readAt(
+      spark: SparkSession, root: String, tsMillis: Long,
+      prune: Seq[StatRange] = Seq.empty): DataFrame = {
+    val id = snapshotAt(spark, root, tsMillis).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot at or before ${new java.sql.Timestamp(tsMillis)} " +
+          s"under $root — the earliest retained snapshot is newer " +
+          "(or was expired)"))
+    read(spark, root, asOf = Some(id), prune = prune)
+  }
+
+  private def readSnapshotFileCached(
+      f: FileSystem, qroot: Path, id: Int,
+      cache: scala.collection.mutable.Map[Int, RawManifest]): RawManifest =
+    cache.getOrElseUpdate(id, readSnapshotFile(f, qroot, id))
 
   private def readResolved(
       spark: SparkSession, qroot: Path, m: Resolved,
@@ -1855,9 +2030,11 @@ object Snapshots {
       val raw = readSnapshotFile(f, qroot, k)
       if (raw.parent.exists(p => !keptSet(p))) {
         val res = resolve(f, qroot, k, cache)
+        // rebase-in-place preserves the ORIGINAL publish instant — the
+        // rewrite changes representation, not history
         val meta = SnapMeta(raw.mode,
           raw.schema.getOrElse(StructType(Seq.empty)), raw.format,
-          raw.codec, raw.statsCols, raw.batchTag, raw.partitionCols)
+          raw.codec, raw.statsCols, raw.batchTag, raw.partitionCols, raw.ts)
         FsOps.atomicWrite(f, new Path(snapshotsDir(qroot), s"s$k"),
           renderManifest(meta, None, Seq.empty, Seq.empty, Some(res.files),
             dFull = res.deletes))

@@ -1221,6 +1221,153 @@ class SnapshotsSpec extends SparkSpec {
       manifestLines(root, 3, "remove=").isEmpty)
   }
 
+  test("partition-spec evolution: metadata-only, both eras read, pruning per era") {
+    val root = java.nio.file.Files.createTempDirectory("snap_evsp").toString
+    val base = graft.Tables(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    val even = base.filter(col("o_orderkey") % 2 === 0)
+    val odd = base.filter(col("o_orderkey") % 2 === 1)
+    Snapshots.write(even.coalesce(1), root, Seq("o_orderpriority"))
+    val s2 = Snapshots.evolvePartitioning(spark, root,
+      Seq("o_orderpriority", "o_orderstatus"))
+    assert(s2 == 2)
+    assert(manifestLines(root, 2, "add=").isEmpty &&
+      manifestLines(root, 2, "remove=").isEmpty, "evolution rewrites nothing")
+    // old spec now rejected, new spec required
+    intercept[IllegalArgumentException] {
+      Snapshots.write(odd, root, Seq("o_orderpriority"))
+    }
+    Snapshots.write(odd.coalesce(1), root,
+      Seq("o_orderpriority", "o_orderstatus"))
+    // the era-mixed read is complete and correct on every column,
+    // including the one era 1 stores in files and era 2 in dirs
+    val cur = Snapshots.read(spark, root)
+    assert(keys(cur) == keys(base))
+    val statusByKey = base.select("o_orderkey", "o_orderstatus").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cur.select("o_orderkey", "o_orderstatus").collect()
+      .forall(r => statusByKey(r.getLong(0)) == r.getString(1)))
+    // pre-evolution travel unchanged
+    assert(keys(Snapshots.read(spark, root, asOf = Some(1))) == keys(even))
+    // partition pruning on the shared first-level column reaches BOTH eras
+    val pruned = Snapshots.read(spark, root)
+      .filter(col("o_orderpriority") === "5-LOW")
+    assert(keys(pruned) ==
+      keys(base.filter(col("o_orderpriority") === "5-LOW")))
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"), "dir pruning must survive evolution")
+  }
+
+  test("migrateSpec rewrites only old-era files; guards lift afterwards") {
+    val root = java.nio.file.Files.createTempDirectory("snap_evmg").toString
+    val base = graft.Tables(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority")
+    Snapshots.write(
+      base.filter(col("o_orderkey") % 2 === 0).coalesce(1), root,
+      Seq("o_orderpriority"))
+    Snapshots.evolvePartitioning(spark, root,
+      Seq("o_orderpriority", "o_orderstatus"))
+    Snapshots.write(
+      base.filter(col("o_orderkey") % 2 === 1).coalesce(1), root,
+      Seq("o_orderpriority", "o_orderstatus"))
+    // partition-replacing ops are era-blocked until migration (a flat-era
+    // file in the same logical partition would silently survive)
+    val exBefore = intercept[IllegalStateException] {
+      Snapshots.write(
+        base.filter(col("o_orderkey") % 4 === 1).coalesce(1), root,
+        Seq("o_orderpriority", "o_orderstatus"), SnapOverwritePartitions)
+    }
+    assert(exBefore.getMessage.contains("migrateSpec"))
+    val beforeKeys = keys(Snapshots.read(spark, root))
+    val s4 = Snapshots.migrateSpec(spark, root,
+      Seq("o_orderpriority", "o_orderstatus"))
+    assert(s4.contains(4))
+    // only era-1 files moved: every remove is a flat-layout rel, every
+    // add a two-level one; era-2 files ride through by reference
+    assert(manifestLines(root, 4, "remove=").nonEmpty)
+    assert(manifestLines(root, 4, "remove=")
+      .forall(l => l.count(_ == '/') == 1))
+    assert(manifestLines(root, 4, "add=")
+      .forall(l => l.count(_ == '/') == 2))
+    assert(keys(Snapshots.read(spark, root)) == beforeKeys,
+      "migration is a layout rewrite, not a data change")
+    // homogeneous again: compaction works, second migrate is a no-op
+    assert(Snapshots.migrateSpec(spark, root,
+      Seq("o_orderpriority", "o_orderstatus")).isEmpty)
+    assert(keys(Snapshots.read(spark, root, asOf = Some(3))) == beforeKeys,
+      "pre-migration era-mixed state stays travelable")
+    // evolution guards: unknown column, unchanged spec
+    intercept[IllegalArgumentException] {
+      Snapshots.evolvePartitioning(spark, root, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.evolvePartitioning(spark, root,
+        Seq("o_orderpriority", "o_orderstatus"))
+    }
+  }
+
+  test("equality deletes apply across partition-spec eras and through migration") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_evdel").toString
+    val df = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", s"g${i % 4}")).toDF("k", "p", "g")
+    Snapshots.write(df.repartition(2), root, Seq("p"))
+    Snapshots.evolvePartitioning(spark, root, Seq("p", "g"))
+    // a MoR delete lands under the NEW spec but must suppress rows in
+    // OLD-era files too (seq ordering is era-agnostic)
+    Snapshots.mergeDeltas(spark, root,
+      Seq((0L, "a", "g0", true), (1L, "b", "g1", true))
+        .toDF("k", "p", "g", "__del"),
+      Seq("p", "g"), Seq("k"), deleteCol = Some("__del"))
+    assert(Snapshots.read(spark, root).count() == 38)
+    // migration applies the deletes while rewriting old-era files —
+    // nothing resurrects, and the rewritten rows escape by newer seq
+    Snapshots.migrateSpec(spark, root, Seq("p", "g"))
+    assert(Snapshots.read(spark, root).count() == 38)
+    assert(Snapshots.read(spark, root).filter(col("k") < 2).count() == 0)
+    // fold now clears the (dead) delete entries metadata-only
+    val fid = Snapshots.foldDeletes(spark, root, Seq("p", "g"))
+    assert(fid.nonEmpty)
+    assert(Snapshots.read(spark, root).count() == 38)
+  }
+
+  test("time travel by wall clock: recorded publish instants, rebase-proof") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_ts").toString
+    val t0 = System.currentTimeMillis() - 1
+    Snapshots.write(Seq((1L, "a")).toDF("k", "p"), root, Seq("p"))
+    Thread.sleep(5)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Snapshots.write(Seq((2L, "a")).toDF("k", "p"), root, Seq("p"))
+    Thread.sleep(5)
+    val t2 = System.currentTimeMillis()
+    assert(Snapshots.snapshotAt(spark, root, t0).isEmpty,
+      "before the first publish there is no state")
+    intercept[IllegalStateException] { Snapshots.readAt(spark, root, t0) }
+    assert(Snapshots.snapshotAt(spark, root, t1).contains(1))
+    assert(Snapshots.readAt(spark, root, t1).count() == 1)
+    assert(Snapshots.snapshotAt(spark, root, t2).contains(2))
+    assert(Snapshots.readAt(spark, root, t2).count() == 2)
+    // far future resolves to current
+    assert(Snapshots.snapshotAt(spark, root, Long.MaxValue).contains(2))
+    // expire's rebase-in-place preserves the ORIGINAL recorded instant:
+    // s2's manifest is rewritten full when s1 expires, and t1 still
+    // resolves to nothing while t2 still finds s2
+    val tagged = manifestText(root, 2)
+    assert(tagged.linesIterator.exists(_.startsWith("ts=")))
+    Snapshots.write(Seq((3L, "a")).toDF("k", "p"), root, Seq("p"))
+    Snapshots.expire(spark, root, keepLast = 2)
+    assert(manifestText(root, 2).linesIterator.filter(_.startsWith("ts="))
+      .toSeq == tagged.linesIterator.filter(_.startsWith("ts=")).toSeq,
+      "rebase must carry the original publish instant")
+    assert(Snapshots.snapshotAt(spark, root, t1).isEmpty,
+      "the only snapshot that old was expired")
+    assert(Snapshots.snapshotAt(spark, root, t2).contains(2))
+  }
+
   test("expire and vacuum account for equality-delete files") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_mor_gc").toString
