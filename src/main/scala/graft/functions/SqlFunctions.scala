@@ -58,7 +58,13 @@ object SqlFunctions {
       case Literal(v: Int, _) => v.toDouble
       case other => other.eval(null) match {
         case d: Double => d
+        // SQL fractional literals parse as DecimalType by default, and
+        // Spark's Decimal is not a java.lang.Number — without this case
+        // the natural spelling dd_sketch(v, 1.02) MatchErrors at analysis
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
         case n: Number => n.doubleValue()
+        case other2 => throw new IllegalArgumentException(
+          s"argument $i must be a numeric literal, got $other2")
       }
     } else default
 }

@@ -293,17 +293,10 @@ object Relational {
    */
   def sketchQuantiles(
       df: DataFrame, groupCol: String, valueCol: String, ps: Seq[Double],
-      gamma: Double = 1.02): DataFrame = {
-    val v = col(valueCol).cast("long")
-    val buckets = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol))
-      .agg(graft.functions.dd.dd_sketch(v, gamma).as("__bk"))
-      .select(col(groupCol), explode(col("__bk")).as("__b"))
-      .select(col(groupCol), col("__b.bucket").as("__e"),
-        col("__b.cnt").as("__c"))
+      gamma: Double = 1.02): DataFrame =
     quantileVerify(df, groupCol, valueCol,
-      quantileTargets(buckets, groupCol, ps), gamma)
-  }
+      quantileTargets(bucketRowsOf(df, groupCol, valueCol, gamma),
+        groupCol, ps), gamma)
 
   /** Rank crossings from sketch-bucket rows `(group, __e, __c)` — n and
     * the cumulative scan both come off ONE per-group window pass, and
@@ -324,14 +317,21 @@ object Relational {
       .withColumn("__r", ceil(col("__n") * col("p")).cast("long"))
       .filter(col("__cum") >= col("__r") &&
         col("__cum") - col("__c") < col("__r"))
-      .select(col(groupCol), col("p"), col("__e").as("__et"), col("__r"))
+      .select(col(groupCol), col("p"), col("__e").as("__et"), col("__r"),
+        col("__n"))
   }
 
   /** The exact verify pass against broadcast targets `(group, p, __et,
-    * __r)`: classify every row into below/window/above its group's target
-    * bucket ±1, aggregate once keyed on (group, p, window value), read
-    * the rank crossing off the per-group cumulative counts. Exactness
-    * never rests on the sketch — an escaped crossing raises. */
+    * __r, __n)`: classify every row into below/window/above its group's
+    * target bucket ±1, aggregate once keyed on (group, p, window value),
+    * read the rank crossing off the per-group cumulative counts.
+    * Exactness never rests on the sketch — an escaped crossing raises,
+    * and a corpus whose total mass disagrees with the proposing
+    * histogram's (`__n`) raises too (the [[quantilesFromState]] drift
+    * guard), both off the same one-pass aggregate. A corpus so much
+    * smaller that no row reaches the target rank produces NO output row
+    * for that (group, p) rather than a raise — callers comparing against
+    * the requested (group, p) set detect that case. */
   private[ops] def quantileVerify(
       df: DataFrame, groupCol: String, valueCol: String,
       targets: DataFrame, gamma: Double,
@@ -342,6 +342,7 @@ object Relational {
       .when(e2 > col("__et") + 1, lit(1)).otherwise(lit(0))
     val byGPkw = Window.partitionBy(col(groupCol), col("p"))
       .orderBy(col("__k"), col("__w"))
+    val byGPAll = Window.partitionBy(col(groupCol), col("p"))
     val rowMass = weightCol
       .map(wc => sum(col(wc).cast("long"))).getOrElse(count(lit(1)))
     val admitted = weightCol.foldLeft(df.filter(col(valueCol).isNotNull))(
@@ -349,15 +350,28 @@ object Relational {
     admitted
       .join(broadcast(targets), Seq(groupCol))
       .groupBy(col(groupCol), col("p"), k.as("__k"),
-        when(k === 0, v).otherwise(lit(0L)).as("__w"), col("__r"))
+        when(k === 0, v).otherwise(lit(0L)).as("__w"), col("__r"), col("__n"))
       .agg(rowMass.as("__c"))
+      .withColumn("__tot", sum("__c").over(byGPAll))
       .withColumn("__cum", sum("__c").over(byGPkw))
       .filter(col("__cum") >= col("__r") &&
         col("__cum") - col("__c") < col("__r"))
       .select(col(groupCol), col("p"),
-        when(col("__k") === 0, col("__w")).otherwise(raise_error(concat(
-          lit("sketchQuantile: rank crossing escaped the proposed bucket " +
-            "window for group "), col(groupCol).cast("string"))))
+        // the guard that makes "exact" unconditional: the verified
+        // corpus's total mass must equal the mass the targets' ranks
+        // were computed from — a drifted corpus (quantilesFromState fed
+        // rows the state never saw, or missing ones) raises instead of
+        // returning the corpus value at the WRONG rank. Computed off the
+        // same one-pass aggregate: zero extra scans.
+        when(col("__tot") =!= col("__n"), raise_error(concat(
+          lit("sketchQuantile: corpus mass "), col("__tot").cast("string"),
+          lit(" != proposing histogram mass "), col("__n").cast("string"),
+          lit(" for group "), col(groupCol).cast("string"),
+          lit(" — the corpus drifted from the sketched/maintained state"))))
+          .when(col("__k") === 0, col("__w"))
+          .otherwise(raise_error(concat(
+            lit("sketchQuantile: rank crossing escaped the proposed bucket " +
+              "window for group "), col(groupCol).cast("string"))))
           .as("quantile"))
   }
 
@@ -373,30 +387,28 @@ object Relational {
    */
   def sketchQuantilesWeighted(
       df: DataFrame, groupCol: String, valueCol: String, weightCol: String,
-      ps: Seq[Double], gamma: Double = 1.02): DataFrame = {
-    val buckets = df.filter(col(valueCol).isNotNull)
-      .groupBy(col(groupCol))
-      .agg(graft.functions.dd.dd_sketch_weighted(
-        col(valueCol).cast("long"), col(weightCol).cast("long"), gamma)
-        .as("__bk"))
-      .select(col(groupCol), explode(col("__bk")).as("__b"))
-      .select(col(groupCol), col("__b.bucket").as("__e"),
-        col("__b.cnt").as("__c"))
+      ps: Seq[Double], gamma: Double = 1.02): DataFrame =
     quantileVerify(df, groupCol, valueCol,
-      quantileTargets(buckets, groupCol, ps), gamma, Some(weightCol))
-  }
+      quantileTargets(
+        bucketRowsOf(df, groupCol, valueCol, gamma, Some(weightCol)),
+        groupCol, ps), gamma, Some(weightCol))
 
   // ------------------------------------------------ persisted quantile state
 
-  /** Bucket rows `(group, __e, __c)` of one frame — the persisted form of
-    * the per-group rank histogram. */
+  /** Bucket rows `(group, __e, __c)` of one frame — the ONE sketch-build
+    * pipeline every quantile entry point shares (direct, weighted, and
+    * the persisted-state maintenance): counts with no weight, exact
+    * weight mass with one. */
   private def bucketRowsOf(
       df: DataFrame, groupCol: String, valueCol: String,
-      gamma: Double): DataFrame =
+      gamma: Double, weightCol: Option[String] = None): DataFrame =
     df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol))
-      .agg(graft.functions.dd.dd_sketch(
-        col(valueCol).cast("long"), gamma).as("__bk"))
+      .agg(weightCol.fold(
+        graft.functions.dd.dd_sketch(col(valueCol).cast("long"), gamma))(
+        wc => graft.functions.dd.dd_sketch_weighted(
+          col(valueCol).cast("long"), col(wc).cast("long"), gamma))
+        .as("__bk"))
       .select(col(groupCol), explode(col("__bk")).as("__b"))
       .select(col(groupCol), col("__b.bucket").as("__e"),
         col("__b.cnt").as("__c"))
@@ -429,24 +441,15 @@ object Relational {
       groupCol: String, valueCol: String, gamma: Double,
       buckets: DataFrame, seen: Seq[(Long, Long)]): Unit = {
     import spark.implicits._
-    val (f, root) = graft.sink.FsOps.fs(spark, path)
-    f.mkdirs(root)
-    val staging = new org.apache.hadoop.fs.Path(root,
-      s".staging_${java.util.UUID.randomUUID().toString.take(12)}")
-    buckets.coalesce(1).write.parquet(s"$staging/buckets")
-    Seq((groupCol, valueCol, gamma)).toDF("group", "value", "gamma")
-      .coalesce(1).write.parquet(s"$staging/meta")
-    seen.toDF("batch_id", "fp").coalesce(1).write.parquet(s"$staging/seen")
-    graft.sink.FsOps.publishGeneration(f, root, staging): Unit
+    graft.sink.GenerationState.publish(spark, path, Seq(
+      "buckets" -> buckets,
+      "meta" -> Seq((groupCol, valueCol, gamma))
+        .toDF("group", "value", "gamma")), seen)
   }
 
   private def liveQuantileRoot(
-      spark: org.apache.spark.sql.SparkSession, path: String): String = {
-    val (f, root) = graft.sink.FsOps.fs(spark, path)
-    graft.sink.FsOps.readManifest(f, root).map(v => s"$path/$v")
-      .getOrElse(throw new IllegalStateException(
-        s"no quantile state published under $path"))
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): String =
+    graft.sink.GenerationState.liveRoot(spark, path, "quantile state")
 
   /** Fold one batch into the stored state: the batch's bucket rows union
     * the stored ones and re-aggregate by (group, bucket) — distributed,
@@ -461,11 +464,12 @@ object Relational {
     val m = spark.read.parquet(s"$live/meta").head()
     val (groupCol, valueCol, gamma) =
       (m.getString(0), m.getString(1), m.getDouble(2))
-    val seen = spark.read.parquet(s"$live/seen")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // seen-tag + legacy-upgrade + replay-match rules shared with the
+    // heavy-hitter state lane (GenerationState)
+    val seen = graft.sink.GenerationState.seenTags(spark, live)
     val tag = batchId.map(id => (id, graft.streaming.ReplayGuard.fingerprint(
       batch.select(col(groupCol), col(valueCol)))))
-    if (tag.exists(seen.contains)) return
+    if (graft.sink.GenerationState.isReplay(seen, tag)) return
     // an empty batch must not burn a generation publish, and contributes
     // nothing on a replay either
     if (batch.filter(col(valueCol).isNotNull).isEmpty) return

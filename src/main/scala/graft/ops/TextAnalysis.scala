@@ -12,9 +12,6 @@ import org.apache.spark.sql.{Column, DataFrame}
  */
 object TextAnalysis {
 
-  /** Sentinel fp for seen/ rows recorded before content fingerprints
-    * existed: matches any fingerprint for its batch id. */
-  private val LegacyFp: Long = Long.MinValue
 
   // --------------------------------------------------------- token counts
 
@@ -132,25 +129,14 @@ object TextAnalysis {
       counters: Seq[(String, Long)], total: Long,
       seen: Seq[(Long, Long)]): Unit = {
     import spark.implicits._
-    val (f, root) = graft.sink.FsOps.fs(spark, path)
-    f.mkdirs(root)
-    val staging = new org.apache.hadoop.fs.Path(root,
-      s".staging_${java.util.UUID.randomUUID().toString.take(12)}")
-    counters.toDF("item", "weight").coalesce(1)
-      .write.parquet(s"$staging/counters")
-    Seq((total, k)).toDF("total", "k").coalesce(1)
-      .write.parquet(s"$staging/totals")
-    seen.toDF("batch_id", "fp").coalesce(1).write.parquet(s"$staging/seen")
-    graft.sink.FsOps.publishGeneration(f, root, staging): Unit
+    graft.sink.GenerationState.publish(spark, path, Seq(
+      "counters" -> counters.toDF("item", "weight"),
+      "totals" -> Seq((total, k)).toDF("total", "k")), seen)
   }
 
   private def liveHhRoot(
-      spark: org.apache.spark.sql.SparkSession, path: String): String = {
-    val (f, root) = graft.sink.FsOps.fs(spark, path)
-    graft.sink.FsOps.readManifest(f, root).map(v => s"$path/$v")
-      .getOrElse(throw new IllegalStateException(
-        s"no heavy-hitter state published under $path"))
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): String =
+    graft.sink.GenerationState.liveRoot(spark, path, "heavy-hitter state")
 
   /**
    * Fold one batch into the stored state: batch sketch (k frozen by the
@@ -169,19 +155,12 @@ object TextAnalysis {
     // ONE generation resolution for the whole append (the liveIndexRoot
     // discipline) — all reads below come from the same immutable tree
     val live = liveHhRoot(spark, path)
-    val seenDf = spark.read.parquet(s"$live/seen")
-    // pre-fingerprint state trees recorded id-only seen/ rows: match those
-    // on id alone (their content is unknowable) and carry them forward as
-    // match-any-fp sentinels, so an upgrade never crashes or double-counts
-    val seen: Seq[(Long, Long)] =
-      if (seenDf.columns.contains("fp"))
-        seenDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      else seenDf.collect().map(r => (r.getLong(0), LegacyFp)).toSeq
+    // seen-tag + legacy-upgrade + replay-match rules live in ONE place
+    // (GenerationState) shared with the quantile state lane
+    val seen = graft.sink.GenerationState.seenTags(spark, live)
     val tag = batchId.map(id =>
       (id, graft.streaming.ReplayGuard.fingerprint(batch.select(col(textCol)))))
-    if (tag.exists { case (id, fp) =>
-        seen.exists(s => s._1 == id && (s._2 == fp || s._2 == LegacyFp)) })
-      return
+    if (graft.sink.GenerationState.isReplay(seen, tag)) return
     val t = spark.read.parquet(s"$live/totals").head()
     val (total, k) = (t.getLong(0), t.getInt(1))
     val stored = spark.read.parquet(s"$live/counters")

@@ -1035,9 +1035,28 @@ object Snapshots {
             org.apache.spark.sql.functions.hash(frag.columns.map(col): _*),
             org.apache.spark.sql.functions.lit(t))): _*)
       case (t, s) =>
-        val keys = (partitionFields ++ s).map(col)
-        frag.repartitionByRange(fragmented.size * t, keys: _*)
-          .sortWithinPartitions(keys: _*)
+        // clustered split with a PER-PARTITION bound: ntile(t) over each
+        // partition's sort order assigns contiguous key ranges to at most
+        // t buckets per partition value; routing on (partition, bucket)
+        // by RANGE keeps every task's slice of a partition a contiguous
+        // bucket run (equal route keys land whole on one task; any merge
+        // under task pressure joins ADJACENT buckets), so each partition
+        // compacts to ≤ t files, every file a contiguous sort range —
+        // and the fragmentation predicate (> t files) can never re-fire
+        // on already-compacted output. The previous global
+        // repartitionByRange over the raw keys could not promise the
+        // per-partition cap (range-task boundaries straddle partition
+        // values), so a dir could stay "fragmented" forever and a
+        // scheduled maintain() would rewrite the same bytes every pass.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(partitionFields.map(col): _*)
+          .orderBy(s.map(col): _*)
+        frag
+          .withColumn("__bkt", org.apache.spark.sql.functions.ntile(t).over(w))
+          .repartitionByRange(fragmented.size * t,
+            (partitionFields :+ "__bkt").map(col): _*)
+          .sortWithinPartitions((partitionFields ++ s).map(col): _*)
+          .drop("__bkt")
     }
     Some(writeInternal(rewritten, root, partitionFields,
       SnapOverwritePartitions, "compact", graft.schema.SchemaEvolution.Widen))

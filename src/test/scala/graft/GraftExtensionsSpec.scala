@@ -67,6 +67,13 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(buckets == Seq(
         (h.enc(-4L), 1L), (0, 1L), (1, 2L), (h.enc(1000L), 1L)))
       assert(buckets.map(_._2).sum == 5L)
+      // the natural SQL spelling: a bare fractional literal parses as
+      // DecimalType, which the argument reader must accept too
+      val ddrDec = s2.sql(
+        """SELECT dd_sketch(v, 1.02) AS sk FROM VALUES
+          |  (0L), (1L), (1L), (-4L), (1000L) AS t(v)""".stripMargin).head()
+      assert(ddrDec.getSeq[org.apache.spark.sql.Row](0)
+        .map(e => (e.getInt(0), e.getLong(1))) == buckets)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -170,6 +170,30 @@ class DdSketchSpec extends SparkSpec {
     }
   }
 
+  test("quantilesFromState raises on a drifted corpus instead of a wrong exact value") {
+    val path = java.nio.file.Files.createTempDirectory("q_drift").toString
+    val b = (1 to 100).map(i => ("g", i.toLong))
+    Relational.writeQuantileState(b.toDF("g", "v"), "g", "v", path)
+    // clean corpus: exact
+    assert(Relational.quantilesFromState(b.toDF("g", "v"), path, Seq(0.5))
+      .collect().map(_.getLong(2)).toSeq == Seq(50L))
+    // corpus holding a batch the state never folded: the rank basis and
+    // the verify mass disagree — must raise, never return "exact" at the
+    // state's rank over the wrong distribution
+    val drifted = (b ++ (101 to 120).map(i => ("g", i.toLong))).toDF("g", "v")
+    val ex = intercept[Exception] {
+      Relational.quantilesFromState(drifted, path, Seq(0.5)).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("drifted"),
+      s"expected the drift guard, got: ${ex.getMessage}")
+    // missing rows drift the other way — same guard
+    val shrunk = b.filter(_._2 % 2 == 0).toDF("g", "v")
+    val ex2 = intercept[Exception] {
+      Relational.quantilesFromState(shrunk, path, Seq(0.5)).collect()
+    }
+    assert(ex2.getMessage != null && ex2.getMessage.contains("drifted"))
+  }
+
   test("quantile state replays converge and empty batches don't publish") {
     val path = java.nio.file.Files.createTempDirectory("q_replay").toString
     val b = (1 to 100).map(i => ("g", i.toLong))

@@ -816,6 +816,12 @@ class SnapshotsSpec extends SparkSpec {
         .filter(col("k").between(lo, hi)).count() == hi - lo + 1,
         s"range [$lo,$hi]")
     }
+    // the per-partition file bound holds exactly, so a re-compaction has
+    // nothing to do — a scheduled maintain() cannot rewrite forever
+    assert(all <= 8, s"expected ≤ 2 partitions × 4 files, got $all")
+    assert(Snapshots.compact(spark, root, Seq("p"),
+      targetFilesPerPartition = 4, sortBy = Seq("k")).isEmpty,
+      "clustered compaction must converge")
   }
 
   test("maintain: compact -> expire -> vacuum in one policy pass, content intact") {
@@ -838,9 +844,11 @@ class SnapshotsSpec extends SparkSpec {
     assert(r.orphansVacuumed == 1, "the stray file is vacuum's")
     // content identical, layout compacted + clustered
     assert(Snapshots.read(spark, root).count() == 601)
-    // range split: files ≤ tasks + partitions − 1 (a boundary task that
-    // straddles two partition values writes one file into each)
-    assert(Snapshots.read(spark, root).inputFiles.length <= 5)
+    // per-partition ntile split: at most t files per partition value
+    assert(Snapshots.read(spark, root).inputFiles.length <= 4)
+    // and the fragmentation predicate can never re-fire on its output
+    assert(Snapshots.compact(spark, root, Seq("p"), 2, Seq("k")).isEmpty,
+      "clustered compaction must converge")
     val pruned = Snapshots.read(spark, root,
       prune = Seq(Snapshots.StatRange("k", Some(0L), Some(99L))))
     assert(pruned.inputFiles.length < Snapshots.read(spark, root)
