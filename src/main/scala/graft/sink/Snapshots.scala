@@ -613,6 +613,16 @@ object Snapshots {
       schema.fields.find(_.name == c).getOrElse(throw new IllegalStateException(
         s"equality-delete key $c is not in the snapshot schema"))))
     val delBase = deletesDir(qroot).toString
+    // size-dispatch the anti-join: delete batches are small by contract
+    // (fold cadence bounds them) and broadcast is the right plan — but a
+    // dataset whose folds were neglected must not force-broadcast an
+    // unbounded key set into the driver. Above the byte budget the hint
+    // is dropped and the join shuffles; correctness is identical.
+    val limit = spark.conf.getOption("graft.snapshots.broadcastDeleteBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delSize = m.deletes.map(d => d.rel ->
+      fs.getFileStatus(new Path(delBase, d.rel)).getLen).toMap
     val classes = kept.groupBy(e =>
       m.deletes.filter(deleteApplies(_, e, schema)).map(_.rel).sorted)
     classes.toSeq.sortBy(_._1.mkString(","))
@@ -623,8 +633,11 @@ object Snapshots {
           val keys = spark.read.format(sinkFormatOf(m.format).name)
             .schema(keySchema)
             .load(delRels.map(r => s"$delBase/$r"): _*).distinct()
-          df.join(org.apache.spark.sql.functions.broadcast(keys),
-            keyCols, "left_anti")
+          val hinted =
+            if (delRels.map(delSize).sum <= limit)
+              org.apache.spark.sql.functions.broadcast(keys)
+            else keys
+          df.join(hinted, keyCols, "left_anti")
         }
       }.reduce(_ unionByName _)
   }
@@ -1017,8 +1030,8 @@ object Snapshots {
       fragmented.values.flatten.toSeq)
     import org.apache.spark.sql.functions.col
     // one task (→ one file) per partition value under the partition-column
-    // repartition; a >1 target without a sort key adds a deterministic
-    // row-hash salt so each partition splits into at most that many tasks.
+    // repartition; a >1 target without a sort key splits each partition
+    // into exactly that many balanced tasks ([[splitPerPartition]]).
     // WITH a sort key, the split is a RANGE partitioning over
     // (partition cols, sortBy) + an in-task sort: every rewritten file
     // covers a contiguous sort-key range, so the manifest's per-file
@@ -1029,11 +1042,7 @@ object Snapshots {
       case (1, Nil) => frag.repartition(partitionFields.map(col): _*)
       case (1, s) => frag.repartition(partitionFields.map(col): _*)
         .sortWithinPartitions(s.map(col): _*)
-      case (t, Nil) => frag.repartition(
-        (partitionFields.map(col) :+
-          org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.hash(frag.columns.map(col): _*),
-            org.apache.spark.sql.functions.lit(t))): _*)
+      case (t, Nil) => splitPerPartition(frag, partitionFields, t)
       case (t, s) =>
         // clustered split with a PER-PARTITION bound: ntile(t) over each
         // partition's sort order assigns contiguous key ranges to at most
@@ -1198,8 +1207,10 @@ object Snapshots {
    */
   def foldDeletes(
       spark: SparkSession, root: String,
-      partitionFields: Seq[String]): Option[Int] = {
+      partitionFields: Seq[String],
+      targetFilesPerPartition: Int = 1): Option[Int] = {
     import org.apache.spark.sql.functions.col
+    require(targetFilesPerPartition >= 1, "need at least one file")
     val (f, qroot) = FsOps.fs(spark, root)
     val id = currentSnapshot(spark, root).getOrElse(
       throw new IllegalStateException(s"no snapshot published under $root"))
@@ -1227,10 +1238,37 @@ object Snapshots {
     val entries = m.files.filter(e => affectedDirs(parentDirOf(e.rel)))
     val folded = scanWithDeletes(spark, qroot, m, entries)
     Some(writeInternal(
-      folded.repartition(partitionFields.map(col): _*),
+      splitPerPartition(folded, partitionFields, targetFilesPerPartition),
       root, partitionFields, SnapOverwritePartitions, "fold",
       graft.schema.SchemaEvolution.Widen,
       touchedDirs = Some(affectedDirs), dropDeletes = true))
+  }
+
+  /** Route a rewrite so each partition value lands on ≤ `t` tasks (→ ≤ t
+    * files, and exactly t when it has ≥ t rows): one task per partition
+    * at t = 1; above it, ntile(t) over a deterministic row-hash order
+    * assigns balanced buckets and (partition, bucket) range-routing gives
+    * each its own task — a 100 TB partition must never funnel through a
+    * single rewrite task, and a row-hash SALT cannot promise that (all t
+    * salt values can collide onto one shuffle partition). Shared by
+    * [[compact]]'s unclustered split, [[foldDeletes]] and
+    * [[migrateSpec]]. */
+  private def splitPerPartition(
+      df: DataFrame, partitionFields: Seq[String], t: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, hash, ntile}
+    if (t == 1) df.repartition(partitionFields.map(col): _*)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(partitionFields.map(col): _*)
+        .orderBy(hash(df.columns.map(col): _*))
+      // numPartitions EXPLICIT: an advisory repartition lets AQE coalesce
+      // the small buckets back onto one task, defeating the split
+      val n = math.max(t, df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt)
+      df.withColumn("__bkt", ntile(t).over(w))
+        .repartitionByRange(n, (partitionFields :+ "__bkt").map(col): _*)
+        .drop("__bkt")
+    }
   }
 
   /**
@@ -1303,8 +1341,9 @@ object Snapshots {
    */
   def migrateSpec(
       spark: SparkSession, root: String,
-      partitionFields: Seq[String]): Option[Int] = {
-    import org.apache.spark.sql.functions.col
+      partitionFields: Seq[String],
+      targetFilesPerPartition: Int = 1): Option[Int] = {
+    require(targetFilesPerPartition >= 1, "need at least one file")
     val (f, qroot) = FsOps.fs(spark, root)
     val id = currentSnapshot(spark, root).getOrElse(
       throw new IllegalStateException(s"no snapshot published under $root"))
@@ -1317,7 +1356,7 @@ object Snapshots {
     if (old.isEmpty) return None
     val rewritten = scanWithDeletes(spark, qroot, m, old)
     Some(writeInternal(
-      rewritten.repartition(partitionFields.map(col): _*),
+      splitPerPartition(rewritten, partitionFields, targetFilesPerPartition),
       root, partitionFields, SnapAppend, "migrate_spec",
       graft.schema.SchemaEvolution.Widen,
       extraRemoves = old.map(_.rel)))
@@ -1837,7 +1876,8 @@ object Snapshots {
       spark: SparkSession, root: String, partitionFields: Seq[String],
       policy: MaintenancePolicy = MaintenancePolicy()): MaintenanceReport = {
     val folded =
-      if (policy.foldDeletes) foldDeletes(spark, root, partitionFields)
+      if (policy.foldDeletes) foldDeletes(spark, root, partitionFields,
+        policy.targetFilesPerPartition)
       else None
     val compacted = compact(spark, root, partitionFields,
       policy.targetFilesPerPartition, policy.sortBy)

@@ -1053,6 +1053,26 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.foldDeletes(spark, root, Seq("o_orderpriority")).isEmpty)
   }
 
+  test("fold and migrate split big partitions across tasks (targetFilesPerPartition)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_fold_t").toString
+    val df = (0L until 400L).map(i => (i, "a")).toDF("k", "p")
+    Snapshots.write(df.repartition(1), root, Seq("p"))
+    Snapshots.mergeDeltas(spark, root,
+      Seq((7L, "a", true)).toDF("k", "p", "__del"),
+      Seq("p"), Seq("k"), deleteCol = Some("__del"))
+    Snapshots.foldDeletes(spark, root, Seq("p"), targetFilesPerPartition = 3)
+    val files = Snapshots.read(spark, root).inputFiles.length
+    assert(files > 1 && files <= 3,
+      s"a fold must honor the per-partition split: $files files")
+    assert(Snapshots.read(spark, root).count() == 399)
+    // same knob on migration
+    Snapshots.evolvePartitioning(spark, root, Seq("p", "k"))
+    intercept[IllegalArgumentException] {
+      Snapshots.migrateSpec(spark, root, Seq("p", "k"), 0)
+    }
+  }
+
   test("key-range stats keep clean files out of the delete join and out of the fold") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_mor_stats").toString
@@ -1194,6 +1214,33 @@ class SnapshotsSpec extends SparkSpec {
     assert(r.foldedTo.contains(3))
     assert(Snapshots.read(spark, root).count() == 48)
     assert(manifestLines(root, 3, "dremove=").length == 1)
+  }
+
+  test("oversized delete sets drop the broadcast hint, results identical") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_mor_big").toString
+    val df = (0L until 100L).map(i => (i, "a")).toDF("k", "p")
+    Snapshots.write(df, root, Seq("p"))
+    Snapshots.mergeDeltas(spark, root,
+      (0L until 10L).map(i => (i, "a", true)).toDF("k", "p", "__del"),
+      Seq("p"), Seq("k"), deleteCol = Some("__del"))
+    def planOf() = Snapshots.read(spark, root)
+      .queryExecution.executedPlan.toString
+    // isolate the HINT: with auto-broadcast off, only the explicit hint
+    // can produce a BroadcastHashJoin
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(planOf().contains("BroadcastHashJoin"),
+        "under the byte budget the hint forces the broadcast plan")
+      spark.conf.set("graft.snapshots.broadcastDeleteBytes", "0")
+      assert(!planOf().contains("BroadcastHashJoin"),
+        "a delete set over the byte budget must not force-broadcast")
+      assert(Snapshots.read(spark, root).count() == 90,
+        "the shuffled anti-join answers identically")
+    } finally {
+      spark.conf.unset("graft.snapshots.broadcastDeleteBytes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("mergeStream applies CDC batches merge-on-read, one snapshot each") {
