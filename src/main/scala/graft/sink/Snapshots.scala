@@ -1782,6 +1782,28 @@ object Snapshots {
     }.toDF("snapshot_id", "mode", "n_files", "n_partitions", "is_current")
   }
 
+  /** Operational log of every retained snapshot — [[history]] plus the
+    * newer manifest metadata: publish instant (null for snapshots
+    * predating timestamps), the partition spec in force, live
+    * equality-delete file count (non-zero = merge-on-read reads pending
+    * a fold), and the stream replay tag if one published it. Manifests
+    * only; no data file is opened. The schedulable health read: "is this
+    * landing zone folding, compacting and expiring on cadence". */
+  def snapshotLog(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val (f, qroot) = FsOps.fs(spark, root)
+    val cur = currentSnapshot(spark, root)
+    val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
+    committedIds(f, qroot, cur).map { id =>
+      val m = resolve(f, qroot, id, cache)
+      (id, m.mode, m.ts.map(new java.sql.Timestamp(_)),
+        m.partitionCols.mkString(","), m.files.length.toLong,
+        m.files.map(e => parentDirOf(e.rel)).distinct.length.toLong,
+        m.deletes.length.toLong, m.batchTag, cur.contains(id))
+    }.toDF("snapshot_id", "mode", "published_at", "partition_spec",
+      "n_files", "n_partitions", "n_delete_files", "batch_tag", "is_current")
+  }
+
   // ------------------------------------------------------------- tags
 
   private val RefRe = "^[A-Za-z0-9._-]{1,64}$".r

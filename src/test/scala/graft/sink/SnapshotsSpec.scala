@@ -1388,6 +1388,29 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).count() == 38)
   }
 
+  test("snapshotLog: manifest-only operational read with instants, spec, delete counts") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_log").toString
+    val df = (0L until 30L).map(i => (i, "a")).toDF("k", "p")
+    Snapshots.write(df, root, Seq("p"))
+    Snapshots.mergeDeltas(spark, root,
+      Seq((3L, "a", true)).toDF("k", "p", "__del"),
+      Seq("p"), Seq("k"), deleteCol = Some("__del"), batchTag = Some("b-1"))
+    Snapshots.foldDeletes(spark, root, Seq("p"))
+    val log = Snapshots.snapshotLog(spark, root).collect()
+    assert(log.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(log.map(_.getString(1)).toSeq == Seq("append", "merge_mor", "fold"))
+    val instants = log.map(_.getTimestamp(2))
+    assert(instants.forall(_ != null) && instants.sliding(2)
+      .forall(w => !w(0).after(w(1))), "publish instants are recorded, monotone")
+    assert(log.forall(_.getString(3) == "p"))
+    assert(log.map(_.getLong(6)).toSeq == Seq(0L, 1L, 0L),
+      "pending merge-on-read deletes are visible per snapshot")
+    assert(log.map(r => Option(r.getString(7))).toSeq ==
+      Seq(None, Some("b-1"), None))
+    assert(log.map(_.getBoolean(8)).toSeq == Seq(false, false, true))
+  }
+
   test("time travel by wall clock: recorded publish instants, rebase-proof") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_ts").toString
