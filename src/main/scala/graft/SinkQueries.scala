@@ -476,6 +476,44 @@ object SinkQueries {
         "o_totalprice", "o_orderpriority")
     }),
 
+    // The SAME CDC batch delivered through the STREAMING lane
+    // (mergeStream → foreachBatch → mergeDeltas with a content-derived
+    // replay tag): one micro-batch lands as one O(batch) merge-on-read
+    // snapshot, and the post-stream read must equal the same oracle the
+    // batch merges earn — the streaming surface itself is oracle-checked,
+    // not just batch-parity-tested.
+    "sink_snapshot_mor_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val out = Files.createTempDirectory("graft_snap_morstr").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"))
+      val k = col("o_orderkey")
+      val updates = base.filter(k % 7 === 0 && k % 11 =!= 0)
+        .withColumn("o_orderstatus", lit("X")).withColumn("__del", lit(false))
+        .unionByName(base.filter(k % 11 === 0).withColumn("__del", lit(true)))
+      val rows = updates.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2), r.getDouble(3), r.getString(4), r.getBoolean(5)))
+      val input = MemoryStream[(Long, Long, String, Double, String, Boolean)]
+      val q = Snapshots.mergeStream(
+        input.toDF().toDF("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderpriority", "__del"),
+        out, Seq("o_orderpriority"), Seq("o_orderkey"),
+        deleteCol = Some("__del"))
+      try {
+        input.addData(rows.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      require(Snapshots.currentSnapshot(s, out).contains(2),
+        "one micro-batch, one snapshot")
+      Snapshots.read(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
     // Two sequential merge-on-read batches — the second RE-INSERTS a
     // subset of the keys the first deleted (status R), exercising the seq
     // discipline (a newer file escapes an older delete) — then
@@ -933,6 +971,15 @@ object SinkQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderpriority
         |FROM orders""".stripMargin,
+
+    // the streamed CDC batch lands the identical logical state — the
+    // streaming lane earns the batch merges' oracle
+    "sink_snapshot_mor_stream" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 11 != 0
+        |    THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |  o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderkey % 11 != 0""".stripMargin,
 
     // merge-on-read lands the identical logical state as the
     // copy-on-write merge — same oracle derivation
