@@ -1446,6 +1446,72 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.snapshotAt(spark, root, t2).contains(2))
   }
 
+  test("changes() applied to the from-state reproduces a merge-on-read to-state") {
+    val root = java.nio.file.Files.createTempDirectory("snap_mor_rt").toString
+    val base = graft.Tables(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    Snapshots.write(base.coalesce(1), root, Seq("o_orderpriority"))
+    val k = col("o_orderkey")
+    val updates = base.filter(k % 7 === 0 && k % 11 =!= 0)
+      .withColumn("o_totalprice", lit(1.0)).withColumn("__del", lit(false))
+      .unionByName(base.filter(k % 11 === 0).withColumn("__del", lit(true)))
+    Snapshots.mergeDeltas(spark, root, updates,
+      Seq("o_orderpriority"), Seq("o_orderkey"), deleteCol = Some("__del"))
+    val ch = Snapshots.changes(spark, root, 1, 2, Seq("o_orderkey"))
+    // delete/update keys leave, insert/update-post rows join — the
+    // documented apply contract, under merge-on-read this time
+    val touchedKeys = ch.filter(col("change_type").isin("delete", "update"))
+      .select("o_orderkey")
+    val applied = Snapshots.read(spark, root, asOf = Some(1))
+      .join(touchedKeys, Seq("o_orderkey"), "left_anti")
+      .unionByName(ch.filter(col("change_type").isin("insert", "update"))
+        .drop("change_type"))
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toVector).toSet
+    assert(rs(applied) == rs(Snapshots.read(spark, root, asOf = Some(2))))
+  }
+
+  test("WAP staged reads apply live equality deletes through the parent chain") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_mor_wap").toString
+    val df = (0L until 20L).map(i => (i, "a")).toDF("k", "p")
+    Snapshots.write(df, root, Seq("p"))
+    Snapshots.mergeDeltas(spark, root,
+      Seq((0L, "a", true)).toDF("k", "p", "__del"),
+      Seq("p"), Seq("k"), deleteCol = Some("__del"))
+    Snapshots.stageWrite(Seq((100L, "a")).toDF("k", "p"), root, Seq("p"),
+      name = "audit1")
+    val staged = Snapshots.readStaged(spark, root, "audit1")
+    assert(staged.count() == 20, "19 surviving + 1 staged")
+    assert(staged.filter(col("k") === 0L).count() == 0,
+      "the live delete suppresses through the staged read's parent chain")
+    assert(Snapshots.publishStaged(spark, root, "audit1") == 3)
+    assert(Snapshots.read(spark, root).count() == 20)
+  }
+
+  test("snapshotAt treats pre-timestamp manifests as older than every stamped one") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_ts_leg").toString
+    Snapshots.write(Seq((1L, "a")).toDF("k", "p"), root, Seq("p"))
+    // strip s1's ts line in place — a dataset written before instants
+    val p1 = java.nio.file.Paths.get(s"$root/snapshots/s1")
+    val legacy = new String(java.nio.file.Files.readAllBytes(p1))
+      .linesIterator.filterNot(_.startsWith("ts=")).mkString("", "\n", "\n")
+    java.nio.file.Files.write(p1, legacy.getBytes)
+    // the raw rewrite invalidates the local FS's checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/snapshots/.s1.crc"))
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    Snapshots.write(Seq((2L, "a")).toDF("k", "p"), root, Seq("p"))
+    // before s2's stamp: the stamped head disqualifies, the legacy
+    // manifest resolves (it is older than every stamped one by
+    // construction)
+    assert(Snapshots.snapshotAt(spark, root, t1).contains(1))
+    assert(Snapshots.readAt(spark, root, t1).count() == 1)
+    assert(Snapshots.snapshotAt(spark, root, Long.MaxValue).contains(2))
+  }
+
   test("expire and vacuum account for equality-delete files") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_mor_gc").toString
