@@ -26,6 +26,14 @@ private[graft] object GenerationState {
     * existed: their content is unknowable, so they match any fp. */
   val LegacyFp: Long = Long.MinValue
 
+  /** The `seen/` ledger keeps only this many newest tags: a re-delivered
+    * foreachBatch can only be the most recent uncommitted batch (the
+    * checkpoint advances past everything older), so an unbounded ledger
+    * buys nothing and costs a per-batch driver collect + republish that
+    * grows linearly with LIFETIME batch count — a long-running stream's
+    * slow leak. Tags append newest-last, so the suffix is the window. */
+  val MaxSeenTags: Int = 64
+
   /** Publish one generation: every named part plus the `seen/` ledger
     * lands under a fresh staging tree, then ONE atomic pointer flip
     * makes it live (readers of the previous generation are never
@@ -43,7 +51,10 @@ private[graft] object GenerationState {
     parts.foreach { case (name, df) =>
       df.coalesce(1).write.parquet(s"$staging/$name")
     }
-    seen.toDF("batch_id", "fp").coalesce(1).write.parquet(s"$staging/seen")
+    // bound the ledger at write: callers pass `priorSeen ++ newTag`
+    // (newest last), and only the newest suffix can ever match a replay
+    seen.takeRight(MaxSeenTags).toDF("batch_id", "fp")
+      .coalesce(1).write.parquet(s"$staging/seen")
     FsOps.publishGeneration(f, root, staging): Unit
   }
 

@@ -89,6 +89,17 @@ object Snapshots {
     * READ cost stays ≤ this many small file opens. */
   val RebaseEvery: Int = 8
 
+  /** How many stream replay tags each manifest carries forward (the
+    * Delta-Lake per-appId-txn idea, collapsed to a rolling window): a
+    * re-delivered micro-batch must be recognized even when maintenance
+    * publishes (compact/fold/expire — which the streaming docs tell you
+    * to schedule) landed between its snapshot and its replay, so the
+    * guard matches against the last [[MaxRecentTags]] tags, not just the
+    * head's. A redelivery can only be the most recent uncommitted batch,
+    * so the window needs to cover one maintain() cycle plus interleaved
+    * batches — 64 is generous at ~25 bytes/tag. */
+  val MaxRecentTags: Int = 64
+
   /** [[vacuum]]'s default grace window: unreferenced files younger than
     * this survive, so an in-flight writer's staged-but-not-yet-published
     * files are never swept out from under it — defense in depth on top of
@@ -151,7 +162,8 @@ object Snapshots {
   private case class SnapMeta(
       mode: String, schema: StructType, format: String,
       codec: Option[String], statsCols: Seq[String], batchTag: Option[String],
-      partitionCols: Seq[String], ts: Option[Long] = None)
+      partitionCols: Seq[String], ts: Option[Long] = None,
+      recentTags: Seq[String] = Seq.empty)
 
   /** One manifest as stored: a FULL file listing (`full` defined) or a
     * DELTA against `parent` (adds/removes). Delete-file lines ride the
@@ -163,7 +175,13 @@ object Snapshots {
       partitionCols: Seq[String], parent: Option[Int], adds: Seq[FileEntry],
       removes: Seq[String], full: Option[Seq[FileEntry]],
       dAdds: Seq[DeleteEntry], dRemoves: Seq[String],
-      dFull: Option[Seq[DeleteEntry]], ts: Option[Long])
+      dFull: Option[Seq[DeleteEntry]], ts: Option[Long],
+      recentTags: Seq[String] = Seq.empty) {
+    /** The rolling replay-tag window this manifest represents: manifests
+      * predating `rtags=` recording carry only their own tag. */
+    def effectiveRecentTags: Seq[String] =
+      if (recentTags.nonEmpty) recentTags else batchTag.toSeq
+  }
 
   /** A snapshot with its delta chain applied: the complete live file set
     * (plus live equality-delete files) and the requested manifest's
@@ -172,7 +190,8 @@ object Snapshots {
       id: Int, mode: String, schema: Option[StructType], format: String,
       codec: Option[String], statsCols: Seq[String], batchTag: Option[String],
       partitionCols: Seq[String], files: Seq[FileEntry],
-      deletes: Seq[DeleteEntry], chainDepth: Int, ts: Option[Long])
+      deletes: Seq[DeleteEntry], chainDepth: Int, ts: Option[Long],
+      recentTags: Seq[String] = Seq.empty)
 
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
@@ -258,6 +277,8 @@ object Snapshots {
     if (meta.partitionCols.nonEmpty)
       b ++= s"partitionby=${meta.partitionCols.map(enc).mkString(",")}\n"
     meta.batchTag.foreach(t => b ++= s"batch=${enc(t)}\n")
+    if (meta.recentTags.nonEmpty)
+      b ++= s"rtags=${meta.recentTags.map(enc).mkString(",")}\n"
     meta.ts.foreach(t => b ++= s"ts=$t\n")
     parent.foreach(p => b ++= s"parent=$p\n")
     full match {
@@ -285,6 +306,7 @@ object Snapshots {
       var partitionCols: Seq[String] = Seq.empty
       var batchTag: Option[String] = None; var parent: Option[Int] = None
       var ts: Option[Long] = None
+      var recentTags: Seq[String] = Seq.empty
       val adds = Seq.newBuilder[FileEntry]
       val removes = Seq.newBuilder[String]
       val fulls = Seq.newBuilder[FileEntry]
@@ -306,6 +328,9 @@ object Snapshots {
             .filter(_.nonEmpty).map(dec)
         case l if l.startsWith("batch=") =>
           batchTag = Some(dec(l.stripPrefix("batch=")))
+        case l if l.startsWith("rtags=") =>
+          recentTags = l.stripPrefix("rtags=").split(",").toSeq
+            .filter(_.nonEmpty).map(dec)
         case l if l.startsWith("ts=") =>
           ts = Some(l.stripPrefix("ts=").toLong)
         case l if l.startsWith("parent=") =>
@@ -329,7 +354,7 @@ object Snapshots {
         partitionCols, parent, adds.result(), removes.result(),
         if (parent.isEmpty) Some(fulls.result()) else None,
         dAdds.result(), dRemoves.result(),
-        if (parent.isEmpty) Some(dFulls.result()) else None, ts)
+        if (parent.isEmpty) Some(dFulls.result()) else None, ts, recentTags)
     } else {
       // v1 (positional): mode line, optional schema line, bare file paths
       val mode = lines.head.stripPrefix("mode=")
@@ -399,7 +424,7 @@ object Snapshots {
     }
     Resolved(top.id, top.mode, top.schema, top.format, top.codec,
       top.statsCols, top.batchTag, top.partitionCols, files.values.toSeq,
-      dels.values.toSeq, chain.length - 1, top.ts)
+      dels.values.toSeq, chain.length - 1, top.ts, top.effectiveRecentTags)
   }
 
   /** The current snapshot id, if any write has published. */
@@ -471,7 +496,13 @@ object Snapshots {
   /** Type-aware comparison of two stat values in their string form.
     * Floating specials use Spark's total order (-Infinity < finite <
     * Infinity < NaN) — a NaN-bearing stats column must degrade pruning,
-    * never crash the read. */
+    * never crash the read. Strings compare by UTF-8 BYTES: the recorded
+    * min/max came from Spark's UTF8String binary (code-point) ordering,
+    * and `String.compareTo`'s UTF-16 code-unit order diverges from it on
+    * supplementary-plane characters — comparing in the wrong order would
+    * wrongly DROP a file that holds matching rows (silent row loss), not
+    * merely prune conservatively. Dates/timestamps are ASCII digits where
+    * both orders agree, so they share the byte path. */
   private def statCompare(dt: DataType, a: String, b: String): Int = dt match {
     case _: NumericType =>
       def rank(s: String): Int = s match {
@@ -482,8 +513,13 @@ object Snapshots {
       if (ra != 0 || rb != 0) ra.compare(rb)
       else BigDecimal(a).compare(BigDecimal(b))
     case BooleanType => a.toBoolean.compare(b.toBoolean)
-    case _ => a.compareTo(b)
+    case _ => java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  private[sink] def statCompareForTest(dt: DataType, a: String, b: String): Int =
+    statCompare(dt, a, b)
 
   /** A caller-supplied prune bound in the same string form the recorded
     * stats use (Spark cast-to-string): `java.sql.Timestamp.toString`
@@ -709,9 +745,14 @@ object Snapshots {
     val cur = currentSnapshot(spark, root)
     val prev = cur.map(resolve(f, qroot, _))
     // replay short-circuit BEFORE any staging: a re-delivered micro-batch
-    // (same id + content tag as the snapshot it already published) must
-    // converge, not double-append
-    if (batchTag.isDefined && prev.exists(_.batchTag == batchTag))
+    // (same id + content tag as a snapshot it already published) must
+    // converge, not double-append. The match is against the head's whole
+    // ROLLING TAG WINDOW ([[MaxRecentTags]], carried forward manifest to
+    // manifest), not just the head's own tag — a maintain() publish
+    // (compact/fold/expire) landing between a crashed batch attempt and
+    // its redelivery must not reopen the double-append hole
+    if (batchTag.isDefined && prev.exists(p =>
+        p.batchTag == batchTag || p.recentTags.contains(batchTag.get)))
       return cur.get
     // dataset-fixed properties: first write declares, later writes inherit
     val fmtTok = prev match {
@@ -863,8 +904,12 @@ object Snapshots {
     }) ++ extraRemoves
     val dRemoves: Seq[String] =
       if (dropDeletes) prevDeletes.map(_.rel) else Seq.empty
+    // the rolling replay-tag window rides every publish — including
+    // tag-less maintenance snapshots, which must not evict the window
+    val recentTags = (prev.map(_.recentTags).getOrElse(Seq.empty) ++ batchTag)
+      .takeRight(MaxRecentTags)
     val meta = SnapMeta(modeLabel, contract, fmtTok, dsCodec, statsCols,
-      batchTag, partitionFields, Some(System.currentTimeMillis()))
+      batchTag, partitionFields, Some(System.currentTimeMillis()), recentTags)
     val chainDepth = prev.map(_.chainDepth).getOrElse(0)
     val content =
       if (prev.isEmpty || chainDepth + 1 >= RebaseEvery) {
@@ -960,10 +1005,12 @@ object Snapshots {
     val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
     val target = resolve(f, qroot, toId, cache)
     val live = resolve(f, qroot, cur, cache)
+    // the replay window is the HEAD's (rollback rewinds data, not the
+    // stream guard — a re-delivered recent batch must still converge)
     val meta = SnapMeta("rollback",
       target.schema.getOrElse(StructType(Seq.empty)), target.format,
       target.codec, target.statsCols, None, target.partitionCols,
-      Some(System.currentTimeMillis()))
+      Some(System.currentTimeMillis()), live.recentTags)
     val id = cur + 1
     val content =
       if (live.chainDepth + 1 >= RebaseEvery)
@@ -1224,7 +1271,8 @@ object Snapshots {
       // every delete is dead weight (already folded by compaction or
       // key-range-pruned everywhere): drop the entries metadata-only
       val meta = SnapMeta("fold", schema, m.format, m.codec, m.statsCols,
-        None, m.partitionCols, Some(System.currentTimeMillis()))
+        None, m.partitionCols, Some(System.currentTimeMillis()),
+        m.recentTags)
       val nid = id + 1
       val content =
         if (m.chainDepth + 1 >= RebaseEvery)
@@ -1316,7 +1364,8 @@ object Snapshots {
           "pruning would shadow its file stats")
     }
     val meta = SnapMeta("evolve_spec", schema, m.format, m.codec,
-      m.statsCols, None, newSpec, Some(System.currentTimeMillis()))
+      m.statsCols, None, newSpec, Some(System.currentTimeMillis()),
+      m.recentTags)
     val id = cur + 1
     val content =
       if (m.chainDepth + 1 >= RebaseEvery)
@@ -1588,9 +1637,13 @@ object Snapshots {
     val lb = dfB.select(struct(cols.map(fd => col(fd.name)): _*).as("b"))
     val keyCond = keyFields.map(k => col(s"a.$k") <=> col(s"b.$k"))
       .reduce(_ && _)
+    // update-vs-unchanged compares the structs DIRECTLY (one codegen'd
+    // expression, null-safe per field) — a 64-bit hash compare would
+    // silently suppress an update on a hash collision between the pre-
+    // and post-image, drifting any downstream incremental maintenance
     val change = when(col("a").isNull, "insert")
       .when(col("b").isNull, "delete")
-      .when(xxhash64(col("a")) =!= xxhash64(col("b")), "update")
+      .when(!(col("a") <=> col("b")), "update")
     val j = la.join(lb, keyCond, "full_outer")
       .withColumn("change_type", change)
       .filter(col("change_type").isNotNull)
@@ -2115,7 +2168,8 @@ object Snapshots {
         // rewrite changes representation, not history
         val meta = SnapMeta(raw.mode,
           raw.schema.getOrElse(StructType(Seq.empty)), raw.format,
-          raw.codec, raw.statsCols, raw.batchTag, raw.partitionCols, raw.ts)
+          raw.codec, raw.statsCols, raw.batchTag, raw.partitionCols, raw.ts,
+          raw.effectiveRecentTags)
         FsOps.atomicWrite(f, new Path(snapshotsDir(qroot), s"s$k"),
           renderManifest(meta, None, Seq.empty, Seq.empty, Some(res.files),
             dFull = res.deletes))

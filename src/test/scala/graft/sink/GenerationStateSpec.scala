@@ -1,0 +1,27 @@
+package graft.sink
+
+import graft.SparkSpec
+
+/** The shared persisted-state machinery: the `seen/` replay ledger must
+  * stay BOUNDED — a redelivery can only be the newest uncommitted batch,
+  * so only a suffix window is ever consulted, and an unbounded ledger
+  * would grow per-batch driver cost linearly with stream lifetime. */
+class GenerationStateSpec extends SparkSpec {
+
+  test("seen ledger is capped at MaxSeenTags, keeping the newest suffix") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("gen_cap").toString
+    val tags = (0L until (GenerationState.MaxSeenTags + 40L))
+      .map(i => (i, i * 31L))
+    GenerationState.publish(spark, path,
+      Seq("part" -> Seq(1).toDF("x")), tags)
+    val live = GenerationState.liveRoot(spark, path, "test state")
+    val seen = GenerationState.seenTags(spark, live)
+    assert(seen.length == GenerationState.MaxSeenTags)
+    assert(seen == tags.takeRight(GenerationState.MaxSeenTags),
+      "the ledger must keep exactly the newest tags in order")
+    // the newest tag still registers as a replay; an evicted one doesn't
+    assert(GenerationState.isReplay(seen, Some(tags.last)))
+    assert(!GenerationState.isReplay(seen, Some(tags.head)))
+  }
+}

@@ -363,6 +363,60 @@ class SnapshotsSpec extends SparkSpec {
       SnapAppend, batchTag = Some("0:ffff")) == 3)
   }
 
+  test("replay window: a re-delivered tag converges across interleaved maintenance publishes") {
+    val root = java.nio.file.Files.createTempDirectory("snap_rwin").toString
+    // two appends fragment every partition so compact has work to do
+    Snapshots.write(orders.filter(col("o_orderkey") % 2 === 0).coalesce(1),
+      root, Seq("o_orderpriority"))
+    Snapshots.write(orders.filter(col("o_orderkey") % 2 === 1).coalesce(1),
+      root, Seq("o_orderpriority"), SnapAppend)
+    val batch = orders.filter(col("o_orderkey") % 5 === 0)
+    val tag = Some("7:feedbead")
+    assert(Snapshots.write(batch.coalesce(1), root, Seq("o_orderpriority"),
+      SnapAppend, batchTag = tag) == 3)
+    // scheduled maintenance publishes BETWEEN the batch's snapshot and its
+    // redelivery — exactly the crash-after-publish-before-checkpoint
+    // window the docs recommend running maintain() into
+    assert(Snapshots.compact(spark, root, Seq("o_orderpriority"))
+      .contains(4))
+    val settled = Snapshots.read(spark, root).count()
+    // head tag is now compact's (none); the ROLLING WINDOW must still
+    // recognize the redelivery and converge instead of double-appending
+    assert(Snapshots.write(batch.coalesce(1), root, Seq("o_orderpriority"),
+      SnapAppend, batchTag = tag) == 4)
+    assert(Snapshots.read(spark, root).count() == settled,
+      "redelivery across a maintenance publish must not double-append")
+    // the window also survives expire's rebase-in-place of kept manifests
+    val extra = orders.limit(7)
+    Snapshots.write(extra.coalesce(1), root, Seq("o_orderpriority"),
+      SnapAppend) // s5
+    Snapshots.expire(spark, root, keepLast = 2) // rebases s4 over 1..3
+    assert(Snapshots.write(batch.coalesce(1), root, Seq("o_orderpriority"),
+      SnapAppend, batchTag = tag) == 5)
+    assert(Snapshots.read(spark, root).count() == settled + extra.count())
+    // a genuinely new tag still lands
+    assert(Snapshots.write(batch.coalesce(1), root, Seq("o_orderpriority"),
+      SnapAppend, batchTag = Some("8:beef")) == 6)
+  }
+
+  test("string stats compare by code point, not UTF-16 code units") {
+    import org.apache.spark.sql.types.StringType
+    val emoji = "😀" // U+1F600, surrogate pair
+    // UTF-16 code-unit order would call U+FFFF the larger (0xFFFF > 0xD83D);
+    // Spark's recorded min/max are binary/code-point ordered: U+FFFF < U+1F600
+    assert(Snapshots.statCompareForTest(StringType, "￿", emoji) < 0)
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_utf8").toString
+    val df = Seq(("p1", "￿"), ("p1", emoji)).toDF("p", "s")
+    Snapshots.write(df.coalesce(1), root, Seq("p"), statsColumns = Seq("s"))
+    // seeking the emoji must KEEP the file (min=U+FFFF ≤ emoji ≤ max=emoji);
+    // the UTF-16 comparison wrongly pruned it — silent row loss
+    val pruned = Snapshots.read(spark, root,
+      prune = Seq(Snapshots.StatRange("s", Some(emoji), Some(emoji))))
+    assert(pruned.count() == 2, "stat pruning dropped a file holding matches")
+    assert(pruned.filter(col("s") === emoji).count() == 1)
+  }
+
   test("crash recovery: an orphan snapshot file never blocks writes nor leaks into history") {
     val root = java.nio.file.Files.createTempDirectory("snap_orphan").toString
     Snapshots.write(orders, root, Seq("o_orderpriority"))
