@@ -720,6 +720,114 @@ object SinkQueries {
           "o_orderpriority")
     }),
 
+    // Predicate row delete (DELETE WHERE — the GDPR/retention shape):
+    // orders land range-clustered with key stats (s1); deleteWhere
+    // removes low-key 'F'-status rows via FILE-level copy-on-write — the
+    // condition's key conjunct derives a stat range so only low-slice
+    // files even scan, and only files HOLDING matches rewrite (asserted
+    // in-query on the manifest's remove lines). The pre-delete state
+    // stays travelable; the oracle derives the surviving rows (TRUE
+    // deletes; false-or-null survives) straight from the source.
+    "sink_snapshot_delete_where" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_delw").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      Snapshots.write(base.repartitionByRange(8, col("o_orderkey")), out,
+        Seq("o_orderpriority"), statsColumns = Seq("o_orderkey"))
+      val s1Files = Snapshots.read(s, out).inputFiles.length
+      val hi = base.agg(max("o_orderkey")).head().getLong(0) / 4
+      val did = Snapshots.deleteWhere(s, out, Seq("o_orderpriority"),
+        col("o_orderkey") <= hi && col("o_orderstatus") === "F")
+      require(did.contains(2), s"expected delete snapshot 2: $did")
+      val m2 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out/snapshots/s2")))
+      val removed = m2.linesIterator.count(_.startsWith("remove="))
+      require(removed > 0 && removed < s1Files,
+        s"stat pruning must bound the rewrite: rewrote $removed of $s1Files")
+      require(Snapshots.read(s, out, asOf = Some(1)).count() == base.count(),
+        "pre-delete state must stay time-travelable")
+      Snapshots.read(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
+    // Writable branch → fast-forward merge: the base lands as main s1; a
+    // branch takes TWO invisible writes (an append of new 5-LOW keys,
+    // then a partition overwrite keeping only even 1-URGENT keys) while
+    // main reads stay byte-identical (asserted in-query); fastForward
+    // publishes the whole branch state as main s2 with one pointer flip
+    // and drops the branch. The oracle derives the merged state from the
+    // source; pre-merge main stays travelable.
+    "sink_snapshot_branch" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_branch").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"))
+      Snapshots.createBranch(s, out, "audit")
+      val ins = base.filter(col("o_orderkey") % 10 === 4
+          && col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("o_orderpriority", lit("5-LOW"))
+      Snapshots.writeToBranch(ins.coalesce(1), out, "audit",
+        Seq("o_orderpriority"))
+      Snapshots.writeToBranch(
+        base.filter(col("o_orderpriority") === "1-URGENT"
+          && col("o_orderkey") % 2 === 0).coalesce(1),
+        out, "audit", Seq("o_orderpriority"), Snapshots.SnapOverwritePartitions)
+      require(Snapshots.read(s, out).count() == base.count(),
+        "branch writes must be invisible to main")
+      val mid = Snapshots.fastForward(s, out, "audit")
+      require(mid == 2 && Snapshots.branches(s, out).isEmpty,
+        s"expected merge snapshot 2 and the branch dropped: $mid")
+      require(Snapshots.read(s, out, asOf = Some(1)).count() == base.count(),
+        "pre-merge main must stay time-travelable")
+      Snapshots.read(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
+    // Subscribe-to-the-table: three appended thirds land in a source
+    // dataset (with a compact interleaved — the follower must skip it);
+    // a SnapshotFollower mirrors each batch into a SECOND snapshot
+    // dataset with `follow-<id>` replay tags, crashing once AFTER a
+    // write and BEFORE its offset commit — the redelivered batch must
+    // converge through the sink's tag window, not double-append. The
+    // oracle is the full source table against the MIRROR's content.
+    "sink_snapshot_follow" -> ((s, dir) => {
+      val src = Files.createTempDirectory("graft_snap_fsrc").toString
+      val mirror = Files.createTempDirectory("graft_snap_fmir").toString
+      val cp = Files.createTempDirectory("graft_snap_fcp").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      for (m <- 0 to 1)
+        Snapshots.write(base.filter(col("o_orderkey") % 3 === m).coalesce(1),
+          src, Seq("o_orderpriority"), Snapshots.SnapAppend)
+      Snapshots.compact(s, src, Seq("o_orderpriority"))
+      Snapshots.write(base.filter(col("o_orderkey") % 3 === 2).coalesce(1),
+        src, Seq("o_orderpriority"), Snapshots.SnapAppend)
+      val follower = new graft.streaming.SnapshotFollower(s, src, cp)
+      var crashed = false
+      def mirrorBatch(df: DataFrame, id: Int): Unit = {
+        Snapshots.write(df.coalesce(1), mirror, Seq("o_orderpriority"),
+          Snapshots.SnapAppend, batchTag = Some(s"follow-$id")): Unit
+        if (id == 2 && !crashed) { crashed = true; sys.error("injected crash") }
+      }
+      val first =
+        try { follower.drain(mirrorBatch); Seq.empty[Int] }
+        catch { case _: RuntimeException => Seq(1) }
+      require(first.nonEmpty, "the injected crash must surface")
+      follower.drain(mirrorBatch)
+      require(follower.lastCommitted.contains(4),
+        s"follower must drain to s4: ${follower.lastCommitted}")
+      Snapshots.read(s, mirror)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
     // Format parity for the snapshot layer: the travel fixture on an
     // ORC + zstd dataset — write, logically overwrite, time-travel, and
     // read back through the manifest in the dataset's own format. The
@@ -1069,6 +1177,32 @@ object SinkQueries {
         |    AS sum_cents
         |FROM orders WHERE o_orderkey % 11 != 0
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // TRUE deletes (low-key F rows); false-or-null rows survive
+    "sink_snapshot_delete_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE NOT (o_orderkey <=
+        |    (SELECT CAST(FLOOR(max(o_orderkey) / 4.0) AS BIGINT) FROM orders)
+        |  AND o_orderstatus = 'F')""".stripMargin,
+
+    // the fast-forwarded state: inserted 5-LOW keys plus the base with
+    // only even 1-URGENT keys kept
+    "sink_snapshot_branch" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE o_orderpriority != '1-URGENT' OR o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 1000000, o_custkey, 'N', o_totalprice, '5-LOW'
+        |FROM orders WHERE o_orderkey % 10 = 4 AND o_orderkey % 3 = 0""".stripMargin,
+
+    // the mirror must converge to exactly the source rows
+    "sink_snapshot_follow" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders""".stripMargin,
 
     // rollback restores the pre-overwrite state exactly
     "sink_snapshot_rollback" ->

@@ -716,20 +716,21 @@ object PartitionedSink {
     // touched = partitions receiving upserts ∪ partitions holding updated
     // keys (thin key+partition scan of the base; finds moved and deleted
     // keys' OLD locations)
-    val touched = upserts.select(pCols: _*)
+    val touchedDf = upserts.select(pCols: _*)
       .union(base.join(broadcast(allKeys), keyFields.toSeq, "left_semi")
         .select(pCols: _*))
-      .distinct().collect()
-    val touchedPred = touched.map { r =>
-      cfg.partitionFields.zipWithIndex
-        .map { case (f, i) => qcol(f) === lit(r.getString(i)) }
-        .reduce(_ && _)
-    }.reduceOption(_ || _).getOrElse(lit(false))
+      .distinct()
+    val touched = touchedDf.collect()
 
     // survivors: rows of touched partitions whose key is not in the batch.
-    // The literal predicate partition-prunes the parquet scan; persist so
-    // the partition census below and the rewrite share one base read.
-    val survivors = base.filter(touchedPred)
+    // Pruning via [[Snapshots.pruneToTouched]] — a per-column InSet
+    // prefilter partition-prunes the parquet scan at planning time, the
+    // broadcast semi join enforces the exact tuple set, and the plan
+    // stays small at ANY touched-partition count (a literal Or-chain
+    // would not). Persist so the partition census below and the rewrite
+    // share one base read.
+    val survivors = Snapshots.pruneToTouched(
+        base, touched.toSeq, touchedDf.schema, cfg.partitionFields)
       .join(broadcast(allKeys), keyFields.toSeq, "left_anti")
       .persist()
     try {

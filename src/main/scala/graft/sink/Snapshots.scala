@@ -370,12 +370,16 @@ object Snapshots {
     }
   }
 
-  private def readSnapshotFile(
-      f: FileSystem, root: Path, id: Int): RawManifest = {
-    val p = new Path(snapshotsDir(root), s"s$id")
+  /** Read manifest `s<id>` from an explicit manifests directory — the
+    * main `snapshots/` tree or a `branches/<name>/` tree ([[createBranch]];
+    * branch chains are self-contained because the fork manifest is FULL,
+    * so resolution never crosses namespaces). */
+  private def readSnapshotFileIn(
+      f: FileSystem, msDir: Path, id: Int): RawManifest = {
+    val p = new Path(msDir, s"s$id")
     if (!f.exists(p))
       throw new IllegalStateException(
-        s"snapshot s$id does not exist under $root — never written, or " +
+        s"snapshot s$id does not exist under $msDir — never written, or " +
           "expired by Snapshots.expire (time travel only reaches retained " +
           "snapshots)")
     val in = f.open(p)
@@ -385,6 +389,10 @@ object Snapshots {
     parseManifest(id, text)
   }
 
+  private def readSnapshotFile(
+      f: FileSystem, root: Path, id: Int): RawManifest =
+    readSnapshotFileIn(f, snapshotsDir(root), id)
+
   /** Apply the delta chain: walk `parent` pointers to the nearest full
     * manifest (≤ [[RebaseEvery]] hops by construction), then replay
     * removes/adds oldest-first. Metadata comes from the REQUESTED
@@ -393,8 +401,14 @@ object Snapshots {
       f: FileSystem, root: Path, id: Int,
       cache: scala.collection.mutable.Map[Int, RawManifest] =
         scala.collection.mutable.Map.empty): Resolved =
-    resolveFrom(f, root,
-      cache.getOrElseUpdate(id, readSnapshotFile(f, root, id)), cache)
+    resolveIn(f, snapshotsDir(root), id, cache)
+
+  private def resolveIn(
+      f: FileSystem, msDir: Path, id: Int,
+      cache: scala.collection.mutable.Map[Int, RawManifest] =
+        scala.collection.mutable.Map.empty): Resolved =
+    resolveFromIn(f, msDir,
+      cache.getOrElseUpdate(id, readSnapshotFileIn(f, msDir, id)), cache)
 
   /** [[resolve]] with an explicit head manifest — the head need not live
     * under `snapshots/` (a STAGED write's manifest resolves through its
@@ -402,8 +416,14 @@ object Snapshots {
   private def resolveFrom(
       f: FileSystem, root: Path, head: RawManifest,
       cache: scala.collection.mutable.Map[Int, RawManifest] =
+        scala.collection.mutable.Map.empty): Resolved =
+    resolveFromIn(f, snapshotsDir(root), head, cache)
+
+  private def resolveFromIn(
+      f: FileSystem, msDir: Path, head: RawManifest,
+      cache: scala.collection.mutable.Map[Int, RawManifest] =
         scala.collection.mutable.Map.empty): Resolved = {
-    def raw(i: Int) = cache.getOrElseUpdate(i, readSnapshotFile(f, root, i))
+    def raw(i: Int) = cache.getOrElseUpdate(i, readSnapshotFileIn(f, msDir, i))
     var chain = List(head)
     while (chain.head.parent.isDefined) {
       val p = chain.head.parent.get
@@ -730,7 +750,8 @@ object Snapshots {
       stageAs: Option[String] = None,
       deleteKeys: Option[(DataFrame, Seq[String])] = None,
       dropDeletes: Boolean = false,
-      extraRemoves: Seq[String] = Seq.empty): Int = {
+      extraRemoves: Seq[String] = Seq.empty,
+      branch: Option[String] = None): Int = {
     require(partitionFields.nonEmpty, "snapshot datasets are partitioned")
     stageAs.foreach { n =>
       require(RefRe.matches(n), s"staged name '$n' must match ${RefRe.regex}")
@@ -740,10 +761,20 @@ object Snapshots {
       require(deleteKeys.isEmpty && !dropDeletes,
         "merge-on-read deletes publish directly, not through the WAP lane")
     }
+    branch.foreach { _ =>
+      require(stageAs.isEmpty && batchTag.isEmpty && deleteKeys.isEmpty &&
+        !dropDeletes && extraRemoves.isEmpty,
+        "branch writes are plain appends/overwrites — WAP, stream tags " +
+          "and merge-on-read publish against main")
+    }
     val spark = df.sparkSession
     val (f, qroot) = FsOps.fs(spark, root)
-    val cur = currentSnapshot(spark, root)
-    val prev = cur.map(resolve(f, qroot, _))
+    val cur = branch match {
+      case None => currentSnapshot(spark, root)
+      case Some(b) => Some(branchHead(f, qroot, b))
+    }
+    val msDir = branch.fold(snapshotsDir(qroot))(branchDir(qroot, _))
+    val prev = cur.map(resolveIn(f, msDir, _))
     // replay short-circuit BEFORE any staging: a re-delivered micro-batch
     // (same id + content tag as a snapshot it already published) must
     // converge, not double-append. The match is against the head's whole
@@ -932,9 +963,106 @@ object Snapshots {
         f.mkdirs(stagedDir(qroot))
         FsOps.atomicWrite(f, new Path(stagedDir(qroot), name),
           s"wapbase=${cur.getOrElse(-1)}\n" + content)
-      case None => publishManifest(f, qroot, id, cur, content)
+        id
+      case None if branch.isDefined =>
+        publishBranchManifest(f, qroot, branch.get, id, cur, content)
+        id
+      case None =>
+        val hook = prePublishInterleave
+        prePublishInterleave = () => ()
+        hook()
+        try { publishManifest(f, qroot, id, cur, content); id }
+        catch {
+          case race: java.util.ConcurrentModificationException =>
+            // METADATA-ONLY COMMIT RETRY for a race-losing PURE APPEND
+            // (no removes, no equality-delete entries): its staged files
+            // are already in data/ and conflict with nothing, so redoing
+            // the data write would be pure waste — rebase the delta
+            // manifest onto the new head and re-publish (the Iceberg
+            // retry posture). Anything that removes or suppresses rows
+            // resolved its base state and must re-read, so it aborts.
+            val pureAppend = mode == SnapAppend && extraRemoves.isEmpty &&
+              dAdds.isEmpty && !dropDeletes
+            if (!pureAppend) throw race
+            retryAppendPublish(spark, f, qroot, root, df.schema, evolution,
+              partitionFields, modeLabel, fmtTok, dsCodec, statsCols,
+              batchTag, staged, statsByName, race)
+        }
     }
-    id
+  }
+
+  /** Bounded attempts for [[retryAppendPublish]] — each failure means yet
+    * another concurrent publish landed first; past this many, surface the
+    * race (the single-maintainer contract is clearly being violated at a
+    * rate retrying can't absorb). */
+  val MaxCommitRetries: Int = 5
+
+  /** Test-only interleave injection: consumed (reset to no-op) and invoked
+    * once, immediately before the next publish attempt — lets specs land a
+    * deterministic concurrent writer between a write's base resolution and
+    * its pointer flip. */
+  private[sink] var prePublishInterleave: () => Unit = () => ()
+
+  /** Re-publish a race-losing pure append against the NEW head: re-resolve,
+    * re-check the dataset-fixed properties still hold (a winner that
+    * changed format/codec/stats/spec makes this batch's staged layout
+    * wrong — the original race surfaces instead), re-validate the schema
+    * contract, RE-STAMP the staged files' seqs to the new id (a concurrent
+    * winner's newer equality deletes must not suppress this batch's rows),
+    * and flip. Purely metadata: no data file is read, moved, or written. */
+  private def retryAppendPublish(
+      spark: SparkSession, f: FileSystem, qroot: Path, root: String,
+      incoming: StructType, evolution: graft.schema.SchemaEvolution.Policy,
+      partitionFields: Seq[String], modeLabel: String, fmtTok: String,
+      dsCodec: Option[String], statsCols: Seq[String],
+      batchTag: Option[String], staged: Seq[String],
+      statsByName: Map[String, Map[String, (Option[String], Option[String])]],
+      firstRace: java.util.ConcurrentModificationException): Int = {
+    var lastRace = firstRace
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      attempt += 1
+      val cur = currentSnapshot(spark, root)
+      val prev = cur.map(resolve(f, qroot, _))
+      // the winner may have been a redelivery of this very batch
+      if (batchTag.isDefined && prev.exists(p =>
+          p.batchTag == batchTag || p.recentTags.contains(batchTag.get)))
+        return cur.get
+      prev.foreach { p =>
+        val compatible = p.format == fmtTok && p.codec == dsCodec &&
+          p.statsCols == statsCols &&
+          (p.partitionCols.isEmpty || p.partitionCols == partitionFields)
+        if (!compatible) throw lastRace
+      }
+      val contract = prev.flatMap(_.schema) match {
+        case Some(stored) => graft.schema.SchemaEvolution.validate(
+          stored, incoming, partitionFields, evolution)
+        case None => incoming
+      }
+      val id = cur.getOrElse(0) + 1
+      val addEntries = staged.map(rel =>
+        FileEntry(rel, statsByName.getOrElse(rel, Map.empty), seq = id))
+      val recentTags =
+        (prev.map(_.recentTags).getOrElse(Seq.empty) ++ batchTag)
+          .takeRight(MaxRecentTags)
+      val meta = SnapMeta(modeLabel, contract, fmtTok, dsCodec, statsCols,
+        batchTag, partitionFields, Some(System.currentTimeMillis()),
+        recentTags)
+      val chainDepth = prev.map(_.chainDepth).getOrElse(0)
+      val content =
+        if (prev.isEmpty || chainDepth + 1 >= RebaseEvery)
+          renderManifest(meta, None, Seq.empty, Seq.empty,
+            Some(prev.map(_.files).getOrElse(Seq.empty) ++ addEntries),
+            dFull = prev.map(_.deletes).getOrElse(Seq.empty))
+        else
+          renderManifest(meta, cur, addEntries, Seq.empty, None)
+      try { publishManifest(f, qroot, id, cur, content); return id }
+      catch {
+        case race: java.util.ConcurrentModificationException =>
+          lastRace = race
+      }
+    }
+    throw lastRace
   }
 
   /** Publish one snapshot manifest and flip the pointer to it, with the
@@ -1132,8 +1260,10 @@ object Snapshots {
    * `deleteCol=true` row removes the key wherever it lives; batch keys
    * must be unique (checked). Only partitions that can change are read —
    * those receiving upserts plus those holding updated keys (one
-   * column-pruned key+partition scan) — via a literal pruning predicate;
-   * update keys broadcast. The merged frame is evaluated ONCE (by the
+   * column-pruned key+partition scan) — via [[pruneToTouched]] (per-column
+   * InSet planning-time pruning + an exact broadcast semi join; plan size
+   * stays flat at any touched-partition count); update keys broadcast.
+   * The merged frame is evaluated ONCE (by the
    * staging write): partitions whose every row disappeared are derived
    * inside the write as touched-minus-staged, not pre-counted with a
    * second scan. Returns the new snapshot id.
@@ -1160,24 +1290,21 @@ object Snapshots {
     val allKeys = updates.select(keyFields.map(col): _*).distinct()
     val pCols = partitionFields.map(col)
     val base = read(spark, root)
-    val touched = upserts.select(pCols: _*)
+    val touchedDf = upserts.select(pCols: _*)
       .unionByName(base.join(broadcast(allKeys), keyFields.toSeq, "left_semi")
         .select(pCols: _*))
-      .distinct().collect()
+      .distinct()
+    // bounded by partition cardinality — the manifest write needs these
+    // values collected anyway to derive the touched directory set
+    val touched = touchedDf.collect()
     // a batch that changes nothing (e.g. deletes of absent keys) is a
     // NO-OP — don't burn a snapshot id on an identical manifest
     if (touched.isEmpty)
       return currentSnapshot(spark, root).getOrElse(
         throw new IllegalStateException(s"no snapshot published under $root"))
-    val touchedPred = touched.map { r =>
-      partitionFields.zipWithIndex
-        // null-safe equality: a null partition value must still prune to
-        // ITS partition, not silently match nothing
-        .map { case (fld, i) => col(fld) <=> lit(r.get(i)) }
-        .reduce(_ && _)
-    }.reduce(_ || _)
-    val survivors = base.filter(touchedPred)
-      .join(broadcast(allKeys), keyFields.toSeq, "left_anti")
+    val survivors =
+      pruneToTouched(base, touched.toSeq, touchedDf.schema, partitionFields)
+        .join(broadcast(allKeys), keyFields.toSeq, "left_anti")
     val out = evolution match {
       case graft.schema.SchemaEvolution.Widen =>
         survivors.unionByName(upserts, allowMissingColumns = true)
@@ -1187,6 +1314,38 @@ object Snapshots {
       "merge", evolution,
       touchedDirs = Some(
         touched.map(partitionRelDir(partitionFields, _)).toSet))
+  }
+
+  /** Prune `base` to rows whose partition values appear in `touched`,
+    * never via a literal OR-chain predicate (a CDC batch touching
+    * thousands of partitions would build a thousands-term Or tree that
+    * Catalyst constraint propagation and codegen degrade badly on). Two
+    * cooperating layers, each O(1)-ish in plan size:
+    *  - a coarse PER-COLUMN `isin` prefilter — one `InSet` node per
+    *    partition column (set-lookup codegen, no expression blowup) that
+    *    the file index evaluates at PLANNING time, so untouched
+    *    partitions' files are statically pruned from the scan;
+    *  - an exact BROADCAST SEMI JOIN on the full value tuples (null-safe
+    *    `<=>`, so a null partition value still prunes to ITS partition),
+    *    which removes the per-column filter's cross-column false
+    *    positives. */
+  private[sink] def pruneToTouched(
+      base: DataFrame, touched: Seq[Row], touchedSchema: StructType,
+      partitionFields: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    import scala.jdk.CollectionConverters._
+    val perCol = partitionFields.zipWithIndex.map { case (fn, i) =>
+      val vals = touched.map(_.get(i)).distinct
+      val nonNull = vals.filterNot(_ == null)
+      val in =
+        if (nonNull.isEmpty) lit(false) else base(fn).isin(nonNull: _*)
+      if (vals.contains(null)) in || base(fn).isNull else in
+    }.reduce(_ && _)
+    val local = base.sparkSession.createDataFrame(
+      touched.asJava, touchedSchema)
+    val cond = partitionFields.map(fn => base(fn) <=> local(fn))
+      .reduce(_ && _)
+    base.filter(perCol).join(broadcast(local), cond, "left_semi")
   }
 
   /**
@@ -1290,6 +1449,125 @@ object Snapshots {
       root, partitionFields, SnapOverwritePartitions, "fold",
       graft.schema.SchemaEvolution.Widen,
       touchedDirs = Some(affectedDirs), dropDeletes = true))
+  }
+
+  /** Conservative [[StatRange]]s implied by a predicate's top-level AND
+    * conjuncts: for `column <op> literal` shapes over recorded stat
+    * columns, every matching row provably lies inside the derived range,
+    * so a file whose recorded min/max cannot intersect it cannot hold a
+    * match. Strict bounds relax to inclusive (a superset — still
+    * conservative); unrecognized shapes derive nothing (no pruning, never
+    * wrong pruning). A comparison also implies the column is non-null in
+    * any matching row, which [[survives]]' all-null-file rule exploits. */
+  private def statRangesFromCondition(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      statsCols: Seq[String]): Seq[StatRange] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    def sv(x: Expression): Option[Any] = x match {
+      case l: Literal if l.value != null =>
+        Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(l.value, l.dataType))
+      // analysis inserts casts around literals (int bound on a bigint
+      // column) — any foldable side is still a constant bound
+      case e if e.foldable =>
+        Option(e.eval()).map(v =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .convertToScala(v, e.dataType))
+      case _ => None
+    }
+    def attr(x: Expression): Option[String] = x match {
+      case a: AttributeReference if statsCols.contains(a.name) => Some(a.name)
+      // a caller-built Column is an UNRESOLVED tree — bare single-part
+      // names only (a qualified name can't be trusted to be this dataset)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if u.nameParts.length == 1 && statsCols.contains(u.nameParts.head) =>
+        Some(u.nameParts.head)
+      case _ => None
+    }
+    def range(c: Option[String], lo: Option[Any], hi: Option[Any]) =
+      c.map(n => StatRange(n, lo, hi)).toSeq
+    e match {
+      case And(l, r) => statRangesFromCondition(l, statsCols) ++
+        statRangesFromCondition(r, statsCols)
+      case EqualTo(a, b) =>
+        range(attr(a), sv(b), sv(b)) ++ range(attr(b), sv(a), sv(a))
+      case GreaterThan(a, b) =>
+        range(attr(a), sv(b), None) ++ range(attr(b), None, sv(a))
+      case GreaterThanOrEqual(a, b) =>
+        range(attr(a), sv(b), None) ++ range(attr(b), None, sv(a))
+      case LessThan(a, b) =>
+        range(attr(a), None, sv(b)) ++ range(attr(b), sv(a), None)
+      case LessThanOrEqual(a, b) =>
+        range(attr(a), None, sv(b)) ++ range(attr(b), sv(a), None)
+      case _ => Seq.empty
+    }
+  }
+
+  /**
+   * PREDICATE ROW DELETE — `DELETE WHERE cond`, the GDPR/retention shape —
+   * published as one new snapshot. FILE-level copy-on-write: the files
+   * that must rewrite are narrowed three ways before a byte moves —
+   * (1) [[StatRange]]s derived from the condition's conjuncts drop files
+   * whose recorded min/max provably cannot hold a match, (2) partition
+   * pruning applies inside the discovery scan (the condition reaches the
+   * scan as an ordinary filter over partition columns), (3) the discovery
+   * scan itself (column-pruned to the condition's columns) names the
+   * exact files HOLDING matching rows. Only those files rewrite — their
+   * surviving rows restage (live equality-deletes applied, like
+   * [[compact]]) and the originals leave the manifest by name; every
+   * other file rides through untouched. SQL null semantics: only rows
+   * where the condition is TRUE delete; false-or-null rows survive.
+   * Older snapshots keep reading the originals until [[expire]].
+   * Returns the new snapshot id, or None when no row matches.
+   */
+  def deleteWhere(
+      spark: SparkSession, root: String,
+      partitionFields: Seq[String],
+      condition: org.apache.spark.sql.Column,
+      targetFilesPerPartition: Int = 1): Option[Int] = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    require(targetFilesPerPartition >= 1, "need at least one file")
+    val (f, qroot) = FsOps.fs(spark, root)
+    val id = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no snapshot published under $root"))
+    val m = resolve(f, qroot, id)
+    m.partitionCols.headOption.foreach(_ => require(
+      partitionFields == m.partitionCols,
+      s"dataset at $root is partitioned by ${m.partitionCols.mkString(",")}; " +
+        s"cannot delete under ${partitionFields.mkString(",")}"))
+    if (m.files.isEmpty) return None
+    val schema = m.schema.getOrElse(StructType(Seq.empty))
+    // resolve the condition against the RECORDED contract via an empty
+    // probe frame: analysis validates every referenced column loudly and
+    // yields a resolved tree the range derivation can walk (legacy
+    // schema-less datasets skip derivation — no pruning, never wrong
+    // pruning)
+    val derived = m.schema.toSeq.flatMap { sc =>
+      spark.createDataFrame(new java.util.ArrayList[Row](), sc)
+        .filter(condition).queryExecution.analyzed.collect {
+          case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            statRangesFromCondition(fl.condition, m.statsCols)
+        }.flatten
+    }
+    val candidates = m.files.filter(e => survives(e, derived, schema))
+    if (candidates.isEmpty) return None
+    // exact discovery: which candidates actually HOLD matching rows — one
+    // column-pruned scan over the stat-surviving files only
+    val dataPrefix = dataDir(qroot).toUri.getPath
+    val hit = scanWithDeletes(spark, qroot, m, candidates)
+      .filter(condition)
+      .select(input_file_name().as("__f")).distinct().collect()
+      .map(r => java.net.URI.create(r.getString(0)).getPath
+        .stripPrefix(dataPrefix).stripPrefix("/")).toSet
+    if (hit.isEmpty) return None
+    val rewrite = m.files.filter(e => hit(e.rel))
+    val survivors = scanWithDeletes(spark, qroot, m, rewrite)
+      .filter(not(coalesce(condition, lit(false))))
+    Some(writeInternal(
+      splitPerPartition(survivors, partitionFields, targetFilesPerPartition),
+      root, partitionFields, SnapAppend, "delete_where",
+      graft.schema.SchemaEvolution.Widen,
+      extraRemoves = rewrite.map(_.rel)))
   }
 
   /** Route a rewrite so each partition value lands on ≤ `t` tasks (→ ≤ t
@@ -1458,9 +1736,13 @@ object Snapshots {
     val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
     val committedRes = committedIds(f, qroot, cur)
       .map(resolve(f, qroot, _, cache))
+    // pending staged writes and live branches reference files too — a
+    // branch-only file is garbage only after dropBranch
+    val (branchRefs, branchDelRefs) = branchFileRefs(f, qroot)
     val referenced = committedRes.flatMap(_.files.map(_.rel)).toSet ++
-      stagedFileRefs(f, qroot)
-    val referencedDel = committedRes.flatMap(_.deletes.map(_.rel)).toSet
+      stagedFileRefs(f, qroot) ++ branchRefs
+    val referencedDel = committedRes.flatMap(_.deletes.map(_.rel)).toSet ++
+      branchDelRefs
     // orphan snapshot manifests (crash between snapshot file and pointer
     // flip): never state, reclaim so they can't shadow a future write
     allManifestIds(f, qroot).filter(id => cur.forall(_ < id)).foreach { id =>
@@ -1536,6 +1818,17 @@ object Snapshots {
     // (seq-scoped, as in [[read]]) — the incremental consumer sees the
     // same rows a full `until` read would show from those files
     else Some(scanWithDeletes(spark, qroot, m, added))
+  }
+
+  /** The write mode one manifest records (append / merge_mor / compact /
+    * …) — one manifest read, no chain resolution. The
+    * [[graft.streaming.SnapshotFollower]] dispatch: append-shaped
+    * snapshots emit, maintenance snapshots skip (visible rows provably
+    * unchanged), everything else is a policy decision. */
+  private[graft] def snapshotModeOf(
+      spark: SparkSession, root: String, id: Int): String = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    readSnapshotFile(f, qroot, id).mode
   }
 
   /** Partition dirs whose VISIBLE ROWS could differ because the two
@@ -1919,6 +2212,232 @@ object Snapshots {
     read(spark, root, asOf = Some(id), prune = prune)
   }
 
+  // --------------------------------------------------------- branches
+
+  private def branchesDir(root: Path) = new Path(root, "branches")
+  private def branchDir(root: Path, name: String) =
+    new Path(branchesDir(root), name)
+
+  private def readSmall(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    finally in.close()
+  }
+
+  private def parseSnapRef(what: String, s: String): Int = s match {
+    case SnapRe(n) => n.toInt
+    case other => throw new IllegalStateException(
+      s"corrupt $what: expected s<N>, got '$other'")
+  }
+
+  private def branchHeadOpt(
+      f: FileSystem, qroot: Path, name: String): Option[Int] = {
+    val p = new Path(branchDir(qroot, name), "HEAD")
+    if (!f.exists(p)) None
+    else Some(parseSnapRef(s"branch '$name' HEAD", readSmall(f, p)))
+  }
+
+  private def branchHead(f: FileSystem, qroot: Path, name: String): Int =
+    branchHeadOpt(f, qroot, name).getOrElse(throw new IllegalStateException(
+      s"no branch '$name' under $qroot — createBranch first"))
+
+  /**
+   * WRITABLE BRANCH: fork the dataset at a snapshot into a named lineage
+   * that accepts REPEATED writes ([[writeToBranch]] — appends and
+   * partition overwrites) without main ever seeing them, then
+   * [[fastForward]] publishes the whole branch state to main with one
+   * atomic flip — the Iceberg/Nessie audit-branch workflow, where a
+   * multi-write backfill or experiment lands invisibly, audits as a
+   * whole, and merges or drops. [[stageWrite]] remains the one-shot
+   * flavor; a branch is the multi-write one.
+   *
+   * Mechanics: the branch keeps its own manifest chain under
+   * `branches/<name>/` with branch-local ids — its first manifest is a
+   * FULL copy of the fork state, so the chain never references main's
+   * manifests (main can expire freely; the FILES both lineages share are
+   * protected — [[expire]]/[[vacuum]] count branch references). Data
+   * files land in the shared immutable `data/` pool exactly like main
+   * writes. Fork cost is one full-manifest write — the same metadata
+   * cost every [[RebaseEvery]]-th ordinary write already pays.
+   */
+  def createBranch(
+      spark: SparkSession, root: String, name: String,
+      fromId: Option[Int] = None): Unit = {
+    require(RefRe.matches(name),
+      s"branch name '$name' must match ${RefRe.regex}")
+    val (f, qroot) = FsOps.fs(spark, root)
+    val cur = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no snapshot published under $root"))
+    val forkId = fromId.getOrElse(cur)
+    require(forkId <= cur,
+      s"cannot branch from unpublished s$forkId (newest s$cur)")
+    val bdir = branchDir(qroot, name)
+    require(!f.exists(new Path(bdir, "HEAD")),
+      s"branch '$name' already exists under $root — dropBranch first")
+    val m = resolve(f, qroot, forkId)
+    val meta = SnapMeta("branch_fork",
+      m.schema.getOrElse(StructType(Seq.empty)), m.format, m.codec,
+      m.statsCols, None, m.partitionCols, Some(System.currentTimeMillis()))
+    f.mkdirs(bdir)
+    FsOps.atomicWrite(f, new Path(bdir, "s1"),
+      renderManifest(meta, None, Seq.empty, Seq.empty, Some(m.files),
+        dFull = m.deletes))
+    FsOps.atomicWrite(f, new Path(bdir, "FORK"), s"s$forkId")
+    // HEAD last: a crash before this line leaves a half-created branch
+    // that branchHeadOpt treats as nonexistent (and createBranch retries
+    // over)
+    FsOps.atomicWrite(f, new Path(bdir, "HEAD"), "s1")
+  }
+
+  /** Write to a branch ([[createBranch]]): the full snapshot write
+    * discipline — staging, stats, schema-evolution gate, era checks —
+    * against the BRANCH head, published by flipping the branch pointer;
+    * main is untouched. Returns the new branch-local snapshot id. */
+  def writeToBranch(
+      df: DataFrame, root: String, name: String,
+      partitionFields: Seq[String], mode: SnapshotMode = SnapAppend,
+      evolution: graft.schema.SchemaEvolution.Policy =
+        graft.schema.SchemaEvolution.Widen): Int =
+    writeInternal(df, root, partitionFields, mode, mode.name, evolution,
+      branch = Some(name))
+
+  /** Read a branch's state (its head, or an older branch-local snapshot)
+    * with the same contract and [[StatRange]] skipping as [[read]]. */
+  def readBranch(
+      spark: SparkSession, root: String, name: String,
+      asOf: Option[Int] = None,
+      prune: Seq[StatRange] = Seq.empty): DataFrame = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val head = branchHead(f, qroot, name)
+    val id = asOf.getOrElse(head)
+    require(id <= head, s"branch '$name' has no snapshot s$id (head s$head)")
+    readResolved(spark, qroot, resolveIn(f, branchDir(qroot, name), id),
+      prune, s"branch '$name' s$id")
+  }
+
+  /** Live branches as (name → (branch head id, main fork id)). */
+  def branches(spark: SparkSession, root: String): Map[String, (Int, Int)] = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val dir = branchesDir(qroot)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).filter(_.isDirectory).flatMap { st =>
+      val name = st.getPath.getName
+      branchHeadOpt(f, qroot, name).map { h =>
+        name -> ((h, parseSnapRef(s"branch '$name' FORK",
+          readSmall(f, new Path(st.getPath, "FORK")))))
+      }
+    }.toMap
+  }
+
+  /**
+   * FAST-FORWARD MERGE: publish a branch's whole state to main as one new
+   * snapshot (mode `branch_merge`) and drop the branch. Fails loudly —
+   * publishing nothing — if main advanced past the branch's fork point
+   * (not a fast-forward; the branch validated a state that no longer
+   * follows from main — re-branch and replay), the [[publishStaged]]
+   * optimistic posture. A branch with no writes just drops. Returns the
+   * published main snapshot id (the fork id if the branch was empty).
+   */
+  def fastForward(spark: SparkSession, root: String, name: String): Int = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val bdir = branchDir(qroot, name)
+    val head = branchHead(f, qroot, name)
+    val fork = parseSnapRef(s"branch '$name' FORK",
+      readSmall(f, new Path(bdir, "FORK")))
+    val cur = currentSnapshot(spark, root)
+    if (!cur.contains(fork))
+      throw new java.util.ConcurrentModificationException(
+        s"branch '$name' forked from s$fork but main is now at " +
+          s"${cur.fold("(none)")(c => s"s$c")} — not a fast-forward; " +
+          "re-branch from the current state and replay the writes")
+    if (head == 1) { dropBranch(spark, root, name); return fork }
+    // separate caches: branch-local and main ids are distinct sequences
+    val b = resolveIn(f, bdir, head)
+    val live = resolve(f, qroot, fork)
+    val id = fork + 1
+    val meta = SnapMeta("branch_merge",
+      b.schema.getOrElse(StructType(Seq.empty)), b.format, b.codec,
+      b.statsCols, None, b.partitionCols, Some(System.currentTimeMillis()),
+      live.recentTags)
+    val content =
+      if (live.chainDepth + 1 >= RebaseEvery)
+        renderManifest(meta, None, Seq.empty, Seq.empty, Some(b.files),
+          dFull = b.deletes)
+      else {
+        val bRels = b.files.map(_.rel).toSet
+        val liveRels = live.files.map(_.rel).toSet
+        val bDRels = b.deletes.map(_.rel).toSet
+        val liveDRels = live.deletes.map(_.rel).toSet
+        renderManifest(meta, Some(fork),
+          b.files.filterNot(e => liveRels(e.rel)),
+          live.files.map(_.rel).filterNot(bRels), None,
+          b.deletes.filterNot(d => liveDRels(d.rel)),
+          live.deletes.map(_.rel).filterNot(bDRels))
+      }
+    publishManifest(f, qroot, id, Some(fork), content)
+    dropBranch(spark, root, name): Unit
+    id
+  }
+
+  /** Drop a branch without merging. Its branch-only files become
+    * unreferenced — [[vacuum]] reclaims them behind the age grace.
+    * Returns whether the branch existed. */
+  def dropBranch(spark: SparkSession, root: String, name: String): Boolean = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val p = branchDir(qroot, name)
+    val existed = f.exists(p)
+    FsOps.deleteIfExists(f, p)
+    existed
+  }
+
+  /** Every (data rel, delete rel) any branch manifest still references —
+    * ALL branch-local ids, not just heads, so branch time travel stays
+    * readable. [[vacuum]] and [[expire]] must never sweep these: the
+    * branch fork state shares files with main manifests that may expire
+    * first. */
+  private def branchFileRefs(
+      f: FileSystem, qroot: Path): (Set[String], Set[String]) = {
+    val dir = branchesDir(qroot)
+    if (!f.exists(dir)) return (Set.empty, Set.empty)
+    val fs = Set.newBuilder[String]
+    val ds = Set.newBuilder[String]
+    f.listStatus(dir).filter(_.isDirectory).foreach { st =>
+      val name = st.getPath.getName
+      branchHeadOpt(f, qroot, name).foreach { h =>
+        val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
+        (1 to h).foreach { i =>
+          val r = resolveIn(f, st.getPath, i, cache)
+          fs ++= r.files.map(_.rel)
+          ds ++= r.deletes.map(_.rel)
+        }
+      }
+    }
+    (fs.result(), ds.result())
+  }
+
+  /** Publish one BRANCH manifest and flip the branch pointer — the
+    * [[publishManifest]] safety rails against the branch's own HEAD. */
+  private def publishBranchManifest(
+      f: FileSystem, qroot: Path, name: String, id: Int,
+      expectedCur: Option[Int], content: String): Unit = {
+    def raceLost(h: Option[Int]): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"branch '$name' write lost a race at $qroot: resolved head " +
+          s"${expectedCur.fold("(none)")(c => s"s$c")} but the branch is " +
+          s"now at ${h.fold("(dropped)")(c => s"s$c")}")
+    val before = branchHeadOpt(f, qroot, name)
+    if (before != expectedCur) raceLost(before)
+    val p = new Path(branchDir(qroot, name), s"s$id")
+    FsOps.deleteIfExists(f, p)
+    val out = f.create(p, false)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val after = branchHeadOpt(f, qroot, name)
+    if (after != expectedCur) { FsOps.deleteIfExists(f, p); raceLost(after) }
+    FsOps.atomicWrite(f, new Path(branchDir(qroot, name), "HEAD"), s"s$id")
+  }
+
   // ------------------------------------------------------- maintenance
 
   /** One cron-shaped maintenance pass: see [[maintain]]. `keepLast`
@@ -2190,8 +2709,12 @@ object Snapshots {
     expired.foreach(id =>
       FsOps.deleteIfExists(f, new Path(snapshotsDir(qroot), s"s$id")))
     val keptRes = kept.map(resolve(f, qroot, _, cache))
-    val referenced = keptRes.flatMap(_.files.map(_.rel)).toSet
-    val referencedDel = keptRes.flatMap(_.deletes.map(_.rel)).toSet
+    // live branches reference shared-pool files (their fork state overlaps
+    // expiring main manifests) — never expire's to delete
+    val (branchRefs, branchDelRefs) = branchFileRefs(f, qroot)
+    val referenced = keptRes.flatMap(_.files.map(_.rel)).toSet ++ branchRefs
+    val referencedDel = keptRes.flatMap(_.deletes.map(_.rel)).toSet ++
+      branchDelRefs
     val data = dataDir(qroot)
     val dead = (expiredRefs -- referenced).toSeq.sorted
     dead.foreach(rel => FsOps.deleteIfExists(f, new Path(data, rel)))

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import graft.sink.{FsOps, Snapshots}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * SUBSCRIBE TO A SNAPSHOT DATASET: a pull-driven incremental-read source
+ * that feeds a consumer each snapshot's NEW ROWS in publish order, with
+ * the snapshot id as the resumable offset — the "landing zone in, derived
+ * table out" consumer every [[Snapshots.snapshotStream]] deployment
+ * eventually wants, without a custom DataSourceV2 (the batches are
+ * ordinary manifest-pruned [[Snapshots.readAddedSince]] reads, so all of
+ * Spark's scan machinery applies untouched).
+ *
+ * Dispatch is by each manifest's recorded MODE:
+ *  - `append` / `merge_mor` EMIT the snapshot's added files — exactly the
+ *    new/updated row images (the Iceberg incremental-append-scan
+ *    contract). Merge-on-read DELETES do not surface here; a consumer
+ *    that must see deletes reads [[Snapshots.changes]] instead.
+ *  - maintenance (`compact`, `fold`, `migrate_spec`, `evolve_spec`) SKIPS:
+ *    those snapshots rewrite representation, provably preserving visible
+ *    rows — re-emitting their files would double-deliver.
+ *  - anything else (`overwrite_partitions`, `merge`, `rollback`,
+ *    `delete_where`, `branch_merge`) cannot be represented as an append
+ *    stream: [[FailOnNonAppend]] (default) fails loudly;
+ *    [[SkipNonAppend]] opts into skipping for consumers that tolerate it.
+ *
+ * Delivery is AT-LEAST-ONCE: the offset commits only after `process`
+ * returns, so a crash between replays the batch. End-to-end EXACTLY-ONCE
+ * when the consumer lands into another snapshot dataset with
+ * `batchTag = s"follow-<id>"` — the id is stable across redeliveries, so
+ * the sink's replay-tag window converges the retry
+ * ([[Snapshots.write]]'s guard, hardened against interleaved
+ * maintenance).
+ *
+ * 100 TB shape: every poll is METADATA-cost until a batch emits (one
+ * pointer read + one manifest read per considered id); an emitted batch
+ * scans only the files that snapshot added. Single-consumer per
+ * checkpoint, same as any Structured Streaming query.
+ */
+class SnapshotFollower(
+    spark: SparkSession, root: String, checkpoint: String,
+    startAfter: Option[Int] = None,
+    onNonAppend: SnapshotFollower.NonAppendPolicy =
+      SnapshotFollower.FailOnNonAppend) {
+
+  import SnapshotFollower._
+
+  private val (cpFs, qcp) = FsOps.fs(spark, checkpoint)
+  private val offsetPath = new Path(qcp, "OFFSET")
+
+  /** The last snapshot id this checkpoint has fully processed (or been
+    * configured to start after). */
+  def lastCommitted: Option[Int] =
+    if (cpFs.exists(offsetPath)) {
+      val in = cpFs.open(offsetPath)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
+      Some(s.toInt)
+    } else startAfter
+
+  private def commit(id: Int): Unit = {
+    cpFs.mkdirs(qcp)
+    FsOps.atomicWrite(cpFs, offsetPath, id.toString)
+  }
+
+  /** Advance toward the current snapshot, emitting AT MOST ONE batch:
+    * maintenance snapshots commit through silently; the first
+    * append-shaped snapshot with added files goes to `process` and its id
+    * commits AFTER `process` returns. Returns the emitted snapshot id, or
+    * None when caught up. */
+  def pollOnce(process: (DataFrame, Int) => Unit): Option[Int] = {
+    val cur = Snapshots.currentSnapshot(spark, root).getOrElse(return None)
+    var id = lastCommitted.getOrElse(0) + 1
+    while (id <= cur) {
+      val mode = Snapshots.snapshotModeOf(spark, root, id)
+      if (EmitModes(mode)) {
+        val batch =
+          if (id == 1) Some(Snapshots.read(spark, root, asOf = Some(1)))
+          else Snapshots.readAddedSince(spark, root, id - 1, Some(id))
+        batch match {
+          case Some(df) =>
+            process(df, id)
+            commit(id)
+            return Some(id)
+          case None => // added nothing (e.g. a delete-only CDC batch)
+            commit(id); id += 1
+        }
+      } else if (SkipModes(mode)) {
+        commit(id); id += 1
+      } else onNonAppend match {
+        case SkipNonAppend => commit(id); id += 1
+        case FailOnNonAppend => throw new IllegalStateException(
+          s"snapshot s$id mode '$mode' under $root is not an append — an " +
+            "incremental append scan cannot represent it; consume " +
+            "row-level diffs via Snapshots.changes, or opt into " +
+            "SkipNonAppend if dropping it is acceptable")
+      }
+    }
+    None
+  }
+
+  /** Drain every pending snapshot (each emitted batch processed and
+    * committed individually). Returns the emitted snapshot ids. */
+  def drain(process: (DataFrame, Int) => Unit): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var emitted = pollOnce(process)
+    while (emitted.isDefined) { out += emitted.get; emitted = pollOnce(process) }
+    out.result()
+  }
+}
+
+object SnapshotFollower {
+  sealed trait NonAppendPolicy
+  /** Fail loudly on a snapshot an append stream cannot represent. */
+  case object FailOnNonAppend extends NonAppendPolicy
+  /** Skip such snapshots (consumer accepts missing those changes). */
+  case object SkipNonAppend extends NonAppendPolicy
+
+  private val EmitModes = Set("append", "merge_mor")
+  private val SkipModes = Set("compact", "fold", "migrate_spec", "evolve_spec")
+}

@@ -399,6 +399,205 @@ class SnapshotsSpec extends SparkSpec {
       SnapAppend, batchTag = Some("8:beef")) == 6)
   }
 
+  test("a race-losing pure append retries metadata-only: both writers' batches land") {
+    val root = java.nio.file.Files.createTempDirectory("snap_race").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    val a = orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 2000000L)
+    val b = orders.filter(col("o_orderkey") % 5 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + 3000000L)
+    // writer B publishes between A's base resolution and A's pointer flip
+    Snapshots.prePublishInterleave = () =>
+      assert(Snapshots.write(b, root, Seq("o_orderpriority"),
+        SnapAppend) == 2)
+    val sa = Snapshots.write(a, root, Seq("o_orderpriority"), SnapAppend)
+    assert(sa == 3, "the losing append must rebase onto the new head")
+    assert(Snapshots.currentSnapshot(spark, root).contains(3))
+    // resolved set is the UNION — nothing lost, nothing doubled
+    assert(Snapshots.read(spark, root).count() ==
+      orders.count() + a.count() + b.count())
+    assert(keys(Snapshots.read(spark, root)) ==
+      keys(orders) ++ keys(a) ++ keys(b))
+    // both writers' snapshots are history
+    assert(Snapshots.history(spark, root).collect().map(_.getInt(0)).toSeq
+      == Seq(1, 2, 3))
+  }
+
+  test("race retry re-stamps file seqs: a winner's newer equality delete cannot suppress the rebased append") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_raceseq").toString
+    Snapshots.write(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+        .toDF("k", "p", "v").coalesce(1), root, Seq("p"))
+    // two winners land while the loser is in flight: an append (s2), then
+    // a merge-on-read DELETE of key 2 (s3, delete entry seq=3) — the
+    // loser re-inserts key 2, rebases to s4, and its file seq must be
+    // re-stamped to 4 (seq 2 would be suppressed by the seq-3 delete)
+    Snapshots.prePublishInterleave = () => {
+      assert(Snapshots.write(Seq((4L, "b", 40.0)).toDF("k", "p", "v")
+        .coalesce(1), root, Seq("p"), SnapAppend) == 2)
+      assert(Snapshots.mergeDeltas(spark, root,
+        Seq((2L, "a", 0.0, true)).toDF("k", "p", "v", "__del"),
+        Seq("p"), Seq("k"), deleteCol = Some("__del")) == 3)
+    }
+    assert(Snapshots.write(Seq((2L, "a", 99.0)).toDF("k", "p", "v")
+      .coalesce(1), root, Seq("p"), SnapAppend) == 4)
+    val vals = Snapshots.read(spark, root).filter(col("k") === 2L)
+      .select("v").collect().map(_.getDouble(0)).toSet
+    assert(vals == Set(99.0),
+      s"base copy suppressed, rebased append survives — got $vals")
+  }
+
+  test("a race-losing non-append write still aborts loudly") {
+    val root = java.nio.file.Files.createTempDirectory("snap_raceovw").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    val b = orders.filter(col("o_orderkey") % 5 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + 3000000L)
+    Snapshots.prePublishInterleave = () =>
+      assert(Snapshots.write(b, root, Seq("o_orderpriority"),
+        SnapAppend) == 2)
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.write(
+        orders.filter(col("o_orderpriority") === "1-URGENT"), root,
+        Seq("o_orderpriority"), SnapOverwritePartitions)
+    }
+    // the winner's publish is intact; the loser's staged files are
+    // unreferenced vacuum food
+    assert(Snapshots.currentSnapshot(spark, root).contains(2))
+    assert(Snapshots.read(spark, root).count() == orders.count() + b.count())
+  }
+
+  test("writable branch: invisible to main, repeated writes, fast-forward merge") {
+    val root = java.nio.file.Files.createTempDirectory("snap_branch").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    Snapshots.createBranch(spark, root, "audit")
+    assert(Snapshots.branches(spark, root) == Map("audit" -> ((1, 1))))
+    val all = keys(orders)
+    val ins = orders.filter(col("o_orderkey") % 10 === 4)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      .withColumn("o_orderpriority", lit("5-LOW"))
+    assert(Snapshots.writeToBranch(ins, root, "audit",
+      Seq("o_orderpriority")) == 2)
+    val patch = orders.filter(col("o_orderpriority") === "1-URGENT"
+      && col("o_orderkey") % 2 === 0)
+    assert(Snapshots.writeToBranch(patch, root, "audit",
+      Seq("o_orderpriority"), SnapOverwritePartitions) == 3)
+    // main sees NOTHING; the branch sees both writes
+    assert(keys(Snapshots.read(spark, root)) == all)
+    val urgentOdd = keys(orders.filter(col("o_orderpriority") === "1-URGENT"
+      && col("o_orderkey") % 2 =!= 0))
+    assert(keys(Snapshots.readBranch(spark, root, "audit")) ==
+      all -- urgentOdd ++ keys(ins))
+    // branch-local time travel
+    assert(keys(Snapshots.readBranch(spark, root, "audit", asOf = Some(2)))
+      == all ++ keys(ins))
+    // fast-forward: the branch state becomes main's s2, branch drops
+    assert(Snapshots.fastForward(spark, root, "audit") == 2)
+    assert(keys(Snapshots.read(spark, root)) == all -- urgentOdd ++ keys(ins))
+    assert(Snapshots.branches(spark, root).isEmpty)
+    assert(keys(Snapshots.read(spark, root, asOf = Some(1))) == all,
+      "pre-merge main must stay time-travelable")
+    val h = Snapshots.history(spark, root).collect()
+    assert(h.last.getString(1) == "branch_merge")
+  }
+
+  test("branch merge aborts when main advanced; expire and vacuum respect branch refs") {
+    val root = java.nio.file.Files.createTempDirectory("snap_branchx").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    Snapshots.createBranch(spark, root, "exp")
+    val all = keys(orders)
+    val ins = orders.filter(col("o_orderkey") % 10 === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      .withColumn("o_orderpriority", lit("5-LOW"))
+    Snapshots.writeToBranch(ins, root, "exp", Seq("o_orderpriority"))
+    // main advances past the fork — the merge is no longer a fast-forward
+    Snapshots.write(
+      orders.filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_orderkey") % 2 === 0), root,
+      Seq("o_orderpriority"), SnapOverwritePartitions)
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.fastForward(spark, root, "exp")
+    }
+    // expire reclaims main history but NOT files the branch still
+    // references (its fork state overlaps the expired s1)
+    Snapshots.expire(spark, root, keepLast = 1)
+    assert(keys(Snapshots.readBranch(spark, root, "exp")) == all ++ keys(ins),
+      "branch must survive main-history expiry")
+    // vacuum spares live-branch files...
+    Snapshots.vacuum(spark, root, graceMs = 0)
+    assert(keys(Snapshots.readBranch(spark, root, "exp")) == all ++ keys(ins))
+    // ...until the branch drops, after which they are reclaimable orphans
+    val mainKeys = keys(Snapshots.read(spark, root))
+    assert(Snapshots.dropBranch(spark, root, "exp"))
+    val (orphans, _) = Snapshots.vacuum(spark, root, graceMs = 0)
+    assert(orphans > 0, "dropped branch's exclusive files must reclaim")
+    assert(keys(Snapshots.read(spark, root)) == mainKeys)
+  }
+
+  test("deleteWhere: stat-pruned file-level copy-on-write, null rows survive, travel intact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_delw").toString
+    // 800 keys clustered into 8 key-range slices × 4 partitions = 32
+    // files, each covering ~1/8th of the key range, stats on k; v is null
+    // on every 10th key
+    val df = (0 until 800).map(i => (i.toLong, s"p${i % 4}",
+      if (i % 10 == 0) None else Some(i * 1.0))).toDF("k", "p", "v")
+    Snapshots.write(df.repartitionByRange(8, col("k")), root, Seq("p"),
+      statsColumns = Seq("k"))
+    val s1Files = Snapshots.read(spark, root).inputFiles.length
+    assert(s1Files > 8, s"fixture should fragment: $s1Files files")
+    // delete the low key range where v is non-null: cond's k-conjunct
+    // derives a stat range, so only the low slice's files even scan
+    val did = Snapshots.deleteWhere(spark, root, Seq("p"),
+      col("k") < 100L && col("v") > 0.0)
+    assert(did.contains(2))
+    // file-level CoW: the manifest removed only the files holding
+    // matches — a strict subset of the live set
+    val m2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/snapshots/s2")))
+    val removed = m2.linesIterator.count(_.startsWith("remove="))
+    assert(removed > 0 && removed < s1Files,
+      s"expected a strict subset rewritten: $removed of $s1Files")
+    // SQL semantics: TRUE deletes; false-or-null survive (null-v rows in
+    // the deleted range stay)
+    val cur = Snapshots.read(spark, root)
+    assert(cur.count() == 800 - (0 until 100).count(_ % 10 != 0))
+    assert(cur.filter(col("k") < 100L).count() == 10,
+      "null-condition rows must survive a predicate delete")
+    // pre-delete state travels intact
+    assert(Snapshots.read(spark, root, asOf = Some(1)).count() == 800)
+    // a condition matching nothing is a no-op, stat-pruned before any scan
+    assert(Snapshots.deleteWhere(spark, root, Seq("p"),
+      col("k") < -5L).isEmpty)
+    assert(Snapshots.currentSnapshot(spark, root).contains(2))
+    // an unknown column fails analysis loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Snapshots.deleteWhere(spark, root, Seq("p"), col("nope") === 1)
+    }
+  }
+
+  test("mergeUpsert pruning is a broadcast semi join, never an Or-chain") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.expressions.Or
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import spark.implicits._
+    val base = (0 until 500).map(i => (i.toLong, s"p${i % 200}", i * 1.0))
+      .toDF("k", "p", "v")
+    val touched = (0 until 150).map(i => Row(s"p$i"))
+    val schema = StructType(Seq(StructField("p", StringType)))
+    val pruned = Snapshots.pruneToTouched(base, touched, schema, Seq("p"))
+    val orCount = pruned.queryExecution.optimizedPlan.collect {
+      case n => n.expressions.map(_.collect { case _: Or => 1 }.sum).sum
+    }.sum
+    assert(orCount == 0,
+      s"touched-partition pruning must not build Or trees ($orCount found)")
+    val phys = pruned.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin") && phys.contains("LeftSemi"),
+      s"expected a broadcast left-semi join:\n$phys")
+    assert(pruned.select("p").distinct().count() == 150)
+    assert(pruned.count() == (0 until 500).count(i => i % 200 < 150))
+  }
+
   test("string stats compare by code point, not UTF-16 code units") {
     import org.apache.spark.sql.types.StringType
     val emoji = "😀" // U+1F600, surrogate pair
