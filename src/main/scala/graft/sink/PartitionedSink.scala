@@ -195,7 +195,7 @@ object PartitionedSink {
    */
   def preparePartitionColumns(df: DataFrame, cfg: SinkConfig): DataFrame =
     cfg.partitionFields.foldLeft(df) { (d, f) =>
-      val v = trim(col(f).cast("string"))
+      val v = trim(qcol(f).cast("string"))
       val guarded = when(
         v.contains("/"),
         raise_error(concat(
@@ -231,8 +231,8 @@ object PartitionedSink {
     // the hot-partition split
     val sessionShuffle =
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val keys = cfg.partitionFields.map(col)
-    val rowHash = xxhash64(prepared.columns.toIndexedSeq.map(col): _*)
+    val keys = cfg.partitionFields.map(qcol)
+    val rowHash = xxhash64(prepared.columns.toIndexedSeq.map(qcol): _*)
     val clustered = cfg.adaptiveRowsPerFile match {
       case Some(target) =>
         assertNoReservedCols(prepared, Seq("__n", "__w"))
@@ -548,11 +548,11 @@ object PartitionedSink {
       filesPerPartition: Int = 1, codec: Option[String] = None): Unit = {
     require(filesPerPartition > 0, "filesPerPartition must be positive")
     val df = readBack(spark, inPath, format)
-    val keyCols = partitionFields.map(col)
+    val keyCols = partitionFields.map(qcol)
     val clustered =
       if (filesPerPartition == 1) df.repartition(keyCols: _*)
       else df.repartition(keyCols :+
-        pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(filesPerPartition)): _*)
+        pmod(xxhash64(df.columns.toIndexedSeq.map(qcol): _*), lit(filesPerPartition)): _*)
     var w = clustered.write.format(format.name)
       .partitionBy(partitionFields: _*).mode(SaveMode.Overwrite)
     codec.foreach { c =>

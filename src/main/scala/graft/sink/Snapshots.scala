@@ -643,23 +643,32 @@ object Snapshots {
    * bounded by the live delete-file count, which [[foldDeletes]] /
    * [[compact]] keep small — the Iceberg v2 merge-on-read shape.
    */
+  /** Era-union RAW scan of `entries` under the recorded contract — NO
+    * equality-delete application ([[scanWithDeletes]] layers that on).
+    * Files written under DIFFERENT partition specs (spec evolution —
+    * [[evolvePartitioning]]) load as separate scans: each era's directory
+    * layout infers its own consistent partition columns against the same
+    * recorded contract (an elided column reads from dirs in its era,
+    * from file content in the others), then the eras union by name.
+    * One era → one scan: the common homogeneous case pays nothing. */
+  private def scanRaw(
+      spark: SparkSession, qroot: Path, m: Resolved,
+      entries: Seq[FileEntry]): DataFrame = {
+    val base = dataDir(qroot).toString
+    entries.groupBy(e => sigOf(e.rel)).toSeq
+      .sortBy(_._1.mkString(","))
+      .map { case (_, es) =>
+        reader(spark, m.format, base, m.schema)
+          .load(es.map(e => s"$base/${e.rel}"): _*)
+      }.reduce(_ unionByName _)
+  }
+
   private def scanWithDeletes(
       spark: SparkSession, qroot: Path, m: Resolved,
       kept: Seq[FileEntry]): DataFrame = {
     val base = dataDir(qroot).toString
-    // files written under DIFFERENT partition specs (spec evolution —
-    // [[evolvePartitioning]]) load as separate scans: each era's directory
-    // layout infers its own consistent partition columns against the same
-    // recorded contract (an elided column reads from dirs in its era,
-    // from file content in the others), then the eras union by name.
-    // One era → one scan: the common homogeneous case pays nothing.
     def load(entries: Seq[FileEntry]): DataFrame =
-      entries.groupBy(e => sigOf(e.rel)).toSeq
-        .sortBy(_._1.mkString(","))
-        .map { case (_, es) =>
-          reader(spark, m.format, base, m.schema)
-            .load(es.map(e => s"$base/${e.rel}"): _*)
-        }.reduce(_ unionByName _)
+      scanRaw(spark, qroot, m, entries)
     if (m.deletes.isEmpty) return load(kept)
     val schema = m.schema.getOrElse(StructType(Seq.empty))
     val keyCols = m.deletes.head.keyCols
@@ -897,8 +906,21 @@ object Snapshots {
     }
     FsOps.deleteIfExists(f, staging)
     val id = cur.getOrElse(0) + 1
+    // merge-on-read seq: main writes stamp the manifest id itself; BRANCH
+    // writes live in a branch-LOCAL id space that must not collide with
+    // the main-namespace seqs carried in from the fork (a fork-carried
+    // equality delete with a larger main seq would suppress the branch's
+    // own newer rows), so they stamp one past the largest seq visible in
+    // the branch state — and fastForward re-stamps branch-added files to
+    // the published main id, re-anchoring them in main's space
+    val seq = branch match {
+      case None => id
+      case Some(_) =>
+        (prev.toSeq.flatMap(p =>
+          p.files.map(_.seq) ++ p.deletes.map(_.seq)) :+ 0).max + 1
+    }
     val addEntries = staged.map(rel =>
-      FileEntry(rel, statsByName.getOrElse(rel, Map.empty), seq = id))
+      FileEntry(rel, statsByName.getOrElse(rel, Map.empty), seq = seq))
     // stage the equality-delete file (merge-on-read): the batch's key
     // rows, one small file in the dataset's format under deletes/, with
     // per-key min/max recorded so reads and folds can skip clean files
@@ -1084,35 +1106,45 @@ object Snapshots {
       case other => throw new IllegalStateException(
         s"corrupt MANIFEST at $qroot: expected s<N>, got '$other'")
     }
-    def raceLost(committed: Option[Int]): Nothing =
-      throw new java.util.ConcurrentModificationException(
-        s"snapshot write lost a race at $qroot: resolved base " +
-          s"${expectedCur.fold("(none)")(c => s"s$c")} but the committed " +
-          s"pointer is now ${committed.fold("(none)")(c => s"s$c")} — " +
-          "another writer published first; re-read and retry (this " +
-          "dataset's write surface is single-maintainer by contract)")
-    // check BEFORE touching s<id>: in the common same-computed-id race the
-    // winner has already committed s<id>, and deleting it first would
-    // destroy the WINNING write (pointer at a nonexistent manifest — a
-    // bricked dataset); only when the pointer still matches can an
-    // existing s<id> be a crashed writer's orphan, safe to replace
-    val before = committedNow()
+    publishPointer(f, snapshotsDir(qroot), id, expectedCur, content,
+      committedNow _, () => FsOps.writeManifest(f, qroot, s"s$id"),
+      now => s"snapshot write lost a race at $qroot: resolved base " +
+        s"${expectedCur.fold("(none)")(c => s"s$c")} but the committed " +
+        s"pointer is now ${now.fold("(none)")(c => s"s$c")} — " +
+        "another writer published first; re-read and retry (this " +
+        "dataset's write surface is single-maintainer by contract)")
+  }
+
+  /** The one pointer-publish discipline both lineages share (main's
+    * MANIFEST, a branch's HEAD): check the pointer BEFORE touching
+    * `s<id>` — in the common same-computed-id race the winner has
+    * already committed s<id>, and deleting it first would destroy the
+    * WINNING write (a pointer at a nonexistent manifest is a bricked
+    * dataset); only when the pointer still matches can an existing s<id>
+    * be a crashed writer's orphan, safe to replace. Re-check after the
+    * write, before the flip — narrows the remaining window to flip size
+    * (detection, not a lock; the single-writer contract still governs,
+    * and losers' staged files are vacuum food). */
+  private def publishPointer(
+      f: FileSystem, msDir: Path, id: Int, expectedCur: Option[Int],
+      content: String, readPtr: () => Option[Int], flip: () => Unit,
+      raceMsg: Option[Int] => String): Unit = {
+    def raceLost(now: Option[Int]): Nothing =
+      throw new java.util.ConcurrentModificationException(raceMsg(now))
+    val before = readPtr()
     if (before != expectedCur) raceLost(before)
-    val p = new Path(snapshotsDir(qroot), s"s$id")
-    f.mkdirs(snapshotsDir(qroot))
+    val p = new Path(msDir, s"s$id")
+    f.mkdirs(msDir)
     FsOps.deleteIfExists(f, p)
     val out = f.create(p, false)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // re-check after the write, before the flip: narrows the remaining
-    // window to rename-size (detection, not a lock — the single-writer
-    // contract still governs; losers' staged files are vacuum food)
-    val after = committedNow()
+    val after = readPtr()
     if (after != expectedCur) {
       FsOps.deleteIfExists(f, p)
       raceLost(after)
     }
-    FsOps.writeManifest(f, qroot, s"s$id")
+    flip()
   }
 
   /**
@@ -1334,16 +1366,21 @@ object Snapshots {
       partitionFields: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, lit}
     import scala.jdk.CollectionConverters._
+    // backtick-quote every resolution: Dataset#apply parses dotted names
+    // as nested-field access, and the sink surface admits partition
+    // fields containing dots (its qcol discipline) — an unquoted name
+    // here would fail analysis or resolve a different column
+    def q(n: String) = s"`${n.replace("`", "``")}`"
     val perCol = partitionFields.zipWithIndex.map { case (fn, i) =>
       val vals = touched.map(_.get(i)).distinct
       val nonNull = vals.filterNot(_ == null)
       val in =
-        if (nonNull.isEmpty) lit(false) else base(fn).isin(nonNull: _*)
-      if (vals.contains(null)) in || base(fn).isNull else in
+        if (nonNull.isEmpty) lit(false) else base(q(fn)).isin(nonNull: _*)
+      if (vals.contains(null)) in || base(q(fn)).isNull else in
     }.reduce(_ && _)
     val local = base.sparkSession.createDataFrame(
       touched.asJava, touchedSchema)
-    val cond = partitionFields.map(fn => base(fn) <=> local(fn))
+    val cond = partitionFields.map(fn => base(q(fn)) <=> local(q(fn)))
       .reduce(_ && _)
     base.filter(perCol).join(broadcast(local), cond, "left_semi")
   }
@@ -1461,19 +1498,23 @@ object Snapshots {
     * any matching row, which [[survives]]' all-null-file rule exploits. */
   private def statRangesFromCondition(
       e: org.apache.spark.sql.catalyst.expressions.Expression,
-      statsCols: Seq[String]): Seq[StatRange] = {
+      statsCols: Seq[String], sessionTz: String): Seq[StatRange] = {
     import org.apache.spark.sql.catalyst.expressions._
-    def sv(x: Expression): Option[Any] = x match {
-      case l: Literal if l.value != null =>
-        Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .convertToScala(l.value, l.dataType))
-      // analysis inserts casts around literals (int bound on a bigint
-      // column) — any foldable side is still a constant bound
-      case e if e.foldable =>
-        Option(e.eval()).map(v =>
-          org.apache.spark.sql.catalyst.CatalystTypeConverters
-            .convertToScala(v, e.dataType))
-      case _ => None
+    // a constant bound (a Literal, or the foldable cast analysis wraps an
+    // int bound on a bigint column in) renders to the EXACT string form
+    // the recorded stats use — Cast-to-string under the SESSION timezone,
+    // the same expression computeStats evaluates. Converting to external
+    // types first (java.sql.Timestamp.toString prints the JVM-default
+    // zone) would shift timestamp bounds off the recorded min/max and
+    // wrongly prune files holding matches.
+    def sv(x: Expression): Option[Any] = {
+      val const = x match {
+        case l: Literal => Some(l)
+        case f if f.foldable => Some(Literal.create(f.eval(), f.dataType))
+        case _ => None
+      }
+      const.filter(_.value != null).map(l =>
+        Cast(l, StringType, Some(sessionTz)).eval().toString)
     }
     def attr(x: Expression): Option[String] = x match {
       case a: AttributeReference if statsCols.contains(a.name) => Some(a.name)
@@ -1487,8 +1528,8 @@ object Snapshots {
     def range(c: Option[String], lo: Option[Any], hi: Option[Any]) =
       c.map(n => StatRange(n, lo, hi)).toSeq
     e match {
-      case And(l, r) => statRangesFromCondition(l, statsCols) ++
-        statRangesFromCondition(r, statsCols)
+      case And(l, r) => statRangesFromCondition(l, statsCols, sessionTz) ++
+        statRangesFromCondition(r, statsCols, sessionTz)
       case EqualTo(a, b) =>
         range(attr(a), sv(b), sv(b)) ++ range(attr(b), sv(a), sv(a))
       case GreaterThan(a, b) =>
@@ -1546,19 +1587,25 @@ object Snapshots {
       spark.createDataFrame(new java.util.ArrayList[Row](), sc)
         .filter(condition).queryExecution.analyzed.collect {
           case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            statRangesFromCondition(fl.condition, m.statsCols)
+            statRangesFromCondition(fl.condition, m.statsCols,
+              spark.sessionState.conf.sessionLocalTimeZone)
         }.flatten
     }
     val candidates = m.files.filter(e => survives(e, derived, schema))
     if (candidates.isEmpty) return None
     // exact discovery: which candidates actually HOLD matching rows — one
-    // column-pruned scan over the stat-surviving files only
+    // column-pruned scan over the stat-surviving files only. The RAW scan,
+    // deliberately: input_file_name() is only reliable straight off a file
+    // scan (after a shuffled delete anti-join it returns empty), and a
+    // file whose only matching rows are delete-suppressed merely rewrites
+    // harmlessly — the survivor scan below applies the deletes
     val dataPrefix = dataDir(qroot).toUri.getPath
-    val hit = scanWithDeletes(spark, qroot, m, candidates)
+    val hit = scanRaw(spark, qroot, m, candidates)
       .filter(condition)
       .select(input_file_name().as("__f")).distinct().collect()
       .map(r => java.net.URI.create(r.getString(0)).getPath
         .stripPrefix(dataPrefix).stripPrefix("/")).toSet
+      .filter(_.nonEmpty)
     if (hit.isEmpty) return None
     val rewrite = m.files.filter(e => hit(e.rel))
     val survivors = scanWithDeletes(spark, qroot, m, rewrite)
@@ -1818,6 +1865,15 @@ object Snapshots {
     // (seq-scoped, as in [[read]]) — the incremental consumer sees the
     // same rows a full `until` read would show from those files
     else Some(scanWithDeletes(spark, qroot, m, added))
+  }
+
+  /** The oldest snapshot id [[expire]] has retained — the earliest point
+    * a fresh incremental consumer can bootstrap from (expired history
+    * cannot replay). */
+  private[graft] def earliestRetainedSnapshot(
+      spark: SparkSession, root: String): Option[Int] = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    committedIds(f, qroot, currentSnapshot(spark, root)).headOption
   }
 
   /** The write mode one manifest records (append / merge_mor / compact /
@@ -2346,31 +2402,48 @@ object Snapshots {
     val fork = parseSnapRef(s"branch '$name' FORK",
       readSmall(f, new Path(bdir, "FORK")))
     val cur = currentSnapshot(spark, root)
-    if (!cur.contains(fork))
+    // the merge manifest carries a deterministic tag so a crash between
+    // the publish and the branch drop is recoverable: re-running detects
+    // the already-published merge and just finishes the cleanup, instead
+    // of telling the operator to replay writes that already landed
+    val mergeTag = s"branch-merge:$name:s$head"
+    if (!cur.contains(fork)) {
+      val alreadyMerged = cur.contains(fork + 1) &&
+        readSnapshotFile(f, qroot, fork + 1).batchTag.contains(mergeTag)
+      if (alreadyMerged) { dropBranch(spark, root, name); return fork + 1 }
       throw new java.util.ConcurrentModificationException(
         s"branch '$name' forked from s$fork but main is now at " +
           s"${cur.fold("(none)")(c => s"s$c")} — not a fast-forward; " +
           "re-branch from the current state and replay the writes")
+    }
     if (head == 1) { dropBranch(spark, root, name); return fork }
     // separate caches: branch-local and main ids are distinct sequences
     val b = resolveIn(f, bdir, head)
     val live = resolve(f, qroot, fork)
     val id = fork + 1
+    // re-anchor branch-ADDED files in main's seq space: their branch-local
+    // seqs mean nothing to main (a later main equality delete must be
+    // able to suppress them — seq id works because main == fork here, so
+    // every future delete's seq is > id); fork-carried files keep their
+    // original main seqs
+    val liveRels = live.files.map(_.rel).toSet
+    val merged = b.files.map(e =>
+      if (liveRels(e.rel)) e else e.copy(seq = id))
     val meta = SnapMeta("branch_merge",
       b.schema.getOrElse(StructType(Seq.empty)), b.format, b.codec,
-      b.statsCols, None, b.partitionCols, Some(System.currentTimeMillis()),
-      live.recentTags)
+      b.statsCols, Some(mergeTag), b.partitionCols,
+      Some(System.currentTimeMillis()),
+      (live.recentTags :+ mergeTag).takeRight(MaxRecentTags))
     val content =
       if (live.chainDepth + 1 >= RebaseEvery)
-        renderManifest(meta, None, Seq.empty, Seq.empty, Some(b.files),
+        renderManifest(meta, None, Seq.empty, Seq.empty, Some(merged),
           dFull = b.deletes)
       else {
         val bRels = b.files.map(_.rel).toSet
-        val liveRels = live.files.map(_.rel).toSet
         val bDRels = b.deletes.map(_.rel).toSet
         val liveDRels = live.deletes.map(_.rel).toSet
         renderManifest(meta, Some(fork),
-          b.files.filterNot(e => liveRels(e.rel)),
+          merged.filterNot(e => liveRels(e.rel)),
           live.files.map(_.rel).filterNot(bRels), None,
           b.deletes.filterNot(d => liveDRels(d.rel)),
           live.deletes.map(_.rel).filterNot(bDRels))
@@ -2420,23 +2493,14 @@ object Snapshots {
     * [[publishManifest]] safety rails against the branch's own HEAD. */
   private def publishBranchManifest(
       f: FileSystem, qroot: Path, name: String, id: Int,
-      expectedCur: Option[Int], content: String): Unit = {
-    def raceLost(h: Option[Int]): Nothing =
-      throw new java.util.ConcurrentModificationException(
-        s"branch '$name' write lost a race at $qroot: resolved head " +
-          s"${expectedCur.fold("(none)")(c => s"s$c")} but the branch is " +
-          s"now at ${h.fold("(dropped)")(c => s"s$c")}")
-    val before = branchHeadOpt(f, qroot, name)
-    if (before != expectedCur) raceLost(before)
-    val p = new Path(branchDir(qroot, name), s"s$id")
-    FsOps.deleteIfExists(f, p)
-    val out = f.create(p, false)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    val after = branchHeadOpt(f, qroot, name)
-    if (after != expectedCur) { FsOps.deleteIfExists(f, p); raceLost(after) }
-    FsOps.atomicWrite(f, new Path(branchDir(qroot, name), "HEAD"), s"s$id")
-  }
+      expectedCur: Option[Int], content: String): Unit =
+    publishPointer(f, branchDir(qroot, name), id, expectedCur, content,
+      () => branchHeadOpt(f, qroot, name),
+      () => FsOps.atomicWrite(f,
+        new Path(branchDir(qroot, name), "HEAD"), s"s$id"),
+      now => s"branch '$name' write lost a race at $qroot: resolved head " +
+        s"${expectedCur.fold("(none)")(c => s"s$c")} but the branch is " +
+        s"now at ${now.fold("(dropped)")(c => s"s$c")}")
 
   // ------------------------------------------------------- maintenance
 

@@ -68,11 +68,24 @@ class SnapshotFollower(
   /** Advance toward the current snapshot, emitting AT MOST ONE batch:
     * maintenance snapshots commit through silently; the first
     * append-shaped snapshot with added files goes to `process` and its id
-    * commits AFTER `process` returns. Returns the emitted snapshot id, or
+    * commits AFTER `process` returns. A FRESH checkpoint with no
+    * `startAfter` bootstraps with the full state at the EARLIEST RETAINED
+    * snapshot (expired history cannot replay — without this, a follower
+    * could never start on any dataset older than its retention window)
+    * and goes incremental from there. Returns the emitted snapshot id, or
     * None when caught up. */
   def pollOnce(process: (DataFrame, Int) => Unit): Option[Int] = {
     val cur = Snapshots.currentSnapshot(spark, root).getOrElse(return None)
-    var id = lastCommitted.getOrElse(0) + 1
+    val resumeFrom = lastCommitted match {
+      case Some(last) => last
+      case None =>
+        val first = Snapshots.earliestRetainedSnapshot(spark, root)
+          .getOrElse(return None)
+        process(Snapshots.read(spark, root, asOf = Some(first)), first)
+        commit(first)
+        return Some(first)
+    }
+    var id = resumeFrom + 1
     while (id <= cur) {
       val mode = Snapshots.snapshotModeOf(spark, root, id)
       if (EmitModes(mode)) {

@@ -144,4 +144,23 @@ class MergeUpsertSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("multiple rows"))
   }
+
+  test("merge: partition fields containing dots still resolve as literal names") {
+    // the sink admits dotted field names (its qcol discipline); the
+    // touched-partition pruning must not parse them as nested access
+    val out = Files.createTempDirectory("graft_merge_dot")
+    val dotted = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "x", 3.0))
+      .toDF("id", "the.part", "v")
+    val dcfg = SinkConfig(ParquetFormat, Seq("the.part"),
+      runtimeNullCheck = true)
+    PartitionedSink.write(dotted, out.toString, dcfg)
+    val updates = Seq((1L, "x", 9.0, false), (2L, "y", 0.0, true))
+      .toDF("id", "the.part", "v", "del")
+    PartitionedSink.mergeUpsert(spark, out.toString, updates, Seq("id"),
+      dcfg, deleteCol = Some("del"))
+    val got = PartitionedSink.readBack(spark, out.toString)
+      .select(col("id"), col("`the.part`"), col("v"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "x", 9.0), (3L, "x", 3.0)))
+  }
 }

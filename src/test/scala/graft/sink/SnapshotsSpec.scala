@@ -534,6 +534,109 @@ class SnapshotsSpec extends SparkSpec {
     assert(keys(Snapshots.read(spark, root)) == mainKeys)
   }
 
+  test("branch seq spaces: fork-carried deletes never suppress branch rows; post-merge main deletes do") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_brseq").toString
+    def del(k: Long) = Seq((k, "a", 0.0, true)).toDF("k", "p", "v", "__del")
+    Snapshots.write(Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("k", "p", "v").coalesce(1), root, Seq("p"))
+    Snapshots.write(Seq((4L, "b", 40.0)).toDF("k", "p", "v").coalesce(1),
+      root, Seq("p"), SnapAppend)
+    // s3: MoR delete of key 2 — its delete entry carries MAIN seq 3
+    assert(Snapshots.mergeDeltas(spark, root, del(2L), Seq("p"), Seq("k"),
+      deleteCol = Some("__del")) == 3)
+    Snapshots.createBranch(spark, root, "b") // fork = 3, delete rides along
+    // the branch re-inserts key 2: its file's seq must rank ABOVE the
+    // fork-carried delete (a branch-local id of 2 would be suppressed)
+    assert(Snapshots.writeToBranch(Seq((2L, "a", 99.0)).toDF("k", "p", "v")
+      .coalesce(1), root, "b", Seq("p")) == 2)
+    assert(Snapshots.readBranch(spark, root, "b").filter(col("k") === 2L)
+      .select("v").collect().map(_.getDouble(0)).toSet == Set(99.0),
+      "a fork-carried delete must not suppress the branch's own newer row")
+    // merge re-anchors the branch file in MAIN's seq space (seq = s4)...
+    assert(Snapshots.fastForward(spark, root, "b") == 4)
+    assert(Snapshots.read(spark, root).filter(col("k") === 2L)
+      .select("v").collect().map(_.getDouble(0)).toSet == Set(99.0))
+    // ...so a LATER main delete (seq 5 > 4) suppresses it
+    assert(Snapshots.mergeDeltas(spark, root, del(2L), Seq("p"), Seq("k"),
+      deleteCol = Some("__del")) == 5)
+    assert(Snapshots.read(spark, root).filter(col("k") === 2L).count() == 0,
+      "a post-merge main delete must reach the merged branch rows")
+  }
+
+  test("fastForward crash between publish and branch drop recovers idempotently") {
+    val root = java.nio.file.Files.createTempDirectory("snap_ffcrash").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    Snapshots.createBranch(spark, root, "m")
+    val ins = orders.filter(col("o_orderkey") % 10 === 6)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      .withColumn("o_orderpriority", lit("5-LOW"))
+    Snapshots.writeToBranch(ins, root, "m", Seq("o_orderpriority"))
+    // simulate the crash window: keep a copy of the branch dir, merge,
+    // then restore the copy — main advanced, branch "still exists"
+    val bdir = java.nio.file.Paths.get(s"$root/branches/m")
+    val saved = java.nio.file.Files.createTempDirectory("snap_ffsave")
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(from).iterator().asScala.foreach { p =>
+        val dst = to.resolve(from.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    }
+    copyTree(bdir, saved)
+    assert(Snapshots.fastForward(spark, root, "m") == 2)
+    copyTree(saved, bdir)
+    assert(Snapshots.branches(spark, root).contains("m"))
+    // the retry must detect the already-published merge, finish the drop,
+    // and NOT tell the operator to replay (which would double the rows)
+    assert(Snapshots.fastForward(spark, root, "m") == 2)
+    assert(Snapshots.branches(spark, root).isEmpty)
+    assert(Snapshots.read(spark, root).count() == orders.count() + ins.count())
+  }
+
+  test("deleteWhere discovery survives shuffled (non-broadcast) delete classes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_delwsh").toString
+    Snapshots.write(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "b", 40.0))
+        .toDF("k", "p", "v").coalesce(1), root, Seq("p"))
+    Snapshots.mergeDeltas(spark, root,
+      Seq((2L, "a", 0.0, true)).toDF("k", "p", "v", "__del"),
+      Seq("p"), Seq("k"), deleteCol = Some("__del"))
+    // force every delete class OFF the broadcast path: input_file_name()
+    // above a shuffled anti-join is empty, so discovery must use the raw
+    // scan or it silently deletes nothing
+    spark.conf.set("graft.snapshots.broadcastDeleteBytes", "0")
+    try {
+      val did = Snapshots.deleteWhere(spark, root, Seq("p"),
+        col("v") > 15.0)
+      assert(did.contains(3), s"predicate delete must land: $did")
+      val left = Snapshots.read(spark, root)
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(left == Set(1L),
+        s"v>15 rows and the MoR-deleted key must both be gone: $left")
+    } finally spark.conf.unset("graft.snapshots.broadcastDeleteBytes")
+  }
+
+  test("derived timestamp bounds match recorded stat strings (boundary-inclusive delete)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_delwts").toString
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:00:00")
+    val later = java.sql.Timestamp.valueOf("2024-03-02 12:00:00")
+    Snapshots.write(Seq((ts, "a", 1L), (later, "a", 2L)).toDF("t", "p", "k")
+      .coalesce(1), root, Seq("p"), statsColumns = Seq("t"))
+    // the bound equals the file's recorded min exactly: the derived range
+    // must keep the file (boundary-inclusive) and delete exactly that row
+    val did = Snapshots.deleteWhere(spark, root, Seq("p"),
+      col("t") <= lit(ts))
+    assert(did.contains(2))
+    assert(Snapshots.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("deleteWhere: stat-pruned file-level copy-on-write, null rows survive, travel intact") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_delw").toString
