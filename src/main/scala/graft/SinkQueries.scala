@@ -753,12 +753,15 @@ object SinkQueries {
     }),
 
     // Writable branch → fast-forward merge: the base lands as main s1; a
-    // branch takes TWO invisible writes (an append of new 5-LOW keys,
-    // then a partition overwrite keeping only even 1-URGENT keys) while
-    // main reads stay byte-identical (asserted in-query); fastForward
-    // publishes the whole branch state as main s2 with one pointer flip
-    // and drops the branch. The oracle derives the merged state from the
-    // source; pre-merge main stays travelable.
+    // branch takes THREE invisible writes — an append of new 5-LOW keys,
+    // a partition overwrite keeping only even 1-URGENT keys, then a
+    // copy-on-write CDC MERGE on the branch itself (status-patch every
+    // 9th key, REINSERTING the ones the overwrite dropped, and deleting
+    // every 21st non-9th key) — while main reads stay byte-identical
+    // (asserted in-query); fastForward publishes the whole branch state
+    // as main s2 with one pointer flip and drops the branch. The oracle
+    // derives the merged state from the source; pre-merge main stays
+    // travelable.
     "sink_snapshot_branch" -> ((s, dir) => {
       val out = Files.createTempDirectory("graft_snap_branch").toString
       val base = Tables(s, dir, "orders")
@@ -777,6 +780,13 @@ object SinkQueries {
         base.filter(col("o_orderpriority") === "1-URGENT"
           && col("o_orderkey") % 2 === 0).coalesce(1),
         out, "audit", Seq("o_orderpriority"), Snapshots.SnapOverwritePartitions)
+      val k = col("o_orderkey")
+      val cdc = base.filter(k % 9 === 0)
+        .withColumn("o_orderstatus", lit("U")).withColumn("__del", lit(false))
+        .unionByName(base.filter(k % 9 =!= 0 && k % 21 === 0)
+          .withColumn("__del", lit(true)))
+      Snapshots.mergeUpsert(s, out, cdc, Seq("o_orderpriority"),
+        Seq("o_orderkey"), deleteCol = Some("__del"), branch = Some("audit"))
       require(Snapshots.read(s, out).count() == base.count(),
         "branch writes must be invisible to main")
       val mid = Snapshots.fastForward(s, out, "audit")
@@ -1187,13 +1197,19 @@ object SinkQueries {
         |    (SELECT CAST(FLOOR(max(o_orderkey) / 4.0) AS BIGINT) FROM orders)
         |  AND o_orderstatus = 'F')""".stripMargin,
 
-    // the fast-forwarded state: inserted 5-LOW keys plus the base with
-    // only even 1-URGENT keys kept
+    // the fast-forwarded state: every 9th key carries status U (the CDC
+    // merge reinserted the odd-1-URGENT ones the overwrite dropped);
+    // other keys survive only if not deleted (%21) and not dropped by the
+    // 1-URGENT overwrite; plus the inserted 5-LOW copies
     "sink_snapshot_branch" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |  o_orderpriority
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 9 = 0 THEN 'U' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  o_totalprice, o_orderpriority
         |FROM orders
-        |WHERE o_orderpriority != '1-URGENT' OR o_orderkey % 2 = 0
+        |WHERE o_orderkey % 9 = 0
+        |  OR (o_orderkey % 21 != 0
+        |    AND (o_orderpriority != '1-URGENT' OR o_orderkey % 2 = 0))
         |UNION ALL
         |SELECT o_orderkey + 1000000, o_custkey, 'N', o_totalprice, '5-LOW'
         |FROM orders WHERE o_orderkey % 10 = 4 AND o_orderkey % 3 = 0""".stripMargin,

@@ -1305,7 +1305,8 @@ object Snapshots {
       partitionFields: Seq[String], keyFields: Seq[String],
       deleteCol: Option[String] = None,
       evolution: graft.schema.SchemaEvolution.Policy =
-        graft.schema.SchemaEvolution.Widen): Int = {
+        graft.schema.SchemaEvolution.Widen,
+      branch: Option[String] = None): Int = {
     import org.apache.spark.sql.functions._
     require(keyFields.nonEmpty, "mergeUpsert needs at least one key field")
     require(!keyFields.exists(partitionFields.contains),
@@ -1321,7 +1322,12 @@ object Snapshots {
       .foldLeft(updates.filter(!isDelete))((d, c) => d.drop(c))
     val allKeys = updates.select(keyFields.map(col): _*).distinct()
     val pCols = partitionFields.map(col)
-    val base = read(spark, root)
+    // with `branch`, the whole merge runs against the BRANCH state and
+    // publishes to the branch head — CDC on the audit branch (the
+    // copy-on-write lane composes with branches because it adds no
+    // equality-delete entries, so fastForward stays metadata-only; the
+    // O(batch) merge-on-read lane remains main-only)
+    val base = branch.fold(read(spark, root))(b => readBranch(spark, root, b))
     val touchedDf = upserts.select(pCols: _*)
       .unionByName(base.join(broadcast(allKeys), keyFields.toSeq, "left_semi")
         .select(pCols: _*))
@@ -1332,8 +1338,14 @@ object Snapshots {
     // a batch that changes nothing (e.g. deletes of absent keys) is a
     // NO-OP — don't burn a snapshot id on an identical manifest
     if (touched.isEmpty)
-      return currentSnapshot(spark, root).getOrElse(
-        throw new IllegalStateException(s"no snapshot published under $root"))
+      return branch match {
+        case None => currentSnapshot(spark, root).getOrElse(
+          throw new IllegalStateException(
+            s"no snapshot published under $root"))
+        case Some(b) =>
+          val (f, qroot) = FsOps.fs(spark, root)
+          branchHead(f, qroot, b)
+      }
     val survivors =
       pruneToTouched(base, touched.toSeq, touchedDf.schema, partitionFields)
         .join(broadcast(allKeys), keyFields.toSeq, "left_anti")
@@ -1345,7 +1357,8 @@ object Snapshots {
     writeInternal(out, root, partitionFields, SnapOverwritePartitions,
       "merge", evolution,
       touchedDirs = Some(
-        touched.map(partitionRelDir(partitionFields, _)).toSet))
+        touched.map(partitionRelDir(partitionFields, _)).toSet),
+      branch = branch)
   }
 
   /** Prune `base` to rows whose partition values appear in `touched`,

@@ -24,7 +24,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *  - anything else (`overwrite_partitions`, `merge`, `rollback`,
  *    `delete_where`, `branch_merge`) cannot be represented as an append
  *    stream: [[FailOnNonAppend]] (default) fails loudly;
- *    [[SkipNonAppend]] opts into skipping for consumers that tolerate it.
+ *    [[SkipNonAppend]] opts into skipping for consumers that tolerate it;
+ *    [[RefreshOnNonAppend]] emits the FULL state at that snapshot so the
+ *    consumer can rebuild its downstream copy.
  *
  * Delivery is AT-LEAST-ONCE: the offset commits only after `process`
  * returns, so a crash between replays the batch. End-to-end EXACTLY-ONCE
@@ -104,11 +106,19 @@ class SnapshotFollower(
         commit(id); id += 1
       } else onNonAppend match {
         case SkipNonAppend => commit(id); id += 1
+        case RefreshOnNonAppend =>
+          // the consumer rebuilds from the FULL state at this snapshot —
+          // the "replace the downstream table" recovery for overwrites,
+          // rollbacks and predicate deletes
+          process(Snapshots.read(spark, root, asOf = Some(id)), id)
+          commit(id)
+          return Some(id)
         case FailOnNonAppend => throw new IllegalStateException(
           s"snapshot s$id mode '$mode' under $root is not an append — an " +
             "incremental append scan cannot represent it; consume " +
-            "row-level diffs via Snapshots.changes, or opt into " +
-            "SkipNonAppend if dropping it is acceptable")
+            "row-level diffs via Snapshots.changes, opt into " +
+            "SkipNonAppend if dropping it is acceptable, or " +
+            "RefreshOnNonAppend to rebuild from the full state")
       }
     }
     None
@@ -130,6 +140,9 @@ object SnapshotFollower {
   case object FailOnNonAppend extends NonAppendPolicy
   /** Skip such snapshots (consumer accepts missing those changes). */
   case object SkipNonAppend extends NonAppendPolicy
+  /** Emit the FULL state at such snapshots — the consumer replaces its
+    * downstream copy instead of appending (overwrite/rollback recovery). */
+  case object RefreshOnNonAppend extends NonAppendPolicy
 
   private val EmitModes = Set("append", "merge_mor")
   private val SkipModes = Set("compact", "fold", "migrate_spec", "evolve_spec")

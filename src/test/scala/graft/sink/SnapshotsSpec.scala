@@ -491,9 +491,27 @@ class SnapshotsSpec extends SparkSpec {
     // branch-local time travel
     assert(keys(Snapshots.readBranch(spark, root, "audit", asOf = Some(2)))
       == all ++ keys(ins))
+    // CDC on the branch: a copy-on-write merge patches + deletes + can
+    // REINSERT keys the earlier branch overwrite dropped — still
+    // invisible to main
+    val k = col("o_orderkey")
+    val cdc = orders.filter(k % 9 === 0)
+      .withColumn("o_custkey", col("o_custkey") + 7L)
+      .withColumn("__del", lit(false))
+      .unionByName(orders.filter(k % 9 =!= 0 && k % 21 === 0)
+        .withColumn("__del", lit(true)))
+    assert(Snapshots.mergeUpsert(spark, root, cdc, Seq("o_orderpriority"),
+      Seq("o_orderkey"), deleteCol = Some("__del"), branch = Some("audit"))
+      == 4)
+    assert(keys(Snapshots.read(spark, root)) == all,
+      "branch CDC must be invisible to main")
+    val deleted = all.filter(x => x % 9 != 0 && x % 21 == 0)
+    val expected =
+      (all -- urgentOdd ++ keys(ins)) -- deleted ++ all.filter(_ % 9 == 0)
+    assert(keys(Snapshots.readBranch(spark, root, "audit")) == expected)
     // fast-forward: the branch state becomes main's s2, branch drops
     assert(Snapshots.fastForward(spark, root, "audit") == 2)
-    assert(keys(Snapshots.read(spark, root)) == all -- urgentOdd ++ keys(ins))
+    assert(keys(Snapshots.read(spark, root)) == expected)
     assert(Snapshots.branches(spark, root).isEmpty)
     assert(keys(Snapshots.read(spark, root, asOf = Some(1))) == all,
       "pre-merge main must stay time-travelable")

@@ -92,5 +92,30 @@ class SnapshotFollowerSpec extends SparkSpec {
     val lenient = new SnapshotFollower(spark, root, cp2,
       onNonAppend = SnapshotFollower.SkipNonAppend)
     assert(lenient.drain((_, id) => got += id) == Seq(1, 3))
+    // refresh policy: the non-append snapshot emits its FULL state so the
+    // consumer rebuilds — then increments resume
+    val cp3 = java.nio.file.Files.createTempDirectory("follow_cpr").toString
+    val refreshed = scala.collection.mutable.Map[Int, Long]()
+    val rebuild = new SnapshotFollower(spark, root, cp3,
+      onNonAppend = SnapshotFollower.RefreshOnNonAppend)
+    assert(rebuild.drain((df, id) => refreshed(id) = df.count())
+      == Seq(1, 2, 3))
+    assert(refreshed(2) == Snapshots.read(spark, root, asOf = Some(2)).count(),
+      "the refresh batch must be the full state at the overwrite snapshot")
+  }
+
+  test("a fresh checkpoint on expired history bootstraps from the earliest retained snapshot") {
+    val root = java.nio.file.Files.createTempDirectory("follow_exp").toString
+    val cp = java.nio.file.Files.createTempDirectory("follow_cpe").toString
+    for (m <- 0 to 2)
+      Snapshots.write(orders.filter(col("o_orderkey") % 3 === m).coalesce(1),
+        root, Seq("o_orderpriority"), SnapAppend)
+    Snapshots.expire(spark, root, keepLast = 2) // s1 expired
+    val seen = scala.collection.mutable.ArrayBuffer[(Int, Set[Long])]()
+    val f = new SnapshotFollower(spark, root, cp)
+    // bootstrap = the FULL state at s2 (batches 1+2), then s3 incremental
+    assert(f.drain((df, id) => seen += ((id, keys(df)))) == Seq(2, 3))
+    assert(seen.head._2 == keys(orders.filter(col("o_orderkey") % 3 <= 1)))
+    assert(seen.map(_._2).reduce(_ ++ _) == keys(orders))
   }
 }
