@@ -821,10 +821,13 @@ object SinkQueries {
         src, Seq("o_orderpriority"), Snapshots.SnapAppend)
       val follower = new graft.streaming.SnapshotFollower(s, src, cp)
       var crashed = false
-      def mirrorBatch(df: DataFrame, id: Int): Unit = {
+      def mirrorBatch(df: DataFrame,
+          b: graft.streaming.SnapshotFollower.BatchInfo): Unit = {
         Snapshots.write(df.coalesce(1), mirror, Seq("o_orderpriority"),
-          Snapshots.SnapAppend, batchTag = Some(s"follow-$id")): Unit
-        if (id == 2 && !crashed) { crashed = true; sys.error("injected crash") }
+          Snapshots.SnapAppend, batchTag = Some(s"follow-${b.snapshotId}")): Unit
+        if (b.snapshotId == 2 && !crashed) {
+          crashed = true; sys.error("injected crash")
+        }
       }
       val first =
         try { follower.drain(mirrorBatch); Seq.empty[Int] }

@@ -193,6 +193,13 @@ object Snapshots {
       deletes: Seq[DeleteEntry], chainDepth: Int, ts: Option[Long],
       recentTags: Seq[String] = Seq.empty)
 
+  /** Quoted resolution of a LITERAL column name: this surface admits
+    * field names containing dots (the sink's qcol discipline), and bare
+    * `functions.col(name)` would parse a dot as nested-field access. */
+  private def qname(n: String): String = s"`${n.replace("`", "``")}`"
+  private def qc(n: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(qname(n))
+
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 
@@ -569,8 +576,8 @@ object Snapshots {
     val df = spark.read.format(sinkFormatOf(formatTok).name)
       .load(staging.toString)
     val aggs = statsCols.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"__min_$c"),
-      max(col(c)).cast("string").as(s"__max_$c")))
+      min(qc(c)).cast("string").as(s"__min_$c"),
+      max(qc(c)).cast("string").as(s"__max_$c")))
     val stagingPrefix = staging.toUri.getPath
     df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -927,8 +934,7 @@ object Snapshots {
     val dAdds: Seq[DeleteEntry] = deleteKeys match {
       case None => Seq.empty
       case Some((keysDf, kc)) =>
-        import org.apache.spark.sql.functions.col
-        val cast = keysDf.select(kc.map(c => col(c).cast(
+        val cast = keysDf.select(kc.map(c => qc(c).cast(
           contract.fields.find(_.name == c).get.dataType).as(c)): _*)
           .distinct()
         val dstage = new Path(qroot,
@@ -1235,7 +1241,6 @@ object Snapshots {
     // doubles as a partial fold for the partitions it touches
     val frag = scanWithDeletes(spark, qroot, m,
       fragmented.values.flatten.toSeq)
-    import org.apache.spark.sql.functions.col
     // one task (→ one file) per partition value under the partition-column
     // repartition; a >1 target without a sort key splits each partition
     // into exactly that many balanced tasks ([[splitPerPartition]]).
@@ -1246,9 +1251,9 @@ object Snapshots {
     // skips sibling files — clustered compaction is what turns recorded
     // stats into actual file pruning on the append lane
     val rewritten = (targetFilesPerPartition, sortBy) match {
-      case (1, Nil) => frag.repartition(partitionFields.map(col): _*)
-      case (1, s) => frag.repartition(partitionFields.map(col): _*)
-        .sortWithinPartitions(s.map(col): _*)
+      case (1, Nil) => frag.repartition(partitionFields.map(qc): _*)
+      case (1, s) => frag.repartition(partitionFields.map(qc): _*)
+        .sortWithinPartitions(s.map(qc): _*)
       case (t, Nil) => splitPerPartition(frag, partitionFields, t)
       case (t, s) =>
         // clustered split with a PER-PARTITION bound: ntile(t) over each
@@ -1265,13 +1270,13 @@ object Snapshots {
         // values), so a dir could stay "fragmented" forever and a
         // scheduled maintain() would rewrite the same bytes every pass.
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(partitionFields.map(col): _*)
-          .orderBy(s.map(col): _*)
+          .partitionBy(partitionFields.map(qc): _*)
+          .orderBy(s.map(qc): _*)
         frag
           .withColumn("__bkt", org.apache.spark.sql.functions.ntile(t).over(w))
           .repartitionByRange(fragmented.size * t,
-            (partitionFields :+ "__bkt").map(col): _*)
-          .sortWithinPartitions((partitionFields ++ s).map(col): _*)
+            (partitionFields :+ "__bkt").map(qc): _*)
+          .sortWithinPartitions((partitionFields ++ s).map(qc): _*)
           .drop("__bkt")
     }
     Some(writeInternal(rewritten, root, partitionFields,
@@ -1312,16 +1317,16 @@ object Snapshots {
     require(!keyFields.exists(partitionFields.contains),
       "partition fields cannot be merge keys (a key that IS the partition " +
         "value cannot move; route through a payload column instead)")
-    val dupKeys = updates.groupBy(keyFields.map(col): _*)
+    val dupKeys = updates.groupBy(keyFields.map(qc): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
     require(dupKeys == 0L,
       s"update batch has multiple rows for one (${keyFields.mkString(",")}) key")
     val isDelete = deleteCol
-      .map(c => coalesce(col(c), lit(false))).getOrElse(lit(false))
+      .map(c => coalesce(qc(c), lit(false))).getOrElse(lit(false))
     val upserts = deleteCol
       .foldLeft(updates.filter(!isDelete))((d, c) => d.drop(c))
-    val allKeys = updates.select(keyFields.map(col): _*).distinct()
-    val pCols = partitionFields.map(col)
+    val allKeys = updates.select(keyFields.map(qc): _*).distinct()
+    val pCols = partitionFields.map(qc)
     // with `branch`, the whole merge runs against the BRANCH state and
     // publishes to the branch head — CDC on the audit branch (the
     // copy-on-write lane composes with branches because it adds no
@@ -1436,15 +1441,15 @@ object Snapshots {
       s"no snapshot published under $root — land the initial state with " +
         "write() first"))
     if (updates.isEmpty) return currentSnapshot(spark, root).get
-    val dupKeys = updates.groupBy(keyFields.map(col): _*)
+    val dupKeys = updates.groupBy(keyFields.map(qc): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
     require(dupKeys == 0L,
       s"update batch has multiple rows for one (${keyFields.mkString(",")}) key")
     val isDelete = deleteCol
-      .map(c => coalesce(col(c), lit(false))).getOrElse(lit(false))
+      .map(c => coalesce(qc(c), lit(false))).getOrElse(lit(false))
     val upserts = deleteCol
       .foldLeft(updates.filter(!isDelete))((d, c) => d.drop(c))
-    val allKeys = updates.select(keyFields.map(col): _*)
+    val allKeys = updates.select(keyFields.map(qc): _*)
     writeInternal(upserts, root, partitionFields, SnapAppend, "merge_mor",
       evolution, batchTag = batchTag,
       deleteKeys = Some((allKeys, keyFields)))
@@ -1641,18 +1646,18 @@ object Snapshots {
     * [[migrateSpec]]. */
   private def splitPerPartition(
       df: DataFrame, partitionFields: Seq[String], t: Int): DataFrame = {
-    import org.apache.spark.sql.functions.{col, hash, ntile}
-    if (t == 1) df.repartition(partitionFields.map(col): _*)
+    import org.apache.spark.sql.functions.{hash, ntile}
+    if (t == 1) df.repartition(partitionFields.map(qc): _*)
     else {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(partitionFields.map(col): _*)
-        .orderBy(hash(df.columns.map(col): _*))
+        .partitionBy(partitionFields.map(qc): _*)
+        .orderBy(hash(df.columns.map(qc): _*))
       // numPartitions EXPLICIT: an advisory repartition lets AQE coalesce
       // the small buckets back onto one task, defeating the split
       val n = math.max(t, df.sparkSession.conf
         .get("spark.sql.shuffle.partitions").toInt)
       df.withColumn("__bkt", ntile(t).over(w))
-        .repartitionByRange(n, (partitionFields :+ "__bkt").map(col): _*)
+        .repartitionByRange(n, (partitionFields :+ "__bkt").map(qc): _*)
         .drop("__bkt")
     }
   }
@@ -1993,11 +1998,12 @@ object Snapshots {
     // read null (matching what a post-widening travel read would see)
     val cols = bSchema.fields.toSeq
     val alignedA = dfA.select(cols.map(fd =>
-      if (dfA.columns.contains(fd.name)) col(fd.name)
+      if (dfA.columns.contains(fd.name)) qc(fd.name)
       else lit(null).cast(fd.dataType).as(fd.name)): _*)
-    val la = alignedA.select(struct(cols.map(fd => col(fd.name)): _*).as("a"))
-    val lb = dfB.select(struct(cols.map(fd => col(fd.name)): _*).as("b"))
-    val keyCond = keyFields.map(k => col(s"a.$k") <=> col(s"b.$k"))
+    val la = alignedA.select(struct(cols.map(fd => qc(fd.name)): _*).as("a"))
+    val lb = dfB.select(struct(cols.map(fd => qc(fd.name)): _*).as("b"))
+    val keyCond = keyFields
+      .map(k => col(s"a.${qname(k)}") <=> col(s"b.${qname(k)}"))
       .reduce(_ && _)
     // update-vs-unchanged compares the structs DIRECTLY (one codegen'd
     // expression, null-safe per field) — a 64-bit hash compare would
@@ -2010,8 +2016,8 @@ object Snapshots {
       .withColumn("change_type", change)
       .filter(col("change_type").isNotNull)
     val post = j.select(cols.map(fd =>
-      when(col("b").isNotNull, col(s"b.${fd.name}"))
-        .otherwise(col(s"a.${fd.name}")).as(fd.name))
+      when(col("b").isNotNull, col(s"b.${qname(fd.name)}"))
+        .otherwise(col(s"a.${qname(fd.name)}")).as(fd.name))
       :+ (if (includeUpdatePreimages)
             when(col("change_type") === "update", "update_post")
               .otherwise(col("change_type")).as("change_type")
@@ -2019,7 +2025,7 @@ object Snapshots {
     if (!includeUpdatePreimages) post
     else post.unionByName(
       j.filter(col("change_type") === "update")
-        .select(cols.map(fd => col(s"a.${fd.name}").as(fd.name))
+        .select(cols.map(fd => col(s"a.${qname(fd.name)}").as(fd.name))
           :+ lit("update_pre").as("change_type"): _*))
   }
 
@@ -2311,6 +2317,16 @@ object Snapshots {
     branchHeadOpt(f, qroot, name).getOrElse(throw new IllegalStateException(
       s"no branch '$name' under $qroot — createBranch first"))
 
+  /** (fork main id, incarnation nonce) from a branch's FORK file —
+    * pre-nonce files read an empty nonce. */
+  private def readFork(
+      f: FileSystem, qroot: Path, name: String): (Int, String) = {
+    val parts = readSmall(f,
+      new Path(branchDir(qroot, name), "FORK")).split(" ", 2)
+    (parseSnapRef(s"branch '$name' FORK", parts(0)),
+      if (parts.length > 1) parts(1) else "")
+  }
+
   /**
    * WRITABLE BRANCH: fork the dataset at a snapshot into a named lineage
    * that accepts REPEATED writes ([[writeToBranch]] — appends and
@@ -2352,7 +2368,11 @@ object Snapshots {
     FsOps.atomicWrite(f, new Path(bdir, "s1"),
       renderManifest(meta, None, Seq.empty, Seq.empty, Some(m.files),
         dFull = m.deletes))
-    FsOps.atomicWrite(f, new Path(bdir, "FORK"), s"s$forkId")
+    // the nonce makes every branch INCARNATION unique: a re-created
+    // branch with the same name/fork/head must never match an older
+    // incarnation's recorded merge tag in fastForward's crash recovery
+    FsOps.atomicWrite(f, new Path(bdir, "FORK"),
+      s"s$forkId ${java.util.UUID.randomUUID().toString.take(12)}")
     // HEAD last: a crash before this line leaves a half-created branch
     // that branchHeadOpt treats as nonexistent (and createBranch retries
     // over)
@@ -2392,10 +2412,8 @@ object Snapshots {
     if (!f.exists(dir)) Map.empty
     else f.listStatus(dir).filter(_.isDirectory).flatMap { st =>
       val name = st.getPath.getName
-      branchHeadOpt(f, qroot, name).map { h =>
-        name -> ((h, parseSnapRef(s"branch '$name' FORK",
-          readSmall(f, new Path(st.getPath, "FORK")))))
-      }
+      branchHeadOpt(f, qroot, name).map(h =>
+        name -> ((h, readFork(f, qroot, name)._1)))
     }.toMap
   }
 
@@ -2412,17 +2430,18 @@ object Snapshots {
     val (f, qroot) = FsOps.fs(spark, root)
     val bdir = branchDir(qroot, name)
     val head = branchHead(f, qroot, name)
-    val fork = parseSnapRef(s"branch '$name' FORK",
-      readSmall(f, new Path(bdir, "FORK")))
+    val (fork, nonce) = readFork(f, qroot, name)
     val cur = currentSnapshot(spark, root)
-    // the merge manifest carries a deterministic tag so a crash between
-    // the publish and the branch drop is recoverable: re-running detects
-    // the already-published merge and just finishes the cleanup, instead
-    // of telling the operator to replay writes that already landed
-    val mergeTag = s"branch-merge:$name:s$head"
+    // the merge manifest carries a tag unique to this branch INCARNATION
+    // (the nonce) so a crash between the publish and the branch drop is
+    // recoverable: re-running detects the already-published merge — via
+    // the head's rolling tag window, so interleaved maintenance publishes
+    // can't hide it — and just finishes the cleanup, instead of telling
+    // the operator to replay writes that already landed
+    val mergeTag = s"branch-merge:$name:$nonce:s$head"
     if (!cur.contains(fork)) {
-      val alreadyMerged = cur.contains(fork + 1) &&
-        readSnapshotFile(f, qroot, fork + 1).batchTag.contains(mergeTag)
+      val alreadyMerged = cur.exists(c =>
+        resolve(f, qroot, c).recentTags.contains(mergeTag))
       if (alreadyMerged) { dropBranch(spark, root, name); return fork + 1 }
       throw new java.util.ConcurrentModificationException(
         s"branch '$name' forked from s$fork but main is now at " +

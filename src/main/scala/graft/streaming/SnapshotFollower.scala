@@ -76,14 +76,16 @@ class SnapshotFollower(
     * could never start on any dataset older than its retention window)
     * and goes incremental from there. Returns the emitted snapshot id, or
     * None when caught up. */
-  def pollOnce(process: (DataFrame, Int) => Unit): Option[Int] = {
+  def pollOnce(process: (DataFrame, SnapshotFollower.BatchInfo) => Unit)
+      : Option[Int] = {
     val cur = Snapshots.currentSnapshot(spark, root).getOrElse(return None)
     val resumeFrom = lastCommitted match {
       case Some(last) => last
       case None =>
         val first = Snapshots.earliestRetainedSnapshot(spark, root)
           .getOrElse(return None)
-        process(Snapshots.read(spark, root, asOf = Some(first)), first)
+        process(Snapshots.read(spark, root, asOf = Some(first)),
+          BatchInfo(first, isRefresh = true))
         commit(first)
         return Some(first)
     }
@@ -96,7 +98,7 @@ class SnapshotFollower(
           else Snapshots.readAddedSince(spark, root, id - 1, Some(id))
         batch match {
           case Some(df) =>
-            process(df, id)
+            process(df, BatchInfo(id, isRefresh = false))
             commit(id)
             return Some(id)
           case None => // added nothing (e.g. a delete-only CDC batch)
@@ -110,7 +112,8 @@ class SnapshotFollower(
           // the consumer rebuilds from the FULL state at this snapshot —
           // the "replace the downstream table" recovery for overwrites,
           // rollbacks and predicate deletes
-          process(Snapshots.read(spark, root, asOf = Some(id)), id)
+          process(Snapshots.read(spark, root, asOf = Some(id)),
+            BatchInfo(id, isRefresh = true))
           commit(id)
           return Some(id)
         case FailOnNonAppend => throw new IllegalStateException(
@@ -126,7 +129,8 @@ class SnapshotFollower(
 
   /** Drain every pending snapshot (each emitted batch processed and
     * committed individually). Returns the emitted snapshot ids. */
-  def drain(process: (DataFrame, Int) => Unit): Seq[Int] = {
+  def drain(process: (DataFrame, SnapshotFollower.BatchInfo) => Unit)
+      : Seq[Int] = {
     val out = Seq.newBuilder[Int]
     var emitted = pollOnce(process)
     while (emitted.isDefined) { out += emitted.get; emitted = pollOnce(process) }
@@ -135,6 +139,14 @@ class SnapshotFollower(
 }
 
 object SnapshotFollower {
+  /** What one delivered batch IS: an incremental APPEND (new rows — the
+    * consumer adds them downstream) or a full-state REFRESH (the
+    * bootstrap batch and [[RefreshOnNonAppend]] batches — the consumer
+    * REPLACES its downstream copy; appending a refresh double-counts).
+    * Without this flag a consumer could not tell the two apart — the
+    * manifest mode accessor is library-internal. */
+  case class BatchInfo(snapshotId: Int, isRefresh: Boolean)
+
   sealed trait NonAppendPolicy
   /** Fail loudly on a snapshot an append stream cannot represent. */
   case object FailOnNonAppend extends NonAppendPolicy

@@ -655,6 +655,35 @@ class SnapshotsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("dotted field names resolve as literal identifiers across the snapshot lanes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_dotted").toString
+    val df = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, "x", 3.0),
+      (4L, "x", 4.0)).toDF("the.key", "the.part", "v")
+    Snapshots.write(df.coalesce(1), root, Seq("the.part"))
+    // CoW merge with dotted partition, key AND delete-flag columns
+    val upd = Seq((1L, "x", 9.0, false), (2L, "y", 0.0, true))
+      .toDF("the.key", "the.part", "v", "del.flag")
+    assert(Snapshots.mergeUpsert(spark, root, upd, Seq("the.part"),
+      Seq("the.key"), deleteCol = Some("del.flag")) == 2)
+    val got = Snapshots.read(spark, root)
+      .select(col("`the.key`"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 9.0), (3L, 3.0), (4L, 4.0)))
+    // row-level CDC with a dotted key column
+    val ch = Snapshots.changes(spark, root, 1, 2, Seq("the.key"))
+      .select(col("`the.key`"), col("change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch == Set((1L, "update"), (2L, "delete")))
+    // fragment, then CLUSTERED compact sorting by the dotted key
+    Snapshots.write(Seq((5L, "x", 5.0), (6L, "x", 6.0))
+      .toDF("the.key", "the.part", "v").coalesce(1), root,
+      Seq("the.part"), SnapAppend)
+    assert(Snapshots.compact(spark, root, Seq("the.part"),
+      targetFilesPerPartition = 1, sortBy = Seq("the.key")).contains(4))
+    assert(Snapshots.read(spark, root).count() == 5)
+  }
+
   test("deleteWhere: stat-pruned file-level copy-on-write, null rows survive, travel intact") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_delw").toString

@@ -26,7 +26,8 @@ class SnapshotFollowerSpec extends SparkSpec {
     Snapshots.compact(spark, root, Seq("o_orderpriority")) // s3: must skip
     val seen = scala.collection.mutable.ArrayBuffer[(Int, Set[Long])]()
     val f1 = new SnapshotFollower(spark, root, cp)
-    assert(f1.drain((df, id) => seen += ((id, keys(df)))) == Seq(1, 2))
+    assert(f1.drain((df, b) => seen += ((b.snapshotId, keys(df))))
+      == Seq(1, 2))
     assert(seen.map(_._1).toSeq == Seq(1, 2), "compact s3 must not emit")
     assert(seen.map(_._2).reduce(_ ++ _) ==
       keys(orders.filter(col("o_orderkey") % 3 <= 1)))
@@ -37,7 +38,8 @@ class SnapshotFollowerSpec extends SparkSpec {
       root, Seq("o_orderpriority"), SnapAppend) // s4
     val f2 = new SnapshotFollower(spark, root, cp)
     val seen2 = scala.collection.mutable.ArrayBuffer[(Int, Set[Long])]()
-    assert(f2.drain((df, id) => seen2 += ((id, keys(df)))) == Seq(4))
+    assert(f2.drain((df, b) => seen2 += ((b.snapshotId, keys(df))))
+      == Seq(4))
     assert(seen2.head._2 == keys(orders.filter(col("o_orderkey") % 3 === 2)))
     assert(f2.pollOnce((_, _) => fail("caught up — nothing to emit")).isEmpty)
   }
@@ -51,12 +53,13 @@ class SnapshotFollowerSpec extends SparkSpec {
         root, Seq("o_orderpriority"), SnapAppend)
     val follower = new SnapshotFollower(spark, root, cp)
     var crashed = false
-    def mirrorBatch(df: org.apache.spark.sql.DataFrame, id: Int): Unit = {
+    def mirrorBatch(df: org.apache.spark.sql.DataFrame,
+        b: SnapshotFollower.BatchInfo): Unit = {
       Snapshots.write(df.coalesce(1), mirror, Seq("o_orderpriority"),
-        SnapAppend, batchTag = Some(s"follow-$id")): Unit
+        SnapAppend, batchTag = Some(s"follow-${b.snapshotId}")): Unit
       // crash AFTER the write, BEFORE the offset commits — the batch
       // will redeliver and the sink's replay tag must converge it
-      if (id == 2 && !crashed) { crashed = true; sys.error("crash") }
+      if (b.snapshotId == 2 && !crashed) { crashed = true; sys.error("crash") }
     }
     intercept[RuntimeException] { follower.drain(mirrorBatch) }
     assert(follower.lastCommitted.contains(1),
@@ -84,24 +87,27 @@ class SnapshotFollowerSpec extends SparkSpec {
       root, Seq("o_orderpriority"), SnapAppend) // s3
     val strict = new SnapshotFollower(spark, root, cp1)
     val got = scala.collection.mutable.ArrayBuffer[Int]()
-    assert(strict.pollOnce((_, id) => got += id).contains(1))
+    assert(strict.pollOnce((_, b) => got += b.snapshotId).contains(1))
     val e = intercept[IllegalStateException] {
-      strict.pollOnce((_, id) => got += id)
+      strict.pollOnce((_, b) => got += b.snapshotId)
     }
     assert(e.getMessage.contains("overwrite_partitions"))
     val lenient = new SnapshotFollower(spark, root, cp2,
       onNonAppend = SnapshotFollower.SkipNonAppend)
-    assert(lenient.drain((_, id) => got += id) == Seq(1, 3))
+    assert(lenient.drain((_, b) => got += b.snapshotId) == Seq(1, 3))
     // refresh policy: the non-append snapshot emits its FULL state so the
     // consumer rebuilds — then increments resume
     val cp3 = java.nio.file.Files.createTempDirectory("follow_cpr").toString
-    val refreshed = scala.collection.mutable.Map[Int, Long]()
+    val refreshed = scala.collection.mutable.Map[Int, (Long, Boolean)]()
     val rebuild = new SnapshotFollower(spark, root, cp3,
       onNonAppend = SnapshotFollower.RefreshOnNonAppend)
-    assert(rebuild.drain((df, id) => refreshed(id) = df.count())
-      == Seq(1, 2, 3))
-    assert(refreshed(2) == Snapshots.read(spark, root, asOf = Some(2)).count(),
-      "the refresh batch must be the full state at the overwrite snapshot")
+    assert(rebuild.drain((df, b) =>
+      refreshed(b.snapshotId) = (df.count(), b.isRefresh)) == Seq(1, 2, 3))
+    assert(refreshed(2) ==
+      ((Snapshots.read(spark, root, asOf = Some(2)).count(), true)),
+      "the refresh batch must be the FLAGGED full state at the overwrite")
+    assert(refreshed(1)._2 && !refreshed(3)._2,
+      "bootstrap is a refresh; the later append is not")
   }
 
   test("a fresh checkpoint on expired history bootstraps from the earliest retained snapshot") {
@@ -114,7 +120,8 @@ class SnapshotFollowerSpec extends SparkSpec {
     val seen = scala.collection.mutable.ArrayBuffer[(Int, Set[Long])]()
     val f = new SnapshotFollower(spark, root, cp)
     // bootstrap = the FULL state at s2 (batches 1+2), then s3 incremental
-    assert(f.drain((df, id) => seen += ((id, keys(df)))) == Seq(2, 3))
+    assert(f.drain((df, b) => seen += ((b.snapshotId, keys(df))))
+      == Seq(2, 3))
     assert(seen.head._2 == keys(orders.filter(col("o_orderkey") % 3 <= 1)))
     assert(seen.map(_._2).reduce(_ ++ _) == keys(orders))
   }
