@@ -608,11 +608,18 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.fastForward(spark, root, "m") == 2)
     copyTree(saved, bdir)
     assert(Snapshots.branches(spark, root).contains("m"))
+    // an INTERLEAVED publish lands between the crash and the retry (the
+    // scheduled-maintenance window) — the merge tag must still be found
+    // in the head's rolling window, not just at the fork+1 pointer
+    val extra = orders.limit(5)
+    Snapshots.write(extra.coalesce(1), root, Seq("o_orderpriority"),
+      SnapAppend) // s3
     // the retry must detect the already-published merge, finish the drop,
     // and NOT tell the operator to replay (which would double the rows)
     assert(Snapshots.fastForward(spark, root, "m") == 2)
     assert(Snapshots.branches(spark, root).isEmpty)
-    assert(Snapshots.read(spark, root).count() == orders.count() + ins.count())
+    assert(Snapshots.read(spark, root).count() ==
+      orders.count() + ins.count() + extra.count())
   }
 
   test("deleteWhere discovery survives shuffled (non-broadcast) delete classes") {
