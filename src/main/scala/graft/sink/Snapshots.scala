@@ -770,14 +770,15 @@ object Snapshots {
       branch: Option[String] = None): Int = {
     require(partitionFields.nonEmpty, "snapshot datasets are partitioned")
     stageAs.foreach { n =>
-      require(RefRe.matches(n), s"staged name '$n' must match ${RefRe.regex}")
+      requireRefName("staged write", n)
       require(batchTag.isEmpty,
         "stageWrite is the manual audit lane — streaming batches publish " +
           "directly with their replay tag")
       require(deleteKeys.isEmpty && !dropDeletes,
         "merge-on-read deletes publish directly, not through the WAP lane")
     }
-    branch.foreach { _ =>
+    branch.foreach { b =>
+      requireRefName("branch", b)
       require(stageAs.isEmpty && batchTag.isEmpty && deleteKeys.isEmpty &&
         !dropDeletes && extraRemoves.isEmpty,
         "branch writes are plain appends/overwrites — WAP, stream tags " +
@@ -1384,21 +1385,20 @@ object Snapshots {
       partitionFields: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, lit}
     import scala.jdk.CollectionConverters._
-    // backtick-quote every resolution: Dataset#apply parses dotted names
-    // as nested-field access, and the sink surface admits partition
-    // fields containing dots (its qcol discipline) — an unquoted name
-    // here would fail analysis or resolve a different column
-    def q(n: String) = s"`${n.replace("`", "``")}`"
+    // backtick-quote every resolution (qname): Dataset#apply parses
+    // dotted names as nested-field access, and the sink surface admits
+    // partition fields containing dots (its qcol discipline)
     val perCol = partitionFields.zipWithIndex.map { case (fn, i) =>
       val vals = touched.map(_.get(i)).distinct
       val nonNull = vals.filterNot(_ == null)
       val in =
-        if (nonNull.isEmpty) lit(false) else base(q(fn)).isin(nonNull: _*)
-      if (vals.contains(null)) in || base(q(fn)).isNull else in
+        if (nonNull.isEmpty) lit(false)
+        else base(qname(fn)).isin(nonNull: _*)
+      if (vals.contains(null)) in || base(qname(fn)).isNull else in
     }.reduce(_ && _)
     val local = base.sparkSession.createDataFrame(
       touched.asJava, touchedSchema)
-    val cond = partitionFields.map(fn => base(q(fn)) <=> local(q(fn)))
+    val cond = partitionFields.map(fn => base(qname(fn)) <=> local(qname(fn)))
       .reduce(_ && _)
     base.filter(perCol).join(broadcast(local), cond, "left_semi")
   }
@@ -2227,7 +2227,20 @@ object Snapshots {
 
   // ------------------------------------------------------------- tags
 
-  private val RefRe = "^[A-Za-z0-9._-]{1,64}$".r
+  // "." and ".." are explicitly rejected: every ref name becomes a path
+  // segment under refs/ / staged/ / branches/, and Hadoop Path NORMALIZES
+  // dot segments — dropTag("..") would otherwise resolve to the dataset
+  // root and recursively delete it
+  private val RefRe = "^(?!\\.{1,2}$)[A-Za-z0-9._-]{1,64}$".r
+
+  /** Gate for every name that becomes a path segment (tags, staged
+    * writes, branches) — validated at EVERY public entry point that
+    * touches the segment, not just at creation: the destructive calls
+    * (dropTag/dropBranch/abandonStaged) accept caller strings too. */
+  private def requireRefName(kind: String, name: String): Unit =
+    require(RefRe.matches(name),
+      s"$kind name '$name' must match ${RefRe.regex}")
+
   private def refsDir(root: Path) = new Path(root, "refs")
 
   /** Name a retained snapshot: tagged snapshots are PROTECTED — [[expire]]
@@ -2236,8 +2249,7 @@ object Snapshots {
     * existing name moves it (atomic overwrite). */
   def tagSnapshot(
       spark: SparkSession, root: String, name: String, id: Int): Unit = {
-    require(RefRe.matches(name),
-      s"tag name '$name' must match ${RefRe.regex}")
+    requireRefName("tag", name)
     val (f, qroot) = FsOps.fs(spark, root)
     val cur = currentSnapshot(spark, root).getOrElse(
       throw new IllegalStateException(s"no snapshot published under $root"))
@@ -2250,6 +2262,7 @@ object Snapshots {
   /** Delete a tag (the snapshot becomes expirable again). Returns whether
     * the tag existed. */
   def dropTag(spark: SparkSession, root: String, name: String): Boolean = {
+    requireRefName("tag", name)
     val (f, qroot) = FsOps.fs(spark, root)
     val p = new Path(refsDir(qroot), name)
     val existed = f.exists(p)
@@ -2349,8 +2362,7 @@ object Snapshots {
   def createBranch(
       spark: SparkSession, root: String, name: String,
       fromId: Option[Int] = None): Unit = {
-    require(RefRe.matches(name),
-      s"branch name '$name' must match ${RefRe.regex}")
+    requireRefName("branch", name)
     val (f, qroot) = FsOps.fs(spark, root)
     val cur = currentSnapshot(spark, root).getOrElse(
       throw new IllegalStateException(s"no snapshot published under $root"))
@@ -2397,6 +2409,7 @@ object Snapshots {
       spark: SparkSession, root: String, name: String,
       asOf: Option[Int] = None,
       prune: Seq[StatRange] = Seq.empty): DataFrame = {
+    requireRefName("branch", name)
     val (f, qroot) = FsOps.fs(spark, root)
     val head = branchHead(f, qroot, name)
     val id = asOf.getOrElse(head)
@@ -2427,28 +2440,34 @@ object Snapshots {
    * published main snapshot id (the fork id if the branch was empty).
    */
   def fastForward(spark: SparkSession, root: String, name: String): Int = {
+    requireRefName("branch", name)
     val (f, qroot) = FsOps.fs(spark, root)
     val bdir = branchDir(qroot, name)
     val head = branchHead(f, qroot, name)
     val (fork, nonce) = readFork(f, qroot, name)
+    // an EMPTY branch has nothing to merge or replay — it just drops,
+    // whatever main has done since the fork
+    if (head == 1) { dropBranch(spark, root, name); return fork }
     val cur = currentSnapshot(spark, root)
     // the merge manifest carries a tag unique to this branch INCARNATION
     // (the nonce) so a crash between the publish and the branch drop is
-    // recoverable: re-running detects the already-published merge — via
-    // the head's rolling tag window, so interleaved maintenance publishes
-    // can't hide it — and just finishes the cleanup, instead of telling
-    // the operator to replay writes that already landed
+    // recoverable: re-running scans the RETAINED manifests past the fork
+    // for the tag — total as long as the merge snapshot is retained, and
+    // immune to both interleaved maintenance publishes and tagged stream
+    // batches evicting the rolling window — and just finishes the
+    // cleanup, instead of telling the operator to replay writes that
+    // already landed
     val mergeTag = s"branch-merge:$name:$nonce:s$head"
     if (!cur.contains(fork)) {
-      val alreadyMerged = cur.exists(c =>
-        resolve(f, qroot, c).recentTags.contains(mergeTag))
+      val alreadyMerged = committedIds(f, qroot, cur).filter(_ > fork)
+        .exists(id => readSnapshotFile(f, qroot, id).batchTag
+          .contains(mergeTag))
       if (alreadyMerged) { dropBranch(spark, root, name); return fork + 1 }
       throw new java.util.ConcurrentModificationException(
         s"branch '$name' forked from s$fork but main is now at " +
           s"${cur.fold("(none)")(c => s"s$c")} — not a fast-forward; " +
           "re-branch from the current state and replay the writes")
     }
-    if (head == 1) { dropBranch(spark, root, name); return fork }
     // separate caches: branch-local and main ids are distinct sequences
     val b = resolveIn(f, bdir, head)
     val live = resolve(f, qroot, fork)
@@ -2489,6 +2508,7 @@ object Snapshots {
     * unreferenced — [[vacuum]] reclaims them behind the age grace.
     * Returns whether the branch existed. */
   def dropBranch(spark: SparkSession, root: String, name: String): Boolean = {
+    requireRefName("branch", name)
     val (f, qroot) = FsOps.fs(spark, root)
     val p = branchDir(qroot, name)
     val existed = f.exists(p)
@@ -2510,11 +2530,14 @@ object Snapshots {
     f.listStatus(dir).filter(_.isDirectory).foreach { st =>
       val name = st.getPath.getName
       branchHeadOpt(f, qroot, name).foreach { h =>
-        val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
+        // RAW manifests suffice: resolution only ever REMOVES entries
+        // that an earlier manifest already lists, so the union of every
+        // manifest's adds/full lines IS the union of the resolved states
+        // — one small-file read per id, no chain replay
         (1 to h).foreach { i =>
-          val r = resolveIn(f, st.getPath, i, cache)
-          fs ++= r.files.map(_.rel)
-          ds ++= r.deletes.map(_.rel)
+          val raw = readSnapshotFileIn(f, st.getPath, i)
+          fs ++= (raw.adds ++ raw.full.getOrElse(Seq.empty)).map(_.rel)
+          ds ++= (raw.dAdds ++ raw.dFull.getOrElse(Seq.empty)).map(_.rel)
         }
       }
     }
@@ -2589,6 +2612,7 @@ object Snapshots {
     * against. */
   private def readStagedFile(
       f: FileSystem, qroot: Path, name: String): (Option[Int], RawManifest) = {
+    requireRefName("staged write", name)
     val p = new Path(stagedDir(qroot), name)
     if (!f.exists(p))
       throw new IllegalStateException(
@@ -2730,6 +2754,7 @@ object Snapshots {
     * unreferenced — [[vacuum]] reclaims them behind the age grace.
     * Returns whether the staged write existed. */
   def abandonStaged(spark: SparkSession, root: String, name: String): Boolean = {
+    requireRefName("staged write", name)
     val (f, qroot) = FsOps.fs(spark, root)
     val p = new Path(stagedDir(qroot), name)
     val existed = f.exists(p)

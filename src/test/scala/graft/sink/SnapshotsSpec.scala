@@ -662,6 +662,47 @@ class SnapshotsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("ref names reject dot traversal at every destructive entry point") {
+    val root = java.nio.file.Files.createTempDirectory("snap_refguard").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    // "." / ".." are PATH SEGMENTS under refs/ staged/ branches/ and
+    // Hadoop Path normalizes them — dropTag("..") would resolve to the
+    // dataset root and recursively delete it
+    for (bad <- Seq(".", "..", "", "a/b")) {
+      intercept[IllegalArgumentException](Snapshots.dropTag(spark, root, bad))
+      intercept[IllegalArgumentException](
+        Snapshots.dropBranch(spark, root, bad))
+      intercept[IllegalArgumentException](
+        Snapshots.abandonStaged(spark, root, bad))
+      intercept[IllegalArgumentException](
+        Snapshots.createBranch(spark, root, bad))
+      intercept[IllegalArgumentException](
+        Snapshots.tagSnapshot(spark, root, bad, 1))
+      intercept[IllegalArgumentException](
+        Snapshots.readBranch(spark, root, bad))
+      intercept[IllegalArgumentException](
+        Snapshots.fastForward(spark, root, bad))
+      intercept[IllegalArgumentException](
+        Snapshots.readStaged(spark, root, bad))
+    }
+    assert(Snapshots.read(spark, root).count() == orders.count(),
+      "nothing may be deleted by a rejected name")
+    // dotted-but-literal names stay legal
+    Snapshots.tagSnapshot(spark, root, "v1.2", 1)
+    assert(Snapshots.readTag(spark, root, "v1.2").count() == orders.count())
+  }
+
+  test("fastForward of an empty branch drops it even after main advances") {
+    val root = java.nio.file.Files.createTempDirectory("snap_ffempty").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    Snapshots.createBranch(spark, root, "e")
+    Snapshots.write(orders.limit(3).coalesce(1), root,
+      Seq("o_orderpriority"), SnapAppend) // main moves past the fork
+    assert(Snapshots.fastForward(spark, root, "e") == 1,
+      "an empty branch has nothing to merge — it just drops")
+    assert(Snapshots.branches(spark, root).isEmpty)
+  }
+
   test("dotted field names resolve as literal identifiers across the snapshot lanes") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_dotted").toString
