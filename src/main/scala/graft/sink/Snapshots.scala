@@ -2559,15 +2559,20 @@ object Snapshots {
 
   // ------------------------------------------------------- maintenance
 
-  /** One cron-shaped maintenance pass: see [[maintain]]. `keepLast`
-    * defaults to unbounded retention (maintenance must opt INTO deleting
-    * history); `sortBy` opts into clustered compaction. */
+  /** One cron-shaped maintenance pass: see [[maintain]]. Retention
+    * defaults to unbounded (maintenance must opt INTO deleting history)
+    * and comes in two flavors — `keepLast` (count) and `retentionMs`
+    * (age: snapshots whose recorded publish instant is older than this
+    * many millis before the pass expire — [[expireOlderThan]]); when both
+    * are set, age runs (it already respects the current snapshot, tags
+    * and staged bases). `sortBy` opts into clustered compaction. */
   case class MaintenancePolicy(
       targetFilesPerPartition: Int = 1,
       sortBy: Seq[String] = Seq.empty,
       keepLast: Int = Int.MaxValue,
       vacuumGraceMs: Long = DefaultVacuumGraceMs,
-      foldDeletes: Boolean = true)
+      foldDeletes: Boolean = true,
+      retentionMs: Option[Long] = None)
 
   case class MaintenanceReport(
       foldedTo: Option[Int], compactedTo: Option[Int], expired: Seq[Int],
@@ -2594,9 +2599,12 @@ object Snapshots {
       else None
     val compacted = compact(spark, root, partitionFields,
       policy.targetFilesPerPartition, policy.sortBy)
-    val (expired, filesExpired) =
-      if (policy.keepLast == Int.MaxValue) (Seq.empty[Int], 0)
-      else expire(spark, root, policy.keepLast)
+    val (expired, filesExpired) = policy.retentionMs match {
+      case Some(age) =>
+        expireOlderThan(spark, root, System.currentTimeMillis() - age)
+      case None if policy.keepLast == Int.MaxValue => (Seq.empty[Int], 0)
+      case None => expire(spark, root, policy.keepLast)
+    }
     val (orphans, stages) = vacuum(spark, root, policy.vacuumGraceMs)
     MaintenanceReport(folded, compacted, expired, filesExpired, orphans,
       stages)
@@ -2782,6 +2790,25 @@ object Snapshots {
    * the next expire/vacuum reclaims, never to a manifest whose files are
    * gone. Returns (expired snapshot ids, deleted data-file count).
    */
+  /** TIME-BASED retention — "keep 30 days": expire every snapshot whose
+    * RECORDED publish instant ([[snapshotAt]]'s `ts=` line; expire's
+    * rebase-in-place preserves it) is older than `tsMillis`, always
+    * retaining the current snapshot; tags and staged bases stay pinned
+    * exactly as in [[expire]]. Publish instants are monotone in id
+    * (single-writer publish order), so the kept set is a suffix and the
+    * count-based machinery applies directly; unstamped legacy manifests
+    * count as older than every stamped one. Returns (expired snapshot
+    * ids, deleted data-file count). */
+  def expireOlderThan(
+      spark: SparkSession, root: String, tsMillis: Long): (Seq[Int], Int) = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val cur = currentSnapshot(spark, root)
+    val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
+    val keep = committedIds(f, qroot, cur).count(id =>
+      readSnapshotFileCached(f, qroot, id, cache).ts.exists(_ >= tsMillis))
+    expire(spark, root, math.max(keep, 1))
+  }
+
   def expire(
       spark: SparkSession, root: String, keepLast: Int): (Seq[Int], Int) = {
     require(keepLast >= 1, "must retain at least the current snapshot")

@@ -662,6 +662,41 @@ class SnapshotsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("expireOlderThan: age-based retention off recorded publish instants") {
+    val root = java.nio.file.Files.createTempDirectory("snap_expage").toString
+    for (m <- 0 to 2)
+      Snapshots.write(orders.filter(col("o_orderkey") % 3 === m).coalesce(1),
+        root, Seq("o_orderpriority"), SnapAppend)
+    val instants = Snapshots.snapshotLog(spark, root).collect()
+      .map(r => r.getInt(0) -> r.getTimestamp(2).getTime).toMap
+    // nothing is older than the epoch — no-op
+    assert(Snapshots.expireOlderThan(spark, root, 0L) == ((Seq.empty, 0)))
+    // cutoff at s2's instant: s1 (strictly older) expires, s2/s3 stay
+    assert(instants(1) < instants(2),
+      "fixture needs distinct publish instants")
+    val (expired, deleted) = Snapshots.expireOlderThan(
+      spark, root, instants(2))
+    // append-only history: the manifest dies, its files stay live in s3
+    assert(expired == Seq(1) && deleted == 0)
+    intercept[IllegalStateException] {
+      Snapshots.read(spark, root, asOf = Some(1))
+    }
+    assert(Snapshots.read(spark, root).count() == orders.count(),
+      "the current state must survive age-based expiry")
+    // a far-future cutoff keeps only the current snapshot
+    val (expired2, _) = Snapshots.expireOlderThan(spark, root,
+      instants(3) + 1000L)
+    assert(expired2 == Seq(2))
+    assert(Snapshots.read(spark, root).count() == orders.count())
+    // the maintain() policy routes age-based retention: compact publishes
+    // s4 first, then retentionMs=0 (keep nothing older than "now")
+    // expires everything behind the new current
+    val report = Snapshots.maintain(spark, root, Seq("o_orderpriority"),
+      Snapshots.MaintenancePolicy(retentionMs = Some(0L)))
+    assert(report.compactedTo.contains(4) && report.expired == Seq(3))
+    assert(Snapshots.read(spark, root).count() == orders.count())
+  }
+
   test("ref names reject dot traversal at every destructive entry point") {
     val root = java.nio.file.Files.createTempDirectory("snap_refguard").toString
     Snapshots.write(orders, root, Seq("o_orderpriority"))
