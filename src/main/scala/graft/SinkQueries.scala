@@ -799,6 +799,88 @@ object SinkQueries {
           "o_orderpriority")
     }),
 
+    // REBASE-merge for a stale fork: an append-only branch takes two
+    // writes while main keeps moving past the fork (an append of new
+    // '9-EXTRA' keys, then a partition overwrite keeping only even
+    // 1-URGENT keys) — a plain fast-forward is impossible, but pure
+    // appends conflict with nothing, so fastForward replays the branch's
+    // added files onto the NEW head metadata-only (asserted: the merge
+    // lands at s4, after main's s3, and moves no data files). Main's
+    // interleaved writes and the branch's adds all land exactly once;
+    // the pre-merge main state stays time-travelable.
+    "sink_snapshot_rebase" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_rebase").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"))
+      Snapshots.createBranch(s, out, "bf")
+      val ins1 = base.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("o_orderpriority", lit("5-LOW"))
+      val ins2 = base.filter(col("o_orderkey") % 10 === 8)
+        .withColumn("o_orderkey", col("o_orderkey") + 2000000L)
+        .withColumn("o_orderpriority", lit("3-MEDIUM"))
+      Snapshots.writeToBranch(ins1.coalesce(1), out, "bf",
+        Seq("o_orderpriority"))
+      Snapshots.writeToBranch(ins2.coalesce(1), out, "bf",
+        Seq("o_orderpriority"))
+      // main advances past the fork: an append and a partition overwrite
+      Snapshots.write(base.filter(col("o_orderkey") % 10 === 6)
+          .withColumn("o_orderkey", col("o_orderkey") + 3000000L)
+          .withColumn("o_orderpriority", lit("9-EXTRA")).coalesce(1),
+        out, Seq("o_orderpriority"), Snapshots.SnapAppend)
+      Snapshots.write(base.filter(col("o_orderpriority") === "1-URGENT"
+          && col("o_orderkey") % 2 === 0).coalesce(1),
+        out, Seq("o_orderpriority"), Snapshots.SnapOverwritePartitions)
+      val preMergeCount = Snapshots.read(s, out).count()
+      val mid = Snapshots.fastForward(s, out, "bf")
+      require(mid == 4 && Snapshots.branches(s, out).isEmpty,
+        s"expected the rebase-merge at s4 with the branch dropped: $mid")
+      // metadata-only: the merge manifest adds files by reference — every
+      // branch-added file was already in data/ before the merge ran
+      val m4 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out/snapshots/s4")))
+      require(m4.linesIterator.exists(_.startsWith("add=")) &&
+        !m4.linesIterator.exists(_.startsWith("remove=")),
+        "rebase-merge must be an adds-only delta manifest")
+      require(Snapshots.read(s, out, asOf = Some(3)).count() == preMergeCount,
+        "pre-merge main must stay time-travelable")
+      Snapshots.read(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
+    // Catalog face of the table format: the dataset registers as an
+    // EXTERNAL metastore table backed by the graft-snapshot source, and
+    // everything after that is plain SQL — including a publish AFTER
+    // registration (the append of shifted '9-COPY' keys), which the next
+    // query sees with no re-registration: the manifest pointer flip IS
+    // the refresh. The oracle derives the same two-write state from the
+    // source table.
+    "sink_snapshot_sql_table" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_sql").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"))
+      s.sql("DROP TABLE IF EXISTS graft_snap_sql_tbl")
+      Snapshots.registerTable(s, out, "graft_snap_sql_tbl")
+      require(s.sql("SELECT count(*) AS n FROM graft_snap_sql_tbl")
+        .head().getLong(0) == base.count(),
+        "the registered table must read the current snapshot")
+      // a post-registration publish is visible to the next SQL query
+      Snapshots.write(base.filter(col("o_orderkey") % 10 === 9)
+          .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+          .withColumn("o_orderpriority", lit("9-COPY")).coalesce(1),
+        out, Seq("o_orderpriority"), Snapshots.SnapAppend)
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |  o_orderpriority
+          |FROM graft_snap_sql_tbl""".stripMargin)
+    }),
+
     // Subscribe-to-the-table: three appended thirds land in a source
     // dataset (with a compact interleaved — the follower must skip it);
     // a SnapshotFollower mirrors each batch into a SECOND snapshot
@@ -1216,6 +1298,35 @@ object SinkQueries {
         |UNION ALL
         |SELECT o_orderkey + 1000000, o_custkey, 'N', o_totalprice, '5-LOW'
         |FROM orders WHERE o_orderkey % 10 = 4 AND o_orderkey % 3 = 0""".stripMargin,
+
+    // the rebased state: main after its own append + 1-URGENT overwrite,
+    // plus both branch appends replayed onto the new head
+    "sink_snapshot_rebase" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE o_orderpriority != '1-URGENT' OR o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 3000000, o_custkey, o_orderstatus, o_totalprice,
+        |  '9-EXTRA'
+        |FROM orders WHERE o_orderkey % 10 = 6
+        |UNION ALL
+        |SELECT o_orderkey + 1000000, o_custkey, 'N', o_totalprice, '5-LOW'
+        |FROM orders WHERE o_orderkey % 10 = 3
+        |UNION ALL
+        |SELECT o_orderkey + 2000000, o_custkey, o_orderstatus, o_totalprice,
+        |  '3-MEDIUM'
+        |FROM orders WHERE o_orderkey % 10 = 8""".stripMargin,
+
+    // registered-table reads = the two-write state
+    "sink_snapshot_sql_table" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_totalprice,
+        |  '9-COPY'
+        |FROM orders WHERE o_orderkey % 10 = 9""".stripMargin,
 
     // the mirror must converge to exactly the source rows
     "sink_snapshot_follow" ->

@@ -52,8 +52,15 @@ private[graft] object GenerationState {
       df.coalesce(1).write.parquet(s"$staging/$name")
     }
     // bound the ledger at write: callers pass `priorSeen ++ newTag`
-    // (newest last), and only the newest suffix can ever match a replay
-    seen.takeRight(MaxSeenTags).toDF("batch_id", "fp")
+    // (newest last), and only the newest suffix can ever match a replay.
+    // The append position is PERSISTED (`pos`) so the round-trip order
+    // never depends on parquet split order — batch ids themselves are NOT
+    // a safe sort key (a fresh checkpoint lineage re-issues ids from 0,
+    // and id-sorting would evict the new lineage's recent tags while
+    // keeping the old lineage's ancient high ones)
+    seen.takeRight(MaxSeenTags).zipWithIndex
+      .map { case ((id, fp), i) => (id, fp, i.toLong) }
+      .toDF("batch_id", "fp", "pos")
       .coalesce(1).write.parquet(s"$staging/seen")
     FsOps.publishGeneration(f, root, staging): Unit
   }
@@ -67,13 +74,21 @@ private[graft] object GenerationState {
         s"no $what published under $path"))
   }
 
-  /** The live generation's replay tags; pre-fingerprint id-only rows
-    * upgrade to [[LegacyFp]] match-any sentinels. */
+  /** The live generation's replay tags in APPEND ORDER — restored from
+    * the persisted `pos` column where present (a multi-split read may
+    * scramble row order; `takeRight` truncation must see newest-last), by
+    * read order for older single-split ledgers. Pre-fingerprint id-only
+    * rows upgrade to [[LegacyFp]] match-any sentinels. */
   def seenTags(spark: SparkSession, liveRoot: String): Seq[(Long, Long)] = {
     val seenDf = spark.read.parquet(s"$liveRoot/seen")
+    val rows =
+      if (seenDf.columns.contains("pos"))
+        seenDf.select("batch_id", "fp", "pos").collect()
+          .sortBy(_.getLong(2)).toSeq
+      else seenDf.collect().toSeq
     if (seenDf.columns.contains("fp"))
-      seenDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    else seenDf.collect().map(r => (r.getLong(0), LegacyFp)).toSeq
+      rows.map(r => (r.getLong(0), r.getLong(1)))
+    else rows.map(r => (r.getLong(0), LegacyFp))
   }
 
   /** Whether this batch tag was already folded into the state — the

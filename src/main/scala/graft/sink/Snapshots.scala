@@ -80,9 +80,16 @@ object Snapshots {
     * optional). Files without recorded stats are conservatively kept —
     * pruning never changes results, only the file list. Bounds compare
     * type-aware per the recorded schema (numerics numerically; strings,
-    * dates and timestamps by their Spark string form). */
+    * dates and timestamps by their Spark string form).
+    *
+    * `nullness = Some(true)` selects rows where the column IS NULL
+    * (bounds must be empty — null matches no range): files whose recorded
+    * null count is 0 are skipped. `Some(false)` (IS NOT NULL) skips files
+    * whose every row is null for the column. Both degrade conservatively
+    * when counts weren't recorded (pre-counting manifests). */
   case class StatRange(
-      column: String, lower: Option[Any] = None, upper: Option[Any] = None)
+      column: String, lower: Option[Any] = None, upper: Option[Any] = None,
+      nullness: Option[Boolean] = None)
 
   /** Delta chains rebase into a full manifest at this depth: manifest
     * WRITE cost stays O(batch) (amortized O(live/RebaseEvery)), manifest
@@ -140,9 +147,15 @@ object Snapshots {
     * a deleted key are never suppressed. Entries that predate seq
     * recording carry 0 (every delete applies — correct: deletes are
     * always newer than a pre-MoR file). */
+  /** `rows` is the file's row count, `nulls` its per-stat-column null
+    * counts — both recorded at write from the same staging pass that
+    * computes min/max, so `count(*)`-shaped reads ([[snapshotLog]]) and
+    * `IS [NOT] NULL` pruning answer from metadata instead of scanning
+    * footers. -1 / absent = unrecorded (pre-counting manifests) —
+    * consumers degrade conservatively. */
   private case class FileEntry(
       rel: String, stats: Map[String, (Option[String], Option[String])],
-      seq: Int = 0)
+      seq: Int = 0, rows: Long = -1L, nulls: Map[String, Long] = Map.empty)
 
   /** One live EQUALITY-DELETE file (merge-on-read): rows of `keyCols`
     * values whose matching data rows are suppressed at read in every data
@@ -223,25 +236,45 @@ object Snapshots {
     }.toMap
 
   private val SeqField = "^seq=(\\d+)$".r
+  private val RowsField = "^rows=(\\d+)$".r
+  // URL-encoding never emits a raw ':' (it encodes to %3A), so a
+  // `col:count` payload is unambiguous against any stats blob
+  private val NullsField = "^nulls=((?:[^:,\\t]*:\\d+)(?:,[^:,\\t]*:\\d+)*)?$".r
 
   private def encodeEntry(e: FileEntry): String = {
     val b = new StringBuilder(e.rel)
     if (e.seq > 0) b ++= s"\tseq=${e.seq}"
+    if (e.rows >= 0) b ++= s"\trows=${e.rows}"
+    if (e.nulls.nonEmpty) {
+      b ++= "\tnulls="
+      b ++= e.nulls.toSeq.sortBy(_._1)
+        .map { case (c, n) => s"${enc(c)}:$n" }.mkString(",")
+    }
     if (e.stats.nonEmpty) { b += '\t'; b ++= encodeStats(e.stats) }
     b.result()
   }
 
   // a stats blob always contains "=lo,hi" (comma included), so a bare
-  // `seq=<digits>` field is unambiguous against a stat column named "seq"
+  // `seq=<digits>` / `rows=<digits>` field is unambiguous against a stat
+  // column named "seq" or "rows"
   private def decodeEntry(s: String): FileEntry = {
     val fields = s.split("\t")
     var seq = 0
+    var rows = -1L
+    var nulls = Map.empty[String, Long]
     var stats = Map.empty[String, (Option[String], Option[String])]
     fields.tail.foreach {
       case SeqField(n) => seq = n.toInt
+      case RowsField(n) => rows = n.toLong
+      case NullsField(payload) =>
+        nulls = Option(payload).toSeq.flatMap(_.split(","))
+          .filter(_.nonEmpty).map { kv =>
+            val i = kv.lastIndexOf(':')
+            dec(kv.substring(0, i)) -> kv.substring(i + 1).toLong
+          }.toMap
       case blob => stats = decodeStats(blob)
     }
-    FileEntry(fields.head, stats, seq)
+    FileEntry(fields.head, stats, seq, rows, nulls)
   }
 
   private def encodeDelete(d: DeleteEntry): String = {
@@ -559,25 +592,31 @@ object Snapshots {
 
   private[sink] def boundStringForTest(v: Any): String = boundString(v)
 
-  /** Per-staged-file min/max of the declared stat columns, keyed by the
-    * file's staging-RELATIVE path (dir + name). Keying by bare part name
-    * is wrong: one write task that lands rows in TWO partition
-    * directories reuses its part-file name in both (range-clustered and
-    * salted compaction do this at every partition boundary), and a
-    * name-keyed map would collapse the two files onto one file's stats —
-    * silently mis-pruning reads. One batch-sized aggregate over the
-    * staging tree — never over the dataset. */
+  /** One staged file's recorded metadata: per-column min/max, row count,
+    * per-column null counts — all from the same single staging pass. */
+  private case class StagedStats(
+      stats: Map[String, (Option[String], Option[String])],
+      rows: Long, nulls: Map[String, Long])
+
+  /** Per-staged-file min/max + row/null counts of the declared stat
+    * columns, keyed by the file's staging-RELATIVE path (dir + name).
+    * Keying by bare part name is wrong: one write task that lands rows in
+    * TWO partition directories reuses its part-file name in both
+    * (range-clustered and salted compaction do this at every partition
+    * boundary), and a name-keyed map would collapse the two files onto
+    * one file's stats — silently mis-pruning reads. One batch-sized
+    * aggregate over the staging tree — never over the dataset. */
   private def computeStats(
       spark: SparkSession, staging: Path, formatTok: String,
-      statsCols: Seq[String])
-      : Map[String, Map[String, (Option[String], Option[String])]] = {
+      statsCols: Seq[String]): Map[String, StagedStats] = {
     if (statsCols.isEmpty) return Map.empty
     import org.apache.spark.sql.functions._
     val df = spark.read.format(sinkFormatOf(formatTok).name)
       .load(staging.toString)
     val aggs = statsCols.flatMap(c => Seq(
       min(qc(c)).cast("string").as(s"__min_$c"),
-      max(qc(c)).cast("string").as(s"__max_$c")))
+      max(qc(c)).cast("string").as(s"__max_$c"),
+      count(qc(c)).as(s"__cnt_$c"))) :+ count(lit(1)).as("__rows")
     val stagingPrefix = staging.toUri.getPath
     df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -589,26 +628,41 @@ object Snapshots {
         // so the keys line up exactly
         val rel = java.net.URI.create(r.getString(0)).getPath
           .stripPrefix(stagingPrefix).stripPrefix("/")
-        rel -> statsCols.zipWithIndex.map {
-          case (c, i) =>
-            c -> ((Option(r.getString(1 + 2 * i)),
-              Option(r.getString(2 + 2 * i))))
-        }.toMap
+        val rows = r.getLong(1 + 3 * statsCols.length)
+        rel -> StagedStats(
+          statsCols.zipWithIndex.map { case (c, i) =>
+            c -> ((Option(r.getString(1 + 3 * i)),
+              Option(r.getString(2 + 3 * i))))
+          }.toMap,
+          rows,
+          statsCols.zipWithIndex.map { case (c, i) =>
+            c -> (rows - r.getLong(3 + 3 * i))
+          }.toMap)
       }.toMap
   }
 
   /** True iff the file can hold a row matching every range: missing stats
     * keep the file (conservative); recorded all-null stats (min and max
-    * both None) cannot match a range filter, which excludes nulls. */
+    * both None) cannot match a range filter, which excludes nulls. An
+    * `IS NULL` range ([[StatRange.nullness]] Some(true)) keeps the file
+    * unless its recorded null count proves no nulls exist. */
   private def survives(
       e: FileEntry, ranges: Seq[StatRange], schema: StructType): Boolean =
     ranges.forall { r =>
-      e.stats.get(r.column) match {
+      if (r.nullness.contains(true))
+        // IS NULL: bounds are meaningless (null matches no range) — the
+        // file survives unless provably null-free for the column
+        !e.nulls.get(r.column).contains(0L)
+      else e.stats.get(r.column) match {
         case None => true
         case Some((lo, hi)) =>
           val dt = schema.fields.find(_.name == r.column).map(_.dataType)
             .getOrElse(StringType)
-          if (lo.isEmpty && hi.isEmpty) false // all-null file
+          // all-null file: recorded stats say so directly (min and max
+          // both None), or the null count equals the row count
+          if ((lo.isEmpty && hi.isEmpty) ||
+            (e.rows >= 0 && e.nulls.get(r.column).contains(e.rows))) false
+          else if (r.lower.isEmpty && r.upper.isEmpty) true // bare IS NOT NULL
           else {
             val belowUpper = (r.upper, lo) match {
               case (Some(u), Some(l)) => statCompare(dt, l, boundString(u)) <= 0
@@ -897,7 +951,7 @@ object Snapshots {
     // per-file stats while the batch is still small and local to this
     // write — one batch-sized pass, keyed by job-unique part-file name
     val statsByName =
-      if (staged.isEmpty) Map.empty[String, Map[String, (Option[String], Option[String])]]
+      if (staged.isEmpty) Map.empty[String, StagedStats]
       else computeStats(spark, staging, fmtTok, statsCols)
     val stagedDirs = staged.map(parentDirOf).toSet
     // partitions a merge touched but staged nothing back into: every row
@@ -927,8 +981,13 @@ object Snapshots {
         (prev.toSeq.flatMap(p =>
           p.files.map(_.seq) ++ p.deletes.map(_.seq)) :+ 0).max + 1
     }
-    val addEntries = staged.map(rel =>
-      FileEntry(rel, statsByName.getOrElse(rel, Map.empty), seq = seq))
+    val addEntries = staged.map { rel =>
+      val st = statsByName.get(rel)
+      FileEntry(rel, st.fold(Map.empty[String, (Option[String],
+        Option[String])])(_.stats), seq = seq,
+        rows = st.fold(-1L)(_.rows),
+        nulls = st.fold(Map.empty[String, Long])(_.nulls))
+    }
     // stage the equality-delete file (merge-on-read): the batch's key
     // rows, one small file in the dataset's format under deletes/, with
     // per-key min/max recorded so reads and folds can skip clean files
@@ -946,7 +1005,7 @@ object Snapshots {
         require(parts.length == 1,
           s"delete-key staging produced ${parts.length} files, expected 1")
         val dstats = computeStats(spark, dstage, fmtTok, kc)
-          .values.headOption.getOrElse(Map.empty)
+          .values.headOption.map(_.stats).getOrElse(Map.empty)
         val rel = s"del-s$id-${parts.head}"
         f.mkdirs(deletesDir(qroot))
         FsOps.renameOrFail(f, new Path(dstage, parts.head),
@@ -1008,14 +1067,19 @@ object Snapshots {
             // are already in data/ and conflict with nothing, so redoing
             // the data write would be pure waste — rebase the delta
             // manifest onto the new head and re-publish (the Iceberg
-            // retry posture). Anything that removes or suppresses rows
-            // resolved its base state and must re-read, so it aborts.
-            val pureAppend = mode == SnapAppend && extraRemoves.isEmpty &&
-              dAdds.isEmpty && !dropDeletes
-            if (!pureAppend) throw race
+            // retry posture). A merge-on-read batch (adds + one
+            // equality-delete file) retries the same way IFF its key
+            // ranges provably don't intersect anything the interleaved
+            // winners added or deleted (the Iceberg snapshot-isolation
+            // retry) — checked inside the retry per attempt. Anything
+            // that removes files resolved its base state and must
+            // re-read, so it aborts.
+            val retryable = mode == SnapAppend && extraRemoves.isEmpty &&
+              !dropDeletes
+            if (!retryable) throw race
             retryAppendPublish(spark, f, qroot, root, df.schema, evolution,
               partitionFields, modeLabel, fmtTok, dsCodec, statsCols,
-              batchTag, staged, statsByName, race)
+              batchTag, staged, statsByName, race, dAdds, cur)
         }
     }
   }
@@ -1038,15 +1102,27 @@ object Snapshots {
     * wrong — the original race surfaces instead), re-validate the schema
     * contract, RE-STAMP the staged files' seqs to the new id (a concurrent
     * winner's newer equality deletes must not suppress this batch's rows),
-    * and flip. Purely metadata: no data file is read, moved, or written. */
+    * and flip. Purely metadata: no data file is read, moved, or written.
+    *
+    * A MERGE-ON-READ batch (`dAdds` non-empty) rebases the same way, but
+    * only after the SNAPSHOT-ISOLATION check: its key range (the delete
+    * entry's recorded per-key min/max — which covers the batch's upserts
+    * too, [[mergeDeltas]] records ALL batch keys) must be provably
+    * disjoint from every data file and delete file the interleaved
+    * winners added, per [[mergeRebaseConflict]]. Disjoint means no
+    * interaction: the rebased result equals either serialization order.
+    * Intersecting (or unprovable — missing stats, a winner's full
+    * rebase) aborts loudly. */
   private def retryAppendPublish(
       spark: SparkSession, f: FileSystem, qroot: Path, root: String,
       incoming: StructType, evolution: graft.schema.SchemaEvolution.Policy,
       partitionFields: Seq[String], modeLabel: String, fmtTok: String,
       dsCodec: Option[String], statsCols: Seq[String],
       batchTag: Option[String], staged: Seq[String],
-      statsByName: Map[String, Map[String, (Option[String], Option[String])]],
-      firstRace: java.util.ConcurrentModificationException): Int = {
+      statsByName: Map[String, StagedStats],
+      firstRace: java.util.ConcurrentModificationException,
+      dAdds: Seq[DeleteEntry] = Seq.empty,
+      baseCur: Option[Int] = None): Int = {
     var lastRace = firstRace
     var attempt = 0
     while (attempt < MaxCommitRetries) {
@@ -1068,9 +1144,27 @@ object Snapshots {
           stored, incoming, partitionFields, evolution)
         case None => incoming
       }
+      if (dAdds.nonEmpty)
+        mergeRebaseConflict(f, qroot, baseCur, cur, dAdds, contract,
+          prev.toSeq.flatMap(_.deletes)).foreach { why =>
+          val e = new java.util.ConcurrentModificationException(
+            s"merge-on-read batch lost a publish race at $qroot and " +
+              s"cannot rebase: $why — re-read the new state and re-merge")
+          e.initCause(lastRace)
+          throw e
+        }
       val id = cur.getOrElse(0) + 1
-      val addEntries = staged.map(rel =>
-        FileEntry(rel, statsByName.getOrElse(rel, Map.empty), seq = id))
+      val addEntries = staged.map { rel =>
+        val st = statsByName.get(rel)
+        FileEntry(rel, st.fold(Map.empty[String, (Option[String],
+          Option[String])])(_.stats), seq = id,
+          rows = st.fold(-1L)(_.rows),
+          nulls = st.fold(Map.empty[String, Long])(_.nulls))
+      }
+      // the delete entry re-anchors at the new id too: it must keep
+      // suppressing everything strictly older, including the winners'
+      // files (provably key-disjoint, so suppressing nothing of theirs)
+      val dAddEntries = dAdds.map(_.copy(seq = id))
       val recentTags =
         (prev.map(_.recentTags).getOrElse(Seq.empty) ++ batchTag)
           .takeRight(MaxRecentTags)
@@ -1082,9 +1176,10 @@ object Snapshots {
         if (prev.isEmpty || chainDepth + 1 >= RebaseEvery)
           renderManifest(meta, None, Seq.empty, Seq.empty,
             Some(prev.map(_.files).getOrElse(Seq.empty) ++ addEntries),
-            dFull = prev.map(_.deletes).getOrElse(Seq.empty))
+            dFull = prev.map(_.deletes).getOrElse(Seq.empty) ++ dAddEntries)
         else
-          renderManifest(meta, cur, addEntries, Seq.empty, None)
+          renderManifest(meta, cur, addEntries, Seq.empty, None,
+            dAddEntries)
       try { publishManifest(f, qroot, id, cur, content); return id }
       catch {
         case race: java.util.ConcurrentModificationException =>
@@ -1092,6 +1187,64 @@ object Snapshots {
       }
     }
     throw lastRace
+  }
+
+  /** Why a race-losing merge-on-read batch may NOT rebase onto the new
+    * head — None when provably safe. Safe means: every interleaved winner
+    * manifest (ids in (base, cur]) is a readable DELTA whose added data
+    * files and added delete files are key-range-DISJOINT from this
+    * batch's recorded key range on at least one key column, and no winner
+    * changed the live delete-key contract. Missing stats on either side,
+    * a full (rebased) interleaved manifest (its adds are
+    * unattributable), or an intersecting range all return the reason —
+    * conservative, never a silent wrong merge. */
+  private def mergeRebaseConflict(
+      f: FileSystem, qroot: Path, baseCur: Option[Int], cur: Option[Int],
+      dAdds: Seq[DeleteEntry], contract: StructType,
+      headDeletes: Seq[DeleteEntry]): Option[String] = {
+    val mine = dAdds.head
+    val keyCols = mine.keyCols
+    // the live delete-key contract must still be ours (a winner may have
+    // folded everything and re-merged under different keys)
+    headDeletes.find(_.keyCols != keyCols).foreach(d =>
+      return Some(s"the head's live equality-deletes are keyed by " +
+        s"${d.keyCols.mkString(",")}, not ${keyCols.mkString(",")}"))
+    def dt(c: String): DataType =
+      contract.fields.find(_.name == c).map(_.dataType).getOrElse(StringType)
+    // disjoint on ANY key column ⇒ no key can be in both batches
+    def disjoint(
+        theirs: Map[String, (Option[String], Option[String])]): Boolean =
+      keyCols.exists { c =>
+        (mine.stats.get(c), theirs.get(c)) match {
+          case (Some((Some(mlo), Some(mhi))), Some((Some(tlo), Some(thi)))) =>
+            statCompare(dt(c), mhi, tlo) < 0 || statCompare(dt(c), thi, mlo) < 0
+          case _ => false // missing stats: cannot prove disjoint
+        }
+      }
+    val interleaved = committedIds(f, qroot, cur)
+      .filter(_ > baseCur.getOrElse(0))
+    // row-preserving rewrites hold no NEW keys — their added files carry
+    // rows this batch's delete would have suppressed in the originals
+    // just the same (both have seq < the rebased id), so an interleaved
+    // maintain() never blocks a mergeStream batch's rebase
+    val rowPreserving = Set("compact", "fold", "migrate_spec", "evolve_spec")
+    interleaved.filterNot(id =>
+      rowPreserving(readSnapshotFile(f, qroot, id).mode)).foreach { id =>
+      val w = readSnapshotFile(f, qroot, id)
+      if (w.full.isDefined)
+        return Some(s"interleaved snapshot s$id is a full manifest — its " +
+          "own additions cannot be attributed for the key-disjointness " +
+          "check")
+      w.adds.find(e => !disjoint(e.stats)).foreach(e =>
+        return Some(s"interleaved snapshot s$id added data file ${e.rel} " +
+          s"whose recorded key range cannot be proven disjoint from this " +
+          s"batch's (record stats for ${keyCols.mkString(",")} via " +
+          "statsColumns to enable this check)"))
+      w.dAdds.find(d => !disjoint(d.stats)).foreach(d =>
+        return Some(s"interleaved snapshot s$id added equality-delete " +
+          s"${d.rel} whose key range intersects this batch's"))
+    }
+    None
   }
 
   /** Publish one snapshot manifest and flip the pointer to it, with the
@@ -1514,9 +1667,14 @@ object Snapshots {
     * conservative); unrecognized shapes derive nothing (no pruning, never
     * wrong pruning). A comparison also implies the column is non-null in
     * any matching row, which [[survives]]' all-null-file rule exploits. */
+  /** `statsCols` governs range derivation; `nullCols` governs
+    * `IS [NOT] NULL` derivation — null COUNTS are timezone-independent,
+    * so timestamp columns excluded from the range list still derive
+    * nullness prunes. */
   private def statRangesFromCondition(
       e: org.apache.spark.sql.catalyst.expressions.Expression,
-      statsCols: Seq[String], sessionTz: String): Seq[StatRange] = {
+      statsCols: Seq[String], sessionTz: String,
+      nullCols: Seq[String] = Seq.empty): Seq[StatRange] = {
     import org.apache.spark.sql.catalyst.expressions._
     // a constant bound (a Literal, or the foldable cast analysis wraps an
     // int bound on a bigint column in) renders to the EXACT string form
@@ -1545,9 +1703,21 @@ object Snapshots {
     }
     def range(c: Option[String], lo: Option[Any], hi: Option[Any]) =
       c.map(n => StatRange(n, lo, hi)).toSeq
+    def nullAttr(x: Expression): Option[String] = x match {
+      case a: AttributeReference if nullCols.contains(a.name) => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if u.nameParts.length == 1 && nullCols.contains(u.nameParts.head) =>
+        Some(u.nameParts.head)
+      case _ => None
+    }
     e match {
-      case And(l, r) => statRangesFromCondition(l, statsCols, sessionTz) ++
-        statRangesFromCondition(r, statsCols, sessionTz)
+      case And(l, r) =>
+        statRangesFromCondition(l, statsCols, sessionTz, nullCols) ++
+          statRangesFromCondition(r, statsCols, sessionTz, nullCols)
+      case IsNull(a) =>
+        nullAttr(a).map(n => StatRange(n, nullness = Some(true))).toSeq
+      case IsNotNull(a) =>
+        nullAttr(a).map(n => StatRange(n, nullness = Some(false))).toSeq
       case EqualTo(a, b) =>
         range(attr(a), sv(b), sv(b)) ++ range(attr(b), sv(a), sv(a))
       case GreaterThan(a, b) =>
@@ -1602,11 +1772,22 @@ object Snapshots {
     // schema-less datasets skip derivation — no pruning, never wrong
     // pruning)
     val derived = m.schema.toSeq.flatMap { sc =>
+      // TimestampType stat columns derive NOTHING: the recorded min/max
+      // strings were rendered under the WRITING session's timezone, and a
+      // deleting session configured differently would compare shifted
+      // bounds — wrongly stat-pruning files that hold matches, silently
+      // leaving rows undeleted. No pruning is the only tz-safe answer
+      // (the exact discovery scan still names the precise rewrite set);
+      // date/string/numeric renderings are tz-independent and keep
+      // deriving.
+      val tzSafeCols = m.statsCols.filterNot(c =>
+        sc.fields.exists(fd => fd.name == c && fd.dataType == TimestampType))
       spark.createDataFrame(new java.util.ArrayList[Row](), sc)
         .filter(condition).queryExecution.analyzed.collect {
           case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            statRangesFromCondition(fl.condition, m.statsCols,
-              spark.sessionState.conf.sessionLocalTimeZone)
+            statRangesFromCondition(fl.condition, tzSafeCols,
+              spark.sessionState.conf.sessionLocalTimeZone,
+              nullCols = m.statsCols)
         }.flatten
     }
     val candidates = m.files.filter(e => survives(e, derived, schema))
@@ -2118,6 +2299,49 @@ object Snapshots {
     readResolved(spark, qroot, resolve(f, qroot, id), prune, s"s$id")
   }
 
+  /** The recorded read contract of a snapshot (current by default) — one
+    * manifest read, no chain resolution, no file listing (every manifest
+    * carries its own schema line). The cheap schema probe
+    * [[graft.sources.SnapshotSource]] and catalog registration use. */
+  def tableSchema(
+      spark: SparkSession, root: String,
+      asOf: Option[Int] = None): StructType = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val id = asOf.orElse(currentSnapshot(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no snapshot published under $root"))
+    readSnapshotFile(f, qroot, id).schema.getOrElse(
+      throw new IllegalStateException(
+        s"snapshot s$id records no schema (legacy v1 manifest) — one v2 " +
+          "write pins the contract"))
+  }
+
+  /** Register a snapshot dataset in the session catalog (metastore) as an
+    * EXTERNAL table backed by [[graft.sources.SnapshotSource]], making the
+    * landing zone plain-SQL-queryable: `SELECT ... FROM db.tbl` resolves
+    * the CURRENT snapshot's manifest at scan time, so every publish is
+    * visible to the next query with no re-registration (the pointer flip
+    * IS the refresh — only a schema WIDENING needs re-registering, since
+    * the metastore serves the schema recorded here). `asOf` pins a
+    * time-travel table instead. Re-registering an existing name replaces
+    * it; DROP TABLE never touches the dataset (external). The
+    * [[PartitionCatalog.registerExternal]] story extended to the table
+    * format.  Ref: reference partitioned-sink Explore-registration
+    * surface (SURVEY §2 F7). */
+  def registerTable(
+      spark: SparkSession, root: String, table: String,
+      asOf: Option[Int] = None): Unit = {
+    require("^[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)?$".r.matches(table),
+      s"table name '$table' must be [db.]name with word characters only")
+    // validates the dataset exists and records a contract
+    tableSchema(spark, root, asOf): Unit
+    val loc = root.replace("'", "''")
+    val opts = asOf.fold("")(id => s" OPTIONS (asOf '$id')")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(
+      s"CREATE TABLE $table USING graft.sources.SnapshotSource$opts " +
+        s"LOCATION '$loc'"): Unit
+  }
+
   /** The newest retained snapshot published at or before `tsMillis`
     * (epoch millis) — resolved from each manifest's RECORDED publish
     * instant, which survives expire's rebase-in-place (file mtimes do
@@ -2217,12 +2441,22 @@ object Snapshots {
     val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
     committedIds(f, qroot, cur).map { id =>
       val m = resolve(f, qroot, id, cache)
+      // row count answered from per-file manifest counts alone — null
+      // when any live file predates count recording (or no statsColumns
+      // pass runs at write). Note: rows merge-on-read deletes suppress
+      // are still counted (the log reads no data; fold to settle them).
+      val nRows =
+        if (m.files.nonEmpty && m.files.forall(_.rows >= 0))
+          Some(m.files.map(_.rows).sum)
+        else if (m.files.isEmpty) Some(0L)
+        else None
       (id, m.mode, m.ts.map(new java.sql.Timestamp(_)),
         m.partitionCols.mkString(","), m.files.length.toLong,
         m.files.map(e => parentDirOf(e.rel)).distinct.length.toLong,
-        m.deletes.length.toLong, m.batchTag, cur.contains(id))
+        m.deletes.length.toLong, m.batchTag, cur.contains(id), nRows)
     }.toDF("snapshot_id", "mode", "published_at", "partition_spec",
-      "n_files", "n_partitions", "n_delete_files", "batch_tag", "is_current")
+      "n_files", "n_partitions", "n_delete_files", "batch_tag", "is_current",
+      "n_rows")
   }
 
   // ------------------------------------------------------------- tags
@@ -2431,13 +2665,26 @@ object Snapshots {
   }
 
   /**
-   * FAST-FORWARD MERGE: publish a branch's whole state to main as one new
-   * snapshot (mode `branch_merge`) and drop the branch. Fails loudly —
-   * publishing nothing — if main advanced past the branch's fork point
-   * (not a fast-forward; the branch validated a state that no longer
-   * follows from main — re-branch and replay), the [[publishStaged]]
-   * optimistic posture. A branch with no writes just drops. Returns the
-   * published main snapshot id (the fork id if the branch was empty).
+   * FAST-FORWARD / REBASE MERGE: publish a branch's state to main as one
+   * new snapshot (mode `branch_merge`) and drop the branch. Two lanes:
+   *
+   *  - main still AT the fork → true fast-forward: the branch's whole
+   *    state (appends, overwrites, CDC merges) flips in as one snapshot.
+   *  - main ADVANCED past the fork and the branch holds only APPENDS →
+   *    REBASE-MERGE, metadata-only: the branch-added files conflict with
+   *    nothing (the [[retryAppendPublish]] argument — no removes, no
+   *    equality deletes, immutable shared data pool), so they replay onto
+   *    the new head with re-stamped seqs; no data file is read or moved.
+   *    This is what keeps the audit-branch workflow usable against a
+   *    continuously-appending main ([[snapshotStream]]) — without it any
+   *    live dataset's fork is stale by merge time.
+   *
+   * A branch holding OVERWRITES / COPY-ON-WRITE MERGES against a
+   * since-advanced main fails loudly — publishing nothing — naming the
+   * conflicting modes: those writes resolved a base state main no longer
+   * follows from (the [[publishStaged]] optimistic posture; re-branch and
+   * replay). A branch with no writes just drops. Returns the published
+   * main snapshot id (the fork id if the branch was empty).
    */
   def fastForward(spark: SparkSession, root: String, name: String): Int = {
     requireRefName("branch", name)
@@ -2458,16 +2705,9 @@ object Snapshots {
     // cleanup, instead of telling the operator to replay writes that
     // already landed
     val mergeTag = s"branch-merge:$name:$nonce:s$head"
-    if (!cur.contains(fork)) {
-      val alreadyMerged = committedIds(f, qroot, cur).filter(_ > fork)
-        .exists(id => readSnapshotFile(f, qroot, id).batchTag
-          .contains(mergeTag))
-      if (alreadyMerged) { dropBranch(spark, root, name); return fork + 1 }
-      throw new java.util.ConcurrentModificationException(
-        s"branch '$name' forked from s$fork but main is now at " +
-          s"${cur.fold("(none)")(c => s"s$c")} — not a fast-forward; " +
-          "re-branch from the current state and replay the writes")
-    }
+    if (!cur.contains(fork))
+      return mergeStaleFork(spark, f, qroot, root, name, bdir, head, fork,
+        cur, mergeTag)
     // separate caches: branch-local and main ids are distinct sequences
     val b = resolveIn(f, bdir, head)
     val live = resolve(f, qroot, fork)
@@ -2502,6 +2742,131 @@ object Snapshots {
     publishManifest(f, qroot, id, Some(fork), content)
     dropBranch(spark, root, name): Unit
     id
+  }
+
+  /** [[fastForward]]'s stale-fork lane: crash recovery first (the merge
+    * may already be committed), then a metadata-only REBASE-MERGE for
+    * append-only branches, a loud abort naming the conflicting modes for
+    * everything else. */
+  private def mergeStaleFork(
+      spark: SparkSession, f: FileSystem, qroot: Path, root: String,
+      name: String, bdir: Path, head: Int, fork: Int, cur0: Option[Int],
+      mergeTag: String): Int = {
+    // crash recovery, two layers: (1) a RETAINED manifest past the fork
+    // carries this incarnation's merge tag — finish the cleanup and
+    // return ITS id (a rebase-merge need not land at fork+1);
+    def taggedMergeId(cur: Option[Int]): Option[Int] =
+      committedIds(f, qroot, cur).filter(_ > fork)
+        .find(id => readSnapshotFile(f, qroot, id).batchTag
+          .contains(mergeTag))
+    taggedMergeId(cur0).foreach { id =>
+      dropBranch(spark, root, name); return id
+    }
+    val bRes = resolveIn(f, bdir, head)
+    val forkRes = resolveIn(f, bdir, 1)
+    val forkRels = forkRes.files.map(_.rel).toSet
+    val branchAdded = bRes.files.filterNot(e => forkRels(e.rel))
+    // (2) the merge landed but its tagged manifest has since expired or
+    // been rebased away: the branch-added part files are job-unique names
+    // that only a merge can have put into a main manifest, so any
+    // retained manifest referencing one proves the merge committed —
+    // finish the cleanup instead of instructing a replay that would
+    // double-apply rows (returns the OLDEST retained id showing them)
+    if (branchAdded.nonEmpty) {
+      val addedRels = branchAdded.map(_.rel).toSet
+      val visibleAt = committedIds(f, qroot, cur0).filter(_ > fork)
+        .find { id =>
+          val raw = readSnapshotFile(f, qroot, id)
+          (raw.adds ++ raw.full.getOrElse(Seq.empty))
+            .exists(e => addedRels(e.rel))
+        }
+      visibleAt.foreach { id =>
+        dropBranch(spark, root, name); return id
+      }
+    }
+    // rebase-merge precondition: every branch write was a pure append —
+    // no partition replaced, no equality-delete touched, no fork file
+    // dropped. Anything else resolved a base state main has advanced
+    // past, and replaying it would silently clobber main's newer writes.
+    val nonAppend = (2 to head)
+      .map(i => readSnapshotFileIn(f, bdir, i).mode)
+      .filterNot(_ == "append").distinct
+    val headRels = bRes.files.map(_.rel).toSet
+    val touchedBeyondAppend = nonAppend.nonEmpty ||
+      forkRes.files.exists(e => !headRels(e.rel)) ||
+      bRes.deletes.map(_.rel).toSet != forkRes.deletes.map(_.rel).toSet
+    if (touchedBeyondAppend) {
+      val what =
+        if (nonAppend.isEmpty) "removed or re-keyed fork state"
+        else nonAppend.mkString(", ")
+      throw new java.util.ConcurrentModificationException(
+        s"branch '$name' forked from s$fork but main is now at " +
+          s"${cur0.fold("(none)")(c => s"s$c")}, and the branch holds " +
+          s"non-append writes ($what) — those resolved a base state main " +
+          "no longer follows from, so they cannot rebase; re-branch from " +
+          "the current state and replay the writes")
+    }
+    if (branchAdded.isEmpty) {
+      // appends that landed nothing new (can't happen via writeToBranch,
+      // which rejects empty batches — defensive): nothing to merge
+      dropBranch(spark, root, name)
+      return cur0.getOrElse(fork)
+    }
+    // metadata-only replay onto the advancing head, bounded retry (the
+    // [[retryAppendPublish]] posture — pure adds conflict with nothing)
+    var lastRace: java.util.ConcurrentModificationException = null
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      attempt += 1
+      val cur = currentSnapshot(spark, root)
+      taggedMergeId(cur).foreach { id =>
+        dropBranch(spark, root, name); return id
+      }
+      val live = resolve(f, qroot, cur.getOrElse(
+        throw new IllegalStateException(
+          s"no snapshot published under $root — branch '$name' outlived " +
+            "its dataset")))
+      // dataset-fixed properties must still line up: a main that changed
+      // format/codec/statsCols since the fork makes the branch's staged
+      // layout wrong for this dataset — not retryable, surface loudly
+      require(live.format == bRes.format && live.codec == bRes.codec &&
+        live.statsCols == bRes.statsCols,
+        s"branch '$name' wrote ${bRes.format}/${bRes.codec.getOrElse("-")}" +
+          s"/stats:${bRes.statsCols.mkString(",")} but main is now " +
+          s"${live.format}/${live.codec.getOrElse("-")}/stats:" +
+          s"${live.statsCols.mkString(",")} — cannot rebase-merge")
+      // the merged contract widens main's current schema by the branch's
+      // (the branch may itself have widened since the fork)
+      val contract = (live.schema, bRes.schema) match {
+        case (Some(m), Some(b)) => graft.schema.SchemaEvolution.validate(
+          m, b, live.partitionCols, graft.schema.SchemaEvolution.Widen)
+        case (m, b) => b.orElse(m).getOrElse(StructType(Seq.empty))
+      }
+      val id = cur.get + 1
+      // re-anchor in main's CURRENT seq space: every existing equality
+      // delete has seq <= cur < id, so none suppresses the rebased rows —
+      // exactly an append's semantics
+      val rebased = branchAdded.map(_.copy(seq = id))
+      val meta = SnapMeta("branch_merge", contract, live.format, live.codec,
+        live.statsCols, Some(mergeTag), live.partitionCols,
+        Some(System.currentTimeMillis()),
+        (live.recentTags :+ mergeTag).takeRight(MaxRecentTags))
+      val content =
+        if (live.chainDepth + 1 >= RebaseEvery)
+          renderManifest(meta, None, Seq.empty, Seq.empty,
+            Some(live.files ++ rebased), dFull = live.deletes)
+        else
+          renderManifest(meta, cur, rebased, Seq.empty, None)
+      try {
+        publishManifest(f, qroot, id, cur, content)
+        dropBranch(spark, root, name): Unit
+        return id
+      } catch {
+        case race: java.util.ConcurrentModificationException =>
+          lastRace = race
+      }
+    }
+    throw lastRace
   }
 
   /** Drop a branch without merging. Its branch-only files become

@@ -45,26 +45,35 @@ class SnapshotFollower(
     spark: SparkSession, root: String, checkpoint: String,
     startAfter: Option[Int] = None,
     onNonAppend: SnapshotFollower.NonAppendPolicy =
-      SnapshotFollower.FailOnNonAppend) {
+      SnapshotFollower.FailOnNonAppend,
+    refreshOnStaleCheckpoint: Boolean = false) {
 
   import SnapshotFollower._
 
   private val (cpFs, qcp) = FsOps.fs(spark, checkpoint)
   private val offsetPath = new Path(qcp, "OFFSET")
 
+  // committed id mirrored in memory once THIS instance commits: the
+  // durable OFFSET file stays authoritative across restarts, but a
+  // monitoring thread ([[FollowerHandle.awaitCaughtUp]]) polling the file
+  // mid-atomic-rewrite would hit transient checksum/not-found reads
+  @volatile private var committedCache: Option[Int] = None
+
   /** The last snapshot id this checkpoint has fully processed (or been
     * configured to start after). */
-  def lastCommitted: Option[Int] =
+  def lastCommitted: Option[Int] = committedCache.orElse {
     if (cpFs.exists(offsetPath)) {
       val in = cpFs.open(offsetPath)
       val s = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8).trim finally in.close()
       Some(s.toInt)
     } else startAfter
+  }
 
   private def commit(id: Int): Unit = {
     cpFs.mkdirs(qcp)
     FsOps.atomicWrite(cpFs, offsetPath, id.toString)
+    committedCache = Some(id)
   }
 
   /** Advance toward the current snapshot, emitting AT MOST ONE batch:
@@ -79,15 +88,38 @@ class SnapshotFollower(
   def pollOnce(process: (DataFrame, SnapshotFollower.BatchInfo) => Unit)
       : Option[Int] = {
     val cur = Snapshots.currentSnapshot(spark, root).getOrElse(return None)
+    def bootstrap(): Option[Int] = {
+      val first = Snapshots.earliestRetainedSnapshot(spark, root)
+        .getOrElse(return None)
+      process(Snapshots.read(spark, root, asOf = Some(first)),
+        BatchInfo(first, isRefresh = true))
+      commit(first)
+      Some(first)
+    }
     val resumeFrom = lastCommitted match {
-      case Some(last) => last
-      case None =>
-        val first = Snapshots.earliestRetainedSnapshot(spark, root)
-          .getOrElse(return None)
-        process(Snapshots.read(spark, root, asOf = Some(first)),
-          BatchInfo(first, isRefresh = true))
-        commit(first)
-        return Some(first)
+      case Some(last) =>
+        // a checkpoint that fell behind the retention window cannot
+        // replay incrementally — the diff needs manifest s<last>, and
+        // expire reclaimed it. Name the real condition instead of the
+        // generic missing-snapshot error deep inside readAddedSince; the
+        // opt-in recovery re-bootstraps with a full-state refresh at the
+        // earliest retained snapshot (the consumer REPLACES its copy,
+        // exactly the fresh-checkpoint path) and goes incremental again.
+        if (last < cur &&
+            Snapshots.earliestRetainedSnapshot(spark, root).exists(_ > last)) {
+          if (refreshOnStaleCheckpoint) return bootstrap()
+          throw new IllegalStateException(
+            s"follower checkpoint at $checkpoint is STALE: it last " +
+              s"committed s$last but Snapshots.expire has reclaimed the " +
+              s"manifests needed to replay from there (earliest retained " +
+              s"is s${Snapshots.earliestRetainedSnapshot(spark, root)
+                .getOrElse(-1)}) — widen the dataset's retention relative " +
+              "to the follower's poll cadence, or construct the follower " +
+              "with refreshOnStaleCheckpoint=true to re-bootstrap from a " +
+              "full-state refresh")
+        }
+        last
+      case None => return bootstrap()
     }
     var id = resumeFrom + 1
     while (id <= cur) {
@@ -136,6 +168,25 @@ class SnapshotFollower(
     while (emitted.isDefined) { out += emitted.get; emitted = pollOnce(process) }
     out.result()
   }
+
+  /** Run the follower on a SCHEDULE — the driver loop every deployment
+    * otherwise hand-rolls: a daemon thread [[drain]]s, sleeps
+    * `intervalMs`, repeats, until [[FollowerHandle.stop]]. Idle cost per
+    * tick is the [[pollOnce]] metadata read (one pointer + one manifest
+    * per considered id). The pull API stays available for tests and
+    * custom schedulers, but must not run CONCURRENTLY with a live loop —
+    * one consumer per checkpoint, as ever. A `process` failure stops the
+    * loop and surfaces on [[FollowerHandle.stop]] /
+    * [[FollowerHandle.error]] — batches are never skipped past an error
+    * (the uncommitted batch redelivers on the next start). */
+  def followStream(
+      intervalMs: Long,
+      process: (DataFrame, SnapshotFollower.BatchInfo) => Unit)
+      : SnapshotFollower.FollowerHandle = {
+    require(intervalMs > 0, "poll interval must be positive")
+    new SnapshotFollower.FollowerHandle(this, spark, root, intervalMs,
+      process)
+  }
 }
 
 object SnapshotFollower {
@@ -158,4 +209,64 @@ object SnapshotFollower {
 
   private val EmitModes = Set("append", "merge_mor")
   private val SkipModes = Set("compact", "fold", "migrate_spec", "evolve_spec")
+
+  /** A running [[SnapshotFollower.followStream]] loop. [[stop]] is
+    * graceful: it wakes the scheduler, lets any in-flight batch finish
+    * (never interrupting a Spark job mid-commit), joins the thread, and
+    * rethrows the loop's failure if one stopped it early. */
+  final class FollowerHandle private[streaming](
+      follower: SnapshotFollower, spark: SparkSession, root: String,
+      intervalMs: Long,
+      process: (DataFrame, BatchInfo) => Unit) {
+    @volatile private var running = true
+    @volatile private var failed: Option[Throwable] = None
+    private val wake = new Object
+    private val thread = new Thread(() => {
+      while (running) {
+        try follower.drain(process): Unit
+        catch {
+          case t: Throwable => failed = Some(t); running = false
+        }
+        if (running) wake.synchronized {
+          if (running) wake.wait(intervalMs)
+        }
+      }
+    }, "graft-snapshot-follower")
+    thread.setDaemon(true)
+    thread.start()
+
+    /** The failure that stopped the loop, if any. */
+    def error: Option[Throwable] = failed
+
+    def isRunning: Boolean = running && thread.isAlive
+
+    /** Block until the follower has committed through the dataset's
+      * CURRENT snapshot (sampled per poll, so publishes during the wait
+      * extend the target). False on timeout; rethrows a loop failure. */
+    def awaitCaughtUp(timeoutMs: Long = 30000L): Boolean = {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (System.currentTimeMillis() < deadline) {
+        failed.foreach(throw _)
+        val cur = Snapshots.currentSnapshot(spark, root)
+        // a first-commit racing this poll can make the offset read fail
+        // transiently (atomic rename vs checksum file) — treat as not-yet
+        val committed =
+          try follower.lastCommitted
+          catch { case _: java.io.IOException => None }
+        if (cur.isEmpty || cur == committed) return true
+        wake.synchronized(wake.notifyAll()) // skip the idle sleep
+        Thread.sleep(25)
+      }
+      failed.foreach(throw _)
+      false
+    }
+
+    /** Stop the loop and rethrow its failure if one occurred. */
+    def stop(): Unit = {
+      running = false
+      wake.synchronized(wake.notifyAll())
+      thread.join(60000)
+      failed.foreach(throw _)
+    }
+  }
 }

@@ -24,4 +24,17 @@ class GenerationStateSpec extends SparkSpec {
     assert(GenerationState.isReplay(seen, Some(tags.last)))
     assert(!GenerationState.isReplay(seen, Some(tags.head)))
   }
+
+  test("seenTags restores append order from the persisted pos column") {
+    import spark.implicits._
+    val live = java.nio.file.Files.createTempDirectory("gen_pos").toString
+    // rows land in REVERSE append order: a read that trusted row order
+    // (or batch ids — a fresh checkpoint lineage restarts those at 0)
+    // would truncate the wrong end of the window
+    Seq((9L, 90L, 2L), (7L, 70L, 0L), (8L, 80L, 1L))
+      .toDF("batch_id", "fp", "pos").coalesce(1)
+      .write.parquet(s"$live/seen")
+    assert(GenerationState.seenTags(spark, live)
+      == Seq((7L, 70L), (8L, 80L), (9L, 90L)))
+  }
 }

@@ -528,14 +528,24 @@ class SnapshotsSpec extends SparkSpec {
       .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
       .withColumn("o_orderpriority", lit("5-LOW"))
     Snapshots.writeToBranch(ins, root, "exp", Seq("o_orderpriority"))
+    // a branch CDC merge (copy-on-write — key set unchanged: updates
+    // only) makes this branch NON-append-only, so a stale fork cannot
+    // rebase-merge it
+    Snapshots.mergeUpsert(spark, root,
+      orders.filter(col("o_orderkey") % 50 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0),
+      Seq("o_orderpriority"), Seq("o_orderkey"), branch = Some("exp"))
     // main advances past the fork — the merge is no longer a fast-forward
     Snapshots.write(
       orders.filter(col("o_orderpriority") === "1-URGENT"
         && col("o_orderkey") % 2 === 0), root,
       Seq("o_orderpriority"), SnapOverwritePartitions)
-    intercept[java.util.ConcurrentModificationException] {
+    val ex = intercept[java.util.ConcurrentModificationException] {
       Snapshots.fastForward(spark, root, "exp")
     }
+    assert(ex.getMessage.contains("non-append writes")
+      && ex.getMessage.contains("merge"),
+      s"abort must name the conflicting branch modes: ${ex.getMessage}")
     // expire reclaims main history but NOT files the branch still
     // references (its fork state overlaps the expired s1)
     Snapshots.expire(spark, root, keepLast = 1)
@@ -620,6 +630,224 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.branches(spark, root).isEmpty)
     assert(Snapshots.read(spark, root).count() ==
       orders.count() + ins.count() + extra.count())
+  }
+
+  test("append-only branch REBASE-merges onto a main that advanced past the fork") {
+    val root = java.nio.file.Files.createTempDirectory("snap_rebase").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    Snapshots.createBranch(spark, root, "bf")
+    val ins1 = orders.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      .withColumn("o_orderpriority", lit("5-LOW"))
+    val ins2 = orders.filter(col("o_orderkey") % 10 === 8)
+      .withColumn("o_orderkey", col("o_orderkey") + 2000000L)
+      .withColumn("o_orderpriority", lit("3-MEDIUM"))
+    Snapshots.writeToBranch(ins1, root, "bf", Seq("o_orderpriority"))
+    Snapshots.writeToBranch(ins2, root, "bf", Seq("o_orderpriority"))
+    // main advances TWICE past the fork — an append and a partition
+    // overwrite (the continuously-ingesting-main shape)
+    val extra = orders.filter(col("o_orderkey") % 10 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + 3000000L)
+    Snapshots.write(extra, root, Seq("o_orderpriority"), SnapAppend)
+    val urgentEven = orders.filter(col("o_orderpriority") === "1-URGENT"
+      && col("o_orderkey") % 2 === 0)
+    Snapshots.write(urgentEven, root, Seq("o_orderpriority"),
+      SnapOverwritePartitions)
+    val mainNow = keys(Snapshots.read(spark, root))
+    // the rebase-merge lands the branch's adds on the NEW head (s4),
+    // metadata-only; main's interleaved writes are untouched
+    assert(Snapshots.fastForward(spark, root, "bf") == 4)
+    assert(Snapshots.branches(spark, root).isEmpty)
+    assert(keys(Snapshots.read(spark, root)) ==
+      mainNow ++ keys(ins1) ++ keys(ins2))
+    assert(keys(Snapshots.read(spark, root, asOf = Some(3))) == mainNow,
+      "pre-merge main must stay time-travelable")
+    val h = Snapshots.history(spark, root).collect()
+    assert(h.last.getString(1) == "branch_merge")
+  }
+
+  test("rebase-merge crash recovery: tagged retry, and file-reference recovery past an expired tag") {
+    val root = java.nio.file.Files.createTempDirectory("snap_rebcr").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    Snapshots.createBranch(spark, root, "rb")
+    val ins = orders.filter(col("o_orderkey") % 10 === 9)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      .withColumn("o_orderpriority", lit("5-LOW"))
+    Snapshots.writeToBranch(ins, root, "rb", Seq("o_orderpriority"))
+    Snapshots.write(orders.limit(7).coalesce(1), root,
+      Seq("o_orderpriority"), SnapAppend) // main advances → rebase lane
+    // crash window: save the branch dir, merge, restore it
+    val bdir = java.nio.file.Paths.get(s"$root/branches/rb")
+    val saved = java.nio.file.Files.createTempDirectory("snap_rebsave")
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(from).iterator().asScala.foreach { p =>
+        val dst = to.resolve(from.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    }
+    copyTree(bdir, saved)
+    assert(Snapshots.fastForward(spark, root, "rb") == 3,
+      "rebase-merge lands at the head, not at fork+1")
+    copyTree(saved, bdir)
+    // layer 1: the tagged merge manifest is retained — the retry finds it
+    // at ITS id (3, not fork+1=2) and just finishes the cleanup
+    assert(Snapshots.fastForward(spark, root, "rb") == 3)
+    assert(Snapshots.branches(spark, root).isEmpty)
+    val settled = Snapshots.read(spark, root).count()
+    assert(settled == orders.count() + 7 + ins.count())
+    // layer 2: restore the branch AGAIN, then expire the tagged merge
+    // manifest away (s4 appends, keepLast=1 rebases s4 to a full manifest
+    // and drops s1-s3) — recovery must still detect the landed merge via
+    // the branch-added files referenced in a retained manifest, never
+    // instruct a replay that would double the rows
+    copyTree(saved, bdir)
+    Snapshots.write(orders.limit(3).coalesce(1), root,
+      Seq("o_orderpriority"), SnapAppend) // s4
+    Snapshots.expire(spark, root, keepLast = 1)
+    assert(Snapshots.fastForward(spark, root, "rb") == 4,
+      "recovery returns the oldest retained id showing the merged files")
+    assert(Snapshots.branches(spark, root).isEmpty)
+    assert(Snapshots.read(spark, root).count() == settled + 3,
+      "recovery must not double-apply the already-merged rows")
+  }
+
+  test("race-losing mergeDeltas with provably disjoint keys rebases metadata-only") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_morrace").toString
+    Snapshots.write(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "b", 40.0))
+        .toDF("k", "p", "v").coalesce(1), root, Seq("p"),
+      statsColumns = Seq("k", "v"))
+    // the winner lands a DISJOINT-key merge (keys 100-101) between the
+    // loser's base resolution and its pointer flip
+    Snapshots.prePublishInterleave = () =>
+      assert(Snapshots.mergeDeltas(spark, root,
+        Seq((100L, "a", 1.0, false), (101L, "b", 0.0, true))
+          .toDF("k", "p", "v", "__del").coalesce(1),
+        Seq("p"), Seq("k"), deleteCol = Some("__del")) == 2)
+    // the loser updates keys 1-2 — ranges [1,2] vs [100,101] are disjoint
+    // on k, so the retry rebases without redoing the data write
+    assert(Snapshots.mergeDeltas(spark, root,
+      Seq((1L, "a", 11.0, false), (2L, "a", 0.0, true))
+        .toDF("k", "p", "v", "__del").coalesce(1),
+      Seq("p"), Seq("k"), deleteCol = Some("__del")) == 3)
+    val m = Snapshots.read(spark, root).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m == Map(1L -> 11.0, 3L -> 30.0, 4L -> 40.0, 100L -> 1.0),
+      s"both merges' effects must land exactly once: $m")
+  }
+
+  test("race-losing mergeDeltas with intersecting keys aborts loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_morabort").toString
+    Snapshots.write(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+        .toDF("k", "p", "v").coalesce(1), root, Seq("p"),
+      statsColumns = Seq("k"))
+    Snapshots.prePublishInterleave = () =>
+      assert(Snapshots.mergeDeltas(spark, root,
+        Seq((2L, "a", 77.0, false)).toDF("k", "p", "v", "__del").coalesce(1),
+        Seq("p"), Seq("k"), deleteCol = Some("__del")) == 2)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.mergeDeltas(spark, root,
+        Seq((2L, "a", 88.0, false)).toDF("k", "p", "v", "__del").coalesce(1),
+        Seq("p"), Seq("k"), deleteCol = Some("__del"))
+    }
+    assert(ex.getMessage.contains("cannot rebase"),
+      s"intersecting merge races must abort, not silently merge: " +
+        ex.getMessage)
+    // the winner's state is intact
+    assert(Snapshots.read(spark, root).filter(col("k") === 2L)
+      .select("v").collect().map(_.getDouble(0)).toSet == Set(77.0))
+  }
+
+  test("an interleaved row-preserving compact never blocks a mergeDeltas rebase") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_morcomp").toString
+    // two fragments in partition a so compact has work
+    Snapshots.write(Seq((1L, "a", 10.0), (2L, "a", 20.0))
+      .toDF("k", "p", "v").coalesce(1), root, Seq("p"),
+      statsColumns = Seq("k"))
+    Snapshots.write(Seq((3L, "a", 30.0)).toDF("k", "p", "v").coalesce(1),
+      root, Seq("p"), SnapAppend)
+    // the compacted partition holds keys 1-3 — OVERLAPPING the merge's
+    // range — but compaction preserves visible rows, so the rebase is
+    // safe and must proceed (the maintain()-interleaves-mergeStream case)
+    Snapshots.prePublishInterleave = () =>
+      assert(Snapshots.compact(spark, root, Seq("p")).contains(3))
+    assert(Snapshots.mergeDeltas(spark, root,
+      Seq((2L, "a", 99.0, false)).toDF("k", "p", "v", "__del").coalesce(1),
+      Seq("p"), Seq("k"), deleteCol = Some("__del")) == 4)
+    val m = Snapshots.read(spark, root).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0), s"got $m")
+  }
+
+  test("per-file row/null counts: IS NULL prunes files, snapshotLog answers row counts from manifests") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_nulls").toString
+    // one file per partition: a holds no nulls, b is mixed, c all-null
+    Snapshots.write(
+      Seq((1L, "a", Option(1.0)), (2L, "a", Option(2.0)),
+        (3L, "b", Option.empty[Double]), (4L, "b", Option(5.0)),
+        (5L, "c", Option.empty[Double]))
+        .toDF("k", "p", "v").coalesce(1), root, Seq("p"),
+      statsColumns = Seq("v"))
+    // row counts from manifests alone — no data file opened
+    val log1 = Snapshots.snapshotLog(spark, root).collect()
+    assert(log1.map(r => Option(r.get(9)).map(_.asInstanceOf[Long])).toSeq
+      == Seq(Some(5L)), "n_rows must come from per-file manifest counts")
+    // IS NULL skipping: the null-free file (partition a) is pruned
+    assert(Snapshots.read(spark, root,
+      prune = Seq(Snapshots.StatRange("v", nullness = Some(true))))
+      .count() == 3, "only the null-bearing files' rows should scan")
+    // IS NOT NULL skipping: the all-null file (partition c) is pruned
+    assert(Snapshots.read(spark, root,
+      prune = Seq(Snapshots.StatRange("v", nullness = Some(false))))
+      .count() == 4)
+    // deleteWhere IS NULL: the discovery scan never opens partition a —
+    // the manifest removes exactly the two null-bearing files
+    val did = Snapshots.deleteWhere(spark, root, Seq("p"), col("v").isNull)
+    assert(did.contains(2))
+    val m2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/snapshots/s2")))
+    assert(m2.linesIterator.count(_.startsWith("remove=")) == 2,
+      "the null-free file must be stat-pruned out of the rewrite set")
+    assert(Snapshots.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    val log2 = Snapshots.snapshotLog(spark, root).collect()
+    assert(Option(log2.last.get(9)).map(_.asInstanceOf[Long])
+      .contains(3L), "post-delete row count answers from manifests")
+  }
+
+  test("deleteWhere timestamp bounds never stat-prune (tz-rendered stats are not comparable)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_deltz").toString
+    val ts = (h: Int) => java.sql.Timestamp.from(
+      java.time.Instant.parse(f"2024-01-01T$h%02d:00:00Z"))
+    // written under the suite's UTC session: recorded min/max strings are
+    // UTC renderings
+    Snapshots.write(
+      Seq((1L, "a", ts(2)), (2L, "a", ts(3)), (3L, "b", ts(12)))
+        .toDF("k", "p", "t").coalesce(1), root, Seq("p"),
+      statsColumns = Seq("t"))
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // a session in another zone renders the SAME instant 5 hours
+      // earlier — a tz-naive range derivation would compare shifted
+      // bounds against the UTC-rendered stats and wrongly prune the
+      // matching file, silently deleting nothing
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val did = Snapshots.deleteWhere(spark, root, Seq("p"),
+        col("t") === lit(ts(12)))
+      assert(did.contains(2), s"the matching row must be found: $did")
+      assert(Snapshots.read(spark, root).select("k").collect()
+        .map(_.getLong(0)).toSet == Set(1L, 2L))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("deleteWhere discovery survives shuffled (non-broadcast) delete classes") {

@@ -125,4 +125,61 @@ class SnapshotFollowerSpec extends SparkSpec {
     assert(seen.head._2 == keys(orders.filter(col("o_orderkey") % 3 <= 1)))
     assert(seen.map(_._2).reduce(_ ++ _) == keys(orders))
   }
+
+  test("a checkpoint behind the retention window fails with the dedicated stale error, or re-bootstraps under the opt-in") {
+    val root = java.nio.file.Files.createTempDirectory("follow_stale").toString
+    val cp = java.nio.file.Files.createTempDirectory("follow_cps").toString
+    Snapshots.write(orders.filter(col("o_orderkey") % 3 === 0).coalesce(1),
+      root, Seq("o_orderpriority"), SnapAppend)
+    val f = new SnapshotFollower(spark, root, cp)
+    assert(f.drain((_, _) => ()) == Seq(1))
+    // history moves on without the follower; retention reclaims the
+    // manifests its resume needs (s1 itself included)
+    for (m <- 1 to 2)
+      Snapshots.write(orders.filter(col("o_orderkey") % 3 === m).coalesce(1),
+        root, Seq("o_orderpriority"), SnapAppend)
+    Snapshots.expire(spark, root, keepLast = 1) // only s3 retained
+    val ex = intercept[IllegalStateException] {
+      f.pollOnce((_, _) => fail("stale checkpoint must not emit"))
+    }
+    assert(ex.getMessage.contains("STALE") &&
+      ex.getMessage.contains("refreshOnStaleCheckpoint"),
+      s"must name the stale-checkpoint condition: ${ex.getMessage}")
+    // the opt-in re-bootstraps: one full-state REFRESH at the earliest
+    // retained snapshot, then incremental as usual
+    val seen = scala.collection.mutable.ArrayBuffer[(Int, Boolean, Set[Long])]()
+    val fr = new SnapshotFollower(spark, root, cp,
+      refreshOnStaleCheckpoint = true)
+    assert(fr.drain((df, b) =>
+      seen += ((b.snapshotId, b.isRefresh, keys(df)))) == Seq(3))
+    assert(seen.toSeq == Seq((3, true, keys(orders))),
+      s"expected one full-state refresh at s3: $seen")
+    // and a later append resumes incrementally from there
+    Snapshots.write(orders.limit(5).coalesce(1), root,
+      Seq("o_orderpriority"), SnapAppend)
+    assert(fr.drain((df, b) => assert(!b.isRefresh)) == Seq(4))
+  }
+
+  test("followStream: the scheduled loop mirrors publishes exactly-once without a hand-rolled poller") {
+    val root = java.nio.file.Files.createTempDirectory("follow_loop").toString
+    val mirror = java.nio.file.Files.createTempDirectory("follow_loopm").toString
+    val cp = java.nio.file.Files.createTempDirectory("follow_loopc").toString
+    val follower = new SnapshotFollower(spark, root, cp)
+    val handle = follower.followStream(50L, (df, b) =>
+      Snapshots.write(df.coalesce(1), mirror, Seq("o_orderpriority"),
+        SnapAppend, batchTag = Some(s"follow-${b.snapshotId}")): Unit)
+    try {
+      // two publishes land while the loop runs — each must mirror once
+      Snapshots.write(orders.filter(col("o_orderkey") % 2 === 0).coalesce(1),
+        root, Seq("o_orderpriority"), SnapAppend)
+      assert(handle.awaitCaughtUp(60000L), "loop must drain s1")
+      Snapshots.write(orders.filter(col("o_orderkey") % 2 === 1).coalesce(1),
+        root, Seq("o_orderpriority"), SnapAppend)
+      assert(handle.awaitCaughtUp(60000L), "loop must drain s2")
+      assert(follower.lastCommitted.contains(2))
+      assert(keys(Snapshots.read(spark, mirror)) == keys(orders))
+      assert(handle.error.isEmpty && handle.isRunning)
+    } finally handle.stop()
+    assert(!handle.isRunning)
+  }
 }
