@@ -881,6 +881,86 @@ object SinkQueries {
           |FROM graft_snap_sql_tbl""".stripMargin)
     }),
 
+    // Per-file Bloom skipping: even and odd keys land as two interleaved
+    // batches whose per-file min/max ranges fully overlap, so a point
+    // lookup can never range-prune — the recorded per-file Bloom filter
+    // (bloomColumns, one batch sidecar under blooms/) must separate them
+    // (asserted in-query: the pruned read plans exactly one input file,
+    // and the point DELETE rewrites exactly one file). The oracle is the
+    // source minus the deleted key — the smallest even key with odd keys
+    // on both sides, derivable in SQL.
+    "sink_snapshot_bloom" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_bloom").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      val k = col("o_orderkey")
+      Snapshots.write(base.filter(k % 2 === 0).coalesce(1), out,
+        Seq("o_orderpriority"), statsColumns = Seq("o_orderkey"),
+        bloomColumns = Seq("o_orderkey"))
+      Snapshots.write(base.filter(k % 2 === 1).coalesce(1), out,
+        Seq("o_orderpriority"), Snapshots.SnapAppend)
+      // the target: smallest EVEN key strictly between the odd min and
+      // odd max, so both files' ranges contain it in its partition
+      val oddMin = base.filter(k % 2 === 1).agg(min(k)).head().getLong(0)
+      val oddMax = base.filter(k % 2 === 1).agg(max(k)).head().getLong(0)
+      val k0 = base.filter(k % 2 === 0 && k > oddMin && k < oddMax)
+        .agg(min(k)).head().getLong(0)
+      val pruned = Snapshots.read(s, out, prune = Seq(
+        Snapshots.StatRange("o_orderkey", Some(k0), Some(k0))))
+      require(pruned.inputFiles.length == 1,
+        s"the bloom must separate the interleaved files: " +
+          s"${pruned.inputFiles.length}")
+      require(pruned.filter(k === k0).count() == 1)
+      val did = Snapshots.deleteWhere(s, out, Seq("o_orderpriority"),
+        k === k0)
+      require(did.contains(3), s"expected the delete at s3: $did")
+      val m3 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out/snapshots/s3")))
+      require(m3.linesIterator.count(_.startsWith("remove=")) == 1,
+        "the bloom must bound the point delete to the one holding file")
+      Snapshots.read(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
+    // SQL WRITE lane: INSERT INTO appends a shifted copy of every 5th
+    // key (selected from the registered table ITSELF — the read resolves
+    // the manifest while the write stages, no cycle), then INSERT
+    // OVERWRITE dynamically replaces exactly the 1-URGENT partition with
+    // its even keys; both route through the full snapshot commit
+    // protocol under the RECORDED partition spec, so the pre-insert
+    // state stays time-travelable (asserted in-query).
+    "sink_snapshot_sql_insert" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_ins").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"))
+      s.sql("DROP TABLE IF EXISTS graft_snap_ins_tbl")
+      Snapshots.registerTable(s, out, "graft_snap_ins_tbl")
+      s.sql(
+        """INSERT INTO graft_snap_ins_tbl
+          |SELECT o_orderkey + 1000000, o_custkey, 'N', o_totalprice,
+          |  '5-SQL'
+          |FROM graft_snap_ins_tbl WHERE o_orderkey % 5 = 0""".stripMargin)
+      s.sql(
+        """INSERT OVERWRITE graft_snap_ins_tbl
+          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |  o_orderpriority
+          |FROM graft_snap_ins_tbl
+          |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+          |""".stripMargin)
+      require(Snapshots.currentSnapshot(s, out).contains(3),
+        "each SQL write must publish one snapshot")
+      require(Snapshots.read(s, out, asOf = Some(1)).count() == base.count(),
+        "the pre-insert state must stay time-travelable")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |  o_orderpriority
+          |FROM graft_snap_ins_tbl""".stripMargin)
+    }),
+
     // Subscribe-to-the-table: three appended thirds land in a source
     // dataset (with a compact interleaved — the follower must skip it);
     // a SnapshotFollower mirrors each batch into a SECOND snapshot
@@ -1317,6 +1397,31 @@ object SinkQueries {
         |SELECT o_orderkey + 2000000, o_custkey, o_orderstatus, o_totalprice,
         |  '3-MEDIUM'
         |FROM orders WHERE o_orderkey % 10 = 8""".stripMargin,
+
+    // the source minus the bloom-point-deleted key (the smallest even
+    // key with odd keys on both sides)
+    "sink_snapshot_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey != (
+        |  SELECT min(o_orderkey) FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |    AND o_orderkey > (SELECT min(o_orderkey) FROM orders
+        |                      WHERE o_orderkey % 2 = 1)
+        |    AND o_orderkey < (SELECT max(o_orderkey) FROM orders
+        |                      WHERE o_orderkey % 2 = 1))""".stripMargin,
+
+    // the SQL-written state: appended 5th-key copies + the 1-URGENT
+    // partition dynamically overwritten down to its even keys
+    "sink_snapshot_sql_insert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE o_orderpriority != '1-URGENT' OR o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 1000000, o_custkey, 'N', o_totalprice, '5-SQL'
+        |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin,
 
     // registered-table reads = the two-write state
     "sink_snapshot_sql_table" ->

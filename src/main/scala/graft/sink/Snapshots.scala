@@ -119,6 +119,7 @@ object Snapshots {
   private def snapshotsDir(root: Path) = new Path(root, "snapshots")
   private def dataDir(root: Path) = new Path(root, "data")
   private def deletesDir(root: Path) = new Path(root, "deletes")
+  private def bloomsDir(root: Path) = new Path(root, "blooms")
 
   private def parentDirOf(rel: String): String = {
     val i = rel.lastIndexOf('/')
@@ -153,9 +154,13 @@ object Snapshots {
     * `IS [NOT] NULL` pruning answer from metadata instead of scanning
     * footers. -1 / absent = unrecorded (pre-counting manifests) —
     * consumers degrade conservatively. */
+  /** `bloomRef` names the batch sidecar (under `blooms/`) holding this
+    * file's per-bloom-column filters — absent when the dataset declares
+    * no bloomColumns or the file predates them. */
   private case class FileEntry(
       rel: String, stats: Map[String, (Option[String], Option[String])],
-      seq: Int = 0, rows: Long = -1L, nulls: Map[String, Long] = Map.empty)
+      seq: Int = 0, rows: Long = -1L, nulls: Map[String, Long] = Map.empty,
+      bytes: Long = -1L, bloomRef: Option[String] = None)
 
   /** One live EQUALITY-DELETE file (merge-on-read): rows of `keyCols`
     * values whose matching data rows are suppressed at read in every data
@@ -165,7 +170,8 @@ object Snapshots {
     * `deletes/` (rel to that dir), in the dataset's format. */
   private case class DeleteEntry(
       rel: String, seq: Int, keyCols: Seq[String],
-      stats: Map[String, (Option[String], Option[String])])
+      stats: Map[String, (Option[String], Option[String])],
+      bytes: Long = -1L)
 
   /** Dataset-level write metadata recorded in every manifest. */
   /** `ts` is the wall-clock publish instant (epoch millis) — recorded in
@@ -176,7 +182,8 @@ object Snapshots {
       mode: String, schema: StructType, format: String,
       codec: Option[String], statsCols: Seq[String], batchTag: Option[String],
       partitionCols: Seq[String], ts: Option[Long] = None,
-      recentTags: Seq[String] = Seq.empty)
+      recentTags: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty)
 
   /** One manifest as stored: a FULL file listing (`full` defined) or a
     * DELTA against `parent` (adds/removes). Delete-file lines ride the
@@ -189,7 +196,8 @@ object Snapshots {
       removes: Seq[String], full: Option[Seq[FileEntry]],
       dAdds: Seq[DeleteEntry], dRemoves: Seq[String],
       dFull: Option[Seq[DeleteEntry]], ts: Option[Long],
-      recentTags: Seq[String] = Seq.empty) {
+      recentTags: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty) {
     /** The rolling replay-tag window this manifest represents: manifests
       * predating `rtags=` recording carry only their own tag. */
     def effectiveRecentTags: Seq[String] =
@@ -204,7 +212,8 @@ object Snapshots {
       codec: Option[String], statsCols: Seq[String], batchTag: Option[String],
       partitionCols: Seq[String], files: Seq[FileEntry],
       deletes: Seq[DeleteEntry], chainDepth: Int, ts: Option[Long],
-      recentTags: Seq[String] = Seq.empty)
+      recentTags: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty)
 
   /** Quoted resolution of a LITERAL column name: this surface admits
     * field names containing dots (the sink's qcol discipline), and bare
@@ -237,6 +246,10 @@ object Snapshots {
 
   private val SeqField = "^seq=(\\d+)$".r
   private val RowsField = "^rows=(\\d+)$".r
+  private val BytesField = "^bytes=(\\d+)$".r
+  // a sidecar rel is URL-encoded (never a raw comma), while a stats blob
+  // for a column literally named "bloom" always carries "lo,hi"
+  private val BloomField = "^bloom=([^,\\t]+)$".r
   // URL-encoding never emits a raw ':' (it encodes to %3A), so a
   // `col:count` payload is unambiguous against any stats blob
   private val NullsField = "^nulls=((?:[^:,\\t]*:\\d+)(?:,[^:,\\t]*:\\d+)*)?$".r
@@ -245,6 +258,8 @@ object Snapshots {
     val b = new StringBuilder(e.rel)
     if (e.seq > 0) b ++= s"\tseq=${e.seq}"
     if (e.rows >= 0) b ++= s"\trows=${e.rows}"
+    if (e.bytes >= 0) b ++= s"\tbytes=${e.bytes}"
+    e.bloomRef.foreach(r => b ++= s"\tbloom=${enc(r)}")
     if (e.nulls.nonEmpty) {
       b ++= "\tnulls="
       b ++= e.nulls.toSeq.sortBy(_._1)
@@ -261,11 +276,15 @@ object Snapshots {
     val fields = s.split("\t")
     var seq = 0
     var rows = -1L
+    var bytes = -1L
+    var bloomRef: Option[String] = None
     var nulls = Map.empty[String, Long]
     var stats = Map.empty[String, (Option[String], Option[String])]
     fields.tail.foreach {
       case SeqField(n) => seq = n.toInt
       case RowsField(n) => rows = n.toLong
+      case BytesField(n) => bytes = n.toLong
+      case BloomField(r) => bloomRef = Some(dec(r))
       case NullsField(payload) =>
         nulls = Option(payload).toSeq.flatMap(_.split(","))
           .filter(_.nonEmpty).map { kv =>
@@ -274,12 +293,13 @@ object Snapshots {
           }.toMap
       case blob => stats = decodeStats(blob)
     }
-    FileEntry(fields.head, stats, seq, rows, nulls)
+    FileEntry(fields.head, stats, seq, rows, nulls, bytes, bloomRef)
   }
 
   private def encodeDelete(d: DeleteEntry): String = {
     val b = new StringBuilder(d.rel)
     b ++= s"\tseq=${d.seq}"
+    if (d.bytes >= 0) b ++= s"\tbytes=${d.bytes}"
     b ++= s"\tkeys=${d.keyCols.map(enc).mkString(",")}"
     if (d.stats.nonEmpty) { b += '\t'; b ++= encodeStats(d.stats) }
     b.result()
@@ -288,16 +308,18 @@ object Snapshots {
   private def decodeDelete(s: String): DeleteEntry = {
     val fields = s.split("\t")
     var seq = 0
+    var bytes = -1L
     var keyCols = Seq.empty[String]
     var stats = Map.empty[String, (Option[String], Option[String])]
     fields.tail.foreach {
       case SeqField(n) => seq = n.toInt
+      case BytesField(n) => bytes = n.toLong
       case kf if kf.startsWith("keys=") =>
         keyCols = kf.stripPrefix("keys=").split(",").toSeq
           .filter(_.nonEmpty).map(dec)
       case blob => stats = decodeStats(blob)
     }
-    DeleteEntry(fields.head, seq, keyCols, stats)
+    DeleteEntry(fields.head, seq, keyCols, stats, bytes)
   }
 
   private def renderManifest(
@@ -314,6 +336,8 @@ object Snapshots {
     meta.codec.foreach(c => b ++= s"codec=$c\n")
     if (meta.statsCols.nonEmpty)
       b ++= s"statscols=${meta.statsCols.map(enc).mkString(",")}\n"
+    if (meta.bloomCols.nonEmpty)
+      b ++= s"bloomcols=${meta.bloomCols.map(enc).mkString(",")}\n"
     if (meta.partitionCols.nonEmpty)
       b ++= s"partitionby=${meta.partitionCols.map(enc).mkString(",")}\n"
     meta.batchTag.foreach(t => b ++= s"batch=${enc(t)}\n")
@@ -343,6 +367,7 @@ object Snapshots {
       var mode = ""; var schema: Option[StructType] = None
       var format = "parquet"; var codec: Option[String] = None
       var statsCols: Seq[String] = Seq.empty
+      var bloomCols: Seq[String] = Seq.empty
       var partitionCols: Seq[String] = Seq.empty
       var batchTag: Option[String] = None; var parent: Option[Int] = None
       var ts: Option[Long] = None
@@ -362,6 +387,9 @@ object Snapshots {
           codec = Some(l.stripPrefix("codec="))
         case l if l.startsWith("statscols=") =>
           statsCols = l.stripPrefix("statscols=").split(",").toSeq
+            .filter(_.nonEmpty).map(dec)
+        case l if l.startsWith("bloomcols=") =>
+          bloomCols = l.stripPrefix("bloomcols=").split(",").toSeq
             .filter(_.nonEmpty).map(dec)
         case l if l.startsWith("partitionby=") =>
           partitionCols = l.stripPrefix("partitionby=").split(",").toSeq
@@ -394,7 +422,8 @@ object Snapshots {
         partitionCols, parent, adds.result(), removes.result(),
         if (parent.isEmpty) Some(fulls.result()) else None,
         dAdds.result(), dRemoves.result(),
-        if (parent.isEmpty) Some(dFulls.result()) else None, ts, recentTags)
+        if (parent.isEmpty) Some(dFulls.result()) else None, ts, recentTags,
+        bloomCols)
     } else {
       // v1 (positional): mode line, optional schema line, bare file paths
       val mode = lines.head.stripPrefix("mode=")
@@ -484,7 +513,8 @@ object Snapshots {
     }
     Resolved(top.id, top.mode, top.schema, top.format, top.codec,
       top.statsCols, top.batchTag, top.partitionCols, files.values.toSeq,
-      dels.values.toSeq, chain.length - 1, top.ts, top.effectiveRecentTags)
+      dels.values.toSeq, chain.length - 1, top.ts, top.effectiveRecentTags,
+      top.bloomCols)
   }
 
   /** The current snapshot id, if any write has published. */
@@ -497,12 +527,13 @@ object Snapshots {
     }
   }
 
-  /** Recursive data-file listing as (relative path, mtime) — the mtime
-    * rides along from the listing's own `LocatedFileStatus`, so age
-    * filters (vacuum/expire grace) cost zero extra RPCs. */
+  /** Recursive data-file listing as (relative path, mtime, length) —
+    * mtime and length ride along from the listing's own
+    * `LocatedFileStatus`, so age filters (vacuum/expire grace) and
+    * manifest byte recording cost zero extra RPCs. */
   private def listDataFilesWithMtime(
-      f: FileSystem, base: Path): Seq[(String, Long)] = {
-    val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      f: FileSystem, base: Path): Seq[(String, Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
     val baseUri = base.toUri.getPath
     val it = f.listFiles(base, true)
     while (it.hasNext) {
@@ -510,7 +541,7 @@ object Snapshots {
       val name = s.getPath.getName
       if (s.isFile && !name.startsWith("_") && !name.startsWith("."))
         out += ((s.getPath.toUri.getPath.stripPrefix(baseUri)
-          .stripPrefix("/"), s.getModificationTime))
+          .stripPrefix("/"), s.getModificationTime, s.getLen))
     }
     out.toSeq
   }
@@ -593,10 +624,23 @@ object Snapshots {
   private[sink] def boundStringForTest(v: Any): String = boundString(v)
 
   /** One staged file's recorded metadata: per-column min/max, row count,
-    * per-column null counts — all from the same single staging pass. */
+    * per-column null counts, per-bloom-column filter images — all from
+    * the same single staging pass. */
   private case class StagedStats(
       stats: Map[String, (Option[String], Option[String])],
-      rows: Long, nulls: Map[String, Long])
+      rows: Long, nulls: Map[String, Long],
+      blooms: Map[String, Array[Byte]] = Map.empty)
+
+  /** The one place a staged file becomes a manifest entry — first
+    * publish and commit retry must thread identical metadata. */
+  private def entryFor(
+      rel: String, st: Option[StagedStats], seq: Int,
+      bytes: Long, bloomRef: Option[String]): FileEntry =
+    FileEntry(rel,
+      st.fold(Map.empty[String, (Option[String], Option[String])])(_.stats),
+      seq = seq, rows = st.fold(-1L)(_.rows),
+      nulls = st.fold(Map.empty[String, Long])(_.nulls), bytes = bytes,
+      bloomRef = bloomRef)
 
   /** Per-staged-file min/max + row/null counts of the declared stat
     * columns, keyed by the file's staging-RELATIVE path (dir + name).
@@ -608,16 +652,20 @@ object Snapshots {
     * aggregate over the staging tree — never over the dataset. */
   private def computeStats(
       spark: SparkSession, staging: Path, formatTok: String,
-      statsCols: Seq[String]): Map[String, StagedStats] = {
-    if (statsCols.isEmpty) return Map.empty
+      statsCols: Seq[String],
+      bloomCols: Seq[String] = Seq.empty): Map[String, StagedStats] = {
+    if (statsCols.isEmpty && bloomCols.isEmpty) return Map.empty
     import org.apache.spark.sql.functions._
     val df = spark.read.format(sinkFormatOf(formatTok).name)
       .load(staging.toString)
-    val aggs = statsCols.flatMap(c => Seq(
+    val aggs = (statsCols.flatMap(c => Seq(
       min(qc(c)).cast("string").as(s"__min_$c"),
       max(qc(c)).cast("string").as(s"__max_$c"),
-      count(qc(c)).as(s"__cnt_$c"))) :+ count(lit(1)).as("__rows")
+      count(qc(c)).as(s"__cnt_$c"))) :+ count(lit(1)).as("__rows")) ++
+      bloomCols.map(c =>
+        graft.functions.bloom.bloom_sketch(qc(c)).as(s"__bloom_$c"))
     val stagingPrefix = staging.toUri.getPath
+    val rowsIdx = 1 + 3 * statsCols.length
     df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -628,7 +676,7 @@ object Snapshots {
         // so the keys line up exactly
         val rel = java.net.URI.create(r.getString(0)).getPath
           .stripPrefix(stagingPrefix).stripPrefix("/")
-        val rows = r.getLong(1 + 3 * statsCols.length)
+        val rows = r.getLong(rowsIdx)
         rel -> StagedStats(
           statsCols.zipWithIndex.map { case (c, i) =>
             c -> ((Option(r.getString(1 + 3 * i)),
@@ -637,6 +685,9 @@ object Snapshots {
           rows,
           statsCols.zipWithIndex.map { case (c, i) =>
             c -> (rows - r.getLong(3 + 3 * i))
+          }.toMap,
+          bloomCols.zipWithIndex.map { case (c, i) =>
+            c -> r.getAs[Array[Byte]](rowsIdx + 1 + i)
           }.toMap)
       }.toMap
   }
@@ -676,6 +727,51 @@ object Snapshots {
           }
       }
     }
+
+  /** Drop entries whose per-file Bloom filter PROVES an equality bound
+    * absent — the point-lookup prune min/max ranges cannot make on
+    * interleaved high-cardinality keys (a GDPR `WHERE user_id = X`
+    * against unclustered appends). Applies only to [[StatRange]]s with
+    * `lower == upper` on declared bloomColumns; the referenced batch
+    * sidecars load in ONE small driver-side read, and only when such a
+    * bound is present — every other read path pays nothing. Timestamp
+    * columns work here (hashing is on internal values — no tz-rendered
+    * strings). Missing refs/filters keep the file; a Bloom "maybe" keeps
+    * the file — pruning is a superset guarantee, as ever. */
+  private def bloomPrune(
+      spark: SparkSession, qroot: Path, m: Resolved,
+      entries: Seq[FileEntry], ranges: Seq[StatRange]): Seq[FileEntry] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val eqs = ranges.filter(r => m.bloomCols.contains(r.column) &&
+      r.nullness.isEmpty && r.lower.isDefined && r.lower == r.upper)
+    if (eqs.isEmpty) return entries
+    val schema = m.schema.getOrElse(return entries)
+    val refs = entries.flatMap(_.bloomRef).distinct
+    if (refs.isEmpty) return entries
+    // each bound as the INTERNAL value under the column's recorded type —
+    // the exact bytes the write-side aggregate hashed
+    val bounds = eqs.flatMap { r =>
+      schema.fields.find(_.name == r.column).flatMap { fd =>
+        val lit = Literal.create(r.lower.get)
+        val cast = Cast(lit, fd.dataType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone))
+        if (!cast.resolved) None
+        else Option(cast.eval()).map(iv => (r.column, iv, fd.dataType))
+      }
+    }
+    if (bounds.isEmpty) return entries
+    val filters = spark.read
+      .parquet(refs.map(r => new Path(bloomsDir(qroot), r).toString): _*)
+      .collect()
+      .map(row => (row.getString(0), row.getString(1)) ->
+        row.getAs[Array[Byte]](2)).toMap
+    entries.filter { e =>
+      e.bloomRef.isEmpty || bounds.forall { case (col, iv, dt) =>
+        filters.get((e.rel, col))
+          .forall(img => graft.functions.BloomBuf.mightContain(img, iv, dt))
+      }
+    }
+  }
 
   /** Whether equality-delete `d` can suppress rows in data file `e`:
     * strictly-older files only (seq ordering — a merge's own upserts and
@@ -746,9 +842,12 @@ object Snapshots {
     // is dropped and the join shuffles; correctness is identical.
     val limit = spark.conf.getOption("graft.snapshots.broadcastDeleteBytes")
       .map(_.toLong).getOrElse(64L << 20)
-    val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sizes come from the manifest when recorded (zero RPCs on the read
+    // path); only pre-recording entries fall back to the filesystem
+    lazy val fs = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val delSize = m.deletes.map(d => d.rel ->
-      fs.getFileStatus(new Path(delBase, d.rel)).getLen).toMap
+      (if (d.bytes >= 0) d.bytes
+       else fs.getFileStatus(new Path(delBase, d.rel)).getLen)).toMap
     val classes = kept.groupBy(e =>
       m.deletes.filter(deleteApplies(_, e, schema)).map(_.rel).sorted)
     classes.toSeq.sortBy(_._1.mkString(","))
@@ -803,10 +902,11 @@ object Snapshots {
         graft.schema.SchemaEvolution.Widen,
       statsColumns: Seq[String] = Seq.empty,
       format: Option[SinkFormat] = None, codec: Option[String] = None,
-      batchTag: Option[String] = None): Int =
+      batchTag: Option[String] = None,
+      bloomColumns: Seq[String] = Seq.empty): Int =
     writeInternal(df, root, partitionFields, mode, mode.name, evolution,
       touchedDirs = None, batchTag = batchTag, statsColumns = statsColumns,
-      format = format, codec = codec)
+      format = format, codec = codec, bloomColumns = bloomColumns)
 
   private def writeInternal(
       df: DataFrame, root: String, partitionFields: Seq[String],
@@ -821,7 +921,8 @@ object Snapshots {
       deleteKeys: Option[(DataFrame, Seq[String])] = None,
       dropDeletes: Boolean = false,
       extraRemoves: Seq[String] = Seq.empty,
-      branch: Option[String] = None): Int = {
+      branch: Option[String] = None,
+      bloomColumns: Seq[String] = Seq.empty): Int = {
     require(partitionFields.nonEmpty, "snapshot datasets are partitioned")
     stageAs.foreach { n =>
       requireRefName("staged write", n)
@@ -883,6 +984,15 @@ object Snapshots {
         p.statsCols
       case None => statsColumns
     }
+    val bloomCols = prev match {
+      case Some(p) =>
+        require(bloomColumns.isEmpty || bloomColumns == p.bloomCols,
+          s"dataset at $root records bloom filters for " +
+            s"${p.bloomCols.mkString(",")}; cannot switch to " +
+            bloomColumns.mkString(","))
+        p.bloomCols
+      case None => bloomColumns
+    }
     // the partition SPEC is a dataset property too: a write under a
     // different spec would route files into a second directory layout the
     // manifest can't distinguish — so every write targets the CURRENT
@@ -926,6 +1036,16 @@ object Snapshots {
       require(isStatType(fld.dataType),
         s"stat column $c has non-orderable-atomic type ${fld.dataType}")
     }
+    bloomCols.foreach { c =>
+      require(!partitionFields.contains(c),
+        s"bloom column $c is a partition field — partition pruning " +
+          "already covers it")
+      val fld = contract.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"bloom column $c is not in the dataset schema"))
+      require(isStatType(fld.dataType),
+        s"bloom column $c has non-atomic type ${fld.dataType}")
+    }
     // equality-delete key columns are a dataset property while any delete
     // file is live: every reader anti-joins on ONE key set
     deleteKeys.foreach { case (_, kc) =>
@@ -947,12 +1067,17 @@ object Snapshots {
     val w0 = df.write.mode("overwrite").partitionBy(partitionFields: _*)
       .format(fmtObj.name)
     dsCodec.fold(w0)(c => w0.option("compression", c)).save(staging.toString)
-    val staged = listDataFiles(f, staging)
+    // file lengths ride the same listing (zero extra RPCs) and are
+    // recorded per entry: MoR read-side broadcast sizing and relation
+    // size estimates answer from the manifest instead of the filesystem
+    val stagedInfo = listDataFilesWithMtime(f, staging)
+    val staged = stagedInfo.map(_._1)
+    val stagedLen = stagedInfo.map(t => t._1 -> t._3).toMap
     // per-file stats while the batch is still small and local to this
     // write — one batch-sized pass, keyed by job-unique part-file name
     val statsByName =
       if (staged.isEmpty) Map.empty[String, StagedStats]
-      else computeStats(spark, staging, fmtTok, statsCols)
+      else computeStats(spark, staging, fmtTok, statsCols, bloomCols)
     val stagedDirs = staged.map(parentDirOf).toSet
     // partitions a merge touched but staged nothing back into: every row
     // deleted — they must leave the manifest even with no replacement file
@@ -981,13 +1106,36 @@ object Snapshots {
         (prev.toSeq.flatMap(p =>
           p.files.map(_.seq) ++ p.deletes.map(_.seq)) :+ 0).max + 1
     }
-    val addEntries = staged.map { rel =>
-      val st = statsByName.get(rel)
-      FileEntry(rel, st.fold(Map.empty[String, (Option[String],
-        Option[String])])(_.stats), seq = seq,
-        rows = st.fold(-1L)(_.rows),
-        nulls = st.fold(Map.empty[String, Long])(_.nulls))
-    }
+    // per-file Bloom filters land in ONE batch sidecar under blooms/
+    // (the Iceberg-puffin shape — KBs per file per column would bloat a
+    // text manifest; a sidecar parquet costs one small read per batch at
+    // point-lookup time and nothing otherwise). Crash before the
+    // manifest publish leaves an unreferenced sidecar — vacuum food.
+    val bloomRef: Option[String] =
+      if (bloomCols.isEmpty || staged.isEmpty) None
+      else {
+        import spark.implicits._
+        val rows = statsByName.toSeq.flatMap { case (rel, st) =>
+          st.blooms.toSeq.map { case (c, img) => (rel, c, img) }
+        }
+        val bstage = new Path(qroot,
+          s".stage_${java.util.UUID.randomUUID().toString.take(12)}")
+        rows.toDF("rel", "col", "filter").coalesce(1)
+          .write.parquet(bstage.toString)
+        val parts = listDataFiles(f, bstage)
+        require(parts.length == 1,
+          s"bloom sidecar staging produced ${parts.length} files, expected 1")
+        val rel =
+          s"bl-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
+        f.mkdirs(bloomsDir(qroot))
+        FsOps.renameOrFail(f, new Path(bstage, parts.head),
+          new Path(bloomsDir(qroot), rel))
+        FsOps.deleteIfExists(f, bstage)
+        Some(rel)
+      }
+    val addEntries = staged.map(rel =>
+      entryFor(rel, statsByName.get(rel), seq, stagedLen.getOrElse(rel, -1L),
+        bloomRef))
     // stage the equality-delete file (merge-on-read): the batch's key
     // rows, one small file in the dataset's format under deletes/, with
     // per-key min/max recorded so reads and folds can skip clean files
@@ -1001,17 +1149,17 @@ object Snapshots {
           s".stage_${java.util.UUID.randomUUID().toString.take(12)}")
         val dw = cast.coalesce(1).write.mode("overwrite").format(fmtObj.name)
         dsCodec.fold(dw)(c => dw.option("compression", c)).save(dstage.toString)
-        val parts = listDataFiles(f, dstage)
+        val parts = listDataFilesWithMtime(f, dstage)
         require(parts.length == 1,
           s"delete-key staging produced ${parts.length} files, expected 1")
         val dstats = computeStats(spark, dstage, fmtTok, kc)
           .values.headOption.map(_.stats).getOrElse(Map.empty)
-        val rel = s"del-s$id-${parts.head}"
+        val rel = s"del-s$id-${parts.head._1}"
         f.mkdirs(deletesDir(qroot))
-        FsOps.renameOrFail(f, new Path(dstage, parts.head),
+        FsOps.renameOrFail(f, new Path(dstage, parts.head._1),
           new Path(deletesDir(qroot), rel))
         FsOps.deleteIfExists(f, dstage)
-        Seq(DeleteEntry(rel, id, kc, dstats))
+        Seq(DeleteEntry(rel, id, kc, dstats, bytes = parts.head._3))
     }
     val prevFiles = prev.map(_.files).getOrElse(Seq.empty)
     val prevDeletes = prev.map(_.deletes).getOrElse(Seq.empty)
@@ -1028,7 +1176,8 @@ object Snapshots {
     val recentTags = (prev.map(_.recentTags).getOrElse(Seq.empty) ++ batchTag)
       .takeRight(MaxRecentTags)
     val meta = SnapMeta(modeLabel, contract, fmtTok, dsCodec, statsCols,
-      batchTag, partitionFields, Some(System.currentTimeMillis()), recentTags)
+      batchTag, partitionFields, Some(System.currentTimeMillis()), recentTags,
+      bloomCols)
     val chainDepth = prev.map(_.chainDepth).getOrElse(0)
     val content =
       if (prev.isEmpty || chainDepth + 1 >= RebaseEvery) {
@@ -1079,7 +1228,8 @@ object Snapshots {
             if (!retryable) throw race
             retryAppendPublish(spark, f, qroot, root, df.schema, evolution,
               partitionFields, modeLabel, fmtTok, dsCodec, statsCols,
-              batchTag, staged, statsByName, race, dAdds, cur)
+              bloomCols, batchTag, staged, statsByName, stagedLen, bloomRef,
+              race, dAdds, cur)
         }
     }
   }
@@ -1109,17 +1259,24 @@ object Snapshots {
     * entry's recorded per-key min/max — which covers the batch's upserts
     * too, [[mergeDeltas]] records ALL batch keys) must be provably
     * disjoint from every data file and delete file the interleaved
-    * winners added, per [[mergeRebaseConflict]]. Disjoint means no
-    * interaction: the rebased result equals either serialization order.
-    * Intersecting (or unprovable — missing stats, a winner's full
+    * winners added AND removed, per [[mergeRebaseConflict]]. The rebase
+    * always equals the winners-then-loser serialization (the re-run
+    * would stage the identical manifest); disjointness additionally
+    * guarantees neither batch invalidated the other's intent — in
+    * particular a concurrent predicate delete or overwrite whose rows
+    * this batch's keys touch aborts rather than silently re-asserting
+    * them. Intersecting (or unprovable — missing stats, a winner's full
     * rebase) aborts loudly. */
   private def retryAppendPublish(
       spark: SparkSession, f: FileSystem, qroot: Path, root: String,
       incoming: StructType, evolution: graft.schema.SchemaEvolution.Policy,
       partitionFields: Seq[String], modeLabel: String, fmtTok: String,
       dsCodec: Option[String], statsCols: Seq[String],
+      bloomCols: Seq[String],
       batchTag: Option[String], staged: Seq[String],
       statsByName: Map[String, StagedStats],
+      stagedLen: Map[String, Long],
+      bloomRef: Option[String],
       firstRace: java.util.ConcurrentModificationException,
       dAdds: Seq[DeleteEntry] = Seq.empty,
       baseCur: Option[Int] = None): Int = {
@@ -1135,7 +1292,7 @@ object Snapshots {
         return cur.get
       prev.foreach { p =>
         val compatible = p.format == fmtTok && p.codec == dsCodec &&
-          p.statsCols == statsCols &&
+          p.statsCols == statsCols && p.bloomCols == bloomCols &&
           (p.partitionCols.isEmpty || p.partitionCols == partitionFields)
         if (!compatible) throw lastRace
       }
@@ -1154,13 +1311,9 @@ object Snapshots {
           throw e
         }
       val id = cur.getOrElse(0) + 1
-      val addEntries = staged.map { rel =>
-        val st = statsByName.get(rel)
-        FileEntry(rel, st.fold(Map.empty[String, (Option[String],
-          Option[String])])(_.stats), seq = id,
-          rows = st.fold(-1L)(_.rows),
-          nulls = st.fold(Map.empty[String, Long])(_.nulls))
-      }
+      val addEntries = staged.map(rel =>
+        entryFor(rel, statsByName.get(rel), id, stagedLen.getOrElse(rel, -1L),
+          bloomRef))
       // the delete entry re-anchors at the new id too: it must keep
       // suppressing everything strictly older, including the winners'
       // files (provably key-disjoint, so suppressing nothing of theirs)
@@ -1170,7 +1323,7 @@ object Snapshots {
           .takeRight(MaxRecentTags)
       val meta = SnapMeta(modeLabel, contract, fmtTok, dsCodec, statsCols,
         batchTag, partitionFields, Some(System.currentTimeMillis()),
-        recentTags)
+        recentTags, bloomCols)
       val chainDepth = prev.map(_.chainDepth).getOrElse(0)
       val content =
         if (prev.isEmpty || chainDepth + 1 >= RebaseEvery)
@@ -1192,10 +1345,15 @@ object Snapshots {
   /** Why a race-losing merge-on-read batch may NOT rebase onto the new
     * head — None when provably safe. Safe means: every interleaved winner
     * manifest (ids in (base, cur]) is a readable DELTA whose added data
-    * files and added delete files are key-range-DISJOINT from this
-    * batch's recorded key range on at least one key column, and no winner
-    * changed the live delete-key contract. Missing stats on either side,
-    * a full (rebased) interleaved manifest (its adds are
+    * files, added delete files, AND removed files/deletes (resolved
+    * against the loser's base state — a predicate delete or overwrite
+    * the batch's keys intersect must abort, the Iceberg row-level
+    * snapshot-isolation validation) are key-range-DISJOINT from this
+    * batch's recorded key range on at least one NON-TIMESTAMP key column
+    * (timestamp stat strings are writer-session-tz renderings — the
+    * [[deleteWhere]] rule — so they can never prove disjointness), and
+    * no winner changed the live delete-key contract. Missing stats on
+    * either side, a full (rebased) interleaved manifest (its changes are
     * unattributable), or an intersecting range all return the reason —
     * conservative, never a silent wrong merge. */
   private def mergeRebaseConflict(
@@ -1211,38 +1369,82 @@ object Snapshots {
         s"${d.keyCols.mkString(",")}, not ${keyCols.mkString(",")}"))
     def dt(c: String): DataType =
       contract.fields.find(_.name == c).map(_.dataType).getOrElse(StringType)
-    // disjoint on ANY key column ⇒ no key can be in both batches
+    // disjoint on ANY tz-safe key column ⇒ no key can be in both batches
     def disjoint(
         theirs: Map[String, (Option[String], Option[String])]): Boolean =
       keyCols.exists { c =>
-        (mine.stats.get(c), theirs.get(c)) match {
+        dt(c) != TimestampType && ((mine.stats.get(c), theirs.get(c)) match {
           case (Some((Some(mlo), Some(mhi))), Some((Some(tlo), Some(thi)))) =>
             statCompare(dt(c), mhi, tlo) < 0 || statCompare(dt(c), thi, mlo) < 0
           case _ => false // missing stats: cannot prove disjoint
-        }
+        })
+      }
+    val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
+    // the base state the loser resolved: removed rels look their key
+    // stats up here (a delta manifest's remove lines are bare paths)
+    lazy val baseState: Option[Resolved] =
+      try baseCur.map(resolve(f, qroot, _, cache))
+      catch {
+        // an interleaved expire reclaimed the base chain: removed rels
+        // can't be attributed — every remove becomes a conflict below
+        case _: IllegalStateException => None
       }
     val interleaved = committedIds(f, qroot, cur)
       .filter(_ > baseCur.getOrElse(0))
-    // row-preserving rewrites hold no NEW keys — their added files carry
-    // rows this batch's delete would have suppressed in the originals
-    // just the same (both have seq < the rebased id), so an interleaved
+      .map(id => readSnapshotFileCached(f, qroot, id, cache))
+    // row-preserving rewrites hold no NEW keys and remove only files
+    // whose rows they re-add verbatim — their files carry rows this
+    // batch's delete would have suppressed in the originals just the
+    // same (both have seq < the rebased id), so an interleaved
     // maintain() never blocks a mergeStream batch's rebase
     val rowPreserving = Set("compact", "fold", "migrate_spec", "evolve_spec")
-    interleaved.filterNot(id =>
-      rowPreserving(readSnapshotFile(f, qroot, id).mode)).foreach { id =>
-      val w = readSnapshotFile(f, qroot, id)
-      if (w.full.isDefined)
-        return Some(s"interleaved snapshot s$id is a full manifest — its " +
-          "own additions cannot be attributed for the key-disjointness " +
-          "check")
-      w.adds.find(e => !disjoint(e.stats)).foreach(e =>
-        return Some(s"interleaved snapshot s$id added data file ${e.rel} " +
-          s"whose recorded key range cannot be proven disjoint from this " +
-          s"batch's (record stats for ${keyCols.mkString(",")} via " +
-          "statsColumns to enable this check)"))
-      w.dAdds.find(d => !disjoint(d.stats)).foreach(d =>
-        return Some(s"interleaved snapshot s$id added equality-delete " +
-          s"${d.rel} whose key range intersects this batch's"))
+    // entries interleaved winners ADDED then possibly removed later —
+    // a later remove's stats may live here rather than in the base
+    val interAdds = scala.collection.mutable.Map.empty[String, FileEntry]
+    val interDAdds = scala.collection.mutable.Map.empty[String, DeleteEntry]
+    interleaved.foreach { w =>
+      (w.adds ++ w.full.getOrElse(Seq.empty)).foreach(e =>
+        interAdds(e.rel) = e)
+      (w.dAdds ++ w.dFull.getOrElse(Seq.empty)).foreach(d =>
+        interDAdds(d.rel) = d)
+      if (rowPreserving(w.mode)) ()
+      else {
+        if (w.full.isDefined)
+          return Some(s"interleaved snapshot s${w.id} is a full manifest " +
+            "— its own changes cannot be attributed for the " +
+            "key-disjointness check")
+        w.adds.find(e => !disjoint(e.stats)).foreach(e =>
+          return Some(s"interleaved snapshot s${w.id} added data file " +
+            s"${e.rel} whose recorded key range cannot be proven disjoint " +
+            s"from this batch's (record stats for ${keyCols.mkString(",")} " +
+            "via statsColumns to enable this check)"))
+        w.dAdds.find(d => !disjoint(d.stats)).foreach(d =>
+          return Some(s"interleaved snapshot s${w.id} added " +
+            s"equality-delete ${d.rel} whose key range intersects this " +
+            "batch's"))
+        // REMOVED data files: a winner that deleted or replaced rows
+        // (delete_where, overwrite, CoW merge, rollback) conflicts when
+        // this batch's keys can touch the removed rows — rebasing would
+        // re-assert rows the winner just removed without the check
+        w.removes.foreach { rel =>
+          val entry = interAdds.get(rel)
+            .orElse(baseState.flatMap(_.files.find(_.rel == rel)))
+          if (!entry.exists(e => disjoint(e.stats)))
+            return Some(s"interleaved snapshot s${w.id} removed data file " +
+              s"$rel whose key range cannot be proven disjoint from this " +
+              "batch's")
+        }
+        // REMOVED equality-deletes outside a fold resurrect suppressed
+        // rows (rollback does this) — same rule
+        w.dRemoves.foreach { rel =>
+          val entry = interDAdds.get(rel)
+            .orElse(baseState.flatMap(_.deletes.find(_.rel == rel)))
+          if (!entry.exists(d => disjoint(d.stats)))
+            return Some(s"interleaved snapshot s${w.id} removed " +
+              s"equality-delete $rel whose key range cannot be proven " +
+              "disjoint from this batch's")
+        }
+      }
     }
     None
   }
@@ -1330,7 +1532,7 @@ object Snapshots {
     val meta = SnapMeta("rollback",
       target.schema.getOrElse(StructType(Seq.empty)), target.format,
       target.codec, target.statsCols, None, target.partitionCols,
-      Some(System.currentTimeMillis()), live.recentTags)
+      Some(System.currentTimeMillis()), live.recentTags, target.bloomCols)
     val id = cur + 1
     val content =
       if (live.chainDepth + 1 >= RebaseEvery)
@@ -1639,7 +1841,7 @@ object Snapshots {
       // key-range-pruned everywhere): drop the entries metadata-only
       val meta = SnapMeta("fold", schema, m.format, m.codec, m.statsCols,
         None, m.partitionCols, Some(System.currentTimeMillis()),
-        m.recentTags)
+        m.recentTags, m.bloomCols)
       val nid = id + 1
       val content =
         if (m.chainDepth + 1 >= RebaseEvery)
@@ -1772,25 +1974,32 @@ object Snapshots {
     // schema-less datasets skip derivation — no pruning, never wrong
     // pruning)
     val derived = m.schema.toSeq.flatMap { sc =>
-      // TimestampType stat columns derive NOTHING: the recorded min/max
-      // strings were rendered under the WRITING session's timezone, and a
-      // deleting session configured differently would compare shifted
-      // bounds — wrongly stat-pruning files that hold matches, silently
-      // leaving rows undeleted. No pruning is the only tz-safe answer
-      // (the exact discovery scan still names the precise rewrite set);
-      // date/string/numeric renderings are tz-independent and keep
-      // deriving.
-      val tzSafeCols = m.statsCols.filterNot(c =>
-        sc.fields.exists(fd => fd.name == c && fd.dataType == TimestampType))
+      // ranges derive over stat AND bloom columns (a bloom-only column's
+      // equality bound must reach the bloom prune below)
+      val rangeCols = (m.statsCols ++ m.bloomCols).distinct
       spark.createDataFrame(new java.util.ArrayList[Row](), sc)
         .filter(condition).queryExecution.analyzed.collect {
           case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            statRangesFromCondition(fl.condition, tzSafeCols,
+            statRangesFromCondition(fl.condition, rangeCols,
               spark.sessionState.conf.sessionLocalTimeZone,
               nullCols = m.statsCols)
         }.flatten
     }
-    val candidates = m.files.filter(e => survives(e, derived, schema))
+    // TimestampType columns STAT-prune NOTHING: the recorded min/max
+    // strings were rendered under the WRITING session's timezone, and a
+    // deleting session configured differently would compare shifted
+    // bounds — wrongly stat-pruning files that hold matches, silently
+    // leaving rows undeleted. No range pruning is the only tz-safe
+    // answer (the exact discovery scan still names the precise rewrite
+    // set); date/string/numeric renderings are tz-independent and keep
+    // pruning, null-count prunes are count-based and always safe — and
+    // the BLOOM prune below hashes internal values, so timestamp
+    // EQUALITY bounds do prune there.
+    val statSafe = derived.filter(r => r.nullness.isDefined ||
+      !schema.fields.exists(fd =>
+        fd.name == r.column && fd.dataType == TimestampType))
+    val candidates = bloomPrune(spark, qroot, m,
+      m.files.filter(e => survives(e, statSafe, schema)), derived)
     if (candidates.isEmpty) return None
     // exact discovery: which candidates actually HOLD matching rows — one
     // column-pruned scan over the stat-surviving files only. The RAW scan,
@@ -1889,7 +2098,7 @@ object Snapshots {
     }
     val meta = SnapMeta("evolve_spec", schema, m.format, m.codec,
       m.statsCols, None, newSpec, Some(System.currentTimeMillis()),
-      m.recentTags)
+      m.recentTags, m.bloomCols)
     val id = cur + 1
     val content =
       if (m.chainDepth + 1 >= RebaseEvery)
@@ -1984,11 +2193,16 @@ object Snapshots {
       .map(resolve(f, qroot, _, cache))
     // pending staged writes and live branches reference files too — a
     // branch-only file is garbage only after dropBranch
-    val (branchRefs, branchDelRefs) = branchFileRefs(f, qroot)
+    val (branchRefs, branchDelRefs, branchBloomRefs) =
+      branchFileRefs(f, qroot)
+    val (stagedRefs, stagedBloomRefs) = stagedFileRefs(f, qroot)
     val referenced = committedRes.flatMap(_.files.map(_.rel)).toSet ++
-      stagedFileRefs(f, qroot) ++ branchRefs
+      stagedRefs ++ branchRefs
     val referencedDel = committedRes.flatMap(_.deletes.map(_.rel)).toSet ++
       branchDelRefs
+    val referencedBloom =
+      committedRes.flatMap(_.files.flatMap(_.bloomRef)).toSet ++
+        stagedBloomRefs ++ branchBloomRefs
     // orphan snapshot manifests (crash between snapshot file and pointer
     // flip): never state, reclaim so they can't shadow a future write
     allManifestIds(f, qroot).filter(id => cur.forall(_ < id)).foreach { id =>
@@ -2000,7 +2214,7 @@ object Snapshots {
     val orphans =
       if (f.exists(data))
         listDataFilesWithMtime(f, data)
-          .collect { case (rel, mtime)
+          .collect { case (rel, mtime, _)
             if !referenced(rel) && mtime < cutoff => rel }
       else Seq.empty
     orphans.foreach(rel => FsOps.deleteIfExists(f, new Path(data, rel)))
@@ -2015,15 +2229,26 @@ object Snapshots {
     val orphanDels =
       if (f.exists(dDir))
         listDataFilesWithMtime(f, dDir)
-          .collect { case (rel, mtime)
+          .collect { case (rel, mtime, _)
             if !referencedDel(rel) && mtime < cutoff => rel }
       else Seq.empty
     orphanDels.foreach(rel => FsOps.deleteIfExists(f, new Path(dDir, rel)))
+    // orphan bloom sidecars (a crashed write's, or left by expire) behind
+    // the same age grace
+    val bDir = bloomsDir(qroot)
+    val orphanBlooms =
+      if (f.exists(bDir))
+        listDataFilesWithMtime(f, bDir)
+          .collect { case (rel, mtime, _)
+            if !referencedBloom(rel) && mtime < cutoff => rel }
+      else Seq.empty
+    orphanBlooms.foreach(rel =>
+      FsOps.deleteIfExists(f, new Path(bDir, rel)))
     val stages = Option(f.listStatus(qroot)).getOrElse(Array.empty)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage_")
         && s.getModificationTime < cutoff)
     stages.foreach(s => FsOps.deleteIfExists(f, s.getPath))
-    (orphans.length + orphanDels.length, stages.length)
+    (orphans.length + orphanDels.length + orphanBlooms.length, stages.length)
   }
 
   /**
@@ -2315,6 +2540,32 @@ object Snapshots {
           "write pins the contract"))
   }
 
+  /** Total bytes of a snapshot's live data files, answered from the
+    * manifest's recorded per-file lengths alone — None when any live
+    * file predates length recording. What
+    * [[graft.sources.SnapshotRelation]] hands Catalyst as `sizeInBytes`,
+    * so a small snapshot table becomes broadcast-joinable without a
+    * filesystem walk. */
+  def liveDataBytes(
+      spark: SparkSession, root: String,
+      asOf: Option[Int] = None): Option[Long] = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val id = asOf.orElse(currentSnapshot(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no snapshot published under $root"))
+    val files = resolve(f, qroot, id).files
+    if (files.forall(_.bytes >= 0)) Some(files.map(_.bytes).sum) else None
+  }
+
+  /** The partition spec in force at the current snapshot (the manifest's
+    * `partitionby=` line) — one manifest read; empty for legacy datasets
+    * that predate recorded specs. What SQL `INSERT INTO` routes under. */
+  def recordedPartitionCols(spark: SparkSession, root: String): Seq[String] = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val id = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no snapshot published under $root"))
+    readSnapshotFile(f, qroot, id).partitionCols
+  }
+
   /** Register a snapshot dataset in the session catalog (metastore) as an
     * EXTERNAL table backed by [[graft.sources.SnapshotSource]], making the
     * landing zone plain-SQL-queryable: `SELECT ... FROM db.tbl` resolves
@@ -2388,10 +2639,13 @@ object Snapshots {
     prune.foreach(r => require(
       schema.forall(s => s.fields.exists(_.name == r.column)),
       s"prune column ${r.column} is not in the snapshot schema"))
-    val kept =
+    val statKept =
       if (prune.isEmpty) m.files
       else m.files.filter(e =>
         survives(e, prune, schema.getOrElse(StructType(Seq.empty))))
+    val kept =
+      if (prune.isEmpty) statKept
+      else bloomPrune(spark, qroot, m, statKept, prune)
     if (kept.isEmpty) {
       // a legitimately-empty state (or a fully-pruned read) is an empty
       // frame under the contract — never an unreadable dataset
@@ -2450,13 +2704,17 @@ object Snapshots {
           Some(m.files.map(_.rows).sum)
         else if (m.files.isEmpty) Some(0L)
         else None
+      val nBytes =
+        if (m.files.forall(_.bytes >= 0)) Some(m.files.map(_.bytes).sum)
+        else None
       (id, m.mode, m.ts.map(new java.sql.Timestamp(_)),
         m.partitionCols.mkString(","), m.files.length.toLong,
         m.files.map(e => parentDirOf(e.rel)).distinct.length.toLong,
-        m.deletes.length.toLong, m.batchTag, cur.contains(id), nRows)
+        m.deletes.length.toLong, m.batchTag, cur.contains(id), nRows,
+        nBytes)
     }.toDF("snapshot_id", "mode", "published_at", "partition_spec",
       "n_files", "n_partitions", "n_delete_files", "batch_tag", "is_current",
-      "n_rows")
+      "n_rows", "n_bytes")
   }
 
   // ------------------------------------------------------------- tags
@@ -2609,7 +2867,8 @@ object Snapshots {
     val m = resolve(f, qroot, forkId)
     val meta = SnapMeta("branch_fork",
       m.schema.getOrElse(StructType(Seq.empty)), m.format, m.codec,
-      m.statsCols, None, m.partitionCols, Some(System.currentTimeMillis()))
+      m.statsCols, None, m.partitionCols, Some(System.currentTimeMillis()),
+      bloomCols = m.bloomCols)
     f.mkdirs(bdir)
     FsOps.atomicWrite(f, new Path(bdir, "s1"),
       renderManifest(meta, None, Seq.empty, Seq.empty, Some(m.files),
@@ -2724,7 +2983,7 @@ object Snapshots {
       b.schema.getOrElse(StructType(Seq.empty)), b.format, b.codec,
       b.statsCols, Some(mergeTag), b.partitionCols,
       Some(System.currentTimeMillis()),
-      (live.recentTags :+ mergeTag).takeRight(MaxRecentTags))
+      (live.recentTags :+ mergeTag).takeRight(MaxRecentTags), b.bloomCols)
     val content =
       if (live.chainDepth + 1 >= RebaseEvery)
         renderManifest(meta, None, Seq.empty, Seq.empty, Some(merged),
@@ -2752,13 +3011,24 @@ object Snapshots {
       spark: SparkSession, f: FileSystem, qroot: Path, root: String,
       name: String, bdir: Path, head: Int, fork: Int, cur0: Option[Int],
       mergeTag: String): Int = {
-    // crash recovery, two layers: (1) a RETAINED manifest past the fork
+    // crash recovery, three layers: (1) a RETAINED manifest past the fork
     // carries this incarnation's merge tag — finish the cleanup and
     // return ITS id (a rebase-merge need not land at fork+1);
-    def taggedMergeId(cur: Option[Int]): Option[Int] =
-      committedIds(f, qroot, cur).filter(_ > fork)
+    // (1b) the merge tag still rides the HEAD's ROLLING TAG WINDOW —
+    // which maintenance (compact/fold) and expire's rebase-in-place both
+    // carry forward verbatim, so this layer survives the expired-tagged-
+    // manifest case even when a compact has also rewritten the merged
+    // rows into new part files (the id the tag landed at is no longer
+    // knowable; the current head, where the merge is visible, returns)
+    def taggedMergeId(cur: Option[Int]): Option[Int] = {
+      val retained = committedIds(f, qroot, cur)
+      retained.filter(_ > fork)
         .find(id => readSnapshotFile(f, qroot, id).batchTag
           .contains(mergeTag))
+        .orElse(retained.lastOption.filter(head =>
+          readSnapshotFile(f, qroot, head).effectiveRecentTags
+            .contains(mergeTag)))
+    }
     taggedMergeId(cur0).foreach { id =>
       dropBranch(spark, root, name); return id
     }
@@ -2850,7 +3120,8 @@ object Snapshots {
       val meta = SnapMeta("branch_merge", contract, live.format, live.codec,
         live.statsCols, Some(mergeTag), live.partitionCols,
         Some(System.currentTimeMillis()),
-        (live.recentTags :+ mergeTag).takeRight(MaxRecentTags))
+        (live.recentTags :+ mergeTag).takeRight(MaxRecentTags),
+        live.bloomCols)
       val content =
         if (live.chainDepth + 1 >= RebaseEvery)
           renderManifest(meta, None, Seq.empty, Seq.empty,
@@ -2887,11 +3158,12 @@ object Snapshots {
     * branch fork state shares files with main manifests that may expire
     * first. */
   private def branchFileRefs(
-      f: FileSystem, qroot: Path): (Set[String], Set[String]) = {
+      f: FileSystem, qroot: Path): (Set[String], Set[String], Set[String]) = {
     val dir = branchesDir(qroot)
-    if (!f.exists(dir)) return (Set.empty, Set.empty)
+    if (!f.exists(dir)) return (Set.empty, Set.empty, Set.empty)
     val fs = Set.newBuilder[String]
     val ds = Set.newBuilder[String]
+    val bs = Set.newBuilder[String]
     f.listStatus(dir).filter(_.isDirectory).foreach { st =>
       val name = st.getPath.getName
       branchHeadOpt(f, qroot, name).foreach { h =>
@@ -2901,12 +3173,14 @@ object Snapshots {
         // — one small-file read per id, no chain replay
         (1 to h).foreach { i =>
           val raw = readSnapshotFileIn(f, st.getPath, i)
-          fs ++= (raw.adds ++ raw.full.getOrElse(Seq.empty)).map(_.rel)
+          val entries = raw.adds ++ raw.full.getOrElse(Seq.empty)
+          fs ++= entries.map(_.rel)
+          bs ++= entries.flatMap(_.bloomRef)
           ds ++= (raw.dAdds ++ raw.dFull.getOrElse(Seq.empty)).map(_.rel)
         }
       }
     }
-    (fs.result(), ds.result())
+    (fs.result(), ds.result(), bs.result())
   }
 
   /** Publish one BRANCH manifest and flip the branch pointer — the
@@ -3103,14 +3377,19 @@ object Snapshots {
   /** Files a pending staged write itself lists (adds or full entries) —
     * the set [[vacuum]] must treat as referenced. Parent-chain files are
     * already referenced through the committed manifests. */
-  private def stagedFileRefs(f: FileSystem, qroot: Path): Set[String] = {
+  private def stagedFileRefs(
+      f: FileSystem, qroot: Path): (Set[String], Set[String]) = {
     val dir = stagedDir(qroot)
-    if (!f.exists(dir)) Set.empty
-    else f.listStatus(dir).filterNot(_.getPath.getName.startsWith("."))
-      .flatMap { s =>
-        val (_, m) = readStagedFile(f, qroot, s.getPath.getName)
-        (m.adds ++ m.full.getOrElse(Seq.empty)).map(_.rel)
-      }.toSet
+    if (!f.exists(dir)) (Set.empty, Set.empty)
+    else {
+      val entries = f.listStatus(dir)
+        .filterNot(_.getPath.getName.startsWith("."))
+        .flatMap { s =>
+          val (_, m) = readStagedFile(f, qroot, s.getPath.getName)
+          m.adds ++ m.full.getOrElse(Seq.empty)
+        }
+      (entries.map(_.rel).toSet, entries.flatMap(_.bloomRef).toSet)
+    }
   }
 
   /** Committed ids pending staged writes were computed against — pinned
@@ -3201,7 +3480,7 @@ object Snapshots {
         val meta = SnapMeta(raw.mode,
           raw.schema.getOrElse(StructType(Seq.empty)), raw.format,
           raw.codec, raw.statsCols, raw.batchTag, raw.partitionCols, raw.ts,
-          raw.effectiveRecentTags)
+          raw.effectiveRecentTags, raw.bloomCols)
         FsOps.atomicWrite(f, new Path(snapshotsDir(qroot), s"s$k"),
           renderManifest(meta, None, Seq.empty, Seq.empty, Some(res.files),
             dFull = res.deletes))
@@ -3217,6 +3496,8 @@ object Snapshots {
     val expiredRes = expired.map(resolve(f, qroot, _, cache))
     val expiredRefs = expiredRes.flatMap(_.files.map(_.rel)).toSet
     val expiredDelRefs = expiredRes.flatMap(_.deletes.map(_.rel)).toSet
+    val expiredBloomRefs =
+      expiredRes.flatMap(_.files.flatMap(_.bloomRef)).toSet
     // manifests first (a manifest-less snapshot already fails loudly) —
     // then the file sweep; a crash between degrades to orphan files
     expired.foreach(id =>
@@ -3224,16 +3505,21 @@ object Snapshots {
     val keptRes = kept.map(resolve(f, qroot, _, cache))
     // live branches reference shared-pool files (their fork state overlaps
     // expiring main manifests) — never expire's to delete
-    val (branchRefs, branchDelRefs) = branchFileRefs(f, qroot)
+    val (branchRefs, branchDelRefs, branchBloomRefs) =
+      branchFileRefs(f, qroot)
     val referenced = keptRes.flatMap(_.files.map(_.rel)).toSet ++ branchRefs
     val referencedDel = keptRes.flatMap(_.deletes.map(_.rel)).toSet ++
       branchDelRefs
+    val referencedBloom =
+      keptRes.flatMap(_.files.flatMap(_.bloomRef)).toSet ++ branchBloomRefs
     val data = dataDir(qroot)
     val dead = (expiredRefs -- referenced).toSeq.sorted
     dead.foreach(rel => FsOps.deleteIfExists(f, new Path(data, rel)))
     val deadDel = (expiredDelRefs -- referencedDel).toSeq.sorted
     deadDel.foreach(rel =>
       FsOps.deleteIfExists(f, new Path(deletesDir(qroot), rel)))
+    (expiredBloomRefs -- referencedBloom).toSeq.sorted.foreach(rel =>
+      FsOps.deleteIfExists(f, new Path(bloomsDir(qroot), rel)))
     // prune emptied partition directories (metadata hygiene — an empty
     // name=value dir would otherwise surface a phantom partition value)
     dead.map(parentDirOf).distinct.filter(_.nonEmpty).foreach { d =>

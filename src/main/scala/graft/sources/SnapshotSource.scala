@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.sink.Snapshots
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{StructType, TimestampType}
 
@@ -29,16 +29,26 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
  *    flow through without a per-row Row conversion.
  *
  * Options: `path` (the dataset root — set by `LOCATION`), `asOf` (pin a
- * snapshot id — a time-travel table), `tag` (pin a named tag). Writes go
- * through the [[Snapshots]] API, which owns the commit protocol — this
- * source is deliberately read-only.
+ * snapshot id — a time-travel table), `tag` (pin a named tag),
+ * `partitionBy` (comma-separated — required only when a WRITE creates
+ * the dataset; afterwards the recorded spec governs).
+ *
+ * Writes route through [[Snapshots.write]] — the API that owns the
+ * commit protocol — in two SQL-native shapes: `INSERT INTO` /
+ * `INSERT OVERWRITE` on a registered table ([[InsertableRelation]]:
+ * append / dynamic partition overwrite, exactly the sink's
+ * CREATE_OR_APPEND semantics made non-destructive), and
+ * `df.write.format("graft-snapshot")` ([[CreatableRelationProvider]]:
+ * SaveMode.Append / Overwrite map the same way; ErrorIfExists / Ignore
+ * honor existing state). Time-travel-pinned tables are read-only views
+ * of history and reject inserts loudly.
  */
-class SnapshotSource extends RelationProvider with DataSourceRegister {
+class SnapshotSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
 
-  override def createRelation(
-      sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation = {
+  private def parse(parameters: Map[String, String])
+      : (String, Option[Int], Option[String], Seq[String]) = {
     val byLower = parameters.map { case (k, v) => k.toLowerCase -> v }
     val root = byLower.getOrElse("path", byLower.getOrElse("root",
       throw new IllegalArgumentException(
@@ -48,14 +58,78 @@ class SnapshotSource extends RelationProvider with DataSourceRegister {
     val tag = byLower.get("tag")
     require(asOf.isEmpty || tag.isEmpty,
       "asOf and tag are mutually exclusive")
+    val partitionBy = byLower.get("partitionby").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    (root, asOf, tag, partitionBy)
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val (root, asOf, tag, _) = parse(parameters)
     new SnapshotRelation(sqlContext, root, asOf, tag)
+  }
+
+  /** `df.write.format("graft-snapshot")` — lands one snapshot through
+    * the full write discipline (staging, stats, schema-evolution gate,
+    * atomic pointer flip). */
+  override def createRelation(
+      sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val (root, asOf, tag, partitionBy) = parse(parameters)
+    require(asOf.isEmpty && tag.isEmpty,
+      "cannot write through a time-travel-pinned (asOf/tag) reference — " +
+        "it is a read-only view of history")
+    val spark = sqlContext.sparkSession
+    val existing = Snapshots.currentSnapshot(spark, root)
+    val fields = existing match {
+      case Some(_) =>
+        val recorded = SnapshotSource.recordedPartitioning(spark, root)
+        require(partitionBy.isEmpty || partitionBy == recorded,
+          s"dataset at $root is partitioned by ${recorded.mkString(",")}; " +
+            s"cannot write under ${partitionBy.mkString(",")}")
+        recorded
+      case None =>
+        require(partitionBy.nonEmpty,
+          "creating a snapshot dataset through the writer needs " +
+            "partitionBy (comma-separated partition fields)")
+        partitionBy
+    }
+    mode match {
+      case SaveMode.Append =>
+        Snapshots.write(data, root, fields): Unit
+      case SaveMode.Overwrite =>
+        Snapshots.write(data, root, fields,
+          Snapshots.SnapOverwritePartitions): Unit
+      case SaveMode.ErrorIfExists =>
+        existing.foreach(id => throw new IllegalStateException(
+          s"dataset at $root already exists (current s$id) and " +
+            "SaveMode is ErrorIfExists"))
+        Snapshots.write(data, root, fields): Unit
+      case SaveMode.Ignore =>
+        if (existing.isEmpty) Snapshots.write(data, root, fields): Unit
+    }
+    new SnapshotRelation(sqlContext, root, None, None)
+  }
+}
+
+object SnapshotSource {
+  /** The partition spec the dataset records (the current manifest's
+    * `partitionby=` line) — what `INSERT INTO` writes route under. */
+  private[sources] def recordedPartitioning(
+      spark: org.apache.spark.sql.SparkSession, root: String): Seq[String] = {
+    val spec = Snapshots.recordedPartitionCols(spark, root)
+    require(spec.nonEmpty,
+      s"dataset at $root predates recorded partition specs — one write " +
+        "through the Snapshots API pins it before SQL inserts can route")
+    spec
   }
 }
 
 class SnapshotRelation(
     val sqlContext: SQLContext, root: String, asOf: Option[Int],
     tag: Option[String])
-    extends BaseRelation with PrunedFilteredScan {
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark = sqlContext.sparkSession
 
@@ -75,11 +149,32 @@ class SnapshotRelation(
   // round-trip (the documented external-connector fast path)
   override def needConversion: Boolean = false
 
+  /** Recorded live byte size from the manifest (no filesystem walk), so
+    * Catalyst can broadcast a small snapshot table; datasets predating
+    * byte recording fall back to the conservative session default. */
+  override def sizeInBytes: Long =
+    Snapshots.liveDataBytes(spark, root, pinnedId)
+      .getOrElse(super.sizeInBytes)
+
   /** All filters are also evaluated inside the assembled scan (and
     * re-checked by Spark above it) — this relation uses them for
     * file-level skipping, never as the sole evaluator. */
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters
+
+  /** `INSERT INTO` (append) / `INSERT OVERWRITE` (dynamic partition
+    * overwrite) on a registered table — routed under the RECORDED
+    * partition spec through the full snapshot write discipline. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(asOf.isEmpty && tag.isEmpty,
+      "cannot INSERT into a time-travel-pinned (asOf/tag) table — it is " +
+        "a read-only view of history")
+    val fields = SnapshotSource.recordedPartitioning(spark, root)
+    val mode =
+      if (overwrite) Snapshots.SnapOverwritePartitions
+      else Snapshots.SnapAppend
+    Snapshots.write(data, root, fields, mode): Unit
+  }
 
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {

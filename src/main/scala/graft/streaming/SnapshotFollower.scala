@@ -261,11 +261,20 @@ object SnapshotFollower {
       false
     }
 
-    /** Stop the loop and rethrow its failure if one occurred. */
-    def stop(): Unit = {
+    /** Stop the loop and rethrow its failure if one occurred. Waits for
+      * any in-flight batch to finish; if it is still running after the
+      * timeout this FAILS rather than returning as if stopped — the
+      * caller must not start a second consumer on the checkpoint while
+      * the first may still commit. */
+    def stop(timeoutMs: Long = 60000L): Unit = {
       running = false
       wake.synchronized(wake.notifyAll())
-      thread.join(60000)
+      thread.join(timeoutMs)
+      if (thread.isAlive)
+        throw new IllegalStateException(
+          s"follower loop did not stop within ${timeoutMs}ms — a batch " +
+            "is still in flight; wait for it (stop again with a larger " +
+            "timeout) before reusing this checkpoint")
       failed.foreach(throw _)
     }
   }

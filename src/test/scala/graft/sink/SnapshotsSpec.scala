@@ -713,6 +713,21 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.branches(spark, root).isEmpty)
     assert(Snapshots.read(spark, root).count() == settled + 3,
       "recovery must not double-apply the already-merged rows")
+    // layer 1b: a COMPACT rewrites the merged rows into new part files
+    // (the branch-added rels leave every live manifest) and expire then
+    // reclaims both the tagged manifest and everything referencing the
+    // rels — recovery must still see the merge through the head's
+    // rolling tag window, never instruct a row-doubling replay
+    copyTree(saved, bdir)
+    assert(Snapshots.compact(spark, root, Seq("o_orderpriority")).nonEmpty,
+      "the fixture needs a real compaction to drop the branch rels") // s5
+    Snapshots.expire(spark, root, keepLast = 1)
+    val total = Snapshots.read(spark, root).count()
+    assert(Snapshots.fastForward(spark, root, "rb") == 5,
+      "the head's rtags window must prove the merge landed")
+    assert(Snapshots.branches(spark, root).isEmpty)
+    assert(Snapshots.read(spark, root).count() == total,
+      "rtags recovery must not double-apply the already-merged rows")
   }
 
   test("race-losing mergeDeltas with provably disjoint keys rebases metadata-only") {
@@ -765,6 +780,65 @@ class SnapshotsSpec extends SparkSpec {
       .select("v").collect().map(_.getDouble(0)).toSet == Set(77.0))
   }
 
+  test("mergeDeltas rebase honors interleaved REMOVES: a concurrent deleteWhere of this batch's keys aborts; disjoint removes rebase") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_morrm").toString
+    Snapshots.write(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+        .toDF("k", "p", "v").coalesce(1), root, Seq("p"),
+      statsColumns = Seq("k"))
+    // the winner predicate-DELETES k=2 (its manifest removes the base
+    // file holding k in [1,2] and adds a survivor [1,1]); the loser's
+    // merge re-asserts k=2 — rebasing would silently undo the delete,
+    // so the removed file's key range must force the abort
+    Snapshots.prePublishInterleave = () =>
+      assert(Snapshots.deleteWhere(spark, root, Seq("p"),
+        col("k") === 2L).contains(2))
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.mergeDeltas(spark, root,
+        Seq((2L, "a", 99.0, false)).toDF("k", "p", "v", "__del").coalesce(1),
+        Seq("p"), Seq("k"), deleteCol = Some("__del"))
+    }
+    assert(ex.getMessage.contains("removed data file"),
+      s"the removed file's range must be checked: ${ex.getMessage}")
+    assert(Snapshots.read(spark, root).filter(col("k") === 2L).count() == 0,
+      "the winner's predicate delete must stand")
+    // a merge whose keys are disjoint from the removed rows rebases fine
+    Snapshots.prePublishInterleave = () =>
+      assert(Snapshots.deleteWhere(spark, root, Seq("p"),
+        col("k") === 3L).contains(3))
+    assert(Snapshots.mergeDeltas(spark, root,
+      Seq((100L, "a", 1.0, false)).toDF("k", "p", "v", "__del").coalesce(1),
+      Seq("p"), Seq("k"), deleteCol = Some("__del")) == 4)
+    assert(Snapshots.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 100L))
+  }
+
+  test("timestamp merge keys never prove disjointness (tz-rendered stats): the race retry aborts") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_mortz").toString
+    val ts = (h: Int) => java.sql.Timestamp.from(
+      java.time.Instant.parse(f"2024-01-01T$h%02d:00:00Z"))
+    Snapshots.write(
+      Seq((ts(1), "a", 10.0), (ts(2), "a", 20.0))
+        .toDF("t", "p", "v").coalesce(1), root, Seq("p"),
+      statsColumns = Seq("t"))
+    // winner and loser touch provably different HOURS — but timestamp
+    // stat strings are writer-session renderings, so the retry must
+    // refuse to call them disjoint and abort
+    Snapshots.prePublishInterleave = () =>
+      assert(Snapshots.mergeDeltas(spark, root,
+        Seq((ts(10), "a", 1.0, false)).toDF("t", "p", "v", "__del")
+          .coalesce(1), Seq("p"), Seq("t"),
+        deleteCol = Some("__del")) == 2)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.mergeDeltas(spark, root,
+        Seq((ts(20), "a", 2.0, false)).toDF("t", "p", "v", "__del")
+          .coalesce(1), Seq("p"), Seq("t"), deleteCol = Some("__del"))
+    }
+    assert(ex.getMessage.contains("cannot rebase"), ex.getMessage)
+  }
+
   test("an interleaved row-preserving compact never blocks a mergeDeltas rebase") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_morcomp").toString
@@ -787,6 +861,61 @@ class SnapshotsSpec extends SparkSpec {
     assert(m == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0), s"got $m")
   }
 
+  test("bloomColumns: point lookups prune files min/max ranges cannot separate; sidecars follow retention") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_bloom").toString
+    // two appended batches with fully INTERLEAVED key ranges in one
+    // partition — per-file min/max cannot separate any point lookup
+    val evens = spark.range(0, 200, 2).select(col("id").as("k"),
+      lit("a").as("p"))
+    val odds = spark.range(1, 200, 2).select(col("id").as("k"),
+      lit("a").as("p"))
+    Snapshots.write(evens.coalesce(1), root, Seq("p"),
+      statsColumns = Seq("k"), bloomColumns = Seq("k"))
+    Snapshots.write(odds.coalesce(1), root, Seq("p"), SnapAppend)
+    // bloomColumns is dataset-fixed: a conflicting later declaration fails
+    intercept[IllegalArgumentException] {
+      Snapshots.write(odds.coalesce(1), root, Seq("p"), SnapAppend,
+        bloomColumns = Seq("p"))
+    }
+    // the stat range [42,42] keeps BOTH files; the bloom keeps only the
+    // evens' file
+    val pruned = Snapshots.read(spark, root,
+      prune = Seq(Snapshots.StatRange("k", Some(42L), Some(42L))))
+    assert(pruned.inputFiles.length == 1,
+      s"bloom must separate interleaved files: ${pruned.inputFiles.length}")
+    assert(pruned.filter(col("k") === 42L).count() == 1)
+    // a key beyond every file's range prunes everything (stat prune) and
+    // the empty read still answers under the contract
+    val absent = Snapshots.read(spark, root,
+      prune = Seq(Snapshots.StatRange("k", Some(1000L), Some(1000L))))
+    assert(absent.count() == 0)
+    // deleteWhere point delete rewrites ONLY the holding file
+    assert(Snapshots.deleteWhere(spark, root, Seq("p"),
+      col("k") === 43L).contains(3))
+    val m3 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/snapshots/s3")))
+    assert(m3.linesIterator.count(_.startsWith("remove=")) == 1,
+      "the bloom must bound the rewrite to the one holding file")
+    assert(Snapshots.read(spark, root).count() == 199)
+    // compaction re-sidecars its rewritten files; expire + vacuum reclaim
+    // the dead sidecars (3 live before: evens, odds, delete-rewrite)
+    assert(Snapshots.compact(spark, root, Seq("p")).contains(4))
+    Snapshots.expire(spark, root, keepLast = 1)
+    Snapshots.vacuum(spark, root, graceMs = 0)
+    val bloomFiles = new java.io.File(s"$root/blooms").listFiles()
+      .filterNot(_.getName.startsWith(".")).map(_.getName).toSeq
+    assert(bloomFiles.length == 1,
+      s"only the compacted batch's sidecar should survive: $bloomFiles")
+    // post-compaction point reads still prune and still answer correctly
+    val after = Snapshots.read(spark, root,
+      prune = Seq(Snapshots.StatRange("k", Some(42L), Some(42L))))
+    assert(after.filter(col("k") === 42L).count() == 1)
+    assert(Snapshots.read(spark, root,
+      prune = Seq(Snapshots.StatRange("k", Some(43L), Some(43L))))
+      .count() == 0, "the deleted key's bloom is gone with its file")
+  }
+
   test("per-file row/null counts: IS NULL prunes files, snapshotLog answers row counts from manifests") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_nulls").toString
@@ -801,6 +930,9 @@ class SnapshotsSpec extends SparkSpec {
     val log1 = Snapshots.snapshotLog(spark, root).collect()
     assert(log1.map(r => Option(r.get(9)).map(_.asInstanceOf[Long])).toSeq
       == Seq(Some(5L)), "n_rows must come from per-file manifest counts")
+    assert(log1.forall(r => r.getLong(10) > 0L),
+      "n_bytes must come from per-file manifest lengths")
+    assert(Snapshots.liveDataBytes(spark, root).exists(_ > 0L))
     // IS NULL skipping: the null-free file (partition a) is pruned
     assert(Snapshots.read(spark, root,
       prune = Seq(Snapshots.StatRange("v", nullness = Some(true))))

@@ -73,4 +73,73 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(viaFormat.collect().map(_.getLong(0)).toSet == Set(100L))
     spark.sql("DROP TABLE snap_v1_tbl")
   }
+
+  test("recorded byte sizes drive broadcast planning for registered snapshot tables") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("srcsnap_bc").toString
+    Snapshots.write(
+      Seq((1L, "a", "x"), (2L, "a", "y")).toDF("k", "p", "s").coalesce(1),
+      root, Seq("p"))
+    spark.sql("DROP TABLE IF EXISTS snap_bc_tbl")
+    Snapshots.registerTable(spark, root, "snap_bc_tbl")
+    val big = orders.withColumnRenamed("o_orderkey", "k")
+    val joined = big.join(spark.table("snap_bc_tbl"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a few-KB snapshot table must broadcast (manifest-recorded size):\n$plan")
+    assert(joined.count() == 2)
+    spark.sql("DROP TABLE snap_bc_tbl")
+  }
+
+  test("SQL INSERT INTO/OVERWRITE and the DataFrame writer route through the snapshot commit protocol") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("srcsnap_ins").toString
+    // the writer CREATES the dataset (partitionBy required only here)
+    Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v")
+      .coalesce(1).write.format("graft-snapshot")
+      .option("partitionBy", "p").save(root)
+    assert(Snapshots.currentSnapshot(spark, root).contains(1))
+    // a second ErrorIfExists write fails; Ignore is a no-op
+    intercept[IllegalStateException] {
+      Seq((9L, "a", 0.0)).toDF("k", "p", "v")
+        .write.format("graft-snapshot").save(root)
+    }
+    Seq((9L, "a", 0.0)).toDF("k", "p", "v")
+      .write.format("graft-snapshot").mode("ignore").save(root)
+    assert(Snapshots.currentSnapshot(spark, root).contains(1))
+    // SQL INSERT INTO appends under the RECORDED spec (no partitionBy)
+    Snapshots.registerTable(spark, root, "snap_ins_tbl")
+    spark.sql("INSERT INTO snap_ins_tbl VALUES (3, 'a', 30.0)")
+    assert(spark.sql("SELECT k FROM snap_ins_tbl").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // INSERT OVERWRITE = dynamic partition overwrite: only partition 'a'
+    // (the one the batch touches) is replaced; 'b' rides through
+    spark.sql("INSERT OVERWRITE snap_ins_tbl VALUES (7, 'a', 70.0)")
+    assert(spark.sql("SELECT k FROM snap_ins_tbl").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 7L))
+    // every write is an audited snapshot: history shows the full lineage
+    val modes = Snapshots.history(spark, root).collect()
+      .map(_.getString(1)).toSeq
+    assert(modes == Seq("append", "append", "overwrite_partitions"))
+    // pre-insert states stay time-travelable
+    assert(Snapshots.read(spark, root, asOf = Some(1)).count() == 2)
+    // a writer append with a MISMATCHED spec fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Seq((8L, "a", 0.0)).toDF("k", "p", "v")
+        .write.format("graft-snapshot").mode("append")
+        .option("partitionBy", "k").save(root)
+    }
+    assert(ex.getMessage.contains("partitioned by p"))
+    // a time-travel-pinned table rejects inserts
+    Snapshots.registerTable(spark, root, "snap_ins_v1", asOf = Some(1))
+    val exPinned = intercept[Exception] {
+      spark.sql("INSERT INTO snap_ins_v1 VALUES (5, 'a', 50.0)")
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${messages(t.getCause)}"
+    assert(messages(exPinned).contains("read-only view of history"),
+      messages(exPinned))
+    spark.sql("DROP TABLE snap_ins_tbl")
+    spark.sql("DROP TABLE snap_ins_v1")
+  }
 }
