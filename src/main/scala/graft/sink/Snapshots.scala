@@ -79,8 +79,12 @@ object Snapshots {
     * [min,max] for `column` can intersect [lower,upper] (either bound
     * optional). Files without recorded stats are conservatively kept —
     * pruning never changes results, only the file list. Bounds compare
-    * type-aware per the recorded schema (numerics numerically; strings,
-    * dates and timestamps by their Spark string form).
+    * type-aware per the recorded schema (numerics numerically; strings
+    * and dates by their Spark string form). TimestampType RANGES never
+    * prune: the recorded strings are writer-session-tz renderings no
+    * other session can safely compare — timestamp EQUALITY still prunes
+    * through declared bloomColumns (internal-value hashing), and
+    * nullness prunes are count-based and always on.
     *
     * `nullness = Some(true)` selects rows where the column IS NULL
     * (bounds must be empty — null matches no range): files whose recorded
@@ -653,17 +657,24 @@ object Snapshots {
   private def computeStats(
       spark: SparkSession, staging: Path, formatTok: String,
       statsCols: Seq[String],
-      bloomCols: Seq[String] = Seq.empty): Map[String, StagedStats] = {
+      bloomCols: Seq[(String, DataType)] = Seq.empty)
+      : Map[String, StagedStats] = {
     if (statsCols.isEmpty && bloomCols.isEmpty) return Map.empty
     import org.apache.spark.sql.functions._
     val df = spark.read.format(sinkFormatOf(formatTok).name)
       .load(staging.toString)
+    // bloom values hash under the CONTRACT type, not the batch's: Widen
+    // admits a narrower batch (int files in a long dataset), and a probe
+    // hashing the contract-typed bound must agree bit for bit with what
+    // the write recorded
     val aggs = (statsCols.flatMap(c => Seq(
       min(qc(c)).cast("string").as(s"__min_$c"),
       max(qc(c)).cast("string").as(s"__max_$c"),
       count(qc(c)).as(s"__cnt_$c"))) :+ count(lit(1)).as("__rows")) ++
-      bloomCols.map(c =>
-        graft.functions.bloom.bloom_sketch(qc(c)).as(s"__bloom_$c"))
+      bloomCols.map { case (c, dt) =>
+        graft.functions.bloom.bloom_sketch(qc(c).cast(dt))
+          .as(s"__bloom_$c")
+      }
     val stagingPrefix = staging.toUri.getPath
     val rowsIdx = 1 + 3 * statsCols.length
     df.groupBy(input_file_name().as("__f"))
@@ -686,7 +697,7 @@ object Snapshots {
           statsCols.zipWithIndex.map { case (c, i) =>
             c -> (rows - r.getLong(3 + 3 * i))
           }.toMap,
-          bloomCols.zipWithIndex.map { case (c, i) =>
+          bloomCols.zipWithIndex.map { case ((c, _), i) =>
             c -> r.getAs[Array[Byte]](rowsIdx + 1 + i)
           }.toMap)
       }.toMap
@@ -760,15 +771,25 @@ object Snapshots {
       }
     }
     if (bounds.isEmpty) return entries
+    // a missing sidecar (partial restore, manual cleanup) degrades to
+    // no-bloom-pruning for its files — the documented superset guarantee
+    val f = qroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val present = refs.filter(r => f.exists(new Path(bloomsDir(qroot), r)))
+    if (present.isEmpty) return entries
+    // hash each bound ONCE and decode each image ONCE — the probe loop
+    // is (files × bounds) and must do neither per iteration
+    val probes = bounds.map { case (col, iv, dt) =>
+      col -> graft.functions.BloomBuf.hashes(iv, dt)
+    }
     val filters = spark.read
-      .parquet(refs.map(r => new Path(bloomsDir(qroot), r).toString): _*)
+      .parquet(present.map(r => new Path(bloomsDir(qroot), r).toString): _*)
       .collect()
       .map(row => (row.getString(0), row.getString(1)) ->
-        row.getAs[Array[Byte]](2)).toMap
+        graft.functions.BloomBuf.fromBytes(row.getAs[Array[Byte]](2))).toMap
     entries.filter { e =>
-      e.bloomRef.isEmpty || bounds.forall { case (col, iv, dt) =>
-        filters.get((e.rel, col))
-          .forall(img => graft.functions.BloomBuf.mightContain(img, iv, dt))
+      e.bloomRef.forall(!present.contains(_)) || probes.forall {
+        case (col, (h1, h2)) =>
+          filters.get((e.rel, col)).forall(_.mightContain(h1, h2))
       }
     }
   }
@@ -1045,6 +1066,15 @@ object Snapshots {
           s"bloom column $c is not in the dataset schema"))
       require(isStatType(fld.dataType),
         s"bloom column $c has non-atomic type ${fld.dataType}")
+      // a bloom column's TYPE is frozen: recorded filters hashed values
+      // under the stored type, and a widened contract would probe with
+      // different hash bits — silently pruning files that hold the key.
+      // Widening a point-lookup key type is a deliberate migration
+      // (rewrite, or re-create the dataset), not a side effect.
+      prev.flatMap(_.schema).flatMap(_.fields.find(_.name == c))
+        .foreach(stored => require(stored.dataType == fld.dataType,
+          s"bloom column $c cannot widen from ${stored.dataType} to " +
+            s"${fld.dataType} — recorded filters hash the stored type"))
     }
     // equality-delete key columns are a dataset property while any delete
     // file is live: every reader anti-joins on ONE key set
@@ -1077,7 +1107,9 @@ object Snapshots {
     // write — one batch-sized pass, keyed by job-unique part-file name
     val statsByName =
       if (staged.isEmpty) Map.empty[String, StagedStats]
-      else computeStats(spark, staging, fmtTok, statsCols, bloomCols)
+      else computeStats(spark, staging, fmtTok, statsCols,
+        bloomCols.map(c =>
+          c -> contract.fields.find(_.name == c).get.dataType))
     val stagedDirs = staged.map(parentDirOf).toSet
     // partitions a merge touched but staged nothing back into: every row
     // deleted — they must leave the manifest even with no replacement file
@@ -2281,9 +2313,17 @@ object Snapshots {
     prune.foreach(r => require(
       m.schema.forall(s => s.fields.exists(_.name == r.column)),
       s"prune column ${r.column} is not in the snapshot schema"))
-    val added = m.files.filterNot(e => before(e.rel))
-      .filter(e => prune.isEmpty ||
-        survives(e, prune, m.schema.getOrElse(StructType(Seq.empty))))
+    // same timestamp split as [[read]]: tz-rendered min/max strings never
+    // compare against a caller's bound; counts and blooms still prune
+    val statSafe = prune.filter(r => r.nullness.isDefined ||
+      !m.schema.exists(_.fields.exists(fd =>
+        fd.name == r.column && fd.dataType == TimestampType)))
+    val added0 = m.files.filterNot(e => before(e.rel))
+      .filter(e => statSafe.isEmpty ||
+        survives(e, statSafe, m.schema.getOrElse(StructType(Seq.empty))))
+    val added =
+      if (prune.isEmpty) added0
+      else bloomPrune(spark, qroot, m, added0, prune)
     if (added.isEmpty) None
     // equality-deletes newer than an added file still suppress its rows
     // (seq-scoped, as in [[read]]) — the incremental consumer sees the
@@ -2540,6 +2580,29 @@ object Snapshots {
           "write pins the contract"))
   }
 
+  /** Per-partition operational stats of a snapshot (current by default),
+    * answered from the manifest alone — no data file or directory is
+    * touched: live file count, row count (null when any file predates
+    * count recording), byte size (likewise), and the partition's
+    * relative directory. The input a compaction/skew policy wants ("which
+    * partitions are over-fragmented or outsized") and the
+    * `partitionStats`-style health read, at metadata cost. */
+  def partitionStats(
+      spark: SparkSession, root: String,
+      asOf: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val (f, qroot) = FsOps.fs(spark, root)
+    val id = asOf.orElse(currentSnapshot(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no snapshot published under $root"))
+    resolve(f, qroot, id).files.groupBy(e => parentDirOf(e.rel)).toSeq
+      .sortBy(_._1)
+      .map { case (dir, es) =>
+        (dir, es.length.toLong,
+          if (es.forall(_.rows >= 0)) Some(es.map(_.rows).sum) else None,
+          if (es.forall(_.bytes >= 0)) Some(es.map(_.bytes).sum) else None)
+      }.toDF("partition", "n_files", "n_rows", "n_bytes")
+  }
+
   /** Total bytes of a snapshot's live data files, answered from the
     * manifest's recorded per-file lengths alone — None when any live
     * file predates length recording. What
@@ -2639,10 +2702,19 @@ object Snapshots {
     prune.foreach(r => require(
       schema.forall(s => s.fields.exists(_.name == r.column)),
       s"prune column ${r.column} is not in the snapshot schema"))
+    // TimestampType ranges never consult the min/max strings (recorded
+    // under the WRITING session's timezone; the caller's bound renders
+    // under its own — a shifted compare would silently drop files that
+    // hold matches). Nullness prunes are count-based and the BLOOM prune
+    // hashes internal values, so both stay on for timestamps — the same
+    // split deleteWhere applies to derived ranges.
+    val statSafe = prune.filter(r => r.nullness.isDefined ||
+      !schema.exists(_.fields.exists(fd =>
+        fd.name == r.column && fd.dataType == TimestampType)))
     val statKept =
-      if (prune.isEmpty) m.files
+      if (statSafe.isEmpty) m.files
       else m.files.filter(e =>
-        survives(e, prune, schema.getOrElse(StructType(Seq.empty))))
+        survives(e, statSafe, schema.getOrElse(StructType(Seq.empty))))
     val kept =
       if (prune.isEmpty) statKept
       else bloomPrune(spark, qroot, m, statKept, prune)

@@ -47,8 +47,12 @@ class SnapshotSource extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
 
-  private def parse(parameters: Map[String, String])
-      : (String, Option[Int], Option[String], Seq[String]) = {
+  private case class Opts(
+      root: String, asOf: Option[Int], tag: Option[String],
+      partitionBy: Seq[String], statsColumns: Seq[String],
+      bloomColumns: Seq[String])
+
+  private def parse(parameters: Map[String, String]): Opts = {
     val byLower = parameters.map { case (k, v) => k.toLowerCase -> v }
     val root = byLower.getOrElse("path", byLower.getOrElse("root",
       throw new IllegalArgumentException(
@@ -58,56 +62,61 @@ class SnapshotSource extends RelationProvider
     val tag = byLower.get("tag")
     require(asOf.isEmpty || tag.isEmpty,
       "asOf and tag are mutually exclusive")
-    val partitionBy = byLower.get("partitionby").toSeq
+    def cols(key: String): Seq[String] = byLower.get(key).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    (root, asOf, tag, partitionBy)
+    Opts(root, asOf, tag, cols("partitionby"), cols("statscolumns"),
+      cols("bloomcolumns"))
   }
 
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val (root, asOf, tag, _) = parse(parameters)
-    new SnapshotRelation(sqlContext, root, asOf, tag)
+    val o = parse(parameters)
+    new SnapshotRelation(sqlContext, o.root, o.asOf, o.tag)
   }
 
   /** `df.write.format("graft-snapshot")` — lands one snapshot through
     * the full write discipline (staging, stats, schema-evolution gate,
-    * atomic pointer flip). */
+    * atomic pointer flip). `statsColumns`/`bloomColumns` options declare
+    * the skipping metadata at dataset CREATION (afterwards they are
+    * dataset-fixed — a conflicting redeclaration fails loudly, matching
+    * the Snapshots API). */
   override def createRelation(
       sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
-    val (root, asOf, tag, partitionBy) = parse(parameters)
-    require(asOf.isEmpty && tag.isEmpty,
+    val o = parse(parameters)
+    require(o.asOf.isEmpty && o.tag.isEmpty,
       "cannot write through a time-travel-pinned (asOf/tag) reference — " +
         "it is a read-only view of history")
     val spark = sqlContext.sparkSession
+    val root = o.root
     val existing = Snapshots.currentSnapshot(spark, root)
     val fields = existing match {
       case Some(_) =>
         val recorded = SnapshotSource.recordedPartitioning(spark, root)
-        require(partitionBy.isEmpty || partitionBy == recorded,
+        require(o.partitionBy.isEmpty || o.partitionBy == recorded,
           s"dataset at $root is partitioned by ${recorded.mkString(",")}; " +
-            s"cannot write under ${partitionBy.mkString(",")}")
+            s"cannot write under ${o.partitionBy.mkString(",")}")
         recorded
       case None =>
-        require(partitionBy.nonEmpty,
+        require(o.partitionBy.nonEmpty,
           "creating a snapshot dataset through the writer needs " +
             "partitionBy (comma-separated partition fields)")
-        partitionBy
+        o.partitionBy
     }
+    def land(m: Snapshots.SnapshotMode): Unit =
+      Snapshots.write(data, root, fields, m,
+        statsColumns = o.statsColumns, bloomColumns = o.bloomColumns): Unit
     mode match {
-      case SaveMode.Append =>
-        Snapshots.write(data, root, fields): Unit
-      case SaveMode.Overwrite =>
-        Snapshots.write(data, root, fields,
-          Snapshots.SnapOverwritePartitions): Unit
+      case SaveMode.Append => land(Snapshots.SnapAppend)
+      case SaveMode.Overwrite => land(Snapshots.SnapOverwritePartitions)
       case SaveMode.ErrorIfExists =>
         existing.foreach(id => throw new IllegalStateException(
           s"dataset at $root already exists (current s$id) and " +
             "SaveMode is ErrorIfExists"))
-        Snapshots.write(data, root, fields): Unit
+        land(Snapshots.SnapAppend)
       case SaveMode.Ignore =>
-        if (existing.isEmpty) Snapshots.write(data, root, fields): Unit
+        if (existing.isEmpty) land(Snapshots.SnapAppend)
     }
     new SnapshotRelation(sqlContext, root, None, None)
   }
@@ -149,12 +158,26 @@ class SnapshotRelation(
   // round-trip (the documented external-connector fast path)
   override def needConversion: Boolean = false
 
+  // Catalyst may consult stats several times while planning one query —
+  // memoize the chain resolution keyed by the pointer value, so each
+  // stats call past the first costs one small pointer read (and stays
+  // publish-current)
+  @volatile private var sizeMemo: Option[(Option[Int], Long)] = None
+
   /** Recorded live byte size from the manifest (no filesystem walk), so
     * Catalyst can broadcast a small snapshot table; datasets predating
     * byte recording fall back to the conservative session default. */
-  override def sizeInBytes: Long =
-    Snapshots.liveDataBytes(spark, root, pinnedId)
-      .getOrElse(super.sizeInBytes)
+  override def sizeInBytes: Long = {
+    val cur = pinnedId.orElse(Snapshots.currentSnapshot(spark, root))
+    sizeMemo match {
+      case Some((id, bytes)) if id == cur => bytes
+      case _ =>
+        val bytes = Snapshots.liveDataBytes(spark, root, cur)
+          .getOrElse(super.sizeInBytes)
+        sizeMemo = Some((cur, bytes))
+        bytes
+    }
+  }
 
   /** All filters are also evaluated inside the assembled scan (and
     * re-checked by Spark above it) — this relation uses them for

@@ -914,6 +914,22 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, root,
       prune = Seq(Snapshots.StatRange("k", Some(43L), Some(43L))))
       .count() == 0, "the deleted key's bloom is gone with its file")
+    // a bloom column's TYPE is frozen: widening it would desync the
+    // recorded hash bits and silently mis-prune — the write must abort
+    val r2 = java.nio.file.Files.createTempDirectory("snap_bloomw").toString
+    Snapshots.write(Seq((1, "a")).toDF("k", "p").coalesce(1), r2, Seq("p"),
+      bloomColumns = Seq("k"))
+    val exW = intercept[IllegalArgumentException] {
+      Snapshots.write(Seq((2L, "a")).toDF("k", "p").coalesce(1), r2,
+        Seq("p"), SnapAppend)
+    }
+    assert(exW.getMessage.contains("cannot widen"), exW.getMessage)
+    // a sidecar deleted out-of-band degrades to no-bloom-pruning, never
+    // a failed read
+    new java.io.File(s"$r2/blooms").listFiles().foreach(_.delete())
+    assert(Snapshots.read(spark, r2,
+      prune = Seq(Snapshots.StatRange("k", Some(1), Some(1))))
+      .count() == 1)
   }
 
   test("per-file row/null counts: IS NULL prunes files, snapshotLog answers row counts from manifests") {
@@ -954,6 +970,12 @@ class SnapshotsSpec extends SparkSpec {
     val log2 = Snapshots.snapshotLog(spark, root).collect()
     assert(Option(log2.last.get(9)).map(_.asInstanceOf[Long])
       .contains(3L), "post-delete row count answers from manifests")
+    // per-partition stats, manifests only: partition a intact (2 rows),
+    // b rewritten to its one survivor, c gone with its last file
+    val ps = Snapshots.partitionStats(spark, root).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.get(2)))).toMap
+    assert(ps.keySet == Set("p=a", "p=b"), s"got ${ps.keySet}")
+    assert(ps("p=a") == ((1L, 2L)) && ps("p=b") == ((1L, 1L)), s"got $ps")
   }
 
   test("deleteWhere timestamp bounds never stat-prune (tz-rendered stats are not comparable)") {
