@@ -94,11 +94,22 @@ class SnapshotSourceSpec extends SparkSpec {
   test("SQL INSERT INTO/OVERWRITE and the DataFrame writer route through the snapshot commit protocol") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("srcsnap_ins").toString
-    // the writer CREATES the dataset (partitionBy required only here)
+    // the writer CREATES the dataset (partitionBy required only here) —
+    // and can declare the skipping metadata, which is creation-fixed
     Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v")
       .coalesce(1).write.format("graft-snapshot")
-      .option("partitionBy", "p").save(root)
+      .option("partitionBy", "p")
+      .option("statsColumns", "k").option("bloomColumns", "k").save(root)
     assert(Snapshots.currentSnapshot(spark, root).contains(1))
+    assert(Snapshots.snapshotLog(spark, root).collect()
+      .forall(r => !r.isNullAt(9) && !r.isNullAt(10)),
+      "writer-declared statsColumns must record row/byte counts")
+    assert(Snapshots.read(spark, root, prune = Seq(
+      Snapshots.StatRange("k", Some(1L), Some(1L)))).inputFiles.length == 1,
+      "writer-declared stats must point-prune")
+    assert(new java.io.File(s"$root/blooms").listFiles()
+      .exists(f => !f.getName.startsWith(".")),
+      "writer-declared bloomColumns must land a sidecar")
     // a second ErrorIfExists write fails; Ignore is a no-op
     intercept[IllegalStateException] {
       Seq((9L, "a", 0.0)).toDF("k", "p", "v")
