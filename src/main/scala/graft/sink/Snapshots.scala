@@ -90,10 +90,37 @@ object Snapshots {
     * (bounds must be empty — null matches no range): files whose recorded
     * null count is 0 are skipped. `Some(false)` (IS NOT NULL) skips files
     * whose every row is null for the column. Both degrade conservatively
-    * when counts weren't recorded (pre-counting manifests). */
+    * when counts weren't recorded (pre-counting manifests).
+    *
+    * `anyOf = Some(vs)` is a DISJUNCTIVE equality set — `column IN (vs)`,
+    * the batched point-lookup shape: a file survives when ANY value can
+    * lie inside its recorded [min,max] (and, on declared bloomColumns,
+    * when any value's Bloom probe says "maybe"); bounds must be empty.
+    * Derivation sites cap the set at [[MaxInPruneValues]] and degrade to
+    * no-prune past it — never wrong, only less pruning.
+    *
+    * `exactEq` carries the INTERNAL (Catalyst) value + type of each
+    * equality bound when the producer knows it — one element for a plain
+    * equality, one per `anyOf` value. The Bloom probe prefers these over
+    * re-deriving internal values from the rendered bound: a session-tz
+    * STRING rendering of a DST-ambiguous local time can re-parse to a
+    * different instant than the one the write side hashed, and a wrong
+    * "definite no" would wrongly prune a file holding the match. Bounds
+    * without it still probe exactly when the value is a typed object
+    * (Timestamp, Long, …); string-sourced timestamp equalities without it
+    * skip the Bloom probe (conservative). */
   case class StatRange(
       column: String, lower: Option[Any] = None, upper: Option[Any] = None,
-      nullness: Option[Boolean] = None)
+      nullness: Option[Boolean] = None,
+      anyOf: Option[Seq[Any]] = None,
+      exactEq: Option[Seq[(Any, DataType)]] = None)
+
+  /** Largest `IN`-list a derivation site converts into a [[StatRange]]
+    * disjunction ([[StatRange.anyOf]]): each value costs two bound hashes
+    * plus a per-file compare, so an unbounded list would turn pruning
+    * into the scan it replaces. Longer lists derive nothing — the read
+    * stays correct, it just skips less. */
+  val MaxInPruneValues: Int = 128
 
   /** Delta chains rebase into a full manifest at this depth: manifest
     * WRITE cost stays O(batch) (amortized O(live/RebaseEvery)), manifest
@@ -724,6 +751,17 @@ object Snapshots {
           // both None), or the null count equals the row count
           if ((lo.isEmpty && hi.isEmpty) ||
             (e.rows >= 0 && e.nulls.get(r.column).contains(e.rows))) false
+          else if (r.anyOf.isDefined)
+            // disjunctive equality set (IN): ANY value inside [lo,hi]
+            // keeps the file; a value that fails to render/compare keeps
+            // it too (conservative, like a missing stat)
+            r.anyOf.get.exists { v =>
+              scala.util.Try {
+                val s = boundString(v)
+                lo.forall(l => statCompare(dt, l, s) <= 0) &&
+                  hi.forall(h => statCompare(dt, h, s) >= 0)
+              }.getOrElse(true)
+            }
           else if (r.lower.isEmpty && r.upper.isEmpty) true // bare IS NOT NULL
           else {
             val belowUpper = (r.upper, lo) match {
@@ -742,33 +780,62 @@ object Snapshots {
   /** Drop entries whose per-file Bloom filter PROVES an equality bound
     * absent — the point-lookup prune min/max ranges cannot make on
     * interleaved high-cardinality keys (a GDPR `WHERE user_id = X`
-    * against unclustered appends). Applies only to [[StatRange]]s with
-    * `lower == upper` on declared bloomColumns; the referenced batch
-    * sidecars load in ONE small driver-side read, and only when such a
-    * bound is present — every other read path pays nothing. Timestamp
-    * columns work here (hashing is on internal values — no tz-rendered
-    * strings). Missing refs/filters keep the file; a Bloom "maybe" keeps
-    * the file — pruning is a superset guarantee, as ever. */
+    * against unclustered appends). Applies to [[StatRange]]s with
+    * `lower == upper` and to [[StatRange.anyOf]] disjunctions (IN-lists —
+    * a file survives when ANY value's probe says "maybe") on declared
+    * bloomColumns; the referenced batch sidecars load in ONE small
+    * driver-side read, and only when such a bound is present — every
+    * other read path pays nothing. Timestamp columns work here when the
+    * probe value is exact: [[StatRange.exactEq]]-carried internal values,
+    * or typed objects (Timestamp/Instant) that convert losslessly. A
+    * string-sourced timestamp bound WITHOUT exactEq never probes — a
+    * DST-ambiguous local-time string can re-parse to a different instant
+    * than the one the write side hashed, and a wrong "definite no" would
+    * wrongly prune the file holding the match. Missing refs/filters keep
+    * the file; a bound that fails to convert disables ITS range entirely
+    * (never probes a partial disjunction); a Bloom "maybe" keeps the
+    * file — pruning is a superset guarantee, as ever. */
   private def bloomPrune(
       spark: SparkSession, qroot: Path, m: Resolved,
       entries: Seq[FileEntry], ranges: Seq[StatRange]): Seq[FileEntry] = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
     val eqs = ranges.filter(r => m.bloomCols.contains(r.column) &&
-      r.nullness.isEmpty && r.lower.isDefined && r.lower == r.upper)
+      r.nullness.isEmpty &&
+      (r.anyOf.exists(_.nonEmpty) || (r.lower.isDefined && r.lower == r.upper)))
     if (eqs.isEmpty) return entries
     val schema = m.schema.getOrElse(return entries)
     val refs = entries.flatMap(_.bloomRef).distinct
     if (refs.isEmpty) return entries
     // each bound as the INTERNAL value under the column's recorded type —
-    // the exact bytes the write-side aggregate hashed
-    val bounds = eqs.flatMap { r =>
-      schema.fields.find(_.name == r.column).flatMap { fd =>
-        val lit = Literal.create(r.lower.get)
-        val cast = Cast(lit, fd.dataType,
-          Some(spark.sessionState.conf.sessionLocalTimeZone))
-        if (!cast.resolved) None
-        else Option(cast.eval()).map(iv => (r.column, iv, fd.dataType))
+    // the exact bytes the write-side aggregate hashed. ALL of a range's
+    // values must convert or the range derives no probe: probing a subset
+    // of a disjunction could prune a file holding the missing value.
+    def internals(r: StatRange, dt: DataType): Option[Seq[Any]] =
+      r.exactEq match {
+        case Some(ivs) =>
+          // producer-supplied internal values — trusted only when typed
+          // under the recorded contract (a drifted type skips the probe)
+          if (ivs.nonEmpty && ivs.forall(_._2 == dt)) Some(ivs.map(_._1))
+          else None
+        case None =>
+          val raws = r.anyOf.getOrElse(Seq(r.lower.get))
+          // tz-rendered strings are not re-parseable exactly (DST) — the
+          // statRangesFromCondition path carries exactEq instead
+          if (dt == TimestampType && raws.exists(_.isInstanceOf[String])) None
+          else {
+            val conv = raws.map { v =>
+              scala.util.Try {
+                val cast = Cast(Literal.create(v), dt,
+                  Some(spark.sessionState.conf.sessionLocalTimeZone))
+                if (!cast.resolved) None else Option(cast.eval())
+              }.toOption.flatten
+            }
+            if (conv.forall(_.isDefined)) Some(conv.map(_.get)) else None
+          }
       }
+    val bounds = eqs.flatMap { r =>
+      schema.fields.find(_.name == r.column).flatMap(fd =>
+        internals(r, fd.dataType).map(ivs => (r.column, ivs, fd.dataType)))
     }
     if (bounds.isEmpty) return entries
     // a missing sidecar (partial restore, manual cleanup) degrades to
@@ -777,9 +844,9 @@ object Snapshots {
     val present = refs.filter(r => f.exists(new Path(bloomsDir(qroot), r)))
     if (present.isEmpty) return entries
     // hash each bound ONCE and decode each image ONCE — the probe loop
-    // is (files × bounds) and must do neither per iteration
-    val probes = bounds.map { case (col, iv, dt) =>
-      col -> graft.functions.BloomBuf.hashes(iv, dt)
+    // is (files × bounds × IN-values) and must do neither per iteration
+    val probes = bounds.map { case (col, ivs, dt) =>
+      col -> ivs.map(iv => graft.functions.BloomBuf.hashes(iv, dt))
     }
     val filters = spark.read
       .parquet(present.map(r => new Path(bloomsDir(qroot), r).toString): _*)
@@ -788,8 +855,9 @@ object Snapshots {
         graft.functions.BloomBuf.fromBytes(row.getAs[Array[Byte]](2))).toMap
     entries.filter { e =>
       e.bloomRef.forall(!present.contains(_)) || probes.forall {
-        case (col, (h1, h2)) =>
-          filters.get((e.rel, col)).forall(_.mightContain(h1, h2))
+        case (col, hs) =>
+          filters.get((e.rel, col)).forall(fl =>
+            hs.exists { case (h1, h2) => fl.mightContain(h1, h2) })
       }
     }
   }
@@ -1917,15 +1985,19 @@ object Snapshots {
     // types first (java.sql.Timestamp.toString prints the JVM-default
     // zone) would shift timestamp bounds off the recorded min/max and
     // wrongly prune files holding matches.
-    def sv(x: Expression): Option[Any] = {
-      val const = x match {
-        case l: Literal => Some(l)
-        case f if f.foldable => Some(Literal.create(f.eval(), f.dataType))
-        case _ => None
-      }
-      const.filter(_.value != null).map(l =>
-        Cast(l, StringType, Some(sessionTz)).eval().toString)
-    }
+    def asLit(x: Expression): Option[Literal] = (x match {
+      case l: Literal => Some(l)
+      case f if f.foldable => Some(Literal.create(f.eval(), f.dataType))
+      case _ => None
+    }).filter(_.value != null)
+    def sv(x: Expression): Option[Any] = asLit(x).map(l =>
+      Cast(l, StringType, Some(sessionTz)).eval().toString)
+    // the INTERNAL value behind an equality bound, alongside its string
+    // rendering: the Bloom probe must hash the exact bytes the write side
+    // hashed, and a tz-rendered timestamp string cannot re-parse to them
+    // under a DST-ambiguous local time
+    def iv(x: Expression): Option[Seq[(Any, DataType)]] =
+      asLit(x).map(l => Seq((l.value, l.dataType)))
     def attr(x: Expression): Option[String] = x match {
       case a: AttributeReference if statsCols.contains(a.name) => Some(a.name)
       // a caller-built Column is an UNRESOLVED tree — bare single-part
@@ -1944,6 +2016,42 @@ object Snapshots {
         Some(u.nameParts.head)
       case _ => None
     }
+    def eqRange(a: Expression, b: Expression): Seq[StatRange] =
+      attr(a).map(n =>
+        StatRange(n, sv(b), sv(b), exactEq = iv(b))).toSeq ++
+        attr(b).map(n =>
+          StatRange(n, sv(a), sv(a), exactEq = iv(a))).toSeq
+    // a same-column disjunction of equalities (`c IN (...)`, chained ORs)
+    // as (column, constant literals) — None the moment any disjunct isn't
+    // one (a partial set would prune files holding the unmatched branch)
+    def eqDisjuncts(x: Expression): Option[(String, Seq[Literal])] = x match {
+      case Or(l, r) =>
+        for {
+          (cl, vl) <- eqDisjuncts(l)
+          (cr, vr) <- eqDisjuncts(r)
+          if cl == cr
+        } yield (cl, vl ++ vr)
+      case EqualTo(a, b) =>
+        attr(a).flatMap(n => asLit(b).map(n -> Seq(_))).orElse(
+          attr(b).flatMap(n => asLit(a).map(n -> Seq(_))))
+      case EqualNullSafe(a, b) =>
+        // `c <=> v` with v non-null matches exactly the rows `c = v` does
+        attr(a).flatMap(n => asLit(b).map(n -> Seq(_))).orElse(
+          attr(b).flatMap(n => asLit(a).map(n -> Seq(_))))
+      case In(a, vs) =>
+        attr(a).flatMap { n =>
+          val lits = vs.map(asLit)
+          if (lits.forall(_.isDefined)) Some(n -> lits.map(_.get)) else None
+        }
+      case _ => None
+    }
+    def disjunctive(x: Expression): Seq[StatRange] =
+      eqDisjuncts(x).filter(_._2.length <= MaxInPruneValues).map {
+        case (n, lits) =>
+          StatRange(n, anyOf = Some(lits.map(l =>
+            Cast(l, StringType, Some(sessionTz)).eval().toString)),
+            exactEq = Some(lits.map(l => (l.value, l.dataType))))
+      }.toSeq
     e match {
       case And(l, r) =>
         statRangesFromCondition(l, statsCols, sessionTz, nullCols) ++
@@ -1952,8 +2060,9 @@ object Snapshots {
         nullAttr(a).map(n => StatRange(n, nullness = Some(true))).toSeq
       case IsNotNull(a) =>
         nullAttr(a).map(n => StatRange(n, nullness = Some(false))).toSeq
-      case EqualTo(a, b) =>
-        range(attr(a), sv(b), sv(b)) ++ range(attr(b), sv(a), sv(a))
+      case EqualTo(a, b) => eqRange(a, b)
+      case EqualNullSafe(a, b) if asLit(a).isDefined || asLit(b).isDefined =>
+        eqRange(a, b) // non-null literal side: same rows as EqualTo
       case GreaterThan(a, b) =>
         range(attr(a), sv(b), None) ++ range(attr(b), None, sv(a))
       case GreaterThanOrEqual(a, b) =>
@@ -1962,9 +2071,27 @@ object Snapshots {
         range(attr(a), None, sv(b)) ++ range(attr(b), sv(a), None)
       case LessThanOrEqual(a, b) =>
         range(attr(a), None, sv(b)) ++ range(attr(b), sv(a), None)
+      case d @ (_: In | _: Or) => disjunctive(d)
       case _ => Seq.empty
     }
   }
+
+  /** Resolve a caller-built condition against the recorded contract via
+    * an EMPTY probe frame (analysis validates every referenced column
+    * loudly) and derive the [[StatRange]]s its conjuncts imply — the
+    * [[deleteWhere]] pruning front door, shared so tests pin the
+    * derivation directly. */
+  private[sink] def deriveRanges(
+      spark: SparkSession, schema: StructType,
+      condition: org.apache.spark.sql.Column,
+      rangeCols: Seq[String], nullCols: Seq[String] = Seq.empty)
+      : Seq[StatRange] =
+    spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      .filter(condition).queryExecution.analyzed.collect {
+        case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          statRangesFromCondition(fl.condition, rangeCols,
+            spark.sessionState.conf.sessionLocalTimeZone, nullCols)
+      }.flatten
 
   /**
    * PREDICATE ROW DELETE — `DELETE WHERE cond`, the GDPR/retention shape —
@@ -1988,7 +2115,67 @@ object Snapshots {
       partitionFields: Seq[String],
       condition: org.apache.spark.sql.Column,
       targetFilesPerPartition: Int = 1): Option[Int] = {
-    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    rewriteWhere(spark, root, partitionFields, condition, "delete_where",
+      targetFilesPerPartition,
+      rows => rows.filter(not(coalesce(condition, lit(false)))))
+  }
+
+  /**
+   * PREDICATE ROW UPDATE — `UPDATE SET c = expr WHERE cond`: the same
+   * three-way-narrowed FILE-level copy-on-write as [[deleteWhere]], with
+   * the rewritten files' matching rows carrying the assignments instead
+   * of disappearing. Every right-hand side evaluates against the
+   * ORIGINAL row (one projection — a later assignment never sees an
+   * earlier one's result, SQL UPDATE semantics), casts to the column's
+   * recorded type, and only rows where the condition is TRUE change
+   * (false-or-null rows ride through). An assignment to a PARTITION
+   * column moves its rows to the new partition — the rewrite stages
+   * under the same write discipline as any append. SQL reaches this
+   * through `UPDATE tbl SET ...` ([[graft.sources.SnapshotDmlRule]]).
+   * Returns the new snapshot id, or None when no row matches.
+   */
+  def updateWhere(
+      spark: SparkSession, root: String,
+      partitionFields: Seq[String],
+      condition: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      targetFilesPerPartition: Int = 1): Option[Int] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    require(assignments.map(_._1).distinct.length == assignments.length,
+      s"duplicate assignment targets: ${assignments.map(_._1).mkString(",")}")
+    val byCol = assignments.toMap
+    rewriteWhere(spark, root, partitionFields, condition, "update_where",
+      targetFilesPerPartition, { rows =>
+        assignments.foreach { case (c, _) =>
+          require(rows.columns.contains(c),
+            s"unknown UPDATE target column '$c'") }
+        val matched = coalesce(condition, lit(false))
+        // ONE projection: every RHS sees the pre-update row, and the
+        // condition never re-evaluates against an already-updated column
+        rows.select(rows.columns.toSeq.map { c =>
+          byCol.get(c) match {
+            case Some(e) =>
+              when(matched, e.cast(rows.schema(c).dataType))
+                .otherwise(qc(c)).as(c)
+            case None => qc(c)
+          }
+        }: _*)
+      })
+  }
+
+  /** The shared [[deleteWhere]]/[[updateWhere]] engine: derive prune
+    * ranges from the condition, stat+Bloom-narrow the candidates, name
+    * the exact files HOLDING matches with one column-pruned discovery
+    * scan, then publish `transform(survivor rows)` as one copy-on-write
+    * snapshot that removes the originals by name. */
+  private def rewriteWhere(
+      spark: SparkSession, root: String, partitionFields: Seq[String],
+      condition: org.apache.spark.sql.Column, modeLabel: String,
+      targetFilesPerPartition: Int,
+      transform: DataFrame => DataFrame): Option[Int] = {
+    import org.apache.spark.sql.functions.input_file_name
     require(targetFilesPerPartition >= 1, "need at least one file")
     val (f, qroot) = FsOps.fs(spark, root)
     val id = currentSnapshot(spark, root).getOrElse(
@@ -1997,7 +2184,7 @@ object Snapshots {
     m.partitionCols.headOption.foreach(_ => require(
       partitionFields == m.partitionCols,
       s"dataset at $root is partitioned by ${m.partitionCols.mkString(",")}; " +
-        s"cannot delete under ${partitionFields.mkString(",")}"))
+        s"cannot rewrite under ${partitionFields.mkString(",")}"))
     if (m.files.isEmpty) return None
     val schema = m.schema.getOrElse(StructType(Seq.empty))
     // resolve the condition against the RECORDED contract via an empty
@@ -2005,18 +2192,11 @@ object Snapshots {
     // yields a resolved tree the range derivation can walk (legacy
     // schema-less datasets skip derivation — no pruning, never wrong
     // pruning)
-    val derived = m.schema.toSeq.flatMap { sc =>
+    val derived = m.schema.toSeq.flatMap(sc =>
       // ranges derive over stat AND bloom columns (a bloom-only column's
       // equality bound must reach the bloom prune below)
-      val rangeCols = (m.statsCols ++ m.bloomCols).distinct
-      spark.createDataFrame(new java.util.ArrayList[Row](), sc)
-        .filter(condition).queryExecution.analyzed.collect {
-          case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-            statRangesFromCondition(fl.condition, rangeCols,
-              spark.sessionState.conf.sessionLocalTimeZone,
-              nullCols = m.statsCols)
-        }.flatten
-    }
+      deriveRanges(spark, sc, condition,
+        (m.statsCols ++ m.bloomCols).distinct, nullCols = m.statsCols))
     // TimestampType columns STAT-prune NOTHING: the recorded min/max
     // strings were rendered under the WRITING session's timezone, and a
     // deleting session configured differently would compare shifted
@@ -2048,11 +2228,10 @@ object Snapshots {
       .filter(_.nonEmpty)
     if (hit.isEmpty) return None
     val rewrite = m.files.filter(e => hit(e.rel))
-    val survivors = scanWithDeletes(spark, qroot, m, rewrite)
-      .filter(not(coalesce(condition, lit(false))))
+    val out = transform(scanWithDeletes(spark, qroot, m, rewrite))
     Some(writeInternal(
-      splitPerPartition(survivors, partitionFields, targetFilesPerPartition),
-      root, partitionFields, SnapAppend, "delete_where",
+      splitPerPartition(out, partitionFields, targetFilesPerPartition),
+      root, partitionFields, SnapAppend, modeLabel,
       graft.schema.SchemaEvolution.Widen,
       extraRemoves = rewrite.map(_.rel)))
   }
@@ -2643,13 +2822,19 @@ object Snapshots {
     * surface (SURVEY §2 F7). */
   def registerTable(
       spark: SparkSession, root: String, table: String,
-      asOf: Option[Int] = None): Unit = {
+      asOf: Option[Int] = None, branch: Option[String] = None): Unit = {
     require("^[A-Za-z0-9_]+(\\.[A-Za-z0-9_]+)?$".r.matches(table),
       s"table name '$table' must be [db.]name with word characters only")
-    // validates the dataset exists and records a contract
-    tableSchema(spark, root, asOf): Unit
+    require(asOf.isEmpty || branch.isEmpty,
+      "asOf and branch are mutually exclusive")
+    // validates the dataset/branch exists and records a contract
+    branch match {
+      case Some(b) => branchSchema(spark, root, b): Unit
+      case None => tableSchema(spark, root, asOf): Unit
+    }
     val loc = root.replace("'", "''")
-    val opts = asOf.fold("")(id => s" OPTIONS (asOf '$id')")
+    val opts = asOf.map(id => s" OPTIONS (asOf '$id')")
+      .orElse(branch.map(b => s" OPTIONS (branch '$b')")).getOrElse("")
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(
       s"CREATE TABLE $table USING graft.sources.SnapshotSource$opts " +
@@ -2983,6 +3168,27 @@ object Snapshots {
       prune, s"branch '$name' s$id")
   }
 
+  /** The recorded read contract at a branch's head — the branch twin of
+    * [[tableSchema]], one manifest read. What a `branch`-pinned
+    * [[graft.sources.SnapshotRelation]] serves as its schema. */
+  def branchSchema(
+      spark: SparkSession, root: String, name: String): StructType = {
+    requireRefName("branch", name)
+    val (f, qroot) = FsOps.fs(spark, root)
+    val head = branchHead(f, qroot, name)
+    readSnapshotFileIn(f, branchDir(qroot, name), head).schema.getOrElse(
+      throw new IllegalStateException(
+        s"branch '$name' head s$head records no schema"))
+  }
+
+  /** A branch's head id, if the branch exists — the pointer value a
+    * branch-pinned relation memoizes its schema against. */
+  private[graft] def branchHeadId(
+      spark: SparkSession, root: String, name: String): Option[Int] = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    branchHeadOpt(f, qroot, name)
+  }
+
   /** Live branches as (name → (branch head id, main fork id)). */
   def branches(spark: SparkSession, root: String): Map[String, (Int, Int)] = {
     val (f, qroot) = FsOps.fs(spark, root)
@@ -3038,7 +3244,7 @@ object Snapshots {
     val mergeTag = s"branch-merge:$name:$nonce:s$head"
     if (!cur.contains(fork))
       return mergeStaleFork(spark, f, qroot, root, name, bdir, head, fork,
-        cur, mergeTag)
+        cur, mergeTag, nonce)
     // separate caches: branch-local and main ids are distinct sequences
     val b = resolveIn(f, bdir, head)
     val live = resolve(f, qroot, fork)
@@ -3071,8 +3277,39 @@ object Snapshots {
           live.deletes.map(_.rel).filterNot(bDRels))
       }
     publishManifest(f, qroot, id, Some(fork), content)
+    recordMerge(f, qroot, nonce, id)
     dropBranch(spark, root, name): Unit
     id
+  }
+
+  private def mergesDir(root: Path) = new Path(root, "merges")
+
+  /** Durably record that branch incarnation `nonce`'s merge landed at
+    * main snapshot `id` — one ~10-byte marker file, retained UNBOUNDEDLY
+    * (never expired, never vacuumed): the backstop crash-recovery layer
+    * that survives the extreme corner where expire dropped the tagged
+    * manifest, a compact rewrote the branch-added part files out of
+    * every retained manifest, AND 64+ tagged batches evicted the merge
+    * tag from the rolling window — without it, a late fastForward retry
+    * would find no evidence and re-publish the rebase-merge, doubling
+    * the branch's rows. Written AFTER the publish (a crash in between
+    * is covered by the retained tagged manifest) and BEFORE the branch
+    * drop. */
+  private def recordMerge(
+      f: FileSystem, qroot: Path, nonce: String, id: Int): Unit =
+    if (nonce.nonEmpty) {
+      f.mkdirs(mergesDir(qroot))
+      FsOps.atomicWrite(f, new Path(mergesDir(qroot), nonce), s"s$id")
+    }
+
+  /** The main snapshot id a branch incarnation's merge landed at, if its
+    * durable marker exists (pre-nonce branches never have one). */
+  private def recordedMergeId(
+      f: FileSystem, qroot: Path, nonce: String): Option[Int] = {
+    if (nonce.isEmpty) return None
+    val p = new Path(mergesDir(qroot), nonce)
+    if (!f.exists(p)) None
+    else Some(parseSnapRef(s"merge marker $nonce", readSmall(f, p)))
   }
 
   /** [[fastForward]]'s stale-fork lane: crash recovery first (the merge
@@ -3082,7 +3319,17 @@ object Snapshots {
   private def mergeStaleFork(
       spark: SparkSession, f: FileSystem, qroot: Path, root: String,
       name: String, bdir: Path, head: Int, fork: Int, cur0: Option[Int],
-      mergeTag: String): Int = {
+      mergeTag: String, nonce: String): Int = {
+    // crash recovery layer (0), the durable backstop: a merges/<nonce>
+    // marker proves this incarnation's merge committed, however long ago
+    // and whatever maintenance has since rewritten — finish the cleanup
+    // and return the landed id (or the current head once that id has
+    // been expired out of the retained chain)
+    recordedMergeId(f, qroot, nonce).foreach { id =>
+      dropBranch(spark, root, name): Unit
+      return committedIds(f, qroot, cur0).find(_ == id)
+        .orElse(cur0).getOrElse(id)
+    }
     // crash recovery, three layers: (1) a RETAINED manifest past the fork
     // carries this incarnation's merge tag — finish the cleanup and
     // return ITS id (a rebase-merge need not land at fork+1);
@@ -3202,6 +3449,7 @@ object Snapshots {
           renderManifest(meta, cur, rebased, Seq.empty, None)
       try {
         publishManifest(f, qroot, id, cur, content)
+        recordMerge(f, qroot, nonce, id)
         dropBranch(spark, root, name): Unit
         return id
       } catch {

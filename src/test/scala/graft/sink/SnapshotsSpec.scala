@@ -690,21 +690,38 @@ class SnapshotsSpec extends SparkSpec {
       }
     }
     copyTree(bdir, saved)
+    val nonce = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/branches/rb/FORK"))).trim
+      .split(" ")(1)
+    def dropMarker(): Unit = java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$root/merges/$nonce")): Unit
     assert(Snapshots.fastForward(spark, root, "rb") == 3,
       "rebase-merge lands at the head, not at fork+1")
     copyTree(saved, bdir)
-    // layer 1: the tagged merge manifest is retained — the retry finds it
-    // at ITS id (3, not fork+1=2) and just finishes the cleanup
+    // layer 0: the durable merges/<nonce> marker names the landed id —
+    // the retry finishes the cleanup without consulting any manifest
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$root/merges/$nonce")),
+      "every merge publish must record its durable marker")
     assert(Snapshots.fastForward(spark, root, "rb") == 3)
     assert(Snapshots.branches(spark, root).isEmpty)
     val settled = Snapshots.read(spark, root).count()
     assert(settled == orders.count() + 7 + ins.count())
+    // layer 1 (marker removed — the pre-marker dataset path): the tagged
+    // merge manifest is retained — the retry finds it at ITS id (3, not
+    // fork+1=2) and just finishes the cleanup
+    copyTree(saved, bdir)
+    dropMarker()
+    assert(Snapshots.fastForward(spark, root, "rb") == 3)
+    assert(Snapshots.branches(spark, root).isEmpty)
+    assert(Snapshots.read(spark, root).count() == settled)
     // layer 2: restore the branch AGAIN, then expire the tagged merge
     // manifest away (s4 appends, keepLast=1 rebases s4 to a full manifest
     // and drops s1-s3) — recovery must still detect the landed merge via
     // the branch-added files referenced in a retained manifest, never
     // instruct a replay that would double the rows
     copyTree(saved, bdir)
+    dropMarker()
     Snapshots.write(orders.limit(3).coalesce(1), root,
       Seq("o_orderpriority"), SnapAppend) // s4
     Snapshots.expire(spark, root, keepLast = 1)
@@ -719,6 +736,7 @@ class SnapshotsSpec extends SparkSpec {
     // rels — recovery must still see the merge through the head's
     // rolling tag window, never instruct a row-doubling replay
     copyTree(saved, bdir)
+    dropMarker()
     assert(Snapshots.compact(spark, root, Seq("o_orderpriority")).nonEmpty,
       "the fixture needs a real compaction to drop the branch rels") // s5
     Snapshots.expire(spark, root, keepLast = 1)
@@ -728,6 +746,54 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.branches(spark, root).isEmpty)
     assert(Snapshots.read(spark, root).count() == total,
       "rtags recovery must not double-apply the already-merged rows")
+  }
+
+  test("merge marker is the durable backstop: expire + compact + tag-window eviction cannot trigger a row-doubling replay") {
+    val root = java.nio.file.Files.createTempDirectory("snap_mrkcr").toString
+    Snapshots.write(orders, root, Seq("o_orderpriority"))
+    Snapshots.createBranch(spark, root, "rb")
+    val ins = orders.filter(col("o_orderkey") % 10 === 9)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+      .withColumn("o_orderpriority", lit("5-LOW"))
+    Snapshots.writeToBranch(ins, root, "rb", Seq("o_orderpriority"))
+    Snapshots.write(orders.limit(7).coalesce(1), root,
+      Seq("o_orderpriority"), SnapAppend) // main advances → rebase lane
+    val bdir = java.nio.file.Paths.get(s"$root/branches/rb")
+    val saved = java.nio.file.Files.createTempDirectory("snap_mrksave")
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(from).iterator().asScala.foreach { p =>
+        val dst = to.resolve(from.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    }
+    copyTree(bdir, saved)
+    assert(Snapshots.fastForward(spark, root, "rb") == 3)
+    copyTree(saved, bdir) // the crash: branch never dropped
+    // erase EVERY in-manifest trace of the merge: compact rewrites the
+    // branch-added rels into new part files, 64+ tagged stream batches
+    // evict the merge tag from the rolling window, expire reclaims the
+    // tagged manifest and every manifest referencing the original rels
+    assert(Snapshots.compact(spark, root, Seq("o_orderpriority")).nonEmpty)
+    val one = orders.limit(1).coalesce(1)
+    (1 to Snapshots.MaxRecentTags + 1).foreach(i =>
+      Snapshots.write(one.withColumn("o_orderkey", lit(9000000L + i)),
+        root, Seq("o_orderpriority"), SnapAppend,
+        batchTag = Some(s"evict-$i")): Unit)
+    Snapshots.expire(spark, root, keepLast = 1)
+    val head = Snapshots.currentSnapshot(spark, root).get
+    val total = Snapshots.read(spark, root).count()
+    // the retry's ONLY remaining evidence is the durable marker —
+    // without it this replay would re-publish the rebase-merge and
+    // double the branch rows
+    assert(Snapshots.fastForward(spark, root, "rb") == head,
+      "the durable marker must prove the merge landed")
+    assert(Snapshots.branches(spark, root).isEmpty)
+    assert(Snapshots.read(spark, root).count() == total,
+      "recovery must not double-apply the already-merged rows")
   }
 
   test("race-losing mergeDeltas with provably disjoint keys rebases metadata-only") {
@@ -2404,5 +2470,109 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.vacuum(spark, root, graceMs = Long.MaxValue)._1 == 0,
       "grace window protects a fresh file")
     assert(Snapshots.vacuum(spark, root, graceMs = 0L)._1 == 1)
+  }
+
+  test("IN-list pruning: anyOf ranges keep the UNION of holding files across stats and blooms") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_inlist").toString
+    // three appended single-file batches: two with disjoint ranges, the
+    // third fully interleaved with the first — min/max separates batch 2,
+    // only the bloom separates 1 from 3
+    val evens = spark.range(0, 200, 2).select(col("id").as("k"),
+      lit("a").as("p"))
+    val high = spark.range(1000, 1100).select(col("id").as("k"),
+      lit("a").as("p"))
+    val odds = spark.range(1, 200, 2).select(col("id").as("k"),
+      lit("a").as("p"))
+    Snapshots.write(evens.coalesce(1), root, Seq("p"),
+      statsColumns = Seq("k"), bloomColumns = Seq("k"))
+    Snapshots.write(high.coalesce(1), root, Seq("p"), Snapshots.SnapAppend)
+    Snapshots.write(odds.coalesce(1), root, Seq("p"), Snapshots.SnapAppend)
+    def readIn(vs: Long*) = Snapshots.read(spark, root,
+      prune = Seq(Snapshots.StatRange("k", anyOf = Some(vs))))
+    // one even + one high key: the odds' file is bloom-pruned, the union
+    // of the two holding files survives
+    assert(readIn(42L, 1050L).inputFiles.length == 2,
+      "anyOf must keep exactly the union of the holding files")
+    assert(readIn(42L, 1050L).filter(col("k").isin(42L, 1050L)).count() == 2)
+    // values from ALL three files keep all three
+    assert(readIn(42L, 43L, 1050L).inputFiles.length == 3)
+    // absent values prune everything; the empty read still answers
+    assert(readIn(999L).count() == 0)
+    // deleteWhere with an IN condition derives the same disjunction: the
+    // two holding files rewrite, the odds' file rides through untouched
+    val did = Snapshots.deleteWhere(spark, root, Seq("p"),
+      col("k").isin(42L, 1050L))
+    assert(did.contains(4))
+    val m4 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/snapshots/s4")))
+    assert(m4.linesIterator.count(_.startsWith("remove=")) == 2,
+      "the IN delete must rewrite only the holding files")
+    assert(Snapshots.read(spark, root).count() == 298)
+    assert(Snapshots.read(spark, root)
+      .filter(col("k").isin(42L, 1050L)).count() == 0)
+  }
+
+  test("derived ranges: IN / OR-of-equalities become one disjunction; equality bounds carry exact internal values") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+    val sc = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType), StructField("ts", TimestampType)))
+    def derive(c: org.apache.spark.sql.Column) =
+      Snapshots.deriveRanges(spark, sc, c, Seq("k", "s", "ts"))
+    // IN over a stat column: one anyOf range with exact internal values
+    val in = derive(col("k").isin(1L, 2L, 3L))
+    assert(in.length == 1 && in.head.anyOf.contains(Seq("1", "2", "3")))
+    assert(in.head.exactEq.exists(_.map(_._1) == Seq(1L, 2L, 3L)))
+    // OR-of-equalities on ONE column folds to the same shape
+    val or = derive(col("k") === 5L || col("k") === 7L)
+    assert(or.length == 1 && or.head.anyOf.contains(Seq("5", "7")))
+    // a cross-column OR derives nothing (a partial set would mis-prune)
+    assert(derive(col("k") === 5L || col("s") === "x").isEmpty)
+    // plain equality carries the internal value for the Bloom probe
+    val eq = derive(col("k") === 9L)
+    assert(eq.exists(r => r.lower.contains("9") &&
+      r.exactEq.exists(_ == Seq((9L, LongType)))))
+    // null-safe equality against a non-null literal prunes like equality
+    val nseq = derive(col("k") <=> 4L)
+    assert(nseq.exists(r => r.lower.contains("4")))
+    // an over-cap IN degrades to no derivation, never a partial one
+    val wide = derive(col("k").isin(
+      (0L to Snapshots.MaxInPruneValues.toLong).map(Long.box): _*))
+    assert(wide.isEmpty)
+  }
+
+  test("DST-ambiguous timestamp point delete probes the exact instant, not a re-parsed local string") {
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("snap_dst").toString
+      // 2026-11-01 01:30:00 in America/New_York happens TWICE (fall-back):
+      // once at UTC-4 (05:30Z) and once at UTC-5 (06:30Z). Both instants
+      // render to the identical session-tz string, so a probe that
+      // re-parses the rendered bound hashes the WRONG instant for one of
+      // them — the write-side bloom hashed internal micros.
+      val edt = java.sql.Timestamp.from(
+        java.time.Instant.parse("2026-11-01T05:30:00Z"))
+      val est = java.sql.Timestamp.from(
+        java.time.Instant.parse("2026-11-01T06:30:00Z"))
+      Snapshots.write(Seq((1L, "a", edt)).toDF("id", "p", "ts").coalesce(1),
+        root, Seq("p"), statsColumns = Seq("id"), bloomColumns = Seq("ts"))
+      Snapshots.write(Seq((2L, "a", est)).toDF("id", "p", "ts").coalesce(1),
+        root, Seq("p"), Snapshots.SnapAppend)
+      // delete the EST (second) occurrence: its file must NOT be
+      // bloom-pruned away — silent non-deletion is the GDPR failure mode
+      val did = Snapshots.deleteWhere(spark, root, Seq("p"),
+        col("ts") === lit(est))
+      assert(did.isDefined,
+        "the delete must locate the EST row — a tz-string re-parse would " +
+          "bloom-prune its file and silently leave it undeleted")
+      assert(Snapshots.read(spark, root).select("id").collect()
+        .map(_.getLong(0)).toSet == Set(1L))
+      // the EDT occurrence stays addressable too
+      assert(Snapshots.deleteWhere(spark, root, Seq("p"),
+        col("ts") === lit(edt)).isDefined)
+      assert(Snapshots.read(spark, root).count() == 0)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 }
