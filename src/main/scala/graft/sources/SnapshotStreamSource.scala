@@ -1,0 +1,126 @@
+package graft.sources
+
+import graft.sink.Snapshots
+import graft.streaming.SnapshotFollower.{EmitModes, SkipModes}
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Structured Streaming over a snapshot dataset:
+ * `spark.readStream.format("graft-snapshot").load(root)` — the
+ * [[graft.streaming.SnapshotFollower]]'s id-as-offset machinery behind
+ * Spark's own streaming engine, so triggers, every `writeStream` sink,
+ * checkpoint coordination and restart recovery all apply. The classic
+ * v1 [[Source]] shape deliberately (the same engine path
+ * FileStreamSource runs on): the batch connector is a v1
+ * RelationProvider under the same short name, and one registered
+ * format cannot serve DSv2 reads without hijacking the batch lane —
+ * the offset/getBatch contract below is exactly MicroBatchStream's
+ * (planInputPartitions ≙ getBatch, id-as-offset), at no loss of
+ * engine features.
+ *
+ * Semantics (the follower's, made WAL-replayable):
+ *  - offset = published snapshot id; `getOffset` is one pointer read.
+ *  - first batch (`start = None`) = the FULL state at the end offset —
+ *    the bootstrap every fresh checkpoint needs; deterministic on
+ *    restart replay while the snapshot is retained ([[Snapshots
+ *    .expire]] must out-retain the checkpoint lag, as with the
+ *    follower).
+ *  - incremental batches union each emit-mode snapshot's ADDED rows in
+ *    (start, end] (`append` / `merge_mor` — the Iceberg
+ *    incremental-append contract); row-preserving maintenance
+ *    (`compact`/`fold`/`migrate_spec`/`evolve_spec`) contributes
+ *    nothing; anything else (overwrite, CoW merge, delete_where,
+ *    update_where, rollback, branch_merge) cannot be represented in an
+ *    append stream — FAIL by default, or skip with
+ *    `option("onNonAppend", "skip")`.
+ *  - columns project to the stream's START schema: a mid-stream
+ *    widening never breaks the running query; restart picks up the
+ *    widened contract.
+ *
+ * Exactly-once end-to-end: land batches into another snapshot dataset
+ * with `batchTag = s"<app>-$batchId"` inside `foreachBatch` — SS batch
+ * ids are stable across retries, and the sink's replay-tag window
+ * converges redeliveries (the follower's contract, unchanged).
+ */
+class SnapshotStreamSource(
+    sqlContext: SQLContext, root: String,
+    userSchema: Option[StructType], skipNonAppend: Boolean)
+    extends Source {
+
+  private def spark = sqlContext.sparkSession
+
+  /** The stream's read contract, FIXED at stream start (Spark caches it
+    * in the query plan); a widening surfaces on restart. */
+  override val schema: StructType = userSchema.getOrElse(
+    Snapshots.tableSchema(spark, root))
+
+  private case class SnapOffset(id: Int) extends Offset {
+    override def json: String = id.toString
+  }
+
+  // the WAL hands offsets back as SerializedOffset(json) after a
+  // restart — parse the id out of any Offset shape
+  private def idOf(o: Offset): Int = o match {
+    case SnapOffset(id) => id
+    case other => other.json.trim.toInt
+  }
+
+  override def getOffset: Option[Offset] =
+    Snapshots.currentSnapshot(spark, root).map(SnapOffset(_))
+
+  private def projected(df: DataFrame): DataFrame =
+    df.select(schema.fieldNames.toSeq.map(c =>
+      org.apache.spark.sql.functions.col(
+        s"`${c.replace("`", "``")}`")): _*)
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endId = idOf(end)
+    val batch = start match {
+      case None =>
+        // bootstrap: the full state at the first observed offset
+        projected(Snapshots.read(spark, root, asOf = Some(endId)))
+      case Some(s0) =>
+        val startId = idOf(s0)
+        // a checkpoint that fell behind the retention window cannot
+        // replay incrementally — name the real condition (the follower's
+        // stale rule) instead of the missing-manifest error deep inside
+        // the diff
+        Snapshots.earliestRetainedSnapshot(spark, root)
+          .filter(_ > startId).filter(_ => startId < endId)
+          .foreach(earliest => throw new IllegalStateException(
+            s"stream checkpoint is STALE: it committed s$startId but " +
+              s"Snapshots.expire has reclaimed the manifests needed to " +
+              s"replay from there (earliest retained is s$earliest) — " +
+              "widen the dataset's retention relative to the stream's " +
+              "trigger cadence, or restart with a fresh checkpoint to " +
+              "re-bootstrap from the full state"))
+        val parts = (startId + 1 to endId).flatMap { id =>
+          val mode = Snapshots.snapshotModeOf(spark, root, id)
+          if (EmitModes(mode))
+            Snapshots.readAddedSince(spark, root, id - 1, Some(id))
+              .map(projected)
+          else if (SkipModes(mode) || skipNonAppend) None
+          else throw new IllegalStateException(
+            s"snapshot s$id mode '$mode' under $root is not an append — " +
+              "an incremental append stream cannot represent it; consume " +
+              "row-level diffs via Snapshots.changes, or opt into " +
+              "option(\"onNonAppend\", \"skip\") if dropping it is " +
+              "acceptable")
+        }
+        parts.reduceOption(_ union _).getOrElse(
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+    }
+    // the micro-batch engine requires a STREAMING-flagged plan; the
+    // batch's own (already optimized) plan executes beneath it
+    org.apache.spark.sql.graft.GraftSqlBridge.asStreamingFrame(spark, batch)
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"SnapshotStreamSource[$root]"
+}

@@ -207,8 +207,12 @@ object SnapshotFollower {
     * downstream copy instead of appending (overwrite/rollback recovery). */
   case object RefreshOnNonAppend extends NonAppendPolicy
 
-  private val EmitModes = Set("append", "merge_mor")
-  private val SkipModes = Set("compact", "fold", "migrate_spec", "evolve_spec")
+  /** Mode dispatch shared with the Structured Streaming source
+    * ([[graft.sources.SnapshotStreamSource]]): append-shaped snapshots
+    * emit, row-preserving maintenance skips, everything else is policy. */
+  private[graft] val EmitModes = Set("append", "merge_mor")
+  private[graft] val SkipModes =
+    Set("compact", "fold", "migrate_spec", "evolve_spec")
 
   /** A running [[SnapshotFollower.followStream]] loop. [[stop]] is
     * graceful: it wakes the scheduler, lets any in-flight batch finish
