@@ -29,9 +29,22 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
  *    flow through without a per-row Row conversion.
  *
  * Options: `path` (the dataset root — set by `LOCATION`), `asOf` (pin a
- * snapshot id — a time-travel table), `tag` (pin a named tag),
- * `partitionBy` (comma-separated — required only when a WRITE creates
- * the dataset; afterwards the recorded spec governs).
+ * snapshot id — a time-travel table), `tag` (pin a named tag), `branch`
+ * (read a live branch's head — the WAP audit workflow queried through
+ * SQL before [[Snapshots.fastForward]] publishes it; read-only, and it
+ * tracks the branch head per scan exactly as an unpinned table tracks
+ * main), `partitionBy` (comma-separated — required only when a WRITE
+ * creates the dataset; afterwards the recorded spec governs).
+ *
+ * Schema is PUBLISH-CURRENT: the relation re-resolves the recorded
+ * contract whenever the pointer it reads (main / branch head / pin)
+ * moves, memoized per pointer value like `sizeInBytes`. A catalog table
+ * additionally sits behind Spark's relation cache, which fixes the
+ * analyzed output columns — after a WIDENING publish, `REFRESH TABLE`
+ * (or any re-resolution) surfaces the new columns; no re-registration.
+ * The [[SchemaRelationProvider]] arm exists exactly for that path: the
+ * metastore replays its registration-time schema at every resolution,
+ * and the recorded manifest contract — not the stale copy — must win.
  *
  * Writes route through [[Snapshots.write]] — the API that owns the
  * commit protocol — in two SQL-native shapes: `INSERT INTO` /
@@ -43,12 +56,14 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
  * honor existing state). Time-travel-pinned tables are read-only views
  * of history and reject inserts loudly.
  */
-class SnapshotSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+class SnapshotSource extends RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-snapshot"
 
   private case class Opts(
       root: String, asOf: Option[Int], tag: Option[String],
+      branch: Option[String],
       partitionBy: Seq[String], statsColumns: Seq[String],
       bloomColumns: Seq[String])
 
@@ -60,19 +75,85 @@ class SnapshotSource extends RelationProvider
           "path/root option)")))
     val asOf = byLower.get("asof").map(_.trim.toInt)
     val tag = byLower.get("tag")
-    require(asOf.isEmpty || tag.isEmpty,
-      "asOf and tag are mutually exclusive")
+    val branch = byLower.get("branch")
+    require(Seq(asOf, tag, branch).count(_.isDefined) <= 1,
+      "asOf, tag and branch are mutually exclusive")
     def cols(key: String): Seq[String] = byLower.get(key).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    Opts(root, asOf, tag, cols("partitionby"), cols("statscolumns"),
-      cols("bloomcolumns"))
+    Opts(root, asOf, tag, branch, cols("partitionby"),
+      cols("statscolumns"), cols("bloomcolumns"))
   }
 
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val o = parse(parameters)
-    new SnapshotRelation(sqlContext, o.root, o.asOf, o.tag)
+    new SnapshotRelation(sqlContext, o.root, o.asOf, o.tag, o.branch)
+  }
+
+  /** The catalog-read arm: a metastore table replays the schema it
+    * stored AT REGISTRATION on every resolution, but the recorded
+    * manifest contract is the read truth — a widening published since
+    * registration must surface (the stored copy is intentionally
+    * ignored; without this arm Spark REJECTS the widened relation as a
+    * schema mismatch, freezing the table at its registration shape). */
+  override def createRelation(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      schema: StructType): BaseRelation =
+    createRelation(sqlContext, parameters)
+
+  /** `spark.readStream.format("graft-snapshot")` — the snapshot dataset
+    * as a Structured Streaming source ([[SnapshotStreamSource]]): id-as-
+    * offset, full-state bootstrap, incremental append batches. Streams
+    * follow MAIN (asOf/tag/branch are point/lineage pins, not streams). */
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val o = parse(parameters)
+    require(o.asOf.isEmpty && o.tag.isEmpty && o.branch.isEmpty,
+      "a snapshot STREAM follows main — asOf/tag/branch pins do not " +
+        "advance and cannot stream")
+    (shortName(), schema.getOrElse(
+      Snapshots.tableSchema(sqlContext.sparkSession, o.root)))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution
+      .streaming.Source = {
+    val o = parse(parameters)
+    val onNonAppend = parameters
+      .map { case (k, v) => k.toLowerCase -> v.trim.toLowerCase }
+      .getOrElse("onnonappend", "fail")
+    require(Set("fail", "skip")(onNonAppend),
+      s"onNonAppend must be fail|skip, got '$onNonAppend'")
+    new SnapshotStreamSource(sqlContext, o.root, schema,
+      skipNonAppend = onNonAppend == "skip")
+  }
+
+  /** `df.writeStream.format("graft-snapshot")` — every micro-batch is
+    * one audited `stream-<batchId>`-tagged snapshot ([[SnapshotStreamSink]];
+    * Append mode only — a snapshot dataset is an append-of-batches log). */
+  override def createSink(
+      sqlContext: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-snapshot streams land append-of-batches snapshots — got " +
+        s"$outputMode; aggregate updates belong in foreachBatch + " +
+        "Snapshots.mergeDeltas")
+    val o = parse(parameters)
+    require(o.asOf.isEmpty && o.tag.isEmpty && o.branch.isEmpty,
+      "cannot stream into a pinned (asOf/tag/branch) reference")
+    // partitionBy arrives either as writeStream.partitionBy(...) or as
+    // the option — writeStream wins when both agree is required anyway
+    val fields =
+      if (partitionColumns.nonEmpty) partitionColumns else o.partitionBy
+    new SnapshotStreamSink(sqlContext, o.root, fields, o.statsColumns,
+      o.bloomColumns)
   }
 
   /** `df.write.format("graft-snapshot")` — lands one snapshot through
@@ -91,6 +172,22 @@ class SnapshotSource extends RelationProvider
     val spark = sqlContext.sparkSession
     val root = o.root
     val existing = Snapshots.currentSnapshot(spark, root)
+    // a branch write lands on the BRANCH head (the WAP audit lane made
+    // writer-native); the branch must already exist, and the dataset's
+    // recorded spec governs as ever
+    o.branch.foreach { b =>
+      require(Snapshots.branchHeadId(spark, root, b).isDefined,
+        s"no branch '$b' under $root — Snapshots.createBranch first")
+      val fields = SnapshotSource.recordedPartitioning(spark, root)
+      val m = mode match {
+        case SaveMode.Append => Snapshots.SnapAppend
+        case SaveMode.Overwrite => Snapshots.SnapOverwritePartitions
+        case other => throw new IllegalArgumentException(
+          s"branch writes take SaveMode Append/Overwrite, not $other")
+      }
+      Snapshots.writeToBranch(data, root, b, fields, m): Unit
+      return new SnapshotRelation(sqlContext, root, None, None, o.branch)
+    }
     val fields = existing match {
       case Some(_) =>
         val recorded = SnapshotSource.recordedPartitioning(spark, root)
@@ -118,7 +215,7 @@ class SnapshotSource extends RelationProvider
       case SaveMode.Ignore =>
         if (existing.isEmpty) land(Snapshots.SnapAppend)
     }
-    new SnapshotRelation(sqlContext, root, None, None)
+    new SnapshotRelation(sqlContext, root, None, None, None)
   }
 }
 
@@ -137,22 +234,60 @@ object SnapshotSource {
 
 class SnapshotRelation(
     val sqlContext: SQLContext, root: String, asOf: Option[Int],
-    tag: Option[String])
+    tag: Option[String], branch: Option[String] = None)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def spark = sqlContext.sparkSession
+
+  /** The dataset root this relation reads — what row-level SQL DML
+    * ([[SnapshotDmlRule]]) routes its Snapshots call against. */
+  private[graft] def datasetRoot: String = root
+
+  /** Why row-level DML must NOT run against this relation, if pinned:
+    * time-travel pins are read-only views of history; branch pins audit
+    * an unpublished lineage whose row-level ops go through main. */
+  private[graft] def dmlBlockedReason: Option[String] =
+    if (asOf.isDefined || tag.isDefined)
+      Some("it is time-travel-pinned (asOf/tag) — a read-only view of " +
+        "history")
+    else branch.map(b =>
+      s"it is pinned to branch '$b' — run row-level DML against main " +
+        "(or fastForward the audited branch first)")
 
   private def pinnedId: Option[Int] =
     tag.map(t => graft.sink.Snapshots.tags(spark, root).getOrElse(t,
       throw new IllegalStateException(s"no tag '$t' under $root"))
     ).orElse(asOf)
 
-  /** The recorded contract at registration/first-resolution time. A
-    * schema WIDENING published later needs re-registration (or a fresh
-    * relation) to surface the new columns; data stays current
-    * regardless. */
-  override val schema: StructType =
-    Snapshots.tableSchema(spark, root, pinnedId)
+  /** The pointer this relation's reads follow: a pinned id, the branch
+    * head, or main's current snapshot. */
+  private def trackedId: Option[Int] = branch match {
+    case Some(b) => Snapshots.branchHeadId(spark, root, b)
+    case None =>
+      pinnedId.orElse(Snapshots.currentSnapshot(spark, root))
+  }
+
+  // schema and stats re-resolve when the tracked pointer moves (one
+  // small pointer read per planning touch; the manifest read only on a
+  // flip) — PUBLISH-CURRENT, matching the data. Catalog tables
+  // additionally sit behind Spark's relation cache: REFRESH TABLE (not
+  // re-registration) surfaces a widening there.
+  @volatile private var schemaMemo: Option[(Option[Int], StructType)] = None
+
+  /** The CURRENT recorded contract of the tracked pointer. */
+  override def schema: StructType = {
+    val cur = trackedId
+    schemaMemo match {
+      case Some((id, s)) if id == cur => s
+      case _ =>
+        val s = branch match {
+          case Some(b) => Snapshots.branchSchema(spark, root, b)
+          case None => Snapshots.tableSchema(spark, root, cur)
+        }
+        schemaMemo = Some((cur, s))
+        s
+    }
+  }
 
   // rows come back as the assembled scan's InternalRows — no Row
   // round-trip (the documented external-connector fast path)
@@ -166,8 +301,11 @@ class SnapshotRelation(
 
   /** Recorded live byte size from the manifest (no filesystem walk), so
     * Catalyst can broadcast a small snapshot table; datasets predating
-    * byte recording fall back to the conservative session default. */
+    * byte recording (and branch-pinned relations, whose audit reads are
+    * not join-planning-sensitive) fall back to the conservative session
+    * default. */
   override def sizeInBytes: Long = {
+    if (branch.isDefined) return super.sizeInBytes
     val cur = pinnedId.orElse(Snapshots.currentSnapshot(spark, root))
     sizeMemo match {
       case Some((id, bytes)) if id == cur => bytes
@@ -187,7 +325,10 @@ class SnapshotRelation(
 
   /** `INSERT INTO` (append) / `INSERT OVERWRITE` (dynamic partition
     * overwrite) on a registered table — routed under the RECORDED
-    * partition spec through the full snapshot write discipline. */
+    * partition spec through the full snapshot write discipline. A
+    * `branch`-pinned table inserts onto the BRANCH head ([[Snapshots
+    * .writeToBranch]]) — the WAP workflow entirely in SQL: insert into
+    * the audit table, query it, fastForward when it passes. */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
     require(asOf.isEmpty && tag.isEmpty,
       "cannot INSERT into a time-travel-pinned (asOf/tag) table — it is " +
@@ -196,37 +337,67 @@ class SnapshotRelation(
     val mode =
       if (overwrite) Snapshots.SnapOverwritePartitions
       else Snapshots.SnapAppend
-    Snapshots.write(data, root, fields, mode): Unit
+    branch match {
+      case Some(b) => Snapshots.writeToBranch(data, root, b, fields, mode): Unit
+      case None => Snapshots.write(data, root, fields, mode): Unit
+    }
   }
 
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
     val prune = filters.toSeq.flatMap(toRanges)
-    val base = tag match {
-      case Some(t) => Snapshots.readTag(spark, root, t, prune = prune)
-      case None => Snapshots.read(spark, root, asOf = asOf, prune = prune)
+    val base = (branch, tag) match {
+      case (Some(b), _) => Snapshots.readBranch(spark, root, b, prune = prune)
+      case (None, Some(t)) => Snapshots.readTag(spark, root, t, prune = prune)
+      case _ => Snapshots.read(spark, root, asOf = asOf, prune = prune)
     }
     // hand the filters to Catalyst too: inside the assembled scan they
     // push down to the file reader (partition pruning, parquet predicate
     // pushdown) — file skipping above, row skipping below
     val filtered = filters.flatMap(toColumn).foldLeft(base)(_ filter _)
+    // row SHAPE pins to the contract PLANNING resolved (the memo holds
+    // exactly the attributes the cached LogicalRelation carries): a
+    // widening that publishes between planning and this scan must not
+    // change column types under the executing plan — it surfaces at the
+    // next resolution (REFRESH TABLE / fresh relation). Data stays
+    // current regardless.
+    val planned = schemaMemo.map(_._2).getOrElse(schema)
+    def q(c: String) =
+      org.apache.spark.sql.functions.col(s"`${c.replace("`", "``")}`")
     val projected =
       if (requiredColumns.isEmpty) filtered.select()
       else filtered.select(requiredColumns.toSeq.map(c =>
-        org.apache.spark.sql.functions.col(s"`${c.replace("`", "``")}`")): _*)
+        planned.fields.find(_.name == c)
+          .map(fd => q(c).cast(fd.dataType).as(c)).getOrElse(q(c))): _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 
-  /** Timestamp columns derive no RANGE (their recorded stat strings are
-    * writer-session-tz renderings — the [[Snapshots.deleteWhere]] rule);
-    * nullness pruning is count-based and stays. */
+  /** Timestamp columns derive no inequality RANGE (their recorded stat
+    * strings are writer-session-tz renderings — the
+    * [[Snapshots.deleteWhere]] rule); EQUALITY ranges forward even for
+    * timestamps — [[Snapshots.readResolved]]'s statSafe split keeps the
+    * min/max compare off while the Bloom probe prunes on the exact
+    * pushed value (a typed object, never a re-parsed string); nullness
+    * pruning is count-based and stays. */
   private def tzSafe(col: String): Boolean =
     !schema.fields.exists(f => f.name == col && f.dataType == TimestampType)
 
   private def toRanges(f: Filter): Seq[Snapshots.StatRange] = f match {
     case And(l, r) => toRanges(l) ++ toRanges(r)
-    case EqualTo(c, v) if v != null && tzSafe(c) =>
+    case EqualTo(c, v) if v != null =>
       Seq(Snapshots.StatRange(c, Some(v), Some(v)))
+    // `c <=> v` with v non-null matches exactly the rows `c = v` does
+    case EqualNullSafe(c, v) if v != null =>
+      Seq(Snapshots.StatRange(c, Some(v), Some(v)))
+    case EqualNullSafe(c, null) =>
+      Seq(Snapshots.StatRange(c, nullness = Some(true)))
+    // the batched point-lookup shape (`WHERE user_id IN (...)`): one
+    // disjunctive range — survivor set is the UNION over values; lists
+    // past the cap derive nothing (degrade to no-prune, never wrong)
+    case In(c, vs)
+        if vs.nonEmpty && vs.length <= Snapshots.MaxInPruneValues &&
+          vs.forall(_ != null) =>
+      Seq(Snapshots.StatRange(c, anyOf = Some(vs.toSeq)))
     case GreaterThan(c, v) if v != null && tzSafe(c) =>
       Seq(Snapshots.StatRange(c, Some(v), None))
     case GreaterThanOrEqual(c, v) if v != null && tzSafe(c) =>
@@ -239,6 +410,10 @@ class SnapshotRelation(
     case IsNotNull(c) => Seq(Snapshots.StatRange(c, nullness = Some(false)))
     case _ => Seq.empty
   }
+
+  private[sources] def toRangesForTest(
+      filters: Array[Filter]): Seq[Snapshots.StatRange] =
+    filters.toSeq.flatMap(toRanges)
 
   /** Source filters back to Column predicates for in-scan pushdown —
     * best-effort (an unconverted filter is still applied by Spark above

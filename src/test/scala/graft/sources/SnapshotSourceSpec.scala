@@ -153,4 +153,119 @@ class SnapshotSourceSpec extends SparkSpec {
     spark.sql("DROP TABLE snap_ins_tbl")
     spark.sql("DROP TABLE snap_ins_v1")
   }
+
+  test("branch option: SQL reads the branch head, inserts land on the branch, fastForward closes the loop") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("srcsnap_br").toString
+    Snapshots.write(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v")
+      .coalesce(1), root, Seq("p"))
+    Snapshots.createBranch(spark, root, "audit")
+    Snapshots.writeToBranch(Seq((3L, "a", 30.0)).toDF("k", "p", "v")
+      .coalesce(1), root, "audit", Seq("p"))
+    spark.sql("DROP TABLE IF EXISTS snap_br_tbl")
+    Snapshots.registerTable(spark, root, "snap_br_tbl",
+      branch = Some("audit"))
+    def ks(sql: String) = spark.sql(sql).collect().map(_.getLong(0)).toSet
+    // the branch table sees fork state + branch writes; main is untouched
+    assert(ks("SELECT k FROM snap_br_tbl") == Set(1L, 2L, 3L))
+    assert(Snapshots.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    // INSERT INTO the branch table lands on the BRANCH head (WAP in SQL)
+    spark.sql("INSERT INTO snap_br_tbl VALUES (4, 'b', 40.0)")
+    assert(ks("SELECT k FROM snap_br_tbl") == Set(1L, 2L, 3L, 4L))
+    assert(Snapshots.read(spark, root).count() == 2,
+      "main must never see unaudited branch writes")
+    // the DataFrame writer's branch option appends the same way
+    Seq((5L, "a", 50.0)).toDF("k", "p", "v").write
+      .format("graft-snapshot").mode("append")
+      .option("branch", "audit").save(root)
+    assert(ks("SELECT k FROM snap_br_tbl") == Set(1L, 2L, 3L, 4L, 5L))
+    // a pushed filter still file-prunes through the branch read path
+    assert(ks("SELECT k FROM snap_br_tbl WHERE k >= 4") == Set(4L, 5L))
+    // the audit passes: fastForward publishes the branch state to main
+    Snapshots.fastForward(spark, root, "audit")
+    assert(Snapshots.read(spark, root).count() == 5)
+    // the dropped branch's table now fails loudly, never serves stale data
+    intercept[Exception] { spark.sql("SELECT k FROM snap_br_tbl").collect() }
+    spark.sql("DROP TABLE snap_br_tbl")
+  }
+
+  test("schema is publish-current: a widening publish surfaces through SQL after REFRESH TABLE") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("srcsnap_wide").toString
+    Snapshots.write(Seq((1L, "a", 10.0)).toDF("k", "p", "v").coalesce(1),
+      root, Seq("p"))
+    spark.sql("DROP TABLE IF EXISTS snap_wide_tbl")
+    Snapshots.registerTable(spark, root, "snap_wide_tbl")
+    assert(spark.sql("SELECT * FROM snap_wide_tbl").columns.toSeq
+      == Seq("k", "p", "v"))
+    // a WIDENING publish: new column w lands in the recorded contract
+    Snapshots.write(Seq((2L, "a", 20.0, "x")).toDF("k", "p", "v", "w")
+      .coalesce(1), root, Seq("p"), Snapshots.SnapAppend)
+    // a FRESH relation (format read) sees the widened contract at once
+    val direct = spark.read.format("graft-snapshot").load(root)
+    assert(direct.columns.toSeq == Seq("k", "p", "v", "w"))
+    // the catalog table sits behind the relation cache: REFRESH TABLE —
+    // not re-registration — surfaces the new column, with pre-widening
+    // rows reading null
+    spark.sql("REFRESH TABLE snap_wide_tbl")
+    val rows = spark.sql("SELECT k, w FROM snap_wide_tbl ORDER BY k")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows(0).isNullAt(1) && rows(1).getString(1) == "x")
+    // data stays publish-current regardless (the pointer flip is the
+    // refresh for DATA; only the analyzed column set needs the REFRESH)
+    Snapshots.write(Seq((3L, "a", 30.0, "y")).toDF("k", "p", "v", "w")
+      .coalesce(1), root, Seq("p"), Snapshots.SnapAppend)
+    assert(spark.sql("SELECT count(*) AS n FROM snap_wide_tbl")
+      .head().getLong(0) == 3L)
+    spark.sql("DROP TABLE snap_wide_tbl")
+  }
+
+  test("IN-list and timestamp point lookups derive prune ranges from pushed SQL filters") {
+    import spark.implicits._
+    import org.apache.spark.sql.{sources => sf}
+    val root = java.nio.file.Files.createTempDirectory("srcsnap_in").toString
+    // the interleaved-bloom shape: min/max cannot separate the two files
+    val evens = spark.range(0, 200, 2).select(col("id").as("k"),
+      lit("a").as("p"),
+      to_timestamp(lit("2026-01-01 00:00:00")).as("ts"))
+    val odds = spark.range(1, 200, 2).select(col("id").as("k"),
+      lit("a").as("p"),
+      to_timestamp(lit("2026-06-01 12:00:00")).as("ts"))
+    Snapshots.write(evens.coalesce(1), root, Seq("p"),
+      statsColumns = Seq("k"), bloomColumns = Seq("k", "ts"))
+    Snapshots.write(odds.coalesce(1), root, Seq("p"), Snapshots.SnapAppend)
+    val rel = new SnapshotRelation(spark.sqlContext, root, None, None)
+    // an IN filter becomes ONE disjunctive range (survivor set = union) …
+    val in = rel.toRangesForTest(Array(sf.In("k",
+      Array[Any](java.lang.Long.valueOf(2L), java.lang.Long.valueOf(4L)))))
+    assert(in.length == 1 && in.head.anyOf.exists(_.length == 2), s"$in")
+    // … which Snapshots.read prunes with: exactly the holding file
+    assert(Snapshots.read(spark, root, prune = in).inputFiles.length == 1,
+      "a same-parity IN must plan exactly the one holding file")
+    // an over-cap IN degrades to no ranges (correct, just unpruned)
+    assert(rel.toRangesForTest(Array(sf.In("k",
+      (0 to Snapshots.MaxInPruneValues).map(i =>
+        java.lang.Long.valueOf(i.toLong): Any).toArray))).isEmpty)
+    // timestamp EQUALITY forwards (exact typed value → Bloom probe);
+    // timestamp INEQUALITIES still derive nothing (tz-rendered stats)
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val tsEq = rel.toRangesForTest(Array(sf.EqualTo("ts", ts0)))
+    assert(tsEq.length == 1 && tsEq.head.lower.contains(ts0))
+    assert(rel.toRangesForTest(Array(sf.GreaterThan("ts", ts0))).isEmpty)
+    assert(Snapshots.read(spark, root, prune = tsEq).inputFiles.length == 1,
+      "the exact timestamp probe must bloom-prune the other file")
+    // end-to-end through the registered table: the batched point lookup
+    // answers exactly (file skipping is a superset guarantee)
+    spark.sql("DROP TABLE IF EXISTS snap_in_tbl")
+    Snapshots.registerTable(spark, root, "snap_in_tbl")
+    assert(spark.sql("SELECT k FROM snap_in_tbl WHERE k IN (2, 5, 1050)")
+      .collect().map(_.getLong(0)).toSet == Set(2L, 5L))
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM snap_in_tbl " +
+        "WHERE ts = timestamp'2026-06-01 12:00:00'").head().getLong(0)
+      == 100L)
+    spark.sql("DROP TABLE snap_in_tbl")
+  }
 }
