@@ -30,6 +30,10 @@ object Bench {
       // stays well inside executor memory
       .config("spark.sql.maxConcurrentOutputFileWriters", "16")
       .config("spark.ui.enabled", "false")
+      // the library's standard deployment extension (SQL functions + the
+      // snapshot-table row-level DML rule) — Verify runs with it, so the
+      // bench must time the same session shape
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed session warmup: first-query cost in a fresh JVM is ~5-6 s of

@@ -14,17 +14,27 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
  * installs every native graft SQL function (minhash_signature, simhash64,
  * word_tokens, word_ngrams, dot_product, cosine_similarity,
  * sorted_intersect_count) into each session built on the cluster — no
- * per-session `registerSql` call needed. This is the deployment path for
- * shared clusters / SQL-only users; the Column API
+ * per-session `registerSql` call needed — plus the ROW-LEVEL SQL rule for
+ * registered snapshot tables ([[graft.sources.SnapshotDmlRule]]):
+ * `DELETE FROM` / `UPDATE` / canonical `MERGE INTO` route to
+ * `Snapshots.deleteWhere` / `updateWhere` / `mergeUpsert`. This is the
+ * deployment path for shared clusters / SQL-only users; the Column API
  * ([[graft.functions.hashes]] / [[graft.functions.vectors]]) needs no
- * installation at all.
+ * installation at all, and sessions without the extension keep every
+ * non-DML snapshot-table capability (the rule only ADDS statements).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     graft.functions.SqlFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // post-hoc: the DML plans must be fully column-resolved before the
+    // rewrite, and the rewrite must land before Spark's v2-only check
+    // rejects them
+    ext.injectPostHocResolutionRule(session =>
+      new graft.sources.SnapshotDmlRule(session))
+  }
 }

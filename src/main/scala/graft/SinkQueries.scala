@@ -961,6 +961,118 @@ object SinkQueries {
           |FROM graft_snap_ins_tbl""".stripMargin)
     }),
 
+    // Row-level SQL DML lane 1/3 — DELETE FROM: the interleaved-bloom
+    // fixture registered as a SQL table; a point DELETE must inherit the
+    // engine's Bloom-bounded copy-on-write (asserted in-query: exactly
+    // one file rewrites), then a predicate DELETE clears a status slice.
+    // The oracle is the source minus both deletions.
+    "sink_snapshot_sql_delete" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_sqldel").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      val k = col("o_orderkey")
+      Snapshots.write(base.filter(k % 2 === 0).coalesce(1), out,
+        Seq("o_orderpriority"), statsColumns = Seq("o_orderkey"),
+        bloomColumns = Seq("o_orderkey"))
+      Snapshots.write(base.filter(k % 2 === 1).coalesce(1), out,
+        Seq("o_orderpriority"), Snapshots.SnapAppend)
+      s.sql("DROP TABLE IF EXISTS graft_snap_sqldel_tbl")
+      Snapshots.registerTable(s, out, "graft_snap_sqldel_tbl")
+      val oddMin = base.filter(k % 2 === 1).agg(min(k)).head().getLong(0)
+      val oddMax = base.filter(k % 2 === 1).agg(max(k)).head().getLong(0)
+      val k0 = base.filter(k % 2 === 0 && k > oddMin && k < oddMax)
+        .agg(min(k)).head().getLong(0)
+      s.sql(s"DELETE FROM graft_snap_sqldel_tbl WHERE o_orderkey = $k0")
+      val m3 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out/snapshots/s3")))
+      require(m3.linesIterator.count(_.startsWith("remove=")) == 1,
+        "the SQL point delete must inherit the Bloom-bounded rewrite")
+      s.sql(
+        """DELETE FROM graft_snap_sqldel_tbl
+          |WHERE o_orderkey % 7 = 0 AND o_orderstatus = 'F'""".stripMargin)
+      require(Snapshots.read(s, out, asOf = Some(2)).count() == base.count(),
+        "pre-delete state must stay time-travelable")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |  o_orderpriority
+          |FROM graft_snap_sqldel_tbl""".stripMargin)
+    }),
+
+    // Row-level SQL DML lane 2/3 — UPDATE: assignments evaluate against
+    // the PRE-update row, a second statement moves rows ACROSS
+    // partitions (the partition column is assignable — the rewrite
+    // restages under the write discipline). The oracle applies the same
+    // two updates as CASE projections.
+    "sink_snapshot_sql_update" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_squpd").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"),
+        statsColumns = Seq("o_orderkey"))
+      s.sql("DROP TABLE IF EXISTS graft_snap_squpd_tbl")
+      Snapshots.registerTable(s, out, "graft_snap_squpd_tbl")
+      s.sql(
+        """UPDATE graft_snap_squpd_tbl
+          |SET o_totalprice = o_totalprice * 2, o_orderstatus = 'U'
+          |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0
+          |""".stripMargin)
+      s.sql(
+        """UPDATE graft_snap_squpd_tbl SET o_orderpriority = '8-MOVED'
+          |WHERE o_orderkey % 50 = 7""".stripMargin)
+      require(Snapshots.history(s, out).collect().map(_.getString(1)).toSeq
+        == Seq("append", "update_where", "update_where"),
+        "each SQL UPDATE must publish one engine update snapshot")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |  o_orderpriority
+          |FROM graft_snap_squpd_tbl""".stripMargin)
+    }),
+
+    // Row-level SQL DML lane 3/3 — MERGE INTO: the canonical upsert
+    // (UPDATE SET * / INSERT *, replacements moving partitions) followed
+    // by a delete-matched merge; both must be the engine's mergeUpsert
+    // (asserted via the manifest modes). The oracle derives the same
+    // replace/insert/delete state from the source table.
+    "sink_snapshot_sql_merge" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_sqmrg").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      val k = col("o_orderkey")
+      Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"))
+      s.sql("DROP TABLE IF EXISTS graft_snap_sqmrg_tbl")
+      Snapshots.registerTable(s, out, "graft_snap_sqmrg_tbl")
+      base.filter(k % 10 === 4)
+        .withColumn("o_orderstatus", lit("M"))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_orderpriority", lit("7-MERGE"))
+        .unionByName(base.filter(k % 10 === 6)
+          .withColumn("o_orderkey", k + 2000000L)
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("o_orderpriority", lit("7-MERGE")))
+        .createOrReplaceTempView("graft_snap_sqmrg_src")
+      s.sql(
+        """MERGE INTO graft_snap_sqmrg_tbl t USING graft_snap_sqmrg_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      base.filter(k % 17 === 0).select("o_orderkey")
+        .createOrReplaceTempView("graft_snap_sqmrg_del")
+      s.sql(
+        """MERGE INTO graft_snap_sqmrg_tbl t USING graft_snap_sqmrg_del s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+      require(Snapshots.history(s, out).collect().map(_.getString(1)).toSeq
+        == Seq("append", "merge", "merge"),
+        "each SQL MERGE must publish one engine merge snapshot")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |  o_orderpriority
+          |FROM graft_snap_sqmrg_tbl""".stripMargin)
+    }),
+
     // Subscribe-to-the-table: three appended thirds land in a source
     // dataset (with a compact interleaved — the follower must skip it);
     // a SnapshotFollower mirrors each batch into a SECOND snapshot
@@ -1411,6 +1523,49 @@ object SinkQueries {
         |                      WHERE o_orderkey % 2 = 1)
         |    AND o_orderkey < (SELECT max(o_orderkey) FROM orders
         |                      WHERE o_orderkey % 2 = 1))""".stripMargin,
+
+    // the source minus the bloom-point-deleted key and the predicate
+    // (7th-key F) slice — both SQL DELETEs applied
+    "sink_snapshot_sql_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey != (
+        |  SELECT min(o_orderkey) FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |    AND o_orderkey > (SELECT min(o_orderkey) FROM orders
+        |                      WHERE o_orderkey % 2 = 1)
+        |    AND o_orderkey < (SELECT max(o_orderkey) FROM orders
+        |                      WHERE o_orderkey % 2 = 1))
+        |  AND NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'F')""".stripMargin,
+
+    // both UPDATEs as sequential CASE projections: the urgent-3rd-key
+    // price doubling (status U), then the 50th-key+7 partition move
+    "sink_snapshot_sql_update" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0
+        |    THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderpriority = '1-URGENT' AND o_orderkey % 3 = 0
+        |    THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 50 = 7
+        |    THEN '8-MOVED' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders""".stripMargin,
+
+    // the upsert (4th-key replacements re-priced into 7-MERGE, 6th-key
+    // shifted inserts) then the 17th-key delete-matched merge
+    "sink_snapshot_sql_merge" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 4 THEN 'M' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1000
+        |    ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 10 = 4 THEN '7-MERGE'
+        |    ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 17 != 0
+        |UNION ALL
+        |SELECT o_orderkey + 2000000, o_custkey, 'N', o_totalprice,
+        |  '7-MERGE'
+        |FROM orders WHERE o_orderkey % 10 = 6""".stripMargin,
 
     // the SQL-written state: appended 5th-key copies + the 1-URGENT
     // partition dynamically overwritten down to its even keys

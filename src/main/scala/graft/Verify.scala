@@ -14,6 +14,9 @@ object Verify {
       // see Bench.scala: concurrent writers instead of a write-side sort
       .config("spark.sql.maxConcurrentOutputFileWriters", "16")
       .config("spark.ui.enabled", "false")
+      // the library's standard deployment extension: SQL functions + the
+      // snapshot-table row-level DML rule (DELETE/UPDATE/MERGE fixtures)
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -30,6 +30,9 @@ object SparkSpec {
       .config("javax.jdo.option.ConnectionURL",
         s"jdbc:derby:;databaseName=$meta/metastore_db;create=true")
       .enableHiveSupport()
+      // the standard deployment extension: SQL functions + snapshot-table
+      // row-level DML — suites exercise what a configured cluster runs
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
