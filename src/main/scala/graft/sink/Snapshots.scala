@@ -2145,6 +2145,19 @@ object Snapshots {
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
     require(assignments.map(_._1).distinct.length == assignments.length,
       s"duplicate assignment targets: ${assignments.map(_._1).mkString(",")}")
+    // validate targets against the recorded contract UP FRONT: the
+    // transform only runs when a file matches, and a typo'd column must
+    // not report the same success-shaped None as a legitimate no-match
+    // (legacy schema-less datasets keep the in-transform check)
+    currentSnapshot(spark, root).foreach { id =>
+      val (f, qroot) = FsOps.fs(spark, root)
+      readSnapshotFile(f, qroot, id).schema.foreach(sc =>
+        assignments.foreach { case (c, _) =>
+          require(sc.fieldNames.contains(c),
+            s"unknown UPDATE target column '$c' — the recorded contract " +
+              s"has ${sc.fieldNames.mkString(", ")}")
+        })
+    }
     val byCol = assignments.toMap
     rewriteWhere(spark, root, partitionFields, condition, "update_where",
       targetFilesPerPartition, { rows =>
@@ -2530,6 +2543,40 @@ object Snapshots {
     readSnapshotFile(f, qroot, id).mode
   }
 
+  /** Incremental-consumer mode dispatch (the follower's and the
+    * Structured Streaming source's shared truth): append-shaped
+    * snapshots EMIT their added rows; row-preserving maintenance SKIPS
+    * (re-emitting would double-deliver); everything else is policy. */
+  private[graft] val EmitModes: Set[String] = Set("append", "merge_mor")
+  private[graft] val SkipModes: Set[String] =
+    Set("compact", "fold", "migrate_spec", "evolve_spec")
+
+  /** Added-rows frames for every emit-mode snapshot in `(startId,
+    * endId]`, resolved with ONE manifest cache shared across the whole
+    * span — the streaming-source catch-up path, where per-id
+    * [[readAddedSince]] calls would re-walk each delta chain
+    * gap × chainDepth times from scratch. Non-emit, non-skip modes
+    * invoke `onNonAppend(id, mode)` — throw there to fail the caller,
+    * return to skip the snapshot. */
+  private[graft] def addedSinceBatches(
+      spark: SparkSession, root: String, startId: Int, endId: Int,
+      onNonAppend: (Int, String) => Unit): Seq[DataFrame] = {
+    require(startId >= 1, s"start offset s$startId predates the dataset")
+    val (f, qroot) = FsOps.fs(spark, root)
+    val cache = scala.collection.mutable.Map.empty[Int, RawManifest]
+    (startId + 1 to endId).flatMap { id =>
+      val mode = readSnapshotFileCached(f, qroot, id, cache).mode
+      if (EmitModes(mode)) {
+        val before = resolve(f, qroot, id - 1, cache).files.map(_.rel).toSet
+        val m = resolve(f, qroot, id, cache)
+        val added = m.files.filterNot(e => before(e.rel))
+        if (added.isEmpty) None
+        else Some(scanWithDeletes(spark, qroot, m, added))
+      } else if (SkipModes(mode)) None
+      else { onNonAppend(id, mode); None }
+    }
+  }
+
   /** Partition dirs whose VISIBLE ROWS could differ because the two
     * snapshots' equality-delete sets differ: a delete only one side holds
     * affects exactly the partitions holding files it applies to (on that
@@ -2813,10 +2860,12 @@ object Snapshots {
     * landing zone plain-SQL-queryable: `SELECT ... FROM db.tbl` resolves
     * the CURRENT snapshot's manifest at scan time, so every publish is
     * visible to the next query with no re-registration (the pointer flip
-    * IS the refresh — only a schema WIDENING needs re-registering, since
-    * the metastore serves the schema recorded here). `asOf` pins a
-    * time-travel table instead. Re-registering an existing name replaces
-    * it; DROP TABLE never touches the dataset (external). The
+    * IS the refresh; a schema WIDENING surfaces with at most `REFRESH
+    * TABLE` — the relation serves the manifest contract, superseding the
+    * metastore's registration-time copy). `asOf` pins a time-travel
+    * table; `branch` reads a live branch head. Re-registering an
+    * existing name replaces it; DROP TABLE never touches the dataset
+    * (external). The
     * [[PartitionCatalog.registerExternal]] story extended to the table
     * format.  Ref: reference partitioned-sink Explore-registration
     * surface (SURVEY §2 F7). */

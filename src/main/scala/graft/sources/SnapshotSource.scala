@@ -94,13 +94,26 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
   /** The catalog-read arm: a metastore table replays the schema it
     * stored AT REGISTRATION on every resolution, but the recorded
     * manifest contract is the read truth — a widening published since
-    * registration must surface (the stored copy is intentionally
-    * ignored; without this arm Spark REJECTS the widened relation as a
-    * schema mismatch, freezing the table at its registration shape). */
+    * registration must surface (the stored copy is superseded; without
+    * this arm Spark REJECTS the widened relation as a schema mismatch,
+    * freezing the table at its registration shape). The passed copy is
+    * VALIDATED, not trusted: every field it names must exist in the
+    * current contract (a registration-time copy always does — widening
+    * only adds), so a genuinely foreign reader-supplied schema fails
+    * loudly instead of being silently ignored. */
   override def createRelation(
       sqlContext: SQLContext, parameters: Map[String, String],
-      schema: StructType): BaseRelation =
-    createRelation(sqlContext, parameters)
+      schema: StructType): BaseRelation = {
+    val rel = createRelation(sqlContext, parameters)
+    val current = rel.schema
+    val missing = schema.fieldNames.filterNot(current.fieldNames.contains)
+    require(missing.isEmpty,
+      "graft-snapshot does not take user-specified read schemas — the " +
+        "recorded manifest contract governs (and serves a metastore's " +
+        s"registration-time copy current): asked for " +
+        s"${missing.mkString(", ")} which the contract lacks")
+    rel
+  }
 
   /** `spark.readStream.format("graft-snapshot")` — the snapshot dataset
     * as a Structured Streaming source ([[SnapshotStreamSource]]): id-as-
@@ -343,9 +356,23 @@ class SnapshotRelation(
     }
   }
 
+  /** The contract PLANNING resolved — the memo holds exactly the
+    * attributes the cached LogicalRelation carries (only relation
+    * creation populates it; nothing on the scan path may refresh it,
+    * or the pin below pins the WRONG schema). */
+  private def plannedSchema: StructType =
+    schemaMemo.map(_._2).getOrElse(schema)
+
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val prune = filters.toSeq.flatMap(toRanges)
+    // captured FIRST: every schema consultation on this path (tzSafe,
+    // the projection pin) must see the PLANNING-time contract, never
+    // re-resolve — a type-widening publish between planning and scan
+    // would otherwise cast rows to the new type under attributes still
+    // typed with the old one (silent value corruption past 2^31), and
+    // each re-resolution is a pointer read on the planning hot path
+    val planned = plannedSchema
+    val prune = filters.toSeq.flatMap(f => toRanges(f, planned))
     val base = (branch, tag) match {
       case (Some(b), _) => Snapshots.readBranch(spark, root, b, prune = prune)
       case (None, Some(t)) => Snapshots.readTag(spark, root, t, prune = prune)
@@ -355,15 +382,25 @@ class SnapshotRelation(
     // push down to the file reader (partition pruning, parquet predicate
     // pushdown) — file skipping above, row skipping below
     val filtered = filters.flatMap(toColumn).foldLeft(base)(_ filter _)
-    // row SHAPE pins to the contract PLANNING resolved (the memo holds
-    // exactly the attributes the cached LogicalRelation carries): a
-    // widening that publishes between planning and this scan must not
-    // change column types under the executing plan — it surfaces at the
-    // next resolution (REFRESH TABLE / fresh relation). Data stays
-    // current regardless.
-    val planned = schemaMemo.map(_._2).getOrElse(schema)
+    // row SHAPE pins to `planned`: a COLUMN added since planning simply
+    // doesn't project, but a TYPE that widened under a requested column
+    // fails LOUDLY naming the remedy — rows typed long flowing through
+    // attributes planned as int would read as silently wrong values
+    // (the cached catalog relation is the one consumer that can hold a
+    // stale plan across publishes)
     def q(c: String) =
       org.apache.spark.sql.functions.col(s"`${c.replace("`", "``")}`")
+    requiredColumns.foreach { c =>
+      for {
+        p <- planned.fields.find(_.name == c)
+        cu <- base.schema.fields.find(_.name == c)
+        if p.dataType != cu.dataType
+      } throw new IllegalStateException(
+        s"the recorded contract widened column '$c' " +
+          s"(${p.dataType.sql} → ${cu.dataType.sql}) after this table " +
+          "was resolved — run REFRESH TABLE (or re-read) to pick up the " +
+          "widened type")
+    }
     val projected =
       if (requiredColumns.isEmpty) filtered.select()
       else filtered.select(requiredColumns.toSeq.map(c =>
@@ -378,12 +415,14 @@ class SnapshotRelation(
     * timestamps — [[Snapshots.readResolved]]'s statSafe split keeps the
     * min/max compare off while the Bloom probe prunes on the exact
     * pushed value (a typed object, never a re-parsed string); nullness
-    * pruning is count-based and stays. */
-  private def tzSafe(col: String): Boolean =
-    !schema.fields.exists(f => f.name == col && f.dataType == TimestampType)
+    * pruning is count-based and stays. Consults the CALLER-captured
+    * schema — never the re-resolving `schema` def (the buildScan pin). */
+  private def tzSafe(col: String, sc: StructType): Boolean =
+    !sc.fields.exists(f => f.name == col && f.dataType == TimestampType)
 
-  private def toRanges(f: Filter): Seq[Snapshots.StatRange] = f match {
-    case And(l, r) => toRanges(l) ++ toRanges(r)
+  private def toRanges(
+      f: Filter, sc: StructType): Seq[Snapshots.StatRange] = f match {
+    case And(l, r) => toRanges(l, sc) ++ toRanges(r, sc)
     case EqualTo(c, v) if v != null =>
       Seq(Snapshots.StatRange(c, Some(v), Some(v)))
     // `c <=> v` with v non-null matches exactly the rows `c = v` does
@@ -398,13 +437,13 @@ class SnapshotRelation(
         if vs.nonEmpty && vs.length <= Snapshots.MaxInPruneValues &&
           vs.forall(_ != null) =>
       Seq(Snapshots.StatRange(c, anyOf = Some(vs.toSeq)))
-    case GreaterThan(c, v) if v != null && tzSafe(c) =>
+    case GreaterThan(c, v) if v != null && tzSafe(c, sc) =>
       Seq(Snapshots.StatRange(c, Some(v), None))
-    case GreaterThanOrEqual(c, v) if v != null && tzSafe(c) =>
+    case GreaterThanOrEqual(c, v) if v != null && tzSafe(c, sc) =>
       Seq(Snapshots.StatRange(c, Some(v), None))
-    case LessThan(c, v) if v != null && tzSafe(c) =>
+    case LessThan(c, v) if v != null && tzSafe(c, sc) =>
       Seq(Snapshots.StatRange(c, None, Some(v)))
-    case LessThanOrEqual(c, v) if v != null && tzSafe(c) =>
+    case LessThanOrEqual(c, v) if v != null && tzSafe(c, sc) =>
       Seq(Snapshots.StatRange(c, None, Some(v)))
     case IsNull(c) => Seq(Snapshots.StatRange(c, nullness = Some(true)))
     case IsNotNull(c) => Seq(Snapshots.StatRange(c, nullness = Some(false)))
@@ -412,8 +451,10 @@ class SnapshotRelation(
   }
 
   private[sources] def toRangesForTest(
-      filters: Array[Filter]): Seq[Snapshots.StatRange] =
-    filters.toSeq.flatMap(toRanges)
+      filters: Array[Filter]): Seq[Snapshots.StatRange] = {
+    val sc = plannedSchema
+    filters.toSeq.flatMap(toRanges(_, sc))
+  }
 
   /** Source filters back to Column predicates for in-scan pushdown —
     * best-effort (an unconverted filter is still applied by Spark above

@@ -1,7 +1,6 @@
 package graft.sources
 
 import graft.sink.Snapshots
-import graft.streaming.SnapshotFollower.{EmitModes, SkipModes}
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.types.StructType
@@ -70,10 +69,22 @@ class SnapshotStreamSource(
   override def getOffset: Option[Offset] =
     Snapshots.currentSnapshot(spark, root).map(SnapOffset(_))
 
-  private def projected(df: DataFrame): DataFrame =
-    df.select(schema.fieldNames.toSeq.map(c =>
-      org.apache.spark.sql.functions.col(
-        s"`${c.replace("`", "``")}`")): _*)
+  /** Batch rows under the STREAM's schema: a column the batch's
+    * recorded contract predates reads as a typed null and a
+    * since-widened type upcasts — a crash-restart can replay a batch
+    * written BEFORE a widening against a stream constructed AFTER it,
+    * and the replay must project exactly like the batch read path
+    * projects pre-widening files. */
+  private def projected(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val present = df.columns.toSet
+    df.select(schema.fields.toSeq.map { fd =>
+      if (present(fd.name))
+        col(s"`${fd.name.replace("`", "``")}`")
+          .cast(fd.dataType).as(fd.name)
+      else lit(null).cast(fd.dataType).as(fd.name)
+    }: _*)
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endId = idOf(end)
@@ -96,19 +107,18 @@ class SnapshotStreamSource(
               "widen the dataset's retention relative to the stream's " +
               "trigger cadence, or restart with a fresh checkpoint to " +
               "re-bootstrap from the full state"))
-        val parts = (startId + 1 to endId).flatMap { id =>
-          val mode = Snapshots.snapshotModeOf(spark, root, id)
-          if (EmitModes(mode))
-            Snapshots.readAddedSince(spark, root, id - 1, Some(id))
-              .map(projected)
-          else if (SkipModes(mode) || skipNonAppend) None
-          else throw new IllegalStateException(
-            s"snapshot s$id mode '$mode' under $root is not an append — " +
-              "an incremental append stream cannot represent it; consume " +
-              "row-level diffs via Snapshots.changes, or opt into " +
-              "option(\"onNonAppend\", \"skip\") if dropping it is " +
-              "acceptable")
-        }
+        // one shared manifest cache across the whole span — a stream
+        // catching up over a long gap must not re-walk delta chains per
+        // id (gap × chainDepth manifest reads instead of O(gap))
+        val parts = Snapshots.addedSinceBatches(spark, root, startId,
+          endId, onNonAppend = { (id, mode) =>
+            if (!skipNonAppend) throw new IllegalStateException(
+              s"snapshot s$id mode '$mode' under $root is not an append " +
+                "— an incremental append stream cannot represent it; " +
+                "consume row-level diffs via Snapshots.changes, or opt " +
+                "into option(\"onNonAppend\", \"skip\") if dropping it " +
+                "is acceptable")
+          }).map(projected)
         parts.reduceOption(_ union _).getOrElse(
           spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](), schema))

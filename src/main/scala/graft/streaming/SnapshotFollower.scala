@@ -207,12 +207,11 @@ object SnapshotFollower {
     * downstream copy instead of appending (overwrite/rollback recovery). */
   case object RefreshOnNonAppend extends NonAppendPolicy
 
-  /** Mode dispatch shared with the Structured Streaming source
-    * ([[graft.sources.SnapshotStreamSource]]): append-shaped snapshots
-    * emit, row-preserving maintenance skips, everything else is policy. */
-  private[graft] val EmitModes = Set("append", "merge_mor")
-  private[graft] val SkipModes =
-    Set("compact", "fold", "migrate_spec", "evolve_spec")
+  /** Mode dispatch shared with the Structured Streaming source — the
+    * single source of truth lives with the manifests
+    * ([[Snapshots.EmitModes]]). */
+  private val EmitModes = Snapshots.EmitModes
+  private val SkipModes = Snapshots.SkipModes
 
   /** A running [[SnapshotFollower.followStream]] loop. [[stop]] is
     * graceful: it wakes the scheduler, lets any in-flight batch finish

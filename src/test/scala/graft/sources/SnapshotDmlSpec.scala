@@ -82,6 +82,14 @@ class SnapshotDmlSpec extends SparkSpec {
     spark.sql("UPDATE dml_upd_tbl SET v = 0.0")
     assert(spark.sql("SELECT sum(v) AS s FROM dml_upd_tbl")
       .head().getDouble(0) == 0.0)
+    // a typo'd target column fails loudly EVEN when nothing matches —
+    // never the success-shaped None of a legitimate no-match update
+    val exCol = intercept[IllegalArgumentException] {
+      Snapshots.updateWhere(spark, root, Seq("p"),
+        col("k") === -999L, Seq("nosuchcol" -> lit(1)))
+    }
+    assert(exCol.getMessage.contains("unknown UPDATE target"),
+      exCol.getMessage)
     spark.sql("DROP TABLE dml_upd_tbl")
   }
 

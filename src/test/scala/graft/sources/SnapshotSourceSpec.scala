@@ -220,6 +220,28 @@ class SnapshotSourceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM snap_wide_tbl")
       .head().getLong(0) == 3L)
     spark.sql("DROP TABLE snap_wide_tbl")
+    // a TYPE widening under a stale cached plan must fail LOUDLY naming
+    // REFRESH TABLE — long rows flowing through int-planned attributes
+    // would read silently wrong past 2^31
+    val r2 = java.nio.file.Files.createTempDirectory("srcsnap_twide").toString
+    Snapshots.write(Seq((1, "a")).toDF("c", "p").coalesce(1), r2, Seq("p"))
+    spark.sql("DROP TABLE IF EXISTS snap_twide_tbl")
+    Snapshots.registerTable(spark, r2, "snap_twide_tbl")
+    assert(spark.sql("SELECT c FROM snap_twide_tbl").collect()
+      .map(_.getInt(0)).toSet == Set(1))
+    Snapshots.write(Seq((8000000000L, "a")).toDF("c", "p").coalesce(1),
+      r2, Seq("p"), Snapshots.SnapAppend) // int → bigint widening
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${messages(t.getCause)}"
+    val exDrift = intercept[Exception] {
+      spark.sql("SELECT c FROM snap_twide_tbl").collect()
+    }
+    assert(messages(exDrift).contains("REFRESH TABLE"), messages(exDrift))
+    spark.sql("REFRESH TABLE snap_twide_tbl")
+    assert(spark.sql("SELECT c FROM snap_twide_tbl").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 8000000000L),
+      "the refreshed plan serves the widened type exactly")
+    spark.sql("DROP TABLE snap_twide_tbl")
   }
 
   test("IN-list and timestamp point lookups derive prune ranges from pushed SQL filters") {
