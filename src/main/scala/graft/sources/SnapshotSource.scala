@@ -119,14 +119,30 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
     * as a Structured Streaming source ([[SnapshotStreamSource]]): id-as-
     * offset, full-state bootstrap, incremental append batches. Streams
     * follow MAIN (asOf/tag/branch are point/lineage pins, not streams). */
-  override def sourceSchema(
-      sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String,
-      parameters: Map[String, String]): (String, StructType) = {
+  /** Stream-option parse + validation, shared so every option error
+    * surfaces at `readStream...load()` (sourceSchema), not first at
+    * `start()`. */
+  private def parseStream(
+      parameters: Map[String, String]): (Opts, Boolean, Option[Int]) = {
     val o = parse(parameters)
     require(o.asOf.isEmpty && o.tag.isEmpty && o.branch.isEmpty,
       "a snapshot STREAM follows main — asOf/tag/branch pins do not " +
         "advance and cannot stream")
+    val byLower = parameters.map { case (k, v) => k.toLowerCase -> v.trim }
+    val onNonAppend = byLower.getOrElse("onnonappend", "fail").toLowerCase
+    require(Set("fail", "skip")(onNonAppend),
+      s"onNonAppend must be fail|skip, got '$onNonAppend'")
+    val maxPerTrigger = byLower.get("maxsnapshotspertrigger").map(_.toInt)
+    maxPerTrigger.foreach(n =>
+      require(n >= 1, s"maxSnapshotsPerTrigger must be >= 1, got $n"))
+    (o, onNonAppend == "skip", maxPerTrigger)
+  }
+
+  override def sourceSchema(
+      sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val (o, _, _) = parseStream(parameters)
     (shortName(), schema.getOrElse(
       Snapshots.tableSchema(sqlContext.sparkSession, o.root)))
   }
@@ -136,14 +152,9 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution
       .streaming.Source = {
-    val o = parse(parameters)
-    val onNonAppend = parameters
-      .map { case (k, v) => k.toLowerCase -> v.trim.toLowerCase }
-      .getOrElse("onnonappend", "fail")
-    require(Set("fail", "skip")(onNonAppend),
-      s"onNonAppend must be fail|skip, got '$onNonAppend'")
+    val (o, skip, maxPerTrigger) = parseStream(parameters)
     new SnapshotStreamSource(sqlContext, o.root, schema,
-      skipNonAppend = onNonAppend == "skip")
+      skipNonAppend = skip, maxSnapshotsPerTrigger = maxPerTrigger)
   }
 
   /** `df.writeStream.format("graft-snapshot")` — every micro-batch is

@@ -45,10 +45,19 @@ import org.apache.spark.sql.types.StructType
  */
 class SnapshotStreamSource(
     sqlContext: SQLContext, root: String,
-    userSchema: Option[StructType], skipNonAppend: Boolean)
+    userSchema: Option[StructType], skipNonAppend: Boolean,
+    maxSnapshotsPerTrigger: Option[Int] = None)
     extends Source {
 
   private def spark = sqlContext.sparkSession
+
+  // highest offset handed to the engine — the base the per-trigger cap
+  // advances from. Restart recovery repopulates it through the WAL
+  // replay's getBatch; until something sets it the cap stands down
+  // (the bootstrap batch is one full-state read regardless, and a
+  // clean restart's first increment may span the downtime gap —
+  // the cap is a steady-state trigger bound, not an admission quota)
+  @volatile private var lastDelivered: Option[Int] = None
 
   /** The stream's read contract, FIXED at stream start (Spark caches it
     * in the query plan); a widening surfaces on restart. */
@@ -66,8 +75,18 @@ class SnapshotStreamSource(
     case other => other.json.trim.toInt
   }
 
+  /** The newest offset this trigger may take: the published pointer,
+    * capped `maxSnapshotsPerTrigger` past the last delivered offset —
+    * a stream catching up over a long gap processes bounded batches
+    * instead of one unbounded union. */
   override def getOffset: Option[Offset] =
-    Snapshots.currentSnapshot(spark, root).map(SnapOffset(_))
+    Snapshots.currentSnapshot(spark, root).map { cur =>
+      val capped = (maxSnapshotsPerTrigger, lastDelivered) match {
+        case (Some(n), Some(last)) => math.min(cur, last + n)
+        case _ => cur
+      }
+      SnapOffset(capped)
+    }
 
   /** Batch rows under the STREAM's schema: a column the batch's
     * recorded contract predates reads as a typed null and a
@@ -88,6 +107,7 @@ class SnapshotStreamSource(
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endId = idOf(end)
+    lastDelivered = Some(endId)
     val batch = start match {
       case None =>
         // bootstrap: the full state at the first observed offset

@@ -104,6 +104,44 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(messages(exStale).contains("STALE"), messages(exStale))
   }
 
+  test("maxSnapshotsPerTrigger bounds catch-up batches to per-trigger units") {
+    val root = java.nio.file.Files.createTempDirectory("scap_src").toString
+    val mirror = java.nio.file.Files.createTempDirectory("scap_mir").toString
+    val cp = java.nio.file.Files.createTempDirectory("scap_cp").toString
+    val k = col("o_orderkey")
+    Snapshots.write(orders.filter(k % 4 === 0).coalesce(1), root,
+      Seq("o_orderpriority"))
+    def run(opts: Map[String, String]): Unit = {
+      var reader = spark.readStream.format("graft-snapshot")
+      opts.foreach { case (kk, v) => reader = reader.option(kk, v) }
+      val q = reader.load(root).writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!df.isEmpty)
+            Snapshots.write(df, mirror, Seq("o_orderpriority"),
+              Snapshots.SnapAppend, batchTag = Some(s"cap-$id")): Unit
+        }.start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+    run(Map.empty) // bootstrap: one batch
+    assert(Snapshots.currentSnapshot(spark, mirror).contains(1))
+    // three publishes land while the stream is down; a capped restart
+    // takes them one snapshot per trigger — three mirror batches, not
+    // one unbounded union
+    for (m <- 1 to 3)
+      Snapshots.write(orders.filter(k % 4 === m).coalesce(1), root,
+        Seq("o_orderpriority"), Snapshots.SnapAppend)
+    run(Map("maxSnapshotsPerTrigger" -> "1"))
+    assert(Snapshots.currentSnapshot(spark, mirror).contains(4),
+      s"expected three capped batches: ${Snapshots
+        .currentSnapshot(spark, mirror)}")
+    assert(keysOf(Snapshots.read(spark, mirror)) == keysOf(orders))
+    intercept[Exception] {
+      spark.readStream.format("graft-snapshot")
+        .option("maxSnapshotsPerTrigger", "0").load(root)
+    }
+  }
+
   test("writeStream sink: snapshot-to-snapshot mirroring is a one-liner with exactly-once batch tags") {
     val src = java.nio.file.Files.createTempDirectory("ssink_src").toString
     val dst = java.nio.file.Files.createTempDirectory("ssink_dst").toString
