@@ -2149,15 +2149,12 @@ object Snapshots {
     // transform only runs when a file matches, and a typo'd column must
     // not report the same success-shaped None as a legitimate no-match
     // (legacy schema-less datasets keep the in-transform check)
-    currentSnapshot(spark, root).foreach { id =>
-      val (f, qroot) = FsOps.fs(spark, root)
-      readSnapshotFile(f, qroot, id).schema.foreach(sc =>
-        assignments.foreach { case (c, _) =>
-          require(sc.fieldNames.contains(c),
-            s"unknown UPDATE target column '$c' — the recorded contract " +
-              s"has ${sc.fieldNames.mkString(", ")}")
-        })
-    }
+    recordedSchemaOpt(spark, root).foreach(sc =>
+      assignments.foreach { case (c, _) =>
+        require(sc.fieldNames.contains(c),
+          s"unknown UPDATE target column '$c' — the recorded contract " +
+            s"has ${sc.fieldNames.mkString(", ")}")
+      })
     val byCol = assignments.toMap
     rewriteWhere(spark, root, partitionFields, condition, "update_where",
       targetFilesPerPartition, { rows =>
@@ -2789,6 +2786,17 @@ object Snapshots {
       throw new IllegalStateException(s"no snapshot published under $root"))
     readResolved(spark, qroot, resolve(f, qroot, id), prune, s"s$id")
   }
+
+  /** The current manifest's recorded contract, if it carries one — the
+    * legacy-tolerant (and no-dataset-tolerant) twin of [[tableSchema]]
+    * for callers that merely want to validate against the contract when
+    * one exists. */
+  private def recordedSchemaOpt(
+      spark: SparkSession, root: String): Option[StructType] =
+    currentSnapshot(spark, root).flatMap { id =>
+      val (f, qroot) = FsOps.fs(spark, root)
+      readSnapshotFile(f, qroot, id).schema
+    }
 
   /** The recorded read contract of a snapshot (current by default) — one
     * manifest read, no chain resolution, no file listing (every manifest

@@ -36,15 +36,17 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
  * main), `partitionBy` (comma-separated — required only when a WRITE
  * creates the dataset; afterwards the recorded spec governs).
  *
- * Schema is PUBLISH-CURRENT: the relation re-resolves the recorded
- * contract whenever the pointer it reads (main / branch head / pin)
- * moves, memoized per pointer value like `sizeInBytes`. A catalog table
- * additionally sits behind Spark's relation cache, which fixes the
- * analyzed output columns — after a WIDENING publish, `REFRESH TABLE`
- * (or any re-resolution) surfaces the new columns; no re-registration.
- * The [[SchemaRelationProvider]] arm exists exactly for that path: the
- * metastore replays its registration-time schema at every resolution,
- * and the recorded manifest contract — not the stale copy — must win.
+ * Schema resolves from the recorded manifest contract at RELATION
+ * CREATION and is immutable per instance (the types its plans carry);
+ * currency comes from RE-CREATION — `REFRESH TABLE` invalidates the
+ * catalog's relation cache, a fresh `spark.read...load` builds a new
+ * instance — so a WIDENING surfaces with at most a REFRESH, never a
+ * re-registration. The [[SchemaRelationProvider]] arm exists exactly
+ * for that path: the metastore replays its registration-time schema at
+ * every resolution, and the recorded manifest contract — validated,
+ * then superseding the stale copy — must win. A TYPE that widened
+ * under a still-cached plan fails the scan loudly naming the REFRESH
+ * remedy (silent narrowing is never an option).
  *
  * Writes route through [[Snapshots.write]] — the API that owns the
  * commit protocol — in two SQL-native shapes: `INSERT INTO` /
@@ -132,9 +134,16 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
     val onNonAppend = byLower.getOrElse("onnonappend", "fail").toLowerCase
     require(Set("fail", "skip")(onNonAppend),
       s"onNonAppend must be fail|skip, got '$onNonAppend'")
-    val maxPerTrigger = byLower.get("maxsnapshotspertrigger").map(_.toInt)
-    maxPerTrigger.foreach(n =>
-      require(n >= 1, s"maxSnapshotsPerTrigger must be >= 1, got $n"))
+    val maxPerTrigger = byLower.get("maxsnapshotspertrigger").map { v =>
+      val n =
+        try v.toInt
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"maxSnapshotsPerTrigger must be an integer, got '$v'")
+        }
+      require(n >= 1, s"maxSnapshotsPerTrigger must be >= 1, got $n")
+      n
+    }
     (o, onNonAppend == "skip", maxPerTrigger)
   }
 
@@ -143,8 +152,18 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val (o, _, _) = parseStream(parameters)
-    (shortName(), schema.getOrElse(
-      Snapshots.tableSchema(sqlContext.sparkSession, o.root)))
+    val contract = Snapshots.tableSchema(sqlContext.sparkSession, o.root)
+    // a reader-supplied stream schema is validated like the batch arm's:
+    // every field must exist in the recorded contract — the typed-null
+    // replay fill below must never turn a typo'd column into a silently
+    // all-null stream
+    schema.foreach { s =>
+      val missing = s.fieldNames.filterNot(contract.fieldNames.contains)
+      require(missing.isEmpty,
+        "a stream schema must be a subset of the recorded contract — " +
+          s"asked for ${missing.mkString(", ")} which the contract lacks")
+    }
+    (shortName(), schema.getOrElse(contract))
   }
 
   override def createSource(
@@ -291,26 +310,21 @@ class SnapshotRelation(
       pinnedId.orElse(Snapshots.currentSnapshot(spark, root))
   }
 
-  // schema and stats re-resolve when the tracked pointer moves (one
-  // small pointer read per planning touch; the manifest read only on a
-  // flip) — PUBLISH-CURRENT, matching the data. Catalog tables
-  // additionally sit behind Spark's relation cache: REFRESH TABLE (not
-  // re-registration) surfaces a widening there.
-  @volatile private var schemaMemo: Option[(Option[Int], StructType)] = None
-
-  /** The CURRENT recorded contract of the tracked pointer. */
-  override def schema: StructType = {
-    val cur = trackedId
-    schemaMemo match {
-      case Some((id, s)) if id == cur => s
-      case _ =>
-        val s = branch match {
-          case Some(b) => Snapshots.branchSchema(spark, root, b)
-          case None => Snapshots.tableSchema(spark, root, cur)
-        }
-        schemaMemo = Some((cur, s))
-        s
-    }
+  /** The recorded contract at RELATION-CREATION time — resolved exactly
+    * once, structurally immutable: these are the attribute types every
+    * plan built over this relation instance carries, and nothing may
+    * ever return a different schema for the same instance (a shared
+    * refreshable memo would let a post-planning call silently disable
+    * the drift check below). Schema currency comes from relation
+    * RE-CREATION: `REFRESH TABLE` invalidates the catalog's relation
+    * cache and `spark.read...load` builds a fresh instance — both
+    * re-resolve here, so a widening surfaces with at most a REFRESH and
+    * never a re-registration (the SchemaRelationProvider arm supersedes
+    * the metastore's stored copy). DATA stays publish-current
+    * regardless: buildScan resolves the current manifest per scan. */
+  override lazy val schema: StructType = branch match {
+    case Some(b) => Snapshots.branchSchema(spark, root, b)
+    case None => Snapshots.tableSchema(spark, root, trackedId)
   }
 
   // rows come back as the assembled scan's InternalRows — no Row
@@ -367,22 +381,12 @@ class SnapshotRelation(
     }
   }
 
-  /** The contract PLANNING resolved — the memo holds exactly the
-    * attributes the cached LogicalRelation carries (only relation
-    * creation populates it; nothing on the scan path may refresh it,
-    * or the pin below pins the WRONG schema). */
-  private def plannedSchema: StructType =
-    schemaMemo.map(_._2).getOrElse(schema)
-
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    // captured FIRST: every schema consultation on this path (tzSafe,
-    // the projection pin) must see the PLANNING-time contract, never
-    // re-resolve — a type-widening publish between planning and scan
-    // would otherwise cast rows to the new type under attributes still
-    // typed with the old one (silent value corruption past 2^31), and
-    // each re-resolution is a pointer read on the planning hot path
-    val planned = plannedSchema
+    // the once-resolved creation contract — exactly the attribute types
+    // every plan over this instance was built with (structural, so no
+    // call anywhere can swap it mid-query)
+    val planned = schema
     val prune = filters.toSeq.flatMap(f => toRanges(f, planned))
     val base = (branch, tag) match {
       case (Some(b), _) => Snapshots.readBranch(spark, root, b, prune = prune)
@@ -463,7 +467,7 @@ class SnapshotRelation(
 
   private[sources] def toRangesForTest(
       filters: Array[Filter]): Seq[Snapshots.StatRange] = {
-    val sc = plannedSchema
+    val sc = schema
     filters.toSeq.flatMap(toRanges(_, sc))
   }
 

@@ -35,8 +35,16 @@ import org.apache.spark.sql.types.StructType
  *    append stream — FAIL by default, or skip with
  *    `option("onNonAppend", "skip")`.
  *  - columns project to the stream's START schema: a mid-stream
- *    widening never breaks the running query; restart picks up the
- *    widened contract.
+ *    COLUMN addition never breaks the running query (new columns
+ *    surface on restart; pre-widening replays fill typed nulls), and a
+ *    mid-stream TYPE widening fails LOUDLY naming the restart remedy —
+ *    down-casting the widened rows would silently corrupt values (the
+ *    batch connector's drift rule).
+ *
+ * `maxSnapshotsPerTrigger` caps each trigger's end offset (bounded
+ * catch-up batches); a v1 source cannot see the trigger kind, so the
+ * cap also bounds a `Trigger.Once` run — use AvailableNow/continuous
+ * scheduling (or drop the cap) when one run must drain everything.
  *
  * Exactly-once end-to-end: land batches into another snapshot dataset
  * with `batchTag = s"<app>-$batchId"` inside `foreachBatch` — SS batch
@@ -98,10 +106,22 @@ class SnapshotStreamSource(
     import org.apache.spark.sql.functions.{col, lit}
     val present = df.columns.toSet
     df.select(schema.fields.toSeq.map { fd =>
-      if (present(fd.name))
+      if (present(fd.name)) {
+        val from = df.schema(fd.name).dataType
+        // a type that WIDENED under the running stream must fail loudly:
+        // casting the batch's long rows down to the stream's int would
+        // silently corrupt values past 2^31 (the buildScan drift rule)
+        if (from != fd.dataType &&
+          !org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(from, fd.dataType))
+          throw new IllegalStateException(
+            s"column '${fd.name}' widened ${fd.dataType.sql} -> " +
+              s"${from.sql} under the running stream — restart the " +
+              "stream to pick up the widened contract (the checkpoint " +
+              "stays valid)")
         col(s"`${fd.name.replace("`", "``")}`")
           .cast(fd.dataType).as(fd.name)
-      else lit(null).cast(fd.dataType).as(fd.name)
+      } else lit(null).cast(fd.dataType).as(fd.name)
     }: _*)
   }
 
