@@ -36,5 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rejects them
     ext.injectPostHocResolutionRule(session =>
       new graft.sources.SnapshotDmlRule(session))
+    // metadata table-valued functions: SELECT * FROM graft_history(root)
+    graft.sources.SnapshotTvfs.functions.foreach {
+      case (name, _, read) =>
+        ext.injectTableFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo(classOf[GraftExtensions].getName, name),
+          graft.sources.SnapshotTvfs.resolve(name, read) _))
+    }
   }
 }

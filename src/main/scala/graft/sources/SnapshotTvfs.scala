@@ -1,0 +1,64 @@
+package graft.sources
+
+import graft.sink.Snapshots
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.types.StringType
+
+/**
+ * Table-valued SQL functions over snapshot METADATA — the operational
+ * reads as plain SQL (the Delta `DESCRIBE HISTORY` role, via Spark's
+ * standard `injectTableFunction` extension point, no custom parser):
+ *
+ * {{{
+ *   SELECT * FROM graft_history('/data/events')
+ *   SELECT * FROM graft_snapshot_log('/data/events')
+ *   SELECT * FROM graft_partition_stats('/data/events')
+ * }}}
+ *
+ * Each resolves at ANALYSIS time into a [[LocalRelation]] over the
+ * manifest-answered frame — sound because these reads are
+ * metadata-cost and metadata-SIZED by construction (rows ≤ retained
+ * snapshots / live partitions; no data file is opened), so
+ * materializing them driver-side is exactly what the underlying API
+ * does anyway. The argument must be one string literal (the dataset
+ * root): a non-literal cannot be evaluated during resolution and
+ * fails loudly.
+ */
+object SnapshotTvfs {
+
+  /** (name, description, metadata read) — what [[graft.GraftExtensions]]
+    * registers. */
+  val functions: Seq[(String, String, (SparkSession, String) => DataFrame)] =
+    Seq(
+      ("graft_history",
+        "per retained snapshot: id, mode, live files/partitions, current",
+        (s, r) => Snapshots.history(s, r)),
+      ("graft_snapshot_log",
+        "operational log: instants, spec, delete counts, rows, bytes",
+        (s, r) => Snapshots.snapshotLog(s, r)),
+      ("graft_partition_stats",
+        "per-partition live files/rows/bytes from the manifest alone",
+        (s, r) => Snapshots.partitionStats(s, r)))
+
+  /** The injected resolution: one string-literal root → LocalRelation. */
+  def resolve(
+      name: String, read: (SparkSession, String) => DataFrame)(
+      args: Seq[Expression]): LogicalPlan = {
+    val root = args match {
+      case Seq(l: Literal)
+          if l.dataType == StringType && l.value != null =>
+        l.value.toString
+      case _ => throw new IllegalArgumentException(
+        s"$name takes exactly one STRING LITERAL argument — the dataset " +
+          "root (a computed argument cannot be evaluated while the query " +
+          "is being resolved)")
+    }
+    val spark = SparkSession.active
+    val df = read(spark, root)
+    LocalRelation.fromExternalRows(
+      DataTypeUtils.toAttributes(df.schema), df.collect().toSeq)
+  }
+}

@@ -79,4 +79,46 @@ class GraftExtensionsSpec extends SparkSpec {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("metadata table-valued functions: history / snapshot log / partition stats as plain SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("tvf_hist").toString
+    graft.sink.Snapshots.write(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "p", "v").coalesce(1),
+      root, Seq("p"), statsColumns = Seq("k"))
+    graft.sink.Snapshots.write(
+      Seq((3L, "a", 3.0)).toDF("k", "p", "v").coalesce(1),
+      root, Seq("p"), graft.sink.Snapshots.SnapAppend)
+    val esc = root.replace("'", "''")
+    // DESCRIBE-HISTORY parity, answered from manifests alone
+    val hist = spark.sql(
+      s"SELECT snapshot_id, mode, is_current FROM graft_history('$esc')")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getBoolean(2)))
+    assert(hist.toSeq == Seq((1, "append", false), (2, "append", true)))
+    // the TVF result composes like any relation (joins, filters, aggs);
+    // n_rows is the snapshot's total LIVE rows, manifest-answered
+    assert(spark.sql(
+      s"""SELECT sum(n_rows) AS total FROM graft_snapshot_log('$esc')
+         |WHERE snapshot_id = 2""".stripMargin).head().getLong(0) == 3L)
+    val parts = spark.sql(
+      s"""SELECT partition, n_files, n_rows
+         |FROM graft_partition_stats('$esc') ORDER BY partition"""
+        .stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(parts.toSeq == Seq(("p=a", 2L, 2L), ("p=b", 1L, 1L)))
+    // the TVF equals the Scala API exactly
+    assert(spark.sql(s"SELECT * FROM graft_history('$esc')").collect()
+      .toSeq == graft.sink.Snapshots.history(spark, root).collect().toSeq)
+    // a computed (non-literal) root cannot resolve — loud, named error
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${messages(t.getCause)}"
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_history(concat('a', 'b'))").collect()
+    }
+    assert(messages(ex).contains("STRING LITERAL") ||
+      messages(ex).toLowerCase.contains("cannot be evaluated"),
+      messages(ex))
+    assert(spark.range(1).select(col("id")).count() == 1L)
+  }
 }
