@@ -44,5 +44,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           new ExpressionInfo(classOf[GraftExtensions].getName, name),
           graft.sources.SnapshotTvfs.resolve(name, read) _))
     }
+    // time travel and row-level CDC as SQL relations — these resolve to
+    // the REAL distributed plans (manifest-pruned scan / changed-
+    // partition-pruned diff join), never a collect
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_snapshot"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_snapshot"),
+      graft.sources.SnapshotTvfs.resolveSnapshot _))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "graft_changes"),
+      graft.sources.SnapshotTvfs.resolveChanges _))
   }
 }

@@ -61,4 +61,58 @@ object SnapshotTvfs {
     LocalRelation.fromExternalRows(
       DataTypeUtils.toAttributes(df.schema), df.collect().toSeq)
   }
+
+  private def strLit(name: String, e: Expression, what: String): String =
+    e match {
+      case l: Literal if l.dataType == StringType && l.value != null =>
+        l.value.toString
+      case _ => throw new IllegalArgumentException(
+        s"$name: $what must be a string literal")
+    }
+
+  private def intLit(name: String, e: Expression, what: String): Int =
+    e match {
+      case l: Literal if l.value != null &&
+          Seq("integer", "bigint", "smallint", "tinyint")
+            .contains(l.dataType.typeName) =>
+        l.value.toString.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$name: $what must be an integer literal")
+    }
+
+  /** `SELECT * FROM graft_snapshot('root'[, asOf])` — TIME TRAVEL in
+    * SQL without DataSourceV2's `VERSION AS OF` (a v1 relation cannot
+    * parse it): resolves to the REAL distributed scan plan —
+    * manifest-pruned, merge-on-read applied, nothing collected — so it
+    * composes, filters and joins like any relation. */
+  def resolveSnapshot(args: Seq[Expression]): LogicalPlan = {
+    val (root, asOf) = args match {
+      case Seq(r) => (strLit("graft_snapshot", r, "the dataset root"), None)
+      case Seq(r, v) => (strLit("graft_snapshot", r, "the dataset root"),
+        Some(intLit("graft_snapshot", v, "asOf")))
+      case _ => throw new IllegalArgumentException(
+        "graft_snapshot takes (root[, asOf snapshot id])")
+    }
+    Snapshots.read(SparkSession.active, root, asOf = asOf)
+      .queryExecution.logical
+  }
+
+  /** `SELECT * FROM graft_changes('root', from, to, 'k1,k2')` — the
+    * row-level CDC diff ([[Snapshots.changes]]: insert/delete/update
+    * classification between two snapshots) as a SQL relation; the plan
+    * is the real changed-partition-pruned join, never a collect. */
+  def resolveChanges(args: Seq[Expression]): LogicalPlan = {
+    val (root, from, to, keys) = args match {
+      case Seq(r, f, t, k) =>
+        (strLit("graft_changes", r, "the dataset root"),
+          intLit("graft_changes", f, "fromId"),
+          intLit("graft_changes", t, "toId"),
+          strLit("graft_changes", k, "the comma-separated key columns")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      case _ => throw new IllegalArgumentException(
+        "graft_changes takes (root, fromId, toId, 'key1,key2,...')")
+    }
+    Snapshots.changes(SparkSession.active, root, from, to, keys)
+      .queryExecution.logical
+  }
 }

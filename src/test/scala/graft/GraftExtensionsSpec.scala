@@ -120,5 +120,29 @@ class GraftExtensionsSpec extends SparkSpec {
       messages(ex).toLowerCase.contains("cannot be evaluated"),
       messages(ex))
     assert(spark.range(1).select(col("id")).count() == 1L)
+
+    // TIME TRAVEL in SQL: graft_snapshot(root[, asOf]) is the real
+    // distributed scan — current state, a pinned past state, and it
+    // composes (joins/filters) like any relation
+    assert(spark.sql(s"SELECT k FROM graft_snapshot('$esc')")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(spark.sql(s"SELECT k FROM graft_snapshot('$esc', 1)")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(spark.sql(
+      s"""SELECT s1.k FROM graft_snapshot('$esc', 1) s1
+         |JOIN graft_snapshot('$esc') s2 ON s1.k = s2.k
+         |WHERE s2.p = 'a'""".stripMargin)
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // row-level CDC in SQL: graft_changes classifies the diff between
+    // two snapshots exactly like the Scala API
+    val ch = spark.sql(
+      s"""SELECT k, change_type FROM graft_changes('$esc', 1, 2, 'k')
+         |ORDER BY k""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(ch.toSeq == Seq((3L, "insert")), ch.mkString(","))
+    assert(spark.sql(s"SELECT * FROM graft_changes('$esc', 1, 2, 'k')")
+      .columns.toSeq
+      == graft.sink.Snapshots.changes(spark, root, 1, 2, Seq("k"))
+        .columns.toSeq)
   }
 }
