@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // rejects them
     ext.injectPostHocResolutionRule(session =>
       new graft.sources.SnapshotDmlRule(session))
+    // the four maintenance statements (CALL graft_maintain/compact/
+    // expire/vacuum) — a narrow parser delegate; everything else passes
+    // through to Spark's parser untouched
+    ext.injectParser((session, delegate) =>
+      new graft.sources.GraftSqlParser(session, delegate))
     // metadata table-valued functions: SELECT * FROM graft_history(root)
     graft.sources.SnapshotTvfs.functions.foreach {
       case (name, _, read) =>

@@ -991,6 +991,21 @@ object SinkQueries {
       s.sql(
         """DELETE FROM graft_snap_sqldel_tbl
           |WHERE o_orderkey % 7 = 0 AND o_orderstatus = 'F'""".stripMargin)
+      // subquery deletes, both lanes: a SMALL purge list (≤128 distinct
+      // keys — inlines as a Bloom-pruned IN-list, composed with a rest
+      // conjunct) and a LARGE one (the semi-join delete lane)
+      base.select(k.as("purge_key"))
+        .createOrReplaceTempView("graft_snap_sqldel_purge")
+      s.sql(
+        """DELETE FROM graft_snap_sqldel_tbl
+          |WHERE o_orderstatus = 'O' AND o_orderkey IN (
+          |  SELECT purge_key FROM graft_snap_sqldel_purge
+          |  WHERE purge_key < 200 AND purge_key % 2 = 1)""".stripMargin)
+      s.sql(
+        """DELETE FROM graft_snap_sqldel_tbl
+          |WHERE o_orderkey IN (
+          |  SELECT purge_key FROM graft_snap_sqldel_purge
+          |  WHERE purge_key % 11 = 3)""".stripMargin)
       require(Snapshots.read(s, out, asOf = Some(2)).count() == base.count(),
         "pre-delete state must stay time-travelable")
       s.sql(
@@ -1064,8 +1079,33 @@ object SinkQueries {
         """MERGE INTO graft_snap_sqmrg_tbl t USING graft_snap_sqmrg_del s
           |ON t.o_orderkey = s.o_orderkey
           |WHEN MATCHED THEN DELETE""".stripMargin)
+      // the CDC-apply statement: conditional clauses route each source
+      // row (op D deletes, U partially updates against the PRE-merge
+      // target values, I conditionally inserts, X is claimed by no
+      // clause and ignored)
+      base.filter(k % 13 === 1 && k % 17 =!= 0)
+        .withColumn("op", when(k % 26 === 1, lit("D")).otherwise(lit("U")))
+        .unionByName(base.filter(k % 10 === 8)
+          .withColumn("o_orderkey", k + 3000000L)
+          .withColumn("op", lit("I")))
+        .unionByName(base.filter(k % 10 === 2)
+          .withColumn("o_orderkey", k + 4000000L)
+          .withColumn("op", lit("X")))
+        .createOrReplaceTempView("graft_snap_sqmrg_cdc")
+      s.sql(
+        """MERGE INTO graft_snap_sqmrg_tbl t USING graft_snap_sqmrg_cdc s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET
+          |  o_totalprice = s.o_totalprice + t.o_totalprice,
+          |  o_orderstatus = 'C'
+          |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT
+          |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |   o_orderpriority)
+          |  VALUES (s.o_orderkey, s.o_custkey, 'I', s.o_totalprice,
+          |          '7-CDC')""".stripMargin)
       require(Snapshots.history(s, out).collect().map(_.getString(1)).toSeq
-        == Seq("append", "merge", "merge"),
+        == Seq("append", "merge", "merge", "merge"),
         "each SQL MERGE must publish one engine merge snapshot")
       s.sql(
         """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -1524,8 +1564,9 @@ object SinkQueries {
         |    AND o_orderkey < (SELECT max(o_orderkey) FROM orders
         |                      WHERE o_orderkey % 2 = 1))""".stripMargin,
 
-    // the source minus the bloom-point-deleted key and the predicate
-    // (7th-key F) slice — both SQL DELETEs applied
+    // the source minus the bloom-point-deleted key, the predicate
+    // (7th-key F) slice, the small (inlined IN-list) purge subquery,
+    // and the large (semi-join lane) purge subquery — all four DELETEs
     "sink_snapshot_sql_delete" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderpriority
@@ -1537,7 +1578,10 @@ object SinkQueries {
         |                      WHERE o_orderkey % 2 = 1)
         |    AND o_orderkey < (SELECT max(o_orderkey) FROM orders
         |                      WHERE o_orderkey % 2 = 1))
-        |  AND NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'F')""".stripMargin,
+        |  AND NOT (o_orderkey % 7 = 0 AND o_orderstatus = 'F')
+        |  AND NOT (o_orderstatus = 'O' AND o_orderkey < 200
+        |           AND o_orderkey % 2 = 1)
+        |  AND o_orderkey % 11 != 3""".stripMargin,
 
     // both UPDATEs as sequential CASE projections: the urgent-3rd-key
     // price doubling (status U), then the 50th-key+7 partition move
@@ -1552,20 +1596,40 @@ object SinkQueries {
         |FROM orders""".stripMargin,
 
     // the upsert (4th-key replacements re-priced into 7-MERGE, 6th-key
-    // shifted inserts) then the 17th-key delete-matched merge
+    // shifted inserts), the 17th-key delete-matched merge, then the
+    // conditional CDC apply (26th-key deletes, 13th-key partial updates
+    // summing the pre-merge price, conditional 8th-key inserts, op X
+    // rows claimed by no clause)
     "sink_snapshot_sql_merge" ->
-      """SELECT o_orderkey, o_custkey,
-        |  CASE WHEN o_orderkey % 10 = 4 THEN 'M' ELSE o_orderstatus END
-        |    AS o_orderstatus,
-        |  CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1000
-        |    ELSE o_totalprice END AS o_totalprice,
-        |  CASE WHEN o_orderkey % 10 = 4 THEN '7-MERGE'
-        |    ELSE o_orderpriority END AS o_orderpriority
-        |FROM orders WHERE o_orderkey % 17 != 0
+      """WITH state AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN 'M' ELSE o_orderstatus END
+        |      AS o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1000
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN '7-MERGE'
+        |      ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 17 != 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 2000000, o_custkey, 'N', o_totalprice,
+        |    '7-MERGE'
+        |  FROM orders WHERE o_orderkey % 10 = 6)
+        |SELECT st.o_orderkey, st.o_custkey,
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN 'C'
+        |    ELSE st.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN u.o_orderkey IS NOT NULL
+        |    THEN u.o_totalprice + st.o_totalprice
+        |    ELSE st.o_totalprice END AS o_totalprice,
+        |  st.o_orderpriority
+        |FROM state st
+        |LEFT JOIN orders u ON u.o_orderkey = st.o_orderkey
+        |  AND u.o_orderkey % 13 = 1 AND u.o_orderkey % 26 != 1
+        |WHERE NOT (st.o_orderkey % 13 = 1 AND st.o_orderkey % 26 = 1
+        |           AND st.o_orderkey < 2000000)
         |UNION ALL
-        |SELECT o_orderkey + 2000000, o_custkey, 'N', o_totalprice,
-        |  '7-MERGE'
-        |FROM orders WHERE o_orderkey % 10 = 6""".stripMargin,
+        |SELECT o_orderkey + 3000000, o_custkey, 'I', o_totalprice,
+        |  '7-CDC'
+        |FROM orders WHERE o_orderkey % 10 = 8""".stripMargin,
 
     // the SQL-written state: appended 5th-key copies + the 1-URGENT
     // partition dynamically overwritten down to its even keys

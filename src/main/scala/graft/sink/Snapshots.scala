@@ -1497,7 +1497,8 @@ object Snapshots {
     // batch's delete would have suppressed in the originals just the
     // same (both have seq < the rebased id), so an interleaved
     // maintain() never blocks a mergeStream batch's rebase
-    val rowPreserving = Set("compact", "fold", "migrate_spec", "evolve_spec")
+    val rowPreserving =
+      Set("compact", "fold", "migrate_spec", "evolve_spec", "evolve_schema")
     // entries interleaved winners ADDED then possibly removed later —
     // a later remove's stats may live here rather than in the base
     val interAdds = scala.collection.mutable.Map.empty[String, FileEntry]
@@ -2175,6 +2176,83 @@ object Snapshots {
       })
   }
 
+  /**
+   * KEY-SET ROW DELETE — `DELETE WHERE [rest AND] keyColumn IN (<keys>)`
+   * where the key set is a FRAME (a purge-list table, a subquery result)
+   * too large to inline as an IN-list. The same file-bounded
+   * copy-on-write discipline as [[deleteWhere]], with the key membership
+   * evaluated by JOIN instead of a literal list:
+   *  - pruning: ranges derived from `rest`'s conjuncts as usual, plus
+   *    ONE metadata-cost [min, max] bound over the deduped key set —
+   *    files wholly outside the overall key range never scan (the
+   *    shape of a time-clustered purge list at 100 TB);
+   *  - discovery: a semi-join names the exact files HOLDING members
+   *    (`input_file_name` captured scan-side, before any shuffle);
+   *  - rewrite: surviving rows = rows where `rest` is false-or-null,
+   *    plus an anti-join for rows where it holds — SQL IN semantics
+   *    exactly (a null key never matches; null keys in the set never
+   *    delete anything).
+   * SQL reaches this through `DELETE FROM t WHERE k IN (SELECT ...)`
+   * past the inline cap ([[graft.sources.SnapshotDmlRule]]). Returns the
+   * new snapshot id, or None when no row matches.
+   */
+  def deleteWhereIn(
+      spark: SparkSession, root: String, partitionFields: Seq[String],
+      keyColumn: String, keys: DataFrame,
+      rest: Option[org.apache.spark.sql.Column] = None,
+      targetFilesPerPartition: Int = 1): Option[Int] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, max, min, not}
+    require(keys.columns.length == 1,
+      s"the key set must have exactly ONE column (the values " +
+        s"'$keyColumn' is matched against), got ${keys.columns.length}")
+    // `k IN (set)` is TRUE only on a non-null member: nulls in the set
+    // drop up front (they can never make the predicate true, and they
+    // would poison the min/max bound derivation)
+    val keySet = keys.toDF("__graft_in_key").na.drop().distinct()
+    keySet.persist()
+    try {
+      val matchedRest =
+        rest.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+      def memberJoin(df: DataFrame, how: String): DataFrame =
+        df.join(keySet, df(qname(keyColumn)) === keySet("__graft_in_key"),
+          how)
+      rewriteMatching(spark, root, partitionFields, "delete_where",
+        targetFilesPerPartition,
+        deriveFor = { (sc, statsCols, bloomCols) =>
+          val fromRest = rest.toSeq.flatMap(c =>
+            deriveRanges(spark, sc, c, (statsCols ++ bloomCols).distinct,
+              nullCols = statsCols))
+          // the whole-set [min, max] bound, rendered EXACTLY like the
+          // recorded stats (Cast-to-string under the session tz); one
+          // small aggregate over the deduped set. Timestamp columns are
+          // dropped downstream by the statSafe rule as usual.
+          val bound =
+            if (!(statsCols ++ bloomCols).contains(keyColumn)) Seq.empty
+            else keySet.agg(min("__graft_in_key"), max("__graft_in_key"))
+              .queryExecution.executedPlan.executeCollect().headOption
+              .filter(!_.isNullAt(0)).map { ir =>
+                val dt = keySet.schema.head.dataType
+                val tz = spark.sessionState.conf.sessionLocalTimeZone
+                def render(i: Int) = org.apache.spark.sql.catalyst
+                  .expressions.Cast(
+                    org.apache.spark.sql.catalyst.expressions
+                      .Literal(ir.get(i, dt), dt),
+                    org.apache.spark.sql.types.StringType, Some(tz))
+                  .eval().toString
+                StatRange(keyColumn, Some(render(0)), Some(render(1)))
+              }.toSeq
+          fromRest ++ bound
+        },
+        discover = df => memberJoin(
+          rest.fold(df)(c => df.filter(c)), "left_semi"),
+        transform = rows => rest match {
+          case None => memberJoin(rows, "left_anti")
+          case Some(_) => rows.filter(not(matchedRest)).unionByName(
+            memberJoin(rows.filter(matchedRest), "left_anti"))
+        })
+    } finally keySet.unpersist(): Unit
+  }
+
   /** The shared [[deleteWhere]]/[[updateWhere]] engine: derive prune
     * ranges from the condition, stat+Bloom-narrow the candidates, name
     * the exact files HOLDING matches with one column-pruned discovery
@@ -2184,6 +2262,29 @@ object Snapshots {
       spark: SparkSession, root: String, partitionFields: Seq[String],
       condition: org.apache.spark.sql.Column, modeLabel: String,
       targetFilesPerPartition: Int,
+      transform: DataFrame => DataFrame): Option[Int] =
+    rewriteMatching(spark, root, partitionFields, modeLabel,
+      targetFilesPerPartition,
+      // ranges derive over stat AND bloom columns (a bloom-only column's
+      // equality bound must reach the bloom prune below)
+      deriveFor = (sc, statsCols, bloomCols) =>
+        deriveRanges(spark, sc, condition,
+          (statsCols ++ bloomCols).distinct, nullCols = statsCols),
+      discover = _.filter(condition), transform = transform)
+
+  /** The generalized rewrite core behind [[rewriteWhere]] and
+    * [[deleteWhereIn]]: `deriveFor` yields conservative prune ranges
+    * given (recorded schema, statsCols, bloomCols); `discover` narrows
+    * the raw candidate scan to rows that MATCH (it may filter or
+    * semi-join — the scan arrives with `__graft_file` already
+    * materialized scan-side, since `input_file_name()` is unreliable
+    * after any shuffle); `transform` maps each rewriting file's rows to
+    * their replacement. */
+  private def rewriteMatching(
+      spark: SparkSession, root: String, partitionFields: Seq[String],
+      modeLabel: String, targetFilesPerPartition: Int,
+      deriveFor: (StructType, Seq[String], Seq[String]) => Seq[StatRange],
+      discover: DataFrame => DataFrame,
       transform: DataFrame => DataFrame): Option[Int] = {
     import org.apache.spark.sql.functions.input_file_name
     require(targetFilesPerPartition >= 1, "need at least one file")
@@ -2203,10 +2304,7 @@ object Snapshots {
     // schema-less datasets skip derivation — no pruning, never wrong
     // pruning)
     val derived = m.schema.toSeq.flatMap(sc =>
-      // ranges derive over stat AND bloom columns (a bloom-only column's
-      // equality bound must reach the bloom prune below)
-      deriveRanges(spark, sc, condition,
-        (m.statsCols ++ m.bloomCols).distinct, nullCols = m.statsCols))
+      deriveFor(sc, m.statsCols, m.bloomCols))
     // TimestampType columns STAT-prune NOTHING: the recorded min/max
     // strings were rendered under the WRITING session's timezone, and a
     // deleting session configured differently would compare shifted
@@ -2230,9 +2328,9 @@ object Snapshots {
     // file whose only matching rows are delete-suppressed merely rewrites
     // harmlessly — the survivor scan below applies the deletes
     val dataPrefix = dataDir(qroot).toUri.getPath
-    val hit = scanRaw(spark, qroot, m, candidates)
-      .filter(condition)
-      .select(input_file_name().as("__f")).distinct().collect()
+    val hit = discover(scanRaw(spark, qroot, m, candidates)
+        .withColumn("__graft_file", input_file_name()))
+      .select("__graft_file").distinct().collect()
       .map(r => java.net.URI.create(r.getString(0)).getPath
         .stripPrefix(dataPrefix).stripPrefix("/")).toSet
       .filter(_.nonEmpty)
@@ -2271,6 +2369,63 @@ object Snapshots {
         .repartitionByRange(n, (partitionFields :+ "__bkt").map(qc): _*)
         .drop("__bkt")
     }
+  }
+
+  /**
+   * SCHEMA WIDENING WITHOUT A WRITE — `ALTER TABLE t ADD COLUMN`'s
+   * engine half: publish the widened contract as one METADATA-ONLY
+   * snapshot (mode `evolve_schema`, zero bytes moved), validated
+   * through the SAME evolution gate a widening write passes
+   * ([[graft.schema.SchemaEvolution]] — so a non-nullable or
+   * partition-field addition fails with the gate's own reasons, never
+   * a second rule set). Every file already landed predates the new
+   * columns and reads typed nulls under the merged contract, exactly
+   * as after a write-path widening; registered SQL tables surface the
+   * new columns with at most `REFRESH TABLE` (the publish-current
+   * schema rule). Returns the new snapshot id.
+   */
+  def addColumns(
+      spark: SparkSession, root: String,
+      columns: Seq[org.apache.spark.sql.types.StructField]): Int = {
+    require(columns.nonEmpty, "ADD COLUMN needs at least one column")
+    val (f, qroot) = FsOps.fs(spark, root)
+    val cur = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot published under $root — the first write declares " +
+          "the initial schema directly"))
+    val m = resolve(f, qroot, cur)
+    val stored = m.schema.getOrElse(throw new IllegalStateException(
+      s"snapshot s$cur records no schema contract — one write through " +
+        "the Snapshots API pins it before metadata-only evolution"))
+    // duplicate checks use the SESSION's resolver (case-insensitive by
+    // default, like every analyzer comparison): publishing both `note`
+    // and `Note` would make every later SELECT fail AMBIGUOUS_REFERENCE
+    // with no DROP COLUMN to repair it
+    val resolver = spark.sessionState.conf.resolver
+    columns.zipWithIndex.foreach { case (c, i) =>
+      columns.take(i).find(p => resolver(p.name, c.name)).foreach(p =>
+        throw new IllegalArgumentException(
+          s"duplicate ADD COLUMN '${c.name}' (collides with '${p.name}')"))
+      stored.fields.find(f => resolver(f.name, c.name)).foreach(f =>
+        throw new IllegalArgumentException(
+          s"column '${c.name}' already exists in the recorded contract " +
+            s"as '${f.name}' (${f.dataType.sql})"))
+    }
+    val widened = graft.schema.SchemaEvolution.validate(
+      stored, StructType(stored.fields ++ columns), m.partitionCols,
+      graft.schema.SchemaEvolution.Widen)
+    val meta = SnapMeta("evolve_schema", widened, m.format, m.codec,
+      m.statsCols, None, m.partitionCols,
+      Some(System.currentTimeMillis()), m.recentTags, m.bloomCols)
+    val id = cur + 1
+    val content =
+      if (m.chainDepth + 1 >= RebaseEvery)
+        renderManifest(meta, None, Seq.empty, Seq.empty, Some(m.files),
+          dFull = m.deletes)
+      else
+        renderManifest(meta, Some(cur), Seq.empty, Seq.empty, None)
+    publishManifest(f, qroot, id, Some(cur), content)
+    id
   }
 
   /**
@@ -2520,6 +2675,51 @@ object Snapshots {
     else Some(scanWithDeletes(spark, qroot, m, added))
   }
 
+  /** The STREAM-visible cost of snapshot `id`: (rows, bytes) its ADDED
+    * files carry for an emit-mode snapshot (`append`/`merge_mor` — the
+    * incremental-append contract), (0, 0) for row-preserving
+    * maintenance and non-append modes (the stream emits nothing from
+    * them), and (-1, -1) when the cost is UNKNOWN — the manifest is
+    * missing (expired; the read path raises the named STALE error) or a
+    * file predates row/byte recording. FULL-rendered manifests (the
+    * every-`RebaseEvery`-th write, expire's rebase-in-place) still
+    * answer exactly: main writes stamp their own files `seq = id`, so
+    * the snapshot's increment is the seq-matching subset — the budget
+    * never goes inert on a rebase boundary, and a huge rebased append
+    * cannot ride a budget as one unbounded batch. One small manifest
+    * read; no data file is opened — what `maxRowsPerTrigger`/
+    * `maxBytesPerTrigger` budget against. */
+  private[graft] def addedStreamCost(
+      spark: SparkSession, root: String, id: Int): (Long, Long) = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val raw =
+      try readSnapshotFile(f, qroot, id)
+      catch { case scala.util.control.NonFatal(_) => return (-1L, -1L) }
+    raw.mode match {
+      case "append" | "merge_mor" =>
+        val own =
+          if (raw.full.isDefined) raw.full.get.filter(_.seq == id)
+          else raw.adds
+        val rows =
+          if (own.forall(_.rows >= 0)) own.map(_.rows).sum else -1L
+        val bytes =
+          if (own.forall(_.bytes >= 0)) own.map(_.bytes).sum else -1L
+        (rows, bytes)
+      case _ => (0L, 0L)
+    }
+  }
+
+  /** The head's rolling replay-tag window ([[MaxRecentTags]], carried
+    * manifest to manifest) — what a tagged write converges against.
+    * Exposed so the stream sink can recognize LEGACY (pre-query-scoped)
+    * tags during an upgrade; one small manifest read. */
+  private[graft] def recentReplayTags(
+      spark: SparkSession, root: String): Seq[String] =
+    currentSnapshot(spark, root).map { id =>
+      val (f, qroot) = FsOps.fs(spark, root)
+      readSnapshotFile(f, qroot, id).effectiveRecentTags
+    }.getOrElse(Seq.empty)
+
   /** The oldest snapshot id [[expire]] has retained — the earliest point
     * a fresh incremental consumer can bootstrap from (expired history
     * cannot replay). */
@@ -2546,7 +2746,7 @@ object Snapshots {
     * (re-emitting would double-deliver); everything else is policy. */
   private[graft] val EmitModes: Set[String] = Set("append", "merge_mor")
   private[graft] val SkipModes: Set[String] =
-    Set("compact", "fold", "migrate_spec", "evolve_spec")
+    Set("compact", "fold", "migrate_spec", "evolve_spec", "evolve_schema")
 
   /** Added-rows frames for every emit-mode snapshot in `(startId,
     * endId]`, resolved with ONE manifest cache shared across the whole

@@ -1,0 +1,298 @@
+package graft.sources
+
+import graft.sink.Snapshots
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+
+/**
+ * SQL entry points for snapshot MAINTENANCE — the operations that
+ * mutate a dataset's physical layout, so they are COMMANDS, not
+ * table-valued functions (the Delta `OPTIMIZE`/`VACUUM` role). A
+ * SQL-only operator who sees `graft_partition_stats` say "compact me"
+ * can now act without a Scala deployment:
+ *
+ * {{{
+ *   CALL graft_compact('/data/events')        -- or a registered table
+ *   CALL graft_compact(events_tbl, 4)         -- targetFilesPerPartition
+ *   CALL graft_expire('/data/events', 10)     -- keepLast
+ *   CALL graft_vacuum('/data/events')         -- default age grace
+ *   CALL graft_vacuum('/data/events', 0)      -- graceMs (quiesced)
+ *   CALL graft_maintain('/data/events')       -- fold+compact+vacuum
+ *   CALL graft_maintain('/data/events', 10)   -- ... +expire keepLast
+ * }}}
+ *
+ * Spark's `CALL` statement requires a DSv2 ProcedureCatalog these v1
+ * session-catalog tables don't live in, so [[GraftSqlParser]] — the
+ * standard `injectParser` delegate (the public Delta-SQL-parser shape)
+ * — recognizes exactly these four statements and delegates EVERYTHING
+ * else untouched. Targets resolve at command RUN time: a quoted string
+ * is a dataset root; a bare identifier is a registered snapshot table
+ * (pinned asOf/tag/branch registrations are REJECTED loudly —
+ * maintenance mutates the live dataset, and running it "through" a
+ * read-only pin would be a lie about scope). Each command returns its
+ * report as rows, so `spark.sql("CALL ...").show()` is the whole
+ * operational loop.
+ */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    SnapshotMaintenanceSql.intercept(sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+private[sources] object SnapshotMaintenanceSql {
+
+  /** A maintenance target as written: a quoted dataset root, or a
+    * registered table identifier resolved (and pin-checked) at run. */
+  case class Target(raw: String, isPath: Boolean) {
+    def resolveRoot(session: SparkSession): String =
+      if (isPath) raw
+      else {
+        val ident = session.sessionState.sqlParser.parseTableIdentifier(raw)
+        val meta = session.sessionState.catalog.getTableMetadata(ident)
+        require(GraftCatalog.isSnapshotTable(meta),
+          s"table $raw is not a graft snapshot table (provider " +
+            s"'${meta.provider.getOrElse("")}') — pass the dataset root " +
+            "as a quoted string for non-registered datasets")
+        GraftCatalog.pinnedOption(meta).foreach(pin =>
+          throw new IllegalArgumentException(
+            s"cannot run maintenance through the $pin-pinned table $raw " +
+              "— maintenance mutates the LIVE dataset; target the " +
+              "unpinned table or the dataset root directly"))
+        GraftCatalog.rootOf(meta, raw)
+      }
+  }
+
+  private val Call =
+    ("""(?is)\s*CALL\s+graft_(maintain|compact|expire|vacuum)\s*""" +
+      """\((.*)\)\s*;?\s*(?:--[^\r\n]*)?\s*""").r
+
+  /** Strip LEADING line/block comments and a TRAILING line comment — a
+    * `CALL graft_vacuum('/x') -- nightly` must still be recognized, or
+    * it falls through to Spark's CALL-procedure machinery and surfaces
+    * as an unrelated error. Leading strips are safe (no string literal
+    * can precede the statement); the trailing strip only touches a
+    * final `--` line, which cannot start inside a (single-line) string
+    * argument that the anchored regex already closed. */
+  private def stripComments(sql: String): String = {
+    var t = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val lead = t.dropWhile(_.isWhitespace)
+      if (lead.startsWith("--")) {
+        val nl = lead.indexOf('\n')
+        t = if (nl < 0) "" else lead.substring(nl + 1); changed = true
+      } else if (lead.startsWith("/*")) {
+        val end = lead.indexOf("*/")
+        if (end >= 0) { t = lead.substring(end + 2); changed = true }
+        else t = lead
+      } else t = lead
+    }
+    val lines = t.linesIterator.toSeq
+    if (lines.nonEmpty && lines.last.trim.startsWith("--"))
+      lines.dropRight(1).mkString("\n")
+    else t
+  }
+
+  /** The parser hook: Some(command) for exactly our four statements,
+    * None (delegate untouched) for everything else. Argument errors
+    * inside a recognized statement fail loudly HERE — a typo'd
+    * maintenance call must never fall through to Spark's parser and
+    * surface as an unrelated CALL-procedure error. */
+  def intercept(sqlText: String): Option[LogicalPlan] =
+    stripComments(sqlText) match {
+    case Call(op, argText) =>
+      val args = splitArgs(argText)
+      require(args.nonEmpty,
+        s"CALL graft_${op.toLowerCase} needs a target (a quoted dataset " +
+          "root or a registered table name)")
+      val target = parseTarget(args.head)
+      val rest = args.tail.map(a => parseLong(op.toLowerCase, a))
+      Some((op.toLowerCase, rest) match {
+        case ("maintain", Seq()) => SnapshotMaintainSqlCommand(target, None)
+        case ("maintain", Seq(n)) =>
+          SnapshotMaintainSqlCommand(target, Some(intArg("maintain", n)))
+        case ("compact", Seq()) => SnapshotCompactSqlCommand(target, 1)
+        case ("compact", Seq(n)) =>
+          SnapshotCompactSqlCommand(target, intArg("compact", n))
+        case ("expire", Seq(n)) =>
+          SnapshotExpireSqlCommand(target, intArg("expire", n))
+        case ("vacuum", Seq()) => SnapshotVacuumSqlCommand(target, None)
+        case ("vacuum", Seq(ms)) => SnapshotVacuumSqlCommand(target, Some(ms))
+        case (o, as) => throw new IllegalArgumentException(
+          s"CALL graft_$o takes (target${usage(o)}), got ${as.length + 1} " +
+            "arguments")
+      })
+    case _ => None
+  }
+
+  private def usage(op: String): String = op match {
+    case "maintain" => "[, keepLast]"
+    case "compact" => "[, targetFilesPerPartition]"
+    case "expire" => ", keepLast"
+    case _ => "[, graceMs]"
+  }
+
+  /** Split the argument text on top-level commas, honoring
+    * single-quoted strings with `''` escapes. */
+  private def splitArgs(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQuote) {
+        cur.append(c)
+        if (c == '\'') {
+          if (i + 1 < text.length && text.charAt(i + 1) == '\'') {
+            cur.append('\''); i += 1
+          } else inQuote = false
+        }
+      } else c match {
+        case '\'' => inQuote = true; cur.append(c)
+        case ',' => out += cur.result().trim; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    require(!inQuote, "unterminated string literal in CALL arguments")
+    val last = cur.result().trim
+    val all = (out += last).result()
+    if (all == Seq("")) Seq.empty else all
+  }
+
+  private def parseTarget(arg: String): Target =
+    if (arg.startsWith("'")) {
+      require(arg.length >= 2 && arg.endsWith("'"),
+        s"malformed string literal: $arg")
+      Target(arg.substring(1, arg.length - 1).replace("''", "'"),
+        isPath = true)
+    } else {
+      require("^[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?$"
+        .r.matches(arg),
+        s"maintenance target must be a quoted dataset root or a " +
+          s"[db.]table identifier, got: $arg")
+      Target(arg, isPath = false)
+    }
+
+  private def parseLong(op: String, arg: String): Long =
+    try arg.toLong
+    catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"CALL graft_$op: expected an integer argument, got: $arg")
+    }
+
+  private def intArg(op: String, v: Long): Int = {
+    require(v >= 1 && v <= Int.MaxValue,
+      s"CALL graft_$op: argument must be a positive integer, got $v")
+    v.toInt
+  }
+
+  private[sources] def ref(name: String, dt: DataType): Attribute =
+    AttributeReference(name, dt, nullable = true)()
+}
+
+/** `CALL graft_maintain(target[, keepLast])` ≡ [[Snapshots.maintain]]
+  * under the recorded partition spec: fold → compact → (expire) →
+  * vacuum, returning the report row. */
+case class SnapshotMaintainSqlCommand(
+    target: SnapshotMaintenanceSql.Target, keepLast: Option[Int])
+    extends LeafRunnableCommand {
+  import SnapshotMaintenanceSql.ref
+  override val output: Seq[Attribute] = Seq(
+    ref("folded_to", IntegerType), ref("compacted_to", IntegerType),
+    ref("snapshots_expired", IntegerType), ref("files_expired", IntegerType),
+    ref("orphans_vacuumed", IntegerType),
+    ref("staging_trees_dropped", IntegerType))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = target.resolveRoot(session)
+    val rep = Snapshots.maintain(session, root,
+      Snapshots.recordedPartitionCols(session, root),
+      Snapshots.MaintenancePolicy(
+        keepLast = keepLast.getOrElse(Int.MaxValue)))
+    Seq(Row(rep.foldedTo.map(Int.box).orNull,
+      rep.compactedTo.map(Int.box).orNull,
+      rep.expired.length, rep.filesExpired, rep.orphansVacuumed,
+      rep.stagingTreesDropped))
+  }
+}
+
+/** `CALL graft_compact(target[, targetFilesPerPartition])` ≡
+  * [[Snapshots.compact]]; the returned id is null when nothing was
+  * fragmented (the API's no-op contract). */
+case class SnapshotCompactSqlCommand(
+    target: SnapshotMaintenanceSql.Target, targetFilesPerPartition: Int)
+    extends LeafRunnableCommand {
+  import SnapshotMaintenanceSql.ref
+  override val output: Seq[Attribute] =
+    Seq(ref("compacted_to", IntegerType))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = target.resolveRoot(session)
+    Seq(Row(Snapshots.compact(session, root,
+      Snapshots.recordedPartitionCols(session, root),
+      targetFilesPerPartition).map(Int.box).orNull))
+  }
+}
+
+/** `CALL graft_expire(target, keepLast)` ≡ [[Snapshots.expire]]. */
+case class SnapshotExpireSqlCommand(
+    target: SnapshotMaintenanceSql.Target, keepLast: Int)
+    extends LeafRunnableCommand {
+  import SnapshotMaintenanceSql.ref
+  override val output: Seq[Attribute] = Seq(
+    ref("snapshots_expired", IntegerType), ref("files_expired", IntegerType))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (expired, files) =
+      Snapshots.expire(session, target.resolveRoot(session), keepLast)
+    Seq(Row(expired.length, files))
+  }
+}
+
+/** `CALL graft_vacuum(target[, graceMs])` ≡ [[Snapshots.vacuum]] —
+  * graceMs defaults to the API's age grace; 0 is the quiesced-writer
+  * immediate reclaim. */
+case class SnapshotVacuumSqlCommand(
+    target: SnapshotMaintenanceSql.Target, graceMs: Option[Long])
+    extends LeafRunnableCommand {
+  import SnapshotMaintenanceSql.ref
+  override val output: Seq[Attribute] = Seq(
+    ref("orphans_vacuumed", IntegerType),
+    ref("staging_trees_dropped", IntegerType))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    require(graceMs.forall(_ >= 0), "graceMs must be >= 0")
+    val root = target.resolveRoot(session)
+    val (orphans, stages) = graceMs match {
+      case Some(ms) => Snapshots.vacuum(session, root, ms)
+      case None => Snapshots.vacuum(session, root)
+    }
+    Seq(Row(orphans, stages))
+  }
+}

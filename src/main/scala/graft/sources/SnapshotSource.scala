@@ -124,8 +124,11 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
   /** Stream-option parse + validation, shared so every option error
     * surfaces at `readStream...load()` (sourceSchema), not first at
     * `start()`. */
-  private def parseStream(
-      parameters: Map[String, String]): (Opts, Boolean, Option[Int]) = {
+  private case class StreamOpts(
+      o: Opts, skipNonAppend: Boolean, maxSnapshots: Option[Int],
+      maxRows: Option[Long], maxBytes: Option[Long])
+
+  private def parseStream(parameters: Map[String, String]): StreamOpts = {
     val o = parse(parameters)
     require(o.asOf.isEmpty && o.tag.isEmpty && o.branch.isEmpty,
       "a snapshot STREAM follows main — asOf/tag/branch pins do not " +
@@ -134,24 +137,32 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
     val onNonAppend = byLower.getOrElse("onnonappend", "fail").toLowerCase
     require(Set("fail", "skip")(onNonAppend),
       s"onNonAppend must be fail|skip, got '$onNonAppend'")
-    val maxPerTrigger = byLower.get("maxsnapshotspertrigger").map { v =>
-      val n =
-        try v.toInt
-        catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"maxSnapshotsPerTrigger must be an integer, got '$v'")
-        }
-      require(n >= 1, s"maxSnapshotsPerTrigger must be >= 1, got $n")
-      n
+    def boundedLong(key: String): Option[Long] =
+      byLower.get(key.toLowerCase).map { v =>
+        val n =
+          try v.toLong
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"$key must be an integer, got '$v'")
+          }
+        require(n >= 1, s"$key must be >= 1, got $n")
+        n
+      }
+    val maxPerTrigger = boundedLong("maxSnapshotsPerTrigger").map { n =>
+      require(n <= Int.MaxValue,
+        s"maxSnapshotsPerTrigger must fit an Int, got $n")
+      n.toInt
     }
-    (o, onNonAppend == "skip", maxPerTrigger)
+    StreamOpts(o, onNonAppend == "skip", maxPerTrigger,
+      boundedLong("maxRowsPerTrigger"), boundedLong("maxBytesPerTrigger"))
   }
 
   override def sourceSchema(
       sqlContext: SQLContext, schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val (o, _, _) = parseStream(parameters)
+    val o = parseStream(parameters).o
     val contract = Snapshots.tableSchema(sqlContext.sparkSession, o.root)
     // a reader-supplied stream schema is validated like the batch arm's:
     // every field must exist in the recorded contract — the typed-null
@@ -171,9 +182,11 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution
       .streaming.Source = {
-    val (o, skip, maxPerTrigger) = parseStream(parameters)
-    new SnapshotStreamSource(sqlContext, o.root, schema,
-      skipNonAppend = skip, maxSnapshotsPerTrigger = maxPerTrigger)
+    val so = parseStream(parameters)
+    new SnapshotStreamSource(sqlContext, so.o.root, schema,
+      skipNonAppend = so.skipNonAppend,
+      maxSnapshotsPerTrigger = so.maxSnapshots,
+      maxRowsPerTrigger = so.maxRows, maxBytesPerTrigger = so.maxBytes)
   }
 
   /** `df.writeStream.format("graft-snapshot")` — every micro-batch is
@@ -192,11 +205,43 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
     require(o.asOf.isEmpty && o.tag.isEmpty && o.branch.isEmpty,
       "cannot stream into a pinned (asOf/tag/branch) reference")
     // partitionBy arrives either as writeStream.partitionBy(...) or as
-    // the option — writeStream wins when both agree is required anyway
+    // the option — when both are given they must AGREE (a first batch
+    // that creates the dataset has no recorded spec yet to catch the
+    // conflict, so a silent preference would pin the wrong layout)
+    require(o.partitionBy.isEmpty || partitionColumns.isEmpty ||
+      o.partitionBy == partitionColumns,
+      s"writeStream.partitionBy(${partitionColumns.mkString(",")}) " +
+        s"conflicts with option partitionBy=${o.partitionBy.mkString(",")}")
     val fields =
       if (partitionColumns.nonEmpty) partitionColumns else o.partitionBy
-    new SnapshotStreamSink(sqlContext, o.root, fields, o.statsColumns,
-      o.bloomColumns)
+    // the replay-tag scope: batch ids are only an identity WITHIN one
+    // query lineage — scope by the explicit streamTag option, else by a
+    // stable digest of the checkpoint location (same checkpoint ⇒ same
+    // tag ⇒ genuine redeliveries converge; a fresh checkpoint or a
+    // second query ⇒ a new tag ⇒ its batch 0 is new data, not a replay)
+    val byLower = parameters.map { case (k, v) => k.toLowerCase -> v.trim }
+    val queryTag = byLower.get("streamtag").filter(_.nonEmpty).getOrElse {
+      val cp = byLower.getOrElse("checkpointlocation",
+        throw new IllegalArgumentException(
+          "the graft-snapshot stream sink scopes its exactly-once replay " +
+            "tags per query — set option(\"checkpointLocation\", ...) on " +
+            "the writeStream (conf-default checkpoints are invisible " +
+            "here) or name the lineage with option(\"streamTag\", ...)"))
+      // hash the QUALIFIED path, not the raw spelling: the same lineage
+      // restarted with '/cp' vs 'file:///cp' must derive the same tag —
+      // a respelling that silently forked the tag would double-deliver
+      // the replayed batch
+      val p = new org.apache.hadoop.fs.Path(cp.stripSuffix("/"))
+      val qualified =
+        try p.getFileSystem(sqlContext.sparkSession.sessionState
+          .newHadoopConf()).makeQualified(p).toString
+        catch { case scala.util.control.NonFatal(_) => p.toString }
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(qualified.getBytes("UTF-8"))
+      digest.take(6).map(b => f"$b%02x").mkString
+    }
+    new SnapshotStreamSink(sqlContext, o.root, queryTag, fields,
+      o.statsColumns, o.bloomColumns)
   }
 
   /** `df.write.format("graft-snapshot")` — lands one snapshot through

@@ -3,7 +3,7 @@ package graft.sources
 import graft.sink.Snapshots
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, InSubquery, ListQuery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -46,8 +46,7 @@ class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case d @ DeleteFromTable(t, cond)
         if d.childrenResolved && cond.resolved =>
       snapshotTarget(t).fold(plan) { rel =>
-        SnapshotDeleteCommand(rel.datasetRoot, rel.dmlBlockedReason,
-          SnapshotDml.toEngineColumn(cond, "DELETE"))
+        SnapshotDml.convertDelete(rel, cond)
       }
     case u @ UpdateTable(t, assignments, cond)
         if u.childrenResolved && assignments.forall(_.resolved) &&
@@ -63,6 +62,22 @@ class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case m: MergeIntoTable if m.childrenResolved =>
       snapshotTarget(m.targetTable).fold(plan)(rel =>
         SnapshotDml.convertMerge(rel, m))
+    // ALTER TABLE t ADD COLUMNS — the session catalog routes v1 tables
+    // to its own command, which rejects non-builtin providers; re-route
+    // ours to the metadata-only evolve_schema publish
+    case a: org.apache.spark.sql.execution.command
+        .AlterTableAddColumnsCommand =>
+      val meta =
+        try Some(spark.sessionState.catalog.getTableMetadata(a.table))
+        catch { case scala.util.control.NonFatal(_) => None }
+      meta.filter(GraftCatalog.isSnapshotTable).fold(plan) { t =>
+        val pinned = GraftCatalog.pinnedOption(t)
+          .map(p => s"it is $p-pinned — schema evolution publishes to " +
+            "the live dataset; alter the unpinned table")
+        SnapshotAddColumnsCommand(
+          GraftCatalog.rootOf(t, a.table.quotedString), pinned,
+          a.table.quotedString, a.colsToAdd)
+      }
     case _ => plan
   }
 
@@ -77,6 +92,38 @@ class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       case _ => None
     }
+}
+
+/** Session-catalog resolution shared by every SQL surface that targets
+  * a registered snapshot table by NAME (ALTER, CALL maintenance) — one
+  * place to recognize the provider, find the pin, and resolve the root,
+  * so the surfaces cannot drift apart. */
+private[sources] object GraftCatalog {
+  def isSnapshotTable(
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable): Boolean =
+    meta.provider.exists(p =>
+      p.toLowerCase.contains("snapshotsource") || p == "graft-snapshot")
+
+  /** The pin option recorded at registration ("asof"/"tag"/"branch"),
+    * if any — pinned registrations are read-only views and reject every
+    * mutating SQL surface. */
+  def pinnedOption(
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable)
+      : Option[String] = {
+    val opts = meta.storage.properties.keysIterator
+      .map(_.toLowerCase).toSet
+    Seq("asof", "tag", "branch").find(opts.contains)
+  }
+
+  /** The dataset root the registration records. */
+  def rootOf(
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      name: String): String =
+    meta.storage.locationUri.map(_.toString)
+      .orElse(meta.storage.properties
+        .collectFirst { case (k, v) if k.toLowerCase == "path" => v })
+      .getOrElse(throw new IllegalStateException(
+        s"table $name records no location"))
 }
 
 private[sources] object SnapshotDml {
@@ -94,6 +141,39 @@ private[sources] object SnapshotDml {
     })
   }
 
+  /** DELETE translation: subquery-free conditions route straight to
+    * [[Snapshots.deleteWhere]]; ONE uncorrelated `col IN (SELECT ...)`
+    * conjunct (the GDPR purge-list shape) is supported alongside any
+    * subquery-free rest — the command materializes the key set at RUN
+    * time, inlining small results as a Bloom-pruned IN-list and routing
+    * large ones through the semi-join delete lane. Every other subquery
+    * shape aborts loudly. */
+  def convertDelete(rel: SnapshotRelation, cond: Expression): LogicalPlan = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val (withSub, plain) =
+      conjuncts(cond).partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    if (withSub.isEmpty)
+      return SnapshotDeleteCommand(rel.datasetRoot, rel.dmlBlockedReason,
+        toEngineColumn(cond, "DELETE"))
+    val rest = plain.reduceOption(And)
+      .map(toEngineColumn(_, "DELETE"))
+    withSub match {
+      case Seq(InSubquery(Seq(a: AttributeReference), lq: ListQuery))
+          if lq.outerAttrs.isEmpty =>
+        SnapshotDeleteInCommand(rel.datasetRoot, rel.dmlBlockedReason,
+          a.name, lq.plan, rest)
+      case _ => throw new UnsupportedOperationException(
+        "DELETE on a snapshot table supports at most ONE subquery " +
+          "conjunct, of the shape `column IN (uncorrelated SELECT)` — " +
+          "for EXISTS / NOT IN / correlated shapes, materialize the key " +
+          "set first (or use Snapshots.deleteWhereIn / mergeUpsert " +
+          "directly)")
+    }
+  }
+
   def assignmentName(a: Assignment): String = a.key match {
     case ar: AttributeReference => ar.name
     case u: UnresolvedAttribute if u.nameParts.length == 1 =>
@@ -105,10 +185,12 @@ private[sources] object SnapshotDml {
   private def unsupportedMerge(why: String): Nothing =
     throw new UnsupportedOperationException(
       s"this MERGE shape is not supported on snapshot tables ($why). " +
-        "Supported: MERGE INTO t USING s ON t.k = s.k [AND ...] " +
-        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *, " +
-        "or WHEN MATCHED THEN DELETE alone; for row-level CDC shapes " +
-        "use Snapshots.mergeUpsert / mergeDeltas directly")
+        "Supported: a conjunctive same-name equi-key ON; WHEN MATCHED " +
+        "[AND cond] THEN UPDATE SET ... / DELETE; WHEN NOT MATCHED " +
+        "[AND cond] THEN INSERT ...; merge keys may only be re-assigned " +
+        "as their same-name source copy. WHEN NOT MATCHED BY SOURCE is " +
+        "not expressible as an upsert — use Snapshots.mergeUpsert / " +
+        "mergeDeltas directly for other shapes")
 
   /** The canonical-merge translation: extract same-named key equalities
     * from the ON condition, validate the clause shapes, and emit the
@@ -151,19 +233,104 @@ private[sources] object SnapshotDml {
       pairs.forall(_.isDefined) &&
         pairs.flatten.toSet == m.targetTable.output.map(_.name).toSet
     }
-    val deleteOnly = (m.matchedActions, m.notMatchedActions) match {
-      case (Seq(DeleteAction(None)), Seq()) => true
+    // the canonical shapes keep their DIRECT lane (no join against the
+    // target is needed — the source frame IS the updates frame); every
+    // other expressible shape routes through the general clause-apply
+    val canonical = (m.matchedActions, m.notMatchedActions) match {
+      case (Seq(DeleteAction(None)), Seq()) => Some(true)
       case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
-        false
+        Some(false)
       case (Seq(u: UpdateAction), Seq(i: InsertAction))
           if u.condition.isEmpty && i.condition.isEmpty &&
-            fullCopy(u.assignments) && fullCopy(i.assignments) => false
-      case (ma, na) => unsupportedMerge(
-        s"matched=${ma.map(_.getClass.getSimpleName).mkString(",")} " +
-          s"notMatched=${na.map(_.getClass.getSimpleName).mkString(",")}")
+            fullCopy(u.assignments) && fullCopy(i.assignments) =>
+        Some(false)
+      case _ => None
     }
-    SnapshotMergeCommand(rel.datasetRoot, rel.dmlBlockedReason,
-      m.sourceTable, keys, deleteOnly)
+    canonical match {
+      case Some(deleteOnly) =>
+        SnapshotMergeCommand(rel.datasetRoot, rel.dmlBlockedReason,
+          m.sourceTable, keys, deleteOnly)
+      case None => convertGeneralMerge(rel, m, keys, tOut, sOut)
+    }
+  }
+
+  /** Conditional / partial MERGE clauses — the CDC-apply statement
+    * (`WHEN MATCHED AND s.op = 'D' THEN DELETE`, partial `UPDATE SET
+    * c = expr`, conditional `INSERT`) — mapped EXACTLY onto
+    * [[Snapshots.mergeUpsert]]'s per-key replace/insert/delete: the
+    * command joins source to target on the keys, applies the FIRST
+    * true clause per row (SQL MERGE order), and rows no clause claims
+    * stay untouched (they never enter the updates frame). Clause
+    * conditions and assignment right-hand sides may reference both
+    * sides; every RHS sees the PRE-merge target row (the updateWhere
+    * projection discipline). Shapes whose semantics the upsert cannot
+    * represent exactly still abort loudly. */
+  private def convertGeneralMerge(
+      rel: SnapshotRelation, m: MergeIntoTable, keys: Seq[String],
+      tOut: AttributeSet, sOut: AttributeSet): LogicalPlan = {
+    def engineExpr(e: Expression, what: String): Column = {
+      require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+        s"$what with a subquery is not supported on snapshot tables — " +
+          "materialize it into the MERGE source first")
+      GraftSqlBridge.column(e.transform {
+        // source-side references resolve against the join frame's
+        // prefixed copies — collision-free when both sides share names
+        case a: AttributeReference if sOut.contains(a) =>
+          UnresolvedAttribute.quoted(
+            SnapshotMergeApplyCommand.SrcPrefix + a.name)
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      })
+    }
+    val sourceByName = m.sourceTable.output.map(a => a.name -> a).toMap
+    def starAssignments(what: String): Seq[(String, Column)] =
+      m.targetTable.output.map { t =>
+        val s = sourceByName.getOrElse(t.name, unsupportedMerge(
+          s"$what SET */INSERT * needs a source column named '${t.name}'"))
+        t.name -> engineExpr(s, what)
+      }
+    def convAssigns(
+        assigns: Seq[Assignment], what: String): Seq[(String, Column)] =
+      assigns.map { a =>
+        val name = assignmentName(a)
+        // reassigning a merge KEY breaks per-key replace semantics (the
+        // old key would survive while the new row lands beside it) —
+        // only the same-name source copy, a no-op under the equi-join
+        // for matched rows and the row's own key for inserts, is safe
+        if (keys.contains(name)) a.value match {
+          case v: AttributeReference
+              if sOut.contains(v) && v.name == name => ()
+          case _ => unsupportedMerge(
+            s"cannot reassign merge key '$name' (only `$name = " +
+              s"s.$name` is expressible)")
+        }
+        name -> engineExpr(a.value, what)
+      }
+    val matched: Seq[(Option[Column], Option[Seq[(String, Column)]])] =
+      m.matchedActions.map {
+        case DeleteAction(c) =>
+          (c.map(engineExpr(_, "a MATCHED condition")), None)
+        case u: UpdateAction =>
+          (u.condition.map(engineExpr(_, "a MATCHED condition")),
+            Some(convAssigns(u.assignments, "MERGE UPDATE")))
+        case UpdateStarAction(c) =>
+          (c.map(engineExpr(_, "a MATCHED condition")),
+            Some(starAssignments("MERGE UPDATE")))
+        case other => unsupportedMerge(
+          s"unsupported matched action ${other.getClass.getSimpleName}")
+      }
+    val notMatched: Seq[(Option[Column], Seq[(String, Column)])] =
+      m.notMatchedActions.map {
+        case i: InsertAction =>
+          (i.condition.map(engineExpr(_, "a NOT MATCHED condition")),
+            convAssigns(i.assignments, "MERGE INSERT"))
+        case InsertStarAction(c) =>
+          (c.map(engineExpr(_, "a NOT MATCHED condition")),
+            starAssignments("MERGE INSERT"))
+        case other => unsupportedMerge(
+          s"unsupported not-matched action ${other.getClass.getSimpleName}")
+      }
+    SnapshotMergeApplyCommand(rel.datasetRoot, rel.dmlBlockedReason,
+      m.sourceTable, keys, matched, notMatched)
   }
 }
 
@@ -182,6 +349,50 @@ case class SnapshotDeleteCommand(
   }
 }
 
+/** `DELETE FROM <snapshot table> WHERE [rest AND] k IN (SELECT ...)` —
+  * the subquery runs at command time: ≤ [[Snapshots.MaxInPruneValues]]
+  * distinct non-null keys inline as a literal IN-list (inheriting the
+  * disjunctive stat ranges AND the exact-value Bloom probes), larger
+  * sets route through [[Snapshots.deleteWhereIn]]'s semi-join lane
+  * (whole-set min/max pruning, file-bounded copy-on-write). An empty
+  * result deletes nothing — `IN (empty)` is never TRUE. */
+case class SnapshotDeleteInCommand(
+    root: String, blocked: Option[String], keyColumn: String,
+    subquery: LogicalPlan, rest: Option[Column])
+    extends LeafRunnableCommand {
+  // the subquery plan is already analyzed; keep it visible in EXPLAIN
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans
+    .QueryPlan[_]] = Seq(subquery)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    blocked.foreach(w => throw new UnsupportedOperationException(
+      s"cannot DELETE FROM this table: $w"))
+    val fields = Snapshots.recordedPartitionCols(session, root)
+    val sub = GraftSqlBridge.ofRows(session, subquery)
+    require(sub.columns.length == 1,
+      s"the IN subquery must produce exactly one column, got " +
+        s"${sub.columns.mkString(", ")}")
+    // persist BEFORE the lane probe: the purge list this lane exists for
+    // is typically an expensive scan, and the large lane would otherwise
+    // re-execute the whole subquery after the probe already ran it
+    val keys = sub.distinct().na.drop().persist()
+    try {
+      val sample = keys.limit(Snapshots.MaxInPruneValues + 1).collect()
+      def q(c: String) = col(s"`${c.replace("`", "``")}`")
+      if (sample.isEmpty) return Seq.empty // IN (empty) is never TRUE
+      if (sample.length <= Snapshots.MaxInPruneValues) {
+        val inList = q(keyColumn).isin(sample.toSeq.map(_.get(0)): _*)
+        Snapshots.deleteWhere(session, root, fields,
+          rest.map(_ && inList).getOrElse(inList)): Unit
+      } else {
+        Snapshots.deleteWhereIn(session, root, fields, keyColumn, keys,
+          rest): Unit
+      }
+    } finally keys.unpersist(): Unit
+    Seq.empty
+  }
+}
+
 /** `UPDATE <snapshot table> SET ... [WHERE cond]` —
   * [[Snapshots.updateWhere]]'s file-bounded copy-on-write. */
 case class SnapshotUpdateCommand(
@@ -194,6 +405,122 @@ case class SnapshotUpdateCommand(
     Snapshots.updateWhere(session, root,
       Snapshots.recordedPartitionCols(session, root), condition,
       assignments): Unit
+    Seq.empty
+  }
+}
+
+/** Conditional / partial-clause `MERGE INTO` (the CDC-apply statement):
+  * source LEFT-joins target on the keys, the FIRST true clause claims
+  * each row, and the claimed rows become one [[Snapshots.mergeUpsert]]
+  * batch — delete clauses mark the key, update clauses rebuild the full
+  * row from the PRE-merge target values with assignments applied,
+  * insert clauses build rows from their assignment lists (unassigned
+  * columns are typed nulls, SQL INSERT semantics). Rows NO clause
+  * claims never enter the updates frame and stay untouched. */
+case class SnapshotMergeApplyCommand(
+    root: String, blocked: Option[String], source: LogicalPlan,
+    keys: Seq[String],
+    matched: Seq[(Option[Column], Option[Seq[(String, Column)]])],
+    notMatched: Seq[(Option[Column], Seq[(String, Column)])])
+    extends LeafRunnableCommand {
+  import SnapshotMergeApplyCommand._
+
+  // the source plan is already analyzed; keep it visible in EXPLAIN
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans
+    .QueryPlan[_]] = Seq(source)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    blocked.foreach(w => throw new UnsupportedOperationException(
+      s"cannot MERGE INTO this table: $w"))
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    val fields = Snapshots.recordedPartitionCols(session, root)
+    val schema = Snapshots.tableSchema(session, root)
+    val tcols = schema.fieldNames.toSeq
+    def q(c: String) = col(s"`${c.replace("`", "``")}`")
+    val src0 = GraftSqlBridge.ofRows(session, source)
+    val src = src0.select(
+      src0.columns.toSeq.map(c => q(c).as(SrcPrefix + c)): _*)
+    val target = Snapshots.read(session, root)
+      .withColumn(ExistsCol, lit(true))
+    val joined = src.join(target,
+      keys.map(k => src(qn(SrcPrefix + k)) === target(qn(k)))
+        .reduce(_ && _), "left_outer")
+    // first-true-clause selector, SQL MERGE order; -1 = no clause
+    // claims the row (it stays out of the updates frame entirely)
+    def firstIdx(conds: Seq[Option[Column]]): Column =
+      conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), els) =>
+        when(c.map(cc => coalesce(cc, lit(false))).getOrElse(lit(true)),
+          lit(i)).otherwise(els)
+      }
+    val mRows = joined.filter(q(ExistsCol).isNotNull)
+      .withColumn(ClauseCol, firstIdx(matched.map(_._1)))
+      .filter(q(ClauseCol) >= 0)
+    // ONE projection: every assignment RHS sees the PRE-merge row (the
+    // updateWhere discipline); a delete clause's row keeps its original
+    // values (only its key is consumed)
+    val mOut = mRows.select(tcols.map { c =>
+      matched.zipWithIndex.foldRight(q(c)) { case (((_, aOpt), i), els) =>
+        aOpt.flatMap(_.find(_._1 == c)).map(_._2) match {
+          case Some(e) => when(q(ClauseCol) === i,
+            e.cast(schema(c).dataType)).otherwise(els)
+          case None => els
+        }
+      }.as(c)
+    } :+ matched.zipWithIndex.foldRight(lit(false)) {
+      case (((_, aOpt), i), els) =>
+        if (aOpt.isEmpty) when(q(ClauseCol) === i, lit(true)).otherwise(els)
+        else els
+    }.as(DelCol): _*)
+    val uRows = joined.filter(q(ExistsCol).isNull)
+      .withColumn(ClauseCol, firstIdx(notMatched.map(_._1)))
+      .filter(q(ClauseCol) >= 0)
+    val uOut = uRows.select(tcols.map { c =>
+      notMatched.zipWithIndex.foldRight(
+        lit(null).cast(schema(c).dataType)) {
+        case (((_, assigns), i), els) =>
+          assigns.find(_._1 == c).map(_._2) match {
+            case Some(e) => when(q(ClauseCol) === i,
+              e.cast(schema(c).dataType)).otherwise(els)
+            case None => els
+          }
+      }.as(c)
+    } :+ lit(false).as(DelCol): _*)
+    val updates =
+      if (notMatched.isEmpty) mOut
+      else if (matched.isEmpty) uOut
+      else mOut.unionByName(uOut)
+    Snapshots.mergeUpsert(session, root, updates, fields, keys,
+      deleteCol = Some(DelCol)): Unit
+    Seq.empty
+  }
+}
+
+object SnapshotMergeApplyCommand {
+  /** Prefix the join frame renames source columns under — clause
+    * expressions referencing s.* resolve against these, target
+    * references stay bare. */
+  private[sources] val SrcPrefix = "__graft_s_"
+  private val ExistsCol = "__graft_t_exists"
+  private val ClauseCol = "__graft_clause"
+  private val DelCol = "__graft_merge_del"
+  private def qn(c: String) = s"`${c.replace("`", "``")}`"
+}
+
+/** `ALTER TABLE <snapshot table> ADD COLUMNS (...)` —
+  * [[Snapshots.addColumns]]'s metadata-only `evolve_schema` snapshot
+  * through the standard evolution gate (nullable additions only — the
+  * gate's own reasons surface for anything else), then a relation-cache
+  * refresh so the very next SELECT sees the widened contract without a
+  * manual `REFRESH TABLE`. */
+case class SnapshotAddColumnsCommand(
+    root: String, blocked: Option[String], table: String,
+    columns: Seq[org.apache.spark.sql.types.StructField])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    blocked.foreach(w => throw new UnsupportedOperationException(
+      s"cannot ALTER this table: $w"))
+    Snapshots.addColumns(session, root, columns): Unit
+    session.catalog.refreshTable(table)
     Seq.empty
   }
 }

@@ -9,11 +9,22 @@ import org.apache.spark.sql.execution.streaming.Sink
  * `df.writeStream.format("graft-snapshot").option("path", root)
  * .option("partitionBy", "p").start()` — every micro-batch lands as one
  * audited snapshot through the full commit protocol, tagged
- * `stream-<batchId>`. SS batch ids are STABLE across failure replays,
- * so the dataset's rolling replay-tag window converges redeliveries:
- * exactly-once end-to-end with no `foreachBatch` boilerplate, and
- * composed with the [[SnapshotStreamSource]] it makes a
- * snapshot-to-snapshot mirror a one-liner.
+ * `stream-<queryTag>-<batchId>`. SS batch ids are STABLE across failure
+ * replays, so the dataset's rolling replay-tag window converges
+ * redeliveries: exactly-once end-to-end with no `foreachBatch`
+ * boilerplate, and composed with the [[SnapshotStreamSource]] it makes
+ * a snapshot-to-snapshot mirror a one-liner.
+ *
+ * `queryTag` scopes the replay window PER QUERY: batch ids alone are
+ * not a global identity — two streaming queries writing the same root,
+ * or one query restarted on a FRESH checkpoint (batch ids reset to 0),
+ * would otherwise emit colliding tags and have real batches silently
+ * converged as redeliveries. The tag derives from the query's
+ * checkpoint location (stable across restarts of the SAME query — the
+ * one case that IS a redelivery — and distinct for different queries /
+ * fresh checkpoints), or from an explicit `streamTag` option when the
+ * caller wants to name the lineage (e.g. a checkpoint that migrates
+ * paths).
  *
  * Append output mode only (a snapshot dataset is an append-of-batches
  * log; updates belong to `mergeDeltas`/`foreachBatch`). The dataset is
@@ -22,7 +33,8 @@ import org.apache.spark.sql.execution.streaming.Sink
  * as everywhere). An empty micro-batch publishes nothing.
  */
 class SnapshotStreamSink(
-    sqlContext: SQLContext, root: String, partitionBy: Seq[String],
+    sqlContext: SQLContext, root: String, queryTag: String,
+    partitionBy: Seq[String],
     statsColumns: Seq[String], bloomColumns: Seq[String]) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -45,9 +57,19 @@ class SnapshotStreamSink(
             "partitionBy (comma-separated partition fields)")
         partitionBy
     }
+    // upgrade migration: a checkpoint running before tags were
+    // query-scoped wrote bare `stream-<batchId>` tags; its crash-replay
+    // arrives here post-upgrade and must still converge. Only honored
+    // while NO scoped tag of THIS lineage exists in the window — once
+    // this query has published under the scoped scheme, a bare legacy
+    // tag is some other (pre-upgrade) query's history, and skipping on
+    // it would resurrect the collision this scoping removed.
+    val window = Snapshots.recentReplayTags(spark, root)
+    if (window.contains(s"stream-$batchId") &&
+        !window.exists(_.startsWith(s"stream-$queryTag-"))) return
     Snapshots.write(batch, root, fields, Snapshots.SnapAppend,
       statsColumns = statsColumns, bloomColumns = bloomColumns,
-      batchTag = Some(s"stream-$batchId")): Unit
+      batchTag = Some(s"stream-$queryTag-$batchId")): Unit
   }
 
   override def toString: String = s"SnapshotStreamSink[$root]"

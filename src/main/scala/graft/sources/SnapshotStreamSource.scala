@@ -54,7 +54,9 @@ import org.apache.spark.sql.types.StructType
 class SnapshotStreamSource(
     sqlContext: SQLContext, root: String,
     userSchema: Option[StructType], skipNonAppend: Boolean,
-    maxSnapshotsPerTrigger: Option[Int] = None)
+    maxSnapshotsPerTrigger: Option[Int] = None,
+    maxRowsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Source {
 
   private def spark = sqlContext.sparkSession
@@ -84,14 +86,47 @@ class SnapshotStreamSource(
   }
 
   /** The newest offset this trigger may take: the published pointer,
-    * capped `maxSnapshotsPerTrigger` past the last delivered offset —
-    * a stream catching up over a long gap processes bounded batches
-    * instead of one unbounded union. */
+    * capped `maxSnapshotsPerTrigger` past the last delivered offset,
+    * then tightened by the ROW/BYTE budgets against each snapshot's
+    * manifest-recorded added size (metadata-cost — no data file opens)
+    * — a stream catching up over a long gap processes bounded batches
+    * instead of one unbounded union, and one huge snapshot no longer
+    * rides a count-only cap as one unbounded batch. Progress is always
+    * ≥ 1 snapshot: an over-budget or unknown-cost snapshot becomes its
+    * own batch (never a stall, never a split — a snapshot is the
+    * atomic emission unit). The caps are steady-state trigger bounds:
+    * the bootstrap (no delivered offset yet) is one full-state read
+    * regardless, as with the count cap. */
   override def getOffset: Option[Offset] =
     Snapshots.currentSnapshot(spark, root).map { cur =>
-      val capped = (maxSnapshotsPerTrigger, lastDelivered) match {
+      val countCapped = (maxSnapshotsPerTrigger, lastDelivered) match {
         case (Some(n), Some(last)) => math.min(cur, last + n)
         case _ => cur
+      }
+      val sizeCaps = maxRowsPerTrigger.isDefined ||
+        maxBytesPerTrigger.isDefined
+      val capped = lastDelivered match {
+        case Some(last) if sizeCaps && countCapped > last =>
+          var end = last
+          var rows = 0L
+          var bytes = 0L
+          var done = false
+          while (!done && end < countCapped) {
+            val (r, b) = Snapshots.addedStreamCost(spark, root, end + 1)
+            val unknown = r < 0 || b < 0
+            val wouldRows = rows + math.max(r, 0L)
+            val wouldBytes = bytes + math.max(b, 0L)
+            val over = unknown ||
+              maxRowsPerTrigger.exists(wouldRows > _) ||
+              maxBytesPerTrigger.exists(wouldBytes > _)
+            if (over && end > last) done = true
+            else {
+              end += 1; rows = wouldRows; bytes = wouldBytes
+              if (over) done = true
+            }
+          }
+          end
+        case _ => countCapped
       }
       SnapOffset(capped)
     }
@@ -128,25 +163,32 @@ class SnapshotStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endId = idOf(end)
     lastDelivered = Some(endId)
+    // a checkpoint that fell behind the retention window cannot replay —
+    // either lane (a WAL-replayed bootstrap pins asOf=endId; an
+    // incremental batch walks (start, end]) needs manifests Snapshots
+    // .expire may have reclaimed. Name the real condition instead of the
+    // missing-manifest error deep inside read/diff.
+    def assertRetained(neededFrom: Int, what: String): Unit =
+      Snapshots.earliestRetainedSnapshot(spark, root)
+        .filter(_ > neededFrom)
+        .foreach(earliest => throw new IllegalStateException(
+          s"stream checkpoint is STALE: its $what needs s$neededFrom but " +
+            s"Snapshots.expire has reclaimed the manifests to replay it " +
+            s"(earliest retained is s$earliest) — widen the dataset's " +
+            "retention relative to the stream's trigger cadence, or " +
+            "restart with a fresh checkpoint to re-bootstrap from the " +
+            "full state"))
     val batch = start match {
       case None =>
-        // bootstrap: the full state at the first observed offset
+        // bootstrap: the full state at the first observed offset — a
+        // crash between the WAL write and the commit replays THIS batch
+        // pinned at endId, which must still be retained
+        assertRetained(endId, "bootstrap replay")
         projected(Snapshots.read(spark, root, asOf = Some(endId)))
       case Some(s0) =>
         val startId = idOf(s0)
-        // a checkpoint that fell behind the retention window cannot
-        // replay incrementally — name the real condition (the follower's
-        // stale rule) instead of the missing-manifest error deep inside
-        // the diff
-        Snapshots.earliestRetainedSnapshot(spark, root)
-          .filter(_ > startId).filter(_ => startId < endId)
-          .foreach(earliest => throw new IllegalStateException(
-            s"stream checkpoint is STALE: it committed s$startId but " +
-              s"Snapshots.expire has reclaimed the manifests needed to " +
-              s"replay from there (earliest retained is s$earliest) — " +
-              "widen the dataset's retention relative to the stream's " +
-              "trigger cadence, or restart with a fresh checkpoint to " +
-              "re-bootstrap from the full state"))
+        if (startId < endId)
+          assertRetained(startId, s"incremental replay from s$startId")
         // one shared manifest cache across the whole span — a stream
         // catching up over a long gap must not re-walk delta chains per
         // id (gap × chainDepth manifest reads instead of O(gap))

@@ -72,10 +72,21 @@ object SnapshotTvfs {
 
   private def intLit(name: String, e: Expression, what: String): Int =
     e match {
-      case l: Literal if l.value != null &&
-          Seq("integer", "bigint", "smallint", "tinyint")
-            .contains(l.dataType.typeName) =>
-        l.value.toString.toInt
+      // match the TYPES, not typeName strings — LongType.typeName is
+      // "long", never "bigint", so name-matching silently rejected every
+      // non-int integral literal
+      case l: Literal if l.value != null && Seq(
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.ByteType).contains(l.dataType) =>
+        // a bigint literal parses fine but must still FIT a snapshot id —
+        // keep the named argument error, never a raw NumberFormatException
+        val v = l.value.toString.toLong
+        if (v < Int.MinValue || v > Int.MaxValue)
+          throw new IllegalArgumentException(
+            s"$name: $what must fit an integer snapshot id, got $v")
+        v.toInt
       case _ => throw new IllegalArgumentException(
         s"$name: $what must be an integer literal")
     }

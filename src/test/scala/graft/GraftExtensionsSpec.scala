@@ -128,6 +128,16 @@ class GraftExtensionsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
     assert(spark.sql(s"SELECT k FROM graft_snapshot('$esc', 1)")
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // integral literal TYPES all work (a bigint literal's typeName is
+    // "long" — it must match by type, not name)…
+    assert(spark.sql(s"SELECT k FROM graft_snapshot('$esc', 1L)")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // …and one past Int range keeps the NAMED argument error shape
+    val exBig = intercept[Exception] {
+      spark.sql(s"SELECT k FROM graft_snapshot('$esc', 3000000000)")
+        .collect()
+    }
+    assert(messages(exBig).contains("fit an integer"), messages(exBig))
     assert(spark.sql(
       s"""SELECT s1.k FROM graft_snapshot('$esc', 1) s1
          |JOIN graft_snapshot('$esc') s2 ON s1.k = s2.k

@@ -52,6 +52,75 @@ class SnapshotDmlSpec extends SparkSpec {
     spark.sql("DROP TABLE dml_del_tbl")
   }
 
+  test("DELETE with an IN-subquery: small sets inline as Bloom-pruned IN-lists, large sets take the semi-join lane") {
+    val root = java.nio.file.Files.createTempDirectory("dml_delsub").toString
+    // two files with interleaved key ranges: only Bloom/IN pruning
+    // separates them (the dml_del fixture's shape)
+    val evens = spark.range(0, 2000, 2).select(col("id").as("k"),
+      lit("a").as("p"))
+    val odds = spark.range(1, 2000, 2).select(col("id").as("k"),
+      lit("a").as("p"))
+    Snapshots.write(evens.coalesce(1), root, Seq("p"),
+      statsColumns = Seq("k"), bloomColumns = Seq("k"))
+    Snapshots.write(odds.coalesce(1), root, Seq("p"), Snapshots.SnapAppend)
+    spark.sql("DROP TABLE IF EXISTS dml_delsub_tbl")
+    Snapshots.registerTable(spark, root, "dml_delsub_tbl")
+    // the purge-list table a GDPR delete joins against
+    spark.range(0, 3).select((col("id") * 4 + 2).as("uid"))
+      .createOrReplaceTempView("dml_purge_small") // 2, 6, 10 — all even
+    // SMALL subquery (3 distinct keys ≤ cap): inlines as an IN-list and
+    // inherits the Bloom-bounded rewrite — exactly ONE file rewrites
+    spark.sql(
+      """DELETE FROM dml_delsub_tbl
+        |WHERE k IN (SELECT uid FROM dml_purge_small)""".stripMargin)
+    assert(Snapshots.currentSnapshot(spark, root).contains(3))
+    assert(manifestRemoves(root, 3) == 1,
+      "a small IN-subquery must inherit the Bloom-bounded one-file rewrite")
+    assert(spark.sql("SELECT count(*) AS n FROM dml_delsub_tbl")
+      .head().getLong(0) == 1997L)
+    assert(Snapshots.history(spark, root).collect().map(_.getString(1))
+      .last == "delete_where")
+    // LARGE subquery (500 distinct keys > cap): the semi-join lane —
+    // same audited mode, same answer as the equivalent predicate
+    spark.range(0, 1000).select((col("id") * 2 + 1).as("uid"))
+      .where(col("uid") < 1000) // 1,3,...,999 — 500 odd keys
+      .createOrReplaceTempView("dml_purge_big")
+    spark.sql(
+      """DELETE FROM dml_delsub_tbl
+        |WHERE k IN (SELECT uid FROM dml_purge_big)""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM dml_delsub_tbl")
+      .head().getLong(0) == 1497L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM dml_delsub_tbl WHERE k % 2 = 1 AND k < 1000")
+      .head().getLong(0) == 0L, "every purge-list member deleted")
+    assert(Snapshots.history(spark, root).collect().map(_.getString(1))
+      .last == "delete_where")
+    // a REST conjunct composes: only members also satisfying it delete
+    spark.range(0, 400).select((col("id") * 2 + 1001).as("uid"))
+      .createOrReplaceTempView("dml_purge_rest") // 1001,1003,...,1799
+    spark.sql(
+      """DELETE FROM dml_delsub_tbl
+        |WHERE k >= 1500 AND k IN (SELECT uid FROM dml_purge_rest)"""
+        .stripMargin)
+    // odd keys 1501..1799 = 150 rows deleted
+    assert(spark.sql("SELECT count(*) AS n FROM dml_delsub_tbl")
+      .head().getLong(0) == 1347L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM dml_delsub_tbl WHERE k = 1499")
+      .head().getLong(0) == 1L, "a member failing the rest conjunct stays")
+    // an EMPTY subquery result deletes nothing and publishes nothing
+    val before = Snapshots.currentSnapshot(spark, root)
+    spark.sql(
+      """DELETE FROM dml_delsub_tbl
+        |WHERE k IN (SELECT uid FROM dml_purge_small WHERE uid < 0)"""
+        .stripMargin)
+    assert(Snapshots.currentSnapshot(spark, root) == before,
+      "IN (empty) is never TRUE — no snapshot burned")
+    // pre-delete states stay time-travelable
+    assert(Snapshots.read(spark, root, asOf = Some(2)).count() == 2000L)
+    spark.sql("DROP TABLE dml_delsub_tbl")
+  }
+
   test("UPDATE evaluates every assignment against the PRE-update row and can move partitions") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("dml_upd").toString
@@ -121,16 +190,9 @@ class SnapshotDmlSpec extends SparkSpec {
         |WHEN MATCHED THEN DELETE""".stripMargin)
     assert(spark.sql("SELECT k FROM dml_mrg_tbl").collect()
       .map(_.getLong(0)).toSet == Set(1L, 3L))
-    // non-canonical shapes abort loudly, naming the supported forms
+    // inexpressible shapes abort loudly, naming the supported forms
     def messages(t: Throwable): String =
       if (t == null) "" else s"${t.getMessage}\n${messages(t.getCause)}"
-    val exPartial = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO dml_mrg_tbl t USING dml_mrg_src s ON t.k = s.k
-          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
-    }
-    assert(messages(exPartial).contains("not supported on snapshot tables"),
-      messages(exPartial))
     val exKey = intercept[Exception] {
       spark.sql(
         """MERGE INTO dml_mrg_tbl t USING dml_mrg_src s ON t.k = s.v
@@ -139,7 +201,125 @@ class SnapshotDmlSpec extends SparkSpec {
     }
     assert(messages(exKey).contains("not supported on snapshot tables"),
       messages(exKey))
+    // reassigning a merge key to anything but its same-name source copy
+    // breaks per-key replace semantics — loud, never silently different
+    val exReKey = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_mrg_tbl t USING dml_mrg_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET k = s.k + 1""".stripMargin)
+    }
+    assert(messages(exReKey).contains("reassign merge key"),
+      messages(exReKey))
+    val exBySource = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO dml_mrg_tbl t USING dml_mrg_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    }
+    assert(messages(exBySource).contains("not supported on snapshot tables"),
+      messages(exBySource))
     spark.sql("DROP TABLE dml_mrg_tbl")
+  }
+
+  test("MERGE with conditional and partial clauses: the CDC-apply statement maps exactly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dml_cdc").toString
+    Snapshots.write(
+      Seq((1L, "a", 10.0, "x"), (2L, "a", 20.0, "y"), (3L, "b", 30.0, "z"))
+        .toDF("k", "p", "v", "tag").coalesce(1), root, Seq("p"))
+    spark.sql("DROP TABLE IF EXISTS dml_cdc_tbl")
+    Snapshots.registerTable(spark, root, "dml_cdc_tbl")
+    // the standard CDC batch: op D deletes, U updates (PARTIALLY — tag
+    // must survive), I inserts; an op the clauses don't claim is ignored
+    Seq((1L, "a", 0.0, "D"), (2L, "a", 99.0, "U"), (4L, "b", 40.0, "I"),
+      (5L, "b", 50.0, "SKIP"))
+      .toDF("k", "p", "v", "op").createOrReplaceTempView("dml_cdc_src")
+    spark.sql(
+      """MERGE INTO dml_cdc_tbl t USING dml_cdc_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = s.v + t.v
+        |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (k, p, v, tag)
+        |  VALUES (s.k, s.p, s.v, 'new')""".stripMargin)
+    val rows = spark.sql(
+      "SELECT k, p, v, tag FROM dml_cdc_tbl ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3)))
+    assert(rows.toSeq == Seq(
+      (2L, "a", 119.0, "y"), // partial update: v = s.v + t.v, tag kept
+      (3L, "b", 30.0, "z"), // untouched by the batch
+      (4L, "b", 40.0, "new")), // conditional insert
+      rows.mkString(",")) // k=1 deleted; k=5 (op SKIP) never claimed
+    assert(Snapshots.history(spark, root).collect().map(_.getString(1))
+      .last == "merge", "the clause apply must be the engine merge lane")
+    // FIRST-true-clause order (SQL MERGE): an op matching two clause
+    // conditions takes the earlier clause
+    Seq((2L, "a", 1.0, "U")).toDF("k", "p", "v", "op")
+      .createOrReplaceTempView("dml_cdc_src2")
+    spark.sql(
+      """MERGE INTO dml_cdc_tbl t USING dml_cdc_src2 s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'U' THEN UPDATE SET v = 777.0
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT v FROM dml_cdc_tbl WHERE k = 2")
+      .head().getDouble(0) == 777.0, "first true clause wins")
+    // an unconditional partial update (no insert clause) leaves
+    // unmatched target rows alone and applies to every matched one
+    spark.sql(
+      """MERGE INTO dml_cdc_tbl t USING dml_cdc_src2 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET tag = 'seen'""".stripMargin)
+    assert(spark.sql("SELECT tag FROM dml_cdc_tbl ORDER BY k").collect()
+      .map(_.getString(0)).toSeq == Seq("seen", "z", "new"))
+    spark.sql("DROP TABLE dml_cdc_tbl")
+  }
+
+  test("ALTER TABLE ADD COLUMNS: metadata-only evolve_schema through the evolution gate") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dml_alter").toString
+    Snapshots.write(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "p", "v").coalesce(1),
+      root, Seq("p"))
+    spark.sql("DROP TABLE IF EXISTS dml_alter_tbl")
+    Snapshots.registerTable(spark, root, "dml_alter_tbl")
+    spark.sql("ALTER TABLE dml_alter_tbl ADD COLUMNS (note STRING, n2 INT)")
+    // metadata-only: one evolve_schema snapshot, zero data moved
+    assert(Snapshots.history(spark, root).collect().map(_.getString(1))
+      .toSeq == Seq("append", "evolve_schema"))
+    // the very next SELECT sees the widened contract (the command
+    // refreshes the relation cache itself); pre-widening rows read nulls
+    val r = spark.sql(
+      "SELECT k, note, n2 FROM dml_alter_tbl ORDER BY k").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(r.forall(row => row.isNullAt(1) && row.isNullAt(2)))
+    // writes carrying the new columns land; ones omitting them still
+    // pass the gate (omitted nullable column)
+    Snapshots.write(Seq((3L, "a", 30.0, "hello", 7))
+      .toDF("k", "p", "v", "note", "n2").coalesce(1), root, Seq("p"),
+      Snapshots.SnapAppend)
+    assert(spark.sql(
+      "SELECT note FROM dml_alter_tbl WHERE k = 3").head().getString(0)
+      == "hello")
+    // gate failures keep the gate's own reasons: duplicates and
+    // non-nullable additions are loud
+    val exDup = intercept[Exception] {
+      spark.sql("ALTER TABLE dml_alter_tbl ADD COLUMNS (note STRING)")
+    }
+    assert(exDup.getMessage.contains("already exists"), exDup.getMessage)
+    val exNn = intercept[Exception] {
+      Snapshots.addColumns(spark, root, Seq(
+        org.apache.spark.sql.types.StructField("req",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    }
+    assert(exNn.getMessage.contains("NON-nullable"), exNn.getMessage)
+    // pinned registrations reject ALTER with the pin named
+    spark.sql("DROP TABLE IF EXISTS dml_alter_pin")
+    Snapshots.registerTable(spark, root, "dml_alter_pin", asOf = Some(1))
+    val exPin = intercept[Exception] {
+      spark.sql("ALTER TABLE dml_alter_pin ADD COLUMNS (x INT)")
+    }
+    assert(exPin.getMessage.contains("pinned"), exPin.getMessage)
+    // an incremental stream treats evolve_schema as maintenance (skip)
+    assert(graft.sink.Snapshots.addedStreamCost(spark, root, 2) == (0L, 0L))
+    spark.sql("DROP TABLE dml_alter_tbl")
+    spark.sql("DROP TABLE dml_alter_pin")
   }
 
   test("DML rejects pinned tables and subquery conditions loudly; other tables pass through") {
@@ -166,9 +346,13 @@ class SnapshotDmlSpec extends SparkSpec {
     assert(messages(exBr).contains("branch"), messages(exBr))
     spark.sql("DROP TABLE IF EXISTS dml_live_tbl")
     Snapshots.registerTable(spark, root, "dml_live_tbl")
+    // correlated / EXISTS shapes stay loud aborts (only one uncorrelated
+    // `col IN (SELECT ...)` conjunct is expressible)
     val exSub = intercept[Exception] {
       spark.sql(
-        "DELETE FROM dml_live_tbl WHERE k IN (SELECT k FROM dml_live_tbl)")
+        """DELETE FROM dml_live_tbl WHERE EXISTS
+          |  (SELECT 1 FROM dml_live_tbl i WHERE i.k = dml_live_tbl.k)"""
+          .stripMargin)
     }
     assert(messages(exSub).toLowerCase.contains("subquery"),
       messages(exSub))

@@ -1,0 +1,105 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sink.Snapshots
+import org.apache.spark.sql.functions._
+
+/** `CALL graft_maintain/compact/expire/vacuum` — the SQL maintenance
+  * entry points must be EXACTLY the Scala API on the manifest (modes
+  * asserted), reject pinned tables, fail loudly on malformed arguments,
+  * and leave every other statement to Spark's own parser. */
+class SnapshotMaintenanceSqlSpec extends SparkSpec {
+
+  private def orders = graft.Tables(spark, sf0001, "orders")
+    .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderpriority")
+
+  private def modes(root: String): Seq[String] =
+    Snapshots.history(spark, root).collect().map(_.getString(1)).toSeq
+
+  test("CALL graft_compact / graft_expire / graft_vacuum are the engine calls, by root and by table") {
+    val root = java.nio.file.Files.createTempDirectory("msql_c").toString
+    val k = col("o_orderkey")
+    for (m <- 0 to 2)
+      Snapshots.write(orders.filter(k % 3 === m).coalesce(1), root,
+        Seq("o_orderpriority"), Snapshots.SnapAppend)
+    val esc = root.replace("'", "''")
+    // compact by quoted root: returns the new snapshot id, publishes the
+    // engine's compact mode, preserves content
+    val c = spark.sql(s"CALL graft_compact('$esc')").head()
+    assert(c.getInt(0) == 4, s"compacted_to: $c")
+    assert(modes(root).last == "compact")
+    assert(Snapshots.read(spark, root).count() == orders.count())
+    // nothing fragmented → null id, no snapshot burned (the API's no-op)
+    val c2 = spark.sql(s"CALL graft_compact('$esc')").head()
+    assert(c2.isNullAt(0))
+    assert(Snapshots.currentSnapshot(spark, root).contains(4))
+    // expire by root: keepLast=1 reclaims the three pre-compact states
+    val e = spark.sql(s"CALL graft_expire('$esc', 1)").head()
+    assert(e.getInt(0) == 3, s"snapshots_expired: $e")
+    assert(Snapshots.read(spark, root).count() == orders.count())
+    // vacuum returns its (orphans, staging) counts — nothing to reclaim;
+    // SQL comments around a recognized statement must not defeat the
+    // intercept (the no-fall-through guarantee)
+    val v = spark.sql(
+      s"-- nightly ops\nCALL graft_vacuum('$esc', 0) -- reclaim").head()
+    assert(v.getInt(0) == 0 && v.getInt(1) == 0, s"vacuum: $v")
+    // by TABLE identifier: the registered table resolves to its root
+    spark.sql("DROP TABLE IF EXISTS msql_tbl")
+    Snapshots.registerTable(spark, root, "msql_tbl")
+    Snapshots.write(orders.limit(10).coalesce(1), root,
+      Seq("o_orderpriority"), Snapshots.SnapAppend)
+    Snapshots.write(orders.limit(5).coalesce(1), root,
+      Seq("o_orderpriority"), Snapshots.SnapAppend)
+    val ct = spark.sql("CALL graft_compact(msql_tbl, 1)").head()
+    assert(!ct.isNullAt(0) && modes(root).last == "compact")
+    spark.sql("DROP TABLE msql_tbl")
+  }
+
+  test("CALL graft_maintain runs fold→compact→expire→vacuum and reports; pins and malformed calls are loud") {
+    val root = java.nio.file.Files.createTempDirectory("msql_m").toString
+    val k = col("o_orderkey")
+    for (m <- 0 to 1)
+      Snapshots.write(orders.filter(k % 2 === m).coalesce(1), root,
+        Seq("o_orderpriority"), Snapshots.SnapAppend)
+    val esc = root.replace("'", "''")
+    val rep = spark.sql(s"CALL graft_maintain('$esc', 1)").head()
+    assert(rep.isNullAt(0), "no merge-on-read deletes → no fold")
+    assert(rep.getInt(1) == 3, s"compacted_to: $rep")
+    assert(rep.getInt(2) == 2, s"snapshots_expired: $rep")
+    assert(Snapshots.read(spark, root).count() == orders.count())
+    assert(modes(root) == Seq("compact"))
+    // pinned registrations are rejected with the pin named — maintenance
+    // mutates the live dataset
+    spark.sql("DROP TABLE IF EXISTS msql_pin_tbl")
+    Snapshots.registerTable(spark, root, "msql_pin_tbl",
+      asOf = Snapshots.currentSnapshot(spark, root))
+    val exPin = intercept[Exception] {
+      spark.sql("CALL graft_compact(msql_pin_tbl)").collect()
+    }
+    assert(exPin.getMessage.contains("asof-pinned"), exPin.getMessage)
+    // a recognized statement with wrong arity fails HERE, naming usage —
+    // never falls through to Spark's CALL-procedure machinery
+    val exArity = intercept[IllegalArgumentException] {
+      spark.sql(s"CALL graft_expire('$esc')")
+    }
+    assert(exArity.getMessage.contains("keepLast"), exArity.getMessage)
+    val exNum = intercept[IllegalArgumentException] {
+      spark.sql(s"CALL graft_expire('$esc', 'soon')")
+    }
+    assert(exNum.getMessage.contains("integer"), exNum.getMessage)
+    // a non-graft table target names the provider mismatch
+    spark.sql("DROP TABLE IF EXISTS msql_plain")
+    import spark.implicits._
+    Seq((1, "x")).toDF("a", "b").write.saveAsTable("msql_plain")
+    val exPlain = intercept[Exception] {
+      spark.sql("CALL graft_vacuum(msql_plain)").collect()
+    }
+    assert(exPlain.getMessage.contains("not a graft snapshot table"),
+      exPlain.getMessage)
+    // everything NOT a graft CALL delegates untouched
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    spark.sql("DROP TABLE msql_pin_tbl")
+    spark.sql("DROP TABLE msql_plain")
+  }
+}
