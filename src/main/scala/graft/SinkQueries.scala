@@ -1113,6 +1113,64 @@ object SinkQueries {
           |FROM graft_snap_sqmrg_tbl""".stripMargin)
     }),
 
+    // ALTER TABLE ADD COLUMNS: schema widening WITHOUT a write — one
+    // metadata-only evolve_schema snapshot through the evolution gate
+    // (asserted in-query), pre-widening rows reading typed nulls, and
+    // an INSERT carrying the new column landing under the widened
+    // contract. The oracle is the original rows with a NULL note plus
+    // the inserted 9th-key copies with theirs.
+    "sink_snapshot_sql_alter" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_alt").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"))
+      s.sql("DROP TABLE IF EXISTS graft_snap_alt_tbl")
+      Snapshots.registerTable(s, out, "graft_snap_alt_tbl")
+      s.sql("ALTER TABLE graft_snap_alt_tbl ADD COLUMNS (o_note STRING)")
+      require(Snapshots.history(s, out).collect().map(_.getString(1)).toSeq
+        == Seq("append", "evolve_schema"),
+        "the widening must be one metadata-only evolve_schema snapshot")
+      s.sql(
+        """INSERT INTO graft_snap_alt_tbl
+          |SELECT o_orderkey + 1000000, o_custkey, 'A', o_totalprice,
+          |  '6-ALTER', concat('n', o_orderkey)
+          |FROM graft_snap_alt_tbl
+          |WHERE o_orderkey % 9 = 0""".stripMargin)
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |  o_orderpriority, o_note
+          |FROM graft_snap_alt_tbl""".stripMargin)
+    }),
+
+    // SQL maintenance: CALL graft_maintain runs fold→compact→expire→
+    // vacuum on a fragmented dataset and reports what it did (asserted
+    // in-query: three appends compact to one snapshot, the pre-compact
+    // states expire) — and the CONTENT is untouched, which is what the
+    // oracle checks.
+    "sink_snapshot_sql_maintain" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_mnt").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      val k = col("o_orderkey")
+      for (m <- 0 to 2)
+        Snapshots.write(base.filter(k % 3 === m).coalesce(1), out,
+          Seq("o_orderpriority"), Snapshots.SnapAppend)
+      s.sql("DROP TABLE IF EXISTS graft_snap_mnt_tbl")
+      Snapshots.registerTable(s, out, "graft_snap_mnt_tbl")
+      val esc = out.replace("'", "''")
+      val rep = s.sql(s"CALL graft_maintain('$esc', 1)").head()
+      require(rep.getInt(1) == 4 && rep.getInt(2) == 3,
+        s"expected compact to s4 and 3 expired snapshots, got $rep")
+      require(Snapshots.history(s, out).collect().map(_.getString(1)).toSeq
+        == Seq("compact"), "only the compacted state remains retained")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |  o_orderpriority
+          |FROM graft_snap_mnt_tbl""".stripMargin)
+    }),
+
     // Subscribe-to-the-table: three appended thirds land in a source
     // dataset (with a compact interleaved — the follower must skip it);
     // a SnapshotFollower mirrors each batch into a SECOND snapshot
@@ -1630,6 +1688,23 @@ object SinkQueries {
         |SELECT o_orderkey + 3000000, o_custkey, 'I', o_totalprice,
         |  '7-CDC'
         |FROM orders WHERE o_orderkey % 10 = 8""".stripMargin,
+
+    // widened contract: originals read a NULL note, the inserted
+    // 9th-key copies carry theirs
+    "sink_snapshot_sql_alter" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority, CAST(NULL AS VARCHAR) AS o_note
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 1000000, o_custkey, 'A', o_totalprice,
+        |  '6-ALTER', concat('n', CAST(o_orderkey AS VARCHAR))
+        |FROM orders WHERE o_orderkey % 9 = 0""".stripMargin,
+
+    // maintenance must never change content
+    "sink_snapshot_sql_maintain" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders""".stripMargin,
 
     // the SQL-written state: appended 5th-key copies + the 1-URGENT
     // partition dynamically overwritten down to its even keys

@@ -2200,57 +2200,148 @@ object Snapshots {
       spark: SparkSession, root: String, partitionFields: Seq[String],
       keyColumn: String, keys: DataFrame,
       rest: Option[org.apache.spark.sql.Column] = None,
-      targetFilesPerPartition: Int = 1): Option[Int] = {
-    import org.apache.spark.sql.functions.{coalesce, lit, max, min, not}
+      targetFilesPerPartition: Int = 1,
+      keysNormalized: Boolean = false): Option[Int] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val matchedRest =
+      rest.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+    rewriteWhereInSet(spark, root, partitionFields, keyColumn, keys, rest,
+      "delete_where", targetFilesPerPartition, keysNormalized,
+      transform = (keySet, rows) => {
+        def anti(df: DataFrame): DataFrame =
+          df.join(keySet, df(qname(keyColumn)) === keySet("__graft_in_key"),
+            "left_anti")
+        rest match {
+          case None => anti(rows)
+          case Some(_) => rows.filter(not(matchedRest)).unionByName(
+            anti(rows.filter(matchedRest)))
+        }
+      })
+  }
+
+  /**
+   * KEY-SET ROW UPDATE — `UPDATE SET ... WHERE [rest AND] keyColumn IN
+   * (<keys frame>)`: [[updateWhere]]'s semantics with the membership
+   * evaluated by join, for key sets too large to inline (the
+   * backfill-from-a-staging-table shape). Same narrowing and rewrite
+   * discipline as [[deleteWhereIn]]; the rewritten files' member rows
+   * (where `rest` also holds) carry the assignments — ONE projection,
+   * every right-hand side sees the pre-update row. SQL reaches this
+   * through `UPDATE t SET ... WHERE k IN (SELECT ...)` past the inline
+   * cap. Returns the new snapshot id, or None when no row matches.
+   */
+  def updateWhereIn(
+      spark: SparkSession, root: String, partitionFields: Seq[String],
+      keyColumn: String, keys: DataFrame,
+      rest: Option[org.apache.spark.sql.Column],
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      targetFilesPerPartition: Int = 1,
+      keysNormalized: Boolean = false): Option[Int] = {
+    import org.apache.spark.sql.functions.{coalesce, lit, when}
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    require(assignments.map(_._1).distinct.length == assignments.length,
+      s"duplicate assignment targets: ${assignments.map(_._1).mkString(",")}")
+    recordedSchemaOpt(spark, root).foreach(sc =>
+      assignments.foreach { case (c, _) =>
+        require(sc.fieldNames.contains(c),
+          s"unknown UPDATE target column '$c' — the recorded contract " +
+            s"has ${sc.fieldNames.mkString(", ")}")
+      })
+    val byCol = assignments.toMap
+    rewriteWhereInSet(spark, root, partitionFields, keyColumn, keys, rest,
+      "update_where", targetFilesPerPartition, keysNormalized,
+      transform = (keySet, rows) => {
+        // membership as a marker column (left join against the deduped
+        // set never duplicates rows), combined with `rest` into the one
+        // TRUE-only condition SQL UPDATE applies
+        val marked = keySet.withColumn("__graft_in_hit", lit(true))
+        val joined = rows.join(marked,
+          rows(qname(keyColumn)) === marked("__graft_in_key"), "left_outer")
+        val matched = rest.map(c => coalesce(c, lit(false)))
+          .getOrElse(lit(true)) && qc("__graft_in_hit").isNotNull
+        joined.select(rows.columns.toSeq.map { c =>
+          byCol.get(c) match {
+            case Some(e) =>
+              when(matched, e.cast(rows.schema(c).dataType))
+                .otherwise(qc(c)).as(c)
+            case None => qc(c)
+          }
+        }: _*)
+      })
+  }
+
+  /** Per-column [min, max] [[StatRange]]s over a frame, rendered
+    * EXACTLY like recorded file stats (Cast-to-string under the session
+    * tz — byte-identical to what `computeStats` writes, so the compare
+    * can never shift); ONE aggregate pass for all columns. `cols` maps
+    * the range's column name to the frame column carrying its values
+    * (they differ when the frame renames, e.g. a join-prefixed source).
+    * All-null columns derive nothing. Timestamp-typed ranges are safe
+    * to pass onward — every prune site tz-guards them. */
+  private[graft] def minMaxStatRanges(
+      df: DataFrame, cols: Seq[(String, String)]): Seq[StatRange] = {
+    import org.apache.spark.sql.functions.{max, min}
+    if (cols.isEmpty) return Seq.empty
+    val aggs = cols.flatMap { case (_, f) => Seq(min(qc(f)), max(qc(f))) }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val tz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+    agged.queryExecution.executedPlan.executeCollect().headOption.toSeq
+      .flatMap { ir =>
+        cols.zipWithIndex.collect {
+          case ((rangeCol, _), i) if !ir.isNullAt(2 * i) =>
+            def render(j: Int) = org.apache.spark.sql.catalyst
+              .expressions.Cast(
+                org.apache.spark.sql.catalyst.expressions.Literal(
+                  ir.get(j, agged.schema(j).dataType),
+                  agged.schema(j).dataType),
+                org.apache.spark.sql.types.StringType, Some(tz))
+              .eval().toString
+            StatRange(rangeCol, Some(render(2 * i)), Some(render(2 * i + 1)))
+        }
+      }
+  }
+
+  /** The shared [[deleteWhereIn]]/[[updateWhereIn]] engine: normalize
+    * the key set — dedup, dropping nulls (`k IN (set)` is TRUE only on
+    * a non-null member, and nulls would poison the bound derivation) —
+    * unless the caller already did (`keysNormalized`, the SQL commands'
+    * probe path: re-deduplicating their cached frame would re-shuffle
+    * the whole purge list once more per statement); derive prune ranges
+    * from `rest` plus one metadata-cost [min, max] bound over the whole
+    * set, discover member-holding files with a semi-join, and publish
+    * `transform(keySet, rows)` through [[rewriteMatching]]. */
+  private def rewriteWhereInSet(
+      spark: SparkSession, root: String, partitionFields: Seq[String],
+      keyColumn: String, keys: DataFrame,
+      rest: Option[org.apache.spark.sql.Column],
+      modeLabel: String, targetFilesPerPartition: Int,
+      keysNormalized: Boolean,
+      transform: (DataFrame, DataFrame) => DataFrame): Option[Int] = {
     require(keys.columns.length == 1,
       s"the key set must have exactly ONE column (the values " +
         s"'$keyColumn' is matched against), got ${keys.columns.length}")
-    // `k IN (set)` is TRUE only on a non-null member: nulls in the set
-    // drop up front (they can never make the predicate true, and they
-    // would poison the min/max bound derivation)
-    val keySet = keys.toDF("__graft_in_key").na.drop().distinct()
-    keySet.persist()
+    val renamed = keys.toDF("__graft_in_key")
+    val keySet =
+      if (keysNormalized) renamed else renamed.na.drop().distinct()
+    if (!keysNormalized) keySet.persist()
     try {
-      val matchedRest =
-        rest.map(c => coalesce(c, lit(false))).getOrElse(lit(true))
-      def memberJoin(df: DataFrame, how: String): DataFrame =
-        df.join(keySet, df(qname(keyColumn)) === keySet("__graft_in_key"),
-          how)
-      rewriteMatching(spark, root, partitionFields, "delete_where",
+      rewriteMatching(spark, root, partitionFields, modeLabel,
         targetFilesPerPartition,
         deriveFor = { (sc, statsCols, bloomCols) =>
           val fromRest = rest.toSeq.flatMap(c =>
             deriveRanges(spark, sc, c, (statsCols ++ bloomCols).distinct,
               nullCols = statsCols))
-          // the whole-set [min, max] bound, rendered EXACTLY like the
-          // recorded stats (Cast-to-string under the session tz); one
-          // small aggregate over the deduped set. Timestamp columns are
-          // dropped downstream by the statSafe rule as usual.
           val bound =
             if (!(statsCols ++ bloomCols).contains(keyColumn)) Seq.empty
-            else keySet.agg(min("__graft_in_key"), max("__graft_in_key"))
-              .queryExecution.executedPlan.executeCollect().headOption
-              .filter(!_.isNullAt(0)).map { ir =>
-                val dt = keySet.schema.head.dataType
-                val tz = spark.sessionState.conf.sessionLocalTimeZone
-                def render(i: Int) = org.apache.spark.sql.catalyst
-                  .expressions.Cast(
-                    org.apache.spark.sql.catalyst.expressions
-                      .Literal(ir.get(i, dt), dt),
-                    org.apache.spark.sql.types.StringType, Some(tz))
-                  .eval().toString
-                StatRange(keyColumn, Some(render(0)), Some(render(1)))
-              }.toSeq
+            else minMaxStatRanges(keySet,
+              Seq(keyColumn -> "__graft_in_key"))
           fromRest ++ bound
         },
-        discover = df => memberJoin(
-          rest.fold(df)(c => df.filter(c)), "left_semi"),
-        transform = rows => rest match {
-          case None => memberJoin(rows, "left_anti")
-          case Some(_) => rows.filter(not(matchedRest)).unionByName(
-            memberJoin(rows.filter(matchedRest), "left_anti"))
-        })
-    } finally keySet.unpersist(): Unit
+        discover = df => rest.fold(df)(c => df.filter(c))
+          .join(keySet, df(qname(keyColumn)) === keySet("__graft_in_key"),
+            "left_semi"),
+        transform = rows => transform(keySet, rows))
+    } finally if (!keysNormalized) keySet.unpersist(): Unit
   }
 
   /** The shared [[deleteWhere]]/[[updateWhere]] engine: derive prune

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.sink.Snapshots
-import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, AttributeSet, EqualTo, Expression, InSubquery, ListQuery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -52,12 +52,7 @@ class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if u.childrenResolved && assignments.forall(_.resolved) &&
           cond.forall(_.resolved) =>
       snapshotTarget(t).fold(plan) { rel =>
-        SnapshotUpdateCommand(rel.datasetRoot, rel.dmlBlockedReason,
-          SnapshotDml.toEngineColumn(
-            cond.getOrElse(org.apache.spark.sql.catalyst.expressions
-              .Literal.TrueLiteral), "UPDATE"),
-          assignments.map(a => SnapshotDml.assignmentName(a) ->
-            SnapshotDml.toEngineColumn(a.value, "UPDATE assignment")))
+        SnapshotDml.convertUpdate(rel, assignments, cond)
       }
     case m: MergeIntoTable if m.childrenResolved =>
       snapshotTarget(m.targetTable).fold(plan)(rel =>
@@ -141,6 +136,35 @@ private[sources] object SnapshotDml {
     })
   }
 
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** The DELETE/UPDATE subquery dispatch, shared: None when the
+    * condition is subquery-free; Some((rest, keyColumn, subquery plan))
+    * when exactly ONE uncorrelated `col IN (SELECT ...)` conjunct sits
+    * beside subquery-free rest conjuncts; a loud abort naming the
+    * statement and its remedies otherwise. */
+  private def splitInSubquery(
+      cond: Option[Expression], what: String, remedy: String)
+      : Option[(Option[Expression], String, LogicalPlan)] = {
+    val cs = cond.toSeq.flatMap(conjuncts)
+    val (withSub, plain) =
+      cs.partition(_.exists(_.isInstanceOf[SubqueryExpression]))
+    if (withSub.isEmpty) return None
+    withSub match {
+      case Seq(InSubquery(Seq(a: AttributeReference), lq: ListQuery))
+          if lq.outerAttrs.isEmpty =>
+        Some((plain.reduceOption(And), a.name, lq.plan))
+      case _ => throw new UnsupportedOperationException(
+        s"$what on a snapshot table supports at most ONE subquery " +
+          "conjunct, of the shape `column IN (uncorrelated SELECT)` — " +
+          "for EXISTS / NOT IN / correlated shapes, materialize the key " +
+          s"set first (or use $remedy directly)")
+    }
+  }
+
   /** DELETE translation: subquery-free conditions route straight to
     * [[Snapshots.deleteWhere]]; ONE uncorrelated `col IN (SELECT ...)`
     * conjunct (the GDPR purge-list shape) is supported alongside any
@@ -148,30 +172,62 @@ private[sources] object SnapshotDml {
     * time, inlining small results as a Bloom-pruned IN-list and routing
     * large ones through the semi-join delete lane. Every other subquery
     * shape aborts loudly. */
-  def convertDelete(rel: SnapshotRelation, cond: Expression): LogicalPlan = {
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case x => Seq(x)
-    }
-    val (withSub, plain) =
-      conjuncts(cond).partition(_.exists(_.isInstanceOf[SubqueryExpression]))
-    if (withSub.isEmpty)
-      return SnapshotDeleteCommand(rel.datasetRoot, rel.dmlBlockedReason,
-        toEngineColumn(cond, "DELETE"))
-    val rest = plain.reduceOption(And)
-      .map(toEngineColumn(_, "DELETE"))
-    withSub match {
-      case Seq(InSubquery(Seq(a: AttributeReference), lq: ListQuery))
-          if lq.outerAttrs.isEmpty =>
+  def convertDelete(rel: SnapshotRelation, cond: Expression): LogicalPlan =
+    splitInSubquery(Some(cond), "DELETE",
+      "Snapshots.deleteWhereIn / mergeUpsert") match {
+      case None => SnapshotDeleteCommand(rel.datasetRoot,
+        rel.dmlBlockedReason, toEngineColumn(cond, "DELETE"))
+      case Some((rest, key, sub)) =>
         SnapshotDeleteInCommand(rel.datasetRoot, rel.dmlBlockedReason,
-          a.name, lq.plan, rest)
-      case _ => throw new UnsupportedOperationException(
-        "DELETE on a snapshot table supports at most ONE subquery " +
-          "conjunct, of the shape `column IN (uncorrelated SELECT)` — " +
-          "for EXISTS / NOT IN / correlated shapes, materialize the key " +
-          "set first (or use Snapshots.deleteWhereIn / mergeUpsert " +
-          "directly)")
+          key, sub, rest.map(toEngineColumn(_, "DELETE")))
     }
+
+  /** UPDATE translation — the same subquery dispatch as
+    * [[convertDelete]] (the backfill-from-a-staging-table shape).
+    * Assignment right-hand sides must stay subquery-free either way. */
+  def convertUpdate(
+      rel: SnapshotRelation, assignments: Seq[Assignment],
+      cond: Option[Expression]): LogicalPlan = {
+    val converted = assignments.map(a => assignmentName(a) ->
+      toEngineColumn(a.value, "UPDATE assignment"))
+    splitInSubquery(cond, "UPDATE",
+      "Snapshots.updateWhereIn / a MERGE source") match {
+      case None => SnapshotUpdateCommand(rel.datasetRoot,
+        rel.dmlBlockedReason,
+        toEngineColumn(cond.getOrElse(org.apache.spark.sql.catalyst
+          .expressions.Literal.TrueLiteral), "UPDATE"), converted)
+      case Some((rest, key, sub)) =>
+        SnapshotUpdateInCommand(rel.datasetRoot, rel.dmlBlockedReason,
+          key, sub, rest.map(toEngineColumn(_, "UPDATE")), converted)
+    }
+  }
+
+  /** The shared IN-subquery lane runner both commands call at RUN time:
+    * materialize the key set ONCE (dedup + null-drop, persisted — the
+    * purge list is typically an expensive scan, and the probe and the
+    * chosen lane must see the same rows even for a nondeterministic
+    * subquery), probe its cardinality, and dispatch — ≤ the cap inlines
+    * as a literal IN-list (inheriting disjunctive stat ranges and
+    * exact-value Bloom probes), larger sets go to `bigLane` with the
+    * normalized frame (the engine skips re-normalizing). An empty
+    * result is a no-op: `IN (empty)` is never TRUE. */
+  def runInLane(
+      session: SparkSession, what: String, keyColumn: String,
+      subquery: LogicalPlan)(
+      inline: Column => Unit)(bigLane: DataFrame => Unit): Unit = {
+    val sub = GraftSqlBridge.ofRows(session, subquery)
+    require(sub.columns.length == 1,
+      s"$what: the IN subquery must produce exactly one column, got " +
+        s"${sub.columns.mkString(", ")}")
+    val keys = sub.distinct().na.drop().persist()
+    try {
+      val sample = keys.limit(Snapshots.MaxInPruneValues + 1).collect()
+      if (sample.isEmpty) return
+      if (sample.length <= Snapshots.MaxInPruneValues) {
+        val q = col(s"`${keyColumn.replace("`", "``")}`")
+        inline(q.isin(sample.toSeq.map(_.get(0)): _*))
+      } else bigLane(keys)
+    } finally keys.unpersist(): Unit
   }
 
   def assignmentName(a: Assignment): String = a.key match {
@@ -368,27 +424,37 @@ case class SnapshotDeleteInCommand(
     blocked.foreach(w => throw new UnsupportedOperationException(
       s"cannot DELETE FROM this table: $w"))
     val fields = Snapshots.recordedPartitionCols(session, root)
-    val sub = GraftSqlBridge.ofRows(session, subquery)
-    require(sub.columns.length == 1,
-      s"the IN subquery must produce exactly one column, got " +
-        s"${sub.columns.mkString(", ")}")
-    // persist BEFORE the lane probe: the purge list this lane exists for
-    // is typically an expensive scan, and the large lane would otherwise
-    // re-execute the whole subquery after the probe already ran it
-    val keys = sub.distinct().na.drop().persist()
-    try {
-      val sample = keys.limit(Snapshots.MaxInPruneValues + 1).collect()
-      def q(c: String) = col(s"`${c.replace("`", "``")}`")
-      if (sample.isEmpty) return Seq.empty // IN (empty) is never TRUE
-      if (sample.length <= Snapshots.MaxInPruneValues) {
-        val inList = q(keyColumn).isin(sample.toSeq.map(_.get(0)): _*)
-        Snapshots.deleteWhere(session, root, fields,
-          rest.map(_ && inList).getOrElse(inList)): Unit
-      } else {
-        Snapshots.deleteWhereIn(session, root, fields, keyColumn, keys,
-          rest): Unit
-      }
-    } finally keys.unpersist(): Unit
+    SnapshotDml.runInLane(session, "DELETE", keyColumn, subquery)(
+      inList => Snapshots.deleteWhere(session, root, fields,
+        rest.map(_ && inList).getOrElse(inList)): Unit)(
+      keys => Snapshots.deleteWhereIn(session, root, fields, keyColumn,
+        keys, rest, keysNormalized = true): Unit)
+    Seq.empty
+  }
+}
+
+/** `UPDATE <snapshot table> SET ... WHERE [rest AND] k IN (SELECT ...)`
+  * — the subquery materializes at command time; small key sets inline
+  * (Bloom-pruned IN-list through [[Snapshots.updateWhere]]), large ones
+  * take [[Snapshots.updateWhereIn]]'s semi-join lane. `IN (empty)`
+  * updates nothing. */
+case class SnapshotUpdateInCommand(
+    root: String, blocked: Option[String], keyColumn: String,
+    subquery: LogicalPlan, rest: Option[Column],
+    assignments: Seq[(String, Column)])
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans
+    .QueryPlan[_]] = Seq(subquery)
+
+  override def run(session: SparkSession): Seq[Row] = {
+    blocked.foreach(w => throw new UnsupportedOperationException(
+      s"cannot UPDATE this table: $w"))
+    val fields = Snapshots.recordedPartitionCols(session, root)
+    SnapshotDml.runInLane(session, "UPDATE", keyColumn, subquery)(
+      inList => Snapshots.updateWhere(session, root, fields,
+        rest.map(_ && inList).getOrElse(inList), assignments): Unit)(
+      keys => Snapshots.updateWhereIn(session, root, fields, keyColumn,
+        keys, rest, assignments, keysNormalized = true): Unit)
     Seq.empty
   }
 }
@@ -438,59 +504,81 @@ case class SnapshotMergeApplyCommand(
     val tcols = schema.fieldNames.toSeq
     def q(c: String) = col(s"`${c.replace("`", "``")}`")
     val src0 = GraftSqlBridge.ofRows(session, source)
+    // persist the source FIRST: the prune aggregate below and the join
+    // both execute it, and a nondeterministic (or concurrently-changing)
+    // source evaluated twice could yield prune bounds that miss keys the
+    // join then produces — misclassifying matched rows as NOT MATCHED.
+    // Pinning one evaluation makes the prune unconditionally sound.
     val src = src0.select(
-      src0.columns.toSeq.map(c => q(c).as(SrcPrefix + c)): _*)
-    val target = Snapshots.read(session, root)
-      .withColumn(ExistsCol, lit(true))
-    val joined = src.join(target,
-      keys.map(k => src(qn(SrcPrefix + k)) === target(qn(k)))
-        .reduce(_ && _), "left_outer")
-    // first-true-clause selector, SQL MERGE order; -1 = no clause
-    // claims the row (it stays out of the updates frame entirely)
-    def firstIdx(conds: Seq[Option[Column]]): Column =
-      conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), els) =>
-        when(c.map(cc => coalesce(cc, lit(false))).getOrElse(lit(true)),
-          lit(i)).otherwise(els)
-      }
-    val mRows = joined.filter(q(ExistsCol).isNotNull)
-      .withColumn(ClauseCol, firstIdx(matched.map(_._1)))
-      .filter(q(ClauseCol) >= 0)
-    // ONE projection: every assignment RHS sees the PRE-merge row (the
-    // updateWhere discipline); a delete clause's row keeps its original
-    // values (only its key is consumed)
-    val mOut = mRows.select(tcols.map { c =>
-      matched.zipWithIndex.foldRight(q(c)) { case (((_, aOpt), i), els) =>
-        aOpt.flatMap(_.find(_._1 == c)).map(_._2) match {
-          case Some(e) => when(q(ClauseCol) === i,
-            e.cast(schema(c).dataType)).otherwise(els)
-          case None => els
+      src0.columns.toSeq.map(c => q(c).as(SrcPrefix + c)): _*).persist()
+    try {
+      // prune the TARGET scan by the source's per-key [min, max] —
+      // metadata-cost against each file's recorded stats, and (with the
+      // source pinned) purely a performance cut: the join is
+      // source-driven (left_outer), so a target row outside every
+      // source key range can never contribute to any clause. One small
+      // aggregate buys skipping most of a large table for the typical
+      // recent-keys CDC batch; timestamp-typed keys are tz-guarded
+      // inside the read as usual.
+      val prune = Snapshots.minMaxStatRanges(src,
+        keys.map(k => k -> (SrcPrefix + k)))
+      val target = Snapshots.read(session, root, prune = prune)
+        .withColumn(ExistsCol, lit(true))
+      val joined = src.join(target,
+        keys.map(k => src(qn(SrcPrefix + k)) === target(qn(k)))
+          .reduce(_ && _), "left_outer")
+      // first-true-clause selector, SQL MERGE order; -1 = no clause
+      // claims the row (it stays out of the updates frame entirely)
+      def firstIdx(conds: Seq[Option[Column]]): Column =
+        conds.zipWithIndex.foldRight(lit(-1)) { case ((c, i), els) =>
+          when(c.map(cc => coalesce(cc, lit(false))).getOrElse(lit(true)),
+            lit(i)).otherwise(els)
         }
-      }.as(c)
-    } :+ matched.zipWithIndex.foldRight(lit(false)) {
-      case (((_, aOpt), i), els) =>
-        if (aOpt.isEmpty) when(q(ClauseCol) === i, lit(true)).otherwise(els)
-        else els
-    }.as(DelCol): _*)
-    val uRows = joined.filter(q(ExistsCol).isNull)
-      .withColumn(ClauseCol, firstIdx(notMatched.map(_._1)))
-      .filter(q(ClauseCol) >= 0)
-    val uOut = uRows.select(tcols.map { c =>
-      notMatched.zipWithIndex.foldRight(
-        lit(null).cast(schema(c).dataType)) {
-        case (((_, assigns), i), els) =>
-          assigns.find(_._1 == c).map(_._2) match {
+      val mRows = joined.filter(q(ExistsCol).isNotNull)
+        .withColumn(ClauseCol, firstIdx(matched.map(_._1)))
+        .filter(q(ClauseCol) >= 0)
+      // ONE projection: every assignment RHS sees the PRE-merge row (the
+      // updateWhere discipline); a delete clause's row keeps its original
+      // values (only its key is consumed)
+      val mOut = mRows.select(tcols.map { c =>
+        matched.zipWithIndex.foldRight(q(c)) { case (((_, aOpt), i), els) =>
+          aOpt.flatMap(_.find(_._1 == c)).map(_._2) match {
             case Some(e) => when(q(ClauseCol) === i,
               e.cast(schema(c).dataType)).otherwise(els)
             case None => els
           }
-      }.as(c)
-    } :+ lit(false).as(DelCol): _*)
-    val updates =
-      if (notMatched.isEmpty) mOut
-      else if (matched.isEmpty) uOut
-      else mOut.unionByName(uOut)
-    Snapshots.mergeUpsert(session, root, updates, fields, keys,
-      deleteCol = Some(DelCol)): Unit
+        }.as(c)
+      } :+ matched.zipWithIndex.foldRight(lit(false)) {
+        case (((_, aOpt), i), els) =>
+          if (aOpt.isEmpty) when(q(ClauseCol) === i, lit(true)).otherwise(els)
+          else els
+      }.as(DelCol): _*)
+      val uRows = joined.filter(q(ExistsCol).isNull)
+        .withColumn(ClauseCol, firstIdx(notMatched.map(_._1)))
+        .filter(q(ClauseCol) >= 0)
+      val uOut = uRows.select(tcols.map { c =>
+        notMatched.zipWithIndex.foldRight(
+          lit(null).cast(schema(c).dataType)) {
+          case (((_, assigns), i), els) =>
+            assigns.find(_._1 == c).map(_._2) match {
+              case Some(e) => when(q(ClauseCol) === i,
+                e.cast(schema(c).dataType)).otherwise(els)
+              case None => els
+            }
+        }.as(c)
+      } :+ lit(false).as(DelCol): _*)
+      val updates =
+        if (notMatched.isEmpty) mOut
+        else if (matched.isEmpty) uOut
+        else mOut.unionByName(uOut)
+      // the upsert consumes the updates frame several times (dup-key
+      // check, key collection, the write itself) — persist so the
+      // clause-apply join computes once, not per consumption
+      updates.persist()
+      try Snapshots.mergeUpsert(session, root, updates, fields, keys,
+        deleteCol = Some(DelCol)): Unit
+      finally updates.unpersist(): Unit
+    } finally src.unpersist(): Unit
     Seq.empty
   }
 }

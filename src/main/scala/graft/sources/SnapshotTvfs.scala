@@ -92,20 +92,45 @@ object SnapshotTvfs {
     }
 
   /** `SELECT * FROM graft_snapshot('root'[, asOf])` — TIME TRAVEL in
-    * SQL without DataSourceV2's `VERSION AS OF` (a v1 relation cannot
-    * parse it): resolves to the REAL distributed scan plan —
-    * manifest-pruned, merge-on-read applied, nothing collected — so it
-    * composes, filters and joins like any relation. */
+    * SQL without DataSourceV2's `VERSION AS OF` / `TIMESTAMP AS OF` (a
+    * v1 relation cannot parse them): resolves to the REAL distributed
+    * scan plan — manifest-pruned, merge-on-read applied, nothing
+    * collected — so it composes, filters and joins like any relation.
+    * `asOf` is a snapshot id, or a `TIMESTAMP '...'` literal resolved
+    * against each manifest's RECORDED publish instant
+    * ([[Snapshots.snapshotAt]] — the newest snapshot at or before it). */
   def resolveSnapshot(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
     val (root, asOf) = args match {
       case Seq(r) => (strLit("graft_snapshot", r, "the dataset root"), None)
-      case Seq(r, v) => (strLit("graft_snapshot", r, "the dataset root"),
-        Some(intLit("graft_snapshot", v, "asOf")))
+      case Seq(r, v) =>
+        val root = strLit("graft_snapshot", r, "the dataset root")
+        val id = v match {
+          // TIMESTAMP literals parse as TimestampType, or as
+          // TimestampNTZType under spark.sql.timestampType=TIMESTAMP_NTZ
+          // — accept both (NTZ interprets under the session tz, the same
+          // instant the equivalent TimestampType literal denotes)
+          case l: Literal if l.value != null &&
+              (l.dataType == org.apache.spark.sql.types.TimestampType ||
+                l.dataType == org.apache.spark.sql.types.TimestampNTZType) =>
+            val tz = spark.sessionState.conf.sessionLocalTimeZone
+            val micros =
+              if (l.dataType == org.apache.spark.sql.types.TimestampType)
+                l.value.asInstanceOf[Long]
+              else org.apache.spark.sql.catalyst.expressions.Cast(
+                l, org.apache.spark.sql.types.TimestampType, Some(tz))
+                .eval().asInstanceOf[Long]
+            Snapshots.snapshotAt(spark, root, micros / 1000L).getOrElse(
+              throw new IllegalArgumentException(
+                s"graft_snapshot: no retained snapshot published at or " +
+                  s"before the given timestamp under $root"))
+          case _ => intLit("graft_snapshot", v, "asOf")
+        }
+        (root, Some(id))
       case _ => throw new IllegalArgumentException(
-        "graft_snapshot takes (root[, asOf snapshot id])")
+        "graft_snapshot takes (root[, asOf snapshot id | TIMESTAMP])")
     }
-    Snapshots.read(SparkSession.active, root, asOf = asOf)
-      .queryExecution.logical
+    Snapshots.read(spark, root, asOf = asOf).queryExecution.logical
   }
 
   /** `SELECT * FROM graft_changes('root', from, to, 'k1,k2')` — the

@@ -143,6 +143,30 @@ class GraftExtensionsSpec extends SparkSpec {
          |JOIN graft_snapshot('$esc') s2 ON s1.k = s2.k
          |WHERE s2.p = 'a'""".stripMargin)
       .collect().map(_.getLong(0)).toSet == Set(1L))
+    // TIMESTAMP AS OF: a timestamp literal resolves against each
+    // manifest's recorded publish instant — the newest snapshot at or
+    // before it (session tz is UTC in this suite)
+    Thread.sleep(20)
+    val midMs = System.currentTimeMillis()
+    Thread.sleep(20)
+    graft.sink.Snapshots.write(
+      Seq((4L, "b", 4.0)).toDF("k", "p", "v").coalesce(1),
+      root, Seq("p"), graft.sink.Snapshots.SnapAppend)
+    val tsLit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(midMs))
+    assert(spark.sql(
+      s"SELECT k FROM graft_snapshot('$esc', TIMESTAMP '$tsLit')")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L),
+      "the timestamp between s2 and s3 must pin s2")
+    val exPast = intercept[Exception] {
+      spark.sql(
+        s"SELECT k FROM graft_snapshot('$esc', TIMESTAMP '1990-01-01 00:00:00')")
+        .collect()
+    }
+    assert(messages(exPast).contains("no retained snapshot"),
+      messages(exPast))
     // row-level CDC in SQL: graft_changes classifies the diff between
     // two snapshots exactly like the Scala API
     val ch = spark.sql(

@@ -121,6 +121,52 @@ class SnapshotDmlSpec extends SparkSpec {
     spark.sql("DROP TABLE dml_delsub_tbl")
   }
 
+  test("UPDATE with an IN-subquery: inline and semi-join lanes, rest conjuncts compose") {
+    val root = java.nio.file.Files.createTempDirectory("dml_updsub").toString
+    val mk = (r: org.apache.spark.sql.DataFrame) => r.select(
+      col("id").as("k"), lit("a").as("p"), (col("id") * 1.0).as("v"))
+    Snapshots.write(mk(spark.range(0, 1000, 2).toDF("id")).coalesce(1),
+      root, Seq("p"), statsColumns = Seq("k"), bloomColumns = Seq("k"))
+    Snapshots.write(mk(spark.range(1, 1000, 2).toDF("id")).coalesce(1),
+      root, Seq("p"), Snapshots.SnapAppend)
+    spark.sql("DROP TABLE IF EXISTS dml_updsub_tbl")
+    Snapshots.registerTable(spark, root, "dml_updsub_tbl")
+    spark.range(0, 3).select((col("id") * 4).as("uid"))
+      .createOrReplaceTempView("dml_upd_small") // 0, 4, 8 — even keys
+    // small lane: inlines, inherits the Bloom-bounded one-file rewrite
+    spark.sql(
+      """UPDATE dml_updsub_tbl SET v = v + 10000
+        |WHERE k IN (SELECT uid FROM dml_upd_small)""".stripMargin)
+    assert(manifestRemoves(root, 3) == 1,
+      "a small IN-subquery UPDATE must inherit the Bloom-bounded rewrite")
+    assert(spark.sql(
+      "SELECT sum(v) AS s FROM dml_updsub_tbl WHERE k IN (0, 4, 8)")
+      .head().getDouble(0) == 30012.0)
+    // large lane (500 odd keys > cap), composed with a rest conjunct:
+    // only members ALSO past the bound update
+    spark.range(0, 500).select((col("id") * 2 + 1).as("uid"))
+      .createOrReplaceTempView("dml_upd_big")
+    spark.sql(
+      """UPDATE dml_updsub_tbl SET v = -1.0
+        |WHERE k >= 500 AND k IN (SELECT uid FROM dml_upd_big)"""
+        .stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM dml_updsub_tbl WHERE v = -1.0")
+      .head().getLong(0) == 250L) // odd keys 501..999
+    assert(spark.sql("SELECT v FROM dml_updsub_tbl WHERE k = 499")
+      .head().getDouble(0) == 499.0,
+      "a member failing the rest conjunct keeps its value")
+    assert(Snapshots.history(spark, root).collect().map(_.getString(1))
+      .last == "update_where")
+    // empty subquery result: nothing matches, no snapshot burned
+    val before = Snapshots.currentSnapshot(spark, root)
+    spark.sql(
+      """UPDATE dml_updsub_tbl SET v = 0.0
+        |WHERE k IN (SELECT uid FROM dml_upd_small WHERE uid < 0)"""
+        .stripMargin)
+    assert(Snapshots.currentSnapshot(spark, root) == before)
+    spark.sql("DROP TABLE dml_updsub_tbl")
+  }
+
   test("UPDATE evaluates every assignment against the PRE-update row and can move partitions") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("dml_upd").toString
