@@ -91,64 +91,93 @@ object SnapshotTvfs {
         s"$name: $what must be an integer literal")
     }
 
+  /** A TIMESTAMP literal's epoch millis, if `e` is one — TimestampType,
+    * or TimestampNTZType under `spark.sql.timestampType=TIMESTAMP_NTZ`
+    * (interpreted under the session tz, the same instant the equivalent
+    * TimestampType literal denotes). */
+  private def tsMillis(
+      spark: SparkSession, e: Expression): Option[Long] = e match {
+    case l: Literal if l.value != null &&
+        (l.dataType == org.apache.spark.sql.types.TimestampType ||
+          l.dataType == org.apache.spark.sql.types.TimestampNTZType) =>
+      val micros =
+        if (l.dataType == org.apache.spark.sql.types.TimestampType)
+          l.value.asInstanceOf[Long]
+        else org.apache.spark.sql.catalyst.expressions.Cast(
+          l, org.apache.spark.sql.types.TimestampType,
+          Some(spark.sessionState.conf.sessionLocalTimeZone))
+          .eval().asInstanceOf[Long]
+      Some(micros / 1000L)
+    case _ => None
+  }
+
+  /** A snapshot-id argument: an integral literal verbatim, or a
+    * TIMESTAMP literal resolved against each manifest's RECORDED
+    * publish instant ([[Snapshots.snapshotAt]] — the newest snapshot at
+    * or before it; survives expire's rebase-in-place). */
+  private def idArg(
+      spark: SparkSession, name: String, root: String, e: Expression,
+      what: String): Int =
+    tsMillis(spark, e) match {
+      case Some(ms) => Snapshots.snapshotAt(spark, root, ms).getOrElse(
+        throw new IllegalArgumentException(
+          s"$name: no retained snapshot published at or before the " +
+            s"given $what timestamp under $root"))
+      case None => intLit(name, e, what)
+    }
+
   /** `SELECT * FROM graft_snapshot('root'[, asOf])` — TIME TRAVEL in
     * SQL without DataSourceV2's `VERSION AS OF` / `TIMESTAMP AS OF` (a
     * v1 relation cannot parse them): resolves to the REAL distributed
     * scan plan — manifest-pruned, merge-on-read applied, nothing
     * collected — so it composes, filters and joins like any relation.
-    * `asOf` is a snapshot id, or a `TIMESTAMP '...'` literal resolved
-    * against each manifest's RECORDED publish instant
-    * ([[Snapshots.snapshotAt]] — the newest snapshot at or before it). */
+    * `asOf` is a snapshot id, a `TIMESTAMP '...'` literal (resolved via
+    * [[idArg]]), or a STRING literal naming a TAG (the retention-pinned
+    * release-label read, [[Snapshots.readTag]]). */
   def resolveSnapshot(args: Seq[Expression]): LogicalPlan = {
     val spark = SparkSession.active
-    val (root, asOf) = args match {
-      case Seq(r) => (strLit("graft_snapshot", r, "the dataset root"), None)
+    args match {
+      case Seq(r) =>
+        val root = strLit("graft_snapshot", r, "the dataset root")
+        Snapshots.read(spark, root).queryExecution.logical
+      case Seq(r, t: Literal)
+          if t.dataType == StringType && t.value != null =>
+        val root = strLit("graft_snapshot", r, "the dataset root")
+        Snapshots.readTag(spark, root, t.value.toString)
+          .queryExecution.logical
       case Seq(r, v) =>
         val root = strLit("graft_snapshot", r, "the dataset root")
-        val id = v match {
-          // TIMESTAMP literals parse as TimestampType, or as
-          // TimestampNTZType under spark.sql.timestampType=TIMESTAMP_NTZ
-          // — accept both (NTZ interprets under the session tz, the same
-          // instant the equivalent TimestampType literal denotes)
-          case l: Literal if l.value != null &&
-              (l.dataType == org.apache.spark.sql.types.TimestampType ||
-                l.dataType == org.apache.spark.sql.types.TimestampNTZType) =>
-            val tz = spark.sessionState.conf.sessionLocalTimeZone
-            val micros =
-              if (l.dataType == org.apache.spark.sql.types.TimestampType)
-                l.value.asInstanceOf[Long]
-              else org.apache.spark.sql.catalyst.expressions.Cast(
-                l, org.apache.spark.sql.types.TimestampType, Some(tz))
-                .eval().asInstanceOf[Long]
-            Snapshots.snapshotAt(spark, root, micros / 1000L).getOrElse(
-              throw new IllegalArgumentException(
-                s"graft_snapshot: no retained snapshot published at or " +
-                  s"before the given timestamp under $root"))
-          case _ => intLit("graft_snapshot", v, "asOf")
-        }
-        (root, Some(id))
+        Snapshots.read(spark, root,
+          asOf = Some(idArg(spark, "graft_snapshot", root, v, "asOf")))
+          .queryExecution.logical
       case _ => throw new IllegalArgumentException(
-        "graft_snapshot takes (root[, asOf snapshot id | TIMESTAMP])")
+        "graft_snapshot takes (root[, asOf snapshot id | TIMESTAMP | " +
+          "'tag'])")
     }
-    Snapshots.read(spark, root, asOf = asOf).queryExecution.logical
   }
 
   /** `SELECT * FROM graft_changes('root', from, to, 'k1,k2')` — the
     * row-level CDC diff ([[Snapshots.changes]]: insert/delete/update
     * classification between two snapshots) as a SQL relation; the plan
-    * is the real changed-partition-pruned join, never a collect. */
+    * is the real changed-partition-pruned join, never a collect. The
+    * bounds are snapshot ids or `TIMESTAMP '...'` literals (resolved
+    * against recorded publish instants — "what changed since
+    * yesterday's run" without bookkeeping ids). */
   def resolveChanges(args: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
     val (root, from, to, keys) = args match {
       case Seq(r, f, t, k) =>
-        (strLit("graft_changes", r, "the dataset root"),
-          intLit("graft_changes", f, "fromId"),
-          intLit("graft_changes", t, "toId"),
+        val root = strLit("graft_changes", r, "the dataset root")
+        (root,
+          idArg(spark, "graft_changes", root, f, "fromId"),
+          idArg(spark, "graft_changes", root, t, "toId"),
           strLit("graft_changes", k, "the comma-separated key columns")
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case _ => throw new IllegalArgumentException(
-        "graft_changes takes (root, fromId, toId, 'key1,key2,...')")
+        "graft_changes takes (root, fromId, toId, 'key1,key2,...'); the " +
+          "bounds may be TIMESTAMP literals")
     }
-    Snapshots.changes(SparkSession.active, root, from, to, keys)
+    Snapshots.changes(spark, root, from, to, keys)
       .queryExecution.logical
   }
 }

@@ -167,6 +167,17 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(messages(exPast).contains("no retained snapshot"),
       messages(exPast))
+    // a STRING second argument reads a TAG (the release-label pin)
+    graft.sink.Snapshots.tagSnapshot(spark, root, "v1", 1)
+    assert(spark.sql(s"SELECT k FROM graft_snapshot('$esc', 'v1')")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // CDC bounds as TIMESTAMPs: "what changed since <instant>" — the
+    // mid-instant resolves to s2, diffed against the current id
+    val chTs = spark.sql(
+      s"""SELECT k, change_type
+         |FROM graft_changes('$esc', TIMESTAMP '$tsLit', 3, 'k')"""
+        .stripMargin).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(chTs.toSeq == Seq((4L, "insert")), chTs.mkString(","))
     // row-level CDC in SQL: graft_changes classifies the diff between
     // two snapshots exactly like the Scala API
     val ch = spark.sql(
