@@ -1103,7 +1103,9 @@ object SinkQueries {
           |  (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
           |   o_orderpriority)
           |  VALUES (s.o_orderkey, s.o_custkey, 'I', s.o_totalprice,
-          |          '7-CDC')""".stripMargin)
+          |          '7-CDC')
+          |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 100 = 7
+          |  THEN DELETE""".stripMargin)
       require(Snapshots.history(s, out).collect().map(_.getString(1)).toSeq
         == Seq("append", "merge", "merge", "merge"),
         "each SQL MERGE must publish one engine merge snapshot")
@@ -1655,8 +1657,8 @@ object SinkQueries {
 
     // the upsert (4th-key replacements re-priced into 7-MERGE, 6th-key
     // shifted inserts), the 17th-key delete-matched merge, then the
-    // conditional CDC apply (26th-key deletes, 13th-key partial updates
-    // summing the pre-merge price, conditional 8th-key inserts, op X
+    // conditional CDC apply (26th-key deletes, 13th-key partial updates,
+    // pre-merge-price sums, conditional 8th-key inserts, 100th-key+7
     // rows claimed by no clause)
     "sink_snapshot_sql_merge" ->
       """WITH state AS (
@@ -1684,6 +1686,9 @@ object SinkQueries {
         |  AND u.o_orderkey % 13 = 1 AND u.o_orderkey % 26 != 1
         |WHERE NOT (st.o_orderkey % 13 = 1 AND st.o_orderkey % 26 = 1
         |           AND st.o_orderkey < 2000000)
+        |  AND NOT (st.o_orderkey % 100 = 7
+        |           AND NOT (st.o_orderkey % 13 = 1
+        |                    AND st.o_orderkey < 2000000))
         |UNION ALL
         |SELECT o_orderkey + 3000000, o_custkey, 'I', o_totalprice,
         |  '7-CDC'

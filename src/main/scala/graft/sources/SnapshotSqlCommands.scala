@@ -243,10 +243,10 @@ private[sources] object SnapshotDml {
       s"this MERGE shape is not supported on snapshot tables ($why). " +
         "Supported: a conjunctive same-name equi-key ON; WHEN MATCHED " +
         "[AND cond] THEN UPDATE SET ... / DELETE; WHEN NOT MATCHED " +
-        "[AND cond] THEN INSERT ...; merge keys may only be re-assigned " +
-        "as their same-name source copy. WHEN NOT MATCHED BY SOURCE is " +
-        "not expressible as an upsert — use Snapshots.mergeUpsert / " +
-        "mergeDeltas directly for other shapes")
+        "[AND cond] THEN INSERT ...; WHEN NOT MATCHED BY SOURCE " +
+        "[AND cond] THEN DELETE / UPDATE SET ...; merge keys may only " +
+        "be re-assigned as their same-name source copy. Use " +
+        "Snapshots.mergeUpsert / mergeDeltas directly for other shapes")
 
   /** The canonical-merge translation: extract same-named key equalities
     * from the ON condition, validate the clause shapes, and emit the
@@ -273,9 +273,6 @@ private[sources] object SnapshotDml {
         s"s.${p._2}) — alias the source column to ${p._1}"))
     val keys = keyPairs.map(_._1).distinct
     if (keys.isEmpty) unsupportedMerge("no key equality in ON")
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupportedMerge("WHEN NOT MATCHED BY SOURCE is not expressible " +
-        "as an upsert")
     // `UPDATE SET *` may reach post-hoc either unexpanded (star action)
     // or expanded to per-column assignments — accept both, but ONLY the
     // full same-name copy (anything partial is not an upsert)
@@ -292,7 +289,9 @@ private[sources] object SnapshotDml {
     // the canonical shapes keep their DIRECT lane (no join against the
     // target is needed — the source frame IS the updates frame); every
     // other expressible shape routes through the general clause-apply
-    val canonical = (m.matchedActions, m.notMatchedActions) match {
+    val canonical =
+      if (m.notMatchedBySourceActions.nonEmpty) None
+      else (m.matchedActions, m.notMatchedActions) match {
       case (Seq(DeleteAction(None)), Seq()) => Some(true)
       case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
         Some(false)
@@ -385,8 +384,25 @@ private[sources] object SnapshotDml {
         case other => unsupportedMerge(
           s"unsupported not-matched action ${other.getClass.getSimpleName}")
       }
+    // WHEN NOT MATCHED BY SOURCE — the full-sync shape — IS expressible
+    // as an upsert: the claimed target keys (an anti-join against the
+    // source) enter the updates frame as deletes or rebuilt rows.
+    // Clause conditions and assignments reference the TARGET only (the
+    // analyzer enforces it; there is no source row to reference).
+    val notBySource: Seq[(Option[Column], Option[Seq[(String, Column)]])] =
+      m.notMatchedBySourceActions.map {
+        case DeleteAction(c) =>
+          (c.map(engineExpr(_, "a NOT MATCHED BY SOURCE condition")), None)
+        case u: UpdateAction =>
+          (u.condition.map(
+            engineExpr(_, "a NOT MATCHED BY SOURCE condition")),
+            Some(convAssigns(u.assignments, "MERGE UPDATE")))
+        case other => unsupportedMerge(
+          s"unsupported not-matched-by-source action " +
+            s"${other.getClass.getSimpleName}")
+      }
     SnapshotMergeApplyCommand(rel.datasetRoot, rel.dmlBlockedReason,
-      m.sourceTable, keys, matched, notMatched)
+      m.sourceTable, keys, matched, notMatched, notBySource)
   }
 }
 
@@ -481,13 +497,17 @@ case class SnapshotUpdateCommand(
   * batch — delete clauses mark the key, update clauses rebuild the full
   * row from the PRE-merge target values with assignments applied,
   * insert clauses build rows from their assignment lists (unassigned
-  * columns are typed nulls, SQL INSERT semantics). Rows NO clause
-  * claims never enter the updates frame and stay untouched. */
+  * columns are typed nulls, SQL INSERT semantics). `notBySource`
+  * clauses (the full-sync statement) act on target rows a target-driven
+  * ANTI-join proves unmatched. Rows NO clause claims never enter the
+  * updates frame and stay untouched. */
 case class SnapshotMergeApplyCommand(
     root: String, blocked: Option[String], source: LogicalPlan,
     keys: Seq[String],
     matched: Seq[(Option[Column], Option[Seq[(String, Column)]])],
-    notMatched: Seq[(Option[Column], Seq[(String, Column)])])
+    notMatched: Seq[(Option[Column], Seq[(String, Column)])],
+    notBySource: Seq[(Option[Column], Option[Seq[(String, Column)]])] =
+      Seq.empty)
     extends LeafRunnableCommand {
   import SnapshotMergeApplyCommand._
 
@@ -519,9 +539,14 @@ case class SnapshotMergeApplyCommand(
       // source key range can never contribute to any clause. One small
       // aggregate buys skipping most of a large table for the typical
       // recent-keys CDC batch; timestamp-typed keys are tz-guarded
-      // inside the read as usual.
-      val prune = Snapshots.minMaxStatRanges(src,
-        keys.map(k => k -> (SrcPrefix + k)))
+      // inside the read as usual. NOT MATCHED BY SOURCE clauses must
+      // see EVERY target row (unmatched-ness cannot be pruned), so
+      // their presence disables the cut — the full-sync statement's
+      // inherent cost, not a missed optimization.
+      val prune =
+        if (notBySource.nonEmpty) Seq.empty
+        else Snapshots.minMaxStatRanges(src,
+          keys.map(k => k -> (SrcPrefix + k)))
       val target = Snapshots.read(session, root, prune = prune)
         .withColumn(ExistsCol, lit(true))
       val joined = src.join(target,
@@ -567,10 +592,38 @@ case class SnapshotMergeApplyCommand(
             }
         }.as(c)
       } :+ lit(false).as(DelCol): _*)
-      val updates =
-        if (notMatched.isEmpty) mOut
-        else if (matched.isEmpty) uOut
-        else mOut.unionByName(uOut)
+      // NOT MATCHED BY SOURCE: target rows with no source match (a
+      // target-driven anti-join on the keys), first-true clause, delete
+      // or rebuild from the TARGET row — keys here are disjoint from
+      // both lanes above by construction (matched keys ARE in the
+      // source; insert keys come FROM the source)
+      val nOut = notBySource.headOption.map { _ =>
+        val nRows = target.join(src,
+          keys.map(k => target(qn(k)) === src(qn(SrcPrefix + k)))
+            .reduce(_ && _), "left_anti")
+          .withColumn(ClauseCol, firstIdx(notBySource.map(_._1)))
+          .filter(q(ClauseCol) >= 0)
+        nRows.select(tcols.map { c =>
+          notBySource.zipWithIndex.foldRight(q(c)) {
+            case (((_, aOpt), i), els) =>
+              aOpt.flatMap(_.find(_._1 == c)).map(_._2) match {
+                case Some(e) => when(q(ClauseCol) === i,
+                  e.cast(schema(c).dataType)).otherwise(els)
+                case None => els
+              }
+          }.as(c)
+        } :+ notBySource.zipWithIndex.foldRight(lit(false)) {
+          case (((_, aOpt), i), els) =>
+            if (aOpt.isEmpty)
+              when(q(ClauseCol) === i, lit(true)).otherwise(els)
+            else els
+        }.as(DelCol): _*)
+      }
+      val lanes = Seq(
+        Some(mOut).filter(_ => matched.nonEmpty),
+        Some(uOut).filter(_ => notMatched.nonEmpty),
+        nOut).flatten
+      val updates = lanes.reduce(_ unionByName _)
       // the upsert consumes the updates frame several times (dup-key
       // check, key collection, the write itself) — persist so the
       // clause-apply join computes once, not per consumption

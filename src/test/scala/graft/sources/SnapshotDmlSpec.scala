@@ -256,15 +256,55 @@ class SnapshotDmlSpec extends SparkSpec {
     }
     assert(messages(exReKey).contains("reassign merge key"),
       messages(exReKey))
-    val exBySource = intercept[Exception] {
-      spark.sql(
-        """MERGE INTO dml_mrg_tbl t USING dml_mrg_src s ON t.k = s.k
-          |WHEN MATCHED THEN UPDATE SET *
-          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
-    }
-    assert(messages(exBySource).contains("not supported on snapshot tables"),
-      messages(exBySource))
     spark.sql("DROP TABLE dml_mrg_tbl")
+  }
+
+  test("MERGE WHEN NOT MATCHED BY SOURCE: the full-sync statement maps to the upsert") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dml_nbs").toString
+    Snapshots.write(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+        (4L, "b", 40.0)).toDF("k", "p", "v").coalesce(1), root, Seq("p"))
+    spark.sql("DROP TABLE IF EXISTS dml_nbs_tbl")
+    Snapshots.registerTable(spark, root, "dml_nbs_tbl")
+    // full sync: target must become exactly the source
+    Seq((2L, "a", 99.0), (5L, "b", 50.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("dml_nbs_src")
+    spark.sql(
+      """MERGE INTO dml_nbs_tbl t USING dml_nbs_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val rows = spark.sql("SELECT k, v FROM dml_nbs_tbl ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq((2L, 99.0), (5L, 50.0)),
+      s"full sync must mirror the source exactly: ${rows.mkString(",")}")
+    assert(Snapshots.history(spark, root).collect().map(_.getString(1))
+      .last == "merge")
+    // conditional NBS UPDATE: unmatched rows get marked, matched rows
+    // ride the matched clauses, and an unmatched row failing the NBS
+    // condition stays untouched
+    Snapshots.write(
+      Seq((6L, "a", 60.0), (7L, "b", 70.0)).toDF("k", "p", "v"),
+      root, Seq("p"), Snapshots.SnapAppend)
+    Seq((5L, "b", 51.0)).toDF("k", "p", "v")
+      .createOrReplaceTempView("dml_nbs_src2")
+    spark.sql(
+      """MERGE INTO dml_nbs_tbl t USING dml_nbs_src2 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED BY SOURCE AND t.p = 'a' THEN UPDATE SET
+        |  v = -t.v""".stripMargin)
+    val after = spark.sql("SELECT k, v FROM dml_nbs_tbl ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(after.toSeq == Seq((2L, -99.0), (5L, 51.0), (6L, -60.0),
+      (7L, 70.0)), after.mkString(","))
+    // NBS alone is a valid statement (prune-free scan, anti-join only)
+    spark.sql(
+      """MERGE INTO dml_nbs_tbl t USING dml_nbs_src2 s ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE AND t.k = 7 THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT k FROM dml_nbs_tbl").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 5L, 6L))
+    spark.sql("DROP TABLE dml_nbs_tbl")
   }
 
   test("MERGE with conditional and partial clauses: the CDC-apply statement maps exactly") {
