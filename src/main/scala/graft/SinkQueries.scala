@@ -1173,6 +1173,108 @@ object SinkQueries {
           |FROM graft_snap_mnt_tbl""".stripMargin)
     }),
 
+    // SQL DDL lifecycle — CREATE TABLE AS SELECT creates the dataset AND
+    // the registration in one statement; TRUNCATE TABLE publishes the
+    // METADATA-ONLY truncate snapshot (asserted in-query: no file lines,
+    // count 0, pre-truncate state still time-travels — Spark's own
+    // command would have fs-deleted the whole tree); the table refills
+    // FROM ITS OWN HISTORY (graft_snapshot at the pre-truncate id), then
+    // TRUNCATE PARTITION drops one partition through the file-bounded
+    // delete lane. Oracle: base ∪ shifted copies minus the partition.
+    "sink_snapshot_sql_ddl" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_ddl").toString
+      val esc = out.replace("'", "''")
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+        .createOrReplaceTempView("graft_snap_ddl_src")
+      s.sql("DROP TABLE IF EXISTS graft_snap_ddl_tbl")
+      s.sql(
+        s"""CREATE TABLE graft_snap_ddl_tbl
+           |USING `graft-snapshot`
+           |OPTIONS (path '$esc', partitionBy 'o_orderpriority')
+           |AS SELECT * FROM graft_snap_ddl_src""".stripMargin)
+      s.sql(
+        """INSERT INTO graft_snap_ddl_tbl
+          |SELECT o_orderkey + 1000000, o_custkey, 'T', o_totalprice,
+          |  o_orderpriority
+          |FROM graft_snap_ddl_src""".stripMargin)
+      val full = s.sql("SELECT count(*) FROM graft_snap_ddl_tbl")
+        .head().getLong(0)
+      s.sql("TRUNCATE TABLE graft_snap_ddl_tbl")
+      require(s.sql("SELECT count(*) FROM graft_snap_ddl_tbl")
+        .head().getLong(0) == 0L, "TRUNCATE must empty the table")
+      val m3 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out/snapshots/s3")))
+      require(!m3.linesIterator.exists(l =>
+        l.startsWith("file=") || l.startsWith("add=")),
+        "the truncate snapshot must be metadata-only (no file entries)")
+      require(s.sql(s"SELECT count(*) FROM graft_snapshot('$esc', 2)")
+        .head().getLong(0) == full,
+        "pre-truncate state must stay time-travelable")
+      s.sql(
+        s"""INSERT INTO graft_snap_ddl_tbl
+           |SELECT * FROM graft_snapshot('$esc', 2)""".stripMargin)
+      s.sql(
+        "TRUNCATE TABLE graft_snap_ddl_tbl " +
+          "PARTITION (o_orderpriority = '1-URGENT')")
+      require(Snapshots.history(s, out).collect().map(_.getString(1)).toSeq
+        == Seq("overwrite_partitions", "append", "truncate", "append",
+          "delete_where"),
+        "CTAS/INSERT/TRUNCATE/refill/partition-truncate, each one snapshot")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |  o_orderpriority
+          |FROM graft_snap_ddl_tbl""".stripMargin)
+    }),
+
+    // Predicate-scoped overwrite — the Delta-replaceWhere statement
+    // through the STANDARD writer API (df.write.partitionBy flows via
+    // the v1 encoded option): one `replace_where` snapshot atomically
+    // swaps exactly the matching rows for the incoming batch (never a
+    // delete+append pair). First a partition-predicate rebuild (asserted
+    // in-query: only that partition's files leave the manifest), then a
+    // row-predicate replacement (file-bounded copy-on-write). Oracle:
+    // untouched slices ∪ both replacement batches.
+    "sink_snapshot_replace_where" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_rw").toString
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      base.write.format("graft-snapshot").partitionBy("o_orderpriority")
+        .save(out)
+      // rebuild the URGENT partition from source: even keys only (the
+      // replacement legitimately changes cardinality), re-statused and
+      // re-priced
+      base.filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderstatus", lit("R"))
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+        .write.format("graft-snapshot").mode("overwrite")
+        .option("replaceWhere", "o_orderpriority = '1-URGENT'").save(out)
+      val m2 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out/snapshots/s2")))
+      val removed = m2.linesIterator.filter(_.startsWith("remove=")).toSeq
+      require(removed.nonEmpty &&
+        removed.forall(_.contains("o_orderpriority=1-URGENT")),
+        s"only the URGENT partition's files may rewrite, got $removed")
+      // a ROW-predicate replacement: the finished high-priority slice
+      // re-lands as every-third-key rows with a service surcharge
+      base.filter(col("o_orderstatus") === "F" &&
+          col("o_orderpriority") === "2-HIGH" &&
+          col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+        .write.format("graft-snapshot").mode("overwrite")
+        .option("replaceWhere",
+          "o_orderstatus = 'F' AND o_orderpriority = '2-HIGH'").save(out)
+      require(Snapshots.history(s, out).collect().map(_.getString(1)).toSeq
+        == Seq("append", "replace_where", "replace_where"),
+        "each replaceWhere must publish ONE replace_where snapshot")
+      Snapshots.read(s, out)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
     // Subscribe-to-the-table: three appended thirds land in a source
     // dataset (with a compact interleaved — the follower must skip it);
     // a SnapshotFollower mirrors each batch into a SECOND snapshot
@@ -1710,6 +1812,41 @@ object SinkQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderpriority
         |FROM orders""".stripMargin,
+
+    // base ∪ 'T'-statused shifted copies (the refill restored both from
+    // history), minus the TRUNCATE PARTITION'd urgent partition
+    "sink_snapshot_sql_ddl" ->
+      """WITH state AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderpriority
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, o_custkey, 'T', o_totalprice,
+        |    o_orderpriority
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM state WHERE o_orderpriority <> '1-URGENT'""".stripMargin,
+
+    // untouched slices ∪ the urgent rebuild (even keys, 'R', tripled)
+    // ∪ the F/2-HIGH replacement (third keys, +100 surcharge)
+    "sink_snapshot_replace_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE o_orderpriority <> '1-URGENT'
+        |  AND NOT (o_orderstatus = 'F' AND o_orderpriority = '2-HIGH')
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+        |  o_totalprice * 3 AS o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice + 100 AS o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_orderpriority = '2-HIGH'
+        |  AND o_orderkey % 3 = 0""".stripMargin,
 
     // the SQL-written state: appended 5th-key copies + the 1-URGENT
     // partition dynamically overwritten down to its even keys

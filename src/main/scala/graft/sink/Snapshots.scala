@@ -2270,6 +2270,98 @@ object Snapshots {
       })
   }
 
+  /**
+   * PREDICATE OVERWRITE — the Delta-`replaceWhere` statement (public
+   * semantics: atomically replace exactly the rows matching `condition`
+   * with `df`), published as ONE snapshot — never a delete-then-append
+   * pair whose intermediate state a concurrent reader (or the history)
+   * could observe. The idempotent-backfill shape: "rebuild day X from
+   * source" re-run twice lands the same table.
+   *
+   * Discipline:
+   *  - every INCOMING row must satisfy the predicate — enforced inside
+   *    the write pass itself (codegen'd `raise_error`, the
+   *    [[graft.sink.PartitionedSink]] guard idiom): no second scan of
+   *    `df`, and a nondeterministic source cannot pass a pre-check and
+   *    then write a violating row;
+   *  - the REPLACED side is [[deleteWhere]]'s file-bounded copy-on-write:
+   *    stat+Bloom-narrowed candidates, exact discovery of the files
+   *    HOLDING matches, surviving (non-matching) rows of exactly those
+   *    files restaged; untouched files ride through by reference;
+   *  - survivors split per partition ([[splitPerPartition]]) like any
+   *    rewrite; the incoming batch keeps ITS OWN distribution (an append-
+   *    sized frame must not funnel one-task-per-partition).
+   *
+   * Widening `df` schemas pass the standard evolution gate; survivors
+   * read typed nulls for added columns. A first write (no snapshot yet)
+   * just lands `df` — with the guard, so creation enforces the predicate
+   * too. Returns the published snapshot id.
+   */
+  def replaceWhere(
+      df: DataFrame, root: String, partitionFields: Seq[String],
+      condition: org.apache.spark.sql.Column,
+      targetFilesPerPartition: Int = 1): Int = {
+    import org.apache.spark.sql.functions.{coalesce, concat, input_file_name, lit, not, raise_error, struct, to_json, when}
+    val spark = df.sparkSession
+    val guarded = df.filter(
+      when(coalesce(condition, lit(false)), lit(true))
+        .otherwise(raise_error(concat(
+          lit("replaceWhere: incoming row does not satisfy the " +
+            "predicate: "),
+          to_json(struct(df.columns.toSeq.map(qc): _*))))))
+    val cur = currentSnapshot(spark, root) match {
+      case None =>
+        return writeInternal(guarded, root, partitionFields, SnapAppend,
+          "replace_where", graft.schema.SchemaEvolution.Widen)
+      case Some(id) => id
+    }
+    val (f, qroot) = FsOps.fs(spark, root)
+    val m = resolve(f, qroot, cur)
+    m.partitionCols.headOption.foreach(_ => require(
+      partitionFields == m.partitionCols,
+      s"dataset at $root is partitioned by ${m.partitionCols.mkString(",")}; " +
+        s"cannot replace under ${partitionFields.mkString(",")}"))
+    // the union below fills columns missing from SURVIVORS (a widening
+    // batch) with nulls — but a batch missing CONTRACT columns would
+    // silently null-fill the replacement rows, so that direction is loud
+    m.schema.foreach(_.fieldNames.foreach(c =>
+      require(df.columns.contains(c),
+        s"replaceWhere batch must carry every contract column — " +
+          s"missing '$c'")))
+    val schema = m.schema.getOrElse(StructType(Seq.empty))
+    val derived = m.schema.toSeq.flatMap(sc =>
+      deriveRanges(spark, sc, condition,
+        (m.statsCols ++ m.bloomCols).distinct, nullCols = m.statsCols))
+    val statSafe = derived.filter(r => r.nullness.isDefined ||
+      !schema.fields.exists(fd =>
+        fd.name == r.column && fd.dataType == TimestampType))
+    val candidates = bloomPrune(spark, qroot, m,
+      m.files.filter(e => survives(e, statSafe, schema)), derived)
+    // exact discovery over the RAW scan (input_file_name is only reliable
+    // straight off a file scan — the rewriteMatching rule); a file whose
+    // only matches are delete-suppressed rewrites harmlessly, the
+    // survivor scan applies the deletes
+    val dataPrefix = dataDir(qroot).toUri.getPath
+    val hit =
+      if (candidates.isEmpty) Set.empty[String]
+      else scanRaw(spark, qroot, m, candidates).filter(condition)
+        .select(input_file_name().as("__f")).distinct().collect()
+        .map(r => java.net.URI.create(r.getString(0)).getPath
+          .stripPrefix(dataPrefix).stripPrefix("/")).toSet
+        .filter(_.nonEmpty)
+    val rewrite = m.files.filter(e => hit(e.rel))
+    val out =
+      if (rewrite.isEmpty) guarded
+      else splitPerPartition(
+        scanWithDeletes(spark, qroot, m, rewrite)
+          .filter(not(coalesce(condition, lit(false)))),
+        partitionFields, targetFilesPerPartition)
+        .unionByName(guarded, allowMissingColumns = true)
+    writeInternal(out, root, partitionFields, SnapAppend,
+      "replace_where", graft.schema.SchemaEvolution.Widen,
+      extraRemoves = rewrite.map(_.rel))
+  }
+
   /** Per-column [min, max] [[StatRange]]s over a frame, rendered
     * EXACTLY like recorded file stats (Cast-to-string under the session
     * tz — byte-identical to what `computeStats` writes, so the compare
@@ -2517,6 +2609,40 @@ object Snapshots {
         renderManifest(meta, Some(cur), Seq.empty, Seq.empty, None)
     publishManifest(f, qroot, id, Some(cur), content)
     id
+  }
+
+  /**
+   * TRUNCATE — remove every live row as ONE METADATA-ONLY snapshot
+   * (mode `truncate`): the new manifest renders a FULL empty live set
+   * (live equality-deletes clear with it — nothing remains to apply
+   * them to), zero bytes move, and the contract/format/spec/stat
+   * declarations carry forward so the next write lands exactly as
+   * before. The full render is also a natural rebase point — every
+   * later resolution's chain walk restarts at depth 0. Older snapshots
+   * keep reading their files until [[expire]] reclaims them ([[vacuum]]
+   * for the bytes) — `TRUNCATE` here is a history event, not a data
+   * shred. Returns the new snapshot id, or None when the dataset is
+   * already empty (idempotent no-op, no history noise).
+   */
+  def truncate(spark: SparkSession, root: String): Option[Int] = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val cur = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot published under $root — nothing to truncate"))
+    val m = resolve(f, qroot, cur)
+    if (m.files.isEmpty && m.deletes.isEmpty) return None
+    val stored = m.schema.getOrElse(throw new IllegalStateException(
+      s"snapshot s$cur records no schema contract (legacy v1 manifest) — " +
+        "an empty state must still declare what readers resolve; one v2 " +
+        "write pins the contract first"))
+    val meta = SnapMeta("truncate", stored, m.format, m.codec,
+      m.statsCols, None, m.partitionCols,
+      Some(System.currentTimeMillis()), m.recentTags, m.bloomCols)
+    val id = cur + 1
+    val content =
+      renderManifest(meta, None, Seq.empty, Seq.empty, Some(Seq.empty))
+    publishManifest(f, qroot, id, Some(cur), content)
+    Some(id)
   }
 
   /**

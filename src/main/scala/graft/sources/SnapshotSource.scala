@@ -3,6 +3,7 @@ package graft.sources
 import graft.sink.Snapshots
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.execution.datasources.DataSourceUtils
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{StructType, TimestampType}
 
@@ -67,7 +68,7 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
       root: String, asOf: Option[Int], tag: Option[String],
       branch: Option[String],
       partitionBy: Seq[String], statsColumns: Seq[String],
-      bloomColumns: Seq[String])
+      bloomColumns: Seq[String], replaceWhere: Option[String])
 
   private def parse(parameters: Map[String, String]): Opts = {
     val byLower = parameters.map { case (k, v) => k.toLowerCase -> v }
@@ -82,8 +83,23 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
       "asOf, tag and branch are mutually exclusive")
     def cols(key: String): Seq[String] = byLower.get(key).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    Opts(root, asOf, tag, branch, cols("partitionby"),
-      cols("statscolumns"), cols("bloomcolumns"))
+    // `df.write.partitionBy(...)` and SQL CTAS `PARTITIONED BY` arrive
+    // as the engine's encoded option (the v1 writer contract) — decode
+    // it, and when the explicit option is ALSO given they must agree (a
+    // silent preference would pin the wrong layout at creation, the
+    // stream-sink rule)
+    val writerPb = byLower
+      .get(DataSourceUtils.PARTITIONING_COLUMNS_KEY.toLowerCase)
+      .map(DataSourceUtils.decodePartitioningColumns)
+      .getOrElse(Seq.empty)
+    val optionPb = cols("partitionby")
+    require(writerPb.isEmpty || optionPb.isEmpty || writerPb == optionPb,
+      s"partitionBy(${writerPb.mkString(",")}) conflicts with option " +
+        s"partitionBy=${optionPb.mkString(",")}")
+    val pb = if (writerPb.nonEmpty) writerPb else optionPb
+    Opts(root, asOf, tag, branch, pb,
+      cols("statscolumns"), cols("bloomcolumns"),
+      byLower.get("replacewhere").map(_.trim).filter(_.nonEmpty))
   }
 
   override def createRelation(
@@ -133,6 +149,9 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
     require(o.asOf.isEmpty && o.tag.isEmpty && o.branch.isEmpty,
       "a snapshot STREAM follows main — asOf/tag/branch pins do not " +
         "advance and cannot stream")
+    require(o.replaceWhere.isEmpty,
+      "replaceWhere is a batch-writer option — a stream's predicate-" +
+        "scoped rewrites belong in foreachBatch + Snapshots.replaceWhere")
     val byLower = parameters.map { case (k, v) => k.toLowerCase -> v.trim }
     val onNonAppend = byLower.getOrElse("onnonappend", "fail").toLowerCase
     require(Set("fail", "skip")(onNonAppend),
@@ -264,6 +283,9 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
     // writer-native); the branch must already exist, and the dataset's
     // recorded spec governs as ever
     o.branch.foreach { b =>
+      require(o.replaceWhere.isEmpty,
+        "replaceWhere targets the main lineage — branch writes are " +
+          "plain appends/overwrites (fastForward publishes them)")
       require(Snapshots.branchHeadId(spark, root, b).isDefined,
         s"no branch '$b' under $root — Snapshots.createBranch first")
       val fields = SnapshotSource.recordedPartitioning(spark, root)
@@ -286,8 +308,22 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
       case None =>
         require(o.partitionBy.nonEmpty,
           "creating a snapshot dataset through the writer needs " +
-            "partitionBy (comma-separated partition fields)")
+            "partitionBy (comma-separated partition fields, or " +
+            "df.write.partitionBy)")
         o.partitionBy
+    }
+    // option("replaceWhere", cond) + SaveMode.Overwrite — the Delta
+    // predicate-scoped overwrite: one snapshot replacing exactly the
+    // matching rows ([[Snapshots.replaceWhere]]; incoming rows are
+    // raise_error-guarded against the predicate in the write pass)
+    o.replaceWhere.foreach { condStr =>
+      require(mode == SaveMode.Overwrite,
+        s"replaceWhere composes with SaveMode.Overwrite (a predicate-" +
+          s"scoped overwrite), not $mode")
+      val cond = org.apache.spark.sql.graft.GraftSqlBridge.column(
+        spark.sessionState.sqlParser.parseExpression(condStr))
+      Snapshots.replaceWhere(data, root, fields, cond): Unit
+      return new SnapshotRelation(sqlContext, root, None, None, None)
     }
     def land(m: Snapshots.SnapshotMode): Unit =
       Snapshots.write(data, root, fields, m,

@@ -73,6 +73,23 @@ class SnapshotDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           GraftCatalog.rootOf(t, a.table.quotedString), pinned,
           a.table.quotedString, a.colsToAdd)
       }
+    // TRUNCATE TABLE t [PARTITION (p = v, ...)] — Spark's v1 command
+    // would physically delete the LOCATION tree (destroying every
+    // retained snapshot, not just the live rows); re-route ours to the
+    // metadata-only truncate snapshot (full table) or the file-bounded
+    // partition delete (PARTITION spec)
+    case tr: org.apache.spark.sql.execution.command.TruncateTableCommand =>
+      val meta =
+        try Some(spark.sessionState.catalog.getTableMetadata(tr.tableName))
+        catch { case scala.util.control.NonFatal(_) => None }
+      meta.filter(GraftCatalog.isSnapshotTable).fold(plan) { t =>
+        val pinned = GraftCatalog.pinnedOption(t)
+          .map(p => s"it is $p-pinned — a read-only view; truncate the " +
+            "unpinned table")
+        SnapshotTruncateCommand(
+          GraftCatalog.rootOf(t, tr.tableName.quotedString), pinned,
+          tr.partitionSpec.getOrElse(Map.empty))
+      }
     case _ => plan
   }
 
@@ -662,6 +679,37 @@ case class SnapshotAddColumnsCommand(
       s"cannot ALTER this table: $w"))
     Snapshots.addColumns(session, root, columns): Unit
     session.catalog.refreshTable(table)
+    Seq.empty
+  }
+}
+
+/** `TRUNCATE TABLE <snapshot table>` — [[Snapshots.truncate]]'s
+  * metadata-only empty snapshot; with a `PARTITION (p = v, ...)` spec,
+  * [[Snapshots.deleteWhere]] on the partition-column equalities (every
+  * row of a named partition matches its file's whole content, so the
+  * "rewrite" stages nothing back — file removals at metadata cost).
+  * Spark's own v1 command would `fs.delete` the LOCATION tree,
+  * destroying every retained snapshot — exactly what the re-route
+  * prevents. */
+case class SnapshotTruncateCommand(
+    root: String, blocked: Option[String], spec: Map[String, String])
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    blocked.foreach(w => throw new UnsupportedOperationException(
+      s"cannot TRUNCATE this table: $w"))
+    if (spec.isEmpty) Snapshots.truncate(session, root): Unit
+    else {
+      val fields = Snapshots.recordedPartitionCols(session, root)
+      spec.keys.foreach(k => require(fields.contains(k),
+        s"TRUNCATE PARTITION column '$k' is not a partition field — the " +
+          s"recorded spec is (${fields.mkString(", ")}); row-level " +
+          "removal is DELETE FROM"))
+      val schema = Snapshots.tableSchema(session, root)
+      val cond = spec.map { case (k, v) =>
+        col(s"`${k.replace("`", "``")}`") === lit(v).cast(schema(k).dataType)
+      }.reduce(_ && _)
+      Snapshots.deleteWhere(session, root, fields, cond): Unit
+    }
     Seq.empty
   }
 }

@@ -2575,4 +2575,106 @@ class SnapshotsSpec extends SparkSpec {
       assert(Snapshots.read(spark, root).count() == 0)
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
+
+  // ------------------------------------------ replaceWhere / truncate
+
+  test("replaceWhere: one snapshot replaces exactly the matching rows, file-bounded") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_rw").toString
+    val base = (0 until 100).map(i => (i.toLong, if (i < 50) "a" else "b"))
+      .toDF("k", "p")
+    Snapshots.write(base, root, Seq("p"), statsColumns = Seq("k"))
+    // rebuild partition b from source: twice the rows, shifted keys
+    val rebuilt = (0 until 100).map(i => (1000L + i, "b")).toDF("k", "p")
+    val id = Snapshots.replaceWhere(rebuilt, root, Seq("p"),
+      col("p") === "b")
+    assert(id == 2)
+    val now = Snapshots.read(spark, root)
+    assert(now.count() == 150)
+    assert(now.filter(col("p") === "a").count() == 50, "a rides through")
+    assert(now.filter(col("p") === "b").select(min(col("k"))).head()
+      .getLong(0) == 1000L, "b is fully replaced")
+    // ONE snapshot, the engine's own mode — never a delete+append pair
+    assert(Snapshots.history(spark, root).collect().map(_.getString(1))
+      .toSeq == Seq("append", "replace_where"))
+    // file-bounded: only the files HOLDING matches left the manifest —
+    // partition a's file(s) were never touched
+    val removed = manifestLines(root, 2, "remove=")
+    assert(removed.nonEmpty && removed.forall(_.contains("p=b")),
+      s"only p=b files may rewrite, got $removed")
+    // pre-replace state stays time-travelable
+    assert(Snapshots.read(spark, root, asOf = Some(1)).count() == 100)
+    // idempotent backfill: re-running the same replace lands the same table
+    Snapshots.replaceWhere(rebuilt, root, Seq("p"), col("p") === "b")
+    assert(Snapshots.read(spark, root).count() == 150)
+  }
+
+  test("replaceWhere: predicate violations fail IN the write; non-matching predicates append") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_rwv").toString
+    Snapshots.write(Seq((1L, "a")).toDF("k", "p"), root, Seq("p"))
+    // a batch carrying a row OUTSIDE the predicate must abort the write
+    // (codegen'd raise_error during staging), leaving the table unchanged
+    val bad = Seq((2L, "b"), (3L, "a")).toDF("k", "p")
+    val e = intercept[Exception] {
+      Snapshots.replaceWhere(bad, root, Seq("p"), col("p") === "b")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("does not satisfy the predicate")))
+    assert(Snapshots.currentSnapshot(spark, root).contains(1))
+    assert(Snapshots.read(spark, root).count() == 1)
+    // a predicate matching NOTHING live is a plain append of the batch
+    val id = Snapshots.replaceWhere(Seq((2L, "b")).toDF("k", "p"), root,
+      Seq("p"), col("p") === "b")
+    assert(id == 2 && manifestLines(root, 2, "remove=").isEmpty)
+    assert(Snapshots.read(spark, root).count() == 2)
+    // a batch missing a contract column is loud, never null-filled
+    val thin = intercept[IllegalArgumentException] {
+      Snapshots.replaceWhere(Seq("b").toDF("p"), root, Seq("p"),
+        col("p") === "b")
+    }
+    assert(thin.getMessage.contains("missing 'k'"))
+  }
+
+  test("truncate: metadata-only empty snapshot — contract survives, history travels, no-op when empty") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_trunc").toString
+    Snapshots.write((0 until 60).map(i => (i.toLong, s"p${i % 3}"))
+      .toDF("k", "p"), root, Seq("p"), statsColumns = Seq("k"))
+    val dataFiles = {
+      val d = java.nio.file.Paths.get(root, "data")
+      java.nio.file.Files.walk(d).filter(p =>
+        p.toString.endsWith(".parquet")).count()
+    }
+    val id = Snapshots.truncate(spark, root)
+    assert(id.contains(2))
+    // empty under the SAME contract — schema, spec and stat declarations
+    // carry forward
+    val now = Snapshots.read(spark, root)
+    assert(now.count() == 0 &&
+      now.schema.fieldNames.toSeq == Seq("k", "p"))
+    assert(Snapshots.recordedPartitionCols(spark, root) == Seq("p"))
+    // METADATA-ONLY: zero data files moved or deleted; the old snapshot
+    // still reads them
+    val after = {
+      val d = java.nio.file.Paths.get(root, "data")
+      java.nio.file.Files.walk(d).filter(p =>
+        p.toString.endsWith(".parquet")).count()
+    }
+    assert(after == dataFiles, "truncate must move zero bytes")
+    assert(Snapshots.read(spark, root, asOf = Some(1)).count() == 60)
+    assert(manifestLines(root, 2, "file=").isEmpty &&
+      manifestLines(root, 2, "add=").isEmpty)
+    // truncating the already-empty dataset is a no-op (no history noise)
+    assert(Snapshots.truncate(spark, root).isEmpty)
+    assert(Snapshots.currentSnapshot(spark, root).contains(2))
+    // the next write lands under the carried-forward declarations
+    Snapshots.write(Seq((100L, "p0")).toDF("k", "p"), root, Seq("p"),
+      SnapAppend)
+    assert(Snapshots.read(spark, root).count() == 1)
+    assert(Snapshots.history(spark, root).collect().map(_.getString(1))
+      .toSeq == Seq("append", "truncate", "append"))
+  }
 }

@@ -456,4 +456,84 @@ class SnapshotDmlSpec extends SparkSpec {
     spark.sql("DROP TABLE dml_plain_tbl")
     Snapshots.dropBranch(spark, root, "audit")
   }
+
+  test("TRUNCATE TABLE: metadata-only full truncate; PARTITION spec is a file-bounded delete; pins reject") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dml_trunc").toString
+    val rows = (0 until 90).map(i => (i.toLong, s"p${i % 3}")).toDF("k", "p")
+    Snapshots.write(rows, root, Seq("p"), statsColumns = Seq("k"))
+    spark.sql("DROP TABLE IF EXISTS dml_trunc_tbl")
+    Snapshots.registerTable(spark, root, "dml_trunc_tbl")
+    // full truncate: zero rows, schema intact, METADATA-ONLY (the
+    // truncate manifest names no files and stages none) — Spark's own
+    // v1 command would have fs-deleted the whole LOCATION tree,
+    // destroying every retained snapshot
+    spark.sql("TRUNCATE TABLE dml_trunc_tbl")
+    assert(spark.sql("SELECT count(*) FROM dml_trunc_tbl")
+      .head().getLong(0) == 0L)
+    assert(spark.table("dml_trunc_tbl").schema.fieldNames.toSeq
+      == Seq("k", "p"))
+    assert(Snapshots.history(spark, root).collect().map(_.getString(1))
+      .toSeq == Seq("append", "truncate"))
+    // pre-truncate history still travels (metadata event, not a shred)
+    assert(Snapshots.read(spark, root, asOf = Some(1)).count() == 90)
+    // refill, then TRUNCATE one PARTITION: the file-bounded delete lane
+    spark.sql(
+      "INSERT INTO dml_trunc_tbl SELECT k, p FROM graft_snapshot(" +
+        s"'${root.replace("'", "''")}', 1)")
+    spark.sql("TRUNCATE TABLE dml_trunc_tbl PARTITION (p = 'p1')")
+    val left = spark.sql("SELECT DISTINCT p FROM dml_trunc_tbl")
+      .collect().map(_.getString(0)).toSet
+    assert(left == Set("p0", "p2"))
+    assert(spark.sql("SELECT count(*) FROM dml_trunc_tbl")
+      .head().getLong(0) == 60L)
+    // a non-partition column in the spec is loud and names the remedy
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + messages(t.getCause)
+    val exCol = intercept[Exception] {
+      spark.sql("TRUNCATE TABLE dml_trunc_tbl PARTITION (k = 1)")
+    }
+    assert(messages(exCol).contains("DELETE FROM"), messages(exCol))
+    // pinned registrations are read-only views
+    spark.sql("DROP TABLE IF EXISTS dml_trunc_pin")
+    Snapshots.registerTable(spark, root, "dml_trunc_pin", asOf = Some(1))
+    val exPin = intercept[Exception] {
+      spark.sql("TRUNCATE TABLE dml_trunc_pin")
+    }
+    assert(messages(exPin).contains("read-only"), messages(exPin))
+    spark.sql("DROP TABLE dml_trunc_tbl")
+    spark.sql("DROP TABLE dml_trunc_pin")
+  }
+
+  test("CREATE TABLE ... AS SELECT lands the first snapshot through the commit protocol") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("dml_ctas").toString
+    spark.sql("DROP TABLE IF EXISTS dml_ctas_tbl")
+    (0 until 40).map(i => (i.toLong, s"g${i % 4}")).toDF("k", "p")
+      .createOrReplaceTempView("dml_ctas_src")
+    // CTAS: one statement creates the dataset (snapshot s1, recorded
+    // spec from the option) AND registers the table
+    spark.sql(
+      s"""CREATE TABLE dml_ctas_tbl
+         |USING `graft-snapshot`
+         |OPTIONS (path '${root.replace("'", "''")}', partitionBy 'p')
+         |AS SELECT k, p FROM dml_ctas_src""".stripMargin)
+    assert(Snapshots.currentSnapshot(spark, root).contains(1))
+    assert(Snapshots.recordedPartitionCols(spark, root) == Seq("p"))
+    assert(spark.sql("SELECT count(*) FROM dml_ctas_tbl")
+      .head().getLong(0) == 40L)
+    // the created table is a full citizen: INSERT and DML route through
+    spark.sql("INSERT INTO dml_ctas_tbl SELECT k + 100, p FROM dml_ctas_src")
+    assert(spark.sql("SELECT count(*) FROM dml_ctas_tbl")
+      .head().getLong(0) == 80L)
+    spark.sql("DELETE FROM dml_ctas_tbl WHERE k >= 100")
+    assert(spark.sql("SELECT count(*) FROM dml_ctas_tbl")
+      .head().getLong(0) == 40L)
+    // Spark hands new-table CTAS to the writer as SaveMode.Overwrite (to
+    // clobber location leftovers), so the creation snapshot records the
+    // overwrite mode — same rows, honest history
+    assert(Snapshots.history(spark, root).collect().map(_.getString(1))
+      .toSeq == Seq("overwrite_partitions", "append", "delete_where"))
+    spark.sql("DROP TABLE dml_ctas_tbl")
+  }
 }

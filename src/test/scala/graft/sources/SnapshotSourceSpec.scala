@@ -290,4 +290,55 @@ class SnapshotSourceSpec extends SparkSpec {
       == 100L)
     spark.sql("DROP TABLE snap_in_tbl")
   }
+
+  test("df.write.partitionBy flows through the v1 writer encoding; conflicts with the option are loud") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("srcsnap_pb").toString
+    // the STANDARD writer API — no graft-specific option needed
+    Seq((1L, "a"), (2L, "b")).toDF("k", "p")
+      .write.format("graft-snapshot").partitionBy("p").save(root)
+    assert(Snapshots.recordedPartitionCols(spark, root) == Seq("p"))
+    assert(Snapshots.read(spark, root).count() == 2)
+    // both spellings given and AGREEING is fine; disagreeing is loud
+    Seq((3L, "a")).toDF("k", "p").write.format("graft-snapshot")
+      .mode("append").partitionBy("p").option("partitionBy", "p").save(root)
+    assert(Snapshots.read(spark, root).count() == 3)
+    val ex = intercept[IllegalArgumentException] {
+      Seq((4L, "a")).toDF("k", "p").write.format("graft-snapshot")
+        .mode("append").partitionBy("p").option("partitionBy", "k")
+        .save(root)
+    }
+    assert(ex.getMessage.contains("conflicts"))
+  }
+
+  test("writer replaceWhere option: the predicate-scoped overwrite in one snapshot") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("srcsnap_rw").toString
+    (0 until 40).map(i => (i.toLong, if (i < 20) "a" else "b"))
+      .toDF("k", "p").write.format("graft-snapshot").partitionBy("p")
+      .save(root)
+    // rebuild partition b through the writer — SaveMode.Overwrite scoped
+    // by the predicate, one replace_where snapshot
+    (0 until 5).map(i => (500L + i, "b")).toDF("k", "p")
+      .write.format("graft-snapshot").mode("overwrite")
+      .option("replaceWhere", "p = 'b'").save(root)
+    val now = Snapshots.read(spark, root)
+    assert(now.filter(col("p") === "a").count() == 20, "a rides through")
+    assert(now.filter(col("p") === "b").count() == 5)
+    assert(Snapshots.history(spark, root).collect().map(_.getString(1))
+      .toSeq == Seq("append", "replace_where"))
+    // non-partition predicates work too (file-bounded row replacement)
+    Seq((0L, "a")).toDF("k", "p").write.format("graft-snapshot")
+      .mode("overwrite").option("replaceWhere", "k < 3 AND p = 'a'")
+      .save(root)
+    val a = Snapshots.read(spark, root).filter(col("p") === "a")
+    assert(a.count() == 18 && a.filter(col("k") < 3).count() == 1)
+    // replaceWhere demands Overwrite — any other mode is a wrong mental
+    // model and fails loudly
+    val exMode = intercept[IllegalArgumentException] {
+      Seq((9L, "b")).toDF("k", "p").write.format("graft-snapshot")
+        .mode("append").option("replaceWhere", "p = 'b'").save(root)
+    }
+    assert(exMode.getMessage.contains("SaveMode.Overwrite"))
+  }
 }
