@@ -1167,6 +1167,20 @@ object SinkQueries {
         s"expected compact to s4 and 3 expired snapshots, got $rep")
       require(Snapshots.history(s, out).collect().map(_.getString(1)).toSeq
         == Seq("compact"), "only the compacted state remains retained")
+      // RESTORE from SQL: tag the good state, land a bad batch, roll
+      // back — the oracle (plain orders) checks the restore is exact
+      val good = s.sql(s"CALL graft_tag('$esc', 'good')").head().getInt(0)
+      s.sql(
+        """INSERT INTO graft_snap_mnt_tbl
+          |SELECT o_orderkey + 9000000, o_custkey, 'X', o_totalprice,
+          |  o_orderpriority
+          |FROM graft_snap_mnt_tbl WHERE o_orderkey % 97 = 0""".stripMargin)
+      val restored = s.sql(s"CALL graft_rollback('$esc', $good)").head()
+        .getInt(0)
+      require(Snapshots.history(s, out).collect().map(_.getString(1)).toSeq
+        == Seq("compact", "append", "rollback") &&
+          restored == good + 2,
+        "the bad batch must stay audit-travelable under the rollback")
       s.sql(
         """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
           |  o_orderpriority

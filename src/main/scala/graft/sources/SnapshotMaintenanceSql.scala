@@ -24,12 +24,15 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
  *   CALL graft_vacuum('/data/events', 0)      -- graceMs (quiesced)
  *   CALL graft_maintain('/data/events')       -- fold+compact+vacuum
  *   CALL graft_maintain('/data/events', 10)   -- ... +expire keepLast
+ *   CALL graft_rollback('/data/events', 7)    -- RESTORE: re-publish s7
+ *   CALL graft_tag('/data/events', 'v1')      -- pin current (or an id)
+ *   CALL graft_drop_tag('/data/events', 'v1') -- expirable again
  * }}}
  *
  * Spark's `CALL` statement requires a DSv2 ProcedureCatalog these v1
  * session-catalog tables don't live in, so [[GraftSqlParser]] — the
  * standard `injectParser` delegate (the public Delta-SQL-parser shape)
- * — recognizes exactly these four statements and delegates EVERYTHING
+ * — recognizes exactly these statements and delegates EVERYTHING
  * else untouched. Targets resolve at command RUN time: a quoted string
  * is a dataset root; a bare identifier is a registered snapshot table
  * (pinned asOf/tag/branch registrations are REJECTED loudly —
@@ -86,8 +89,8 @@ private[sources] object SnapshotMaintenanceSql {
   }
 
   private val Call =
-    ("""(?is)\s*CALL\s+graft_(maintain|compact|expire|vacuum)\s*""" +
-      """\((.*)\)\s*;?\s*(?:--[^\r\n]*)?\s*""").r
+    ("""(?is)\s*CALL\s+graft_(maintain|compact|expire|vacuum|rollback""" +
+      """|tag|drop_tag)\s*\((.*)\)\s*;?\s*(?:--[^\r\n]*)?\s*""").r
 
   /** Strip LEADING line/block comments and a TRAILING line comment — a
     * `CALL graft_vacuum('/x') -- nightly` must still be recognized, or
@@ -117,7 +120,7 @@ private[sources] object SnapshotMaintenanceSql {
     else t
   }
 
-  /** The parser hook: Some(command) for exactly our four statements,
+  /** The parser hook: Some(command) for exactly our statements,
     * None (delegate untouched) for everything else. Argument errors
     * inside a recognized statement fail loudly HERE — a typo'd
     * maintenance call must never fall through to Spark's parser and
@@ -130,19 +133,30 @@ private[sources] object SnapshotMaintenanceSql {
         s"CALL graft_${op.toLowerCase} needs a target (a quoted dataset " +
           "root or a registered table name)")
       val target = parseTarget(args.head)
-      val rest = args.tail.map(a => parseLong(op.toLowerCase, a))
-      Some((op.toLowerCase, rest) match {
+      val o = op.toLowerCase
+      def num(a: String): Long = parseLong(o, a)
+      def int(a: String): Int = intArg(o, num(a))
+      def str(a: String): String = parseStringLit(o, a)
+      Some((o, args.tail) match {
         case ("maintain", Seq()) => SnapshotMaintainSqlCommand(target, None)
         case ("maintain", Seq(n)) =>
-          SnapshotMaintainSqlCommand(target, Some(intArg("maintain", n)))
+          SnapshotMaintainSqlCommand(target, Some(int(n)))
         case ("compact", Seq()) => SnapshotCompactSqlCommand(target, 1)
         case ("compact", Seq(n)) =>
-          SnapshotCompactSqlCommand(target, intArg("compact", n))
+          SnapshotCompactSqlCommand(target, int(n))
         case ("expire", Seq(n)) =>
-          SnapshotExpireSqlCommand(target, intArg("expire", n))
+          SnapshotExpireSqlCommand(target, int(n))
         case ("vacuum", Seq()) => SnapshotVacuumSqlCommand(target, None)
-        case ("vacuum", Seq(ms)) => SnapshotVacuumSqlCommand(target, Some(ms))
-        case (o, as) => throw new IllegalArgumentException(
+        case ("vacuum", Seq(ms)) =>
+          SnapshotVacuumSqlCommand(target, Some(num(ms)))
+        case ("rollback", Seq(n)) =>
+          SnapshotRollbackSqlCommand(target, int(n))
+        case ("tag", Seq(nm)) => SnapshotTagSqlCommand(target, str(nm), None)
+        case ("tag", Seq(nm, id)) =>
+          SnapshotTagSqlCommand(target, str(nm), Some(int(id)))
+        case ("drop_tag", Seq(nm)) =>
+          SnapshotDropTagSqlCommand(target, str(nm))
+        case (_, as) => throw new IllegalArgumentException(
           s"CALL graft_$o takes (target${usage(o)}), got ${as.length + 1} " +
             "arguments")
       })
@@ -153,7 +167,18 @@ private[sources] object SnapshotMaintenanceSql {
     case "maintain" => "[, keepLast]"
     case "compact" => "[, targetFilesPerPartition]"
     case "expire" => ", keepLast"
+    case "rollback" => ", toSnapshotId"
+    case "tag" => ", 'name'[, snapshotId]"
+    case "drop_tag" => ", 'name'"
     case _ => "[, graceMs]"
+  }
+
+  /** A single-quoted string argument (`''` escapes), for the ops that
+    * name refs — loud on anything else. */
+  private def parseStringLit(op: String, arg: String): String = {
+    require(arg.length >= 2 && arg.startsWith("'") && arg.endsWith("'"),
+      s"CALL graft_$op: expected a quoted string argument, got: $arg")
+    arg.substring(1, arg.length - 1).replace("''", "'")
   }
 
   /** Split the argument text on top-level commas, honoring
@@ -295,4 +320,55 @@ case class SnapshotVacuumSqlCommand(
     }
     Seq(Row(orphans, stages))
   }
+}
+
+/** `CALL graft_rollback(target, toSnapshotId)` ≡ [[Snapshots.rollback]]
+  * — the Delta-RESTORE role: an older retained snapshot's live set
+  * re-publishes as a NEW snapshot (metadata-only; the rolled-back-over
+  * states stay time-travelable for audit until expire). Returns the
+  * new snapshot id. */
+case class SnapshotRollbackSqlCommand(
+    target: SnapshotMaintenanceSql.Target, toId: Int)
+    extends LeafRunnableCommand {
+  import SnapshotMaintenanceSql.ref
+  override val output: Seq[Attribute] =
+    Seq(ref("restored_as", IntegerType))
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.rollback(session, target.resolveRoot(session), toId)))
+}
+
+/** `CALL graft_tag(target, 'name'[, snapshotId])` ≡
+  * [[Snapshots.tagSnapshot]] (current snapshot when no id is given) —
+  * tagged snapshots are expire-protected, readable as
+  * `graft_snapshot(root, 'name')` and registrable as pinned tables.
+  * Returns the tagged id. */
+case class SnapshotTagSqlCommand(
+    target: SnapshotMaintenanceSql.Target, name: String, id: Option[Int])
+    extends LeafRunnableCommand {
+  import SnapshotMaintenanceSql.ref
+  override val output: Seq[Attribute] =
+    Seq(ref("tagged_snapshot", IntegerType))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = target.resolveRoot(session)
+    val sid = id.orElse(Snapshots.currentSnapshot(session, root))
+      .getOrElse(throw new IllegalStateException(
+        s"no snapshot published under $root — nothing to tag"))
+    Snapshots.tagSnapshot(session, root, name, sid)
+    Seq(Row(sid))
+  }
+}
+
+/** `CALL graft_drop_tag(target, 'name')` ≡ [[Snapshots.dropTag]] — the
+  * snapshot becomes expirable again. Returns whether the tag existed. */
+case class SnapshotDropTagSqlCommand(
+    target: SnapshotMaintenanceSql.Target, name: String)
+    extends LeafRunnableCommand {
+  import SnapshotMaintenanceSql.ref
+  override val output: Seq[Attribute] = Seq(ref("existed",
+    org.apache.spark.sql.types.BooleanType))
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.dropTag(session, target.resolveRoot(session), name)))
 }

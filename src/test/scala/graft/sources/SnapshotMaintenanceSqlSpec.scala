@@ -102,4 +102,44 @@ class SnapshotMaintenanceSqlSpec extends SparkSpec {
     spark.sql("DROP TABLE msql_pin_tbl")
     spark.sql("DROP TABLE msql_plain")
   }
+
+  test("CALL graft_rollback / graft_tag / graft_drop_tag: RESTORE and release pins from SQL") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("msql_rb").toString
+    val esc = root.replace("'", "''")
+    Snapshots.write(Seq((1L, "a")).toDF("k", "p"), root, Seq("p"))
+    Snapshots.write(Seq((2L, "a")).toDF("k", "p"), root, Seq("p"),
+      Snapshots.SnapAppend)
+    // tag the good state (defaults to CURRENT), then land a bad batch
+    val tagged = spark.sql(s"CALL graft_tag('$esc', 'good')").head()
+    assert(tagged.getInt(0) == 2)
+    Snapshots.write(Seq((666L, "a")).toDF("k", "p"), root, Seq("p"),
+      Snapshots.SnapAppend)
+    assert(Snapshots.read(spark, root).count() == 3)
+    // RESTORE: re-publish s2's live set as a NEW snapshot — the bad
+    // batch stays time-travelable for audit
+    val restored = spark.sql(s"CALL graft_rollback('$esc', 2)").head()
+    assert(restored.getInt(0) == 4)
+    assert(Snapshots.read(spark, root).collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L))
+    assert(Snapshots.read(spark, root, asOf = Some(3)).count() == 3)
+    // the tag reads through SQL time travel and drops cleanly
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$esc', 'good')")
+      .head().getLong(0) == 2L)
+    assert(spark.sql(s"CALL graft_drop_tag('$esc', 'good')").head()
+      .getBoolean(0))
+    assert(!spark.sql(s"CALL graft_drop_tag('$esc', 'good')").head()
+      .getBoolean(0), "dropping a dropped tag reports existed=false")
+    // explicit-id tagging; a string where an id belongs is loud
+    assert(spark.sql(s"CALL graft_tag('$esc', 'v1', 1)").head()
+      .getInt(0) == 1)
+    val exStr = intercept[IllegalArgumentException] {
+      spark.sql(s"CALL graft_tag('$esc', 3)")
+    }
+    assert(exStr.getMessage.contains("quoted string"), exStr.getMessage)
+    val exId = intercept[IllegalArgumentException] {
+      spark.sql(s"CALL graft_rollback('$esc')")
+    }
+    assert(exId.getMessage.contains("toSnapshotId"), exId.getMessage)
+  }
 }
