@@ -2301,7 +2301,7 @@ object Snapshots {
       df: DataFrame, root: String, partitionFields: Seq[String],
       condition: org.apache.spark.sql.Column,
       targetFilesPerPartition: Int = 1): Int = {
-    import org.apache.spark.sql.functions.{coalesce, concat, input_file_name, lit, not, raise_error, struct, to_json, when}
+    import org.apache.spark.sql.functions.{coalesce, concat, lit, not, raise_error, struct, to_json, when}
     val spark = df.sparkSession
     val guarded = df.filter(
       when(coalesce(condition, lit(false)), lit(true))
@@ -2328,28 +2328,13 @@ object Snapshots {
       require(df.columns.contains(c),
         s"replaceWhere batch must carry every contract column — " +
           s"missing '$c'")))
-    val schema = m.schema.getOrElse(StructType(Seq.empty))
-    val derived = m.schema.toSeq.flatMap(sc =>
-      deriveRanges(spark, sc, condition,
-        (m.statsCols ++ m.bloomCols).distinct, nullCols = m.statsCols))
-    val statSafe = derived.filter(r => r.nullness.isDefined ||
-      !schema.fields.exists(fd =>
-        fd.name == r.column && fd.dataType == TimestampType))
-    val candidates = bloomPrune(spark, qroot, m,
-      m.files.filter(e => survives(e, statSafe, schema)), derived)
-    // exact discovery over the RAW scan (input_file_name is only reliable
-    // straight off a file scan — the rewriteMatching rule); a file whose
-    // only matches are delete-suppressed rewrites harmlessly, the
-    // survivor scan applies the deletes
-    val dataPrefix = dataDir(qroot).toUri.getPath
-    val hit =
-      if (candidates.isEmpty) Set.empty[String]
-      else scanRaw(spark, qroot, m, candidates).filter(condition)
-        .select(input_file_name().as("__f")).distinct().collect()
-        .map(r => java.net.URI.create(r.getString(0)).getPath
-          .stripPrefix(dataPrefix).stripPrefix("/")).toSet
-        .filter(_.nonEmpty)
-    val rewrite = m.files.filter(e => hit(e.rel))
+    // the same narrowing + exact-discovery discipline as every rewrite
+    // lane (tz-guarded stat prune, Bloom, scan-side input_file_name)
+    val rewrite = discoverRewriteSet(spark, qroot, m,
+      deriveFor = (sc, statsCols, bloomCols) =>
+        deriveRanges(spark, sc, condition,
+          (statsCols ++ bloomCols).distinct, nullCols = statsCols),
+      discover = _.filter(condition))
     val out =
       if (rewrite.isEmpty) guarded
       else splitPerPartition(
@@ -2469,7 +2454,6 @@ object Snapshots {
       deriveFor: (StructType, Seq[String], Seq[String]) => Seq[StatRange],
       discover: DataFrame => DataFrame,
       transform: DataFrame => DataFrame): Option[Int] = {
-    import org.apache.spark.sql.functions.input_file_name
     require(targetFilesPerPartition >= 1, "need at least one file")
     val (f, qroot) = FsOps.fs(spark, root)
     val id = currentSnapshot(spark, root).getOrElse(
@@ -2480,36 +2464,51 @@ object Snapshots {
       s"dataset at $root is partitioned by ${m.partitionCols.mkString(",")}; " +
         s"cannot rewrite under ${partitionFields.mkString(",")}"))
     if (m.files.isEmpty) return None
+    val rewrite = discoverRewriteSet(spark, qroot, m, deriveFor, discover)
+    if (rewrite.isEmpty) return None
+    val out = transform(scanWithDeletes(spark, qroot, m, rewrite))
+    Some(writeInternal(
+      splitPerPartition(out, partitionFields, targetFilesPerPartition),
+      root, partitionFields, SnapAppend, modeLabel,
+      graft.schema.SchemaEvolution.Widen,
+      extraRemoves = rewrite.map(_.rel)))
+  }
+
+  /** The candidate-narrowing + exact-discovery front half EVERY
+    * predicate rewrite shares ([[rewriteMatching]], [[replaceWhere]]) —
+    * one place for the correctness-sensitive discipline:
+    *
+    *  - `deriveFor` yields conservative ranges against the RECORDED
+    *    contract (legacy schema-less datasets derive nothing — no
+    *    pruning, never wrong pruning);
+    *  - TimestampType columns STAT-prune NOTHING: the recorded min/max
+    *    strings were rendered under the WRITING session's timezone, and
+    *    a session configured differently would compare shifted bounds —
+    *    wrongly stat-pruning files that hold matches, silently leaving
+    *    rows untouched. Date/string/numeric renderings are
+    *    tz-independent and keep pruning; null-count prunes are
+    *    count-based and always safe; the BLOOM prune hashes internal
+    *    values, so timestamp EQUALITY bounds do prune there;
+    *  - exact discovery: which candidates actually HOLD rows `discover`
+    *    keeps — one column-pruned scan over the surviving files only,
+    *    on the RAW scan deliberately (`input_file_name()` is only
+    *    reliable straight off a file scan; a file whose only matching
+    *    rows are delete-suppressed merely rewrites harmlessly — the
+    *    caller's survivor scan applies the deletes). */
+  private def discoverRewriteSet(
+      spark: SparkSession, qroot: Path, m: Resolved,
+      deriveFor: (StructType, Seq[String], Seq[String]) => Seq[StatRange],
+      discover: DataFrame => DataFrame): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.input_file_name
     val schema = m.schema.getOrElse(StructType(Seq.empty))
-    // resolve the condition against the RECORDED contract via an empty
-    // probe frame: analysis validates every referenced column loudly and
-    // yields a resolved tree the range derivation can walk (legacy
-    // schema-less datasets skip derivation — no pruning, never wrong
-    // pruning)
     val derived = m.schema.toSeq.flatMap(sc =>
       deriveFor(sc, m.statsCols, m.bloomCols))
-    // TimestampType columns STAT-prune NOTHING: the recorded min/max
-    // strings were rendered under the WRITING session's timezone, and a
-    // deleting session configured differently would compare shifted
-    // bounds — wrongly stat-pruning files that hold matches, silently
-    // leaving rows undeleted. No range pruning is the only tz-safe
-    // answer (the exact discovery scan still names the precise rewrite
-    // set); date/string/numeric renderings are tz-independent and keep
-    // pruning, null-count prunes are count-based and always safe — and
-    // the BLOOM prune below hashes internal values, so timestamp
-    // EQUALITY bounds do prune there.
     val statSafe = derived.filter(r => r.nullness.isDefined ||
       !schema.fields.exists(fd =>
         fd.name == r.column && fd.dataType == TimestampType))
     val candidates = bloomPrune(spark, qroot, m,
       m.files.filter(e => survives(e, statSafe, schema)), derived)
-    if (candidates.isEmpty) return None
-    // exact discovery: which candidates actually HOLD matching rows — one
-    // column-pruned scan over the stat-surviving files only. The RAW scan,
-    // deliberately: input_file_name() is only reliable straight off a file
-    // scan (after a shuffled delete anti-join it returns empty), and a
-    // file whose only matching rows are delete-suppressed merely rewrites
-    // harmlessly — the survivor scan below applies the deletes
+    if (candidates.isEmpty) return Seq.empty
     val dataPrefix = dataDir(qroot).toUri.getPath
     val hit = discover(scanRaw(spark, qroot, m, candidates)
         .withColumn("__graft_file", input_file_name()))
@@ -2517,14 +2516,7 @@ object Snapshots {
       .map(r => java.net.URI.create(r.getString(0)).getPath
         .stripPrefix(dataPrefix).stripPrefix("/")).toSet
       .filter(_.nonEmpty)
-    if (hit.isEmpty) return None
-    val rewrite = m.files.filter(e => hit(e.rel))
-    val out = transform(scanWithDeletes(spark, qroot, m, rewrite))
-    Some(writeInternal(
-      splitPerPartition(out, partitionFields, targetFilesPerPartition),
-      root, partitionFields, SnapAppend, modeLabel,
-      graft.schema.SchemaEvolution.Widen,
-      extraRemoves = rewrite.map(_.rel)))
+    m.files.filter(e => hit(e.rel))
   }
 
   /** Route a rewrite so each partition value lands on ≤ `t` tasks (→ ≤ t

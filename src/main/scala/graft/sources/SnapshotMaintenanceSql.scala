@@ -92,32 +92,43 @@ private[sources] object SnapshotMaintenanceSql {
     ("""(?is)\s*CALL\s+graft_(maintain|compact|expire|vacuum|rollback""" +
       """|tag|drop_tag)\s*\((.*)\)\s*;?\s*(?:--[^\r\n]*)?\s*""").r
 
-  /** Strip LEADING line/block comments and a TRAILING line comment — a
-    * `CALL graft_vacuum('/x') -- nightly` must still be recognized, or
-    * it falls through to Spark's CALL-procedure machinery and surfaces
-    * as an unrelated error. Leading strips are safe (no string literal
-    * can precede the statement); the trailing strip only touches a
-    * final `--` line, which cannot start inside a (single-line) string
-    * argument that the anchored regex already closed. */
+  /** Strip `--` line comments and slash-star block comments ANYWHERE
+    * outside a single-quoted string — leading, trailing (any number,
+    * either kind), or between arguments — so a commented
+    * `CALL graft_vacuum('/x') -- nightly` (or the block-comment
+    * spelling) is still recognized instead of falling through to
+    * Spark's CALL-procedure machinery and surfacing as an unrelated
+    * error (the no-fall-through guarantee). Quote-aware: a comment
+    * opener inside a quoted dataset root (''-escapes honored) is
+    * argument text, never a comment. An unterminated block comment
+    * strips to the end, matching how every SQL lexer treats the
+    * tail. */
   private def stripComments(sql: String): String = {
-    var t = sql
-    var changed = true
-    while (changed) {
-      changed = false
-      val lead = t.dropWhile(_.isWhitespace)
-      if (lead.startsWith("--")) {
-        val nl = lead.indexOf('\n')
-        t = if (nl < 0) "" else lead.substring(nl + 1); changed = true
-      } else if (lead.startsWith("/*")) {
-        val end = lead.indexOf("*/")
-        if (end >= 0) { t = lead.substring(end + 2); changed = true }
-        else t = lead
-      } else t = lead
+    val out = new StringBuilder
+    var i = 0
+    var inQuote = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inQuote) {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+            out.append('\''); i += 1
+          } else inQuote = false
+        }
+        i += 1
+      } else if (c == '\'') {
+        inQuote = true; out.append(c); i += 1
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        val nl = sql.indexOf('\n', i)
+        i = if (nl < 0) sql.length else nl // keep the newline as space
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val end = sql.indexOf("*/", i + 2)
+        if (end < 0) i = sql.length
+        else { out.append(' '); i = end + 2 }
+      } else { out.append(c); i += 1 }
     }
-    val lines = t.linesIterator.toSeq
-    if (lines.nonEmpty && lines.last.trim.startsWith("--"))
-      lines.dropRight(1).mkString("\n")
-    else t
+    out.result()
   }
 
   /** The parser hook: Some(command) for exactly our statements,

@@ -249,18 +249,36 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
       // hash the QUALIFIED path, not the raw spelling: the same lineage
       // restarted with '/cp' vs 'file:///cp' must derive the same tag —
       // a respelling that silently forked the tag would double-deliver
-      // the replayed batch
+      // the replayed batch. Qualification failure is LOUD for the same
+      // reason: a silent raw-path fallback IS a respelling fork (the
+      // next healthy restart would derive the other tag and re-deliver).
       val p = new org.apache.hadoop.fs.Path(cp.stripSuffix("/"))
       val qualified =
         try p.getFileSystem(sqlContext.sparkSession.sessionState
           .newHadoopConf()).makeQualified(p).toString
-        catch { case scala.util.control.NonFatal(_) => p.toString }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            throw new IllegalArgumentException(
+              s"cannot qualify checkpointLocation '$cp' to derive the " +
+                "stream replay tag (a raw-path fallback would fork the " +
+                "tag lineage and double-deliver replays) — fix the " +
+                "filesystem config, or name the lineage explicitly with " +
+                s"option(\"streamTag\", ...): $e", e)
+        }
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(qualified.getBytes("UTF-8"))
       digest.take(6).map(b => f"$b%02x").mkString
     }
+    val legacyMigration = byLower.get("legacytagmigration")
+      .map(_.trim.toLowerCase) match {
+      case None => false
+      case Some("true") => true
+      case Some("false") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"legacyTagMigration must be true|false, got '$other'")
+    }
     new SnapshotStreamSink(sqlContext, o.root, queryTag, fields,
-      o.statsColumns, o.bloomColumns)
+      o.statsColumns, o.bloomColumns, legacyMigration)
   }
 
   /** `df.write.format("graft-snapshot")` — lands one snapshot through

@@ -272,10 +272,6 @@ private[sources] object SnapshotDml {
   def convertMerge(rel: SnapshotRelation, m: MergeIntoTable): LogicalPlan = {
     val tOut = AttributeSet(m.targetTable.output)
     val sOut = AttributeSet(m.sourceTable.output)
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case x => Seq(x)
-    }
     val keyPairs = conjuncts(m.mergeCondition).map {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if tOut.contains(a) && sOut.contains(b) => (a.name, b.name)
@@ -700,13 +696,20 @@ case class SnapshotTruncateCommand(
     if (spec.isEmpty) Snapshots.truncate(session, root): Unit
     else {
       val fields = Snapshots.recordedPartitionCols(session, root)
-      spec.keys.foreach(k => require(fields.contains(k),
-        s"TRUNCATE PARTITION column '$k' is not a partition field — the " +
-          s"recorded spec is (${fields.mkString(", ")}); row-level " +
-          "removal is DELETE FROM"))
+      // match spec keys with the SESSION resolver (case-insensitive by
+      // default, like every analyzer comparison) and canonicalize to the
+      // recorded field name — `PARTITION (DAY = ...)` on a `day`-
+      // partitioned table is legal SQL, not a missing column
+      val resolver = session.sessionState.conf.resolver
       val schema = Snapshots.tableSchema(session, root)
       val cond = spec.map { case (k, v) =>
-        col(s"`${k.replace("`", "``")}`") === lit(v).cast(schema(k).dataType)
+        val field = fields.find(resolver(_, k)).getOrElse(
+          throw new IllegalArgumentException(
+            s"TRUNCATE PARTITION column '$k' is not a partition field — " +
+              s"the recorded spec is (${fields.mkString(", ")}); " +
+              "row-level removal is DELETE FROM"))
+        col(s"`${field.replace("`", "``")}`") ===
+          lit(v).cast(schema(field).dataType)
       }.reduce(_ && _)
       Snapshots.deleteWhere(session, root, fields, cond): Unit
     }

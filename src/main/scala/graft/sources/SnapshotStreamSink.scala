@@ -35,7 +35,8 @@ import org.apache.spark.sql.execution.streaming.Sink
 class SnapshotStreamSink(
     sqlContext: SQLContext, root: String, queryTag: String,
     partitionBy: Seq[String],
-    statsColumns: Seq[String], bloomColumns: Seq[String]) extends Sink {
+    statsColumns: Seq[String], bloomColumns: Seq[String],
+    legacyTagMigration: Boolean = false) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = sqlContext.sparkSession
@@ -57,16 +58,24 @@ class SnapshotStreamSink(
             "partitionBy (comma-separated partition fields)")
         partitionBy
     }
-    // upgrade migration: a checkpoint running before tags were
-    // query-scoped wrote bare `stream-<batchId>` tags; its crash-replay
-    // arrives here post-upgrade and must still converge. Only honored
-    // while NO scoped tag of THIS lineage exists in the window — once
-    // this query has published under the scoped scheme, a bare legacy
-    // tag is some other (pre-upgrade) query's history, and skipping on
-    // it would resurrect the collision this scoping removed.
-    val window = Snapshots.recentReplayTags(spark, root)
-    if (window.contains(s"stream-$batchId") &&
-        !window.exists(_.startsWith(s"stream-$queryTag-"))) return
+    // upgrade migration — OPT-IN (`legacyTagMigration` on the restart
+    // that continues a PRE-query-scoping checkpoint): a checkpoint
+    // running before tags were query-scoped wrote bare
+    // `stream-<batchId>` tags; its crash-replay arrives here
+    // post-upgrade and must still converge. Only honored while NO
+    // scoped tag of THIS lineage exists in the window — once this query
+    // has published under the scoped scheme, a bare legacy tag is some
+    // other (pre-upgrade) query's history. NOT the default, because a
+    // bare tag names no lineage: a NEW query against a root holding
+    // another query's legacy tags would have its real batches silently
+    // converged as redeliveries — data loss — whenever its batch ids
+    // collide with the window. Default-off trades that silent loss for
+    // a documented one-flag migration step.
+    if (legacyTagMigration) {
+      val window = Snapshots.recentReplayTags(spark, root)
+      if (window.contains(s"stream-$batchId") &&
+          !window.exists(_.startsWith(s"stream-$queryTag-"))) return
+    }
     Snapshots.write(batch, root, fields, Snapshots.SnapAppend,
       statsColumns = statsColumns, bloomColumns = bloomColumns,
       batchTag = Some(s"stream-$queryTag-$batchId")): Unit

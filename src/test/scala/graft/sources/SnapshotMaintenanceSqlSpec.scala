@@ -133,6 +133,10 @@ class SnapshotMaintenanceSqlSpec extends SparkSpec {
     // explicit-id tagging; a string where an id belongs is loud
     assert(spark.sql(s"CALL graft_tag('$esc', 'v1', 1)").head()
       .getInt(0) == 1)
+    // block comments anywhere around a recognized statement must not
+    // defeat the intercept (the no-fall-through guarantee, both kinds)
+    assert(spark.sql(s"/* release */ CALL graft_tag('$esc', 'v2') /* pin */")
+      .head().getInt(0) == 4)
     val exStr = intercept[IllegalArgumentException] {
       spark.sql(s"CALL graft_tag('$esc', 3)")
     }

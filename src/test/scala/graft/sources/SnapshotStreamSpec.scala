@@ -175,17 +175,22 @@ class SnapshotStreamSpec extends SparkSpec {
       Seq("o_orderpriority"), batchTag = Some("stream-0"))
     val before = Snapshots.currentSnapshot(spark, dst)
     // the upgrade continues the SAME checkpoint (that is what makes the
-    // replay a replay)
+    // replay a replay) — with the migration flag set for the restart,
+    // the documented one-flag upgrade recipe. The flag is OPT-IN: a
+    // bare legacy tag names no lineage, so honoring it by default would
+    // silently converge a NEW query's real batches (data loss) whenever
+    // its batch ids collide with another query's pre-upgrade window.
     val cp = java.nio.file.Files.createTempDirectory("slegacy_cp").toString
-    def run(): Unit = {
+    def run(migration: Boolean): Unit = {
       val q = spark.readStream.format("graft-snapshot").load(src)
         .writeStream.format("graft-snapshot")
         .option("checkpointLocation", cp)
+        .option("legacyTagMigration", migration.toString)
         .partitionBy("o_orderpriority")
         .start(dst)
       try { q.processAllAvailable() } finally q.stop()
     }
-    run()
+    run(migration = true)
     assert(Snapshots.currentSnapshot(spark, dst) == before,
       "the replayed batch 0 must converge on its LEGACY tag, not " +
         "double-append the pre-upgrade landing")
@@ -194,10 +199,27 @@ class SnapshotStreamSpec extends SparkSpec {
     // other queries' history
     Snapshots.write(orders.filter(k % 2 === 1).coalesce(1), src,
       Seq("o_orderpriority"), Snapshots.SnapAppend)
-    run()
+    run(migration = false)
     assert(keysOf(Snapshots.read(spark, dst)) == keysOf(orders),
       "post-migration batches land under the scoped scheme")
     assert(Snapshots.read(spark, dst).count() == orders.count())
+    // the default-off guarantee: a NEW query (fresh checkpoint) against
+    // a root still holding legacy tags must LAND its batch 0 — before
+    // the opt-in gate, the bare `stream-0` in the window silently
+    // swallowed it
+    val dst2 = java.nio.file.Files.createTempDirectory("slegacy_d2").toString
+    Snapshots.write(orders.filter(k % 2 === 0).coalesce(1), dst2,
+      Seq("o_orderpriority"), batchTag = Some("stream-0"))
+    val cp2 = java.nio.file.Files.createTempDirectory("slegacy_c2").toString
+    val q2 = spark.readStream.format("graft-snapshot").load(src)
+      .writeStream.format("graft-snapshot")
+      .option("checkpointLocation", cp2)
+      .partitionBy("o_orderpriority")
+      .start(dst2)
+    try { q2.processAllAvailable() } finally q2.stop()
+    assert(Snapshots.read(spark, dst2).count() > orders.filter(k % 2 === 0).count(),
+      "a new query's batch 0 must never be swallowed by another " +
+        "query's legacy tag")
   }
 
   test("maxRowsPerTrigger / maxBytesPerTrigger bound catch-up by manifest-recorded size") {
