@@ -30,7 +30,10 @@ import org.apache.spark.sql.types.{StructType, TimestampType}
  *    flow through without a per-row Row conversion.
  *
  * Options: `path` (the dataset root — set by `LOCATION`), `asOf` (pin a
- * snapshot id — a time-travel table), `tag` (pin a named tag), `branch`
+ * snapshot id — a time-travel table), `asOfTimestamp`/`timestampAsOf`
+ * (pin by publish instant — epoch millis or any session-parsable
+ * timestamp string, resolved to an id at relation creation), `tag`
+ * (pin a named tag), `branch`
  * (read a live branch's head — the WAP audit workflow queried through
  * SQL before [[Snapshots.fastForward]] publishes it; read-only, and it
  * tracks the branch head per scan exactly as an unpinned table tracks
@@ -65,8 +68,8 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
   override def shortName(): String = "graft-snapshot"
 
   private case class Opts(
-      root: String, asOf: Option[Int], tag: Option[String],
-      branch: Option[String],
+      root: String, asOf: Option[Int], asOfTs: Option[String],
+      tag: Option[String], branch: Option[String],
       partitionBy: Seq[String], statsColumns: Seq[String],
       bloomColumns: Seq[String], replaceWhere: Option[String])
 
@@ -77,10 +80,18 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
         "graft-snapshot needs the dataset root: LOCATION '<root>' (or a " +
           "path/root option)")))
     val asOf = byLower.get("asof").map(_.trim.toInt)
+    // the Delta-timestampAsOf role: resolve "the table as of 9am"
+    // against recorded publish instants at relation creation — accepted
+    // under both public spellings (parsed where the session tz is known)
+    val asOfTs = byLower.get("asoftimestamp")
+      .orElse(byLower.get("timestampasof")).map(_.trim).filter(_.nonEmpty)
+    require(asOf.isEmpty || asOfTs.isEmpty,
+      "asOf and asOfTimestamp are two spellings of the same pin — " +
+        "give one")
     val tag = byLower.get("tag")
     val branch = byLower.get("branch")
-    require(Seq(asOf, tag, branch).count(_.isDefined) <= 1,
-      "asOf, tag and branch are mutually exclusive")
+    require(Seq(asOf.orElse(asOfTs), tag, branch).count(_.isDefined) <= 1,
+      "asOf/asOfTimestamp, tag and branch are mutually exclusive")
     def cols(key: String): Seq[String] = byLower.get(key).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     // `df.write.partitionBy(...)` and SQL CTAS `PARTITIONED BY` arrive
@@ -97,7 +108,7 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
       s"partitionBy(${writerPb.mkString(",")}) conflicts with option " +
         s"partitionBy=${optionPb.mkString(",")}")
     val pb = if (writerPb.nonEmpty) writerPb else optionPb
-    Opts(root, asOf, tag, branch, pb,
+    Opts(root, asOf, asOfTs, tag, branch, pb,
       cols("statscolumns"), cols("bloomcolumns"),
       byLower.get("replacewhere").map(_.trim).filter(_.nonEmpty))
   }
@@ -106,7 +117,19 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val o = parse(parameters)
-    new SnapshotRelation(sqlContext, o.root, o.asOf, o.tag, o.branch)
+    // asOfTimestamp resolves to a concrete snapshot id HERE (relation
+    // creation), against recorded publish instants — from then on the
+    // relation is an ordinary time-travel pin
+    val pinned = o.asOf.orElse(o.asOfTs.map { raw =>
+      val ms = SnapshotSource.parseTsMillis(
+        sqlContext.sparkSession, raw)
+      Snapshots.snapshotAt(sqlContext.sparkSession, o.root, ms).getOrElse(
+        throw new IllegalArgumentException(
+          s"no retained snapshot published at or before '$raw' under " +
+            s"${o.root} — the earliest retained snapshot is newer (or " +
+            "was expired)"))
+    })
+    new SnapshotRelation(sqlContext, o.root, pinned, o.tag, o.branch)
   }
 
   /** The catalog-read arm: a metastore table replays the schema it
@@ -146,7 +169,8 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
 
   private def parseStream(parameters: Map[String, String]): StreamOpts = {
     val o = parse(parameters)
-    require(o.asOf.isEmpty && o.tag.isEmpty && o.branch.isEmpty,
+    require(o.asOf.isEmpty && o.asOfTs.isEmpty && o.tag.isEmpty &&
+      o.branch.isEmpty,
       "a snapshot STREAM follows main — asOf/tag/branch pins do not " +
         "advance and cannot stream")
     require(o.replaceWhere.isEmpty,
@@ -221,7 +245,8 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
         s"$outputMode; aggregate updates belong in foreachBatch + " +
         "Snapshots.mergeDeltas")
     val o = parse(parameters)
-    require(o.asOf.isEmpty && o.tag.isEmpty && o.branch.isEmpty,
+    require(o.asOf.isEmpty && o.asOfTs.isEmpty && o.tag.isEmpty &&
+      o.branch.isEmpty,
       "cannot stream into a pinned (asOf/tag/branch) reference")
     // partitionBy arrives either as writeStream.partitionBy(...) or as
     // the option — when both are given they must AGREE (a first batch
@@ -291,7 +316,7 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
       sqlContext: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val o = parse(parameters)
-    require(o.asOf.isEmpty && o.tag.isEmpty,
+    require(o.asOf.isEmpty && o.asOfTs.isEmpty && o.tag.isEmpty,
       "cannot write through a time-travel-pinned (asOf/tag) reference — " +
         "it is a read-only view of history")
     val spark = sqlContext.sparkSession
@@ -362,6 +387,26 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
 }
 
 object SnapshotSource {
+  /** An `asOfTimestamp` option value as epoch millis: pure digits read
+    * as epoch millis verbatim; anything else parses through Catalyst's
+    * own string→timestamp cast under the SESSION timezone — exactly the
+    * forms `TIMESTAMP '...'` accepts in this session's SQL, no second
+    * date grammar. */
+  private[sources] def parseTsMillis(
+      spark: org.apache.spark.sql.SparkSession, raw: String): Long = {
+    if (raw.nonEmpty && raw.forall(_.isDigit)) return raw.toLong
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.TimestampType, Some(tz)).eval()
+    require(micros != null,
+      s"asOfTimestamp '$raw' is not a timestamp this session can parse " +
+        "(epoch millis, ISO instant, or 'yyyy-MM-dd[ HH:mm:ss]')")
+    micros.asInstanceOf[Long] / 1000L
+  }
+
   /** The partition spec the dataset records (the current manifest's
     * `partitionby=` line) — what `INSERT INTO` writes route under. */
   private[sources] def recordedPartitioning(

@@ -291,6 +291,57 @@ class SnapshotSourceSpec extends SparkSpec {
     spark.sql("DROP TABLE snap_in_tbl")
   }
 
+  test("asOfTimestamp option pins by recorded publish instant (both public spellings)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("srcsnap_ts").toString
+    Snapshots.write(Seq((1L, "a")).toDF("k", "p"), root, Seq("p"))
+    val between = System.currentTimeMillis()
+    Thread.sleep(5)
+    Snapshots.write(Seq((2L, "a")).toDF("k", "p"), root, Seq("p"),
+      Snapshots.SnapAppend)
+    // epoch-millis spelling: resolves to s1 (the newest at-or-before)
+    assert(spark.read.format("graft-snapshot")
+      .option("asOfTimestamp", between.toString).load(root).count() == 1)
+    // Delta's option spelling, session-parsable timestamp string
+    val tsStr = new java.sql.Timestamp(between).toString
+    assert(spark.read.format("graft-snapshot")
+      .option("timestampAsOf", tsStr).load(root).count() == 1)
+    // a pre-history timestamp names the real condition
+    val ex = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot")
+        .option("asOfTimestamp", "100").load(root)
+    }
+    assert(ex.getMessage.contains("no retained snapshot"))
+    // the pin is read-only and excludes the id spelling
+    val exBoth = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot").option("asOf", "1")
+        .option("asOfTimestamp", between.toString).load(root)
+    }
+    assert(exBoth.getMessage.contains("one"))
+  }
+
+  test("Trigger.AvailableNow drains the snapshot stream to the current head and stops") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("srcsnap_an").toString
+    val cp = java.nio.file.Files.createTempDirectory("srcsnap_ancp").toString
+    for (i <- 0 until 3)
+      Snapshots.write(Seq((i.toLong, "a")).toDF("k", "p"), root, Seq("p"),
+        Snapshots.SnapAppend)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-snapshot")
+      // one snapshot per trigger: AvailableNow must still drain ALL of
+      // them before terminating (the catch-up contract under a cap)
+      .option("maxSnapshotsPerTrigger", "1").load(root)
+      .writeStream.option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized { got ++= df.select("k").collect().map(_.getLong(0)) }: Unit
+      }.start()
+    assert(q.awaitTermination(120000),
+      "AvailableNow must terminate after draining to the head")
+    assert(got.sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("df.write.partitionBy flows through the v1 writer encoding; conflicts with the option are loud") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("srcsnap_pb").toString
