@@ -16,6 +16,10 @@ object Probe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the standard deployment extension, matching Bench/Verify — the
+      // SQL-DML fixtures need the rule, and probing a different session
+      // shape than the gates time would mis-adjudicate drift
+      .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // comma-separated names all probe inside the same warm session, so the
