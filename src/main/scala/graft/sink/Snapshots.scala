@@ -3346,6 +3346,57 @@ object Snapshots {
       cache: scala.collection.mutable.Map[Int, RawManifest]): RawManifest =
     cache.getOrElseUpdate(id, readSnapshotFile(f, qroot, id))
 
+  /** Per-live-file manifest inventory of a snapshot (current by
+    * default) — relative path, partition dir, manifest-stamped sequence
+    * (the snapshot that added it), row count and byte size (null when
+    * the file predates recording). Answered from the manifest alone —
+    * the `DESCRIBE DETAIL`-files / `inputFiles` role at metadata cost,
+    * no directory listing, no data file opened. */
+  def liveFiles(
+      spark: SparkSession, root: String,
+      asOf: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val (f, qroot) = FsOps.fs(spark, root)
+    val id = asOf.orElse(currentSnapshot(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no snapshot published under $root"))
+    resolve(f, qroot, id).files.sortBy(_.rel)
+      .map(e => (e.rel, parentDirOf(e.rel), e.seq,
+        if (e.rows >= 0) Some(e.rows) else None,
+        if (e.bytes >= 0) Some(e.bytes) else None))
+      .toDF("file", "partition", "added_by", "n_rows", "n_bytes")
+  }
+
+  /** One-row operational summary of the dataset (the Delta
+    * `DESCRIBE DETAIL` role): current snapshot, format/codec, the
+    * recorded partition/stat/bloom declarations, live file/partition/
+    * row/byte totals, pending equality-delete files, and ref counts —
+    * manifests and the refs/branches listings only, no data file
+    * opened. */
+  def detail(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val (f, qroot) = FsOps.fs(spark, root)
+    val id = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no snapshot published under $root"))
+    val m = resolve(f, qroot, id)
+    Seq((id, m.mode, m.format, m.codec,
+      m.partitionCols.mkString(","), m.statsCols.mkString(","),
+      m.bloomCols.mkString(","),
+      m.files.length.toLong,
+      m.files.map(e => parentDirOf(e.rel)).distinct.length.toLong,
+      if (m.files.nonEmpty && m.files.forall(_.rows >= 0))
+        Some(m.files.map(_.rows).sum)
+      else if (m.files.isEmpty) Some(0L) else None,
+      if (m.files.nonEmpty && m.files.forall(_.bytes >= 0))
+        Some(m.files.map(_.bytes).sum)
+      else if (m.files.isEmpty) Some(0L) else None,
+      m.deletes.length.toLong,
+      tags(spark, root).size.toLong,
+      branches(spark, root).size.toLong))
+      .toDF("snapshot_id", "mode", "format", "codec", "partition_by",
+        "stats_columns", "bloom_columns", "n_files", "n_partitions",
+        "n_rows", "n_bytes", "n_delete_files", "n_tags", "n_branches")
+  }
+
   private def readResolved(
       spark: SparkSession, qroot: Path, m: Resolved,
       prune: Seq[StatRange], label: String): DataFrame = {

@@ -21,11 +21,12 @@ import org.apache.spark.sql.types.StringType
  * Each resolves at ANALYSIS time into a [[LocalRelation]] over the
  * manifest-answered frame — sound because these reads are
  * metadata-cost and metadata-SIZED by construction (rows ≤ retained
- * snapshots / live partitions; no data file is opened), so
- * materializing them driver-side is exactly what the underlying API
- * does anyway. The argument must be one string literal (the dataset
- * root): a non-literal cannot be evaluated during resolution and
- * fails loudly.
+ * snapshots / live partitions / live files; no data file is opened —
+ * and the per-FILE inventory is no larger than the resolved manifest
+ * the driver already holds to plan ANY read), so materializing them
+ * driver-side is exactly what the underlying API does anyway. The
+ * argument must be one string literal (the dataset root): a
+ * non-literal cannot be evaluated during resolution and fails loudly.
  */
 object SnapshotTvfs {
 
@@ -41,7 +42,15 @@ object SnapshotTvfs {
         (s, r) => Snapshots.snapshotLog(s, r)),
       ("graft_partition_stats",
         "per-partition live files/rows/bytes from the manifest alone",
-        (s, r) => Snapshots.partitionStats(s, r)))
+        (s, r) => Snapshots.partitionStats(s, r)),
+      ("graft_files",
+        "per-live-file inventory: path, partition, adding snapshot, " +
+          "rows, bytes",
+        (s, r) => Snapshots.liveFiles(s, r)),
+      ("graft_detail",
+        "one-row dataset summary: current id, format, declarations, " +
+          "live totals, pending deletes, ref counts",
+        (s, r) => Snapshots.detail(s, r)))
 
   /** The injected resolution: one string-literal root → LocalRelation. */
   def resolve(

@@ -110,6 +110,24 @@ class GraftExtensionsSpec extends SparkSpec {
     // the TVF equals the Scala API exactly
     assert(spark.sql(s"SELECT * FROM graft_history('$esc')").collect()
       .toSeq == graft.sink.Snapshots.history(spark, root).collect().toSeq)
+    // per-live-file inventory (manifest-answered): three one-file writes
+    // → three files, each stamped with the snapshot that added it
+    val files = spark.sql(
+      s"""SELECT partition, added_by, n_rows
+         |FROM graft_files('$esc') ORDER BY file""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(files.length == 3 &&
+      files.count(_._1 == "p=a") == 2 && files.count(_._1 == "p=b") == 1)
+    assert(files.map(_._3).sum == 3L, s"per-file rows: ${files.toSeq}")
+    // one-row DESCRIBE DETAIL: declarations + live totals + ref counts
+    val det = spark.sql(
+      s"""SELECT snapshot_id, partition_by, stats_columns, n_files,
+         |  n_partitions, n_rows, n_delete_files, n_tags
+         |FROM graft_detail('$esc')""".stripMargin).head()
+    assert(det.getInt(0) == 2 && det.getString(1) == "p" &&
+      det.getString(2) == "k" && det.getLong(3) == 3L &&
+      det.getLong(4) == 2L && det.getLong(5) == 3L &&
+      det.getLong(6) == 0L && det.getLong(7) == 0L, det.toString)
     // a computed (non-literal) root cannot resolve — loud, named error
     def messages(t: Throwable): String =
       if (t == null) "" else s"${t.getMessage}\n${messages(t.getCause)}"
