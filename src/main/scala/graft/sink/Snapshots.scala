@@ -3360,7 +3360,11 @@ object Snapshots {
     val id = asOf.orElse(currentSnapshot(spark, root)).getOrElse(
       throw new IllegalStateException(s"no snapshot published under $root"))
     resolve(f, qroot, id).files.sortBy(_.rel)
-      .map(e => (e.rel, parentDirOf(e.rel), e.seq,
+      // legacy entries predate seq recording (parser default 0; ids
+      // start at 1) — null, like the rows/bytes columns, never a
+      // nonexistent s0
+      .map(e => (e.rel, parentDirOf(e.rel),
+        if (e.seq > 0) Some(e.seq) else None,
         if (e.rows >= 0) Some(e.rows) else None,
         if (e.bytes >= 0) Some(e.bytes) else None))
       .toDF("file", "partition", "added_by", "n_rows", "n_bytes")
@@ -3515,11 +3519,27 @@ object Snapshots {
     * existing name moves it (atomic overwrite). */
   def tagSnapshot(
       spark: SparkSession, root: String, name: String, id: Int): Unit = {
-    requireRefName("tag", name)
-    val (f, qroot) = FsOps.fs(spark, root)
     val cur = currentSnapshot(spark, root).getOrElse(
       throw new IllegalStateException(s"no snapshot published under $root"))
     require(id <= cur, s"cannot tag unpublished snapshot s$id (newest s$cur)")
+    tagResolved(spark, root, name, id)
+  }
+
+  /** Tag the CURRENT snapshot (one pointer read — the default-to-current
+    * choice lives HERE, not in each SQL/ops caller). Returns the tagged
+    * id. */
+  def tagCurrent(spark: SparkSession, root: String, name: String): Int = {
+    val cur = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot published under $root — nothing to tag"))
+    tagResolved(spark, root, name, cur)
+    cur
+  }
+
+  private def tagResolved(
+      spark: SparkSession, root: String, name: String, id: Int): Unit = {
+    requireRefName("tag", name)
+    val (f, qroot) = FsOps.fs(spark, root)
     resolve(f, qroot, id): Unit // fails loudly if already expired
     f.mkdirs(refsDir(qroot))
     FsOps.atomicWrite(f, new Path(refsDir(qroot), name), s"s$id")

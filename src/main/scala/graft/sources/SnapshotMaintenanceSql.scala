@@ -136,8 +136,28 @@ private[sources] object SnapshotMaintenanceSql {
     * inside a recognized statement fail loudly HERE — a typo'd
     * maintenance call must never fall through to Spark's parser and
     * surface as an unrelated CALL-procedure error. */
-  def intercept(sqlText: String): Option[LogicalPlan] =
-    stripComments(sqlText) match {
+  def intercept(sqlText: String): Option[LogicalPlan] = {
+    // cheap pre-filter before the character-by-character comment strip:
+    // no recognizable statement can lack the literal "graft_", and the
+    // overwhelmingly common non-graft statement (including multi-MB
+    // INSERT scripts) must not pay a full rebuild per parse
+    if (!containsIgnoreCase(sqlText, "graft_")) return None
+    interceptStripped(stripComments(sqlText))
+  }
+
+  private def containsIgnoreCase(haystack: String, needle: String): Boolean = {
+    var i = 0
+    val max = haystack.length - needle.length
+    while (i <= max) {
+      if (haystack.regionMatches(true, i, needle, 0, needle.length))
+        return true
+      i += 1
+    }
+    false
+  }
+
+  private def interceptStripped(stripped: String): Option[LogicalPlan] =
+    stripped match {
     case Call(op, argText) =>
       val args = splitArgs(argText)
       require(args.nonEmpty,
@@ -363,10 +383,10 @@ case class SnapshotTagSqlCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     val root = target.resolveRoot(session)
-    val sid = id.orElse(Snapshots.currentSnapshot(session, root))
-      .getOrElse(throw new IllegalStateException(
-        s"no snapshot published under $root — nothing to tag"))
-    Snapshots.tagSnapshot(session, root, name, sid)
+    val sid = id match {
+      case Some(i) => Snapshots.tagSnapshot(session, root, name, i); i
+      case None => Snapshots.tagCurrent(session, root, name)
+    }
     Seq(Row(sid))
   }
 }

@@ -82,9 +82,19 @@ class SnapshotSource extends RelationProvider with SchemaRelationProvider
     val asOf = byLower.get("asof").map(_.trim.toInt)
     // the Delta-timestampAsOf role: resolve "the table as of 9am"
     // against recorded publish instants at relation creation — accepted
-    // under both public spellings (parsed where the session tz is known)
+    // under both public spellings (parsed where the session tz is
+    // known). A PRESENT-but-empty value is loud, never a silent
+    // fall-through to the live head: an unset template variable must
+    // not make a "historical" job read current data.
     val asOfTs = byLower.get("asoftimestamp")
-      .orElse(byLower.get("timestampasof")).map(_.trim).filter(_.nonEmpty)
+      .orElse(byLower.get("timestampasof")).map { v =>
+        val t = v.trim
+        require(t.nonEmpty,
+          "asOfTimestamp is set but empty — give a timestamp (epoch " +
+            "millis, ISO instant, or 'yyyy-MM-dd[ HH:mm:ss]'), or drop " +
+            "the option to read the current snapshot")
+        t
+      }
     require(asOf.isEmpty || asOfTs.isEmpty,
       "asOf and asOfTimestamp are two spellings of the same pin — " +
         "give one")
@@ -394,16 +404,28 @@ object SnapshotSource {
     * date grammar. */
   private[sources] def parseTsMillis(
       spark: org.apache.spark.sql.SparkSession, raw: String): Long = {
-    if (raw.nonEmpty && raw.forall(_.isDigit)) return raw.toLong
+    def fail(cause: Throwable): Nothing =
+      throw new IllegalArgumentException(
+        s"asOfTimestamp '$raw' is not a timestamp this session can " +
+          "parse (epoch millis, ISO instant, or " +
+          "'yyyy-MM-dd[ HH:mm:ss]')", cause)
+    // ASCII digits only — Unicode digits pass isDigit but not toLong
+    if (raw.nonEmpty && raw.forall(c => c >= '0' && c <= '9')) {
+      try return raw.toLong
+      catch { case e: NumberFormatException => fail(e) }
+    }
     val tz = spark.sessionState.conf.sessionLocalTimeZone
-    val micros = org.apache.spark.sql.catalyst.expressions.Cast(
-      org.apache.spark.sql.catalyst.expressions.Literal(
-        org.apache.spark.unsafe.types.UTF8String.fromString(raw),
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.TimestampType, Some(tz)).eval()
-    require(micros != null,
-      s"asOfTimestamp '$raw' is not a timestamp this session can parse " +
-        "(epoch millis, ISO instant, or 'yyyy-MM-dd[ HH:mm:ss]')")
+    // under ANSI mode (the Spark 4 default) a malformed string makes
+    // Cast.eval THROW rather than return null — both shapes must
+    // surface as the named option error, never a bare cast exception
+    val micros =
+      try org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(raw),
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.TimestampType, Some(tz)).eval()
+      catch { case scala.util.control.NonFatal(e) => fail(e) }
+    if (micros == null) fail(null)
     micros.asInstanceOf[Long] / 1000L
   }
 

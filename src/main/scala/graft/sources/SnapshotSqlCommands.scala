@@ -116,15 +116,20 @@ private[sources] object GraftCatalog {
     meta.provider.exists(p =>
       p.toLowerCase.contains("snapshotsource") || p == "graft-snapshot")
 
-  /** The pin option recorded at registration ("asof"/"tag"/"branch"),
-    * if any — pinned registrations are read-only views and reject every
-    * mutating SQL surface. */
+  /** The pin option recorded at registration (an id/timestamp/tag/
+    * branch pin under any accepted spelling), if any — pinned
+    * registrations are read-only views and reject every mutating SQL
+    * surface. MUST track every pin spelling the source accepts: a
+    * spelling this list misses would let TRUNCATE/ALTER/CALL mutate
+    * the live dataset through what the user believes is a read-only
+    * historical view. */
   def pinnedOption(
       meta: org.apache.spark.sql.catalyst.catalog.CatalogTable)
       : Option[String] = {
     val opts = meta.storage.properties.keysIterator
       .map(_.toLowerCase).toSet
-    Seq("asof", "tag", "branch").find(opts.contains)
+    Seq("asof", "asoftimestamp", "timestampasof", "tag", "branch")
+      .find(opts.contains)
   }
 
   /** The dataset root the registration records. */
@@ -702,12 +707,22 @@ case class SnapshotTruncateCommand(
       // partitioned table is legal SQL, not a missing column
       val resolver = session.sessionState.conf.resolver
       val schema = Snapshots.tableSchema(session, root)
-      val cond = spec.map { case (k, v) =>
+      val canon = spec.toSeq.map { case (k, v) =>
         val field = fields.find(resolver(_, k)).getOrElse(
           throw new IllegalArgumentException(
             s"TRUNCATE PARTITION column '$k' is not a partition field — " +
               s"the recorded spec is (${fields.mkString(", ")}); " +
               "row-level removal is DELETE FROM"))
+        field -> v
+      }
+      // two case-variant spellings of ONE field would silently AND into
+      // a match-nothing condition — loud instead
+      canon.groupBy(_._1).collectFirst { case (f, vs) if vs.length > 1 =>
+        throw new IllegalArgumentException(
+          s"TRUNCATE PARTITION names column '$f' ${vs.length} times " +
+            s"(values ${vs.map(_._2).mkString(", ")})")
+      }: Unit
+      val cond = canon.map { case (field, v) =>
         col(s"`${field.replace("`", "``")}`") ===
           lit(v).cast(schema(field).dataType)
       }.reduce(_ && _)

@@ -494,15 +494,44 @@ class SnapshotDmlSpec extends SparkSpec {
       spark.sql("TRUNCATE TABLE dml_trunc_tbl PARTITION (k = 1)")
     }
     assert(messages(exCol).contains("DELETE FROM"), messages(exCol))
-    // pinned registrations are read-only views
+    // two case-variant spellings of one partition field must be LOUD,
+    // never a silent match-nothing AND — Spark's parser rejects the
+    // duplicate spec itself (DUPLICATE_KEY); the command keeps its own
+    // guard for programmatic construction
+    val exDup = intercept[Exception] {
+      spark.sql("TRUNCATE TABLE dml_trunc_tbl PARTITION (p = 'p0', P = 'p2')")
+    }
+    assert(messages(exDup).contains("2 times") ||
+      messages(exDup).contains("DUPLICATE_KEY"), messages(exDup))
+    // pinned registrations are read-only views — under EVERY pin
+    // spelling, including the timestamp ones (a spelling the pin check
+    // missed would let TRUNCATE mutate the live dataset through a
+    // "historical" view)
     spark.sql("DROP TABLE IF EXISTS dml_trunc_pin")
     Snapshots.registerTable(spark, root, "dml_trunc_pin", asOf = Some(1))
     val exPin = intercept[Exception] {
       spark.sql("TRUNCATE TABLE dml_trunc_pin")
     }
     assert(messages(exPin).contains("read-only"), messages(exPin))
+    spark.sql("DROP TABLE IF EXISTS dml_trunc_tspin")
+    val escT = root.replace("'", "''")
+    spark.sql(
+      s"""CREATE TABLE dml_trunc_tspin USING `graft-snapshot`
+         |OPTIONS (timestampAsOf '${System.currentTimeMillis()}')
+         |LOCATION '$escT'""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM dml_trunc_tspin")
+      .head().getLong(0) > 0L)
+    val exTsPin = intercept[Exception] {
+      spark.sql("TRUNCATE TABLE dml_trunc_tspin")
+    }
+    assert(messages(exTsPin).contains("pinned"), messages(exTsPin))
+    val exTsCall = intercept[Exception] {
+      spark.sql("CALL graft_compact(dml_trunc_tspin)").collect()
+    }
+    assert(messages(exTsCall).contains("pinned"), messages(exTsCall))
     spark.sql("DROP TABLE dml_trunc_tbl")
     spark.sql("DROP TABLE dml_trunc_pin")
+    spark.sql("DROP TABLE dml_trunc_tspin")
   }
 
   test("CREATE TABLE ... AS SELECT lands the first snapshot through the commit protocol") {

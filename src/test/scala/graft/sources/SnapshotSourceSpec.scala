@@ -318,6 +318,19 @@ class SnapshotSourceSpec extends SparkSpec {
         .option("asOfTimestamp", between.toString).load(root)
     }
     assert(exBoth.getMessage.contains("one"))
+    // a present-but-EMPTY value is loud, never a silent fall-through to
+    // the live head (the unset-template-variable bug)
+    val exEmpty = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot")
+        .option("timestampAsOf", "  ").load(root)
+    }
+    assert(exEmpty.getMessage.contains("empty"))
+    // a malformed value names the OPTION, not a bare ANSI cast error
+    val exBad = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot")
+        .option("asOfTimestamp", "yesterday-ish").load(root)
+    }
+    assert(exBad.getMessage.contains("asOfTimestamp"))
   }
 
   test("Trigger.AvailableNow drains the snapshot stream to the current head and stops") {
