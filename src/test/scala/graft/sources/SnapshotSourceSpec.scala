@@ -291,6 +291,34 @@ class SnapshotSourceSpec extends SparkSpec {
     spark.sql("DROP TABLE snap_in_tbl")
   }
 
+  test("INSERT with a column list reorders and null-fills through the snapshot writer") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("srcsnap_cl").toString
+    Snapshots.write(Seq((1L, "x", "a")).toDF("k", "v", "p"), root, Seq("p"))
+    spark.sql("DROP TABLE IF EXISTS snap_cl_tbl")
+    Snapshots.registerTable(spark, root, "snap_cl_tbl")
+    // reordered list: the analyzer maps by NAME before the v1 insert
+    spark.sql("INSERT INTO snap_cl_tbl (p, k, v) VALUES ('b', 3, 'z')")
+    // partial list: unnamed columns fill null (SQL INSERT semantics)
+    spark.sql("INSERT INTO snap_cl_tbl (k, p) VALUES (4, 'a')")
+    val rows = spark.sql("SELECT k, v, p FROM snap_cl_tbl ORDER BY k")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+    assert(rows.toSeq == Seq((1L, Some("x"), "a"), (3L, Some("z"), "b"),
+      (4L, None, "a")))
+    // the static PARTITION clause is a DOCUMENTED limitation: Spark's
+    // analyzer consults catalog partition metadata (which a v1
+    // non-file-format registration cannot declare) before any
+    // extension rule runs — the error is loud and early, and the
+    // semantics are covered by in-row partition values (INSERT INTO)
+    // and dynamic INSERT OVERWRITE
+    val ex = intercept[Exception] {
+      spark.sql("INSERT INTO snap_cl_tbl PARTITION (p = 'c') VALUES (5, 'w')")
+    }
+    assert(ex.getMessage.contains("PARTITIONS_NOT_FOUND") ||
+      ex.getMessage.toLowerCase.contains("partition"))
+    spark.sql("DROP TABLE snap_cl_tbl")
+  }
+
   test("asOfTimestamp option pins by recorded publish instant (both public spellings)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("srcsnap_ts").toString
