@@ -1242,6 +1242,68 @@ object SinkQueries {
           |FROM graft_snap_ddl_tbl""".stripMargin)
     }),
 
+    // CHECK constraints — the ADD CONSTRAINT lifecycle from SQL: a rule
+    // added via CALL gates every later write lane (violating INSERT and
+    // UPDATE both fail NAMING the rule, with nothing published —
+    // asserted in-query), a tighter rule the data violates is refused
+    // at ADD, and dropping the rule releases it. Oracle: base ∪ the
+    // valid inserts ∪ the post-drop (previously invalid) inserts.
+    "sink_snapshot_constraints" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_ck").toString
+      val esc = out.replace("'", "''")
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      base.createOrReplaceTempView("graft_snap_ck_src")
+      Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"))
+      s.sql("DROP TABLE IF EXISTS graft_snap_ck_tbl")
+      Snapshots.registerTable(s, out, "graft_snap_ck_tbl")
+      s.sql(s"CALL graft_add_constraint('$esc', 'price_pos', " +
+        "'o_totalprice > 0')")
+      s.sql(
+        """INSERT INTO graft_snap_ck_tbl
+          |SELECT o_orderkey + 1000000, o_custkey, 'C', o_totalprice,
+          |  o_orderpriority
+          |FROM graft_snap_ck_src WHERE o_orderkey % 8 = 0""".stripMargin)
+      def fails(sql: String, naming: String): Unit = {
+        val ok =
+          try { s.sql(sql); false }
+          catch {
+            case e: Throwable =>
+              def msgs(t: Throwable): String =
+                if (t == null) "" else t.getMessage + "|" + msgs(t.getCause)
+              msgs(e).contains(naming)
+          }
+        require(ok, s"statement must fail naming $naming: $sql")
+      }
+      fails(
+        """INSERT INTO graft_snap_ck_tbl
+          |SELECT o_orderkey + 5000000, o_custkey, 'B', -o_totalprice,
+          |  o_orderpriority
+          |FROM graft_snap_ck_src WHERE o_orderkey % 5 = 0""".stripMargin,
+        "CHECK constraint 'price_pos'")
+      fails(
+        "UPDATE graft_snap_ck_tbl SET o_totalprice = -1 " +
+          "WHERE o_orderkey % 9 = 0", "CHECK constraint 'price_pos'")
+      fails(s"CALL graft_add_constraint('$esc', 'price_cap', " +
+        "'o_totalprice < 10')", "existing rows violate")
+      require(Snapshots.currentSnapshot(s, out).contains(3),
+        "failed statements must publish NOTHING")
+      s.sql(s"CALL graft_drop_constraint('$esc', 'price_pos')")
+      s.sql(
+        """INSERT INTO graft_snap_ck_tbl
+          |SELECT o_orderkey + 2000000, o_custkey, 'X', -o_totalprice,
+          |  o_orderpriority
+          |FROM graft_snap_ck_src WHERE o_orderkey % 50 = 0""".stripMargin)
+      require(Snapshots.history(s, out).collect().map(_.getString(1)).toSeq
+        == Seq("append", "add_constraint", "append", "drop_constraint",
+          "append"), "the constraint lifecycle must be audited history")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          |  o_orderpriority
+          |FROM graft_snap_ck_tbl""".stripMargin)
+    }),
+
     // Predicate-scoped overwrite — the Delta-replaceWhere statement
     // through the STANDARD writer API (df.write.partitionBy flows via
     // the v1 encoded option): one `replace_where` snapshot atomically
@@ -1826,6 +1888,22 @@ object SinkQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderpriority
         |FROM orders""".stripMargin,
+
+    // base ∪ the constrained-era valid inserts (8th keys, 'C') ∪ the
+    // post-drop negative-priced inserts (50th keys, 'X'); every
+    // violating statement was proven to publish nothing in-query
+    "sink_snapshot_constraints" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 1000000, o_custkey, 'C', o_totalprice,
+        |  o_orderpriority
+        |FROM orders WHERE o_orderkey % 8 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 2000000, o_custkey, 'X', -o_totalprice,
+        |  o_orderpriority
+        |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin,
 
     // base ∪ 'T'-statused shifted copies (the refill restored both from
     // history), minus the TRUNCATE PARTITION'd urgent partition

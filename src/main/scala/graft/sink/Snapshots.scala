@@ -214,7 +214,8 @@ object Snapshots {
       codec: Option[String], statsCols: Seq[String], batchTag: Option[String],
       partitionCols: Seq[String], ts: Option[Long] = None,
       recentTags: Seq[String] = Seq.empty,
-      bloomCols: Seq[String] = Seq.empty)
+      bloomCols: Seq[String] = Seq.empty,
+      constraints: Seq[(String, String)] = Seq.empty)
 
   /** One manifest as stored: a FULL file listing (`full` defined) or a
     * DELTA against `parent` (adds/removes). Delete-file lines ride the
@@ -228,7 +229,8 @@ object Snapshots {
       dAdds: Seq[DeleteEntry], dRemoves: Seq[String],
       dFull: Option[Seq[DeleteEntry]], ts: Option[Long],
       recentTags: Seq[String] = Seq.empty,
-      bloomCols: Seq[String] = Seq.empty) {
+      bloomCols: Seq[String] = Seq.empty,
+      constraints: Seq[(String, String)] = Seq.empty) {
     /** The rolling replay-tag window this manifest represents: manifests
       * predating `rtags=` recording carry only their own tag. */
     def effectiveRecentTags: Seq[String] =
@@ -244,7 +246,8 @@ object Snapshots {
       partitionCols: Seq[String], files: Seq[FileEntry],
       deletes: Seq[DeleteEntry], chainDepth: Int, ts: Option[Long],
       recentTags: Seq[String] = Seq.empty,
-      bloomCols: Seq[String] = Seq.empty)
+      bloomCols: Seq[String] = Seq.empty,
+      constraints: Seq[(String, String)] = Seq.empty)
 
   /** Quoted resolution of a LITERAL column name: this surface admits
     * field names containing dots (the sink's qcol discipline), and bare
@@ -369,6 +372,11 @@ object Snapshots {
       b ++= s"statscols=${meta.statsCols.map(enc).mkString(",")}\n"
     if (meta.bloomCols.nonEmpty)
       b ++= s"bloomcols=${meta.bloomCols.map(enc).mkString(",")}\n"
+    // every manifest re-renders the FULL constraint set (the statsCols
+    // discipline): the requested manifest alone answers "what holds"
+    meta.constraints.foreach { case (n, e) =>
+      b ++= s"constraint=${enc(n)}=${enc(e)}\n"
+    }
     if (meta.partitionCols.nonEmpty)
       b ++= s"partitionby=${meta.partitionCols.map(enc).mkString(",")}\n"
     meta.batchTag.foreach(t => b ++= s"batch=${enc(t)}\n")
@@ -403,6 +411,7 @@ object Snapshots {
       var batchTag: Option[String] = None; var parent: Option[Int] = None
       var ts: Option[Long] = None
       var recentTags: Seq[String] = Seq.empty
+      val constraints = Seq.newBuilder[(String, String)]
       val adds = Seq.newBuilder[FileEntry]
       val removes = Seq.newBuilder[String]
       val fulls = Seq.newBuilder[FileEntry]
@@ -430,6 +439,14 @@ object Snapshots {
         case l if l.startsWith("rtags=") =>
           recentTags = l.stripPrefix("rtags=").split(",").toSeq
             .filter(_.nonEmpty).map(dec)
+        case l if l.startsWith("constraint=") =>
+          // URL-encoding escapes '=' inside name/expr, so the FIRST '='
+          // of the payload is always the separator
+          val payload = l.stripPrefix("constraint=")
+          val sep = payload.indexOf('=')
+          require(sep > 0, s"corrupt constraint line in s$id: '$l'")
+          constraints += ((dec(payload.substring(0, sep)),
+            dec(payload.substring(sep + 1))))
         case l if l.startsWith("ts=") =>
           ts = Some(l.stripPrefix("ts=").toLong)
         case l if l.startsWith("parent=") =>
@@ -454,7 +471,7 @@ object Snapshots {
         if (parent.isEmpty) Some(fulls.result()) else None,
         dAdds.result(), dRemoves.result(),
         if (parent.isEmpty) Some(dFulls.result()) else None, ts, recentTags,
-        bloomCols)
+        bloomCols, constraints.result())
     } else {
       // v1 (positional): mode line, optional schema line, bare file paths
       val mode = lines.head.stripPrefix("mode=")
@@ -545,7 +562,7 @@ object Snapshots {
     Resolved(top.id, top.mode, top.schema, top.format, top.codec,
       top.statsCols, top.batchTag, top.partitionCols, files.values.toSeq,
       dels.values.toSeq, chain.length - 1, top.ts, top.effectiveRecentTags,
-      top.bloomCols)
+      top.bloomCols, top.constraints)
   }
 
   /** The current snapshot id, if any write has published. */
@@ -1160,9 +1177,24 @@ object Snapshots {
             s"${d.keyCols.mkString(",")}; cannot merge by ${kc.mkString(",")} " +
             "until foldDeletes clears them")))
     }
+    // CHECK constraints (dataset policy, carried manifest to manifest):
+    // enforced HERE — the ONE staging pass every lane funnels through
+    // (appends, streams, merges, deleteWhere/updateWhere/replaceWhere
+    // rewrites) — as codegen'd raise_error guards, so a violating row
+    // fails the write with the constraint NAMED and nothing published.
+    // No second scan, and sound for nondeterministic sources (the
+    // checked rows ARE the written rows).
+    val constraints = prev.map(_.constraints).getOrElse(Seq.empty)
+    val checked = constraints.foldLeft(df) { case (d, (n, sql)) =>
+      import org.apache.spark.sql.functions.{coalesce, concat, expr, lit, raise_error, struct, to_json, when}
+      d.filter(when(coalesce(expr(sql), lit(false)), lit(true))
+        .otherwise(raise_error(concat(
+          lit(s"CHECK constraint '$n' ($sql) violated by row: "),
+          to_json(struct(d.columns.toSeq.map(qc): _*))))))
+    }
     val staging = new Path(qroot,
       s".stage_${java.util.UUID.randomUUID().toString.take(12)}")
-    val w0 = df.write.mode("overwrite").partitionBy(partitionFields: _*)
+    val w0 = checked.write.mode("overwrite").partitionBy(partitionFields: _*)
       .format(fmtObj.name)
     dsCodec.fold(w0)(c => w0.option("compression", c)).save(staging.toString)
     // file lengths ride the same listing (zero extra RPCs) and are
@@ -1277,7 +1309,7 @@ object Snapshots {
       .takeRight(MaxRecentTags)
     val meta = SnapMeta(modeLabel, contract, fmtTok, dsCodec, statsCols,
       batchTag, partitionFields, Some(System.currentTimeMillis()), recentTags,
-      bloomCols)
+      bloomCols, constraints)
     val chainDepth = prev.map(_.chainDepth).getOrElse(0)
     val content =
       if (prev.isEmpty || chainDepth + 1 >= RebaseEvery) {
@@ -1329,7 +1361,7 @@ object Snapshots {
             retryAppendPublish(spark, f, qroot, root, df.schema, evolution,
               partitionFields, modeLabel, fmtTok, dsCodec, statsCols,
               bloomCols, batchTag, staged, statsByName, stagedLen, bloomRef,
-              race, dAdds, cur)
+              race, dAdds, cur, constraints)
         }
     }
   }
@@ -1379,7 +1411,8 @@ object Snapshots {
       bloomRef: Option[String],
       firstRace: java.util.ConcurrentModificationException,
       dAdds: Seq[DeleteEntry] = Seq.empty,
-      baseCur: Option[Int] = None): Int = {
+      baseCur: Option[Int] = None,
+      baseConstraints: Seq[(String, String)] = Seq.empty): Int = {
     var lastRace = firstRace
     var attempt = 0
     while (attempt < MaxCommitRetries) {
@@ -1391,8 +1424,13 @@ object Snapshots {
           p.batchTag == batchTag || p.recentTags.contains(batchTag.get)))
         return cur.get
       prev.foreach { p =>
+        // constraints must MATCH the base's: the staged rows were
+        // guarded under those — an interleaved add_constraint means
+        // this data was never checked against the new rule, so the
+        // retry aborts and the re-run re-stages under it
         val compatible = p.format == fmtTok && p.codec == dsCodec &&
           p.statsCols == statsCols && p.bloomCols == bloomCols &&
+          p.constraints == baseConstraints &&
           (p.partitionCols.isEmpty || p.partitionCols == partitionFields)
         if (!compatible) throw lastRace
       }
@@ -1423,7 +1461,7 @@ object Snapshots {
           .takeRight(MaxRecentTags)
       val meta = SnapMeta(modeLabel, contract, fmtTok, dsCodec, statsCols,
         batchTag, partitionFields, Some(System.currentTimeMillis()),
-        recentTags, bloomCols)
+        recentTags, bloomCols, baseConstraints)
       val chainDepth = prev.map(_.chainDepth).getOrElse(0)
       val content =
         if (prev.isEmpty || chainDepth + 1 >= RebaseEvery)
@@ -1498,7 +1536,8 @@ object Snapshots {
     // same (both have seq < the rebased id), so an interleaved
     // maintain() never blocks a mergeStream batch's rebase
     val rowPreserving =
-      Set("compact", "fold", "migrate_spec", "evolve_spec", "evolve_schema")
+      Set("compact", "fold", "migrate_spec", "evolve_spec", "evolve_schema",
+        "add_constraint", "drop_constraint")
     // entries interleaved winners ADDED then possibly removed later —
     // a later remove's stats may live here rather than in the base
     val interAdds = scala.collection.mutable.Map.empty[String, FileEntry]
@@ -1630,10 +1669,14 @@ object Snapshots {
     val live = resolve(f, qroot, cur, cache)
     // the replay window is the HEAD's (rollback rewinds data, not the
     // stream guard — a re-delivered recent batch must still converge)
+    // constraints follow the TARGET (like its schema/stat declarations):
+    // the restored state must re-declare what held when it was current —
+    // a live-carried rule could reference a column the target predates
     val meta = SnapMeta("rollback",
       target.schema.getOrElse(StructType(Seq.empty)), target.format,
       target.codec, target.statsCols, None, target.partitionCols,
-      Some(System.currentTimeMillis()), live.recentTags, target.bloomCols)
+      Some(System.currentTimeMillis()), live.recentTags, target.bloomCols,
+      target.constraints)
     val id = cur + 1
     val content =
       if (live.chainDepth + 1 >= RebaseEvery)
@@ -1942,7 +1985,7 @@ object Snapshots {
       // key-range-pruned everywhere): drop the entries metadata-only
       val meta = SnapMeta("fold", schema, m.format, m.codec, m.statsCols,
         None, m.partitionCols, Some(System.currentTimeMillis()),
-        m.recentTags, m.bloomCols)
+        m.recentTags, m.bloomCols, m.constraints)
       val nid = id + 1
       val content =
         if (m.chainDepth + 1 >= RebaseEvery)
@@ -2591,7 +2634,8 @@ object Snapshots {
       graft.schema.SchemaEvolution.Widen)
     val meta = SnapMeta("evolve_schema", widened, m.format, m.codec,
       m.statsCols, None, m.partitionCols,
-      Some(System.currentTimeMillis()), m.recentTags, m.bloomCols)
+      Some(System.currentTimeMillis()), m.recentTags, m.bloomCols,
+      m.constraints)
     val id = cur + 1
     val content =
       if (m.chainDepth + 1 >= RebaseEvery)
@@ -2629,12 +2673,114 @@ object Snapshots {
         "write pins the contract first"))
     val meta = SnapMeta("truncate", stored, m.format, m.codec,
       m.statsCols, None, m.partitionCols,
-      Some(System.currentTimeMillis()), m.recentTags, m.bloomCols)
+      Some(System.currentTimeMillis()), m.recentTags, m.bloomCols,
+      m.constraints)
     val id = cur + 1
     val content =
       renderManifest(meta, None, Seq.empty, Seq.empty, Some(Seq.empty))
     publishManifest(f, qroot, id, Some(cur), content)
     Some(id)
+  }
+
+  /**
+   * TABLE CHECK CONSTRAINT — the Delta `ALTER TABLE ADD CONSTRAINT`
+   * role: a named boolean SQL expression every FUTURE row must satisfy,
+   * enforced inside the ONE staging pass every write lane funnels
+   * through (appends, streams, merges, predicate rewrites) as a
+   * codegen'd `raise_error` guard naming the constraint — a violating
+   * batch fails loudly with nothing published. Published as one
+   * METADATA-ONLY snapshot (mode `add_constraint`, row-preserving for
+   * stream/maintenance dispatch), carried manifest to manifest like the
+   * stat declarations.
+   *
+   * `validateExisting` (default true, the Delta semantic): one scan of
+   * the CURRENT live rows proving the rule already holds — at 100 TB
+   * that is a deliberate full-scan cost, which is why it is a flag; an
+   * unvalidated add (false) documents that history may violate. The
+   * expression must resolve against the recorded contract and type to
+   * BOOLEAN (probe-frame validated, loud). Returns the new snapshot id.
+   */
+  def addConstraint(
+      spark: SparkSession, root: String, name: String, exprSql: String,
+      validateExisting: Boolean = true): Int = {
+    require("^[A-Za-z_][A-Za-z0-9_.-]{0,63}$".r.matches(name),
+      s"constraint name '$name' must be a word-ish identifier (<= 64 chars)")
+    val (f, qroot) = FsOps.fs(spark, root)
+    val cur = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot published under $root — the first write can carry " +
+          "no pre-declared constraints; write, then add"))
+    val m = resolve(f, qroot, cur)
+    val stored = m.schema.getOrElse(throw new IllegalStateException(
+      s"snapshot s$cur records no schema contract — one write through " +
+        "the Snapshots API pins it before constraints can validate"))
+    m.constraints.find(_._1 == name).foreach(existing =>
+      throw new IllegalArgumentException(
+        s"constraint '$name' already exists: ${existing._2} — " +
+          "dropConstraint first"))
+    // the expression must RESOLVE against the contract and type to
+    // boolean — probe-frame analysis makes both loud now, not at the
+    // first write
+    val probe = spark.createDataFrame(new java.util.ArrayList[Row](), stored)
+      .filter(org.apache.spark.sql.functions.expr(exprSql))
+    probe.queryExecution.analyzed: Unit
+    if (validateExisting && m.files.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val bad = scanWithDeletes(spark, qroot, m, m.files)
+        .filter(not(coalesce(expr(exprSql), lit(false)))).limit(1).count()
+      require(bad == 0L,
+        s"cannot add constraint '$name': existing rows violate $exprSql " +
+          "(fix the data first, or pass validateExisting = false to " +
+          "declare it forward-only)")
+    }
+    val meta = SnapMeta("add_constraint", stored, m.format, m.codec,
+      m.statsCols, None, m.partitionCols,
+      Some(System.currentTimeMillis()), m.recentTags, m.bloomCols,
+      m.constraints :+ (name -> exprSql))
+    val id = cur + 1
+    val content =
+      if (m.chainDepth + 1 >= RebaseEvery)
+        renderManifest(meta, None, Seq.empty, Seq.empty, Some(m.files),
+          dFull = m.deletes)
+      else
+        renderManifest(meta, Some(cur), Seq.empty, Seq.empty, None)
+    publishManifest(f, qroot, id, Some(cur), content)
+    id
+  }
+
+  /** Drop a named constraint (mode `drop_constraint`, metadata-only).
+    * Returns the new snapshot id, or None when no such constraint
+    * exists (idempotent no-op). */
+  def dropConstraint(
+      spark: SparkSession, root: String, name: String): Option[Int] = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val cur = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(s"no snapshot published under $root"))
+    val m = resolve(f, qroot, cur)
+    if (!m.constraints.exists(_._1 == name)) return None
+    val meta = SnapMeta("drop_constraint",
+      m.schema.getOrElse(StructType(Seq.empty)), m.format, m.codec,
+      m.statsCols, None, m.partitionCols,
+      Some(System.currentTimeMillis()), m.recentTags, m.bloomCols,
+      m.constraints.filterNot(_._1 == name))
+    val id = cur + 1
+    val content =
+      if (m.chainDepth + 1 >= RebaseEvery)
+        renderManifest(meta, None, Seq.empty, Seq.empty, Some(m.files),
+          dFull = m.deletes)
+      else
+        renderManifest(meta, Some(cur), Seq.empty, Seq.empty, None)
+    publishManifest(f, qroot, id, Some(cur), content)
+    Some(id)
+  }
+
+  /** The current snapshot's recorded CHECK constraints (name → SQL). */
+  def constraints(
+      spark: SparkSession, root: String): Seq[(String, String)] = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    currentSnapshot(spark, root)
+      .map(id => readSnapshotFile(f, qroot, id).constraints)
+      .getOrElse(Seq.empty)
   }
 
   /**
@@ -2683,7 +2829,7 @@ object Snapshots {
     }
     val meta = SnapMeta("evolve_spec", schema, m.format, m.codec,
       m.statsCols, None, newSpec, Some(System.currentTimeMillis()),
-      m.recentTags, m.bloomCols)
+      m.recentTags, m.bloomCols, m.constraints)
     val id = cur + 1
     val content =
       if (m.chainDepth + 1 >= RebaseEvery)
@@ -2955,7 +3101,8 @@ object Snapshots {
     * (re-emitting would double-deliver); everything else is policy. */
   private[graft] val EmitModes: Set[String] = Set("append", "merge_mor")
   private[graft] val SkipModes: Set[String] =
-    Set("compact", "fold", "migrate_spec", "evolve_spec", "evolve_schema")
+    Set("compact", "fold", "migrate_spec", "evolve_spec", "evolve_schema",
+      "add_constraint", "drop_constraint")
 
   /** Added-rows frames for every emit-mode snapshot in `(startId,
     * endId]`, resolved with ONE manifest cache shared across the whole
@@ -3395,10 +3542,12 @@ object Snapshots {
       else if (m.files.isEmpty) Some(0L) else None,
       m.deletes.length.toLong,
       tags(spark, root).size.toLong,
-      branches(spark, root).size.toLong))
+      branches(spark, root).size.toLong,
+      m.constraints.map { case (n, e) => s"$n: $e" }.mkString("; ")))
       .toDF("snapshot_id", "mode", "format", "codec", "partition_by",
         "stats_columns", "bloom_columns", "n_files", "n_partitions",
-        "n_rows", "n_bytes", "n_delete_files", "n_tags", "n_branches")
+        "n_rows", "n_bytes", "n_delete_files", "n_tags", "n_branches",
+        "constraints")
   }
 
   private def readResolved(
@@ -3662,7 +3811,7 @@ object Snapshots {
     val meta = SnapMeta("branch_fork",
       m.schema.getOrElse(StructType(Seq.empty)), m.format, m.codec,
       m.statsCols, None, m.partitionCols, Some(System.currentTimeMillis()),
-      bloomCols = m.bloomCols)
+      bloomCols = m.bloomCols, constraints = m.constraints)
     f.mkdirs(bdir)
     FsOps.atomicWrite(f, new Path(bdir, "s1"),
       renderManifest(meta, None, Seq.empty, Seq.empty, Some(m.files),
@@ -3798,7 +3947,8 @@ object Snapshots {
       b.schema.getOrElse(StructType(Seq.empty)), b.format, b.codec,
       b.statsCols, Some(mergeTag), b.partitionCols,
       Some(System.currentTimeMillis()),
-      (live.recentTags :+ mergeTag).takeRight(MaxRecentTags), b.bloomCols)
+      (live.recentTags :+ mergeTag).takeRight(MaxRecentTags), b.bloomCols,
+      live.constraints)
     val content =
       if (live.chainDepth + 1 >= RebaseEvery)
         renderManifest(meta, None, Seq.empty, Seq.empty, Some(merged),
@@ -3977,7 +4127,7 @@ object Snapshots {
         live.statsCols, Some(mergeTag), live.partitionCols,
         Some(System.currentTimeMillis()),
         (live.recentTags :+ mergeTag).takeRight(MaxRecentTags),
-        live.bloomCols)
+        live.bloomCols, live.constraints)
       val content =
         if (live.chainDepth + 1 >= RebaseEvery)
           renderManifest(meta, None, Seq.empty, Seq.empty,
@@ -4337,7 +4487,7 @@ object Snapshots {
         val meta = SnapMeta(raw.mode,
           raw.schema.getOrElse(StructType(Seq.empty)), raw.format,
           raw.codec, raw.statsCols, raw.batchTag, raw.partitionCols, raw.ts,
-          raw.effectiveRecentTags, raw.bloomCols)
+          raw.effectiveRecentTags, raw.bloomCols, raw.constraints)
         FsOps.atomicWrite(f, new Path(snapshotsDir(qroot), s"s$k"),
           renderManifest(meta, None, Seq.empty, Seq.empty, Some(res.files),
             dFull = res.deletes))

@@ -90,7 +90,8 @@ private[sources] object SnapshotMaintenanceSql {
 
   private val Call =
     ("""(?is)\s*CALL\s+graft_(maintain|compact|expire|vacuum|rollback""" +
-      """|tag|drop_tag)\s*\((.*)\)\s*;?\s*(?:--[^\r\n]*)?\s*""").r
+      """|tag|drop_tag|add_constraint|drop_constraint)\s*\((.*)\)""" +
+      """\s*;?\s*(?:--[^\r\n]*)?\s*""").r
 
   /** Strip `--` line comments and slash-star block comments ANYWHERE
     * outside a single-quoted string — leading, trailing (any number,
@@ -187,6 +188,20 @@ private[sources] object SnapshotMaintenanceSql {
           SnapshotTagSqlCommand(target, str(nm), Some(int(id)))
         case ("drop_tag", Seq(nm)) =>
           SnapshotDropTagSqlCommand(target, str(nm))
+        case ("add_constraint", Seq(nm, ex)) =>
+          SnapshotAddConstraintSqlCommand(target, str(nm), str(ex),
+            validateExisting = true)
+        case ("add_constraint", Seq(nm, ex, v)) =>
+          val validate = str(v).toLowerCase match {
+            case "validate" => true
+            case "novalidate" => false
+            case other => throw new IllegalArgumentException(
+              "CALL graft_add_constraint: the third argument must be " +
+                s"'validate' or 'novalidate', got '$other'")
+          }
+          SnapshotAddConstraintSqlCommand(target, str(nm), str(ex), validate)
+        case ("drop_constraint", Seq(nm)) =>
+          SnapshotDropConstraintSqlCommand(target, str(nm))
         case (_, as) => throw new IllegalArgumentException(
           s"CALL graft_$o takes (target${usage(o)}), got ${as.length + 1} " +
             "arguments")
@@ -201,6 +216,8 @@ private[sources] object SnapshotMaintenanceSql {
     case "rollback" => ", toSnapshotId"
     case "tag" => ", 'name'[, snapshotId]"
     case "drop_tag" => ", 'name'"
+    case "add_constraint" => ", 'name', 'boolean expr'[, 'novalidate']"
+    case "drop_constraint" => ", 'name'"
     case _ => "[, graceMs]"
   }
 
@@ -402,4 +419,37 @@ case class SnapshotDropTagSqlCommand(
 
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(Snapshots.dropTag(session, target.resolveRoot(session), name)))
+}
+
+/** `CALL graft_add_constraint(target, 'name', 'expr'[, 'novalidate'])`
+  * ≡ [[Snapshots.addConstraint]] — the ALTER TABLE ADD CONSTRAINT role:
+  * a named CHECK every future write's rows must satisfy, enforced in
+  * the staging pass of every lane. 'novalidate' skips the existing-data
+  * scan (forward-only declaration). Returns the publishing snapshot. */
+case class SnapshotAddConstraintSqlCommand(
+    target: SnapshotMaintenanceSql.Target, name: String, exprSql: String,
+    validateExisting: Boolean)
+    extends LeafRunnableCommand {
+  import SnapshotMaintenanceSql.ref
+  override val output: Seq[Attribute] =
+    Seq(ref("added_in", IntegerType))
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.addConstraint(session, target.resolveRoot(session),
+      name, exprSql, validateExisting)))
+}
+
+/** `CALL graft_drop_constraint(target, 'name')` ≡
+  * [[Snapshots.dropConstraint]]. Returns the publishing snapshot id, or
+  * null when no such constraint exists (the API's no-op). */
+case class SnapshotDropConstraintSqlCommand(
+    target: SnapshotMaintenanceSql.Target, name: String)
+    extends LeafRunnableCommand {
+  import SnapshotMaintenanceSql.ref
+  override val output: Seq[Attribute] =
+    Seq(ref("dropped_in", IntegerType))
+
+  override def run(session: SparkSession): Seq[Row] =
+    Seq(Row(Snapshots.dropConstraint(session, target.resolveRoot(session),
+      name).map(Int.box).orNull))
 }

@@ -2638,6 +2638,68 @@ class SnapshotsSpec extends SparkSpec {
     assert(thin.getMessage.contains("missing 'k'"))
   }
 
+  test("CHECK constraints: enforced in every write lane, carried through maintenance, validated on add") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_ck").toString
+    Snapshots.write(Seq((1L, 10.0, "a")).toDF("k", "v", "p"), root, Seq("p"))
+    // metadata-only publish; recorded and readable back
+    val cid = Snapshots.addConstraint(spark, root, "v_pos", "v > 0")
+    assert(cid == 2)
+    assert(Snapshots.constraints(spark, root) == Seq("v_pos" -> "v > 0"))
+    assert(Snapshots.history(spark, root).collect().map(_.getString(1))
+      .toSeq == Seq("append", "add_constraint"))
+    // a valid append lands; a violating append fails NAMING the
+    // constraint, with nothing published
+    Snapshots.write(Seq((2L, 5.0, "a")).toDF("k", "v", "p"), root, Seq("p"),
+      SnapAppend)
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    val exIns = intercept[Exception] {
+      Snapshots.write(Seq((3L, -1.0, "a")).toDF("k", "v", "p"), root,
+        Seq("p"), SnapAppend)
+    }
+    assert(msgs(exIns).contains("CHECK constraint 'v_pos'"), msgs(exIns))
+    assert(Snapshots.currentSnapshot(spark, root).contains(3))
+    // an UPDATE whose assignments would violate fails through the SAME
+    // guard (the rewrite stages through the one choke point)
+    val exUpd = intercept[Exception] {
+      Snapshots.updateWhere(spark, root, Seq("p"), col("k") === 1L,
+        Seq("v" -> lit(-9.0)))
+    }
+    assert(msgs(exUpd).contains("CHECK constraint 'v_pos'"), msgs(exUpd))
+    assert(Snapshots.read(spark, root).filter(col("v") < 0).count() == 0)
+    // constraints ride maintenance: compact preserves the declaration
+    Snapshots.compact(spark, root, Seq("p"))
+    assert(Snapshots.constraints(spark, root) == Seq("v_pos" -> "v > 0"))
+    // adding a rule existing data violates is loud; novalidate declares
+    // it forward-only
+    val exVal = intercept[Exception] {
+      Snapshots.addConstraint(spark, root, "k_big", "k > 100")
+    }
+    assert(msgs(exVal).contains("existing rows violate"), msgs(exVal))
+    Snapshots.addConstraint(spark, root, "k_big", "k > 100",
+      validateExisting = false)
+    val exBoth = intercept[Exception] {
+      Snapshots.write(Seq((5L, 1.0, "a")).toDF("k", "v", "p"), root,
+        Seq("p"), SnapAppend)
+    }
+    assert(msgs(exBoth).contains("k_big"), msgs(exBoth))
+    // duplicates and unresolvable/non-boolean expressions are loud at ADD
+    val exDup = intercept[IllegalArgumentException] {
+      Snapshots.addConstraint(spark, root, "v_pos", "v > 1")
+    }
+    assert(exDup.getMessage.contains("already exists"))
+    intercept[Exception] {
+      Snapshots.addConstraint(spark, root, "ghost", "no_such_col > 0")
+    }
+    // drop releases the rule (and the violating write now lands)
+    assert(Snapshots.dropConstraint(spark, root, "k_big").isDefined)
+    assert(Snapshots.dropConstraint(spark, root, "k_big").isEmpty)
+    Snapshots.write(Seq((6L, 1.0, "a")).toDF("k", "v", "p"), root,
+      Seq("p"), SnapAppend)
+    assert(Snapshots.constraints(spark, root) == Seq("v_pos" -> "v > 0"))
+  }
+
   test("truncate: metadata-only empty snapshot — contract survives, history travels, no-op when empty") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_trunc").toString

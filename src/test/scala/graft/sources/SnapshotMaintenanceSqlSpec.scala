@@ -146,4 +146,41 @@ class SnapshotMaintenanceSqlSpec extends SparkSpec {
     }
     assert(exId.getMessage.contains("toSnapshotId"), exId.getMessage)
   }
+
+  test("CALL graft_add_constraint / graft_drop_constraint: SQL CHECK rules on registered tables") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("msql_ck").toString
+    val esc = root.replace("'", "''")
+    Snapshots.write(Seq((1L, 10.0, "a")).toDF("k", "v", "p"), root, Seq("p"))
+    spark.sql("DROP TABLE IF EXISTS msql_ck_tbl")
+    Snapshots.registerTable(spark, root, "msql_ck_tbl")
+    assert(spark.sql(s"CALL graft_add_constraint('$esc', 'v_pos', 'v > 0')")
+      .head().getInt(0) == 2)
+    // the constrained table rejects a violating SQL INSERT naming the rule
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    val ex = intercept[Exception] {
+      spark.sql("INSERT INTO msql_ck_tbl VALUES (2, -5.0, 'a')")
+    }
+    assert(msgs(ex).contains("CHECK constraint 'v_pos'"), msgs(ex))
+    spark.sql("INSERT INTO msql_ck_tbl VALUES (2, 5.0, 'a')")
+    // the summary TVF reports the rule; novalidate declares forward-only
+    assert(spark.sql(s"SELECT constraints FROM graft_detail('$esc')")
+      .head().getString(0).contains("v_pos"))
+    spark.sql(
+      s"CALL graft_add_constraint('$esc', 'k_big', 'k > 100', 'novalidate')")
+    val exVal = intercept[Exception] {
+      spark.sql(s"CALL graft_add_constraint('$esc', 'v_cap', 'v < 6')")
+    }
+    assert(msgs(exVal).contains("existing rows violate"), msgs(exVal))
+    // drop releases; dropping a missing rule reports null (the API no-op)
+    assert(!spark.sql(s"CALL graft_drop_constraint('$esc', 'k_big')")
+      .head().isNullAt(0))
+    assert(spark.sql(s"CALL graft_drop_constraint('$esc', 'k_big')")
+      .head().isNullAt(0))
+    spark.sql("INSERT INTO msql_ck_tbl VALUES (3, 7.0, 'a')")
+    assert(spark.sql("SELECT count(*) FROM msql_ck_tbl")
+      .head().getLong(0) == 3L)
+    spark.sql("DROP TABLE msql_ck_tbl")
+  }
 }
