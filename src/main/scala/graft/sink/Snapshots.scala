@@ -1028,7 +1028,8 @@ object Snapshots {
       dropDeletes: Boolean = false,
       extraRemoves: Seq[String] = Seq.empty,
       branch: Option[String] = None,
-      bloomColumns: Seq[String] = Seq.empty): Int = {
+      bloomColumns: Seq[String] = Seq.empty,
+      enforceConstraints: Boolean = true): Int = {
     require(partitionFields.nonEmpty, "snapshot datasets are partitioned")
     stageAs.foreach { n =>
       requireRefName("staged write", n)
@@ -1178,20 +1179,40 @@ object Snapshots {
             "until foldDeletes clears them")))
     }
     // CHECK constraints (dataset policy, carried manifest to manifest):
-    // enforced HERE — the ONE staging pass every lane funnels through
-    // (appends, streams, merges, deleteWhere/updateWhere/replaceWhere
-    // rewrites) — as codegen'd raise_error guards, so a violating row
-    // fails the write with the constraint NAMED and nothing published.
-    // No second scan, and sound for nondeterministic sources (the
-    // checked rows ARE the written rows).
-    val constraints = prev.map(_.constraints).getOrElse(Seq.empty)
-    val checked = constraints.foldLeft(df) { case (d, (n, sql)) =>
+    // enforced HERE — the ONE staging pass every NEW-OR-CHANGED-row lane
+    // funnels through (appends, streams, merges, updateWhere/
+    // replaceWhere rewrites) — as codegen'd raise_error guards, so a
+    // violating row fails the write with the constraint NAMED and
+    // nothing published. No second scan, and sound for nondeterministic
+    // sources (the checked rows ARE the written rows). Lanes that
+    // restage EXISTING rows verbatim (compact/fold/migrateSpec,
+    // deleteWhere survivors) pass enforceConstraints = false: re-judging
+    // unchanged history would let a forward-only ('novalidate') rule
+    // deadlock maintenance and GDPR deletes on rows that predate it.
+    // the dataset's recorded set rides EVERY manifest (meta + the
+    // commit-retry drift check) regardless of whether this lane
+    // enforces it on its rows
+    val dsConstraints = prev.map(_.constraints).getOrElse(Seq.empty)
+    val constraints =
+      if (enforceConstraints) dsConstraints else Seq.empty
+    val checked = constraints.foldLeft {
+      // a THIN batch may omit nullable contract columns (the Widen
+      // policy: its files read null for them) — a rule referencing one
+      // must judge the EFFECTIVE row (null), not die unresolved; the
+      // staged output keeps the batch's own columns
+      import org.apache.spark.sql.functions.lit
+      val missing =
+        if (constraints.isEmpty) Seq.empty
+        else contract.fields.toSeq.filterNot(f => df.columns.contains(f.name))
+      missing.foldLeft(df)((d, fd) =>
+        d.withColumn(fd.name, lit(null).cast(fd.dataType)))
+    } { case (d, (n, sql)) =>
       import org.apache.spark.sql.functions.{coalesce, concat, expr, lit, raise_error, struct, to_json, when}
       d.filter(when(coalesce(expr(sql), lit(false)), lit(true))
         .otherwise(raise_error(concat(
           lit(s"CHECK constraint '$n' ($sql) violated by row: "),
           to_json(struct(d.columns.toSeq.map(qc): _*))))))
-    }
+    }.select(df.columns.toSeq.map(qc): _*)
     val staging = new Path(qroot,
       s".stage_${java.util.UUID.randomUUID().toString.take(12)}")
     val w0 = checked.write.mode("overwrite").partitionBy(partitionFields: _*)
@@ -1309,7 +1330,7 @@ object Snapshots {
       .takeRight(MaxRecentTags)
     val meta = SnapMeta(modeLabel, contract, fmtTok, dsCodec, statsCols,
       batchTag, partitionFields, Some(System.currentTimeMillis()), recentTags,
-      bloomCols, constraints)
+      bloomCols, dsConstraints)
     val chainDepth = prev.map(_.chainDepth).getOrElse(0)
     val content =
       if (prev.isEmpty || chainDepth + 1 >= RebaseEvery) {
@@ -1361,7 +1382,7 @@ object Snapshots {
             retryAppendPublish(spark, f, qroot, root, df.schema, evolution,
               partitionFields, modeLabel, fmtTok, dsCodec, statsCols,
               bloomCols, batchTag, staged, statsByName, stagedLen, bloomRef,
-              race, dAdds, cur, constraints)
+              race, dAdds, cur, dsConstraints)
         }
     }
   }
@@ -1780,7 +1801,8 @@ object Snapshots {
           .drop("__bkt")
     }
     Some(writeInternal(rewritten, root, partitionFields,
-      SnapOverwritePartitions, "compact", graft.schema.SchemaEvolution.Widen))
+      SnapOverwritePartitions, "compact", graft.schema.SchemaEvolution.Widen,
+      enforceConstraints = false))
   }
 
   /**
@@ -2002,7 +2024,8 @@ object Snapshots {
       splitPerPartition(folded, partitionFields, targetFilesPerPartition),
       root, partitionFields, SnapOverwritePartitions, "fold",
       graft.schema.SchemaEvolution.Widen,
-      touchedDirs = Some(affectedDirs), dropDeletes = true))
+      touchedDirs = Some(affectedDirs), dropDeletes = true,
+      enforceConstraints = false))
   }
 
   /** Conservative [[StatRange]]s implied by a predicate's top-level AND
@@ -2460,7 +2483,11 @@ object Snapshots {
         discover = df => rest.fold(df)(c => df.filter(c))
           .join(keySet, df(qname(keyColumn)) === keySet("__graft_in_key"),
             "left_semi"),
-        transform = rows => transform(keySet, rows))
+        transform = rows => transform(keySet, rows),
+        // a DELETE restages only unchanged survivors — re-judging them
+        // against a forward-only constraint would block the GDPR lane on
+        // rows that predate the rule; an UPDATE's rows changed and check
+        enforceConstraints = modeLabel != "delete_where")
     } finally if (!keysNormalized) keySet.unpersist(): Unit
   }
 
@@ -2481,7 +2508,9 @@ object Snapshots {
       deriveFor = (sc, statsCols, bloomCols) =>
         deriveRanges(spark, sc, condition,
           (statsCols ++ bloomCols).distinct, nullCols = statsCols),
-      discover = _.filter(condition), transform = transform)
+      discover = _.filter(condition), transform = transform,
+      // delete survivors are unchanged history (see rewriteWhereInSet)
+      enforceConstraints = modeLabel != "delete_where")
 
   /** The generalized rewrite core behind [[rewriteWhere]] and
     * [[deleteWhereIn]]: `deriveFor` yields conservative prune ranges
@@ -2496,7 +2525,8 @@ object Snapshots {
       modeLabel: String, targetFilesPerPartition: Int,
       deriveFor: (StructType, Seq[String], Seq[String]) => Seq[StatRange],
       discover: DataFrame => DataFrame,
-      transform: DataFrame => DataFrame): Option[Int] = {
+      transform: DataFrame => DataFrame,
+      enforceConstraints: Boolean = true): Option[Int] = {
     require(targetFilesPerPartition >= 1, "need at least one file")
     val (f, qroot) = FsOps.fs(spark, root)
     val id = currentSnapshot(spark, root).getOrElse(
@@ -2514,7 +2544,8 @@ object Snapshots {
       splitPerPartition(out, partitionFields, targetFilesPerPartition),
       root, partitionFields, SnapAppend, modeLabel,
       graft.schema.SchemaEvolution.Widen,
-      extraRemoves = rewrite.map(_.rel)))
+      extraRemoves = rewrite.map(_.rel),
+      enforceConstraints = enforceConstraints))
   }
 
   /** The candidate-narrowing + exact-discovery front half EVERY
@@ -2589,6 +2620,25 @@ object Snapshots {
     }
   }
 
+  /** Publish a METADATA-ONLY snapshot (unchanged live file + delete
+    * sets, new declarations in `meta`) — the one shape every
+    * declaration change shares (schema/spec/constraint evolution):
+    * delta against the current head, or a full rebase when the chain
+    * hits [[RebaseEvery]]. Returns the new id. */
+  private def publishMetaOnly(
+      f: FileSystem, qroot: Path, cur: Int, m: Resolved,
+      meta: SnapMeta): Int = {
+    val id = cur + 1
+    val content =
+      if (m.chainDepth + 1 >= RebaseEvery)
+        renderManifest(meta, None, Seq.empty, Seq.empty, Some(m.files),
+          dFull = m.deletes)
+      else
+        renderManifest(meta, Some(cur), Seq.empty, Seq.empty, None)
+    publishManifest(f, qroot, id, Some(cur), content)
+    id
+  }
+
   /**
    * SCHEMA WIDENING WITHOUT A WRITE — `ALTER TABLE t ADD COLUMN`'s
    * engine half: publish the widened contract as one METADATA-ONLY
@@ -2632,19 +2682,11 @@ object Snapshots {
     val widened = graft.schema.SchemaEvolution.validate(
       stored, StructType(stored.fields ++ columns), m.partitionCols,
       graft.schema.SchemaEvolution.Widen)
-    val meta = SnapMeta("evolve_schema", widened, m.format, m.codec,
-      m.statsCols, None, m.partitionCols,
-      Some(System.currentTimeMillis()), m.recentTags, m.bloomCols,
-      m.constraints)
-    val id = cur + 1
-    val content =
-      if (m.chainDepth + 1 >= RebaseEvery)
-        renderManifest(meta, None, Seq.empty, Seq.empty, Some(m.files),
-          dFull = m.deletes)
-      else
-        renderManifest(meta, Some(cur), Seq.empty, Seq.empty, None)
-    publishManifest(f, qroot, id, Some(cur), content)
-    id
+    publishMetaOnly(f, qroot, cur, m,
+      SnapMeta("evolve_schema", widened, m.format, m.codec,
+        m.statsCols, None, m.partitionCols,
+        Some(System.currentTimeMillis()), m.recentTags, m.bloomCols,
+        m.constraints))
   }
 
   /**
@@ -2723,7 +2765,21 @@ object Snapshots {
     // first write
     val probe = spark.createDataFrame(new java.util.ArrayList[Row](), stored)
       .filter(org.apache.spark.sql.functions.expr(exprSql))
-    probe.queryExecution.analyzed: Unit
+    // and it must be DETERMINISTIC and time-independent: the rule is
+    // re-evaluated at every future write, so `rand()` or
+    // `current_date()` would make the SAME row pass one batch and fail
+    // the next — a constraint that changes meaning over time is a
+    // different feature (a quality FILTER), not a CHECK
+    probe.queryExecution.analyzed.collect {
+      case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        import org.apache.spark.sql.catalyst.expressions._
+        require(fl.condition.deterministic &&
+          !fl.condition.exists(e => e.isInstanceOf[CurrentDate] ||
+            e.isInstanceOf[CurrentTimestamp] || e.isInstanceOf[Now] ||
+            e.isInstanceOf[CurrentTimeZone] || e.isInstanceOf[LocalTimestamp]),
+          s"constraint '$name' must be deterministic and " +
+            s"time-independent, got: $exprSql")
+    }: Unit
     if (validateExisting && m.files.nonEmpty) {
       import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
       val bad = scanWithDeletes(spark, qroot, m, m.files)
@@ -2733,19 +2789,11 @@ object Snapshots {
           "(fix the data first, or pass validateExisting = false to " +
           "declare it forward-only)")
     }
-    val meta = SnapMeta("add_constraint", stored, m.format, m.codec,
-      m.statsCols, None, m.partitionCols,
-      Some(System.currentTimeMillis()), m.recentTags, m.bloomCols,
-      m.constraints :+ (name -> exprSql))
-    val id = cur + 1
-    val content =
-      if (m.chainDepth + 1 >= RebaseEvery)
-        renderManifest(meta, None, Seq.empty, Seq.empty, Some(m.files),
-          dFull = m.deletes)
-      else
-        renderManifest(meta, Some(cur), Seq.empty, Seq.empty, None)
-    publishManifest(f, qroot, id, Some(cur), content)
-    id
+    publishMetaOnly(f, qroot, cur, m,
+      SnapMeta("add_constraint", stored, m.format, m.codec,
+        m.statsCols, None, m.partitionCols,
+        Some(System.currentTimeMillis()), m.recentTags, m.bloomCols,
+        m.constraints :+ (name -> exprSql)))
   }
 
   /** Drop a named constraint (mode `drop_constraint`, metadata-only).
@@ -2758,20 +2806,12 @@ object Snapshots {
       throw new IllegalStateException(s"no snapshot published under $root"))
     val m = resolve(f, qroot, cur)
     if (!m.constraints.exists(_._1 == name)) return None
-    val meta = SnapMeta("drop_constraint",
-      m.schema.getOrElse(StructType(Seq.empty)), m.format, m.codec,
-      m.statsCols, None, m.partitionCols,
-      Some(System.currentTimeMillis()), m.recentTags, m.bloomCols,
-      m.constraints.filterNot(_._1 == name))
-    val id = cur + 1
-    val content =
-      if (m.chainDepth + 1 >= RebaseEvery)
-        renderManifest(meta, None, Seq.empty, Seq.empty, Some(m.files),
-          dFull = m.deletes)
-      else
-        renderManifest(meta, Some(cur), Seq.empty, Seq.empty, None)
-    publishManifest(f, qroot, id, Some(cur), content)
-    Some(id)
+    Some(publishMetaOnly(f, qroot, cur, m,
+      SnapMeta("drop_constraint",
+        m.schema.getOrElse(StructType(Seq.empty)), m.format, m.codec,
+        m.statsCols, None, m.partitionCols,
+        Some(System.currentTimeMillis()), m.recentTags, m.bloomCols,
+        m.constraints.filterNot(_._1 == name))))
   }
 
   /** The current snapshot's recorded CHECK constraints (name → SQL). */
@@ -2827,18 +2867,10 @@ object Snapshots {
         s"partition field $c is a recorded stats column — partition " +
           "pruning would shadow its file stats")
     }
-    val meta = SnapMeta("evolve_spec", schema, m.format, m.codec,
-      m.statsCols, None, newSpec, Some(System.currentTimeMillis()),
-      m.recentTags, m.bloomCols, m.constraints)
-    val id = cur + 1
-    val content =
-      if (m.chainDepth + 1 >= RebaseEvery)
-        renderManifest(meta, None, Seq.empty, Seq.empty, Some(m.files),
-          dFull = m.deletes)
-      else
-        renderManifest(meta, Some(cur), Seq.empty, Seq.empty, None)
-    publishManifest(f, qroot, id, Some(cur), content)
-    id
+    publishMetaOnly(f, qroot, cur, m,
+      SnapMeta("evolve_spec", schema, m.format, m.codec,
+        m.statsCols, None, newSpec, Some(System.currentTimeMillis()),
+        m.recentTags, m.bloomCols, m.constraints))
   }
 
   /**
@@ -2872,7 +2904,7 @@ object Snapshots {
       splitPerPartition(rewritten, partitionFields, targetFilesPerPartition),
       root, partitionFields, SnapAppend, "migrate_spec",
       graft.schema.SchemaEvolution.Widen,
-      extraRemoves = old.map(_.rel)))
+      extraRemoves = old.map(_.rel), enforceConstraints = false))
   }
 
   private def partitionRelDir(
@@ -4111,6 +4143,17 @@ object Snapshots {
           s"/stats:${bRes.statsCols.mkString(",")} but main is now " +
           s"${live.format}/${live.codec.getOrElse("-")}/stats:" +
           s"${live.statsCols.mkString(",")} — cannot rebase-merge")
+      // constraint drift is equally not retryable: branch rows were
+      // guarded under the FORK's constraint set (addConstraint's
+      // existing-data validation scanned only MAIN's manifest, never
+      // branch files), so rebasing them under a rule added since the
+      // fork would publish unchecked rows as silently "constrained"
+      require(live.constraints == bRes.constraints,
+        s"branch '$name' wrote under constraints " +
+          s"[${bRes.constraints.map(_._1).mkString(",")}] but main now " +
+          s"declares [${live.constraints.map(_._1).mkString(",")}] — its " +
+          "rows were never checked against the new rules; re-branch from " +
+          "the current state and replay the writes")
       // the merged contract widens main's current schema by the branch's
       // (the branch may itself have widened since the fork)
       val contract = (live.schema, bRes.schema) match {

@@ -2684,6 +2684,36 @@ class SnapshotsSpec extends SparkSpec {
         Seq("p"), SnapAppend)
     }
     assert(msgs(exBoth).contains("k_big"), msgs(exBoth))
+    // MAINTENANCE and GDPR deletes keep working over legacy rows a
+    // forward-only rule never covered: restaging unchanged history is
+    // not a new write, so compact and deleteWhere survivors skip the
+    // guard (a deadlocked GDPR lane would be the worse failure)
+    Snapshots.compact(spark, root, Seq("p")): Unit
+    Snapshots.deleteWhere(spark, root, Seq("p"), col("k") === 2L)
+    assert(Snapshots.read(spark, root).filter(col("k") === 2L).count() == 0)
+    assert(Snapshots.constraints(spark, root).map(_._1)
+      == Seq("v_pos", "k_big"), "declarations survive the rewrites")
+    // an UPDATE that restages a file holding legacy violating rows DOES
+    // re-judge them (its rows changed) — the documented forward-only
+    // trap, loud with the rule named
+    val exLegacy = intercept[Exception] {
+      Snapshots.updateWhere(spark, root, Seq("p"), col("k") === 1L,
+        Seq("v" -> lit(99.0)))
+    }
+    assert(msgs(exLegacy).contains("k_big"), msgs(exLegacy))
+    // nondeterministic / time-dependent rules are a different feature
+    // (a quality filter) and are rejected at ADD
+    val exRand = intercept[Exception] {
+      Snapshots.addConstraint(spark, root, "coin", "rand() < 2",
+        validateExisting = false)
+    }
+    assert(msgs(exRand).contains("deterministic"), msgs(exRand))
+    val exTime = intercept[Exception] {
+      Snapshots.addConstraint(spark, root, "fresh",
+        "k > unix_timestamp(current_timestamp()) - 100",
+        validateExisting = false)
+    }
+    assert(msgs(exTime).contains("deterministic"), msgs(exTime))
     // duplicates and unresolvable/non-boolean expressions are loud at ADD
     val exDup = intercept[IllegalArgumentException] {
       Snapshots.addConstraint(spark, root, "v_pos", "v > 1")
@@ -2698,6 +2728,50 @@ class SnapshotsSpec extends SparkSpec {
     Snapshots.write(Seq((6L, 1.0, "a")).toDF("k", "v", "p"), root,
       Seq("p"), SnapAppend)
     assert(Snapshots.constraints(spark, root) == Seq("v_pos" -> "v > 0"))
+  }
+
+  test("CHECK constraints: thin batches judge the effective row; branch merges abort on constraint drift") {
+    import spark.implicits._
+    // a THIN append legally omits a nullable column — a null-tolerant
+    // rule referencing it must judge the EFFECTIVE row (null), never
+    // die unresolved
+    val root = java.nio.file.Files.createTempDirectory("snap_ckthin").toString
+    Snapshots.write(Seq((1L, "x", "a")).toDF("k", "note", "p"), root,
+      Seq("p"))
+    Snapshots.addConstraint(spark, root, "note_ok",
+      "note IS NULL OR length(note) > 0")
+    Snapshots.write(Seq((2L, "a")).toDF("k", "p"), root, Seq("p"),
+      SnapAppend)
+    val rows = Snapshots.read(spark, root).orderBy("k").collect()
+    assert(rows.length == 2 && rows(1).isNullAt(1),
+      "the thin batch's omitted column reads null under the contract")
+    // ... and a null-REJECTING rule judges that same effective row
+    Snapshots.addConstraint(spark, root, "note_set", "note IS NOT NULL",
+      validateExisting = false)
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    val exThin = intercept[Exception] {
+      Snapshots.write(Seq((3L, "a")).toDF("k", "p"), root, Seq("p"),
+        SnapAppend)
+    }
+    assert(msgs(exThin).contains("note_set"), msgs(exThin))
+    // branch rows were guarded under the FORK's constraint set — a rule
+    // added on main since the fork never saw them, so the rebase-merge
+    // must abort naming the drift, never publish unchecked rows
+    val root2 = java.nio.file.Files.createTempDirectory("snap_ckbr").toString
+    Snapshots.write(Seq((1L, 5.0, "a")).toDF("k", "v", "p"), root2, Seq("p"))
+    Snapshots.createBranch(spark, root2, "audit")
+    Snapshots.writeToBranch(Seq((2L, -1.0, "a")).toDF("k", "v", "p"),
+      root2, "audit", Seq("p"))
+    Snapshots.addConstraint(spark, root2, "v_pos", "v > 0") // main moves
+    val exFf = intercept[Exception] {
+      Snapshots.fastForward(spark, root2, "audit")
+    }
+    assert(msgs(exFf).contains("never checked against the new rules"),
+      msgs(exFf))
+    assert(Snapshots.read(spark, root2).filter(col("v") < 0).count() == 0,
+      "the unchecked branch rows must not have published")
+    Snapshots.dropBranch(spark, root2, "audit"): Unit
   }
 
   test("truncate: metadata-only empty snapshot — contract survives, history travels, no-op when empty") {
