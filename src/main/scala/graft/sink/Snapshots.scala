@@ -1015,7 +1015,7 @@ object Snapshots {
       format = format, codec = codec, bloomColumns = bloomColumns)
 
   private def writeInternal(
-      df: DataFrame, root: String, partitionFields: Seq[String],
+      batch: DataFrame, root: String, partitionFields: Seq[String],
       mode: SnapshotMode, modeLabel: String,
       evolution: graft.schema.SchemaEvolution.Policy,
       touchedDirs: Option[Set[String]] = None,
@@ -1046,7 +1046,7 @@ object Snapshots {
         "branch writes are plain appends/overwrites — WAP, stream tags " +
           "and merge-on-read publish against main")
     }
-    val spark = df.sparkSession
+    val spark = batch.sparkSession
     val (f, qroot) = FsOps.fs(spark, root)
     val cur = branch match {
       case None => currentSnapshot(spark, root)
@@ -1054,6 +1054,25 @@ object Snapshots {
     }
     val msDir = branch.fold(snapshotsDir(qroot))(branchDir(qroot, _))
     val prev = cur.map(resolveIn(f, msDir, _))
+    // canonicalize batch column CASING to the stored contract's (session
+    // resolver — case-insensitive by default, like every analyzer
+    // comparison): a batch column cased differently IS the contract
+    // column. Without this, the evolution gate would record a duplicate
+    // case-variant contract field no later reader could resolve
+    // unambiguously, and the constraint null-fill would add a duplicate
+    // sibling that dies AMBIGUOUS_REFERENCE instead of judging the value.
+    val df = prev.flatMap(_.schema) match {
+      case Some(stored) =>
+        val resolver = spark.sessionState.conf.resolver
+        val renames = batch.columns.flatMap { c =>
+          stored.fields.find(fd => resolver(fd.name, c))
+            .filter(_.name != c).map(c -> _.name)
+        }.toMap
+        if (renames.isEmpty) batch
+        else batch.select(batch.columns.toSeq.map(c =>
+          renames.get(c).map(n => qc(c).as(n)).getOrElse(qc(c))): _*)
+      case None => batch
+    }
     // replay short-circuit BEFORE any staging: a re-delivered micro-batch
     // (same id + content tag as a snapshot it already published) must
     // converge, not double-append. The match is against the head's whole
@@ -1201,9 +1220,17 @@ object Snapshots {
       // must judge the EFFECTIVE row (null), not die unresolved; the
       // staged output keeps the batch's own columns
       import org.apache.spark.sql.functions.lit
+      // missing-set comparison uses the SESSION resolver (case-insensitive
+      // by default, like analyzer resolution): a batch column cased
+      // differently from the contract is the SAME column — a
+      // case-sensitive compare would add a duplicate null-filled sibling
+      // and the rule would then die AMBIGUOUS_REFERENCE instead of
+      // judging the batch's value
+      val resolver = spark.sessionState.conf.resolver
       val missing =
         if (constraints.isEmpty) Seq.empty
-        else contract.fields.toSeq.filterNot(f => df.columns.contains(f.name))
+        else contract.fields.toSeq
+          .filterNot(f => df.columns.exists(c => resolver(c, f.name)))
       missing.foldLeft(df)((d, fd) =>
         d.withColumn(fd.name, lit(null).cast(fd.dataType)))
     } { case (d, (n, sql)) =>

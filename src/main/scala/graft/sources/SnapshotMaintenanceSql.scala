@@ -124,9 +124,20 @@ private[sources] object SnapshotMaintenanceSql {
         val nl = sql.indexOf('\n', i)
         i = if (nl < 0) sql.length else nl // keep the newline as space
       } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
-        val end = sql.indexOf("*/", i + 2)
-        if (end < 0) i = sql.length
-        else { out.append(' '); i = end + 2 }
+        // Spark's lexer supports NESTED bracketed comments — track depth,
+        // or a CALL adjacent to '/* /* */ */' would be mis-stripped and
+        // fall through to Spark's parser (breaking the no-fall-through
+        // guarantee with a misleading error)
+        var depth = 1
+        i += 2
+        while (depth > 0 && i < sql.length) {
+          if (i + 1 < sql.length && sql.charAt(i) == '/' &&
+            sql.charAt(i + 1) == '*') { depth += 1; i += 2 }
+          else if (i + 1 < sql.length && sql.charAt(i) == '*' &&
+            sql.charAt(i + 1) == '/') { depth -= 1; i += 2 }
+          else i += 1
+        }
+        if (depth == 0) out.append(' ')
       } else { out.append(c); i += 1 }
     }
     out.result()

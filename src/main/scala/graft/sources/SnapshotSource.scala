@@ -411,8 +411,21 @@ object SnapshotSource {
           "'yyyy-MM-dd[ HH:mm:ss]')", cause)
     // ASCII digits only — Unicode digits pass isDigit but not toLong
     if (raw.nonEmpty && raw.forall(c => c >= '0' && c <= '9')) {
-      try return raw.toLong
-      catch { case e: NumberFormatException => fail(e) }
+      val v =
+        try raw.toLong
+        catch { case e: NumberFormatException => fail(e) }
+      // all-digit values read as epoch MILLIS — but the single most
+      // common mistake is passing epoch SECONDS (e.g. '1700000000'),
+      // which as millis resolves to early 1970 and surfaces as a
+      // confusing "no retained snapshot" error. Any genuine pin is a
+      // wall-clock publish instant, so a value implausibly small as
+      // millis (before 1970-04-26) is rejected NAMING both readings.
+      require(v == 0L || v >= 10_000_000_000L,
+        s"asOfTimestamp '$raw' reads as epoch MILLIS = " +
+          s"${java.time.Instant.ofEpochMilli(v)}, which no snapshot can " +
+          "predate — if epoch SECONDS were meant, multiply by 1000 (or " +
+          "pass an ISO instant / 'yyyy-MM-dd HH:mm:ss' string)")
+      return v
     }
     val tz = spark.sessionState.conf.sessionLocalTimeZone
     // under ANSI mode (the Spark 4 default) a malformed string makes
@@ -426,7 +439,10 @@ object SnapshotSource {
         org.apache.spark.sql.types.TimestampType, Some(tz)).eval()
       catch { case scala.util.control.NonFatal(e) => fail(e) }
     if (micros == null) fail(null)
-    micros.asInstanceOf[Long] / 1000L
+    // floorDiv: a pre-epoch instant's micros are negative, and
+    // truncate-toward-zero would round it 1ms LATER than the instant —
+    // admitting a snapshot published just after the requested bound
+    Math.floorDiv(micros.asInstanceOf[Long], 1000L)
   }
 
   /** The partition spec the dataset records (the current manifest's

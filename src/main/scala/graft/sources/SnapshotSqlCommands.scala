@@ -723,8 +723,32 @@ case class SnapshotTruncateCommand(
             s"(values ${vs.map(_._2).mkString(", ")})")
       }: Unit
       val cond = canon.map { case (field, v) =>
+        val dt = schema(field).dataType
+        // validate the literal cast EAGERLY: under non-ANSI sessions an
+        // uncastable value casts to null, the condition evaluates to null,
+        // and deleteWhere would silently remove NOTHING while the
+        // statement reports success — loud naming the bad value instead
+        val casted = org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(v),
+            org.apache.spark.sql.types.StringType), dt,
+          Some(session.sessionState.conf.sessionLocalTimeZone))
+        val parsed =
+          try casted.eval()
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              throw new IllegalArgumentException(
+                s"TRUNCATE PARTITION value '$v' is not a valid " +
+                  s"${dt.sql} for partition column '$field'", e)
+          }
+        require(parsed != null,
+          s"TRUNCATE PARTITION value '$v' is not a valid ${dt.sql} for " +
+            s"partition column '$field' — it casts to null, which would " +
+            "match (and remove) nothing")
         col(s"`${field.replace("`", "``")}`") ===
-          lit(v).cast(schema(field).dataType)
+          GraftSqlBridge.column(
+            org.apache.spark.sql.catalyst.expressions.Literal.create(
+              parsed, dt))
       }.reduce(_ && _)
       Snapshots.deleteWhere(session, root, fields, cond): Unit
     }

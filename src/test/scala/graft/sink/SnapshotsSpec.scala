@@ -2745,6 +2745,15 @@ class SnapshotsSpec extends SparkSpec {
     val rows = Snapshots.read(spark, root).orderBy("k").collect()
     assert(rows.length == 2 && rows(1).isNullAt(1),
       "the thin batch's omitted column reads null under the contract")
+    // a batch column cased differently from the contract is the SAME
+    // column under the session resolver (case-insensitive by default) —
+    // the null-fill must not add a duplicate sibling that makes the rule
+    // die AMBIGUOUS_REFERENCE instead of judging the batch's value
+    Snapshots.write(Seq((10L, "cased", "a")).toDF("k", "NOTE", "p"), root,
+      Seq("p"), SnapAppend)
+    assert(Snapshots.read(spark, root).filter(col("k") === 10L)
+      .head().getString(1) == "cased",
+      "the case-variant batch column must satisfy the rule as itself")
     // ... and a null-REJECTING rule judges that same effective row
     Snapshots.addConstraint(spark, root, "note_set", "note IS NOT NULL",
       validateExisting = false)

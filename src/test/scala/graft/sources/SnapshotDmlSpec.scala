@@ -494,6 +494,23 @@ class SnapshotDmlSpec extends SparkSpec {
       spark.sql("TRUNCATE TABLE dml_trunc_tbl PARTITION (k = 1)")
     }
     assert(messages(exCol).contains("DELETE FROM"), messages(exCol))
+    // an UNCASTABLE partition value is loud at the statement — under a
+    // non-ANSI session it would cast to null and silently remove
+    // nothing while reporting success
+    val before = Snapshots.currentSnapshot(spark, root)
+    spark.sql("DROP TABLE IF EXISTS dml_trunc_int")
+    val introot = java.nio.file.Files.createTempDirectory("dml_trunci")
+      .toString
+    Snapshots.write((0 until 6).map(i => (i.toLong, i % 2))
+      .toDF("k", "n"), introot, Seq("n"))
+    Snapshots.registerTable(spark, introot, "dml_trunc_int")
+    val exBadV = intercept[Exception] {
+      spark.sql("TRUNCATE TABLE dml_trunc_int PARTITION (n = 'oops')")
+    }
+    assert(messages(exBadV).contains("not a valid"), messages(exBadV))
+    assert(Snapshots.currentSnapshot(spark, introot).contains(1),
+      "the failed TRUNCATE must publish nothing")
+    assert(Snapshots.currentSnapshot(spark, root) == before)
     // two case-variant spellings of one partition field must be LOUD,
     // never a silent match-nothing AND — Spark's parser rejects the
     // duplicate spec itself (DUPLICATE_KEY); the command keeps its own

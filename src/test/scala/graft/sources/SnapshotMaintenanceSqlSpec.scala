@@ -137,6 +137,11 @@ class SnapshotMaintenanceSqlSpec extends SparkSpec {
     // defeat the intercept (the no-fall-through guarantee, both kinds)
     assert(spark.sql(s"/* release */ CALL graft_tag('$esc', 'v2') /* pin */")
       .head().getInt(0) == 4)
+    // NESTED bracketed comments are legal Spark SQL — the strip must
+    // track depth, or the statement mis-strips and falls through
+    assert(spark.sql(
+      s"/* outer /* inner */ still comment */ CALL graft_tag('$esc', 'v3')")
+      .head().getInt(0) == 4)
     val exStr = intercept[IllegalArgumentException] {
       spark.sql(s"CALL graft_tag('$esc', 3)")
     }

@@ -334,12 +334,20 @@ class SnapshotSourceSpec extends SparkSpec {
     val tsStr = new java.sql.Timestamp(between).toString
     assert(spark.read.format("graft-snapshot")
       .option("timestampAsOf", tsStr).load(root).count() == 1)
-    // a pre-history timestamp names the real condition
+    // an all-digit value implausibly small as MILLIS (the classic
+    // epoch-SECONDS mistake, '1700000000' → 1970) is rejected naming
+    // both readings, not surfaced as a confusing "no retained snapshot"
     val ex = intercept[IllegalArgumentException] {
       spark.read.format("graft-snapshot")
-        .option("asOfTimestamp", "100").load(root)
+        .option("asOfTimestamp", "1700000000").load(root)
     }
-    assert(ex.getMessage.contains("no retained snapshot"))
+    assert(ex.getMessage.contains("epoch SECONDS"))
+    // a pre-history timestamp STRING still names the real condition
+    val exPre = intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot")
+        .option("asOfTimestamp", "1970-01-02 00:00:00").load(root)
+    }
+    assert(exPre.getMessage.contains("no retained snapshot"))
     // the pin is read-only and excludes the id spelling
     val exBoth = intercept[IllegalArgumentException] {
       spark.read.format("graft-snapshot").option("asOf", "1")
