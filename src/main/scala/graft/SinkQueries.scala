@@ -126,6 +126,33 @@ object SinkQueries {
           "o_orderpriority")
     }),
 
+    // Plain-tree SQL maintenance — the CALL lane for reference-style
+    // partitioned trees with no snapshot manifest: graft_compact with
+    // an explicit partition spec ≡ compactInPlace (asserted: one file
+    // per partition, report counts match), graft_retention drops
+    // exactly the SQL-predicate-matched partitions. Oracle: orders
+    // minus the dropped 1-URGENT partition.
+    "sink_plain_sql_maintain" -> ((s, dir) => {
+      val tree = Files.createTempDirectory("graft_plain_msql").toString
+      val esc = tree.replace("'", "''")
+      val orders = Tables(s, dir, "orders")
+      PartitionedSink.write(orders.repartition(8), tree,
+        SinkConfig(ParquetFormat, Seq("o_orderpriority"), Some("snappy"),
+          runtimeNullCheck = true))
+      val rep = s.sql(s"CALL graft_compact('$esc', 'o_orderpriority')")
+        .head()
+      require(rep.getInt(0) > rep.getInt(1) && rep.getInt(1) == 5,
+        s"compaction must collapse 8 task-files/partition to 1: $rep")
+      val dropped = s.sql(s"CALL graft_retention('$esc', " +
+        "'o_orderpriority', 'o_orderpriority like ''1-%''')")
+        .collect().map(_.getString(0)).toSeq
+      require(dropped == Seq("o_orderpriority=1-URGENT"),
+        s"retention must drop exactly the matched partition: $dropped")
+      PartitionedSink.readBack(s, tree)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+    }),
+
     // Z-order layout: files cover contiguous Morton-code ranges over
     // (l_partkey, l_suppkey), so per-bucket min/max is tight on BOTH
     // columns. The oracle recomputes the identical bit-interleave and
@@ -1232,14 +1259,80 @@ object SinkQueries {
       s.sql(
         "TRUNCATE TABLE graft_snap_ddl_tbl " +
           "PARTITION (o_orderpriority = '1-URGENT')")
+      // static-PARTITION INSERT — the pre-analyzer intercept rewrites
+      // the Hive spelling to the in-row form (Spark alone dies on
+      // catalog partition metadata): refill the dropped partition with
+      // shifted-key 'P' copies, the literal injected at its slot
+      s.sql(
+        """INSERT INTO graft_snap_ddl_tbl
+          |PARTITION (o_orderpriority = '1-URGENT')
+          |SELECT o_orderkey + 3000000, o_custkey, 'P', o_totalprice
+          |FROM graft_snap_ddl_src
+          |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+      // static OVERWRITE = replace EXACTLY the named region, atomically
+      // (one replace_where snapshot — Spark's default static
+      // partitionOverwriteMode semantics): 5-LOW rebuilds from source
+      // with status 'L', shedding the shifted 'T' copies there
+      s.sql(
+        """INSERT OVERWRITE graft_snap_ddl_tbl
+          |PARTITION (o_orderpriority = '5-LOW')
+          |SELECT o_orderkey, o_custkey, 'L', o_totalprice
+          |FROM graft_snap_ddl_src
+          |WHERE o_orderpriority = '5-LOW'""".stripMargin)
       require(Snapshots.history(s, out).collect().map(_.getString(1)).toSeq
         == Seq("overwrite_partitions", "append", "truncate", "append",
-          "delete_where"),
-        "CTAS/INSERT/TRUNCATE/refill/partition-truncate, each one snapshot")
+          "delete_where", "append", "replace_where"),
+        "CTAS/INSERT/TRUNCATE/refill/partition-truncate/static-insert/" +
+          "static-overwrite, each one snapshot")
       s.sql(
         """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
           |  o_orderpriority
           |FROM graft_snap_ddl_tbl""".stripMargin)
+    }),
+
+    // Column-mapping evolution — ALTER TABLE RENAME/DROP COLUMN as
+    // METADATA-ONLY events: files written before the rename serve their
+    // bytes under the NEW name through the manifest's rename ledger
+    // (asserted in-query: the rename/drop snapshots add no files), new
+    // writes land under the new contract, a filter on the renamed
+    // column evaluates across both name epochs, and history
+    // time-travels under the old shape. Oracle: base ∪ shifted 'R'
+    // copies, the status column renamed, o_custkey dropped, non-'P'
+    // rows only.
+    "sink_snapshot_rename_column" -> ((s, dir) => {
+      val out = Files.createTempDirectory("graft_snap_ren").toString
+      val esc = out.replace("'", "''")
+      val base = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority")
+      base.createOrReplaceTempView("graft_snap_ren_src")
+      Snapshots.write(base.coalesce(1), out, Seq("o_orderpriority"))
+      s.sql("DROP TABLE IF EXISTS graft_snap_ren_tbl")
+      Snapshots.registerTable(s, out, "graft_snap_ren_tbl")
+      val filesBefore = Snapshots.read(s, out).inputFiles.toSet
+      s.sql(
+        "ALTER TABLE graft_snap_ren_tbl RENAME COLUMN o_orderstatus TO " +
+          "status")
+      require(Snapshots.read(s, out).inputFiles.toSet == filesBefore,
+        "rename must be metadata-only — zero files rewritten")
+      s.sql(
+        """INSERT INTO graft_snap_ren_tbl
+          |SELECT o_orderkey + 1000000, o_custkey, 'R', o_totalprice,
+          |  o_orderpriority
+          |FROM graft_snap_ren_src""".stripMargin)
+      s.sql("ALTER TABLE graft_snap_ren_tbl DROP COLUMN o_custkey")
+      require(Snapshots.read(s, out).inputFiles.toSet.size ==
+        filesBefore.size * 2, "drop must be metadata-only too")
+      // history serves the pre-rename shape (old name, dropped column)
+      require(s.sql(s"SELECT o_orderstatus, o_custkey FROM " +
+        s"graft_snapshot('$esc', 1)").count() == base.count(),
+        "the pre-rename snapshot must time-travel under its own shape")
+      require(Snapshots.history(s, out).collect().map(_.getString(1)).toSeq
+        == Seq("append", "rename_column", "append", "drop_column"),
+        "each evolution event is one metadata-only snapshot")
+      s.sql(
+        """SELECT o_orderkey, status, o_totalprice, o_orderpriority
+          |FROM graft_snap_ren_tbl WHERE status <> 'P'""".stripMargin)
     }),
 
     // CHECK constraints — the ADD CONSTRAINT lifecycle from SQL: a rule
@@ -1453,6 +1546,13 @@ object SinkQueries {
     "sink_parquet_partitioned" -> ordersOracle,
     "sink_zstd_partitioned" -> ordersOracle,
     "sink_compacted" -> ordersOracle,
+
+    // the in-place compaction preserves content; retention then drops
+    // the urgent partition wholesale
+    "sink_plain_sql_maintain" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM orders WHERE o_orderpriority <> '1-URGENT'""".stripMargin,
     "sink_retention" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  trim(cast(o_orderpriority as varchar)) AS o_orderpriority
@@ -1906,7 +2006,9 @@ object SinkQueries {
         |FROM orders WHERE o_orderkey % 50 = 0""".stripMargin,
 
     // base ∪ 'T'-statused shifted copies (the refill restored both from
-    // history), minus the TRUNCATE PARTITION'd urgent partition
+    // history), minus the TRUNCATE PARTITION'd urgent partition, plus
+    // the static-PARTITION 'P' refill of it, with the 5-LOW region
+    // replaced wholesale by the static-OVERWRITE 'L' rebuild
     "sink_snapshot_sql_ddl" ->
       """WITH state AS (
         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -1918,7 +2020,29 @@ object SinkQueries {
         |  FROM orders)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderpriority
-        |FROM state WHERE o_orderpriority <> '1-URGENT'""".stripMargin,
+        |FROM state
+        |WHERE o_orderpriority NOT IN ('1-URGENT', '5-LOW')
+        |UNION ALL
+        |SELECT o_orderkey + 3000000, o_custkey, 'P', o_totalprice,
+        |  o_orderpriority
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, 'L', o_totalprice,
+        |  o_orderpriority
+        |FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin,
+
+    // base ∪ shifted 'R' copies, status renamed, custkey dropped,
+    // filtered on the renamed column across both name epochs
+    "sink_snapshot_rename_column" ->
+      """WITH state AS (
+        |  SELECT o_orderkey, o_orderstatus AS status, o_totalprice,
+        |    o_orderpriority
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, 'R', o_totalprice, o_orderpriority
+        |  FROM orders)
+        |SELECT o_orderkey, status, o_totalprice, o_orderpriority
+        |FROM state WHERE status <> 'P'""".stripMargin,
 
     // untouched slices ∪ the urgent rebuild (even keys, 'R', tripled)
     // ∪ the F/2-HIGH replacement (third keys, +100 surcharge)

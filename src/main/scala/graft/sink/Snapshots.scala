@@ -209,13 +209,26 @@ object Snapshots {
     * the manifest so [[snapshotAt]]/[[readAt]] resolve "the table as of
     * 9am" without trusting file mtimes (expire's rebase-in-place rewrites
     * old manifests; their RECORDED ts is carried verbatim). */
+  /** `renames` is the dataset's COLUMN-MAPPING LEDGER — one entry per
+    * RENAME COLUMN (`(snapshotId, from, to)`) or DROP COLUMN
+    * (`(snapshotId, name, "")`) event, re-rendered in FULL by every
+    * manifest (the constraints discipline, bytes are trivial): the
+    * requested manifest alone answers "what physical column does
+    * contract column c have in a file of seq s" — walk the events
+    * newest-first, mapping `to → from` for every event NEWER than the
+    * file (the Iceberg field-id idea at parquet-name granularity, no
+    * file is ever rewritten). Names a rename/drop RETIRES can never
+    * re-enter the contract (guarded at ADD COLUMN, rename, and the
+    * write-path widening gate) — an old file's physical column would
+    * otherwise resurrect its bytes into an unrelated new column. */
   private case class SnapMeta(
       mode: String, schema: StructType, format: String,
       codec: Option[String], statsCols: Seq[String], batchTag: Option[String],
       partitionCols: Seq[String], ts: Option[Long] = None,
       recentTags: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
-      constraints: Seq[(String, String)] = Seq.empty)
+      constraints: Seq[(String, String)] = Seq.empty,
+      renames: Seq[(Int, String, String)] = Seq.empty)
 
   /** One manifest as stored: a FULL file listing (`full` defined) or a
     * DELTA against `parent` (adds/removes). Delete-file lines ride the
@@ -230,7 +243,8 @@ object Snapshots {
       dFull: Option[Seq[DeleteEntry]], ts: Option[Long],
       recentTags: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
-      constraints: Seq[(String, String)] = Seq.empty) {
+      constraints: Seq[(String, String)] = Seq.empty,
+      renames: Seq[(Int, String, String)] = Seq.empty) {
     /** The rolling replay-tag window this manifest represents: manifests
       * predating `rtags=` recording carry only their own tag. */
     def effectiveRecentTags: Seq[String] =
@@ -247,7 +261,8 @@ object Snapshots {
       deletes: Seq[DeleteEntry], chainDepth: Int, ts: Option[Long],
       recentTags: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
-      constraints: Seq[(String, String)] = Seq.empty)
+      constraints: Seq[(String, String)] = Seq.empty,
+      renames: Seq[(Int, String, String)] = Seq.empty)
 
   /** Quoted resolution of a LITERAL column name: this surface admits
     * field names containing dots (the sink's qcol discipline), and bare
@@ -377,6 +392,11 @@ object Snapshots {
     meta.constraints.foreach { case (n, e) =>
       b ++= s"constraint=${enc(n)}=${enc(e)}\n"
     }
+    // the full column-mapping ledger, like constraints: the requested
+    // manifest alone resolves every file's physical names
+    meta.renames.foreach { case (id, from, to) =>
+      b ++= s"rename=$id=${enc(from)}=${enc(to)}\n"
+    }
     if (meta.partitionCols.nonEmpty)
       b ++= s"partitionby=${meta.partitionCols.map(enc).mkString(",")}\n"
     meta.batchTag.foreach(t => b ++= s"batch=${enc(t)}\n")
@@ -412,6 +432,7 @@ object Snapshots {
       var ts: Option[Long] = None
       var recentTags: Seq[String] = Seq.empty
       val constraints = Seq.newBuilder[(String, String)]
+      val renames = Seq.newBuilder[(Int, String, String)]
       val adds = Seq.newBuilder[FileEntry]
       val removes = Seq.newBuilder[String]
       val fulls = Seq.newBuilder[FileEntry]
@@ -447,6 +468,16 @@ object Snapshots {
           require(sep > 0, s"corrupt constraint line in s$id: '$l'")
           constraints += ((dec(payload.substring(0, sep)),
             dec(payload.substring(sep + 1))))
+        case l if l.startsWith("rename=") =>
+          // URL-encoding escapes '=' inside names, so the first two '='
+          // of the payload are always the separators
+          val payload = l.stripPrefix("rename=")
+          val s1 = payload.indexOf('=')
+          val s2 = payload.indexOf('=', s1 + 1)
+          require(s1 > 0 && s2 > s1, s"corrupt rename line in s$id: '$l'")
+          renames += ((payload.substring(0, s1).toInt,
+            dec(payload.substring(s1 + 1, s2)),
+            dec(payload.substring(s2 + 1))))
         case l if l.startsWith("ts=") =>
           ts = Some(l.stripPrefix("ts=").toLong)
         case l if l.startsWith("parent=") =>
@@ -471,7 +502,7 @@ object Snapshots {
         if (parent.isEmpty) Some(fulls.result()) else None,
         dAdds.result(), dRemoves.result(),
         if (parent.isEmpty) Some(dFulls.result()) else None, ts, recentTags,
-        bloomCols, constraints.result())
+        bloomCols, constraints.result(), renames.result())
     } else {
       // v1 (positional): mode line, optional schema line, bare file paths
       val mode = lines.head.stripPrefix("mode=")
@@ -562,7 +593,7 @@ object Snapshots {
     Resolved(top.id, top.mode, top.schema, top.format, top.codec,
       top.statsCols, top.batchTag, top.partitionCols, files.values.toSeq,
       dels.values.toSeq, chain.length - 1, top.ts, top.effectiveRecentTags,
-      top.bloomCols, top.constraints)
+      top.bloomCols, top.constraints, top.renames)
   }
 
   /** The current snapshot id, if any write has published. */
@@ -914,15 +945,53 @@ object Snapshots {
     * recorded contract (an elided column reads from dirs in its era,
     * from file content in the others), then the eras union by name.
     * One era → one scan: the common homogeneous case pays nothing. */
+  /** Physical (as-written) column name of contract column `c` in a file
+    * added at snapshot `seq`: walk the rename ledger newest-first,
+    * mapping `to → from` for every event NEWER than the file. Drop
+    * events (`to` empty) never match a contract name — inert here. The
+    * walk is a bijection per epoch, so two contract columns can never
+    * collide on one physical name (retired names are barred from
+    * re-entering the contract). */
+  private def physicalName(
+      renames: Seq[(Int, String, String)], c: String, seq: Int): String = {
+    var cur = c
+    renames.sortBy(-_._1).foreach { case (id, from, to) =>
+      if (id > seq && to == cur) cur = from
+    }
+    cur
+  }
+
   private def scanRaw(
       spark: SparkSession, qroot: Path, m: Resolved,
       entries: Seq[FileEntry]): DataFrame = {
     val base = dataDir(qroot).toString
-    entries.groupBy(e => sigOf(e.rel)).toSeq
-      .sortBy(_._1.mkString(","))
-      .map { case (_, es) =>
-        reader(spark, m.format, base, m.schema)
-          .load(es.map(e => s"$base/${e.rel}"): _*)
+    // files written under a different COLUMN-NAME epoch (rename ledger)
+    // load with their physical schema and alias back to the contract —
+    // the spec-era grouping's twin; a rename-free dataset (or one whose
+    // files all postdate every rename) stays one scan and pays nothing
+    def mapping(seq: Int): Seq[String] = m.schema match {
+      case Some(sc) if m.renames.nonEmpty =>
+        sc.fieldNames.toSeq.map(c => physicalName(m.renames, c, seq))
+      case _ => Seq.empty
+    }
+    entries.groupBy(e => (sigOf(e.rel), mapping(e.seq))).toSeq
+      .sortBy { case ((sig, phys), _) =>
+        (sig.mkString(","), phys.mkString(","))
+      }
+      .map { case ((_, phys), es) =>
+        val paths = es.map(e => s"$base/${e.rel}")
+        val sc = m.schema
+        if (phys.isEmpty || sc.exists(_.fieldNames.toSeq == phys))
+          reader(spark, m.format, base, sc).load(paths: _*)
+        else {
+          val contract = sc.get
+          val physSchema = StructType(contract.fields.toSeq.zip(phys)
+            .map { case (fd, pn) => fd.copy(name = pn) })
+          reader(spark, m.format, base, Some(physSchema)).load(paths: _*)
+            .select(contract.fields.toSeq.zip(phys).map {
+              case (fd, pn) => qc(pn).as(fd.name)
+            }: _*)
+        }
       }.reduce(_ unionByName _)
   }
 
@@ -1152,6 +1221,20 @@ object Snapshots {
         stored, df.schema, partitionFields, evolution)
       case None => df.schema
     }
+    // a widening batch must not RE-INTRODUCE a name a rename/drop
+    // retired: old files still physically hold that column, and the
+    // "new" column would resurrect their bytes on read
+    prev.map(_.renames).filter(_.nonEmpty).foreach { ledger =>
+      val retired = ledger.map(_._2).toSet
+      val stored = prev.flatMap(_.schema).map(_.fieldNames.toSet)
+        .getOrElse(Set.empty)
+      contract.fieldNames.filterNot(stored).find(retired).foreach(c =>
+        throw new IllegalArgumentException(
+          s"column name '$c' was retired by a RENAME/DROP COLUMN and " +
+            "cannot re-enter the contract (files written before the " +
+            "rename still hold it physically) — pick another name, or " +
+            "compact first and start a fresh dataset"))
+    }
     statsCols.foreach { c =>
       require(!partitionFields.contains(c),
         s"stat column $c is a partition field — partition pruning already " +
@@ -1357,7 +1440,7 @@ object Snapshots {
       .takeRight(MaxRecentTags)
     val meta = SnapMeta(modeLabel, contract, fmtTok, dsCodec, statsCols,
       batchTag, partitionFields, Some(System.currentTimeMillis()), recentTags,
-      bloomCols, dsConstraints)
+      bloomCols, dsConstraints, prev.map(_.renames).getOrElse(Seq.empty))
     val chainDepth = prev.map(_.chainDepth).getOrElse(0)
     val content =
       if (prev.isEmpty || chainDepth + 1 >= RebaseEvery) {
@@ -1405,11 +1488,25 @@ object Snapshots {
             // re-read, so it aborts.
             val retryable = mode == SnapAppend && extraRemoves.isEmpty &&
               !dropDeletes
-            if (!retryable) throw race
-            retryAppendPublish(spark, f, qroot, root, df.schema, evolution,
-              partitionFields, modeLabel, fmtTok, dsCodec, statsCols,
-              bloomCols, batchTag, staged, statsByName, stagedLen, bloomRef,
-              race, dAdds, cur, dsConstraints)
+            if (retryable)
+              retryAppendPublish(spark, f, qroot, root, df.schema, evolution,
+                partitionFields, modeLabel, fmtTok, dsCodec, statsCols,
+                bloomCols, batchTag, staged, statsByName, stagedLen, bloomRef,
+                race, dAdds, cur, dsConstraints,
+                prev.map(_.renames).getOrElse(Seq.empty))
+            else if (RewriteRetryModes(modeLabel) && dAdds.isEmpty)
+              // a ROW-PRESERVING maintenance rewrite (compact/fold) that
+              // lost to a commuting winner rebases instead of aborting —
+              // the Iceberg RewriteFiles retry: valid iff every retired
+              // file is still live at the head and no winner added
+              // equality-deletes (checked per attempt inside)
+              retryRewritePublish(spark, f, qroot, root, df.schema,
+                evolution, partitionFields, modeLabel, fmtTok, dsCodec,
+                statsCols, bloomCols, staged, statsByName, stagedLen,
+                bloomRef, removes, dRemoves,
+                prevDeletes.map(_.rel).toSet,
+                prev.map(_.renames).getOrElse(Seq.empty), race)
+            else throw race
         }
     }
   }
@@ -1419,6 +1516,16 @@ object Snapshots {
     * race (the single-maintainer contract is clearly being violated at a
     * rate retrying can't absorb). */
   val MaxCommitRetries: Int = 5
+
+  /** Mode labels whose lost races may rebase through
+    * [[retryRewritePublish]]: the ROW-PRESERVING maintenance rewrites —
+    * their staged output re-adds exactly the rows of the files they
+    * retire, so ordering against a commuting winner is immaterial.
+    * Content-CHANGING remove-bearing lanes (overwrite, delete_where,
+    * replace_where, merge, rollback, truncate) keep the loud abort: a
+    * winner interleaving with one of those is a real write-write
+    * conflict whose resolution needs the caller's intent. */
+  private val RewriteRetryModes = Set("compact", "fold")
 
   /** Test-only interleave injection: consumed (reset to no-op) and invoked
     * once, immediately before the next publish attempt — lets specs land a
@@ -1460,7 +1567,8 @@ object Snapshots {
       firstRace: java.util.ConcurrentModificationException,
       dAdds: Seq[DeleteEntry] = Seq.empty,
       baseCur: Option[Int] = None,
-      baseConstraints: Seq[(String, String)] = Seq.empty): Int = {
+      baseConstraints: Seq[(String, String)] = Seq.empty,
+      baseRenames: Seq[(Int, String, String)] = Seq.empty): Int = {
     var lastRace = firstRace
     var attempt = 0
     while (attempt < MaxCommitRetries) {
@@ -1475,10 +1583,14 @@ object Snapshots {
         // constraints must MATCH the base's: the staged rows were
         // guarded under those — an interleaved add_constraint means
         // this data was never checked against the new rule, so the
-        // retry aborts and the re-run re-stages under it
+        // retry aborts and the re-run re-stages under it. The rename
+        // ledger must match too: the staged files' physical column
+        // names were the base contract's — rebasing past an interleaved
+        // rename/drop would mis-map them (and the widening gate below
+        // could resurrect a just-retired name)
         val compatible = p.format == fmtTok && p.codec == dsCodec &&
           p.statsCols == statsCols && p.bloomCols == bloomCols &&
-          p.constraints == baseConstraints &&
+          p.constraints == baseConstraints && p.renames == baseRenames &&
           (p.partitionCols.isEmpty || p.partitionCols == partitionFields)
         if (!compatible) throw lastRace
       }
@@ -1509,7 +1621,8 @@ object Snapshots {
           .takeRight(MaxRecentTags)
       val meta = SnapMeta(modeLabel, contract, fmtTok, dsCodec, statsCols,
         batchTag, partitionFields, Some(System.currentTimeMillis()),
-        recentTags, bloomCols, baseConstraints)
+        recentTags, bloomCols, baseConstraints,
+        prev.map(_.renames).getOrElse(Seq.empty))
       val chainDepth = prev.map(_.chainDepth).getOrElse(0)
       val content =
         if (prev.isEmpty || chainDepth + 1 >= RebaseEvery)
@@ -1519,6 +1632,109 @@ object Snapshots {
         else
           renderManifest(meta, cur, addEntries, Seq.empty, None,
             dAddEntries)
+      try { publishManifest(f, qroot, id, cur, content); return id }
+      catch {
+        case race: java.util.ConcurrentModificationException =>
+          lastRace = race
+      }
+    }
+    throw lastRace
+  }
+
+  /** Re-publish a race-losing ROW-PRESERVING REWRITE (compact/fold) onto
+    * the new head — the Iceberg RewriteFiles retry posture. The staged
+    * output holds exactly the rows of the files it retires, so a rebase
+    * equals the winners-then-rewrite serialization WHENEVER the winners
+    * commuted with it; per attempt, commuting means:
+    *
+    *  - the dataset-fixed properties (format/codec/stats/bloom/spec)
+    *    still hold — a winner that changed them makes the staged layout
+    *    wrong, so the original race surfaces;
+    *  - every retired data file is STILL LIVE at the head — a winner
+    *    that removed or replaced one (delete_where, overwrite, another
+    *    compact, rollback, truncate) invalidated the staged rewrite;
+    *  - no winner ADDED equality-delete entries — the restaged rows
+    *    re-anchor at the rebased id, which would outrank (and resurrect
+    *    rows from) any interleaved delete;
+    *  - delete entries this publish retires (a fold) that a winner
+    *    already dropped retire as the intersection (a no-op twice).
+    *
+    * A winner's pure APPEND — including into a directory this rewrite
+    * compacts — always commutes: the rebase keeps the explicit base-
+    * resolved retire LIST (never a directory recomputation), so the
+    * winner's file simply stays live beside the compacted output and no
+    * row is lost or doubled. Constraint drift does NOT abort: restaged
+    * rows are pre-existing table rows (the verbatim-restage exemption
+    * every maintenance lane already has), and the rebased manifest
+    * INHERITS the head's constraint set — a winner's add_constraint is
+    * never un-published by a maintenance rebase. Purely metadata: no
+    * data file is read, moved, or written. */
+  private def retryRewritePublish(
+      spark: SparkSession, f: FileSystem, qroot: Path, root: String,
+      incoming: StructType, evolution: graft.schema.SchemaEvolution.Policy,
+      partitionFields: Seq[String], modeLabel: String, fmtTok: String,
+      dsCodec: Option[String], statsCols: Seq[String],
+      bloomCols: Seq[String], staged: Seq[String],
+      statsByName: Map[String, StagedStats],
+      stagedLen: Map[String, Long], bloomRef: Option[String],
+      removes: Seq[String], dRemoves: Seq[String],
+      baseDeleteRels: Set[String],
+      baseRenames: Seq[(Int, String, String)],
+      firstRace: java.util.ConcurrentModificationException): Int = {
+    def conflict(why: String): Nothing = {
+      val e = new java.util.ConcurrentModificationException(
+        s"$modeLabel lost a publish race at $qroot and cannot rebase: " +
+          s"$why — re-read the new state and re-run the maintenance")
+      e.initCause(firstRace)
+      throw e
+    }
+    var lastRace = firstRace
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      attempt += 1
+      val cur = currentSnapshot(spark, root)
+      val p = cur.map(resolve(f, qroot, _)).getOrElse(
+        conflict("the dataset no longer has a committed snapshot"))
+      val compatible = p.format == fmtTok && p.codec == dsCodec &&
+        p.statsCols == statsCols && p.bloomCols == bloomCols &&
+        p.renames == baseRenames &&
+        (p.partitionCols.isEmpty || p.partitionCols == partitionFields)
+      if (!compatible)
+        conflict("an interleaved winner changed the dataset-fixed " +
+          "properties (format/codec/stats/bloom/partition spec) or the " +
+          "column-mapping ledger")
+      val live = p.files.map(_.rel).toSet
+      removes.find(!live(_)).foreach(rel =>
+        conflict(s"an interleaved winner removed or replaced $rel, " +
+          "which this rewrite retires"))
+      val headDel = p.deletes.map(_.rel).toSet
+      (headDel -- baseDeleteRels).headOption.foreach(rel =>
+        conflict(s"an interleaved winner added equality-delete $rel — " +
+          "the restaged rows' rebased seq would outrank it"))
+      val dRem = dRemoves.filter(headDel)
+      val contract = p.schema match {
+        case Some(stored) => graft.schema.SchemaEvolution.validate(
+          stored, incoming, partitionFields, evolution)
+        case None => incoming
+      }
+      val id = cur.getOrElse(0) + 1
+      val addEntries = staged.map(rel =>
+        entryFor(rel, statsByName.get(rel), id, stagedLen.getOrElse(rel, -1L),
+          bloomRef))
+      val meta = SnapMeta(modeLabel, contract, fmtTok, dsCodec, statsCols,
+        None, partitionFields, Some(System.currentTimeMillis()),
+        p.recentTags.takeRight(MaxRecentTags), bloomCols, p.constraints,
+        p.renames)
+      val content =
+        if (p.chainDepth + 1 >= RebaseEvery) {
+          val removed = removes.toSet
+          val dRemoved = dRem.toSet
+          renderManifest(meta, None, Seq.empty, Seq.empty,
+            Some(p.files.filterNot(e => removed(e.rel)) ++ addEntries),
+            dFull = p.deletes.filterNot(d => dRemoved(d.rel)))
+        } else
+          renderManifest(meta, cur, addEntries, removes, None,
+            Seq.empty, dRem)
       try { publishManifest(f, qroot, id, cur, content); return id }
       catch {
         case race: java.util.ConcurrentModificationException =>
@@ -1585,7 +1801,7 @@ object Snapshots {
     // maintain() never blocks a mergeStream batch's rebase
     val rowPreserving =
       Set("compact", "fold", "migrate_spec", "evolve_spec", "evolve_schema",
-        "add_constraint", "drop_constraint")
+        "add_constraint", "drop_constraint", "rename_column", "drop_column")
     // entries interleaved winners ADDED then possibly removed later —
     // a later remove's stats may live here rather than in the base
     val interAdds = scala.collection.mutable.Map.empty[String, FileEntry]
@@ -1724,7 +1940,7 @@ object Snapshots {
       target.schema.getOrElse(StructType(Seq.empty)), target.format,
       target.codec, target.statsCols, None, target.partitionCols,
       Some(System.currentTimeMillis()), live.recentTags, target.bloomCols,
-      target.constraints)
+      target.constraints, live.renames)
     val id = cur + 1
     val content =
       if (live.chainDepth + 1 >= RebaseEvery)
@@ -2034,7 +2250,7 @@ object Snapshots {
       // key-range-pruned everywhere): drop the entries metadata-only
       val meta = SnapMeta("fold", schema, m.format, m.codec, m.statsCols,
         None, m.partitionCols, Some(System.currentTimeMillis()),
-        m.recentTags, m.bloomCols, m.constraints)
+        m.recentTags, m.bloomCols, m.constraints, m.renames)
       val nid = id + 1
       val content =
         if (m.chainDepth + 1 >= RebaseEvery)
@@ -2706,6 +2922,14 @@ object Snapshots {
           s"column '${c.name}' already exists in the recorded contract " +
             s"as '${f.name}' (${f.dataType.sql})"))
     }
+    // a name a rename/drop RETIRED can never re-enter: files written
+    // before the event still hold it physically — the "new" column
+    // would resurrect their bytes
+    columns.foreach(c => m.renames.map(_._2).find(resolver(_, c.name))
+      .foreach(r => throw new IllegalArgumentException(
+        s"column name '${c.name}' was retired by a RENAME/DROP COLUMN " +
+          s"(as '$r') and cannot re-enter the contract — files written " +
+          "before the rename still hold it physically; pick another name")))
     val widened = graft.schema.SchemaEvolution.validate(
       stored, StructType(stored.fields ++ columns), m.partitionCols,
       graft.schema.SchemaEvolution.Widen)
@@ -2713,7 +2937,132 @@ object Snapshots {
       SnapMeta("evolve_schema", widened, m.format, m.codec,
         m.statsCols, None, m.partitionCols,
         Some(System.currentTimeMillis()), m.recentTags, m.bloomCols,
-        m.constraints))
+        m.constraints, m.renames))
+  }
+
+  /** Column names a constraint expression references (top level of any
+    * dotted path) — what rename/drop must refuse to orphan. */
+  private def constraintRefs(
+      spark: SparkSession, exprSql: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head
+    }
+
+  /** Shared guards of the two column-mapping events: resolve the column
+    * (session resolver), refuse partition columns (the directory layout
+    * IS their physical name), live equality-delete keys (fold first),
+    * and constraint references (drop/re-add the rule). Returns the
+    * resolved field. */
+  private def mappableColumn(
+      spark: SparkSession, m: Resolved, stored: StructType, name: String,
+      what: String): org.apache.spark.sql.types.StructField = {
+    val resolver = spark.sessionState.conf.resolver
+    val field = stored.fields.find(fd => resolver(fd.name, name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$what: no column '$name' in the recorded contract " +
+          s"(${stored.fieldNames.mkString(", ")})"))
+    require(!m.partitionCols.exists(resolver(_, field.name)),
+      s"$what: '${field.name}' is a partition column — the directory " +
+        "layout is its physical encoding; use evolvePartitioning to " +
+        "change the spec")
+    m.deletes.flatMap(_.keyCols).distinct
+      .find(resolver(_, field.name)).foreach(k =>
+        throw new IllegalStateException(
+          s"$what: '$k' keys live merge-on-read delete files — run " +
+            "foldDeletes (or maintain) first"))
+    m.constraints.foreach { case (n, e) =>
+      if (constraintRefs(spark, e).exists(resolver(_, field.name)))
+        throw new IllegalStateException(
+          s"$what: CHECK constraint '$n' ($e) references '${field.name}'" +
+            " — drop the constraint and re-add it under the new shape")
+    }
+    field
+  }
+
+  /**
+   * RENAME COLUMN WITHOUT A REWRITE — `ALTER TABLE t RENAME COLUMN`'s
+   * engine half: one METADATA-ONLY snapshot (mode `rename_column`)
+   * publishes the contract with the field renamed IN PLACE plus a
+   * column-mapping ledger entry `(id, from, to)`; files already landed
+   * keep their physical name and every read resolves it through the
+   * ledger ([[physicalName]] — the Iceberg field-id idea at
+   * parquet-name granularity, zero bytes moved). Old snapshots
+   * time-travel under the old name (each manifest carries its own
+   * schema AND ledger); stat/Bloom pruning on old files degrades to
+   * conservative keeps (their stats stay keyed by the written name —
+   * the superset guarantee, compaction re-keys them). The retired name
+   * can never re-enter the contract. Partition columns, live
+   * delete-key columns, and constraint-referenced columns refuse with
+   * the remedy named. Returns the new snapshot id.
+   */
+  def renameColumn(
+      spark: SparkSession, root: String, from: String, to: String): Int = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val cur = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot published under $root — nothing to rename"))
+    val m = resolve(f, qroot, cur)
+    val stored = m.schema.getOrElse(throw new IllegalStateException(
+      s"snapshot s$cur records no schema contract — one write through " +
+        "the Snapshots API pins it before metadata-only evolution"))
+    val resolver = spark.sessionState.conf.resolver
+    val field = mappableColumn(spark, m, stored, from, "RENAME COLUMN")
+    require(to.nonEmpty, "RENAME COLUMN: the new name must be non-empty")
+    require(!resolver(field.name, to),
+      s"RENAME COLUMN: '$from' → '$to' is a no-op (names resolve equal)")
+    stored.fields.find(fd => resolver(fd.name, to)).foreach(fd =>
+      throw new IllegalArgumentException(
+        s"RENAME COLUMN: '$to' already exists in the contract as " +
+          s"'${fd.name}' (${fd.dataType.sql})"))
+    m.renames.map(_._2).find(resolver(_, to)).foreach(r =>
+      throw new IllegalArgumentException(
+        s"RENAME COLUMN: '$to' was retired by an earlier RENAME/DROP " +
+          s"(as '$r') and cannot re-enter the contract — files written " +
+          "before that event still hold it physically"))
+    val newSchema = StructType(stored.fields.map(fd =>
+      if (fd.name == field.name) fd.copy(name = to) else fd))
+    // dataset-declared stat/bloom columns follow the rename: new files
+    // record under the new name; old files' old-name stats just stop
+    // pruning (conservative) until compaction re-keys them
+    publishMetaOnly(f, qroot, cur, m,
+      SnapMeta("rename_column", newSchema, m.format, m.codec,
+        m.statsCols.map(c => if (c == field.name) to else c), None,
+        m.partitionCols, Some(System.currentTimeMillis()), m.recentTags,
+        m.bloomCols.map(c => if (c == field.name) to else c),
+        m.constraints, m.renames :+ ((cur + 1, field.name, to))))
+  }
+
+  /**
+   * DROP COLUMN WITHOUT A REWRITE — one METADATA-ONLY snapshot (mode
+   * `drop_column`): the contract loses the field, a ledger entry
+   * `(id, name, "")` retires the name forever (old files still hold the
+   * bytes; re-adding the name would resurrect them), and every read
+   * simply stops projecting it — the column-pruned scan never touches
+   * the dropped bytes, so the "rewrite 100 TB to drop a column" cost is
+   * zero. Old snapshots time-travel WITH the column. Same refusals as
+   * [[renameColumn]]; dropping the last column refuses. Returns the new
+   * snapshot id.
+   */
+  def dropColumn(spark: SparkSession, root: String, name: String): Int = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val cur = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot published under $root — nothing to drop"))
+    val m = resolve(f, qroot, cur)
+    val stored = m.schema.getOrElse(throw new IllegalStateException(
+      s"snapshot s$cur records no schema contract — one write through " +
+        "the Snapshots API pins it before metadata-only evolution"))
+    val field = mappableColumn(spark, m, stored, name, "DROP COLUMN")
+    require(stored.fields.length > 1,
+      s"DROP COLUMN: '${field.name}' is the only column")
+    publishMetaOnly(f, qroot, cur, m,
+      SnapMeta("drop_column",
+        StructType(stored.fields.filterNot(_.name == field.name)),
+        m.format, m.codec, m.statsCols.filterNot(_ == field.name), None,
+        m.partitionCols, Some(System.currentTimeMillis()), m.recentTags,
+        m.bloomCols.filterNot(_ == field.name), m.constraints,
+        m.renames :+ ((cur + 1, field.name, ""))))
   }
 
   /**
@@ -2743,7 +3092,7 @@ object Snapshots {
     val meta = SnapMeta("truncate", stored, m.format, m.codec,
       m.statsCols, None, m.partitionCols,
       Some(System.currentTimeMillis()), m.recentTags, m.bloomCols,
-      m.constraints)
+      m.constraints, m.renames)
     val id = cur + 1
     val content =
       renderManifest(meta, None, Seq.empty, Seq.empty, Some(Seq.empty))
@@ -2820,7 +3169,7 @@ object Snapshots {
       SnapMeta("add_constraint", stored, m.format, m.codec,
         m.statsCols, None, m.partitionCols,
         Some(System.currentTimeMillis()), m.recentTags, m.bloomCols,
-        m.constraints :+ (name -> exprSql)))
+        m.constraints :+ (name -> exprSql), m.renames))
   }
 
   /** Drop a named constraint (mode `drop_constraint`, metadata-only).
@@ -2838,7 +3187,7 @@ object Snapshots {
         m.schema.getOrElse(StructType(Seq.empty)), m.format, m.codec,
         m.statsCols, None, m.partitionCols,
         Some(System.currentTimeMillis()), m.recentTags, m.bloomCols,
-        m.constraints.filterNot(_._1 == name))))
+        m.constraints.filterNot(_._1 == name), m.renames)))
   }
 
   /** The current snapshot's recorded CHECK constraints (name → SQL). */
@@ -2897,7 +3246,7 @@ object Snapshots {
     publishMetaOnly(f, qroot, cur, m,
       SnapMeta("evolve_spec", schema, m.format, m.codec,
         m.statsCols, None, newSpec, Some(System.currentTimeMillis()),
-        m.recentTags, m.bloomCols, m.constraints))
+        m.recentTags, m.bloomCols, m.constraints, m.renames))
   }
 
   /**
@@ -3161,7 +3510,7 @@ object Snapshots {
   private[graft] val EmitModes: Set[String] = Set("append", "merge_mor")
   private[graft] val SkipModes: Set[String] =
     Set("compact", "fold", "migrate_spec", "evolve_spec", "evolve_schema",
-      "add_constraint", "drop_constraint")
+      "add_constraint", "drop_constraint", "rename_column", "drop_column")
 
   /** Added-rows frames for every emit-mode snapshot in `(startId,
     * endId]`, resolved with ONE manifest cache shared across the whole
@@ -3870,7 +4219,8 @@ object Snapshots {
     val meta = SnapMeta("branch_fork",
       m.schema.getOrElse(StructType(Seq.empty)), m.format, m.codec,
       m.statsCols, None, m.partitionCols, Some(System.currentTimeMillis()),
-      bloomCols = m.bloomCols, constraints = m.constraints)
+      bloomCols = m.bloomCols, constraints = m.constraints,
+      renames = m.renames)
     f.mkdirs(bdir)
     FsOps.atomicWrite(f, new Path(bdir, "s1"),
       renderManifest(meta, None, Seq.empty, Seq.empty, Some(m.files),
@@ -4007,7 +4357,7 @@ object Snapshots {
       b.statsCols, Some(mergeTag), b.partitionCols,
       Some(System.currentTimeMillis()),
       (live.recentTags :+ mergeTag).takeRight(MaxRecentTags), b.bloomCols,
-      live.constraints)
+      live.constraints, live.renames)
     val content =
       if (live.chainDepth + 1 >= RebaseEvery)
         renderManifest(meta, None, Seq.empty, Seq.empty, Some(merged),
@@ -4175,6 +4525,11 @@ object Snapshots {
       // existing-data validation scanned only MAIN's manifest, never
       // branch files), so rebasing them under a rule added since the
       // fork would publish unchecked rows as silently "constrained"
+      require(live.renames == bRes.renames,
+        s"branch '$name' forked under a different column-mapping ledger " +
+          "than main's current one (a RENAME/DROP COLUMN landed since " +
+          "the fork) — the branch's staged files carry the fork-time " +
+          "physical names; re-branch and replay")
       require(live.constraints == bRes.constraints,
         s"branch '$name' wrote under constraints " +
           s"[${bRes.constraints.map(_._1).mkString(",")}] but main now " +
@@ -4197,7 +4552,7 @@ object Snapshots {
         live.statsCols, Some(mergeTag), live.partitionCols,
         Some(System.currentTimeMillis()),
         (live.recentTags :+ mergeTag).takeRight(MaxRecentTags),
-        live.bloomCols, live.constraints)
+        live.bloomCols, live.constraints, live.renames)
       val content =
         if (live.chainDepth + 1 >= RebaseEvery)
           renderManifest(meta, None, Seq.empty, Seq.empty,
@@ -4557,7 +4912,8 @@ object Snapshots {
         val meta = SnapMeta(raw.mode,
           raw.schema.getOrElse(StructType(Seq.empty)), raw.format,
           raw.codec, raw.statsCols, raw.batchTag, raw.partitionCols, raw.ts,
-          raw.effectiveRecentTags, raw.bloomCols, raw.constraints)
+          raw.effectiveRecentTags, raw.bloomCols, raw.constraints,
+          raw.renames)
         FsOps.atomicWrite(f, new Path(snapshotsDir(qroot), s"s$k"),
           renderManifest(meta, None, Seq.empty, Seq.empty, Some(res.files),
             dFull = res.deletes))

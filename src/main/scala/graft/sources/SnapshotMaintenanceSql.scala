@@ -27,6 +27,10 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
  *   CALL graft_rollback('/data/events', 7)    -- RESTORE: re-publish s7
  *   CALL graft_tag('/data/events', 'v1')      -- pin current (or an id)
  *   CALL graft_drop_tag('/data/events', 'v1') -- expirable again
+ *
+ *   -- PLAIN partitioned trees (no snapshot manifest — the spec is named):
+ *   CALL graft_compact('/plain/tree', 'p1,p2'[, filesPerPartition])
+ *   CALL graft_retention('/plain/tree', 'day', 'day < ''2026-01-01''')
  * }}}
  *
  * Spark's `CALL` statement requires a DSv2 ProcedureCatalog these v1
@@ -45,6 +49,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     SnapshotMaintenanceSql.intercept(sqlText)
+      .orElse(SnapshotInsertSql.intercept(session, delegate, sqlText))
+      .orElse(SnapshotAlterSql.intercept(session, delegate, sqlText))
       .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseExpression(sqlText: String): Expression =
@@ -90,8 +96,8 @@ private[sources] object SnapshotMaintenanceSql {
 
   private val Call =
     ("""(?is)\s*CALL\s+graft_(maintain|compact|expire|vacuum|rollback""" +
-      """|tag|drop_tag|add_constraint|drop_constraint)\s*\((.*)\)""" +
-      """\s*;?\s*(?:--[^\r\n]*)?\s*""").r
+      """|tag|drop_tag|add_constraint|drop_constraint|retention)""" +
+      """\s*\((.*)\)\s*;?\s*(?:--[^\r\n]*)?\s*""").r
 
   /** Strip `--` line comments and slash-star block comments ANYWHERE
     * outside a single-quoted string — leading, trailing (any number,
@@ -104,7 +110,7 @@ private[sources] object SnapshotMaintenanceSql {
     * argument text, never a comment. An unterminated block comment
     * strips to the end, matching how every SQL lexer treats the
     * tail. */
-  private def stripComments(sql: String): String = {
+  private[sources] def stripComments(sql: String): String = {
     val out = new StringBuilder
     var i = 0
     var inQuote = false
@@ -157,7 +163,8 @@ private[sources] object SnapshotMaintenanceSql {
     interceptStripped(stripComments(sqlText))
   }
 
-  private def containsIgnoreCase(haystack: String, needle: String): Boolean = {
+  private[sources] def containsIgnoreCase(
+      haystack: String, needle: String): Boolean = {
     var i = 0
     val max = haystack.length - needle.length
     while (i <= max) {
@@ -184,9 +191,35 @@ private[sources] object SnapshotMaintenanceSql {
         case ("maintain", Seq()) => SnapshotMaintainSqlCommand(target, None)
         case ("maintain", Seq(n)) =>
           SnapshotMaintainSqlCommand(target, Some(int(n)))
+        // a QUOTED second argument is the partition-column list of the
+        // PLAIN-TREE lane ([[PartitionedSink.compactInPlace]]) — plain
+        // partitioned trees record no spec, so SQL must name one; the
+        // snapshot lane below reads its recorded spec instead
+        case ("compact", rest) if rest.headOption.exists(_.startsWith("'")) =>
+          require(target.isPath,
+            "CALL graft_compact on a plain partitioned tree targets a " +
+              "quoted path (registered snapshot tables use " +
+              "graft_compact(table[, targetFilesPerPartition]))")
+          val pcols = partitionColsArg(o, str(rest.head))
+          rest.tail match {
+            case Seq() => PlainCompactSqlCommand(target.raw, pcols, 1, None)
+            case Seq(n) =>
+              PlainCompactSqlCommand(target.raw, pcols, int(n), None)
+            case Seq(n, fmt) =>
+              PlainCompactSqlCommand(target.raw, pcols, int(n),
+                Some(str(fmt)))
+            case _ => throw new IllegalArgumentException(
+              "CALL graft_compact takes ('path', 'p1,p2'[, " +
+                "filesPerPartition[, 'format']]) for plain trees")
+          }
         case ("compact", Seq()) => SnapshotCompactSqlCommand(target, 1)
         case ("compact", Seq(n)) =>
           SnapshotCompactSqlCommand(target, int(n))
+        case ("retention", Seq(pc, pred)) =>
+          require(target.isPath,
+            "CALL graft_retention targets a quoted plain-tree path")
+          PlainRetentionSqlCommand(target.raw,
+            partitionColsArg(o, str(pc)), str(pred))
         case ("expire", Seq(n)) =>
           SnapshotExpireSqlCommand(target, int(n))
         case ("vacuum", Seq()) => SnapshotVacuumSqlCommand(target, None)
@@ -229,7 +262,20 @@ private[sources] object SnapshotMaintenanceSql {
     case "drop_tag" => ", 'name'"
     case "add_constraint" => ", 'name', 'boolean expr'[, 'novalidate']"
     case "drop_constraint" => ", 'name'"
+    case "retention" => ", 'p1,p2', 'boolean expr over partition values'"
     case _ => "[, graceMs]"
+  }
+
+  /** The plain-tree lane's partition-column list: a quoted
+    * comma-separated spec, order = directory nesting. */
+  private def partitionColsArg(op: String, spec: String): Seq[String] = {
+    val cols = spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    require(cols.nonEmpty,
+      s"CALL graft_$op: the partition-column list must name at least " +
+        s"one column, got '$spec'")
+    require(cols.distinct == cols,
+      s"CALL graft_$op: duplicate partition column in '$spec'")
+    cols
   }
 
   /** A single-quoted string argument (`''` escapes), for the ops that
@@ -242,7 +288,7 @@ private[sources] object SnapshotMaintenanceSql {
 
   /** Split the argument text on top-level commas, honoring
     * single-quoted strings with `''` escapes. */
-  private def splitArgs(text: String): Seq[String] = {
+  private[sources] def splitArgs(text: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var inQuote = false
@@ -463,4 +509,119 @@ case class SnapshotDropConstraintSqlCommand(
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(Snapshots.dropConstraint(session, target.resolveRoot(session),
       name).map(Int.box).orNull))
+}
+
+/** Shared guards of the PLAIN-TREE maintenance lane (`graft_compact`
+  * with an explicit partition spec, `graft_retention`): these commands
+  * mutate a bare partitioned directory tree in place, so running one
+  * against a SNAPSHOT root would corrupt the manifest's file accounting
+  * — rejected loudly with the snapshot lane named. */
+private[sources] object PlainTreeSql {
+  def requirePlainTree(
+      session: SparkSession, path: String, op: String): Unit = {
+    require(Snapshots.currentSnapshot(session, path).isEmpty,
+      s"CALL graft_$op: $path is a SNAPSHOT dataset root — snapshot " +
+        "tables have their own maintenance lane (graft_maintain/" +
+        "graft_compact(table)/graft_expire/graft_vacuum; row removal " +
+        "is DELETE FROM), which keeps the manifest consistent")
+    val (f, root) = graft.sink.FsOps.fs(session, path)
+    require(f.exists(root), s"CALL graft_$op: no tree at $path")
+  }
+
+  def resolveFormat(op: String, fmt: Option[String]): graft.sink.SinkFormat =
+    fmt.map(_.toLowerCase) match {
+      case None | Some("parquet") => graft.sink.ParquetFormat
+      case Some("orc") => graft.sink.OrcFormat
+      case Some("avro") => graft.sink.AvroFormat
+      case Some(other) => throw new IllegalArgumentException(
+        s"CALL graft_$op: unknown format '$other' (parquet, orc, avro)")
+    }
+
+  /** Non-hidden data files under the tree — the before/after figure the
+    * report rows carry (one recursive listing, no data file opened). */
+  def dataFileCount(session: SparkSession, path: String): Int = {
+    val (f, root) = graft.sink.FsOps.fs(session, path)
+    val it = f.listFiles(root, true)
+    var n = 0
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (s.isFile && !name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+}
+
+/** `CALL graft_compact('path', 'p1,p2'[, filesPerPartition[, 'format']])`
+  * ≡ [[graft.sink.PartitionedSink.compactInPlace]] — the plain-tree
+  * twin of the snapshot lane, for reference-style partitioned trees
+  * that record no manifest (so SQL must name the partition spec).
+  * Reports data-file counts before/after. */
+case class PlainCompactSqlCommand(
+    path: String, partitionFields: Seq[String], filesPerPartition: Int,
+    format: Option[String])
+    extends LeafRunnableCommand {
+  import SnapshotMaintenanceSql.ref
+  override val output: Seq[Attribute] = Seq(
+    ref("files_before", IntegerType), ref("files_after", IntegerType))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    PlainTreeSql.requirePlainTree(session, path, "compact")
+    val fmt = PlainTreeSql.resolveFormat("compact", format)
+    val before = PlainTreeSql.dataFileCount(session, path)
+    graft.sink.PartitionedSink.compactInPlace(session, path,
+      partitionFields, fmt, filesPerPartition)
+    Seq(Row(before, PlainTreeSql.dataFileCount(session, path)))
+  }
+}
+
+/** `CALL graft_retention('path', 'p1,p2', 'boolean expr')` ≡
+  * [[graft.sink.PartitionedSink.dropPartitionsWhere]] — partition-
+  * granularity retention on a plain tree, with the predicate written in
+  * SQL over the partition columns' STRING values (directory names —
+  * `'day < ''2026-01-01'''`). The predicate evaluates driver-side over
+  * the listed partition tuples (partition CARDINALITY, the same cost
+  * class as the drop's own listing — no data file is opened), then
+  * exactly the matching tuples drop via the engine call. Returns one
+  * row per dropped partition. */
+case class PlainRetentionSqlCommand(
+    path: String, partitionFields: Seq[String], predicateSql: String)
+    extends LeafRunnableCommand {
+  import SnapshotMaintenanceSql.ref
+  override val output: Seq[Attribute] =
+    Seq(ref("dropped_partition", org.apache.spark.sql.types.StringType))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    PlainTreeSql.requirePlainTree(session, path, "retention")
+    val parts = graft.sink.PartitionCatalog.list(
+      session, path, partitionFields.size)
+    parts.headOption.foreach(m => require(
+      partitionFields.forall(m.contains),
+      s"CALL graft_retention: the tree's directories are keyed by " +
+        s"(${m.keys.toSeq.sorted.mkString(", ")}), not " +
+        s"(${partitionFields.mkString(", ")})"))
+    if (parts.isEmpty) return Seq.empty
+    val schema = StructType(partitionFields.map(f =>
+      org.apache.spark.sql.types.StructField(f,
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    val rows = new java.util.ArrayList[Row](parts.length)
+    parts.foreach(m => rows.add(Row.fromSeq(partitionFields.map(m(_)))))
+    val matched =
+      try session.createDataFrame(rows, schema)
+        .filter(org.apache.spark.sql.functions.expr(predicateSql))
+        .collect().map(r => partitionFields.map(r.getAs[String](_))).toSet
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"CALL graft_retention: predicate '$predicateSql' must be a " +
+              s"boolean expression over the partition columns " +
+              s"(${partitionFields.mkString(", ")}) as strings: " +
+              e.getMessage, e)
+      }
+    val dropped = graft.sink.PartitionedSink.dropPartitionsWhere(
+      session, path, partitionFields,
+      m => matched(partitionFields.map(m(_))))
+    dropped.map(m => Row(partitionFields.map(f =>
+      s"$f=${m(f)}").mkString("/")))
+  }
 }

@@ -597,6 +597,15 @@ class SnapshotRelation(
           s"(${p.dataType.sql} → ${cu.dataType.sql}) after this table " +
           "was resolved — run REFRESH TABLE (or re-read) to pick up the " +
           "widened type")
+      // a column the plan resolved that the current contract no longer
+      // carries = a RENAME/DROP COLUMN published since — loud with the
+      // remedy, never a raw unresolved-column error
+      if (planned.fields.exists(_.name == c) &&
+        !base.schema.fields.exists(_.name == c))
+        throw new IllegalStateException(
+          s"column '$c' was renamed or dropped after this table was " +
+            "resolved — run REFRESH TABLE (or re-read) to pick up the " +
+            "current contract")
     }
     val projected =
       if (requiredColumns.isEmpty) filtered.select()

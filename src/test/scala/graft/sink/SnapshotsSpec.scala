@@ -467,6 +467,227 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).count() == orders.count() + b.count())
   }
 
+  test("append-during-compact: the race-losing compaction rebases and BOTH land") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_racecmp").toString
+    // two fragments in partition a → compact has work there
+    Snapshots.write(Seq((1L, "a", 10.0), (2L, "a", 20.0))
+      .toDF("k", "p", "v").coalesce(1), root, Seq("p"))
+    Snapshots.write(Seq((3L, "a", 30.0)).toDF("k", "p", "v").coalesce(1),
+      root, Seq("p"), SnapAppend)
+    // the winner APPENDS INTO THE COMPACTED PARTITION between the
+    // compaction's base resolution and its pointer flip — the hostile
+    // direction: a dir-recomputing rebase would remove (and lose) the
+    // winner's file; the explicit retire-list rebase must keep it live
+    Snapshots.prePublishInterleave = () =>
+      assert(Snapshots.write(Seq((4L, "a", 40.0)).toDF("k", "p", "v")
+        .coalesce(1), root, Seq("p"), SnapAppend) == 3)
+    assert(Snapshots.compact(spark, root, Seq("p")).contains(4),
+      "the losing compaction must rebase onto the new head")
+    val m = Snapshots.read(spark, root).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0),
+      s"nothing lost, nothing doubled: $m")
+    // layout: the compacted file replaced the two base fragments; the
+    // winner's append rides beside it (2 files in partition a)
+    val aFiles = Snapshots.read(spark, root).inputFiles
+      .filter(_.contains("p=a"))
+    assert(aFiles.length == 2, s"compacted + winner's append: " +
+      aFiles.mkString(", "))
+    assert(Snapshots.history(spark, root).collect().map(_.getString(1))
+      .toSeq == Seq("append", "append", "append", "compact"))
+    // a follow-up maintenance pass re-fires on the now-2-file partition
+    // (the rebase never promises the post-compact file bound)
+    assert(Snapshots.compact(spark, root, Seq("p")).contains(5))
+    assert(Snapshots.read(spark, root).count() == 4)
+  }
+
+  test("append-during-fold rebases; a winner's interleaved MERGE (new equality-deletes) aborts the fold") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_racefld").toString
+    Snapshots.write(Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("k", "p", "v").coalesce(1), root, Seq("p"),
+      statsColumns = Seq("k"))
+    // leave a live equality-delete (k=2) for fold to settle
+    assert(Snapshots.mergeDeltas(spark, root,
+      Seq((2L, "a", 0.0, true)).toDF("k", "p", "v", "__del").coalesce(1),
+      Seq("p"), Seq("k"), deleteCol = Some("__del")) == 2)
+    // a pure append lands while the fold is in flight → the fold rebases
+    Snapshots.prePublishInterleave = () =>
+      assert(Snapshots.write(Seq((5L, "b", 50.0)).toDF("k", "p", "v")
+        .coalesce(1), root, Seq("p"), SnapAppend) == 3)
+    assert(Snapshots.foldDeletes(spark, root, Seq("p")).contains(4))
+    val m = Snapshots.read(spark, root).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m == Map(1L -> 10.0, 3L -> 30.0, 5L -> 50.0),
+      s"fold settled the delete; the winner's append survives: $m")
+    assert(Snapshots.snapshotLog(spark, root)
+      .filter(col("is_current")).head().getLong(6) == 0L,
+      "no live delete files after the fold")
+    // now a winner MERGE adds a NEW equality-delete while a fold is in
+    // flight: the fold's restaged rows would outrank (resurrect) it —
+    // must abort loudly, winner intact
+    assert(Snapshots.mergeDeltas(spark, root,
+      Seq((5L, "b", 0.0, true)).toDF("k", "p", "v", "__del").coalesce(1),
+      Seq("p"), Seq("k"), deleteCol = Some("__del")) == 5)
+    Snapshots.prePublishInterleave = () =>
+      assert(Snapshots.mergeDeltas(spark, root,
+        Seq((1L, "a", 0.0, true)).toDF("k", "p", "v", "__del").coalesce(1),
+        Seq("p"), Seq("k"), deleteCol = Some("__del")) == 6)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.foldDeletes(spark, root, Seq("p"))
+    }
+    assert(ex.getMessage.contains("added equality-delete"), ex.getMessage)
+    assert(Snapshots.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(3L),
+      "both winners' deletes stand after the fold's abort")
+  }
+
+  test("compact-during-deleteWhere conflict: the rewrite whose files a winner replaced aborts, staged files are vacuum food, a re-run lands") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_racecd").toString
+    Snapshots.write(Seq((1L, "a", 10.0), (2L, "a", 20.0))
+      .toDF("k", "p", "v").coalesce(1), root, Seq("p"))
+    Snapshots.write(Seq((3L, "a", 30.0)).toDF("k", "p", "v").coalesce(1),
+      root, Seq("p"), SnapAppend)
+    // the winner predicate-DELETES k=1 — its copy-on-write REPLACES a
+    // file the compaction read and retires → rebasing would resurrect
+    // the deleted row; the compact must abort naming the replaced file
+    Snapshots.prePublishInterleave = () =>
+      assert(Snapshots.deleteWhere(spark, root, Seq("p"),
+        col("k") === 1L).contains(3))
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.compact(spark, root, Seq("p"))
+    }
+    assert(ex.getMessage.contains("removed or replaced"), ex.getMessage)
+    // crash-between-retries posture: the loser's staged files are
+    // unreferenced orphans — vacuum reclaims them and a clean re-run
+    // compacts the post-delete state
+    assert(Snapshots.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L),
+      "the winner's delete must stand")
+    val (orphans, _) = Snapshots.vacuum(spark, root, 0L)
+    assert(orphans >= 1, s"the aborted rewrite's staging must reclaim: " +
+      s"$orphans")
+    assert(Snapshots.compact(spark, root, Seq("p")).contains(4))
+    assert(Snapshots.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("two overlapping deleteWhere still abort (content-changing rewrites never auto-rebase)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_racedd").toString
+    Snapshots.write(Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0))
+      .toDF("k", "p", "v").coalesce(1), root, Seq("p"))
+    Snapshots.prePublishInterleave = () =>
+      assert(Snapshots.deleteWhere(spark, root, Seq("p"),
+        col("k") === 2L).contains(2))
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.deleteWhere(spark, root, Seq("p"), col("k") === 3L)
+    }
+    // the winner stands alone; re-running the loser applies cleanly
+    assert(Snapshots.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(Snapshots.deleteWhere(spark, root, Seq("p"),
+      col("k") === 3L).contains(3))
+    assert(Snapshots.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  test("renameColumn: metadata-only, old files read through the ledger, history time-travels under the old name") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_ren").toString
+    Snapshots.write(Seq((1L, "x1", "a"), (2L, "x2", "b"))
+      .toDF("k", "v", "p").coalesce(1), root, Seq("p"),
+      statsColumns = Seq("k"))
+    val dataFilesBefore = Snapshots.read(spark, root).inputFiles.toSet
+    assert(Snapshots.renameColumn(spark, root, "v", "w") == 2)
+    // metadata-only: same physical files, new contract name, old values
+    assert(Snapshots.read(spark, root).inputFiles.toSet == dataFilesBefore)
+    assert(Snapshots.tableSchema(spark, root).fieldNames.toSeq ==
+      Seq("k", "w", "p"))
+    assert(Snapshots.read(spark, root).select("k", "w").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "x1", 2L -> "x2"),
+      "pre-rename files must serve their bytes under the NEW name")
+    // writes under the new name land beside the old files; a filter on
+    // the renamed column evaluates correctly across both name epochs
+    Snapshots.write(Seq((3L, "x3", "a")).toDF("k", "w", "p").coalesce(1),
+      root, Seq("p"), SnapAppend)
+    assert(Snapshots.read(spark, root).filter(col("w") > "x1")
+      .select("k").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // time travel: the pre-rename snapshot keeps its own shape
+    assert(Snapshots.tableSchema(spark, root, asOf = Some(1))
+      .fieldNames.toSeq == Seq("k", "v", "p"))
+    assert(Snapshots.read(spark, root, asOf = Some(1))
+      .select("v").collect().map(_.getString(0)).toSet == Set("x1", "x2"))
+    // the retired name can never re-enter — metadata ADD, rename-to,
+    // and the write-path widening gate all refuse
+    val exAdd = intercept[IllegalArgumentException] {
+      Snapshots.addColumns(spark, root, Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType)))
+    }
+    assert(exAdd.getMessage.contains("retired"), exAdd.getMessage)
+    val exWiden = intercept[IllegalArgumentException] {
+      Snapshots.write(Seq((9L, "x9", "nine", "a")).toDF("k", "w", "v", "p")
+        .coalesce(1), root, Seq("p"), SnapAppend)
+    }
+    assert(exWiden.getMessage.contains("retired"), exWiden.getMessage)
+    // chained rename: w → u; BOTH prior epochs resolve through the walk
+    assert(Snapshots.renameColumn(spark, root, "w", "u") == 4)
+    assert(Snapshots.read(spark, root).select("k", "u").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "x1", 2L -> "x2", 3L -> "x3"))
+    // drop: the column leaves the contract (no rewrite), history keeps it
+    assert(Snapshots.dropColumn(spark, root, "u") == 5)
+    assert(Snapshots.tableSchema(spark, root).fieldNames.toSeq ==
+      Seq("k", "p"))
+    assert(Snapshots.read(spark, root).columns.toSeq == Seq("k", "p"))
+    assert(Snapshots.read(spark, root, asOf = Some(4))
+      .select("u").collect().map(_.getString(0)).toSet ==
+      Set("x1", "x2", "x3"))
+    // maintenance compacts the mixed-name epochs into contract-named
+    // files without resurrecting anything
+    assert(Snapshots.compact(spark, root, Seq("p")).nonEmpty)
+    assert(Snapshots.read(spark, root).collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L))
+  }
+
+  test("renameColumn/dropColumn guards: partition columns, live delete keys, and constraint references refuse with remedies") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_reng").toString
+    Snapshots.write(Seq((1L, 5.0, "a")).toDF("k", "v", "p").coalesce(1),
+      root, Seq("p"), statsColumns = Seq("k"))
+    val exPart = intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, root, "p", "p2")
+    }
+    assert(exPart.getMessage.contains("partition column"), exPart.getMessage)
+    // live merge-on-read delete keyed by k → rename/drop of k refuses
+    assert(Snapshots.mergeDeltas(spark, root,
+      Seq((1L, 0.0, "a", true)).toDF("k", "v", "p", "__del").coalesce(1),
+      Seq("p"), Seq("k"), deleteCol = Some("__del")) == 2)
+    val exKey = intercept[IllegalStateException] {
+      Snapshots.renameColumn(spark, root, "k", "key")
+    }
+    assert(exKey.getMessage.contains("foldDeletes"), exKey.getMessage)
+    assert(Snapshots.foldDeletes(spark, root, Seq("p")).nonEmpty)
+    // a CHECK constraint referencing the column → drop/re-add remedy
+    Snapshots.addConstraint(spark, root, "v_pos", "v > 0")
+    val exCk = intercept[IllegalStateException] {
+      Snapshots.renameColumn(spark, root, "v", "value")
+    }
+    assert(exCk.getMessage.contains("v_pos"), exCk.getMessage)
+    assert(Snapshots.dropConstraint(spark, root, "v_pos").nonEmpty)
+    assert(Snapshots.renameColumn(spark, root, "v", "value") > 0)
+    // partition columns can never drop — they ARE the directory layout
+    Snapshots.dropColumn(spark, root, "value"): Unit
+    val exLast = intercept[IllegalArgumentException] {
+      Snapshots.dropColumn(spark, root, "p")
+    }
+    assert(exLast.getMessage.contains("partition column"), exLast.getMessage)
+  }
+
   test("writable branch: invisible to main, repeated writes, fast-forward merge") {
     val root = java.nio.file.Files.createTempDirectory("snap_branch").toString
     Snapshots.write(orders, root, Seq("o_orderpriority"))

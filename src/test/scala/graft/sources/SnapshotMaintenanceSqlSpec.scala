@@ -188,4 +188,83 @@ class SnapshotMaintenanceSqlSpec extends SparkSpec {
       .head().getLong(0) == 3L)
     spark.sql("DROP TABLE msql_ck_tbl")
   }
+
+  test("CALL graft_compact('path','cols') / graft_retention: plain-tree SQL maintenance ≡ the Scala API; snapshot roots rejected") {
+    import graft.sink.{PartitionedSink, ParquetFormat, SinkConfig}
+    val tree = java.nio.file.Files.createTempDirectory("msql_plainc")
+    PartitionedSink.write(orders.repartition(8), tree.toString,
+      SinkConfig(ParquetFormat, Seq("o_orderpriority"),
+        runtimeNullCheck = true))
+    def files(): Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tree).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(_.getParent.getFileName.toString).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val before = files()
+    assert(before.values.max > 1, s"fixture must be fragmented: $before")
+    val content = PartitionedSink.readBack(spark, tree.toString)
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val esc = tree.toString.replace("'", "''")
+    // SQL compact ≡ compactInPlace: every partition collapses to one
+    // file, content identical, and the report's counts match the tree
+    val rep = spark.sql(
+      s"CALL graft_compact('$esc', 'o_orderpriority')").head()
+    val after = files()
+    assert(after.keySet == before.keySet && after.values.forall(_ == 1),
+      s"after: $after")
+    assert(rep.getInt(0) == before.values.sum &&
+      rep.getInt(1) == after.values.sum, s"report: $rep")
+    assert(PartitionedSink.readBack(spark, tree.toString)
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == content)
+    // retention: the SQL predicate evaluates over partition STRING
+    // values; exactly the matching partitions drop, reported as rows
+    val dropped = spark.sql(s"CALL graft_retention('$esc', " +
+      "'o_orderpriority', 'o_orderpriority like ''1-%''')")
+      .collect().map(_.getString(0)).toSeq
+    assert(dropped == Seq("o_orderpriority=1-URGENT"), dropped.toString)
+    assert(!files().keySet.exists(_.contains("1-URGENT")))
+    assert(PartitionedSink.readBack(spark, tree.toString)
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      content - "1-URGENT")
+    // matching nothing drops nothing; a predicate naming a non-partition
+    // column is loud with the real columns named
+    assert(spark.sql(s"CALL graft_retention('$esc', 'o_orderpriority', " +
+      "'o_orderpriority = ''nope''')").collect().isEmpty)
+    val exCol = intercept[Exception] {
+      spark.sql(s"CALL graft_retention('$esc', 'o_orderpriority', " +
+        "'not_a_column = ''x''')").collect()
+    }
+    assert(exCol.getMessage.contains("partition columns"), exCol.getMessage)
+    // a SNAPSHOT root is rejected by BOTH plain-lane ops — its manifest
+    // would go inconsistent; the snapshot lane is named in the error
+    val snapRoot = java.nio.file.Files.createTempDirectory("msql_snapr")
+    Snapshots.write(orders.limit(20).coalesce(1), snapRoot.toString,
+      Seq("o_orderpriority"), Snapshots.SnapAppend)
+    val snapEsc = snapRoot.toString.replace("'", "''")
+    val exSnap = intercept[Exception] {
+      spark.sql(s"CALL graft_compact('$snapEsc', 'o_orderpriority')")
+        .collect()
+    }
+    assert(exSnap.getMessage.contains("SNAPSHOT dataset root"),
+      exSnap.getMessage)
+    val exSnap2 = intercept[Exception] {
+      spark.sql(s"CALL graft_retention('$snapEsc', 'o_orderpriority', " +
+        "'true')").collect()
+    }
+    assert(exSnap2.getMessage.contains("SNAPSHOT dataset root"),
+      exSnap2.getMessage)
+    // a bare-identifier target is rejected for the plain lane (paths only)
+    val exIdent = intercept[Exception] {
+      spark.sql("CALL graft_retention(some_tbl, 'p', 'true')").collect()
+    }
+    assert(exIdent.getMessage.contains("quoted plain-tree path"),
+      exIdent.getMessage)
+  }
 }

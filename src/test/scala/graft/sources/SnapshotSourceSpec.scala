@@ -305,18 +305,139 @@ class SnapshotSourceSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
     assert(rows.toSeq == Seq((1L, Some("x"), "a"), (3L, Some("z"), "b"),
       (4L, None, "a")))
-    // the static PARTITION clause is a DOCUMENTED limitation: Spark's
-    // analyzer consults catalog partition metadata (which a v1
-    // non-file-format registration cannot declare) before any
-    // extension rule runs — the error is loud and early, and the
-    // semantics are covered by in-row partition values (INSERT INTO)
-    // and dynamic INSERT OVERWRITE
-    val ex = intercept[Exception] {
-      spark.sql("INSERT INTO snap_cl_tbl PARTITION (p = 'c') VALUES (5, 'w')")
-    }
-    assert(ex.getMessage.contains("PARTITIONS_NOT_FOUND") ||
-      ex.getMessage.toLowerCase.contains("partition"))
     spark.sql("DROP TABLE snap_cl_tbl")
+  }
+
+  test("INSERT ... PARTITION: static values intercept pre-analyzer and rewrite to the in-row form") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("srcsnap_sp").toString
+    Snapshots.write(Seq((1L, "x", "a")).toDF("k", "v", "p"), root, Seq("p"))
+    spark.sql("DROP TABLE IF EXISTS snap_sp_tbl")
+    Snapshots.registerTable(spark, root, "snap_sp_tbl")
+    // the Hive-habituated static spelling appends with the literal
+    // injected at its schema slot (Spark alone would die on catalog
+    // partition metadata before any extension rule ran)
+    spark.sql("INSERT INTO snap_sp_tbl PARTITION (p = 'c') VALUES (5, 'w')")
+    // case-variant column, SELECT source, comments around the statement
+    spark.sql("-- backfill\nINSERT INTO snap_sp_tbl PARTITION (P = 'c') " +
+      "SELECT 6, 'u' /* in-row form is equivalent */")
+    assert(spark.sql("SELECT k, v FROM snap_sp_tbl WHERE p = 'c' ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((5L, "w"), (6L, "u")))
+    // static OVERWRITE replaces EXACTLY the named region, atomically,
+    // leaving every other partition untouched...
+    spark.sql(
+      "INSERT OVERWRITE snap_sp_tbl PARTITION (p = 'c') VALUES (9, 'only')")
+    assert(spark.sql("SELECT k FROM snap_sp_tbl WHERE p = 'c'")
+      .collect().map(_.getLong(0)).toSeq == Seq(9L))
+    assert(spark.sql("SELECT count(*) FROM snap_sp_tbl WHERE p = 'a'")
+      .head().getLong(0) == 1L)
+    assert(Snapshots.history(spark, root).collect()
+      .map(_.getString(1)).last == "replace_where")
+    // ...and an EMPTY source clears the region (the idempotent backfill)
+    spark.sql("INSERT OVERWRITE snap_sp_tbl PARTITION (p = 'c') " +
+      "SELECT k, v FROM snap_sp_tbl WHERE false")
+    assert(spark.sql("SELECT count(*) FROM snap_sp_tbl WHERE p = 'c'")
+      .head().getLong(0) == 0L)
+    // argument errors are OURS and loud — never Spark's misleading
+    // PARTITIONS_NOT_FOUND: wrong value count names the expected list
+    val exCount = intercept[Exception] {
+      spark.sql(
+        "INSERT INTO snap_sp_tbl PARTITION (p = 'd') VALUES (7, 'x', 'y')")
+    }
+    assert(exCount.getMessage.contains("table-schema order"),
+      exCount.getMessage)
+    // a non-partition column names the recorded spec
+    val exCol = intercept[Exception] {
+      spark.sql("INSERT INTO snap_sp_tbl PARTITION (v = 'd') VALUES (7, 'a')")
+    }
+    assert(exCol.getMessage.contains("recorded spec"), exCol.getMessage)
+    // a non-literal value is rejected at parse
+    val exVal = intercept[Exception] {
+      spark.sql("INSERT INTO snap_sp_tbl PARTITION (p = k) VALUES (7, 'a')")
+    }
+    assert(exVal.getMessage.contains("must be a literal"), exVal.getMessage)
+    spark.sql("DROP TABLE snap_sp_tbl")
+
+    // MIXED static/dynamic over a two-column spec: the static column is
+    // fixed, the dynamic one rides in the query (last non-static slot)
+    val root2 = java.nio.file.Files.createTempDirectory("srcsnap_sp2").toString
+    Snapshots.write(Seq((1L, "a", "q1")).toDF("k", "p", "q"), root2,
+      Seq("p", "q"))
+    spark.sql("DROP TABLE IF EXISTS snap_sp2_tbl")
+    Snapshots.registerTable(spark, root2, "snap_sp2_tbl")
+    spark.sql("INSERT INTO snap_sp2_tbl PARTITION (p = 'b', q) " +
+      "VALUES (2, 'q1'), (3, 'q2')")
+    assert(spark.sql("SELECT k, q FROM snap_sp2_tbl WHERE p = 'b' ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "q1"), (3L, "q2")))
+    // static OVERWRITE on the partial spec replaces the whole p='b'
+    // region (Spark's default static partitionOverwriteMode semantics)
+    spark.sql("INSERT OVERWRITE snap_sp2_tbl PARTITION (p = 'b', q) " +
+      "VALUES (8, 'q3')")
+    assert(spark.sql("SELECT k, q FROM snap_sp2_tbl WHERE p = 'b'")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((8L, "q3")))
+    assert(spark.sql("SELECT count(*) FROM snap_sp2_tbl WHERE p = 'a'")
+      .head().getLong(0) == 1L)
+    spark.sql("DROP TABLE snap_sp2_tbl")
+
+    // NON-graft tables keep Spark's own PARTITION behavior untouched
+    val ext = java.nio.file.Files.createTempDirectory("srcsnap_ext").toString
+    spark.sql("DROP TABLE IF EXISTS plain_part_tbl")
+    spark.sql("CREATE TABLE plain_part_tbl (k BIGINT, p STRING) USING " +
+      s"parquet PARTITIONED BY (p) LOCATION '${ext.replace("'", "''")}'")
+    spark.sql("INSERT INTO plain_part_tbl PARTITION (p = 'z') VALUES (1)")
+    assert(spark.sql("SELECT k FROM plain_part_tbl WHERE p = 'z'")
+      .head().getLong(0) == 1L)
+    spark.sql("DROP TABLE plain_part_tbl")
+  }
+
+  test("ALTER TABLE RENAME/DROP COLUMN: parser-intercepted to the metadata-only column-mapping events") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("srcsnap_ren").toString
+    val esc = root.replace("'", "''")
+    Snapshots.write(Seq((1L, "x1", "a"), (2L, "x2", "b"))
+      .toDF("k", "v", "p").coalesce(1), root, Seq("p"))
+    spark.sql("DROP TABLE IF EXISTS snap_ren_tbl")
+    Snapshots.registerTable(spark, root, "snap_ren_tbl")
+    // rename: the very next SELECT serves old files under the NEW name
+    // (no REFRESH TABLE needed — the command refreshes)
+    spark.sql("ALTER TABLE snap_ren_tbl RENAME COLUMN v TO w")
+    assert(spark.sql("SELECT k, w FROM snap_ren_tbl ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "x1"), (2L, "x2")))
+    // inserts land under the new contract
+    spark.sql("INSERT INTO snap_ren_tbl VALUES (3, 'x3', 'a')")
+    assert(spark.sql(
+      "SELECT count(*) FROM snap_ren_tbl WHERE w > 'x1'").head().getLong(0)
+      == 2L)
+    // history time-travels under the OLD name through the TVF
+    assert(spark.sql(s"SELECT v FROM graft_snapshot('$esc', 1)").collect()
+      .map(_.getString(0)).toSet == Set("x1", "x2"))
+    // drop: the column leaves the live contract, history keeps it
+    spark.sql("ALTER TABLE snap_ren_tbl DROP COLUMN w")
+    assert(spark.sql("SELECT * FROM snap_ren_tbl").columns.toSeq ==
+      Seq("k", "p"))
+    assert(spark.sql(s"SELECT w FROM graft_snapshot('$esc', 3)").count()
+      == 3L)
+    // a pinned registration rejects ALTER loudly
+    spark.sql("DROP TABLE IF EXISTS snap_ren_pin")
+    Snapshots.registerTable(spark, root, "snap_ren_pin", asOf = Some(1))
+    val exPin = intercept[Exception] {
+      spark.sql("ALTER TABLE snap_ren_pin RENAME COLUMN p TO q")
+    }
+    assert(exPin.getMessage.contains("pinned"), exPin.getMessage)
+    spark.sql("DROP TABLE snap_ren_pin")
+    spark.sql("DROP TABLE snap_ren_tbl")
+    // NON-snapshot tables keep Spark's own (v2-only) ALTER behavior
+    spark.sql("DROP TABLE IF EXISTS plain_ren_tbl")
+    spark.sql("CREATE TABLE plain_ren_tbl (k BIGINT, v STRING) USING parquet")
+    val exPlain = intercept[Exception] {
+      spark.sql("ALTER TABLE plain_ren_tbl RENAME COLUMN v TO w")
+    }
+    assert(!exPlain.getMessage.contains("graft"), exPlain.getMessage)
+    spark.sql("DROP TABLE plain_ren_tbl")
   }
 
   test("asOfTimestamp option pins by recorded publish instant (both public spellings)") {
