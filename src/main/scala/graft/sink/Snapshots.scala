@@ -1221,19 +1221,26 @@ object Snapshots {
         stored, df.schema, partitionFields, evolution)
       case None => df.schema
     }
-    // a widening batch must not RE-INTRODUCE a name a rename/drop
-    // retired: old files still physically hold that column, and the
-    // "new" column would resurrect their bytes on read
+    // a widening batch must not RE-INTRODUCE a name the rename ledger
+    // RESERVES: old files still physically hold `from` names (the "new"
+    // column would resurrect their bytes on read), and a `to` name
+    // outside the current contract (rollback past the rename) would
+    // collide with the ledger walk's mapping. Compared with the SESSION
+    // resolver like every other contract check — a case-variant spelling
+    // IS the same name under the default case-insensitive resolution.
     prev.map(_.renames).filter(_.nonEmpty).foreach { ledger =>
-      val retired = ledger.map(_._2).toSet
-      val stored = prev.flatMap(_.schema).map(_.fieldNames.toSet)
-        .getOrElse(Set.empty)
-      contract.fieldNames.filterNot(stored).find(retired).foreach(c =>
-        throw new IllegalArgumentException(
-          s"column name '$c' was retired by a RENAME/DROP COLUMN and " +
-            "cannot re-enter the contract (files written before the " +
-            "rename still hold it physically) — pick another name, or " +
-            "compact first and start a fresh dataset"))
+      val resolver = spark.sessionState.conf.resolver
+      val reserved = (ledger.map(_._2) ++ ledger.map(_._3))
+        .filter(_.nonEmpty).distinct
+      val stored = prev.flatMap(_.schema).map(_.fieldNames.toSeq)
+        .getOrElse(Seq.empty)
+      contract.fieldNames.filterNot(c => stored.exists(resolver(_, c)))
+        .find(c => reserved.exists(resolver(_, c))).foreach(c =>
+          throw new IllegalArgumentException(
+            s"column name '$c' is reserved by the RENAME/DROP COLUMN " +
+              "ledger and cannot re-enter the contract (files written " +
+              "before the event still hold it physically) — pick " +
+              "another name"))
     }
     statsCols.foreach { c =>
       require(!partitionFields.contains(c),
@@ -1345,6 +1352,15 @@ object Snapshots {
     // partitions a merge touched but staged nothing back into: every row
     // deleted — they must leave the manifest even with no replacement file
     val emptied = touchedDirs.map(_ -- stagedDirs).getOrElse(Set.empty)
+    if (staged.isEmpty && emptied.isEmpty && deleteKeys.isEmpty &&
+      extraRemoves.isEmpty && modeLabel == "replace_where" && cur.isDefined) {
+      // an idempotent backfill re-run: the predicate matched nothing and
+      // the source was empty — publishing would burn a snapshot id to
+      // record a no-op, and "rebuild day X" MUST be re-runnable against
+      // an already-empty region (the replaceWhere contract)
+      FsOps.deleteIfExists(f, staging)
+      return cur.get
+    }
     require(staged.nonEmpty || emptied.nonEmpty || deleteKeys.isDefined ||
       extraRemoves.nonEmpty,
       "empty batch — nothing to snapshot")
@@ -2922,14 +2938,19 @@ object Snapshots {
           s"column '${c.name}' already exists in the recorded contract " +
             s"as '${f.name}' (${f.dataType.sql})"))
     }
-    // a name a rename/drop RETIRED can never re-enter: files written
-    // before the event still hold it physically — the "new" column
-    // would resurrect their bytes
-    columns.foreach(c => m.renames.map(_._2).find(resolver(_, c.name))
-      .foreach(r => throw new IllegalArgumentException(
-        s"column name '${c.name}' was retired by a RENAME/DROP COLUMN " +
-          s"(as '$r') and cannot re-enter the contract — files written " +
-          "before the rename still hold it physically; pick another name")))
+    // any name in the rename ledger is RESERVED and can never re-enter:
+    // `from` names are still physically present in pre-event files (a
+    // "new" same-named column would resurrect their bytes), and a `to`
+    // name outside the current contract (rollback past the rename)
+    // would collide with the ledger walk's mapping
+    columns.foreach(c =>
+      (m.renames.map(_._2) ++ m.renames.map(_._3)).filter(_.nonEmpty)
+        .find(resolver(_, c.name)).foreach(r =>
+          throw new IllegalArgumentException(
+            s"column name '${c.name}' is reserved by the RENAME/DROP " +
+              s"COLUMN ledger (as '$r') and cannot re-enter the contract " +
+              "— files written before the event still hold it " +
+              "physically; pick another name")))
     val widened = graft.schema.SchemaEvolution.validate(
       stored, StructType(stored.fields ++ columns), m.partitionCols,
       graft.schema.SchemaEvolution.Widen)
@@ -3015,11 +3036,13 @@ object Snapshots {
       throw new IllegalArgumentException(
         s"RENAME COLUMN: '$to' already exists in the contract as " +
           s"'${fd.name}' (${fd.dataType.sql})"))
-    m.renames.map(_._2).find(resolver(_, to)).foreach(r =>
-      throw new IllegalArgumentException(
-        s"RENAME COLUMN: '$to' was retired by an earlier RENAME/DROP " +
-          s"(as '$r') and cannot re-enter the contract — files written " +
-          "before that event still hold it physically"))
+    (m.renames.map(_._2) ++ m.renames.map(_._3)).filter(_.nonEmpty)
+      .find(resolver(_, to)).foreach(r =>
+        throw new IllegalArgumentException(
+          s"RENAME COLUMN: '$to' is reserved by an earlier RENAME/DROP " +
+            s"(as '$r') and cannot re-enter the contract — files written " +
+            "before that event still hold it physically; pick another " +
+            "name"))
     val newSchema = StructType(stored.fields.map(fd =>
       if (fd.name == field.name) fd.copy(name = to) else fd))
     // dataset-declared stat/bloom columns follow the rename: new files
@@ -3044,7 +3067,16 @@ object Snapshots {
    * [[renameColumn]]; dropping the last column refuses. Returns the new
    * snapshot id.
    */
-  def dropColumn(spark: SparkSession, root: String, name: String): Int = {
+  def dropColumn(spark: SparkSession, root: String, name: String): Int =
+    dropColumns(spark, root, Seq(name))
+
+  /** [[dropColumn]] for a list, ALL-OR-NOTHING: every column is
+    * validated against the (progressively shrinking) contract BEFORE
+    * anything publishes, then ONE `drop_column` snapshot drops them all
+    * — a mid-list refusal can never leave half the list applied. */
+  def dropColumns(
+      spark: SparkSession, root: String, names: Seq[String]): Int = {
+    require(names.nonEmpty, "DROP COLUMN needs at least one column")
     val (f, qroot) = FsOps.fs(spark, root)
     val cur = currentSnapshot(spark, root).getOrElse(
       throw new IllegalStateException(
@@ -3053,16 +3085,21 @@ object Snapshots {
     val stored = m.schema.getOrElse(throw new IllegalStateException(
       s"snapshot s$cur records no schema contract — one write through " +
         "the Snapshots API pins it before metadata-only evolution"))
-    val field = mappableColumn(spark, m, stored, name, "DROP COLUMN")
-    require(stored.fields.length > 1,
-      s"DROP COLUMN: '${field.name}' is the only column")
+    var remaining = stored
+    val dropped = names.map { name =>
+      val field = mappableColumn(spark, m, remaining, name, "DROP COLUMN")
+      remaining = StructType(remaining.fields.filterNot(_.name == field.name))
+      require(remaining.fields.nonEmpty,
+        s"DROP COLUMN: cannot drop every column ('${field.name}' is last)")
+      field.name
+    }
+    val gone = dropped.toSet
     publishMetaOnly(f, qroot, cur, m,
-      SnapMeta("drop_column",
-        StructType(stored.fields.filterNot(_.name == field.name)),
-        m.format, m.codec, m.statsCols.filterNot(_ == field.name), None,
+      SnapMeta("drop_column", remaining,
+        m.format, m.codec, m.statsCols.filterNot(gone), None,
         m.partitionCols, Some(System.currentTimeMillis()), m.recentTags,
-        m.bloomCols.filterNot(_ == field.name), m.constraints,
-        m.renames :+ ((cur + 1, field.name, ""))))
+        m.bloomCols.filterNot(gone), m.constraints,
+        m.renames ++ dropped.map(n => (cur + 1, n, ""))))
   }
 
   /**

@@ -133,26 +133,15 @@ case class SnapshotRenameColumnCommand(table: String, from: String, to: String)
   }
 }
 
-/** `ALTER TABLE t DROP COLUMN(S) ...` ≡ [[Snapshots.dropColumn]] per
-  * column — validated up front so the statement is all-or-nothing
-  * (each drop is its own snapshot, but a mid-list refusal would
-  * otherwise leave half the list applied). */
+/** `ALTER TABLE t DROP COLUMN(S) ...` ≡ [[Snapshots.dropColumns]] —
+  * the engine validates the WHOLE list (existence, partition columns,
+  * delete keys, constraint references) before publishing ONE atomic
+  * `drop_column` snapshot, so a mid-list refusal applies nothing. */
 case class SnapshotDropColumnCommand(table: String, columns: Seq[String])
     extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val root = SnapshotAlterRun.resolveRoot(session, table)
-    // pre-validate the WHOLE list against the current contract before
-    // publishing anything — names resolve per the session resolver
-    val resolver = session.sessionState.conf.resolver
-    var names = Snapshots.tableSchema(session, root).fieldNames.toSeq
-    columns.foreach { c =>
-      require(names.exists(resolver(_, c)),
-        s"DROP COLUMN: no column '$c' in the recorded contract " +
-          s"(${names.mkString(", ")})")
-      names = names.filterNot(resolver(_, c))
-      require(names.nonEmpty, s"DROP COLUMN: cannot drop every column")
-    }
-    columns.foreach(c => Snapshots.dropColumn(session, root, c): Unit)
+    Snapshots.dropColumns(session, root, columns): Unit
     SnapshotAlterRun.syncCatalog(session, table, root)
     Seq.empty
   }

@@ -42,14 +42,19 @@ import org.apache.spark.sql.graft.GraftSqlBridge
  *    workflow); time-travel pins reject as ever. A branch OVERWRITE
  *    with static values rides the branch's dynamic-overwrite lane
  *    (branch manifests take no predicate rewrite), so an EMPTY source
- *    is a no-op there — the one documented divergence.
+ *    fails loudly there like any empty branch batch — the one
+ *    documented divergence from main's region-clearing semantics.
  *
  * Non-snapshot tables pass through to Spark's parser untouched (the
  * catalog probe at parse time is one metastore read, paid only by
- * statements that textually carry both INSERT and PARTITION).
+ * statements that textually carry both INSERT and PARTITION). A CTE
+ * BEFORE the INSERT keyword (`WITH x AS (...) INSERT INTO t PARTITION
+ * ...`) is not recognized — write the CTE inside the query instead
+ * (`INSERT INTO t PARTITION (...) WITH x AS (...) SELECT ...`), which
+ * parses through the normal query lane.
  */
 private[sources] object SnapshotInsertSql {
-  import SnapshotMaintenanceSql.{containsIgnoreCase, splitArgs, stripComments}
+  import SnapshotMaintenanceSql.{containsIgnoreCase, stripComments}
 
   // the prefix up to PARTITION( — the tail after the balanced close
   // paren is the query, parsed by Spark's own parser (never by regex)
@@ -85,7 +90,9 @@ private[sources] object SnapshotInsertSql {
     require(close > 0,
       s"INSERT ... PARTITION: unbalanced parenthesis in: $sqlText")
     val specText = stripped.substring(m.end, close)
-    val tail = stripped.substring(close + 1).trim
+    // Spark's own grammar tolerates one trailing ';' on any statement —
+    // this lane must too (the CALL/ALTER regexes already do)
+    val tail = stripped.substring(close + 1).trim.stripSuffix(";").trim
     require(!tail.toUpperCase.startsWith("IF NOT EXISTS"),
       "INSERT ... PARTITION ... IF NOT EXISTS is not supported on " +
         "snapshot tables — overwrites are atomic snapshots; guard with " +
@@ -93,7 +100,7 @@ private[sources] object SnapshotInsertSql {
     require(tail.nonEmpty,
       "INSERT ... PARTITION needs a query (SELECT ... / VALUES ...)")
     val spec: Seq[(String, Option[Expression])] =
-      splitArgs(specText).map(parseSpecEntry(delegate, _))
+      splitSpec(specText).map(parseSpecEntry(delegate, _))
     spec.groupBy(_._1.toLowerCase).collectFirst {
       case (_, es) if es.length > 1 => throw new IllegalArgumentException(
         s"PARTITION names column '${es.head._1}' ${es.length} times")
@@ -113,6 +120,35 @@ private[sources] object SnapshotInsertSql {
     Some(SnapshotStaticInsertCommand(tableName,
       overwrite = m.group(1).equalsIgnoreCase("OVERWRITE"),
       spec = spec, query = query))
+  }
+
+  /** Split the PARTITION spec on top-level commas — quote-aware AND
+    * paren-aware (unlike the CALL-argument splitter): a foldable
+    * function-call value like `make_date(2024, 1, 1)` must not split
+    * mid-expression. */
+  private def splitSpec(text: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var depth = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQuote) {
+        cur.append(c)
+        if (c == '\'') inQuote = false
+      } else c match {
+        case '\'' => inQuote = true; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.result().trim; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    val last = cur.result().trim
+    val all = (out += last).result()
+    if (all == Seq("")) Seq.empty else all
   }
 
   /** Index of the `)` closing the paren at `open`, honoring nesting and
@@ -157,8 +193,16 @@ private[sources] object SnapshotInsertSql {
               s"PARTITION ($name = $valueText): cannot parse value: " +
                 ex.getMessage, ex)
         }
-      require(e.foldable,
-        s"PARTITION ($name = $valueText): the value must be a literal")
+      // a constant EXPRESSION (make_date(2024, 1, 1)) is fine — it
+      // resolves and evaluates once at run; a column reference or a
+      // subquery is not a partition value
+      require(!e.exists(x =>
+        x.isInstanceOf[org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute] ||
+        x.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+          .SubqueryExpression]),
+        s"PARTITION ($name = $valueText): the value must be a literal " +
+          "or constant expression")
       (name, Some(e))
     }
   }
@@ -200,12 +244,10 @@ case class SnapshotStaticInsertCommand(
     table: String, overwrite: Boolean,
     spec: Seq[(String, Option[Expression])], query: LogicalPlan)
     extends LeafRunnableCommand {
-  // keep the (unresolved) source query visible in EXPLAIN
+  // keep the (parse-time, unresolved) source query visible in EXPLAIN —
+  // it analyzes at RUN time, so resolution state here is display-only
   override def innerChildren: Seq[org.apache.spark.sql.catalyst.plans
-    .QueryPlan[_]] = query match {
-    case q: LogicalPlan if q.resolved => Seq(q)
-    case _ => Seq.empty
-  }
+    .QueryPlan[_]] = Seq(query)
 
   override def run(session: SparkSession): Seq[Row] = {
     val ident = session.sessionState.sqlParser.parseTableIdentifier(table)
@@ -240,13 +282,27 @@ case class SnapshotStaticInsertCommand(
         s"PARTITION names column '$f' ${vs.length} times")
     }: Unit
     // static values cast EAGERLY under the recorded type — null/uncast
-    // aborts naming the value (the TRUNCATE PARTITION discipline)
+    // aborts naming the value (the TRUNCATE PARTITION discipline). A
+    // plain literal folds directly; a constant EXPRESSION (make_date)
+    // resolves through the session analyzer over a one-row frame and
+    // must be deterministic — evaluated exactly once, before any write
     val statics: Map[String, Any] = canon.collect { case (f, Some(e)) =>
       val dt = schema(f).dataType
+      val tz = Some(session.sessionState.conf.sessionLocalTimeZone)
       val parsed =
-        try Cast(e, dt, Some(session.sessionState.conf.sessionLocalTimeZone))
-          .eval()
-        catch {
+        try {
+          if (e.foldable) Cast(e, dt, tz).eval()
+          else {
+            val frame = session.range(1)
+              .select(GraftSqlBridge.column(Cast(e, dt, tz)).as("v"))
+            val resolved = frame.queryExecution.analyzed.expressions
+            require(resolved.forall(_.deterministic),
+              s"PARTITION value ${e.sql} is nondeterministic — a " +
+                "static partition value must be a constant")
+            frame.head().get(0)
+          }
+        } catch {
+          case req: IllegalArgumentException => throw req
           case scala.util.control.NonFatal(ex) =>
             throw new IllegalArgumentException(
               s"PARTITION value ${e.sql} is not a valid ${dt.sql} for " +

@@ -537,16 +537,52 @@ private[sources] object PlainTreeSql {
         s"CALL graft_$op: unknown format '$other' (parquet, orc, avro)")
     }
 
+  /** The named partition columns must match the tree's directory
+    * nesting IN ORDER — every downstream path construction
+    * (`compactInPlace` staging swaps, `dropPartitionsWhere` deletes)
+    * builds `f1=v1/f2=v2` paths from the list's order, so a reordered
+    * list would silently delete nothing (or swap a re-nested copy in
+    * beside the original). Probed one directory per level. */
+  def requireNestingOrder(
+      session: SparkSession, path: String, op: String,
+      fields: Seq[String]): Unit = {
+    val (f, root) = graft.sink.FsOps.fs(session, path)
+    var dir = root
+    fields.zipWithIndex.foreach { case (field, depth) =>
+      val subs = f.listStatus(dir).filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && n.contains("=") && !n.startsWith("_") &&
+          !n.startsWith(".")
+      }
+      if (subs.isEmpty) return // empty (sub)tree — the ops below no-op
+      val actual = subs.map(s => org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils
+        .unescapePathName(s.getPath.getName.split("=", 2)(0))).distinct
+      require(actual.length == 1 && actual.head == field,
+        s"CALL graft_$op: the tree nests ${actual.mkString(", ")}= at " +
+          s"depth ${depth + 1}, not $field= — the partition-column " +
+          "list must name the directory nesting in its order " +
+          s"(got ${fields.mkString(",")})")
+      dir = subs.head.getPath
+    }
+  }
+
   /** Non-hidden data files under the tree — the before/after figure the
-    * report rows carry (one recursive listing, no data file opened). */
+    * report rows carry (one recursive listing, no data file opened).
+    * "Hidden" includes hidden ANCESTORS: a crashed compaction's
+    * `_compact_staging` leftovers must not inflate the count (readers
+    * never list them either). */
   def dataFileCount(session: SparkSession, path: String): Int = {
     val (f, root) = graft.sink.FsOps.fs(session, path)
+    val prefix = root.toString.stripSuffix("/") + "/"
     val it = f.listFiles(root, true)
     var n = 0
     while (it.hasNext) {
       val s = it.next()
-      val name = s.getPath.getName
-      if (s.isFile && !name.startsWith("_") && !name.startsWith(".")) n += 1
+      val rel = s.getPath.toString.stripPrefix(prefix)
+      val visible = rel.split('/')
+        .forall(seg => !seg.startsWith("_") && !seg.startsWith("."))
+      if (s.isFile && visible) n += 1
     }
     n
   }
@@ -567,6 +603,8 @@ case class PlainCompactSqlCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     PlainTreeSql.requirePlainTree(session, path, "compact")
+    PlainTreeSql.requireNestingOrder(session, path, "compact",
+      partitionFields)
     val fmt = PlainTreeSql.resolveFormat("compact", format)
     val before = PlainTreeSql.dataFileCount(session, path)
     graft.sink.PartitionedSink.compactInPlace(session, path,
@@ -593,13 +631,10 @@ case class PlainRetentionSqlCommand(
 
   override def run(session: SparkSession): Seq[Row] = {
     PlainTreeSql.requirePlainTree(session, path, "retention")
+    PlainTreeSql.requireNestingOrder(session, path, "retention",
+      partitionFields)
     val parts = graft.sink.PartitionCatalog.list(
       session, path, partitionFields.size)
-    parts.headOption.foreach(m => require(
-      partitionFields.forall(m.contains),
-      s"CALL graft_retention: the tree's directories are keyed by " +
-        s"(${m.keys.toSeq.sorted.mkString(", ")}), not " +
-        s"(${partitionFields.mkString(", ")})"))
     if (parts.isEmpty) return Seq.empty
     val schema = StructType(partitionFields.map(f =>
       org.apache.spark.sql.types.StructField(f,

@@ -628,12 +628,12 @@ class SnapshotsSpec extends SparkSpec {
         org.apache.spark.sql.types.StructField("v",
           org.apache.spark.sql.types.StringType)))
     }
-    assert(exAdd.getMessage.contains("retired"), exAdd.getMessage)
+    assert(exAdd.getMessage.contains("reserved"), exAdd.getMessage)
     val exWiden = intercept[IllegalArgumentException] {
       Snapshots.write(Seq((9L, "x9", "nine", "a")).toDF("k", "w", "v", "p")
         .coalesce(1), root, Seq("p"), SnapAppend)
     }
-    assert(exWiden.getMessage.contains("retired"), exWiden.getMessage)
+    assert(exWiden.getMessage.contains("reserved"), exWiden.getMessage)
     // chained rename: w → u; BOTH prior epochs resolve through the walk
     assert(Snapshots.renameColumn(spark, root, "w", "u") == 4)
     assert(Snapshots.read(spark, root).select("k", "u").collect()
@@ -652,6 +652,65 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.compact(spark, root, Seq("p")).nonEmpty)
     assert(Snapshots.read(spark, root).collect().map(_.getLong(0)).toSet
       == Set(1L, 2L, 3L))
+    // a CASE-VARIANT of a retired name is the same name under the
+    // default resolver — the widening gate must reject it too (the
+    // parquet reader would resolve 'U' to old files' physical 'u' and
+    // resurrect the dropped bytes)
+    val exCase = intercept[IllegalArgumentException] {
+      Snapshots.write(Seq((9L, "x9", "a")).toDF("k", "U", "p")
+        .coalesce(1), root, Seq("p"), SnapAppend)
+    }
+    assert(exCase.getMessage.contains("reserved"), exCase.getMessage)
+  }
+
+  test("rollback past a rename: the to-name stays reserved (the ledger walk would mis-map a re-added column)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_renrb").toString
+    Snapshots.write(Seq((1L, "old", "a")).toDF("k", "a_col", "p")
+      .coalesce(1), root, Seq("p"))
+    assert(Snapshots.renameColumn(spark, root, "a_col", "b_col") == 2)
+    // rollback restores the pre-rename contract (column a_col) while
+    // the ledger keeps the (2, a_col, b_col) event
+    assert(Snapshots.rollback(spark, root, 1) == 3)
+    assert(Snapshots.tableSchema(spark, root).fieldNames.toSeq ==
+      Seq("k", "a_col", "p"))
+    // re-adding b_col would collide with the walk (contract b_col at
+    // old seqs maps back to physical a_col) — reserved, loud
+    val exAdd = intercept[IllegalArgumentException] {
+      Snapshots.addColumns(spark, root, Seq(
+        org.apache.spark.sql.types.StructField("b_col",
+          org.apache.spark.sql.types.StringType)))
+    }
+    assert(exAdd.getMessage.contains("reserved"), exAdd.getMessage)
+    val exWiden = intercept[IllegalArgumentException] {
+      Snapshots.write(Seq((2L, "x", "y", "a")).toDF("k", "a_col", "b_col",
+        "p").coalesce(1), root, Seq("p"), SnapAppend)
+    }
+    assert(exWiden.getMessage.contains("reserved"), exWiden.getMessage)
+    // the rolled-back state still reads its own shape correctly
+    assert(Snapshots.read(spark, root).select("a_col").head().getString(0)
+      == "old")
+  }
+
+  test("dropColumns is all-or-nothing: a refused column anywhere in the list applies nothing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_dropall").toString
+    Snapshots.write(Seq((1L, "v1", 2.0, "a")).toDF("k", "v", "w", "p")
+      .coalesce(1), root, Seq("p"))
+    val exPart = intercept[IllegalArgumentException] {
+      Snapshots.dropColumns(spark, root, Seq("v", "p"))
+    }
+    assert(exPart.getMessage.contains("partition column"), exPart.getMessage)
+    // NOTHING published: v is still in the contract, history unchanged
+    assert(Snapshots.tableSchema(spark, root).fieldNames.toSeq ==
+      Seq("k", "v", "w", "p"))
+    assert(Snapshots.currentSnapshot(spark, root).contains(1))
+    // a valid list drops BOTH in ONE atomic snapshot
+    assert(Snapshots.dropColumns(spark, root, Seq("v", "w")) == 2)
+    assert(Snapshots.tableSchema(spark, root).fieldNames.toSeq ==
+      Seq("k", "p"))
+    assert(Snapshots.history(spark, root).collect().map(_.getString(1))
+      .toSeq == Seq("append", "drop_column"))
   }
 
   test("renameColumn/dropColumn guards: partition columns, live delete keys, and constraint references refuse with remedies") {

@@ -267,4 +267,32 @@ class SnapshotMaintenanceSqlSpec extends SparkSpec {
     assert(exIdent.getMessage.contains("quoted plain-tree path"),
       exIdent.getMessage)
   }
+
+  test("plain-lane partition lists must match the tree's nesting ORDER — a reordered list is loud, never a silent no-op") {
+    import graft.sink.{PartitionedSink, ParquetFormat, SinkConfig}
+    import spark.implicits._
+    val tree = java.nio.file.Files.createTempDirectory("msql_nest")
+    val rows = Seq((1L, "d1", "h1"), (2L, "d1", "h2"), (3L, "d2", "h1"))
+      .toDF("id", "day", "hour")
+    PartitionedSink.write(rows, tree.toString,
+      SinkConfig(ParquetFormat, Seq("day", "hour"), runtimeNullCheck = true))
+    val esc = tree.toString.replace("'", "''")
+    // reversed order: dropPartitionsWhere would build hour=/day= paths
+    // that don't exist and report success while deleting nothing —
+    // rejected up front naming the actual nesting
+    val exOrder = intercept[Exception] {
+      spark.sql(s"CALL graft_retention('$esc', 'hour,day', " +
+        "'day = ''d1''')").collect()
+    }
+    assert(exOrder.getMessage.contains("nests day="), exOrder.getMessage)
+    val exOrder2 = intercept[Exception] {
+      spark.sql(s"CALL graft_compact('$esc', 'hour,day')").collect()
+    }
+    assert(exOrder2.getMessage.contains("nests day="), exOrder2.getMessage)
+    // the correctly-ordered list works end to end
+    val dropped = spark.sql(s"CALL graft_retention('$esc', 'day,hour', " +
+      "'day = ''d1''')").collect().map(_.getString(0)).toSeq
+    assert(dropped == Seq("day=d1/hour=h1", "day=d1/hour=h2"), dropped)
+    assert(PartitionedSink.readBack(spark, tree.toString).count() == 1)
+  }
 }

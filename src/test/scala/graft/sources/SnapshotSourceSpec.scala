@@ -339,6 +339,29 @@ class SnapshotSourceSpec extends SparkSpec {
       "SELECT k, v FROM snap_sp_tbl WHERE false")
     assert(spark.sql("SELECT count(*) FROM snap_sp_tbl WHERE p = 'c'")
       .head().getLong(0) == 0L)
+    // RE-RUNNING the empty backfill against the now-empty region is an
+    // idempotent no-op — no error, no snapshot burned
+    val curBefore = Snapshots.currentSnapshot(spark, root)
+    spark.sql("INSERT OVERWRITE snap_sp_tbl PARTITION (p = 'c') " +
+      "SELECT k, v FROM snap_sp_tbl WHERE false")
+    assert(Snapshots.currentSnapshot(spark, root) == curBefore,
+      "an all-no-op replaceWhere must not publish")
+    // a trailing semicolon parses like any other Spark statement
+    spark.sql("INSERT INTO snap_sp_tbl PARTITION (p = 'c') " +
+      "VALUES (11, 's');")
+    // a foldable function-call value with commas splits correctly
+    spark.sql("DROP TABLE IF EXISTS snap_spd_tbl")
+    val rootD = java.nio.file.Files.createTempDirectory("srcsnap_spd")
+      .toString
+    Snapshots.write(
+      Seq((1L, java.sql.Date.valueOf("2024-01-01")))
+        .toDF("k", "d"), rootD, Seq("d"))
+    Snapshots.registerTable(spark, rootD, "snap_spd_tbl")
+    spark.sql("INSERT INTO snap_spd_tbl " +
+      "PARTITION (d = make_date(2024, 2, 3)) VALUES (2)")
+    assert(spark.sql("SELECT k FROM snap_spd_tbl WHERE d = '2024-02-03'")
+      .head().getLong(0) == 2L)
+    spark.sql("DROP TABLE snap_spd_tbl")
     // argument errors are OURS and loud — never Spark's misleading
     // PARTITIONS_NOT_FOUND: wrong value count names the expected list
     val exCount = intercept[Exception] {
@@ -415,6 +438,15 @@ class SnapshotSourceSpec extends SparkSpec {
     // history time-travels under the OLD name through the TVF
     assert(spark.sql(s"SELECT v FROM graft_snapshot('$esc', 1)").collect()
       .map(_.getString(0)).toSet == Set("x1", "x2"))
+    // a DROP COLUMNS list with a refused member anywhere applies
+    // NOTHING (the engine validates the whole list before one atomic
+    // publish)
+    val exList = intercept[Exception] {
+      spark.sql("ALTER TABLE snap_ren_tbl DROP COLUMNS (w, p)")
+    }
+    assert(exList.getMessage.contains("partition column"), exList.getMessage)
+    assert(spark.sql("SELECT * FROM snap_ren_tbl").columns.toSeq ==
+      Seq("k", "w", "p"), "the refused list must apply nothing")
     // drop: the column leaves the live contract, history keeps it
     spark.sql("ALTER TABLE snap_ren_tbl DROP COLUMN w")
     assert(spark.sql("SELECT * FROM snap_ren_tbl").columns.toSeq ==
