@@ -1166,9 +1166,26 @@ object SinkQueries {
           |  '6-ALTER', concat('n', o_orderkey)
           |FROM graft_snap_alt_tbl
           |WHERE o_orderkey % 9 = 0""".stripMargin)
+      // ALTER COLUMN TYPE: add an INT column, then widen it to BIGINT
+      // metadata-only and land values only a bigint can hold — old
+      // files (int-typed and null-filled) read upcast
+      s.sql("ALTER TABLE graft_snap_alt_tbl ADD COLUMNS (o_score INT)")
+      s.sql(
+        "ALTER TABLE graft_snap_alt_tbl ALTER COLUMN o_score TYPE BIGINT")
+      require(Snapshots.history(s, out).collect().map(_.getString(1)).toSeq
+        == Seq("append", "evolve_schema", "append", "evolve_schema",
+          "evolve_schema"),
+        "ADD COLUMNS and ALTER COLUMN TYPE are each one metadata-only " +
+          "snapshot")
+      s.sql(
+        """INSERT INTO graft_snap_alt_tbl
+          |SELECT o_orderkey + 2000000, o_custkey, 'W', o_totalprice,
+          |  '8-WIDE', NULL, o_orderkey * 1000000000
+          |FROM graft_snap_alt_tbl
+          |WHERE o_orderkey % 11 = 0 AND o_orderkey < 1000000""".stripMargin)
       s.sql(
         """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-          |  o_orderpriority, o_note
+          |  o_orderpriority, o_note, o_score
           |FROM graft_snap_alt_tbl""".stripMargin)
     }),
 
@@ -1972,16 +1989,23 @@ object SinkQueries {
         |  '7-CDC'
         |FROM orders WHERE o_orderkey % 10 = 8""".stripMargin,
 
-    // widened contract: originals read a NULL note, the inserted
-    // 9th-key copies carry theirs
+    // widened contract: originals read a NULL note and NULL score, the
+    // 9th-key copies carry notes, the 11th-key copies carry the
+    // beyond-int scores the TYPE widening admitted
     "sink_snapshot_sql_alter" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-        |  o_orderpriority, CAST(NULL AS VARCHAR) AS o_note
+        |  o_orderpriority, CAST(NULL AS VARCHAR) AS o_note,
+        |  CAST(NULL AS BIGINT) AS o_score
         |FROM orders
         |UNION ALL
         |SELECT o_orderkey + 1000000, o_custkey, 'A', o_totalprice,
-        |  '6-ALTER', concat('n', CAST(o_orderkey AS VARCHAR))
-        |FROM orders WHERE o_orderkey % 9 = 0""".stripMargin,
+        |  '6-ALTER', concat('n', CAST(o_orderkey AS VARCHAR)),
+        |  CAST(NULL AS BIGINT)
+        |FROM orders WHERE o_orderkey % 9 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 2000000, o_custkey, 'W', o_totalprice,
+        |  '8-WIDE', CAST(NULL AS VARCHAR), o_orderkey * 1000000000
+        |FROM orders WHERE o_orderkey % 11 = 0""".stripMargin,
 
     // maintenance must never change content
     "sink_snapshot_sql_maintain" ->

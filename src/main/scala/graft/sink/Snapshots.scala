@@ -3070,6 +3070,46 @@ object Snapshots {
   def dropColumn(spark: SparkSession, root: String, name: String): Int =
     dropColumns(spark, root, Seq(name))
 
+  /**
+   * TYPE WIDENING WITHOUT A WRITE — `ALTER TABLE t ALTER COLUMN c TYPE
+   * bigint`'s engine half: one METADATA-ONLY `evolve_schema` snapshot
+   * publishes the contract with the column's type widened, validated
+   * through the SAME evolution gate a widening write passes (so only
+   * the lossless Parquet/Avro promotion chains are admitted —
+   * byte→short→int→long, float→double, same-scale decimal precision
+   * growth; narrowing and cross-family changes fail with the gate's
+   * own reasons). Files already landed read upcast under the widened
+   * contract, exactly as after a write-path widening; partition
+   * columns refuse (their values are path-encoded strings — the gate's
+   * own partition-delta rule). Returns the new snapshot id.
+   */
+  def widenColumn(
+      spark: SparkSession, root: String, name: String,
+      newType: DataType): Int = {
+    val (f, qroot) = FsOps.fs(spark, root)
+    val cur = currentSnapshot(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"no snapshot published under $root — nothing to widen"))
+    val m = resolve(f, qroot, cur)
+    val stored = m.schema.getOrElse(throw new IllegalStateException(
+      s"snapshot s$cur records no schema contract — one write through " +
+        "the Snapshots API pins it before metadata-only evolution"))
+    val resolver = spark.sessionState.conf.resolver
+    val field = stored.fields.find(fd => resolver(fd.name, name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER COLUMN: no column '$name' in the recorded contract " +
+          s"(${stored.fieldNames.mkString(", ")})"))
+    val target = StructType(stored.fields.map(fd =>
+      if (fd.name == field.name) fd.copy(dataType = newType) else fd))
+    val widened = graft.schema.SchemaEvolution.validate(
+      stored, target, m.partitionCols, graft.schema.SchemaEvolution.Widen)
+    publishMetaOnly(f, qroot, cur, m,
+      SnapMeta("evolve_schema", widened, m.format, m.codec,
+        m.statsCols, None, m.partitionCols,
+        Some(System.currentTimeMillis()), m.recentTags, m.bloomCols,
+        m.constraints, m.renames))
+  }
+
   /** [[dropColumn]] for a list, ALL-OR-NOTHING: every column is
     * validated against the (progressively shrinking) contract BEFORE
     * anything publishes, then ONE `drop_column` snapshot drops them all

@@ -7,9 +7,10 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 
 /**
- * `ALTER TABLE <snapshot table> RENAME COLUMN a TO b` and
+ * `ALTER TABLE <snapshot table> RENAME COLUMN a TO b`,
  * `ALTER TABLE <snapshot table> DROP COLUMN c` / `DROP COLUMNS (a, b)`
- * — the two ALTERs Spark's session catalog hard-rejects for v1 tables
+ * and `ALTER TABLE <snapshot table> ALTER COLUMN c TYPE <widerType>`
+ * — the ALTERs Spark's session catalog hard-rejects for v1 tables
  * ("only supported with v2 tables") BEFORE any extension resolution
  * rule can run, so (like the static `INSERT ... PARTITION` and `CALL`
  * lanes) they intercept at the PARSER and route to the engine's
@@ -30,6 +31,10 @@ private[sources] object SnapshotAlterSql {
   private val DropRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident(?:\\.$Ident)?)\\s+DROP""" +
       """\s+COLUMNS?\s+(.+?)\s*;?\s*$""").r
+  private val TypeRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($Ident(?:\\.$Ident)?)\\s+""" +
+      s"""(?:ALTER|CHANGE)\\s+COLUMN\\s+($Ident)\\s+TYPE\\s+""" +
+      """(.+?)\s*;?\s*$""").r
 
   def intercept(
       session: SparkSession, delegate: ParserInterface,
@@ -43,6 +48,19 @@ private[sources] object SnapshotAlterSql {
           SnapshotRenameColumnCommand(table,
             one(delegate, from, "RENAME COLUMN"),
             one(delegate, to, "RENAME COLUMN"))
+        }
+      case TypeRe(table, column, typeText) =>
+        onSnapshotTable(session, delegate, table).map { _ =>
+          val dt =
+            try delegate.parseDataType(typeText)
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                throw new IllegalArgumentException(
+                  s"ALTER COLUMN ... TYPE: cannot parse type " +
+                    s"'$typeText'", e)
+            }
+          SnapshotWidenColumnCommand(table,
+            one(delegate, column, "ALTER COLUMN"), dt)
         }
       case DropRe(table, colsText) =>
         onSnapshotTable(session, delegate, table).map { _ =>
@@ -128,6 +146,21 @@ case class SnapshotRenameColumnCommand(table: String, from: String, to: String)
   override def run(session: SparkSession): Seq[Row] = {
     val root = SnapshotAlterRun.resolveRoot(session, table)
     Snapshots.renameColumn(session, root, from, to): Unit
+    SnapshotAlterRun.syncCatalog(session, table, root)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c TYPE <type>` ≡
+  * [[Snapshots.widenColumn]] — only the lossless promotion chains the
+  * evolution gate admits; metadata-only. */
+case class SnapshotWidenColumnCommand(
+    table: String, column: String,
+    newType: org.apache.spark.sql.types.DataType)
+    extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val root = SnapshotAlterRun.resolveRoot(session, table)
+    Snapshots.widenColumn(session, root, column, newType): Unit
     SnapshotAlterRun.syncCatalog(session, table, root)
     Seq.empty
   }

@@ -692,6 +692,42 @@ class SnapshotsSpec extends SparkSpec {
       == "old")
   }
 
+  test("widenColumn: metadata-only type promotion through the evolution gate; old files read upcast") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_widen").toString
+    Snapshots.write(Seq((1, 5.0f, "a")).toDF("k", "v", "p").coalesce(1),
+      root, Seq("p"))
+    val filesBefore = Snapshots.read(spark, root).inputFiles.toSet
+    assert(Snapshots.widenColumn(spark, root, "k",
+      org.apache.spark.sql.types.LongType) == 2)
+    assert(Snapshots.widenColumn(spark, root, "v",
+      org.apache.spark.sql.types.DoubleType) == 3)
+    // metadata-only; the contract widened; old int/float files upcast
+    assert(Snapshots.read(spark, root).inputFiles.toSet == filesBefore)
+    val sc = Snapshots.tableSchema(spark, root)
+    assert(sc("k").dataType == org.apache.spark.sql.types.LongType &&
+      sc("v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(Snapshots.read(spark, root).select("k", "v").head() ==
+      org.apache.spark.sql.Row(1L, 5.0d))
+    // long-typed batches now append without widening anything
+    Snapshots.write(Seq((2L, 7.5d, "a")).toDF("k", "v", "p").coalesce(1),
+      root, Seq("p"), SnapAppend)
+    assert(Snapshots.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    // narrowing and partition columns fail with the gate's own reasons
+    val exNarrow = intercept[Exception] {
+      Snapshots.widenColumn(spark, root, "k",
+        org.apache.spark.sql.types.IntegerType)
+    }
+    assert(exNarrow.getMessage.toLowerCase.contains("narrow") ||
+      exNarrow.getMessage.contains("broken"), exNarrow.getMessage)
+    val exPart = intercept[Exception] {
+      Snapshots.widenColumn(spark, root, "p",
+        org.apache.spark.sql.types.BinaryType)
+    }
+    assert(exPart.getMessage.contains("partition"), exPart.getMessage)
+  }
+
   test("dropColumns is all-or-nothing: a refused column anywhere in the list applies nothing") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_dropall").toString

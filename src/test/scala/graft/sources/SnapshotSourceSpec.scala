@@ -453,6 +453,29 @@ class SnapshotSourceSpec extends SparkSpec {
       Seq("k", "p"))
     assert(spark.sql(s"SELECT w FROM graft_snapshot('$esc', 3)").count()
       == 3L)
+    // ALTER COLUMN TYPE widens metadata-only through the same lane:
+    // an int column promotes to bigint, old files read upcast, and a
+    // narrowing request fails with the evolution gate's reason
+    val rootW = java.nio.file.Files.createTempDirectory("srcsnap_wid")
+      .toString
+    Snapshots.write(Seq((7, "a")).toDF("n", "p").coalesce(1), rootW,
+      Seq("p"))
+    spark.sql("DROP TABLE IF EXISTS snap_wid_tbl")
+    Snapshots.registerTable(spark, rootW, "snap_wid_tbl")
+    spark.sql("ALTER TABLE snap_wid_tbl ALTER COLUMN n TYPE BIGINT")
+    assert(spark.sql("SELECT n FROM snap_wid_tbl").schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT sum(n) FROM snap_wid_tbl").head().getLong(0)
+      == 7L)
+    spark.sql("INSERT INTO snap_wid_tbl VALUES (9999999999, 'a')")
+    assert(spark.sql("SELECT max(n) FROM snap_wid_tbl").head().getLong(0)
+      == 9999999999L)
+    val exNarrow = intercept[Exception] {
+      spark.sql("ALTER TABLE snap_wid_tbl ALTER COLUMN n TYPE INT")
+    }
+    assert(exNarrow.getMessage.toLowerCase.contains("narrow") ||
+      exNarrow.getMessage.contains("broken"), exNarrow.getMessage)
+    spark.sql("DROP TABLE snap_wid_tbl")
     // a pinned registration rejects ALTER loudly
     spark.sql("DROP TABLE IF EXISTS snap_ren_pin")
     Snapshots.registerTable(spark, root, "snap_ren_pin", asOf = Some(1))
