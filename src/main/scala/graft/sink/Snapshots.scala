@@ -2249,7 +2249,14 @@ object Snapshots {
   def foldDeletes(
       spark: SparkSession, root: String,
       partitionFields: Seq[String],
-      targetFilesPerPartition: Int = 1): Option[Int] = {
+      targetFilesPerPartition: Int = 1): Option[Int] =
+    foldDeletesImpl(spark, root, partitionFields, targetFilesPerPartition,
+      MaxCommitRetries)
+
+  private def foldDeletesImpl(
+      spark: SparkSession, root: String,
+      partitionFields: Seq[String],
+      targetFilesPerPartition: Int, retries: Int): Option[Int] = {
     import org.apache.spark.sql.functions.col
     require(targetFilesPerPartition >= 1, "need at least one file")
     val (f, qroot) = FsOps.fs(spark, root)
@@ -2274,7 +2281,21 @@ object Snapshots {
         else
           renderManifest(meta, Some(id), Seq.empty, Seq.empty, None,
             Seq.empty, m.deletes.map(_.rel))
-      publishManifest(f, qroot, nid, Some(id), content)
+      val hook = prePublishInterleave
+      prePublishInterleave = () => ()
+      hook()
+      try publishManifest(f, qroot, nid, Some(id), content)
+      catch {
+        case race: java.util.ConcurrentModificationException =>
+          // dropping a DEAD entry set is safe to recompute wholesale:
+          // re-run against the new head (a winner may have added files
+          // or deletes that change the dispatch — the re-run re-decides
+          // between the metadata drop and the data fold). Bounded like
+          // every commit retry.
+          if (retries <= 0) throw race
+          return foldDeletesImpl(spark, root, partitionFields,
+            targetFilesPerPartition, retries - 1)
+      }
       return Some(nid)
     }
     val entries = m.files.filter(e => affectedDirs(parentDirOf(e.rel)))

@@ -543,6 +543,31 @@ class SnapshotsSpec extends SparkSpec {
       "both winners' deletes stand after the fold's abort")
   }
 
+  test("a race-losing metadata-only fold (dead deletes) re-runs against the new head") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_racefm").toString
+    Snapshots.write(Seq((1L, "a", 10.0)).toDF("k", "p", "v").coalesce(1),
+      root, Seq("p"), statsColumns = Seq("k"))
+    // a MoR delete of key 5 applies to NO file (stats [1,1] vs [5,5])
+    // → the fold takes the metadata-only drop path
+    assert(Snapshots.mergeDeltas(spark, root,
+      Seq((5L, "a", 0.0, true)).toDF("k", "p", "v", "__del").coalesce(1),
+      Seq("p"), Seq("k"), deleteCol = Some("__del")) == 2)
+    // a pure append lands between the fold's resolution and its flip —
+    // the dead-entry drop is safe to recompute wholesale, so the fold
+    // re-runs and lands instead of aborting
+    Snapshots.prePublishInterleave = () =>
+      assert(Snapshots.write(Seq((9L, "b", 90.0)).toDF("k", "p", "v")
+        .coalesce(1), root, Seq("p"), SnapAppend) == 3)
+    assert(Snapshots.foldDeletes(spark, root, Seq("p")).contains(4))
+    assert(Snapshots.snapshotLog(spark, root)
+      .filter(col("is_current")).head().getLong(6) == 0L,
+      "the dead delete entry is dropped")
+    assert(Snapshots.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 9L),
+      "the winner's append survives the re-run")
+  }
+
   test("compact-during-deleteWhere conflict: the rewrite whose files a winner replaced aborts, staged files are vacuum food, a re-run lands") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_racecd").toString
