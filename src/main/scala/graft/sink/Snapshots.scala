@@ -1353,11 +1353,15 @@ object Snapshots {
     // deleted — they must leave the manifest even with no replacement file
     val emptied = touchedDirs.map(_ -- stagedDirs).getOrElse(Set.empty)
     if (staged.isEmpty && emptied.isEmpty && deleteKeys.isEmpty &&
-      extraRemoves.isEmpty && modeLabel == "replace_where" && cur.isDefined) {
+      extraRemoves.isEmpty && modeLabel == "replace_where" &&
+      prev.flatMap(_.schema).contains(contract)) {
       // an idempotent backfill re-run: the predicate matched nothing and
       // the source was empty — publishing would burn a snapshot id to
       // record a no-op, and "rebuild day X" MUST be re-runnable against
-      // an already-empty region (the replaceWhere contract)
+      // an already-empty region (the replaceWhere contract). Gated on
+      // the contract being UNCHANGED: an empty batch that carries a
+      // WIDENING must not silently drop it — that shape keeps the loud
+      // empty-batch error below (widen via ALTER/addColumns instead).
       FsOps.deleteIfExists(f, staging)
       return cur.get
     }
@@ -3102,7 +3106,12 @@ object Snapshots {
    * own reasons). Files already landed read upcast under the widened
    * contract, exactly as after a write-path widening; partition
    * columns refuse (their values are path-encoded strings — the gate's
-   * own partition-delta rule). Returns the new snapshot id.
+   * own partition-delta rule). Two stale-metadata rules keep pruning
+   * honest: a BLOOM declaration on the column retires (sidecar filters
+   * hashed the written type's bit-width — probing them under the new
+   * type would wrongly prune), and float→double strips the column's
+   * recorded per-file min/max (the stat strings were exact for the
+   * float, not for its upcast double). Returns the new snapshot id.
    */
   def widenColumn(
       spark: SparkSession, root: String, name: String,
@@ -3124,11 +3133,35 @@ object Snapshots {
       if (fd.name == field.name) fd.copy(dataType = newType) else fd))
     val widened = graft.schema.SchemaEvolution.validate(
       stored, target, m.partitionCols, graft.schema.SchemaEvolution.Widen)
-    publishMetaOnly(f, qroot, cur, m,
-      SnapMeta("evolve_schema", widened, m.format, m.codec,
-        m.statsCols, None, m.partitionCols,
-        Some(System.currentTimeMillis()), m.recentTags, m.bloomCols,
-        m.constraints, m.renames))
+    // a BLOOM declaration on the widened column RETIRES: the sidecar
+    // filters hashed the WRITTEN type's bit-width (hash(5, INT) ≠
+    // hash(5L, BIGINT)), so a probe under the widened contract would
+    // return a definite-no for a file that holds the value — wrongly
+    // pruning rows. Probes stop (conservative), future writes stop
+    // recording filters for it; the stale sidecar entries become inert.
+    val blooms = m.bloomCols.filterNot(_ == field.name)
+    // float→double additionally STALES recorded min/max strings: "1.1"
+    // was exact for the float, but rows read upcast to
+    // 1.100000023841858 — a stat compare under double could exclude a
+    // file holding a match. Strip that column's per-file stats (and
+    // delete-entry key stats) in a FULL manifest render; integer-chain
+    // and decimal promotions render identically and keep theirs.
+    val staleStats = field.dataType == FloatType && newType == DoubleType
+    val meta = SnapMeta("evolve_schema", widened, m.format, m.codec,
+      m.statsCols, None, m.partitionCols,
+      Some(System.currentTimeMillis()), m.recentTags, blooms,
+      m.constraints, m.renames)
+    if (!staleStats) publishMetaOnly(f, qroot, cur, m, meta)
+    else {
+      val files = m.files.map(e =>
+        e.copy(stats = e.stats - field.name, nulls = e.nulls - field.name))
+      val dels = m.deletes.map(d => d.copy(stats = d.stats - field.name))
+      val id = cur + 1
+      publishManifest(f, qroot, id, Some(cur),
+        renderManifest(meta, None, Seq.empty, Seq.empty, Some(files),
+          dFull = dels))
+      id
+    }
   }
 
   /** [[dropColumn]] for a list, ALL-OR-NOTHING: every column is

@@ -129,16 +129,16 @@ private[sources] object SnapshotInsertSql {
   private def splitSpec(text: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
-    var inQuote = false
+    var quote: Char = 0 // the OPENING quote char; Spark admits ' and "
     var depth = 0
     var i = 0
     while (i < text.length) {
       val c = text.charAt(i)
-      if (inQuote) {
+      if (quote != 0) {
         cur.append(c)
-        if (c == '\'') inQuote = false
+        if (c == quote) quote = 0
       } else c match {
-        case '\'' => inQuote = true; cur.append(c)
+        case '\'' | '"' => quote = c; cur.append(c)
         case '(' => depth += 1; cur.append(c)
         case ')' => depth -= 1; cur.append(c)
         case ',' if depth == 0 => out += cur.result().trim; cur.clear()
@@ -156,12 +156,12 @@ private[sources] object SnapshotInsertSql {
   private def balancedClose(s: String, open: Int): Int = {
     var i = open + 1
     var depth = 1
-    var inQuote = false
+    var quote: Char = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (inQuote) { if (c == '\'') inQuote = false }
+      if (quote != 0) { if (c == quote) quote = 0 }
       else c match {
-        case '\'' => inQuote = true
+        case '\'' | '"' => quote = c
         case '(' => depth += 1
         case ')' => depth -= 1; if (depth == 0) return i
         case _ => ()
@@ -209,11 +209,11 @@ private[sources] object SnapshotInsertSql {
 
   private def topLevelEq(arg: String): Int = {
     var i = 0
-    var inQuote = false
+    var quote: Char = 0
     while (i < arg.length) {
       val c = arg.charAt(i)
-      if (inQuote) { if (c == '\'') inQuote = false }
-      else if (c == '\'') inQuote = true
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '\'' || c == '"') quote = c
       else if (c == '=') return i
       i += 1
     }

@@ -549,12 +549,25 @@ private[sources] object PlainTreeSql {
     val (f, root) = graft.sink.FsOps.fs(session, path)
     var dir = root
     fields.zipWithIndex.foreach { case (field, depth) =>
-      val subs = f.listStatus(dir).filter { s =>
+      val entries = f.listStatus(dir).filterNot { s =>
         val n = s.getPath.getName
-        s.isDirectory && n.contains("=") && !n.startsWith("_") &&
-          !n.startsWith(".")
+        n.startsWith("_") || n.startsWith(".")
       }
-      if (subs.isEmpty) return // empty (sub)tree — the ops below no-op
+      val subs = entries.filter(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+      if (subs.isEmpty) {
+        // a TRULY empty (sub)tree no-ops below; but a level holding
+        // DATA FILES means the tree bottoms out HERE — a too-long
+        // column list would otherwise pass validation and then
+        // silently match nothing (the exact failure mode this guard
+        // exists to prevent, via the trailing field instead of a
+        // reordered one)
+        require(entries.isEmpty,
+          s"CALL graft_$op: the tree nests only $depth partition " +
+            s"level(s), but the column list names ${fields.length} " +
+            s"(${fields.mkString(",")})")
+        return
+      }
       val actual = subs.map(s => org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils
         .unescapePathName(s.getPath.getName.split("=", 2)(0))).distinct

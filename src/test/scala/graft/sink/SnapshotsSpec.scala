@@ -753,6 +753,55 @@ class SnapshotsSpec extends SparkSpec {
     assert(exPart.getMessage.contains("partition"), exPart.getMessage)
   }
 
+  test("widenColumn keeps pruning honest: bloom declarations retire, float stats strip — no wrongly-pruned rows") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_widpr").toString
+    // two files so pruning has something to (wrongly) skip
+    Snapshots.write(Seq((5, 1.1f, "a")).toDF("k", "v", "p").coalesce(1),
+      root, Seq("p"), statsColumns = Seq("v"), bloomColumns = Seq("k"))
+    Snapshots.write(Seq((900, 9.9f, "a")).toDF("k", "v", "p").coalesce(1),
+      root, Seq("p"), SnapAppend)
+    assert(Snapshots.widenColumn(spark, root, "k",
+      org.apache.spark.sql.types.LongType) == 3)
+    // the old sidecars hashed hash(5, INT); a probe under BIGINT would
+    // be a definite-no for the file that HOLDS k=5 — the widen retires
+    // the bloom declaration, so the point lookup still finds the row
+    spark.sql("DROP TABLE IF EXISTS snap_widpr_tbl")
+    Snapshots.registerTable(spark, root, "snap_widpr_tbl")
+    assert(spark.sql("SELECT k FROM snap_widpr_tbl WHERE k = 5")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // float→double: "1.1" was exact for the float; rows upcast to
+    // 1.100000023841858 — stale min/max strings strip, so a bound
+    // between the two values cannot wrongly exclude the file
+    assert(Snapshots.widenColumn(spark, root, "v",
+      org.apache.spark.sql.types.DoubleType) == 4)
+    spark.sql("REFRESH TABLE snap_widpr_tbl")
+    assert(spark.sql("SELECT k FROM snap_widpr_tbl " +
+      "WHERE v >= 1.1000000238 AND v < 2").collect()
+      .map(_.getLong(0)).toSeq == Seq(5L))
+    spark.sql("DROP TABLE snap_widpr_tbl")
+  }
+
+  test("an empty replaceWhere batch carrying a WIDENING is loud, never a silent no-op that drops the new contract") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_rwempty").toString
+    Snapshots.write(Seq((1L, "a")).toDF("k", "p").coalesce(1), root,
+      Seq("p"))
+    val wideEmpty = Seq.empty[(Long, String, String)]
+      .toDF("k", "p", "extra")
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.replaceWhere(wideEmpty, root, Seq("p"),
+        col("p") === "zzz")
+    }
+    assert(ex.getMessage.contains("empty batch"), ex.getMessage)
+    assert(Snapshots.tableSchema(spark, root).fieldNames.toSeq ==
+      Seq("k", "p"), "the widening must not half-apply")
+    // the same-contract empty re-run stays the idempotent no-op
+    assert(Snapshots.replaceWhere(
+      Seq.empty[(Long, String)].toDF("k", "p"), root, Seq("p"),
+      col("p") === "zzz") == 1)
+  }
+
   test("dropColumns is all-or-nothing: a refused column anywhere in the list applies nothing") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_dropall").toString

@@ -289,6 +289,14 @@ class SnapshotMaintenanceSqlSpec extends SparkSpec {
       spark.sql(s"CALL graft_compact('$esc', 'hour,day')").collect()
     }
     assert(exOrder2.getMessage.contains("nests day="), exOrder2.getMessage)
+    // a TOO-LONG list (the tree bottoms out early) is equally loud —
+    // PartitionCatalog.list at depth 3 would find nothing and the
+    // command would report success while deleting nothing
+    val exDeep = intercept[Exception] {
+      spark.sql(s"CALL graft_retention('$esc', 'day,hour,minute', " +
+        "'day = ''d1''')").collect()
+    }
+    assert(exDeep.getMessage.contains("nests only 2"), exDeep.getMessage)
     // the correctly-ordered list works end to end
     val dropped = spark.sql(s"CALL graft_retention('$esc', 'day,hour', " +
       "'day = ''d1''')").collect().map(_.getString(0)).toSeq

@@ -349,6 +349,12 @@ class SnapshotSourceSpec extends SparkSpec {
     // a trailing semicolon parses like any other Spark statement
     spark.sql("INSERT INTO snap_sp_tbl PARTITION (p = 'c') " +
       "VALUES (11, 's');")
+    // a DOUBLE-quoted value with a comma inside is one literal (legal
+    // Spark SQL) — the spec splitter must not split inside it
+    spark.sql("INSERT INTO snap_sp_tbl PARTITION (p = \"c,x\") " +
+      "VALUES (12, 'dq')")
+    assert(spark.sql("SELECT k FROM snap_sp_tbl WHERE p = 'c,x'")
+      .head().getLong(0) == 12L)
     // a foldable function-call value with commas splits correctly
     spark.sql("DROP TABLE IF EXISTS snap_spd_tbl")
     val rootD = java.nio.file.Files.createTempDirectory("srcsnap_spd")
