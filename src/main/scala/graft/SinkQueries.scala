@@ -2005,7 +2005,8 @@ object SinkQueries {
         |UNION ALL
         |SELECT o_orderkey + 2000000, o_custkey, 'W', o_totalprice,
         |  '8-WIDE', CAST(NULL AS VARCHAR), o_orderkey * 1000000000
-        |FROM orders WHERE o_orderkey % 11 = 0""".stripMargin,
+        |FROM orders WHERE o_orderkey % 11 = 0
+        |  AND o_orderkey < 1000000""".stripMargin,
 
     // maintenance must never change content
     "sink_snapshot_sql_maintain" ->

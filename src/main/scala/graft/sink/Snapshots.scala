@@ -1513,7 +1513,8 @@ object Snapshots {
                 partitionFields, modeLabel, fmtTok, dsCodec, statsCols,
                 bloomCols, batchTag, staged, statsByName, stagedLen, bloomRef,
                 race, dAdds, cur, dsConstraints,
-                prev.map(_.renames).getOrElse(Seq.empty))
+                prev.map(_.renames).getOrElse(Seq.empty),
+                prev.flatMap(_.schema))
             else if (RewriteRetryModes(modeLabel) && dAdds.isEmpty)
               // a ROW-PRESERVING maintenance rewrite (compact/fold) that
               // lost to a commuting winner rebases instead of aborting —
@@ -1525,7 +1526,8 @@ object Snapshots {
                 statsCols, bloomCols, staged, statsByName, stagedLen,
                 bloomRef, removes, dRemoves,
                 prevDeletes.map(_.rel).toSet,
-                prev.map(_.renames).getOrElse(Seq.empty), race)
+                prev.map(_.renames).getOrElse(Seq.empty), race,
+                prev.flatMap(_.schema))
             else throw race
         }
     }
@@ -1536,6 +1538,28 @@ object Snapshots {
     * race (the single-maintainer contract is clearly being violated at a
     * rate retrying can't absorb). */
   val MaxCommitRetries: Int = 5
+
+  /** True iff every declared stat column has the SAME type in the retry
+    * base's contract and the new head's — a commit retry past an
+    * interleaved type widening (widenColumn, or a winner's widening
+    * write) must surface the race instead: the staged entries' min/max
+    * strings were rendered under the BASE type (a FLOAT-rendered bound
+    * republished under a DOUBLE contract is the exact wrong-prune hazard
+    * widenColumn's stale-stats path strips for every other file). Bloom
+    * drift is separately caught by the bloomCols equality check
+    * (widening RETIRES a bloom declaration). Missing schemas compare
+    * stable — legacy manifests record no contract and no typed stats. */
+  private def statTypesStable(
+      base: Option[StructType], head: Option[StructType],
+      statsCols: Seq[String]): Boolean = (base, head) match {
+    case (Some(b), Some(h)) => statsCols.forall { c =>
+      (b.fields.find(_.name == c), h.fields.find(_.name == c)) match {
+        case (Some(bf), Some(hf)) => bf.dataType == hf.dataType
+        case _ => true
+      }
+    }
+    case _ => true
+  }
 
   /** Mode labels whose lost races may rebase through
     * [[retryRewritePublish]]: the ROW-PRESERVING maintenance rewrites —
@@ -1588,7 +1612,8 @@ object Snapshots {
       dAdds: Seq[DeleteEntry] = Seq.empty,
       baseCur: Option[Int] = None,
       baseConstraints: Seq[(String, String)] = Seq.empty,
-      baseRenames: Seq[(Int, String, String)] = Seq.empty): Int = {
+      baseRenames: Seq[(Int, String, String)] = Seq.empty,
+      baseSchema: Option[StructType] = None): Int = {
     var lastRace = firstRace
     var attempt = 0
     while (attempt < MaxCommitRetries) {
@@ -1611,7 +1636,8 @@ object Snapshots {
         val compatible = p.format == fmtTok && p.codec == dsCodec &&
           p.statsCols == statsCols && p.bloomCols == bloomCols &&
           p.constraints == baseConstraints && p.renames == baseRenames &&
-          (p.partitionCols.isEmpty || p.partitionCols == partitionFields)
+          (p.partitionCols.isEmpty || p.partitionCols == partitionFields) &&
+          statTypesStable(baseSchema, p.schema, statsCols)
         if (!compatible) throw lastRace
       }
       val contract = prev.flatMap(_.schema) match {
@@ -1700,7 +1726,8 @@ object Snapshots {
       removes: Seq[String], dRemoves: Seq[String],
       baseDeleteRels: Set[String],
       baseRenames: Seq[(Int, String, String)],
-      firstRace: java.util.ConcurrentModificationException): Int = {
+      firstRace: java.util.ConcurrentModificationException,
+      baseSchema: Option[StructType] = None): Int = {
     def conflict(why: String): Nothing = {
       val e = new java.util.ConcurrentModificationException(
         s"$modeLabel lost a publish race at $qroot and cannot rebase: " +
@@ -1718,11 +1745,12 @@ object Snapshots {
       val compatible = p.format == fmtTok && p.codec == dsCodec &&
         p.statsCols == statsCols && p.bloomCols == bloomCols &&
         p.renames == baseRenames &&
-        (p.partitionCols.isEmpty || p.partitionCols == partitionFields)
+        (p.partitionCols.isEmpty || p.partitionCols == partitionFields) &&
+        statTypesStable(baseSchema, p.schema, statsCols)
       if (!compatible)
         conflict("an interleaved winner changed the dataset-fixed " +
-          "properties (format/codec/stats/bloom/partition spec) or the " +
-          "column-mapping ledger")
+          "properties (format/codec/stats/bloom/partition spec/stat-column " +
+          "types) or the column-mapping ledger")
       val live = p.files.map(_.rel).toSet
       removes.find(!live(_)).foreach(rel =>
         conflict(s"an interleaved winner removed or replaced $rel, " +

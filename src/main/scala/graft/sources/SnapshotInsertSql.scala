@@ -33,8 +33,11 @@ import org.apache.spark.sql.graft.GraftSqlBridge
  *    static`) semantics for the statement: the static-matched region
  *    is replaced EXACTLY — atomically, in ONE snapshot, and an empty
  *    source clears the region (the "rebuild day X" idempotent
- *    backfill). Dynamic-only specs keep the table's established
- *    dynamic-overwrite lane.
+ *    backfill). A dynamic-ONLY spec on an OVERWRITE is rejected loudly
+ *    (Spark's static default would overwrite ALL partitions, this
+ *    table's plain OVERWRITE only the touched ones — neither reading of
+ *    the spelling may win silently); dynamic-only INTO specs run as the
+ *    table's plain INSERT.
  *  - static values cast to the partition column's recorded type
  *    EAGERLY — an uncastable or null-casting value aborts naming it
  *    (the TRUNCATE PARTITION discipline), never a silent no-match;
@@ -313,10 +316,26 @@ case class SnapshotStaticInsertCommand(
           s"partition column '$f' — it casts to null")
       f -> parsed
     }.toMap
-    if (statics.isEmpty)
-      // dynamic-only spec: the names were validated; the statement IS
-      // the table's plain INSERT (the established dynamic lanes)
+    if (statics.isEmpty) {
+      // dynamic-only spec: the names were validated. An INTO is the
+      // table's plain INSERT; an OVERWRITE is REJECTED loudly — Spark's
+      // default (static partitionOverwriteMode) would overwrite ALL
+      // partitions for an all-dynamic spec, while this table's plain
+      // OVERWRITE replaces only the touched partitions. Routing the
+      // Hive-habituated spelling to either would be a silent semantic
+      // divergence for the other's readers, so the statement names both
+      // lanes and makes the caller pick one.
+      require(!overwrite,
+        s"INSERT OVERWRITE $table PARTITION " +
+          s"(${canon.map(_._1).mkString(", ")}) names only dynamic " +
+          "columns — this table's OVERWRITE replaces only the touched " +
+          "partitions (Spark's dynamic partitionOverwriteMode), not all " +
+          "partitions (Spark's static default for this spelling). Drop " +
+          s"the PARTITION clause (`INSERT OVERWRITE $table ...`) for " +
+          "touched-partition replacement, or give the spec static " +
+          "values to replace an exact region")
       return runPlain(session, root, fields, schema, branch, Seq.empty)
+    }
     runPlain(session, root, fields, schema, branch,
       schema.fieldNames.toSeq.filter(statics.contains).map(f =>
         (f, statics(f))))

@@ -519,12 +519,25 @@ case class SnapshotDropConstraintSqlCommand(
 private[sources] object PlainTreeSql {
   def requirePlainTree(
       session: SparkSession, path: String, op: String): Unit = {
-    require(Snapshots.currentSnapshot(session, path).isEmpty,
-      s"CALL graft_$op: $path is a SNAPSHOT dataset root — snapshot " +
-        "tables have their own maintenance lane (graft_maintain/" +
-        "graft_compact(table)/graft_expire/graft_vacuum; row removal " +
-        "is DELETE FROM), which keeps the manifest consistent")
+    // Probe the path AND every ancestor (bounded walk): a path INSIDE a
+    // snapshot dataset (`<root>/data`, `<root>/data/p=x`, ...) is not a
+    // plain tree either — compacting/retention-deleting it would rename
+    // or remove files the manifest references by relative name, silently
+    // corrupting the snapshot's file accounting (the exact failure this
+    // guard exists to prevent).
     val (f, root) = graft.sink.FsOps.fs(session, path)
+    var probe: org.apache.hadoop.fs.Path = root
+    var depth = 0
+    while (probe != null && depth < 16) {
+      require(Snapshots.currentSnapshot(session, probe.toString).isEmpty,
+        s"CALL graft_$op: $path is ${if (depth == 0) "a SNAPSHOT dataset root"
+          else s"INSIDE the snapshot dataset at $probe"} — snapshot " +
+          "tables have their own maintenance lane (graft_maintain/" +
+          "graft_compact(table)/graft_expire/graft_vacuum; row removal " +
+          "is DELETE FROM), which keeps the manifest consistent")
+      probe = probe.getParent
+      depth += 1
+    }
     require(f.exists(root), s"CALL graft_$op: no tree at $path")
   }
 

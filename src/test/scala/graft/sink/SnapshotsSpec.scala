@@ -619,6 +619,50 @@ class SnapshotsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("a commit retry past an interleaved float→double widening aborts: restaged stat strings rendered the BASE type") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DoubleType
+    val root = java.nio.file.Files.createTempDirectory("snap_racewd").toString
+    // two fragments in partition a, FLOAT stat column v → compact has
+    // work, and its restaged entries carry float-rendered min/max
+    Snapshots.write(Seq((1L, "a", 1.1f), (2L, "a", 2.2f))
+      .toDF("k", "p", "v").coalesce(1), root, Seq("p"),
+      statsColumns = Seq("v"))
+    Snapshots.write(Seq((3L, "a", 3.3f)).toDF("k", "p", "v").coalesce(1),
+      root, Seq("p"), SnapAppend)
+    // the winner WIDENS v to double between the compaction's base
+    // resolution and its pointer flip: widenColumn strips every live
+    // file's float-exact stats, but the loser's restaged entries still
+    // hold them — republishing would reintroduce the wrong-prune hazard
+    // ("1.1" excludes the upcast 1.100000023841858), so the rebase must
+    // surface the race instead
+    Snapshots.prePublishInterleave = () =>
+      assert(Snapshots.widenColumn(spark, root, "v", DoubleType) == 3)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      Snapshots.compact(spark, root, Seq("p"))
+    }
+    assert(ex.getMessage.contains("stat-column types"), ex.getMessage)
+    // the widening stands; a clean re-run compacts under the new
+    // contract (restaged stats now render the double)
+    assert(Snapshots.tableSchema(spark, root)("v").dataType == DoubleType)
+    assert(Snapshots.compact(spark, root, Seq("p")).contains(4))
+    assert(Snapshots.read(spark, root).count() == 3)
+    // the append lane aborts the same way (its staged stats are equally
+    // base-typed) — the ORIGINAL race surfaces, winner intact
+    val root2 = java.nio.file.Files.createTempDirectory("snap_racewa")
+      .toString
+    Snapshots.write(Seq((1L, "a", 1.1f)).toDF("k", "p", "v").coalesce(1),
+      root2, Seq("p"), statsColumns = Seq("v"))
+    Snapshots.prePublishInterleave = () =>
+      assert(Snapshots.widenColumn(spark, root2, "v", DoubleType) == 2)
+    intercept[java.util.ConcurrentModificationException] {
+      Snapshots.write(Seq((9L, "b", 9.9f)).toDF("k", "p", "v").coalesce(1),
+        root2, Seq("p"), SnapAppend)
+    }
+    assert(Snapshots.read(spark, root2).count() == 1,
+      "the loser's batch must not land past the widening")
+  }
+
   test("renameColumn: metadata-only, old files read through the ledger, history time-travels under the old name") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap_ren").toString

@@ -260,6 +260,24 @@ class SnapshotMaintenanceSqlSpec extends SparkSpec {
     }
     assert(exSnap2.getMessage.contains("SNAPSHOT dataset root"),
       exSnap2.getMessage)
+    // a path INSIDE the snapshot dataset (`<root>/data`, or a partition
+    // directory under it) is equally rejected: compacting it would
+    // rename files the manifest references by relative name — the exact
+    // corruption the guard exists to prevent. The ancestor walk names
+    // the owning dataset.
+    val exInner = intercept[Exception] {
+      spark.sql(s"CALL graft_compact('$snapEsc/data', 'o_orderpriority')")
+        .collect()
+    }
+    assert(exInner.getMessage.contains("INSIDE the snapshot dataset"),
+      exInner.getMessage)
+    val exInner2 = intercept[Exception] {
+      spark.sql(s"CALL graft_retention(" +
+        s"'$snapEsc/data/o_orderpriority=1-URGENT', 'o_orderpriority', " +
+        "'true')").collect()
+    }
+    assert(exInner2.getMessage.contains("INSIDE the snapshot dataset"),
+      exInner2.getMessage)
     // a bare-identifier target is rejected for the plain lane (paths only)
     val exIdent = intercept[Exception] {
       spark.sql("CALL graft_retention(some_tbl, 'p', 'true')").collect()

@@ -409,6 +409,20 @@ class SnapshotSourceSpec extends SparkSpec {
       Seq((8L, "q3")))
     assert(spark.sql("SELECT count(*) FROM snap_sp2_tbl WHERE p = 'a'")
       .head().getLong(0) == 1L)
+    // a dynamic-ONLY spec on an OVERWRITE is rejected loudly: Spark's
+    // static default would overwrite ALL partitions for this spelling,
+    // the table's plain OVERWRITE only the touched ones — neither
+    // reading may win silently. The error names both lanes; the table
+    // is untouched. (A dynamic-only INTO still appends, tested above
+    // via the mixed lane.)
+    val exDyn = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE snap_sp2_tbl PARTITION (p, q) " +
+        "VALUES (7, 'x', 'q9')")
+    }
+    assert(exDyn.getMessage.contains("names only dynamic"),
+      exDyn.getMessage)
+    assert(spark.sql("SELECT count(*) FROM snap_sp2_tbl").head()
+      .getLong(0) == 2L, "the rejected statement must write nothing")
     spark.sql("DROP TABLE snap_sp2_tbl")
 
     // NON-graft tables keep Spark's own PARTITION behavior untouched
