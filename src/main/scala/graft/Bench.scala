@@ -29,6 +29,15 @@ object Bench {
       // values (SURVEY.md §7.4.5); 16 writers × default parquet buffers
       // stays well inside executor memory
       .config("spark.sql.maxConcurrentOutputFileWriters", "16")
+      // v2 file-output commit (task output promoted directly, one rename
+      // instead of two) and no _SUCCESS markers: the engine's write lanes
+      // stage into their own .stage_* trees and publish via an atomic
+      // manifest flip, so the v1 committer's second rename pass and the
+      // marker files are pure overhead on every snapshot/sink write —
+      // nothing in the engine reads _SUCCESS (hidden-file filters skip
+      // it). Standard production settings, not local-mode tuning.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .config("spark.ui.enabled", "false")
       // the library's standard deployment extension (SQL functions + the
       // snapshot-table row-level DML rule) — Verify runs with it, so the

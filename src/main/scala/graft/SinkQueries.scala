@@ -929,8 +929,9 @@ object SinkQueries {
         Seq("o_orderpriority"), Snapshots.SnapAppend)
       // the target: smallest EVEN key strictly between the odd min and
       // odd max, so both files' ranges contain it in its partition
-      val oddMin = base.filter(k % 2 === 1).agg(min(k)).head().getLong(0)
-      val oddMax = base.filter(k % 2 === 1).agg(max(k)).head().getLong(0)
+      // one pass for the odd bounds (min+max share the scan), one for k0
+      val oddRow = base.filter(k % 2 === 1).agg(min(k), max(k)).head()
+      val (oddMin, oddMax) = (oddRow.getLong(0), oddRow.getLong(1))
       val k0 = base.filter(k % 2 === 0 && k > oddMin && k < oddMax)
         .agg(min(k)).head().getLong(0)
       val pruned = Snapshots.read(s, out, prune = Seq(
@@ -1006,8 +1007,9 @@ object SinkQueries {
         Seq("o_orderpriority"), Snapshots.SnapAppend)
       s.sql("DROP TABLE IF EXISTS graft_snap_sqldel_tbl")
       Snapshots.registerTable(s, out, "graft_snap_sqldel_tbl")
-      val oddMin = base.filter(k % 2 === 1).agg(min(k)).head().getLong(0)
-      val oddMax = base.filter(k % 2 === 1).agg(max(k)).head().getLong(0)
+      // one pass for the odd bounds (min+max share the scan), one for k0
+      val oddRow = base.filter(k % 2 === 1).agg(min(k), max(k)).head()
+      val (oddMin, oddMax) = (oddRow.getLong(0), oddRow.getLong(1))
       val k0 = base.filter(k % 2 === 0 && k > oddMin && k < oddMax)
         .agg(min(k)).head().getLong(0)
       s.sql(s"DELETE FROM graft_snap_sqldel_tbl WHERE o_orderkey = $k0")

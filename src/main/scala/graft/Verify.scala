@@ -13,6 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // see Bench.scala: concurrent writers instead of a write-side sort
       .config("spark.sql.maxConcurrentOutputFileWriters", "16")
+      // see Bench.scala: v2 commit + no _SUCCESS markers — the session
+      // shape must match the bench's
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .config("spark.ui.enabled", "false")
       // the library's standard deployment extension: SQL functions + the
       // snapshot-table row-level DML rule (DELETE/UPDATE/MERGE fixtures)

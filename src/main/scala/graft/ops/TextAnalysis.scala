@@ -717,7 +717,11 @@ object TextAnalysis {
   def bigramSurprisal(
       df: DataFrame, idCol: String, textCol: String,
       bigramVocab: Int = 4000, unigramVocab: Int = 1000): DataFrame = {
+    // one tokenize pass feeds both vocab builds (the trigramSurprisal
+    // discipline): pin the token arrays, release after the collects
     val toks = df.select(graft.functions.hashes.word_tokens(col(textCol)).as("__w"))
+      .persist()
+    try {
     val w = col("__w")
     val uni: Map[String, Long] = toks
       .select(explode(w).as("token")).filter(col("token") =!= "")
@@ -741,6 +745,7 @@ object TextAnalysis {
       .select(col(idCol),
         st("n_pairs").as("n_pairs"),
         (-(st("sum_logp") / st("n_pairs"))).as("cross_entropy"))
+    } finally toks.unpersist(blocking = false): Unit
   }
 
   /**
@@ -761,15 +766,26 @@ object TextAnalysis {
       df: DataFrame, idCol: String, textCol: String,
       trigramVocab: Int = 8000, bigramVocab: Int = 4000,
       unigramVocab: Int = 1000): DataFrame = {
+    // ONE tokenize pass feeds the three vocab builds: the unigram,
+    // bigram and trigram aggregates each explode the SAME token arrays,
+    // so the arrays are pinned for the operator's lifetime (released
+    // below) instead of re-running the tokenizer per pass (guide §1.2)
     val toks = df.select(graft.functions.hashes.word_tokens(col(textCol)).as("__w"))
+      .persist()
+    try {
     val w = col("__w")
-    val nonEmptyToks = toks.select(explode(w).as("token"))
+    // the corpus token TOTAL is the sum over the unigram count table —
+    // same number as a separate corpus-wide count() pass, zero extra
+    // scans (the counts are vocabulary-sized)
+    val uniCounts = toks.select(explode(w).as("token"))
       .filter(col("token") =!= "")
-    val total: Long = nonEmptyToks.count()
-    val uni: Map[String, Long] = nonEmptyToks
       .groupBy("token").agg(count(lit(1)).as("n"))
+      .persist()
+    val total: Long = uniCounts.agg(sum(col("n"))).head().getLong(0)
+    val uni: Map[String, Long] = uniCounts
       .orderBy(col("n").desc, col("token").asc).limit(unigramVocab)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    uniCounts.unpersist(blocking = false)
     val bi: Map[String, Long] = toks
       .filter(size(w) >= 2)
       .select(explode(transform(sequence(lit(0), size(w) - 2),
@@ -799,6 +815,7 @@ object TextAnalysis {
       .select(col(idCol),
         st("n_triples").as("n_triples"),
         round(-(st("sum_logp") / st("n_triples")), 6).as("cross_entropy_r"))
+    } finally toks.unpersist(blocking = false): Unit
   }
 
   /**

@@ -49,7 +49,9 @@ private[graft] object GenerationState {
     val staging = new org.apache.hadoop.fs.Path(root,
       s".staging_${java.util.UUID.randomUUID().toString.take(12)}")
     parts.foreach { case (name, df) =>
-      df.coalesce(1).write.parquet(s"$staging/$name")
+      // driver-local parts (meta rows, hh counter tables — O(k) by
+      // contract) write without a Spark job; distributed parts keep it
+      LocalParquet.writeOrFallback(df, s"$staging/$name")
     }
     // bound the ledger at write: callers pass `priorSeen ++ newTag`
     // (newest last), and only the newest suffix can ever match a replay.
@@ -58,10 +60,11 @@ private[graft] object GenerationState {
     // a safe sort key (a fresh checkpoint lineage re-issues ids from 0,
     // and id-sorting would evict the new lineage's recent tags while
     // keeping the old lineage's ancient high ones)
-    seen.takeRight(MaxSeenTags).zipWithIndex
-      .map { case ((id, fp), i) => (id, fp, i.toLong) }
-      .toDF("batch_id", "fp", "pos")
-      .coalesce(1).write.parquet(s"$staging/seen")
+    LocalParquet.writeOrFallback(
+      seen.takeRight(MaxSeenTags).zipWithIndex
+        .map { case ((id, fp), i) => (id, fp, i.toLong) }
+        .toDF("batch_id", "fp", "pos"),
+      s"$staging/seen")
     FsOps.publishGeneration(f, root, staging): Unit
   }
 

@@ -1403,8 +1403,10 @@ object Snapshots {
         }
         val bstage = new Path(qroot,
           s".stage_${java.util.UUID.randomUUID().toString.take(12)}")
-        rows.toDF("rel", "col", "filter").coalesce(1)
-          .write.parquet(bstage.toString)
+        // the filters were collected by computeStats, so the sidecar is
+        // driver data — write it without spawning a Spark job
+        LocalParquet.writeOrFallback(
+          rows.toDF("rel", "col", "filter"), bstage.toString)
         val parts = listDataFiles(f, bstage)
         require(parts.length == 1,
           s"bloom sidecar staging produced ${parts.length} files, expected 1")
@@ -2130,53 +2132,62 @@ object Snapshots {
     require(!keyFields.exists(partitionFields.contains),
       "partition fields cannot be merge keys (a key that IS the partition " +
         "value cannot move; route through a payload column instead)")
-    val dupKeys = updates.groupBy(keyFields.map(qc): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
-    require(dupKeys == 0L,
-      s"update batch has multiple rows for one (${keyFields.mkString(",")}) key")
-    val isDelete = deleteCol
-      .map(c => coalesce(qc(c), lit(false))).getOrElse(lit(false))
-    val upserts = deleteCol
-      .foldLeft(updates.filter(!isDelete))((d, c) => d.drop(c))
-    val allKeys = updates.select(keyFields.map(qc): _*).distinct()
-    val pCols = partitionFields.map(qc)
-    // with `branch`, the whole merge runs against the BRANCH state and
-    // publishes to the branch head — CDC on the audit branch (the
-    // copy-on-write lane composes with branches because it adds no
-    // equality-delete entries, so fastForward stays metadata-only; the
-    // O(batch) merge-on-read lane remains main-only)
-    val base = branch.fold(read(spark, root))(b => readBranch(spark, root, b))
-    val touchedDf = upserts.select(pCols: _*)
-      .unionByName(base.join(broadcast(allKeys), keyFields.toSeq, "left_semi")
-        .select(pCols: _*))
-      .distinct()
-    // bounded by partition cardinality — the manifest write needs these
-    // values collected anyway to derive the touched directory set
-    val touched = touchedDf.collect()
-    // a batch that changes nothing (e.g. deletes of absent keys) is a
-    // NO-OP — don't burn a snapshot id on an identical manifest
-    if (touched.isEmpty)
-      return branch match {
-        case None => currentSnapshot(spark, root).getOrElse(
-          throw new IllegalStateException(
-            s"no snapshot published under $root"))
-        case Some(b) =>
-          val (f, qroot) = FsOps.fs(spark, root)
-          branchHead(f, qroot, b)
+    // PIN the batch for the statement's lifetime: the dup-key guard, the
+    // touched-partition collect, and the staging write each execute the
+    // updates frame (a SQL MERGE arrives as source⋈target projections —
+    // re-deriving that join per action re-scans the table each time).
+    // O(batch) state, spilled past memory, dropped before returning —
+    // never a cross-run cache.
+    val pinned = updates.persist()
+    try {
+      val dupKeys = pinned.groupBy(keyFields.map(qc): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+      require(dupKeys == 0L,
+        s"update batch has multiple rows for one (${keyFields.mkString(",")}) key")
+      val isDelete = deleteCol
+        .map(c => coalesce(qc(c), lit(false))).getOrElse(lit(false))
+      val upserts = deleteCol
+        .foldLeft(pinned.filter(!isDelete))((d, c) => d.drop(c))
+      val allKeys = pinned.select(keyFields.map(qc): _*).distinct()
+      val pCols = partitionFields.map(qc)
+      // with `branch`, the whole merge runs against the BRANCH state and
+      // publishes to the branch head — CDC on the audit branch (the
+      // copy-on-write lane composes with branches because it adds no
+      // equality-delete entries, so fastForward stays metadata-only; the
+      // O(batch) merge-on-read lane remains main-only)
+      val base = branch.fold(read(spark, root))(b => readBranch(spark, root, b))
+      val touchedDf = upserts.select(pCols: _*)
+        .unionByName(base.join(broadcast(allKeys), keyFields.toSeq, "left_semi")
+          .select(pCols: _*))
+        .distinct()
+      // bounded by partition cardinality — the manifest write needs these
+      // values collected anyway to derive the touched directory set
+      val touched = touchedDf.collect()
+      // a batch that changes nothing (e.g. deletes of absent keys) is a
+      // NO-OP — don't burn a snapshot id on an identical manifest
+      if (touched.isEmpty)
+        return branch match {
+          case None => currentSnapshot(spark, root).getOrElse(
+            throw new IllegalStateException(
+              s"no snapshot published under $root"))
+          case Some(b) =>
+            val (f, qroot) = FsOps.fs(spark, root)
+            branchHead(f, qroot, b)
+        }
+      val survivors =
+        pruneToTouched(base, touched.toSeq, touchedDf.schema, partitionFields)
+          .join(broadcast(allKeys), keyFields.toSeq, "left_anti")
+      val out = evolution match {
+        case graft.schema.SchemaEvolution.Widen =>
+          survivors.unionByName(upserts, allowMissingColumns = true)
+        case _ => survivors.unionByName(upserts)
       }
-    val survivors =
-      pruneToTouched(base, touched.toSeq, touchedDf.schema, partitionFields)
-        .join(broadcast(allKeys), keyFields.toSeq, "left_anti")
-    val out = evolution match {
-      case graft.schema.SchemaEvolution.Widen =>
-        survivors.unionByName(upserts, allowMissingColumns = true)
-      case _ => survivors.unionByName(upserts)
-    }
-    writeInternal(out, root, partitionFields, SnapOverwritePartitions,
-      "merge", evolution,
-      touchedDirs = Some(
-        touched.map(partitionRelDir(partitionFields, _)).toSet),
-      branch = branch)
+      writeInternal(out, root, partitionFields, SnapOverwritePartitions,
+        "merge", evolution,
+        touchedDirs = Some(
+          touched.map(partitionRelDir(partitionFields, _)).toSet),
+        branch = branch)
+    } finally pinned.unpersist(): Unit
   }
 
   /** Prune `base` to rows whose partition values appear in `touched`,
@@ -2252,19 +2263,26 @@ object Snapshots {
     currentSnapshot(spark, root).getOrElse(throw new IllegalStateException(
       s"no snapshot published under $root — land the initial state with " +
         "write() first"))
-    if (updates.isEmpty) return currentSnapshot(spark, root).get
-    val dupKeys = updates.groupBy(keyFields.map(qc): _*)
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
-    require(dupKeys == 0L,
-      s"update batch has multiple rows for one (${keyFields.mkString(",")}) key")
-    val isDelete = deleteCol
-      .map(c => coalesce(qc(c), lit(false))).getOrElse(lit(false))
-    val upserts = deleteCol
-      .foldLeft(updates.filter(!isDelete))((d, c) => d.drop(c))
-    val allKeys = updates.select(keyFields.map(qc): _*)
-    writeInternal(upserts, root, partitionFields, SnapAppend, "merge_mor",
-      evolution, batchTag = batchTag,
-      deleteKeys = Some((allKeys, keyFields)))
+    // PIN the batch (the mergeUpsert discipline): the emptiness probe,
+    // the dup-key guard, the upsert staging write and the delete-key
+    // staging write each execute the updates frame otherwise. O(batch)
+    // state, dropped before returning.
+    val pinned = updates.persist()
+    try {
+      if (pinned.isEmpty) return currentSnapshot(spark, root).get
+      val dupKeys = pinned.groupBy(keyFields.map(qc): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+      require(dupKeys == 0L,
+        s"update batch has multiple rows for one (${keyFields.mkString(",")}) key")
+      val isDelete = deleteCol
+        .map(c => coalesce(qc(c), lit(false))).getOrElse(lit(false))
+      val upserts = deleteCol
+        .foldLeft(pinned.filter(!isDelete))((d, c) => d.drop(c))
+      val allKeys = pinned.select(keyFields.map(qc): _*)
+      writeInternal(upserts, root, partitionFields, SnapAppend, "merge_mor",
+        evolution, batchTag = batchTag,
+        deleteKeys = Some((allKeys, keyFields)))
+    } finally pinned.unpersist(): Unit
   }
 
   /**
