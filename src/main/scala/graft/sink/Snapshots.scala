@@ -2156,9 +2156,35 @@ object Snapshots {
       // equality-delete entries, so fastForward stays metadata-only; the
       // O(batch) merge-on-read lane remains main-only)
       val base = branch.fold(read(spark, root))(b => readBranch(spark, root, b))
+      // the touched-partition PROBE only needs files whose key ranges can
+      // intersect the batch's keys: one metadata-cost [min,max] bound over
+      // the pinned batch stat-prunes the probe scan (a file provably
+      // outside every batch key range contributes nothing to the
+      // semi-join, so pruning it is exact — its partition can still enter
+      // `touched` through the upserts' own partition values). The
+      // SURVIVOR scan below deliberately stays UNPRUNED: the overwrite
+      // restages EVERY row of a touched partition, including rows in
+      // files no batch key touches. Branch reads keep the full scan (the
+      // branch lane takes no prune parameter).
+      val probeBase = branch match {
+        case None =>
+          // gated on the dataset actually RECORDING stats or blooms for a
+          // key column — deriving bounds against a stat-less manifest
+          // would pay the (small) batch aggregate and prune nothing
+          val (f, qroot) = FsOps.fs(spark, root)
+          val recorded = currentSnapshot(spark, root)
+            .map(readSnapshotFile(f, qroot, _))
+            .map(h => (h.statsCols ++ h.bloomCols).toSet)
+            .getOrElse(Set.empty)
+          if (keyFields.exists(recorded)) read(spark, root,
+            prune = minMaxStatRanges(allKeys, keyFields.map(k => k -> k)))
+          else base
+        case Some(_) => base
+      }
       val touchedDf = upserts.select(pCols: _*)
-        .unionByName(base.join(broadcast(allKeys), keyFields.toSeq, "left_semi")
-          .select(pCols: _*))
+        .unionByName(
+          probeBase.join(broadcast(allKeys), keyFields.toSeq, "left_semi")
+            .select(pCols: _*))
         .distinct()
       // bounded by partition cardinality — the manifest write needs these
       // values collected anyway to derive the touched directory set

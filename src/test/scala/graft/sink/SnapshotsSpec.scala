@@ -619,6 +619,31 @@ class SnapshotsSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("mergeUpsert key-range probe prune: files outside the batch's key range still restage in touched partitions") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_mprune").toString
+    // partition a holds TWO files with DISJOINT key ranges (separate
+    // appends, per-file k stats recorded): the batch touches only the
+    // second file's range, so the probe scan stat-prunes the first —
+    // which must NOT leak into the survivor rewrite (the overwrite
+    // restages every row of a touched partition, including rows in
+    // files no batch key can reach)
+    Snapshots.write(Seq((1L, "a", 10.0), (2L, "a", 20.0))
+      .toDF("k", "p", "v").coalesce(1), root, Seq("p"),
+      statsColumns = Seq("k"))
+    Snapshots.write(Seq((100L, "a", 30.0), (200L, "b", 40.0))
+      .toDF("k", "p", "v").coalesce(1), root, Seq("p"), SnapAppend)
+    assert(Snapshots.mergeUpsert(spark, root,
+      Seq((100L, "a", 99.0)).toDF("k", "p", "v"), Seq("p"), Seq("k")) == 3)
+    val m = Snapshots.read(spark, root).select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m == Map(1L -> 10.0, 2L -> 20.0, 100L -> 99.0, 200L -> 40.0),
+      s"rows outside the batch's key range must survive the rewrite: $m")
+    // untouched partition b rides through by reference (same file)
+    assert(Snapshots.read(spark, root).inputFiles.count(_.contains("p=b"))
+      == 1)
+  }
+
   test("a commit retry past an interleaved float→double widening aborts: restaged stat strings rendered the BASE type") {
     import spark.implicits._
     import org.apache.spark.sql.types.DoubleType
