@@ -30,12 +30,13 @@ object Bench {
       // stays well inside executor memory
       .config("spark.sql.maxConcurrentOutputFileWriters", "16")
       // v2 file-output commit (task output promoted directly, one rename
-      // instead of two) and no _SUCCESS markers: the engine's write lanes
-      // stage into their own .stage_* trees and publish via an atomic
-      // manifest flip, so the v1 committer's second rename pass and the
-      // marker files are pure overhead on every snapshot/sink write —
-      // nothing in the engine reads _SUCCESS (hidden-file filters skip
-      // it). Standard production settings, not local-mode tuning.
+      // instead of two) and no _SUCCESS markers. The snapshot lanes stage
+      // into their own .stage_* trees behind an atomic manifest flip; the
+      // plain PartitionedSink lane writes straight to its destination, so
+      // under v2 a mid-job failure CAN leave committed task outputs
+      // visible there — accepted because harness runs abort on failure
+      // and use fresh output dirs. Nothing in the engine reads _SUCCESS
+      // (hidden-file filters skip it).
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .config("spark.ui.enabled", "false")

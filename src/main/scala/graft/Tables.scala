@@ -15,16 +15,28 @@ object Tables {
     * immutable driver-generated inputs. Caching the SCHEMA (metadata
     * only — every query still scans the parquet data itself) removes
     * the footer round-trip; at 100 TB the same discipline is "declare
-    * your schemas", which is also what the reference sink does. */
+    * your schemas", which is also what the reference sink does.
+    *
+    * Keyed by (path, mtime, length) so a file REGENERATED at the same
+    * path mid-JVM (the events.parquet ts layout has drifted across
+    * rounds) re-infers instead of silently serving the stale schema —
+    * one local stat() per construction, still far cheaper than a footer
+    * read+parse. */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[
-      String, org.apache.spark.sql.types.StructType]()
+      (String, Long, Long), org.apache.spark.sql.types.StructType]()
+
+  private def cachedSchema(
+      spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    // test-table paths are plain local files/dirs by construction
+    val f = new java.io.File(path)
+    schemaCache.computeIfAbsent((path, f.lastModified, f.length),
+      _ => spark.read.parquet(path).schema)
+  }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
-    spark.read.schema(schema).parquet(path)
+    spark.read.schema(cachedSchema(spark, path)).parquet(path)
   }
 
   /** Schema-adaptive events loader. The driver has shipped `ts` in two
@@ -39,9 +51,7 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
-    val schema = schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
-    val raw = spark.read.schema(schema).parquet(path)
+    val raw = spark.read.schema(cachedSchema(spark, path)).parquet(path)
     raw.schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))

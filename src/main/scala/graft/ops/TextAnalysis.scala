@@ -683,7 +683,9 @@ object TextAnalysis {
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("n"))
       .cache()
-    val total = counts.agg(sum(col("n"))).head().getLong(0)
+    // empty corpus: sum over no rows is null — read 0, don't throw
+    val total = counts.agg(coalesce(sum(col("n")), lit(0L)))
+      .head().getLong(0)
     val vocab: Map[String, Long] = counts
       .orderBy(col("n").desc, col("token").asc).limit(vocabSize)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -781,7 +783,10 @@ object TextAnalysis {
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("n"))
       .persist()
-    val total: Long = uniCounts.agg(sum(col("n"))).head().getLong(0)
+    // coalesce: sum over an EMPTY count table is null, and an all-blank
+    // corpus must read total=0 (the pre-one-pass behavior), not throw
+    val total: Long = uniCounts.agg(coalesce(sum(col("n")), lit(0L)))
+      .head().getLong(0)
     val uni: Map[String, Long] = uniCounts
       .orderBy(col("n").desc, col("token").asc).limit(unigramVocab)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

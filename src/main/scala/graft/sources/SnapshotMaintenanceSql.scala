@@ -519,16 +519,18 @@ case class SnapshotDropConstraintSqlCommand(
 private[sources] object PlainTreeSql {
   def requirePlainTree(
       session: SparkSession, path: String, op: String): Unit = {
-    // Probe the path AND every ancestor (bounded walk): a path INSIDE a
-    // snapshot dataset (`<root>/data`, `<root>/data/p=x`, ...) is not a
-    // plain tree either — compacting/retention-deleting it would rename
-    // or remove files the manifest references by relative name, silently
-    // corrupting the snapshot's file accounting (the exact failure this
-    // guard exists to prevent).
+    // Probe the path AND every ancestor up to the filesystem root: a
+    // path INSIDE a snapshot dataset (`<root>/data`, `<root>/data/p=x`,
+    // ...) is not a plain tree either — compacting/retention-deleting it
+    // would rename or remove files the manifest references by relative
+    // name, silently corrupting the snapshot's file accounting (the
+    // exact failure this guard exists to prevent). Unbounded on purpose:
+    // getParent reaches null at the root, and a depth cap would let a
+    // deeply nested partition path escape the guard.
     val (f, root) = graft.sink.FsOps.fs(session, path)
     var probe: org.apache.hadoop.fs.Path = root
     var depth = 0
-    while (probe != null && depth < 16) {
+    while (probe != null) {
       require(Snapshots.currentSnapshot(session, probe.toString).isEmpty,
         s"CALL graft_$op: $path is ${if (depth == 0) "a SNAPSHOT dataset root"
           else s"INSIDE the snapshot dataset at $probe"} — snapshot " +
